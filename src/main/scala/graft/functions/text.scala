@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting, shingling.
+  * All native column expressions (codegen'd, no UDFs).
+  */
+object text {
+
+  /** Whitespace-delimited token count. */
+  def wsTokenCount(t: Column): Column =
+    size(regexp_extract_all(t, lit("\\S+"), lit(0)))
+
+  /** BPE-ish sub-token stream: runs of letters, runs of digits, single
+    * non-alphanumeric marks (rough proxy for byte-pair token counts).
+    */
+  def bpeTokens(t: Column): Column =
+    regexp_extract_all(lower(t), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def bpeTokenCount(t: Column): Column = size(bpeTokens(t))
+
+  /** Lower-cased alphabetic words. */
+  def words(t: Column): Column =
+    regexp_extract_all(lower(t), lit("[a-z]+"), lit(0))
+
+  def alphaCount(t: Column): Column =
+    length(regexp_replace(t, "[^A-Za-z]", ""))
+
+  def punctCount(t: Column): Column =
+    length(regexp_replace(t, "[^.,;:!?]", ""))
+
+  val stopwordsEn = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "was", "for", "on", "with", "as", "at", "by", "be",
+    "this")
+
+  def stopwordCount(t: Column, stopwords: Seq[String] = stopwordsEn): Column =
+    size(filter(words(t), w => w.isin(stopwords.map(x => x: Any): _*)))
+
+  /** Composite quality score in [0,1]: weighted mix of alpha ratio, a
+    * length-normalized token count, stopword presence and low punctuation.
+    */
+  def qualityScore(t: Column): Column = {
+    val n = greatest(length(t), lit(1))
+    val tok = greatest(wsTokenCount(t), lit(1))
+    val alphaRatio = alphaCount(t).cast("double") / n
+    val punctRatio = punctCount(t).cast("double") / n
+    val stopRatio = stopwordCount(t).cast("double") / tok
+    round(least(lit(1.0),
+      alphaRatio * 0.5 + least(stopRatio * 2.0, lit(1.0)) * 0.3 +
+        (lit(1.0) - least(punctRatio * 5.0, lit(1.0))) * 0.2), 5)
+  }
+
+  /** Stopword lists used by the n-gram/stopword language-ID heuristic. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was",
+      "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit",
+      "sich", "auf"),
+    "es" -> Seq("el", "la", "los", "las", "que", "es", "una", "por", "para",
+      "como"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pour", "que",
+      "pas")
+  )
+
+  private def langScore(t: Column, sw: Seq[String]): Column =
+    size(filter(words(t), w => w.isin(sw.map(x => x: Any): _*)))
+
+  /** Heuristic language ID: argmax of per-language stopword hits, ties
+    * broken by list order (en > de > es > fr), "und" when all scores are 0.
+    */
+  def langId(t: Column): Column = {
+    val scores = langStopwords.map { case (l, sw) => l -> langScore(t, sw) }
+    val allZero = scores.map(_._2 === 0).reduce(_ && _)
+    // argmax with deterministic tie-break = first list entry with max score
+    val maxScore = greatest(scores.map(_._2): _*)
+    val pick = scores.reverse.foldLeft(lit("und")) { case (els, (l, s)) =>
+      when(s === maxScore, lit(l)).otherwise(els)
+    }
+    when(allZero, "und").otherwise(pick)
+  }
+
+  /** Document fingerprint: content hash of the whitespace-normalized,
+    * lower-cased text.
+    */
+  def fingerprint(t: Column): Column =
+    md5(trim(regexp_replace(lower(t), "\\s+", " ")))
+
+  /** Word n-gram shingles (empty array when fewer than n words). */
+  def wordShingles(t: Column, n: Int): Column = {
+    val ws = words(t)
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct character n-grams of the normalized text. */
+  def charNgrams(t: Column, n: Int): Column = {
+    val s = trim(regexp_replace(lower(t), "\\s+", " "))
+    when(length(s) >= n,
+      array_distinct(transform(sequence(lit(1), length(s) - (n - 1)),
+        i => s.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Genomic interval join: points (variants) x intervals (exons/transcripts).
+  *
+  * Reference does a single-threaded sorted sweep-line over one chromosome
+  * (/root/reference/src/modules/vcf_reader.py:79-125). That cannot scale to
+  * a 100 TB VCF; instead both sides are mapped to fixed-width genomic bins,
+  * turning the range predicate into an equi-join (+ residual filter) that
+  * Spark executes as a shuffled/broadcast hash join with AQE. Intervals
+  * explode to every bin they overlap (fanout = interval_len / binSize + 1,
+  * small for exon-sized intervals), points map to exactly one bin, so the
+  * candidate set per bin is tiny and the join never materializes a cross
+  * product.
+  */
+object IntervalJoin {
+
+  /** Inner-join `points` to `intervals` where
+    * interval.start <= point.pos <= interval.end, matching on `partitionKey`
+    * (e.g. chromosome) when present on both sides.
+    *
+    * Column name requirements: points has `pos`; intervals has `start`,
+    * `end`. All other columns pass through.
+    */
+  def pointsInIntervals(points: DataFrame, intervals: DataFrame,
+                        partitionKeys: Seq[String] = Seq.empty,
+                        binSize: Long = 10000L): DataFrame = {
+    val binnedIntervals = intervals.withColumn("_bin",
+      explode(sequence(floor(col("start") / binSize),
+        floor(col("end") / binSize))))
+    val binnedPoints = points.withColumn("_bin", floor(col("pos") / binSize))
+    val keys = "_bin" +: partitionKeys
+    binnedPoints
+      .join(binnedIntervals, keys,
+        "inner")
+      .where(col("pos") >= col("start") && col("pos") <= col("end"))
+      .drop("_bin")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GTF annotation source.
+  *
+  * Reference uses gffutils to build a feature DB and query children by type
+  * (/root/reference/src/parse_gtf.py, get_transcript_list.py, prohap.py).
+  * Here a GTF is a splittable text scan parsed with native expressions; the
+  * "children of transcript X with feature type exon ordered by start"
+  * pattern becomes a groupBy(transcript_id) + sort_array(collect_list),
+  * which shuffles once on a well-distributed key.
+  */
+object Gtf {
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    parseLines(spark.read.text(path), "value")
+
+  /** Parse raw GTF lines into the 8 fixed columns + attribute string. */
+  def parseLines(lines: DataFrame, c: String): DataFrame = {
+    val f = split(col(c), "\t")
+    lines
+      .where(!col(c).startsWith("#") && length(trim(col(c))) > 0)
+      .select(
+        f.getItem(0).as("seqname"),
+        f.getItem(1).as("source"),
+        f.getItem(2).as("feature"),
+        f.getItem(3).cast("long").as("start"),
+        f.getItem(4).cast("long").as("end"),
+        f.getItem(5).as("score"),
+        f.getItem(6).as("strand"),
+        f.getItem(7).as("frame"),
+        f.getItem(8).as("attributes")
+      )
+  }
+
+  /** Extract one attribute value (GTF grammar: key "value";). */
+  def attr(attributes: Column, key: String): Column =
+    regexp_extract(attributes, key + " \"([^\"]*)\"", 1)
+
+  /** Per-transcript exon arrays, ordered by start — the distributed
+    * equivalent of gffutils `children(featuretype='exon', order_by='start')`.
+    */
+  def exonsByTranscript(features: DataFrame): DataFrame =
+    features
+      .where(col("feature") === "exon")
+      .select(attr(col("attributes"), "transcript_id").as("transcript_id"),
+        struct(col("start"), col("end")).as("exon"))
+      .groupBy("transcript_id")
+      .agg(sort_array(collect_list(col("exon"))).as("exons"))
+
+  /** Transcripts filtered by biotype (get_transcript_list.py semantics). */
+  def transcriptsByBiotype(features: DataFrame,
+                           biotypes: Seq[String]): DataFrame = {
+    val t = features.where(col("feature") === "transcript")
+      .select(
+        col("seqname").as("chromosome"),
+        attr(col("attributes"), "transcript_id").as("transcriptID"),
+        attr(col("attributes"), "transcript_biotype").as("biotype"),
+        col("start"), col("end"), col("strand"))
+    if (biotypes.contains("all")) t
+    else t.where(col("biotype").isin(biotypes.map(x => x: Any): _*))
+  }
+}
