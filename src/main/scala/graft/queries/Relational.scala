@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core queries over the TPC-H-ish test tables. Each query has a
+  * DuckDB oracle with identically-aliased columns; double aggregates are
+  * rounded on both sides to absorb summation-order FP noise.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q2_join_broadcast" -> ((s, dir) => {
+      // star join: fact lineitem -> orders -> customer -> nation -> region;
+      // dims broadcast so the only shuffle is the final aggregation.
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q3_topk" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = broadcast(t(s, dir, "part"))
+      val rev = li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(round(sum(col("l_extendedprice")), 4).as("revenue"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("revenue").desc, col("p_partkey"))
+      rev.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("p_brand"), col("p_partkey"), col("revenue"),
+          col("rnk").cast("long").as("rnk"))
+    }),
+
+    "q4_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_discount"))
+    }),
+
+    "q5_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"),
+        "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .withColumn("kind", lit("with_orders"))
+      val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"),
+        "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .withColumn("kind", lit("without_orders"))
+      withOrders.unionByName(withoutOrders)
+    }),
+
+    "q6_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice")), 4).as("sum_price"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "q7_window" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 4).as("running_total"),
+        row_number().over(w).cast("long").as("order_seq"))
+    }),
+
+    "q8_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+    }),
+
+    "q9_skewjoin" -> ((s, dir) => {
+      // orderkey join is Zipf-ish in real data; AQE skew-join splits hot
+      // partitions at runtime (enabled in the session conf).
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 4).as("sum_price"))
+    }),
+
+    "q10_range_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+        .agg(round(sum(col("o_totalprice")), 4).as("monthly_revenue"),
+          count(lit(1)).as("n_orders"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q2_join_broadcast" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q3_topk" ->
+      """WITH rev AS (
+        |  SELECT p_brand, p_partkey, round(sum(l_extendedprice), 4) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT p_brand, p_partkey, revenue, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY p_brand
+        |    ORDER BY revenue DESC, p_partkey) AS rnk FROM rev)
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q4_filter_pushdown" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_discount
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05""".stripMargin,
+
+    "q5_semi_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  'with_orders' AS kind
+        |FROM customer WHERE EXISTS
+        |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  'without_orders' AS kind
+        |FROM customer WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+
+    "q6_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice), 4) AS sum_price,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q7_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey), 4) AS running_total,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS order_seq
+        |FROM orders""".stripMargin,
+
+    "q8_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q9_skewjoin" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 4) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q10_range_agg" ->
+      """SELECT date_trunc('month', o_orderdate) AS order_month,
+        |  round(sum(o_totalprice), 4) AS monthly_revenue,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin
+  )
+}
