@@ -117,7 +117,8 @@ object Relational {
 
     "q10_range_agg" -> ((s, dir) => {
       t(s, dir, "orders")
-        .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("order_month"))
         .agg(round(sum(col("o_totalprice")), 4).as("monthly_revenue"),
           count(lit(1)).as("n_orders"))
     })
@@ -198,7 +199,7 @@ object Relational {
         |GROUP BY 1""".stripMargin,
 
     "q10_range_agg" ->
-      """SELECT date_trunc('month', o_orderdate) AS order_month,
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
         |  round(sum(o_totalprice), 4) AS monthly_revenue,
         |  count(*) AS n_orders
         |FROM orders GROUP BY 1""".stripMargin
