@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.{hashing, text}
 
 /** Document deduplication for training-data pipelines: exact, MinHash+LSH,
@@ -34,26 +35,47 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleWords: Int = 3, bands: Int = 8, rows: Int = 2,
-                 jaccardThreshold: Double = 0.5): DataFrame = {
+                 jaccardThreshold: Double = 0.5,
+                 maxBucketSize: Int = 1000): DataFrame = {
     val k = bands * rows
+    // The plan fans out below (bucket self-join, skew guard, shingle
+    // re-joins), so without materialization the shingling+minhash front-end
+    // would be recomputed once per branch — persist it instead. This is the
+    // standard shape for distributed MinHash dedup: the signature table is
+    // ~O(corpus ids), far smaller than the corpus text.
     val docs = df.select(
       col(idCol).as("id"),
       array_distinct(text.wordShingles(col(textCol), shingleWords))
         .as("shingles"))
       .where(size(col("shingles")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val sigs = docs.withColumn("sig", hashing.minhash(col("shingles"), k))
-    val buckets = sigs.select(col("id"), col("shingles"),
+    val sigs = docs
+      .withColumn("_ab", hashing.minhashPairs(col("shingles")))
+      .withColumn("sig", hashing.minhashFromPairs(col("_ab"), k))
+    // Buckets carry ONLY (bucket, id): the shingle arrays stay out of the
+    // self-join shuffle, which is the dominant cost at corpus scale.
+    val buckets = sigs.select(col("id"),
       explode(hashing.bandKeys(col("sig"), bands, rows)).as("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Skew guard: a hot bucket (boilerplate text) would go quadratic; cap
+    // its size. Capped buckets lose recall, never precision.
+    val counts = buckets.groupBy("bucket")
+      .agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") <= maxBucketSize)
+    val bounded = buckets.join(counts.select("bucket"), Seq("bucket"))
 
-    val l = buckets.select(col("bucket"), col("id").as("id1"),
-      col("shingles").as("sh1"))
-    val r = buckets.select(col("bucket"), col("id").as("id2"),
-      col("shingles").as("sh2"))
-
-    l.join(r, Seq("bucket"))
+    val pairs = bounded.select(col("bucket"), col("id").as("id1"))
+      .join(bounded.select(col("bucket"), col("id").as("id2")), Seq("bucket"))
       .where(col("id1") < col("id2"))
-      .select("id1", "id2", "sh1", "sh2").distinct()
+      .select("id1", "id2").distinct()
+
+    // Re-attach the shingle sets only for the surviving candidate pairs.
+    pairs
+      .join(docs.select(col("id").as("id1"), col("shingles").as("sh1")),
+        Seq("id1"))
+      .join(docs.select(col("id").as("id2"), col("shingles").as("sh2")),
+        Seq("id2"))
       .withColumn("jaccard", round(
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))), 5))
@@ -70,6 +92,7 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"),
       hashing.simhash(text.bpeTokens(col(textCol)), bits).as("sh"))
       .where(length(col("sh")) === bits)
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused by both join sides
     val l = docs.select(col("id").as("id1"), col("sh").as("sh1"),
       col("sh").substr(1, prefixBits).as("pfx"))
     val r = docs.select(col("id").as("id2"), col("sh").as("sh2"),
@@ -81,24 +104,56 @@ object Dedup {
       .select("id1", "id2", "hamming")
   }
 
-  /** Character n-gram Jaccard similarity join with hash-prefix blocking.
-    * Blocking key = first hex char of the fingerprint bucket `blockMod`,
-    * keeping candidate pairs ~n^2/blockMod while remaining deterministic.
+  /** Character n-gram Jaccard similarity join with PREFIX FILTERING
+    * (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07):
+    * an EXACT similarity join — every pair with Jaccard >= threshold is
+    * returned, unlike hash blocking which drops pairs.
+    *
+    * Grams are mapped to md5 hex (Jaccard-preserving, gives a global total
+    * order portable to the SQL oracle) and sorted; a document's prefix is
+    * its first |g| - ceil(t*|g|) + 1 hashes. Two sets with J >= t MUST
+    * share a prefix element, so exploding the prefix as the join key
+    * generates a candidate superset with no recall loss, at ~(1-t)|g| keys
+    * per doc instead of an all-pairs product. Candidates are id-only pairs;
+    * gram sets are re-joined afterwards for exact verification.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 4, blockMod: Int = 16,
-                   threshold: Double = 0.2): DataFrame = {
-    val docs = df.select(
+                   n: Int = 4, threshold: Double = 0.2,
+                   wordGrams: Boolean = false): DataFrame = {
+    val gramsOf =
+      if (wordGrams) array_distinct(text.wordShingles(col(textCol), n))
+      else text.charNgrams(col(textCol), n)
+    val raw = df.select(
       col(idCol).as("id"),
-      (col(idCol) % blockMod).as("block"),
-      text.charNgrams(col(textCol), n).as("grams"))
+      transform(gramsOf, g => md5(g)).as("grams"))
       .where(size(col("grams")) > 0)
-    val l = docs.select(col("block"), col("id").as("id1"),
-      col("grams").as("g1"))
-    val r = docs.select(col("block"), col("id").as("id2"),
-      col("grams").as("g2"))
-    l.join(r, Seq("block"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds df-count + doc sort
+    // Global document-frequency order (rarest gram first): candidates per
+    // prefix key stay small because prefixes hold only rare grams — the
+    // AllPairs/PPJoin ordering. Any global total order preserves the recall
+    // guarantee; df-order is the one that scales. Ties break on the hash.
+    val dfreq = raw.select(explode(col("grams")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    val docs = raw.select(col("id"), explode(col("grams")).as("g"))
+      .join(dfreq, Seq("g"))
+      .groupBy("id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("df"), col("g")))),
+        s => s.getField("g")).as("grams"))
+      // referenced three times below (prefix keys + both pair sides)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prefixLen =
+      (size(col("grams")) - ceil(size(col("grams")) * threshold) + 1)
+        .cast("int")
+    val keyed = docs.select(col("id"),
+      explode(slice(col("grams"), lit(1), prefixLen)).as("pfx"))
+    val pairs = keyed.select(col("pfx"), col("id").as("id1"))
+      .join(keyed.select(col("pfx"), col("id").as("id2")), Seq("pfx"))
       .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    pairs
+      .join(docs.select(col("id").as("id1"), col("grams").as("g1")), Seq("id1"))
+      .join(docs.select(col("id").as("id2"), col("grams").as("g2")), Seq("id2"))
       .withColumn("jaccard", round(
         size(array_intersect(col("g1"), col("g2"))).cast("double") /
           size(array_union(col("g1"), col("g2"))), 5))

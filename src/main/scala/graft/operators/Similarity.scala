@@ -22,12 +22,30 @@ object Similarity {
   def knnCosine(queries: DataFrame, corpus: DataFrame, k: Int,
                 qId: String = "qid", qVec: String = "qvec",
                 cId: String = "cid", cVec: String = "cvec"): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
-      .withColumn("cosine",
-        round(vectors.cosine(col(qVec), col(cVec)), 5))
+    // Score map-side (broadcast queries, one corpus scan), then drop the
+    // vectors so only narrow (qid, cid, cosine) rows ever shuffle.
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col(qId), col(cId),
+        round(vectors.cosine(col(qVec), col(cVec)), 5).as("cosine"))
+    topKPerQuery(scored, k, qId, cId)
+  }
+
+  /** Two-phase per-query top-k: a first window over (query, input
+    * partition) spreads the rank-k cut across reducers, so the final
+    * per-query window only sees <= k * numPartitions pre-filtered rows
+    * instead of the whole scored corpus — no single-reducer bottleneck.
+    */
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int,
+                                      qId: String, cId: String): DataFrame = {
+    val w1 = Window.partitionBy(col(qId), col("_pid"))
+      .orderBy(col("cosine").desc, col(cId))
+    val partial = scored.withColumn("_pid", spark_partition_id())
+      .withColumn("_r", row_number().over(w1))
+      .where(col("_r") <= k)
+      .drop("_pid", "_r")
     val w = Window.partitionBy(col(qId))
       .orderBy(col("cosine").desc, col(cId))
-    joined
+    partial
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(qId), col(cId), col("cosine"), col("rank"))
@@ -42,13 +60,9 @@ object Similarity {
                    cId: String = "cid", cVec: String = "cvec"): DataFrame = {
     val qb = queries.withColumn("_bucket", vectors.signBucket(col(qVec), bits))
     val cb = corpus.withColumn("_bucket", vectors.signBucket(col(cVec), bits))
-    val joined = cb.join(broadcast(qb), Seq("_bucket"))
-      .withColumn("cosine", round(vectors.cosine(col(qVec), col(cVec)), 5))
-    val w = Window.partitionBy(col(qId))
-      .orderBy(col("cosine").desc, col(cId))
-    joined
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(qId), col(cId), col("cosine"), col("rank"))
+    val scored = cb.join(broadcast(qb), Seq("_bucket"))
+      .select(col(qId), col(cId),
+        round(vectors.cosine(col(qVec), col(cVec)), 5).as("cosine"))
+    topKPerQuery(scored, k, qId, cId)
   }
 }

@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.text
+import graft.operators.{Dedup, Similarity}
+
+/** LLM-training-data pipeline queries over the `documents` and `embeddings`
+  * test tables, each with an independent DuckDB oracle re-implementing the
+  * same spec in SQL (list comprehensions + lambdas).
+  *
+  * Portability rules: md5 as the only hash; doubles divided/summed in the
+  * same left-to-right order on both sides; round(...,5) before thresholds;
+  * window ties broken by id columns.
+  */
+object Documents {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The test documents/embeddings parquet are a few MB => Spark reads them
+    * as one partition, serializing the hash-heavy per-row work. Spread the
+    * rows so local[n] actually uses n cores. (At real scale inputs arrive
+    * in many splits and this is a no-op cost-wise: one narrow shuffle of
+    * the input, negligible next to the per-row hashing.)
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  // stopword list literal shared with the SQL oracles
+  private val swEn = text.stopwordsEn.map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        text.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        text.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+    }),
+
+    "t2_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        text.qualityScore(col("text")).as("quality"))
+    }),
+
+    "t3_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        text.langId(col("text")).as("lang_pred"))
+    }),
+
+    "t4_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        text.fingerprint(col("text")).as("fp"))
+    }),
+
+    "d1_exact_dedup" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    "d2_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(spread(t(s, dir, "documents")), "doc_id", "text",
+        shingleWords = 3, bands = 8, rows = 2, jaccardThreshold = 0.5)
+    }),
+
+    "d3_simhash" -> ((s, dir) => {
+      Dedup.simhash(spread(t(s, dir, "documents")), "doc_id", "text",
+        bits = 32, prefixBits = 12, maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+    }),
+
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      // word trigrams: char n-grams (985 distinct 4-grams at sf0.1) and
+      // even word bigrams (~1.6k vocab) are non-discriminative on this
+      // small-vocab corpus -- nearly all pairs become true candidates.
+      Dedup.ngramJaccard(spread(t(s, dir, "documents")), "doc_id", "text",
+        n = 3, threshold = 0.5, wordGrams = true)
+    }),
+
+    "d5_emb_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", 0.3)
+    }),
+
+    "s1_knn_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.knnCosine(q, c, k = 5)
+    }),
+
+    "s2_lsh_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.knnCosineLsh(q, c, k = 5, bits = 4)
+    })
+  )
+
+  // ---- DuckDB oracle SQL ------------------------------------------------
+
+  private val cosineSql = // cosine(qv, cv) with double math, left-fold sums
+    """list_reduce(list_transform(list_zip(qv, cv),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a,b) -> a+b)
+      |  / (sqrt(list_reduce(list_transform(qv,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))
+      |   * sqrt(list_reduce(list_transform(cv,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)))"""
+      .stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "t1_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |    AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "t2_quality" ->
+      s"""SELECT doc_id, round(least(1.0,
+         |    (alpha / n) * 0.5
+         |  + least((stop / tok) * 2.0, 1.0) * 0.3
+         |  + (1.0 - least((punct / n) * 5.0, 1.0)) * 0.2), 5) AS quality
+         |FROM (SELECT doc_id,
+         |  greatest(length(text), 1) AS n,
+         |  greatest(len(regexp_extract_all(text, '\\S+')), 1) AS tok,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |    AS alpha,
+         |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+         |    AS punct,
+         |  CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+         |    w -> w IN ($swEn))) AS DOUBLE) AS stop
+         |FROM documents)""".stripMargin,
+
+    "t3_langid" ->
+      """SELECT doc_id, CASE
+        |  WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+        |  WHEN s_en = m THEN 'en' WHEN s_de = m THEN 'de'
+        |  WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr'
+        |  ELSE 'und' END AS lang_pred
+        |FROM (SELECT doc_id, s_en, s_de, s_es, s_fr,
+        |  greatest(s_en, s_de, s_es, s_fr) AS m
+        |FROM (SELECT doc_id,
+        |  len(list_filter(w, x -> x IN ('the','and','of','to','in','is',
+        |    'that','it','was','for'))) AS s_en,
+        |  len(list_filter(w, x -> x IN ('der','die','das','und','ist',
+        |    'nicht','ein','mit','sich','auf'))) AS s_de,
+        |  len(list_filter(w, x -> x IN ('el','la','los','las','que','es',
+        |    'una','por','para','como'))) AS s_es,
+        |  len(list_filter(w, x -> x IN ('le','la','les','et','est','une',
+        |    'dans','pour','que','pas'))) AS s_fr
+        |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |      FROM documents)))""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS content_hash,
+        |  count(*) AS n_docs,
+        |  min(doc_id) AS canonical_id,
+        |  string_agg(CAST(doc_id AS VARCHAR), ';'
+        |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "d2_minhash_lsh" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, list_distinct(
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])
+        |    AS shingles
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |hp AS (
+        |  SELECT id, list_transform(shingles, s -> [
+        |    list_reduce([strpos('0123456789abcdef', md5(s)[j]) - 1
+        |      for j in range(1, 13)], (a, c) -> a*16 + c),
+        |    list_reduce([strpos('0123456789abcdef', md5(s)[j]) - 1
+        |      for j in range(13, 25)], (a, c) -> a*16 + c)]) AS ab
+        |  FROM d),
+        |sigs AS (
+        |  SELECT id,
+        |    [list_min(list_transform(ab, p -> p[1] + i * p[2]))
+        |     for i in range(0, 16)] AS sig
+        |  FROM hp),
+        |buckets AS (
+        |  SELECT id, b || ':' ||
+        |    md5(array_to_string(sig[(b*2+1):(b*2+2)], ',')) AS bucket
+        |  FROM sigs, (SELECT unnest(range(0, 8)) AS b)),
+        |pairs AS (
+        |  SELECT DISTINCT l.id AS id1, r.id AS id2
+        |  FROM buckets l JOIN buckets r
+        |    ON l.bucket = r.bucket AND l.id < r.id)
+        |SELECT id1, id2, round(
+        |    len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |    (len(a.shingles) + len(b.shingles)
+        |      - len(list_intersect(a.shingles, b.shingles))), 5) AS jaccard
+        |FROM pairs JOIN d a ON pairs.id1 = a.id JOIN d b ON pairs.id2 = b.id
+        |WHERE round(
+        |    len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |    (len(a.shingles) + len(b.shingles)
+        |      - len(list_intersect(a.shingles, b.shingles))), 5) >= 0.5"""
+        .stripMargin,
+
+    "d3_simhash" ->
+      """WITH sh AS (
+        |  SELECT id, array_to_string([
+        |    CASE WHEN 2 * list_sum(list_transform(hs, h ->
+        |      ((strpos('0123456789abcdef', h[(j//4)+1]) - 1)
+        |        // CAST(pow(2, 3-(j%4)) AS INT)) % 2)) > len(hs)
+        |    THEN '1' ELSE '0' END for j in range(0, 32)], '') AS s
+        |  FROM (SELECT doc_id AS id, list_transform(
+        |      regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'),
+        |      t -> md5(t)) AS hs
+        |    FROM documents))
+        |SELECT l.id AS id1, r.id AS id2,
+        |  len([i for i in range(1, 33) if l.s[i] != r.s[i]]) AS hamming
+        |FROM sh l JOIN sh r
+        |  ON substr(l.s, 1, 12) = substr(r.s, 1, 12) AND l.id < r.id
+        |WHERE len([i for i in range(1, 33) if l.s[i] != r.s[i]]) <= 3"""
+        .stripMargin,
+
+    "d4_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, list_distinct(
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |    FROM documents)
+        |  WHERE len(w) >= 3)
+        |SELECT l.id AS id1, r.id AS id2, round(
+        |    len(list_intersect(l.g, r.g))::DOUBLE /
+        |    (len(l.g) + len(r.g) - len(list_intersect(l.g, r.g))), 5)
+        |  AS jaccard
+        |FROM d l JOIN d r ON l.id < r.id
+        |WHERE round(
+        |    len(list_intersect(l.g, r.g))::DOUBLE /
+        |    (len(l.g) + len(r.g) - len(list_intersect(l.g, r.g))), 5) >= 0.5"""
+        .stripMargin,
+
+    "d5_emb_neardup" ->
+      s"""WITH s AS (
+         |  SELECT l.vec_id AS id1, r.vec_id AS id2, round($cosineSql, 5)
+         |    AS cosine
+         |  FROM (SELECT vec_id, label, embedding AS qv FROM embeddings) l
+         |  JOIN (SELECT vec_id, label, embedding AS cv FROM embeddings) r
+         |    ON l.label = r.label AND l.vec_id < r.vec_id)
+         |SELECT id1, id2, cosine FROM s WHERE cosine >= 0.3""".stripMargin,
+
+    "s1_knn_cosine" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+         |s AS (SELECT qid, cid, round($cosineSql, 5) AS cosine FROM q, c)
+         |SELECT qid, cid, cosine, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, cid) AS rank FROM s)
+         |WHERE rank <= 5""".stripMargin,
+
+    "s2_lsh_ann" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+         |    array_to_string([CASE WHEN qb >= 0 THEN '1' ELSE '0' END
+         |      for qb in embedding[1:4]], '') AS bucket
+         |  FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cid, embedding AS cv,
+         |    array_to_string([CASE WHEN cb >= 0 THEN '1' ELSE '0' END
+         |      for cb in embedding[1:4]], '') AS bucket
+         |  FROM embeddings),
+         |s AS (SELECT qid, cid, round($cosineSql, 5) AS cosine
+         |  FROM q JOIN c ON q.bucket = c.bucket)
+         |SELECT qid, cid, cosine, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, cid) AS rank FROM s)
+         |WHERE rank <= 5""".stripMargin
+  )
+}

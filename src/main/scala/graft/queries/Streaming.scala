@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.Events
+
+/** Batch-equivalent forms of the streaming operators over the `events`
+  * table, oracle-checked in DuckDB. The streaming variants (watermarks,
+  * dropDuplicatesWithinWatermark, flatMapGroupsWithState) share the same
+  * semantics and are exercised in the ScalaTest suite with a memory sink.
+  */
+object Streaming {
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS); with
+    * spark.sql.legacy.parquet.nanosAsLong=true it arrives as a long we
+    * convert to a microsecond timestamp (test data is µs-precision, so the
+    * nanos->micros integer division is exact).
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_window_agg" -> ((s, dir) => {
+      Events.tumblingAgg(events(s, dir), "hour")
+    }),
+
+    "e2_sessionize" -> ((s, dir) => {
+      Events.sessionize(events(s, dir), gapMinutes = 30)
+        .withColumn("session_idx", col("session_idx").cast("long"))
+    }),
+
+    "e3_stream_dedup" -> ((s, dir) => {
+      // batch form of first-event-wins dedup by (user_id, event_type)
+      events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("event_id")).as("first_event"),
+          min(col("ts")).as("first_ts"),
+          count(lit(1)).as("n_events"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e1_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "e2_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |           OR lag(ts) OVER w IS NULL
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM sessions GROUP BY 1, 2""".stripMargin,
+
+    "e3_stream_dedup" ->
+      """SELECT user_id, event_type,
+        |  min(event_id) AS first_event, min(ts) AS first_ts,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

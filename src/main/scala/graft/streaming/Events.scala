@@ -36,9 +36,12 @@ object Events {
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val gap = unix_timestamp(col("ts")) -
-      unix_timestamp(lag(col("ts"), 1).over(byUser))
-    val newSession = when(gap.isNull || gap > gapMinutes * 60L, 1).otherwise(0)
+    // integer microseconds: exact, and reproducible in the SQL oracle
+    // (epoch_us), unlike whole-second unix_timestamp truncation
+    val gap = unix_micros(col("ts")) -
+      unix_micros(lag(col("ts"), 1).over(byUser))
+    val newSession =
+      when(gap.isNull || gap > gapMinutes * 60000000L, 1).otherwise(0)
     val sessionIdx = sum(newSession).over(
       Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{hashing, text}
+
+/** Ad-hoc stage profiler for the heavy operators (not part of the driver
+  * contract). Usage: runMain graft.tools.Profile <sfDir>
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROFILE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+    docs0.cache().count()
+
+    val docs = docs0.select(col("doc_id").as("id"),
+      array_distinct(text.wordShingles(col("text"), 3)).as("shingles"))
+      .where(size(col("shingles")) > 0)
+
+    time("shingles") { docs.count() }
+    val ab = docs.withColumn("_ab", hashing.minhashPairs(col("shingles")))
+    time("minhashPairs") { ab.select(sum(size(col("_ab")))).count() }
+    val sigs = ab.withColumn("sig", hashing.minhashFromPairs(col("_ab"), 16))
+    time("sig") { sigs.select(sum(size(col("sig")))).count() }
+    val buckets = sigs.select(col("id"),
+      explode(hashing.bandKeys(col("sig"), 8, 2)).as("bucket"))
+    time("buckets") { buckets.count() }
+    time("d2_full") {
+      graft.operators.Dedup.minhashLsh(docs0, "doc_id", "text").count()
+    }
+    time("d4_full") {
+      graft.operators.Dedup.ngramJaccard(docs0, "doc_id", "text",
+        n = 3, threshold = 0.5, wordGrams = true).count()
+    }
+    spark.stop()
+  }
+}
