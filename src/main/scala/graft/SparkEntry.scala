@@ -10,11 +10,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Documents.queries ++
-      graft.queries.Streaming.queries
+      graft.queries.Streaming.queries ++
+      graft.queries.Genomic.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Documents.oracles ++
-      graft.queries.Streaming.oracles
+      graft.queries.Streaming.oracles ++
+      graft.queries.Genomic.oracles
 }

@@ -25,8 +25,16 @@ object IntervalJoin {
     * `end`. All other columns pass through.
     */
   def pointsInIntervals(points: DataFrame, intervals: DataFrame,
-                        partitionKeys: Seq[String] = Seq.empty,
+                        partitionKeys: Seq[String],
                         binSize: Long = 10000L): DataFrame = {
+    require(partitionKeys.nonEmpty,
+      "pointsInIntervals needs a partition key (e.g. the chromosome): " +
+        "bin ids collide across chromosomes and the residual filter only " +
+        "checks pos within [start,end]")
+    partitionKeys.foreach { k =>
+      require(points.columns.contains(k) && intervals.columns.contains(k),
+        s"partition key '$k' must exist on both sides")
+    }
     val binnedIntervals = intervals.withColumn("_bin",
       explode(sequence(floor(col("start") / binSize),
         floor(col("end") / binSize))))

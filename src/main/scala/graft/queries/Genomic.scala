@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fixtures.GenomicFixtures
+import graft.functions.dna
+import graft.operators.{CoordMap, IntervalJoin}
+import graft.sources.{Fasta, Gtf, Vcf}
+
+/** Genomic source/function queries over the deterministic fixtures
+  * (fixtures/ raw text; target/fixtures parsed parquet — see
+  * GenomicFixtures). Oracles re-parse the RAW text with DuckDB's own
+  * read_csv/read_text (sources) or recompute the operator in SQL from the
+  * parsed input parquet (functions), so nothing is compared against itself.
+  */
+object Genomic {
+
+  private val raw = GenomicFixtures.rawDir
+  private val fx = GenomicFixtures.dir
+  private def pq(name: String) = s"read_parquet('$fx/$name.parquet/*.parquet')"
+
+  private def prep(s: SparkSession): Unit = GenomicFixtures.ensure(s)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1_vcf_read" -> ((s, _) => {
+      prep(s)
+      Vcf.read(s, GenomicFixtures.vcfPath)
+    }),
+
+    "v2_vcf_norm" -> ((s, _) => {
+      prep(s)
+      Vcf.normalize(Vcf.read(s, GenomicFixtures.vcfPath), minAf = 0.05)
+        .select("chrom", "pos", "id", "ref", "alt", "allele_af", "genotypes")
+    }),
+
+    "g1_gtf_read" -> ((s, _) => {
+      prep(s)
+      val g = Gtf.read(s, GenomicFixtures.gtfPath)
+      g.select(col("seqname"), col("feature"), col("start"), col("end"),
+        col("strand"),
+        Gtf.attr(col("attributes"), "transcript_id").as("transcript_id"),
+        Gtf.attr(col("attributes"), "transcript_biotype").as("biotype"))
+    }),
+
+    "g2_interval_join" -> ((s, _) => {
+      prep(s)
+      val points = s.read.parquet(s"$fx/vcf_norm.parquet")
+        .select("chrom", "pos", "id", "alt")
+      val exons = s.read.parquet(s"$fx/exons.parquet")
+      IntervalJoin.pointsInIntervals(points, exons, Seq("chrom"),
+        binSize = 20)
+        .select("chrom", "pos", "id", "alt", "transcript_id", "start", "end")
+    }),
+
+    "g3_coord_map" -> ((s, _) => {
+      prep(s)
+      val gts = s.read.parquet(s"$fx/gts_long.parquet")
+        .select("transcript", "varId", "pos").distinct()
+      val arrays = s.read.parquet(s"$fx/exon_arrays.parquet")
+        .withColumnRenamed("transcript_id", "transcript")
+      gts.join(arrays, Seq("transcript"))
+        .withColumn("rna_pos", CoordMap.rnaPos(col("exons"), col("pos")))
+        .select(col("transcript"), col("varId"), col("pos"), col("rna_pos"),
+          CoordMap.dnaPos(col("exons"), col("rna_pos")).as("dna_back"))
+    }),
+
+    "f1_fasta_read" -> ((s, _) => {
+      prep(s)
+      Fasta.read(s, GenomicFixtures.proteinsPath)
+    }),
+
+    "v3_revcomp" -> ((s, _) => {
+      prep(s)
+      s.read.parquet(s"$fx/cdna.parquet")
+        .select(col("transcript_id"),
+          dna.revComp(col("sequence")).as("revcomp"))
+    }),
+
+    "v4_translate" -> ((s, _) => {
+      prep(s)
+      s.read.parquet(s"$fx/cdna.parquet")
+        .select(col("transcript_id"), col("sequence"),
+          explode(sequence(lit(0), lit(2))).as("frame"))
+        .select(col("transcript_id"), col("frame").cast("long").as("frame"),
+          dna.translateDna(col("sequence"), col("frame")).as("protein"))
+    }),
+
+    "v5_apply_variants" -> ((s, _) => {
+      prep(s)
+      val cases = s.read.parquet(s"$fx/apply_cases.parquet")
+      val cdna = s.read.parquet(s"$fx/cdna.parquet")
+      cases.join(cdna, Seq("transcript_id"))
+        .select(col("transcript_id"),
+          dna.applyVariants(col("sequence"), col("variants")).as("mutated"))
+    }),
+
+    "v6_orf" -> ((s, _) => {
+      prep(s)
+      s.read.parquet(s"$fx/cdna.parquet")
+        .select(col("transcript_id"),
+          dna.startCodonPos(col("sequence")).cast("long").as("atg_pos"),
+          when(dna.startCodonPos(col("sequence")) > 0,
+            dna.firstStopCodon(col("sequence"),
+              dna.startCodonPos(col("sequence"))).cast("long"))
+            .as("stop_codon_idx"))
+    }),
+
+    "v7_consequence" -> ((s, _) => {
+      prep(s)
+      s.read.parquet(s"$fx/conseq_cases.parquet")
+        .select(col("caseId"),
+          dna.consequence(col("ref"), col("alt"), col("aaRef"),
+            col("aaAlt")).as("consequence"))
+    })
+  )
+
+  // ---- oracles ----------------------------------------------------------
+
+  private val vcfCols =
+    "['chrom','pos','id','ref','alt','qual','filter','info','format'," +
+      "'s1','s2','s3','s4']"
+
+  private val codonValues =
+    dna.codonTable.map { case (c, a) => s"('$c','$a')" }.mkString(", ")
+
+  // genotype rewrite for the i-th (1-based) ALT allele, vcf_filter_fix.py
+  private def gtRewriteSql(g: String, i: String): String =
+    s"""array_to_string(list_transform(
+       |  string_split_regex(CASE WHEN NOT contains($g, '|')
+       |      AND NOT contains($g, '/') THEN $g || '|0' ELSE $g END,
+       |    '[|/]'),
+       |  a -> CASE WHEN a = CAST($i AS VARCHAR) THEN '1'
+       |            WHEN a = '.' THEN '.' ELSE '0' END), '|')""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "v1_vcf_read" ->
+      s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, id, ref, alt, qual,
+         |  filter, info, [s1, s2, s3, s4] AS genotypes,
+         |  nullif(regexp_extract(info, '(?:^|;)AF=([^;]+)', 1), '') AS af
+         |FROM read_csv('$raw/sample.vcf', delim='\t', header=false,
+         |  skip=4, names=$vcfCols, all_varchar=true)""".stripMargin,
+
+    "v2_vcf_norm" ->
+      s"""WITH e AS (
+         |  SELECT chrom, pos, id, ref, af, genotypes,
+         |    gi.i AS i, string_split(alt, ',')[gi.i] AS alt
+         |  FROM ${pq("vcf_parsed")},
+         |    LATERAL (SELECT unnest(generate_series(1,
+         |      len(string_split(alt, ',')))) AS i) gi)
+         |SELECT chrom, pos, id, ref, alt,
+         |  TRY_CAST(string_split(af, ',')[i] AS DOUBLE) AS allele_af,
+         |  list_transform(genotypes, g ->
+         |    ${gtRewriteSql("string_split(g, ':')[1]", "i")}) AS genotypes
+         |FROM e
+         |WHERE regexp_full_match(ref, '([ACGT]+|-)')
+         |  AND regexp_full_match(alt, '([ACGT]+|-)')
+         |  AND TRY_CAST(string_split(af, ',')[i] AS DOUBLE) IS NOT NULL
+         |  AND TRY_CAST(string_split(af, ',')[i] AS DOUBLE) >= 0.05"""
+        .stripMargin,
+
+    "g1_gtf_read" ->
+      s"""SELECT c0 AS seqname, c2 AS feature, CAST(c3 AS BIGINT) AS start,
+         |  CAST(c4 AS BIGINT) AS "end", c6 AS strand,
+         |  regexp_extract(c8, 'transcript_id "([^"]*)"', 1)
+         |    AS transcript_id,
+         |  regexp_extract(c8, 'transcript_biotype "([^"]*)"', 1) AS biotype
+         |FROM read_csv('$raw/annotations.gtf', delim='\t', header=false,
+         |  skip=1, names=['c0','c1','c2','c3','c4','c5','c6','c7','c8'],
+         |  all_varchar=true)""".stripMargin,
+
+    "g2_interval_join" ->
+      s"""SELECT v.chrom, v.pos, v.id, v.alt, e.transcript_id, e.start,
+         |  e."end"
+         |FROM ${pq("vcf_norm")} v JOIN ${pq("exons")} e
+         |  ON v.chrom = e.chrom AND v.pos >= e.start AND v.pos <= e."end""""
+        .stripMargin,
+
+    "g3_coord_map" ->
+      s"""WITH gts AS (
+         |  SELECT DISTINCT transcript, varId, pos FROM ${pq("gts_long")}),
+         |ex AS (SELECT transcript_id, unnest(exons) AS e
+         |  FROM ${pq("exon_arrays")}),
+         |flat AS (SELECT transcript_id, e.start AS s, e."end" AS en FROM ex),
+         |rna AS (
+         |  SELECT g.transcript, g.varId, g.pos,
+         |    CASE WHEN bool_or(g.pos >= f.s AND g.pos <= f.en) THEN
+         |      sum(CASE WHEN f.en < g.pos THEN f.en - f.s + 1
+         |               WHEN f.s <= g.pos THEN g.pos - f.s
+         |               ELSE 0 END)
+         |    END AS rna_pos
+         |  FROM gts g JOIN flat f ON g.transcript = f.transcript_id
+         |  GROUP BY 1, 2, 3),
+         |cum AS (
+         |  SELECT transcript_id, s, en,
+         |    sum(en - s + 1) OVER (PARTITION BY transcript_id ORDER BY s
+         |      ROWS UNBOUNDED PRECEDING) - (en - s + 1) AS before
+         |  FROM flat)
+         |SELECT r.transcript, r.varId, r.pos, r.rna_pos,
+         |  coalesce(min(CASE WHEN r.rna_pos >= c.before
+         |      AND r.rna_pos < c.before + (c.en - c.s + 1)
+         |    THEN c.s + r.rna_pos - c.before END), -1) AS dna_back
+         |FROM rna r JOIN cum c ON r.transcript = c.transcript_id
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "f1_fasta_read" ->
+      s"""WITH recs AS (
+         |  SELECT regexp_replace(unnest(
+         |    string_split(content, chr(10) || '>')), '^>', '') AS rec
+         |  FROM read_text('$raw/proteins.fasta')),
+         |parsed AS (
+         |  SELECT string_split(rec, chr(10))[1] AS header,
+         |    array_to_string(list_slice(string_split(rec, chr(10)), 2,
+         |      1000000), '') AS sequence
+         |  FROM recs WHERE len(trim(rec)) > 0),
+         |hp AS (
+         |  SELECT header, sequence, string_split(header, '|') AS parts
+         |  FROM parsed)
+         |SELECT
+         |  CASE WHEN len(parts) >= 2 THEN
+         |    (CASE WHEN contains(parts[1], 'generic') THEN parts[1]
+         |          ELSE 'generic_' || parts[1] END)
+         |  ELSE '' END AS tag,
+         |  CASE WHEN len(parts) >= 3 THEN parts[2]
+         |       WHEN len(parts) = 2 THEN
+         |         (CASE WHEN contains(parts[2], ' ')
+         |               THEN string_split(parts[2], ' ')[1]
+         |               ELSE parts[2] END)
+         |       ELSE string_split(header, ' ')[1] END AS accession,
+         |  CASE WHEN len(parts) >= 3 THEN parts[3]
+         |       WHEN len(parts) = 2 THEN
+         |         (CASE WHEN contains(parts[2], ' ')
+         |               THEN substr(parts[2], strpos(parts[2], ' ') + 1)
+         |               ELSE '' END)
+         |       ELSE (CASE WHEN contains(header, ' ')
+         |             THEN substr(header, strpos(header, ' ') + 1)
+         |             ELSE '' END) END AS description,
+         |  sequence
+         |FROM hp""".stripMargin,
+
+    "v3_revcomp" ->
+      s"""SELECT transcript_id,
+         |  reverse(translate(sequence, 'ACGT', 'TGCA')) AS revcomp
+         |FROM ${pq("cdna")}""".stripMargin,
+
+    "v4_translate" ->
+      s"""WITH codon_table(codon, aa) AS (VALUES $codonValues),
+         |frames AS (
+         |  SELECT transcript_id, sequence, f.frame
+         |  FROM ${pq("cdna")},
+         |    LATERAL (SELECT unnest(generate_series(0, 2)) AS frame) f),
+         |cs AS (
+         |  SELECT transcript_id, frame, g.i,
+         |    substr(sequence, frame + 1 + 3 * g.i, 3) AS codon
+         |  FROM frames, LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(floor((length(sequence) - frame) / 3) AS INT) - 1))
+         |    AS i) g)
+         |SELECT transcript_id, frame,
+         |  coalesce(string_agg(coalesce(ct.aa, 'X'), '' ORDER BY cs.i), '')
+         |    AS protein
+         |FROM cs LEFT JOIN codon_table ct ON cs.codon = ct.codon
+         |GROUP BY 1, 2""".stripMargin,
+
+    "v5_apply_variants" ->
+      s"""SELECT a.transcript_id,
+         |  CASE WHEN len(a.variants) = 0 THEN d.sequence ELSE
+         |    array_to_string(list_transform(
+         |      generate_series(1, len(a.variants)), i ->
+         |        substr(d.sequence,
+         |          CASE WHEN i = 1 THEN 1
+         |               ELSE a.variants[i-1].pos +
+         |                 len(a.variants[i-1].ref) END,
+         |          a.variants[i].pos -
+         |            (CASE WHEN i = 1 THEN 1
+         |                  ELSE a.variants[i-1].pos +
+         |                    len(a.variants[i-1].ref) END))
+         |        || a.variants[i].alt), '')
+         |    || substr(d.sequence, a.variants[len(a.variants)].pos +
+         |         len(a.variants[len(a.variants)].ref))
+         |  END AS mutated
+         |FROM ${pq("apply_cases")} a
+         |JOIN ${pq("cdna")} d ON a.transcript_id = d.transcript_id"""
+        .stripMargin,
+
+    "v6_orf" ->
+      s"""SELECT transcript_id,
+         |  strpos(sequence, 'ATG') AS atg_pos,
+         |  CASE WHEN strpos(sequence, 'ATG') > 0 THEN
+         |    list_min([i for i in generate_series(0,
+         |        CAST(floor((length(sequence) - strpos(sequence, 'ATG') + 1)
+         |          / 3) AS INT) - 1)
+         |      if substr(sequence, strpos(sequence, 'ATG') + 3 * i, 3)
+         |        IN ('TAA', 'TAG', 'TGA')])
+         |  END AS stop_codon_idx
+         |FROM ${pq("cdna")}""".stripMargin,
+
+    "v7_consequence" ->
+      s"""SELECT caseId,
+         |  CASE WHEN aaRef = aaAlt THEN 'synonymous'
+         |       WHEN contains(aaRef, '*') AND NOT contains(aaAlt, '*')
+         |         THEN 'stop_lost'
+         |       WHEN NOT contains(aaRef, '*') AND contains(aaAlt, '*')
+         |         THEN 'stop_gained'
+         |       WHEN length(ref) = length(alt) THEN 'SAV'
+         |       WHEN abs(length(ref) - length(alt)) % 3 != 0
+         |         THEN 'frameshift'
+         |       ELSE 'inframe_indel' END AS consequence
+         |FROM ${pq("conseq_cases")}""".stripMargin
+  )
+}

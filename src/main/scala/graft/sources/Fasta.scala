@@ -18,7 +18,9 @@ object Fasta {
 
   def read(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("lineSep", "\n>").text(path)
-    val rec = regexp_replace(col("value"), "^>", "") // first record keeps '>'
+    // strip \r everywhere (CRLF input; the reference reads in text mode
+    // which normalizes newlines), and the '>' kept by the first record
+    val rec = regexp_replace(translate(col("value"), "\r", ""), "^>", "")
     val header = substring_index(rec, "\n", 1)
     val seq = translate(
       when(instr(rec, "\n") > 0, rec.substr(length(header) + 2, length(rec)))

@@ -17,9 +17,11 @@ object Gtf {
   def read(spark: SparkSession, path: String): DataFrame =
     parseLines(spark.read.text(path), "value")
 
-  /** Parse raw GTF lines into the 8 fixed columns + attribute string. */
+  /** Parse raw GTF lines into the 8 fixed columns + attribute string.
+    * A trailing \r (CRLF input) is stripped from the last field.
+    */
   def parseLines(lines: DataFrame, c: String): DataFrame = {
-    val f = split(col(c), "\t")
+    val f = split(regexp_replace(col(c), "\r$", ""), "\t")
     lines
       .where(!col(c).startsWith("#") && length(trim(col(c))) > 0)
       .select(

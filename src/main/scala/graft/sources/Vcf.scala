@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   *
   * Reference behavior: /root/reference/src/modules/vcf_reader.py (header
   * skip, AF extraction from INFO, allele-validity check) and
-  * /root/reference/src/vcf_filter_fix.py (multi-allelic split + AF filter).
+  * /root/reference/src/vcf_filter_fix.py (multi-allelic split, per-allele
+  * AF filter, genotype re-indexing, haploid "x" -> "x|0" padding).
   *
   * Spark-first design: a VCF is a splittable text file — `spark.read.text`
   * distributes the scan, header lines are dropped with a filter, and all
   * field parsing is native column expressions (split/regexp), so a 100 TB
-  * VCF shard set parses in parallel with whole-stage codegen.
+  * VCF shard set parses in parallel with whole-stage codegen. Only the
+  * single `#CHROM` header line (sample names) is read on the driver.
   */
 object Vcf {
 
@@ -20,12 +22,27 @@ object Vcf {
   def read(spark: SparkSession, path: String): DataFrame =
     parseLines(spark.read.text(path), "value")
 
+  /** Sample names from the `#CHROM` header line (fields 10+), in column
+    * order. VCF genotype columns are anonymous positions until tied to
+    * these names. One tiny driver-side read of the header line only.
+    */
+  def sampleNames(spark: SparkSession, path: String): Seq[String] = {
+    import spark.implicits._
+    spark.read.text(path)
+      .where(col("value").startsWith("#CHROM"))
+      .limit(1).as[String].collect()
+      .headOption
+      .map(_.stripSuffix("\r").split("\t").drop(9).toSeq)
+      .getOrElse(Seq.empty)
+  }
+
   /** Parse a DataFrame of raw VCF lines (column `c`) into
-    * (chrom, pos, id, ref, alt, qual, filter, info, af).
-    * Sample genotype columns (if any, fields 10+) are kept as an array.
+    * (chrom, pos, id, ref, alt, qual, filter, info, genotypes, af).
+    * `af` is the raw (possibly comma-separated, per-ALT-allele) AF string;
+    * a trailing \r (CRLF input) is stripped so the last field stays clean.
     */
   def parseLines(lines: DataFrame, c: String): DataFrame = {
-    val f = split(col(c), "\t")
+    val f = split(regexp_replace(col(c), "\r$", ""), "\t")
     lines
       .where(!col(c).startsWith("#") && length(trim(col(c))) > 0)
       .select(
@@ -39,27 +56,68 @@ object Vcf {
         f.getItem(7).as("info"),
         slice(f, lit(10), greatest(size(f) - 9, lit(0))).as("genotypes")
       )
-      .withColumn("af", infoField(col("info"), "AF").cast("double"))
+      .withColumn("af", infoField(col("info"), "AF"))
   }
 
-  /** Extract a key=value field from a VCF INFO string. */
-  def infoField(info: Column, key: String): Column =
-    regexp_extract(info, "(?:^|;)" + key + "=([^;]+)", 1)
+  /** Extract a key=value field from a VCF INFO string (raw string value). */
+  def infoField(info: Column, key: String): Column = {
+    val v = regexp_extract(info, "(?:^|;)" + key + "=([^;]+)", 1)
+    when(v === "", null).otherwise(v)
+  }
 
   /** Allele validity per vcf_reader.py:24-27 — REF/ALT must be ACGT runs or
     * the deletion marker "-".
     */
   def validAllele(a: Column): Column = a.rlike("^([ACGT]+|-)$")
 
-  /** Normalize: split multi-allelic rows into one row per ALT, drop invalid
-    * alleles, and filter by AF threshold (rows without AF pass only when
-    * minAf <= 0, matching check_vcf_line_validity).
+  /** Rewrite one genotype string for the `alleleIdx`-th (1-based) split
+    * allele, per vcf_filter_fix.py:93-109: haploid "x" pads to "x|0", the
+    * chosen allele index becomes 1, every other non-missing allele 0.
+    */
+  private def rewriteGt(gt: Column, alleleIdx: Column): Column = {
+    val padded = when(!gt.contains("|") && !gt.contains("/"),
+      concat(gt, lit("|0"))).otherwise(gt)
+    array_join(
+      transform(split(padded, "[|/]"), a =>
+        when(a === alleleIdx.cast("string"), "1")
+          .when(a === ".", ".")
+          .otherwise("0")),
+      "|")
+  }
+
+  /** Normalize: split multi-allelic rows into one row per ALT (pairing each
+    * allele with ITS OWN AF from the comma-separated AF string, per
+    * vcf_filter_fix.py:84-92), rewrite genotypes against the chosen allele,
+    * drop invalid alleles, and filter by AF threshold (rows without a
+    * parseable AF pass only when minAf <= 0).
+    * Adds: alt (single allele), allele_af (double), genotypes (rewritten).
     */
   def normalize(parsed: DataFrame, minAf: Double = 0.0): DataFrame = {
     val exploded = parsed
-      .withColumn("alt", explode(split(col("alt"), ",")))
+      .select(col("*"),
+        posexplode(split(col("alt"), ",")).as(Seq("_ai", "_alt")))
+      .withColumn("allele_af",
+        element_at(split(col("af"), ","), col("_ai") + 1).cast("double"))
+      .withColumn("genotypes",
+        transform(col("genotypes"), g =>
+          rewriteGt(substring_index(g, ":", 1), col("_ai") + 1)))
+      .drop("alt").withColumnRenamed("_alt", "alt")
+      .drop("_ai")
       .where(validAllele(col("ref")) && validAllele(col("alt")))
     if (minAf <= 0) exploded
-    else exploded.where(col("af").isNotNull && col("af") >= minAf)
+    else exploded.where(col("allele_af").isNotNull &&
+      col("allele_af") >= minAf)
+  }
+
+  /** Long genotype matrix: one row per (variant, sample) with the sample
+    * name resolved from the #CHROM header — requires `sampleNames`.
+    */
+  def genotypesLong(parsed: DataFrame, samples: Seq[String]): DataFrame = {
+    val names = array(samples.map(lit): _*)
+    parsed
+      .select(col("*"),
+        posexplode(col("genotypes")).as(Seq("_si", "gt")))
+      .withColumn("sample", element_at(names, col("_si") + 1))
+      .drop("_si", "genotypes")
   }
 }

@@ -1,0 +1,229 @@
+#!/usr/bin/env python3
+"""Generate the deterministic genomic fixture files under fixtures/.
+
+Hand-crafted mini-genome with three transcripts exercising the reference
+semantics: forward/reverse strand, multi-exon cDNA, start-codon reading
+frame, UTR variants, indels/frameshift, conflicts, multi-allelic rows,
+X-chromosome/PAR ploidy. The script checks internal consistency (cDNA ==
+spliced exons, start codon is ATG in the cDNA) before writing.
+
+Run once; outputs are committed. Seedless — everything is explicit.
+"""
+import os
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "fixtures")
+
+CODON = {}
+BASES = "TCAG"
+AAS = ("FFLLSSSSYY**CC*W" "LLLLPPPPHHQQRRRR"
+       "IIIMTTTTNNKKSSRR" "VVVVAAAADDEEGGGG")
+for i1, b1 in enumerate(BASES):
+    for i2, b2 in enumerate(BASES):
+        for i3, b3 in enumerate(BASES):
+            CODON[b1 + b2 + b3] = AAS[i1 * 16 + i2 * 4 + i3]
+
+RC = str.maketrans("ACGT", "TGCA")
+
+
+def revcomp(s):
+    return s.translate(RC)[::-1]
+
+
+def translate(s, frame=0):
+    s = s[frame:]
+    return "".join(CODON.get(s[i:i + 3], "X")
+                   for i in range(0, len(s) - len(s) % 3, 3))
+
+
+# ---- chromosome 1: transcripts T1 (forward) and T3 (forward, no start) ----
+# T1 cDNA layout (70 nt): 4 nt 5'UTR | ATG GCT TCA CGA TTA TGA | 3'UTR
+cdna_t1 = "GGCC" + "ATGGCTTCACGATTATGA" + "CCTTGGAACCTTGGAACCTTGGAACCTTGGAACCTTGGAACCTT"
+assert len(cdna_t1) == 66, len(cdna_t1)
+cdna_t1 += "GGAA"  # 70 nt
+assert len(cdna_t1) == 70
+assert cdna_t1[4:7] == "ATG"
+assert translate(cdna_t1, 4) .startswith("MASRL*")
+
+# T1 exons: chr1[11..40] (30 nt) + chr1[61..100] (40 nt), 1-based inclusive
+# T3: single exon chr1[105..134] (30 nt), no start codon, stop codon at
+#     genomic [117,119]
+cdna_t3 = "TTACCGGTAAAC" + "TGA" + "GGTTACTGATTGGCC"
+assert len(cdna_t3) == 30
+# stop codon feature at rna pos 12..14 -> genomic 105+12=117..119
+assert cdna_t3[12:15] == "TGA"
+
+chr1 = ["A"] * 140
+chr1[10:40] = list(cdna_t1[:30])     # genomic 11..40
+chr1[60:100] = list(cdna_t1[30:70])  # genomic 61..100
+chr1[104:134] = list(cdna_t3)        # genomic 105..134
+chr1 = "".join(chr1)
+
+# ---- chromosome X: transcript T2 (reverse strand) + PAR boundaries ------
+# T2 exons: chrX[21..50] + chrX[71..90]; strand '-'
+# cDNA = revcomp(chrX[21..50] + chrX[71..90]), length 50
+# choose cDNA, then derive the genomic exon sequence
+cdna_t2 = ("GA" + "ATGCCTAAAGGGTTTTGA" + "CCTTGGAACCTTGGAACCTTGGAACCTTGG")
+assert len(cdna_t2) == 50
+assert cdna_t2[2:5] == "ATG"
+assert translate(cdna_t2, 2).startswith("MPKGF*")
+genomic_t2 = revcomp(cdna_t2)  # chrX[21..50] ++ chrX[71..90]
+
+chrX = ["A"] * 120
+chrX[20:50] = list(genomic_t2[:30])
+chrX[70:90] = list(genomic_t2[30:50])
+chrX = "".join(chrX)
+
+# start codon of T2 in genomic coords: cDNA pos 2..4 maps to genomic
+# reverse: cdna index i <-> genomic coordinate of revcomp position.
+# cDNA = revcomp(G) where G = chrX[21..90 spliced]; cdna index i ->
+# spliced index (50-1-i); spliced index s -> genomic: s<30 -> 21+s,
+# else 71+(s-30). cDNA 2,3,4 -> spliced 47,46,45 -> genomic 71+17=88,87,86
+# => start_codon genomic span [86,88] strand '-'
+assert revcomp(chrX[85:88]) == "ATG"
+
+# PAR regions on X for fixtures: PAR1 = [1,15], PAR2 = [100,120]
+PAR1_TO = 15
+PAR2_FROM = 100
+
+os.makedirs(OUT, exist_ok=True)
+
+with open(os.path.join(OUT, "genome.txt"), "w") as f:
+    f.write("1\t" + chr1 + "\n")
+    f.write("X\t" + chrX + "\n")
+
+# ---- GTF ----------------------------------------------------------------
+gtf_rows = [
+    # T1 forward, protein_coding
+    ("1", "test", "transcript", 11, 100, ".", "+", ".",
+     'gene_id "G1"; transcript_id "T1"; transcript_biotype "protein_coding";'),
+    ("1", "test", "exon", 11, 40, ".", "+", ".",
+     'gene_id "G1"; transcript_id "T1"; exon_number "1";'),
+    ("1", "test", "exon", 61, 100, ".", "+", ".",
+     'gene_id "G1"; transcript_id "T1"; exon_number "2";'),
+    # start codon: cDNA pos 4..6 -> genomic 15..17
+    ("1", "test", "start_codon", 15, 17, ".", "+", ".",
+     'gene_id "G1"; transcript_id "T1";'),
+    # stop codon TGA: cDNA 19..21 -> genomic 30..32
+    ("1", "test", "stop_codon", 30, 32, ".", "+", ".",
+     'gene_id "G1"; transcript_id "T1";'),
+    # T3 forward, processed_transcript: no start codon, has stop codon
+    ("1", "test", "transcript", 105, 134, ".", "+", ".",
+     'gene_id "G3"; transcript_id "T3"; transcript_biotype "processed_transcript";'),
+    ("1", "test", "exon", 105, 134, ".", "+", ".",
+     'gene_id "G3"; transcript_id "T3"; exon_number "1";'),
+    ("1", "test", "stop_codon", 117, 119, ".", "+", ".",
+     'gene_id "G3"; transcript_id "T3";'),
+    # T2 reverse on X, protein_coding
+    ("X", "test", "transcript", 21, 90, ".", "-", ".",
+     'gene_id "G2"; transcript_id "T2"; transcript_biotype "protein_coding";'),
+    ("X", "test", "exon", 21, 50, ".", "-", ".",
+     'gene_id "G2"; transcript_id "T2"; exon_number "2";'),
+    ("X", "test", "exon", 71, 90, ".", "-", ".",
+     'gene_id "G2"; transcript_id "T2"; exon_number "1";'),
+    ("X", "test", "start_codon", 86, 88, ".", "-", ".",
+     'gene_id "G2"; transcript_id "T2";'),
+    # T4: X transcript fully inside PAR2 -> autosomal ploidy
+    ("X", "test", "transcript", 101, 118, ".", "+", ".",
+     'gene_id "G4"; transcript_id "T4"; transcript_biotype "protein_coding";'),
+    ("X", "test", "exon", 101, 118, ".", "+", ".",
+     'gene_id "G4"; transcript_id "T4"; exon_number "1";'),
+]
+with open(os.path.join(OUT, "annotations.gtf"), "w") as f:
+    f.write("#!genome-build fixture-1\n")
+    for r in gtf_rows:
+        f.write("\t".join(str(x) for x in r) + "\n")
+
+# ---- cDNA FASTA ---------------------------------------------------------
+with open(os.path.join(OUT, "cdna.fasta"), "w") as f:
+    # multi-line sequences on purpose (wrap at 30)
+    for tid, seq in [("T1", cdna_t1), ("T2", cdna_t2), ("T3", cdna_t3)]:
+        f.write(f">{tid} cdna chromosome:fixture\n")
+        for i in range(0, len(seq), 30):
+            f.write(seq[i:i + 30] + "\n")
+
+# ---- protein FASTA (header grammar variants) ----------------------------
+with open(os.path.join(OUT, "proteins.fasta"), "w") as f:
+    f.write(">sp|P001|Protein one OS=Fixture\nMASRLLKPEWTTIR\n")
+    f.write(">generic_cont|CONT1|keratin fragment\nMKRLLPGG\n")
+    f.write(">enshap|H001|matching_proteins:T1 start:0\nMASRLLKPEWTTIR\n")
+    f.write(">P999 unpiped description here\nMPKGFLLTQW\n")
+    f.write(">generic_var|V001|\nMASRLTT\n")
+
+# ---- VCF ----------------------------------------------------------------
+# samples: S1,S2 female; S3,S4 male (matters on chrX outside PAR)
+vcf_header = [
+    "##fileformat=VCFv4.2",
+    "##INFO=<ID=AF,Number=A,Type=Float,Description=\"Allele Frequency\">",
+    "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3\tS4",
+]
+# chr1 variants (T1: exons 11-40, 61-100; cDNA given above)
+# rs1: SNP exon1 coding GCT->GGT (genomic 19, cDNA 8, C>G), SAV A2G
+# rs2: SNP exon2 (genomic 66, cDNA 35) 3'UTR after stop
+# rs3: SNP 5'UTR (genomic 12, cDNA 1)
+# rs4: insertion frameshift (genomic 23, cDNA 12: G>GA)
+# rs5: multi-allelic at genomic 31 (cDNA 20) A>G,T with AF list
+# rs6: invalid symbolic allele (dropped by normalize)
+# rs7: SNP adjacent to rs1 (genomic 20) -> conflicts with rs1 when phased
+#      together (S2 copy 1 carries both)
+# rs8/rs9: chrX variants inside T2 exons (genomic 30: cDNA?; genomic 75)
+# rs10: chrX variant in PAR2 T4 (genomic 110)
+def c1(pos):
+    return chr1[pos - 1]
+def cX(pos):
+    return chrX[pos - 1]
+
+vcf_rows = [
+    ("1", 19, "rs1", c1(19), "G", ".", "PASS", "AF=0.25",
+     "GT", "1|0", "1|0", "0|1", "0|0"),
+    ("1", 66, "rs2", c1(66), "A", ".", "PASS", "AF=0.50",
+     "GT", "0|1", "0|0", "1|1", "0|0"),
+    ("1", 12, "rs3", c1(12), "T", ".", "PASS", "AF=0.10",
+     "GT", "0|0", "0|1", "0|0", "1|0"),
+    ("1", 23, "rs4", c1(23), c1(23) + "A", ".", "PASS", "AF=0.05",
+     "GT", "0|0", "0|0", "0|1", "0|0"),
+    ("1", 31, "rs5", c1(31), "A,T", ".", "PASS", "AF=0.15,0.01",
+     "GT", "0|2", "0|0", "0|0", "2|1"),
+    ("1", 50, "rs6", c1(50), "<DEL>", ".", "PASS", "AF=0.30",
+     "GT", "0|0", "0|1", "0|0", "0|0"),
+    ("1", 20, "rs7", c1(20), "A", ".", "PASS", "AF=0.02",
+     "GT", "0|0", "1|0", "0|0", "0|0"),
+    ("X", 30, "rs8", cX(30), "C" if cX(30) != "C" else "G", ".", "PASS",
+     "AF=0.20", "GT", "1|0", "0|0", "1|0", "0|0"),
+    ("X", 75, "rs9", cX(75), "T" if cX(75) != "T" else "A", ".", "PASS",
+     "AF=0.40", "GT", "0|1", "1|0", "0", "1"),
+    ("X", 110, "rs10", cX(110), "G" if cX(110) != "G" else "C", ".", "PASS",
+     "AF=0.33", "GT", "0|1", "0|0", "1|0", "0|1"),
+]
+with open(os.path.join(OUT, "sample.vcf"), "w") as f:
+    f.write("\n".join(vcf_header) + "\n")
+    for r in vcf_rows:
+        f.write("\t".join(str(x) for x in r) + "\n")
+
+# ---- sample metadata ----------------------------------------------------
+with open(os.path.join(OUT, "samples.tsv"), "w") as f:
+    f.write("sample\tsex\tpopulation\tsuperpopulation\n")
+    f.write("S1\tfemale\tGBR\tEUR\n")
+    f.write("S2\tfemale\tFIN\tEUR\n")
+    f.write("S3\tmale\tGBR\tEUR\n")
+    f.write("S4\tmale\tCHB\tEAS\n")
+
+# ---- peptides -----------------------------------------------------------
+with open(os.path.join(OUT, "peptides.tsv"), "w") as f:
+    f.write("pepId\tpeptide\n")
+    f.write("p1\tMASRL\n")       # prefix of P001/H001
+    f.write("p2\tLKPEW\n")       # internal
+    f.write("p3\tKRLLP\n")       # in CONT1
+    f.write("p4\tNOTFOUND\n")    # no match
+    f.write("p5\tTT\n")          # shorter than k -> dropped
+print("fixtures written to", os.path.abspath(OUT))
+print("PAR1_TO", PAR1_TO, "PAR2_FROM", PAR2_FROM)
+print("chr1", chr1)
+print("chrX", chrX)
+
+# ---- CSV for the csv_to_vcf projection ----------------------------------
+with open(os.path.join(OUT, "variants.csv"), "w") as f:
+    f.write("accession,chrom,pos,ref,alt,note\n")
+    f.write("varB,2,500,T,G,second\n")
+    f.write("varA,1,100,A,C,first\n")
+    f.write("varC,1,50,G,GA,third\n")
