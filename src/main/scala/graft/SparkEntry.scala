@@ -11,12 +11,14 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Documents.queries ++
       graft.queries.Streaming.queries ++
-      graft.queries.Genomic.queries
+      graft.queries.Genomic.queries ++
+      graft.queries.Genomic2.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Documents.oracles ++
       graft.queries.Streaming.oracles ++
-      graft.queries.Genomic.oracles
+      graft.queries.Genomic.oracles ++
+      graft.queries.Genomic2.oracles
 }

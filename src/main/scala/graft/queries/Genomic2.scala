@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fixtures.GenomicFixtures
+import graft.operators.{Haplotypes, Multimodal, PeptideAnnotate,
+  SequenceDedup, StopSplit, TableOps}
+
+/** Second genomic batch: FASTA post-processing, peptide matching, table
+  * utilities, haplotype extraction and multimodal plumbing — all over the
+  * GenomicFixtures inputs with independent DuckDB SQL oracles.
+  */
+object Genomic2 {
+
+  private val fx = GenomicFixtures.dir
+  private def pq(name: String) = s"read_parquet('$fx/$name.parquet/*.parquet')"
+  private def prep(s: SparkSession): Unit = GenomicFixtures.ensure(s)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f2_seq_dedup" -> ((s, _) => {
+      prep(s)
+      SequenceDedup.dedup(s.read.parquet(s"$fx/proteins.parquet"))
+    }),
+
+    "f3_stop_split" -> ((s, _) => {
+      prep(s)
+      StopSplit.split(s.read.parquet(s"$fx/proteins.parquet"))
+    }),
+
+    "p1_peptide_match" -> ((s, _) => {
+      prep(s)
+      PeptideAnnotate.matchPeptides(
+        s.read.parquet(s"$fx/peptides.parquet"),
+        s.read.parquet(s"$fx/proteins.parquet"), k = 4)
+        .withColumn("pos", col("pos").cast("long"))
+    }),
+
+    "u1_merge_tables" -> ((s, _) => {
+      prep(s)
+      TableOps.unionTables(Seq(
+        s.read.parquet(s"$fx/merge_a.parquet"),
+        s.read.parquet(s"$fx/merge_b.parquet")))
+    }),
+
+    "u2_csv_vcf" -> ((s, _) => {
+      prep(s)
+      TableOps.csvToVcf(
+        s.read.option("header", "true")
+          .csv(s"${GenomicFixtures.rawDir}/variants.csv"))
+    }),
+
+    "h1_haplotypes" -> ((s, _) => {
+      prep(s)
+      Haplotypes.haplotypes(s.read.parquet(s"$fx/gts_long.parquet"))
+    }),
+
+    "h2_haplo_freq" -> ((s, _) => {
+      prep(s)
+      val pops = s.read.parquet(s"$fx/samples_meta.parquet")
+        .select(col("sample"), col("population"))
+      Haplotypes.populationFrequencies(
+        s.read.parquet(s"$fx/gts_long.parquet"), pops)
+    }),
+
+    "h3_conflicts" -> ((s, _) => {
+      prep(s)
+      val ph = Haplotypes.phased(s.read.parquet(s"$fx/gts_long.parquet"))
+      ph.where(col("has_alt"))
+        .groupBy("transcript", "sample", "phase")
+        .agg(Haplotypes.hasConflict(collect_list(struct(col("pos"),
+          length(col("ref")).as("refLen")))).as("conflict"))
+        .where(col("conflict"))
+        .select("transcript", "sample", "phase")
+    }),
+
+    "m1_multimodal" -> ((s, _) => {
+      prep(s)
+      Multimodal.sampleFrames(
+        Multimodal.decodeStub(
+          Multimodal.describe(s.read.parquet(s"$fx/media.parquet"))),
+        every = 2)
+        .select("media_id", "kind", "byte_len", "content_hash", "width",
+          "height", "frame_idx", "frame_hash")
+    })
+  )
+
+  // ---- oracles ----------------------------------------------------------
+
+  private val tagRankSql =
+    """CASE tag WHEN 'generic_cont' THEN 0 WHEN 'generic_sp' THEN 1
+      |  WHEN 'generic_ensref' THEN 2 WHEN 'generic_ensvar' THEN 3
+      |  WHEN 'generic_var' THEN 4 WHEN 'generic_manual' THEN 5
+      |  WHEN 'generic_enshap' THEN 6 WHEN 'generic_decoyvar' THEN 7
+      |  ELSE 8 END""".stripMargin
+
+  // phased copies with ploidy (male X non-PAR = copy 1 only)
+  private val phasedSql =
+    s"""SELECT g.*, p.phase,
+       |  CASE WHEN p.phase = 1 THEN starts_with(g.gt, '1|')
+       |       ELSE ends_with(g.gt, '|1') END AS has_alt
+       |FROM ${pq("gts_long")} g,
+       |  LATERAL (SELECT unnest(CASE WHEN g.autosomal OR g.sex != 'male'
+       |    THEN [1, 2] ELSE [1] END) AS phase) p""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "f2_seq_dedup" ->
+      s"""WITH ranked AS (
+         |  SELECT sequence, accession, $tagRankSql AS rank
+         |  FROM ${pq("proteins")})
+         |SELECT sequence, count(*) AS n_entries,
+         |  string_agg(accession, ';' ORDER BY accession)
+         |    AS matching_proteins,
+         |  CASE min(rank) WHEN 0 THEN 'generic_cont'
+         |    WHEN 1 THEN 'generic_cont' WHEN 2 THEN 'generic_ensref'
+         |    WHEN 3 THEN 'generic_ensvar' WHEN 4 THEN 'generic_var'
+         |    WHEN 5 THEN 'generic_manual' WHEN 6 THEN 'generic_enshap'
+         |    WHEN 7 THEN 'generic_decoyvar' ELSE 'generic_other' END AS tag
+         |FROM ranked GROUP BY sequence""".stripMargin,
+
+    "f3_stop_split" ->
+      s"""WITH p AS (
+         |  SELECT tag, accession, sequence,
+         |    coalesce(TRY_CAST(regexp_extract(description,
+         |      'start:([0-9]+)', 1) AS BIGINT), 0) AS start_pos
+         |  FROM ${pq("proteins")}),
+         |segs AS (
+         |  SELECT tag, accession, start_pos, sg.b AS base, sg.s AS seg
+         |  FROM p, LATERAL (SELECT unnest(
+         |    CASE WHEN start_pos > 0 THEN
+         |      [{'b': 0, 's': sequence[1:CAST(start_pos AS INT)]},
+         |       {'b': start_pos, 's': sequence[CAST(start_pos AS INT)+1:]}]
+         |    ELSE [{'b': 0, 's': sequence}] END) AS sg) u),
+         |frs AS (
+         |  SELECT tag, accession, start_pos,
+         |    base + CASE WHEN fi.i = 1 THEN 0
+         |      ELSE list_sum(list_transform(
+         |        string_split(seg, '*')[1:fi.i-1], x -> len(x) + 1)) END
+         |      AS pos,
+         |    string_split(seg, '*')[fi.i] AS fragment
+         |  FROM segs, LATERAL (SELECT unnest(generate_series(1,
+         |    len(string_split(seg, '*')))) AS i) fi),
+         |kept AS (
+         |  SELECT tag, accession, start_pos, pos, fragment,
+         |    row_number() OVER (PARTITION BY tag, accession
+         |      ORDER BY pos) - 1 AS idx
+         |  FROM frs WHERE len(fragment) >= 1)
+         |SELECT tag,
+         |  accession || CASE WHEN pos < start_pos THEN '_5UTR_' || idx
+         |    WHEN pos > start_pos THEN '_3UTR_' || idx ELSE '' END
+         |    AS accession,
+         |  fragment, pos AS position_within_protein, start_pos
+         |FROM kept""".stripMargin,
+
+    "p1_peptide_match" ->
+      s"""SELECT p.pepId, p.peptide, pr.accession, o.mpos AS pos
+         |FROM ${pq("peptides")} p, ${pq("proteins")} pr,
+         |  LATERAL (SELECT unnest([ii for ii in generate_series(1,
+         |    length(pr.sequence) - length(p.peptide) + 1)
+         |    if substr(pr.sequence, ii, length(p.peptide)) = p.peptide])
+         |    AS mpos) o
+         |WHERE length(p.peptide) >= 4""".stripMargin,
+
+    "u1_merge_tables" ->
+      s"""SELECT * FROM ${pq("merge_a")}
+         |UNION ALL BY NAME SELECT * FROM ${pq("merge_b")}""".stripMargin,
+
+    "u2_csv_vcf" ->
+      s"""SELECT chrom AS CHROM, CAST(pos AS BIGINT) AS POS,
+         |  accession AS ID, ref AS REF, alt AS ALT,
+         |  '.' AS QUAL, '.' AS FILTER, '.' AS INFO
+         |FROM read_csv('${GenomicFixtures.rawDir}/variants.csv',
+         |  header=true, all_varchar=true)""".stripMargin,
+
+    "h1_haplotypes" ->
+      s"""WITH ph AS ($phasedSql),
+         |universe AS (SELECT DISTINCT transcript, sample, phase FROM ph),
+         |alts AS (
+         |  SELECT transcript, sample, phase, varId, pos,
+         |    length(ref) AS reflen
+         |  FROM ph WHERE has_alt),
+         |sigs AS (
+         |  SELECT transcript, sample, phase,
+         |    string_agg(varId, ';' ORDER BY pos, varId) AS signature
+         |  FROM alts GROUP BY 1, 2, 3),
+         |conf AS (
+         |  SELECT DISTINCT l.transcript, l.sample, l.phase
+         |  FROM alts l JOIN alts r
+         |    ON l.transcript = r.transcript AND l.sample = r.sample
+         |    AND l.phase = r.phase AND l.varId != r.varId
+         |    AND l.pos <= r.pos AND r.pos <= l.pos + l.reflen),
+         |percopy AS (
+         |  SELECT u.transcript, u.sample, u.phase,
+         |    coalesce(s.signature, 'REF') AS signature,
+         |    (c.transcript IS NOT NULL) AS conflict
+         |  FROM universe u
+         |  LEFT JOIN sigs s ON u.transcript = s.transcript
+         |    AND u.sample = s.sample AND u.phase = s.phase
+         |  LEFT JOIN conf c ON u.transcript = c.transcript
+         |    AND u.sample = c.sample AND u.phase = c.phase),
+         |denom AS (
+         |  SELECT transcript, count(*) AS total_copies
+         |  FROM universe GROUP BY 1)
+         |SELECT p.transcript, p.signature,
+         |  count(*) AS hap_count,
+         |  string_agg(p.sample || ':' || p.phase, ';'
+         |    ORDER BY p.sample, p.phase) AS samples,
+         |  round(count(*) / CAST(d.total_copies AS DOUBLE), 6) AS frequency
+         |FROM percopy p JOIN denom d ON p.transcript = d.transcript
+         |WHERE NOT p.conflict
+         |GROUP BY p.transcript, p.signature, d.total_copies""".stripMargin,
+
+    "h2_haplo_freq" ->
+      s"""WITH ph AS ($phasedSql),
+         |universe AS (SELECT DISTINCT transcript, sample, phase FROM ph),
+         |meta AS (SELECT sample, population FROM ${pq("samples_meta")}),
+         |popcopies AS (
+         |  SELECT u.transcript, m.population, count(*) AS pop_copies
+         |  FROM universe u JOIN meta m ON u.sample = m.sample
+         |  GROUP BY 1, 2),
+         |sigs AS (
+         |  SELECT transcript, sample, phase,
+         |    string_agg(varId, ';' ORDER BY pos, varId) AS signature
+         |  FROM ph WHERE has_alt GROUP BY 1, 2, 3),
+         |percopy AS (
+         |  SELECT u.transcript, u.sample, u.phase,
+         |    coalesce(s.signature, 'REF') AS signature
+         |  FROM universe u
+         |  LEFT JOIN sigs s ON u.transcript = s.transcript
+         |    AND u.sample = s.sample AND u.phase = s.phase)
+         |SELECT p.transcript, p.signature, m.population,
+         |  count(*) AS pop_count,
+         |  round(count(*) / CAST(pc.pop_copies AS DOUBLE), 6)
+         |    AS pop_frequency
+         |FROM percopy p
+         |JOIN meta m ON p.sample = m.sample
+         |JOIN popcopies pc ON p.transcript = pc.transcript
+         |  AND m.population = pc.population
+         |GROUP BY p.transcript, p.signature, m.population, pc.pop_copies"""
+        .stripMargin,
+
+    "h3_conflicts" ->
+      s"""WITH ph AS ($phasedSql),
+         |alts AS (
+         |  SELECT transcript, sample, phase, varId, pos,
+         |    length(ref) AS reflen
+         |  FROM ph WHERE has_alt)
+         |SELECT DISTINCT l.transcript, l.sample, l.phase
+         |FROM alts l JOIN alts r
+         |  ON l.transcript = r.transcript AND l.sample = r.sample
+         |  AND l.phase = r.phase AND l.varId != r.varId
+         |  AND l.pos <= r.pos AND r.pos <= l.pos + l.reflen""".stripMargin,
+
+    "m1_multimodal" ->
+      s"""WITH m AS (
+         |  SELECT media_id, kind, payload, meta, hex(payload) AS h,
+         |    octet_length(payload) AS byte_len
+         |  FROM ${pq("media")})
+         |SELECT media_id, kind, byte_len,
+         |  md5(h) AS content_hash,
+         |  1 + (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+         |    + (strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1) AS width,
+         |  1 + (strpos('0123456789ABCDEF', substr(h, 3, 1)) - 1) * 16
+         |    + (strpos('0123456789ABCDEF', substr(h, 4, 1)) - 1) AS height,
+         |  f.i AS frame_idx,
+         |  md5(substr(h, f.i * meta.chunk_bytes * 2 + 1,
+         |    meta.chunk_bytes * 2)) AS frame_hash
+         |FROM m, LATERAL (SELECT unnest(generate_series(0,
+         |  CAST(meta.n_chunks AS INT) - 1, 2)) AS i) f""".stripMargin
+  )
+}

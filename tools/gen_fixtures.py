@@ -148,6 +148,9 @@ with open(os.path.join(OUT, "proteins.fasta"), "w") as f:
     f.write(">enshap|H001|matching_proteins:T1 start:0\nMASRLLKPEWTTIR\n")
     f.write(">P999 unpiped description here\nMPKGFLLTQW\n")
     f.write(">generic_var|V001|\nMASRLTT\n")
+    # stop-split cases: 5'UTR stop + main + 3'UTR, and a trailing stop
+    f.write(">generic_enshap|H002|matching_proteins:T2 start:3 reading_frame:1\nML*MPKGF*TTW\n")
+    f.write(">generic_var|V002|start:0\nMKT*\n")
 
 # ---- VCF ----------------------------------------------------------------
 # samples: S1,S2 female; S3,S4 male (matters on chrX outside PAR)
