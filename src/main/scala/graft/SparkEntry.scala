@@ -12,7 +12,8 @@ object SparkEntry {
       graft.queries.Documents.queries ++
       graft.queries.Streaming.queries ++
       graft.queries.Genomic.queries ++
-      graft.queries.Genomic2.queries
+      graft.queries.Genomic2.queries ++
+      graft.queries.GenomicPipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -20,5 +21,6 @@ object SparkEntry {
       graft.queries.Documents.oracles ++
       graft.queries.Streaming.oracles ++
       graft.queries.Genomic.oracles ++
-      graft.queries.Genomic2.oracles
+      graft.queries.Genomic2.oracles ++
+      graft.queries.GenomicPipeline.oracles
 }

@@ -1,0 +1,439 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.dna
+
+/** The ProHap core: haplotype -> mutated cDNA -> protein database.
+  *
+  * Re-expresses /root/reference/src/modules/process_haplotypes.py:72-430 and
+  * coordinates_toolbox.py Spark-first. The reference's per-haplotype Python
+  * loops become a RELATIONAL dataflow: variants explode to rows (one small
+  * codegen'd expression per derivation), sequential state that is a pure
+  * prefix aggregate (cumulative indel offsets, frameshift chaining) becomes
+  * window functions over the variant order, and only the two genuinely
+  * data-dependent folds — start-codon shift tracking and mutated-cDNA
+  * construction — stay as per-row `aggregate` lambdas over the (small)
+  * variant array. This keeps every Catalyst expression tree bounded: an
+  * early all-nested-folds version produced a tree the optimizer chewed on
+  * for minutes.
+  *
+  * Semantics covered: reading-frame inference from the start codon (stop
+  * codon + forceRf fallback), reverse-strand allele reverse-complementing
+  * and position flipping (process_haplotypes.py:200-205), liftover
+  * alt==reference drop (:208), splice-junction truncation of alleles
+  * (coordinates_toolbox.get_rna_position; the rare reach-into-next-exon
+  * reassembly is truncated instead — documented divergence), start-codon
+  * shift/loss per variant (check_start_change, incl. Python-modulo
+  * semantics via pmod), ordered variant application with cumulative indel
+  * offsets, per-variant affected-codon extraction on reference and mutated
+  * cDNA (get_affected_codons), consequence classification incl. `_after_fs`
+  * and "(+fs)"/"(fs)" suffixes, UTR trimming + UTR-variant removal
+  * (check_protein_allele), haplotype merge by kept-VCF-id set, and
+  * count thresholds.
+  */
+object HaploProteins {
+
+  // ---- coordinates_toolbox.get_rna_position ------------------------------
+  /** Fold over exons computing the spliced position of `dnaLoc` and
+    * truncating alleles that cross exon borders.
+    * Returns struct(rna, ref, alt, intersect).
+    */
+  private def rnaAllele(exons: Column, dnaLoc0: Column, ref0: Column,
+                        alt0: Column): Column = {
+    val indexed = transform(exons, (e, i) =>
+      struct(e.getField("start").as("s"), e.getField("end").as("en"),
+        i.as("i")))
+    aggregate(
+      indexed,
+      struct(lit(0L).as("rna"), lit(false).as("found"), ref0.as("ref"),
+        alt0.as("alt"), dnaLoc0.as("loc"),
+        lit(null).cast("int").as("intersect")),
+      (acc, e) => {
+        val found = acc.getField("found")
+        val loc = acc.getField("loc")
+        val ref = acc.getField("ref")
+        val alt = acc.getField("alt")
+        val refLen = length(ref)
+        val s = e.getField("s")
+        val en = e.getField("en")
+        val i = e.getField("i")
+
+        val before = en < loc
+        // allele begins in the intron before this exon: truncate front
+        val fromIntron = s > loc
+        val intronicLen = (s - loc).cast("int")
+        val refT = when(fromIntron, ref.substr(intronicLen + 1, length(ref)))
+          .otherwise(ref)
+        val altT = when(fromIntron, alt.substr(intronicLen + 1, length(alt)))
+          .otherwise(alt)
+        val locT = when(fromIntron, s).otherwise(loc)
+        val intersectFront = when(fromIntron, i.cast("int"))
+
+        // allele runs past the exon end: truncate tail (divergence: the
+        // reference may reassemble from the next exon; we truncate)
+        val refLenT = length(refT)
+        val altLenT = length(altT)
+        val pastEnd = locT + refLenT - 1 > en
+        val remaining = (en - locT + 1).cast("int")
+        val refT2 = when(pastEnd, refT.substr(lit(1), remaining))
+          .otherwise(refT)
+        val altPast = locT + altLenT - 1 > en
+        val altT2 = when(pastEnd && altPast, altT.substr(lit(1), remaining))
+          .otherwise(altT)
+        val intersectBack = when(pastEnd, i.cast("int") + 1)
+          .when(en - locT + refLenT < 3, i.cast("int") + 1)
+          .when(locT - s < 3, i.cast("int"))
+
+        val hit = !before && (s < loc + greatest(refLen, lit(1)))
+        struct(
+          when(found, acc.getField("rna"))
+            .when(before, acc.getField("rna") + (en - s + 1))
+            .when(hit, acc.getField("rna") + (locT - s))
+            .otherwise(acc.getField("rna")).as("rna"),
+          (found || hit).as("found"),
+          when(!found && hit, refT2).otherwise(ref).as("ref"),
+          when(!found && hit, altT2).otherwise(alt).as("alt"),
+          when(!found && hit, locT).otherwise(loc).as("loc"),
+          when(found, acc.getField("intersect"))
+            .when(hit, coalesce(intersectFront, intersectBack))
+            .otherwise(acc.getField("intersect")).as("intersect"))
+      },
+      acc => struct(acc.getField("rna").as("rna"),
+        acc.getField("ref").as("ref"), acc.getField("alt").as("alt"),
+        acc.getField("intersect").as("intersect")))
+  }
+
+  // ---- coordinates_toolbox.get_affected_codons (known reading frame) ----
+  /** Residues covered by [loc, loc+len) in frame rf with prefix pstart:
+    * struct(ploc, aa) where aa = '-' when no full codon is covered.
+    */
+  private def affected(cdnaSeq: Column, loc: Column, alen: Column,
+                       rf: Column, pstart: Column): Column = {
+    val rfx = greatest(rf, lit(0))
+    val ploc = floor((loc - rf) / 3.0).cast("long") - pstart
+    val bpFrom0 = floor((loc - rfx) / 3.0).cast("long") * 3 + rfx
+    val bpFrom = greatest(greatest(bpFrom0, lit(0L)), rf.cast("long"))
+    val bpTo = ceil((loc + alen - rfx) / 3.0).cast("long") * 3 + rfx
+    val aa = when(bpTo - bpFrom > 2,
+      dna.translateDna(cdnaSeq.substr((bpFrom + 1).cast("int"),
+        (bpTo - bpFrom).cast("int"))))
+      .otherwise(lit("-"))
+    struct(ploc.as("ploc"), aa.as("aa"))
+  }
+
+  /** Build the protein database. Input row columns:
+    * transcript, chrom, biotype, strand, exons (sorted array of
+    * struct(start,end)), start_codon_start / stop_codon_start (nullable),
+    * cdna, signature, changes = array<struct<pos,varId,ref,alt,af>> sorted
+    * by genomic pos, hap_count, frequency, samples.
+    */
+  def proteinDatabase(haplo: DataFrame, forceRf: Boolean = true,
+                      ignoreUtr: Boolean = true,
+                      skipStartLoss: Boolean = true,
+                      minCount: Long = 0L,
+                      requireNonSyn: Boolean = true): DataFrame = {
+    val len = length(col("cdna"))
+    val rev = col("strand") === "-"
+
+    // ---- per-haplotype constants: reading frame from start/stop codon --
+    val slFwd = CoordMap.rnaPos(col("exons"), col("start_codon_start"))
+    val sl0 = when(col("start_codon_start").isNotNull,
+      when(rev, len - slFwd - 3).otherwise(slFwd))
+    val stopFwd = CoordMap.rnaPos(col("exons"), col("stop_codon_start"))
+    val stopLoc = when(col("stop_codon_start").isNotNull,
+      when(rev, len - stopFwd - 3).otherwise(stopFwd))
+    val rf0 = when(sl0.isNotNull, pmod(sl0, lit(3)).cast("int"))
+      .otherwise(if (forceRf)
+        when(stopLoc.isNotNull, pmod(stopLoc, lit(3)).cast("int"))
+          .otherwise(lit(-1))
+      else lit(-1))
+    val pstart0 = when(sl0.isNotNull,
+      ((sl0 - pmod(sl0, lit(3))) / 3).cast("long")).otherwise(lit(0L))
+
+    val base = haplo
+      .withColumn("_len", len)
+      .withColumn("_rev", rev)
+      .withColumn("_rf0", coalesce(rf0, lit(-1)))
+      .withColumn("_startLoc0", coalesce(sl0, lit(0L)))
+      .withColumn("_pstart0", pstart0)
+      .withColumn("_hasStart", col("start_codon_start").isNotNull)
+
+    // ---- 1) explode variants in cDNA order (reverse genomic on '-') ----
+    val ordered = when(col("_rev"), reverse(col("changes")))
+      .otherwise(col("changes"))
+    val exploded = base
+      .select(col("transcript"), col("signature"), col("_len"), col("_rev"),
+        col("exons"), col("cdna"),
+        posexplode(ordered).as(Seq("ord", "v")))
+
+    // ---- 2) per-variant rna position, truncation, strand flip ----------
+    val refN = when(col("v").getField("ref") === "-", "")
+      .otherwise(col("v").getField("ref"))
+    val altN = when(col("v").getField("alt") === "-", "")
+      .otherwise(col("v").getField("alt"))
+    val mapped = exploded
+      .withColumn("_ra", rnaAllele(col("exons"), col("v").getField("pos"),
+        refN, altN))
+      .withColumn("ref", when(col("_rev"),
+        dna.revComp(col("_ra").getField("ref")))
+        .otherwise(col("_ra").getField("ref")))
+      .withColumn("alt", when(col("_rev"),
+        dna.revComp(col("_ra").getField("alt")))
+        .otherwise(col("_ra").getField("alt")))
+      .withColumn("rna", when(col("_rev"),
+        col("_len") - col("_ra").getField("rna") -
+          length(col("_ra").getField("ref")))
+        .otherwise(col("_ra").getField("rna")).cast("long"))
+      .withColumn("intersect", col("_ra").getField("intersect"))
+      // liftover drop: ALT already present in the reference cDNA
+      .where(col("alt") =!=
+        col("cdna").substr((col("rna") + 1).cast("int"), length(col("alt"))))
+      .select(col("transcript"), col("signature"), col("ord"),
+        col("v").getField("pos").as("pos"),
+        col("v").getField("varId").as("varId"),
+        col("v").getField("af").as("af"),
+        col("v").getField("ref").as("refDna"),
+        col("v").getField("alt").as("altDna"),
+        col("ref"), col("alt"), col("rna"), col("intersect"))
+
+    // ---- 3) window-derived prefix state over the kept variant order ----
+    val w = Window.partitionBy("transcript", "signature").orderBy("ord")
+    val wBefore = w.rowsBetween(Window.unboundedPreceding, -1)
+    val staged = mapped
+      .withColumn("refLen", length(col("ref")).cast("long"))
+      .withColumn("altLen", length(col("alt")).cast("long"))
+      .withColumn("isFs", pmod(abs(col("altLen") - col("refLen")),
+        lit(3)) =!= 0)
+      .withColumn("offBefore",
+        coalesce(sum(col("altLen") - col("refLen")).over(wBefore), lit(0L)))
+
+    // ---- 4) collect per-haplotype variant array (small structs) --------
+    val perHaplo = staged
+      .groupBy("transcript", "signature")
+      .agg(array_sort(collect_list(struct(
+        col("ord"), col("pos"), col("varId"), col("af"), col("refDna"),
+        col("altDna"), col("ref"), col("alt"), col("rna"), col("refLen"),
+        col("altLen"), col("isFs"), col("offBefore"), col("intersect"))))
+        .as("vars"))
+      .join(base.drop("changes"), Seq("transcript", "signature"))
+      .where(size(col("vars")) > 0)
+
+    // ---- 5) start-codon shift/loss fold (check_start_change) -----------
+    val startState = aggregate(
+      col("vars"),
+      struct(col("_startLoc0").as("sl"), col("_rf0").as("rf"),
+        col("_pstart0").as("ps"), lit(false).as("lost"),
+        lit(false).as("invalid")),
+      (acc, v) => {
+        val applies = col("_hasStart") && acc.getField("rf") > -1 &&
+          !acc.getField("lost")
+        val vloc = v.getField("rna")
+        val delta = v.getField("altLen") - v.getField("refLen")
+        val beforeStart = vloc < acc.getField("sl") + 3
+        val hitsStart = vloc + v.getField("refLen") > acc.getField("sl")
+        val isFs = v.getField("isFs")
+        val lostNow = applies && beforeStart &&
+          (hitsStart || (isFs && lit(!forceRf)))
+        val shifted = applies && beforeStart && !hitsStart && !lostNow
+        val newRf = when(shifted && isFs,
+          pmod(acc.getField("rf") + delta.cast("int"), lit(3)))
+          .otherwise(acc.getField("rf"))
+        val newSl = when(lostNow, lit(0L))
+          .when(shifted, acc.getField("sl") + delta)
+          .otherwise(acc.getField("sl"))
+        struct(
+          newSl.as("sl"),
+          when(lostNow, acc.getField("rf")).otherwise(newRf).as("rf"),
+          when(lostNow, lit(0L))
+            .when(shifted, ((newSl - newRf) / 3).cast("long"))
+            .otherwise(acc.getField("ps")).as("ps"),
+          (acc.getField("lost") || lostNow).as("lost"),
+          (acc.getField("invalid") ||
+            (lostNow && lit(skipStartLoss))).as("invalid"))
+      })
+
+    val withStart = perHaplo.withColumn("_ss", startState)
+      .where(!col("_ss").getField("invalid"))
+      .withColumn("_rf", col("_ss").getField("rf"))
+      .withColumn("_startLost", col("_ss").getField("lost"))
+      // reference-side frame: unchanged by variants unless start lost
+      .withColumn("_rfRef", when(col("_startLost"), lit(-1))
+        .otherwise(col("_rf0")))
+      .withColumn("_pstart", col("_ss").getField("ps"))
+      .withColumn("_pstartRef",
+        when(col("_startLost"), lit(0L)).otherwise(col("_pstart0")))
+
+    // ---- 6) apply variants to the cDNA (sequential concat fold) --------
+    val applied = aggregate(
+      col("vars"),
+      struct(col("cdna").as("s"), lit(0L).as("off"), lit(true).as("ok")),
+      (acc, v) => {
+        val rna = v.getField("rna") + acc.getField("off")
+        val refLen = v.getField("refLen")
+        val s = acc.getField("s")
+        val matches = s.substr((rna + 1).cast("int"),
+          refLen.cast("int")) === v.getField("ref")
+        struct(
+          when(acc.getField("ok") && matches,
+            concat(s.substr(lit(1), rna.cast("int")), v.getField("alt"),
+              s.substr((rna + refLen + 1).cast("int"), length(s))))
+            .otherwise(s).as("s"),
+          (acc.getField("off") + v.getField("altLen") - refLen).as("off"),
+          (acc.getField("ok") && matches).as("ok"))
+      })
+
+    val withCdna = withStart.withColumn("_ap", applied)
+      .where(col("_ap").getField("ok"))
+      .withColumn("_mutated", col("_ap").getField("s"))
+      .select("transcript", "signature", "chrom", "biotype", "cdna",
+        "_mutated", "_rf", "_rfRef", "_pstart", "_pstartRef", "_hasStart",
+        "_startLost", "hap_count", "frequency", "samples")
+
+    // ---- 7) re-join variants as rows: per-variant protein consequence --
+    val conseqRows = staged
+      .join(withCdna, Seq("transcript", "signature"))
+      .withColumn("_refA", affected(col("cdna"), col("rna"), col("refLen"),
+        col("_rfRef").cast("long"), col("_pstartRef")))
+      .withColumn("_altA", affected(col("_mutated"),
+        col("rna") + col("offBefore"), col("altLen"),
+        col("_rf").cast("long"), col("_pstart")))
+      // frameshift chaining: any previous kept frameshift w/ ploc >= 0
+      .withColumn("_plocRef", col("_refA").getField("ploc"))
+      .withColumn("_hasFsBefore", coalesce(
+        max(col("isFs") && col("_plocRef") >= 0).over(wBefore),
+        lit(false)))
+
+    val dnaType = when(col("intersect").isNotNull, "splice")
+      .when(col("refLen") === col("altLen"), "SNP").otherwise("indel")
+    val refAa = col("_refA").getField("aa")
+    val altAa = col("_altA").getField("aa")
+    val conseq0 = when(dnaType === "splice", "splice_variant")
+      .when(refAa === altAa, "synonymous")
+      .when(refAa.contains("*") && !altAa.contains("*"), "stop_lost")
+      .when(!refAa.contains("*") && altAa.contains("*"), "stop_gained")
+      .when(dnaType === "SNP", "SAV")
+      .when(col("isFs"), "frameshift")
+      .otherwise("inframe_indel")
+    val conseq = when(!col("isFs") && col("_hasFsBefore"),
+      concat(conseq0, lit("_after_fs"))).otherwise(conseq0)
+    val protCh = concat(
+      col("_refA").getField("ploc").cast("string"), lit(":"), refAa,
+      lit(">"), col("_altA").getField("ploc").cast("string"), lit(":"),
+      altAa,
+      when(col("isFs"), "(+fs)")
+        .when(col("_hasFsBefore"), "(fs)").otherwise(lit("")))
+    val cdnaCh = concat(col("rna").cast("string"), lit(":"), col("ref"),
+      lit(">"), col("alt"))
+
+    val conseqDone = conseqRows
+      .withColumn("conseq", conseq)
+      .withColumn("protCh", protCh)
+      .withColumn("cdnaCh", cdnaCh)
+      .withColumn("synonymous", refAa === altAa)
+      .withColumn("keepLoc",
+        col("_altA").getField("ploc") + col("_pstart"))
+      .withColumn("keepLen", length(altAa).cast("long"))
+
+    // ---- 8) back to one row per haplotype ------------------------------
+    val collected = conseqDone
+      .groupBy("transcript", "signature")
+      .agg(array_sort(collect_list(struct(
+        col("ord"), col("pos"), col("varId"), col("af"),
+        col("refDna"), col("altDna"), col("intersect"),
+        col("cdnaCh"), col("protCh"), col("conseq"), col("synonymous"),
+        col("keepLoc"), col("keepLen")))).as("cq"))
+      .join(withCdna, Seq("transcript", "signature"))
+
+    // ---- 9) translate, UTR trim, UTR-variant filter --------------------
+    val protFull = dna.translateDna(col("_mutated"),
+      when(col("_rf") > -1, col("_rf")).otherwise(lit(0)))
+    val firstStop0 = instr(
+      protFull.substr((col("_pstart") + 1).cast("int"), length(protFull)),
+      "*").cast("long")
+    val firstStop = when(firstStop0 === 0, length(protFull).cast("long"))
+      .otherwise(col("_pstart") + firstStop0 - 1)
+
+    val trimmed = collected
+      .withColumn("_protFull", protFull)
+      .withColumn("_firstStop", firstStop)
+      .withColumn("_kept",
+        if (!ignoreUtr) col("cq")
+        else filter(col("cq"), c =>
+          when(col("_rf") > -1,
+            (c.getField("keepLoc") >= col("_pstart")) &&
+              (c.getField("keepLoc") + c.getField("keepLen") <=
+                col("_firstStop")))
+            .otherwise(lit(true))))
+      .where(if (requireNonSyn)
+        exists(col("_kept"), c => !c.getField("synonymous"))
+      else size(col("_kept")) > 0)
+      .withColumn("_protein",
+        when(col("_rf") > -1 && lit(ignoreUtr),
+          col("_protFull").substr((col("_pstart") + 1).cast("int"),
+            (col("_firstStop") - col("_pstart")).cast("int")))
+          .otherwise(col("_protFull")))
+
+    // ---- 10) merge by kept VCF-id set, threshold -----------------------
+    trimmed
+      .withColumn("vcf_ids", array_join(transform(col("_kept"),
+        c => c.getField("varId")), ";"))
+      .withColumn("dna_changes", array_join(transform(col("_kept"),
+        c => concat(c.getField("pos").cast("string"), lit(":"),
+          c.getField("refDna"), lit(">"), c.getField("altDna"))), ";"))
+      .withColumn("allele_freqs", array_join(transform(col("_kept"),
+        c => c.getField("af").cast("string")), ";"))
+      .withColumn("cdna_changes", array_join(transform(col("_kept"),
+        c => c.getField("cdnaCh")), ";"))
+      .withColumn("all_protein_changes", array_join(transform(col("_kept"),
+        c => c.getField("protCh")), ";"))
+      .withColumn("protein_changes", array_join(transform(
+        filter(col("_kept"), c => !c.getField("synonymous")),
+        c => c.getField("protCh")), ";"))
+      .withColumn("variant_types", array_join(transform(col("_kept"),
+        c => c.getField("conseq")), ";"))
+      .withColumn("splice_sites_affected", coalesce(
+        when(size(filter(col("cq"),
+          c => c.getField("intersect").isNotNull)) > 0,
+          array_join(array_distinct(transform(filter(col("cq"),
+            c => c.getField("intersect").isNotNull),
+            c => c.getField("intersect").cast("string"))), ";")),
+        lit("-")))
+      .groupBy(col("transcript"), col("vcf_ids"))
+      .agg(
+        first(col("chrom")).as("chromosome"),
+        first(col("biotype")).as("biotype"),
+        first(col("dna_changes")).as("dna_changes"),
+        first(col("allele_freqs")).as("allele_freqs"),
+        first(col("cdna_changes")).as("cdna_changes"),
+        first(col("all_protein_changes")).as("all_protein_changes"),
+        first(col("variant_types")).as("variant_types"),
+        first(col("protein_changes")).as("protein_changes"),
+        first(col("_rf")).as("reading_frame"),
+        first(col("_pstart")).as("protein_prefix_length"),
+        first(!col("_hasStart")).as("start_missing"),
+        first(col("_startLost")).as("start_lost"),
+        first(col("splice_sites_affected")).as("splice_sites_affected"),
+        sum(col("hap_count")).as("occurrence_count"),
+        round(sum(col("frequency")), 6).as("frequency"),
+        array_join(sort_array(collect_list(col("samples"))), ";")
+          .as("samples"),
+        first(col("_protein")).as("protein_sequence"))
+      .where(col("occurrence_count") >= minCount)
+  }
+
+  /** Deduplicate protein sequences across haplotypes: one row per distinct
+    * sequence with the ordered haplotype keys and reading frames — the
+    * FASTA-entry aggregation of process_haplotypes.py:437-445.
+    */
+  def dedupProteins(db: DataFrame): DataFrame =
+    db.groupBy(col("protein_sequence"))
+      .agg(
+        count(lit(1)).as("n_haplotypes"),
+        array_join(sort_array(collect_list(
+          concat(col("transcript"), lit(":"), col("vcf_ids")))), ";")
+          .as("haplotypes"),
+        array_join(array_distinct(sort_array(collect_list(
+          col("reading_frame").cast("string")))), ";").as("rfs"))
+}
