@@ -411,7 +411,10 @@ object HaploProteins {
         first(col("variant_types")).as("variant_types"),
         first(col("protein_changes")).as("protein_changes"),
         first(col("_rf")).as("reading_frame"),
-        first(col("_pstart")).as("protein_prefix_length"),
+        // after UTR trimming the stored sequence starts at the start codon,
+        // so the prefix is 0 (process_haplotypes.py:400 sets it post-trim)
+        first(when(lit(ignoreUtr) && col("_rf") > -1, lit(0L))
+          .otherwise(col("_pstart"))).as("protein_prefix_length"),
         first(!col("_hasStart")).as("start_missing"),
         first(col("_startLost")).as("start_lost"),
         first(col("splice_sites_affected")).as("splice_sites_affected"),

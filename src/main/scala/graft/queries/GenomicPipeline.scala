@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.fixtures.GenomicFixtures
-import graft.operators.{HaploProteins, Haplotypes}
+import graft.operators.{HaploProteins, Haplotypes, PeptideAnnotate,
+  PeptideVariants}
 import graft.sources.Gtf
 
 /** End-to-end ProHap/ProVar pipelines over the genomic fixtures:
@@ -95,6 +96,37 @@ object GenomicPipeline {
         HaploProteins.proteinDatabase(haploInput(s)))
     }),
 
+    "p2_pep_annotate" -> ((s, _) => {
+      prep(s)
+      // combined search space: haplotype proteins (with variant metadata)
+      // + canonical/contaminant fixture entries
+      val db = HaploProteins.proteinDatabase(haploInput(s))
+        .select(
+          concat(lit("haplo_"), col("transcript"), lit("_"),
+            substring(md5(col("vcf_ids")), 1, 8)).as("accession"),
+          lit("generic_enshap").as("tag"),
+          col("transcript"), col("chromosome"),
+          col("all_protein_changes"), col("dna_changes"),
+          col("protein_prefix_length"),
+          col("protein_sequence").as("sequence"))
+      val fixture = s.read.parquet(s"$fx/proteins.parquet")
+        .select(col("accession"), col("tag"),
+          lit(null).cast("string").as("transcript"),
+          lit(null).cast("string").as("chromosome"),
+          lit(null).cast("string").as("all_protein_changes"),
+          lit(null).cast("string").as("dna_changes"),
+          lit(0L).as("protein_prefix_length"),
+          col("sequence"))
+      val proteins = db.unionByName(fixture)
+      // dump the combined table for the DuckDB oracle
+      proteins.coalesce(1).write.mode("overwrite")
+        .parquet(s"$fx/pep_proteins.parquet")
+      val matches = PeptideAnnotate.matchPeptides(
+        s.read.parquet(s"$fx/peptides.parquet"), proteins, k = 4)
+        .withColumn("pos", col("pos").cast("long"))
+      PeptideVariants.annotate(matches, proteins.drop("sequence"))
+    }),
+
     "pv1_provar" -> ((s, _) => {
       prep(s)
       // ProVar: one row per variant x transcript (no haplotype grouping,
@@ -119,8 +151,114 @@ object GenomicPipeline {
     })
   )
 
-  /** No SQL oracles: the driver applies its rows-only check; exact-output
-    * expectations live in HaploProteinsSpec.
+  /** h4/h5/pv1 use the driver's rows-only check (exact expectations live in
+    * HaploProteinsSpec); p2 has a full SQL oracle over the dumped combined
+    * protein table.
     */
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = {
+    def pq(name: String) = s"read_parquet('$fx/$name.parquet/*.parquet')"
+    // shared SQL fragments for parsing "locRef:REF>locAlt:ALT[(+fs)]"
+    def locAlt(ch: String) =
+      s"TRY_CAST(regexp_extract($ch, '>(-?[0-9]+):', 1) AS BIGINT)"
+    def cleanRef(ch: String) =
+      s"replace(translate(regexp_extract($ch, '^-?[0-9]+:([^>]*)>', 1), " +
+        s"'I', 'L'), '-', '')"
+    def cleanAlt(ch: String) =
+      s"replace(translate(string_split(regexp_extract($ch, " +
+        s"'>-?[0-9]+:(.*)$$', 1), '(')[1], 'I', 'L'), '-', '')"
+    def fs(ch: String) = s"ends_with($ch, '(+fs)')"
+
+    Map(
+      "p2_pep_annotate" ->
+        s"""WITH m AS (
+           |  SELECT p.pepId, p.peptide, pr.accession, o.mpos AS pos
+           |  FROM ${pq("peptides")} p, ${pq("pep_proteins")} pr,
+           |    LATERAL (SELECT unnest([ii for ii in generate_series(1,
+           |      length(pr.sequence) - length(p.peptide) + 1)
+           |      if substr(pr.sequence, ii, length(p.peptide)) = p.peptide])
+           |      AS mpos) o
+           |  WHERE length(p.peptide) >= 4),
+           |j AS (
+           |  SELECT m.*, pr.tag, pr.transcript, pr.chromosome,
+           |    pr.all_protein_changes, pr.dna_changes,
+           |    pr.protein_prefix_length,
+           |    m.pos - 1 - coalesce(pr.protein_prefix_length, 0)
+           |      AS pepStart,
+           |    m.pos - 1 - coalesce(pr.protein_prefix_length, 0)
+           |      + length(m.peptide) AS pepEnd,
+           |    CASE WHEN pr.all_protein_changes IS NULL
+           |        OR pr.all_protein_changes = '' THEN []
+           |      ELSE string_split(pr.all_protein_changes, ';') END AS chs,
+           |    CASE WHEN pr.dna_changes IS NULL OR pr.dna_changes = ''
+           |      THEN [] ELSE string_split(pr.dna_changes, ';') END AS dnas
+           |  FROM m JOIN ${pq("pep_proteins")} pr USING (accession)),
+           |per AS (
+           |  SELECT pepId, peptide, accession, pos, tag, transcript,
+           |    chromosome, pepStart,
+           |    coalesce(list_sum(list_transform(chs, ch ->
+           |      CASE WHEN ${locAlt("ch")} < pepStart THEN
+           |        length(${cleanAlt("ch")}) - length(${cleanRef("ch")})
+           |      ELSE 0 END)), 0) AS preceding_indels,
+           |    coalesce(len(list_filter(chs, ch ->
+           |      ${locAlt("ch")} < pepStart AND ${fs("ch")})) > 0, false)
+           |      AS fs_before,
+           |    list_filter(list_zip(chs, dnas), z ->
+           |      (${cleanRef("z[1]")} != ${cleanAlt("z[1]")}
+           |        OR ${fs("z[1]")})
+           |      AND ${locAlt("z[1]")} >= pepStart
+           |      AND ${locAlt("z[1]")} < pepEnd
+           |      AND translate(substr(peptide,
+           |          CAST(${locAlt("z[1]")} - pepStart AS INT) + 1,
+           |          length(${cleanAlt("z[1]")})), 'I', 'L')
+           |        = substr(${cleanAlt("z[1]")}, 1,
+           |            length(translate(substr(peptide,
+           |              CAST(${locAlt("z[1]")} - pepStart AS INT) + 1,
+           |              length(${cleanAlt("z[1]")})), 'I', 'L'))))
+           |      AS covered
+           |  FROM j),
+           |strs AS (
+           |  SELECT *,
+           |    CASE WHEN len(covered) > 0 THEN array_to_string(
+           |      list_transform(covered, z ->
+           |        CAST(${locAlt("z[1]")} - pepStart AS VARCHAR) || ':' ||
+           |        ${cleanRef("z[1]")} || '>' || ${cleanAlt("z[1]")}), ';')
+           |    END AS cov_pep,
+           |    CASE WHEN len(covered) > 0 THEN array_to_string(
+           |      list_transform(covered, z -> transcript || ':' || z[1]),
+           |      ';') END AS cov_prot,
+           |    CASE WHEN len(covered) > 0 THEN array_to_string(
+           |      list_transform(covered, z ->
+           |        coalesce(chromosome, '?') || ':' || z[2]), ';')
+           |    END AS cov_dna,
+           |    (len(list_filter(covered, z -> ${fs("z[1]")})) > 0
+           |      OR fs_before) AS has_fs
+           |  FROM per)
+           |SELECT pepId, peptide,
+           |  coalesce(string_agg(DISTINCT cov_pep, '|' ORDER BY cov_pep),
+           |    '') AS covered_changes_peptide,
+           |  coalesce(string_agg(DISTINCT cov_prot, '|' ORDER BY cov_prot),
+           |    '') AS covered_changes_protein,
+           |  coalesce(string_agg(DISTINCT cov_dna, '|' ORDER BY cov_dna),
+           |    '') AS covered_alleles_dna,
+           |  string_agg(accession, ';' ORDER BY accession)
+           |    AS matching_proteins,
+           |  string_agg(DISTINCT coalesce(transcript, '-'), ';'
+           |    ORDER BY coalesce(transcript, '-')) AS matching_transcripts,
+           |  string_agg(CAST(pos AS VARCHAR), ';' ORDER BY accession, pos)
+           |    AS positions_in_proteins,
+           |  string_agg(DISTINCT CAST(preceding_indels AS VARCHAR), ';'
+           |    ORDER BY CAST(preceding_indels AS VARCHAR))
+           |    AS preceding_indel_shift,
+           |  bool_or(has_fs) AS has_frameshift,
+           |  CASE WHEN max(CASE WHEN contains(coalesce(tag, ''), 'cont')
+           |      THEN 1 ELSE 0 END) = 1 THEN 'contaminant'
+           |    WHEN max(CASE WHEN contains(coalesce(tag, ''), 'sp')
+           |      OR contains(coalesce(tag, ''), 'ensref')
+           |      THEN 1 ELSE 0 END) = 1 THEN 'canonical'
+           |    WHEN max(CASE WHEN len(covered) > 0 THEN 1 ELSE 0 END) = 1
+           |      THEN 'variant'
+           |    ELSE 'reference-like' END AS pep_type
+           |FROM strs GROUP BY pepId, peptide""".stripMargin
+    )
+  }
 }

@@ -42,7 +42,8 @@ class HaploProteinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[String]("variant_types") == "SAV")
     assert(r.getAs[String]("protein_changes") == "1:A>1:G")
     assert(r.getAs[Int]("reading_frame") == 1)
-    assert(r.getAs[Long]("protein_prefix_length") == 1L)
+    // prefix is 0 after UTR trimming (reference sets it post-trim)
+    assert(r.getAs[Long]("protein_prefix_length") == 0L)
   }
 
   test("reverse-strand SAV: alleles reverse-complemented, position flipped") {

@@ -219,6 +219,8 @@ with open(os.path.join(OUT, "peptides.tsv"), "w") as f:
     f.write("p3\tKRLLP\n")       # in CONT1
     f.write("p4\tNOTFOUND\n")    # no match
     f.write("p5\tTT\n")          # shorter than k -> dropped
+    f.write("p6\tMGSR\n")        # covers the rs1 SAV in haplo T1
+    f.write("p7\tPKGY\n")        # covers the rs9 SAV in haplo T2
 print("fixtures written to", os.path.abspath(OUT))
 print("PAR1_TO", PAR1_TO, "PAR2_FROM", PAR2_FROM)
 print("chr1", chr1)
