@@ -3,8 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.fixtures.GenomicFixtures
-import graft.operators.{Haplotypes, Multimodal, PeptideAnnotate,
-  SequenceDedup, StopSplit, TableOps}
+import graft.operators.{FastaHeaders, Haplotypes, Multimodal,
+  PeptideAnnotate, SequenceDedup, StopSplit, TableOps}
+import graft.sources.Gtf
 
 /** Second genomic batch: FASTA post-processing, peptide matching, table
   * utilities, haplotype extraction and multimodal plumbing — all over the
@@ -71,6 +72,35 @@ object Genomic2 {
           length(col("ref")).as("refLen")))).as("conflict"))
         .where(col("conflict"))
         .select("transcript", "sample", "phase")
+    }),
+
+    "f4_format_headers" -> ((s, _) => {
+      prep(s)
+      FastaHeaders.formatHeaders(s.read.parquet(s"$fx/proteins.parquet"),
+        customTag = "_x")
+    }),
+
+    "f5_simplify_headers" -> ((s, _) => {
+      prep(s)
+      import s.implicits._
+      val haploMap = Seq(("haplo_a", "T1"), ("haplo_b", "T1"),
+        ("haplo_c", "T2")).toDF("haplo", "transcript")
+      val geneMap = Gtf.read(s, GenomicFixtures.gtfPath)
+        .where(col("feature") === "transcript")
+        .select(Gtf.attr(col("attributes"), "transcript_id")
+          .as("transcript"),
+          Gtf.attr(col("attributes"), "gene_id").as("gene"))
+      haploMap.coalesce(1).write.mode("overwrite")
+        .parquet(s"$fx/simplify_haplo_map.parquet")
+      geneMap.coalesce(1).write.mode("overwrite")
+        .parquet(s"$fx/gene_map.parquet")
+      FastaHeaders.simplifyHeaders(s.read.parquet(s"$fx/postproc.parquet"),
+        haploMap, geneMap, transcriptPrefix = "T")
+    }),
+
+    "f6_remove_utr" -> ((s, _) => {
+      prep(s)
+      FastaHeaders.removeUtrEntries(s.read.parquet(s"$fx/postproc.parquet"))
     }),
 
     "m1_multimodal" -> ((s, _) => {
@@ -249,6 +279,93 @@ object Genomic2 {
          |  ON l.transcript = r.transcript AND l.sample = r.sample
          |  AND l.phase = r.phase AND l.varId != r.varId
          |  AND l.pos <= r.pos AND r.pos <= l.pos + l.reflen""".stripMargin,
+
+    "f4_format_headers" ->
+      s"""SELECT CASE WHEN tag = '' THEN 'generic_x' ELSE tag END AS tag,
+         |  accession,
+         |  CASE WHEN NOT contains(description, 'matching_proteins:')
+         |    THEN description || ' matching_proteins:' || accession
+         |    ELSE description END AS description,
+         |  sequence
+         |FROM ${pq("proteins")}""".stripMargin,
+
+    "f5_simplify_headers" ->
+      s"""WITH p AS (
+         |  SELECT tag, accession, sequence, string_split_regex(
+         |    regexp_extract(description, 'matching_proteins:([^ ]*)', 1),
+         |    '[;,]') AS ids
+         |  FROM ${pq("postproc")}),
+         |cont AS (
+         |  SELECT accession, tag,
+         |    'CONTAMINANT GN=' || array_to_string(list_filter(ids, i ->
+         |      NOT starts_with(i, 'T') AND NOT starts_with(i, 'haplo_')
+         |      AND NOT starts_with(i, 'var_')), ';') AS gene, sequence
+         |  FROM p WHERE tag = 'generic_cont'),
+         |reft AS (
+         |  SELECT accession, tag, sequence,
+         |    unnest(list_filter(ids, i -> starts_with(i, 'T')))
+         |      AS transcript
+         |  FROM p WHERE tag = 'generic_ensref'),
+         |hapt AS (
+         |  SELECT h.accession, h.tag, h.sequence, hm.transcript
+         |  FROM (SELECT accession, tag, sequence,
+         |      unnest(list_filter(ids, i -> starts_with(i, 'haplo_')))
+         |        AS haplo
+         |    FROM p WHERE tag = 'generic_enshap') h
+         |  JOIN ${pq("simplify_haplo_map")} hm USING (haplo)),
+         |vart AS (
+         |  SELECT accession, tag, sequence,
+         |    'T' || string_split(regexp_extract(vid, 'T(.*)', 1), '_')[1]
+         |      AS transcript
+         |  FROM (SELECT accession, tag, sequence,
+         |      unnest(list_filter(ids, i -> starts_with(i, 'var_')))
+         |        AS vid
+         |    FROM p WHERE tag = 'generic_var')),
+         |g AS (
+         |  SELECT u.accession AS acc0, u.tag, u.sequence,
+         |    list_sort(list_distinct(list(gm.gene))) AS genes
+         |  FROM (SELECT * FROM reft UNION ALL SELECT * FROM hapt
+         |    UNION ALL SELECT * FROM vart) u
+         |  JOIN ${pq("gene_map")} gm USING (transcript)
+         |  GROUP BY 1, 2, 3)
+         |SELECT accession, tag, gene, sequence FROM cont
+         |UNION ALL
+         |SELECT CASE WHEN len(genes) > 1 THEN acc0 || '.' || (gi.i - 1)
+         |    ELSE acc0 END AS accession,
+         |  tag, 'GN=' || genes[gi.i] AS gene, sequence
+         |FROM g, LATERAL (SELECT unnest(generate_series(1, len(genes)))
+         |  AS i) gi""".stripMargin,
+
+    "f6_remove_utr" ->
+      s"""WITH p AS (
+         |  SELECT tag, accession, sequence,
+         |    string_split(regexp_extract(description,
+         |      'split_sequences:([^ ]*)', 1), ';') AS sids,
+         |    string_split(regexp_extract(description,
+         |      'matching_proteins:([^ ]*)', 1), ';') AS mp,
+         |    string_split(regexp_extract(description,
+         |      'position_within_protein:([^ ]*)', 1), ';') AS pp,
+         |    string_split(regexp_extract(description, 'start:([^ ]*)', 1),
+         |      ';') AS st,
+         |    string_split(regexp_extract(description,
+         |      'reading_frame:([^ ]*)', 1), ';') AS rf
+         |  FROM ${pq("postproc")}),
+         |k AS (
+         |  SELECT *, [ii for ii in generate_series(1, len(sids))
+         |    if NOT contains(sids[ii], 'UTR')] AS keep
+         |  FROM p)
+         |SELECT tag, accession,
+         |  'position_within_protein:' ||
+         |    array_to_string(list_transform(keep, ii -> pp[ii]), ';') ||
+         |  ' start:' ||
+         |    array_to_string(list_transform(keep, ii -> st[ii]), ';') ||
+         |  ' matching_proteins:' ||
+         |    array_to_string(list_transform(keep, ii -> mp[ii]), ';') ||
+         |  ' reading_frame:' ||
+         |    array_to_string(list_transform(keep, ii -> rf[ii]), ';')
+         |    AS description,
+         |  sequence
+         |FROM k WHERE len(keep) > 0""".stripMargin,
 
     "m1_multimodal" ->
       s"""WITH m AS (

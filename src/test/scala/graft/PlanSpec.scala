@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan assertions: the optimizations the 100 TB design relies on
+  * must actually appear in `explain` output — filter/column pushdown into
+  * the parquet scan, broadcast joins for dims, whole-stage codegen.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("plan-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen stages appear
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q4 filter and projection push into the parquet scan") {
+    val p = plan("q4_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity"), p)
+    // column pruning: only the 4 selected columns in ReadSchema
+    val readSchema = p.split("ReadSchema:")(1).split("\n")(0)
+    assert(!readSchema.contains("l_comment"), readSchema)
+    assert(readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("q2 star join broadcasts the dimension tables") {
+    val p = plan("q2_join_broadcast")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p)
+  }
+
+  test("q1 aggregation uses whole-stage codegen and partial aggregation") {
+    val p = plan("q1_agg")
+    assert(p.contains("*("), p) // '*' prefix = whole-stage codegen stage
+    assert(p.contains("partial_"), p) // map-side combine
+  }
+
+  test("interval join stays an equi-join (no cartesian product)") {
+    import graft.operators.IntervalJoin
+    val points = spark.range(100).select(col("id").as("pos"),
+      lit("1").as("chrom"))
+    val ivals = spark.range(10).select((col("id") * 10).as("start"),
+      (col("id") * 10 + 9).as("end"), lit("1").as("chrom"))
+    val p = IntervalJoin.pointsInIntervals(points, ivals, Seq("chrom"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("interval join refuses to run without a partition key") {
+    import graft.operators.IntervalJoin
+    val points = spark.range(10).select(col("id").as("pos"))
+    val ivals = spark.range(2).select(col("id").as("start"),
+      (col("id") + 5).as("end"))
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.pointsInIntervals(points, ivals, Seq.empty)
+    }
+    assert(e.getMessage.contains("partition key"))
+  }
+
+  test("knnCosine shuffles narrow rows only (vectors dropped before topk)") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val p = Similarity.knnCosine(q, c, 3).queryExecution.executedPlan
+      .toString
+    // the exchange feeding the window must not carry the vector columns
+    val exchangeBlock = p.split("Exchange hashpartitioning")(1)
+      .split("\n").take(3).mkString("\n")
+    assert(!exchangeBlock.contains("cvec"), exchangeBlock)
+  }
+}

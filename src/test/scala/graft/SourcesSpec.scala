@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.sources.{Fasta, Gtf, Vcf}
+
+/** Source edge cases: CRLF input, haploid genotype padding, FASTA writer
+  * round-trip, header grammar corners.
+  */
+class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val tmp = Files.createTempDirectory("graft-sources").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .appName("sources-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def write(name: String, content: String): String = {
+    val p = Paths.get(tmp, name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("CRLF VCF parses without stray carriage returns") {
+    val p = write("crlf.vcf",
+      "##x\r\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\r\n" +
+        "1\t10\trs1\tA\tG\t.\tPASS\tAF=0.5\tGT\t0|1\r\n")
+    val row = Vcf.read(spark, p).collect()(0)
+    assert(row.getAs[scala.collection.Seq[String]]("genotypes").toSeq == Seq("0|1")) // no \r
+    assert(Vcf.sampleNames(spark, p) == Seq("S1"))
+  }
+
+  test("CRLF FASTA keeps sequences clean") {
+    val p = write("crlf.fasta", ">sp|P1|desc\r\nMASR\r\nLLK\r\n")
+    val row = Fasta.read(spark, p).collect()(0)
+    assert(row.getAs[String]("sequence") == "MASRLLK")
+    assert(row.getAs[String]("tag") == "generic_sp")
+  }
+
+  test("CRLF GTF last field has no trailing carriage return") {
+    val p = write("crlf.gtf",
+      "1\tt\texon\t1\t10\t.\t+\t.\tgene_id \"G\";\r\n")
+    val row = Gtf.read(spark, p).collect()(0)
+    assert(row.getAs[String]("attributes") == "gene_id \"G\";")
+  }
+
+  test("haploid genotypes pad to x|0 and re-index per allele") {
+    val p = write("haploid.vcf",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\n" +
+        "X\t5\trs\tA\tG,T\t.\t.\tAF=0.3,0.1\tGT\t2\t1|2\n")
+    val rows = Vcf.normalize(Vcf.read(spark, p), 0.0)
+      .orderBy("alt").collect()
+    // allele G (idx 1): S1 "2" -> "0|0"; S2 "1|2" -> "1|0"
+    val g = rows.find(_.getAs[String]("alt") == "G").get
+    assert(g.getAs[scala.collection.Seq[String]]("genotypes").toSeq == Seq("0|0", "1|0"))
+    assert(g.getAs[Double]("allele_af") == 0.3)
+    // allele T (idx 2): S1 "2" -> "1|0"; S2 "1|2" -> "0|1"
+    val t = rows.find(_.getAs[String]("alt") == "T").get
+    assert(t.getAs[scala.collection.Seq[String]]("genotypes").toSeq == Seq("1|0", "0|1"))
+    assert(t.getAs[Double]("allele_af") == 0.1)
+  }
+
+  test("FASTA writer round-trips through the reader") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(("generic_sp", "A1", "d one", "MASRL"),
+      ("generic_cont", "C1", "", "MKRLL"))
+      .toDF("tag", "accession", "description", "sequence")
+    val out = s"$tmp/out.fasta"
+    Fasta.write(df, out)
+    val back = Fasta.read(spark, out).orderBy("accession").collect()
+    assert(back.length == 2)
+    assert(back(0).getAs[String]("sequence") == "MASRL")
+    assert(back(0).getAs[String]("tag") == "generic_sp")
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.streaming.Events
+
+/** Structured Streaming variants exercised with MemoryStream sources and
+  * memory sinks: watermarked tumbling windows and in-watermark dedup.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("streaming-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("streaming tumbling window aggregates with watermark") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+
+    val q = Events.tumblingAggStream(events, "10 minutes", "20 minutes")
+      .writeStream.format("memory").queryName("win")
+      .outputMode("update").start()
+    mem.addData((ts(1), "click", 1.0), (ts(5), "click", 2.0),
+      (ts(12), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("win").collect()
+    q.stop()
+    assert(rows.exists(r => r.getAs[String]("event_type") == "click" &&
+      r.getAs[Long]("n_events") == 2L))
+    assert(rows.exists(r => r.getAs[String]("event_type") == "view" &&
+      r.getAs[Double]("sum_value") == 5.0))
+  }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type")
+
+    val q = Events.dedupStream(events, "1 hour")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    mem.addData((1L, ts(1), "a"), (1L, ts(2), "a-dup"), (2L, ts(3), "b"))
+    q.processAllAvailable()
+    val n = spark.table("dedup").count()
+    q.stop()
+    assert(n == 2L) // the second event_id=1 is dropped
+  }
+}

@@ -232,3 +232,21 @@ with open(os.path.join(OUT, "variants.csv"), "w") as f:
     f.write("varB,2,500,T,G,second\n")
     f.write("varA,1,100,A,C,first\n")
     f.write("varC,1,50,G,GA,third\n")
+
+# ---- post-processing FASTA (merge_duplicate_seq-style headers) ----------
+with open(os.path.join(OUT, "postproc.fasta"), "w") as f:
+    f.write(">generic_enshap|prot_1|position_within_protein:0;0 "
+            "start:0;3 matching_proteins:haplo_a,haplo_b;haplo_c "
+            "reading_frame:1,1;2 split_sequences:acc1;acc2_5UTR_0\n")
+    f.write("MASRLLK\n")
+    f.write(">generic_var|prot_2|position_within_protein:4 start:0 "
+            "matching_proteins:var_T1_a reading_frame:0 "
+            "split_sequences:acc3_3UTR_1\n")
+    f.write("MPKW\n")
+    f.write(">generic_ensref|prot_3|position_within_protein:0 start:0 "
+            "matching_proteins:T3 reading_frame:- split_sequences:acc4\n")
+    f.write("LPVN\n")
+    f.write(">generic_cont|prot_4|position_within_protein:0 start:0 "
+            "matching_proteins:KERATIN1 reading_frame:- "
+            "split_sequences:acc5\n")
+    f.write("MKRLL\n")
