@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.vectors
 
@@ -30,25 +29,23 @@ object Similarity {
     topKPerQuery(scored, k, qId, cId)
   }
 
-  /** Two-phase per-query top-k: a first window over (query, input
-    * partition) spreads the rank-k cut across reducers, so the final
-    * per-query window only sees <= k * numPartitions pre-filtered rows
-    * instead of the whole scored corpus — no single-reducer bottleneck.
+  /** Per-query top-k via the native bounded_top_k aggregate
+    * (graft.plans.BoundedTopK): a fixed-size heap participating in
+    * PARTIAL aggregation, so each map task ships at most k rows per query
+    * into the shuffle — the scored corpus never converges on a reducer,
+    * unlike a window row_number cut. Ordering: cosine desc, id asc.
     */
   private[operators] def topKPerQuery(scored: DataFrame, k: Int,
                                       qId: String, cId: String): DataFrame = {
-    val w1 = Window.partitionBy(col(qId), col("_pid"))
-      .orderBy(col("cosine").desc, col(cId))
-    val partial = scored.withColumn("_pid", spark_partition_id())
-      .withColumn("_r", row_number().over(w1))
-      .where(col("_r") <= k)
-      .drop("_pid", "_r")
-    val w = Window.partitionBy(col(qId))
-      .orderBy(col("cosine").desc, col(cId))
-    partial
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(qId), col(cId), col("cosine"), col("rank"))
+    graft.plans.BoundedTopK.register(scored.sparkSession)
+    scored
+      .groupBy(col(qId))
+      .agg(expr(s"${graft.plans.BoundedTopK.name}" +
+        s"(struct(cosine, $cId), $k)").as("_tk"))
+      .select(col(qId), posexplode(col("_tk")).as(Seq("_r", "_e")))
+      .select(col(qId), col("_e.id").as(cId),
+        col("_e.score").as("cosine"),
+        (col("_r") + 1).cast("long").as("rank"))
   }
 
   /** Approximate top-k: candidates restricted to the query's sign-bit LSH

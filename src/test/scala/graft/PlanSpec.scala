@@ -78,7 +78,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("partition key"))
   }
 
-  test("knnCosine shuffles narrow rows only (vectors dropped before topk)") {
+  test("knnCosine runs the bounded top-k heap MAP-SIDE (partial agg)") {
     import graft.operators.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.where(col("vec_id") < 4)
@@ -86,9 +86,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val p = Similarity.knnCosine(q, c, 3).queryExecution.executedPlan
       .toString
-    // the exchange feeding the window must not carry the vector columns
-    val exchangeBlock = p.split("Exchange hashpartitioning")(1)
-      .split("\n").take(3).mkString("\n")
-    assert(!exchangeBlock.contains("cvec"), exchangeBlock)
+    // the native aggregate must appear in partial mode BEFORE the shuffle:
+    // each map task ships at most k rows per query
+    assert(p.contains("partial_bounded_top_k"), p)
+    // and the shuffle key is the query id, not a global window
+    assert(!p.contains("Window"), p)
   }
 }
