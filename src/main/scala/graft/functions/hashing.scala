@@ -74,12 +74,18 @@ object hashing {
     */
   def simhash(tokens: Column, bits: Int = 64): Column = {
     require(bits % 4 == 0 && bits <= 64)
-    // bits of one md5 hex string as an int array (1/0 per bit position)
+    // bits of one md5 hex string as an int array (1/0 per bit position):
+    // per nibble, the 4 bits come from literal integer shifts — no
+    // floating-point pow/floor in the per-token hot path
     def bitsOf(h: Column): Column =
-      transform(sequence(lit(0), lit(bits - 1)), j => {
-        val nib = locate_nibble(h, floor(j / 4).cast("int"))
-        floor(nib / pow(lit(2), lit(3) - j % 4)).cast("int") % 2
-      })
+      flatten(transform(sequence(lit(0), lit(bits / 4 - 1)), ni => {
+        val nib = locate_nibble(h, ni).cast("int")
+        array(
+          shiftright(nib, 3).bitwiseAND(lit(1)),
+          shiftright(nib, 2).bitwiseAND(lit(1)),
+          shiftright(nib, 1).bitwiseAND(lit(1)),
+          nib.bitwiseAND(lit(1)))
+      }))
     // one pass: hash each token once (lambda var, not re-evaluated per bit),
     // sum the bit vectors
     val ones = aggregate(

@@ -63,6 +63,18 @@ object Genomic2 {
         s.read.parquet(s"$fx/gts_long.parquet"), pops)
     }),
 
+    "h2b_superpop_freq" -> ((s, _) => {
+      prep(s)
+      // same rollup operator, superpopulation grouping column
+      val pops = s.read.parquet(s"$fx/samples_meta.parquet")
+        .select(col("sample"), col("superpopulation").as("population"))
+      Haplotypes.populationFrequencies(
+        s.read.parquet(s"$fx/gts_long.parquet"), pops)
+        .withColumnRenamed("population", "superpopulation")
+        .withColumnRenamed("pop_count", "superpop_count")
+        .withColumnRenamed("pop_frequency", "superpop_frequency")
+    }),
+
     "h3_conflicts" -> ((s, _) => {
       prep(s)
       val ph = Haplotypes.phased(s.read.parquet(s"$fx/gts_long.parquet"))
@@ -261,6 +273,37 @@ object Genomic2 {
          |  count(*) AS pop_count,
          |  round(count(*) / CAST(pc.pop_copies AS DOUBLE), 6)
          |    AS pop_frequency
+         |FROM percopy p
+         |JOIN meta m ON p.sample = m.sample
+         |JOIN popcopies pc ON p.transcript = pc.transcript
+         |  AND m.population = pc.population
+         |GROUP BY p.transcript, p.signature, m.population, pc.pop_copies"""
+        .stripMargin,
+
+    "h2b_superpop_freq" ->
+      s"""WITH ph AS ($phasedSql),
+         |universe AS (SELECT DISTINCT transcript, sample, phase FROM ph),
+         |meta AS (SELECT sample, superpopulation AS population
+         |  FROM ${pq("samples_meta")}),
+         |popcopies AS (
+         |  SELECT u.transcript, m.population, count(*) AS pop_copies
+         |  FROM universe u JOIN meta m ON u.sample = m.sample
+         |  GROUP BY 1, 2),
+         |sigs AS (
+         |  SELECT transcript, sample, phase,
+         |    string_agg(varId, ';' ORDER BY pos, varId) AS signature
+         |  FROM ph WHERE has_alt GROUP BY 1, 2, 3),
+         |percopy AS (
+         |  SELECT u.transcript, u.sample, u.phase,
+         |    coalesce(s.signature, 'REF') AS signature
+         |  FROM universe u
+         |  LEFT JOIN sigs s ON u.transcript = s.transcript
+         |    AND u.sample = s.sample AND u.phase = s.phase)
+         |SELECT p.transcript, p.signature,
+         |  m.population AS superpopulation,
+         |  count(*) AS superpop_count,
+         |  round(count(*) / CAST(pc.pop_copies AS DOUBLE), 6)
+         |    AS superpop_frequency
          |FROM percopy p
          |JOIN meta m ON p.sample = m.sample
          |JOIN popcopies pc ON p.transcript = pc.transcript

@@ -83,24 +83,37 @@ object GenomicPipeline {
       .join(transcriptInfo(s), Seq("transcript"))
   }
 
+  private var dbReady = false
+
+  /** The protein database is consumed by h4/h5/p2 — materialize it once
+    * per JVM instead of re-running the pipeline per query.
+    */
+  def proteinDb(s: SparkSession): DataFrame = synchronized {
+    val path = s"$fx/protein_db.parquet"
+    if (!dbReady) {
+      HaploProteins.proteinDatabase(haploInput(s))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      dbReady = true
+    }
+    s.read.parquet(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h4_protein_db" -> ((s, _) => {
       prep(s)
-      HaploProteins.proteinDatabase(haploInput(s))
-        .orderBy("transcript", "vcf_ids")
+      proteinDb(s).orderBy("transcript", "vcf_ids")
     }),
 
     "h5_protein_dedup" -> ((s, _) => {
       prep(s)
-      HaploProteins.dedupProteins(
-        HaploProteins.proteinDatabase(haploInput(s)))
+      HaploProteins.dedupProteins(proteinDb(s))
     }),
 
     "p2_pep_annotate" -> ((s, _) => {
       prep(s)
       // combined search space: haplotype proteins (with variant metadata)
       // + canonical/contaminant fixture entries
-      val db = HaploProteins.proteinDatabase(haploInput(s))
+      val db = proteinDb(s)
         .select(
           concat(lit("haplo_"), col("transcript"), lit("_"),
             substring(md5(col("vcf_ids")), 1, 8)).as("accession"),

@@ -45,17 +45,21 @@ object Relational {
     }),
 
     "q3_topk" -> ((s, dir) => {
+      // per-brand top-3 via the native bounded_top_k aggregate: the heap
+      // partial-aggregates map-side, so only <= 3 rows per (brand, task)
+      // reach the shuffle (vs a window shipping every revenue row)
+      graft.plans.BoundedTopK.register(s)
       val li = t(s, dir, "lineitem")
       val p = broadcast(t(s, dir, "part"))
       val rev = li.join(p, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("p_partkey"))
         .agg(round(sum(col("l_extendedprice")), 4).as("revenue"))
-      val w = Window.partitionBy(col("p_brand"))
-        .orderBy(col("revenue").desc, col("p_partkey"))
-      rev.withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 3)
-        .select(col("p_brand"), col("p_partkey"), col("revenue"),
-          col("rnk").cast("long").as("rnk"))
+      rev.groupBy(col("p_brand"))
+        .agg(expr("bounded_top_k(struct(revenue, p_partkey), 3)").as("_tk"))
+        .select(col("p_brand"), posexplode(col("_tk")).as(Seq("_r", "_e")))
+        .select(col("p_brand"), col("_e.id").as("p_partkey"),
+          col("_e.score").as("revenue"),
+          (col("_r") + 1).cast("long").as("rnk"))
     }),
 
     "q4_filter_pushdown" -> ((s, dir) => {
