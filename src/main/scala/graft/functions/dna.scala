@@ -88,10 +88,10 @@ object dna {
   /** 1-based position of the first ATG (0 when absent). */
   def startCodonPos(seq: Column): Column = instr(seq, "ATG")
 
-  /** Zero-based codon index of the first in-frame stop codon at or after
-    * `fromCodon`, scanning the frame that starts at 1-based nt `start`;
-    * null when there is none. Mirrors the first-stop search used for UTR
-    * trimming (process_haplotypes.py:376).
+  /** Zero-based codon index of the first in-frame stop codon scanning the
+    * frame that starts at 1-based nucleotide `start`; null when there is
+    * none. Mirrors the first-stop search used for UTR trimming
+    * (process_haplotypes.py:376).
     */
   def firstStopCodon(seq: Column, start: Column): Column = {
     val cs = codons(seq.substr(start, length(seq)))
