@@ -1,8 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Open session accumulator for the stateful streaming sessionizer. */
+case class SessionAcc(start: Long, end: Long, n: Long, sum: Double)
+
+/** Emitted (closed) session. */
+case class SessionOut(user_id: Long, session_start: Timestamp,
+                      session_end: Timestamp, n_events: Long,
+                      sum_value: Double)
 
 /** Event-stream analytics — batch and Structured Streaming variants share
   * the same semantics; the batch forms are oracle-checkable, the streaming
@@ -53,6 +63,64 @@ object Events {
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  /** Streaming gap-based sessionization with custom state:
+    * flatMapGroupsWithState keeps one open session per user, closes it
+    * when an event arrives more than `gapMinutes` after the session end
+    * (emitting the closed session immediately) or when the event-time
+    * timeout fires after the watermark passes the gap. Same output shape
+    * as the batch [[sessionize]].
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
+                       watermark: String = "1 hour"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def close(user: Long, s: SessionAcc): SessionOut =
+      SessionOut(user, new Timestamp(s.start), new Timestamp(s.end), s.n,
+        s.sum)
+
+    def update(user: Long, rows: Iterator[(Long, Timestamp, Double)],
+               state: GroupState[SessionAcc]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val out = close(user, state.get)
+        state.remove()
+        Iterator(out)
+      } else {
+        val sorted = rows.toSeq.sortBy(_._2.getTime)
+        var acc = state.getOption
+        val closed = Seq.newBuilder[SessionOut]
+        sorted.foreach { case (_, t, v) =>
+          val ms = t.getTime
+          acc match {
+            case Some(a) if ms - a.end > gapMs =>
+              closed += close(user, a)
+              acc = Some(SessionAcc(ms, ms, 1L, v))
+            case Some(a) =>
+              acc = Some(SessionAcc(a.start, math.max(a.end, ms), a.n + 1,
+                a.sum + v))
+            case None =>
+              acc = Some(SessionAcc(ms, ms, 1L, v))
+          }
+        }
+        acc.foreach { a =>
+          state.update(a)
+          state.setTimeoutTimestamp(a.end + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("value").cast("double"))
+      .as[(Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
   }
 
   /** Streaming dedup by event_id within the watermark. */

@@ -51,6 +51,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getAs[Double]("sum_value") == 5.0))
   }
 
+  test("stateful sessionization closes a session when the gap is exceeded") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+
+    val q = Events.sessionizeStream(events, gapMinutes = 30, "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // user 7: two events 4 min apart, then one 50 min later -> the first
+    // session closes the moment the late event arrives
+    mem.addData((7L, ts(1), 1.0), (7L, ts(5), 2.0))
+    q.processAllAvailable()
+    mem.addData((7L, ts(55), 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("sessions").collect()
+    q.stop()
+    assert(rows.length == 1, rows.mkString(";"))
+    val s = rows(0)
+    assert(s.getAs[Long]("user_id") == 7L)
+    assert(s.getAs[Timestamp]("session_start") == ts(1))
+    assert(s.getAs[Timestamp]("session_end") == ts(5))
+    assert(s.getAs[Long]("n_events") == 2L)
+    assert(s.getAs[Double]("sum_value") == 3.0)
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
