@@ -22,15 +22,20 @@ object Genomic {
   private def prep(s: SparkSession): Unit = GenomicFixtures.ensure(s)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // genotypes stringified: the driver's pandas canonicalization cannot
+    // sort array-typed columns (round-2 gate failure), so both sides emit
+    // a comma-joined string instead of a list.
     "v1_vcf_read" -> ((s, _) => {
       prep(s)
       Vcf.read(s, GenomicFixtures.vcfPath)
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
     }),
 
     "v2_vcf_norm" -> ((s, _) => {
       prep(s)
       Vcf.normalize(Vcf.read(s, GenomicFixtures.vcfPath), minAf = 0.05)
         .select("chrom", "pos", "id", "ref", "alt", "allele_af", "genotypes")
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
     }),
 
     "g1_gtf_read" -> ((s, _) => {
@@ -135,7 +140,7 @@ object Genomic {
   val oracles: Map[String, String] = Map(
     "v1_vcf_read" ->
       s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, id, ref, alt, qual,
-         |  filter, info, [s1, s2, s3, s4] AS genotypes,
+         |  filter, info, array_to_string([s1, s2, s3, s4], ',') AS genotypes,
          |  nullif(regexp_extract(info, '(?:^|;)AF=([^;]+)', 1), '') AS af
          |FROM read_csv('$raw/sample.vcf', delim='\t', header=false,
          |  skip=4, names=$vcfCols, all_varchar=true)""".stripMargin,
@@ -149,8 +154,9 @@ object Genomic {
          |      len(string_split(alt, ',')))) AS i) gi)
          |SELECT chrom, pos, id, ref, alt,
          |  TRY_CAST(string_split(af, ',')[i] AS DOUBLE) AS allele_af,
-         |  list_transform(genotypes, g ->
-         |    ${gtRewriteSql("string_split(g, ':')[1]", "i")}) AS genotypes
+         |  array_to_string(list_transform(genotypes, g ->
+         |    ${gtRewriteSql("string_split(g, ':')[1]", "i")}), ',')
+         |    AS genotypes
          |FROM e
          |WHERE regexp_full_match(ref, '([ACGT]+|-)')
          |  AND regexp_full_match(alt, '([ACGT]+|-)')
@@ -195,10 +201,11 @@ object Genomic {
          |    sum(en - s + 1) OVER (PARTITION BY transcript_id ORDER BY s
          |      ROWS UNBOUNDED PRECEDING) - (en - s + 1) AS before
          |  FROM flat)
-         |SELECT r.transcript, r.varId, r.pos, r.rna_pos,
-         |  coalesce(min(CASE WHEN r.rna_pos >= c.before
+         |SELECT r.transcript, r.varId, r.pos,
+         |  CAST(r.rna_pos AS BIGINT) AS rna_pos,
+         |  CAST(coalesce(min(CASE WHEN r.rna_pos >= c.before
          |      AND r.rna_pos < c.before + (c.en - c.s + 1)
-         |    THEN c.s + r.rna_pos - c.before END), -1) AS dna_back
+         |    THEN c.s + r.rna_pos - c.before END), -1) AS BIGINT) AS dna_back
          |FROM rna r JOIN cum c ON r.transcript = c.transcript_id
          |GROUP BY 1, 2, 3, 4""".stripMargin,
 

@@ -190,7 +190,8 @@ object Genomic2 {
          |  accession || CASE WHEN pos < start_pos THEN '_5UTR_' || idx
          |    WHEN pos > start_pos THEN '_3UTR_' || idx ELSE '' END
          |    AS accession,
-         |  fragment, pos AS position_within_protein, start_pos
+         |  fragment, CAST(pos AS BIGINT) AS position_within_protein,
+         |  start_pos
          |FROM kept""".stripMargin,
 
     "p1_peptide_match" ->

@@ -10,6 +10,7 @@ computed over column-name-sorted, row-sorted stringified values.
 """
 import sys, os, json, hashlib
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -19,19 +20,33 @@ def canon(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
+        # pandas/numpy floats: NaN marks null; HUGEINT arrives here as float
+        # (this is the dtype drift the driver gate sees — intentional).
         if v != v:
             return "NaN"
         return f"{v:.6g}"
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, np.ndarray)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
 
 
-def table_hash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+def fetch_df(rel):
+    """Replicate the driver harness: go through pandas (so DuckDB HUGEINT
+    coerces to float64 exactly like the driver sees it), sort columns by
+    name, then pandas sort_values over all columns (which CRASHES on
+    array-typed columns — also exactly like the driver)."""
+    df = rel.df()
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def table_hash(df):
+    lines = sorted("|".join(canon(v) for v in row)
+                   for row in df.itertuples(index=False, name=None))
     h = hashlib.md5()
     for ln in lines:
         h.update(ln.encode())
@@ -60,27 +75,22 @@ def main():
             results[name] = {"ok": False, "err": "no spark output"}
             continue
         try:
-            sp = con.execute(
-                f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
-            sp_cols = [d[0] for d in sp.description]
-            sp_rows = sp.fetchall()
-            du = con.execute(sql)
-            du_cols = [d[0] for d in du.description]
-            du_rows = du.fetchall()
-            schema_match = sorted(sp_cols) == sorted(du_cols)
-            rows_match = len(sp_rows) == len(du_rows)
+            sp = fetch_df(con.execute(
+                f"SELECT * FROM read_parquet('{spark_path}/*.parquet')"))
+            du = fetch_df(con.execute(sql))
+            schema_match = list(sp.columns) == list(du.columns)
+            rows_match = len(sp) == len(du)
             hash_match = (schema_match and
-                          table_hash(sp_cols, sp_rows) ==
-                          table_hash(du_cols, du_rows))
+                          table_hash(sp) == table_hash(du))
             results[name] = {"ok": schema_match and rows_match and hash_match,
                              "rows_match": rows_match,
                              "schema_match": schema_match,
                              "hash_match": hash_match,
-                             "spark_rows": len(sp_rows),
-                             "duck_rows": len(du_rows)}
+                             "spark_rows": len(sp),
+                             "duck_rows": len(du)}
             if not schema_match:
-                results[name]["spark_cols"] = sorted(sp_cols)
-                results[name]["duck_cols"] = sorted(du_cols)
+                results[name]["spark_cols"] = sorted(sp.columns)
+                results[name]["duck_cols"] = sorted(du.columns)
         except Exception as e:
             results[name] = {"ok": False, "err": str(e)[:300]}
     n_ok = sum(1 for r in results.values() if r.get("ok"))
