@@ -1,0 +1,222 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime kernels for the graft native hash expressions
+  * (graft.plans.NativeExprs). Called from whole-stage-generated code via
+  * the Scala static forwarders, so the per-token / per-shingle loops run
+  * as compiled JVM code instead of interpreted Catalyst higher-order
+  * folds — the ~80 ms/doc front-end cost the round-2 bench flagged.
+  *
+  * Every kernel is bit-for-bit equivalent to the Column-function spec in
+  * [[hashing]] / [[vectors]] (md5 hex domain, left-fold double sums), so
+  * the DuckDB oracles are unchanged.
+  */
+object NativeHashOps {
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  private def md5(bytes: Array[Byte]): Array[Byte] = {
+    val d = md5Local.get()
+    d.reset()
+    d.digest(bytes)
+  }
+
+  private val HEX = "0123456789abcdef".getBytes(StandardCharsets.US_ASCII)
+
+  private def hex(b: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      out(2 * i) = HEX((b(i) >> 4) & 0xF)
+      out(2 * i + 1) = HEX(b(i) & 0xF)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** SimHash bit string: per token one md5; bit j of the digest (MSB-first)
+    * votes for output bit j; output '1' when ones*2 > n_tokens. Identical
+    * to hashing.simhash's hex-nibble formulation (bit j = bit (7-j%8) of
+    * digest byte j/8).
+    */
+  def simhash(tokens: ArrayData, bits: Int): UTF8String = {
+    val n = tokens.numElements()
+    val ones = new Array[Int](bits)
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val d = md5(tokens.getUTF8String(t).getBytes)
+        var j = 0
+        while (j < bits) {
+          ones(j) += (d(j >> 3) >> (7 - (j & 7))) & 1
+          j += 1
+        }
+      }
+      t += 1
+    }
+    val out = new Array[Byte](bits)
+    var j = 0
+    while (j < bits) {
+      out(j) = if (2 * ones(j) > n) '1' else '0'
+      j += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** MinHash signature: one md5 per shingle; a = digest bytes 0-5 (= hex
+    * chars 1-12), b = bytes 6-11 (hex 13-24) as unsigned 48-bit ints;
+    * sig(i) = min over shingles of a + i*b (2-universal family, exact in
+    * int64). Empty input yields Long.MaxValue sentinels (callers filter
+    * empty shingle sets before signing).
+    */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      if (!shingles.isNullAt(t)) {
+        val d = md5(shingles.getUTF8String(t).getBytes)
+        val a = ((d(0) & 0xFFL) << 40) | ((d(1) & 0xFFL) << 32) |
+          ((d(2) & 0xFFL) << 24) | ((d(3) & 0xFFL) << 16) |
+          ((d(4) & 0xFFL) << 8) | (d(5) & 0xFFL)
+        val b = ((d(6) & 0xFFL) << 40) | ((d(7) & 0xFFL) << 32) |
+          ((d(8) & 0xFFL) << 24) | ((d(9) & 0xFFL) << 16) |
+          ((d(10) & 0xFFL) << 8) | (d(11) & 0xFFL)
+        var i = 0
+        var h = a // a + i*b, incrementally
+        while (i < k) {
+          if (h < sig(i)) sig(i) = h
+          h += b
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Word n-shingles joined by single spaces, positional order; empty array
+    * when fewer than n words (= text.wordShingles).
+    */
+  def wordShingles(words: ArrayData, n: Int): ArrayData = {
+    val m = words.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i + n <= m) {
+      var j = 0
+      while (j < n) {
+        parts(j) = words.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(SPACE, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct (first-occurrence order) character n-grams of an
+    * already-normalized string, each md5-hex'd — the fused
+    * text.charNgrams + per-gram md5 front-end of ngramJaccard.
+    * Code-point based like Spark substr.
+    */
+  def md5CharNgrams(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val cpCount = str.codePointCount(0, str.length)
+    if (cpCount < n) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](cpCount + 1)
+    var ci = 0
+    var cp = 0
+    while (cp < cpCount) {
+      offs(cp) = ci
+      ci = str.offsetByCodePoints(ci, 1)
+      cp += 1
+    }
+    offs(cpCount) = str.length
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= cpCount) {
+      seen.add(str.substring(offs(i), offs(i + n)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator
+    var j = 0
+    while (it.hasNext) {
+      out(j) = hex(md5(it.next().getBytes(StandardCharsets.UTF_8)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** md5 hex of every element of a string array (null elements pass
+    * through) — replaces interpreted transform(arr, md5).
+    */
+  def md5Array(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) =
+        if (arr.isNullAt(i)) null
+        else hex(md5(arr.getUTF8String(i).getBytes))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Hamming distance between equal-length ASCII bit strings. */
+  def hamming(a: UTF8String, b: UTF8String): Int = {
+    val ab = a.getBytes
+    val bb = b.getBytes
+    val len = math.min(ab.length, bb.length)
+    var c = 0
+    var i = 0
+    while (i < len) {
+      if (ab(i) != bb(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Cosine over double arrays, left-fold sums in element order — the same
+    * operation sequence as vectors.cosine (and the DuckDB list_reduce
+    * oracles), so the doubles are bit-identical.
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    var na = 0.0
+    i = 0
+    while (i < a.numElements()) {
+      val x = a.getDouble(i)
+      na += x * x
+      i += 1
+    }
+    var nb = 0.0
+    i = 0
+    while (i < b.numElements()) {
+      val x = b.getDouble(i)
+      nb += x * x
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.functions.{hashing, text}
+import graft.functions.{hashing, text, vectors}
+import graft.plans.GraftFunctions
 
 /** Document deduplication for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard and embedding-cosine near-dup.
@@ -11,7 +12,17 @@ import graft.functions.{hashing, text}
   * Scale notes: every variant avoids the O(n^2) cross product — exact dedup
   * is one hash groupBy; MinHash/SimHash/embedding near-dup generate
   * candidates through bucket self-joins whose bucket sizes stay bounded, so
-  * the shuffled pair count stays ~linear in corpus size.
+  * the shuffled pair count stays ~linear in corpus size. The hash
+  * front-ends (shingle -> minhash, token -> simhash, gram -> md5) run
+  * through the native graft_* expressions (graft.plans.NativeExprs) so the
+  * per-document hashing loops execute as compiled code inside whole-stage
+  * codegen rather than interpreted Catalyst folds.
+  *
+  * Cache lifecycle: minhashLsh / simhash / ngramJaccard persist small
+  * intermediate id+hash tables that their output plan references — callers
+  * owning a long-lived session should unpersist via
+  * spark.catalog.clearCache() (or df.sparkSession.sharedState.cacheManager)
+  * once the result has been consumed.
   */
 object Dedup {
 
@@ -38,6 +49,7 @@ object Dedup {
                  jaccardThreshold: Double = 0.5,
                  maxBucketSize: Int = 1000): DataFrame = {
     val k = bands * rows
+    GraftFunctions.register(df.sparkSession)
     // The plan fans out below (bucket self-join, skew guard, shingle
     // re-joins), so without materialization the shingling+minhash front-end
     // would be recomputed once per branch — persist it instead. This is the
@@ -45,14 +57,14 @@ object Dedup {
     // ~O(corpus ids), far smaller than the corpus text.
     val docs = df.select(
       col(idCol).as("id"),
-      array_distinct(text.wordShingles(col(textCol), shingleWords))
-        .as("shingles"))
+      array_distinct(call_function("graft_word_shingles",
+        text.words(col(textCol)), lit(shingleWords))).as("shingles"))
       .where(size(col("shingles")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val sigs = docs
-      .withColumn("_ab", hashing.minhashPairs(col("shingles")))
-      .withColumn("sig", hashing.minhashFromPairs(col("_ab"), k))
+      .withColumn("sig",
+        call_function("graft_minhash_sig", col("shingles"), lit(k)))
     // Buckets carry ONLY (bucket, id): the shingle arrays stay out of the
     // self-join shuffle, which is the dominant cost at corpus scale.
     val buckets = sigs.select(col("id"),
@@ -89,8 +101,10 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String,
               bits: Int = 32, prefixBits: Int = 12,
               maxHamming: Int = 3): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val docs = df.select(col(idCol).as("id"),
-      hashing.simhash(text.bpeTokens(col(textCol)), bits).as("sh"))
+      call_function("graft_simhash", text.bpeTokens(col(textCol)), lit(bits))
+        .as("sh"))
       .where(length(col("sh")) === bits)
       .persist(StorageLevel.MEMORY_AND_DISK) // reused by both join sides
     val l = docs.select(col("id").as("id1"), col("sh").as("sh1"),
@@ -99,7 +113,8 @@ object Dedup {
       col("sh").substr(1, prefixBits).as("pfx"))
     l.join(r, Seq("pfx"))
       .where(col("id1") < col("id2"))
-      .withColumn("hamming", hashing.hammingDist(col("sh1"), col("sh2")))
+      .withColumn("hamming",
+        call_function("graft_hamming", col("sh1"), col("sh2")))
       .where(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
   }
@@ -120,12 +135,16 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 4, threshold: Double = 0.2,
                    wordGrams: Boolean = false): DataFrame = {
-    val gramsOf =
-      if (wordGrams) array_distinct(text.wordShingles(col(textCol), n))
-      else text.charNgrams(col(textCol), n)
-    val raw = df.select(
-      col(idCol).as("id"),
-      transform(gramsOf, g => md5(g)).as("grams"))
+    GraftFunctions.register(df.sparkSession)
+    val grams =
+      if (wordGrams)
+        call_function("graft_md5_array",
+          array_distinct(call_function("graft_word_shingles",
+            text.words(col(textCol)), lit(n))))
+      else
+        call_function("graft_md5_char_ngrams",
+          trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), lit(n))
+    val raw = df.select(col(idCol).as("id"), grams.as("grams"))
       .where(size(col("grams")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds df-count + doc sort
     // Global document-frequency order (rarest gram first): candidates per
@@ -161,19 +180,35 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** Embedding-cosine near-duplicate pairs, blocked by a grouping column
-    * (e.g. a cluster label or LSH sign bucket).
+  /** Embedding-cosine near-duplicate pairs, blocked by the CONTENT-DERIVED
+    * sign-LSH bucket of the vector itself (vectors.signBucket over the
+    * first `signBits` dimensions) — no caller-supplied label whose skew the
+    * operator can't control. Near-identical vectors share all sign bits, so
+    * recall for near-dups is high; a `maxBucketSize` guard drops
+    * pathological hot buckets (like minhashLsh's), keeping the within-block
+    * pair count bounded at any corpus size. Capped buckets lose recall,
+    * never precision.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       blockCol: String, threshold: Double): DataFrame = {
-    import graft.functions.vectors
-    val l = df.select(col(blockCol).as("block"), col(idCol).as("id1"),
-      col(vecCol).as("v1"))
-    val r = df.select(col(blockCol).as("block"), col(idCol).as("id2"),
-      col(vecCol).as("v2"))
+                       threshold: Double, signBits: Int = 8,
+                       maxBucketSize: Int = 1000): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val vecs = df.select(
+      vectors.signBucket(col(vecCol), signBits).as("block"),
+      col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keep = vecs.groupBy("block").agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") <= maxBucketSize)
+      .select("block")
+    val bounded = vecs.join(keep, Seq("block"))
+    val l = bounded.select(col("block"), col("id").as("id1"),
+      col("v").as("v1"))
+    val r = bounded.select(col("block"), col("id").as("id2"),
+      col("v").as("v2"))
     l.join(r, Seq("block"))
       .where(col("id1") < col("id2"))
-      .withColumn("cosine", round(vectors.cosine(col("v1"), col("v2")), 5))
+      .withColumn("cosine",
+        round(call_function("graft_cosine", col("v1"), col("v2")), 5))
       .where(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }

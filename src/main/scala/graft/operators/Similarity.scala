@@ -21,11 +21,15 @@ object Similarity {
   def knnCosine(queries: DataFrame, corpus: DataFrame, k: Int,
                 qId: String = "qid", qVec: String = "qvec",
                 cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
     // Score map-side (broadcast queries, one corpus scan), then drop the
-    // vectors so only narrow (qid, cid, cosine) rows ever shuffle.
+    // vectors so only narrow (qid, cid, cosine) rows ever shuffle. The
+    // native graft_cosine keeps the per-pair dot product inside codegen.
     val scored = corpus.crossJoin(broadcast(queries))
       .select(col(qId), col(cId),
-        round(vectors.cosine(col(qVec), col(cVec)), 5).as("cosine"))
+        round(call_function("graft_cosine", col(qVec).cast("array<double>"),
+          col(cVec).cast("array<double>")), 5)
+          .as("cosine"))
     topKPerQuery(scored, k, qId, cId)
   }
 
@@ -55,11 +59,14 @@ object Similarity {
   def knnCosineLsh(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int,
                    qId: String = "qid", qVec: String = "qvec",
                    cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
     val qb = queries.withColumn("_bucket", vectors.signBucket(col(qVec), bits))
     val cb = corpus.withColumn("_bucket", vectors.signBucket(col(cVec), bits))
     val scored = cb.join(broadcast(qb), Seq("_bucket"))
       .select(col(qId), col(cId),
-        round(vectors.cosine(col(qVec), col(cVec)), 5).as("cosine"))
+        round(call_function("graft_cosine", col(qVec).cast("array<double>"),
+          col(cVec).cast("array<double>")), 5)
+          .as("cosine"))
     topKPerQuery(scored, k, qId, cId)
   }
 }

@@ -80,8 +80,9 @@ object Documents {
     }),
 
     "d5_emb_neardup" -> ((s, dir) => {
+      // content-derived sign-LSH blocking (no caller label), capped buckets
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
-        "label", 0.3)
+        threshold = 0.3, signBits = 8, maxBucketSize = 1000)
     }),
 
     "s1_knn_cosine" -> ((s, dir) => {
@@ -244,12 +245,20 @@ object Documents {
         .stripMargin,
 
     "d5_emb_neardup" ->
-      s"""WITH s AS (
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    array_to_string([CASE WHEN b >= 0 THEN '1' ELSE '0' END
+         |      for b in embedding[1:8]], '') AS block
+         |  FROM embeddings),
+         |k AS (SELECT block FROM v GROUP BY block HAVING count(*) <= 1000),
+         |s AS (
          |  SELECT l.vec_id AS id1, r.vec_id AS id2, round($cosineSql, 5)
          |    AS cosine
-         |  FROM (SELECT vec_id, label, embedding AS qv FROM embeddings) l
-         |  JOIN (SELECT vec_id, label, embedding AS cv FROM embeddings) r
-         |    ON l.label = r.label AND l.vec_id < r.vec_id)
+         |  FROM (SELECT v.vec_id, v.block, v.embedding AS qv
+         |        FROM v JOIN k USING (block)) l
+         |  JOIN (SELECT v.vec_id, v.block, v.embedding AS cv
+         |        FROM v JOIN k USING (block)) r
+         |    ON l.block = r.block AND l.vec_id < r.vec_id)
          |SELECT id1, id2, cosine FROM s WHERE cosine >= 0.3""".stripMargin,
 
     "s1_knn_cosine" ->
