@@ -37,14 +37,18 @@ object HaploProteins {
 
   // ---- coordinates_toolbox.get_rna_position ------------------------------
   /** Fold over exons computing the spliced position of `dnaLoc` and
-    * truncating alleles that cross exon borders.
+    * truncating alleles that cross exon borders. Alleles that reach over
+    * the intron into the NEXT exon are reassembled across the junction
+    * (ref[:remaining] + ref[next.start - loc:]) exactly as
+    * coordinates_toolbox.py:46-52 / 62-68 do.
     * Returns struct(rna, ref, alt, intersect).
     */
   private def rnaAllele(exons: Column, dnaLoc0: Column, ref0: Column,
                         alt0: Column): Column = {
     val indexed = transform(exons, (e, i) =>
       struct(e.getField("start").as("s"), e.getField("end").as("en"),
-        i.as("i")))
+        i.as("i"),
+        get(exons, i + 1).getField("start").as("ns")))
     aggregate(
       indexed,
       struct(lit(0L).as("rna"), lit(false).as("found"), ref0.as("ref"),
@@ -71,16 +75,28 @@ object HaploProteins {
         val locT = when(fromIntron, s).otherwise(loc)
         val intersectFront = when(fromIntron, i.cast("int"))
 
-        // allele runs past the exon end: truncate tail (divergence: the
-        // reference may reassemble from the next exon; we truncate)
+        // allele runs past the exon end: cut the intronic middle; when the
+        // allele reaches INTO the next exon, splice its tail back on
+        // (coordinates_toolbox.py "check if the mutation does not reach
+        // into the next exon")
         val refLenT = length(refT)
         val altLenT = length(altT)
         val pastEnd = locT + refLenT - 1 > en
         val remaining = (en - locT + 1).cast("int")
-        val refT2 = when(pastEnd, refT.substr(lit(1), remaining))
+        val ns = e.getField("ns")
+        val startAgain = (ns - locT).cast("int")
+        val refReach = ns.isNotNull && (locT + refLenT > ns)
+        val refT2 = when(pastEnd,
+          when(refReach, concat(refT.substr(lit(1), remaining),
+            refT.substr(startAgain + 1, length(refT))))
+            .otherwise(refT.substr(lit(1), remaining)))
           .otherwise(refT)
         val altPast = locT + altLenT - 1 > en
-        val altT2 = when(pastEnd && altPast, altT.substr(lit(1), remaining))
+        val altReach = ns.isNotNull && (locT + altLenT > ns)
+        val altT2 = when(pastEnd && altPast,
+          when(altReach, concat(altT.substr(lit(1), remaining),
+            altT.substr(startAgain + 1, length(altT))))
+            .otherwise(altT.substr(lit(1), remaining)))
           .otherwise(altT)
         val intersectBack = when(pastEnd, i.cast("int") + 1)
           .when(en - locT + refLenT < 3, i.cast("int") + 1)
@@ -96,8 +112,10 @@ object HaploProteins {
           when(!found && hit, refT2).otherwise(ref).as("ref"),
           when(!found && hit, altT2).otherwise(alt).as("alt"),
           when(!found && hit, locT).otherwise(loc).as("loc"),
+          // the back-junction flag overwrites the front flag when both
+          // apply, mirroring the reference's assignment order
           when(found, acc.getField("intersect"))
-            .when(hit, coalesce(intersectFront, intersectBack))
+            .when(hit, coalesce(intersectBack, intersectFront))
             .otherwise(acc.getField("intersect")).as("intersect"))
       },
       acc => struct(acc.getField("rna").as("rna"),
@@ -105,22 +123,29 @@ object HaploProteins {
         acc.getField("intersect").as("intersect")))
   }
 
-  // ---- coordinates_toolbox.get_affected_codons (known reading frame) ----
-  /** Residues covered by [loc, loc+len) in frame rf with prefix pstart:
-    * struct(ploc, aa) where aa = '-' when no full codon is covered.
+  // ---- coordinates_toolbox.get_affected_codons ---------------------------
+  /** Residues covered by [loc, loc+len): an ARRAY of struct(ploc, aa), one
+    * entry per reading frame — a single entry when rf is known (ploc offset
+    * by pstart), or three entries (frames 0,1,2, no pstart offset) when
+    * rf == -1, matching get_affected_codons' unknown-frame expansion
+    * (coordinates_toolbox.py:139-172). aa = '-' when no full codon covered.
     */
   private def affected(cdnaSeq: Column, loc: Column, alen: Column,
                        rf: Column, pstart: Column): Column = {
-    val rfx = greatest(rf, lit(0))
-    val ploc = floor((loc - rf) / 3.0).cast("long") - pstart
-    val bpFrom0 = floor((loc - rfx) / 3.0).cast("long") * 3 + rfx
-    val bpFrom = greatest(greatest(bpFrom0, lit(0L)), rf.cast("long"))
-    val bpTo = ceil((loc + alen - rfx) / 3.0).cast("long") * 3 + rfx
-    val aa = when(bpTo - bpFrom > 2,
-      dna.translateDna(cdnaSeq.substr((bpFrom + 1).cast("int"),
-        (bpTo - bpFrom).cast("int"))))
-      .otherwise(lit("-"))
-    struct(ploc.as("ploc"), aa.as("aa"))
+    val frames = when(rf === -1, array(lit(0L), lit(1L), lit(2L)))
+      .otherwise(array(rf))
+    transform(frames, f => {
+      val ploc = when(rf === -1, floor((loc - f) / 3.0).cast("long"))
+        .otherwise(floor((loc - f) / 3.0).cast("long") - pstart)
+      val bpFrom0 = floor((loc - f) / 3.0).cast("long") * 3 + f
+      val bpFrom = greatest(greatest(bpFrom0, lit(0L)), f)
+      val bpTo = ceil((loc + alen - f) / 3.0).cast("long") * 3 + f
+      val aa = when(bpTo - bpFrom > 2,
+        dna.translateDna(cdnaSeq.substr((bpFrom + 1).cast("int"),
+          (bpTo - bpFrom).cast("int"))))
+        .otherwise(lit("-"))
+      struct(ploc.as("ploc"), aa.as("aa"))
+    })
   }
 
   /** Build the protein database. Input row columns:
@@ -129,11 +154,18 @@ object HaploProteins {
     * cdna, signature, changes = array<struct<pos,varId,ref,alt,af>> sorted
     * by genomic pos, hap_count, frequency, samples.
     */
-  def proteinDatabase(haplo: DataFrame, forceRf: Boolean = true,
+  def proteinDatabase(haplo0: DataFrame, forceRf: Boolean = true,
                       ignoreUtr: Boolean = true,
                       skipStartLoss: Boolean = true,
                       minCount: Long = 0L,
                       requireNonSyn: Boolean = true): DataFrame = {
+    // optional per-haplotype population rollup strings ("POP:0.00123;..."),
+    // carried through and merged on the vcf-id merge like
+    // process_haplotypes.add_population_freqs
+    val haplo = Seq("freq_population", "freq_superpopulation")
+      .foldLeft(haplo0) { (df, c) =>
+        if (df.columns.contains(c)) df else df.withColumn(c, lit("-"))
+      }
     val len = length(col("cdna"))
     val rev = col("strand") === "-"
 
@@ -225,7 +257,7 @@ object HaploProteins {
       col("vars"),
       struct(col("_startLoc0").as("sl"), col("_rf0").as("rf"),
         col("_pstart0").as("ps"), lit(false).as("lost"),
-        lit(false).as("invalid")),
+        lit(false).as("invalid"), lit(-1L).as("lostOrd")),
       (acc, v) => {
         val applies = col("_hasStart") && acc.getField("rf") > -1 &&
           !acc.getField("lost")
@@ -245,18 +277,25 @@ object HaploProteins {
           .otherwise(acc.getField("sl"))
         struct(
           newSl.as("sl"),
-          when(lostNow, acc.getField("rf")).otherwise(newRf).as("rf"),
+          // start loss drops to the unknown-frame path (check_start_change
+          // returns (-1, -1)): downstream translates in all three frames
+          when(lostNow, lit(-1)).otherwise(newRf).as("rf"),
           when(lostNow, lit(0L))
             .when(shifted, ((newSl - newRf) / 3).cast("long"))
             .otherwise(acc.getField("ps")).as("ps"),
           (acc.getField("lost") || lostNow).as("lost"),
           (acc.getField("invalid") ||
-            (lostNow && lit(skipStartLoss))).as("invalid"))
+            (lostNow && lit(skipStartLoss))).as("invalid"),
+          // ord of the variant that destroyed the start codon — its
+          // dna-type becomes 'start_lost' (process_haplotypes.py:246)
+          when(lostNow, v.getField("ord").cast("long"))
+            .otherwise(acc.getField("lostOrd")).as("lostOrd"))
       })
 
     val withStart = perHaplo.withColumn("_ss", startState)
       .where(!col("_ss").getField("invalid"))
       .withColumn("_rf", col("_ss").getField("rf"))
+      .withColumn("_lostOrd", col("_ss").getField("lostOrd"))
       .withColumn("_startLost", col("_ss").getField("lost"))
       // reference-side frame: unchanged by variants unless start lost
       .withColumn("_rfRef", when(col("_startLost"), lit(-1))
@@ -289,9 +328,13 @@ object HaploProteins {
       .withColumn("_mutated", col("_ap").getField("s"))
       .select("transcript", "signature", "chrom", "biotype", "cdna",
         "_mutated", "_rf", "_rfRef", "_pstart", "_pstartRef", "_hasStart",
-        "_startLost", "hap_count", "frequency", "samples")
+        "_startLost", "_lostOrd", "hap_count", "frequency", "samples",
+        "freq_population", "freq_superpopulation")
 
     // ---- 7) re-join variants as rows: per-variant protein consequence --
+    // _refA/_altA are per-frame arrays: one entry for a known frame, three
+    // (frames 0,1,2) when the frame is unknown — the rf=-1 chaining of
+    // process_haplotypes.py:321-356.
     val conseqRows = staged
       .join(withCdna, Seq("transcript", "signature"))
       .withColumn("_refA", affected(col("cdna"), col("rna"), col("refLen"),
@@ -299,42 +342,59 @@ object HaploProteins {
       .withColumn("_altA", affected(col("_mutated"),
         col("rna") + col("offBefore"), col("altLen"),
         col("_rf").cast("long"), col("_pstart")))
-      // frameshift chaining: any previous kept frameshift w/ ploc >= 0
-      .withColumn("_plocRef", col("_refA").getField("ploc"))
+      // frameshift chaining state: the reference updates has_frameshift
+      // with the LAST frame's ref ploc (the loop variable that survives
+      // the per-frame loop)
+      .withColumn("_plocRefLast",
+        element_at(col("_refA"), size(col("_refA"))).getField("ploc"))
       .withColumn("_hasFsBefore", coalesce(
-        max(col("isFs") && col("_plocRef") >= 0).over(wBefore),
+        max(col("isFs") && col("_plocRefLast") >= 0).over(wBefore),
         lit(false)))
 
-    val dnaType = when(col("intersect").isNotNull, "splice")
+    // start-loss replaces the dna-level type (process_haplotypes.py:246)
+    val dnaType = when(col("ord").cast("long") === col("_lostOrd"),
+      "start_lost")
+      .when(col("intersect").isNotNull, "splice")
       .when(col("refLen") === col("altLen"), "SNP").otherwise("indel")
-    val refAa = col("_refA").getField("aa")
-    val altAa = col("_altA").getField("aa")
-    val conseq0 = when(dnaType === "splice", "splice_variant")
-      .when(refAa === altAa, "synonymous")
-      .when(refAa.contains("*") && !altAa.contains("*"), "stop_lost")
-      .when(!refAa.contains("*") && altAa.contains("*"), "stop_gained")
-      .when(dnaType === "SNP", "SAV")
-      .when(col("isFs"), "frameshift")
-      .otherwise("inframe_indel")
-    val conseq = when(!col("isFs") && col("_hasFsBefore"),
-      concat(conseq0, lit("_after_fs"))).otherwise(conseq0)
-    val protCh = concat(
-      col("_refA").getField("ploc").cast("string"), lit(":"), refAa,
-      lit(">"), col("_altA").getField("ploc").cast("string"), lit(":"),
-      altAa,
-      when(col("isFs"), "(+fs)")
-        .when(col("_hasFsBefore"), "(fs)").otherwise(lit("")))
+    // per-frame consequence + change string; frames joined with '|'
+    val perFrame = zip_with(col("_refA"), col("_altA"), (r, a) => {
+      val refAa = r.getField("aa")
+      val altAa = a.getField("aa")
+      val c0 = when(dnaType === "splice", "splice_variant")
+        .when(dnaType === "start_lost", "start_lost")
+        .when(refAa === altAa, "synonymous")
+        .when(refAa.contains("*") && !altAa.contains("*"), "stop_lost")
+        .when(!refAa.contains("*") && altAa.contains("*"), "stop_gained")
+        .when(dnaType === "SNP", "SAV")
+        .when(col("isFs"), "frameshift")
+        .otherwise("inframe_indel")
+      val cF = when(!col("isFs") && col("_hasFsBefore"),
+        concat(c0, lit("_after_fs"))).otherwise(c0)
+      val pch = concat(r.getField("ploc").cast("string"), lit(":"), refAa,
+        lit(">"), a.getField("ploc").cast("string"), lit(":"), altAa,
+        when(col("isFs"), "(+fs)")
+          .when(col("_hasFsBefore"), "(fs)").otherwise(lit("")))
+      struct(cF.as("conseq"), pch.as("pch"), (refAa === altAa).as("syn"))
+    })
     val cdnaCh = concat(col("rna").cast("string"), lit(":"), col("ref"),
       lit(">"), col("alt"))
 
     val conseqDone = conseqRows
-      .withColumn("conseq", conseq)
-      .withColumn("protCh", protCh)
+      .withColumn("_pf", perFrame)
+      .withColumn("conseq", array_join(transform(col("_pf"),
+        p => p.getField("conseq")), "|"))
+      .withColumn("protCh", array_join(transform(col("_pf"),
+        p => p.getField("pch")), "|"))
       .withColumn("cdnaCh", cdnaCh)
-      .withColumn("synonymous", refAa === altAa)
+      // a variant counts as synonymous only when EVERY frame is synonymous
+      // ("if not all(is_synonymous)" in the reference)
+      .withColumn("synonymous", forall(col("_pf"), p => p.getField("syn")))
+      // UTR filter coordinates: only consulted when _rf > -1, where the
+      // frame arrays have exactly one entry
       .withColumn("keepLoc",
-        col("_altA").getField("ploc") + col("_pstart"))
-      .withColumn("keepLen", length(altAa).cast("long"))
+        element_at(col("_altA"), 1).getField("ploc") + col("_pstart"))
+      .withColumn("keepLen",
+        length(element_at(col("_altA"), 1).getField("aa")).cast("long"))
 
     // ---- 8) back to one row per haplotype ------------------------------
     val collected = conseqDone
@@ -376,7 +436,30 @@ object HaploProteins {
           .otherwise(col("_protFull")))
 
     // ---- 10) merge by kept VCF-id set, threshold -----------------------
+    // add_population_freqs: per-pop sum of the merged rows' frequencies,
+    // "POP:0.00000" 5-decimal format; codes sorted for determinism (the
+    // reference keeps dict-insertion order — documented divergence)
+    def mergePopFreqs(listCol: Column): Column = {
+      val entries = flatten(transform(
+        filter(listCol, s => s =!= "-" && s =!= ""), s => split(s, ";")))
+      val codes = array_sort(array_distinct(transform(entries,
+        e => substring_index(e, ":", 1))))
+      when(size(codes) === 0, lit("-")).otherwise(
+        array_join(transform(codes, c =>
+          concat(c, lit(":"), format_string("%.5f",
+            aggregate(
+              filter(entries, e => substring_index(e, ":", 1) === c),
+              lit(0.0),
+              (a, e) => a + substring_index(e, ":", -1).cast("double"))))),
+          ";"))
+    }
+    // unknown frame -> reference emits the frame-1/2 translations too
+    // (process_haplotypes.py:456-470); ';'-joined here, '-' when rf known
+    val altFrameSeqs = when(col("_rf") === -1,
+      concat(dna.translateDna(col("_mutated"), lit(1)), lit(";"),
+        dna.translateDna(col("_mutated"), lit(2)))).otherwise(lit("-"))
     trimmed
+      .withColumn("_altFrames", altFrameSeqs)
       .withColumn("vcf_ids", array_join(transform(col("_kept"),
         c => c.getField("varId")), ";"))
       .withColumn("dna_changes", array_join(transform(col("_kept"),
@@ -420,23 +503,41 @@ object HaploProteins {
         first(col("splice_sites_affected")).as("splice_sites_affected"),
         sum(col("hap_count")).as("occurrence_count"),
         round(sum(col("frequency")), 6).as("frequency"),
+        mergePopFreqs(collect_list(col("freq_population")))
+          .as("frequency_population"),
+        mergePopFreqs(collect_list(col("freq_superpopulation")))
+          .as("frequency_superpopulation"),
         array_join(sort_array(collect_list(col("samples"))), ";")
           .as("samples"),
-        first(col("_protein")).as("protein_sequence"))
+        first(col("_protein")).as("protein_sequence"),
+        first(col("_altFrames")).as("alt_frame_sequences"))
       .where(col("occurrence_count") >= minCount)
   }
 
   /** Deduplicate protein sequences across haplotypes: one row per distinct
     * sequence with the ordered haplotype keys and reading frames — the
-    * FASTA-entry aggregation of process_haplotypes.py:437-445.
+    * FASTA-entry aggregation of process_haplotypes.py:437-470. Unknown-
+    * frame haplotypes (reading_frame = -1) contribute THREE sequence
+    * entries, one per frame, exactly like the reference's rf-loop.
     */
-  def dedupProteins(db: DataFrame): DataFrame =
-    db.groupBy(col("protein_sequence"))
+  def dedupProteins(db: DataFrame): DataFrame = {
+    val entries = when(col("alt_frame_sequences") === "-",
+      array(struct(col("protein_sequence").as("seq"),
+        col("reading_frame").cast("string").as("rf"))))
+      .otherwise(array(
+        struct(col("protein_sequence").as("seq"), lit("0").as("rf")),
+        struct(split(col("alt_frame_sequences"), ";").getItem(0).as("seq"),
+          lit("1").as("rf")),
+        struct(split(col("alt_frame_sequences"), ";").getItem(1).as("seq"),
+          lit("2").as("rf"))))
+    db.select(col("transcript"), col("vcf_ids"), explode(entries).as("e"))
+      .groupBy(col("e.seq").as("protein_sequence"))
       .agg(
         count(lit(1)).as("n_haplotypes"),
         array_join(sort_array(collect_list(
           concat(col("transcript"), lit(":"), col("vcf_ids")))), ";")
           .as("haplotypes"),
         array_join(array_distinct(sort_array(collect_list(
-          col("reading_frame").cast("string")))), ";").as("rfs"))
+          col("e.rf")))), ";").as("rfs"))
+  }
 }

@@ -123,7 +123,7 @@ object Genomic {
 
   private val vcfCols =
     "['chrom','pos','id','ref','alt','qual','filter','info','format'," +
-      "'s1','s2','s3','s4']"
+      "'s1','s2','s3','s4','s5']"
 
   private val codonValues =
     dna.codonTable.map { case (c, a) => s"('$c','$a')" }.mkString(", ")
@@ -140,7 +140,8 @@ object Genomic {
   val oracles: Map[String, String] = Map(
     "v1_vcf_read" ->
       s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, id, ref, alt, qual,
-         |  filter, info, array_to_string([s1, s2, s3, s4], ',') AS genotypes,
+         |  filter, info,
+         |  array_to_string([s1, s2, s3, s4, s5], ',') AS genotypes,
          |  nullif(regexp_extract(info, '(?:^|;)AF=([^;]+)', 1), '') AS af
          |FROM read_csv('$raw/sample.vcf', delim='\t', header=false,
          |  skip=4, names=$vcfCols, all_varchar=true)""".stripMargin,

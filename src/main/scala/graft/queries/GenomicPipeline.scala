@@ -48,6 +48,21 @@ object GenomicPipeline {
     * counts and frequencies — get_haplotypes.py output shape, plus the
     * transcript annotation columns proteinDatabase needs.
     */
+  /** Per-(transcript, signature) population/superpopulation frequency
+    * strings "POP:0.00123;POP2:0.04567" (get_haplotypes.count_freq_pop
+    * format, 5 decimals, codes sorted) for the protein DB to carry.
+    */
+  private def popFreqStrings(s: SparkSession, gts: DataFrame,
+                             popCol: String, out: String): DataFrame = {
+    val pops = s.read.parquet(s"$fx/samples_meta.parquet")
+      .select(col("sample"), col(popCol).as("population"))
+    Haplotypes.populationFrequencies(gts, pops)
+      .groupBy("transcript", "signature")
+      .agg(array_join(array_sort(collect_list(concat(col("population"),
+        lit(":"), format_string("%.5f", col("pop_frequency"))))), ";")
+        .as(out))
+  }
+
   def haploInput(s: SparkSession): DataFrame = {
     val gts = s.read.parquet(s"$fx/gts_long.parquet")
     val ph = Haplotypes.phased(gts)
@@ -80,6 +95,11 @@ object GenomicPipeline {
       .withColumn("frequency",
         round(col("hap_count") / col("total_copies"), 6))
       .drop("total_copies")
+      .join(popFreqStrings(s, gts, "population", "freq_population"),
+        Seq("transcript", "signature"), "left")
+      .join(popFreqStrings(s, gts, "superpopulation",
+        "freq_superpopulation"), Seq("transcript", "signature"), "left")
+      .na.fill("-", Seq("freq_population", "freq_superpopulation"))
       .join(transcriptInfo(s), Seq("transcript"))
   }
 
@@ -92,7 +112,7 @@ object GenomicPipeline {
     val path = s"$fx/protein_db.parquet"
     if (!dbReady) {
       HaploProteins.proteinDatabase(haploInput(s))
-        .coalesce(1).write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(path)
       dbReady = true
     }
     s.read.parquet(path)
@@ -132,7 +152,7 @@ object GenomicPipeline {
           col("sequence"))
       val proteins = db.unionByName(fixture)
       // dump the combined table for the DuckDB oracle
-      proteins.coalesce(1).write.mode("overwrite")
+      proteins.write.mode("overwrite")
         .parquet(s"$fx/pep_proteins.parquet")
       val matches = PeptideAnnotate.matchPeptides(
         s.read.parquet(s"$fx/peptides.parquet"), proteins, k = 4)

@@ -92,8 +92,57 @@ class HaploProteinsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("ProVar keeps synonymous and UTR variants (one row per allele)") {
     val pv = GenomicPipeline.queries("pv1_provar")(spark, "")
       .collect()
-    assert(pv.length == 9) // 7 T1 + 2 T2 alleles; T4 has no cDNA
+    assert(pv.length == 11) // 8 T1 + 2 T2 + 1 T5 alleles; T4 has no cDNA
     val ids = pv.map(_.getAs[String]("vcf_ids"))
     assert(ids.count(_.startsWith("rs5")) == 2) // both alleles kept
+  }
+
+  test("junction-crossing allele is reassembled across the intron") {
+    // rs12 REF spans exon1[39..40] + intron[41..60] + exon2[61..62];
+    // coordinates_toolbox.py splices the tail back on: spliced REF = AACC
+    // at cDNA 28, ALT = TT (frameshift), junction 1 affected
+    val pv = GenomicPipeline.queries("pv1_provar")(spark, "")
+      .collect().map(r => r.getAs[String]("vcf_ids") -> r).toMap
+    val r = pv("rs12:TT")
+    assert(r.getAs[String]("cdna_changes") == "28:AACC>TT")
+    assert(r.getAs[String]("variant_types") == "splice_variant")
+    assert(r.getAs[String]("splice_sites_affected") == "1")
+    assert(r.getAs[String]("all_protein_changes") == "8:NL>8:F(+fs)")
+  }
+
+  test("unknown reading frame: three-frame consequence chaining") {
+    // T5 has no start or stop codon -> rf = -1; the SNP rs11 (cDNA 9 T>G)
+    // is stop_lost in frame 0 (TAA>GAA), synonymous in frame 1 (GTT>GTG),
+    // stop_gained in frame 2 (TTA>TGA) — all three '|'-chained
+    val r = db(("T5", "rs11"))
+    assert(r.getAs[Int]("reading_frame") == -1)
+    assert(r.getAs[String]("variant_types") ==
+      "stop_lost|synonymous|stop_gained")
+    assert(r.getAs[String]("all_protein_changes") ==
+      "3:*>3:E|2:V>2:V|2:L>2:*")
+    assert(r.getAs[String]("protein_sequence") == "PYGEPVNRLT") // frame 0
+    assert(r.getAs[String]("alt_frame_sequences") ==
+      "RTVNRLTG*;VR*TG*PVN") // frames 1 and 2
+  }
+
+  test("vcf-id merge sums population frequencies (add_population_freqs)") {
+    // S1 copy1 carries rs1; S5 copy1 carries rs1+rs12 — after the UTR
+    // filter drops rs12 both collapse to vcf_ids=rs1: counts and per-pop
+    // frequencies add (GBR: S1 1/4 copies; FIN: S5 1/4 copies)
+    val r = db(("T1", "rs1"))
+    assert(r.getAs[Long]("occurrence_count") == 2L)
+    assert(r.getAs[String]("frequency_population") ==
+      "FIN:0.25000;GBR:0.25000")
+    assert(r.getAs[String]("frequency_superpopulation") == "EUR:0.25000")
+    assert(r.getAs[String]("samples") == "S1:1;S5:1")
+  }
+
+  test("rf=-1 haplotypes contribute one dedup entry per frame") {
+    val dedup = HaploProteins.dedupProteins(
+      HaploProteins.proteinDatabase(GenomicPipeline.haploInput(spark)))
+      .collect().map(r => r.getAs[String]("protein_sequence") -> r).toMap
+    assert(dedup("RTVNRLTG*").getAs[String]("rfs") == "1")
+    assert(dedup("VR*TG*PVN").getAs[String]("rfs") == "2")
+    assert(dedup("PYGEPVNRLT").getAs[String]("rfs") == "0")
   }
 }

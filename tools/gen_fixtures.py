@@ -52,10 +52,17 @@ assert len(cdna_t3) == 30
 # stop codon feature at rna pos 12..14 -> genomic 105+12=117..119
 assert cdna_t3[12:15] == "TGA"
 
-chr1 = ["A"] * 140
+# T5: single exon chr1[141..170], NO start codon and NO stop codon
+# features -> reading frame stays -1 even with force_rf: the protein DB
+# must translate & annotate in all three frames (rf=-1 chaining)
+cdna_t5 = "CCGTACGGTTAACCGGTTAACCGGTTAACC"
+assert len(cdna_t5) == 30
+
+chr1 = ["A"] * 180
 chr1[10:40] = list(cdna_t1[:30])     # genomic 11..40
 chr1[60:100] = list(cdna_t1[30:70])  # genomic 61..100
 chr1[104:134] = list(cdna_t3)        # genomic 105..134
+chr1[140:170] = list(cdna_t5)        # genomic 141..170
 chr1 = "".join(chr1)
 
 # ---- chromosome X: transcript T2 (reverse strand) + PAR boundaries ------
@@ -113,6 +120,11 @@ gtf_rows = [
      'gene_id "G3"; transcript_id "T3"; exon_number "1";'),
     ("1", "test", "stop_codon", 117, 119, ".", "+", ".",
      'gene_id "G3"; transcript_id "T3";'),
+    # T5 forward, no start/stop codon annotation -> rf stays unknown (-1)
+    ("1", "test", "transcript", 141, 170, ".", "+", ".",
+     'gene_id "G5"; transcript_id "T5"; transcript_biotype "processed_transcript";'),
+    ("1", "test", "exon", 141, 170, ".", "+", ".",
+     'gene_id "G5"; transcript_id "T5"; exon_number "1";'),
     # T2 reverse on X, protein_coding
     ("X", "test", "transcript", 21, 90, ".", "-", ".",
      'gene_id "G2"; transcript_id "T2"; transcript_biotype "protein_coding";'),
@@ -136,7 +148,8 @@ with open(os.path.join(OUT, "annotations.gtf"), "w") as f:
 # ---- cDNA FASTA ---------------------------------------------------------
 with open(os.path.join(OUT, "cdna.fasta"), "w") as f:
     # multi-line sequences on purpose (wrap at 30)
-    for tid, seq in [("T1", cdna_t1), ("T2", cdna_t2), ("T3", cdna_t3)]:
+    for tid, seq in [("T1", cdna_t1), ("T2", cdna_t2), ("T3", cdna_t3),
+                     ("T5", cdna_t5)]:
         f.write(f">{tid} cdna chromosome:fixture\n")
         for i in range(0, len(seq), 30):
             f.write(seq[i:i + 30] + "\n")
@@ -158,7 +171,7 @@ vcf_header = [
     "##fileformat=VCFv4.2",
     "##INFO=<ID=AF,Number=A,Type=Float,Description=\"Allele Frequency\">",
     "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
-    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3\tS4",
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3\tS4\tS5",
 ]
 # chr1 variants (T1: exons 11-40, 61-100; cDNA given above)
 # rs1: SNP exon1 coding GCT->GGT (genomic 19, cDNA 8, C>G), SAV A2G
@@ -176,28 +189,45 @@ def c1(pos):
 def cX(pos):
     return chrX[pos - 1]
 
+# rs11: SNP in T5 (no start/stop codon) -> exercises rf=-1 three-frame
+#       annotation (frame0 stop_lost / frame1 synonymous / frame2
+#       stop_gained by construction)
+# rs12: junction-crossing replacement in T1 3'UTR: REF spans the end of
+#       exon 1 (39..40), the whole intron (41..60) and the start of exon 2
+#       (61..62); the engine must reassemble the allele across the
+#       junction (coordinates_toolbox.py "reach into the next exon")
+rs12_ref = chr1[38:62]  # genomic 39..62 inclusive, 24 nt
+assert len(rs12_ref) == 24
+assert cdna_t1[28:32] == "AACC"  # spliced REF after junction reassembly
+assert cdna_t5[9] == "T"
+
 vcf_rows = [
     ("1", 19, "rs1", c1(19), "G", ".", "PASS", "AF=0.25",
-     "GT", "1|0", "1|0", "0|1", "0|0"),
+     "GT", "1|0", "1|0", "0|1", "0|0", "1|0"),
     ("1", 66, "rs2", c1(66), "A", ".", "PASS", "AF=0.50",
-     "GT", "0|1", "0|0", "1|1", "0|0"),
+     "GT", "0|1", "0|0", "1|1", "0|0", "0|0"),
     ("1", 12, "rs3", c1(12), "T", ".", "PASS", "AF=0.10",
-     "GT", "0|0", "0|1", "0|0", "1|0"),
+     "GT", "0|0", "0|1", "0|0", "1|0", "0|0"),
     ("1", 23, "rs4", c1(23), c1(23) + "A", ".", "PASS", "AF=0.05",
-     "GT", "0|0", "0|0", "0|1", "0|0"),
+     "GT", "0|0", "0|0", "0|1", "0|0", "0|0"),
     ("1", 31, "rs5", c1(31), "A,T", ".", "PASS", "AF=0.15,0.01",
-     "GT", "0|2", "0|0", "0|0", "2|1"),
+     "GT", "0|2", "0|0", "0|0", "2|1", "0|0"),
+    ("1", 39, "rs12", rs12_ref, "TT", ".", "PASS", "AF=0.11",
+     "GT", "0|0", "0|0", "0|0", "0|0", "1|0"),
     ("1", 50, "rs6", c1(50), "<DEL>", ".", "PASS", "AF=0.30",
-     "GT", "0|0", "0|1", "0|0", "0|0"),
+     "GT", "0|0", "0|1", "0|0", "0|0", "0|0"),
     ("1", 20, "rs7", c1(20), "A", ".", "PASS", "AF=0.02",
-     "GT", "0|0", "1|0", "0|0", "0|0"),
+     "GT", "0|0", "1|0", "0|0", "0|0", "0|0"),
+    ("1", 150, "rs11", c1(150), "G", ".", "PASS", "AF=0.22",
+     "GT", "0|0", "0|1", "0|0", "1|0", "0|0"),
     ("X", 30, "rs8", cX(30), "C" if cX(30) != "C" else "G", ".", "PASS",
-     "AF=0.20", "GT", "1|0", "0|0", "1|0", "0|0"),
+     "AF=0.20", "GT", "1|0", "0|0", "1|0", "0|0", "0|0"),
     ("X", 75, "rs9", cX(75), "T" if cX(75) != "T" else "A", ".", "PASS",
-     "AF=0.40", "GT", "0|1", "1|0", "0", "1"),
+     "AF=0.40", "GT", "0|1", "1|0", "0", "1", "0|0"),
     ("X", 110, "rs10", cX(110), "G" if cX(110) != "G" else "C", ".", "PASS",
-     "AF=0.33", "GT", "0|1", "0|0", "1|0", "0|1"),
+     "AF=0.33", "GT", "0|1", "0|0", "1|0", "0|1", "0|0"),
 ]
+assert c1(150) == "T"
 with open(os.path.join(OUT, "sample.vcf"), "w") as f:
     f.write("\n".join(vcf_header) + "\n")
     for r in vcf_rows:
@@ -210,6 +240,7 @@ with open(os.path.join(OUT, "samples.tsv"), "w") as f:
     f.write("S2\tfemale\tFIN\tEUR\n")
     f.write("S3\tmale\tGBR\tEUR\n")
     f.write("S4\tmale\tCHB\tEAS\n")
+    f.write("S5\tfemale\tFIN\tEUR\n")
 
 # ---- peptides -----------------------------------------------------------
 with open(os.path.join(OUT, "peptides.tsv"), "w") as f:
