@@ -18,13 +18,34 @@ import graft.plans.GraftFunctions
   * per-document hashing loops execute as compiled code inside whole-stage
   * codegen rather than interpreted Catalyst folds.
   *
-  * Cache lifecycle: minhashLsh / simhash / ngramJaccard persist small
-  * intermediate id+hash tables that their output plan references — callers
-  * owning a long-lived session should unpersist via
-  * spark.catalog.clearCache() (or df.sparkSession.sharedState.cacheManager)
-  * once the result has been consumed.
+  * Cache lifecycle: minhashLsh / simhash / ngramJaccard / embeddingNearDup
+  * persist small intermediate id+hash tables that their output plan
+  * references. Every persisted frame is tracked; callers owning a
+  * long-lived session call [[Dedup.releaseCaches]] once the result has
+  * been consumed (an action has run) — this unpersists ONLY the frames
+  * this object created, unlike spark.catalog.clearCache() which would
+  * evict the caller's own caches too.
   */
 object Dedup {
+
+  private val cachedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist + register for later release. */
+  private def tracked(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    cachedFrames.add(p)
+    p
+  }
+
+  /** Unpersist every intermediate frame the dedup operators persisted.
+    * Safe to call any time after the results have been materialized;
+    * non-blocking (Spark drops the blocks asynchronously).
+    */
+  def releaseCaches(): Unit = {
+    var df = cachedFrames.poll()
+    while (df != null) { df.unpersist(blocking = false); df = cachedFrames.poll() }
+  }
 
   /** Exact dedup: cluster by content hash of the raw text.
     * Output: one row per distinct content (hash, n_docs, canonical doc =
@@ -55,21 +76,19 @@ object Dedup {
     // would be recomputed once per branch — persist it instead. This is the
     // standard shape for distributed MinHash dedup: the signature table is
     // ~O(corpus ids), far smaller than the corpus text.
-    val docs = df.select(
+    val docs = tracked(df.select(
       col(idCol).as("id"),
       array_distinct(call_function("graft_word_shingles",
         text.words(col(textCol)), lit(shingleWords))).as("shingles"))
-      .where(size(col("shingles")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .where(size(col("shingles")) > 0))
 
     val sigs = docs
       .withColumn("sig",
         call_function("graft_minhash_sig", col("shingles"), lit(k)))
     // Buckets carry ONLY (bucket, id): the shingle arrays stay out of the
     // self-join shuffle, which is the dominant cost at corpus scale.
-    val buckets = sigs.select(col("id"),
-      explode(hashing.bandKeys(col("sig"), bands, rows)).as("bucket"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = tracked(sigs.select(col("id"),
+      explode(hashing.bandKeys(col("sig"), bands, rows)).as("bucket")))
     // Skew guard: a hot bucket (boilerplate text) would go quadratic; cap
     // its size. Capped buckets lose recall, never precision.
     val counts = buckets.groupBy("bucket")
@@ -102,11 +121,10 @@ object Dedup {
               bits: Int = 32, prefixBits: Int = 12,
               maxHamming: Int = 3): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val docs = df.select(col(idCol).as("id"),
+    val docs = tracked(df.select(col(idCol).as("id"),
       call_function("graft_simhash", text.bpeTokens(col(textCol)), lit(bits))
         .as("sh"))
-      .where(length(col("sh")) === bits)
-      .persist(StorageLevel.MEMORY_AND_DISK) // reused by both join sides
+      .where(length(col("sh")) === bits)) // reused by both join sides
     val l = docs.select(col("id").as("id1"), col("sh").as("sh1"),
       col("sh").substr(1, prefixBits).as("pfx"))
     val r = docs.select(col("id").as("id2"), col("sh").as("sh2"),
@@ -144,23 +162,21 @@ object Dedup {
       else
         call_function("graft_md5_char_ngrams",
           trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), lit(n))
-    val raw = df.select(col(idCol).as("id"), grams.as("grams"))
-      .where(size(col("grams")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds df-count + doc sort
+    val raw = tracked(df.select(col(idCol).as("id"), grams.as("grams"))
+      .where(size(col("grams")) > 0)) // feeds df-count + doc sort
     // Global document-frequency order (rarest gram first): candidates per
     // prefix key stay small because prefixes hold only rare grams — the
     // AllPairs/PPJoin ordering. Any global total order preserves the recall
     // guarantee; df-order is the one that scales. Ties break on the hash.
     val dfreq = raw.select(explode(col("grams")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
-    val docs = raw.select(col("id"), explode(col("grams")).as("g"))
+    // referenced three times below (prefix keys + both pair sides)
+    val docs = tracked(raw.select(col("id"), explode(col("grams")).as("g"))
       .join(dfreq, Seq("g"))
       .groupBy("id")
       .agg(transform(
         array_sort(collect_list(struct(col("df"), col("g")))),
-        s => s.getField("g")).as("grams"))
-      // referenced three times below (prefix keys + both pair sides)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        s => s.getField("g")).as("grams")))
     val prefixLen =
       (size(col("grams")) - ceil(size(col("grams")) * threshold) + 1)
         .cast("int")
@@ -193,10 +209,9 @@ object Dedup {
                        threshold: Double, signBits: Int = 8,
                        maxBucketSize: Int = 1000): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val vecs = df.select(
+    val vecs = tracked(df.select(
       vectors.signBucket(col(vecCol), signBits).as("block"),
-      col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")))
     val keep = vecs.groupBy("block").agg(count(lit(1)).as("_bsz"))
       .where(col("_bsz") <= maxBucketSize)
       .select("block")

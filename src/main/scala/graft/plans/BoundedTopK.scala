@@ -5,6 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -31,6 +32,16 @@ case class BoundedTopK(
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
 
   require(k > 0, "k must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StructType(Array(f0, f1))
+        if f0.dataType == DoubleType && f1.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires struct<score:double, id:bigint> input, got " +
+        other.catalogString +
+        " (cast the score to double and the id to bigint)")
+  }
 
   // evict the WORST entry first: a min-heap under "better =
   // (higher score, then lower id)" — PriorityQueue keeps max on top, so
@@ -113,6 +124,9 @@ object BoundedTopK {
   private[plans] val builder: Seq[Expression] => Expression = { children =>
     require(children.length == 2,
       s"$name(struct(score, id), k) takes 2 arguments")
+    require(children(1).foldable,
+      s"$name: k must be a literal (foldable) integer, got " +
+        children(1).sql)
     val k = children(1).eval(null) match {
       case n: Number => n.intValue()
       case other => throw new IllegalArgumentException(

@@ -142,7 +142,10 @@ object Genomic {
       s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, id, ref, alt, qual,
          |  filter, info,
          |  array_to_string([s1, s2, s3, s4, s5], ',') AS genotypes,
-         |  nullif(regexp_extract(info, '(?:^|;)AF=([^;]+)', 1), '') AS af
+         |  coalesce(
+         |    nullif(regexp_extract(info, '(?:^|;)AF=([^;]+)', 1), ''),
+         |    nullif(regexp_extract(info, '(?:^|;)MAF=([^;]+)', 1), ''))
+         |    AS af
          |FROM read_csv('$raw/sample.vcf', delim='\t', header=false,
          |  skip=4, names=$vcfCols, all_varchar=true)""".stripMargin,
 

@@ -102,9 +102,9 @@ object Genomic2 {
         .select(Gtf.attr(col("attributes"), "transcript_id")
           .as("transcript"),
           Gtf.attr(col("attributes"), "gene_id").as("gene"))
-      haploMap.coalesce(1).write.mode("overwrite")
+      haploMap.write.mode("overwrite")
         .parquet(s"$fx/simplify_haplo_map.parquet")
-      geneMap.coalesce(1).write.mode("overwrite")
+      geneMap.write.mode("overwrite")
         .parquet(s"$fx/gene_map.parquet")
       FastaHeaders.simplifyHeaders(s.read.parquet(s"$fx/postproc.parquet"),
         haploMap, geneMap, transcriptPrefix = "T")

@@ -9,9 +9,11 @@ import graft.sources.Gtf
 
 /** End-to-end ProHap/ProVar pipelines over the genomic fixtures:
   * VCF genotypes -> per-copy haplotypes -> mutated cDNA -> protein
-  * database. These queries are checked by the driver's rows-only gate
-  * (the full pipeline is not expressible in one DuckDB SQL statement) and
-  * by hand-computed expectations in HaploProteinsSpec.
+  * database. The full pipeline is not expressible in one DuckDB SQL
+  * statement, so h4/h5/pv1 are hash-checked against committed
+  * expected-output snapshots (fixtures/expected/) that HaploProteinsSpec
+  * independently asserts field-by-field from hand-computed reference
+  * semantics; p2 has a real SQL oracle.
   */
 object GenomicPipeline {
 
@@ -184,12 +186,17 @@ object GenomicPipeline {
     })
   )
 
-  /** h4/h5/pv1 use the driver's rows-only check (exact expectations live in
-    * HaploProteinsSpec); p2 has a full SQL oracle over the dumped combined
-    * protein table.
+  /** p2 has a full SQL oracle over the dumped combined protein table.
+    * h4/h5/pv1 (the end-to-end pipeline, not expressible as one SQL
+    * statement) are hash-checked against committed expected-output
+    * snapshots (fixtures/expected/, regenerated by graft.tools.Snapshot)
+    * whose rows are independently asserted field-by-field against
+    * hand-computed reference semantics in HaploProteinsSpec.
     */
   val oracles: Map[String, String] = {
     def pq(name: String) = s"read_parquet('$fx/$name.parquet/*.parquet')"
+    def snapshot(name: String) =
+      s"SELECT * FROM read_parquet('/root/repo/fixtures/expected/$name.parquet')"
     // shared SQL fragments for parsing "locRef:REF>locAlt:ALT[(+fs)]"
     def locAlt(ch: String) =
       s"TRY_CAST(regexp_extract($ch, '>(-?[0-9]+):', 1) AS BIGINT)"
@@ -202,6 +209,9 @@ object GenomicPipeline {
     def fs(ch: String) = s"ends_with($ch, '(+fs)')"
 
     Map(
+      "h4_protein_db" -> snapshot("h4_protein_db"),
+      "h5_protein_dedup" -> snapshot("h5_protein_dedup"),
+      "pv1_provar" -> snapshot("pv1_provar"),
       "p2_pep_annotate" ->
         s"""WITH m AS (
            |  SELECT p.pepId, p.peptide, pr.accession, o.mpos AS pos

@@ -18,9 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Vcf {
 
-  /** Read VCF file(s) into the standard parsed schema. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    parseLines(spark.read.text(path), "value")
+  /** Default allele-frequency INFO keys: `AF` with `MAF` fallback —
+    * 1000 Genomes-era VCFs commonly carry `MAF=` instead of `AF=`
+    * (vcf_filter_fix.py exposes this as the `-af_field` option).
+    */
+  val defaultAfFields: Seq[String] = Seq("AF", "MAF")
+
+  /** Read VCF file(s) into the standard parsed schema. `afFields` picks the
+    * INFO key(s) for the allele-frequency column, first match wins.
+    */
+  def read(spark: SparkSession, path: String,
+           afFields: Seq[String] = defaultAfFields): DataFrame =
+    parseLines(spark.read.text(path), "value", afFields)
 
   /** Sample names from the `#CHROM` header line (fields 10+), in column
     * order. VCF genotype columns are anonymous positions until tied to
@@ -38,10 +47,13 @@ object Vcf {
 
   /** Parse a DataFrame of raw VCF lines (column `c`) into
     * (chrom, pos, id, ref, alt, qual, filter, info, genotypes, af).
-    * `af` is the raw (possibly comma-separated, per-ALT-allele) AF string;
+    * `af` is the raw (possibly comma-separated, per-ALT-allele) AF string
+    * from the first `afFields` INFO key present on the row (configurable
+    * AF field per vcf_filter_fix.py:25-31 `get_MAF`/`--af_field`);
     * a trailing \r (CRLF input) is stripped so the last field stays clean.
     */
-  def parseLines(lines: DataFrame, c: String): DataFrame = {
+  def parseLines(lines: DataFrame, c: String,
+                 afFields: Seq[String] = defaultAfFields): DataFrame = {
     val f = split(regexp_replace(col(c), "\r$", ""), "\t")
     lines
       .where(!col(c).startsWith("#") && length(trim(col(c))) > 0)
@@ -56,7 +68,8 @@ object Vcf {
         f.getItem(7).as("info"),
         slice(f, lit(10), greatest(size(f) - 9, lit(0))).as("genotypes")
       )
-      .withColumn("af", infoField(col("info"), "AF"))
+      .withColumn("af",
+        coalesce(afFields.map(k => infoField(col("info"), k)): _*))
   }
 
   /** Extract a key=value field from a VCF INFO string (raw string value). */

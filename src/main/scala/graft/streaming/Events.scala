@@ -99,8 +99,12 @@ object Events {
               closed += close(user, a)
               acc = Some(SessionAcc(ms, ms, 1L, v))
             case Some(a) =>
-              acc = Some(SessionAcc(a.start, math.max(a.end, ms), a.n + 1,
-                a.sum + v))
+              // min() on start: an in-watermark event from a later
+              // micro-batch may be OLDER than the open session's start —
+              // batch sessionize would have extended the session backwards,
+              // so the stream must too
+              acc = Some(SessionAcc(math.min(a.start, ms),
+                math.max(a.end, ms), a.n + 1, a.sum + v))
             case None =>
               acc = Some(SessionAcc(ms, ms, 1L, v))
           }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Boots a SparkSession with spark.sql.extensions=graft.plans.GraftExtensions
+  * and exercises the injected functions through plain SQL — no manual
+  * BoundedTopK.register / GraftFunctions.register calls. This is the path a
+  * cluster deployment uses (--conf spark.sql.extensions=...), so it needs
+  * its own test: per-session registration passing does not prove the
+  * extensions hook wires the same builders.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("spark.sql.extensions injects bounded_top_k and graft_* functions") {
+    // getOrCreate only applies extensions when it BUILDS a session — make
+    // sure it can't return a leftover one from another suite
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .appName("extensions-test")
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      Seq((1L, 0.9), (2L, 0.5), (3L, 0.7)).toDF("id", "score")
+        .createOrReplaceTempView("scores")
+
+      val tk = spark.sql(
+        "SELECT bounded_top_k(struct(score, id), 2) AS tk FROM scores")
+        .collect()(0).getSeq[Row](0)
+      assert(tk.map(_.getLong(1)) == Seq(1L, 3L)) // best-first, k-capped
+
+      val native = spark.sql(
+        """SELECT
+          |  graft_hamming(graft_simhash(array('a','b','c'), 16),
+          |                graft_simhash(array('a','b','c'), 16)) AS d,
+          |  graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+          |  size(graft_minhash_sig(array('x','y'), 4)) AS k,
+          |  graft_word_shingles(array('a','b','c'), 2) AS sh,
+          |  graft_md5_char_ngrams('abcd', 3) AS ng
+          |""".stripMargin).collect()(0)
+      assert(native.getAs[Int]("d") == 0)
+      assert(math.abs(native.getAs[Double]("c") - 1.0) < 1e-12)
+      assert(native.getAs[Int]("k") == 4)
+      assert(native.getSeq[String](3) == Seq("a b", "b c"))
+      assert(native.getSeq[String](4).length == 2) // 'abc','bcd' hashed
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}

@@ -72,6 +72,25 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.getAs[Double]("allele_af") == 0.1)
   }
 
+  test("MAF INFO field is picked up when AF is absent (af-field fallback)") {
+    val p = write("maf.vcf",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n" +
+        "1\t10\trs1\tA\tG\t.\t.\tAC=3;MAF=0.25\tGT\t0|1\n" +     // MAF only
+        "1\t20\trs2\tC\tT\t.\t.\tAF=0.4;MAF=0.9\tGT\t1|0\n" +    // AF wins
+        "1\t30\trs3\tG\tA\t.\t.\tAC=1\tGT\t0|0\n")               // neither
+    val rows = Vcf.read(spark, p).orderBy("pos").collect()
+    assert(rows(0).getAs[String]("af") == "0.25")
+    assert(rows(1).getAs[String]("af") == "0.4")
+    assert(rows(2).getAs[String]("af") == null)
+    // custom field name, no fallback — vcf_filter_fix.py --af_field
+    val custom = Vcf.read(spark, p, afFields = Seq("AC"))
+      .orderBy("pos").collect()
+    assert(custom.map(_.getAs[String]("af")).toSeq == Seq("3", null, "1"))
+    // the AF filter in normalize honors the fallback value
+    val norm = Vcf.normalize(Vcf.read(spark, p), minAf = 0.3).collect()
+    assert(norm.map(_.getAs[String]("id")).toSeq == Seq("rs2"))
+  }
+
   test("FASTA writer round-trips through the reader") {
     val ss = spark
     import ss.implicits._
