@@ -23,8 +23,8 @@ import graft.functions.dna
   * codon + forceRf fallback), reverse-strand allele reverse-complementing
   * and position flipping (process_haplotypes.py:200-205), liftover
   * alt==reference drop (:208), splice-junction truncation of alleles
-  * (coordinates_toolbox.get_rna_position; the rare reach-into-next-exon
-  * reassembly is truncated instead — documented divergence), start-codon
+  * incl. reach-into-next-exon reassembly across the junction
+  * (coordinates_toolbox.get_rna_position), start-codon
   * shift/loss per variant (check_start_change, incl. Python-modulo
   * semantics via pmod), ordered variant application with cumulative indel
   * offsets, per-variant affected-codon extraction on reference and mutated

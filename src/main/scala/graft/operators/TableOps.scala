@@ -6,10 +6,59 @@ import org.apache.spark.sql.functions._
 /** Table-level utilities.
   *
   * Reference: /root/reference/src/merge_tables.py (schema-aligned concat of
-  * per-chromosome result tables) and csv_to_vcf.py (projection of an
-  * arbitrary CSV into VCF column shape).
+  * per-chromosome result tables), csv_to_vcf.py (projection of an
+  * arbitrary CSV into VCF column shape), and get_reference_ENST.py
+  * (reference-proteome transcript list with optional MANE-Select
+  * canonicalization).
   */
 object TableOps {
+
+  /** get_reference_ENST.py: extract (chromosome, transcriptID) from an
+    * Ensembl reference-proteome FASTA's descriptions — the stable id after
+    * "transcript:" (version stripped), the chromosome from
+    * "chromosome:<build>:<chr>:…" or, failing that, "GRCh<nn>:<chr>:…",
+    * "-" when neither is present.
+    *
+    * With `onlyMane`, keep per gene only the MANE_Select transcript when
+    * the gene has one, otherwise only the Ensembl_canonical transcript
+    * (get_reference_ENST.py:45-64). `transcripts` carries the annotation:
+    * (transcript_id, gene_id, attributes) where `attributes` is the raw
+    * GTF attribute string (tags checked by containment, since `tag` is a
+    * repeated attribute). The per-gene has-MANE rollup is an aggregation
+    * over the transcript dimension (small next to the proteome scan) and
+    * broadcasts back; no O(n²) per-row annotation-DB lookups like the
+    * reference's Python loop.
+    */
+  def referenceEnst(proteins: DataFrame, transcripts: DataFrame = null,
+                    onlyMane: Boolean = false): DataFrame = {
+    val trId = regexp_extract(col("description"),
+      "transcript:([^.\\s]+)", 1)
+    val chrom = when(col("description").contains("chromosome:"),
+      regexp_extract(col("description"), "chromosome:[^:]*:([^:]+):", 1))
+      .when(col("description").contains("GRCh"),
+        regexp_extract(col("description"), "GRCh[^:]*:([^:]+):", 1))
+      .otherwise(lit("-"))
+    val base = proteins
+      .where(col("description").contains("transcript:"))
+      .select(chrom.as("chromosome"), trId.as("transcriptID"))
+    if (!onlyMane) base
+    else {
+      val tagged = transcripts.select(
+        col("transcript_id").as("transcriptID"),
+        col("gene_id"),
+        col("attributes").contains("tag \"MANE_Select\"").as("is_mane"),
+        col("attributes").contains("tag \"Ensembl_canonical\"")
+          .as("is_canonical"))
+      val geneHasMane = tagged.groupBy("gene_id")
+        .agg(max(col("is_mane")).as("gene_has_mane"))
+      val keep = tagged.join(broadcast(geneHasMane), Seq("gene_id"))
+        .where(when(col("gene_has_mane"), col("is_mane"))
+          .otherwise(col("is_canonical")))
+        .select("transcriptID")
+      base.join(broadcast(keep), Seq("transcriptID"))
+        .select("chromosome", "transcriptID")
+    }
+  }
 
   /** Union tables by column name, filling columns missing on either side
     * with nulls — pd.concat semantics from merge_tables.py.

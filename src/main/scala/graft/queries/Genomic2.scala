@@ -115,6 +115,20 @@ object Genomic2 {
       FastaHeaders.removeUtrEntries(s.read.parquet(s"$fx/postproc.parquet"))
     }),
 
+    "f7_fix_headers_enst" -> ((s, _) => {
+      prep(s)
+      FastaHeaders.formatHeaders(s.read.parquet(s"$fx/ensref.parquet"),
+        customTag = "", useEnst = true)
+    }),
+
+    "r1_reference_enst" -> ((s, _) => {
+      prep(s)
+      TableOps.referenceEnst(
+        s.read.parquet(s"$fx/ensref.parquet"),
+        s.read.parquet(s"$fx/ensref_tr.parquet"),
+        onlyMane = true)
+    }),
+
     "m1_multimodal" -> ((s, _) => {
       prep(s)
       Multimodal.sampleFrames(
@@ -410,6 +424,49 @@ object Genomic2 {
          |    AS description,
          |  sequence
          |FROM k WHERE len(keep) > 0""".stripMargin,
+
+    "f7_fix_headers_enst" ->
+      s"""WITH p AS (
+         |  SELECT tag, accession, description, sequence,
+         |    CASE WHEN contains(description, 'ENST')
+         |      THEN regexp_extract(description, 'ENST[^.\\s]*')
+         |      ELSE accession END AS acc
+         |  FROM ${pq("ensref")})
+         |SELECT CASE WHEN tag = '' THEN 'generic' ELSE tag END AS tag,
+         |  acc AS accession,
+         |  CASE WHEN NOT contains(description, 'matching_proteins:')
+         |    THEN description || ' matching_proteins:' || acc
+         |    ELSE description END AS description,
+         |  sequence
+         |FROM p""".stripMargin,
+
+    "r1_reference_enst" ->
+      s"""WITH base AS (
+         |  SELECT CASE WHEN contains(description, 'chromosome:')
+         |      THEN regexp_extract(description,
+         |        'chromosome:[^:]*:([^:]+):', 1)
+         |    WHEN contains(description, 'GRCh')
+         |      THEN regexp_extract(description, 'GRCh[^:]*:([^:]+):', 1)
+         |    ELSE '-' END AS chromosome,
+         |    regexp_extract(description, 'transcript:([^.\\s]+)', 1)
+         |      AS transcriptID
+         |  FROM ${pq("ensref")}
+         |  WHERE contains(description, 'transcript:')),
+         |tagged AS (
+         |  SELECT transcript_id AS transcriptID, gene_id,
+         |    contains(attributes, 'tag "MANE_Select"') AS is_mane,
+         |    contains(attributes, 'tag "Ensembl_canonical"')
+         |      AS is_canonical
+         |  FROM ${pq("ensref_tr")}),
+         |gm AS (
+         |  SELECT gene_id, max(is_mane) AS gene_has_mane
+         |  FROM tagged GROUP BY 1),
+         |keep AS (
+         |  SELECT t.transcriptID FROM tagged t JOIN gm USING (gene_id)
+         |  WHERE CASE WHEN gm.gene_has_mane THEN t.is_mane
+         |    ELSE t.is_canonical END)
+         |SELECT b.chromosome, b.transcriptID
+         |FROM base b JOIN keep k USING (transcriptID)""".stripMargin,
 
     "m1_multimodal" ->
       s"""WITH m AS (

@@ -264,6 +264,43 @@ with open(os.path.join(OUT, "variants.csv"), "w") as f:
     f.write("varA,1,100,A,C,first\n")
     f.write("varC,1,50,G,GA,third\n")
 
+# ---- Ensembl-style reference proteome + annotation (get_reference_ENST,
+# ---- fix_headers use_ENST) ----------------------------------------------
+# Header shapes: Ensembl pep (unpiped, 'transcript:ENSTxx.v' +
+# 'chromosome:BUILD:CHR:...'), a scaffold entry using the bare 'GRChNN:CHR:'
+# form, one with no chromosome info at all, and one piped sp-style entry
+# whose description carries the ENST (the use_ENST promotion path for
+# formatted headers).
+with open(os.path.join(OUT, "ensref.fasta"), "w") as f:
+    f.write(">ENSP01.1 pep chromosome:GRCh38:1:11:100:1 gene:ENSG01.2 "
+            "transcript:ENST01.3 gene_symbol:GA\nMASRL\n")
+    f.write(">ENSP02.2 pep chromosome:GRCh38:2:5:50:-1 gene:ENSG01.2 "
+            "transcript:ENST02.1\nMPKGY\n")
+    f.write(">ENSP03.1 pep scaffold GRCh38:X:1:99:1 gene:ENSG02.1 "
+            "transcript:ENST03.1\nMKRLL\n")
+    f.write(">ENSP04.1 pep transcript:ENST04.2 gene:ENSG03.1\nMASTT\n")
+    f.write(">sp|P100|Reference protein transcript:ENST01.3 OS=Fixture\n"
+            "MASRL\n")
+
+# tag is a REPEATED GTF attribute (multiple 'tag "..."' per line), so the
+# fixture exercises containment matching rather than first-value extraction
+ensref_gtf_rows = [
+    ("1", "ens", "transcript", 11, 100, ".", "+", ".",
+     'gene_id "ENSG01"; transcript_id "ENST01"; tag "basic"; '
+     'tag "MANE_Select";'),
+    ("2", "ens", "transcript", 5, 50, ".", "-", ".",
+     'gene_id "ENSG01"; transcript_id "ENST02"; tag "basic"; '
+     'tag "Ensembl_canonical";'),
+    ("X", "ens", "transcript", 1, 99, ".", "+", ".",
+     'gene_id "ENSG02"; transcript_id "ENST03"; tag "Ensembl_canonical";'),
+    ("3", "ens", "transcript", 1, 60, ".", "+", ".",
+     'gene_id "ENSG03"; transcript_id "ENST04"; tag "basic";'),
+]
+with open(os.path.join(OUT, "ensref.gtf"), "w") as f:
+    f.write("#!genome-build fixture-ens\n")
+    for r in ensref_gtf_rows:
+        f.write("\t".join(str(x) for x in r) + "\n")
+
 # ---- post-processing FASTA (merge_duplicate_seq-style headers) ----------
 with open(os.path.join(OUT, "postproc.fasta"), "w") as f:
     f.write(">generic_enshap|prot_1|position_within_protein:0;0 "
