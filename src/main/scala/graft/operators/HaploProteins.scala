@@ -159,6 +159,7 @@ object HaploProteins {
                       skipStartLoss: Boolean = true,
                       minCount: Long = 0L,
                       requireNonSyn: Boolean = true): DataFrame = {
+    graft.plans.GraftFunctions.register(haplo0.sparkSession)
     // optional per-haplotype population rollup strings ("POP:0.00123;..."),
     // carried through and merged on the vcf-id merge like
     // process_haplotypes.add_population_freqs
@@ -193,12 +194,21 @@ object HaploProteins {
       .withColumn("_hasStart", col("start_codon_start").isNotNull)
 
     // ---- 1) explode variants in cDNA order (reverse genomic on '-') ----
+    // Haplotype-level columns are CARRIED through the explode and the
+    // per-variant stages instead of being re-joined downstream: the
+    // join-back shape recomputed the entire upstream per branch (the
+    // round-2 physical plan had 39 parquet scans / 77 exchanges for this
+    // one query). The explode fanout is the per-haplotype variant count
+    // (small), so carrying costs little and the pipeline stays one linear
+    // scan with a single partitioning on (transcript, signature).
     val ordered = when(col("_rev"), reverse(col("changes")))
       .otherwise(col("changes"))
+    val carry = Seq("chrom", "biotype", "cdna", "_len", "_rev", "_rf0",
+      "_startLoc0", "_pstart0", "_hasStart", "hap_count", "frequency",
+      "samples", "freq_population", "freq_superpopulation")
     val exploded = base
-      .select(col("transcript"), col("signature"), col("_len"), col("_rev"),
-        col("exons"), col("cdna"),
-        posexplode(ordered).as(Seq("ord", "v")))
+      .select(Seq(col("transcript"), col("signature"), col("exons")) ++
+        carry.map(col) :+ posexplode(ordered).as(Seq("ord", "v")): _*)
 
     // ---- 2) per-variant rna position, truncation, strand flip ----------
     val refN = when(col("v").getField("ref") === "-", "")
@@ -222,13 +232,14 @@ object HaploProteins {
       // liftover drop: ALT already present in the reference cDNA
       .where(col("alt") =!=
         col("cdna").substr((col("rna") + 1).cast("int"), length(col("alt"))))
-      .select(col("transcript"), col("signature"), col("ord"),
-        col("v").getField("pos").as("pos"),
-        col("v").getField("varId").as("varId"),
-        col("v").getField("af").as("af"),
-        col("v").getField("ref").as("refDna"),
-        col("v").getField("alt").as("altDna"),
-        col("ref"), col("alt"), col("rna"), col("intersect"))
+      .select(Seq(col("transcript"), col("signature")) ++ carry.map(col) ++
+        Seq(col("ord"),
+          col("v").getField("pos").as("pos"),
+          col("v").getField("varId").as("varId"),
+          col("v").getField("af").as("af"),
+          col("v").getField("ref").as("refDna"),
+          col("v").getField("alt").as("altDna"),
+          col("ref"), col("alt"), col("rna"), col("intersect")): _*)
 
     // ---- 3) window-derived prefix state over the kept variant order ----
     val w = Window.partitionBy("transcript", "signature").orderBy("ord")
@@ -241,16 +252,17 @@ object HaploProteins {
       .withColumn("offBefore",
         coalesce(sum(col("altLen") - col("refLen")).over(wBefore), lit(0L)))
 
-    // ---- 4) collect per-haplotype variant array (small structs) --------
+    // ---- 4) collect per-haplotype variant array (small structs); the
+    // haplotype-level columns ride along via first() — no join back to
+    // `base`, so the upstream is computed exactly once
     val perHaplo = staged
       .groupBy("transcript", "signature")
       .agg(array_sort(collect_list(struct(
         col("ord"), col("pos"), col("varId"), col("af"), col("refDna"),
         col("altDna"), col("ref"), col("alt"), col("rna"), col("refLen"),
         col("altLen"), col("isFs"), col("offBefore"), col("intersect"))))
-        .as("vars"))
-      .join(base.drop("changes"), Seq("transcript", "signature"))
-      .where(size(col("vars")) > 0)
+        .as("vars"),
+        carry.map(c => first(col(c)).as(c)): _*)
 
     // ---- 5) start-codon shift/loss fold (check_start_change) -----------
     val startState = aggregate(
@@ -326,17 +338,24 @@ object HaploProteins {
     val withCdna = withStart.withColumn("_ap", applied)
       .where(col("_ap").getField("ok"))
       .withColumn("_mutated", col("_ap").getField("s"))
-      .select("transcript", "signature", "chrom", "biotype", "cdna",
+      .select("transcript", "signature", "vars", "chrom", "biotype", "cdna",
         "_mutated", "_rf", "_rfRef", "_pstart", "_pstartRef", "_hasStart",
         "_startLost", "_lostOrd", "hap_count", "frequency", "samples",
         "freq_population", "freq_superpopulation")
 
-    // ---- 7) re-join variants as rows: per-variant protein consequence --
+    // ---- 7) re-explode the collected vars (NOT a join back to `staged` —
+    // that would recompute steps 1-3): per-variant protein consequence.
     // _refA/_altA are per-frame arrays: one entry for a known frame, three
     // (frames 0,1,2) when the frame is unknown — the rf=-1 chaining of
     // process_haplotypes.py:321-356.
-    val conseqRows = staged
-      .join(withCdna, Seq("transcript", "signature"))
+    val varFields = Seq("ord", "pos", "varId", "af", "refDna", "altDna",
+      "ref", "alt", "rna", "refLen", "altLen", "isFs", "offBefore",
+      "intersect")
+    val conseqRows = withCdna
+      .select(col("*"), explode(col("vars")).as("_v"))
+      .select(Seq(col("*")) ++
+        varFields.map(f => col("_v").getField(f).as(f)): _*)
+      .drop("_v", "vars")
       .withColumn("_refA", affected(col("cdna"), col("rna"), col("refLen"),
         col("_rfRef").cast("long"), col("_pstartRef")))
       .withColumn("_altA", affected(col("_mutated"),
@@ -396,15 +415,19 @@ object HaploProteins {
       .withColumn("keepLen",
         length(element_at(col("_altA"), 1).getField("aa")).cast("long"))
 
-    // ---- 8) back to one row per haplotype ------------------------------
+    // ---- 8) back to one row per haplotype; haplotype-level columns ride
+    // along via first() — no join back to withCdna
+    val hapCols = Seq("chrom", "biotype", "_mutated", "_rf", "_pstart",
+      "_hasStart", "_startLost", "hap_count", "frequency", "samples",
+      "freq_population", "freq_superpopulation")
     val collected = conseqDone
       .groupBy("transcript", "signature")
       .agg(array_sort(collect_list(struct(
         col("ord"), col("pos"), col("varId"), col("af"),
         col("refDna"), col("altDna"), col("intersect"),
         col("cdnaCh"), col("protCh"), col("conseq"), col("synonymous"),
-        col("keepLoc"), col("keepLen")))).as("cq"))
-      .join(withCdna, Seq("transcript", "signature"))
+        col("keepLoc"), col("keepLen")))).as("cq"),
+        hapCols.map(c => first(col(c)).as(c)): _*)
 
     // ---- 9) translate, UTR trim, UTR-variant filter --------------------
     val protFull = dna.translateDna(col("_mutated"),

@@ -166,6 +166,33 @@ object NativeExprs {
     override def prettyName: String = "graft_hamming"
   }
 
+  /** graft_translate_dna(string seq, int frame) -> string protein.
+    * Codon-table lookup compiled into [[graft.functions.NativeSeqOps]];
+    * replaces the 64-entry map-literal scan per codon.
+    */
+  case class GraftTranslateDna(left: Expression, right: Expression)
+    extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType.catalogString == StringType.catalogString && right.dataType.catalogString == IntegerType.catalogString)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(seq: Any, frame: Any): Any =
+      graft.functions.NativeSeqOps.translateDna(
+        seq.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        frame.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (s, f) => s"graft.functions.NativeSeqOps.translateDna($s, $f)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(newLeft, newRight)
+    override def prettyName: String = "graft_translate_dna"
+  }
+
   /** graft_cosine(array<double>, array<double>) -> double, left-fold sums
     * matching vectors.cosine / the DuckDB list_reduce oracles exactly.
     */
@@ -220,7 +247,9 @@ object GraftFunctions {
     ("graft_hamming", classOf[GraftHamming],
       arity2("graft_hamming", GraftHamming.apply)),
     ("graft_cosine", classOf[GraftCosine],
-      arity2("graft_cosine", GraftCosine.apply))
+      arity2("graft_cosine", GraftCosine.apply)),
+    ("graft_translate_dna", classOf[GraftTranslateDna],
+      arity2("graft_translate_dna", GraftTranslateDna.apply))
   )
 
   /** Idempotent per-session registration (operators call this; the

@@ -83,6 +83,7 @@ object Genomic {
 
     "v4_translate" -> ((s, _) => {
       prep(s)
+      graft.plans.GraftFunctions.register(s)
       s.read.parquet(s"$fx/cdna.parquet")
         .select(col("transcript_id"), col("sequence"),
           explode(sequence(lit(0), lit(2))).as("frame"))

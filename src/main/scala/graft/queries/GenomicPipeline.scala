@@ -50,21 +50,6 @@ object GenomicPipeline {
     * counts and frequencies — get_haplotypes.py output shape, plus the
     * transcript annotation columns proteinDatabase needs.
     */
-  /** Per-(transcript, signature) population/superpopulation frequency
-    * strings "POP:0.00123;POP2:0.04567" (get_haplotypes.count_freq_pop
-    * format, 5 decimals, codes sorted) for the protein DB to carry.
-    */
-  private def popFreqStrings(s: SparkSession, gts: DataFrame,
-                             popCol: String, out: String): DataFrame = {
-    val pops = s.read.parquet(s"$fx/samples_meta.parquet")
-      .select(col("sample"), col(popCol).as("population"))
-    Haplotypes.populationFrequencies(gts, pops)
-      .groupBy("transcript", "signature")
-      .agg(array_join(array_sort(collect_list(concat(col("population"),
-        lit(":"), format_string("%.5f", col("pop_frequency"))))), ";")
-        .as(out))
-  }
-
   def haploInput(s: SparkSession): DataFrame = {
     val gts = s.read.parquet(s"$fx/gts_long.parquet")
     val ph = Haplotypes.phased(gts)
@@ -72,7 +57,12 @@ object GenomicPipeline {
     val copyCounts = universe.groupBy("transcript")
       .agg(count(lit(1)).as("total_copies"))
 
-    val sigs = ph.where(col("has_alt"))
+    // one heavy shuffle of the genotype matrix: per-copy variant lists.
+    // Both the haplotype grouping and the population rollup derive from
+    // this shared table (it previously ran twice — once here, once inside
+    // populationFrequencies). Persisted because two branches consume it;
+    // it is per-copy pre-aggregated, i.e. far smaller than the matrix.
+    val sigDetail = ph.where(col("has_alt"))
       .groupBy("transcript", "sample", "phase")
       .agg(
         array_sort(collect_list(struct(col("pos"), col("varId"),
@@ -80,11 +70,16 @@ object GenomicPipeline {
           .as("changes"),
         Haplotypes.hasConflict(collect_list(struct(col("pos"),
           length(col("ref")).as("refLen")))).as("conflict"))
-      .where(!col("conflict"))
-      .withColumn("signature",
-        array_join(transform(col("changes"), v => v.getField("varId")), ";"))
+    val perCopy = universe.join(sigDetail,
+        Seq("transcript", "sample", "phase"), "left")
+      .withColumn("conflict", coalesce(col("conflict"), lit(false)))
+      .withColumn("signature", when(col("changes").isNull, lit("REF"))
+        .otherwise(array_join(transform(col("changes"),
+          v => v.getField("varId")), ";")))
+      .persist()
 
-    sigs
+    val haplos = perCopy
+      .where(col("changes").isNotNull && !col("conflict"))
       .groupBy("transcript", "signature")
       .agg(
         first(col("changes")).as("changes"),
@@ -97,10 +92,37 @@ object GenomicPipeline {
       .withColumn("frequency",
         round(col("hap_count") / col("total_copies"), 6))
       .drop("total_copies")
-      .join(popFreqStrings(s, gts, "population", "freq_population"),
-        Seq("transcript", "signature"), "left")
-      .join(popFreqStrings(s, gts, "superpopulation",
-        "freq_superpopulation"), Seq("transcript", "signature"), "left")
+
+    // population + superpopulation frequency strings "POP:0.00123;..."
+    // (get_haplotypes.count_freq_pop format, 5 decimals, codes sorted) in
+    // ONE rollup: the metadata is stacked with a level prefix so per-level
+    // counts and denominators come out of a single shuffle. Conflicted and
+    // REF copies stay in the denominators/rollup exactly like
+    // populationFrequencies (h2/h2b semantics).
+    val meta = s.read.parquet(s"$fx/samples_meta.parquet")
+    val stacked = meta.select(col("sample"),
+      concat(lit("p|"), col("population")).as("population"))
+      .unionByName(meta.select(col("sample"),
+        concat(lit("s|"), col("superpopulation")).as("population")))
+    val popCopies = universe.join(stacked, Seq("sample"))
+      .groupBy("transcript", "population")
+      .agg(count(lit(1)).as("pop_copies"))
+    def strOf(lvl: String) = array_join(array_sort(collect_list(
+      when(substring_index(col("population"), "|", 1) === lvl,
+        concat(substring_index(col("population"), "|", -1), lit(":"),
+          format_string("%.5f", col("pop_frequency")))))), ";")
+    val popStrings = perCopy.join(stacked, Seq("sample"))
+      .groupBy("transcript", "signature", "population")
+      .agg(count(lit(1)).as("pop_count"))
+      .join(popCopies, Seq("transcript", "population"))
+      .withColumn("pop_frequency",
+        round(col("pop_count") / col("pop_copies"), 6))
+      .groupBy("transcript", "signature")
+      .agg(strOf("p").as("freq_population"),
+        strOf("s").as("freq_superpopulation"))
+
+    haplos
+      .join(popStrings, Seq("transcript", "signature"), "left")
       .na.fill("-", Seq("freq_population", "freq_superpopulation"))
       .join(transcriptInfo(s), Seq("transcript"))
   }
