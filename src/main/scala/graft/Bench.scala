@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,6 +13,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed prep: fixture-table materialization and the shared protein-DB
+    // build are one-time test scaffolding, not operator cost — without this
+    // they land on whichever genomic query happens to run first and swamp
+    // its number. Reported separately as "prep_sec" for transparency.
+    val tPrep = System.nanoTime()
+    try {
+      graft.fixtures.GenomicFixtures.ensure(spark)
+      graft.queries.GenomicPipeline.proteinDb(spark)
+    } catch { case _: Throwable => }
+    val prep = (System.nanoTime() - tPrep) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -20,9 +30,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = (if (results.nonEmpty) results.values.sum else 0.0) + prep
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","prep_sec":$prep,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // stdout can interleave with sbt/spark logging; also drop the JSON in a
     // file so the driver can machine-read it reliably

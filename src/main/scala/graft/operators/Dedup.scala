@@ -162,8 +162,11 @@ object Dedup {
       else
         call_function("graft_md5_char_ngrams",
           trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), lit(n))
-    val raw = tracked(df.select(col(idCol).as("id"), grams.as("grams"))
-      .where(size(col("grams")) > 0)) // feeds df-count + doc sort
+    // NOT persisted: both consumers (df-count, doc sort) re-run only the
+    // narrow native gram kernel — cheaper at corpus scale than holding a
+    // corpus-sized gram table in executor storage.
+    val raw = df.select(col(idCol).as("id"), grams.as("grams"))
+      .where(size(col("grams")) > 0)
     // Global document-frequency order (rarest gram first): candidates per
     // prefix key stay small because prefixes hold only rare grams — the
     // AllPairs/PPJoin ordering. Any global total order preserves the recall
@@ -180,11 +183,30 @@ object Dedup {
     val prefixLen =
       (size(col("grams")) - ceil(size(col("grams")) * threshold) + 1)
         .cast("int")
-    val keyed = docs.select(col("id"),
-      explode(slice(col("grams"), lit(1), prefixLen)).as("pfx"))
-    val pairs = keyed.select(col("pfx"), col("id").as("id1"))
-      .join(keyed.select(col("pfx"), col("id").as("id2")), Seq("pfx"))
+    // Prefix keys carry (size, position) so the exact AllPairs length
+    // filter and the PPJoin positional filter prune candidates BEFORE the
+    // distinct + verify join — on low-diversity corpora the raw prefix
+    // collisions approach all-pairs, and the verify join (shuffling full
+    // gram arrays per candidate) is the dominant cost. Both filters are
+    // exact: a pair with J >= t always passes them at its first shared
+    // prefix element, so recall is unchanged.
+    val keyed = docs.select(col("id"), size(col("grams")).as("sz"),
+      posexplode(slice(col("grams"), lit(1), prefixLen)).as(Seq("p", "pfx")))
+    val pairs = keyed
+      .select(col("pfx"), col("id").as("id1"), col("sz").as("sz1"),
+        col("p").as("p1"))
+      .join(keyed.select(col("pfx"), col("id").as("id2"),
+        col("sz").as("sz2"), col("p").as("p2")), Seq("pfx"))
       .where(col("id1") < col("id2"))
+      // length filter: J >= t forces min(|g|) >= t * max(|g|)
+      .where(least(col("sz1"), col("sz2")).cast("double") >=
+        lit(threshold) * greatest(col("sz1"), col("sz2")))
+      // positional filter: overlap <= 1 + min(remaining suffix lengths);
+      // required overlap alpha = ceil(t/(1+t) * (|g1|+|g2|))
+      .where((lit(1) + least(col("sz1") - col("p1") - 1,
+        col("sz2") - col("p2") - 1)).cast("double") >=
+        ceil(lit(threshold / (1 + threshold)) *
+          (col("sz1") + col("sz2"))).cast("double"))
       .select("id1", "id2").distinct()
     pairs
       .join(docs.select(col("id").as("id1"), col("grams").as("g1")), Seq("id1"))

@@ -48,6 +48,47 @@ object Profile {
       graft.operators.Dedup.ngramJaccard(docs0, "doc_id", "text",
         n = 3, threshold = 0.5, wordGrams = true).count()
     }
+    // d4 stage split (mirrors ngramJaccard internals)
+    locally {
+      graft.plans.GraftFunctions.register(spark)
+      val raw = docs0.select(col("doc_id").as("id"),
+        call_function("graft_md5_array",
+          array_distinct(call_function("graft_word_shingles",
+            text.words(col("text")), lit(3)))).as("grams"))
+        .where(size(col("grams")) > 0)
+      time("d4_raw") { raw.count() }
+      val dfreq = raw.select(explode(col("grams")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("df"))
+      time("d4_dfreq") { dfreq.count() }
+      val docs = raw.select(col("id"), explode(col("grams")).as("g"))
+        .join(dfreq, Seq("g"))
+        .groupBy("id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("df"), col("g")))),
+          s => s.getField("g")).as("grams")).persist()
+      time("d4_docs") { docs.count() }
+      val prefixLen =
+        (size(col("grams")) - ceil(size(col("grams")) * 0.5) + 1).cast("int")
+      val keyed = docs.select(col("id"),
+        explode(slice(col("grams"), lit(1), prefixLen)).as("pfx"))
+      val pairs = keyed.select(col("pfx"), col("id").as("id1"))
+        .join(keyed.select(col("pfx"), col("id").as("id2")), Seq("pfx"))
+        .where(col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+      time("d4_pairs") { pairs.count() }
+      time("d4_verify") {
+        pairs
+          .join(docs.select(col("id").as("id1"), col("grams").as("g1")),
+            Seq("id1"))
+          .join(docs.select(col("id").as("id2"), col("grams").as("g2")),
+            Seq("id2"))
+          .withColumn("jaccard", round(
+            size(array_intersect(col("g1"), col("g2"))).cast("double") /
+              size(array_union(col("g1"), col("g2"))), 5))
+          .where(col("jaccard") >= 0.5).count()
+      }
+      docs.unpersist()
+    }
     spark.stop()
   }
 }
