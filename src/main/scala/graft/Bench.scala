@@ -23,9 +23,53 @@ object Bench {
       graft.queries.GenomicPipeline.proteinDb(spark)
     } catch { case _: Throwable => }
     val prep = (System.nanoTime() - tPrep) / 1e9
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results0 = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    // Synthetic-scale genomic benchmarks: the gate fixtures are
+    // intentionally tiny (hand-computed oracles), so the genomic
+    // operators' gate timings carry no scale signal. These generate
+    // deterministic inputs sized from the sf corpus (~1M genotype rows /
+    // 1M points at sf0.1) and time the same operators at volume.
+    import org.apache.spark.sql.functions._
+    val nDocs =
+      try spark.read.parquet(s"$sfDir/documents.parquet").count()
+      catch { case _: Throwable => 5000L }
+    val synth: Map[String, () => Long] = Map(
+      "gx_interval_scale" -> (() => {
+        val pts = spark.range(nDocs * 200).select(
+          concat(lit("chr"), col("id") % 22).as("chrom"),
+          pmod(hash(col("id")), lit(250000000)).cast("long").as("pos"),
+          col("id").as("varId"))
+        val ivs = spark.range(nDocs * 10).select(
+          concat(lit("chr"), col("id") % 22).as("chrom"),
+          pmod(hash(col("id") + 7), lit(250000000)).cast("long")
+            .as("start"),
+          col("id").as("ivId"))
+          .withColumn("end", col("start") + 5000L)
+        graft.operators.IntervalJoin.pointsInIntervals(pts, ivs,
+          Seq("chrom")).count()
+      }),
+      "hx_haplo_scale" -> (() => {
+        val gts = spark.range(nDocs).select(col("id").as("snum"))
+          .crossJoin(spark.range(200).select(col("id").as("vnum")))
+          .select(
+            concat(lit("T"), col("vnum") % 100).as("transcript"),
+            concat(lit("S"), col("snum")).as("sample"),
+            concat(lit("v"), col("vnum")).as("varId"),
+            (col("vnum") * 31 % 100000).as("pos"),
+            lit("A").as("ref"),
+            when(pmod(hash(col("snum"), col("vnum")), lit(13)) === 0, "1|0")
+              .when(pmod(hash(col("snum"), col("vnum")), lit(13)) === 1,
+                "0|1")
+              .otherwise("0|0").as("gt"))
+        graft.operators.Haplotypes.haplotypes(gts).count()
+      }))
+    val results = results0 ++ synth.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try fn() catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

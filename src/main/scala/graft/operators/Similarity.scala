@@ -52,6 +52,53 @@ object Similarity {
         (col("_r") + 1).cast("long").as("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is coarsely
+    * quantized to its nearest centroid, queries probe their `nprobe`
+    * nearest centroid lists, and only those lists are scanned.
+    *
+    * The codebook is a deterministic sample of the corpus itself (every
+    * `centStep`-th id) — the training-free IVF-flat baseline; swap in
+    * k-means centroids for tighter lists without touching the plan shape.
+    * Both the corpus assignment and the query probe use the native
+    * bounded_top_k partial aggregate, so the assignment shuffle carries at
+    * most one (id, centroid) row per vector per map task and the scored
+    * candidates per query stay ~|corpus| * nprobe / nlist — the 100 TB
+    * scan-reduction path where sign-LSH recall decays with dimension.
+    */
+  def knnCosineIvf(queries: DataFrame, corpus: DataFrame, k: Int,
+                   centStep: Long, nprobe: Int,
+                   qId: String = "qid", qVec: String = "qvec",
+                   cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(call_function("graft_cosine", a.cast("array<double>"),
+        b.cast("array<double>")), 5)
+    val cents = broadcast(
+      corpus.where(pmod(col(cId), lit(centStep)) === 0)
+        .select(col(cId).as("centId"), col(cVec).as("centVec")))
+    // coarse assignment: nearest centroid per corpus vector
+    val assign = topKPerQuery(
+      corpus.crossJoin(cents)
+        .select(col(cId), col("centId"),
+          cos(col(cVec), col("centVec")).as("cosine")),
+      1, cId, "centId")
+      .select(col(cId), col("centId"))
+    // query probes: nprobe nearest centroid lists
+    val probes = topKPerQuery(
+      queries.crossJoin(cents)
+        .select(col(qId), col("centId"),
+          cos(col(qVec), col("centVec")).as("cosine")),
+      nprobe, qId, "centId")
+      .select(col(qId), col("centId"))
+    // scan only the probed lists ((qid, cid) is unique: each cid belongs
+    // to exactly one list), then exact top-k on the candidates
+    val scored = probes.join(assign, Seq("centId"))
+      .join(corpus, Seq(cId))
+      .join(broadcast(queries), Seq(qId))
+      .select(col(qId), col(cId), cos(col(qVec), col(cVec)).as("cosine"))
+    topKPerQuery(scored, k, qId, cId)
+  }
+
   /** Approximate top-k: candidates restricted to the query's sign-bit LSH
     * bucket. Bucket on the first `bits` dimensions' signs; recall can be
     * raised by lowering `bits` (bigger buckets) or probing neighbor buckets.

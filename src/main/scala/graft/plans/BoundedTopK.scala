@@ -162,5 +162,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(cls.getName, name), builder))
     }
+    ext.injectOptimizerRule(_ => RangeJoinRule)
   }
 }

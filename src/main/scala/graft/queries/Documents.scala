@@ -99,6 +99,14 @@ object Documents {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       Similarity.knnCosineLsh(q, c, k = 5, bits = 4)
+    }),
+
+    "s3_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.knnCosineIvf(q, c, k = 5, centStep = 64, nprobe = 3)
     })
   )
 
@@ -282,6 +290,42 @@ object Documents {
          |  FROM embeddings),
          |s AS (SELECT qid, cid, round($cosineSql, 5) AS cosine
          |  FROM q JOIN c ON q.bucket = c.bucket)
+         |SELECT qid, cid, cosine, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, cid) AS rank FROM s)
+         |WHERE rank <= 5""".stripMargin,
+
+    "s3_ivf_ann" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS centid, embedding AS centv FROM embeddings
+         |  WHERE vec_id % 64 = 0),
+         |a0 AS (
+         |  SELECT ev.vec_id AS cid, c.centid, round($cosineSql, 5)
+         |    AS cosine
+         |  FROM (SELECT vec_id, embedding AS qv FROM embeddings) ev,
+         |       (SELECT centid, centv AS cv FROM cents) c),
+         |assign AS (
+         |  SELECT cid, centid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cid
+         |      ORDER BY cosine DESC, centid) AS r FROM a0) WHERE r = 1),
+         |p0 AS (
+         |  SELECT qv0.vec_id AS qid, c.centid, round($cosineSql, 5)
+         |    AS cosine
+         |  FROM (SELECT vec_id, embedding AS qv FROM embeddings
+         |        WHERE vec_id < 8) qv0,
+         |       (SELECT centid, centv AS cv FROM cents) c),
+         |probes AS (
+         |  SELECT qid, centid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, centid) AS r FROM p0) WHERE r <= 3),
+         |s AS (
+         |  SELECT q.qid, a.cid, round($cosineSql, 5) AS cosine
+         |  FROM probes p
+         |  JOIN assign a USING (centid)
+         |  JOIN (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |        WHERE vec_id < 8) q ON p.qid = q.qid
+         |  JOIN (SELECT vec_id AS cid2, embedding AS cv FROM embeddings) ce
+         |    ON a.cid = ce.cid2)
          |SELECT qid, cid, cosine, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cosine DESC, cid) AS rank FROM s)

@@ -49,6 +49,30 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(native.getAs[Int]("k") == 4)
       assert(native.getSeq[String](3) == Seq("a b", "b c"))
       assert(native.getSeq[String](4).length == 2) // 'abc','bcd' hashed
+
+      // RangeJoinRule injected: the natural range join compiles to the
+      // binned equi-join (bins span 10000 by default, so the two sides
+      // only meet where containment is possible) with no nested-loop join
+      val graftTranslate = spark.sql(
+        "SELECT graft_translate_dna('ATGTTTTAA', 0) AS p").collect()(0)
+      assert(graftTranslate.getString(0) == "MF*")
+      Seq(("1", 5L, "v1"), ("1", 25000L, "v2"), ("2", 5L, "v3"))
+        .toDF("chrom", "pos", "vid").createOrReplaceTempView("pts")
+      Seq(("1", 1L, 10L, "e1"), ("1", 24990L, 26000L, "e2"),
+        ("2", 100L, 200L, "e3"))
+        .toDF("chrom", "start", "end", "eid")
+        .createOrReplaceTempView("iv")
+      val rj = spark.sql(
+        """SELECT p.vid, i.eid FROM pts p JOIN iv i
+          |ON p.chrom = i.chrom AND p.pos >= i.start AND p.pos <= i.end
+          |""".stripMargin)
+      val plan = rj.queryExecution.executedPlan.toString
+      assert(plan.contains("Generate explode(sequence"),
+        s"range join was not rewritten to the binned plan:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"))
+      assert(rj.collect().map(r => (r.getString(0), r.getString(1))).toSet
+        == Set(("v1", "e1"), ("v2", "e2")))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
