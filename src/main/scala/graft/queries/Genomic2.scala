@@ -115,6 +115,20 @@ object Genomic2 {
       FastaHeaders.removeUtrEntries(s.read.parquet(s"$fx/postproc.parquet"))
     }),
 
+    "f8_fasta_write" -> ((s, _) => {
+      prep(s)
+      // writer round trip: format headers (the reference always formats
+      // before writing — an empty tag is not round-trippable), write as
+      // single-line FASTA, read back through the splittable reader. The
+      // oracle recomputes the formatted table directly, so any grammar
+      // drift in the writer (or reader) breaks the hash.
+      import graft.sources.Fasta
+      val out = s"$fx/fasta_written"
+      Fasta.write(FastaHeaders.formatHeaders(
+        s.read.parquet(s"$fx/proteins.parquet")), out)
+      Fasta.read(s, out)
+    }),
+
     "f7_fix_headers_enst" -> ((s, _) => {
       prep(s)
       FastaHeaders.formatHeaders(s.read.parquet(s"$fx/ensref.parquet"),
@@ -424,6 +438,15 @@ object Genomic2 {
          |    AS description,
          |  sequence
          |FROM k WHERE len(keep) > 0""".stripMargin,
+
+    "f8_fasta_write" ->
+      s"""SELECT CASE WHEN tag = '' THEN 'generic' ELSE tag END AS tag,
+         |  accession,
+         |  CASE WHEN NOT contains(description, 'matching_proteins:')
+         |    THEN description || ' matching_proteins:' || accession
+         |    ELSE description END AS description,
+         |  sequence
+         |FROM ${pq("proteins")}""".stripMargin,
 
     "f7_fix_headers_enst" ->
       s"""WITH p AS (
