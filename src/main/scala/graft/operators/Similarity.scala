@@ -103,11 +103,27 @@ object Similarity {
     * bucket. Bucket on the first `bits` dimensions' signs; recall can be
     * raised by lowering `bits` (bigger buckets) or probing neighbor buckets.
     */
+  /** `multiProbe = true` additionally probes every bucket at Hamming
+    * distance 1 from the query's bucket (the standard multi-probe LSH
+    * recall fix: a near neighbor differing in ONE borderline sign bit is
+    * still found, at bits+1 probe keys per query instead of 2^bits larger
+    * buckets). Corpus vectors keep a single bucket, so (query, corpus)
+    * candidates stay unique and no dedup shuffle is needed.
+    */
   def knnCosineLsh(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int,
                    qId: String = "qid", qVec: String = "qvec",
-                   cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+                   cId: String = "cid", cVec: String = "cvec",
+                   multiProbe: Boolean = false): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
-    val qb = queries.withColumn("_bucket", vectors.signBucket(col(qVec), bits))
+    val bucket = vectors.signBucket(col(qVec), bits)
+    val probeSet =
+      if (!multiProbe) array(bucket)
+      else array(bucket +: (1 to bits).map { i =>
+        concat(substring(bucket, 1, i - 1),
+          when(substring(bucket, i, 1) === "1", "0").otherwise("1"),
+          substring(bucket, i + 1, bits - i))
+      }: _*)
+    val qb = queries.withColumn("_bucket", explode(probeSet))
     val cb = corpus.withColumn("_bucket", vectors.signBucket(col(cVec), bits))
     val scored = cb.join(broadcast(qb), Seq("_bucket"))
       .select(col(qId), col(cId),

@@ -101,6 +101,14 @@ object Documents {
       Similarity.knnCosineLsh(q, c, k = 5, bits = 4)
     }),
 
+    "s2b_lsh_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.knnCosineLsh(q, c, k = 5, bits = 4, multiProbe = true)
+    }),
+
     "s3_ivf_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 8)
@@ -284,6 +292,29 @@ object Documents {
          |    array_to_string([CASE WHEN qb >= 0 THEN '1' ELSE '0' END
          |      for qb in embedding[1:4]], '') AS bucket
          |  FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cid, embedding AS cv,
+         |    array_to_string([CASE WHEN cb >= 0 THEN '1' ELSE '0' END
+         |      for cb in embedding[1:4]], '') AS bucket
+         |  FROM embeddings),
+         |s AS (SELECT qid, cid, round($cosineSql, 5) AS cosine
+         |  FROM q JOIN c ON q.bucket = c.bucket)
+         |SELECT qid, cid, cosine, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, cid) AS rank FROM s)
+         |WHERE rank <= 5""".stripMargin,
+
+    "s2b_lsh_multiprobe" ->
+      s"""WITH q0 AS (SELECT vec_id AS qid, embedding AS qv,
+         |    array_to_string([CASE WHEN qb >= 0 THEN '1' ELSE '0' END
+         |      for qb in embedding[1:4]], '') AS b
+         |  FROM embeddings WHERE vec_id < 8),
+         |q1 AS (SELECT qid, qv, [b] ||
+         |    [substr(b, 1, i-1) ||
+         |       (CASE WHEN b[i] = '1' THEN '0' ELSE '1' END) ||
+         |       substr(b, i+1)
+         |     for i in range(1, 5)] AS probes
+         |  FROM q0),
+         |q AS (SELECT qid, qv, unnest(probes) AS bucket FROM q1),
          |c AS (SELECT vec_id AS cid, embedding AS cv,
          |    array_to_string([CASE WHEN cb >= 0 THEN '1' ELSE '0' END
          |      for cb in embedding[1:4]], '') AS bucket
