@@ -119,6 +119,19 @@ object Relational {
           round(sum(col("l_extendedprice")), 4).as("sum_price"))
     }),
 
+    "q11_salted_join" -> ((s, dir) => {
+      // explicit deterministic salting (graft.operators.Skew) as the
+      // AQE-independent skew answer: same result as the plain join
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      graft.operators.Skew.saltedJoin(li, o, Seq("l_orderkey"),
+        col("l_linenumber"), salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 4).as("sum_price"))
+    }),
+
     "q10_range_agg" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
@@ -197,6 +210,13 @@ object Relational {
         |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q9_skewjoin" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 4) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // salting must not change the join result: same oracle as q9
+    "q11_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  round(sum(l_extendedprice), 4) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
