@@ -42,6 +42,16 @@ object Streaming {
         .agg(min(col("event_id")).as("first_event"),
           min(col("ts")).as("first_ts"),
           count(lit(1)).as("n_events"))
+    }),
+
+    "e4_stream_enrich" -> ((s, dir) => {
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("user_id"),
+          col("c_nationkey").cast("long").as("nation_key"),
+          col("c_mktsegment").as("segment"))
+      Events.enrich(events(s, dir), dim, "user_id")
+        .select("event_id", "user_id", "event_type", "ts", "value",
+          "nation_key", "segment")
     })
   )
 
@@ -74,6 +84,12 @@ object Streaming {
       """SELECT user_id, event_type,
         |  min(event_id) AS first_event, min(ts) AS first_ts,
         |  count(*) AS n_events
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "e4_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.ts, e.value,
+        |  c.c_nationkey AS nation_key, c.c_mktsegment AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"""
+        .stripMargin
   )
 }

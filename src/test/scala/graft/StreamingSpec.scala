@@ -94,4 +94,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
     assert(n == 2L) // the second event_id=1 is dropped
   }
+
+  test("stream-static enrichment joins the broadcast dimension per event") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val dim = Seq((1L, "EU"), (2L, "US")).toDF("user_id", "region")
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    val events = mem.toDF().toDF("event_id", "user_id", "ts")
+
+    val q = Events.enrich(events, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    mem.addData((10L, 1L, ts(1)), (11L, 2L, ts(2)), (12L, 9L, ts(3)))
+    q.processAllAvailable()
+    val rows = spark.table("enriched")
+      .select("event_id", "region").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    q.stop()
+    // unknown user 9 keeps its event with a null region (left join)
+    assert(rows == Set((10L, Some("EU")), (11L, Some("US")), (12L, None)))
+  }
 }
