@@ -23,6 +23,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // reclaim operator-persisted frames between queries (safe: the
+      // query's action has completed)
+      graft.operators.Dedup.releaseCaches()
+      graft.queries.GenomicPipeline.releaseCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

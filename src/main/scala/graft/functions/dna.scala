@@ -51,15 +51,20 @@ object dna {
   /** Translate a cDNA sequence to protein in the given reading frame.
     * Unknown codons (e.g. containing N) become 'X'.
     *
-    * Dispatches to the native [[NativeSeqOps.translateDna]] kernel
-    * (graft_translate_dna, registered by GraftFunctions / the
-    * spark.sql.extensions config): a direct table lookup per codon
-    * instead of a 64-entry map-literal scan, and ~2 expression nodes per
-    * call site instead of ~130 (which dominated optimizer time in the
-    * protein pipeline).
+    * Dispatches to the native [[NativeSeqOps.translateDna]] kernel: a
+    * direct table lookup per codon instead of a 64-entry map-literal
+    * scan, and ~2 expression nodes per call site instead of ~130 (which
+    * dominated optimizer time in the protein pipeline). The expression is
+    * constructed directly, so this Column API needs no function
+    * registration (SQL users get the same kernel as graft_translate_dna
+    * via GraftFunctions / spark.sql.extensions).
     */
-  def translateDna(seq: Column, frame: Column = lit(0)): Column =
-    call_function("graft_translate_dna", seq, frame.cast("int"))
+  def translateDna(seq: Column, frame: Column = lit(0)): Column = {
+    import org.apache.spark.sql.classic.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.NativeExprs.GraftTranslateDna(
+      GraftColumnBridge.expression(seq),
+      GraftColumnBridge.expression(frame.cast("int"))))
+  }
 
   /** Apply an ordered list of variants to a sequence.
     *

@@ -81,7 +81,11 @@ object HaploProteins {
         // into the next exon")
         val refLenT = length(refT)
         val altLenT = length(altT)
-        val pastEnd = locT + refLenT - 1 > en
+        // reference: "dna_location + ref_len > exon.end" — with 1-based
+        // inclusive coordinates this fires for alleles ending exactly AT
+        // the exon end too (they get the splice flag, and an insertion at
+        // the last base has its alt truncated below)
+        val pastEnd = locT + refLenT > en
         val remaining = (en - locT + 1).cast("int")
         val ns = e.getField("ns")
         val startAgain = (ns - locT).cast("int")
@@ -91,7 +95,7 @@ object HaploProteins {
             refT.substr(startAgain + 1, length(refT))))
             .otherwise(refT.substr(lit(1), remaining)))
           .otherwise(refT)
-        val altPast = locT + altLenT - 1 > en
+        val altPast = locT + altLenT > en
         val altReach = ns.isNotNull && (locT + altLenT > ns)
         val altT2 = when(pastEnd && altPast,
           when(altReach, concat(altT.substr(lit(1), remaining),
@@ -361,13 +365,14 @@ object HaploProteins {
       .withColumn("_altA", affected(col("_mutated"),
         col("rna") + col("offBefore"), col("altLen"),
         col("_rf").cast("long"), col("_pstart")))
-      // frameshift chaining state: the reference updates has_frameshift
-      // with the LAST frame's ref ploc (the loop variable that survives
-      // the per-frame loop)
-      .withColumn("_plocRefLast",
-        element_at(col("_refA"), size(col("_refA"))).getField("ploc"))
+      // frameshift chaining state: the reference ORs
+      // "frameshifts[ch_idx] and loc_ref >= 0" over EVERY frame inside
+      // the per-frame loop (process_haplotypes.py:353), so a frameshift
+      // counts if ANY frame places it at a non-negative ref position
+      .withColumn("_fsVisible",
+        exists(col("_refA"), r => r.getField("ploc") >= 0))
       .withColumn("_hasFsBefore", coalesce(
-        max(col("isFs") && col("_plocRefLast") >= 0).over(wBefore),
+        max(col("isFs") && col("_fsVisible")).over(wBefore),
         lit(false)))
 
     // start-loss replaces the dna-level type (process_haplotypes.py:246)

@@ -30,7 +30,12 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   * match nothing, exactly like the original predicate).
   *
   * Config: spark.sql.graft.rangeJoin.enabled (default true),
-  * spark.sql.graft.rangeJoin.binSize (default 10000).
+  * spark.sql.graft.rangeJoin.binSize (default 10000),
+  * spark.sql.graft.rangeJoin.maxBins (default 100000). An interval wider
+  * than maxBins*binSize raises a clear runtime error naming the configs —
+  * a loud failure instead of a silent multi-million-element explode (e.g.
+  * epoch-millisecond windows against the genomic-scale default binSize):
+  * raise binSize for wide domains or disable the rule.
   * Injected by [[GraftExtensions]] (spark.sql.extensions) or per-session
   * via [[RangeJoinRule.register]].
   */
@@ -99,12 +104,19 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val binSize = conf
       .getConfString("spark.sql.graft.rangeJoin.binSize", "10000").toLong
 
+    val maxBins = conf
+      .getConfString("spark.sql.graft.rangeJoin.maxBins", "100000").toLong
+
+    // skip joins this rule already rewrote AND joins already binned by
+    // hand (IntervalJoin.pointsInIntervals joins on a "_bin" column whose
+    // residual range filter gets pushed into the join condition by
+    // PushPredicateThroughJoin — re-binning it would double the explode)
+    val binNames = Set(binAttrName, "_bin")
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
-        // idempotency guard: skip joins this rule already rewrote
-        if !j.output.exists(_.name == binAttrName) &&
-          !left.output.exists(_.name == binAttrName) &&
-          !right.output.exists(_.name == binAttrName) =>
+        if !j.output.exists(a => binNames.contains(a.name)) &&
+          !left.output.exists(a => binNames.contains(a.name)) &&
+          !right.output.exists(a => binNames.contains(a.name)) =>
         val conjuncts = splitConjunctivePredicates(cond)
         val hit = boundsOf(conjuncts, left, right).map((_, false))
           .orElse(boundsOf(conjuncts, right, left).map((_, true)))
@@ -118,9 +130,22 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             // interval side: explode to every overlapped bin
             val iBinAttr =
               AttributeReference(binAttrName, LongType, nullable = false)()
+            // loud runtime guard instead of a silent huge explode: an
+            // interval spanning more than maxBins bins raises with the
+            // configs to adjust
+            val floorS = floorBin(start, binSize)
+            val floorE = floorBin(end, binSize)
+            val guardedStop = If(
+              GreaterThan(Subtract(floorE, floorS), Literal(maxBins)),
+              Cast(new RaiseError(Literal(
+                s"graft range join: interval spans more than $maxBins" +
+                  s" bins of $binSize; raise spark.sql.graft.rangeJoin" +
+                  ".binSize / .maxBins or disable " +
+                  "spark.sql.graft.rangeJoin.enabled")),
+                LongType, Some(conf.sessionLocalTimeZone)),
+              floorE)
             val gen = Generate(
-              Explode(Sequence(floorBin(start, binSize),
-                floorBin(end, binSize), None,
+              Explode(Sequence(floorS, guardedStop, None,
                 Some(conf.sessionLocalTimeZone))),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(iBinAttr), child = intervalSide)

@@ -77,6 +77,7 @@ object GenomicPipeline {
         .otherwise(array_join(transform(col("changes"),
           v => v.getField("varId")), ";")))
       .persist()
+    pendingCaches.add(perCopy)
 
     val haplos = perCopy
       .where(col("changes").isNotNull && !col("conflict"))
@@ -129,6 +130,24 @@ object GenomicPipeline {
 
   private var dbReady = false
 
+  /** Frames persisted by haploInput; drained (unpersisted) once a
+    * consumer has materialized — long-lived sessions would otherwise
+    * accumulate dead cached blocks per haploInput call.
+    */
+  private val pendingCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every frame haploInput persisted. Callers that run
+    * haploInput-derived plans directly (not via proteinDb) should call
+    * this after their action.
+    */
+  def releaseCaches(): Unit = {
+    var df = pendingCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking = false); df = pendingCaches.poll()
+    }
+  }
+
   /** The protein database is consumed by h4/h5/p2 — materialize it once
     * per JVM instead of re-running the pipeline per query.
     */
@@ -138,6 +157,7 @@ object GenomicPipeline {
       HaploProteins.proteinDatabase(haploInput(s))
         .write.mode("overwrite").parquet(path)
       dbReady = true
+      releaseCaches() // the parquet is the product; drop the lineage cache
     }
     s.read.parquet(path)
   }

@@ -67,13 +67,25 @@ object Profile {
           array_sort(collect_list(struct(col("df"), col("g")))),
           s => s.getField("g")).as("grams")).persist()
       time("d4_docs") { docs.count() }
+      val threshold = 0.5
       val prefixLen =
-        (size(col("grams")) - ceil(size(col("grams")) * 0.5) + 1).cast("int")
-      val keyed = docs.select(col("id"),
-        explode(slice(col("grams"), lit(1), prefixLen)).as("pfx"))
-      val pairs = keyed.select(col("pfx"), col("id").as("id1"))
-        .join(keyed.select(col("pfx"), col("id").as("id2")), Seq("pfx"))
+        (size(col("grams")) - ceil(size(col("grams")) * threshold) + 1)
+          .cast("int")
+      val keyed = docs.select(col("id"), size(col("grams")).as("sz"),
+        posexplode(slice(col("grams"), lit(1), prefixLen))
+          .as(Seq("p", "pfx")))
+      val pairs = keyed
+        .select(col("pfx"), col("id").as("id1"), col("sz").as("sz1"),
+          col("p").as("p1"))
+        .join(keyed.select(col("pfx"), col("id").as("id2"),
+          col("sz").as("sz2"), col("p").as("p2")), Seq("pfx"))
         .where(col("id1") < col("id2"))
+        .where(least(col("sz1"), col("sz2")).cast("double") >=
+          lit(threshold) * greatest(col("sz1"), col("sz2")))
+        .where((lit(1) + least(col("sz1") - col("p1") - 1,
+          col("sz2") - col("p2") - 1)).cast("double") >=
+          ceil(lit(threshold / (1 + threshold)) *
+            (col("sz1") + col("sz2"))).cast("double"))
         .select("id1", "id2").distinct()
       time("d4_pairs") { pairs.count() }
       time("d4_verify") {

@@ -145,4 +145,60 @@ class HaploProteinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dedup("VR*TG*PVN").getAs[String]("rfs") == "2")
     assert(dedup("PYGEPVNRLT").getAs[String]("rfs") == "0")
   }
+
+  // inline single-haplotype input for edge cases the shared fixture
+  // doesn't reach
+  private def inlineHaplo(exons: Seq[(Long, Long)], startCodon: Option[Long],
+                          cdna: String,
+                          changes: Seq[(Long, String, String, String)]) = {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    Seq(1).toDF("x").select(
+      lit("TX").as("transcript"), lit("1").as("chrom"),
+      lit("protein_coding").as("biotype"), lit("+").as("strand"),
+      array(exons.map { case (s, e) =>
+        struct(lit(s).as("start"), lit(e).as("end")) }: _*).as("exons"),
+      startCodon.map(lit(_)).getOrElse(lit(null)).cast("long")
+        .as("start_codon_start"),
+      lit(null).cast("long").as("stop_codon_start"),
+      lit(cdna).as("cdna"),
+      lit(changes.map(_._2).mkString(";")).as("signature"),
+      array(changes.map { case (pos, id, ref, alt) =>
+        struct(lit(pos).as("pos"), lit(id).as("varId"), lit(ref).as("ref"),
+          lit(alt).as("alt"), lit(0.5).as("af")) }: _*).as("changes"),
+      lit(1L).as("hap_count"), lit(0.5).as("frequency"),
+      lit("S1:1").as("samples"))
+  }
+
+  test("allele ending exactly AT the exon end gets the splice flag") {
+    // coordinates_toolbox.py: 'dna_location + ref_len > exon.end' fires
+    // for an allele whose last base IS the exon end (39+2 > 40) — the
+    // splice flag is set even though nothing is truncated
+    val cdna = "ATG" + "GCT" * 19 // 60 nt, no stops, M + 19xA
+    val r = HaploProteins.proteinDatabase(inlineHaplo(
+      Seq((11L, 40L), (61L, 90L)), Some(11L), cdna,
+      Seq((39L, "rsEdge", "CT", "AT")))).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[String]("variant_types") == "splice_variant")
+    assert(r(0).getAs[String]("splice_sites_affected") == "1")
+    assert(r(0).getAs[String]("protein_changes") == "9:A>9:D")
+    assert(r(0).getAs[String]("protein_sequence") ==
+      "M" + "A" * 8 + "D" + "A" * 10)
+  }
+
+  test("rf=-1: a frameshift visible in ANY frame chains _after_fs") {
+    // process_haplotypes.py:353 ORs 'fs and loc_ref >= 0' over every
+    // frame: the insertion at rna 1 has ploc -1 in frame 2 but 0 in
+    // frames 0/1, so the downstream SNP must still carry (fs)/_after_fs
+    val cdna = "ATG" + "GCT" * 19
+    val r = HaploProteins.proteinDatabase(inlineHaplo(
+      Seq((11L, 70L)), None, cdna,
+      Seq((12L, "fs1", "T", "TT"), (21L, "snp2", "C", "A")))).collect()
+    assert(r.length == 1)
+    val types = r(0).getAs[String]("variant_types").split(";")
+    assert(types(1).split("\\|").forall(_.endsWith("_after_fs")),
+      s"expected _after_fs on every frame of the downstream SNP: ${types(1)}")
+    assert(r(0).getAs[String]("all_protein_changes").contains("(fs)"))
+  }
 }
