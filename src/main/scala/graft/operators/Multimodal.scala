@@ -50,4 +50,39 @@ object Multimodal {
         md5(hex(expr(
           s"substring($payload, frame_idx * meta.chunk_bytes + 1, " +
             "meta.chunk_bytes)"))))
+
+  /** STUB resize: target dimensions preserving the decode-stub's aspect
+    * ratio (integer floor), plus a deterministic "resized content" hash
+    * binding payload + geometry — the column-flow shape of a real resize
+    * (new dims + new bytes) without the codec.
+    */
+  def resizeStub(df: DataFrame, maxSide: Int = 64,
+                 payload: String = "payload"): DataFrame = {
+    val scale = lit(maxSide) / greatest(col("width"), col("height"))
+    val rw = when(col("width") >= col("height"), lit(maxSide))
+      .otherwise(floor(col("width") * scale)).cast("long")
+    val rh = when(col("height") > col("width"), lit(maxSide))
+      .otherwise(floor(col("height") * scale)).cast("long")
+    df.withColumn("resized_w", rw)
+      .withColumn("resized_h", rh)
+      .withColumn("resized_hash",
+        md5(concat(hex(col(payload)), lit(":"), rw.cast("string"),
+          lit("x"), rh.cast("string"))))
+  }
+
+  /** STUB feature extraction: a fixed-width embedding derived
+    * deterministically from payload chunk hashes (one double in [0,1)
+    * per md5-prefix nibble pair) — the real thing would be a model
+    * forward pass; the Spark-side shape (binary -> fixed-length
+    * array<double> column, batchable, codegen-friendly) is what the
+    * similarity operators downstream consume.
+    */
+  def featuresStub(df: DataFrame, dim: Int = 4,
+                   payload: String = "payload"): DataFrame = {
+    val h = md5(hex(col(payload)))
+    val feats = array((0 until dim).map { i =>
+      (conv(h.substr(i * 4 + 1, 4), 16, 10).cast("double") / 65536.0)
+    }: _*)
+    df.withColumn("features", feats)
+  }
 }

@@ -151,6 +151,24 @@ object Genomic2 {
         every = 2)
         .select("media_id", "kind", "byte_len", "content_hash", "width",
           "height", "frame_idx", "frame_hash")
+    }),
+
+    "m2_media_resize" -> ((s, _) => {
+      prep(s)
+      Multimodal.resizeStub(
+        Multimodal.decodeStub(s.read.parquet(s"$fx/media.parquet")),
+        maxSide = 64)
+        .select("media_id", "width", "height", "resized_w", "resized_h",
+          "resized_hash")
+    }),
+
+    "m3_media_features" -> ((s, _) => {
+      prep(s)
+      Multimodal.featuresStub(s.read.parquet(s"$fx/media.parquet"), dim = 4)
+        .select(col("media_id"),
+          posexplode(col("features")).as(Seq("dim_idx", "feature")))
+        .select(col("media_id"), col("dim_idx").cast("long").as("dim_idx"),
+          round(col("feature"), 6).as("feature"))
     })
   )
 
@@ -490,6 +508,43 @@ object Genomic2 {
          |    ELSE t.is_canonical END)
          |SELECT b.chromosome, b.transcriptID
          |FROM base b JOIN keep k USING (transcriptID)""".stripMargin,
+
+    "m2_media_resize" ->
+      s"""WITH d AS (
+         |  SELECT media_id, hex(payload) AS h FROM ${pq("media")}),
+         |wh AS (
+         |  SELECT media_id, h,
+         |    CAST(1 + (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1)
+         |      % 16 * 16
+         |      + (strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1)
+         |      AS BIGINT) AS width,
+         |    CAST(1 + (strpos('0123456789ABCDEF', substr(h, 3, 1)) - 1)
+         |      % 16 * 16
+         |      + (strpos('0123456789ABCDEF', substr(h, 4, 1)) - 1)
+         |      AS BIGINT) AS height
+         |  FROM d),
+         |r AS (
+         |  SELECT *,
+         |    CASE WHEN width >= height THEN 64
+         |      ELSE CAST(floor(width * (64 / CAST(greatest(width, height)
+         |        AS DOUBLE))) AS BIGINT) END AS resized_w,
+         |    CASE WHEN height > width THEN 64
+         |      ELSE CAST(floor(height * (64 / CAST(greatest(width, height)
+         |        AS DOUBLE))) AS BIGINT) END AS resized_h
+         |  FROM wh)
+         |SELECT media_id, width, height, resized_w, resized_h,
+         |  md5(h || ':' || resized_w || 'x' || resized_h) AS resized_hash
+         |FROM r""".stripMargin,
+
+    "m3_media_features" ->
+      s"""WITH d AS (
+         |  SELECT media_id, md5(hex(payload)) AS mh FROM ${pq("media")})
+         |SELECT media_id, CAST(i AS BIGINT) AS dim_idx,
+         |  round(list_reduce([strpos('0123456789abcdef',
+         |      substr(mh, CAST(i AS INT) * 4 + j, 1)) - 1
+         |    for j in range(1, 5)], (a, c) -> a * 16 + c)
+         |    / 65536.0, 6) AS feature
+         |FROM d, (SELECT unnest(range(0, 4)) AS i)""".stripMargin,
 
     "m1_multimodal" ->
       s"""WITH m AS (
