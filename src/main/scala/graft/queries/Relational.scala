@@ -13,6 +13,29 @@ object Relational {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  private var bucketedFor: String = null
+
+  /** One-time bucketed copies of lineitem/orders for the co-located join
+    * (q12): both sides bucketed+sorted by the join key with the same
+    * bucket count, so the join needs no shuffle (and no sort) — the
+    * pre-partitioning strategy a 100 TB deployment bakes into its fact
+    * tables. Idempotent per (JVM, sf dir).
+    */
+  def ensureBucketed(s: SparkSession, dir: String): Unit = synchronized {
+    if (bucketedFor == dir) return
+    val base = "/root/repo/target/bucketed"
+    def write(df: DataFrame, key: String, table: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      df.write.mode("overwrite")
+        .bucketBy(8, key).sortBy(key)
+        .option("path", s"$base/$dir/$table".replace("//", "/"))
+        .saveAsTable(table)
+    }
+    write(t(s, dir, "lineitem"), "l_orderkey", "graft_li_bucketed")
+    write(t(s, dir, "orders"), "o_orderkey", "graft_o_bucketed")
+    bucketedFor = dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -132,6 +155,18 @@ object Relational {
           round(sum(col("l_extendedprice")), 4).as("sum_price"))
     }),
 
+    "q12_bucketed_join" -> ((s, dir) => {
+      // co-located join on pre-bucketed tables: zero exchanges on either
+      // join side (asserted in PlanSpec)
+      ensureBucketed(s, dir)
+      s.table("graft_li_bucketed")
+        .join(s.table("graft_o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 4).as("sum_price"))
+    }),
+
     "q10_range_agg" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
@@ -210,6 +245,13 @@ object Relational {
         |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q9_skewjoin" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 4) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // bucketing must not change the join result: same oracle as q9
+    "q12_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  round(sum(l_extendedprice), 4) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -43,6 +43,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readSchema.contains("l_orderkey"), readSchema)
   }
 
+  test("q12 bucketed join has no exchange on either join side") {
+    // disable auto-broadcast so the join exercises the bucketed
+    // co-location (at real scale neither side broadcasts)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = plan("q12_bucketed_join")
+      assert(p.contains("SortMergeJoin"), p)
+      // both scans read bucketed data directly
+      assert("Bucketed: true".r.findAllIn(p).size >= 2, p)
+      // the join subtree (final plan, down to the scans) has no exchange;
+      // cut before the echoed "Initial Plan" section, which legitimately
+      // shows the aggregation's own shuffle
+      val joinPart = p.split("SortMergeJoin")(1)
+        .split("== Initial Plan ==")(0)
+      assert(!joinPart.contains("Exchange hashpartitioning"), p)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q2 star join broadcasts the dimension tables") {
     val p = plan("q2_join_broadcast")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
