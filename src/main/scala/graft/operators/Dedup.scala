@@ -218,6 +218,33 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minShared` distinct word n-grams with ANY benchmark document — the
+    * standard eval-set leak check for training corpora.
+    *
+    * Scale shape: the benchmark side (small: eval sets are thousands of
+    * rows, the corpus is billions) collapses to a distinct gram set that
+    * the corpus gram stream joins against — id-only rows through the
+    * shuffle, one groupBy for the per-document shared count. AQE
+    * broadcasts the benchmark grams when they fit.
+    */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8,
+                    minShared: Long = 1L): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    def grams(df: DataFrame) = call_function("graft_word_shingles",
+      text.words(df.col(textCol)), lit(n))
+    val bg = bench.select(explode(array_distinct(grams(bench))).as("g"))
+      .distinct()
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(grams(corpus))).as("g"))
+      .join(bg, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("shared_grams")) // grams pre-distinct per doc
+      .where(col("shared_grams") >= minShared)
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by the CONTENT-DERIVED
     * sign-LSH bucket of the vector itself (vectors.signBucket over the
     * first `signBits` dimensions) — no caller-supplied label whose skew the

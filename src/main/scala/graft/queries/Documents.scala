@@ -79,6 +79,13 @@ object Documents {
         n = 3, threshold = 0.5, wordGrams = true)
     }),
 
+    "t5_decontaminate" -> ((s, dir) => {
+      // docs sharing any 8-word gram with the pseudo eval set (id < 20)
+      val docs = spread(t(s, dir, "documents"))
+      val bench = t(s, dir, "documents").where(col("doc_id") < 20)
+      Dedup.contamination(docs, bench, "doc_id", "text", n = 8)
+    }),
+
     "d5_emb_neardup" -> ((s, dir) => {
       // content-derived sign-LSH blocking (no caller label), capped buckets
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -259,6 +266,19 @@ object Documents {
         |    len(list_intersect(l.g, r.g))::DOUBLE /
         |    (len(l.g) + len(r.g) - len(list_intersect(l.g, r.g))), 5) >= 0.5"""
         .stripMargin,
+
+    "t5_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(w[i:i+7], ' ')
+        |     for i in range(1, len(w) - 6)])) AS g
+        |  FROM w WHERE len(w) >= 8),
+        |bg AS (SELECT DISTINCT g FROM g WHERE doc_id < 20)
+        |SELECT g.doc_id, count(*) AS shared_grams
+        |FROM g JOIN bg USING (g) GROUP BY 1""".stripMargin,
 
     "d5_emb_neardup" ->
       s"""WITH v AS (
