@@ -21,6 +21,7 @@ object Bench {
     try {
       graft.fixtures.GenomicFixtures.ensure(spark)
       graft.queries.GenomicPipeline.proteinDb(spark)
+      graft.queries.Relational.ensureBucketed(spark, sfDir)
     } catch {
       case t: Throwable =>
         // keep benching, but loudly: a failed prep lands the protein-DB

@@ -71,16 +71,15 @@ object Dedup {
                  maxBucketSize: Int = 1000): DataFrame = {
     val k = bands * rows
     GraftFunctions.register(df.sparkSession)
-    // The plan fans out below (bucket self-join, skew guard, shingle
-    // re-joins), so without materialization the shingling+minhash front-end
-    // would be recomputed once per branch — persist it instead. This is the
-    // standard shape for distributed MinHash dedup: the signature table is
-    // ~O(corpus ids), far smaller than the corpus text.
-    val docs = tracked(df.select(
+    // NOT persisted: the branches below (signature path + two verify
+    // re-joins) re-run only the narrow scan + native shingle kernel —
+    // cheaper at corpus scale than holding a corpus-sized shingle table
+    // in executor storage.
+    val docs = df.select(
       col(idCol).as("id"),
       array_distinct(call_function("graft_word_shingles",
         text.words(col(textCol)), lit(shingleWords))).as("shingles"))
-      .where(size(col("shingles")) > 0))
+      .where(size(col("shingles")) > 0)
 
     val sigs = docs
       .withColumn("sig",
@@ -258,9 +257,11 @@ object Dedup {
                        threshold: Double, signBits: Int = 8,
                        maxBucketSize: Int = 1000): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val vecs = tracked(df.select(
+    // not persisted: each consumer re-runs a narrow (column-pruned) scan
+    // + the sign-bucket expression, vs caching the full vector table
+    val vecs = df.select(
       vectors.signBucket(col(vecCol), signBits).as("block"),
-      col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")))
+      col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val keep = vecs.groupBy("block").agg(count(lit(1)).as("_bsz"))
       .where(col("_bsz") <= maxBucketSize)
       .select("block")
