@@ -62,6 +62,47 @@ object Bench {
         graft.operators.IntervalJoin.pointsInIntervals(pts, ivs,
           Seq("chrom")).count()
       }),
+      "px_protein_scale" -> (() => {
+        // flagship pipeline at volume: ~nDocs*4 haplotypes over synthetic
+        // 120nt single-exon transcripts, 1-2 deterministic SNVs each
+        // (REF matches the synthetic cDNA base, ALT rotates it, positions
+        // ascend so the ordered-variant contract holds)
+        val bases = array(lit("A"), lit("C"), lit("G"), lit("T"))
+        def baseIdx(seed: org.apache.spark.sql.Column) =
+          (pmod(hash(seed), lit(4)) + 1).cast("int")
+        val cdna = concat(lit("ATG"), concat_ws("",
+          (0 until 117).map(i =>
+            element_at(bases, baseIdx(col("tnum") * 37 + i))): _*))
+        val haplos = spark.range(nDocs * 4)
+          .select(col("id"), (col("id") % 500).as("tnum"))
+          .select(
+            concat(lit("TS"), col("tnum")).as("transcript"),
+            lit("1").as("chrom"), lit("protein_coding").as("biotype"),
+            lit("+").as("strand"),
+            array(struct(lit(101L).as("start"), lit(220L).as("end")))
+              .as("exons"),
+            lit(101L).as("start_codon_start"),
+            lit(null).cast("long").as("stop_codon_start"),
+            cdna.as("cdna"),
+            concat(lit("hv"), col("id")).as("signature"),
+            transform(
+              sequence(lit(0), pmod(hash(col("id")), lit(2)).cast("int")),
+              j => {
+                val pos = lit(110L) + j.cast("long") * 50 +
+                  pmod(hash(col("id"), j), lit(40))
+                val rIdx = baseIdx(col("tnum") * 37 + (pos - 104))
+                struct(
+                  pos.as("pos"),
+                  concat(lit("hv"), col("id"), lit("_"), j).as("varId"),
+                  element_at(bases, rIdx).as("ref"),
+                  element_at(bases, (pmod(rIdx, lit(4)) + 1).cast("int"))
+                    .as("alt"),
+                  lit(0.01).as("af"))
+              }).as("changes"),
+            lit(1L).as("hap_count"), lit(0.001).as("frequency"),
+            concat(lit("S"), col("id"), lit(":1")).as("samples"))
+        graft.operators.HaploProteins.proteinDatabase(haplos).count()
+      }),
       "hx_haplo_scale" -> (() => {
         val gts = spark.range(nDocs).select(col("id").as("snum"))
           .crossJoin(spark.range(200).select(col("id").as("vnum")))
