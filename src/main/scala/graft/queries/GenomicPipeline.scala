@@ -175,33 +175,84 @@ object GenomicPipeline {
 
     "p2_pep_annotate" -> ((s, _) => {
       prep(s)
-      // combined search space: haplotype proteins (with variant metadata)
-      // + canonical/contaminant fixture entries
-      val db = proteinDb(s)
-        .select(
-          concat(lit("haplo_"), col("transcript"), lit("_"),
-            substring(md5(col("vcf_ids")), 1, 8)).as("accession"),
+      // combined search space: haplotype proteins (with variant metadata;
+      // rf=-1 haplotypes contribute one entry per frame like the
+      // reference's FASTA, process_haplotypes.py:456-470) + contaminant /
+      // manual fixture entries (tags normalized like merge_duplicate_seq
+      // .py:64-66: sp counts as cont) + the ENST-promoted reference
+      // proteome entries (fix_headers.py use_ENST)
+      val base = proteinDb(s).withColumn("_hap", concat(lit("haplo_"),
+        col("transcript"), lit("_"), substring(md5(col("vcf_ids")), 1, 8)))
+      val entries = when(col("alt_frame_sequences") === "-",
+        array(struct(col("_hap").as("accession"),
+          col("reading_frame").as("frame_idx"),
+          col("protein_sequence").as("sequence"))))
+        .otherwise(array(
+          struct(concat(col("_hap"), lit("_f0")).as("accession"),
+            lit(0).as("frame_idx"), col("protein_sequence").as("sequence")),
+          struct(concat(col("_hap"), lit("_f1")).as("accession"),
+            lit(1).as("frame_idx"),
+            split(col("alt_frame_sequences"), ";").getItem(0)
+              .as("sequence")),
+          struct(concat(col("_hap"), lit("_f2")).as("accession"),
+            lit(2).as("frame_idx"),
+            split(col("alt_frame_sequences"), ";").getItem(1)
+              .as("sequence"))))
+      val db = base.select(explode(entries).as("e"),
+        col("transcript"), col("chromosome"), col("all_protein_changes"),
+        col("dna_changes"), col("protein_prefix_length"))
+        .select(col("e.accession").as("accession"),
           lit("generic_enshap").as("tag"),
           col("transcript"), col("chromosome"),
           col("all_protein_changes"), col("dna_changes"),
           col("protein_prefix_length"),
-          col("protein_sequence").as("sequence"))
+          col("e.frame_idx").cast("int").as("frame_idx"),
+          col("e.sequence").as("sequence"))
       val fixture = s.read.parquet(s"$fx/proteins.parquet")
-        .select(col("accession"), col("tag"),
+        .select(col("accession"),
+          when(col("tag") === "generic_sp", "generic_cont")
+            .otherwise(col("tag")).as("tag"),
           lit(null).cast("string").as("transcript"),
           lit(null).cast("string").as("chromosome"),
           lit(null).cast("string").as("all_protein_changes"),
           lit(null).cast("string").as("dna_changes"),
           lit(0L).as("protein_prefix_length"),
+          lit(null).cast("int").as("frame_idx"),
           col("sequence"))
-      val proteins = db.unionByName(fixture)
-      // dump the combined table for the DuckDB oracle
+      // ENST-keyed canonical entries (read_fasta keys by stable id, so a
+      // duplicate promoted accession keeps one entry)
+      val ensref = s.read.parquet(s"$fx/ensref.parquet")
+        .select(regexp_extract(col("description"),
+          "transcript:([A-Za-z0-9]+)", 1).as("accession"), col("sequence"))
+        .where(col("accession") =!= "")
+        .groupBy("accession").agg(max(col("sequence")).as("sequence"))
+        .select(col("accession"), lit("generic_ensref").as("tag"),
+          col("accession").as("transcript"),
+          lit(null).cast("string").as("chromosome"),
+          lit(null).cast("string").as("all_protein_changes"),
+          lit(null).cast("string").as("dna_changes"),
+          lit(0L).as("protein_prefix_length"),
+          lit(null).cast("int").as("frame_idx"),
+          col("sequence"))
+      val proteins = db.unionByName(fixture).unionByName(ensref)
+      // transcript -> gene annotation lookup (fixture GTF + Ensembl-style)
+      val geneMap = Gtf.read(s, GenomicFixtures.gtfPath)
+        .where(col("feature") === "transcript")
+        .select(Gtf.attr(col("attributes"), "transcript_id")
+          .as("transcript"),
+          Gtf.attr(col("attributes"), "gene_id").as("gene"))
+        .unionByName(s.read.parquet(s"$fx/ensref_tr.parquet")
+          .select(col("transcript_id").as("transcript"),
+            col("gene_id").as("gene")))
+      // dump the combined tables for the DuckDB oracle
       proteins.write.mode("overwrite")
         .parquet(s"$fx/pep_proteins.parquet")
+      geneMap.write.mode("overwrite").parquet(s"$fx/pep_genes.parquet")
       val matches = PeptideAnnotate.matchPeptides(
         s.read.parquet(s"$fx/peptides.parquet"), proteins, k = 4)
         .withColumn("pos", col("pos").cast("long"))
-      PeptideVariants.annotate(matches, proteins.drop("sequence"))
+      PeptideVariants.annotate(matches, proteins.drop("sequence"),
+        geneMap, s.read.parquet(s"$fx/refprot.parquet"))
     }),
 
     "pv1_provar" -> ((s, _) => {

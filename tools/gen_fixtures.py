@@ -171,7 +171,7 @@ vcf_header = [
     "##fileformat=VCFv4.2",
     "##INFO=<ID=AF,Number=A,Type=Float,Description=\"Allele Frequency\">",
     "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
-    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3\tS4\tS5",
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3\tS4\tS5\tS6",
 ]
 # chr1 variants (T1: exons 11-40, 61-100; cDNA given above)
 # rs1: SNP exon1 coding GCT->GGT (genomic 19, cDNA 8, C>G), SAV A2G
@@ -201,33 +201,44 @@ assert len(rs12_ref) == 24
 assert cdna_t1[28:32] == "AACC"  # spliced REF after junction reassembly
 assert cdna_t5[9] == "T"
 
+# rs13: SNP exon1 coding CGA->GGA (genomic 24, cDNA 13, C>G), SAV R3G.
+#       Carried ONLY by the new sample S6 copy1 together with rs1, so the
+#       haplotype {rs1,rs13} translates to MGSGL: a peptide covering both
+#       SAVs reverts to the canonical MASRL -> the peptide-annotation
+#       'multi-variant' class (peptides_annotate_variation.py:455).
+#       S6 is the only member of YRI/AFR so every existing per-population
+#       frequency string keeps its numerators AND denominators.
 vcf_rows = [
     ("1", 19, "rs1", c1(19), "G", ".", "PASS", "AF=0.25",
-     "GT", "1|0", "1|0", "0|1", "0|0", "1|0"),
+     "GT", "1|0", "1|0", "0|1", "0|0", "1|0", "1|0"),
     ("1", 66, "rs2", c1(66), "A", ".", "PASS", "AF=0.50",
-     "GT", "0|1", "0|0", "1|1", "0|0", "0|0"),
+     "GT", "0|1", "0|0", "1|1", "0|0", "0|0", "0|0"),
     ("1", 12, "rs3", c1(12), "T", ".", "PASS", "AF=0.10",
-     "GT", "0|0", "0|1", "0|0", "1|0", "0|0"),
+     "GT", "0|0", "0|1", "0|0", "1|0", "0|0", "0|0"),
     ("1", 23, "rs4", c1(23), c1(23) + "A", ".", "PASS", "AF=0.05",
-     "GT", "0|0", "0|0", "0|1", "0|0", "0|0"),
+     "GT", "0|0", "0|0", "0|1", "0|0", "0|0", "0|0"),
+    ("1", 24, "rs13", c1(24), "G", ".", "PASS", "AF=0.08",
+     "GT", "0|0", "0|0", "0|0", "0|0", "0|0", "1|0"),
     ("1", 31, "rs5", c1(31), "A,T", ".", "PASS", "AF=0.15,0.01",
-     "GT", "0|2", "0|0", "0|0", "2|1", "0|0"),
+     "GT", "0|2", "0|0", "0|0", "2|1", "0|0", "0|0"),
     ("1", 39, "rs12", rs12_ref, "TT", ".", "PASS", "AF=0.11",
-     "GT", "0|0", "0|0", "0|0", "0|0", "1|0"),
+     "GT", "0|0", "0|0", "0|0", "0|0", "1|0", "0|0"),
     ("1", 50, "rs6", c1(50), "<DEL>", ".", "PASS", "AF=0.30",
-     "GT", "0|0", "0|1", "0|0", "0|0", "0|0"),
+     "GT", "0|0", "0|1", "0|0", "0|0", "0|0", "0|0"),
     ("1", 20, "rs7", c1(20), "A", ".", "PASS", "AF=0.02",
-     "GT", "0|0", "1|0", "0|0", "0|0", "0|0"),
+     "GT", "0|0", "1|0", "0|0", "0|0", "0|0", "0|0"),
     ("1", 150, "rs11", c1(150), "G", ".", "PASS", "AF=0.22",
-     "GT", "0|0", "0|1", "0|0", "1|0", "0|0"),
+     "GT", "0|0", "0|1", "0|0", "1|0", "0|0", "0|0"),
     ("X", 30, "rs8", cX(30), "C" if cX(30) != "C" else "G", ".", "PASS",
-     "AF=0.20", "GT", "1|0", "0|0", "1|0", "0|0", "0|0"),
+     "AF=0.20", "GT", "1|0", "0|0", "1|0", "0|0", "0|0", "0|0"),
     ("X", 75, "rs9", cX(75), "T" if cX(75) != "T" else "A", ".", "PASS",
-     "AF=0.40", "GT", "0|1", "1|0", "0", "1", "0|0"),
+     "AF=0.40", "GT", "0|1", "1|0", "0", "1", "0|0", "0|0"),
     ("X", 110, "rs10", cX(110), "G" if cX(110) != "G" else "C", ".", "PASS",
-     "AF=0.33", "GT", "0|1", "0|0", "1|0", "0|1", "0|0"),
+     "AF=0.33", "GT", "0|1", "0|0", "1|0", "0|1", "0|0", "0|0"),
 ]
 assert c1(150) == "T"
+assert c1(24) == "C"  # rs13 REF
+assert cdna_t1[13:16] == "CGA" and CODON["GGA"] == "G"  # R3G after C>G
 with open(os.path.join(OUT, "sample.vcf"), "w") as f:
     f.write("\n".join(vcf_header) + "\n")
     for r in vcf_rows:
@@ -241,6 +252,7 @@ with open(os.path.join(OUT, "samples.tsv"), "w") as f:
     f.write("S3\tmale\tGBR\tEUR\n")
     f.write("S4\tmale\tCHB\tEAS\n")
     f.write("S5\tfemale\tFIN\tEUR\n")
+    f.write("S6\tfemale\tYRI\tAFR\n")
 
 # ---- peptides -----------------------------------------------------------
 with open(os.path.join(OUT, "peptides.tsv"), "w") as f:
@@ -252,6 +264,37 @@ with open(os.path.join(OUT, "peptides.tsv"), "w") as f:
     f.write("p5\tTT\n")          # shorter than k -> dropped
     f.write("p6\tMGSR\n")        # covers the rs1 SAV in haplo T1
     f.write("p7\tPKGY\n")        # covers the rs9 SAV in haplo T2
+    # peptide-annotation classification cases
+    # (peptides_annotate_variation.py:453-466):
+    f.write("p8\tLGTLE\n")       # no alt covered; spans the 10:G REF allele
+    #                              of rs2 in the rs5 haplotype at match
+    #                              pos 9 -> canonical-no-ref + ref-allele hit
+    f.write("p9\tLPWNLE\n")      # covers 5:*>5:L AND 10:G>10:E but the
+    #                              reverted peptide crosses the canonical
+    #                              stop -> variant-no-ref
+    f.write("p10\tTIMTL\n")      # downstream of the rs4 (+fs) in MGSTIMTLEP
+    #                              -> frameshift class, preceding indel +1
+    f.write("p11\tYGEPV\n")      # T5 rf=-1 FRAME 0 entry only; covers the
+    #                              frame-0 component 3:*>3:E of the
+    #                              '|'-chained change list
+    f.write("p12\tGFLLT\n")      # only inside P999 (no metadata) -> the
+    #                              manual-entry path: single-variant(ProVar)
+    f.write("p13\tMGSGL\n")      # covers rs1 (1:A>1:G) + rs13 (3:R>3:G);
+    #                              reverts to canonical MASRL -> multi-variant
+
+# ---- reference proteome keyed by transcript (check_canonical_peptide, ----
+# ---- peptides_annotate_variation.py:172-190) -----------------------------
+# The reference pipeline feeds peptide annotation an ENST-keyed reference
+# translation FASTA (fix_headers.py use_ENST). Fixture equivalent: the
+# canonical translations of the coding fixture transcripts, derived from
+# the same cDNA definitions used above (stop-codon truncated).
+refprot_t1 = translate(cdna_t1, 4).split("*")[0]
+refprot_t2 = translate(cdna_t2, 2).split("*")[0]
+assert refprot_t1 == "MASRL" and refprot_t2 == "MPKGF"
+with open(os.path.join(OUT, "refprot.fasta"), "w") as f:
+    f.write(">T1 reference translation\n%s\n" % refprot_t1)
+    f.write(">T2 reference translation\n%s\n" % refprot_t2)
+
 print("fixtures written to", os.path.abspath(OUT))
 print("PAR1_TO", PAR1_TO, "PAR2_FROM", PAR2_FROM)
 print("chr1", chr1)
