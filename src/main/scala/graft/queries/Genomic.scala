@@ -122,9 +122,19 @@ object Genomic {
 
   // ---- oracles ----------------------------------------------------------
 
+  // Sample column names come from the fixture's #CHROM header line, not a
+  // hardcoded list, so oracle and reader stay in sync when fixtures grow.
+  private val sampleCols: Seq[String] = {
+    val src = scala.io.Source.fromFile(s"$raw/sample.vcf")
+    try src.getLines().find(_.startsWith("#CHROM"))
+      .map(_.split("\t").drop(9).map(_.toLowerCase).toSeq)
+      .getOrElse(Seq.empty)
+    finally src.close()
+  }
+
   private val vcfCols =
-    "['chrom','pos','id','ref','alt','qual','filter','info','format'," +
-      "'s1','s2','s3','s4','s5']"
+    ("['chrom','pos','id','ref','alt','qual','filter','info','format'" +:
+      sampleCols.map(c => s"'$c'")).mkString("", ",", "]")
 
   private val codonValues =
     dna.codonTable.map { case (c, a) => s"('$c','$a')" }.mkString(", ")
@@ -142,7 +152,7 @@ object Genomic {
     "v1_vcf_read" ->
       s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, id, ref, alt, qual,
          |  filter, info,
-         |  array_to_string([s1, s2, s3, s4, s5], ',') AS genotypes,
+         |  array_to_string([${sampleCols.mkString(", ")}], ',') AS genotypes,
          |  coalesce(
          |    nullif(regexp_extract(info, '(?:^|;)AF=([^;]+)', 1), ''),
          |    nullif(regexp_extract(info, '(?:^|;)MAF=([^;]+)', 1), ''))
