@@ -287,114 +287,248 @@ object GenomicPipeline {
     * hand-computed reference semantics in HaploProteinsSpec.
     */
   val oracles: Map[String, String] = {
-    def pq(name: String) = s"read_parquet('$fx/$name.parquet/*.parquet')"
     def snapshot(name: String) =
       s"SELECT * FROM read_parquet('/root/repo/fixtures/expected/$name.parquet')"
-    // shared SQL fragments for parsing "locRef:REF>locAlt:ALT[(+fs)]"
-    def locAlt(ch: String) =
-      s"TRY_CAST(regexp_extract($ch, '>(-?[0-9]+):', 1) AS BIGINT)"
-    def cleanRef(ch: String) =
-      s"replace(translate(regexp_extract($ch, '^-?[0-9]+:([^>]*)>', 1), " +
-        s"'I', 'L'), '-', '')"
-    def cleanAlt(ch: String) =
-      s"replace(translate(string_split(regexp_extract($ch, " +
-        s"'>-?[0-9]+:(.*)$$', 1), '(')[1], 'I', 'L'), '-', '')"
-    def fs(ch: String) = s"ends_with($ch, '(+fs)')"
-
     Map(
       "h4_protein_db" -> snapshot("h4_protein_db"),
       "h5_protein_dedup" -> snapshot("h5_protein_dedup"),
       "pv1_provar" -> snapshot("pv1_provar"),
+      // Full DuckDB replica of PeptideVariants.annotate over the dumped
+      // combined protein table: k-mer-free exhaustive matching, per-frame
+      // change resolution, covered alt/ref alleles, canonical-alternative
+      // reversion (list_reduce threads the reverted peptide through a
+      // struct accumulator), and the rank-ordered first-occurrence-dedup
+      // rollup (list_filter with index against list_position). Every
+      // array_to_string is coalesced to '' because DuckDB returns NULL for
+      // empty lists where Spark's array_join returns ''.
       "p2_pep_annotate" ->
         s"""WITH m AS (
-           |  SELECT p.pepId, p.peptide, pr.accession, o.mpos AS pos
-           |  FROM ${pq("peptides")} p, ${pq("pep_proteins")} pr,
-           |    LATERAL (SELECT unnest([ii for ii in generate_series(1,
-           |      length(pr.sequence) - length(p.peptide) + 1)
-           |      if substr(pr.sequence, ii, length(p.peptide)) = p.peptide])
-           |      AS mpos) o
-           |  WHERE length(p.peptide) >= 4),
-           |j AS (
-           |  SELECT m.*, pr.tag, pr.transcript, pr.chromosome,
-           |    pr.all_protein_changes, pr.dna_changes,
-           |    pr.protein_prefix_length,
-           |    m.pos - 1 - coalesce(pr.protein_prefix_length, 0)
-           |      AS pepStart,
-           |    m.pos - 1 - coalesce(pr.protein_prefix_length, 0)
-           |      + length(m.peptide) AS pepEnd,
-           |    CASE WHEN pr.all_protein_changes IS NULL
-           |        OR pr.all_protein_changes = '' THEN []
-           |      ELSE string_split(pr.all_protein_changes, ';') END AS chs,
-           |    CASE WHEN pr.dna_changes IS NULL OR pr.dna_changes = ''
-           |      THEN [] ELSE string_split(pr.dna_changes, ';') END AS dnas
-           |  FROM m JOIN ${pq("pep_proteins")} pr USING (accession)),
-           |per AS (
-           |  SELECT pepId, peptide, accession, pos, tag, transcript,
-           |    chromosome, pepStart,
-           |    coalesce(list_sum(list_transform(chs, ch ->
-           |      CASE WHEN ${locAlt("ch")} < pepStart THEN
-           |        length(${cleanAlt("ch")}) - length(${cleanRef("ch")})
-           |      ELSE 0 END)), 0) AS preceding_indels,
-           |    coalesce(len(list_filter(chs, ch ->
-           |      ${locAlt("ch")} < pepStart AND ${fs("ch")})) > 0, false)
-           |      AS fs_before,
-           |    list_filter(list_zip(chs, dnas), z ->
-           |      (${cleanRef("z[1]")} != ${cleanAlt("z[1]")}
-           |        OR ${fs("z[1]")})
-           |      AND ${locAlt("z[1]")} >= pepStart
-           |      AND ${locAlt("z[1]")} < pepEnd
-           |      AND translate(substr(peptide,
-           |          CAST(${locAlt("z[1]")} - pepStart AS INT) + 1,
-           |          length(${cleanAlt("z[1]")})), 'I', 'L')
-           |        = substr(${cleanAlt("z[1]")}, 1,
-           |            length(translate(substr(peptide,
-           |              CAST(${locAlt("z[1]")} - pepStart AS INT) + 1,
-           |              length(${cleanAlt("z[1]")})), 'I', 'L'))))
-           |      AS covered
-           |  FROM j),
-           |strs AS (
-           |  SELECT *,
-           |    CASE WHEN len(covered) > 0 THEN array_to_string(
-           |      list_transform(covered, z ->
-           |        CAST(${locAlt("z[1]")} - pepStart AS VARCHAR) || ':' ||
-           |        ${cleanRef("z[1]")} || '>' || ${cleanAlt("z[1]")}), ';')
-           |    END AS cov_pep,
-           |    CASE WHEN len(covered) > 0 THEN array_to_string(
-           |      list_transform(covered, z -> transcript || ':' || z[1]),
-           |      ';') END AS cov_prot,
-           |    CASE WHEN len(covered) > 0 THEN array_to_string(
-           |      list_transform(covered, z ->
-           |        coalesce(chromosome, '?') || ':' || z[2]), ';')
-           |    END AS cov_dna,
-           |    (len(list_filter(covered, z -> ${fs("z[1]")})) > 0
-           |      OR fs_before) AS has_fs
-           |  FROM per)
-           |SELECT pepId, peptide,
-           |  coalesce(string_agg(DISTINCT cov_pep, '|' ORDER BY cov_pep),
-           |    '') AS covered_changes_peptide,
-           |  coalesce(string_agg(DISTINCT cov_prot, '|' ORDER BY cov_prot),
-           |    '') AS covered_changes_protein,
-           |  coalesce(string_agg(DISTINCT cov_dna, '|' ORDER BY cov_dna),
-           |    '') AS covered_alleles_dna,
-           |  string_agg(accession, ';' ORDER BY accession)
-           |    AS matching_proteins,
-           |  string_agg(DISTINCT coalesce(transcript, '-'), ';'
-           |    ORDER BY coalesce(transcript, '-')) AS matching_transcripts,
-           |  string_agg(CAST(pos AS VARCHAR), ';' ORDER BY accession, pos)
-           |    AS positions_in_proteins,
-           |  string_agg(DISTINCT CAST(preceding_indels AS VARCHAR), ';'
-           |    ORDER BY CAST(preceding_indels AS VARCHAR))
-           |    AS preceding_indel_shift,
-           |  bool_or(has_fs) AS has_frameshift,
-           |  CASE WHEN max(CASE WHEN contains(coalesce(tag, ''), 'cont')
-           |      THEN 1 ELSE 0 END) = 1 THEN 'contaminant'
-           |    WHEN max(CASE WHEN contains(coalesce(tag, ''), 'sp')
-           |      OR contains(coalesce(tag, ''), 'ensref')
-           |      THEN 1 ELSE 0 END) = 1 THEN 'canonical'
-           |    WHEN max(CASE WHEN len(covered) > 0 THEN 1 ELSE 0 END) = 1
-           |      THEN 'variant'
-           |    ELSE 'reference-like' END AS pep_type
-           |FROM strs GROUP BY pepId, peptide""".stripMargin
+  SELECT p.pepId, p.peptide, pr.accession, o.mpos AS pos
+  FROM read_parquet('${fx}/peptides.parquet/*.parquet') p, read_parquet('${fx}/pep_proteins.parquet/*.parquet') pr,
+    LATERAL (SELECT unnest([ii for ii in generate_series(1,
+      length(pr.sequence) - length(p.peptide) + 1)
+      if substr(pr.sequence, ii, length(p.peptide)) = p.peptide])
+      AS mpos) o
+  WHERE length(p.peptide) >= 4),
+atab AS (
+  SELECT transcript, list({'apos': apos, 'aref': aref, 'adna': adna}
+      ORDER BY apos, aref, adna) AS ref_alleles
+  FROM (
+    SELECT transcript, apos, aref, min(adna) AS adna FROM (
+      SELECT transcript,
+        TRY_CAST(string_split(z[1], ':')[1] AS BIGINT) AS apos,
+        regexp_extract(z[1], '^-?[0-9]+:([^>]*)>', 1) AS aref,
+        string_split(regexp_extract(z[1], '>-?[0-9]+:(.*)$$', 1), '(')[1] AS aalt,
+        chromosome || ':' || string_split(z[2], '>')[1] AS adna
+      FROM (SELECT transcript, chromosome,
+              unnest(list_zip(string_split(all_protein_changes, ';'),
+                              string_split(dna_changes, ';'))) AS z
+            FROM read_parquet('${fx}/pep_proteins.parquet/*.parquet')
+            WHERE transcript IS NOT NULL AND all_protein_changes IS NOT NULL
+              AND all_protein_changes != ''
+              AND NOT contains(all_protein_changes, '|')))
+    WHERE apos >= 0 AND aref != aalt
+    GROUP BY transcript, apos, aref)
+  GROUP BY transcript),
+j AS (
+  SELECT m.pepId, m.peptide, m.accession, m.pos, pr.tag, pr.transcript,
+    pr.chromosome, pr.all_protein_changes, pr.dna_changes, pr.frame_idx,
+    g.gene, rp.ref_sequence, atab.ref_alleles,
+    row_number() OVER (PARTITION BY m.pepId ORDER BY m.accession, m.pos)
+      AS rnk,
+    CASE WHEN starts_with(m.accession, 'ENST')
+      THEN split_part(m.accession, '_', 1) ELSE m.accession END AS acc2,
+    starts_with(CASE WHEN starts_with(m.accession, 'ENST')
+      THEN split_part(m.accession, '_', 1) ELSE m.accession END, 'ENST')
+      AS isEnst,
+    (pr.transcript IS NULL AND NOT contains(coalesce(pr.tag, ''), 'cont')
+      AND NOT contains(coalesce(pr.tag, ''), 'ref')) AS manual,
+    m.pos - 1 - coalesce(pr.protein_prefix_length, 0) AS pepStart,
+    m.pos - 1 - coalesce(pr.protein_prefix_length, 0) + length(m.peptide)
+      AS pepEnd,
+    CASE WHEN pr.all_protein_changes IS NULL
+        OR pr.all_protein_changes = '' THEN []
+      WHEN contains(pr.all_protein_changes, '|') THEN
+        list_transform(string_split(pr.all_protein_changes, ';'),
+          ch -> string_split(ch, '|')[pr.frame_idx + 1])
+      ELSE string_split(pr.all_protein_changes, ';') END AS chs,
+    CASE WHEN pr.dna_changes IS NULL OR pr.dna_changes = '' THEN []
+      ELSE string_split(pr.dna_changes, ';') END AS dnas
+  FROM m JOIN read_parquet('${fx}/pep_proteins.parquet/*.parquet') pr USING (accession)
+  LEFT JOIN read_parquet('${fx}/pep_genes.parquet/*.parquet') g ON g.transcript = pr.transcript
+  LEFT JOIN read_parquet('${fx}/refprot.parquet/*.parquet') rp ON rp.transcript = pr.transcript
+  LEFT JOIN atab ON atab.transcript = pr.transcript),
+pm AS (
+  SELECT *,
+    coalesce(list_sum(list_transform(chs, ch ->
+      CASE WHEN TRY_CAST(regexp_extract(ch, '>(-?[0-9]+):', 1) AS BIGINT) < pepStart THEN
+        length(replace(translate(string_split(regexp_extract(ch, '>-?[0-9]+:(.*)$$', 1), '(')[1], 'I', 'L'), '-', '')) - length(replace(translate(regexp_extract(ch, '^-?[0-9]+:([^>]*)>', 1), 'I', 'L'), '-', ''))
+      ELSE 0 END)), 0) AS preceding,
+    coalesce(len(list_filter(chs, ch ->
+      TRY_CAST(regexp_extract(ch, '>(-?[0-9]+):', 1) AS BIGINT) < pepStart AND ends_with(ch, '(+fs)'))) > 0, false) AS fs_before,
+    list_filter(list_zip(chs, dnas), z ->
+      (replace(translate(regexp_extract(z[1], '^-?[0-9]+:([^>]*)>', 1), 'I', 'L'), '-', '') != replace(translate(string_split(regexp_extract(z[1], '>-?[0-9]+:(.*)$$', 1), '(')[1], 'I', 'L'), '-', '') OR ends_with(z[1], '(+fs)'))
+      AND TRY_CAST(regexp_extract(z[1], '>(-?[0-9]+):', 1) AS BIGINT) >= pepStart AND TRY_CAST(regexp_extract(z[1], '>(-?[0-9]+):', 1) AS BIGINT) < pepEnd
+      AND translate(substr(peptide,
+            CAST(TRY_CAST(regexp_extract(z[1], '>(-?[0-9]+):', 1) AS BIGINT) - pepStart AS INT) + 1,
+            length(replace(translate(string_split(regexp_extract(z[1], '>-?[0-9]+:(.*)$$', 1), '(')[1], 'I', 'L'), '-', ''))), 'I', 'L')
+        = substr(replace(translate(string_split(regexp_extract(z[1], '>-?[0-9]+:(.*)$$', 1), '(')[1], 'I', 'L'), '-', ''), 1,
+            length(translate(substr(peptide,
+              CAST(TRY_CAST(regexp_extract(z[1], '>(-?[0-9]+):', 1) AS BIGINT) - pepStart AS INT) + 1,
+              length(replace(translate(string_split(regexp_extract(z[1], '>-?[0-9]+:(.*)$$', 1), '(')[1], 'I', 'L'), '-', ''))), 'I', 'L')))) AS covered
+  FROM j),
+pm2 AS (
+  SELECT *,
+    coalesce(list_filter(ref_alleles, a ->
+      a.apos >= pepStart - preceding
+      AND a.apos < pepStart - preceding + length(peptide)
+      AND translate(substr(peptide,
+            CAST(a.apos - (pepStart - preceding) AS INT) + 1,
+            length(substr(translate(a.aref, 'I', 'L'), 1,
+              CAST(length(peptide) - (a.apos - (pepStart - preceding))
+                AS INT)))), 'I', 'L')
+        = substr(translate(a.aref, 'I', 'L'), 1,
+            CAST(length(peptide) - (a.apos - (pepStart - preceding))
+              AS INT))), []) AS refCovered,
+    list_reduce(list_prepend(
+      {'loc': 0, 'r': '', 'a': '', 'pep': translate(peptide, 'I', 'L')},
+      list_transform(
+        list_reverse(list_sort(list_transform(covered, z ->
+          {'loc': CAST(TRY_CAST(regexp_extract(z[1], '>(-?[0-9]+):', 1) AS BIGINT) - pepStart AS INT),
+            'r': replace(translate(regexp_extract(z[1], '^-?[0-9]+:([^>]*)>', 1), 'I', 'L'), '-', ''), 'a': replace(translate(string_split(regexp_extract(z[1], '>-?[0-9]+:(.*)$$', 1), '(')[1], 'I', 'L'), '-', '')}))),
+        c -> {'loc': c.loc, 'r': c.r, 'a': c.a, 'pep': ''})),
+      (acc, x) -> {'loc': 0, 'r': '', 'a': '',
+        'pep': acc.pep[1:x.loc] || x.r
+          || acc.pep[x.loc + length(x.a) + 1:]}).pep AS reverted
+  FROM pm),
+pm3 AS (
+  SELECT *,
+    CASE WHEN transcript IS NOT NULL THEN
+      coalesce(contains(translate(ref_sequence, 'I', 'L'), reverted), false)
+    END AS canonAlt,
+    CASE WHEN len(covered) > 0 THEN coalesce(array_to_string(
+      list_filter(list_transform(covered, z ->
+        CAST(TRY_CAST(regexp_extract(z[1], '>(-?[0-9]+):', 1) AS BIGINT) - pepStart AS VARCHAR) || ':' ||
+          replace(translate(regexp_extract(z[1], '^-?[0-9]+:([^>]*)>', 1), 'I', 'L'), '-', '') || '>' || replace(translate(string_split(regexp_extract(z[1], '>-?[0-9]+:(.*)$$', 1), '(')[1], 'I', 'L'), '-', '')),
+        (x, i) -> list_position(list_transform(covered, z ->
+          CAST(TRY_CAST(regexp_extract(z[1], '>(-?[0-9]+):', 1) AS BIGINT) - pepStart AS VARCHAR) || ':' ||
+            replace(translate(regexp_extract(z[1], '^-?[0-9]+:([^>]*)>', 1), 'I', 'L'), '-', '') || '>' || replace(translate(string_split(regexp_extract(z[1], '>-?[0-9]+:(.*)$$', 1), '(')[1], 'I', 'L'), '-', '')), x) = i),
+      ';'), '') END AS covPep,
+    CASE WHEN manual THEN acc2
+      WHEN transcript IS NOT NULL THEN
+        CASE WHEN len(covered) > 0 THEN transcript || ':' ||
+          coalesce(array_to_string(list_filter(list_transform(covered, z -> z[1]),
+            (x, i) -> list_position(list_transform(covered, z -> z[1]), x)
+              = i), ';'), '')
+        ELSE '' END
+    END AS covProt,
+    CASE WHEN manual THEN 'unknown'
+      WHEN transcript IS NOT NULL THEN coalesce(array_to_string(list_transform(
+        list_sort(list_concat(
+          list_transform(covered, z ->
+            {'gpos': TRY_CAST(string_split(z[2], ':')[1] AS BIGINT),
+              's': coalesce(chromosome, '?') || ':' || z[2]}),
+          list_transform(refCovered, a ->
+            {'gpos': TRY_CAST(string_split(a.adna, ':')[2] AS BIGINT),
+              's': a.adna}))), e -> e.s), ';'), '')
+    END AS covDna,
+    (fs_before OR coalesce(len(list_filter(covered, z -> ends_with(z[1], '(+fs)'))) > 0,
+      false)) AS fs_any,
+    coalesce(CAST(frame_idx AS VARCHAR), '-') AS rf
+  FROM pm2),
+rolled AS (
+  SELECT pepId, peptide,
+    max(contains(coalesce(tag, ''), 'cont')) AS isCont,
+    max(contains(coalesce(tag, ''), 'ref')) AS isCanon,
+    max(manual) AS foundVariant,
+    coalesce(min(CASE WHEN canonAlt THEN len(covered) END), 999999)
+      AS minChanges,
+    max(coalesce(canonAlt, false)) AS hasCanonAlt,
+    max(fs_any) AS hasFs,
+    max(contains(coalesce(covDna, ''), '>')) AS hasAltAllele,
+    count(*) AS n,
+    sum(CASE WHEN isEnst THEN 1 ELSE 0 END) AS nEnst,
+    count(DISTINCT CASE WHEN transcript IS NOT NULL THEN gene END)
+      AS vNGenes,
+    count(DISTINCT CASE WHEN isEnst THEN gene END) AS cNGenes,
+    coalesce(list(covPep ORDER BY rnk) FILTER (covPep IS NOT NULL), [])
+      AS lCovPep,
+    coalesce(list(covProt ORDER BY rnk) FILTER (covProt IS NOT NULL), [])
+      AS lCovProt,
+    coalesce(list(covDna ORDER BY rnk) FILTER (covDna IS NOT NULL), [])
+      AS lCovDna,
+    coalesce(list(acc2 ORDER BY rnk), []) AS lProts,
+    coalesce(list(transcript ORDER BY rnk)
+      FILTER (transcript IS NOT NULL), []) AS lTranscripts,
+    coalesce(list(gene ORDER BY rnk)
+      FILTER (transcript IS NOT NULL AND gene IS NOT NULL), []) AS lGenes,
+    coalesce(list(CAST(pos AS VARCHAR) ORDER BY rnk), []) AS lPositions,
+    coalesce(list(CAST(preceding AS VARCHAR) ORDER BY rnk)
+      FILTER (transcript IS NOT NULL), []) AS lPreceding,
+    coalesce(list(rf ORDER BY rnk), []) AS lRfs,
+    coalesce(list(acc2 ORDER BY rnk) FILTER (isEnst), []) AS lcProts,
+    coalesce(list(gene ORDER BY rnk)
+      FILTER (isEnst AND gene IS NOT NULL), []) AS lcGenes,
+    coalesce(list(CAST(pos AS VARCHAR) ORDER BY rnk) FILTER (isEnst), [])
+      AS lcPositions,
+    coalesce(list(coalesce(array_to_string(list_transform(refCovered, a -> a.adna),
+        ';'), '') ORDER BY rnk)
+      FILTER (isEnst AND len(refCovered) > 0), []) AS lcDna
+  FROM pm3 GROUP BY pepId, peptide)
+SELECT pepId, peptide,
+  CASE WHEN isCont THEN 'contaminant'
+    WHEN isCanon THEN 'canonical'
+    WHEN foundVariant THEN 'single-variant(ProVar)'
+    WHEN minChanges > 1 AND minChanges < 999999 AND hasCanonAlt
+      THEN 'multi-variant'
+    WHEN hasAltAllele AND hasCanonAlt THEN 'single-variant'
+    WHEN hasAltAllele AND NOT hasCanonAlt AND NOT hasFs
+      THEN 'variant-no-ref'
+    WHEN hasFs THEN 'frameshift'
+    ELSE 'canonical-no-ref' END AS pep_type1,
+  CASE WHEN isCont THEN 'contaminant'
+    WHEN (CASE WHEN isCanon THEN nEnst ELSE n END) = 1
+      THEN 'proteoform-specific'
+    WHEN (CASE WHEN isCanon THEN cNGenes ELSE vNGenes END) = 1
+      THEN 'protein-specific'
+    ELSE 'multi-gene' END AS pep_type2,
+  CASE WHEN isCont THEN '-' WHEN isCanon THEN ''
+    ELSE coalesce(array_to_string(list_filter(lCovPep,
+      (x, i) -> list_position(lCovPep, x) = i), '|'), '')
+  END AS covered_changes_peptide,
+  CASE WHEN isCont THEN '-' WHEN isCanon THEN ''
+    ELSE coalesce(array_to_string(list_filter(lCovProt,
+      (x, i) -> list_position(lCovProt, x) = i), '|'), '')
+  END AS covered_changes_protein,
+  CASE WHEN isCont THEN '-'
+    WHEN isCanon THEN coalesce(array_to_string(list_filter(lcDna,
+      (x, i) -> list_position(lcDna, x) = i), '|'), '')
+    ELSE coalesce(array_to_string(list_filter(lCovDna,
+      (x, i) -> list_position(lCovDna, x) = i), '|'), '')
+  END AS covered_alleles_dna,
+  CASE WHEN isCont THEN '-'
+    WHEN isCanon THEN coalesce(array_to_string(lcProts, ';'), '')
+    ELSE coalesce(array_to_string(lProts, ';'), '') END AS matching_proteins,
+  CASE WHEN isCont THEN '-'
+    WHEN isCanon THEN coalesce(array_to_string(lcProts, ';'), '')
+    ELSE coalesce(array_to_string(list_filter(lTranscripts,
+      (x, i) -> list_position(lTranscripts, x) = i), ';'), '')
+  END AS matching_transcripts,
+  CASE WHEN isCont THEN '-'
+    WHEN isCanon THEN coalesce(array_to_string(list_filter(lcGenes,
+      (x, i) -> list_position(lcGenes, x) = i), ';'), '')
+    ELSE coalesce(array_to_string(list_filter(lGenes,
+      (x, i) -> list_position(lGenes, x) = i), ';'), '')
+  END AS matching_genes,
+  CASE WHEN isCont THEN '-'
+    WHEN isCanon THEN coalesce(array_to_string(lcPositions, ';'), '')
+    ELSE coalesce(array_to_string(lPositions, ';'), '') END AS positions_in_proteins,
+  CASE WHEN isCont OR isCanon THEN '-'
+    WHEN coalesce(array_to_string(lPreceding, ';'), '') = '' THEN '-'
+    ELSE coalesce(array_to_string(lPreceding, ';'), '') END AS preceding_indel_shift,
+  CASE WHEN isCont OR isCanon THEN '-'
+    ELSE coalesce(array_to_string(lRfs, ';'), '') END AS reading_frames
+FROM rolled"""
     )
   }
 }

@@ -72,6 +72,15 @@ class HaploProteinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[String]("protein_sequence") == "MGSTIMTLEP")
   }
 
+  test("two-SAV haplotype applies both substitutions (S6 copy1: rs1+rs13)") {
+    // MASRL with 1:A>G (rs1) and 3:R>G (rs13) -> MGSGL; both changes listed
+    val r = db(("T1", "rs1;rs13"))
+    assert(r.getAs[String]("protein_sequence") == "MGSGL")
+    assert(r.getAs[String]("variant_types") == "SAV;SAV")
+    assert(r.getAs[String]("protein_changes") == "1:A>1:G;3:R>3:G")
+    assert(r.getAs[Long]("occurrence_count") == 1L)
+  }
+
   test("UTR-only, synonymous and conflicted haplotypes are dropped") {
     // rs3 (5'UTR only), rs2 alone (3'UTR), rs5-A (synonymous TGA->TAA),
     // rs8 (T2 3'UTR), and the conflicted rs1+rs7 copy must not appear
@@ -92,9 +101,15 @@ class HaploProteinsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("ProVar keeps synonymous and UTR variants (one row per allele)") {
     val pv = GenomicPipeline.queries("pv1_provar")(spark, "")
       .collect()
-    assert(pv.length == 11) // 8 T1 + 2 T2 + 1 T5 alleles; T4 has no cDNA
+    assert(pv.length == 12) // 9 T1 + 2 T2 + 1 T5 alleles; T4 has no cDNA
     val ids = pv.map(_.getAs[String]("vcf_ids"))
     assert(ids.count(_.startsWith("rs5")) == 2) // both alleles kept
+    // rs13 (chr1:24 C>G) lands at cDNA 13 (0-based), CDS codon 4 CGA>GGA:
+    // missense R>G at protein index 3 of MASRL (process_variants.py semantics)
+    val r13 = pv.find(_.getAs[String]("vcf_ids") == "rs13:G").get
+    assert(r13.getAs[String]("cdna_changes") == "13:C>G")
+    assert(r13.getAs[String]("all_protein_changes") == "3:R>3:G")
+    assert(r13.getAs[String]("variant_types") == "SAV")
   }
 
   test("junction-crossing allele is reassembled across the intron") {
