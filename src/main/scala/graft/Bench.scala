@@ -30,14 +30,29 @@ object Bench {
         t.printStackTrace()
     }
     val prep = (System.nanoTime() - tPrep) / 1e9
-    val results0 = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      graft.operators.Dedup.releaseCaches() // untimed storage reclaim
-      graft.queries.GenomicPipeline.releaseCaches()
-      name -> dt
-    }
+    // Min-of-N per query (default 2): round-3/4 comparisons showed 10-20x
+    // swings on unchanged plans from JIT/codegen warm-up landing on
+    // whichever query ran first. The min is the steady-state cost of the
+    // plan — the number that actually responds to plan changes.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    def timed(body: () => Unit): Double =
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try body() catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.operators.Dedup.releaseCaches() // untimed storage reclaim
+        graft.queries.GenomicPipeline.releaseCaches()
+        dt
+      }.min
+    // SPARK_GRAFT_BENCH_ONLY="d4_ngram_jaccard,q1_agg": focused runs while
+    // iterating on one operator; unset = full suite (driver mode)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def wanted(name: String) = only.forall(_.contains(name))
+    val results0 = SparkEntry.queries.filter(kv => wanted(kv._1))
+      .map { case (name, fn) =>
+        name -> timed(() => { fn(spark, sfDir).count(); () })
+      }
     // Synthetic-scale genomic benchmarks: the gate fixtures are
     // intentionally tiny (hand-computed oracles), so the genomic
     // operators' gate timings carry no scale signal. These generate
@@ -118,11 +133,10 @@ object Bench {
               .otherwise("0|0").as("gt"))
         graft.operators.Haplotypes.haplotypes(gts).count()
       }))
-    val results = results0 ++ synth.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn() catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results = results0 ++ synth.filter(kv => wanted(kv._1))
+      .map { case (name, fn) =>
+        name -> timed(() => { fn(); () })
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = (if (results.nonEmpty) results.values.sum else 0.0) + prep

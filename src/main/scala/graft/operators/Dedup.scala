@@ -141,9 +141,10 @@ object Dedup {
     * an EXACT similarity join — every pair with Jaccard >= threshold is
     * returned, unlike hash blocking which drops pairs.
     *
-    * Grams are mapped to md5 hex (Jaccard-preserving, gives a global total
-    * order portable to the SQL oracle) and sorted; a document's prefix is
-    * its first |g| - ceil(t*|g|) + 1 hashes. Two sets with J >= t MUST
+    * Grams are mapped to 64-bit hashes (Jaccard-preserving; the exact
+    * verify step makes the output independent of the representation, so
+    * the SQL oracle can work over raw gram strings) and df-sorted; a
+    * document's prefix is its first |g| - ceil(t*|g|) + 1 hashes. Two sets with J >= t MUST
     * share a prefix element, so exploding the prefix as the join key
     * generates a candidate superset with no recall loss, at ~(1-t)|g| keys
     * per doc instead of an all-pairs product. Candidates are id-only pairs;
@@ -161,10 +162,19 @@ object Dedup {
       else
         call_function("graft_md5_char_ngrams",
           trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), lit(n))
+    // Grams are folded to 64-bit xxhash64 keys immediately: Jaccard is a
+    // set measure, so any injective-in-practice mapping preserves it (a
+    // 2^-64 collision would merge two grams — negligible at any corpus
+    // size), and longs instead of 32-char hex strings shrink every
+    // downstream shuffle — the df join, the doc-level sort, the prefix
+    // self-join keys and the verify-side gram arrays — by ~4x while making
+    // comparisons single instructions. The exact verify step means the
+    // final (id1, id2, jaccard) output is representation-independent.
     // NOT persisted: both consumers (df-count, doc sort) re-run only the
     // narrow native gram kernel — cheaper at corpus scale than holding a
     // corpus-sized gram table in executor storage.
-    val raw = df.select(col(idCol).as("id"), grams.as("grams"))
+    val raw = df.select(col(idCol).as("id"),
+      array_distinct(transform(grams, g => xxhash64(g))).as("grams"))
       .where(size(col("grams")) > 0)
     // Global document-frequency order (rarest gram first): candidates per
     // prefix key stay small because prefixes hold only rare grams — the
