@@ -1,40 +1,41 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.plans.GraftFunctions
 
-/** Multimodal (image/audio/video) column plumbing for training-data
-  * pipelines: media ride as opaque `binary` columns with typed metadata;
-  * decode / feature-extraction is a clearly-marked deterministic STUB
-  * (the real codec libraries are not available in this environment), but
-  * the Spark-side shapes — binary payloads, metadata structs, per-frame
-  * explosion, partition behavior — are real and oracle-checked.
+/** Multimodal (image/audio/video) columns for training-data pipelines:
+  * media ride as opaque `binary` columns with typed metadata.
   *
-  * All derived values go through the hex-string domain (`hex(payload)`)
-  * so the DuckDB oracle can reproduce them without blob functions.
+  * Image decode / resample / feature extraction are REAL, built on the
+  * JDK's javax.imageio via the graft_img_* expressions
+  * (graft.plans.MediaExprs) — PNG/JPEG/GIF/BMP, no external codecs, no
+  * UDFs, no driver-side work: decodes run executor-side with partition
+  * parallelism and poison blobs yield NULL instead of failing the stage.
+  *
+  * Frame sampling over chunked payloads (the video/audio analog) and
+  * metadata extraction go through the hex-string domain (`hex(payload)`)
+  * so the DuckDB oracle can reproduce them without blob functions; image
+  * dimensions are cross-checked by the oracle parsing the PNG IHDR header
+  * bytes directly.
   */
 object Multimodal {
-
-  /** Value 0-15 of the first hex nibble of a hex string. */
-  private def nibble(h: Column, idx: Int): Column =
-    instr(lit("0123456789ABCDEF"), upper(h.substr(idx, 1))) - 1
 
   /** Metadata extraction: byte length + content hash of the payload. */
   def describe(df: DataFrame, payload: String = "payload"): DataFrame =
     df.withColumn("byte_len", length(col(payload)).cast("long"))
       .withColumn("content_hash", md5(hex(col(payload))))
 
-  /** STUB decode: deterministic fake dimensions derived from the first
-    * payload bytes — stands in for an image decode the way a real
-    * implementation would return (width, height, channels). Replace with
-    * a native decoder expression when codec libraries are available.
+  /** Real image decode: width / height / channel count from the codec
+    * (gray 1, gray+alpha 2, RGB 3, RGBA 4); NULLs for undecodable rows.
     */
-  def decodeStub(df: DataFrame, payload: String = "payload"): DataFrame = {
-    val h = hex(col(payload))
-    df.withColumn("width", (lit(1) + nibble(h, 1) % 16 * lit(16)
-      + nibble(h, 2)).cast("long"))
-      .withColumn("height", (lit(1) + nibble(h, 3) % 16 * lit(16)
-        + nibble(h, 4)).cast("long"))
+  def decodeImage(df: DataFrame, payload: String = "payload"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("_d", call_function("graft_img_decode", col(payload)))
+      .withColumn("width", col("_d.width").cast("long"))
+      .withColumn("height", col("_d.height").cast("long"))
+      .withColumn("channels", col("_d.channels").cast("long"))
+      .drop("_d")
   }
 
   /** Frame sampling: one row per `every`-th fixed-size chunk of the
@@ -51,38 +52,33 @@ object Multimodal {
           s"substring($payload, frame_idx * meta.chunk_bytes + 1, " +
             "meta.chunk_bytes)"))))
 
-  /** STUB resize: target dimensions preserving the decode-stub's aspect
-    * ratio (integer floor), plus a deterministic "resized content" hash
-    * binding payload + geometry — the column-flow shape of a real resize
-    * (new dims + new bytes) without the codec.
+  /** Real bilinear resample to `maxSide` on the longer edge (aspect
+    * preserved, floor): resized dimensions plus the mean luminance of the
+    * resampled pixels (resized_mean, in [0,1]) — the latter is evidence
+    * the pixel work ran, asserted against hand-computed values in
+    * MediaSpec.
     */
-  def resizeStub(df: DataFrame, maxSide: Int = 64,
-                 payload: String = "payload"): DataFrame = {
-    val scale = lit(maxSide) / greatest(col("width"), col("height"))
-    val rw = when(col("width") >= col("height"), lit(maxSide))
-      .otherwise(floor(col("width") * scale)).cast("long")
-    val rh = when(col("height") > col("width"), lit(maxSide))
-      .otherwise(floor(col("height") * scale)).cast("long")
-    df.withColumn("resized_w", rw)
-      .withColumn("resized_h", rh)
-      .withColumn("resized_hash",
-        md5(concat(hex(col(payload)), lit(":"), rw.cast("string"),
-          lit("x"), rh.cast("string"))))
+  def resizeImage(df: DataFrame, maxSide: Int = 64,
+                  payload: String = "payload"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("_r",
+      call_function("graft_img_resize", col(payload), lit(maxSide)))
+      .withColumn("resized_w", col("_r.resized_w").cast("long"))
+      .withColumn("resized_h", col("_r.resized_h").cast("long"))
+      .withColumn("resized_mean", round(col("_r.resized_mean"), 6))
+      .drop("_r")
   }
 
-  /** STUB feature extraction: a fixed-width embedding derived
-    * deterministically from payload chunk hashes (one double in [0,1)
-    * per md5-prefix nibble pair) — the real thing would be a model
-    * forward pass; the Spark-side shape (binary -> fixed-length
-    * array<double> column, batchable, codegen-friendly) is what the
-    * similarity operators downstream consume.
+  /** Real pixel-derived embedding: mean Rec.601 luminance per cell of a
+    * gx*gy grid over the image (row-major array<double>, values in
+    * [0,1]) — a deterministic stand-in for a model forward pass with the
+    * exact column shape (binary -> fixed-length array<double>) the
+    * similarity operators (s1-s3) consume.
     */
-  def featuresStub(df: DataFrame, dim: Int = 4,
-                   payload: String = "payload"): DataFrame = {
-    val h = md5(hex(col(payload)))
-    val feats = array((0 until dim).map { i =>
-      (conv(h.substr(i * 4 + 1, 4), 16, 10).cast("double") / 65536.0)
-    }: _*)
-    df.withColumn("features", feats)
+  def imageFeatures(df: DataFrame, gridX: Int = 2, gridY: Int = 2,
+                    payload: String = "payload"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("features",
+      call_function("graft_img_grid", col(payload), lit(gridX), lit(gridY)))
   }
 }

@@ -1,0 +1,192 @@
+package graft.plans
+
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression,
+  Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Real image decode / resample / feature kernels over binary payload
+  * columns, built ONLY on the JDK's javax.imageio (PNG/JPEG/GIF/BMP) —
+  * no external codec dependencies.
+  *
+  * These are CodegenFallback expressions: a decode is milliseconds of
+  * codec work per row, so interpreted dispatch overhead is irrelevant
+  * (unlike the per-token hash kernels in NativeExprs that must live
+  * inside whole-stage codegen). They evaluate executor-side per
+  * partition, i.e. decode parallelism == partition parallelism, which is
+  * the shape a 100 TB media crawl needs — no driver-side decode, no
+  * collect.
+  *
+  * Decode failures (corrupt/unsupported payloads) yield NULL, never an
+  * exception: at corpus scale a poison blob must not kill the stage.
+  */
+object MediaExprs {
+
+  private def decode(bytes: Array[Byte]): BufferedImage =
+    try ImageIO.read(new ByteArrayInputStream(bytes)) // null if unsupported
+    catch { case _: Exception => null }
+
+  /** Rec.601 luminance of a packed sRGB int, in [0,1]. */
+  private def lum(rgb: Int): Double = {
+    val r = (rgb >> 16) & 0xff
+    val g = (rgb >> 8) & 0xff
+    val b = rgb & 0xff
+    (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+  }
+
+  /** Luminance of pixel (x, y) in [0,1]. Grayscale images read the raw
+    * raster sample: getRGB on TYPE_BYTE_GRAY would run the linear-gray ->
+    * sRGB colorspace conversion and shift every midtone (a classic AWT
+    * trap), where the raw sample IS the luminance.
+    */
+  private def lumAt(img: BufferedImage, x: Int, y: Int): Double =
+    if (img.getColorModel.getNumComponents <= 2) {
+      val bits = img.getColorModel.getComponentSize(0)
+      img.getRaster.getSample(x, y, 0).toDouble / ((1 << bits) - 1)
+    } else lum(img.getRGB(x, y))
+
+  /** graft_img_decode(binary) ->
+    * struct<width:int, height:int, channels:int>; NULL on decode failure.
+    * channels = color-model components (gray 1, gray+alpha 2, RGB 3,
+    * RGBA 4) — matches the PNG IHDR color-type mapping the SQL oracle
+    * derives from the raw header.
+    */
+  case class GraftImgDecode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary, got ${child.dataType.catalogString}")
+    override def dataType: DataType = StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType)))
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(payload: Any): Any = {
+      val img = decode(payload.asInstanceOf[Array[Byte]])
+      if (img == null) null
+      else InternalRow(img.getWidth, img.getHeight,
+        img.getColorModel.getNumComponents)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+    override def prettyName: String = "graft_img_decode"
+  }
+
+  /** graft_img_resize(binary, int maxSide) ->
+    * struct<resized_w:int, resized_h:int, resized_mean:double>: bilinear
+    * resample to `maxSide` on the longer edge (aspect preserved, floor),
+    * plus the mean Rec.601 luminance of the RESAMPLED pixels — evidence
+    * the resample actually ran. NULL on decode failure.
+    */
+  case class GraftImgResize(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == BinaryType && right.dataType == IntegerType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, int), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    override def dataType: DataType = StructType(Seq(
+      StructField("resized_w", IntegerType),
+      StructField("resized_h", IntegerType),
+      StructField("resized_mean", DoubleType)))
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(payload: Any, maxSide: Any): Any = {
+      val img = decode(payload.asInstanceOf[Array[Byte]])
+      if (img == null) return null
+      val (w, h) = (img.getWidth, img.getHeight)
+      val m = maxSide.asInstanceOf[Int]
+      val scale = m.toDouble / math.max(w, h)
+      // same arithmetic as the SQL oracle: longer side pinned to maxSide,
+      // the other floored; ties (square) resolve to width
+      val rw = if (w >= h) m else math.floor(w * scale).toInt.max(1)
+      val rh = if (h > w) m else math.floor(h * scale).toInt.max(1)
+      val out = new BufferedImage(rw, rh, BufferedImage.TYPE_INT_RGB)
+      val g2 = out.createGraphics()
+      try {
+        g2.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g2.drawImage(img, 0, 0, rw, rh, null)
+      } finally g2.dispose()
+      var sum = 0.0
+      var y = 0
+      while (y < rh) {
+        var x = 0
+        while (x < rw) { sum += lum(out.getRGB(x, y)); x += 1 }
+        y += 1
+      }
+      InternalRow(rw, rh, sum / (rw.toLong * rh))
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(newLeft, newRight)
+    override def prettyName: String = "graft_img_resize"
+  }
+
+  /** graft_img_grid(binary, int gx, int gy) -> array<double>: mean
+    * Rec.601 luminance per grid cell (row-major, gx*gy values in [0,1]) —
+    * a deterministic pixel-derived embedding the similarity operators
+    * (s1-s3) can consume. Cells cover the image with floor boundaries;
+    * images smaller than the grid clamp cells to >= 1 pixel. NULL on
+    * decode failure.
+    */
+  case class GraftImgGrid(first: Expression, second: Expression,
+                          third: Expression)
+    extends TernaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (first.dataType == BinaryType && second.dataType == IntegerType &&
+          third.dataType == IntegerType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, int, int)")
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(payload: Any, gxA: Any,
+                                        gyA: Any): Any = {
+      val img = decode(payload.asInstanceOf[Array[Byte]])
+      if (img == null) return null
+      val (w, h) = (img.getWidth, img.getHeight)
+      val gx = gxA.asInstanceOf[Int]
+      val gy = gyA.asInstanceOf[Int]
+      val feats = new Array[Double](gx * gy)
+      var cy = 0
+      while (cy < gy) {
+        val y0 = (cy.toLong * h / gy).toInt
+        val y1 = math.max(((cy + 1).toLong * h / gy).toInt, y0 + 1).min(h)
+        var cx = 0
+        while (cx < gx) {
+          val x0 = (cx.toLong * w / gx).toInt
+          val x1 = math.max(((cx + 1).toLong * w / gx).toInt, x0 + 1).min(w)
+          var sum = 0.0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { sum += lumAt(img, x, y); x += 1 }
+            y += 1
+          }
+          feats(cy * gx + cx) =
+            if (y1 > y0 && x1 > x0) sum / ((y1 - y0).toLong * (x1 - x0))
+            else 0.0
+          cx += 1
+        }
+        cy += 1
+      }
+      new GenericArrayData(feats): ArrayData
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(f, s, t)
+    override def prettyName: String = "graft_img_grid"
+  }
+}

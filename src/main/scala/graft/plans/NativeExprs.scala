@@ -249,7 +249,19 @@ object GraftFunctions {
     ("graft_cosine", classOf[GraftCosine],
       arity2("graft_cosine", GraftCosine.apply)),
     ("graft_translate_dna", classOf[GraftTranslateDna],
-      arity2("graft_translate_dna", GraftTranslateDna.apply))
+      arity2("graft_translate_dna", GraftTranslateDna.apply)),
+    ("graft_img_decode", classOf[MediaExprs.GraftImgDecode],
+      { children: Seq[Expression] =>
+        require(children.length == 1, "graft_img_decode takes 1 argument")
+        MediaExprs.GraftImgDecode(children.head)
+      }),
+    ("graft_img_resize", classOf[MediaExprs.GraftImgResize],
+      arity2("graft_img_resize", MediaExprs.GraftImgResize.apply)),
+    ("graft_img_grid", classOf[MediaExprs.GraftImgGrid],
+      { children: Seq[Expression] =>
+        require(children.length == 3, "graft_img_grid takes 3 arguments")
+        MediaExprs.GraftImgGrid(children(0), children(1), children(2))
+      })
   )
 
   /** Idempotent per-session registration (operators call this; the

@@ -145,30 +145,41 @@ object Genomic2 {
 
     "m1_multimodal" -> ((s, _) => {
       prep(s)
+      // binary-payload plumbing: metadata + per-chunk frame sampling over
+      // the chunked (video/audio analog) payload table
       Multimodal.sampleFrames(
-        Multimodal.decodeStub(
-          Multimodal.describe(s.read.parquet(s"$fx/media.parquet"))),
+        Multimodal.describe(s.read.parquet(s"$fx/media.parquet")),
         every = 2)
-        .select("media_id", "kind", "byte_len", "content_hash", "width",
-          "height", "frame_idx", "frame_hash")
+        .select("media_id", "kind", "byte_len", "content_hash",
+          "frame_idx", "frame_hash")
     }),
 
     "m2_media_resize" -> ((s, _) => {
       prep(s)
-      Multimodal.resizeStub(
-        Multimodal.decodeStub(s.read.parquet(s"$fx/media.parquet")),
-        maxSide = 64)
-        .select("media_id", "width", "height", "resized_w", "resized_h",
-          "resized_hash")
+      // REAL decode (javax.imageio) + bilinear resample over committed
+      // PNGs; the oracle re-derives width/height/channels from the raw
+      // IHDR header bytes and replicates the aspect arithmetic, proving
+      // the codec path decoded the real dimensions. resized_mean (pixel
+      // evidence) is asserted in MediaSpec, not hashed here — DuckDB
+      // cannot inflate IDAT.
+      Multimodal.resizeImage(
+        Multimodal.decodeImage(s.read.parquet(s"$fx/images.parquet")),
+        maxSide = 4)
+        .select("media_id", "width", "height", "channels", "resized_w",
+          "resized_h")
     }),
 
     "m3_media_features" -> ((s, _) => {
       prep(s)
-      Multimodal.featuresStub(s.read.parquet(s"$fx/media.parquet"), dim = 4)
+      // 2x2-grid mean-luminance embedding from REAL pixels; snapshot
+      // oracle (fixtures/expected), hand-verified per-pixel in MediaSpec
+      Multimodal.imageFeatures(s.read.parquet(s"$fx/images.parquet"),
+        gridX = 2, gridY = 2)
         .select(col("media_id"),
           posexplode(col("features")).as(Seq("dim_idx", "feature")))
         .select(col("media_id"), col("dim_idx").cast("long").as("dim_idx"),
           round(col("feature"), 6).as("feature"))
+        .orderBy("media_id", "dim_idx")
     })
   )
 
@@ -509,42 +520,43 @@ object Genomic2 {
          |SELECT b.chromosome, b.transcriptID
          |FROM base b JOIN keep k USING (transcriptID)""".stripMargin,
 
+    // m2: the oracle decodes the PNG IHDR header DIRECTLY from the raw
+    // bytes (width/height as big-endian u32 at byte offset 17/21, color
+    // type at byte 26) and replicates the aspect arithmetic — an
+    // independent check that graft_img_decode reports the codec's real
+    // geometry.
     "m2_media_resize" ->
       s"""WITH d AS (
-         |  SELECT media_id, hex(payload) AS h FROM ${pq("media")}),
+         |  SELECT media_id, hex(payload) AS h FROM ${pq("images")}),
          |wh AS (
-         |  SELECT media_id, h,
-         |    CAST(1 + (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1)
-         |      % 16 * 16
-         |      + (strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1)
+         |  SELECT media_id,
+         |    CAST(list_reduce([strpos('0123456789ABCDEF', substr(h, j, 1))
+         |        - 1 for j in range(33, 41)], (a, c) -> a * 16 + c)
          |      AS BIGINT) AS width,
-         |    CAST(1 + (strpos('0123456789ABCDEF', substr(h, 3, 1)) - 1)
-         |      % 16 * 16
-         |      + (strpos('0123456789ABCDEF', substr(h, 4, 1)) - 1)
-         |      AS BIGINT) AS height
-         |  FROM d),
-         |r AS (
-         |  SELECT *,
-         |    CASE WHEN width >= height THEN 64
-         |      ELSE CAST(floor(width * (64 / CAST(greatest(width, height)
-         |        AS DOUBLE))) AS BIGINT) END AS resized_w,
-         |    CASE WHEN height > width THEN 64
-         |      ELSE CAST(floor(height * (64 / CAST(greatest(width, height)
-         |        AS DOUBLE))) AS BIGINT) END AS resized_h
-         |  FROM wh)
-         |SELECT media_id, width, height, resized_w, resized_h,
-         |  md5(h || ':' || resized_w || 'x' || resized_h) AS resized_hash
-         |FROM r""".stripMargin,
+         |    CAST(list_reduce([strpos('0123456789ABCDEF', substr(h, j, 1))
+         |        - 1 for j in range(41, 49)], (a, c) -> a * 16 + c)
+         |      AS BIGINT) AS height,
+         |    CAST(CASE list_reduce([strpos('0123456789ABCDEF',
+         |        substr(h, j, 1)) - 1 for j in range(51, 53)],
+         |        (a, c) -> a * 16 + c)
+         |      WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 3 WHEN 4 THEN 2
+         |      WHEN 6 THEN 4 END AS BIGINT) AS channels
+         |  FROM d)
+         |SELECT media_id, width, height, channels,
+         |  CASE WHEN width >= height THEN 4
+         |    ELSE greatest(CAST(floor(width * (4 / CAST(greatest(width,
+         |      height) AS DOUBLE))) AS BIGINT), 1) END AS resized_w,
+         |  CASE WHEN height > width THEN 4
+         |    ELSE greatest(CAST(floor(height * (4 / CAST(greatest(width,
+         |      height) AS DOUBLE))) AS BIGINT), 1) END AS resized_h
+         |FROM wh""".stripMargin,
 
+    // m3: pixel-derived features need a DEFLATE inflater, which SQL
+    // lacks — snapshot oracle (graft.tools.Snapshot regenerates);
+    // MediaSpec asserts the same rows per-pixel by hand
     "m3_media_features" ->
-      s"""WITH d AS (
-         |  SELECT media_id, md5(hex(payload)) AS mh FROM ${pq("media")})
-         |SELECT media_id, CAST(i AS BIGINT) AS dim_idx,
-         |  round(list_reduce([strpos('0123456789abcdef',
-         |      substr(mh, CAST(i AS INT) * 4 + j, 1)) - 1
-         |    for j in range(1, 5)], (a, c) -> a * 16 + c)
-         |    / 65536.0, 6) AS feature
-         |FROM d, (SELECT unnest(range(0, 4)) AS i)""".stripMargin,
+      ("SELECT * FROM read_parquet(" +
+        "'/root/repo/fixtures/expected/m3_media_features.parquet')"),
 
     "m1_multimodal" ->
       s"""WITH m AS (
@@ -553,10 +565,6 @@ object Genomic2 {
          |  FROM ${pq("media")})
          |SELECT media_id, kind, byte_len,
          |  md5(h) AS content_hash,
-         |  1 + (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
-         |    + (strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1) AS width,
-         |  1 + (strpos('0123456789ABCDEF', substr(h, 3, 1)) - 1) * 16
-         |    + (strpos('0123456789ABCDEF', substr(h, 4, 1)) - 1) AS height,
          |  f.i AS frame_idx,
          |  md5(substr(h, f.i * meta.chunk_bytes * 2 + 1,
          |    meta.chunk_bytes * 2)) AS frame_hash

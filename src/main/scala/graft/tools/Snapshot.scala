@@ -11,13 +11,15 @@ import org.apache.spark.sql.SparkSession
   * The snapshots are NOT self-fulfilling: the same rows are asserted
   * field-by-field against hand-computed reference semantics in
   * HaploProteinsSpec (derived on paper from process_haplotypes.py /
-  * process_variants.py / coordinates_toolbox.py). Run this main ONLY after
-  * that suite is green, then commit the refreshed files.
+  * process_variants.py / coordinates_toolbox.py) and MediaSpec
+  * (per-pixel luminance means of the committed PNGs). Run this main ONLY
+  * after those suites are green, then commit the refreshed files.
   *
   * Usage: sbt "runMain graft.tools.Snapshot [outDir]"
   */
 object Snapshot {
-  val names = Seq("h4_protein_db", "h5_protein_dedup", "pv1_provar")
+  val names = Seq("h4_protein_db", "h5_protein_dedup", "pv1_provar",
+    "m3_media_features")
 
   def main(args: Array[String]): Unit = {
     val outDir = if (args.nonEmpty) args(0) else "/tmp/graft_snapshot"

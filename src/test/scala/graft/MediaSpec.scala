@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.fixtures.GenomicFixtures
+import graft.operators.Multimodal
+
+/** Hand-computed expectations for the REAL image kernels over the
+  * committed PNGs in fixtures/png (pixel values documented where each
+  * file is generated). Luminance is Rec.601 (0.299, 0.587, 0.114);
+  * grayscale reads raw raster samples, so lum(gray g) = g/255 exactly.
+  */
+class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("media-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GenomicFixtures.ensure(spark)
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def images = spark.read
+    .parquet(s"${GenomicFixtures.dir}/images.parquet")
+
+  test("decode reports the codec's real geometry and channel count") {
+    val rows = Multimodal.decodeImage(images)
+      .select("media_id", "width", "height", "channels")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(rows("gray_2x2") == ((2L, 2L, 1L)))
+    assert(rows("rgb_3x2") == ((3L, 2L, 3L)))
+    assert(rows("rgb_16x8") == ((16L, 8L, 3L)))
+    assert(rows("rgba_4x4") == ((4L, 4L, 4L)))
+    assert(rows("red_8x8") == ((8L, 8L, 3L)))
+  }
+
+  test("corrupt payload decodes to NULL, not an exception") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq(("junk", Array[Byte](1, 2, 3, 4, 5)))
+      .toDF("media_id", "payload")
+    val r = Multimodal.decodeImage(bad).select("width").collect()
+    assert(r.length == 1 && r.head.isNullAt(0))
+  }
+
+  test("grid features are the hand-computed per-cell luminance means") {
+    val feats = Multimodal.imageFeatures(images, 2, 2)
+      .collect()
+      .map(r => r.getAs[String]("media_id") ->
+        r.getAs[scala.collection.Seq[Double]]("features")
+          .map(v => math.rint(v * 1e6) / 1e6).toSeq)
+      .toMap
+    // gray_2x2 pixels [[0,85],[170,255]]; 1 pixel per cell, lum = g/255
+    assert(feats("gray_2x2") == Seq(0.0, 0.333333, 0.666667, 1.0))
+    // rgb_3x2: cells are col 0 | cols 1-2 per row.
+    // row0 = red, (green+blue)/2; row1 = black, (gray128 + white)/2
+    assert(feats("rgb_3x2") == Seq(0.299, 0.3505, 0.0, 0.75098))
+    // red_8x8: constant red everywhere
+    assert(feats("red_8x8") == Seq(0.299, 0.299, 0.299, 0.299))
+    // rgba_4x4 checkerboard red/green: every 2x2 cell has 2 of each
+    assert(feats("rgba_4x4") == Seq(0.443, 0.443, 0.443, 0.443))
+  }
+
+  test("resize pins the longer edge, floors the other, and resamples") {
+    val rows = Multimodal.resizeImage(Multimodal.decodeImage(images),
+      maxSide = 4)
+      .select("media_id", "resized_w", "resized_h", "resized_mean")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(rows("rgb_16x8")._1 == 4L && rows("rgb_16x8")._2 == 2L)
+    assert(rows("gray_2x2")._1 == 4L && rows("gray_2x2")._2 == 4L) // upscale
+    assert(rows("rgb_3x2")._1 == 4L && rows("rgb_3x2")._2 == 2L)
+    // bilinear resample of a constant image is constant: mean = lum(red)
+    assert(rows("red_8x8") == ((4L, 4L, 0.299)))
+    // means are real pixel statistics, so they stay in (0, 1) here
+    assert(rows.values.forall(v => v._3 >= 0.0 && v._3 <= 1.0))
+  }
+}
