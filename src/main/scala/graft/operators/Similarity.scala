@@ -68,14 +68,82 @@ object Similarity {
   def knnCosineIvf(queries: DataFrame, corpus: DataFrame, k: Int,
                    centStep: Long, nprobe: Int,
                    qId: String = "qid", qVec: String = "qvec",
-                   cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+                   cId: String = "cid", cVec: String = "cvec"): DataFrame =
+    knnCosineIvfWith(queries, corpus, k,
+      sampleCodebook(corpus, centStep, cId, cVec), nprobe,
+      qId, qVec, cId, cVec)
+
+  /** Training-free codebook: every `centStep`-th corpus vector. */
+  def sampleCodebook(corpus: DataFrame, centStep: Long,
+                     cId: String = "cid",
+                     cVec: String = "cvec"): DataFrame =
+    corpus.where(pmod(col(cId), lit(centStep)) === 0)
+      .select(col(cId).as("centId"),
+        col(cVec).cast("array<double>").as("centVec"))
+
+  /** Spherical k-means codebook: `iters` Lloyd rounds over the corpus,
+    * entirely as DataFrame aggregations — assignment is the same
+    * broadcast-centroids + bounded_top_k(1) plan the IVF query path uses,
+    * and the update step is one per-(centroid, dimension) avg shuffle
+    * (posexplode keeps rows narrow: corpus x dim (centId, dim, v)
+    * triples, partially aggregated map-side). Cosine assignment is
+    * scale-invariant, so centroid means skip renormalization. Empty
+    * clusters keep their previous centroid. Each round localCheckpoints
+    * the nlist-row centroid table, truncating lineage without any
+    * driver-side collect; at 100 TB the assignment scan dominates and
+    * parallelizes per partition, exactly like the query path. Centroid
+    * dims round to 6 decimals so FP summation-order noise cannot flip a
+    * downstream assignment (mirrors the SQL oracle).
+    *
+    * Init = the sampleCodebook vectors reindexed 0..nlist-1 — trained and
+    * training-free variants are directly comparable at equal nlist
+    * (SimilaritySpec measures recall@k of both against exact kNN).
+    */
+  def kmeansCodebook(corpus: DataFrame, initStep: Long, iters: Int,
+                     cId: String = "cid",
+                     cVec: String = "cvec"): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       round(call_function("graft_cosine", a.cast("array<double>"),
         b.cast("array<double>")), 5)
-    val cents = broadcast(
-      corpus.where(pmod(col(cId), lit(centStep)) === 0)
-        .select(col(cId).as("centId"), col(cVec).as("centVec")))
+    var cents = sampleCodebook(corpus, initStep, cId, cVec)
+      .select((col("centId") / initStep).cast("long").as("centId"),
+        col("centVec"))
+    for (_ <- 1 to iters) {
+      val assigned = topKPerQuery(
+        corpus.crossJoin(broadcast(cents))
+          .select(col(cId), col("centId"),
+            cos(col(cVec), col("centVec")).as("cosine")),
+        1, cId, "centId")
+        .select(col(cId), col("centId"))
+      val means = assigned
+        .join(corpus.select(col(cId), col(cVec)), Seq(cId))
+        .select(col("centId"),
+          posexplode(col(cVec).cast("array<double>")).as(Seq("dim", "v")))
+        .groupBy("centId", "dim").agg(avg(col("v")).as("m"))
+        .groupBy("centId")
+        .agg(transform(array_sort(collect_list(struct(col("dim"),
+          col("m")))), e => round(e.getField("m"), 6)).as("newVec"))
+      cents = cents
+        .join(means, Seq("centId"), "left")
+        .select(col("centId"),
+          coalesce(col("newVec"), col("centVec")).as("centVec"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** IVF with an explicit codebook (centId, centVec) — see knnCosineIvf. */
+  def knnCosineIvfWith(queries: DataFrame, corpus: DataFrame, k: Int,
+                       codebook: DataFrame, nprobe: Int,
+                       qId: String = "qid", qVec: String = "qvec",
+                       cId: String = "cid",
+                       cVec: String = "cvec"): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(call_function("graft_cosine", a.cast("array<double>"),
+        b.cast("array<double>")), 5)
+    val cents = broadcast(codebook)
     // coarse assignment: nearest centroid per corpus vector
     val assign = topKPerQuery(
       corpus.crossJoin(cents)

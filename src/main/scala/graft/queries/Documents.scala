@@ -122,6 +122,18 @@ object Documents {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       Similarity.knnCosineIvf(q, c, k = 5, centStep = 64, nprobe = 3)
+    }),
+
+    "s3b_ivf_kmeans" -> ((s, dir) => {
+      // IVF with a k-means-trained codebook (2 Lloyd rounds from the same
+      // step-64 init as s3) — tighter lists at equal nlist/nprobe; the
+      // oracle unrolls the identical two rounds in SQL
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.knnCosineIvfWith(q, c, k = 5,
+        Similarity.kmeansCodebook(c, initStep = 64, iters = 2), nprobe = 3)
     })
   )
 
@@ -365,6 +377,90 @@ object Documents {
          |  FROM (SELECT vec_id, embedding AS qv FROM embeddings
          |        WHERE vec_id < 8) qv0,
          |       (SELECT centid, centv AS cv FROM cents) c),
+         |probes AS (
+         |  SELECT qid, centid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, centid) AS r FROM p0) WHERE r <= 3),
+         |s AS (
+         |  SELECT q.qid, a.cid, round($cosineSql, 5) AS cosine
+         |  FROM probes p
+         |  JOIN assign a USING (centid)
+         |  JOIN (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |        WHERE vec_id < 8) q ON p.qid = q.qid
+         |  JOIN (SELECT vec_id AS cid2, embedding AS cv FROM embeddings) ce
+         |    ON a.cid = ce.cid2)
+         |SELECT qid, cid, cosine, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, cid) AS rank FROM s)
+         |WHERE rank <= 5""".stripMargin,
+
+    // Two Lloyd rounds unrolled (assignment by rounded cosine, per-dim
+    // avg rounded to 6, empty clusters keep the old centroid), then the
+    // same probe/scan/top-k tail as s3 against the trained centroids.
+    "s3b_ivf_kmeans" ->
+      s"""WITH cents0 AS (
+         |  SELECT vec_id // 64 AS centid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centv
+         |  FROM embeddings WHERE vec_id % 64 = 0),
+         |a1 AS (
+         |  SELECT ev.vec_id AS cid, c.centid, round($cosineSql, 5)
+         |    AS cosine
+         |  FROM (SELECT vec_id, embedding AS qv FROM embeddings) ev,
+         |       (SELECT centid, centv AS cv FROM cents0) c),
+         |asg1 AS (
+         |  SELECT cid, centid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cid
+         |      ORDER BY cosine DESC, centid) AS r FROM a1) WHERE r = 1),
+         |dim1 AS (
+         |  SELECT a.centid, d.i AS dim,
+         |    avg(CAST(e.embedding[d.i] AS DOUBLE)) AS m
+         |  FROM asg1 a JOIN embeddings e ON e.vec_id = a.cid,
+         |       LATERAL (SELECT unnest(generate_series(1,
+         |         len(e.embedding))) AS i) d
+         |  GROUP BY a.centid, d.i),
+         |new1 AS (
+         |  SELECT centid, list(round(m, 6) ORDER BY dim) AS centv
+         |  FROM dim1 GROUP BY centid),
+         |cents1 AS (
+         |  SELECT c.centid, coalesce(n.centv, c.centv) AS centv
+         |  FROM cents0 c LEFT JOIN new1 n USING (centid)),
+         |a2 AS (
+         |  SELECT ev.vec_id AS cid, c.centid, round($cosineSql, 5)
+         |    AS cosine
+         |  FROM (SELECT vec_id, embedding AS qv FROM embeddings) ev,
+         |       (SELECT centid, centv AS cv FROM cents1) c),
+         |asg2 AS (
+         |  SELECT cid, centid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cid
+         |      ORDER BY cosine DESC, centid) AS r FROM a2) WHERE r = 1),
+         |dim2 AS (
+         |  SELECT a.centid, d.i AS dim,
+         |    avg(CAST(e.embedding[d.i] AS DOUBLE)) AS m
+         |  FROM asg2 a JOIN embeddings e ON e.vec_id = a.cid,
+         |       LATERAL (SELECT unnest(generate_series(1,
+         |         len(e.embedding))) AS i) d
+         |  GROUP BY a.centid, d.i),
+         |new2 AS (
+         |  SELECT centid, list(round(m, 6) ORDER BY dim) AS centv
+         |  FROM dim2 GROUP BY centid),
+         |cents2 AS (
+         |  SELECT c.centid, coalesce(n.centv, c.centv) AS centv
+         |  FROM cents1 c LEFT JOIN new2 n USING (centid)),
+         |af AS (
+         |  SELECT ev.vec_id AS cid, c.centid, round($cosineSql, 5)
+         |    AS cosine
+         |  FROM (SELECT vec_id, embedding AS qv FROM embeddings) ev,
+         |       (SELECT centid, centv AS cv FROM cents2) c),
+         |assign AS (
+         |  SELECT cid, centid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cid
+         |      ORDER BY cosine DESC, centid) AS r FROM af) WHERE r = 1),
+         |p0 AS (
+         |  SELECT qv0.vec_id AS qid, c.centid, round($cosineSql, 5)
+         |    AS cosine
+         |  FROM (SELECT vec_id, embedding AS qv FROM embeddings
+         |        WHERE vec_id < 8) qv0,
+         |       (SELECT centid, centv AS cv FROM cents2) c),
          |probes AS (
          |  SELECT qid, centid FROM (
          |    SELECT *, row_number() OVER (PARTITION BY qid

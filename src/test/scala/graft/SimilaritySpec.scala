@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.Similarity
+
+/** ANN quality assertions: recall@k of the IVF variants against the exact
+  * kNN ground truth, on the sf0.001 embeddings (500 x 64).
+  */
+class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("similarity-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private def q = emb.where(col("vec_id") < 16)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  private def c = emb
+    .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+  /** Fraction of exact top-k pairs the approximate result recovered. */
+  private def recallAt(k: Int, approx: DataFrame): Double = {
+    val exact = Similarity.knnCosine(q, c, k)
+      .select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = approx.select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (exact & got).size.toDouble / exact.size
+  }
+
+  test("k-means codebook keeps empty clusters and the init's list count") {
+    val cents = Similarity.kmeansCodebook(c, initStep = 64, iters = 2)
+      .collect()
+    assert(cents.length ==
+      Similarity.sampleCodebook(c, 64).count().toInt)
+    assert(cents.map(_.getLong(0)).distinct.length == cents.length)
+  }
+
+  test("trained IVF recall@5 beats the training-free sample codebook") {
+    val sampled = recallAt(5,
+      Similarity.knnCosineIvf(q, c, k = 5, centStep = 64, nprobe = 2))
+    val trained = recallAt(5,
+      Similarity.knnCosineIvfWith(q, c, k = 5,
+        Similarity.kmeansCodebook(c, initStep = 64, iters = 2), nprobe = 2))
+    info(f"recall@5 sampled=$sampled%.3f trained=$trained%.3f")
+    // Lloyd rounds tighten the lists: trained recall must not regress
+    // vs the same init sampled as-is, and must clear an absolute floor
+    // (measured: sampled 0.563, trained 0.588 on this corpus)
+    assert(trained >= sampled)
+    assert(trained >= 0.5)
+  }
+}
