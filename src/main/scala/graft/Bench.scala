@@ -38,7 +38,11 @@ object Bench {
     def timed(body: () => Unit): Double =
       (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try body() catch { case _: Throwable => () }
+        // loudly, never silently: a query erroring out would otherwise
+        // record its time-to-failure as if it were a measurement
+        try body() catch { case t: Throwable =>
+          System.err.println(s"[bench] QUERY FAILED: $t")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         graft.operators.Dedup.releaseCaches() // untimed storage reclaim
         graft.queries.GenomicPipeline.releaseCaches()
@@ -117,6 +121,40 @@ object Bench {
             lit(1L).as("hap_count"), lit(0.001).as("frequency"),
             concat(lit("S"), col("id"), lit(":1")).as("samples"))
         graft.operators.HaploProteins.proteinDatabase(haplos).count()
+      }),
+      "pepx_match_scale" -> (() => {
+        // peptide k-mer join at volume: ~nDocs*10 deterministic 120-AA
+        // proteins (~5.9M k-mer index rows at sf0.1), 2 peptides cut from
+        // each (~100k), prefix-kmer collisions put ~5M candidates through
+        // the verify join — the scale signal the 7-protein gate fixture
+        // cannot carry
+        val aas = "ACDEFGHLKLMNPQRSTVWY"
+        def aa(seed: org.apache.spark.sql.Column) =
+          lit(aas).substr((pmod(hash(seed), lit(20)) + 1).cast("int"),
+            lit(1))
+        val prots = spark.range(nDocs * 10)
+          .select(concat(lit("P"), col("id")).as("accession"),
+            concat_ws("", (0 until 120).map(i =>
+              aa(col("id") * 131 + i)): _*).as("sequence"))
+        val peps = spark.range(nDocs * 20)
+          .select(col("id"), (col("id") % (nDocs * 10)).as("pnum"),
+            (pmod(hash(col("id")), lit(100)) + 1).cast("int").as("start"),
+            (pmod(hash(col("id") + 3), lit(8)) + 8).cast("int").as("plen"))
+          .select(concat(lit("q"), col("id")).as("pepId"),
+            concat_ws("", (0 until 120).map(i =>
+              aa(col("pnum") * 131 + i)): _*)
+              .substr(col("start"), col("plen")).as("peptide"))
+        // materialize the generators: projection collapse would otherwise
+        // inline the 120-term concat into every k-mer row (117x recompute
+        // per protein) — and the entry should time the match, not the
+        // synthesizer
+        val protsM = prots.localCheckpoint()
+        val pepsM = peps.localCheckpoint()
+        val n = graft.operators.PeptideAnnotate
+          .matchPeptides(pepsM, protsM, k = 4).count()
+        protsM.unpersist(blocking = false)
+        pepsM.unpersist(blocking = false)
+        n
       }),
       "hx_haplo_scale" -> (() => {
         val gts = spark.range(nDocs).select(col("id").as("snum"))

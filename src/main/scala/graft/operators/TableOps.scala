@@ -66,6 +66,18 @@ object TableOps {
   def unionTables(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** Split the per-haplotype sample list out of a haplotype table
+    * (haplo_extract_sample_names.py): the main table continues without
+    * the wide `samples` string, the sideband table carries (id columns,
+    * samples). Both are projections — no shuffle, column pruning reaches
+    * the scan on each side.
+    */
+  def extractSampleNames(haplos: DataFrame,
+                         idCols: Seq[String] = Seq("transcript",
+                           "signature")): (DataFrame, DataFrame) =
+    (haplos.drop("samples"),
+      haplos.select(idCols.map(col) :+ col("samples"): _*))
+
   /** Project a table into VCF shape (csv_to_vcf.py): configurable source
     * columns, constant-dot QUAL/FILTER/INFO, sorted by (CHROM, POS).
     */

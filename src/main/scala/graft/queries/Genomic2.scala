@@ -55,6 +55,15 @@ object Genomic2 {
       Haplotypes.haplotypes(s.read.parquet(s"$fx/gts_long.parquet"))
     }),
 
+    "h6_sample_names" -> ((s, _) => {
+      prep(s)
+      // haplo_extract_sample_names.py: the (id, samples) sideband split
+      // out of the haplotype table; the other half is the same frame
+      // minus the column (both pure projections)
+      TableOps.extractSampleNames(
+        Haplotypes.haplotypes(s.read.parquet(s"$fx/gts_long.parquet")))._2
+    }),
+
     "h2_haplo_freq" -> ((s, _) => {
       prep(s)
       val pops = s.read.parquet(s"$fx/samples_meta.parquet")
@@ -201,6 +210,44 @@ object Genomic2 {
        |  LATERAL (SELECT unnest(CASE WHEN g.autosomal OR g.sex != 'male'
        |    THEN [1, 2] ELSE [1] END) AS phase) p""".stripMargin
 
+  private lazy val h1Sql =
+    s"""WITH ph AS ($phasedSql),
+         |universe AS (SELECT DISTINCT transcript, sample, phase FROM ph),
+         |alts AS (
+         |  SELECT transcript, sample, phase, varId, pos,
+         |    length(ref) AS reflen
+         |  FROM ph WHERE has_alt),
+         |sigs AS (
+         |  SELECT transcript, sample, phase,
+         |    string_agg(varId, ';' ORDER BY pos, varId) AS signature
+         |  FROM alts GROUP BY 1, 2, 3),
+         |conf AS (
+         |  SELECT DISTINCT l.transcript, l.sample, l.phase
+         |  FROM alts l JOIN alts r
+         |    ON l.transcript = r.transcript AND l.sample = r.sample
+         |    AND l.phase = r.phase AND l.varId != r.varId
+         |    AND l.pos <= r.pos AND r.pos <= l.pos + l.reflen),
+         |percopy AS (
+         |  SELECT u.transcript, u.sample, u.phase,
+         |    coalesce(s.signature, 'REF') AS signature,
+         |    (c.transcript IS NOT NULL) AS conflict
+         |  FROM universe u
+         |  LEFT JOIN sigs s ON u.transcript = s.transcript
+         |    AND u.sample = s.sample AND u.phase = s.phase
+         |  LEFT JOIN conf c ON u.transcript = c.transcript
+         |    AND u.sample = c.sample AND u.phase = c.phase),
+         |denom AS (
+         |  SELECT transcript, count(*) AS total_copies
+         |  FROM universe GROUP BY 1)
+         |SELECT p.transcript, p.signature,
+         |  count(*) AS hap_count,
+         |  string_agg(p.sample || ':' || p.phase, ';'
+         |    ORDER BY p.sample, p.phase) AS samples,
+         |  round(count(*) / CAST(d.total_copies AS DOUBLE), 6) AS frequency
+         |FROM percopy p JOIN denom d ON p.transcript = d.transcript
+         |WHERE NOT p.conflict
+         |GROUP BY p.transcript, p.signature, d.total_copies""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "f2_seq_dedup" ->
       s"""WITH ranked AS (
@@ -271,43 +318,11 @@ object Genomic2 {
          |FROM read_csv('${GenomicFixtures.rawDir}/variants.csv',
          |  header=true, all_varchar=true)""".stripMargin,
 
-    "h1_haplotypes" ->
-      s"""WITH ph AS ($phasedSql),
-         |universe AS (SELECT DISTINCT transcript, sample, phase FROM ph),
-         |alts AS (
-         |  SELECT transcript, sample, phase, varId, pos,
-         |    length(ref) AS reflen
-         |  FROM ph WHERE has_alt),
-         |sigs AS (
-         |  SELECT transcript, sample, phase,
-         |    string_agg(varId, ';' ORDER BY pos, varId) AS signature
-         |  FROM alts GROUP BY 1, 2, 3),
-         |conf AS (
-         |  SELECT DISTINCT l.transcript, l.sample, l.phase
-         |  FROM alts l JOIN alts r
-         |    ON l.transcript = r.transcript AND l.sample = r.sample
-         |    AND l.phase = r.phase AND l.varId != r.varId
-         |    AND l.pos <= r.pos AND r.pos <= l.pos + l.reflen),
-         |percopy AS (
-         |  SELECT u.transcript, u.sample, u.phase,
-         |    coalesce(s.signature, 'REF') AS signature,
-         |    (c.transcript IS NOT NULL) AS conflict
-         |  FROM universe u
-         |  LEFT JOIN sigs s ON u.transcript = s.transcript
-         |    AND u.sample = s.sample AND u.phase = s.phase
-         |  LEFT JOIN conf c ON u.transcript = c.transcript
-         |    AND u.sample = c.sample AND u.phase = c.phase),
-         |denom AS (
-         |  SELECT transcript, count(*) AS total_copies
-         |  FROM universe GROUP BY 1)
-         |SELECT p.transcript, p.signature,
-         |  count(*) AS hap_count,
-         |  string_agg(p.sample || ':' || p.phase, ';'
-         |    ORDER BY p.sample, p.phase) AS samples,
-         |  round(count(*) / CAST(d.total_copies AS DOUBLE), 6) AS frequency
-         |FROM percopy p JOIN denom d ON p.transcript = d.transcript
-         |WHERE NOT p.conflict
-         |GROUP BY p.transcript, p.signature, d.total_copies""".stripMargin,
+    "h1_haplotypes" -> h1Sql,
+
+    // the sample-name extraction is a projection of the same table
+    "h6_sample_names" ->
+      s"SELECT transcript, signature, samples FROM ($h1Sql)",
 
     "h2_haplo_freq" ->
       s"""WITH ph AS ($phasedSql),
