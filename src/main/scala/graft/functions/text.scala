@@ -25,6 +25,49 @@ object text {
   def words(t: Column): Column =
     regexp_extract_all(lower(t), lit("[a-z]+"), lit(0))
 
+  /** Gopher-style rule metrics (Rae et al. 2021, appendix A1 subset) for
+    * corpus filtering, as one struct of native column expressions:
+    * word count, mean word length, symbol-to-word ratio ('#' and '...'),
+    * bullet-/ellipsis-line fractions, alphabetic-word fraction and
+    * duplicate-line fraction, plus the combined `keep` verdict. Ratios
+    * round to 5 decimals so the SQL oracle reproduces them bit-exactly.
+    * The word-count floor is 20 (the reference's 50 would reject most of
+    * a short-document corpus wholesale; the floor is the tunable here).
+    */
+  def gopherMetrics(t: Column): Column = {
+    val toks = regexp_extract_all(t, lit("\\S+"), lit(0))
+    val nWords = greatest(size(toks), lit(1))
+    val meanLen = round(
+      aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double")
+        / nWords, 5)
+    val symbols = length(regexp_replace(t, "[^#]", "")) +
+      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+    val symbolRatio = round(symbols.cast("double") / nWords, 5)
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nLines = greatest(size(lines), lit(1))
+    val bulletFrac = round(size(filter(lines, l =>
+      trim(l).startsWith("-") || trim(l).startsWith("*") ||
+        trim(l).startsWith("•"))).cast("double") / nLines, 5)
+    val ellipsisFrac = round(size(filter(lines,
+      l => trim(l).endsWith("..."))).cast("double") / nLines, 5)
+    val alphaFrac = round(size(filter(toks,
+      w => w.rlike("[A-Za-z]"))).cast("double") / nWords, 5)
+    val dupLineFrac = round(lit(1.0) -
+      size(array_distinct(lines)).cast("double") / nLines, 5)
+    struct(
+      size(toks).cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_word_ratio"),
+      bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"),
+      alphaFrac.as("alpha_word_frac"),
+      dupLineFrac.as("dup_line_frac"),
+      (size(toks) >= 20 && size(toks) <= 100000 &&
+        meanLen >= 3 && meanLen <= 10 &&
+        symbolRatio < 0.1 && bulletFrac < 0.9 && ellipsisFrac < 0.3 &&
+        alphaFrac > 0.8 && dupLineFrac < 0.3).as("keep"))
+  }
+
   def alphaCount(t: Column): Column =
     length(regexp_replace(t, "[^A-Za-z]", ""))
 

@@ -227,6 +227,61 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Resolve near-duplicate PAIRS into duplicate CLUSTERS (connected
+    * components): every document reachable through a chain of dup pairs
+    * lands in one cluster keyed by its smallest member id — the step a
+    * dedup pipeline needs between pair generation (d2/d3/d4/d5) and
+    * "keep one per cluster".
+    *
+    * Pregel-style iterative min-label propagation: each round joins the
+    * symmetrized edge list against the current labels and takes the
+    * per-node min of (own label, neighbor labels) — one narrow (node,
+    * label) shuffle per round, converging in graph-diameter rounds (dup
+    * chains are shallow: LSH cliques plus short bridges, so typically
+    * 2-4). The label table is localCheckpointed each round (lineage
+    * stays flat) and the driver only ever sees the scalar changed-count
+    * that decides convergence — no vertex data on the driver. At 100 TB
+    * the same loop is how GraphX/Pregel CC runs; the alternating
+    * large-star/small-star variant can replace the body if adversarial
+    * long-path graphs show up (near-dup graphs do not).
+    *
+    * Output: (id, cluster, cluster_size) for every node that appears in
+    * a pair — singletons never enter the edge list and stay implicit.
+    */
+  def duplicateClusters(pairs: DataFrame, id1Col: String = "id1",
+                        id2Col: String = "id2",
+                        maxIters: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("label", "nLabel"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("nLabel")).as("nMin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"), col("label").as("_old"),
+          least(col("label"), col("nMin")).as("label"))
+        .localCheckpoint()
+      changed = next.where(col("label") < col("_old")).count()
+      labels = next.drop("_old")
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("node").as("id"), col("label").as("cluster"))
+      .join(sizes.withColumnRenamed("label", "cluster"), Seq("cluster"))
+      .select("id", "cluster", "cluster_size")
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` distinct word n-grams with ANY benchmark document — the
     * standard eval-set leak check for training corpora.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.text
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Packing, Sampling, Similarity}
 
 /** LLM-training-data pipeline queries over the `documents` and `embeddings`
   * test tables, each with an independent DuckDB oracle re-implementing the
@@ -42,6 +42,13 @@ object Documents {
       t(s, dir, "documents").select(
         col("doc_id"),
         text.qualityScore(col("text")).as("quality"))
+    }),
+
+    "t6_gopher_rules" -> ((s, dir) => {
+      // rule-based corpus filter: per-doc Gopher metrics + keep verdict
+      t(s, dir, "documents")
+        .select(col("doc_id"), text.gopherMetrics(col("text")).as("m"))
+        .select(col("doc_id"), col("m.*"))
     }),
 
     "t3_langid" -> ((s, dir) => {
@@ -84,6 +91,35 @@ object Documents {
       val docs = spread(t(s, dir, "documents"))
       val bench = t(s, dir, "documents").where(col("doc_id") < 20)
       Dedup.contamination(docs, bench, "doc_id", "text", n = 8)
+    }),
+
+    "q13_stratified_sample" -> ((s, dir) => {
+      // deterministic data-mixing draw: per-language rates, md5 keep rule
+      Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.1),
+        defaultRate = 0.0, salt = "mix1")
+        .select("doc_id", "lang", "source")
+    }),
+
+    "t7_seq_pack" -> ((s, dir) => {
+      // pack docs into ~1000-token chunks per source shard (prefix-sum
+      // greedy), then roll chunks up
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          text.bpeTokenCount(col("text")).cast("long").as("tokens"))
+      Packing.chunkSummary(
+        Packing.packSequences(docs, "source", "doc_id", "tokens",
+          cap = 1000L),
+        "source", "doc_id", "tokens")
+    }),
+
+    "d6_dup_clusters" -> ((s, dir) => {
+      // pairs -> connected components: the exact d4 pair list resolved
+      // into clusters keyed by smallest member (the "keep one per
+      // cluster" input); oracle walks the same edges with a recursive CTE
+      Dedup.duplicateClusters(
+        Dedup.ngramJaccard(spread(t(s, dir, "documents")), "doc_id",
+          "text", n = 3, threshold = 0.5, wordGrams = true))
     }),
 
     "d5_emb_neardup" -> ((s, dir) => {
@@ -192,6 +228,45 @@ object Documents {
         |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
         |      FROM documents)))""".stripMargin,
 
+    "t6_gopher_rules" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, '\S+') AS tok,
+        |    list_filter(string_split(text, chr(10)),
+        |      l -> length(trim(l)) > 0) AS lines,
+        |    length(regexp_replace(text, '[^#]', '', 'g'))
+        |      + (length(text) - length(regexp_replace(text, '\.\.\.', '',
+        |          'g'))) // 3 AS symbols
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    len(tok) AS n_words,
+        |    greatest(len(tok), 1) AS nw,
+        |    greatest(len(lines), 1) AS nl,
+        |    round(list_sum(list_transform(tok, x -> length(x)))::DOUBLE
+        |      / greatest(len(tok), 1), 5) AS mean_word_len,
+        |    round(symbols::DOUBLE / greatest(len(tok), 1), 5)
+        |      AS symbol_word_ratio,
+        |    round(len(list_filter(lines, l -> starts_with(trim(l), '-')
+        |        OR starts_with(trim(l), '*') OR starts_with(trim(l), '•')))
+        |      ::DOUBLE / greatest(len(lines), 1), 5) AS bullet_line_frac,
+        |    round(len(list_filter(lines, l -> ends_with(trim(l), '...')))
+        |      ::DOUBLE / greatest(len(lines), 1), 5) AS ellipsis_line_frac,
+        |    round(len(list_filter(tok, x -> regexp_matches(x, '[A-Za-z]')))
+        |      ::DOUBLE / greatest(len(tok), 1), 5) AS alpha_word_frac,
+        |    round(1.0 - len(list_distinct(lines))::DOUBLE
+        |      / greatest(len(lines), 1), 5) AS dup_line_frac
+        |  FROM m)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+        |  symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
+        |  alpha_word_frac, dup_line_frac,
+        |  (n_words >= 20 AND n_words <= 100000
+        |    AND mean_word_len >= 3 AND mean_word_len <= 10
+        |    AND symbol_word_ratio < 0.1 AND bullet_line_frac < 0.9
+        |    AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
+        |    AND dup_line_frac < 0.3) AS keep
+        |FROM r""".stripMargin,
+
     "t4_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
@@ -278,6 +353,63 @@ object Documents {
         |    len(list_intersect(l.g, r.g))::DOUBLE /
         |    (len(l.g) + len(r.g) - len(list_intersect(l.g, r.g))), 5) >= 0.5"""
         .stripMargin,
+
+    "q13_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT *, md5('mix1' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents)
+        |WHERE list_reduce([strpos('0123456789abcdef', substr(h, j, 1)) - 1
+        |    for j in range(1, 9)], (a, c) -> a * 16 + c)::DOUBLE
+        |  < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+        |      WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1 ELSE 0.0 END)
+        |    * 4294967296.0""".stripMargin,
+
+    "t7_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, tokens,
+        |    CAST(floor((sum(tokens) OVER (PARTITION BY source
+        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tokens)
+        |      / 1000.0) AS BIGINT) AS chunk_idx
+        |  FROM d)
+        |SELECT source, chunk_idx, count(*) AS n_docs,
+        |  CAST(sum(tokens) AS BIGINT) AS chunk_tokens,
+        |  string_agg(CAST(doc_id AS VARCHAR), ';' ORDER BY doc_id)
+        |    AS doc_ids
+        |FROM p GROUP BY source, chunk_idx""".stripMargin,
+
+    // same d4 pair list, resolved into components with a recursive CTE:
+    // min reachable id over the symmetrized edges == the cluster key
+    "d6_dup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id AS id, list_distinct(
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |    FROM documents)
+        |  WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT l.id AS id1, r.id AS id2
+        |  FROM d l JOIN d r ON l.id < r.id
+        |  WHERE round(
+        |      len(list_intersect(l.g, r.g))::DOUBLE /
+        |      (len(l.g) + len(r.g) - len(list_intersect(l.g, r.g))), 5)
+        |    >= 0.5),
+        |edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        |cc AS (SELECT node AS id, min(label) AS cluster
+        |       FROM reach GROUP BY node)
+        |SELECT id, cluster,
+        |  count(*) OVER (PARTITION BY cluster) AS cluster_size
+        |FROM cc""".stripMargin,
 
     "t5_decontaminate" ->
       """WITH w AS (

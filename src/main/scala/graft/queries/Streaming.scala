@@ -52,6 +52,15 @@ object Streaming {
       Events.enrich(events(s, dir), dim, "user_id")
         .select("event_id", "user_id", "event_type", "ts", "value",
           "nation_key", "segment")
+    }),
+
+    "e5_stream_join" -> ((s, dir) => {
+      // view -> purchase attribution within 30 min per user (batch form
+      // of the watermarked stream-stream interval join in StreamingSpec)
+      val ev = events(s, dir)
+      Events.correlate(ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"), "user_id",
+        horizonMinutes = 30)
     })
   )
 
@@ -90,6 +99,16 @@ object Streaming {
       """SELECT e.event_id, e.user_id, e.event_type, e.ts, e.value,
         |  c.c_nationkey AS nation_key, c.c_mktsegment AS segment
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"""
+        .stripMargin,
+
+    "e5_stream_join" ->
+      """SELECT v.user_id,
+        |  v.event_id AS cause_id, p.event_id AS effect_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS delay_us
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTES"""
         .stripMargin
   )
 }

@@ -141,4 +141,29 @@ object Events {
     */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
+
+  /** Correlate cause events with effect events per key within a bounded
+    * horizon: effect.ts in [cause.ts, cause.ts + horizon] — the
+    * view->purchase attribution join. The predicate is an equi-join on
+    * the key plus a bounded time-range condition, exactly the shape
+    * Structured Streaming requires for a watermarked stream-stream inner
+    * join (the range bound lets both sides' state expire); the same call
+    * works on batch frames, which is what e5's oracle checks. On a
+    * stream, apply withWatermark to both inputs first (StreamingSpec
+    * does, and asserts state cleanup semantics via the memory sink).
+    */
+  def correlate(cause: DataFrame, effect: DataFrame, key: String,
+                horizonMinutes: Int): DataFrame = {
+    val c = cause.select(col(key), col("event_id").as("cause_id"),
+      col("ts").as("cause_ts"))
+    val e = effect.select(col(key).as("_ekey"),
+      col("event_id").as("effect_id"), col("ts").as("effect_ts"))
+    c.join(e, col(key) === col("_ekey") &&
+      col("effect_ts") >= col("cause_ts") &&
+      col("effect_ts") <=
+        col("cause_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col(key), col("cause_id"), col("effect_id"),
+        (unix_micros(col("effect_ts")) - unix_micros(col("cause_ts")))
+          .as("delay_us"))
+  }
 }

@@ -115,4 +115,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unknown user 9 keeps its event with a null region (left join)
     assert(rows == Set((10L, Some("EU")), (11L, Some("US")), (12L, None)))
   }
+
+  test("watermarked stream-stream interval join attributes within horizon") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    def shape(m: MemoryStream[(Long, Long, Timestamp)]) =
+      m.toDF().toDF("user_id", "event_id", "ts")
+        .withWatermark("ts", "1 hour")
+
+    val q = Events.correlate(shape(views), shape(buys), "user_id",
+      horizonMinutes = 30)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    // user 1: view@1 -> buy@11 (in horizon); user 2: view@2 -> buy@52
+    // (outside 30 min); user 3: buy@5 with no prior view
+    views.addData((1L, 100L, ts(1)), (2L, 101L, ts(2)))
+    buys.addData((1L, 200L, ts(11)), (2L, 201L, ts(52)), (3L, 202L, ts(5)))
+    q.processAllAvailable()
+    val rows = spark.table("attrib")
+      .select("cause_id", "effect_id", "delay_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows == Set((100L, 200L, 600000000L)))
+  }
 }
