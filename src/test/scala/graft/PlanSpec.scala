@@ -19,6 +19,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .appName("plan-test")
       .getOrCreate()
@@ -111,5 +112,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_bounded_top_k"), p)
     // and the shuffle key is the query id, not a global window
     assert(!p.contains("Window"), p)
+  }
+
+  test("q13 stratified sample is a scan-level predicate — zero shuffles") {
+    val p = plan("q13_stratified_sample")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("*(1) Filter"), p) // codegen'd, directly on the scan
+  }
+
+  test("e5 interval correlate keys on user_id — never a cross product") {
+    val p = plan("e5_stream_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the equi-key carries the join; the time horizon is the residual
+    assert(p.contains("user_id"), p)
+  }
+
+  test("t7 packing shuffles once, by the shard key only") {
+    val p = plan("t7_seq_pack")
+    // window by shard + rollup by (shard, chunk) — AQE may coalesce, but
+    // nothing in the plan may sort or partition globally (no global order
+    // = shards parallelize at any corpus size)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("rangepartitioning"), p)
   }
 }
