@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for every left row, attach the payload of the
+  * latest right row whose timestamp is <= (or strictly < with
+  * `allowExact = false`) the left row's timestamp, matched on an equality
+  * key — the canonical "most recent quote for each trade" operator.
+  *
+  * Spark-first plan: instead of a range-condition join (which Catalyst
+  * executes as an equi-join on the key with a per-key cross product —
+  * quadratic in per-key row counts and a skew trap at 100 TB), both sides
+  * are union'd with a side tag and processed with ONE window over
+  * (key ORDER BY ts, side): `last(payload, ignoreNulls)` up to the current
+  * row fills each left row with the most recent right payload. Cost: a
+  * single hash shuffle on the key + an in-partition sort — linear in
+  * |left| + |right|, no fan-out, and AQE can split skewed keys because the
+  * window partitions by key only.
+  *
+  * Right rows that share (key, ts) are first reduced to the one with the
+  * greatest tie-break column so the result is deterministic.
+  */
+object AsOfJoin {
+
+  /** @param payload right-side columns to carry onto left rows (must not
+    *                clash with left column names)
+    * @param rightTieBreak right column ordering duplicates within
+    *                (key, ts); the max row wins
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, payload: Seq[String],
+                   rightTieBreak: String,
+                   allowExact: Boolean = true): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // one right row per (key, ts): max tie-break wins
+    val rightW = Window.partitionBy(col(key), col(rightTs))
+      .orderBy(col(rightTieBreak).desc)
+    val r1 = right
+      .withColumn("_rn", row_number().over(rightW))
+      .where(col("_rn") === 1)
+    // side ordering at equal ts: right sorts before left iff ties match
+    val rSide = if (allowExact) 0 else 2
+    val rTagged = r1.select(
+      col(key) +: col(rightTs).as("_ts") +: lit(rSide).as("_side") +:
+        (leftCols.filterNot(_ == key).map(c => lit(null).as(c)) ++
+          payload.map(col)): _*)
+    val lTagged = left.select(
+      col(key) +: col(leftTs).as("_ts") +: lit(1).as("_side") +:
+        (leftCols.filterNot(_ == key).map(col) ++
+          payload.map(c => lit(null).as(c))): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rTagged.unionByName(lTagged)
+      .select(col(key) +: col("_ts") +: col("_side") +:
+        (leftCols.filterNot(_ == key).map(col) ++
+          payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+    filled.where(col("_side") === 1)
+      .select(leftCols.map {
+        case c if c == leftTs => col("_ts").as(leftTs)
+        case c => col(c)
+      } ++ payload.map(col): _*)
+  }
+}

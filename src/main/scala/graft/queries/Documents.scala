@@ -20,12 +20,15 @@ object Documents {
 
   /** The test documents/embeddings parquet are a few MB => Spark reads them
     * as one partition, serializing the hash-heavy per-row work. Spread the
-    * rows so local[n] actually uses n cores. (At real scale inputs arrive
-    * in many splits and this is a no-op cost-wise: one narrow shuffle of
-    * the input, negligible next to the per-row hashing.)
+    * rows so local[n] actually uses n cores — but ONLY when the scan is
+    * under-parallel. At real scale inputs arrive in many splits already and
+    * an unconditional repartition would be a full-corpus shuffle for
+    * nothing, so it is gated on the observed partition count.
     */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
 
   // stopword list literal shared with the SQL oracles
   private val swEn = text.stopwordsEn.map(w => s"'$w'").mkString(", ")

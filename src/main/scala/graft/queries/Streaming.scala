@@ -61,6 +61,32 @@ object Streaming {
       Events.correlate(ev.where(col("event_type") === "view"),
         ev.where(col("event_type") === "purchase"), "user_id",
         horizonMinutes = 30)
+    }),
+
+    "q14_asof_join" -> ((s, dir) => {
+      // backward as-of join: each purchase picks up the user's most recent
+      // view at-or-before it (union+window plan, one shuffle — see
+      // graft.operators.AsOfJoin); DuckDB's native ASOF LEFT JOIN is the
+      // oracle
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      graft.operators.AsOfJoin.asofBackward(purchases, views,
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        payload = Seq("view_id", "view_value"), rightTieBreak = "view_id")
+    }),
+
+    "q15_hll_distinct" -> ((s, dir) => {
+      // portable HyperLogLog distinct users per event type (md5 register
+      // math the DuckDB oracle reproduces exactly) next to the exact count
+      val hll = graft.operators.Sketches.hllDistinct(
+        events(s, dir), Seq("event_type"), "user_id")
+      val exact = events(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(hll, Seq("event_type"))
     })
   )
 
@@ -109,6 +135,55 @@ object Streaming {
         |  ON v.user_id = p.user_id
         |  AND v.event_type = 'view' AND p.event_type = 'purchase'
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTES"""
-        .stripMargin
+        .stripMargin,
+
+    "q14_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |v0 AS (
+        |  SELECT user_id, ts, event_id AS view_id, value AS view_value
+        |  FROM events WHERE event_type = 'view'),
+        |v AS (
+        |  SELECT user_id, ts, view_id, view_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY view_id DESC) AS rn FROM v0)
+        |  WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  v.view_id, v.view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
+
+    "q15_hll_distinct" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    list_reduce([strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR)), j, 1)) - 1
+        |      for j in range(1, 3)], (a, c) -> a * 16 + c) AS idx,
+        |    list_reduce([strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR)), j, 1)) - 1
+        |      for j in range(3, 9)], (a, c) -> a * 16 + c) AS rest
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, idx,
+        |    max(CASE WHEN rest = 0 THEN 25
+        |        ELSE 25 - length(bin(rest)) END) AS r
+        |  FROM b GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, count(*) AS cnt, sum(pow(2.0, -r)) AS sp
+        |  FROM r GROUP BY 1),
+        |est AS (
+        |  SELECT event_type,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+        |      / (sp + (256 - cnt)::DOUBLE) AS raw,
+        |    256 - cnt AS zeros
+        |  FROM g)
+        |SELECT e.event_type, x.n_exact,
+        |  round(CASE WHEN raw <= 640.0 AND zeros > 0
+        |    THEN 256.0 * ln(256.0 / zeros::DOUBLE) ELSE raw END, 4)
+        |    AS hll_estimate
+        |FROM est e JOIN (
+        |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |  FROM events GROUP BY 1) x USING (event_type)""".stripMargin
   )
 }
