@@ -147,4 +147,29 @@ object text {
         i => s.substr(i, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  // PII patterns, written to the regex subset Java and RE2 share (no
+  // backrefs, no lookaround) so an RE2-based oracle matches identically
+  private[graft] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?"
+  private[graft] val ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** PII scrub for training corpora: replace emails, international-format
+    * phone numbers and IPv4 addresses with typed placeholder tags, plus
+    * per-category match counts (struct: redacted, n_emails, n_phones,
+    * n_ips). Order matters: emails first so `user@1.2.3.4`-style strings
+    * are consumed as one email, not an IP — the same cascade any
+    * multi-pattern scrubber needs. Pure regexp_replace/regexp_count
+    * columns => codegen'd, scales linearly, no UDF.
+    */
+  def redactPii(t: Column): Column = {
+    val r1 = regexp_replace(t, emailRe, "<EMAIL>")
+    val r2 = regexp_replace(r1, phoneRe, "<PHONE>")
+    val r3 = regexp_replace(r2, ipv4Re, "<IP>")
+    struct(
+      r3.as("redacted"),
+      regexp_count(t, lit(emailRe)).as("n_emails"),
+      regexp_count(r1, lit(phoneRe)).as("n_phones"),
+      regexp_count(r2, lit(ipv4Re)).as("n_ips"))
+  }
 }

@@ -342,4 +342,39 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }
+
+  /** Sub-document (chunk-level) exact dedup: split each document into
+    * fixed-size non-overlapping word chunks, hash each chunk, report every
+    * chunk that appears in MORE than one document — the boilerplate /
+    * copy-paste detector that document-level dedup (exact, minhashLsh)
+    * misses when only a passage is shared.
+    *
+    * One explode + one md5 groupBy: the shuffle carries (hash, id) pairs
+    * only — never chunk text — so at 100 TB it is the same shape as
+    * `exact` with a chunks-per-doc fanout. Trailing words short of a full
+    * chunk are dropped (stable chunk boundaries under re-runs).
+    * Output: chunk_hash, n_docs (distinct), n_occurrences (total),
+    * ordered member doc list.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int = 20): DataFrame = {
+    val words = regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))
+    val chunks = df
+      .select(col(idCol).as("id"), words.as("w"))
+      .select(col("id"), explode(
+        // guard: sequence(0, -1) would DESCEND, not return empty
+        when(size(col("w")) >= chunkWords,
+          transform(sequence(lit(0),
+            (size(col("w")) / chunkWords).cast("int") - 1),
+            i => md5(array_join(
+              slice(col("w"), i * chunkWords + 1, lit(chunkWords)), " "))))
+          .otherwise(array()))
+        .as("chunk_hash"))
+    chunks.groupBy("chunk_hash")
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        array_join(sort_array(collect_set(col("id").cast("string"))), ";")
+          .as("doc_ids"))
+      .where(col("n_docs") > 1)
+  }
 }

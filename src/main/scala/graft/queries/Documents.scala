@@ -125,6 +125,32 @@ object Documents {
           "text", n = 3, threshold = 0.5, wordGrams = true))
     }),
 
+    "d7_chunk_dedup" -> ((s, dir) => {
+      // sub-document boilerplate detection: 20-word chunks shared across
+      // documents (passage-level dup that d1/d2 document-level miss)
+      Dedup.chunkDedup(spread(t(s, dir, "documents")), "doc_id", "text",
+        chunkWords = 20)
+    }),
+
+    "t8_pii_redact" -> ((s, dir) => {
+      // PII scrub: email/phone/IPv4 -> typed tags + per-category counts.
+      // The corpus is synthetic word soup, so a deterministic PII suffix
+      // derived from doc_id is appended on BOTH sides before scrubbing.
+      val d = col("doc_id").cast("string")
+      val full = concat(col("text"),
+        lit(" contact user"), d, lit("@mail"),
+        (col("doc_id") % 7).cast("string"), lit(".org or call +1-555-"),
+        lpad(((col("doc_id") * 37) % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), ((col("doc_id") * 3) % 256).cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), text.redactPii(full).as("p"))
+        .select(col("doc_id"), md5(col("p.redacted")).as("redacted_fp"),
+          col("p.n_emails").cast("long").as("n_emails"),
+          col("p.n_phones").cast("long").as("n_phones"),
+          col("p.n_ips").cast("long").as("n_ips"))
+    }),
+
     "d5_emb_neardup" -> ((s, dir) => {
       // content-derived sign-LSH blocking (no caller label), capped buckets
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -356,6 +382,47 @@ object Documents {
         |    len(list_intersect(l.g, r.g))::DOUBLE /
         |    (len(l.g) + len(r.g) - len(list_intersect(l.g, r.g))), 5) >= 0.5"""
         .stripMargin,
+
+    "d7_chunk_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    unnest([md5(array_to_string(w[i*20+1:i*20+20], ' '))
+        |      for i in range(0, len(w) // 20)]) AS chunk_hash
+        |  FROM w)
+        |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_occurrences,
+        |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ';'
+        |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
+        |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "t8_pii_redact" -> {
+      val (em, ph, ip) = (text.emailRe, text.phoneRe, text.ipv4Re)
+      s"""WITH f AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+         |    || '.org or call +1-555-'
+         |    || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')
+         |    || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |    || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR) AS full_text
+         |  FROM documents),
+         |s1 AS (
+         |  SELECT doc_id, full_text,
+         |    regexp_replace(full_text, '$em', '<EMAIL>', 'g') AS r1
+         |  FROM f),
+         |s2 AS (
+         |  SELECT doc_id, full_text, r1,
+         |    regexp_replace(r1, '$ph', '<PHONE>', 'g') AS r2
+         |  FROM s1)
+         |SELECT doc_id,
+         |  md5(regexp_replace(r2, '$ip', '<IP>', 'g')) AS redacted_fp,
+         |  len(regexp_extract_all(full_text, '$em')) AS n_emails,
+         |  len(regexp_extract_all(r1, '$ph')) AS n_phones,
+         |  len(regexp_extract_all(r2, '$ip')) AS n_ips
+         |FROM s2""".stripMargin
+    },
 
     "q13_stratified_sample" ->
       """SELECT doc_id, lang, source FROM (

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.{AsOfJoin, Dedup, Sketches}
+import graft.functions.text
+
+/** Hand-computed cases for the round-5 operators: as-of join semantics
+  * (tie handling, no-match rows, strict mode), HLL register math,
+  * chunk-level dedup boundaries, PII redaction cascade order.
+  */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("ops-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("as-of join picks latest at-or-before, null when none") {
+    val s = spark
+    import s.implicits._
+    val trades = Seq((1L, "k", 100L, 9.0), (2L, "k", 205L, 9.5),
+      (3L, "x", 50L, 1.0)).toDF("trade_id", "sym", "t", "px")
+    val quotes = Seq(("k", 90L, 10L, 8.8), ("k", 100L, 11L, 8.9),
+      ("k", 200L, 12L, 9.1), ("k", 300L, 13L, 9.9))
+      .toDF("sym", "t", "quote_id", "bid")
+    val out = AsOfJoin.asofBackward(trades, quotes, "sym", "t", "t",
+      Seq("quote_id", "bid"), rightTieBreak = "quote_id")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(4)), Option(r.get(5)))).toMap
+    // trade 1 at t=100: exact-ts quote 11 wins (allowExact default)
+    assert(out(1L) == ((Some(11L), Some(8.9))))
+    // trade 2 at t=205: quote 12 (t=200) is latest at-or-before
+    assert(out(2L) == ((Some(12L), Some(9.1))))
+    // sym x has no quotes at all
+    assert(out(3L) == ((None, None)))
+  }
+
+  test("as-of strict mode excludes equal timestamps; ties pick max id") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "k", 100L)).toDF("lid", "sym", "t")
+    val right = Seq(("k", 100L, 7L), ("k", 100L, 9L), ("k", 40L, 2L))
+      .toDF("sym", "t", "rid")
+    val exact = AsOfJoin.asofBackward(left, right, "sym", "t", "t",
+      Seq("rid"), rightTieBreak = "rid").collect()(0)
+    assert(exact.getLong(3) == 9L) // max rid among the t=100 duplicates
+    val strict = AsOfJoin.asofBackward(left, right, "sym", "t", "t",
+      Seq("rid"), rightTieBreak = "rid", allowExact = false).collect()(0)
+    assert(strict.getLong(3) == 2L) // t=100 rows excluded, falls to t=40
+  }
+
+  test("HLL estimate within the 256-register error bound") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 2000).map(i => ("g", i % 500)).toDF("g", "v")
+    val est = Sketches.hllDistinct(df, Seq("g"), "v")
+      .collect()(0).getDouble(1)
+    // 3-sigma of 1.04/sqrt(256) = 6.5% standard error on 500 distinct
+    assert(math.abs(est - 500.0) < 500 * 0.195, s"est=$est")
+    // duplicates must not move the registers: same input distinct-ified
+    val est2 = Sketches.hllDistinct(df.distinct(), Seq("g"), "v")
+      .collect()(0).getDouble(1)
+    assert(est == est2)
+  }
+
+  test("chunk dedup finds only full cross-doc chunks") {
+    val s = spark
+    import s.implicits._
+    val shared = (1 to 20).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, shared + " tail one extra"), // chunk 1 = shared
+      (2L, shared),                     // identical first chunk
+      (3L, "short doc under twenty words total"), // no full chunk
+      (4L, ("x " * 19).trim)            // 19 words -> no chunk
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkWords = 20)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 2L) // n_docs
+    assert(out(0).getString(3) == "1;2")
+  }
+
+  test("PII cascade: emails consumed before phone/IP patterns") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L,
+      "mail a.b@c.org or x@10.0.0.5 call +1-555-0100 node 10.1.2.3 end"))
+      .toDF("id", "t")
+    val r = df.select(text.redactPii(col("t")).as("p")).select(col("p.*"))
+      .collect()(0)
+    // x@10.0.0.5 is an email (host part matches [A-Za-z0-9.-]+\.[A-Za-z]{2,}?
+    // no — TLD must be alphabetic, so it stays and the IP inside is caught)
+    assert(r.getString(0) ==
+      "mail <EMAIL> or x@<IP> call <PHONE> node <IP> end")
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) == 2)
+  }
+}
