@@ -167,6 +167,68 @@ object Similarity {
     topKPerQuery(scored, k, qId, cId)
   }
 
+  /** Product-quantization (PQ) approximate top-k: each corpus vector is
+    * compressed to `subspaces` small codes — per subspace, the id of its
+    * nearest codebook sub-centroid by L2 — and queries score against the
+    * RECONSTRUCTED vectors (sub-centroids concatenated back), which is
+    * numerically identical to asymmetric-distance (ADC) lookup with exact
+    * per-subspace sums.
+    *
+    * Scale rationale: after encoding, the corpus state that must live in
+    * the search path is `subspaces` longs per vector instead of `dim`
+    * floats (here 4 codes vs 64 floats = 32x), which is what makes
+    * billion-vector indexes fit executor memory; encoding itself is one
+    * broadcast-codebook scan + a bounded_top_k(1) partial aggregate per
+    * (vector, subspace) — no corpus shuffle carries raw vectors. The
+    * codebook is the deterministic every-`centStep`-th sample (swap in
+    * kmeansCodebook slices for trained sub-centroids).
+    *
+    * Determinism contract with the SQL oracle: L2 partials fold
+    * left-to-right and round to 6 dp before the argmin (ties -> lower
+    * code), reconstruction concatenates in subspace order, final cosine
+    * rounds to 5 dp (ties -> lower corpus id).
+    */
+  def knnCosinePq(queries: DataFrame, corpus: DataFrame, k: Int,
+                  dim: Int, subspaces: Int, centStep: Long,
+                  qId: String = "qid", qVec: String = "qvec",
+                  cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    graft.plans.BoundedTopK.register(corpus.sparkSession)
+    require(dim % subspaces == 0, "dim must divide evenly into subspaces")
+    val subDim = dim / subspaces
+    def subSlices(vec: org.apache.spark.sql.Column) =
+      posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+        s => slice(vec, s * subDim + 1, lit(subDim))))
+    val cb = corpus.where(pmod(col(cId), lit(centStep)) === 0)
+      .select((col(cId) / centStep).cast("long").as("code"),
+        col(cVec).cast("array<double>").as("_v"))
+      .select(col("code"), subSlices(col("_v")).as(Seq("sub", "scv")))
+    val corpusSubs = corpus
+      .select(col(cId), col(cVec).cast("array<double>").as("_v"))
+      .select(col(cId), subSlices(col("_v")).as(Seq("sub", "sv")))
+    // encode: argmin_code round(L2(sv, scv), 6), ties -> lower code
+    val codes = corpusSubs.join(broadcast(cb), Seq("sub"))
+      .select(col(cId), col("sub"), col("code"),
+        round(aggregate(zip_with(col("sv"), col("scv"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x), 6)
+          .as("l2"))
+      .groupBy(col(cId), col("sub"))
+      .agg(expr(s"${graft.plans.BoundedTopK.name}" +
+        "(struct(-l2, code), 1)").as("_tk"))
+      .select(col(cId), col("sub"), col("_tk")(0).getField("id").as("code"))
+    // reconstruct in subspace order
+    val rec = codes.join(broadcast(cb), Seq("sub", "code"))
+      .groupBy(col(cId))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("scv")))),
+        e => e.getField("scv"))).as("rvec"))
+    val scored = rec.crossJoin(broadcast(queries))
+      .select(col(qId), col(cId),
+        round(call_function("graft_cosine",
+          col(qVec).cast("array<double>"), col("rvec")), 5).as("cosine"))
+    topKPerQuery(scored, k, qId, cId)
+  }
+
   /** Approximate top-k: candidates restricted to the query's sign-bit LSH
     * bucket. Bucket on the first `bits` dimensions' signs; recall can be
     * raised by lowering `bits` (bigger buckets) or probing neighbor buckets.

@@ -151,6 +151,14 @@ object Documents {
           col("p.n_ips").cast("long").as("n_ips"))
     }),
 
+    "t9_bm25" -> ((s, dir) => {
+      // BM25 retrieval scoring for a fixed term set: corpus stats reduce
+      // to ONE broadcast row, global top-20 via bounded_top_k partials
+      graft.operators.Bm25.score(spread(t(s, dir, "documents")),
+        "doc_id", "text",
+        terms = Seq("spark", "hash", "merge", "window", "sort"), topK = 20)
+    }),
+
     "d5_emb_neardup" -> ((s, dir) => {
       // content-derived sign-LSH blocking (no caller label), capped buckets
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -187,6 +195,17 @@ object Documents {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       Similarity.knnCosineIvf(q, c, k = 5, centStep = 64, nprobe = 3)
+    }),
+
+    "s4_pq_ann" -> ((s, dir) => {
+      // product quantization: 64-dim corpus compressed to 4 sub-codes,
+      // queries score reconstructed vectors (exact ADC equivalent)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.knnCosinePq(q, c, k = 5, dim = 64, subspaces = 4,
+        centStep = 64)
     }),
 
     "s3b_ivf_kmeans" -> ((s, dir) => {
@@ -382,6 +401,44 @@ object Documents {
         |    len(list_intersect(l.g, r.g))::DOUBLE /
         |    (len(l.g) + len(r.g) - len(list_intersect(l.g, r.g))), 5) >= 0.5"""
         .stripMargin,
+
+    "t9_bm25" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, len(w) AS dl,
+        |    len(list_filter(w, x -> x = 'spark')) AS tf0,
+        |    len(list_filter(w, x -> x = 'hash')) AS tf1,
+        |    len(list_filter(w, x -> x = 'merge')) AS tf2,
+        |    len(list_filter(w, x -> x = 'window')) AS tf3,
+        |    len(list_filter(w, x -> x = 'sort')) AS tf4
+        |  FROM w),
+        |st AS (
+        |  SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+        |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3,
+        |    sum(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END) AS df4
+        |  FROM d),
+        |sc AS (
+        |  SELECT doc_id, round(
+        |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * (1.2 + 1.0))
+        |        / (tf0 + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * (1.2 + 1.0))
+        |        / (tf1 + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * (1.2 + 1.0))
+        |        / (tf2 + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+        |    + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * (tf3 * (1.2 + 1.0))
+        |        / (tf3 + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+        |    + ln((n - df4 + 0.5) / (df4 + 0.5) + 1.0) * (tf4 * (1.2 + 1.0))
+        |        / (tf4 + 1.2 * (0.25 + 0.75 * (dl / avgdl))), 5) AS score
+        |  FROM d, st)
+        |SELECT doc_id, score,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |FROM sc WHERE score > 0
+        |QUALIFY rank <= 20""".stripMargin,
 
     "d7_chunk_dedup" ->
       """WITH w AS (
@@ -591,6 +648,44 @@ object Documents {
          |        WHERE vec_id < 8) q ON p.qid = q.qid
          |  JOIN (SELECT vec_id AS cid2, embedding AS cv FROM embeddings) ce
          |    ON a.cid = ce.cid2)
+         |SELECT qid, cid, cosine, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, cid) AS rank FROM s)
+         |WHERE rank <= 5""".stripMargin,
+
+    // PQ: per-(vector, subspace) argmin over rounded left-fold L2, codes
+    // -> sub-centroid concat in subspace order, cosine vs reconstruction
+    "s4_pq_ann" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |subs AS (SELECT unnest(range(0, 4)) AS sub),
+         |cb AS (
+         |  SELECT cid // 64 AS code, sub,
+         |    v[sub*16+1 : sub*16+16] AS scv
+         |  FROM c, subs WHERE cid % 64 = 0),
+         |enc0 AS (
+         |  SELECT c.cid, cb.sub, cb.code,
+         |    round(list_reduce(list_transform(
+         |      list_zip(c.v[cb.sub*16+1 : cb.sub*16+16], cb.scv),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b), 6)
+         |      AS l2
+         |  FROM c, cb),
+         |enc AS (
+         |  SELECT cid, sub, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cid, sub
+         |      ORDER BY l2, code) AS rn FROM enc0)
+         |  WHERE rn = 1),
+         |rec AS (
+         |  SELECT x.cid, flatten(list(x.scv ORDER BY x.sub)) AS cv
+         |  FROM (SELECT e.cid, e.sub, cb.scv FROM enc e
+         |        JOIN cb ON e.sub = cb.sub AND e.code = cb.code) x
+         |  GROUP BY x.cid),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id < 8),
+         |s AS (SELECT qid, cid, round($cosineSql, 5) AS cosine
+         |      FROM q, rec)
          |SELECT qid, cid, cosine, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cosine DESC, cid) AS rank FROM s)

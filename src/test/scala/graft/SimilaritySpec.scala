@@ -63,4 +63,16 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(trained >= sampled)
     assert(trained >= 0.5)
   }
+
+  test("PQ reconstruction ranks true neighbors near the top") {
+    val pq = Similarity.knnCosinePq(q, c, k = 5, dim = 64, subspaces = 4,
+      centStep = 64)
+    // every query must yield a full top-5 (encoding covers whole corpus)
+    val counts = pq.groupBy("qid").count().collect()
+    assert(counts.length == 16 && counts.forall(_.getLong(1) == 5))
+    val r = recallAt(5, pq)
+    info(f"PQ recall@5=$r%.3f")
+    // lossy 4x16-dim codes: recall floor well above chance (5/500)
+    assert(r >= 0.2)
+  }
 }
