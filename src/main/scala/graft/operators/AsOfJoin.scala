@@ -34,24 +34,23 @@ object AsOfJoin {
                    rightTieBreak: String,
                    allowExact: Boolean = true): DataFrame = {
     val leftCols = left.columns.toSeq
-    // one right row per (key, ts): max tie-break wins
-    val rightW = Window.partitionBy(col(key), col(rightTs))
-      .orderBy(col(rightTieBreak).desc)
-    val r1 = right
-      .withColumn("_rn", row_number().over(rightW))
-      .where(col("_rn") === 1)
-    // side ordering at equal ts: right sorts before left iff ties match
+    // side ordering at equal ts: right sorts before left iff ties match.
+    // Duplicate right rows within (key, ts) need no pre-dedup pass (that
+    // would cost a second exchange): ordering the ONE window by the
+    // tie-break makes the max row the last one `last()` sees.
     val rSide = if (allowExact) 0 else 2
-    val rTagged = r1.select(
+    val rTagged = right.select(
       col(key) +: col(rightTs).as("_ts") +: lit(rSide).as("_side") +:
+        col(rightTieBreak).as("_tie") +:
         (leftCols.filterNot(_ == key).map(c => lit(null).as(c)) ++
           payload.map(col)): _*)
     val lTagged = left.select(
       col(key) +: col(leftTs).as("_ts") +: lit(1).as("_side") +:
+        lit(null).as("_tie") +:
         (leftCols.filterNot(_ == key).map(col) ++
           payload.map(c => lit(null).as(c))): _*)
     val w = Window.partitionBy(col(key))
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(col("_ts"), col("_side"), col("_tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rTagged.unionByName(lTagged)
       .select(col(key) +: col("_ts") +: col("_side") +:

@@ -136,4 +136,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SinglePartition"), p)
     assert(!p.contains("rangepartitioning"), p)
   }
+
+  test("q14 as-of join: ONE key shuffle, no range-condition join") {
+    val p = plan("q14_asof_join")
+    // the union+window rewrite must not degrade to any join operator
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one data shuffle, keyed on user_id (dedup of right-side
+    // (key,ts) duplicates rides the same window — no second exchange)
+    val exchanges = "Exchange hashpartitioning\\(user_id"
+      .r.findAllIn(p.split("== Initial Plan ==")(0)).size
+    assert(exchanges == 1, p)
+  }
+
+  test("t9 BM25 corpus stats broadcast back — corpus never shuffles") {
+    val p = plan("t9_bm25")
+    // stats (one row) join the per-doc scores via broadcast NL join
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    // the only hash exchange is the k-row bounded_top_k reduce, never a
+    // hashpartitioning of doc rows on a data column
+    assert(!p.contains("hashpartitioning(doc_id"), p)
+    assert(p.contains("partial_bounded_top_k"), p)
+  }
 }
