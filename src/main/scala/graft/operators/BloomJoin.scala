@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter join pruning: build a bit set from the (filtered) build
+  * side's join keys and pre-filter the probe side before any join — the
+  * classic semi-join reduction that, at 100 TB, keeps the probe side's
+  * shuffle from carrying rows the join would discard anyway. Spark's AQE
+  * can inject runtime bloom filters itself (`InjectRuntimeFilter`); this
+  * operator is the explicit, engine-independent form with md5 bit math an
+  * external SQL engine reproduces exactly, so false-positive accounting
+  * is oracle-checkable rather than opaque.
+  *
+  * The bit set lives as a DataFrame of set bit positions (distinct longs,
+  * <= `bits` rows) that BROADCASTS to the probe scan; membership = all
+  * `hashes` positions present. No driver-side collect, no UDF.
+  */
+object BloomJoin {
+
+  private def bitOf(j: Int, key: Column, bits: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"$j:"), key.cast("string"))),
+      1, 7), 16, 10).cast("long"), lit(bits))
+
+  private def bitArray(key: Column, bits: Int, hashes: Int): Column =
+    array_distinct(array((0 until hashes).map(j => bitOf(j, key, bits)): _*))
+
+  /** Distinct set-bit positions for the build side's keys. */
+  def buildBits(keys: DataFrame, keyCol: String, bits: Int,
+                hashes: Int): DataFrame =
+    keys.select(explode(bitArray(col(keyCol), bits, hashes)).as("bit"))
+      .distinct()
+
+  /** Keys of `probe` that pass the bloom membership test (supersets the
+    * true join keys; false positives bounded by the fill ratio ^ hashes).
+    */
+  def candidateKeys(probe: DataFrame, keyCol: String, bitsDf: DataFrame,
+                    bits: Int, hashes: Int): DataFrame = {
+    val pk = probe.select(col(keyCol)).distinct()
+      .select(col(keyCol), bitArray(col(keyCol), bits, hashes).as("_ps"))
+      .select(col(keyCol), size(col("_ps")).as("_n"),
+        explode(col("_ps")).as("bit"))
+    pk.join(broadcast(bitsDf), Seq("bit"))
+      .groupBy(col(keyCol), col("_n"))
+      .agg(count(lit(1)).as("_hits"))
+      .where(col("_hits") === col("_n"))
+      .select(col(keyCol))
+  }
+
+  /** One-row accounting of the pruning quality: total probe rows, rows
+    * passing the bloom, rows truly joining, and the false-positive
+    * surplus the join itself would have filtered.
+    */
+  def pruneStats(probe: DataFrame, build: DataFrame, keyCol: String,
+                 bits: Int = 65536, hashes: Int = 3): DataFrame = {
+    val bitsDf = buildBits(build, keyCol, bits, hashes)
+    val cand = candidateKeys(probe, keyCol, bitsDf, bits, hashes)
+    val nFact = probe.agg(count(lit(1)).as("n_fact"))
+    val nCand = probe.join(cand, Seq(keyCol), "left_semi")
+      .agg(count(lit(1)).as("n_candidates"))
+    val nTrue = probe.join(build.select(col(keyCol)).distinct(),
+      Seq(keyCol), "left_semi")
+      .agg(count(lit(1)).as("n_true"))
+    nFact.crossJoin(nCand).crossJoin(nTrue)
+      .select(col("n_fact"), col("n_candidates"), col("n_true"),
+        (col("n_candidates") - col("n_true")).as("n_false_pos"))
+  }
+}

@@ -370,11 +370,52 @@ object Dedup {
               slice(col("w"), i * chunkWords + 1, lit(chunkWords)), " "))))
           .otherwise(array()))
         .as("chunk_hash"))
+    sharedChunks(chunks)
+  }
+
+  /** Shared rollup for the chunk-dedup variants: keep chunks seen in
+    * more than one document, with counts and the ordered member list.
+    */
+  private def sharedChunks(chunks: DataFrame): DataFrame =
     chunks.groupBy("chunk_hash")
       .agg(countDistinct(col("id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"),
         array_join(sort_array(collect_set(col("id").cast("string"))), ";")
           .as("doc_ids"))
       .where(col("n_docs") > 1)
+
+  /** Content-defined chunking (CDC) dedup: chunk boundaries are set by
+    * the WORDS THEMSELVES — a word whose md5 satisfies
+    * hash % boundaryMod == 0 ends the current chunk — so an insertion
+    * early in a document only perturbs its own chunk, and every later
+    * shared passage still re-aligns to identical chunks. That is the
+    * property fixed-size chunking (`chunkDedup`) lacks: there one leading
+    * word shifts EVERY subsequent chunk frame. Expected chunk length =
+    * boundaryMod words.
+    *
+    * Plan: explode to (doc, pos, word) — one narrow shuffle keyed by doc
+    * for the running boundary count (per-doc window, bounded partitions),
+    * then the same (hash, id)-only dedup rollup as chunkDedup. Output
+    * schema matches chunkDedup.
+    */
+  def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
+                    boundaryMod: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))
+    val exploded = df
+      .select(col(idCol).as("id"), posexplode(words).as(Seq("pos", "w")))
+      .withColumn("_flag",
+        when(pmod(conv(substring(md5(col("w")), 1, 7), 16, 10).cast("long"),
+          lit(boundaryMod)) === 0, 1).otherwise(0))
+    val upToPrev = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = exploded
+      .withColumn("chunk_id", coalesce(sum(col("_flag")).over(upToPrev),
+        lit(0)))
+      .groupBy(col("id"), col("chunk_id"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x.getField("w")), " ")).as("chunk_hash"))
+    sharedChunks(chunks)
   }
 }

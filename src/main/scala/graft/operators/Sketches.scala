@@ -56,4 +56,50 @@ object Sketches {
     grouped.select(groupCols.map(col) :+
       round(est, 4).as("hll_estimate"): _*)
   }
+
+  /** Count-Min-sketch heavy hitters: estimate per-value frequencies
+    * through a d x w counter matrix (md5-hashed, salted per row) and
+    * report the top values by the CMS estimate = min over rows of the
+    * value's counter. The sketch build is the scalable part — the
+    * shuffle carries at most d*w counter rows total (here 4*256 = 1024)
+    * no matter the input size, the same state a streaming heavy-hitter
+    * would keep. The candidate set evaluated against the sketch is the
+    * distinct values (fine at |domain| << |input|; at an unbounded
+    * domain you'd track candidates with SpaceSaving on top).
+    *
+    * CMS guarantee surfaced in the output: estimate >= true count
+    * always (collisions only ever inflate), asserted in OpsSpec and
+    * visible next to the exact count.
+    */
+  def cmsTopK(df: DataFrame, valueCol: String, k: Int,
+              depth: Int = 4, width: Int = 256): DataFrame = {
+    graft.plans.BoundedTopK.register(df.sparkSession)
+    def bucket(row: Int, v: Column): Column =
+      pmod(conv(substring(md5(concat(lit(row.toString), lit(":"),
+        v.cast("string"))), 1, 7), 16, 10).cast("long"), lit(width))
+    def buckets(v: Column): Column =
+      posexplode(array((0 until depth).map(r => bucket(r, v)): _*))
+    // d x w counters, one narrow map-combined shuffle of (row, bucket)
+    val counters = df
+      .select(buckets(col(valueCol)).as(Seq("_row", "_bucket")))
+      .groupBy("_row", "_bucket").agg(count(lit(1)).as("_cnt"))
+    // each distinct value reads its d counters; estimate = min of them
+    val scored = df.groupBy(col(valueCol).as("value"))
+      .agg(count(lit(1)).as("n_true"))
+      .select(col("value"), col("n_true"),
+        buckets(col("value")).as(Seq("_row", "_bucket")))
+      .join(broadcast(counters), Seq("_row", "_bucket"))
+      .groupBy("value")
+      .agg(max(col("n_true")).as("n_true"),
+        min(col("_cnt")).as("cms_estimate"))
+    val top = scored
+      .groupBy(lit(1).as("_g"))
+      .agg(expr(s"${graft.plans.BoundedTopK.name}" +
+        s"(struct(CAST(cms_estimate AS DOUBLE), value), $k)").as("_tk"))
+      .select(posexplode(col("_tk")).as(Seq("_r", "_e")))
+      .select(col("_e.id").as("value"),
+        (col("_r") + 1).cast("long").as("rank"))
+    top.join(scored, Seq("value"))
+      .select(col("value"), col("n_true"), col("cms_estimate"), col("rank"))
+  }
 }

@@ -132,6 +132,14 @@ object Documents {
         chunkWords = 20)
     }),
 
+    "d8_cdc_dedup" -> ((s, dir) => {
+      // content-defined chunk boundaries (word-hash anchored, ~16-word
+      // chunks): shared passages re-align across insertions, unlike d7's
+      // fixed frames
+      Dedup.cdcChunkDedup(spread(t(s, dir, "documents")), "doc_id", "text",
+        boundaryMod = 16)
+    }),
+
     "t8_pii_redact" -> ((s, dir) => {
       // PII scrub: email/phone/IPv4 -> typed tags + per-category counts.
       // The corpus is synthetic word soup, so a deterministic PII suffix
@@ -454,6 +462,37 @@ object Documents {
         |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ';'
         |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
         |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "d8_cdc_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |e0 AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'w': ws[i]}
+        |    for i in range(1, len(ws) + 1)]) AS u
+        |  FROM w),
+        |e AS (
+        |  SELECT doc_id, u.pos AS pos, u.w AS w,
+        |    CASE WHEN list_reduce([strpos('0123456789abcdef',
+        |        substr(md5(u.w), j, 1)) - 1
+        |      for j in range(1, 8)], (a, c) -> a * 16 + c) % 16 = 0
+        |      THEN 1 ELSE 0 END AS flag
+        |  FROM e0),
+        |c AS (
+        |  SELECT doc_id, pos, w,
+        |    coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk_id
+        |  FROM e),
+        |ch AS (
+        |  SELECT doc_id, chunk_id,
+        |    md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+        |  FROM c GROUP BY 1, 2)
+        |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_occurrences,
+        |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ';'
+        |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
+        |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
 
     "t8_pii_redact" -> {
       val (em, ph, ip) = (text.emailRe, text.phoneRe, text.ipv4Re)

@@ -167,6 +167,17 @@ object Relational {
           round(sum(col("l_extendedprice")), 4).as("sum_price"))
     }),
 
+    "q17_bloom_join" -> ((s, dir) => {
+      // explicit bloom semi-join reduction: urgent-order keys -> 65536-bit
+      // md5 bloom -> lineitem pruned before the join; output accounts for
+      // the false-positive surplus the oracle recomputes bit-for-bit
+      graft.operators.BloomJoin.pruneStats(
+        t(s, dir, "lineitem"),
+        t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("l_orderkey")),
+        "l_orderkey")
+    }),
+
     "q10_range_agg" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
@@ -210,6 +221,43 @@ object Relational {
     "q4_filter_pushdown" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_discount
         |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05""".stripMargin,
+
+    "q17_bloom_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT o_orderkey AS k FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |bits AS (
+        |  SELECT DISTINCT unnest([
+        |    list_reduce([strpos('0123456789abcdef',
+        |        substr(md5(CAST(j AS VARCHAR) || ':'
+        |          || CAST(k AS VARCHAR)), p, 1)) - 1
+        |      for p in range(1, 8)], (a, c) -> a * 16 + c) % 65536
+        |    for j in range(0, 3)]) AS bit
+        |  FROM dim),
+        |fk AS (
+        |  SELECT k, list_distinct([
+        |    list_reduce([strpos('0123456789abcdef',
+        |        substr(md5(CAST(j AS VARCHAR) || ':'
+        |          || CAST(k AS VARCHAR)), p, 1)) - 1
+        |      for p in range(1, 8)], (a, c) -> a * 16 + c) % 65536
+        |    for j in range(0, 3)]) AS ps
+        |  FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem)),
+        |kp AS (SELECT k, len(ps) AS n, unnest(ps) AS bit FROM fk),
+        |cand AS (
+        |  SELECT k FROM kp JOIN bits USING (bit)
+        |  GROUP BY k, n HAVING count(*) = n),
+        |agg AS (
+        |  SELECT
+        |    (SELECT count(*) FROM lineitem) AS n_fact,
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey IN (SELECT k FROM cand)) AS n_candidates,
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey IN (SELECT k FROM dim)) AS n_true)
+        |SELECT CAST(n_fact AS BIGINT) AS n_fact,
+        |  CAST(n_candidates AS BIGINT) AS n_candidates,
+        |  CAST(n_true AS BIGINT) AS n_true,
+        |  CAST(n_candidates - n_true AS BIGINT) AS n_false_pos
+        |FROM agg""".stripMargin,
 
     "q5_semi_anti" ->
       """SELECT c_mktsegment, count(*) AS n_customers,

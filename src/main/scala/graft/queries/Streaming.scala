@@ -87,6 +87,13 @@ object Streaming {
       val exact = events(s, dir).groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("n_exact"))
       exact.join(hll, Seq("event_type"))
+    }),
+
+    "q16_heavy_hitters" -> ((s, dir) => {
+      // Count-Min-sketch top-10 users by event volume: the sketch state
+      // that crosses the shuffle is 4x256 counters regardless of input
+      // size; exact counts sit alongside to surface the CMS >= truth bias
+      graft.operators.Sketches.cmsTopK(events(s, dir), "user_id", k = 10)
     })
   )
 
@@ -184,6 +191,37 @@ object Streaming {
         |    AS hll_estimate
         |FROM est e JOIN (
         |  SELECT event_type, count(DISTINCT user_id) AS n_exact
-        |  FROM events GROUP BY 1) x USING (event_type)""".stripMargin
+        |  FROM events GROUP BY 1) x USING (event_type)""".stripMargin,
+
+    "q16_heavy_hitters" ->
+      """WITH rows_ AS (SELECT unnest(range(0, 4)) AS r),
+        |b AS (
+        |  SELECT user_id AS value, r,
+        |    list_reduce([strpos('0123456789abcdef',
+        |        substr(md5(CAST(r AS VARCHAR) || ':'
+        |          || CAST(user_id AS VARCHAR)), j, 1)) - 1
+        |      for j in range(1, 8)], (a, c) -> a * 16 + c) % 256 AS bucket
+        |  FROM events, rows_),
+        |counters AS (
+        |  SELECT r, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT user_id AS value, count(*) AS n_true
+        |  FROM events GROUP BY 1),
+        |lk AS (
+        |  SELECT c.value, c.n_true, x.r,
+        |    list_reduce([strpos('0123456789abcdef',
+        |        substr(md5(CAST(x.r AS VARCHAR) || ':'
+        |          || CAST(c.value AS VARCHAR)), j, 1)) - 1
+        |      for j in range(1, 8)], (a, c2) -> a * 16 + c2) % 256 AS bucket
+        |  FROM cand c, rows_ x),
+        |est AS (
+        |  SELECT lk.value, max(lk.n_true) AS n_true,
+        |    min(ct.cnt) AS cms_estimate
+        |  FROM lk JOIN counters ct ON lk.r = ct.r AND lk.bucket = ct.bucket
+        |  GROUP BY lk.value)
+        |SELECT value, n_true, cms_estimate, rank FROM (
+        |  SELECT *, row_number() OVER (ORDER BY cms_estimate DESC, value)
+        |    AS rank FROM est)
+        |WHERE rank <= 10""".stripMargin
   )
 }

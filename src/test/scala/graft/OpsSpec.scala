@@ -92,6 +92,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0).getString(3) == "1;2")
   }
 
+  test("CMS estimate never undercounts; heavy hitter surfaces on top") {
+    val s = spark
+    import s.implicits._
+    // skewed stream: value 7 dominates
+    val df = ((1 to 300).map(_ => 7L) ++ (1 to 50).flatMap(i =>
+      Seq(i.toLong + 100, i.toLong + 100))).toDF("v")
+    val top = Sketches.cmsTopK(df, "v", k = 5, depth = 4, width = 64)
+      .collect()
+    assert(top.head.getLong(0) == 7L && top.head.getLong(3) == 1L)
+    top.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), // estimate >= truth, always
+        s"value ${r.getLong(0)}: est ${r.getLong(2)} < true ${r.getLong(1)}")
+    }
+  }
+
+  test("CDC chunks re-align after an insertion; fixed chunks do not") {
+    val s = spark
+    import s.implicits._
+    // 200 shared words; doc 2 prepends one word. Fixed 20-word frames all
+    // shift; CDC boundaries (content-anchored) re-align after the first.
+    // (alphabetic-only words — the tokenizer drops digits)
+    val base = (1 to 200).map { i =>
+      "" + ('a' + (i * 7) % 26).toChar + ('a' + (i * 13) % 26).toChar +
+        ('a' + (i * 3) % 26).toChar + ('a' + (i * 11) % 26).toChar
+    }.mkString(" ")
+    val df = Seq((1L, base), (2L, "inserted " + base)).toDF("doc_id", "text")
+    val cdc = Dedup.cdcChunkDedup(df, "doc_id", "text", boundaryMod = 16)
+      .collect()
+    val fixed = Dedup.chunkDedup(df, "doc_id", "text", chunkWords = 20)
+      .collect()
+    assert(cdc.length > fixed.length,
+      s"cdc shared=${cdc.length} fixed shared=${fixed.length}")
+    assert(cdc.forall(_.getString(3) == "1;2"))
+  }
+
   test("PII cascade: emails consumed before phone/IP patterns") {
     val s = spark
     import s.implicits._
