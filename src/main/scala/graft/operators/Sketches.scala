@@ -102,4 +102,41 @@ object Sketches {
     top.join(scored, Seq("value"))
       .select(col("value"), col("n_true"), col("cms_estimate"), col("rank"))
   }
+
+  /** Histogram-sketch quantiles: one pass reduces the input to
+    * (group, bucket) counts — buckets are fixed-width `floor(v/binWidth)`
+    * cells, so the whole sketch is O(groups x occupied buckets) rows and
+    * every arithmetic step (floor, integer cumsum, one multiply per
+    * quantile) is exactly reproducible by another engine; no
+    * interpolation, no rank nondeterminism. The reported quantile is the
+    * lower bound of the first bucket whose cumulative count reaches
+    * ceil(q * n) — error bounded by binWidth, the knob the caller owns.
+    *
+    * Contrast with percentile_approx: Spark's GK/KLL sketch is
+    * implementation-defined, so its results cannot be oracle-checked;
+    * this one can, and merges associatively the same way (bucket counts
+    * add), which is also what makes it map-side combinable.
+    */
+  def histQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                    binWidth: Double,
+                    quantiles: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df
+      .groupBy(groupCols.map(col) :+
+        floor(col(valueCol) / binWidth).cast("long").as("_b"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val cumW = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(groupCols.map(col): _*)
+    val cum = hist
+      .withColumn("_cum", sum(col("_c")).over(cumW))
+      .withColumn("_total", sum(col("_c")).over(totW))
+    cum.groupBy(groupCols.map(col): _*)
+      .agg(quantileCol(quantiles.head, binWidth),
+        quantiles.tail.map(q => quantileCol(q, binWidth)): _*)
+  }
+
+  private def quantileCol(q: (String, Double), binWidth: Double): Column =
+    (min(when(col("_cum") >= ceil(lit(q._2) * col("_total")), col("_b")))
+      * binWidth).as(q._1)
 }

@@ -178,6 +178,15 @@ object Relational {
         "l_orderkey")
     }),
 
+    "q18_quantile_hist" -> ((s, dir) => {
+      // oracle-checkable quantile sketch: fixed-width histogram buckets
+      // (binWidth = 1000), quantile = first bucket reaching ceil(q*n)
+      graft.operators.Sketches.histQuantiles(
+        t(s, dir, "orders"), Seq("o_orderpriority"), "o_totalprice",
+        binWidth = 1000.0,
+        quantiles = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+    }),
+
     "q10_range_agg" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
@@ -221,6 +230,26 @@ object Relational {
     "q4_filter_pushdown" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_discount
         |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05""".stripMargin,
+
+    "q18_quantile_hist" ->
+      """WITH h AS (
+        |  SELECT o_orderpriority, CAST(floor(o_totalprice / 1000.0)
+        |    AS BIGINT) AS b, count(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT o_orderpriority, b, c,
+        |    sum(c) OVER (PARTITION BY o_orderpriority ORDER BY b
+        |      ROWS UNBOUNDED PRECEDING) AS cm,
+        |    sum(c) OVER (PARTITION BY o_orderpriority) AS total
+        |  FROM h)
+        |SELECT o_orderpriority,
+        |  min(CASE WHEN cm >= ceil(0.5 * total) THEN b END) * 1000.0
+        |    AS p50,
+        |  min(CASE WHEN cm >= ceil(0.9 * total) THEN b END) * 1000.0
+        |    AS p90,
+        |  min(CASE WHEN cm >= ceil(0.99 * total) THEN b END) * 1000.0
+        |    AS p99
+        |FROM cum GROUP BY 1""".stripMargin,
 
     "q17_bloom_join" ->
       """WITH dim AS (

@@ -141,4 +141,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
     assert(rows == Set((100L, 200L, 600000000L)))
   }
+
+  test("streaming HLL registers merge across micro-batches to the batch" +
+    " answer") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(String, Long)]
+    val events = mem.toDF().toDF("g", "v")
+    val q = graft.streaming.StreamSketches
+      .hllDistinctStream(events, "g", "v")
+      .writeStream.format("memory").queryName("hll")
+      .outputMode("update").start()
+    // two micro-batches with overlapping values: merged registers must
+    // equal one batch pass over the union
+    mem.addData((1 to 400).map(i => ("a", i.toLong)): _*)
+    q.processAllAvailable()
+    mem.addData((200 to 600).map(i => ("a", i.toLong)): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("hll").collect()
+      .filter(_.getString(0) == "a").map(_.getDouble(1)).last
+    q.stop()
+    val batch = graft.operators.Sketches.hllDistinct(
+      (1 to 600).map(i => ("a", i.toLong)).toDF("g", "v"), Seq("g"), "v")
+      .collect()(0).getDouble(1)
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
 }
