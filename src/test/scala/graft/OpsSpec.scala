@@ -127,6 +127,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cdc.forall(_.getString(3) == "1;2"))
   }
 
+  test("windowed peptide index returns exactly the re-join plan's rows") {
+    val s = spark
+    import s.implicits._
+    val prots = Seq(("P1", "MKLVDDAAGTKLV"), ("P2", "KLVKLVKLV"))
+      .toDF("accession", "sequence")
+    val peps = Seq(("q1", "KLV"), ("q2", "DDAAG"), ("q3", "KLVKLV"),
+      ("q4", "XXXX")).toDF("pepId", "peptide")
+    def rows(mx: Option[Int]) = graft.operators.PeptideAnnotate
+      .matchPeptides(peps, prots, k = 3, maxPeptideLen = mx)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getInt(3)))
+      .toSet
+    val rejoin = rows(None)
+    assert(rejoin == rows(Some(8)))
+    // overlapping occurrences all found: KLVKLV at P2 pos 1 and 4
+    assert(rejoin.contains(("q3", "P2", 1)) && rejoin.contains(("q3", "P2", 4)))
+    assert(!rejoin.exists(_._1 == "q4"))
+  }
+
   test("PII cascade: emails consumed before phone/IP patterns") {
     val s = spark
     import s.implicits._
