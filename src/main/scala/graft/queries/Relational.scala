@@ -187,6 +187,23 @@ object Relational {
         quantiles = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
     }),
 
+    "q20_setops" -> ((s, dir) => {
+      // INTERSECT / EXCEPT surface: customers ordering in both 1995 and
+      // 1996 (retained) vs only 1995 (churned) — both distinct-set ops
+      // compile to aggregate + shuffle on the key, no row explosion
+      val o = t(s, dir, "orders")
+      def buyers(yr: Int) = o
+        .where(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey"))
+      val retained = buyers(1995).intersect(buyers(1996))
+        .withColumn("cohort", lit("retained"))
+      val churned = buyers(1995).except(buyers(1996))
+        .withColumn("cohort", lit("churned"))
+      retained.unionByName(churned)
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
     "q10_range_agg" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
@@ -230,6 +247,22 @@ object Relational {
     "q4_filter_pushdown" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_discount
         |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05""".stripMargin,
+
+    "q20_setops" ->
+      """WITH y95 AS (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |y96 AS (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        |cohorts AS (
+        |  SELECT o_custkey, 'retained' AS cohort
+        |  FROM (SELECT o_custkey FROM y95 INTERSECT
+        |        SELECT o_custkey FROM y96)
+        |  UNION ALL
+        |  SELECT o_custkey, 'churned' AS cohort
+        |  FROM (SELECT o_custkey FROM y95 EXCEPT
+        |        SELECT o_custkey FROM y96))
+        |SELECT cohort, count(*) AS n_customers
+        |FROM cohorts GROUP BY 1""".stripMargin,
 
     "q18_quantile_hist" ->
       """WITH h AS (

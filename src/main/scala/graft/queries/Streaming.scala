@@ -94,6 +94,20 @@ object Streaming {
       // that crosses the shuffle is 4x256 counters regardless of input
       // size; exact counts sit alongside to surface the CMS >= truth bias
       graft.operators.Sketches.cmsTopK(events(s, dir), "user_id", k = 10)
+    }),
+
+    "q19_pivot" -> ((s, dir) => {
+      // wide-format rollup: event counts pivoted to one column per type.
+      // Explicit value list => single-pass pivot, no extra distinct scan
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("click").as("n_click"),
+          col("view").as("n_view"), col("purchase").as("n_purchase"),
+          col("signup").as("n_signup"), col("error").as("n_error"))
     })
   )
 
@@ -222,6 +236,20 @@ object Streaming {
         |SELECT value, n_true, cms_estimate, rank FROM (
         |  SELECT *, row_number() OVER (ORDER BY cms_estimate DESC, value)
         |    AS rank FROM est)
-        |WHERE rank <= 10""".stripMargin
+        |WHERE rank <= 10""".stripMargin,
+
+    "q19_pivot" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS n_click,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS n_view,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS n_purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS n_signup,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS n_error
+        |FROM events GROUP BY 1""".stripMargin
   )
 }
