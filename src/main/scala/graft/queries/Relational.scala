@@ -187,6 +187,32 @@ object Relational {
         quantiles = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
     }),
 
+    "u4_scd2" -> ((s, dir) => {
+      // slowly-changing-dimension type-2 intervals from an ordered
+      // change log: valid_from = this change, valid_to = next change of
+      // the same key (null = current) — one window shuffle on the key
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").as("valid_from"),
+          lead(col("o_orderdate"), 1).over(w).as("valid_to"))
+        .withColumn("is_current", col("valid_to").isNull)
+    }),
+
+    "q21_full_outer" -> ((s, dir) => {
+      // full outer join surface: nations seen from the customer vs
+      // supplier side, neither side dropping unmatched keys
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_customers"))
+      val su = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      c.join(su, Seq("nk"), "full_outer")
+        .select(col("nk").cast("long").as("nationkey"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+    }),
+
     "q20_setops" -> ((s, dir) => {
       // INTERSECT / EXCEPT surface: customers ordering in both 1995 and
       // 1996 (retained) vs only 1995 (churned) — both distinct-set ops
@@ -247,6 +273,25 @@ object Relational {
     "q4_filter_pushdown" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_discount
         |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05""".stripMargin,
+
+    "u4_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM orders""".stripMargin,
+
+    "q21_full_outer" ->
+      """SELECT coalesce(c.nk, s.nk) AS nationkey,
+        |  coalesce(c.n_customers, 0) AS n_customers,
+        |  coalesce(s.n_suppliers, 0) AS n_suppliers
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_customers
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+        |      FROM supplier GROUP BY 1) s
+        |  ON c.nk = s.nk""".stripMargin,
 
     "q20_setops" ->
       """WITH y95 AS (

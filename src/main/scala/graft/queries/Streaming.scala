@@ -96,6 +96,21 @@ object Streaming {
       graft.operators.Sketches.cmsTopK(events(s, dir), "user_id", k = 10)
     }),
 
+    "u3_compact_latest" -> ((s, dir) => {
+      // changelog compaction: latest state per key WITHOUT a window —
+      // max(struct(ts, tiebreak, payload)) is a partial-aggregable
+      // lexicographic arg-max, so each map task ships one row per key
+      // (a row_number window would sort whole partitions instead)
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("m"))
+        .select(col("user_id"), col("m.ts").as("last_ts"),
+          col("m.event_id").as("last_event_id"),
+          col("m.event_type").as("last_event_type"),
+          col("m.value").as("last_value"))
+    }),
+
     "q19_pivot" -> ((s, dir) => {
       // wide-format rollup: event counts pivoted to one column per type.
       // Explicit value list => single-pass pivot, no extra distinct scan
@@ -237,6 +252,13 @@ object Streaming {
         |  SELECT *, row_number() OVER (ORDER BY cms_estimate DESC, value)
         |    AS rank FROM est)
         |WHERE rank <= 10""".stripMargin,
+
+    "u3_compact_latest" ->
+      """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |  event_type AS last_event_type, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
 
     "q19_pivot" ->
       """SELECT user_id,
