@@ -132,6 +132,21 @@ object Documents {
         chunkWords = 20)
     }),
 
+    "t10_normalize" -> ((s, dir) => {
+      // cleaning stage: strip control chars, collapse whitespace runs,
+      // trim. Deterministic mess (tabs/CR/doubled spaces) is injected on
+      // BOTH sides since the corpus itself is clean
+      val messy = concat(lit(" \t"), regexp_replace(col("text"),
+        lit(" "), lit("  ")), lit("\r\n x "))
+      val clean = trim(regexp_replace(
+        regexp_replace(messy, lit("[\\x00-\\x1f]"), lit(" ")),
+        lit(" +"), lit(" ")))
+      t(s, dir, "documents").select(col("doc_id"),
+        length(messy).cast("long").as("raw_len"),
+        length(clean).cast("long").as("clean_len"),
+        md5(clean).as("clean_fp"))
+    }),
+
     "d8_cdc_dedup" -> ((s, dir) => {
       // content-defined chunk boundaries (word-hash anchored, ~16-word
       // chunks): shared passages re-align across insertions, unlike d7's
@@ -462,6 +477,21 @@ object Documents {
         |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ';'
         |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
         |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "t10_normalize" ->
+      """WITH m AS (
+        |  SELECT doc_id, ' ' || chr(9)
+        |    || regexp_replace(text, ' ', '  ', 'g')
+        |    || chr(13) || chr(10) || ' x ' AS messy
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, messy, trim(regexp_replace(
+        |    regexp_replace(messy, '[\x00-\x1f]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS clean
+        |  FROM m)
+        |SELECT doc_id, length(messy) AS raw_len,
+        |  length(clean) AS clean_len, md5(clean) AS clean_fp
+        |FROM c""".stripMargin,
 
     "d8_cdc_dedup" ->
       """WITH w AS (

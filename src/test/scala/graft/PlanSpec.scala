@@ -149,6 +149,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 1, p)
   }
 
+  test("u3 changelog compaction is a windowless partial-agg arg-max") {
+    val p = plan("u3_compact_latest")
+    // the struct max must partially aggregate map-side — one row per key
+    // per map task crosses the shuffle; a row_number plan would need a
+    // Window over each whole partition. (SortAggregate's partition-LOCAL
+    // sorts are fine; what must not appear is a global/range sort.)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("t9 BM25 corpus stats broadcast back — corpus never shuffles") {
     val p = plan("t9_bm25")
     // stats (one row) join the per-doc scores via broadcast NL join
