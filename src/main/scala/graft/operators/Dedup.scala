@@ -384,6 +384,34 @@ object Dedup {
           .as("doc_ids"))
       .where(col("n_docs") > 1)
 
+  /** Fuzzy (edit-distance) self-join over a derived fixed-length key —
+    * the entity-resolution primitive (near-identical titles, names, URLs)
+    * that exact and token-set dedup both miss. Candidate pairs are
+    * blocked on the key's `prefixLen`-char prefix (two strings within
+    * edit distance d <= prefixLen share it unless an edit hits the
+    * prefix — the standard recall/cost dial), so the join stays a
+    * bucketed equi-join; `levenshtein` (codegen'd) verifies inside the
+    * block, never across the full corpus.
+    */
+  def fuzzyJoin(df: DataFrame, idCol: String, textCol: String,
+                keyLen: Int = 12, prefixLen: Int = 2,
+                maxDist: Int = 2): DataFrame = {
+    val key = substring(regexp_replace(lower(col(textCol)),
+      "[^a-z]", ""), 1, keyLen)
+    val keyed = df.select(col(idCol).as("id"), key.as("k"))
+      .withColumn("blk", substring(col("k"), 1, prefixLen))
+    val l = keyed.select(col("blk"), col("id").as("id1"),
+      col("k").as("k1"))
+    val r = keyed.select(col("blk"), col("id").as("id2"),
+      col("k").as("k2"))
+    l.join(r, Seq("blk"))
+      .where(col("id1") < col("id2"))
+      .withColumn("edit_dist",
+        levenshtein(col("k1"), col("k2")).cast("long"))
+      .where(col("edit_dist") <= maxDist)
+      .select("id1", "id2", "edit_dist")
+  }
+
   /** Content-defined chunking (CDC) dedup: chunk boundaries are set by
     * the WORDS THEMSELVES — a word whose md5 satisfies
     * hash % boundaryMod == 0 ends the current chunk — so an insertion

@@ -155,6 +155,12 @@ object Documents {
         boundaryMod = 16)
     }),
 
+    "d9_fuzzy_join" -> ((s, dir) => {
+      // edit-distance near-dup over 12-char derived keys, prefix-blocked
+      Dedup.fuzzyJoin(spread(t(s, dir, "documents")), "doc_id", "text",
+        keyLen = 12, prefixLen = 2, maxDist = 2)
+    }),
+
     "t8_pii_redact" -> ((s, dir) => {
       // PII scrub: email/phone/IPv4 -> typed tags + per-category counts.
       // The corpus is synthetic word soup, so a deterministic PII suffix
@@ -523,6 +529,18 @@ object Documents {
         |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ';'
         |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
         |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "d9_fuzzy_join" ->
+      """WITH s AS (
+        |  SELECT doc_id, substr(regexp_replace(lower(text), '[^a-z]', '',
+        |    'g'), 1, 12) AS k
+        |  FROM documents)
+        |SELECT l.doc_id AS id1, r.doc_id AS id2,
+        |  levenshtein(l.k, r.k) AS edit_dist
+        |FROM s l JOIN s r
+        |  ON substr(l.k, 1, 2) = substr(r.k, 1, 2)
+        |  AND l.doc_id < r.doc_id
+        |WHERE levenshtein(l.k, r.k) <= 2""".stripMargin,
 
     "t8_pii_redact" -> {
       val (em, ph, ip) = (text.emailRe, text.phoneRe, text.ipv4Re)

@@ -96,6 +96,56 @@ object Streaming {
       graft.operators.Sketches.cmsTopK(events(s, dir), "user_id", k = 10)
     }),
 
+    "e7_resample" -> ((s, dir) => {
+      // time-series resample + forward fill: an hourly grid per user
+      // (sequence explode between each user's first/last hour) carries
+      // the latest at-or-before value via the SAME one-shuffle as-of
+      // join q14 uses; bucket counts left-join back with 0 on gaps
+      val ev = events(s, dir)
+      val grid = ev.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("_h0"),
+          date_trunc("hour", max(col("ts"))).as("_h1"))
+        .select(col("user_id"), explode(sequence(col("_h0"), col("_h1"),
+          expr("interval 1 hour"))).as("hour_ts"))
+      val filled = graft.operators.AsOfJoin.asofBackward(
+        grid,
+        ev.select(col("user_id"), col("ts"), col("event_id").as("_eid"),
+          col("value").as("filled_value")),
+        key = "user_id", leftTs = "hour_ts", rightTs = "ts",
+        payload = Seq("filled_value"), rightTieBreak = "_eid")
+      val counts = ev
+        .groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(count(lit(1)).as("n_events"))
+      filled.join(counts, Seq("user_id", "hour_ts"), "left")
+        .na.fill(0L, Seq("n_events"))
+    }),
+
+    "q22_funnel" -> ((s, dir) => {
+      // ordered funnel (view -> click -> purchase): stage timestamps are
+      // nested conditional mins over the SAME user window, so all three
+      // stages resolve in one key shuffle (Catalyst reuses the exchange
+      // across the stacked Window ops) — no per-stage join cascade
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      val t1 = min(when(col("event_type") === "view", col("ts"))).over(w)
+      val staged = events(s, dir)
+        .withColumn("_t1", t1)
+        .withColumn("_t2", min(when(col("event_type") === "click" &&
+          col("ts") > col("_t1"), col("ts"))).over(w))
+        .withColumn("_t3", min(when(col("event_type") === "purchase" &&
+          col("ts") > col("_t2"), col("ts"))).over(w))
+      staged.select(col("user_id"), col("_t1"), col("_t2"), col("_t3"))
+        .distinct()
+        .select(col("user_id"),
+          when(col("_t3").isNotNull, "view_click_purchase")
+            .when(col("_t2").isNotNull, "view_click")
+            .when(col("_t1").isNotNull, "view")
+            .otherwise("none").as("funnel_stage"))
+        .groupBy(col("funnel_stage"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     "u3_compact_latest" -> ((s, dir) => {
       // changelog compaction: latest state per key WITHOUT a window —
       // max(struct(ts, tiebreak, payload)) is a partial-aggregable
@@ -252,6 +302,47 @@ object Streaming {
         |  SELECT *, row_number() OVER (ORDER BY cms_estimate DESC, value)
         |    AS rank FROM est)
         |WHERE rank <= 10""".stripMargin,
+
+    "e7_resample" ->
+      """WITH g AS (
+        |  SELECT user_id, unnest(generate_series(
+        |    date_trunc('hour', min(ts)), date_trunc('hour', max(ts)),
+        |    INTERVAL 1 HOUR)) AS hour_ts
+        |  FROM events GROUP BY user_id),
+        |f AS (
+        |  SELECT g.user_id, g.hour_ts, e.value AS filled_value
+        |  FROM g ASOF LEFT JOIN
+        |    (SELECT user_id, ts, value FROM events) e
+        |    ON g.user_id = e.user_id AND e.ts <= g.hour_ts),
+        |c AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT f.user_id, f.hour_ts, f.filled_value,
+        |  coalesce(c.n_events, 0) AS n_events
+        |FROM f LEFT JOIN c USING (user_id, hour_ts)""".stripMargin,
+
+    "q22_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+        |      THEN ts END) OVER (PARTITION BY user_id) AS t2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+        |      THEN ts END) OVER (PARTITION BY user_id) AS t3
+        |  FROM s2),
+        |u AS (SELECT DISTINCT user_id, t1, t2, t3 FROM s3)
+        |SELECT CASE WHEN t3 IS NOT NULL THEN 'view_click_purchase'
+        |            WHEN t2 IS NOT NULL THEN 'view_click'
+        |            WHEN t1 IS NOT NULL THEN 'view'
+        |            ELSE 'none' END AS funnel_stage,
+        |  count(*) AS n_users
+        |FROM u GROUP BY 1""".stripMargin,
 
     "u3_compact_latest" ->
       """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
