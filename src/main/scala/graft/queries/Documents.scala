@@ -161,6 +161,25 @@ object Documents {
         keyLen = 12, prefixLen = 2, maxDist = 2)
     }),
 
+    "d10_dedup_apply" -> ((s, dir) => {
+      // the dedup RESOLUTION step: fuzzy pairs -> connected clusters ->
+      // keep the best-quality member per cluster (ties: lower id) via a
+      // partial-aggregable struct arg-max — detect/cluster/resolve
+      // end-to-end
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.duplicateClusters(
+        Dedup.fuzzyJoin(spread(docs), "doc_id", "text",
+          keyLen = 12, prefixLen = 2, maxDist = 2))
+      val quality = docs.select(col("doc_id").as("id"),
+        text.qualityScore(col("text")).as("q"))
+      clusters.join(quality, Seq("id"))
+        .groupBy(col("cluster"))
+        .agg(max(struct(col("q"), (-col("id")).as("_negId"))).as("m"),
+          max(col("cluster_size")).as("cluster_size"))
+        .select(col("cluster"), (-col("m._negId")).as("kept_doc"),
+          col("m.q").as("kept_quality"), col("cluster_size"))
+    }),
+
     "t8_pii_redact" -> ((s, dir) => {
       // PII scrub: email/phone/IPv4 -> typed tags + per-category counts.
       // The corpus is synthetic word soup, so a deterministic PII suffix
@@ -529,6 +548,53 @@ object Documents {
         |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ';'
         |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
         |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "d10_dedup_apply" ->
+      s"""WITH RECURSIVE s AS (
+         |  SELECT doc_id, substr(regexp_replace(lower(text), '[^a-z]', '',
+         |    'g'), 1, 12) AS k
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT l.doc_id AS id1, r.doc_id AS id2
+         |  FROM s l JOIN s r
+         |    ON substr(l.k, 1, 2) = substr(r.k, 1, 2)
+         |    AND l.doc_id < r.doc_id
+         |  WHERE levenshtein(l.k, r.k) <= 2),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION SELECT id2, id1 FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+         |cc AS (SELECT node AS id, min(label) AS cluster
+         |       FROM reach GROUP BY node),
+         |sized AS (
+         |  SELECT id, cluster,
+         |    count(*) OVER (PARTITION BY cluster) AS cluster_size
+         |  FROM cc),
+         |qual AS (
+         |  SELECT doc_id AS id, round(least(1.0,
+         |      (alpha / n) * 0.5
+         |    + least((stop / tok) * 2.0, 1.0) * 0.3
+         |    + (1.0 - least((punct / n) * 5.0, 1.0)) * 0.2), 5) AS q
+         |  FROM (SELECT doc_id,
+         |    greatest(length(text), 1) AS n,
+         |    greatest(len(regexp_extract_all(text, '\\S+')), 1) AS tok,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |      AS DOUBLE) AS alpha,
+         |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+         |      AS DOUBLE) AS punct,
+         |    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+         |      w -> w IN ($swEn))) AS DOUBLE) AS stop
+         |  FROM documents))
+         |SELECT cluster, kept_doc, kept_quality, cluster_size FROM (
+         |  SELECT sized.cluster, sized.id AS kept_doc, qual.q AS
+         |    kept_quality, sized.cluster_size,
+         |    row_number() OVER (PARTITION BY sized.cluster
+         |      ORDER BY qual.q DESC, sized.id) AS rn
+         |  FROM sized JOIN qual ON sized.id = qual.id)
+         |WHERE rn = 1""".stripMargin,
 
     "d9_fuzzy_join" ->
       """WITH s AS (
