@@ -46,4 +46,37 @@ object IntervalJoin {
       .where(col("pos") >= col("start") && col("pos") <= col("end"))
       .drop("_bin")
   }
+
+  /** Interval x interval OVERLAP join (s1 <= e2 AND s2 <= e1), same
+    * binning idea with both sides exploded. A pair overlapping n shared
+    * bins would surface n times from the equi-join; instead of a distinct
+    * (an extra full shuffle of the output), each pair is emitted ONLY by
+    * the bin that owns the overlap's left edge — `floor(max(start1,
+    * start2) / binSize)` — the standard dedup-free ownership trick, so
+    * the join output is exact without any post-shuffle.
+    *
+    * Left columns `start`/`end`, right columns `start2`/`end2`; all other
+    * columns pass through.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+                  partitionKeys: Seq[String],
+                  binSize: Long = 10000L): DataFrame = {
+    require(partitionKeys.nonEmpty,
+      "overlapJoin needs a partition key (e.g. the chromosome)")
+    partitionKeys.foreach { k =>
+      require(left.columns.contains(k) && right.columns.contains(k),
+        s"partition key '$k' must exist on both sides")
+    }
+    val l = left.withColumn("_bin",
+      explode(sequence(floor(col("start") / binSize),
+        floor(col("end") / binSize))))
+    val r = right.withColumn("_bin",
+      explode(sequence(floor(col("start2") / binSize),
+        floor(col("end2") / binSize))))
+    val keys = "_bin" +: partitionKeys
+    l.join(r, keys, "inner")
+      .where(col("start") <= col("end2") && col("start2") <= col("end") &&
+        col("_bin") === floor(greatest(col("start"), col("start2")) / binSize))
+      .drop("_bin")
+  }
 }

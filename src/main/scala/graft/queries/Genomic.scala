@@ -57,6 +57,29 @@ object Genomic {
         .select("chrom", "pos", "id", "alt", "transcript_id", "start", "end")
     }),
 
+    "g4_overlap_join" -> ((s, _) => {
+      // interval x interval overlap: exons vs 30bp capture probes tiled
+      // every 25bp across each chromosome's span — binned equi-join with
+      // left-edge bin ownership, so no dedup shuffle (overlapJoin)
+      prep(s)
+      val ex = s.read.parquet(s"$fx/exons.parquet")
+      val probes = ex.groupBy(col("chrom"))
+        .agg(min(col("start")).as("_s"), max(col("end")).as("_e"))
+        .select(col("chrom"),
+          explode(sequence(col("_s"), col("_e"), lit(25L))).as("start2"))
+        .withColumn("end2", col("start2") + 29L)
+        .withColumn("probe_id",
+          concat(col("chrom"), lit(":"), col("start2")))
+      IntervalJoin.overlapJoin(
+        ex.select(col("chrom"), col("transcript_id"), col("start"),
+          col("end")),
+        probes, Seq("chrom"), binSize = 20)
+        .select(col("chrom"), col("transcript_id"), col("probe_id"),
+          col("start"), col("end"), col("start2"), col("end2"),
+          (least(col("end"), col("end2")) -
+            greatest(col("start"), col("start2")) + 1).as("overlap_len"))
+    }),
+
     "g3_coord_map" -> ((s, _) => {
       prep(s)
       val gts = s.read.parquet(s"$fx/gts_long.parquet")
@@ -195,6 +218,25 @@ object Genomic {
          |FROM ${pq("vcf_norm")} v JOIN ${pq("exons")} e
          |  ON v.chrom = e.chrom AND v.pos >= e.start AND v.pos <= e."end""""
         .stripMargin,
+
+    "g4_overlap_join" ->
+      s"""WITH probes AS (
+         |  SELECT chrom,
+         |    unnest(generate_series(mn, mx, 25)) AS start2
+         |  FROM (SELECT chrom, min(start) AS mn, max("end") AS mx
+         |        FROM ${pq("exons")} GROUP BY 1)),
+         |p AS (
+         |  SELECT chrom, start2, start2 + 29 AS end2,
+         |    chrom || ':' || CAST(start2 AS VARCHAR) AS probe_id
+         |  FROM probes)
+         |SELECT e.chrom, e.transcript_id, p.probe_id,
+         |  e.start AS start, e."end" AS "end",
+         |  p.start2 AS start2, p.end2 AS end2,
+         |  least(e."end", p.end2) - greatest(e.start, p.start2) + 1
+         |    AS overlap_len
+         |FROM ${pq("exons")} e JOIN p
+         |  ON e.chrom = p.chrom AND e.start <= p.end2
+         |  AND p.start2 <= e."end"""".stripMargin,
 
     "g3_coord_map" ->
       s"""WITH gts AS (

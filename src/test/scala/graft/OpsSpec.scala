@@ -127,6 +127,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cdc.forall(_.getString(3) == "1;2"))
   }
 
+  test("overlap join emits multi-bin pairs exactly once, no self misses") {
+    val s = spark
+    import s.implicits._
+    // overlap spans 3 shared bins (binSize 10): would triple without the
+    // left-edge ownership filter
+    val l = Seq(("c", "a1", 5L, 42L), ("c", "a2", 100L, 101L))
+      .toDF("chrom", "lid", "start", "end")
+    val r = Seq(("c", "b1", 8L, 39L), ("c", "b2", 41L, 60L),
+      ("c", "b3", 43L, 50L)).toDF("chrom", "rid", "start2", "end2")
+    val out = graft.operators.IntervalJoin
+      .overlapJoin(l, r, Seq("chrom"), binSize = 10L)
+      .select("lid", "rid").collect().map(x =>
+        (x.getString(0), x.getString(1)))
+    assert(out.length == out.distinct.length, "duplicate pairs emitted")
+    // a1 overlaps b1 (contained-ish) and b2 (touching at 41-42), not b3
+    assert(out.toSet == Set(("a1", "b1"), ("a1", "b2")))
+  }
+
   test("windowed peptide index returns exactly the re-join plan's rows") {
     val s = spark
     import s.implicits._
