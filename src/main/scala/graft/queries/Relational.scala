@@ -213,6 +213,29 @@ object Relational {
           coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
     }),
 
+    "q24_ranks" -> ((s, dir) => {
+      // rank-function family over a PARTITIONED window (per segment, so
+      // no global sort / single reducer): ntile, percent_rank, dense_rank
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer").select(col("c_mktsegment"), col("c_custkey"),
+        col("c_acctbal"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 5).as("pct_rank"),
+        dense_rank().over(w).cast("long").as("drank"))
+    }),
+
+    "q25_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS (finer than rollup/cube) + grouping_id
+      t(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+        count(*) AS n_rows,
+        CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+          (l_returnflag, l_linestatus))""")
+    }),
+
     "q20_setops" -> ((s, dir) => {
       // INTERSECT / EXCEPT surface: customers ordering in both 1995 and
       // 1996 (retained) vs only 1995 (churned) — both distinct-set ops
@@ -292,6 +315,22 @@ object Relational {
         |     (SELECT s_nationkey AS nk, count(*) AS n_suppliers
         |      FROM supplier GROUP BY 1) s
         |  ON c.nk = s.nk""".stripMargin,
+
+    "q24_ranks" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 5) AS pct_rank,
+        |  dense_rank() OVER w AS drank
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+
+    "q25_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |  (l_returnflag, l_linestatus))""".stripMargin,
 
     "q20_setops" ->
       """WITH y95 AS (

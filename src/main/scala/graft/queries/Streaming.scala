@@ -96,6 +96,32 @@ object Streaming {
       graft.operators.Sketches.cmsTopK(events(s, dir), "user_id", k = 10)
     }),
 
+    "e8_json" -> ((s, dir) => {
+      // semi-structured parsing: the props JSON column -> typed field,
+      // then a per-type rollup (get_json_object is codegen'd; no UDF)
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 4).as("avg_k"),
+          sum(when(col("k") > 50, 1).otherwise(0)).as("n_over_50"))
+    }),
+
+    "q23_rolling" -> ((s, dir) => {
+      // bounded window frames: per-user 3-event moving sum/avg ordered
+      // by time (frame = ROWS 2 PRECEDING..CURRENT — state bounded, no
+      // unbounded accumulation)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+      events(s, dir).select(col("user_id"), col("event_id"),
+        round(sum(col("value")).over(w), 4).as("mov_sum"),
+        round(avg(col("value")).over(w), 4).as("mov_avg"),
+        count(lit(1)).over(w).as("frame_n"))
+    }),
+
     "e7_resample" -> ((s, dir) => {
       // time-series resample + forward fill: an hourly grid per user
       // (sequence explode between each user's first/last hour) carries
@@ -302,6 +328,24 @@ object Streaming {
         |  SELECT *, row_number() OVER (ORDER BY cms_estimate DESC, value)
         |    AS rank FROM est)
         |WHERE rank <= 10""".stripMargin,
+
+    "e8_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+        |    AS avg_k,
+        |  sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    > 50 THEN 1 ELSE 0 END) AS n_over_50
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q23_rolling" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER w, 4) AS mov_sum,
+        |  round(avg(value) OVER w, 4) AS mov_avg,
+        |  count(*) OVER w AS frame_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "e7_resample" ->
       """WITH g AS (
