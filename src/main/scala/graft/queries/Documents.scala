@@ -33,6 +33,21 @@ object Documents {
   // stopword list literal shared with the SQL oracles
   private val swEn = text.stopwordsEn.map(w => s"'$w'").mkString(", ")
 
+  // JSONL round-trip fixture: the documents table written as line-format
+  // JSON (the lingua franca of LLM training corpora), re-read by BOTH
+  // engines. Static path because oracle SQL is built before the sf dir is
+  // known; per-(JVM, dir) guard keeps bench/verify runs coherent.
+  private val jsonlPath = "/root/repo/target/fixtures/docs_jsonl"
+  private var jsonlFor: String = null
+  private def ensureJsonl(s: SparkSession, dir: String): Unit =
+    synchronized {
+      if (jsonlFor != dir) {
+        t(s, dir, "documents").select("doc_id", "lang", "text")
+          .coalesce(2).write.mode("overwrite").json(jsonlPath)
+        jsonlFor = dir
+      }
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -153,6 +168,16 @@ object Documents {
       // fixed frames
       Dedup.cdcChunkDedup(spread(t(s, dir, "documents")), "doc_id", "text",
         boundaryMod = 16)
+    }),
+
+    "j1_jsonl" -> ((s, dir) => {
+      // JSONL source/sink round trip: write line-JSON (splittable text,
+      // schema-on-read), read back with an EXPLICIT schema (no inference
+      // scan at 100 TB), fingerprint every row
+      ensureJsonl(s, dir)
+      s.read.schema("doc_id LONG, lang STRING, text STRING")
+        .json(jsonlPath)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
     }),
 
     "d9_fuzzy_join" -> ((s, dir) => {
@@ -595,6 +620,10 @@ object Documents {
          |      ORDER BY qual.q DESC, sized.id) AS rn
          |  FROM sized JOIN qual ON sized.id = qual.id)
          |WHERE rn = 1""".stripMargin,
+
+    "j1_jsonl" ->
+      s"""SELECT doc_id, lang, md5(text) AS fp
+         |FROM read_json_auto('$jsonlPath/*.json')""".stripMargin,
 
     "d9_fuzzy_join" ->
       """WITH s AS (
