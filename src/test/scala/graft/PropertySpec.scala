@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.scalacheck.rng.Seed
+import org.scalacheck.Gen
+import graft.operators.{AsOfJoin, Sketches}
+
+/** Randomized-but-reproducible invariant checks (fixed ScalaCheck seeds,
+  * data generated once per test): the operators' algebraic contracts hold
+  * on inputs no hand-written fixture would cover — as-of joins against a
+  * brute-force reference, quantile sketches against exact ranks, CMS
+  * overcounting on adversarial collisions.
+  */
+class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("property-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("as-of join == brute-force latest-at-or-before on random data") {
+    val s = spark
+    import s.implicits._
+    val gen = for {
+      lefts <- Gen.listOfN(120, for {
+        k <- Gen.choose(0, 5); t <- Gen.choose(0L, 50L)
+      } yield (k.toString, t))
+      rights <- Gen.listOfN(80, for {
+        k <- Gen.choose(0, 5); t <- Gen.choose(0L, 50L)
+        v <- Gen.choose(0, 999)
+      } yield (k.toString, t, v.toLong))
+    } yield (lefts, rights)
+    for (seed <- 1L to 5L) {
+      val (lefts, rights) = sample(gen, seed)
+      val l = lefts.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val r = rights.toDF("k", "t", "v")
+      val got = AsOfJoin.asofBackward(l, r, "k", "t", "t",
+        Seq("v"), rightTieBreak = "v")
+        .collect().map(x => x.getLong(0) ->
+          Option(x.get(3)).map(_.asInstanceOf[Long])).toMap
+      // brute force: for each left row, max v among max-ts rights <= t
+      val expect = lefts.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rights.filter(x => x._1 == k && x._2 <= t)
+        i.toLong -> (if (cands.isEmpty) None else {
+          val mt = cands.map(_._2).max
+          Some(cands.filter(_._2 == mt).map(_._3).max)
+        })
+      }.toMap
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
+  test("histogram quantile within one binWidth of the exact quantile") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.listOfN(500, Gen.choose(0.0, 9999.0))
+    for (seed <- 1L to 3L) {
+      val xs = sample(gen, seed)
+      val df = xs.map(("g", _)).toDF("g", "v")
+      val out = Sketches.histQuantiles(df, Seq("g"), "v", binWidth = 100.0,
+        quantiles = Seq("p50" -> 0.5, "p90" -> 0.9)).collect()(0)
+      val sorted = xs.sorted
+      def exact(q: Double) = sorted((q * xs.size).ceil.toInt - 1)
+      // the reported bucket lower bound brackets the exact quantile
+      assert(out.getDouble(1) <= exact(0.5) &&
+        exact(0.5) < out.getDouble(1) + 100.0, s"seed $seed p50")
+      assert(out.getDouble(2) <= exact(0.9) &&
+        exact(0.9) < out.getDouble(2) + 100.0, s"seed $seed p90")
+    }
+  }
+
+  test("CMS never undercounts under forced collisions (tiny width)") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.listOfN(400, Gen.choose(0L, 30L))
+    for (seed <- 1L to 3L) {
+      val xs = sample(gen, seed)
+      val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // width 8 forces heavy collisions: estimates inflate, never deflate
+      val rows = Sketches.cmsTopK(xs.toDF("v"), "v", k = 31,
+        depth = 3, width = 8).collect()
+      rows.foreach { r =>
+        assert(r.getLong(2) >= truth(r.getLong(0)),
+          s"seed $seed value ${r.getLong(0)}")
+        assert(r.getLong(1) == truth(r.getLong(0)))
+      }
+    }
+  }
+}
