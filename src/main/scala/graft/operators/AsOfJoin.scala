@@ -39,27 +39,30 @@ object AsOfJoin {
     // would cost a second exchange): ordering the ONE window by the
     // tie-break makes the max row the last one `last()` sees.
     val rSide = if (allowExact) 0 else 2
+    // the payload travels as ONE struct, so `last(ignoreNulls)` picks all
+    // fields from the SAME right row — per-column lasts would stitch
+    // fields from different rows whenever a payload value is NULL
     val rTagged = right.select(
       col(key) +: col(rightTs).as("_ts") +: lit(rSide).as("_side") +:
         col(rightTieBreak).as("_tie") +:
-        (leftCols.filterNot(_ == key).map(c => lit(null).as(c)) ++
-          payload.map(col)): _*)
+        struct(payload.map(col): _*).as("_pay") +:
+        leftCols.filterNot(_ == key).map(c => lit(null).as(c)): _*)
     val lTagged = left.select(
       col(key) +: col(leftTs).as("_ts") +: lit(1).as("_side") +:
         lit(null).as("_tie") +:
-        (leftCols.filterNot(_ == key).map(col) ++
-          payload.map(c => lit(null).as(c))): _*)
+        lit(null).cast(rTagged.schema("_pay").dataType).as("_pay") +:
+        leftCols.filterNot(_ == key).map(col): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col("_ts"), col("_side"), col("_tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rTagged.unionByName(lTagged)
       .select(col(key) +: col("_ts") +: col("_side") +:
-        (leftCols.filterNot(_ == key).map(col) ++
-          payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+        last(col("_pay"), ignoreNulls = true).over(w).as("_pay") +:
+        leftCols.filterNot(_ == key).map(col): _*)
     filled.where(col("_side") === 1)
       .select(leftCols.map {
         case c if c == leftTs => col("_ts").as(leftTs)
         case c => col(c)
-      } ++ payload.map(col): _*)
+      } ++ payload.map(c => col(s"_pay.$c").as(c)): _*)
   }
 }

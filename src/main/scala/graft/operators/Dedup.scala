@@ -272,9 +272,18 @@ object Dedup {
           least(col("label"), col("nMin")).as("label"))
         .localCheckpoint()
       changed = next.where(col("label") < col("_old")).count()
+      // the previous round's checkpoint is dead once `next` is
+      // materialized — without this, every round's node-label copy
+      // stays in executor storage for the job's lifetime
+      labels.unpersist(blocking = false)
       labels = next.drop("_old")
       iter += 1
     }
+    // silent truncation would return WRONG clusters (a >maxIters-diameter
+    // chain split into several components) — fail loudly instead
+    require(changed == 0,
+      s"duplicateClusters did not converge in $maxIters rounds " +
+        "(component diameter exceeds maxIters); raise maxIters")
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("node").as("id"), col("label").as("cluster"))

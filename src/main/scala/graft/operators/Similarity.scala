@@ -124,11 +124,15 @@ object Similarity {
         .groupBy("centId")
         .agg(transform(array_sort(collect_list(struct(col("dim"),
           col("m")))), e => round(e.getField("m"), 6)).as("newVec"))
+      val prev = cents
       cents = cents
         .join(means, Seq("centId"), "left")
         .select(col("centId"),
           coalesce(col("newVec"), col("centVec")).as("centVec"))
         .localCheckpoint()
+      // free the superseded round's checkpoint (no-op on the uncached
+      // init table in round 1)
+      prev.unpersist(blocking = false)
     }
     cents
   }

@@ -32,8 +32,38 @@ import org.apache.spark.sql.types._
 object MediaExprs {
 
   private def decode(bytes: Array[Byte]): BufferedImage =
-    try ImageIO.read(new ByteArrayInputStream(bytes)) // null if unsupported
+    // explicit memory-backed stream: ImageIO.read(InputStream) defaults
+    // to a DISK-cached wrapper — a temp-file create/write/delete per row
+    // for payloads already in memory (and a hard failure on executors
+    // with a read-only tmpdir)
+    try ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))) // null if unsupported
     catch { case _: Exception => null }
+
+  /** Grayscale sources redrawn into an RGB surface would go through the
+    * linear-gray -> sRGB conversion `lumAt` documents avoiding; expand
+    * the raw raster samples to neutral RGB first so the resize path and
+    * the grid-feature path agree on every gray pixel.
+    */
+  private def rgbView(img: BufferedImage): BufferedImage =
+    if (img.getColorModel.getNumComponents > 2) img
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val bits = img.getColorModel.getComponentSize(0)
+      val maxV = (1 << bits) - 1
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = img.getRaster.getSample(x, y, 0) * 255 / maxV
+          out.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
 
   /** Rec.601 luminance of a packed sRGB int, in [0,1]. */
   private def lum(rgb: Int): Double = {
@@ -116,7 +146,7 @@ object MediaExprs {
       try {
         g2.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
           RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g2.drawImage(img, 0, 0, rw, rh, null)
+        g2.drawImage(rgbView(img), 0, 0, rw, rh, null)
       } finally g2.dispose()
       var sum = 0.0
       var y = 0

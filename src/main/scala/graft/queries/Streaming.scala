@@ -353,10 +353,16 @@ object Streaming {
         |    date_trunc('hour', min(ts)), date_trunc('hour', max(ts)),
         |    INTERVAL 1 HOUR)) AS hour_ts
         |  FROM events GROUP BY user_id),
+        |ev AS (
+        |  -- one row per (user, ts): max event_id wins, mirroring the
+        |  -- Spark side's _eid tie-break (ASOF alone picks arbitrarily)
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1),
         |f AS (
         |  SELECT g.user_id, g.hour_ts, e.value AS filled_value
-        |  FROM g ASOF LEFT JOIN
-        |    (SELECT user_id, ts, value FROM events) e
+        |  FROM g ASOF LEFT JOIN ev e
         |    ON g.user_id = e.user_id AND e.ts <= g.hour_ts),
         |c AS (
         |  SELECT user_id, date_trunc('hour', ts) AS hour_ts,

@@ -61,6 +61,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(strict.getLong(3) == 2L) // t=100 rows excluded, falls to t=40
   }
 
+  test("as-of payload fields all come from the SAME right row (nulls)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "k", 10L)).toDF("lid", "sym", "t")
+    // latest right row has a NULL payload field: the result must carry
+    // (11, null), never stitch value 5.0 from the older row
+    val right = Seq(("k", 1L, 10L, Some(5.0)), ("k", 2L, 11L, None))
+      .toDF("sym", "t", "rid", "rv")
+    val r = AsOfJoin.asofBackward(left, right, "sym", "t", "t",
+      Seq("rid", "rv"), rightTieBreak = "rid").collect()(0)
+    assert(r.getLong(3) == 11L && r.isNullAt(4), r.toString)
+  }
+
   test("HLL estimate within the 256-register error bound") {
     val s = spark
     import s.implicits._
