@@ -38,4 +38,41 @@ object Sampling {
     df.where(hashDraw(col(idCol), salt).cast("double") <
       rate * 4294967296.0)
   }
+
+  /** Temperature-based mixture sampling (the multilingual-training
+    * recipe: draw stratum s with probability ∝ count_s^T, T < 1 lifting
+    * low-resource strata): per-stratum rates are DERIVED from the data —
+    * rate_s = min(1, targetFrac * N * count_s^T / Z / count_s) with
+    * Z = Σ count_s^T — then applied with the same deterministic md5 keep
+    * rule as stratifiedSample.
+    *
+    * Determinism contract: count_s^T rounds to 6 dp, Z folds over the
+    * strata in stratum-sort order (Σ of arbitrary doubles is
+    * order-sensitive; a groupBy sum would be nondeterministic in the
+    * last ulp), and the final rate rounds to 6 dp before the threshold
+    * compare — the SQL oracle replays the identical fold. Stats reduce
+    * to ONE broadcast row; the keep rule stays a scan-level predicate.
+    */
+  def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
+                        temperature: Double, targetFrac: Double,
+                        salt: String = ""): DataFrame = {
+    val perStratum = df.groupBy(col(stratumCol).as("_s"))
+      .agg(count(lit(1)).as("_cnt"))
+      .select(col("_s"), col("_cnt"),
+        round(pow(col("_cnt"), temperature), 6).as("_w"))
+    val z = perStratum
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("_s"), col("_w")))),
+        lit(0.0), (acc, e) => acc + e.getField("_w")).as("_z"),
+        sum(col("_cnt")).as("_n"))
+    val rated = perStratum.crossJoin(broadcast(z))
+      .select(col("_s"),
+        round(least(lit(1.0),
+          lit(targetFrac) * col("_n") * col("_w") / col("_z") /
+            col("_cnt")), 6).as("_rate"))
+    df.join(broadcast(rated), col(stratumCol) === col("_s"))
+      .where(hashDraw(col(idCol), salt).cast("double") <
+        col("_rate") * 4294967296.0)
+      .drop("_s", "_rate")
+  }
 }

@@ -119,6 +119,14 @@ object Documents {
         .select("doc_id", "lang", "source")
     }),
 
+    "q26_temp_mix" -> ((s, dir) => {
+      // temperature-scaled source mixing (T=0.7 lifts small sources),
+      // rates derived from data, deterministic md5 keep rule
+      Sampling.temperatureSample(t(s, dir, "documents"), "source",
+        "doc_id", temperature = 0.7, targetFrac = 0.3, salt = "mixT")
+        .select("doc_id", "source", "lang")
+    }),
+
     "t7_seq_pack" -> ((s, dir) => {
       // pack docs into ~1000-token chunks per source shard (prefix-sum
       // greedy), then roll chunks up
@@ -672,6 +680,25 @@ object Documents {
         |  < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
         |      WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1 ELSE 0.0 END)
         |    * 4294967296.0""".stripMargin,
+
+    "q26_temp_mix" ->
+      """WITH c AS (
+        |  SELECT source AS s, count(*) AS cnt,
+        |    round(pow(count(*), 0.7), 6) AS w
+        |  FROM documents GROUP BY 1),
+        |z AS (
+        |  SELECT list_reduce(list(w ORDER BY s), (a, b) -> a + b) AS z,
+        |    sum(cnt) AS n
+        |  FROM c),
+        |r AS (
+        |  SELECT s, round(least(1.0, 0.3 * n * w / z / cnt), 6) AS rate
+        |  FROM c, z)
+        |SELECT doc_id, source, lang
+        |FROM documents JOIN r ON source = r.s
+        |WHERE list_reduce([strpos('0123456789abcdef',
+        |    substr(md5('mixT' || CAST(doc_id AS VARCHAR)), j, 1)) - 1
+        |  for j in range(1, 9)], (a, c2) -> a * 16 + c2)::DOUBLE
+        |  < rate * 4294967296.0""".stripMargin,
 
     "t7_seq_pack" ->
       """WITH d AS (

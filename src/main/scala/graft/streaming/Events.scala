@@ -166,4 +166,48 @@ object Events {
         (unix_micros(col("effect_ts")) - unix_micros(col("cause_ts")))
           .as("delay_us"))
   }
+
+  /** Streaming ordered funnel (view -> click -> purchase): per-user
+    * stage timestamps in mapGroupsWithState (three longs of state per
+    * user), each trigger re-emitting the user's current deepest stage.
+    * Within a micro-batch events sort by time; ACROSS batches arrival is
+    * assumed time-ordered per user (enforce upstream with a watermark +
+    * window sort if the source reorders) — an earlier-timestamped view
+    * arriving after a later one was consumed cannot retroactively lower
+    * t1, the same prefix-greedy semantics every O(1)-state streaming
+    * funnel has. On in-order input the result equals the batch q22.
+    */
+  def funnelStream(events: DataFrame): Dataset[FunnelOut] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, String)],
+         state: GroupState[FunnelAcc]) =>
+          var st = state.getOption.getOrElse(FunnelAcc(-1L, -1L, -1L))
+          rows.toSeq.sortBy(_._2).foreach { case (_, ts, t) =>
+            if (t == "view" && st.t1 < 0) st = st.copy(t1 = ts)
+            else if (t == "click" && st.t1 >= 0 && ts > st.t1 &&
+              st.t2 < 0) st = st.copy(t2 = ts)
+            else if (t == "purchase" && st.t2 >= 0 && ts > st.t2 &&
+              st.t3 < 0) st = st.copy(t3 = ts)
+          }
+          state.update(st)
+          FunnelOut(uid,
+            if (st.t3 >= 0) "view_click_purchase"
+            else if (st.t2 >= 0) "view_click"
+            else if (st.t1 >= 0) "view"
+            else "none")
+      }
+  }
 }
+
+/** Streaming funnel state: stage entry times in µs, -1 = not reached. */
+case class FunnelAcc(t1: Long, t2: Long, t3: Long)
+
+/** Per-trigger funnel stage row. */
+case class FunnelOut(user_id: Long, funnel_stage: String)

@@ -142,6 +142,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Set((100L, 200L, 600000000L)))
   }
 
+  test("streaming funnel advances stages across micro-batches in order") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val events = mem.toDF().toDF("user_id", "ts", "event_type")
+    val q = graft.streaming.Events.funnelStream(events)
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    // batch 1: u1 view->click, u2 click-without-view, u3 view
+    mem.addData((1L, ts(1), "view"), (1L, ts(2), "click"),
+      (2L, ts(1), "click"), (3L, ts(4), "view"))
+    q.processAllAvailable()
+    // batch 2: u1 completes; u2's late view starts the funnel; u3 tries
+    // to purchase without a click — must stay at 'view'
+    mem.addData((1L, ts(3), "purchase"), (2L, ts(5), "view"),
+      (3L, ts(6), "purchase"))
+    q.processAllAvailable()
+    val last = spark.table("funnel").collect()
+      .groupBy(_.getLong(0)).map { case (u, rows) =>
+        u -> rows.last.getString(1)
+      }
+    q.stop()
+    assert(last(1L) == "view_click_purchase")
+    assert(last(2L) == "view")
+    assert(last(3L) == "view")
+  }
+
   test("streaming HLL registers merge across micro-batches to the batch" +
     " answer") {
     val ss = spark
