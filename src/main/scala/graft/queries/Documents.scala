@@ -194,6 +194,15 @@ object Documents {
         keyLen = 12, prefixLen = 2, maxDist = 2)
     }),
 
+    "d11_pagerank" -> ((s, dir) => {
+      // centrality over the duplicate graph (5 PageRank iterations,
+      // oracle-exact fold order) — ranks cluster members beyond what
+      // min-id/quality policies see
+      graft.operators.PageRank.ranks(
+        Dedup.fuzzyJoin(spread(t(s, dir, "documents")), "doc_id", "text",
+          keyLen = 12, prefixLen = 2, maxDist = 2), iters = 5)
+    }),
+
     "d10_dedup_apply" -> ((s, dir) => {
       // the dedup RESOLUTION step: fuzzy pairs -> connected clusters ->
       // keep the best-quality member per cluster (ties: lower id) via a
@@ -581,6 +590,41 @@ object Documents {
         |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ';'
         |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
         |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "d11_pagerank" -> {
+      // 5 unrolled iterations, each CTE generated from the same template
+      // the Spark loop executes (sorted contribution fold, round 8)
+      val iterCtes = (1 to 5).map { i =>
+        s"""c$i AS (
+           |  SELECT e.dst AS node, e.src AS src, r.rank / d.deg AS c
+           |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+           |  JOIN deg d ON e.src = d.src),
+           |r$i AS (
+           |  SELECT node, round((1.0 - 0.85) / nn.n
+           |      + 0.85 * list_reduce(list(c ORDER BY src),
+           |          (a, b) -> a + b), 8) AS rank
+           |  FROM c$i, nn GROUP BY node, nn.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH s AS (
+         |  SELECT doc_id, substr(regexp_replace(lower(text), '[^a-z]', '',
+         |    'g'), 1, 12) AS k
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT l.doc_id AS id1, r.doc_id AS id2
+         |  FROM s l JOIN s r
+         |    ON substr(l.k, 1, 2) = substr(r.k, 1, 2)
+         |    AND l.doc_id < r.doc_id
+         |  WHERE levenshtein(l.k, r.k) <= 2),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION SELECT id2, id1 FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT src AS node, round(1.0 / nn.n, 8) AS rank
+         |       FROM deg, nn),
+         |$iterCtes
+         |SELECT node, rank FROM r5""".stripMargin
+    },
 
     "d10_dedup_apply" ->
       s"""WITH RECURSIVE s AS (
