@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Frees the executor blocks behind a `localCheckpoint()`ed DataFrame.
+  *
+  * `Dataset.unpersist` is a NO-OP for checkpoints: it routes through the
+  * CacheManager, which only tracks `persist()`/`cache()` registrations,
+  * while localCheckpoint persists the underlying RDD directly (verified
+  * against the Spark 4.1.2 runtime). Iterative operators (connected
+  * components, k-means, PageRank) that checkpoint per round must free the
+  * superseded round's RDD explicitly or rely on driver GC + the
+  * ContextCleaner — unbounded in a long-lived session. The checkpointed
+  * RDD sits in the plan's `LogicalRDD` leaf; unpersist it there.
+  */
+private[graft] object Checkpoints {
+
+  /** Frees `df`'s blocks iff `df` IS a checkpoint (its plan root is the
+    * LogicalRDD). Deliberately NOT a leaf walk: a derived frame's leaves
+    * can be checkpoints other rounds still need (PageRank's shared
+    * degree table), and freeing a localCheckpoint that anything still
+    * reads is unrecoverable — the truncated lineage cannot recompute.
+    * No-op on non-checkpointed frames, so round-1 "previous" frames
+    * (built straight from the inputs) pass through safely.
+    */
+  def free(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}

@@ -259,6 +259,9 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    // the checkpoint ROOT of the current labels (labels itself may be a
+    // projection over it) — what Checkpoints.free releases per round
+    var labelsCk = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -273,9 +276,11 @@ object Dedup {
         .localCheckpoint()
       changed = next.where(col("label") < col("_old")).count()
       // the previous round's checkpoint is dead once `next` is
-      // materialized — without this, every round's node-label copy
-      // stays in executor storage for the job's lifetime
-      labels.unpersist(blocking = false)
+      // materialized — free its RDD blocks (Dataset.unpersist cannot:
+      // see Checkpoints.free) or every round's node-label copy stays in
+      // executor storage for the job's lifetime
+      Checkpoints.free(labelsCk)
+      labelsCk = next
       labels = next.drop("_old")
       iter += 1
     }
@@ -284,6 +289,8 @@ object Dedup {
     require(changed == 0,
       s"duplicateClusters did not converge in $maxIters rounds " +
         "(component diameter exceeds maxIters); raise maxIters")
+    // the result below reads only the final labels checkpoint
+    Checkpoints.free(edges)
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("node").as("id"), col("label").as("cluster"))

@@ -31,7 +31,10 @@ object PageRank {
       fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
+    // materialized once: every iteration's action would otherwise replay
+    // the degree aggregation (and its shuffle) against the edge table
     val degrees = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val n = degrees.select(count(lit(1)).as("_n"))
     var ranks = degrees.crossJoin(broadcast(n))
       .select(col("src").as("node"), col("_n"),
@@ -57,8 +60,12 @@ object PageRank {
           round(lit(1.0 - damping) / col("_n") +
             lit(damping) * col("_sum"), 8).as("rank"))
         .localCheckpoint()
-      prev.unpersist(blocking = false)
+      Checkpoints.free(prev)
     }
+    // the final ranks checkpoint backs the returned frame; the edge and
+    // degree tables are no longer in its lineage
+    Checkpoints.free(edges)
+    Checkpoints.free(degrees)
     ranks.select(col("node"), col("rank"))
   }
 }

@@ -56,7 +56,12 @@ object Sampling {
   def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
                         temperature: Double, targetFrac: Double,
                         salt: String = ""): DataFrame = {
-    val perStratum = df.groupBy(col(stratumCol).as("_s"))
+    // NULL-stratum rows can never match the rate join below, so they
+    // must not count toward N or Z either — otherwise every stratum's
+    // rate is diluted and the realized fraction silently undershoots
+    // targetFrac. They are excluded from the sample entirely.
+    val dfNn = df.where(col(stratumCol).isNotNull)
+    val perStratum = dfNn.groupBy(col(stratumCol).as("_s"))
       .agg(count(lit(1)).as("_cnt"))
       .select(col("_s"), col("_cnt"),
         round(pow(col("_cnt"), temperature), 6).as("_w"))
@@ -70,7 +75,7 @@ object Sampling {
         round(least(lit(1.0),
           lit(targetFrac) * col("_n") * col("_w") / col("_z") /
             col("_cnt")), 6).as("_rate"))
-    df.join(broadcast(rated), col(stratumCol) === col("_s"))
+    dfNn.join(broadcast(rated), col(stratumCol) === col("_s"))
       .where(hashDraw(col(idCol), salt).cast("double") <
         col("_rate") * 4294967296.0)
       .drop("_s", "_rate")

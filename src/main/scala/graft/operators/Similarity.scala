@@ -130,9 +130,9 @@ object Similarity {
         .select(col("centId"),
           coalesce(col("newVec"), col("centVec")).as("centVec"))
         .localCheckpoint()
-      // free the superseded round's checkpoint (no-op on the uncached
-      // init table in round 1)
-      prev.unpersist(blocking = false)
+      // free the superseded round's checkpoint RDD (no-op on the
+      // uncheckpointed init table in round 1)
+      Checkpoints.free(prev)
     }
     cents
   }

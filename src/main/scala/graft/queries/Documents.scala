@@ -729,7 +729,7 @@ object Documents {
       """WITH c AS (
         |  SELECT source AS s, count(*) AS cnt,
         |    round(pow(count(*), 0.7), 6) AS w
-        |  FROM documents GROUP BY 1),
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
         |z AS (
         |  SELECT list_reduce(list(w ORDER BY s), (a, b) -> a + b) AS z,
         |    sum(cnt) AS n
