@@ -155,6 +155,29 @@ object Documents {
         chunkWords = 20)
     }),
 
+    "t11_unigram_lm" -> ((s, dir) => {
+      // perplexity-proxy quality score: mean unigram log-probability
+      // under the corpus's own word distribution (low = gibberish /
+      // out-of-distribution docs). Frequencies are one groupBy; each
+      // doc folds its own words' logprobs in POSITION order so the
+      // double sum is bit-equal to the oracle's list fold
+      val words = spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          posexplode(text.words(col("text"))).as(Seq("pos", "w")))
+      val freqs = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val tot = freqs.agg(sum(col("cnt")).as("total"))
+      words.join(freqs, Seq("w"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("pos"),
+          log(col("cnt") / col("total")).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          round(aggregate(
+            array_sort(collect_list(struct(col("pos"), col("lp")))),
+            lit(0.0), (acc, e) => acc + e.getField("lp"))
+            / count(lit(1)), 4).as("avg_logp"))
+    }),
+
     "t10_normalize" -> ((s, dir) => {
       // cleaning stage: strip control chars, collapse whitespace runs,
       // trim. Deterministic mess (tabs/CR/doubled spaces) is injected on
@@ -544,6 +567,25 @@ object Documents {
         |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ';'
         |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
         |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "t11_unigram_lm" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, u.pos AS pos, u.w AS w
+        |  FROM (SELECT doc_id, unnest([{'pos': i, 'w': l[i]}
+        |          for i in range(1, len(l) + 1)]) AS u
+        |        FROM ws)),
+        |freqs AS (SELECT w, count(*) AS cnt FROM e GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM freqs),
+        |lp AS (
+        |  SELECT doc_id, pos, ln(cnt / total) AS lp
+        |  FROM e JOIN freqs USING (w), tot)
+        |SELECT doc_id, count(*) AS n_words,
+        |  round(list_reduce(list(lp ORDER BY pos), (a, b) -> a + b)
+        |    / count(*), 4) AS avg_logp
+        |FROM lp GROUP BY doc_id""".stripMargin,
 
     "t10_normalize" ->
       """WITH m AS (
