@@ -32,7 +32,26 @@ object AsOfJoin {
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String, payload: Seq[String],
                    rightTieBreak: String,
-                   allowExact: Boolean = true): DataFrame = {
+                   allowExact: Boolean = true): DataFrame =
+    asof(left, right, key, leftTs, rightTs, payload, rightTieBreak,
+      allowExact, forward = false)
+
+  /** Forward as-of: the EARLIEST right row at-or-after (or strictly
+    * after) each left row — "next event" attribution. Same one-shuffle
+    * union+window plan walked in descending time order; duplicate right
+    * rows within (key, ts) resolve to the LOWEST tie-break.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String, payload: Seq[String],
+                  rightTieBreak: String,
+                  allowExact: Boolean = true): DataFrame =
+    asof(left, right, key, leftTs, rightTs, payload, rightTieBreak,
+      allowExact, forward = true)
+
+  private def asof(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, payload: Seq[String],
+                   rightTieBreak: String, allowExact: Boolean,
+                   forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     // side ordering at equal ts: right sorts before left iff ties match.
     // Duplicate right rows within (key, ts) need no pre-dedup pass (that
@@ -52,8 +71,16 @@ object AsOfJoin {
         lit(null).as("_tie") +:
         lit(null).cast(rTagged.schema("_pay").dataType).as("_pay") +:
         leftCols.filterNot(_ == key).map(col): _*)
+    // backward walks time ascending (last-seen = latest <= left);
+    // forward walks descending (last-seen = earliest >= left). The tie
+    // column inverts with direction so "last seen" is the max tie-break
+    // going backward and the min going forward.
     val w = Window.partitionBy(col(key))
-      .orderBy(col("_ts"), col("_side"), col("_tie").asc_nulls_first)
+      .orderBy(
+        (if (forward) col("_ts").desc else col("_ts").asc) +:
+          col("_side").asc +:
+          Seq(if (forward) col("_tie").desc_nulls_first
+          else col("_tie").asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rTagged.unionByName(lTagged)
       .select(col(key) +: col("_ts") +: col("_side") +:

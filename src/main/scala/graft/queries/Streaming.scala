@@ -79,6 +79,22 @@ object Streaming {
         payload = Seq("view_id", "view_value"), rightTieBreak = "view_id")
     }),
 
+    "q27_asof_forward" -> ((s, dir) => {
+      // forward as-of: each purchase attributes to the user's NEXT view
+      // at-or-after it (same one-shuffle plan as q14, walked descending)
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("next_view_id"),
+          col("value").as("next_view_value"))
+      graft.operators.AsOfJoin.asofForward(purchases, views,
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        payload = Seq("next_view_id", "next_view_value"),
+        rightTieBreak = "next_view_id")
+    }),
+
     "q15_hll_distinct" -> ((s, dir) => {
       // portable HyperLogLog distinct users per event type (md5 register
       // math the DuckDB oracle reproduces exactly) next to the exact count
@@ -265,6 +281,24 @@ object Streaming {
         |  v.view_id, v.view_value
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
+
+    "q27_asof_forward" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |v0 AS (
+        |  SELECT user_id, ts, event_id AS next_view_id,
+        |    value AS next_view_value
+        |  FROM events WHERE event_type = 'view'),
+        |v AS (
+        |  SELECT user_id, ts, next_view_id, next_view_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY next_view_id) AS rn FROM v0)
+        |  WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  v.next_view_id, v.next_view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.ts >= p.ts""".stripMargin,
 
     "q15_hll_distinct" ->
       """WITH b AS (
