@@ -160,6 +160,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("e7 resample: grid and fill never degrade to a cross product") {
+    val p = plan("e7_resample")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q17 bloom bit set reaches the probe side via broadcast") {
+    val p = plan("q17_bloom_join")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("s4 PQ encoding argmin partial-aggregates map-side") {
+    val p = plan("s4_pq_ann")
+    assert(p.contains("partial_bounded_top_k"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("d8 CDC chunking never sorts or partitions globally") {
+    val p = plan("d8_cdc_dedup")
+    assert(!p.contains("rangepartitioning"), p)
+    assert(!p.contains("SinglePartition, ENSURE"), p)
+  }
+
   test("t9 BM25 corpus stats broadcast back — corpus never shuffles") {
     val p = plan("t9_bm25")
     // stats (one row) join the per-doc scores via broadcast NL join
