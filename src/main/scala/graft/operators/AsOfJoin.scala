@@ -19,15 +19,17 @@ import org.apache.spark.sql.functions._
   * |left| + |right|, no fan-out, and AQE can split skewed keys because the
   * window partitions by key only.
   *
-  * Right rows that share (key, ts) are first reduced to the one with the
-  * greatest tie-break column so the result is deterministic.
+  * Right rows that share (key, ts) resolve deterministically through the
+  * tie-break column: backward picks the MAX tie-break (latest-looking
+  * duplicate), forward the MIN (earliest-looking) — mirroring each
+  * direction's "nearest in walk order" semantics.
   */
 object AsOfJoin {
 
   /** @param payload right-side columns to carry onto left rows (must not
     *                clash with left column names)
     * @param rightTieBreak right column ordering duplicates within
-    *                (key, ts); the max row wins
+    *                (key, ts); backward keeps the max row, forward the min
     */
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String, payload: Seq[String],

@@ -26,6 +26,10 @@ object PageRank {
   def ranks(pairs: DataFrame, iters: Int = 5, damping: Double = 0.85,
             id1Col: String = "id1", id2Col: String = "id2",
             exactFold: Boolean = true): DataFrame = {
+    // with zero iterations the returned frame would still READ the edge/
+    // degree checkpoints freed below — and freed checkpoints cannot be
+    // recomputed
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     val fwd = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst")))

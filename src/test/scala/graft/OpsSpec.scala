@@ -61,6 +61,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(strict.getLong(3) == 2L) // t=100 rows excluded, falls to t=40
   }
 
+  test("forward as-of picks earliest at-or-after; strict skips equal ts") {
+    val s = spark
+    import s.implicits._
+    val trades = Seq((1L, "k", 100L), (2L, "k", 205L), (3L, "x", 50L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("k", 90L, 10L), ("k", 100L, 11L), ("k", 100L, 14L),
+      ("k", 300L, 13L)).toDF("sym", "t", "quote_id")
+    val out = AsOfJoin.asofForward(trades, quotes, "sym", "t", "t",
+      Seq("quote_id"), rightTieBreak = "quote_id")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    // trade 1 at t=100: equal-ts quotes qualify, MIN id (11) wins forward
+    assert(out(1L) == Some(11L))
+    // trade 2 at t=205: next quote is t=300
+    assert(out(2L) == Some(13L))
+    // sym x has no quotes
+    assert(out(3L) == None)
+    // strict: the t=100 quotes no longer qualify for trade 1
+    val strict = AsOfJoin.asofForward(trades, quotes, "sym", "t", "t",
+      Seq("quote_id"), rightTieBreak = "quote_id", allowExact = false)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(strict(1L) == Some(13L))
+  }
+
   test("as-of payload fields all come from the SAME right row (nulls)") {
     val s = spark
     import s.implicits._
