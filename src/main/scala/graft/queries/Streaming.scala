@@ -365,11 +365,12 @@ object Streaming {
 
     "e8_json" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
         |    AS avg_k,
-        |  sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
-        |    > 50 THEN 1 ELSE 0 END) AS n_over_50
+        |  CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+        |    AS BIGINT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_50
         |FROM events GROUP BY 1""".stripMargin,
 
     "q23_rolling" ->
@@ -437,16 +438,16 @@ object Streaming {
 
     "q19_pivot" ->
       """SELECT user_id,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-        |    AS n_click,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-        |    AS n_view,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |    AS n_purchase,
-        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-        |    AS n_signup,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-        |    AS n_error
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_error
         |FROM events GROUP BY 1""".stripMargin
   )
 }

@@ -75,6 +75,22 @@ def main():
             results[name] = {"ok": False, "err": "no spark output"}
             continue
         try:
+            # HUGEINT gate: sum() over integer columns yields HUGEINT, which
+            # pandas coerces to float64 and the driver canonicalizes
+            # differently from Spark's int64 (976742 vs 976742.0). canon()'s
+            # %.6g papers over that drift locally, so catch it at the TYPE
+            # level: any HUGEINT output column is an automatic FAIL here.
+            rel = con.sql(sql)
+            huge = [c for c, t in zip(rel.columns, rel.types)
+                    if "HUGEINT" in str(t).upper()]
+            if huge:
+                results[name] = {
+                    "ok": False,
+                    "err": ("oracle outputs HUGEINT column(s) "
+                            f"{huge} — wrap in CAST(... AS BIGINT); the "
+                            "driver gate hash-fails these even when values "
+                            "match")}
+                continue
             sp = fetch_df(con.execute(
                 f"SELECT * FROM read_parquet('{spark_path}/*.parquet')"))
             du = fetch_df(con.execute(sql))
