@@ -115,19 +115,30 @@ object Dedup {
 
   /** SimHash near-dup: documents whose `bits`-wide simhash prefixes collide
     * are candidates; pairs within `maxHamming` are reported.
+    *
+    * Skew guard: a boilerplate-heavy corpus concentrates documents on a few
+    * prefixes, and an uncapped prefix bucket self-joins quadratically.
+    * Buckets above `maxBucketSize` are dropped before the self-join — the
+    * same recall-only cap [[minhashLsh]] and [[embeddingNearDup]] use — so
+    * the shuffled pair count stays O(n * maxBucketSize).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               bits: Int = 32, prefixBits: Int = 12,
-              maxHamming: Int = 3): DataFrame = {
+              maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val docs = tracked(df.select(col(idCol).as("id"),
       call_function("graft_simhash", text.bpeTokens(col(textCol)), lit(bits))
         .as("sh"))
       .where(length(col("sh")) === bits)) // reused by both join sides
-    val l = docs.select(col("id").as("id1"), col("sh").as("sh1"),
+    val keyed = docs.select(col("id"), col("sh"),
       col("sh").substr(1, prefixBits).as("pfx"))
-    val r = docs.select(col("id").as("id2"), col("sh").as("sh2"),
-      col("sh").substr(1, prefixBits).as("pfx"))
+    val okPfx = keyed.groupBy("pfx").agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") <= maxBucketSize).select("pfx")
+    val bounded = keyed.join(okPfx, Seq("pfx"))
+    val l = bounded.select(col("id").as("id1"), col("sh").as("sh1"),
+      col("pfx"))
+    val r = bounded.select(col("id").as("id2"), col("sh").as("sh2"),
+      col("pfx"))
     l.join(r, Seq("pfx"))
       .where(col("id1") < col("id2"))
       .withColumn("hamming",
@@ -403,22 +414,37 @@ object Dedup {
   /** Fuzzy (edit-distance) self-join over a derived fixed-length key —
     * the entity-resolution primitive (near-identical titles, names, URLs)
     * that exact and token-set dedup both miss. Candidate pairs are
-    * blocked on the key's `prefixLen`-char prefix (two strings within
-    * edit distance d <= prefixLen share it unless an edit hits the
-    * prefix — the standard recall/cost dial), so the join stays a
+    * blocked on the key's `prefixLen`-char prefix, so the join stays a
     * bucketed equi-join; `levenshtein` (codegen'd) verifies inside the
     * block, never across the full corpus.
+    *
+    * Recall/cost dial: a true pair is missed only when (a) an edit falls
+    * inside the first `prefixLen` chars — for uniformly-placed edits
+    * P(miss) <= 1 - ((keyLen-prefixLen)/keyLen)^maxDist, and real
+    * near-dup keys (titles, URLs) overwhelmingly share openings — or
+    * (b) its block exceeds `maxBucketSize` and is dropped (the same
+    * recall-only skew cap [[minhashLsh]] / [[simhash]] /
+    * [[embeddingNearDup]] use). The default 4-char prefix gives ~456k
+    * blocks (26^4) and the cap bounds every surviving block's self-join,
+    * so the candidate count stays O(#blocks * maxBucketSize^2) no matter
+    * the corpus size — a 2-char prefix's 676 blocks would each grow
+    * linearly with the corpus and go quadratic. For exact-recall
+    * edit-distance joins use [[ngramJaccard]]-style prefix filtering or a
+    * PassJoin-family segment scheme instead of blocking.
     */
   def fuzzyJoin(df: DataFrame, idCol: String, textCol: String,
-                keyLen: Int = 12, prefixLen: Int = 2,
-                maxDist: Int = 2): DataFrame = {
+                keyLen: Int = 12, prefixLen: Int = 4,
+                maxDist: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
     val key = substring(regexp_replace(lower(col(textCol)),
       "[^a-z]", ""), 1, keyLen)
     val keyed = df.select(col(idCol).as("id"), key.as("k"))
       .withColumn("blk", substring(col("k"), 1, prefixLen))
-    val l = keyed.select(col("blk"), col("id").as("id1"),
+    val okBlk = keyed.groupBy("blk").agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") <= maxBucketSize).select("blk")
+    val bounded = keyed.join(okBlk, Seq("blk"))
+    val l = bounded.select(col("blk"), col("id").as("id1"),
       col("k").as("k1"))
-    val r = keyed.select(col("blk"), col("id").as("id2"),
+    val r = bounded.select(col("blk"), col("id").as("id2"),
       col("k").as("k2"))
     l.join(r, Seq("blk"))
       .where(col("id1") < col("id2"))

@@ -214,7 +214,7 @@ object Documents {
     "d9_fuzzy_join" -> ((s, dir) => {
       // edit-distance near-dup over 12-char derived keys, prefix-blocked
       Dedup.fuzzyJoin(spread(t(s, dir, "documents")), "doc_id", "text",
-        keyLen = 12, prefixLen = 2, maxDist = 2)
+        keyLen = 12, prefixLen = 4, maxDist = 2)
     }),
 
     "d11_pagerank" -> ((s, dir) => {
@@ -223,7 +223,7 @@ object Documents {
       // min-id/quality policies see
       graft.operators.PageRank.ranks(
         Dedup.fuzzyJoin(spread(t(s, dir, "documents")), "doc_id", "text",
-          keyLen = 12, prefixLen = 2, maxDist = 2), iters = 5)
+          keyLen = 12, prefixLen = 4, maxDist = 2), iters = 5)
     }),
 
     "d10_dedup_apply" -> ((s, dir) => {
@@ -654,7 +654,7 @@ object Documents {
          |pairs AS (
          |  SELECT l.doc_id AS id1, r.doc_id AS id2
          |  FROM s l JOIN s r
-         |    ON substr(l.k, 1, 2) = substr(r.k, 1, 2)
+         |    ON substr(l.k, 1, 4) = substr(r.k, 1, 4)
          |    AND l.doc_id < r.doc_id
          |  WHERE levenshtein(l.k, r.k) <= 2),
          |edges AS (
@@ -676,7 +676,7 @@ object Documents {
          |pairs AS (
          |  SELECT l.doc_id AS id1, r.doc_id AS id2
          |  FROM s l JOIN s r
-         |    ON substr(l.k, 1, 2) = substr(r.k, 1, 2)
+         |    ON substr(l.k, 1, 4) = substr(r.k, 1, 4)
          |    AND l.doc_id < r.doc_id
          |  WHERE levenshtein(l.k, r.k) <= 2),
          |edges AS (
@@ -727,7 +727,7 @@ object Documents {
         |SELECT l.doc_id AS id1, r.doc_id AS id2,
         |  levenshtein(l.k, r.k) AS edit_dist
         |FROM s l JOIN s r
-        |  ON substr(l.k, 1, 2) = substr(r.k, 1, 2)
+        |  ON substr(l.k, 1, 4) = substr(r.k, 1, 4)
         |  AND l.doc_id < r.doc_id
         |WHERE levenshtein(l.k, r.k) <= 2""".stripMargin,
 

@@ -39,4 +39,44 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq(30L, 31L, 32L).foreach(id => assert(out(id) == ((30L, 3L))))
     assert(out.size == 11) // singletons stay implicit
   }
+
+  test("simhash drops hot prefix buckets (skew cap), keeps small ones") {
+    val s = spark
+    import s.implicits._
+    // 30 identical docs land in ONE simhash prefix bucket (C(30,2)=435
+    // pairs uncapped); 2 identical docs elsewhere form a bucket of 2.
+    val hot = (0L until 30L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val cool = Seq(
+      (100L, "completely different text about spark catalyst planning"),
+      (101L, "completely different text about spark catalyst planning"))
+    val docs = (hot ++ cool).toDF("doc_id", "text")
+    val uncapped = Dedup.simhash(docs, "doc_id", "text")
+    assert(uncapped.count() == 435 + 1)
+    val capped = Dedup.simhash(docs, "doc_id", "text", maxBucketSize = 10)
+    val rows = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((100L, 101L))) // hot bucket gone, pair kept
+    Dedup.releaseCaches()
+  }
+
+  test("fuzzyJoin drops hot blocks (skew cap), keeps small ones") {
+    val s = spark
+    import s.implicits._
+    // 20 keys share the 4-char block "aaaa" (C(20,2)=190 candidate pairs
+    // uncapped; pairwise edit distance 3 via the tripled letter, so none
+    // reach the output); 2 near-identical keys block on "zzzz" and
+    // survive the cap.
+    val hot = (0L until 20L).map { i =>
+      val l = ('a' + i.toInt).toChar
+      (i, s"aaaa $l$l$l padding stuff")
+    }
+    val cool = Seq((100L, "zzzz target alpha"), (101L, "zzzz target alphb"))
+    val docs = (hot ++ cool).toDF("doc_id", "text")
+    val capped = Dedup.fuzzyJoin(docs, "doc_id", "text", maxBucketSize = 10)
+    val rows = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((100L, 101L)))
+    // and uncapped the hot block IS verified (edit distance filters it
+    // out of the OUTPUT, but only the cap keeps it out of the JOIN)
+    assert(Dedup.fuzzyJoin(docs, "doc_id", "text").count() == 1)
+  }
 }
