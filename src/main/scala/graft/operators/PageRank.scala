@@ -9,13 +9,17 @@ import org.apache.spark.sql.functions._
   * enough.
   *
   * Spark shape: one (dst-keyed) shuffle per iteration, contributions
-  * partially aggregable — but the per-node Σ of contributions is a sum
-  * of arbitrary doubles, so for ORACLE-EXACT results each node folds its
-  * contribution list in src-sort order (collect_list + array_sort +
-  * aggregate) and the rank rounds to 8 dp per iteration; the SQL oracle
-  * replays the identical fold. The sorted fold costs more than a plain
-  * sum — callers who do not need cross-engine bit-equality can flip
-  * `exactFold = false` for the map-side-combined sum.
+  * partially aggregable. The default (`exactFold = false`) is a plain
+  * `sum`, which Spark map-side combines — a hub node with millions of
+  * in-edges costs one double per map partition at the reducer, O(parts)
+  * memory. `exactFold = true` instead folds each node's contribution
+  * list in src-sort order (collect_list + array_sort + aggregate) so the
+  * double summation order is reproducible across engines — the SQL
+  * oracle replays the identical fold — at the cost of materializing ALL
+  * of a node's contributions as one array on one task: O(degree) memory
+  * on the hub's reducer. Reserve `exactFold = true` for cross-engine
+  * bit-equality checks at test scale; production graphs keep the
+  * default. Ranks round to 8 dp per iteration either way.
   *
   * Dangling nodes cannot exist here (every node comes from an edge and
   * edges are symmetrized), so the damping term is the standard
@@ -25,7 +29,7 @@ object PageRank {
 
   def ranks(pairs: DataFrame, iters: Int = 5, damping: Double = 0.85,
             id1Col: String = "id1", id2Col: String = "id2",
-            exactFold: Boolean = true): DataFrame = {
+            exactFold: Boolean = false): DataFrame = {
     // with zero iterations the returned frame would still READ the edge/
     // degree checkpoints freed below — and freed checkpoints cannot be
     // recomputed
@@ -44,25 +48,8 @@ object PageRank {
       .select(col("src").as("node"), col("_n"),
         round(lit(1.0) / col("_n"), 8).as("rank"))
     for (_ <- 1 to iters) {
-      val contribs = edges
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(degrees, Seq("src"))
-        .select(col("dst").as("node"), col("src"), col("_n"),
-          (col("rank") / col("deg")).as("c"))
-      val summed =
-        if (exactFold)
-          contribs.groupBy(col("node"), col("_n"))
-            .agg(aggregate(
-              array_sort(collect_list(struct(col("src"), col("c")))),
-              lit(0.0), (acc, e) => acc + e.getField("c")).as("_sum"))
-        else
-          contribs.groupBy(col("node"), col("_n"))
-            .agg(sum(col("c")).as("_sum"))
       val prev = ranks
-      ranks = summed
-        .select(col("node"), col("_n"),
-          round(lit(1.0 - damping) / col("_n") +
-            lit(damping) * col("_sum"), 8).as("rank"))
+      ranks = iterate(edges, degrees, prev, damping, exactFold)
         .localCheckpoint()
       Checkpoints.free(prev)
     }
@@ -71,5 +58,30 @@ object PageRank {
     Checkpoints.free(edges)
     Checkpoints.free(degrees)
     ranks.select(col("node"), col("rank"))
+  }
+
+  /** One power-iteration step, pre-checkpoint — package-private so
+    * PlanSpec can assert the default path's partial (map-side) sum.
+    */
+  private[graft] def iterate(edges: DataFrame, degrees: DataFrame,
+                             ranks: DataFrame, damping: Double,
+                             exactFold: Boolean): DataFrame = {
+    val contribs = edges
+      .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+      .join(degrees, Seq("src"))
+      .select(col("dst").as("node"), col("src"), col("_n"),
+        (col("rank") / col("deg")).as("c"))
+    val summed =
+      if (exactFold)
+        contribs.groupBy(col("node"), col("_n"))
+          .agg(aggregate(
+            array_sort(collect_list(struct(col("src"), col("c")))),
+            lit(0.0), (acc, e) => acc + e.getField("c")).as("_sum"))
+      else
+        contribs.groupBy(col("node"), col("_n"))
+          .agg(sum(col("c")).as("_sum"))
+    summed.select(col("node"), col("_n"),
+      round(lit(1.0 - damping) / col("_n") +
+        lit(damping) * col("_sum"), 8).as("rank"))
   }
 }

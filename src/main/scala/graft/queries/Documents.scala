@@ -221,9 +221,12 @@ object Documents {
       // centrality over the duplicate graph (5 PageRank iterations,
       // oracle-exact fold order) — ranks cluster members beyond what
       // min-id/quality policies see
+      // exactFold: the gate needs the oracle's bit-identical fold order;
+      // production callers keep the default map-side-combined sum
       graft.operators.PageRank.ranks(
         Dedup.fuzzyJoin(spread(t(s, dir, "documents")), "doc_id", "text",
-          keyLen = 12, prefixLen = 4, maxDist = 2), iters = 5)
+          keyLen = 12, prefixLen = 4, maxDist = 2), iters = 5,
+        exactFold = true)
     }),
 
     "d10_dedup_apply" -> ((s, dir) => {

@@ -114,6 +114,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), p)
   }
 
+  test("PageRank default path map-side-combines contributions (partial_sum)") {
+    import graft.operators.PageRank
+    val s2 = spark
+    import s2.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id1", "id2")
+    val fwd = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+    val edges = fwd.union(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val degrees = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = degrees.select(count(lit(1)).as("_n"))
+    val r0 = degrees.crossJoin(broadcast(n))
+      .select(col("src").as("node"), col("_n"),
+        round(lit(1.0) / col("_n"), 8).as("rank"))
+    val p = PageRank.iterate(edges, degrees, r0, 0.85, exactFold = false)
+      .queryExecution.executedPlan.toString
+    // hub-safe: the per-node Σ must run as a partial aggregate before the
+    // shuffle (one double per map partition), never a collect_list fold
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("collect_list"), p)
+    // and ranks() itself runs green on the default (inexact) path
+    assert(PageRank.ranks(pairs, iters = 2).count() == 3)
+  }
+
   test("q13 stratified sample is a scan-level predicate — zero shuffles") {
     val p = plan("q13_stratified_sample")
     assert(!p.contains("Exchange"), p)
