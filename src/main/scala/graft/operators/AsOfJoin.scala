@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * (key ORDER BY ts, side): `last(payload, ignoreNulls)` up to the current
   * row fills each left row with the most recent right payload. Cost: a
   * single hash shuffle on the key + an in-partition sort — linear in
-  * |left| + |right|, no fan-out, and AQE can split skewed keys because the
-  * window partitions by key only.
+  * |left| + |right|, no fan-out. (A hot key still lands on one window
+  * partition — AQE's skew splitting applies to joins, not window
+  * exchanges — but the per-row state is a single running `last`, so a
+  * hot key costs linear time, not the range-join plan's fan-out.)
   *
   * Right rows that share (key, ts) resolve deterministically through the
   * tie-break column: backward picks the MAX tie-break (latest-looking

@@ -258,6 +258,13 @@ object Dedup {
     *
     * Output: (id, cluster, cluster_size) for every node that appears in
     * a pair — singletons never enter the edge list and stay implicit.
+    *
+    * Fails loudly (IllegalArgumentException) rather than returning
+    * silently-truncated clusters if convergence needs more than
+    * `maxIters` rounds — i.e. a component's diameter exceeds it. The
+    * default 20 covers any realistic dup graph; callers feeding
+    * adversarially chain-shaped graphs should raise `maxIters`
+    * (cost is per-round, so unused headroom is free).
     */
   def duplicateClusters(pairs: DataFrame, id1Col: String = "id1",
                         id2Col: String = "id2",

@@ -35,9 +35,13 @@ object Documents {
 
   // JSONL round-trip fixture: the documents table written as line-format
   // JSON (the lingua franca of LLM training corpora), re-read by BOTH
-  // engines. Static path because oracle SQL is built before the sf dir is
-  // known; per-(JVM, dir) guard keeps bench/verify runs coherent.
-  private val jsonlPath = "/root/repo/target/fixtures/docs_jsonl"
+  // engines. The path is pid-scoped under the system tmpdir so concurrent
+  // verify runs never clobber each other and nothing depends on the repo
+  // layout; it is a val because the oracle SQL string embeds it at init,
+  // and the per-(JVM, dir) guard keeps bench/verify runs coherent. The
+  // oracle (dumped AFTER the queries run, same JVM) sees the same path.
+  private val jsonlPath =
+    s"${sys.props("java.io.tmpdir")}/graft-docs-jsonl-p${ProcessHandle.current.pid}"
   private var jsonlFor: String = null
   private def ensureJsonl(s: SparkSession, dir: String): Unit =
     synchronized {
@@ -235,9 +239,13 @@ object Documents {
       // partial-aggregable struct arg-max — detect/cluster/resolve
       // end-to-end
       val docs = t(s, dir, "documents")
+      // duplicateClusters throws after maxIters non-converged rounds
+      // (min-label propagation converges in <= graph-diameter rounds, so
+      // the default 20 covers diameter-20 duplicate chains); raise it
+      // here if a production corpus ever trips the guard
       val clusters = Dedup.duplicateClusters(
         Dedup.fuzzyJoin(spread(docs), "doc_id", "text",
-          keyLen = 12, prefixLen = 2, maxDist = 2))
+          keyLen = 12, prefixLen = 4, maxDist = 2))
       val quality = docs.select(col("doc_id").as("id"),
         text.qualityScore(col("text")).as("q"))
       clusters.join(quality, Seq("id"))
