@@ -158,11 +158,22 @@ object HaploProteins {
     * cdna, signature, changes = array<struct<pos,varId,ref,alt,af>> sorted
     * by genomic pos, hap_count, frequency, samples.
     */
+  /** @param keepCdna also output the mutated cDNA per haplotype
+    *   (`cdna_sequence`, `cdna_start`) — the ProHap `-output_cdna_fasta`
+    *   option (prohap.py:92,184-191): with a known reading frame the
+    *   sequence is the CDS segment when `ignoreUtr` (start 0,
+    *   process_haplotypes.py:399-401) or the full mutated cDNA with
+    *   start = rf + protein_start*3 (process_haplotypes.py:370);
+    *   unknown frame keeps the full sequence with start -1
+    *   (process_haplotypes.py:478). Off by default — the reference
+    *   guards it the same way ("don't waste the memory otherwise").
+    */
   def proteinDatabase(haplo0: DataFrame, forceRf: Boolean = true,
                       ignoreUtr: Boolean = true,
                       skipStartLoss: Boolean = true,
                       minCount: Long = 0L,
-                      requireNonSyn: Boolean = true): DataFrame = {
+                      requireNonSyn: Boolean = true,
+                      keepCdna: Boolean = false): DataFrame = {
     graft.plans.GraftFunctions.register(haplo0.sparkSession)
     // optional per-haplotype population rollup strings ("POP:0.00123;..."),
     // carried through and merged on the vcf-id merge like
@@ -486,8 +497,23 @@ object HaploProteins {
     val altFrameSeqs = when(col("_rf") === -1,
       concat(dna.translateDna(col("_mutated"), lit(1)), lit(";"),
         dna.translateDna(col("_mutated"), lit(2)))).otherwise(lit("-"))
-    trimmed
+    // mutated-cDNA carry (keepCdna): CDS-trimmed under ignoreUtr (start
+    // 0), else full sequence with the start-codon offset; -1 marks an
+    // unknown frame. Dropped below when keepCdna is off — Catalyst prunes
+    // the unused aggregate, so the off path pays nothing.
+    val cdnaStartFull = (col("_rf") + col("_pstart") * 3).cast("long")
+    val cdnaSeq = when(col("_rf") > -1,
+      if (ignoreUtr)
+        col("_mutated").substr((cdnaStartFull + 1).cast("int"),
+          ((col("_firstStop") - col("_pstart")) * 3).cast("int"))
+      else col("_mutated"))
+      .otherwise(col("_mutated"))
+    val cdnaStart = when(col("_rf") > -1,
+      if (ignoreUtr) lit(0L) else cdnaStartFull).otherwise(lit(-1L))
+    val out = trimmed
       .withColumn("_altFrames", altFrameSeqs)
+      .withColumn("_cdnaSeq", cdnaSeq)
+      .withColumn("_cdnaStart", cdnaStart)
       .withColumn("vcf_ids", array_join(transform(col("_kept"),
         c => c.getField("varId")), ";"))
       .withColumn("dna_changes", array_join(transform(col("_kept"),
@@ -538,8 +564,11 @@ object HaploProteins {
         array_join(sort_array(collect_list(col("samples"))), ";")
           .as("samples"),
         first(col("_protein")).as("protein_sequence"),
-        first(col("_altFrames")).as("alt_frame_sequences"))
+        first(col("_altFrames")).as("alt_frame_sequences"),
+        first(col("_cdnaSeq")).as("cdna_sequence"),
+        first(col("_cdnaStart")).as("cdna_start"))
       .where(col("occurrence_count") >= minCount)
+    if (keepCdna) out else out.drop("cdna_sequence", "cdna_start")
   }
 
   /** Deduplicate protein sequences across haplotypes: one row per distinct
@@ -568,4 +597,25 @@ object HaploProteins {
         array_join(array_distinct(sort_array(collect_list(
           col("e.rf")))), ";").as("rfs"))
   }
+
+  /** Deduplicate mutated cDNA sequences across haplotypes — the entry
+    * aggregation behind ProHap's optional cDNA FASTA
+    * (process_haplotypes.py:444-454,474-478; prohap.py:184-193): one row
+    * per distinct mutated cDNA with the haplotype keys that produced it
+    * and the start offset. Input must come from
+    * [[proteinDatabase]]`(keepCdna = true)`.
+    *
+    * Divergence (documented): the reference keeps the first-encountered
+    * haplotype's start for a shared sequence (iteration-order-dependent);
+    * here the min start is kept and the haplotype list is sorted, so the
+    * output is deterministic under any partitioning.
+    */
+  def dedupCdna(db: DataFrame): DataFrame =
+    db.groupBy(col("cdna_sequence"))
+      .agg(
+        count(lit(1)).as("n_haplotypes"),
+        array_join(sort_array(collect_list(
+          concat(col("transcript"), lit(":"), col("vcf_ids")))), ";")
+          .as("haplotypes"),
+        min(col("cdna_start")).as("cdna_start"))
 }

@@ -154,7 +154,9 @@ object GenomicPipeline {
   def proteinDb(s: SparkSession): DataFrame = synchronized {
     val path = s"$fx/protein_db.parquet"
     if (!dbReady) {
-      HaploProteins.proteinDatabase(haploInput(s))
+      // keepCdna: one pipeline run serves h4/h5/p2 (which drop or ignore
+      // the cdna columns) AND the f9 cDNA FASTA output
+      HaploProteins.proteinDatabase(haploInput(s), keepCdna = true)
         .write.mode("overwrite").parquet(path)
       dbReady = true
       releaseCaches() // the parquet is the product; drop the lineage cache
@@ -165,7 +167,25 @@ object GenomicPipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h4_protein_db" -> ((s, _) => {
       prep(s)
-      proteinDb(s).orderBy("transcript", "vcf_ids")
+      proteinDb(s).drop("cdna_sequence", "cdna_start")
+        .orderBy("transcript", "vcf_ids")
+    }),
+
+    "f9_cdna_write" -> ((s, _) => {
+      prep(s)
+      // ProHap -output_cdna_fasta round trip: dedup mutated cDNAs, write
+      // as FASTA (header carries the haplotype list + start offset like
+      // prohap.py:189), read back through the splittable reader
+      import graft.sources.Fasta
+      val out = s"$fx/cdna_fasta_written"
+      Fasta.write(HaploProteins.dedupCdna(proteinDb(s))
+        .select(lit("cdna").as("tag"),
+          concat(lit("chap_"), substring(md5(col("cdna_sequence")), 1, 12))
+            .as("accession"),
+          concat(col("haplotypes"), lit(" start:"), col("cdna_start"))
+            .as("description"),
+          col("cdna_sequence").as("sequence")), out)
+      Fasta.read(s, out).orderBy("accession")
     }),
 
     "h5_protein_dedup" -> ((s, _) => {
@@ -292,6 +312,7 @@ object GenomicPipeline {
     Map(
       "h4_protein_db" -> snapshot("h4_protein_db"),
       "h5_protein_dedup" -> snapshot("h5_protein_dedup"),
+      "f9_cdna_write" -> snapshot("f9_cdna_write"),
       "pv1_provar" -> snapshot("pv1_provar"),
       // Full DuckDB replica of PeptideVariants.annotate over the dumped
       // combined protein table: k-mer-free exhaustive matching, per-frame

@@ -98,6 +98,53 @@ class HaploProteinsSpec extends AnyFunSuite with BeforeAndAfterAll {
       dedup.length)
   }
 
+  test("keepCdna: CDS-trimmed mutated cDNA re-translates to the protein") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.dna
+    // ignoreUtr (default): the carried cDNA is the CDS segment, start 0,
+    // and translating it from frame 0 must reproduce the stored protein
+    // (process_haplotypes.py:368-401 — the segment is exactly the codons
+    // of the trimmed protein, stop codon excluded)
+    val rows = HaploProteins.proteinDatabase(
+      GenomicPipeline.haploInput(spark), keepCdna = true)
+      .withColumn("_retr", dna.translateDna(col("cdna_sequence")))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getAs[Int]("reading_frame") > -1).foreach { r =>
+      assert(r.getAs[Long]("cdna_start") == 0L, r.getAs[String]("transcript"))
+      assert(r.getAs[String]("_retr") == r.getAs[String]("protein_sequence"),
+        s"${r.getAs[String]("transcript")}:${r.getAs[String]("vcf_ids")}")
+    }
+    // unknown frame keeps the full sequence, start -1
+    rows.filter(_.getAs[Int]("reading_frame") == -1).foreach { r =>
+      assert(r.getAs[Long]("cdna_start") == -1L)
+    }
+    // UTRs kept: full mutated cDNA, start = rf + protein_start*3, and
+    // translating from that rf reproduces the (untrimmed) protein
+    val full = HaploProteins.proteinDatabase(
+      GenomicPipeline.haploInput(spark), ignoreUtr = false,
+      keepCdna = true)
+      .where(col("reading_frame") > -1)
+      .withColumn("_retr", dna.translateDna(col("cdna_sequence"),
+        col("reading_frame")))
+      .collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getAs[Long]("cdna_start") ==
+        r.getAs[Int]("reading_frame") +
+          3 * r.getAs[Long]("protein_prefix_length"),
+        s"${r.getAs[String]("transcript")}:${r.getAs[String]("vcf_ids")}")
+      assert(r.getAs[String]("_retr") == r.getAs[String]("protein_sequence"))
+    }
+    // dedupCdna: one row per distinct sequence, members preserved
+    val dd = HaploProteins.dedupCdna(HaploProteins.proteinDatabase(
+      GenomicPipeline.haploInput(spark), keepCdna = true)).collect()
+    assert(dd.map(_.getAs[String]("cdna_sequence")).distinct.length ==
+      dd.length)
+    assert(dd.map(_.getAs[Long]("n_haplotypes")).sum == rows.length)
+    GenomicPipeline.releaseCaches()
+  }
+
   test("ProVar keeps synonymous and UTR variants (one row per allele)") {
     val pv = GenomicPipeline.queries("pv1_provar")(spark, "")
       .collect()
