@@ -23,8 +23,15 @@ object GenomicPipeline {
   /** Per-transcript annotation + cDNA: transcript, chrom, biotype, strand,
     * exons, start_codon_start, stop_codon_start, cdna.
     */
-  def transcriptInfo(s: SparkSession): DataFrame = {
-    val gtf = Gtf.read(s, GenomicFixtures.gtfPath)
+  def transcriptInfo(s: SparkSession): DataFrame =
+    transcriptInfoFrom(Gtf.read(s, GenomicFixtures.gtfPath),
+      s.read.parquet(s"$fx/cdna.parquet"))
+
+  /** [[transcriptInfo]] from already-read frames — the entry point the
+    * Prohap/Provar CLI mains use with arbitrary GTF/cDNA inputs.
+    * `cdna0` columns: transcript_id, sequence.
+    */
+  def transcriptInfoFrom(gtf: DataFrame, cdna0: DataFrame): DataFrame = {
     val t = Gtf.transcriptsByBiotype(gtf, Seq("all"))
       .select(col("transcriptID").as("transcript"),
         col("chromosome").as("chrom"), col("biotype"), col("strand"))
@@ -35,7 +42,7 @@ object GenomicPipeline {
       .select(Gtf.attr(col("attributes"), "transcript_id").as("transcript"),
         col("start"))
       .groupBy("transcript").agg(min(col("start")).as(out))
-    val cdna = s.read.parquet(s"$fx/cdna.parquet")
+    val cdna = cdna0
       .withColumnRenamed("transcript_id", "transcript")
       .withColumnRenamed("sequence", "cdna")
     t.join(exons, Seq("transcript"))
@@ -50,8 +57,17 @@ object GenomicPipeline {
     * counts and frequencies — get_haplotypes.py output shape, plus the
     * transcript annotation columns proteinDatabase needs.
     */
-  def haploInput(s: SparkSession): DataFrame = {
-    val gts = s.read.parquet(s"$fx/gts_long.parquet")
+  def haploInput(s: SparkSession): DataFrame =
+    haploInputFrom(s.read.parquet(s"$fx/gts_long.parquet"),
+      Some(s.read.parquet(s"$fx/samples_meta.parquet")),
+      transcriptInfo(s))
+
+  /** [[haploInput]] from already-built frames — the entry point the
+    * Prohap CLI main uses. `meta` (sample, population, superpopulation)
+    * is optional: without it the population rollup strings are "-".
+    */
+  def haploInputFrom(gts: DataFrame, metaOpt: Option[DataFrame],
+                     tinfo: DataFrame): DataFrame = {
     val ph = Haplotypes.phased(gts)
     val universe = ph.select("transcript", "sample", "phase").distinct()
     val copyCounts = universe.groupBy("transcript")
@@ -100,32 +116,36 @@ object GenomicPipeline {
     // counts and denominators come out of a single shuffle. Conflicted and
     // REF copies stay in the denominators/rollup exactly like
     // populationFrequencies (h2/h2b semantics).
-    val meta = s.read.parquet(s"$fx/samples_meta.parquet")
-    val stacked = meta.select(col("sample"),
-      concat(lit("p|"), col("population")).as("population"))
-      .unionByName(meta.select(col("sample"),
-        concat(lit("s|"), col("superpopulation")).as("population")))
-    val popCopies = universe.join(stacked, Seq("sample"))
-      .groupBy("transcript", "population")
-      .agg(count(lit(1)).as("pop_copies"))
-    def strOf(lvl: String) = array_join(array_sort(collect_list(
-      when(substring_index(col("population"), "|", 1) === lvl,
-        concat(substring_index(col("population"), "|", -1), lit(":"),
-          format_string("%.5f", col("pop_frequency")))))), ";")
-    val popStrings = perCopy.join(stacked, Seq("sample"))
-      .groupBy("transcript", "signature", "population")
-      .agg(count(lit(1)).as("pop_count"))
-      .join(popCopies, Seq("transcript", "population"))
-      .withColumn("pop_frequency",
-        round(col("pop_count") / col("pop_copies"), 6))
-      .groupBy("transcript", "signature")
-      .agg(strOf("p").as("freq_population"),
-        strOf("s").as("freq_superpopulation"))
-
-    haplos
-      .join(popStrings, Seq("transcript", "signature"), "left")
-      .na.fill("-", Seq("freq_population", "freq_superpopulation"))
-      .join(transcriptInfo(s), Seq("transcript"))
+    val withPop = metaOpt match {
+      case Some(meta) =>
+        val stacked = meta.select(col("sample"),
+          concat(lit("p|"), col("population")).as("population"))
+          .unionByName(meta.select(col("sample"),
+            concat(lit("s|"), col("superpopulation")).as("population")))
+        val popCopies = universe.join(stacked, Seq("sample"))
+          .groupBy("transcript", "population")
+          .agg(count(lit(1)).as("pop_copies"))
+        def strOf(lvl: String) = array_join(array_sort(collect_list(
+          when(substring_index(col("population"), "|", 1) === lvl,
+            concat(substring_index(col("population"), "|", -1), lit(":"),
+              format_string("%.5f", col("pop_frequency")))))), ";")
+        val popStrings = perCopy.join(stacked, Seq("sample"))
+          .groupBy("transcript", "signature", "population")
+          .agg(count(lit(1)).as("pop_count"))
+          .join(popCopies, Seq("transcript", "population"))
+          .withColumn("pop_frequency",
+            round(col("pop_count") / col("pop_copies"), 6))
+          .groupBy("transcript", "signature")
+          .agg(strOf("p").as("freq_population"),
+            strOf("s").as("freq_superpopulation"))
+        haplos
+          .join(popStrings, Seq("transcript", "signature"), "left")
+          .na.fill("-", Seq("freq_population", "freq_superpopulation"))
+      case None =>
+        haplos.withColumn("freq_population", lit("-"))
+          .withColumn("freq_superpopulation", lit("-"))
+    }
+    withPop.join(tinfo, Seq("transcript"))
   }
 
   private var dbReady = false

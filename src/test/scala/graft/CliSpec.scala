@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.fixtures.GenomicFixtures
+import graft.queries.GenomicPipeline
+
+/** The CLI mains must reproduce the gate pipelines end-to-end from the
+  * RAW fixture files (VCF/GTF/FASTA/TSV), i.e. one command = h4/pv1.
+  */
+class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("cli-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GenomicFixtures.ensure(spark)
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val fixtureOpts = Map(
+    "i" -> GenomicFixtures.vcfPath,
+    "db" -> GenomicFixtures.gtfPath,
+    "cdna" -> GenomicFixtures.cdnaPath,
+    "s" -> s"${GenomicFixtures.rawDir}/samples.tsv",
+    "x_par1_to" -> GenomicFixtures.par1To.toString,
+    "x_par2_from" -> GenomicFixtures.par2From.toString,
+    "bin_size" -> "20")
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    val cols = df.columns.sorted
+    df.selectExpr(cols: _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+  }
+
+  test("Prohap.run from raw files == the h4 protein database") {
+    val cli = Prohap.run(spark, fixtureOpts)
+    val gate = GenomicPipeline.proteinDb(spark)
+      .drop("cdna_sequence", "cdna_start")
+    assert(cli.columns.sorted.sameElements(gate.columns.sorted))
+    assert(rowsOf(cli) == rowsOf(gate))
+    GenomicPipeline.releaseCaches()
+  }
+
+  test("Prohap.run honors min_hap_count and min_hap_freq") {
+    val all = Prohap.run(spark, fixtureOpts).collect()
+    val counted = Prohap.run(spark,
+      fixtureOpts + ("min_hap_count" -> "2")).collect()
+    assert(counted.length ==
+      all.count(_.getAs[Long]("occurrence_count") >= 2L))
+    val freq = Prohap.run(spark,
+      fixtureOpts + ("min_hap_freq" -> "0.3")).collect()
+    assert(freq.length == all.count(_.getAs[Double]("frequency") >= 0.3))
+    GenomicPipeline.releaseCaches()
+  }
+
+  test("Provar.run from raw files == the pv1 per-variant database") {
+    val cli = Provar.run(spark, fixtureOpts)
+    val gate = SparkEntry.queries("pv1_provar")(spark, "")
+    assert(rowsOf(cli) == rowsOf(gate))
+    GenomicPipeline.releaseCaches()
+  }
+
+  test("Prohap writers emit TSV + FASTA + cDNA FASTA round-trippably") {
+    import org.apache.spark.sql.functions.col
+    val out = s"${GenomicFixtures.dir}/cli_out"
+    Prohap.main(Array(
+      "-i", fixtureOpts("i"), "-db", fixtureOpts("db"),
+      "-cdna", fixtureOpts("cdna"), "-s", fixtureOpts("s"),
+      "-x_par1_to", fixtureOpts("x_par1_to"),
+      "-x_par2_from", fixtureOpts("x_par2_from"),
+      "-bin_size", "20", "-single_file", "1",
+      "-master", "local[4]",
+      "-output_csv", s"$out/haplo.tsv",
+      "-output_fasta", s"$out/haplo.fasta",
+      "-output_cdna_fasta", s"$out/haplo_cdna.fasta"))
+    // main() stops the session — restart for the assertions
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").appName("cli-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val meta = spark.read.option("sep", "\t").option("header", "true")
+      .csv(s"$out/haplo.tsv")
+    val gate = GenomicPipeline.proteinDb(spark)
+    assert(meta.count() == gate.count())
+    assert(meta.columns.contains("HaplotypeID") &&
+      meta.columns.contains("TranscriptID"))
+    val fasta = graft.sources.Fasta.read(spark, s"$out/haplo.fasta")
+    assert(fasta.count() ==
+      operators.HaploProteins.dedupProteins(gate).count())
+    assert(fasta.collect().forall(
+      _.getAs[String]("description").contains("matching_proteins:")))
+    val cdna = graft.sources.Fasta.read(spark, s"$out/haplo_cdna.fasta")
+    assert(cdna.count() ==
+      operators.HaploProteins.dedupCdna(gate).count())
+    GenomicPipeline.releaseCaches()
+  }
+}
