@@ -105,6 +105,24 @@ object Streaming {
       exact.join(hll, Seq("event_type"))
     }),
 
+    "e6_stream_hll" -> ((s, dir) => {
+      // the STREAMING sketch run batch-equivalently: mapGroupsWithState
+      // on a batch frame processes each group's full iterator with empty
+      // initial state — exactly one micro-batch — so the gate hashes the
+      // same register-update code the stream runs (multi-batch register
+      // merging is covered by StreamingSpec's bit-equality test)
+      graft.streaming.StreamSketches.hllDistinctStream(
+        events(s, dir).select(col("event_type"), col("user_id")),
+        "event_type", "user_id")
+        .toDF().withColumnRenamed("group", "event_type")
+    }),
+
+    "e9_stream_funnel" -> ((s, dir) => {
+      // the STREAMING funnel state machine, batch-equivalently (same
+      // one-micro-batch argument as e6): per-user final stage rows
+      graft.streaming.Events.funnelStream(events(s, dir)).toDF()
+    }),
+
     "q16_heavy_hitters" -> ((s, dir) => {
       // Count-Min-sketch top-10 users by event volume: the sketch state
       // that crosses the shuffle is 4x256 counters regardless of input
@@ -331,6 +349,58 @@ object Streaming {
         |FROM est e JOIN (
         |  SELECT event_type, count(DISTINCT user_id) AS n_exact
         |  FROM events GROUP BY 1) x USING (event_type)""".stripMargin,
+
+    "e6_stream_hll" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    list_reduce([strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR)), j, 1)) - 1
+        |      for j in range(1, 3)], (a, c) -> a * 16 + c) AS idx,
+        |    list_reduce([strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR)), j, 1)) - 1
+        |      for j in range(3, 9)], (a, c) -> a * 16 + c) AS rest
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, idx,
+        |    max(CASE WHEN rest = 0 THEN 25
+        |        ELSE 25 - length(bin(rest)) END) AS r
+        |  FROM b GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, count(*) AS cnt, sum(pow(2.0, -r)) AS sp
+        |  FROM r GROUP BY 1),
+        |est AS (
+        |  SELECT event_type,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+        |      / (sp + (256 - cnt)::DOUBLE) AS raw,
+        |    256 - cnt AS zeros
+        |  FROM g)
+        |SELECT event_type,
+        |  round(CASE WHEN raw <= 640.0 AND zeros > 0
+        |    THEN 256.0 * ln(256.0 / zeros::DOUBLE) ELSE raw END, 4)
+        |    AS hll_estimate
+        |FROM est""".stripMargin,
+
+    "e9_stream_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+        |      THEN ts END) OVER (PARTITION BY user_id) AS t2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+        |      THEN ts END) OVER (PARTITION BY user_id) AS t3
+        |  FROM s2),
+        |u AS (SELECT DISTINCT user_id, t1, t2, t3 FROM s3)
+        |SELECT user_id,
+        |  CASE WHEN t3 IS NOT NULL THEN 'view_click_purchase'
+        |       WHEN t2 IS NOT NULL THEN 'view_click'
+        |       WHEN t1 IS NOT NULL THEN 'view'
+        |       ELSE 'none' END AS funnel_stage
+        |FROM u""".stripMargin,
 
     "q16_heavy_hitters" ->
       """WITH rows_ AS (SELECT unnest(range(0, 4)) AS r),
