@@ -234,9 +234,16 @@ object Prohap {
       opts.getOrElse("bin_size", "100000").toLong)
     val cdna = Fasta.read(spark, opts("cdna"))
       .select(col("accession").as("transcript_id"), col("sequence"))
-    val tinfo = GenomicPipeline.transcriptInfoFrom(gtf, cdna)
+    // -require_start 1 (reference default, prohap.py:122-127): transcripts
+    // without a start_codon annotation are dropped entirely; 0 keeps them
+    // (they translate in all three frames, reading_frame = -1)
+    val tinfo0 = GenomicPipeline.transcriptInfoFrom(gtf, cdna)
       .join(broadcast(transcripts.select("transcript")), Seq("transcript"),
         "left_semi")
+    val tinfo =
+      if (opts.getOrElse("require_start", "1") == "1")
+        tinfo0.where(col("start_codon_start").isNotNull)
+      else tinfo0
     val metaOpt =
       if (Seq("population", "superpopulation").forall(
         meta.columns.contains(_))) Some(meta)
@@ -305,9 +312,14 @@ object Provar {
       .drop("id")
     val cdna = Fasta.read(spark, opts("cdna"))
       .select(col("accession").as("transcript_id"), col("sequence"))
-    val tinfo = GenomicPipeline.transcriptInfoFrom(gtf, cdna)
+    // same -require_start contract as Prohap (provar.py:33-34)
+    val tinfo0 = GenomicPipeline.transcriptInfoFrom(gtf, cdna)
       .join(broadcast(transcripts.select("transcript")), Seq("transcript"),
         "left_semi")
+    val tinfo =
+      if (opts.getOrElse("require_start", "1") == "1")
+        tinfo0.where(col("start_codon_start").isNotNull)
+      else tinfo0
     HaploProteins.proteinDatabase(perVariant.join(tinfo, Seq("transcript")),
       forceRf = opts.getOrElse("force_rf", "1") == "1",
       ignoreUtr = false, skipStartLoss = false, requireNonSyn = false,

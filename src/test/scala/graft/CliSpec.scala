@@ -33,6 +33,9 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s" -> s"${GenomicFixtures.rawDir}/samples.tsv",
     "x_par1_to" -> GenomicFixtures.par1To.toString,
     "x_par2_from" -> GenomicFixtures.par2From.toString,
+    // the gate pipeline keeps start-codon-less transcripts (rf = -1);
+    // the CLI default mirrors the reference's require_start=1
+    "require_start" -> "0",
     "bin_size" -> "20")
 
   private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] = {
@@ -62,6 +65,18 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     GenomicPipeline.releaseCaches()
   }
 
+  test("require_start default drops start-codon-less transcripts") {
+    // reference default (prohap.py:122-127): require_start=1 keeps only
+    // transcripts with a start_codon feature — the fixture's T5 (rf=-1)
+    // must vanish; with 0 it is present
+    val strict = Prohap.run(spark, fixtureOpts - "require_start").collect()
+    assert(strict.forall(_.getAs[Int]("reading_frame") > -1))
+    val loose = Prohap.run(spark, fixtureOpts).collect()
+    assert(loose.exists(_.getAs[Int]("reading_frame") == -1))
+    assert(strict.length < loose.length)
+    GenomicPipeline.releaseCaches()
+  }
+
   test("Provar.run from raw files == the pv1 per-variant database") {
     val cli = Provar.run(spark, fixtureOpts)
     val gate = SparkEntry.queries("pv1_provar")(spark, "")
@@ -77,6 +92,7 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       "-cdna", fixtureOpts("cdna"), "-s", fixtureOpts("s"),
       "-x_par1_to", fixtureOpts("x_par1_to"),
       "-x_par2_from", fixtureOpts("x_par2_from"),
+      "-require_start", "0",
       "-bin_size", "20", "-single_file", "1",
       "-master", "local[4]",
       "-output_csv", s"$out/haplo.tsv",
