@@ -444,8 +444,11 @@ object Dedup {
                 maxDist: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
     val key = substring(regexp_replace(lower(col(textCol)),
       "[^a-z]", ""), 1, keyLen)
-    val keyed = df.select(col(idCol).as("id"), key.as("k"))
-      .withColumn("blk", substring(col("k"), 1, prefixLen))
+    // persisted (id, key, block) — ~20 bytes/doc — so the bucket-count
+    // pass and the two join sides read the cache instead of re-scanning
+    // the corpus + re-running the regexp three times
+    val keyed = tracked(df.select(col(idCol).as("id"), key.as("k"))
+      .withColumn("blk", substring(col("k"), 1, prefixLen)))
     val okBlk = keyed.groupBy("blk").agg(count(lit(1)).as("_bsz"))
       .where(col("_bsz") <= maxBucketSize).select("blk")
     val bounded = keyed.join(okBlk, Seq("blk"))
