@@ -54,14 +54,25 @@ object BloomJoin {
   def pruneStats(probe: DataFrame, build: DataFrame, keyCol: String,
                  bits: Int = 65536, hashes: Int = 3): DataFrame = {
     val bitsDf = buildBits(build, keyCol, bits, hashes)
-    val cand = candidateKeys(probe, keyCol, bitsDf, bits, hashes)
-    val nFact = probe.agg(count(lit(1)).as("n_fact"))
-    val nCand = probe.join(cand, Seq(keyCol), "left_semi")
-      .agg(count(lit(1)).as("n_candidates"))
-    val nTrue = probe.join(build.select(col(keyCol)).distinct(),
-      Seq(keyCol), "left_semi")
-      .agg(count(lit(1)).as("n_true"))
-    nFact.crossJoin(nCand).crossJoin(nTrue)
+    // ONE pass over the fact table (it previously took four: a full
+    // count plus two semi-join counts plus candidateKeys' distinct):
+    // per-key row counts partial-aggregate map-side, and every
+    // membership test afterwards runs over DISTINCT KEYS only — at
+    // 100 TB the fact scan is the cost that matters.
+    val perKey = probe.groupBy(col(keyCol)).agg(count(lit(1)).as("_rows"))
+    val cand = candidateKeys(perKey, keyCol, bitsDf, bits, hashes)
+      .withColumn("_pass", lit(true))
+    val tru = build.select(col(keyCol)).distinct()
+      .withColumn("_true", lit(true))
+    perKey
+      .join(cand, Seq(keyCol), "left")
+      .join(tru, Seq(keyCol), "left")
+      .agg(
+        coalesce(sum(col("_rows")), lit(0L)).as("n_fact"),
+        coalesce(sum(when(col("_pass"), col("_rows")).otherwise(0L)),
+          lit(0L)).as("n_candidates"),
+        coalesce(sum(when(col("_true"), col("_rows")).otherwise(0L)),
+          lit(0L)).as("n_true"))
       .select(col("n_fact"), col("n_candidates"), col("n_true"),
         (col("n_candidates") - col("n_true")).as("n_false_pos"))
   }
