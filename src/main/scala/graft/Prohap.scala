@@ -33,6 +33,13 @@ private[graft] object ProHapCli {
         flag.stripPrefix("-") -> value
     }.toMap
 
+  /** `-af_field MAF` (vcf_filter_fix.py:11): which INFO key(s) carry the
+    * allele frequency; comma-separated keys are tried in order.
+    */
+  def afFields(opts: Map[String, String]): Seq[String] =
+    opts.get("af_field").map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Vcf.defaultAfFields)
+
   def session(opts: Map[String, String], app: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     SparkSession.builder()
@@ -223,7 +230,8 @@ object Prohap {
   def run(spark: SparkSession, opts: Map[String, String]): DataFrame = {
     val vcfPath = opts("i")
     val minAf = opts.getOrElse("af", "0").toDouble
-    val norm = Vcf.normalize(Vcf.read(spark, vcfPath), minAf)
+    val norm = Vcf.normalize(
+      Vcf.read(spark, vcfPath, ProHapCli.afFields(opts)), minAf)
     val gtf = Gtf.read(spark, opts("db"))
     val meta = samplesMeta(spark, opts("s"))
     val transcripts = transcriptIntervals(spark, gtf, opts)
@@ -290,7 +298,8 @@ object Provar {
 
   def run(spark: SparkSession, opts: Map[String, String]): DataFrame = {
     val minAf = opts.getOrElse("af", "0").toDouble
-    val norm = Vcf.normalize(Vcf.read(spark, opts("i")), minAf)
+    val norm = Vcf.normalize(
+      Vcf.read(spark, opts("i"), ProHapCli.afFields(opts)), minAf)
     val gtf = Gtf.read(spark, opts("db"))
     val transcripts = transcriptIntervals(spark, gtf, opts)
     // one row per allele line: multi-allelic rows share a VCF id, so the
