@@ -137,6 +137,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PageRank.ranks(pairs, iters = 2).count() == 3)
   }
 
+  test("q17 bloom pruning reads the fact table in two key-only scans") {
+    val p = plan("q17_bloom_join")
+    // two scans: per-key row counts + the distinct keys the bloom tests
+    // (a third+ means the old semi-join-count shape crept back; one
+    // fused chain measured 13x slower — see BloomJoin.pruneStats). AQE
+    // prints reused subtrees in full, so count distinct scan output
+    // ids, not printed lines.
+    val scans = p.split("\n")
+      .filter(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    val scanIds = scans.flatMap("#\\d+".r.findFirstIn(_)).distinct
+    assert(scanIds.length <= 2, p)
+    // and both scans are key-only — pruning reached the reader
+    assert(scans.forall(_.contains("ReadSchema: struct<l_orderkey")), p)
+  }
+
   test("q13 stratified sample is a scan-level predicate — zero shuffles") {
     val p = plan("q13_stratified_sample")
     assert(!p.contains("Exchange"), p)
