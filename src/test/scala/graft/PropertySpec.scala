@@ -67,6 +67,42 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fuzzyJoin == brute-force edit-distance pairs within blocks") {
+    val s = spark
+    import s.implicits._
+    // small alphabet + short words force prefix collisions AND edit-
+    // distance hits; brute force replicates the 4-char-block contract
+    val gen = Gen.listOfN(60, for {
+      w <- Gen.listOfN(8, Gen.oneOf("abcd".toSeq)).map(_.mkString)
+      pad <- Gen.oneOf("", " xyz", " qq")
+    } yield w + pad)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (seed <- 1L to 3L) {
+      val texts = sample(gen, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val got = graft.operators.Dedup.fuzzyJoin(
+        texts.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      graft.operators.Dedup.releaseCaches()
+      def key(t: String) =
+        t.toLowerCase.filter(c => c >= 'a' && c <= 'z').take(12)
+      val expect = (for {
+        (t1, i1) <- texts.map(t => (key(t._2), t._1))
+        (t2, i2) <- texts.map(t => (key(t._2), t._1))
+        if i1 < i2 && t1.take(4) == t2.take(4) && lev(t1, t2) <= 2
+      } yield (i1, i2, lev(t1, t2).toLong)).toSet
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
   test("histogram quantile within one binWidth of the exact quantile") {
     val s = spark
     import s.implicits._
