@@ -41,7 +41,10 @@ private[graft] object ProHapCli {
       .getOrElse(Vcf.defaultAfFields)
 
   def session(opts: Map[String, String], app: String): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // -threads n (prohap.py:63-64) sizes the default local master and
+    // shuffle partitioning; -master overrides for cluster submission
+    val cpus = opts.getOrElse("threads",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     SparkSession.builder()
       .master(opts.getOrElse("master", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions",
