@@ -25,7 +25,8 @@ private[graft] object Checkpoints {
     */
   def free(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
+      case l: org.apache.spark.sql.execution.LogicalRDD
+        if !df.sparkSession.sparkContext.isStopped =>
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }

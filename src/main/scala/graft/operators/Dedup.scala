@@ -44,7 +44,13 @@ object Dedup {
     */
   def releaseCaches(): Unit = {
     var df = cachedFrames.poll()
-    while (df != null) { df.unpersist(blocking = false); df = cachedFrames.poll() }
+    while (df != null) {
+      // a frame whose owning session already stopped has no blocks left
+      // to release — and unpersist on it throws (driver endpoint gone)
+      if (!df.sparkSession.sparkContext.isStopped)
+        df.unpersist(blocking = false)
+      df = cachedFrames.poll()
+    }
   }
 
   /** Exact dedup: cluster by content hash of the raw text.

@@ -164,7 +164,11 @@ object GenomicPipeline {
   def releaseCaches(): Unit = {
     var df = pendingCaches.poll()
     while (df != null) {
-      df.unpersist(blocking = false); df = pendingCaches.poll()
+      // skip frames of an already-stopped session (nothing to release;
+      // unpersist would throw — the driver endpoint is gone)
+      if (!df.sparkSession.sparkContext.isStopped)
+        df.unpersist(blocking = false)
+      df = pendingCaches.poll()
     }
   }
 
