@@ -90,9 +90,15 @@ object text {
     val alphaRatio = alphaCount(t).cast("double") / n
     val punctRatio = punctCount(t).cast("double") / n
     val stopRatio = stopwordCount(t).cast("double") / tok
+    // +1e-9 before the 5-dp round: the weighted sum can land exactly on
+    // a decimal tie (e.g. 0.653125), where Spark rounds the shortest
+    // decimal repr UP while DuckDB rounds the binary double DOWN — a
+    // 1-ulp hash break. The nudge shifts ties identically on both sides
+    // (the oracle adds the same literal) and is invisible elsewhere.
     round(least(lit(1.0),
       alphaRatio * 0.5 + least(stopRatio * 2.0, lit(1.0)) * 0.3 +
-        (lit(1.0) - least(punctRatio * 5.0, lit(1.0))) * 0.2), 5)
+        (lit(1.0) - least(punctRatio * 5.0, lit(1.0))) * 0.2) +
+      lit(1e-9), 5)
   }
 
   /** Stopword lists used by the n-gram/stopword language-ID heuristic. */

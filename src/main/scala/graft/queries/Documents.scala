@@ -368,7 +368,8 @@ object Documents {
       s"""SELECT doc_id, round(least(1.0,
          |    (alpha / n) * 0.5
          |  + least((stop / tok) * 2.0, 1.0) * 0.3
-         |  + (1.0 - least((punct / n) * 5.0, 1.0)) * 0.2), 5) AS quality
+         |  + (1.0 - least((punct / n) * 5.0, 1.0)) * 0.2)
+         |  + 0.000000001, 5) AS quality
          |FROM (SELECT doc_id,
          |  greatest(length(text), 1) AS n,
          |  greatest(len(regexp_extract_all(text, '\\S+')), 1) AS tok,
@@ -707,7 +708,8 @@ object Documents {
          |  SELECT doc_id AS id, round(least(1.0,
          |      (alpha / n) * 0.5
          |    + least((stop / tok) * 2.0, 1.0) * 0.3
-         |    + (1.0 - least((punct / n) * 5.0, 1.0)) * 0.2), 5) AS q
+         |    + (1.0 - least((punct / n) * 5.0, 1.0)) * 0.2)
+         |    + 0.000000001, 5) AS q
          |  FROM (SELECT doc_id,
          |    greatest(length(text), 1) AS n,
          |    greatest(len(regexp_extract_all(text, '\\S+')), 1) AS tok,
