@@ -295,15 +295,21 @@ object Dedup {
     var labelsCk = labels
     var changed = 1L
     var iter = 0
+    val labelType = labels.schema("label").dataType
     while (changed > 0 && iter < maxIters) {
-      val neighborMin = edges
+      // one shuffle join (edge endpoints pick up labels) + one groupBy;
+      // the node's own label rides the union as `own` so the round's
+      // change count needs no second labels join — max(own) is the old
+      // label (each node contributes exactly one non-null own row)
+      val next = edges
         .join(labels.withColumnRenamed("node", "dst")
           .withColumnRenamed("label", "nLabel"), Seq("dst"))
-        .groupBy(col("src").as("node"))
-        .agg(min(col("nLabel")).as("nMin"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"), col("label").as("_old"),
-          least(col("label"), col("nMin")).as("label"))
+        .select(col("src").as("node"), col("nLabel").as("cand"),
+          lit(null).cast(labelType).as("own"))
+        .unionByName(labels.select(col("node"),
+          col("label").as("cand"), col("label").as("own")))
+        .groupBy("node")
+        .agg(min(col("cand")).as("label"), max(col("own")).as("_old"))
         .localCheckpoint()
       changed = next.where(col("label") < col("_old")).count()
       // the previous round's checkpoint is dead once `next` is

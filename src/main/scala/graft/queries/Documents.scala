@@ -342,6 +342,24 @@ object Documents {
       val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       Similarity.knnCosineIvfWith(q, c, k = 5,
         Similarity.kmeansCodebook(c, initStep = 64, iters = 2), nprobe = 3)
+    }),
+
+    "s5_ivf_persist" -> ((s, dir) => {
+      // codebook persistence round trip: train the s3b codebook once,
+      // save to parquet, reload, and query with the LOADED codebook —
+      // results must be bit-identical to s3b (doubles survive parquet
+      // exactly), so the oracle is s3b's. The path is pid-scoped like
+      // the jsonl fixture so concurrent runs never clobber each other.
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft-codebook-p" +
+        ProcessHandle.current.pid
+      Similarity.saveCodebook(
+        Similarity.kmeansCodebook(c, initStep = 64, iters = 2), path)
+      Similarity.knnCosineIvfWith(q, c, k = 5,
+        Similarity.loadCodebook(s, path), nprobe = 3)
     })
   )
 
@@ -356,7 +374,7 @@ object Documents {
       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)))"""
       .stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     "t1_token_count" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
@@ -1083,4 +1101,10 @@ object Documents {
          |    ORDER BY cosine DESC, cid) AS rank FROM s)
          |WHERE rank <= 5""".stripMargin
   )
+
+  // s5 is a parquet round trip of the s3b codebook: identical expected
+  // rows, so it shares s3b's oracle verbatim (no point duplicating the
+  // unrolled k-means SQL)
+  val oracles: Map[String, String] =
+    oracles0 + ("s5_ivf_persist" -> oracles0("s3b_ivf_kmeans"))
 }
