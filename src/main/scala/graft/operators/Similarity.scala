@@ -137,6 +137,29 @@ object Similarity {
     cents
   }
 
+  /** Persist a codebook (centId, centVec) as parquet so repeated ANN
+    * batches skip retraining: Lloyd rounds scan the whole corpus, while a
+    * reloaded codebook costs one small-file read — on a 100 TB corpus the
+    * codebook is a few thousand rows regardless of corpus size, and the
+    * query plan with a loaded codebook is IDENTICAL to the freshly
+    * trained one (broadcast + bounded_top_k), so persistence changes
+    * nothing downstream. Doubles survive parquet bit-exactly: a
+    * save/load round trip returns bit-identical neighbors (the s5 gate
+    * asserts this against the s3b oracle).
+    */
+  def saveCodebook(codebook: DataFrame, path: String): Unit =
+    codebook
+      .select(col("centId").cast("long").as("centId"),
+        col("centVec").cast("array<double>").as("centVec"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Reload a codebook written by [[saveCodebook]]. */
+  def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("centId"), col("centVec").cast("array<double>")
+        .as("centVec"))
+
   /** IVF with an explicit codebook (centId, centVec) — see knnCosineIvf. */
   def knnCosineIvfWith(queries: DataFrame, corpus: DataFrame, k: Int,
                        codebook: DataFrame, nprobe: Int,

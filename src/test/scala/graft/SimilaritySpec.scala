@@ -64,6 +64,23 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(trained >= 0.5)
   }
 
+  test("codebook save/load round trip returns bit-identical neighbors") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft-test-codebook-" +
+      ProcessHandle.current.pid
+    val trained = Similarity.kmeansCodebook(c, initStep = 64, iters = 1)
+    Similarity.saveCodebook(trained, path)
+    val loaded = Similarity.loadCodebook(spark, path)
+    // parquet preserves doubles exactly: same centroids...
+    assert(loaded.orderBy("centId").collect().toSeq ==
+      trained.orderBy("centId").collect().toSeq)
+    // ...and therefore the same neighbor rows, scores included
+    val fresh = Similarity.knnCosineIvfWith(q, c, k = 5, trained, nprobe = 2)
+      .orderBy("qid", "rank").collect().toSeq
+    val reloaded = Similarity.knnCosineIvfWith(q, c, k = 5, loaded, nprobe = 2)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(reloaded == fresh)
+  }
+
   test("PQ reconstruction ranks true neighbors near the top") {
     val pq = Similarity.knnCosinePq(q, c, k = 5, dim = 64, subspaces = 4,
       centStep = 64)
