@@ -63,6 +63,17 @@ object Streaming {
         horizonMinutes = 30)
     }),
 
+    "e10_stream_outer" -> ((s, dir) => {
+      // left-outer attribution: views that never converted survive with
+      // null effect_id (batch form of the watermarked LEFT OUTER
+      // stream-stream join; emission-after-watermark is asserted in
+      // StreamingSpec)
+      val ev = events(s, dir)
+      Events.correlateOuter(ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"), "user_id",
+        horizonMinutes = 30)
+    }),
+
     "q14_asof_join" -> ((s, dir) => {
       // backward as-of join: each purchase picks up the user's most recent
       // view at-or-before it (union+window plan, one shuffle — see
@@ -280,6 +291,16 @@ object Streaming {
         |FROM events v JOIN events p
         |  ON v.user_id = p.user_id
         |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTES"""
+        .stripMargin,
+
+    "e10_stream_outer" ->
+      """SELECT v.user_id,
+        |  v.event_id AS cause_id, p.event_id AS effect_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS delay_us
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTES"""
         .stripMargin,
 

@@ -167,6 +167,33 @@ object Events {
           .as("delay_us"))
   }
 
+  /** Left-outer [[correlate]]: every cause row survives; causes with no
+    * effect in [cause.ts, cause.ts + horizon] carry a null effect_id /
+    * delay_us — the "views that never converted" side attribution
+    * inner-join drops. On streams this is Spark's watermarked LEFT OUTER
+    * stream-stream join: the unmatched rows can only be EMITTED once the
+    * watermark passes the cause's horizon (until then a matching effect
+    * could still arrive), so outer results trail the watermark by the
+    * horizon — StreamingSpec asserts exactly that emission behavior. On
+    * batch frames the same call is a plain range left join (e10's
+    * oracle).
+    */
+  def correlateOuter(cause: DataFrame, effect: DataFrame, key: String,
+                     horizonMinutes: Int): DataFrame = {
+    val c = cause.select(col(key), col("event_id").as("cause_id"),
+      col("ts").as("cause_ts"))
+    val e = effect.select(col(key).as("_ekey"),
+      col("event_id").as("effect_id"), col("ts").as("effect_ts"))
+    c.join(e, col(key) === col("_ekey") &&
+      col("effect_ts") >= col("cause_ts") &&
+      col("effect_ts") <=
+        col("cause_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"),
+      "left")
+      .select(col(key), col("cause_id"), col("effect_id"),
+        (unix_micros(col("effect_ts")) - unix_micros(col("cause_ts")))
+          .as("delay_us"))
+  }
+
   /** Streaming ordered funnel (view -> click -> purchase): per-user
     * stage timestamps in mapGroupsWithState (three longs of state per
     * user), each trigger re-emitting the user's current deepest stage.

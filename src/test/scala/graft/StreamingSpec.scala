@@ -142,6 +142,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Set((100L, 200L, 600000000L)))
   }
 
+  test("outer stream-stream join emits unmatched causes after watermark") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    def shape(m: MemoryStream[(Long, Long, Timestamp)]) =
+      m.toDF().toDF("user_id", "event_id", "ts")
+        .withWatermark("ts", "10 minutes")
+
+    val q = Events.correlateOuter(shape(views), shape(buys), "user_id",
+      horizonMinutes = 30)
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    // user 1 converts in horizon; user 2's view never converts
+    views.addData((1L, 100L, ts(1)), (2L, 101L, ts(2)))
+    buys.addData((1L, 200L, ts(11)))
+    q.processAllAvailable()
+    def rows() = spark.table("attrib_outer")
+      .select("cause_id", "effect_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    // before the watermark passes view@2's horizon, the unmatched row
+    // must NOT have been emitted — a buy could still arrive
+    assert(rows() == Set((100L, 200L)))
+    // advance both watermarks far past ts(2)+30min: the null-effect row
+    // for user 2 is now safe to emit
+    views.addData((9L, 900L, ts(300)))
+    buys.addData((9L, 901L, ts(300)))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    assert(rows().contains((101L, -1L)))
+    q.stop()
+  }
+
   test("streaming funnel advances stages across micro-batches in order") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
