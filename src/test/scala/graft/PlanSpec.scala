@@ -114,6 +114,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), p)
   }
 
+  test("peptide match broadcasts peptides — the k-mer index never shuffles") {
+    import graft.operators.PeptideAnnotate
+    val s2 = spark
+    import s2.implicits._
+    val prots = Seq(("P1", "MKVLAARTW"), ("P2", "AARTWKV"))
+      .toDF("accession", "sequence")
+    val peps = Seq(("q1", "AART"), ("q2", "KVLA")).toDF("pepId", "peptide")
+    val df = PeptideAnnotate.matchPeptides(peps, prots, k = 4)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // candidate generation must be a broadcast join probing the index
+    // stream-side; a shuffle of the positional index (rows ~ total
+    // sequence length) is exactly what broadcastPeptides avoids
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("PageRank default path map-side-combines contributions (partial_sum)") {
     import graft.operators.PageRank
     val s2 = spark
