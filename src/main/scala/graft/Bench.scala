@@ -164,6 +164,35 @@ object Bench {
         pepsM.unpersist(blocking = false)
         n
       }),
+      "dx_dedup_scale" -> (() => {
+        // dedup at volume: ~nDocs*5 synthetic ~30-word docs (300k at
+        // sf0.1), every 10th a near-copy of its predecessor (one word of
+        // 30 changed), run through the full detect->cluster path the
+        // sf documents gate cannot size: minhash LSH pair generation +
+        // connected components
+        // alphabetic vocab: text.words drops digits, so "w$i" would
+        // collapse every word to "w"
+        val vocab = (0 until 512).map(i => "" + ('a' + i % 26).toChar +
+          ('a' + (i / 26) % 26).toChar + ('a' + (i / 676) % 26).toChar)
+        val vlit = array(vocab.map(lit): _*)
+        def word(seed: org.apache.spark.sql.Column) =
+          element_at(vlit, (pmod(hash(seed), lit(512)) + 1).cast("int"))
+        val docs = spark.range(nDocs * 5)
+          .select(col("id"),
+            // near-dup docs share words 0..28 with their predecessor
+            when(pmod(col("id"), lit(10)) === 0 && col("id") > 0,
+              col("id") - 1).otherwise(col("id")).as("seed"))
+          .select(col("id").as("doc_id"),
+            concat_ws(" ",
+              (0 until 29).map(i => word(col("seed") * 31 + i)) :+
+                word(col("id") * 31 + 29): _*).as("text"))
+          .localCheckpoint()
+        val pairs = graft.operators.Dedup
+          .minhashLsh(docs, "doc_id", "text")
+        val n = graft.operators.Dedup.duplicateClusters(pairs).count()
+        docs.unpersist(blocking = false)
+        n
+      }),
       "hx_haplo_scale" -> (() => {
         val gts = spark.range(nDocs).select(col("id").as("snum"))
           .crossJoin(spark.range(200).select(col("id").as("vnum")))
