@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.text
+import graft.operators.Dedup
+
+/** End-to-end training-corpus pipeline CLI — the LLM-data counterpart of
+  * [[Prohap]]/[[Provar]]: one command takes a documents table through
+  * clean -> filter -> redact -> dedup -> write, composing the same
+  * operators the d/t gate queries check individually.
+  *
+  * {{{
+  * runMain graft.Corpus -i /data/documents.parquet -o /out/corpus
+  *   [-normalize 1]        strip control chars, collapse whitespace (t10)
+  *   [-lang en]            keep docs whose n-gram language ID matches (t3)
+  *   [-min_quality 0.45]   heuristic quality floor in [0,1] (t2)
+  *   [-gopher 1]           Gopher rule filter (t6)
+  *   [-pii 1]              redact emails/phones/IPv4 in place (t8)
+  *   [-dedup near]         exact | near | none (d1 / d2+d6+d10 / skip)
+  *   [-jaccard 0.8]        near-dup verification threshold
+  *   [-format parquet]     parquet | jsonl output
+  *   [-single_file 1]      coalesce output to one part
+  *   [-threads n] [-master url] [-shuffle_partitions n]
+  * }}}
+  *
+  * Prints one JSON line of per-stage surviving-row counts (`"report"`).
+  * Each enabled stage costs one extra narrow count() scan over its
+  * localCheckpointed frame — accounting, not plan cost; the transform
+  * chain itself stays one lazy plan. Near-dedup keeps the best-quality
+  * member per duplicate cluster (ties: lowest doc_id), exactly d10's
+  * resolution policy.
+  */
+object Corpus {
+
+  private case class Stage(name: String, df: DataFrame)
+
+  def run(spark: SparkSession, opts: Map[String, String]): DataFrame = {
+    val in = opts.getOrElse("i",
+      sys.error("missing -i <documents parquet>"))
+    var df = spark.read.parquet(in)
+    require(df.columns.contains("doc_id") && df.columns.contains("text"),
+      "input needs doc_id and text columns")
+    val stages = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    def record(name: String): Unit =
+      if (opts.getOrElse("report", "1") == "1") {
+        df = df.localCheckpoint()
+        stages += name -> df.count()
+      }
+    record("input")
+
+    if (opts.getOrElse("normalize", "0") == "1") {
+      df = df.withColumn("text", trim(regexp_replace(
+        regexp_replace(col("text"), lit("[\\x00-\\x1f]"), lit(" ")),
+        lit(" +"), lit(" "))))
+      record("normalize")
+    }
+    opts.get("lang").foreach { want =>
+      df = df.where(text.langId(col("text")) === want)
+      record(s"lang=$want")
+    }
+    opts.get("min_quality").map(_.toDouble).foreach { q =>
+      df = df.where(text.qualityScore(col("text")) >= q)
+      record(s"quality>=$q")
+    }
+    if (opts.getOrElse("gopher", "0") == "1") {
+      df = df.where(text.gopherMetrics(col("text")).getField("keep"))
+      record("gopher")
+    }
+    if (opts.getOrElse("pii", "0") == "1") {
+      df = df.withColumn("text",
+        text.redactPii(col("text")).getField("redacted"))
+      record("pii")
+    }
+
+    opts.getOrElse("dedup", "near") match {
+      case "none" =>
+      case "exact" =>
+        // keep the canonical (min-id) doc of each identical-content group
+        val keep = Dedup.exact(df, "doc_id", "text")
+          .select(col("canonical_id").as("doc_id"))
+        df = df.join(keep, Seq("doc_id"), "left_semi")
+        record("dedup=exact")
+      case "near" =>
+        val thr = opts.getOrElse("jaccard", "0.8").toDouble
+        val pairs = Dedup.minhashLsh(df, "doc_id", "text",
+          jaccardThreshold = thr)
+        val clusters = Dedup.duplicateClusters(pairs)
+        // d10's resolution: best quality per cluster, ties -> lowest id
+        val quality = df.select(col("doc_id").as("id"),
+          text.qualityScore(col("text")).as("q"))
+        val kept = clusters.join(quality, Seq("id"))
+          .groupBy(col("cluster"))
+          .agg(max(struct(col("q"), (-col("id")).as("_negId"))).as("m"))
+          .select((-col("m._negId")).as("doc_id"))
+        val losers = clusters.select(col("id").as("doc_id"))
+          .exceptAll(kept)
+        df = df.join(losers, Seq("doc_id"), "left_anti")
+        record(s"dedup=near@$thr")
+      case other => sys.error(s"unknown -dedup mode: $other")
+    }
+
+    opts.get("o").foreach { out =>
+      val shaped =
+        if (opts.getOrElse("single_file", "0") == "1") df.coalesce(1)
+        else df
+      opts.getOrElse("format", "parquet") match {
+        case "parquet" => shaped.write.mode("overwrite").parquet(out)
+        case "jsonl" => shaped.write.mode("overwrite").json(out)
+        case other => sys.error(s"unknown -format: $other")
+      }
+    }
+    if (stages.nonEmpty) {
+      val report = stages.map { case (n, c) => s"\"$n\":$c" }
+        .mkString("{", ",", "}")
+      println(s"""{"tool":"corpus","report":$report}""")
+    }
+    df
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = ProHapCli.parseArgs(args)
+    val spark = ProHapCli.session(opts, "graft-corpus")
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, opts) finally spark.stop()
+  }
+}

@@ -120,4 +120,48 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       operators.HaploProteins.dedupCdna(gate).count())
     GenomicPipeline.releaseCaches()
   }
+
+  test("Corpus.run == the hand-composed filter/dedup stage chain") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.text
+    val in = "/root/testdata/sf0.001/documents.parquet"
+    val cli = Corpus.run(spark, Map(
+      "i" -> in, "lang" -> "en", "min_quality" -> "0.4",
+      "gopher" -> "1", "dedup" -> "near", "jaccard" -> "0.8",
+      "report" -> "0"))
+    // same stages composed directly from the operators the gates check
+    val docs = spark.read.parquet(in)
+      .where(text.langId(col("text")) === "en")
+      .where(text.qualityScore(col("text")) >= 0.4)
+      .where(text.gopherMetrics(col("text")).getField("keep"))
+    val clusters = operators.Dedup.duplicateClusters(
+      operators.Dedup.minhashLsh(docs, "doc_id", "text",
+        jaccardThreshold = 0.8))
+    val kept = clusters
+      .join(docs.select(col("doc_id").as("id"),
+        text.qualityScore(col("text")).as("q")), Seq("id"))
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("q"), (-col("id")).as("_negId"))).as("m"))
+      .select((-col("m._negId")).as("doc_id"))
+    val expected = docs.join(
+      clusters.select(col("id").as("doc_id")).exceptAll(kept),
+      Seq("doc_id"), "left_anti")
+    assert(rowsOf(cli) == rowsOf(expected))
+    assert(cli.count() > 0)
+    operators.Dedup.releaseCaches()
+  }
+
+  test("Corpus exact dedup keeps one doc per identical text") {
+    val s2 = spark
+    import s2.implicits._
+    val out = s"${sys.props("java.io.tmpdir")}/graft-corpus-exact-" +
+      ProcessHandle.current.pid
+    Seq((1L, "same text here"), (2L, "same text here"),
+      (3L, "unique text")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(out)
+    val got = Corpus.run(spark, Map(
+      "i" -> out, "dedup" -> "exact", "report" -> "0"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+  }
 }
