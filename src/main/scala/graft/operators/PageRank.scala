@@ -47,11 +47,19 @@ object PageRank {
     var ranks = degrees.crossJoin(broadcast(n))
       .select(col("src").as("node"), col("_n"),
         round(lit(1.0) / col("_n"), 8).as("rank"))
-    for (_ <- 1 to iters) {
-      val prev = ranks
-      ranks = iterate(edges, degrees, prev, damping, exactFold)
-        .localCheckpoint()
-      Checkpoints.free(prev)
+    // checkpoint cadence: materializing every iteration costs one full
+    // job per round; every 4th keeps the un-executed plan shallow (a
+    // 4-round chain of join+agg) while cutting the materializations —
+    // the LAST iteration always checkpoints so the returned frame reads
+    // one flat table and the edge/degree frees below stay safe
+    var prevCk: Option[DataFrame] = None
+    for (i <- 1 to iters) {
+      ranks = iterate(edges, degrees, ranks, damping, exactFold)
+      if (i % 4 == 0 || i == iters) {
+        ranks = ranks.localCheckpoint()
+        prevCk.foreach(Checkpoints.free)
+        prevCk = Some(ranks)
+      }
     }
     // the final ranks checkpoint backs the returned frame; the edge and
     // degree tables are no longer in its lineage
