@@ -119,6 +119,91 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** The persistable LSH index behind [[minhashLshIncremental]]: one
+    * (id, bucket) row per band per document. Write this as parquet when
+    * the corpus is first deduplicated; each later ingest batch then pays
+    * signatures for the NEW documents only.
+    */
+  def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
+                     shingleWords: Int = 3, bands: Int = 8,
+                     rows: Int = 2): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(
+      col(idCol).as("id"),
+      array_distinct(call_function("graft_word_shingles",
+        text.words(col(textCol)), lit(shingleWords))).as("shingles"))
+      .where(size(col("shingles")) > 0)
+      .select(col("id"), explode(hashing.bandKeys(
+        call_function("graft_minhash_sig", col("shingles"),
+          lit(bands * rows)), bands, rows)).as("bucket"))
+  }
+
+  /** Incremental near-dup detection: the pairs a NEW ingest batch forms
+    * with itself and with the existing corpus — without re-signing the
+    * corpus. This is the production mode at 100 TB: the corpus's
+    * (id, bucket) index is precomputed ([[minhashBuckets]], persisted),
+    * so a batch costs signatures for the batch, one bucket semi-join to
+    * find buckets a new doc touches (old-only buckets — the overwhelming
+    * majority — never enter the pair shuffle), and shingle verification
+    * only for documents that appear in a surviving candidate pair (the
+    * corpus text table is semi-join pruned to those ids before the
+    * shingle kernel runs). Equals `minhashLsh(old ++ new)` filtered to
+    * pairs touching a new id, parameters equal — the d12 gate asserts
+    * exactly that against the full-corpus oracle. The caller maintains
+    * the index with `corpusBuckets.union(minhashBuckets(newDocs))`.
+    *
+    * `maxBucketSize` caps at COMBINED (old + new members) bucket size,
+    * matching what the full run would see.
+    */
+  def minhashLshIncremental(newDocs: DataFrame, corpus: DataFrame,
+                            corpusBuckets: DataFrame,
+                            idCol: String, textCol: String,
+                            shingleWords: Int = 3, bands: Int = 8,
+                            rows: Int = 2,
+                            jaccardThreshold: Double = 0.5,
+                            maxBucketSize: Int = 1000): DataFrame = {
+    val newB = tracked(minhashBuckets(newDocs, idCol, textCol,
+      shingleWords, bands, rows))
+    val allB = corpusBuckets.select(col("id"), col("bucket"),
+      lit(false).as("is_new"))
+      .unionByName(newB.select(col("id"), col("bucket"),
+        lit(true).as("is_new")))
+    // only buckets some new doc landed in can form a new pair
+    val relevant = tracked(
+      allB.join(newB.select("bucket").distinct(), Seq("bucket")))
+    val okBuckets = relevant.groupBy("bucket")
+      .agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") <= maxBucketSize)
+    val bounded = relevant.join(okBuckets.select("bucket"), Seq("bucket"))
+    val pairs = bounded.select(col("bucket"), col("id").as("id1"),
+      col("is_new").as("_n1"))
+      .join(bounded.select(col("bucket"), col("id").as("id2"),
+        col("is_new").as("_n2")), Seq("bucket"))
+      .where(col("id1") < col("id2") && (col("_n1") || col("_n2")))
+      .select("id1", "id2").distinct()
+    // shingle only what verification needs: the new batch plus the
+    // candidate-touched slice of the corpus
+    val candIds = pairs.select(explode(array(col("id1"), col("id2")))
+      .as("_cid")).distinct()
+    val needed = corpus.join(candIds, col(idCol) === col("_cid"),
+      "left_semi")
+    val docs = needed.unionByName(newDocs.select(needed.columns.map(col): _*))
+      .select(col(idCol).as("id"),
+        array_distinct(call_function("graft_word_shingles",
+          text.words(col(textCol)), lit(shingleWords))).as("shingles"))
+      .where(size(col("shingles")) > 0)
+    pairs
+      .join(docs.select(col("id").as("id1"), col("shingles").as("sh1")),
+        Seq("id1"))
+      .join(docs.select(col("id").as("id2"), col("shingles").as("sh2")),
+        Seq("id2"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))), 5))
+      .where(col("jaccard") >= jaccardThreshold)
+      .select("id1", "id2", "jaccard")
+  }
+
   /** SimHash near-dup: documents whose `bits`-wide simhash prefixes collide
     * are candidates; pairs within `maxHamming` are reported.
     *

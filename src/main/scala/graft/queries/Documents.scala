@@ -94,6 +94,18 @@ object Documents {
         shingleWords = 3, bands = 8, rows = 2, jaccardThreshold = 0.5)
     }),
 
+    "d12_incremental" -> ((s, dir) => {
+      // incremental ingest dedup: every 5th doc arrives as the "new"
+      // batch, the rest are the indexed corpus; pairs must equal the
+      // full-corpus d2 run filtered to pairs touching a new doc (the
+      // oracle is exactly that)
+      val docs = spread(t(s, dir, "documents"))
+      val newDocs = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      val old = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      Dedup.minhashLshIncremental(newDocs, old,
+        Dedup.minhashBuckets(old, "doc_id", "text"), "doc_id", "text")
+    }),
+
     "d3_simhash" -> ((s, dir) => {
       Dedup.simhash(spread(t(s, dir, "documents")), "doc_id", "text",
         bits = 32, prefixBits = 12, maxHamming = 3)
@@ -1104,7 +1116,11 @@ object Documents {
 
   // s5 is a parquet round trip of the s3b codebook: identical expected
   // rows, so it shares s3b's oracle verbatim (no point duplicating the
-  // unrolled k-means SQL)
-  val oracles: Map[String, String] =
-    oracles0 + ("s5_ivf_persist" -> oracles0("s3b_ivf_kmeans"))
+  // unrolled k-means SQL); d12 is the full d2 pair list restricted to
+  // pairs touching the "new" batch (doc_id % 5 = 0)
+  val oracles: Map[String, String] = oracles0 +
+    ("s5_ivf_persist" -> oracles0("s3b_ivf_kmeans")) +
+    ("d12_incremental" ->
+      s"""SELECT * FROM (${oracles0("d2_minhash_lsh")})
+         |WHERE id1 % 5 = 0 OR id2 % 5 = 0""".stripMargin)
 }

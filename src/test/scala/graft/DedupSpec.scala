@@ -40,6 +40,25 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.size == 11) // singletons stay implicit
   }
 
+  test("incremental LSH equals the full run filtered to new-doc pairs") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val newDocs = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+    val old = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val inc = Dedup.minhashLshIncremental(newDocs, old,
+      Dedup.minhashBuckets(old, "doc_id", "text"), "doc_id", "text")
+      .collect().map(key).toSet
+    val full = Dedup.minhashLsh(docs, "doc_id", "text")
+      .where(col("id1") % 5 === 0 || col("id2") % 5 === 0)
+      .collect().map(key).toSet
+    assert(inc == full)
+    assert(inc.nonEmpty)
+    Dedup.releaseCaches()
+  }
+
   test("simhash drops hot prefix buckets (skew cap), keeps small ones") {
     val s = spark
     import s.implicits._
