@@ -175,23 +175,30 @@ object Dedup {
       .agg(count(lit(1)).as("_bsz"))
       .where(col("_bsz") <= maxBucketSize)
     val bounded = relevant.join(okBuckets.select("bucket"), Seq("bucket"))
-    val pairs = bounded.select(col("bucket"), col("id").as("id1"),
+    // persisted: the final plan references pairs THREE times (the verify
+    // join plus both candIds branches below) — unpersisted, the bucket
+    // self-join + distinct would run three times
+    val pairs = tracked(bounded.select(col("bucket"), col("id").as("id1"),
       col("is_new").as("_n1"))
       .join(bounded.select(col("bucket"), col("id").as("id2"),
         col("is_new").as("_n2")), Seq("bucket"))
       .where(col("id1") < col("id2") && (col("_n1") || col("_n2")))
-      .select("id1", "id2").distinct()
+      .select("id1", "id2").distinct())
     // shingle only what verification needs: the new batch plus the
     // candidate-touched slice of the corpus
     val candIds = pairs.select(explode(array(col("id1"), col("id2")))
       .as("_cid")).distinct()
     val needed = corpus.join(candIds, col(idCol) === col("_cid"),
       "left_semi")
-    val docs = needed.unionByName(newDocs.select(needed.columns.map(col): _*))
+    // persisted: both verify sides read it, and unlike the full-corpus
+    // shingle table in minhashLsh this one is candidate-pruned (bounded by
+    // the surviving pair count, not the corpus), so it stays small at scale
+    val docs = tracked(
+      needed.unionByName(newDocs.select(needed.columns.map(col): _*))
       .select(col(idCol).as("id"),
         array_distinct(call_function("graft_word_shingles",
           text.words(col(textCol)), lit(shingleWords))).as("shingles"))
-      .where(size(col("shingles")) > 0)
+      .where(size(col("shingles")) > 0))
     pairs
       .join(docs.select(col("id").as("id1"), col("shingles").as("sh1")),
         Seq("id1"))
