@@ -379,8 +379,12 @@ object Dedup {
       fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // seed label = min(self, neighbors): the node list needs a groupBy
+    // shuffle anyway (was a distinct over the same rows), so round 1 of
+    // min-label propagation comes free and the loop below starts from
+    // distance-1 labels — one fewer join+checkpoint round per run
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
       .localCheckpoint()
     // the checkpoint ROOT of the current labels (labels itself may be a
     // projection over it) — what Checkpoints.free releases per round
