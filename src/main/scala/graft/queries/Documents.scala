@@ -118,6 +118,23 @@ object Documents {
       Dedup.minhashLshIncremental(newDocs, old, idx, "doc_id", "text")
     }),
 
+    "e11_stream_ingest" -> ((s, dir) => {
+      // streaming face of d12: arriving docs (every 5th) checked against
+      // the static indexed corpus only — stream-vs-stream pairs belong
+      // to the batch compactor, so the oracle is d2 restricted to CROSS
+      // pairs. Batch mode here; MemoryStream == batch parity is
+      // asserted in StreamingSpec.
+      val docs = spread(t(s, dir, "documents"))
+      val newDocs = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      val old = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val idx = bucketIdx.compute(s"${System.identityHashCode(s)}|$dir",
+        (_, cur) =>
+          if (cur != null && !cur.sparkSession.sparkContext.isStopped) cur
+          else Dedup.minhashBuckets(old, "doc_id", "text").localCheckpoint())
+      graft.streaming.StreamDedup.ingestDedup(newDocs, old, idx,
+        "doc_id", "text")
+    }),
+
     "d3_simhash" -> ((s, dir) => {
       Dedup.simhash(spread(t(s, dir, "documents")), "doc_id", "text",
         bits = 32, prefixBits = 12, maxHamming = 3)
@@ -1134,5 +1151,13 @@ object Documents {
     ("s5_ivf_persist" -> oracles0("s3b_ivf_kmeans")) +
     ("d12_incremental" ->
       s"""SELECT * FROM (${oracles0("d2_minhash_lsh")})
-         |WHERE id1 % 5 = 0 OR id2 % 5 = 0""".stripMargin)
+         |WHERE id1 % 5 = 0 OR id2 % 5 = 0""".stripMargin) +
+    // e11 is the stream-vs-corpus slice: exactly ONE side of the pair is
+    // a "new" doc, reoriented so new_id is always the stream side
+    ("e11_stream_ingest" ->
+      s"""SELECT CASE WHEN id1 % 5 = 0 THEN id1 ELSE id2 END AS new_id,
+         |       CASE WHEN id1 % 5 = 0 THEN id2 ELSE id1 END AS dup_id,
+         |       jaccard
+         |FROM (${oracles0("d2_minhash_lsh")})
+         |WHERE (id1 % 5 = 0) <> (id2 % 5 = 0)""".stripMargin)
 }

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{hashing, text}
+import graft.plans.GraftFunctions
+
+/** Streaming ingest near-duplicate gate: each arriving document is
+  * LSH-checked against a STATIC indexed corpus — the streaming face of
+  * [[graft.operators.Dedup.minhashLshIncremental]] (which covers the
+  * batch-ingest mode, including new-vs-new pairs; a stream cannot
+  * self-join its own derived frames, so stream-vs-stream pairs are out
+  * of scope here and belong to the batch compactor).
+  *
+  * Scale shape, per micro-batch:
+  *  - the arriving docs are shingled/signed by the native graft_*
+  *    kernels (stateless projections — no state, no shuffle);
+  *  - the shingle array RIDES the band-key explode: unlike the batch
+  *    operator (which re-joins ids to a shingle table after candidate
+  *    pruning) a streaming frame cannot be re-joined to itself, and the
+  *    static-index join below broadcasts, so the arrays never cross a
+  *    shuffle anyway — the explode costs `bands` copies of each array
+  *    in-memory only;
+  *  - the (id, bucket) corpus index — persisted state in production,
+  *    maintained with `corpusBuckets.union(minhashBuckets(batch))` — is
+  *    skew-capped and joined stream-static (broadcast when it fits);
+  *    only buckets an arriving doc touches produce rows;
+  *  - band collisions are collapsed (dropDuplicates — all copies of a
+  *    pair originate from the SAME input row's explode, so with
+  *    exactly-once ingest the dedup state never matters across
+  *    micro-batches) before the verify join pays the corpus text scan,
+  *    which is semi-join-pruned to candidate ids by the join itself.
+  *
+  * Output: (new_id, dup_id, jaccard) — one row per stream-corpus pair
+  * with exact shingle Jaccard >= `jaccardThreshold`. Works identically
+  * on a batch DataFrame, which is what the e11 gate oracle checks;
+  * StreamingSpec asserts MemoryStream == batch parity.
+  */
+object StreamDedup {
+
+  def ingestDedup(stream: DataFrame, corpus: DataFrame,
+                  corpusBuckets: DataFrame,
+                  idCol: String, textCol: String,
+                  shingleWords: Int = 3, bands: Int = 8, rows: Int = 2,
+                  jaccardThreshold: Double = 0.5,
+                  maxBucketSize: Int = 1000): DataFrame = {
+    GraftFunctions.register(stream.sparkSession)
+    val k = bands * rows
+    val arrivals = stream.select(col(idCol).as("new_id"),
+        array_distinct(call_function("graft_word_shingles",
+          text.words(col(textCol)), lit(shingleWords))).as("sh1"))
+      .where(size(col("sh1")) > 0)
+      .withColumn("sig",
+        call_function("graft_minhash_sig", col("sh1"), lit(k)))
+      .select(col("new_id"), col("sh1"),
+        explode(hashing.bandKeys(col("sig"), bands, rows)).as("bucket"))
+    // skew cap on the static side: a boilerplate bucket with > cap
+    // corpus members would fan every arriving doc out quadratically;
+    // dropping it costs recall only (the batch operators' same guard)
+    val okIdx = corpusBuckets.groupBy("bucket")
+      .agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") <= maxBucketSize)
+      .select("bucket")
+    val idx = corpusBuckets.join(okIdx, Seq("bucket"))
+      .withColumnRenamed("id", "dup_id")
+    val cand = arrivals.join(idx, Seq("bucket"))
+      .select("new_id", "dup_id", "sh1")
+      .dropDuplicates("new_id", "dup_id")
+    val cdocs = corpus.select(col(idCol).as("dup_id"),
+        array_distinct(call_function("graft_word_shingles",
+          text.words(col(textCol)), lit(shingleWords))).as("sh2"))
+      .where(size(col("sh2")) > 0)
+    cand.join(cdocs, Seq("dup_id"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))), 5))
+      .where(col("jaccard") >= jaccardThreshold)
+      .select("new_id", "dup_id", "jaccard")
+  }
+}

@@ -230,4 +230,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getDouble(1)
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
+
+  test("streaming ingest dedup equals the batch run across micro-batches") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    // indexed corpus: two docs near-dup of incoming ones, one unrelated
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "pack my box with five dozen quality liquor jugs now"),
+      (3L, "completely unrelated text about gardening and soil care"))
+      .toDF("doc_id", "text")
+    val idx = graft.operators.Dedup
+      .minhashBuckets(corpus, "doc_id", "text").localCheckpoint()
+    val arriving = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "pack my box with five dozen quality liquor jugs here"),
+      (12L, "nothing like anything the corpus has ever seen before"))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamDedup
+      .ingestDedup(stream, corpus, idx, "doc_id", "text",
+        jaccardThreshold = 0.3)
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode("append").start()
+    // split arrivals across two micro-batches
+    mem.addData(arriving.take(1): _*)
+    q.processAllAvailable()
+    mem.addData(arriving.drop(1): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("ingest").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    val batch = graft.streaming.StreamDedup
+      .ingestDedup(arriving.toDF("doc_id", "text"), corpus, idx,
+        "doc_id", "text", jaccardThreshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(batch.map(_._1) == Set(10L, 11L)) // 12 matches nothing
+    assert(batch.map(_._2) == Set(1L, 2L))   // 3 is never a dup target
+  }
 }
