@@ -573,9 +573,12 @@ object Dedup {
       col("k").as("k2"))
     l.join(r, Seq("blk"))
       .where(col("id1") < col("id2"))
+      // thresholded levenshtein: banded O(len*maxDist) with early exit
+      // (-1 = above threshold) instead of the full O(len^2) DP — this
+      // is the per-pair hot loop inside every block
       .withColumn("edit_dist",
-        levenshtein(col("k1"), col("k2")).cast("long"))
-      .where(col("edit_dist") <= maxDist)
+        levenshtein(col("k1"), col("k2"), maxDist).cast("long"))
+      .where(col("edit_dist") =!= -1L)
       .select("id1", "id2", "edit_dist")
   }
 
