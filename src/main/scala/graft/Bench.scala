@@ -193,6 +193,26 @@ object Bench {
         docs.unpersist(blocking = false)
         n
       }),
+      "sx_ann_scale" -> (() => {
+        // ANN at volume: ~nDocs*2 synthetic 32-dim vectors (120k at
+        // sf0.1, ~20x the sf embeddings table) through the IVF-flat
+        // path: codebook sample -> bounded_top_k assignment -> nprobe
+        // list scan. Assignment cost is corpus x nlist x dim and
+        // parallelizes per partition — the same plan that holds at
+        // 100 TB with a broadcast codebook.
+        val dim = 32
+        def v(idc: org.apache.spark.sql.Column, seed: Int) = array(
+          (0 until dim).map(d =>
+            (pmod(hash(idc * 31 + seed, lit(d)), lit(1000))
+              .cast("double") / lit(500.0) - lit(1.0))): _*)
+        val corpus = spark.range(nDocs * 2)
+          .select(col("id").as("cid"), v(col("id"), 7).as("cvec"))
+        val queries = spark.range(16)
+          .select((col("id") * 997).as("qid"),
+            v(col("id") * 997, 7).as("qvec"))
+        graft.operators.Similarity.knnCosineIvf(queries, corpus,
+          k = 10, centStep = 2048, nprobe = 4).count()
+      }),
       "hx_haplo_scale" -> (() => {
         val gts = spark.range(nDocs).select(col("id").as("snum"))
           .crossJoin(spark.range(200).select(col("id").as("vnum")))
