@@ -249,4 +249,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("hashpartitioning(doc_id"), p)
     assert(p.contains("partial_bounded_top_k"), p)
   }
+
+  test("e11 ingest dedup joins the corpus index by broadcast — the " +
+    "arriving batch's shingle arrays never cross a shuffle") {
+    val p = plan("e11_stream_ingest")
+    // the stream-static bucket join must broadcast (one side is the
+    // skew-capped index; on a stream the arriving side cannot shuffle
+    // without breaking the stateless per-micro-batch contract)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the shingle array column (sh1) rides the explode in-memory only:
+    // no hash exchange may partition on it or carry it as a join key
+    assert(!p.contains("hashpartitioning(sh1"), p)
+  }
 }
