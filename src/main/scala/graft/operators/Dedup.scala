@@ -162,19 +162,24 @@ object Dedup {
                             rows: Int = 2,
                             jaccardThreshold: Double = 0.5,
                             maxBucketSize: Int = 1000): DataFrame = {
-    val newB = tracked(minhashBuckets(newDocs, idCol, textCol,
-      shingleWords, bands, rows))
+    val newB = minhashBuckets(newDocs, idCol, textCol,
+      shingleWords, bands, rows)
     val allB = corpusBuckets.select(col("id"), col("bucket"),
       lit(false).as("is_new"))
       .unionByName(newB.select(col("id"), col("bucket"),
         lit(true).as("is_new")))
-    // only buckets some new doc landed in can form a new pair
-    val relevant = tracked(
-      allB.join(newB.select("bucket").distinct(), Seq("bucket")))
-    val okBuckets = relevant.groupBy("bucket")
-      .agg(count(lit(1)).as("_bsz"))
-      .where(col("_bsz") <= maxBucketSize)
-    val bounded = relevant.join(okBuckets.select("bucket"), Seq("bucket"))
+    // one window pass over bucket replaces the semi-join + groupBy + two
+    // re-joins: keep buckets some new doc landed in (old-only buckets —
+    // the overwhelming majority — never reach the pair join) and apply
+    // the COMBINED-size skew cap, all in a single bucket shuffle. The
+    // self-join below then reads the persisted frame twice.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    val bounded = tracked(allB
+      .withColumn("_hasNew",
+        max(when(col("is_new"), 1).otherwise(0)).over(w))
+      .withColumn("_bsz", count(lit(1)).over(w))
+      .where(col("_hasNew") === 1 && col("_bsz") <= maxBucketSize)
+      .select("id", "bucket", "is_new"))
     // persisted: the final plan references pairs THREE times (the verify
     // join plus both candIds branches below) — unpersisted, the bucket
     // self-join + distinct would run three times
