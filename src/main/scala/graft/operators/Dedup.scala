@@ -538,6 +538,58 @@ object Dedup {
           .as("doc_ids"))
       .where(col("n_docs") > 1)
 
+  /** Exact duplicate-SPAN detection (the substring-dedup family of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22): for each document, the maximal runs of word positions whose
+    * `n`-gram (hashed) occurs at least `minCount` times corpus-wide —
+    * i.e. the passages a substring deduplicator would cut, with word
+    * coordinates. Differs from [[chunkDedup]]/[[cdcChunkDedup]], which
+    * report which fixed/content-defined CHUNKS collide: this reports the
+    * exact extent of every duplicated passage, including runs that cross
+    * any chunking boundary.
+    *
+    * Plan (two shuffles, both narrow):
+    *  1. positional gram stream (id, pos, hash) — one md5 per word
+    *     position;
+    *  2. gram frequencies by partial-aggregated groupBy; only hashes
+    *     with count >= minCount survive — in a real corpus that table
+    *     is FAR smaller than the gram stream (AQE broadcasts it when it
+    *     fits), so the semi-join back marks duplicated positions without
+    *     shuffling the stream a second time;
+    *  3. per-doc gaps-and-islands (pos - row_number window) merges
+    *     consecutive duplicated positions into maximal spans.
+    * A boilerplate gram shared by millions of docs costs one counter in
+    * the frequency agg (map-side combined), never a pair explosion —
+    * this operator is linear where pairwise dedup needs its skew caps.
+    *
+    * Output: (doc_id, start_word, end_word, n_grams) — covered word
+    * range inclusive, 0-based; end_word = last duplicated gram start
+    * + n - 1.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, minCount: Long = 2L): DataFrame = {
+    val ws = text.words(col(textCol))
+    val grams = df
+      .select(col(idCol).as("doc_id"), ws.as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("ws")) - n),
+          i => md5(concat_ws(" ", slice(col("ws"), i + 1, lit(n)))))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("h"))
+    val dupGrams = grams.groupBy("h").agg(count(lit(1)).as("_cnt"))
+      .where(col("_cnt") >= minCount).select("h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    grams.join(dupGrams, Seq("h"))
+      .withColumn("_grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg(min(col("pos")).as("start_word"),
+        (max(col("pos")) + (n - 1)).as("end_word"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "start_word", "end_word", "n_grams")
+  }
+
   /** Fuzzy (edit-distance) self-join over a derived fixed-length key —
     * the entity-resolution primitive (near-identical titles, names, URLs)
     * that exact and token-set dedup both miss. Candidate pairs are

@@ -149,6 +149,15 @@ object Documents {
         n = 3, threshold = 0.5, wordGrams = true)
     }),
 
+    "d13_dup_spans" -> ((s, dir) => {
+      // substring-level dedup: maximal duplicated word-8-gram runs per
+      // doc with exact word coordinates (the passages a substring
+      // deduplicator would cut) — chunk dedup (d7/d8) only says WHICH
+      // chunks collide, not the extent of the duplicated passage
+      Dedup.duplicateSpans(spread(t(s, dir, "documents")), "doc_id",
+        "text", n = 8)
+    }),
+
     "t5_decontaminate" -> ((s, dir) => {
       // docs sharing any 8-word gram with the pseudo eval set (id < 20)
       val docs = spread(t(s, dir, "documents"))
@@ -904,6 +913,25 @@ object Documents {
         |SELECT id, cluster,
         |  count(*) OVER (PARTITION BY cluster) AS cluster_size
         |FROM cc""".stripMargin,
+
+    "d13_dup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |         md5(array_to_string(ws[(i+1):(i+8)], ' ')) AS h
+        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 7)) AS i
+        |        FROM w WHERE len(ws) >= 8)),
+        |f AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |d AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS grp
+        |  FROM g JOIN f USING (h))
+        |SELECT doc_id, min(pos) AS start_word, max(pos) + 7 AS end_word,
+        |       CAST(count(*) AS BIGINT) AS n_grams
+        |FROM d GROUP BY doc_id, grp""".stripMargin,
 
     "t5_decontaminate" ->
       """WITH w AS (

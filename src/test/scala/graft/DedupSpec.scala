@@ -98,4 +98,26 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // out of the OUTPUT, but only the cap keeps it out of the JOIN)
     assert(Dedup.fuzzyJoin(docs, "doc_id", "text").count() == 1)
   }
+
+  test("duplicateSpans merges consecutive duplicated grams into maximal " +
+    "spans with exact word coordinates") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // shares trigrams cde, def with doc 2
+      (2L, "x y c d e f z w"),
+      (3L, "p q r p q r p q r"), // self-repetition: every trigram dup
+      (4L, "u v")) // too short for any trigram
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    assert(spans.toSeq == Seq(
+      // docs 1 & 2: gram starts {2,3} -> words 2..5 ("c d e f"), 2 grams
+      (1L, 2L, 5L, 2L),
+      (2L, 2L, 5L, 2L),
+      // doc 3: all 7 gram starts duplicated -> one span covering 0..8
+      (3L, 0L, 8L, 7L)))
+  }
 }
