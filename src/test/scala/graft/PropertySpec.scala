@@ -139,4 +139,44 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("duplicateSpans == brute-force maximal duplicated-gram runs") {
+    val s = spark
+    import s.implicits._
+    // tiny vocab + short docs force heavy n-gram collisions, including
+    // within-doc repetition and spans that touch document edges
+    val gen = Gen.listOfN(30,
+      Gen.listOfN(12, Gen.oneOf("aa", "bb", "cc", "dd"))
+        .map(_.mkString(" ")))
+    val n = 3
+    for (seed <- 1L to 3L) {
+      val texts = sample(gen, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val got = graft.operators.Dedup.duplicateSpans(
+        texts.toDF("doc_id", "text"), "doc_id", "text", n = n)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // brute force: count every n-gram corpus-wide, mark duplicated
+      // positions, merge consecutive runs per doc
+      val words = texts.map { case (id, t) =>
+        id -> t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq }
+      val grams = words.flatMap { case (id, ws) =>
+        ws.sliding(n).zipWithIndex.collect {
+          case (g, p) if g.length == n => (id, p.toLong, g.mkString(" ")) }
+      }
+      val freq = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val expect = grams.filter(g => freq(g._3) >= 2)
+        .groupBy(_._1).flatMap { case (id, gs) =>
+          val ps = gs.map(_._2).sorted
+          // split into consecutive runs
+          ps.foldLeft(List.empty[List[Long]]) {
+            case (acc @ (run :: rest), p) if run.head == p - 1 =>
+              (p :: run) :: rest
+            case (acc, p) => List(p) :: acc
+          }.map(run => (id, run.min, run.max + n - 1, run.size.toLong))
+        }.toSet
+      assert(got == expect, s"seed $seed")
+    }
+  }
 }
