@@ -92,14 +92,17 @@ object Dedup {
         call_function("graft_minhash_sig", col("shingles"), lit(k)))
     // Buckets carry ONLY (bucket, id): the shingle arrays stay out of the
     // self-join shuffle, which is the dominant cost at corpus scale.
-    val buckets = tracked(sigs.select(col("id"),
-      explode(hashing.bandKeys(col("sig"), bands, rows)).as("bucket")))
     // Skew guard: a hot bucket (boilerplate text) would go quadratic; cap
-    // its size. Capped buckets lose recall, never precision.
-    val counts = buckets.groupBy("bucket")
-      .agg(count(lit(1)).as("_bsz"))
+    // its size. Capped buckets lose recall, never precision. The cap is
+    // ONE window pass (not a count groupBy + re-join): it costs a single
+    // bucket shuffle whose output partitioning the self-join below then
+    // reuses from the persisted frame.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    val bounded = tracked(sigs.select(col("id"),
+      explode(hashing.bandKeys(col("sig"), bands, rows)).as("bucket"))
+      .withColumn("_bsz", count(lit(1)).over(w))
       .where(col("_bsz") <= maxBucketSize)
-    val bounded = buckets.join(counts.select("bucket"), Seq("bucket"))
+      .select("id", "bucket"))
 
     val pairs = bounded.select(col("bucket"), col("id").as("id1"))
       .join(bounded.select(col("bucket"), col("id").as("id2")), Seq("bucket"))
@@ -233,11 +236,14 @@ object Dedup {
       call_function("graft_simhash", text.bpeTokens(col(textCol)), lit(bits))
         .as("sh"))
       .where(length(col("sh")) === bits)) // reused by both join sides
-    val keyed = docs.select(col("id"), col("sh"),
+    // one window pass applies the prefix-bucket cap in the same narrow
+    // (id, sh, pfx) shuffle the self-join needs anyway
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy("pfx")
+    val bounded = docs.select(col("id"), col("sh"),
       col("sh").substr(1, prefixBits).as("pfx"))
-    val okPfx = keyed.groupBy("pfx").agg(count(lit(1)).as("_bsz"))
-      .where(col("_bsz") <= maxBucketSize).select("pfx")
-    val bounded = keyed.join(okPfx, Seq("pfx"))
+      .withColumn("_bsz", count(lit(1)).over(wp))
+      .where(col("_bsz") <= maxBucketSize)
+      .select("id", "sh", "pfx")
     val l = bounded.select(col("id").as("id1"), col("sh").as("sh1"),
       col("pfx"))
     val r = bounded.select(col("id").as("id2"), col("sh").as("sh2"),
@@ -616,14 +622,16 @@ object Dedup {
                 maxDist: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
     val key = substring(regexp_replace(lower(col(textCol)),
       "[^a-z]", ""), 1, keyLen)
-    // persisted (id, key, block) — ~20 bytes/doc — so the bucket-count
-    // pass and the two join sides read the cache instead of re-scanning
-    // the corpus + re-running the regexp three times
-    val keyed = tracked(df.select(col(idCol).as("id"), key.as("k"))
-      .withColumn("blk", substring(col("k"), 1, prefixLen)))
-    val okBlk = keyed.groupBy("blk").agg(count(lit(1)).as("_bsz"))
-      .where(col("_bsz") <= maxBucketSize).select("blk")
-    val bounded = keyed.join(okBlk, Seq("blk"))
+    // one window pass fuses the block-size skew cap into the narrow
+    // (id, key, block) shuffle; the capped frame is persisted (~20
+    // bytes/doc) so both self-join sides read the cache instead of
+    // re-scanning the corpus + re-running the regexp
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("blk")
+    val bounded = tracked(df.select(col(idCol).as("id"), key.as("k"))
+      .withColumn("blk", substring(col("k"), 1, prefixLen))
+      .withColumn("_bsz", count(lit(1)).over(wb))
+      .where(col("_bsz") <= maxBucketSize)
+      .select("id", "k", "blk"))
     val l = bounded.select(col("blk"), col("id").as("id1"),
       col("k").as("k1"))
     val r = bounded.select(col("blk"), col("id").as("id2"),
