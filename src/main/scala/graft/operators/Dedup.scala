@@ -300,11 +300,12 @@ object Dedup {
     // prefix key stay small because prefixes hold only rare grams — the
     // AllPairs/PPJoin ordering. Any global total order preserves the recall
     // guarantee; df-order is the one that scales. Ties break on the hash.
-    val dfreq = raw.select(explode(col("grams")).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("df"))
+    // The df count is a window over the exploded gram stream — one gram
+    // shuffle instead of a count groupBy + a second stream-wide re-join.
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
     // referenced three times below (prefix keys + both pair sides)
     val docs = tracked(raw.select(col("id"), explode(col("grams")).as("g"))
-      .join(dfreq, Seq("g"))
+      .withColumn("df", count(lit(1)).over(wg))
       .groupBy("id")
       .agg(transform(
         array_sort(collect_list(struct(col("df"), col("g")))),
