@@ -81,4 +81,20 @@ object Multimodal {
     df.withColumn("features",
       call_function("graft_img_grid", col(payload), lit(gridX), lit(gridY)))
   }
+
+  /** Real audio decode: RIFF/WAVE PCM16 header fields (proper chunk
+    * walk) plus amplitude evidence the sample data was read — RMS over
+    * all int16 samples and the absolute peak. NULLs for undecodable
+    * payloads (non-WAV, non-PCM16, truncated).
+    */
+  def decodeAudio(df: DataFrame, payload: String = "payload"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("_a", call_function("graft_wav_meta", col(payload)))
+      .withColumn("sample_rate", col("_a.sample_rate").cast("long"))
+      .withColumn("channels", col("_a.channels").cast("long"))
+      .withColumn("n_frames", col("_a.n_frames").cast("long"))
+      .withColumn("rms", round(col("_a.rms"), 4))
+      .withColumn("peak", col("_a.peak").cast("long"))
+      .drop("_a")
+  }
 }

@@ -219,4 +219,72 @@ object MediaExprs {
       copy(f, s, t)
     override def prettyName: String = "graft_img_grid"
   }
+
+  /** graft_wav_meta(binary) -> struct<sample_rate:int, channels:int,
+    * n_frames:int, rms:double, peak:int>: REAL RIFF/WAVE PCM16 parse —
+    * header fields from the fmt chunk (proper chunk walk, so extra
+    * chunks like LIST/fact are skipped, not mis-read) plus amplitude
+    * evidence the sample data was actually decoded: RMS over all int16
+    * samples and the absolute peak. NULL on anything malformed
+    * (not RIFF/WAVE, non-PCM, not 16-bit, truncated, zero samples) —
+    * a poison blob must never kill the stage.
+    */
+  case class GraftWavMeta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary, got ${child.dataType.catalogString}")
+    override def dataType: DataType = StructType(Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("rms", DoubleType),
+      StructField("peak", IntegerType)))
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(payload: Any): Any = {
+      val b = payload.asInstanceOf[Array[Byte]]
+      def u8(i: Int): Int = b(i) & 0xff
+      def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
+      if (b.length < 12 ||
+        !(u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F') ||
+        !(u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E'))
+        return null
+      var pos = 12
+      var rate = -1; var ch = -1; var bits = -1; var fmt = -1
+      var dataOff = -1; var dataLen = -1
+      while (pos + 8 <= b.length && (fmt < 0 || dataOff < 0)) {
+        val id = new String(b, pos, 4, "US-ASCII")
+        val sz = u32(pos + 4)
+        if (sz < 0 || sz > Int.MaxValue - 8) return null
+        val body = pos + 8
+        if (id == "fmt " && sz >= 16 && body + 16 <= b.length) {
+          fmt = u16(body); ch = u16(body + 2)
+          rate = u32(body + 4).toInt; bits = u16(body + 14)
+        } else if (id == "data") {
+          dataOff = body
+          dataLen = math.min(sz, (b.length - body).toLong).toInt
+        }
+        pos = body + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      if (fmt != 1 || bits != 16 || ch <= 0 || rate <= 0 ||
+        dataOff < 0 || dataLen < 2) return null
+      val nSamples = dataLen / 2
+      var i = 0; var sumSq = 0.0; var peak = 0
+      while (i < nSamples) {
+        val v = (u8(dataOff + 2 * i) |
+          (b(dataOff + 2 * i + 1).toInt << 8)).toShort.toInt
+        sumSq += v.toDouble * v
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        i += 1
+      }
+      InternalRow(rate, ch, nSamples / ch,
+        math.sqrt(sumSq / nSamples), peak)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+    override def prettyName: String = "graft_wav_meta"
+  }
 }

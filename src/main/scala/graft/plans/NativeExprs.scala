@@ -261,6 +261,11 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         require(children.length == 3, "graft_img_grid takes 3 arguments")
         MediaExprs.GraftImgGrid(children(0), children(1), children(2))
+      }),
+    ("graft_wav_meta", classOf[MediaExprs.GraftWavMeta],
+      { children: Seq[Expression] =>
+        require(children.length == 1, "graft_wav_meta takes 1 argument")
+        MediaExprs.GraftWavMeta(children.head)
       })
   )
 

@@ -178,6 +178,19 @@ object Genomic2 {
           "resized_h")
     }),
 
+    "m4_audio_features" -> ((s, _) => {
+      prep(s)
+      // REAL WAV decode (RIFF chunk walk + PCM16 samples): header fields
+      // plus RMS/peak amplitude evidence; the oracle re-derives ALL of it
+      // from the raw bytes in SQL (WAV is uncompressed, unlike PNG's
+      // IDAT), so this is a full-value gate, not a snapshot. Undecodable
+      // rows are dropped here; NULL-on-poison is asserted in MediaSpec.
+      Multimodal.decodeAudio(s.read.parquet(s"$fx/audio.parquet"))
+        .where(col("sample_rate").isNotNull)
+        .select("media_id", "sample_rate", "channels", "n_frames",
+          "rms", "peak")
+    }),
+
     "m3_media_features" -> ((s, _) => {
       prep(s)
       // 2x2-grid mean-luminance embedding from REAL pixels; snapshot
@@ -565,6 +578,52 @@ object Genomic2 {
          |    ELSE greatest(CAST(floor(height * (4 / CAST(greatest(width,
          |      height) AS DOUBLE))) AS BIGINT), 1) END AS resized_h
          |FROM wh""".stripMargin,
+
+    // m4: full-value WAV oracle — every field (header AND amplitude
+    // stats) re-derived from the raw bytes in SQL; the canonical 44-byte
+    // fixture layout makes the fixed offsets exact. b = 1-based byte
+    // list; channels LE u16 @22, rate LE u32 @24, data size LE u32 @40,
+    // samples int16 LE from @44.
+    "m4_audio_features" ->
+      s"""WITH d AS (
+         |  SELECT media_id, hex(payload) AS h,
+         |         octet_length(payload) AS n
+         |  FROM ${pq("audio")}),
+         |hb AS (
+         |  SELECT media_id, n,
+         |    list_transform(range(0, n), i ->
+         |      (strpos('0123456789ABCDEF', substr(h, 2*i + 1, 1)) - 1)
+         |        * 16 +
+         |      strpos('0123456789ABCDEF', substr(h, 2*i + 2, 1)) - 1)
+         |      AS b
+         |  FROM d),
+         |meta AS (
+         |  SELECT media_id, n, b,
+         |    (n >= 46 AND b[1]=82 AND b[2]=73 AND b[3]=70 AND b[4]=70
+         |       AND b[9]=87 AND b[10]=65 AND b[11]=86 AND b[12]=69
+         |       AND b[21] + 256*b[22] = 1
+         |       AND b[35] + 256*b[36] = 16) AS ok,
+         |    b[23] + 256*b[24] AS channels,
+         |    b[25] + 256*b[26] + 65536*b[27] + 16777216*b[28]
+         |      AS sample_rate,
+         |    b[41] + 256*b[42] + 65536*b[43] + 16777216*b[44] AS dsz
+         |  FROM hb),
+         |s AS (
+         |  SELECT media_id, channels, sample_rate,
+         |    list_transform(range(0, least(dsz, n - 44) // 2), k ->
+         |      CASE WHEN b[45 + 2*k] + 256*b[46 + 2*k] >= 32768
+         |           THEN b[45 + 2*k] + 256*b[46 + 2*k] - 65536
+         |           ELSE b[45 + 2*k] + 256*b[46 + 2*k] END) AS sm
+         |  FROM meta WHERE ok)
+         |SELECT media_id,
+         |  CAST(sample_rate AS BIGINT) AS sample_rate,
+         |  CAST(channels AS BIGINT) AS channels,
+         |  CAST(len(sm) // channels AS BIGINT) AS n_frames,
+         |  round(sqrt(list_sum(list_transform(sm, v -> CAST(v AS DOUBLE)
+         |    * v)) / len(sm)), 4) AS rms,
+         |  CAST(list_max(list_transform(sm, v -> abs(v))) AS BIGINT)
+         |    AS peak
+         |FROM s WHERE len(sm) > 0""".stripMargin,
 
     // m3: pixel-derived features need a DEFLATE inflater, which SQL
     // lacks — snapshot oracle (graft.tools.Snapshot regenerates);

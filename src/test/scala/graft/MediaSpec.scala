@@ -86,4 +86,51 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     // means are real pixel statistics, so they stay in (0, 1) here
     assert(rows.values.forall(v => v._3 >= 0.0 && v._3 <= 1.0))
   }
+
+  test("wav decode: hand-computed RMS/peak, chunk walk, NULL on poison") {
+    val s = spark
+    import s.implicits._
+    // canonical header builder matching the fixture generator
+    def wav(ch: Int, rate: Int, pre: Array[Byte],
+            samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + pre.length + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + pre.length + dataLen)
+        .put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16)
+        .putShort(1).putShort(ch.toShort).putInt(rate)
+        .putInt(rate * ch * 2).putShort((ch * 2).toShort).putShort(16)
+        .put(pre)
+        .put("data".getBytes).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // an extra LIST chunk between fmt and data: the fixed-offset layout
+    // breaks, only a real chunk walk finds the data
+    val listChunk = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes).putInt(4).put("INFO".getBytes).array()
+    val samples = Array[Short](1000, -1000, 32767, -32768)
+    val rows = Multimodal.decodeAudio(Seq(
+      ("plain", wav(1, 8000, Array.emptyByteArray, samples)),
+      ("chunked", wav(2, 44100, listChunk, samples)),
+      ("poison", Array[Byte](1, 2, 3, 4)))
+      .toDF("media_id", "payload"))
+      .collect().map(r => r.getAs[String]("media_id") -> r).toMap
+    val expectRms = BigDecimal(math.sqrt(
+      samples.map(v => v.toDouble * v).sum / 4))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val p = rows("plain")
+    assert(p.getAs[Long]("sample_rate") == 8000L &&
+      p.getAs[Long]("channels") == 1L && p.getAs[Long]("n_frames") == 4L)
+    assert(p.getAs[Double]("rms") == expectRms)
+    assert(p.getAs[Long]("peak") == 32768L)
+    val c = rows("chunked")
+    assert(c.getAs[Long]("sample_rate") == 44100L &&
+      c.getAs[Long]("channels") == 2L && c.getAs[Long]("n_frames") == 2L)
+    assert(c.getAs[Double]("rms") == expectRms)
+    assert(rows("poison").isNullAt(
+      rows("poison").fieldIndex("sample_rate")))
+  }
 }
