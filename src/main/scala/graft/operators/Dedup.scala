@@ -436,10 +436,11 @@ object Dedup {
         "(component diameter exceeds maxIters); raise maxIters")
     // the result below reads only the final labels checkpoint
     Checkpoints.free(edges)
-    val sizes = labels.groupBy(col("label"))
-      .agg(count(lit(1)).as("cluster_size"))
+    // cluster sizes as a window over the final labels — one shuffle
+    // instead of a count groupBy plus a re-join
     labels.select(col("node").as("id"), col("label").as("cluster"))
-      .join(sizes.withColumnRenamed("label", "cluster"), Seq("cluster"))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
       .select("id", "cluster", "cluster_size")
   }
 
