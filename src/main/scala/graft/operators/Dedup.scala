@@ -598,6 +598,40 @@ object Dedup {
       .select("doc_id", "start_word", "end_word", "n_grams")
   }
 
+  /** Per-document duplication ratio: the fraction of a document's word
+    * `n`-grams that occur at least `minCount` times corpus-wide — the
+    * standard "duplicated content" filter signal for training corpora
+    * (drop/down-weight docs whose text is mostly boilerplate), and the
+    * scalar companion of [[duplicateSpans]] (which reports WHERE the
+    * duplicated passages are).
+    *
+    * Plan: the positional gram stream flags each gram against the
+    * (far smaller, AQE-broadcast) duplicated-hash table via a left join,
+    * then ONE per-doc groupBy computes total and duplicated counts
+    * together — corpus-linear, skew-immune (a boilerplate gram is one
+    * counter in the frequency agg).
+    */
+  def duplicationRatio(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 8, minCount: Long = 2L): DataFrame = {
+    val ws = text.words(col(textCol))
+    val grams = df
+      .select(col(idCol).as("doc_id"), ws.as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("ws")) - n),
+          i => md5(concat_ws(" ", slice(col("ws"), i + 1, lit(n))))))
+        .as("h"))
+    val dupGrams = grams.groupBy("h").agg(count(lit(1)).as("_cnt"))
+      .where(col("_cnt") >= minCount)
+      .select(col("h"), lit(1L).as("_d"))
+    grams.join(dupGrams, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_d"), lit(0L))).as("dup_grams"))
+      .withColumn("dup_ratio",
+        round(col("dup_grams").cast("double") / col("n_grams"), 5))
+  }
+
   /** Fuzzy (edit-distance) self-join over a derived fixed-length key —
     * the entity-resolution primitive (near-identical titles, names, URLs)
     * that exact and token-set dedup both miss. Candidate pairs are

@@ -158,6 +158,13 @@ object Documents {
         "text", n = 8)
     }),
 
+    "t12_dup_ratio" -> ((s, dir) => {
+      // corpus-wide duplicated-gram fraction per doc (the filter signal
+      // companion of d13's span coordinates)
+      Dedup.duplicationRatio(spread(t(s, dir, "documents")), "doc_id",
+        "text", n = 8)
+    }),
+
     "t5_decontaminate" -> ((s, dir) => {
       // docs sharing any 8-word gram with the pseudo eval set (id < 20)
       val docs = spread(t(s, dir, "documents"))
@@ -932,6 +939,20 @@ object Documents {
         |SELECT doc_id, min(pos) AS start_word, max(pos) + 7 AS end_word,
         |       CAST(count(*) AS BIGINT) AS n_grams
         |FROM d GROUP BY doc_id, grp""".stripMargin,
+
+    "t12_dup_ratio" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, md5(array_to_string(ws[(i+1):(i+8)], ' ')) AS h
+        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 7)) AS i
+        |        FROM w WHERE len(ws) >= 8)),
+        |f AS (SELECT h, 1 AS d FROM g GROUP BY h HAVING count(*) >= 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(coalesce(d, 0)) AS BIGINT) AS dup_grams,
+        |  round(sum(coalesce(d, 0))::DOUBLE / count(*), 5) AS dup_ratio
+        |FROM g LEFT JOIN f USING (h) GROUP BY doc_id""".stripMargin,
 
     "t5_decontaminate" ->
       """WITH w AS (

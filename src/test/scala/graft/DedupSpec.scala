@@ -119,5 +119,13 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 2L, 5L, 2L),
       // doc 3: all 7 gram starts duplicated -> one span covering 0..8
       (3L, 0L, 8L, 7L)))
+    // the scalar companion: duplicated fraction per doc on the same docs
+    val ratios = Dedup.duplicationRatio(docs, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(ratios(1L) == ((6L, 2L, 0.33333))) // 2 of 6 trigrams dup
+    assert(ratios(3L) == ((7L, 7L, 1.0)))     // pure self-repetition
+    assert(!ratios.contains(4L))              // too short for any gram
   }
 }
