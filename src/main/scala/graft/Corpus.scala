@@ -17,6 +17,7 @@ import graft.operators.Dedup
   *   [-min_quality 0.45]   heuristic quality floor in [0,1] (t2)
   *   [-gopher 1]           Gopher rule filter (t6)
   *   [-pii 1]              redact emails/phones/IPv4 in place (t8)
+  *   [-max_dup_ratio 0.5]  drop docs above this duplicated-gram cap (t12)
   *   [-dedup near]         exact | near | none (d1 / d2+d6+d10 / skip)
   *   [-jaccard 0.8]        near-dup verification threshold
   *   [-format parquet]     parquet | jsonl output
@@ -71,6 +72,17 @@ object Corpus {
       df = df.withColumn("text",
         text.redactPii(col("text")).getField("redacted"))
       record("pii")
+    }
+    opts.get("max_dup_ratio").map(_.toDouble).foreach { r =>
+      // corpus-wide duplicated-content filter (t12): drop docs whose
+      // word-8-gram duplication fraction exceeds the cap; docs too short
+      // to form a gram carry ratio 0 and are kept
+      val ratios = Dedup.duplicationRatio(df, "doc_id", "text")
+        .select(col("doc_id"), col("dup_ratio"))
+      df = df.join(ratios, Seq("doc_id"), "left")
+        .where(coalesce(col("dup_ratio"), lit(0.0)) <= r)
+        .drop("dup_ratio")
+      record(s"dup_ratio<=$r")
     }
 
     opts.getOrElse("dedup", "near") match {

@@ -164,4 +164,28 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 3L))
   }
+
+  test("Corpus -max_dup_ratio drops boilerplate-heavy docs, keeps short " +
+    "ones") {
+    val s2 = spark
+    import s2.implicits._
+    val out = s"${sys.props("java.io.tmpdir")}/graft-corpus-dup-" +
+      ProcessHandle.current.pid
+    // alphabetic-distinct words: text.words strips digits, so "w1..w50"
+    // would collapse to one repeated token and look fully duplicated
+    def w(prefix: Char, i: Int) =
+      s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val passage = (0 until 50).map(w('s', _)).mkString(" ")
+    Seq(
+      (1L, passage),                      // 100% duplicated grams
+      (2L, passage + " tail unique bit"), // mostly duplicated
+      (3L, (0 until 50).map(w('f', _)).mkString(" ")), // 0% dup
+      (4L, "too short"))                  // no 8-gram: ratio 0, kept
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(out)
+    val got = Corpus.run(spark, Map(
+      "i" -> out, "dedup" -> "none", "max_dup_ratio" -> "0.5",
+      "report" -> "0"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L, 4L))
+  }
 }
