@@ -219,6 +219,23 @@ object Similarity {
                   dim: Int, subspaces: Int, centStep: Long,
                   qId: String = "qid", qVec: String = "qvec",
                   cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    val rec = pqReconstruct(corpus, dim, subspaces, centStep, cId, cVec)
+    val scored = rec.crossJoin(broadcast(queries))
+      .select(col(qId), col(cId),
+        round(call_function("graft_cosine",
+          col(qVec).cast("array<double>"), col("rvec")), 5).as("cosine"))
+    topKPerQuery(scored, k, qId, cId)
+  }
+
+  /** PQ encode + reconstruct: (cId, rvec) with rvec the concatenation of
+    * each subspace's nearest sub-centroid — the shared compression step
+    * behind [[knnCosinePq]] and [[knnCosineIvfPq]]. See knnCosinePq for
+    * the determinism contract.
+    */
+  private[operators] def pqReconstruct(corpus: DataFrame, dim: Int,
+                                       subspaces: Int, centStep: Long,
+                                       cId: String,
+                                       cVec: String): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     graft.plans.BoundedTopK.register(corpus.sparkSession)
     require(dim % subspaces == 0, "dim must divide evenly into subspaces")
@@ -244,12 +261,48 @@ object Similarity {
         "(struct(-l2, code), 1)").as("_tk"))
       .select(col(cId), col("sub"), col("_tk")(0).getField("id").as("code"))
     // reconstruct in subspace order
-    val rec = codes.join(broadcast(cb), Seq("sub", "code"))
+    codes.join(broadcast(cb), Seq("sub", "code"))
       .groupBy(col(cId))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("sub"), col("scv")))),
         e => e.getField("scv"))).as("rvec"))
-    val scored = rec.crossJoin(broadcast(queries))
+  }
+
+  /** IVF-PQ: the production ANN composition — IVF coarse pruning bounds
+    * HOW MANY candidates each query scores (~|corpus| * nprobe / nlist)
+    * while PQ compression bounds WHAT the search path holds per
+    * candidate (`subspaces` sub-centroids instead of `dim` floats).
+    * Candidates from the probed lists are scored against their PQ
+    * reconstructions (exact-ADC contract, see [[knnCosinePq]]); both
+    * codebooks are deterministic corpus samples, swappable for trained
+    * ones without touching the plan shape.
+    */
+  def knnCosineIvfPq(queries: DataFrame, corpus: DataFrame, k: Int,
+                     ivfStep: Long, nprobe: Int,
+                     dim: Int, subspaces: Int, pqStep: Long,
+                     qId: String = "qid", qVec: String = "qvec",
+                     cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(call_function("graft_cosine", a.cast("array<double>"),
+        b.cast("array<double>")), 5)
+    val cents = broadcast(sampleCodebook(corpus, ivfStep, cId, cVec))
+    val assign = topKPerQuery(
+      corpus.crossJoin(cents)
+        .select(col(cId), col("centId"),
+          cos(col(cVec), col("centVec")).as("cosine")),
+      1, cId, "centId")
+      .select(col(cId), col("centId"))
+    val probes = topKPerQuery(
+      queries.crossJoin(cents)
+        .select(col(qId), col("centId"),
+          cos(col(qVec), col("centVec")).as("cosine")),
+      nprobe, qId, "centId")
+      .select(col(qId), col("centId"))
+    val rec = pqReconstruct(corpus, dim, subspaces, pqStep, cId, cVec)
+    val scored = probes.join(assign, Seq("centId"))
+      .join(rec, Seq(cId))
+      .join(broadcast(queries), Seq(qId))
       .select(col(qId), col(cId),
         round(call_function("graft_cosine",
           col(qVec).cast("array<double>"), col("rvec")), 5).as("cosine"))

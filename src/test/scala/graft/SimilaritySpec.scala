@@ -92,4 +92,20 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     // lossy 4x16-dim codes: recall floor well above chance (5/500)
     assert(r >= 0.2)
   }
+
+  test("IVF-PQ composes both approximations without collapsing recall") {
+    val ivfpq = Similarity.knnCosineIvfPq(q, c, k = 5, ivfStep = 64,
+      nprobe = 3, dim = 64, subspaces = 4, pqStep = 64)
+    val rBoth = recallAt(5, ivfpq)
+    val rPq = recallAt(5, Similarity.knnCosinePq(q, c, k = 5, dim = 64,
+      subspaces = 4, centStep = 64))
+    info(f"IVF-PQ recall@5=$rBoth%.3f (PQ alone $rPq%.3f)")
+    // NOT bounded by PQ-alone recall: pruning a candidate the lossy PQ
+    // scorer ranked falsely high can promote a true neighbor into the
+    // top-k (measured here: 0.238 composed vs 0.225 PQ-alone). Assert
+    // only the usable floor and that every query still fills its top-5.
+    val counts = ivfpq.groupBy("qid").count().collect()
+    assert(counts.length == 16 && counts.forall(_.getLong(1) == 5))
+    assert(rBoth >= 0.15)
+  }
 }
