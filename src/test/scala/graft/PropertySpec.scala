@@ -140,6 +140,43 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental LSH dedup == full-corpus run filtered to the batch, " +
+    "on random corpora") {
+    val s = spark
+    import s.implicits._
+    // random base docs plus one-word-mutated copies: the copies share
+    // most shingles (J ~ 0.6-0.8), so real pairs cross the 0.5 verify
+    // threshold and the incremental path exercises shared buckets
+    val gen = Gen.listOfN(15,
+      Gen.listOfN(8, Gen.oneOf("red", "green", "blue", "cyan", "plum",
+        "teal")).map(_.mkString(" ")))
+    for (seed <- 4L to 6L) {
+      val bases = sample(gen, seed)
+      val variants = bases.take(8).map(t =>
+        t.split(" ").dropRight(1).mkString(" ") + " zebra")
+      val texts = (bases ++ variants).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val docs = texts.toDF("doc_id", "text")
+      val newDocs = docs.where(col("doc_id") % 4 === 0)
+      val old = docs.where(col("doc_id") % 4 =!= 0)
+      val got = graft.operators.Dedup.minhashLshIncremental(
+        newDocs, old,
+        graft.operators.Dedup.minhashBuckets(old, "doc_id", "text"),
+        "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      graft.operators.Dedup.releaseCaches()
+      val expect = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(p => p._1 % 4 == 0 || p._2 % 4 == 0)
+        .toSet
+      graft.operators.Dedup.releaseCaches()
+      assert(got == expect, s"seed $seed")
+      assert(expect.nonEmpty, s"seed $seed produced no pairs — " +
+        "weaken the vocab so the property actually bites")
+    }
+  }
+
   test("duplicateSpans == brute-force maximal duplicated-gram runs") {
     val s = spark
     import s.implicits._
