@@ -174,6 +174,19 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == expect, s"seed $seed")
       assert(expect.nonEmpty, s"seed $seed produced no pairs — " +
         "weaken the vocab so the property actually bites")
+      // the streaming ingest gate is the CROSS slice of the same truth:
+      // one side arriving, one side indexed, reoriented (new_id, dup_id)
+      val streamGot = graft.streaming.StreamDedup.ingestDedup(
+        newDocs, old,
+        graft.operators.Dedup.minhashBuckets(old, "doc_id", "text"),
+        "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      graft.operators.Dedup.releaseCaches()
+      val streamExpect = expect
+        .filter(p => (p._1 % 4 == 0) != (p._2 % 4 == 0))
+        .map(p => if (p._1 % 4 == 0) p else (p._2, p._1, p._3))
+      assert(streamGot == streamExpect, s"seed $seed (stream)")
     }
   }
 
