@@ -250,6 +250,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_bounded_top_k"), p)
   }
 
+  test("s6 IVF-PQ: codebook joins broadcast, candidates join by hash — " +
+    "no cartesian product anywhere") {
+    val p = plan("s6_ivfpq_ann")
+    // the only nested-loop joins are the broadcast tiny-codebook scans;
+    // a CartesianProduct would mean a corpus x corpus (or corpus x
+    // query) blow-up that cannot survive at scale
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    // candidate scoring reaches the corpus through hash joins on the
+    // list/vector ids, with the bounded top-k partial-aggregated
+    assert(p.contains("partial_bounded_top_k"), p)
+  }
+
   test("e11 ingest dedup joins the corpus index by broadcast — the " +
     "arriving batch's shingle arrays never cross a shuffle") {
     val p = plan("e11_stream_ingest")
