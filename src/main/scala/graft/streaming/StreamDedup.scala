@@ -38,22 +38,34 @@ import graft.plans.GraftFunctions
   */
 object StreamDedup {
 
+  /** `watermark = Some((tsCol, delay))` bounds the band-collision dedup
+    * state on a real stream: duplicates of a pair all originate from ONE
+    * input row's band explode (same micro-batch), so any non-zero delay
+    * suffices — without it Spark's dropDuplicates keeps every seen pair
+    * key forever. Batch callers (the e11 gate) leave it None.
+    */
   def ingestDedup(stream: DataFrame, corpus: DataFrame,
                   corpusBuckets: DataFrame,
                   idCol: String, textCol: String,
                   shingleWords: Int = 3, bands: Int = 8, rows: Int = 2,
                   jaccardThreshold: Double = 0.5,
-                  maxBucketSize: Int = 1000): DataFrame = {
+                  maxBucketSize: Int = 1000,
+                  watermark: Option[(String, String)] = None): DataFrame = {
     GraftFunctions.register(stream.sparkSession)
     val k = bands * rows
-    val arrivals = stream.select(col(idCol).as("new_id"),
+    val marked = watermark match {
+      case Some((ts, delay)) => stream.withWatermark(ts, delay)
+      case None => stream
+    }
+    val tsCols = watermark.map(w => col(w._1)).toSeq
+    val arrivals = marked.select(col(idCol).as("new_id") +: tsCols :+
         array_distinct(call_function("graft_word_shingles",
-          text.words(col(textCol)), lit(shingleWords))).as("sh1"))
+          text.words(col(textCol)), lit(shingleWords))).as("sh1"): _*)
       .where(size(col("sh1")) > 0)
       .withColumn("sig",
         call_function("graft_minhash_sig", col("sh1"), lit(k)))
-      .select(col("new_id"), col("sh1"),
-        explode(hashing.bandKeys(col("sig"), bands, rows)).as("bucket"))
+      .select(col("new_id") +: tsCols :+ col("sh1") :+
+        explode(hashing.bandKeys(col("sig"), bands, rows)).as("bucket"): _*)
     // skew cap on the static side: a boilerplate bucket with > cap
     // corpus members would fan every arriving doc out quadratically;
     // dropping it costs recall only (the batch operators' same guard)
@@ -63,9 +75,13 @@ object StreamDedup {
       .select("bucket")
     val idx = corpusBuckets.join(okIdx, Seq("bucket"))
       .withColumnRenamed("id", "dup_id")
-    val cand = arrivals.join(idx, Seq("bucket"))
-      .select("new_id", "dup_id", "sh1")
-      .dropDuplicates("new_id", "dup_id")
+    val withDup = arrivals.join(idx, Seq("bucket"))
+      .select(col("new_id") +: tsCols :+ col("dup_id") :+ col("sh1"): _*)
+    val cand = (watermark match {
+      case Some(_) => withDup.dropDuplicatesWithinWatermark(
+        "new_id", "dup_id")
+      case None => withDup.dropDuplicates("new_id", "dup_id")
+    }).drop(watermark.map(_._1).toSeq: _*)
     val cdocs = corpus.select(col(idCol).as("dup_id"),
         array_distinct(call_function("graft_word_shingles",
           text.words(col(textCol)), lit(shingleWords))).as("sh2"))

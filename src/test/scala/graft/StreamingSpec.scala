@@ -247,17 +247,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (10L, "the quick brown fox jumps over the lazy dog tonight"),
       (11L, "pack my box with five dozen quality liquor jugs here"),
       (12L, "nothing like anything the corpus has ever seen before"))
-    val mem = MemoryStream[(Long, String)]
-    val stream = mem.toDF().toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts")
+    // watermarked form: band-collision dedup state is bounded instead of
+    // growing with every pair ever seen (batch gate callers pass None)
     val q = graft.streaming.StreamDedup
       .ingestDedup(stream, corpus, idx, "doc_id", "text",
-        jaccardThreshold = 0.3)
+        jaccardThreshold = 0.3, watermark = Some(("ts", "10 minutes")))
       .writeStream.format("memory").queryName("ingest")
       .outputMode("append").start()
     // split arrivals across two micro-batches
-    mem.addData(arriving.take(1): _*)
+    val timed = arriving.zipWithIndex.map { case ((id, t), i) =>
+      (id, t, ts(i + 1)) }
+    mem.addData(timed.take(1): _*)
     q.processAllAvailable()
-    mem.addData(arriving.drop(1): _*)
+    mem.addData(timed.drop(1): _*)
     q.processAllAvailable()
     val streamed = spark.table("ingest").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
