@@ -202,7 +202,8 @@ object Dedup {
     // shingle table in minhashLsh this one is candidate-pruned (bounded by
     // the surviving pair count, not the corpus), so it stays small at scale
     val docs = tracked(
-      needed.unionByName(newDocs.select(needed.columns.map(col): _*))
+      needed.unionByName(
+        newDocs.select(needed.columns.toIndexedSeq.map(col): _*))
       .select(col(idCol).as("id"),
         array_distinct(call_function("graft_word_shingles",
           text.words(col(textCol)), lit(shingleWords))).as("shingles"))

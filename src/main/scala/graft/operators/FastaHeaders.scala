@@ -109,8 +109,9 @@ object FastaHeaders {
           transcriptPrefix + "(.*)", 1), "_").getItem(0)))
       .drop("vid")
 
-    val gened = refT.unionByName(hapT.select(refT.columns.map(col): _*))
-      .unionByName(varT.select(refT.columns.map(col): _*))
+    val gened = refT.unionByName(
+      hapT.select(refT.columns.toIndexedSeq.map(col): _*))
+      .unionByName(varT.select(refT.columns.toIndexedSeq.map(col): _*))
       .join(geneMap, Seq("transcript"))
       .groupBy("accession", "tag", "sequence")
       .agg(array_distinct(sort_array(collect_list(col("gene"))))
