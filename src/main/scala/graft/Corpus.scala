@@ -98,15 +98,20 @@ object Corpus {
         val pairs = Dedup.minhashLsh(df, "doc_id", "text",
           jaccardThreshold = thr)
         val clusters = Dedup.duplicateClusters(pairs)
-        // d10's resolution: best quality per cluster, ties -> lowest id
+        // d10's resolution: best quality per cluster, ties -> lowest id.
+        // row_number over (q desc, id asc) works for ANY orderable id type
+        // (a -col("id") trick would null-cast string ids and drop every
+        // cluster member); clusters are capped-small so the per-cluster
+        // window never skews a partition.
         val quality = df.select(col("doc_id").as("id"),
           text.qualityScore(col("text")).as("q"))
-        val kept = clusters.join(quality, Seq("id"))
-          .groupBy(col("cluster"))
-          .agg(max(struct(col("q"), (-col("id")).as("_negId"))).as("m"))
-          .select((-col("m._negId")).as("doc_id"))
-        val losers = clusters.select(col("id").as("doc_id"))
-          .exceptAll(kept)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))
+          .orderBy(col("q").desc, col("id").asc)
+        val losers = clusters.join(quality, Seq("id"))
+          .withColumn("_rn", row_number().over(w))
+          .where(col("_rn") > 1)
+          .select(col("id").as("doc_id"))
         df = df.join(losers, Seq("doc_id"), "left_anti")
         record(s"dedup=near@$thr")
       case other => sys.error(s"unknown -dedup mode: $other")

@@ -141,6 +141,28 @@ object Dedup {
           lit(bands * rows)), bands, rows)).as("bucket"))
   }
 
+  /** Skew-caps a [[minhashBuckets]] index AT INDEX-BUILD TIME: annotates
+    * each (id, bucket) row with its bucket's corpus-side member count and
+    * drops rows of over-cap buckets. Persist the result alongside the
+    * index — [[graft.streaming.StreamDedup.ingestDedup]] then consumes it
+    * with NO aggregation over the index in the per-micro-batch query (at
+    * 100 TB the index is billions of rows; a per-batch groupBy over it
+    * would be the scale-killer this precompute removes). One window pass,
+    * same single bucket shuffle as the batch operators' inline cap.
+    *
+    * Index maintenance: after `idx.union(minhashBuckets(newDocs))` the
+    * stored sizes under-count the newly ingested members; that drift is
+    * recall-only (a bucket is never over-reported) and is squared away by
+    * re-running capIndex at the next index compaction.
+    */
+  def capIndex(corpusBuckets: DataFrame,
+               maxBucketSize: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    corpusBuckets
+      .withColumn("bucket_size", count(lit(1)).over(w))
+      .where(col("bucket_size") <= maxBucketSize)
+  }
+
   /** Incremental near-dup detection: the pairs a NEW ingest batch forms
     * with itself and with the existing corpus — without re-signing the
     * corpus. This is the production mode at 100 TB: the corpus's

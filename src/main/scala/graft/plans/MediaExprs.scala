@@ -266,7 +266,11 @@ object MediaExprs {
           dataOff = body
           dataLen = math.min(sz, (b.length - body).toLong).toInt
         }
-        pos = body + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        // chunks are word-aligned; walk in Long so a declared size near
+        // Int.MaxValue can't wrap pos negative and index out of bounds
+        // (poison-blob contract: malformed input -> null, never a throw)
+        val next = body.toLong + sz + (sz & 1L)
+        pos = if (next > b.length.toLong) b.length else next.toInt
       }
       if (fmt != 1 || bits != 16 || ch <= 0 || rate <= 0 ||
         dataOff < 0 || dataLen < 2) return null

@@ -131,7 +131,15 @@ object Documents {
         (_, cur) =>
           if (cur != null && !cur.sparkSession.sparkContext.isStopped) cur
           else Dedup.minhashBuckets(old, "doc_id", "text").localCheckpoint())
-      graft.streaming.StreamDedup.ingestDedup(newDocs, old, idx,
+      // the capped index is what production persists NEXT TO the raw one
+      // (capIndex at build time); memoized separately so the per-call
+      // streaming query never re-aggregates the index
+      val capped = bucketIdx.compute(
+        s"${System.identityHashCode(s)}|$dir|capped",
+        (_, cur) =>
+          if (cur != null && !cur.sparkSession.sparkContext.isStopped) cur
+          else Dedup.capIndex(idx).localCheckpoint())
+      graft.streaming.StreamDedup.ingestDedup(newDocs, old, capped,
         "doc_id", "text")
     }),
 

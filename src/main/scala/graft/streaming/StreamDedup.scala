@@ -21,10 +21,15 @@ import graft.plans.GraftFunctions
   *    static-index join below broadcasts, so the arrays never cross a
   *    shuffle anyway — the explode costs `bands` copies of each array
   *    in-memory only;
-  *  - the (id, bucket) corpus index — persisted state in production,
-  *    maintained with `corpusBuckets.union(minhashBuckets(batch))` — is
-  *    skew-capped and joined stream-static (broadcast when it fits);
-  *    only buckets an arriving doc touches produce rows;
+  *  - the corpus index — persisted state in production, maintained with
+  *    `corpusBuckets.union(minhashBuckets(batch))` and re-capped at
+  *    compaction — arrives ALREADY skew-capped ([[graft.operators.Dedup
+  *    .capIndex]]: (id, bucket, bucket_size), over-cap buckets dropped at
+  *    index-BUILD time) and is joined stream-static (broadcast when it
+  *    fits); the per-micro-batch query never aggregates the index — at
+  *    100 TB the index is billions of rows, and paying a groupBy over it
+  *    per batch would sink a low-latency ingest gate. Only buckets an
+  *    arriving doc touches produce rows;
   *  - band collisions are collapsed (dropDuplicates — all copies of a
   *    pair originate from the SAME input row's explode, so with
   *    exactly-once ingest the dedup state never matters across
@@ -38,7 +43,25 @@ import graft.plans.GraftFunctions
   */
 object StreamDedup {
 
-  /** `watermark = Some((tsCol, delay))` bounds the band-collision dedup
+  /** `corpusBuckets` MUST be a [[graft.operators.Dedup.capIndex]] result
+    * — (id, bucket, bucket_size), capped with the SAME `maxBucketSize`
+    * passed here.
+    *
+    * Skew-cap semantics differ by mode, deliberately:
+    *  - STREAMING (`watermark` set): corpus-side-only cap — the sizes
+    *    were precomputed at index-build time, and a stream cannot
+    *    window-count its own micro-batch's bucket membership (an
+    *    aggregation joined back to the same stream is unsupported), so
+    *    arriving members don't count toward the cap. Relative to the
+    *    batch operators' COMBINED-size cap this only WIDENS recall —
+    *    no pair a batch run keeps is ever dropped.
+    *  - BATCH (`watermark = None` — the e11 gate and its d2-derived
+    *    oracle): the batch's own per-bucket membership is folded in via
+    *    an aggregation over the ARRIVING BATCH only (never the index),
+    *    restoring the exact combined-size cap of
+    *    [[graft.operators.Dedup.minhashLshIncremental]].
+    *
+    * `watermark = Some((tsCol, delay))` bounds the band-collision dedup
     * state on a real stream: duplicates of a pair all originate from ONE
     * input row's band explode (same micro-batch), so any non-zero delay
     * suffices — without it Spark's dropDuplicates keeps every seen pair
@@ -66,16 +89,28 @@ object StreamDedup {
         call_function("graft_minhash_sig", col("sh1"), lit(k)))
       .select(col("new_id") +: tsCols :+ col("sh1") :+
         explode(hashing.bandKeys(col("sig"), bands, rows)).as("bucket"): _*)
-    // skew cap on the static side: a boilerplate bucket with > cap
-    // corpus members would fan every arriving doc out quadratically;
-    // dropping it costs recall only (the batch operators' same guard)
-    val okIdx = corpusBuckets.groupBy("bucket")
-      .agg(count(lit(1)).as("_bsz"))
-      .where(col("_bsz") <= maxBucketSize)
-      .select("bucket")
-    val idx = corpusBuckets.join(okIdx, Seq("bucket"))
-      .withColumnRenamed("id", "dup_id")
-    val withDup = arrivals.join(idx, Seq("bucket"))
+    require(corpusBuckets.columns.contains("bucket_size"),
+      "corpusBuckets must be a pre-capped Dedup.capIndex result " +
+        "(id, bucket, bucket_size): the skew cap is computed at " +
+        "index-build time, never per micro-batch")
+    val idx = corpusBuckets.withColumnRenamed("id", "dup_id")
+    val cappedIdx = watermark match {
+      case Some(_) =>
+        // streaming: over-cap buckets were already dropped by capIndex;
+        // nothing in this plan aggregates the index (see scaladoc)
+        idx.drop("bucket_size")
+      case None =>
+        // batch/gate: fold the arriving batch's own bucket membership
+        // into the cap — combined-size semantics, oracle-aligned. The
+        // groupBy runs over the batch's exploded band keys only (bucket
+        // column alone — the shingle arrays stay out of this shuffle).
+        val batchSizes = arrivals.select("bucket")
+          .groupBy("bucket").agg(count(lit(1)).as("_nsz"))
+        idx.join(batchSizes, Seq("bucket"))
+          .where(col("bucket_size") + col("_nsz") <= lit(maxBucketSize.toLong))
+          .select("bucket", "dup_id")
+    }
+    val withDup = arrivals.join(cappedIdx, Seq("bucket"))
       .select(col("new_id") +: tsCols :+ col("dup_id") :+ col("sh1"): _*)
     val cand = (watermark match {
       case Some(_) => withDup.dropDuplicatesWithinWatermark(

@@ -56,7 +56,7 @@ object Profile3 {
 
     // ---- pepx: index build vs kmer join vs verify
     val nDocs = docs.count()
-    val aas = "ACDEFGHLKLMNPQRSTVWY"
+    val aas = "ACDEFGHIKLMNPQRSTVWY"
     def aa(seed: org.apache.spark.sql.Column) =
       lit(aas).substr((pmod(hash(seed), lit(20)) + 1).cast("int"), lit(1))
     val prots = spark.range(nDocs * 10)

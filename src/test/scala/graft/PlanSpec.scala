@@ -275,4 +275,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no hash exchange may partition on it or carry it as a join key
     assert(!p.contains("hashpartitioning(sh1"), p)
   }
+
+  test("e11 streaming mode: the per-micro-batch plan has NO aggregation " +
+    "and no window — the index skew cap is precomputed at build time") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Window => LWindow}
+    val corpus = spark.range(20).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("alpha beta gamma delta"),
+        col("id").cast("string")).as("text"))
+    // capIndex runs at index-build time; the checkpoint stands in for the
+    // persisted parquet the production ingest gate would read
+    val idx = graft.operators.Dedup.capIndex(graft.operators.Dedup
+      .minhashBuckets(corpus, "doc_id", "text")).localCheckpoint()
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+      .select(col("value").as("doc_id"),
+        lit("alpha beta gamma delta five").as("text"),
+        col("timestamp").as("ts"))
+    val out = graft.streaming.StreamDedup.ingestDedup(stream, corpus, idx,
+      "doc_id", "text", watermark = Some(("ts", "10 minutes")))
+    // analyzed, not optimized: a streaming frame can't run the batch
+    // optimizer path, and Aggregate/Window nodes are present (or absent)
+    // from analysis already — nothing later introduces one
+    val lp = out.queryExecution.analyzed
+    assert(lp.collect { case a: Aggregate => a }.isEmpty,
+      s"streaming ingest plan re-aggregates per micro-batch:\n$lp")
+    assert(lp.collect { case w: LWindow => w }.isEmpty,
+      s"streaming ingest plan contains a window pass:\n$lp")
+  }
 }

@@ -178,7 +178,8 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       // one side arriving, one side indexed, reoriented (new_id, dup_id)
       val streamGot = graft.streaming.StreamDedup.ingestDedup(
         newDocs, old,
-        graft.operators.Dedup.minhashBuckets(old, "doc_id", "text"),
+        graft.operators.Dedup.capIndex(
+          graft.operators.Dedup.minhashBuckets(old, "doc_id", "text")),
         "doc_id", "text")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSet

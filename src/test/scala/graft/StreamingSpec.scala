@@ -241,8 +241,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, "pack my box with five dozen quality liquor jugs now"),
       (3L, "completely unrelated text about gardening and soil care"))
       .toDF("doc_id", "text")
-    val idx = graft.operators.Dedup
-      .minhashBuckets(corpus, "doc_id", "text").localCheckpoint()
+    // pre-capped at "index build": what production persists for ingest
+    val idx = graft.operators.Dedup.capIndex(graft.operators.Dedup
+      .minhashBuckets(corpus, "doc_id", "text")).localCheckpoint()
     val arriving = Seq(
       (10L, "the quick brown fox jumps over the lazy dog tonight"),
       (11L, "pack my box with five dozen quality liquor jugs here"),
