@@ -18,6 +18,9 @@ import graft.operators.Dedup
   *   [-gopher 1]           Gopher rule filter (t6)
   *   [-pii 1]              redact emails/phones/IPv4 in place (t8)
   *   [-max_dup_ratio 0.5]  drop docs above this duplicated-gram cap (t12)
+  *   [-cut_spans 1]        REMOVE corpus-duplicated word-8-gram spans,
+  *                         keep-first-occurrence (d13 find + d14 cut);
+  *                         output text becomes word-normalized
   *   [-dedup near]         exact | near | none (d1 / d2+d6+d10 / skip)
   *   [-jaccard 0.8]        near-dup verification threshold
   *   [-format parquet]     parquet | jsonl output
@@ -83,6 +86,16 @@ object Corpus {
         .where(coalesce(col("dup_ratio"), lit(0.0)) <= r)
         .drop("dup_ratio")
       record(s"dup_ratio<=$r")
+    }
+    if (opts.getOrElse("cut_spans", "0") == "1") {
+      // substring-level dedup (d14): later occurrences of duplicated
+      // 8-gram runs are cut from the text; every doc survives (possibly
+      // emptied), so this never drops rows — only shrinks them
+      val cut = Dedup.cutDuplicateSpans(df, "doc_id", "text")
+        .select(col("doc_id"), col("text_cut"))
+      df = df.join(cut, Seq("doc_id"))
+        .withColumn("text", col("text_cut")).drop("text_cut")
+      record("cut_spans")
     }
 
     opts.getOrElse("dedup", "near") match {

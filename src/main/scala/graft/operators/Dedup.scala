@@ -655,6 +655,70 @@ object Dedup {
         round(col("dup_grams").cast("double") / col("n_grams"), 5))
   }
 
+  /** Duplicate-span REMOVAL — the apply step on top of [[duplicateSpans]]
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22: find duplicated substrings, then CUT them).
+    * Keep-first-occurrence policy: for every word `n`-gram that occurs
+    * `minCount`+ times corpus-wide, the globally first occurrence (by
+    * (doc_id, pos) order) survives; every later occurrence's word range
+    * is removed from its document. Self-repetition inside one document
+    * collapses to the first copy the same way.
+    *
+    * Output: (doc_id, text_cut, cut_words) for EVERY input document —
+    * text_cut is the surviving words joined by single spaces (the same
+    * word normalization the span finder uses: [a-z]+ of the lowercased
+    * text), cut_words the number removed.
+    *
+    * Scale shape — linear like [[duplicateSpans]], never pairwise:
+    *  1. positional gram stream (one md5 per word position);
+    *  2. ONE gram groupBy computes count + arg-min(doc_id, pos) together
+    *     (partial-aggregated: a boilerplate gram shared by millions of
+    *     docs is one (count, min) cell, not a pair explosion); only
+    *     duplicated hashes survive, so the join back is against a table
+    *     FAR smaller than the gram stream (AQE broadcasts it when it
+    *     fits);
+    *  3. per-doc gaps-and-islands window merges cut positions into
+    *     maximal spans, collected per doc (bounded by doc length);
+    *  4. the cut itself is a codegen'd array filter against the per-doc
+    *     span list — no shuffle touches the text column except the final
+    *     doc-keyed span join.
+    */
+  def cutDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 8, minCount: Long = 2L): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"),
+      text.words(col(textCol)).as("ws"))
+    val grams = docs
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("ws")) - n),
+          i => md5(concat_ws(" ", slice(col("ws"), i + 1, lit(n)))))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("h"))
+    val firsts = grams.groupBy("h")
+      .agg(count(lit(1)).as("_cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("_first"))
+      .where(col("_cnt") >= minCount)
+      .select("h", "_first")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val spans = grams.join(firsts, Seq("h"))
+      .where(struct(col("doc_id"), col("pos")) =!= col("_first"))
+      .withColumn("_grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (n - 1)).as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("_spans"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .withColumn("_kept", when(col("_spans").isNull, col("ws"))
+        .otherwise(filter(col("ws"), (_, i) =>
+          !exists(col("_spans"), sp =>
+            i.cast("long") >= sp.getField("s") &&
+              i.cast("long") <= sp.getField("e")))))
+      .select(col("doc_id"),
+        concat_ws(" ", col("_kept")).as("text_cut"),
+        (size(col("ws")) - size(col("_kept"))).cast("long").as("cut_words"))
+  }
+
   /** Fuzzy (edit-distance) self-join over a derived fixed-length key —
     * the entity-resolution primitive (near-identical titles, names, URLs)
     * that exact and token-set dedup both miss. Candidate pairs are

@@ -166,6 +166,15 @@ object Documents {
         "text", n = 8)
     }),
 
+    "d14_cut_spans" -> ((s, dir) => {
+      // the APPLY step over d13's spans: remove every later occurrence
+      // of a corpus-duplicated word-8-gram run, keep the globally first
+      // (Lee et al. ACL'22 — find the spans, then cut them). One row per
+      // input doc, word-normalized surviving text + cut count.
+      Dedup.cutDuplicateSpans(spread(t(s, dir, "documents")), "doc_id",
+        "text", n = 8)
+    }),
+
     "t12_dup_ratio" -> ((s, dir) => {
       // corpus-wide duplicated-gram fraction per doc (the filter signal
       // companion of d13's span coordinates)
@@ -960,6 +969,44 @@ object Documents {
         |SELECT doc_id, min(pos) AS start_word, max(pos) + 7 AS end_word,
         |       CAST(count(*) AS BIGINT) AS n_grams
         |FROM d GROUP BY doc_id, grp""".stripMargin,
+
+    "d14_cut_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |         md5(array_to_string(ws[(i+1):(i+8)], ' ')) AS h
+        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 7)) AS i
+        |        FROM w WHERE len(ws) >= 8)),
+        |fr AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+        |    count(*) OVER (PARTITION BY h) AS cnt
+        |  FROM g),
+        |cut AS (SELECT doc_id, pos FROM fr WHERE cnt >= 2 AND rn > 1),
+        |sp AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+        |  FROM (SELECT doc_id, pos,
+        |          pos - row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY pos) AS grp
+        |        FROM cut)
+        |  GROUP BY doc_id, grp),
+        |spl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+        |        FROM sp GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CASE WHEN spl.spans IS NULL THEN array_to_string(ws, ' ')
+        |       ELSE coalesce(array_to_string(
+        |         [ws[i+1] for i in range(0, len(ws))
+        |          if len(list_filter(spl.spans,
+        |               sp -> i >= sp.s AND i <= sp.e)) = 0],
+        |         ' '), '') END AS text_cut,
+        |  CASE WHEN spl.spans IS NULL THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(len(ws) - len([ws[i+1] for i in range(0, len(ws))
+        |          if len(list_filter(spl.spans,
+        |               sp -> i >= sp.s AND i <= sp.e)) = 0])
+        |         AS BIGINT) END AS cut_words
+        |FROM w LEFT JOIN spl USING (doc_id)""".stripMargin,
 
     "t12_dup_ratio" ->
       """WITH w AS (

@@ -165,6 +165,35 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(1L, 3L))
   }
 
+  test("Corpus -cut_spans rewrites text via cutDuplicateSpans, dropping " +
+    "no rows") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    val out = s"${sys.props("java.io.tmpdir")}/graft-corpus-cut-" +
+      ProcessHandle.current.pid
+    def w(prefix: Char, i: Int) =
+      s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val passage = (0 until 20).map(w('s', _)).mkString(" ")
+    Seq(
+      (1L, passage),            // first owner: untouched
+      (2L, passage + " " + (0 until 10).map(w('t', _)).mkString(" ")),
+      (3L, "too short"))        // no 8-gram: normalized only
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(out)
+    val got = Corpus.run(spark, Map(
+      "i" -> out, "dedup" -> "none", "cut_spans" -> "1", "report" -> "0"))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // stage parity with the d14 operator on the same input
+    val expect = operators.Dedup.cutDuplicateSpans(
+      spark.read.parquet(out), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expect)
+    assert(got(1L) == passage)               // first occurrence survives
+    assert(got(2L) == (0 until 10).map(w('t', _)).mkString(" "))
+    assert(got(3L) == "too short")
+  }
+
   test("Corpus -max_dup_ratio drops boilerplate-heavy docs, keeps short " +
     "ones") {
     val s2 = spark

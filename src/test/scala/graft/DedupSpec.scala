@@ -128,4 +128,24 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ratios(3L) == ((7L, 7L, 1.0)))     // pure self-repetition
     assert(!ratios.contains(4L))              // too short for any gram
   }
+
+  test("cutDuplicateSpans keeps the globally first occurrence and cuts " +
+    "every later one, collapsing self-repetition") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // first owner of trigrams cde, def
+      (2L, "x y c d e f z w"), // later occurrence -> words 2..5 cut
+      (3L, "p q r p q r p q r"), // self-repetition -> one copy survives
+      (4L, "u v")) // too short for any trigram: untouched
+      .toDF("doc_id", "text")
+    val cut = Dedup.cutDuplicateSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(cut(1L) == (("a b c d e f g h", 0L))) // first occurrence kept
+    assert(cut(2L) == (("x y z w", 4L)))
+    // doc 3: cut gram starts {3,4,5,6} cover words 3..8; first copy stays
+    assert(cut(3L) == (("p q r", 6L)))
+    assert(cut(4L) == (("u v", 0L)))
+  }
 }
