@@ -227,6 +227,47 @@ object Similarity {
     topKPerQuery(scored, k, qId, cId)
   }
 
+  /** PQ with a TRAINED codebook: any (centId, centVec) table — typically
+    * [[kmeansCodebook]] — sliced per subspace into sub-centroids
+    * ([[pqSubCodebook]]). Same encode/reconstruct/score plan as
+    * [[knnCosinePq]] (the codebook source never changes the plan shape:
+    * both are a broadcast table the corpus scans against), but trained
+    * sub-centroids sit where the corpus mass actually is, so the
+    * reconstruction error — and therefore the ranking distortion — only
+    * drops versus the deterministic sample at equal code budget
+    * (SimilaritySpec asserts recall@k trained >= sampled).
+    */
+  def knnCosinePqWith(queries: DataFrame, corpus: DataFrame, k: Int,
+                      dim: Int, subspaces: Int, codebook: DataFrame,
+                      qId: String = "qid", qVec: String = "qvec",
+                      cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    val rec = pqReconstructWith(corpus,
+      pqSubCodebook(codebook, dim, subspaces), cId, cVec, dim, subspaces)
+    val scored = rec.crossJoin(broadcast(queries))
+      .select(col(qId), col(cId),
+        round(call_function("graft_cosine",
+          col(qVec).cast("array<double>"), col("rvec")), 5).as("cosine"))
+    topKPerQuery(scored, k, qId, cId)
+  }
+
+  /** Slice a (centId, centVec) codebook into the per-subspace
+    * sub-centroid table (code, sub, scv) [[pqReconstructWith]] consumes —
+    * sub-centroid `code` of subspace `sub` is dims
+    * [sub*subDim, (sub+1)*subDim) of centroid `centId`.
+    */
+  def pqSubCodebook(codebook: DataFrame, dim: Int,
+                    subspaces: Int): DataFrame = {
+    require(dim % subspaces == 0, "dim must divide evenly into subspaces")
+    val subDim = dim / subspaces
+    codebook
+      .select(col("centId").as("code"),
+        col("centVec").cast("array<double>").as("_v"))
+      .select(col("code"),
+        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+          s => slice(col("_v"), s * subDim + 1, lit(subDim))))
+          .as(Seq("sub", "scv")))
+  }
+
   /** PQ encode + reconstruct: (cId, rvec) with rvec the concatenation of
     * each subspace's nearest sub-centroid — the shared compression step
     * behind [[knnCosinePq]] and [[knnCosineIvfPq]]. See knnCosinePq for
@@ -236,20 +277,39 @@ object Similarity {
                                        subspaces: Int, centStep: Long,
                                        cId: String,
                                        cVec: String): DataFrame = {
+    require(dim % subspaces == 0, "dim must divide evenly into subspaces")
+    val subDim = dim / subspaces
+    val cb = corpus.where(pmod(col(cId), lit(centStep)) === 0)
+      .select((col(cId) / centStep).cast("long").as("code"),
+        col(cVec).cast("array<double>").as("_v"))
+      .select(col("code"),
+        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+          s => slice(col("_v"), s * subDim + 1, lit(subDim))))
+          .as(Seq("sub", "scv")))
+    pqReconstructWith(corpus, cb, cId, cVec, dim, subspaces)
+  }
+
+  /** Shared PQ encode + reconstruct against an explicit sub-centroid
+    * table (code, sub, scv) — see [[knnCosinePq]] for the determinism
+    * contract; [[pqSubCodebook]] builds the table from a trained
+    * codebook.
+    */
+  private[operators] def pqReconstructWith(corpus: DataFrame,
+                                           subCb: DataFrame,
+                                           cId: String, cVec: String,
+                                           dim: Int,
+                                           subspaces: Int): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     graft.plans.BoundedTopK.register(corpus.sparkSession)
     require(dim % subspaces == 0, "dim must divide evenly into subspaces")
     val subDim = dim / subspaces
-    def subSlices(vec: org.apache.spark.sql.Column) =
-      posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
-        s => slice(vec, s * subDim + 1, lit(subDim))))
-    val cb = corpus.where(pmod(col(cId), lit(centStep)) === 0)
-      .select((col(cId) / centStep).cast("long").as("code"),
-        col(cVec).cast("array<double>").as("_v"))
-      .select(col("code"), subSlices(col("_v")).as(Seq("sub", "scv")))
+    val cb = subCb
     val corpusSubs = corpus
       .select(col(cId), col(cVec).cast("array<double>").as("_v"))
-      .select(col(cId), subSlices(col("_v")).as(Seq("sub", "sv")))
+      .select(col(cId),
+        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+          s => slice(col("_v"), s * subDim + 1, lit(subDim))))
+          .as(Seq("sub", "sv")))
     // encode: argmin_code round(L2(sv, scv), 6), ties -> lower code
     val codes = corpusSubs.join(broadcast(cb), Seq("sub"))
       .select(col(cId), col("sub"), col("code"),

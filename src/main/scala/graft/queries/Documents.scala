@@ -406,6 +406,19 @@ object Documents {
         centStep = 64)
     }),
 
+    "s4b_pq_trained" -> ((s, dir) => {
+      // trained PQ: the s3b k-means codebook (2 Lloyd rounds, step-64
+      // init) sliced into per-subspace sub-centroids — same
+      // encode/reconstruct plan as s4, tighter codes; the oracle unrolls
+      // the identical two rounds then the identical PQ tail
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.knnCosinePqWith(q, c, k = 5, dim = 64, subspaces = 4,
+        Similarity.kmeansCodebook(c, initStep = 64, iters = 2))
+    }),
+
     "s6_ivfpq_ann" -> ((s, dir) => {
       // the production ANN composition: IVF lists bound how many
       // candidates a query scores, PQ codes bound what the search path
@@ -1319,6 +1332,93 @@ object Documents {
          |        WHERE vec_id < 8) q ON p.qid = q.qid
          |  JOIN (SELECT vec_id AS cid2, embedding AS cv FROM embeddings) ce
          |    ON a.cid = ce.cid2)
+         |SELECT qid, cid, cosine, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, cid) AS rank FROM s)
+         |WHERE rank <= 5""".stripMargin,
+
+    // Trained PQ: s3b's two unrolled Lloyd rounds produce cents2, whose
+    // centroids are sliced per subspace into the PQ sub-codebook; then
+    // exactly s4's encode/reconstruct/score tail.
+    "s4b_pq_trained" ->
+      s"""WITH cents0 AS (
+         |  SELECT vec_id // 64 AS centid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centv
+         |  FROM embeddings WHERE vec_id % 64 = 0),
+         |a1 AS (
+         |  SELECT ev.vec_id AS cid, c.centid, round($cosineSql, 5)
+         |    AS cosine
+         |  FROM (SELECT vec_id, embedding AS qv FROM embeddings) ev,
+         |       (SELECT centid, centv AS cv FROM cents0) c),
+         |asg1 AS (
+         |  SELECT cid, centid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cid
+         |      ORDER BY cosine DESC, centid) AS r FROM a1) WHERE r = 1),
+         |dim1 AS (
+         |  SELECT a.centid, d.i AS dim,
+         |    avg(CAST(e.embedding[d.i] AS DOUBLE)) AS m
+         |  FROM asg1 a JOIN embeddings e ON e.vec_id = a.cid,
+         |       LATERAL (SELECT unnest(generate_series(1,
+         |         len(e.embedding))) AS i) d
+         |  GROUP BY a.centid, d.i),
+         |new1 AS (
+         |  SELECT centid, list(round(m, 6) ORDER BY dim) AS centv
+         |  FROM dim1 GROUP BY centid),
+         |cents1 AS (
+         |  SELECT c.centid, coalesce(n.centv, c.centv) AS centv
+         |  FROM cents0 c LEFT JOIN new1 n USING (centid)),
+         |a2 AS (
+         |  SELECT ev.vec_id AS cid, c.centid, round($cosineSql, 5)
+         |    AS cosine
+         |  FROM (SELECT vec_id, embedding AS qv FROM embeddings) ev,
+         |       (SELECT centid, centv AS cv FROM cents1) c),
+         |asg2 AS (
+         |  SELECT cid, centid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cid
+         |      ORDER BY cosine DESC, centid) AS r FROM a2) WHERE r = 1),
+         |dim2 AS (
+         |  SELECT a.centid, d.i AS dim,
+         |    avg(CAST(e.embedding[d.i] AS DOUBLE)) AS m
+         |  FROM asg2 a JOIN embeddings e ON e.vec_id = a.cid,
+         |       LATERAL (SELECT unnest(generate_series(1,
+         |         len(e.embedding))) AS i) d
+         |  GROUP BY a.centid, d.i),
+         |new2 AS (
+         |  SELECT centid, list(round(m, 6) ORDER BY dim) AS centv
+         |  FROM dim2 GROUP BY centid),
+         |cents2 AS (
+         |  SELECT c.centid, coalesce(n.centv, c.centv) AS centv
+         |  FROM cents1 c LEFT JOIN new2 n USING (centid)),
+         |subs AS (SELECT unnest(range(0, 4)) AS sub),
+         |cb AS (
+         |  SELECT centid AS code, sub,
+         |    centv[sub*16+1 : sub*16+16] AS scv
+         |  FROM cents2, subs),
+         |cvecs AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |enc0 AS (
+         |  SELECT cvecs.cid, cb.sub, cb.code,
+         |    round(list_reduce(list_transform(
+         |      list_zip(cvecs.v[cb.sub*16+1 : cb.sub*16+16], cb.scv),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b), 6)
+         |      AS l2
+         |  FROM cvecs, cb),
+         |enc AS (
+         |  SELECT cid, sub, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cid, sub
+         |      ORDER BY l2, code) AS rn FROM enc0)
+         |  WHERE rn = 1),
+         |rec AS (
+         |  SELECT x.cid, flatten(list(x.scv ORDER BY x.sub)) AS cv
+         |  FROM (SELECT e.cid, e.sub, cb.scv FROM enc e
+         |        JOIN cb ON e.sub = cb.sub AND e.code = cb.code) x
+         |  GROUP BY x.cid),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id < 8),
+         |s AS (SELECT qid, cid, round($cosineSql, 5) AS cosine
+         |      FROM q, rec)
          |SELECT qid, cid, cosine, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cosine DESC, cid) AS rank FROM s)

@@ -93,6 +93,24 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r >= 0.2)
   }
 
+  test("trained-PQ recall@5 >= sampled-PQ recall on the same fixture") {
+    val sampled = recallAt(5,
+      Similarity.knnCosinePq(q, c, k = 5, dim = 64, subspaces = 4,
+        centStep = 64))
+    val trained = recallAt(5,
+      Similarity.knnCosinePqWith(q, c, k = 5, dim = 64, subspaces = 4,
+        Similarity.kmeansCodebook(c, initStep = 64, iters = 2)))
+    info(f"PQ recall@5 sampled=$sampled%.3f trained=$trained%.3f")
+    // k-means sub-centroids sit where the corpus mass is: reconstruction
+    // error can only shrink vs the raw sample at equal code budget
+    assert(trained >= sampled)
+    // and every query still fills its top-5 from the trained codes
+    val counts = Similarity.knnCosinePqWith(q, c, k = 5, dim = 64,
+      subspaces = 4, Similarity.kmeansCodebook(c, initStep = 64, iters = 2))
+      .groupBy("qid").count().collect()
+    assert(counts.length == 16 && counts.forall(_.getLong(1) == 5))
+  }
+
   test("IVF-PQ composes both approximations without collapsing recall") {
     val ivfpq = Similarity.knnCosineIvfPq(q, c, k = 5, ivfStep = 64,
       nprobe = 3, dim = 64, subspaces = 4, pqStep = 64)
