@@ -17,6 +17,8 @@ import graft.operators.Dedup
   *   [-min_quality 0.45]   heuristic quality floor in [0,1] (t2)
   *   [-gopher 1]           Gopher rule filter (t6)
   *   [-pii 1]              redact emails/phones/IPv4 in place (t8)
+  *   [-decontaminate p]    drop docs sharing any 8-word gram with the
+  *                         benchmark/eval parquet at path p (t5)
   *   [-max_dup_ratio 0.5]  drop docs above this duplicated-gram cap (t12)
   *   [-cut_spans 1]        REMOVE corpus-duplicated word-8-gram spans,
   *                         keep-first-occurrence (d13 find + d14 cut);
@@ -75,6 +77,19 @@ object Corpus {
       df = df.withColumn("text",
         text.redactPii(col("text")).getField("redacted"))
       record("pii")
+    }
+    opts.get("decontaminate").foreach { benchPath =>
+      // eval-set leak check (t5): any doc sharing a distinct word-8-gram
+      // with a benchmark doc is dropped. The benchmark side collapses to
+      // a distinct gram set (eval sets are tiny next to the corpus), so
+      // the join is id-only rows against an AQE-broadcast gram table.
+      val bench = spark.read.parquet(benchPath)
+      require(bench.columns.contains("text"),
+        s"-decontaminate parquet at $benchPath needs a text column")
+      val hits = Dedup.contamination(df, bench, "doc_id", "text")
+        .select("doc_id")
+      df = df.join(hits, Seq("doc_id"), "left_anti")
+      record("decontaminate")
     }
     opts.get("max_dup_ratio").map(_.toDouble).foreach { r =>
       // corpus-wide duplicated-content filter (t12): drop docs whose

@@ -33,6 +33,9 @@ object Verify {
       graft.operators.Dedup.releaseCaches()
       graft.queries.GenomicPipeline.releaseCaches()
     }
+    // the memoized corpus LSH index is shared ACROSS queries (d12/e11),
+    // so it is released once here, after the last query's action
+    graft.queries.Documents.releaseCaches()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -49,6 +49,19 @@ object Documents {
   // incremental run, which production amortizes across ingest batches
   private val bucketIdx =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Drops the memoized (localCheckpointed) corpus LSH indexes — the
+    * mirror of [[graft.operators.Dedup.releaseCaches]] for THIS module's
+    * harness memoization. Call once a Verify/Bench run is over (not
+    * between queries: d12 and e11 share the index, which is the point of
+    * memoizing it), so the pinned frames don't outlive the run in a
+    * long-lived session.
+    */
+  def releaseCaches(): Unit = {
+    val it = bucketIdx.values.iterator
+    while (it.hasNext) graft.operators.Checkpoints.free(it.next())
+    bucketIdx.clear()
+  }
   private def ensureJsonl(s: SparkSession, dir: String): Unit =
     synchronized {
       if (jsonlFor != dir) {

@@ -165,6 +165,31 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(1L, 3L))
   }
 
+  test("Corpus -decontaminate drops exactly the t5 contamination hits") {
+    import org.apache.spark.sql.functions._
+    val in = "/root/testdata/sf0.001/documents.parquet"
+    val benchOut = s"${sys.props("java.io.tmpdir")}/graft-corpus-bench-" +
+      ProcessHandle.current.pid
+    // same pseudo eval set the t5 gate query uses: doc_id < 20
+    spark.read.parquet(in).where(col("doc_id") < 20)
+      .write.mode("overwrite").parquet(benchOut)
+    val got = Corpus.run(spark, Map(
+      "i" -> in, "dedup" -> "none", "decontaminate" -> benchOut,
+      "report" -> "0"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // stage parity: survivors = input minus the t5 operator's hits
+    val hits = operators.Dedup.contamination(
+      spark.read.parquet(in), spark.read.parquet(benchOut),
+      "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = spark.read.parquet(in)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == (all -- hits))
+    assert(hits.nonEmpty && got.nonEmpty) // the check actually bit
+    // every benchmark doc is itself a hit (shares all its grams)
+    assert(all.filter(_ < 20).forall(hits.contains))
+  }
+
   test("Corpus -cut_spans rewrites text via cutDuplicateSpans, dropping " +
     "no rows") {
     val s2 = spark
