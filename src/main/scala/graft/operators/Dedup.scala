@@ -528,6 +528,66 @@ object Dedup {
       .select("id1", "id2", "cosine")
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): block by a TRAINED spherical k-means clustering of
+    * the embedding space, then score pairwise cosine only within each
+    * cluster. Where [[embeddingNearDup]] blocks on raw sign bits (cheap,
+    * recall decays for near-dups straddling a hyperplane), the learned
+    * clusters adapt to the corpus's actual density — the blocking used by
+    * production semantic-dedup pipelines.
+    *
+    * Scale shape: training + assignment are exactly the IVF plan
+    * ([[Similarity.kmeansCodebook]] / broadcast centroids + the native
+    * bounded_top_k(1) partial aggregate — at most one (id, cluster) row
+    * per vector per map task crosses the shuffle). Pair generation is a
+    * cluster-keyed self-join, O(sum over clusters of size^2); `nlist`
+    * grows with the corpus (the SemDeDup paper holds cluster size roughly
+    * constant at ~n/nlist) and `maxClusterSize` drops pathological hot
+    * clusters the same recall-only way minhashLsh caps buckets, so the
+    * shuffled pair count stays bounded at any corpus size. Resolution to
+    * survivors composes with [[duplicateClusters]] + the d10 apply step
+    * unchanged.
+    */
+  def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, initStep: Long, iters: Int = 2,
+                      maxClusterSize: Int = 1000): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(call_function("graft_cosine", a.cast("array<double>"),
+        b.cast("array<double>")), 5)
+    val vecs = df.select(col(idCol).as("cid"),
+      col(vecCol).cast("array<double>").as("cvec"))
+    val cents = Similarity.kmeansCodebook(vecs, initStep, iters)
+    // final assignment: the IVF coarse-assignment plan (broadcast
+    // centroids, map-side bounded_top_k(1)); ties break toward the lower
+    // centroid id, mirroring the oracle's row_number order
+    val assigned = Similarity.topKPerQuery(
+      vecs.crossJoin(broadcast(cents))
+        .select(col("cid"), col("centId"),
+          cos(col("cvec"), col("centVec")).as("cosine")),
+      1, "cid", "centId")
+      .select(col("cid").as("id"), col("centId").as("cluster"))
+    // skew cap fused into the (id, cluster) shuffle the self-join needs
+    // anyway: over-cap clusters are dropped whole (recall-only, like the
+    // LSH bucket caps) before any vector is re-joined
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+    val bounded = assigned
+      .withColumn("_csz", count(lit(1)).over(wc))
+      .where(col("_csz") <= maxClusterSize)
+      .select("id", "cluster")
+    val withVec = bounded.join(
+      vecs.select(col("cid").as("id"), col("cvec").as("v")), Seq("id"))
+    val l = withVec.select(col("cluster"), col("id").as("id1"),
+      col("v").as("v1"))
+    val r = withVec.select(col("cluster"), col("id").as("id2"),
+      col("v").as("v2"))
+    l.join(r, Seq("cluster"))
+      .where(col("id1") < col("id2"))
+      .withColumn("cosine", cos(col("v1"), col("v2")))
+      .where(col("cosine") >= threshold)
+      .select("id1", "id2", "cluster", "cosine")
+  }
+
   /** Sub-document (chunk-level) exact dedup: split each document into
     * fixed-size non-overlapping word chunks, hash each chunk, report every
     * chunk that appears in MORE than one document — the boilerplate /

@@ -376,6 +376,14 @@ object Documents {
         threshold = 0.3, signBits = 8, maxBucketSize = 1000)
     }),
 
+    "d15_semdedup" -> ((s, dir) => {
+      // SemDeDup: k-means cluster blocking (the s3b codebook — 2 Lloyd
+      // rounds, step-64 init) + within-cluster cosine pairs; the oracle
+      // unrolls the identical rounds then self-joins within clusters
+      Dedup.semanticNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, initStep = 64, iters = 2, maxClusterSize = 1000)
+    }),
+
     "s1_knn_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 8)
@@ -1077,6 +1085,81 @@ object Documents {
          |        FROM v JOIN k USING (block)) r
          |    ON l.block = r.block AND l.vec_id < r.vec_id)
          |SELECT id1, id2, cosine FROM s WHERE cosine >= 0.3""".stripMargin,
+
+    // SemDeDup: s3b's two unrolled Lloyd rounds produce cents2 and the
+    // final assignment; pairs are the within-cluster self-join (capped
+    // clusters only) at cosine >= 0.4.
+    "d15_semdedup" ->
+      s"""WITH cents0 AS (
+         |  SELECT vec_id // 64 AS centid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centv
+         |  FROM embeddings WHERE vec_id % 64 = 0),
+         |a1 AS (
+         |  SELECT ev.vec_id AS cid, c.centid, round($cosineSql, 5)
+         |    AS cosine
+         |  FROM (SELECT vec_id, embedding AS qv FROM embeddings) ev,
+         |       (SELECT centid, centv AS cv FROM cents0) c),
+         |asg1 AS (
+         |  SELECT cid, centid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cid
+         |      ORDER BY cosine DESC, centid) AS r FROM a1) WHERE r = 1),
+         |dim1 AS (
+         |  SELECT a.centid, d.i AS dim,
+         |    avg(CAST(e.embedding[d.i] AS DOUBLE)) AS m
+         |  FROM asg1 a JOIN embeddings e ON e.vec_id = a.cid,
+         |       LATERAL (SELECT unnest(generate_series(1,
+         |         len(e.embedding))) AS i) d
+         |  GROUP BY a.centid, d.i),
+         |new1 AS (
+         |  SELECT centid, list(round(m, 6) ORDER BY dim) AS centv
+         |  FROM dim1 GROUP BY centid),
+         |cents1 AS (
+         |  SELECT c.centid, coalesce(n.centv, c.centv) AS centv
+         |  FROM cents0 c LEFT JOIN new1 n USING (centid)),
+         |a2 AS (
+         |  SELECT ev.vec_id AS cid, c.centid, round($cosineSql, 5)
+         |    AS cosine
+         |  FROM (SELECT vec_id, embedding AS qv FROM embeddings) ev,
+         |       (SELECT centid, centv AS cv FROM cents1) c),
+         |asg2 AS (
+         |  SELECT cid, centid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cid
+         |      ORDER BY cosine DESC, centid) AS r FROM a2) WHERE r = 1),
+         |dim2 AS (
+         |  SELECT a.centid, d.i AS dim,
+         |    avg(CAST(e.embedding[d.i] AS DOUBLE)) AS m
+         |  FROM asg2 a JOIN embeddings e ON e.vec_id = a.cid,
+         |       LATERAL (SELECT unnest(generate_series(1,
+         |         len(e.embedding))) AS i) d
+         |  GROUP BY a.centid, d.i),
+         |new2 AS (
+         |  SELECT centid, list(round(m, 6) ORDER BY dim) AS centv
+         |  FROM dim2 GROUP BY centid),
+         |cents2 AS (
+         |  SELECT c.centid, coalesce(n.centv, c.centv) AS centv
+         |  FROM cents1 c LEFT JOIN new2 n USING (centid)),
+         |af AS (
+         |  SELECT ev.vec_id AS cid, c.centid, round($cosineSql, 5)
+         |    AS cosine
+         |  FROM (SELECT vec_id, embedding AS qv FROM embeddings) ev,
+         |       (SELECT centid, centv AS cv FROM cents2) c),
+         |assign AS (
+         |  SELECT cid, centid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cid
+         |      ORDER BY cosine DESC, centid) AS r FROM af) WHERE r = 1),
+         |k AS (SELECT centid FROM assign GROUP BY centid
+         |      HAVING count(*) <= 1000),
+         |m AS (SELECT a.cid, a.centid FROM assign a JOIN k USING (centid)),
+         |s AS (
+         |  SELECT l.cid AS id1, r.cid AS id2, l.centid AS cluster,
+         |    round($cosineSql, 5) AS cosine
+         |  FROM (SELECT m.cid, m.centid, e.embedding AS qv
+         |        FROM m JOIN embeddings e ON e.vec_id = m.cid) l
+         |  JOIN (SELECT m.cid, m.centid, e.embedding AS cv
+         |        FROM m JOIN embeddings e ON e.vec_id = m.cid) r
+         |    ON l.centid = r.centid AND l.cid < r.cid)
+         |SELECT id1, id2, cluster, cosine FROM s
+         |WHERE cosine >= 0.4""".stripMargin,
 
     "s1_knn_cosine" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

@@ -148,4 +148,49 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cut(3L) == (("p q r", 6L)))
     assert(cut(4L) == (("u v", 0L)))
   }
+
+  test("semanticNearDup blocks by trained clusters and matches brute " +
+    "force within them") {
+    val s = spark
+    import s.implicits._
+    // two orthogonal groups: A = ids 0-9 near e1 with a growing second
+    // component, B = ids 10-19 near e2. initStep=10 seeds one centroid
+    // per group (ids 0 and 10), so 2 Lloyd rounds keep the groups as
+    // the two clusters; cross-group cosines stay far below threshold.
+    val emb = (0L to 19L).map { i =>
+      if (i < 10) (i, Seq(1.0, 0.05 * i, 0.0, 0.0))
+      else (i, Seq(0.05 * (i - 10), 1.0, 0.0, 0.0))
+    }.toDF("vec_id", "embedding")
+    val got = Dedup.semanticNearDup(emb, "vec_id", "embedding",
+      threshold = 0.95, initStep = 10, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .toSet
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(d / n).setScale(5, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    // expected: same-GROUP pairs at brute-force cosine >= threshold
+    // (clusters == groups on this data); cross-group pairs are near 0
+    val vecs = (0L to 19L).map { i =>
+      i -> (if (i < 10) Seq(1.0, 0.05 * i, 0.0, 0.0)
+            else Seq(0.05 * (i - 10), 1.0, 0.0, 0.0))
+    }.toMap
+    val want = (for {
+      a <- 0L to 19L; b <- (a + 1) to 19L
+      if (a < 10) == (b < 10)
+      c = cos(vecs(a), vecs(b)) if c >= 0.95
+    } yield (a, b, c)).toSet
+    assert(got == want, s"got ${got.size}, want ${want.size}")
+    // the threshold actually discriminates: some same-group pairs are in,
+    // some out (ids 0 and 9 diverge past 0.95)
+    assert(want.nonEmpty &&
+      want.size < (0 until 10).combinations(2).size * 2)
+    // skew cap: clusters of 10 over a cap of 5 are dropped whole
+    assert(Dedup.semanticNearDup(emb, "vec_id", "embedding",
+      threshold = 0.95, initStep = 10, iters = 2,
+      maxClusterSize = 5).count() == 0)
+  }
 }

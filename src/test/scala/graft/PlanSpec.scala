@@ -264,6 +264,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_bounded_top_k"), p)
   }
 
+  test("d15 semantic dedup: centroid joins broadcast, pair generation " +
+    "keys on the cluster — no cartesian product") {
+    val p = plan("d15_semdedup")
+    // the only nested-loop joins are broadcast tiny-centroid scans; a
+    // CartesianProduct would be a corpus x corpus blow-up
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    // assignment ships at most one (id, cluster) row per vector per map
+    // task into the shuffle
+    assert(p.contains("partial_bounded_top_k"), p)
+  }
+
   test("e11 ingest dedup joins the corpus index by broadcast — the " +
     "arriving batch's shingle arrays never cross a shuffle") {
     val p = plan("e11_stream_ingest")
