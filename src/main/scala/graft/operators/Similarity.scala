@@ -194,6 +194,70 @@ object Similarity {
     topKPerQuery(scored, k, qId, cId)
   }
 
+  /** Radius (range) search: every corpus vector whose cosine with a query
+    * meets `threshold` — the "all near neighbors" dual of top-k, used for
+    * near-duplicate audits and retrieval recall sweeps where the cutoff is
+    * a similarity bar, not a count.
+    *
+    * Scale rationale: with broadcast queries there is NO per-query
+    * reduction, so the exact variant is SHUFFLE-FREE — score and filter
+    * happen map-side in one corpus scan and matching rows stream straight
+    * to the sink. That makes exact range search cheaper than exact top-k
+    * at any corpus size (top-k must converge per-query state); the only
+    * risk at 100 TB is a too-low threshold exploding the OUTPUT, which is
+    * a property of the answer, not the plan.
+    */
+  def rangeCosine(queries: DataFrame, corpus: DataFrame, threshold: Double,
+                  qId: String = "qid", qVec: String = "qvec",
+                  cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    corpus.crossJoin(broadcast(queries))
+      .select(col(qId), col(cId),
+        round(call_function("graft_cosine", col(qVec).cast("array<double>"),
+          col(cVec).cast("array<double>")), 5)
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** IVF-pruned range search: corpus vectors coarse-assign to their
+    * nearest codebook centroid (bounded_top_k(1) partial aggregate, same
+    * as the kNN path), queries probe their `nprobe` nearest lists, and
+    * only those lists are scored against the threshold. Same
+    * scan-reduction economics as [[knnCosineIvfWith]] — candidates per
+    * query stay ~|corpus| * nprobe / nlist — with the shuffle-free
+    * filter tail of [[rangeCosine]] instead of a top-k reduction.
+    * Recall-only approximation: a true neighbor in an unprobed list is
+    * missed, never a false positive (the final cosine is exact).
+    */
+  def rangeCosineIvfWith(queries: DataFrame, corpus: DataFrame,
+                         threshold: Double, codebook: DataFrame, nprobe: Int,
+                         qId: String = "qid", qVec: String = "qvec",
+                         cId: String = "cid",
+                         cVec: String = "cvec"): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(call_function("graft_cosine", a.cast("array<double>"),
+        b.cast("array<double>")), 5)
+    val cents = broadcast(codebook)
+    val assign = topKPerQuery(
+      corpus.crossJoin(cents)
+        .select(col(cId), col("centId"),
+          cos(col(cVec), col("centVec")).as("cosine")),
+      1, cId, "centId")
+      .select(col(cId), col("centId"))
+    val probes = topKPerQuery(
+      queries.crossJoin(cents)
+        .select(col(qId), col("centId"),
+          cos(col(qVec), col("centVec")).as("cosine")),
+      nprobe, qId, "centId")
+      .select(col(qId), col("centId"))
+    probes.join(assign, Seq("centId"))
+      .join(corpus, Seq(cId))
+      .join(broadcast(queries), Seq(qId))
+      .select(col(qId), col(cId), cos(col(qVec), col(cVec)).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** Product-quantization (PQ) approximate top-k: each corpus vector is
     * compressed to `subspaces` small codes — per subspace, the id of its
     * nearest codebook sub-centroid by L2 — and queries score against the

@@ -465,6 +465,28 @@ object Documents {
         Similarity.kmeansCodebook(c, initStep = 64, iters = 2), nprobe = 3)
     }),
 
+    "s7_range_search" -> ((s, dir) => {
+      // exact radius search: shuffle-free — score + threshold filter
+      // happen map-side in one corpus scan (PlanSpec pins zero exchanges)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.rangeCosine(q, c, threshold = 0.25)
+    }),
+
+    "s7b_range_ivf" -> ((s, dir) => {
+      // IVF-pruned radius search: same coarse lists as s3 (step-64
+      // sample, nprobe 3), threshold tail instead of top-k; the oracle
+      // unrolls the identical assignment/probe then filters
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.rangeCosineIvfWith(q, c, threshold = 0.25,
+        Similarity.sampleCodebook(c, 64), nprobe = 3)
+    }),
+
     "s5_ivf_persist" -> ((s, dir) => {
       // codebook persistence round trip: train the s3b codebook once,
       // save to parquet, reload, and query with the LOADED codebook —
@@ -1209,6 +1231,46 @@ object Documents {
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cosine DESC, cid) AS rank FROM s)
          |WHERE rank <= 5""".stripMargin,
+
+    "s7_range_search" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+         |s AS (SELECT qid, cid, round($cosineSql, 5) AS cosine FROM q, c)
+         |SELECT qid, cid, cosine FROM s WHERE cosine >= 0.25""".stripMargin,
+
+    "s7b_range_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS centid, embedding AS centv FROM embeddings
+         |  WHERE vec_id % 64 = 0),
+         |a0 AS (
+         |  SELECT ev.vec_id AS cid, c.centid, round($cosineSql, 5)
+         |    AS cosine
+         |  FROM (SELECT vec_id, embedding AS qv FROM embeddings) ev,
+         |       (SELECT centid, centv AS cv FROM cents) c),
+         |assign AS (
+         |  SELECT cid, centid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cid
+         |      ORDER BY cosine DESC, centid) AS r FROM a0) WHERE r = 1),
+         |p0 AS (
+         |  SELECT qv0.vec_id AS qid, c.centid, round($cosineSql, 5)
+         |    AS cosine
+         |  FROM (SELECT vec_id, embedding AS qv FROM embeddings
+         |        WHERE vec_id < 8) qv0,
+         |       (SELECT centid, centv AS cv FROM cents) c),
+         |probes AS (
+         |  SELECT qid, centid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, centid) AS r FROM p0) WHERE r <= 3),
+         |s AS (
+         |  SELECT q.qid, a.cid, round($cosineSql, 5) AS cosine
+         |  FROM probes p
+         |  JOIN assign a USING (centid)
+         |  JOIN (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |        WHERE vec_id < 8) q ON p.qid = q.qid
+         |  JOIN (SELECT vec_id AS cid2, embedding AS cv FROM embeddings) ce
+         |    ON a.cid = ce.cid2)
+         |SELECT qid, cid, cosine FROM s WHERE cosine >= 0.25""".stripMargin,
 
     "s3_ivf_ann" ->
       s"""WITH cents AS (

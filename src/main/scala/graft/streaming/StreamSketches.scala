@@ -7,6 +7,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 /** Per-trigger HLL estimate row. */
 case class HllEstimate(group: String, hll_estimate: Double)
 
+/** One Count-Min counter cell: `cms_count` items hashed into bucket
+  * `bucket` of sketch row `row` so far.
+  */
+case class CmsCounter(row: Int, bucket: Long, cms_count: Long)
+
 /** Streaming forms of the portable sketches (graft.operators.Sketches).
   * The property that makes HLL stream-able is register mergeability:
   * max-of-registers over any partition of the input equals the registers
@@ -62,6 +67,47 @@ object StreamSketches {
           }
           state.update(regs)
           HllEstimate(g, estimate(regs))
+      }
+  }
+
+  /** Streaming Count-Min sketch: the heavy-hitter counter matrix
+    * maintained incrementally. Each event increments `depth` counters
+    * (one per sketch row, bucket = the same salted md5 the batch
+    * `Sketches.cmsTopK` uses); state is ONE Long per touched
+    * (row, bucket) cell in mapGroupsWithState, updated with a sum per
+    * micro-batch. Counter addition is order-independent and
+    * associative — the dual of HLL's max-mergeable registers — so any
+    * micro-batch partition of the stream converges to EXACTLY the batch
+    * counters (StreamingSpec asserts cell-for-cell equality against a
+    * batch build of the same matrix on the unioned input).
+    *
+    * Scale: total state is bounded by d*w cells no matter how long the
+    * stream runs — the whole point of sketching the stream — and the
+    * per-batch shuffle carries only (row, bucket) pairs, partially
+    * counted map-side by groupByKey's sort-based aggregation. The
+    * heavy-hitter read-out (min over a value's d counters, top-k) is a
+    * per-trigger batch query over these <= 1024 rows, e.g. in
+    * foreachBatch, and costs nothing at any corpus size.
+    */
+  def cmsStream(events: DataFrame, valueCol: String,
+                depth: Int = 4, width: Int = 256): Dataset[CmsCounter] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    def bucket(row: Int, v: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(concat(lit(row.toString), lit(":"),
+        v.cast("string"))), 1, 7), 16, 10).cast("long"), lit(width))
+    val prepped = events.select(posexplode(array((0 until depth).map { r =>
+      struct(lit(r).as("row"), bucket(r, col(valueCol)).as("bucket"))
+    }: _*)).as(Seq("_pos", "_cell")))
+      .select(col("_cell.row"), col("_cell.bucket"))
+      .as[(Int, Long)]
+    prepped.groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (cell: (Int, Long), rows: Iterator[(Int, Long)],
+         state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          CmsCounter(cell._1, cell._2, n)
       }
   }
 }

@@ -175,6 +175,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("*(1) Filter"), p) // codegen'd, directly on the scan
   }
 
+  test("s7 exact range search is shuffle-free — score and filter map-side") {
+    val p = plan("s7_range_search")
+    // the only exchange is the broadcast of the tiny query side; the
+    // corpus is scanned once and never hash-repartitioned (there is no
+    // per-query reduction to converge, unlike top-k)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("e5 interval correlate keys on user_id — never a cross product") {
     val p = plan("e5_stream_join")
     assert(!p.contains("CartesianProduct"), p)

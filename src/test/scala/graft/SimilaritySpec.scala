@@ -126,4 +126,19 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts.length == 16 && counts.forall(_.getLong(1) == 5))
     assert(rBoth >= 0.15)
   }
+
+  test("IVF range search is recall-only: a subset of exact, identical cosines") {
+    def pairs(df: DataFrame) = df
+      .select(col("qid").cast("long"), col("cid").cast("long"),
+        col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs(Similarity.rangeCosine(q, c, threshold = 0.25))
+    val ivf = pairs(Similarity.rangeCosineIvfWith(q, c, threshold = 0.25,
+      Similarity.sampleCodebook(c, 64), nprobe = 3))
+    assert(ivf.nonEmpty && exact.nonEmpty)
+    // pruning may only DROP true neighbors — never invent or rescore one
+    assert(ivf.subsetOf(exact))
+    info(f"range recall=${ivf.size.toDouble / exact.size}%.3f " +
+      s"(${ivf.size}/${exact.size})")
+  }
 }
