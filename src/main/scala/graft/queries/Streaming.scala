@@ -128,6 +128,15 @@ object Streaming {
         .toDF().withColumnRenamed("group", "event_type")
     }),
 
+    "e12_stream_cms" -> ((s, dir) => {
+      // the STREAMING Count-Min counter matrix, batch-equivalently (one
+      // micro-batch, same argument as e6): the gate hashes the same
+      // counter-update code the stream runs; multi-batch sum-merging is
+      // covered by StreamingSpec's cell-for-cell equality test
+      graft.streaming.StreamSketches.cmsStream(
+        events(s, dir).select(col("user_id")), "user_id").toDF()
+    }),
+
     "e9_stream_funnel" -> ((s, dir) => {
       // the STREAMING funnel state machine, batch-equivalently (same
       // one-micro-batch argument as e6): per-user final stage rows
@@ -422,6 +431,18 @@ object Streaming {
         |       WHEN t1 IS NOT NULL THEN 'view'
         |       ELSE 'none' END AS funnel_stage
         |FROM u""".stripMargin,
+
+    "e12_stream_cms" ->
+      """WITH rows_ AS (SELECT unnest(range(0, 4)) AS r),
+        |b AS (
+        |  SELECT r AS row, user_id,
+        |    list_reduce([strpos('0123456789abcdef',
+        |        substr(md5(CAST(r AS VARCHAR) || ':'
+        |          || CAST(user_id AS VARCHAR)), j, 1)) - 1
+        |      for j in range(1, 8)], (a, c) -> a * 16 + c) % 256 AS bucket
+        |  FROM events, rows_)
+        |SELECT row, bucket, count(*) AS cms_count
+        |FROM b GROUP BY 1, 2""".stripMargin,
 
     "q16_heavy_hitters" ->
       """WITH rows_ AS (SELECT unnest(range(0, 4)) AS r),

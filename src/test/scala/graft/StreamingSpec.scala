@@ -231,6 +231,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("streaming CMS counters sum across micro-batches to the batch matrix") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[Long]
+    val events = mem.toDF().toDF("user_id")
+    val q = graft.streaming.StreamSketches
+      .cmsStream(events, "user_id")
+      .writeStream.format("memory").queryName("cms")
+      .outputMode("update").start()
+    // two micro-batches with overlapping values: summed counters must
+    // equal one batch pass over the union, cell for cell
+    mem.addData((1 to 300).map(_.toLong % 40): _*)
+    q.processAllAvailable()
+    mem.addData((150 to 500).map(_.toLong % 40): _*)
+    q.processAllAvailable()
+    // update mode re-emits a cell each time it changes: the LAST row per
+    // cell is its final state
+    val streamed = spark.table("cms").collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.last._2) }
+    q.stop()
+    val batch = graft.streaming.StreamSketches
+      .cmsStream((1 to 300).map(_.toLong % 40)
+        .++((150 to 500).map(_.toLong % 40)).toDF("user_id"), "user_id")
+      .collect().map(c => ((c.row, c.bucket), c.cms_count)).toMap
+    assert(streamed.toMap == batch)
+    assert(batch.values.sum == 4L * (300 + 351)) // every event hits 4 rows
+  }
+
   test("streaming ingest dedup equals the batch run across micro-batches") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
