@@ -32,6 +32,49 @@ object Packing {
     df.withColumn("chunk_idx", floor(preceding / cap))
   }
 
+  /** Sliding token-window chunking: cut each document's token stream
+    * into fixed-`size` windows starting every `stride` tokens (overlap =
+    * size - stride), the "context windows with overlap" example shaper
+    * of a pretraining pipeline — packSequences' complement for docs
+    * LONGER than the context budget.
+    *
+    * Policy (mirrored exactly by the SQL oracle): tokens are the
+    * whitespace-split non-empty words; a window starts at every multiple
+    * of `stride` below the token count, so every token lands in at least
+    * one window and the tail window may run short (no, it is NOT
+    * re-anchored to n-size — re-anchoring double-counts the tail at
+    * unpredictable overlap, which skews token-budget accounting).
+    * Zero-token documents emit nothing.
+    *
+    * Scale shape: pure per-row expression work — tokenize once, explode
+    * the start offsets, slice. No shuffle, no state; the plan is a
+    * single projection over the scan, so it parallelizes per input split
+    * at any corpus size. Output volume is input * (1 + overlap/stride),
+    * the caller's knob.
+    */
+  def chunkOverlap(df: DataFrame, textCol: String, size: Int,
+                   stride: Int): DataFrame = {
+    require(stride > 0 && size >= stride,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val toks = filter(split(trim(col(textCol)), "\\s+"),
+      t => length(t) > 0)
+    df.withColumn("_toks", toks)
+      .withColumn("_n", size_(col("_toks")))
+      .where(col("_n") > 0)
+      .select((df.columns.map(col) :+ col("_toks") :+ col("_n")) :+
+        posexplode(sequence(lit(0), col("_n") - 1, lit(stride)))
+          .as(Seq("chunk_id", "_start")): _*)
+      .withColumn("chunk_tokens",
+        least(lit(size), col("_n") - col("_start")).cast("long"))
+      .withColumn("chunk_text",
+        array_join(slice(col("_toks"), col("_start") + 1, lit(size)), " "))
+      .drop("_toks", "_n", "_start")
+  }
+
+  // size() the function, disambiguated from the Int parameters above
+  private def size_(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.size(c)
+
   /** Per-chunk rollup: member count, token sum, member list. */
   def chunkSummary(packed: DataFrame, shardCol: String, orderCol: String,
                    tokensCol: String): DataFrame =

@@ -218,6 +218,15 @@ object Documents {
         .select("doc_id", "source", "lang")
     }),
 
+    "t13_chunk_overlap" -> ((s, dir) => {
+      // sliding context windows: 64-token chunks every 48 tokens (16
+      // tokens of overlap) — shuffle-free per-row explode+slice
+      Packing.chunkOverlap(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", size = 64, stride = 48)
+        .drop("text")
+    }),
+
     "t7_seq_pack" -> ((s, dir) => {
       // pack docs into ~1000-token chunks per source shard (prefix-sum
       // greedy), then roll chunks up
@@ -959,6 +968,20 @@ object Documents {
         |    substr(md5('mixT' || CAST(doc_id AS VARCHAR)), j, 1)) - 1
         |  for j in range(1, 9)], (a, c2) -> a * 16 + c2)::DOUBLE
         |  < rate * 4294967296.0""".stripMargin,
+
+    "t13_chunk_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> length(t) > 0) AS tk
+        |  FROM documents),
+        |n AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+        |starts AS (
+        |  SELECT doc_id, tk, n, unnest(range(0, n, 48)) AS start FROM n)
+        |SELECT doc_id, CAST(start // 48 AS INT) AS chunk_id,
+        |  least(64, n - start) AS chunk_tokens,
+        |  array_to_string(tk[start + 1 : start + 64], ' ') AS chunk_text
+        |FROM starts""".stripMargin,
 
     "t7_seq_pack" ->
       """WITH d AS (

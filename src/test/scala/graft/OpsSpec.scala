@@ -215,4 +215,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "mail <EMAIL> or x@<IP> call <PHONE> node <IP> end")
     assert(r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) == 2)
   }
+
+  test("chunkOverlap: every token covered, stride anchors, short tail") {
+    val s = spark
+    import s.implicits._
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "  "), (3L, "solo")).toDF("doc_id", "text")
+    val out = graft.operators.Packing.chunkOverlap(df, "text",
+      size = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3),
+        r.getString(4))).toList
+    // doc 1: 10 tokens, starts 0,3,6,9 — tail runs short, never re-anchored
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._3) == List(4L, 4L, 4L, 1L))
+    assert(d1.head._4 == "w1 w2 w3 w4" && d1.last._4 == "w10")
+    // overlap: token w4 appears in chunks 0 and 1
+    assert(d1(1)._4 == "w4 w5 w6 w7")
+    // whitespace-only doc emits nothing; 1-token doc emits one chunk
+    assert(!out.exists(_._1 == 2L))
+    assert(out.filter(_._1 == 3L) == List((3L, 0, 1L, "solo")))
+  }
 }
