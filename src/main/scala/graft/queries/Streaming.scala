@@ -128,6 +128,16 @@ object Streaming {
         .toDF().withColumnRenamed("group", "event_type")
     }),
 
+    "e13_stream_hist" -> ((s, dir) => {
+      // the STREAMING histogram-quantile sketch, batch-equivalently (one
+      // micro-batch, same argument as e6/e12): per-(event_type, bucket)
+      // counts at binWidth 10; quantile read-out is q18's batch tail
+      graft.streaming.StreamSketches.histStream(
+        events(s, dir).select(col("event_type"), col("value")),
+        "event_type", "value", binWidth = 10.0).toDF()
+        .withColumnRenamed("group", "event_type")
+    }),
+
     "e12_stream_cms" -> ((s, dir) => {
       // the STREAMING Count-Min counter matrix, batch-equivalently (one
       // micro-batch, same argument as e6): the gate hashes the same
@@ -431,6 +441,12 @@ object Streaming {
         |       WHEN t1 IS NOT NULL THEN 'view'
         |       ELSE 'none' END AS funnel_stage
         |FROM u""".stripMargin,
+
+    "e13_stream_hist" ->
+      """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+        |  count(*) AS hist_count
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     "e12_stream_cms" ->
       """WITH rows_ AS (SELECT unnest(range(0, 4)) AS r),

@@ -12,6 +12,11 @@ case class HllEstimate(group: String, hll_estimate: Double)
   */
 case class CmsCounter(row: Int, bucket: Long, cms_count: Long)
 
+/** One histogram cell: `hist_count` values of `group` have landed in
+  * fixed-width bucket `bucket` so far.
+  */
+case class HistCell(group: String, bucket: Long, hist_count: Long)
+
 /** Streaming forms of the portable sketches (graft.operators.Sketches).
   * The property that makes HLL stream-able is register mergeability:
   * max-of-registers over any partition of the input equals the registers
@@ -108,6 +113,35 @@ object StreamSketches {
           val n = state.getOption.getOrElse(0L) + rows.size
           state.update(n)
           CmsCounter(cell._1, cell._2, n)
+      }
+  }
+
+  /** Streaming histogram sketch: the fixed-width bucket counts behind
+    * `Sketches.histQuantiles`, maintained incrementally — one Long of
+    * state per touched (group, floor(value/binWidth)) cell, summed per
+    * micro-batch. Same mergeability argument as [[cmsStream]] (bucket
+    * counts add associatively), so the streamed matrix equals the batch
+    * histogram on any prefix of the input, and the quantile read-out
+    * (first bucket whose cumulative count reaches ceil(q*n)) is a
+    * per-trigger batch pass over O(groups x occupied buckets) rows.
+    * State is bounded by the value range / binWidth, the caller's
+    * accuracy knob — the stream never holds raw values.
+    */
+  def histStream(events: DataFrame, groupCol: String, valueCol: String,
+                 binWidth: Double): Dataset[HistCell] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    val prepped = events.where(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        floor(col(valueCol).cast("double") / binWidth).as("b"))
+      .as[(String, Long)]
+    prepped.groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (cell: (String, Long), rows: Iterator[(String, Long)],
+         state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          HistCell(cell._1, cell._2, n)
       }
   }
 }

@@ -261,6 +261,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.values.sum == 4L * (300 + 351)) // every event hits 4 rows
   }
 
+  test("streaming histogram cells sum across micro-batches to the batch" +
+    " counts") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(String, Double)]
+    val events = mem.toDF().toDF("g", "v")
+    val q = graft.streaming.StreamSketches
+      .histStream(events, "g", "v", binWidth = 10.0)
+      .writeStream.format("memory").queryName("hist")
+      .outputMode("update").start()
+    mem.addData((1 to 200).map(i => ("a", i * 0.7)): _*)
+    q.processAllAvailable()
+    mem.addData((100 to 300).map(i => ("a", i * 0.7)): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("hist").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.last._2) }
+    q.stop()
+    val batch = ((1 to 200) ++ (100 to 300)).map(i => ("a", i * 0.7))
+      .toDF("g", "v")
+      .groupBy(org.apache.spark.sql.functions.col("g"),
+        org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.col("v") / 10.0).as("b")).count()
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(streamed.toMap == batch)
+  }
+
   test("streaming ingest dedup equals the batch run across micro-batches") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
