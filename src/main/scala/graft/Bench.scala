@@ -69,19 +69,29 @@ object Bench {
     // responds to plan changes — and ALL run times are recorded per query
     // (query_runs) so a reader can separate plan changes from host noise.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    def timed(body: () => Unit): Seq[Double] =
-      (1 to runs).map { _ =>
+    // Returns (per-run seconds, anyRunFailed). A failed run records NO
+    // number — time-to-exception is not a measurement, and r8's four
+    // analysis-failing queries "benching" at 0.06s proved how a fake
+    // speedup reads as a real one. Failed queries are excluded from
+    // "queries"/total and listed under "failed_queries" instead.
+    def timed(body: () => Unit): (Seq[Double], Boolean) = {
+      var failed = false
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        // loudly, never silently: a query erroring out would otherwise
-        // record its time-to-failure as if it were a measurement
-        try body() catch { case t: Throwable =>
-          System.err.println(s"[bench] QUERY FAILED: $t")
-        }
+        val ok =
+          try { body(); true }
+          catch { case t: Throwable =>
+            System.err.println(s"[bench] QUERY FAILED: $t")
+            failed = true
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         graft.operators.Dedup.releaseCaches() // untimed storage reclaim
         graft.queries.GenomicPipeline.releaseCaches()
-        dt
+        if (ok) Some(dt) else None
       }
+      (times, failed)
+    }
     // NOT released between runs: the memoized d12/e11 corpus index is
     // cross-query state by design (production amortizes index builds
     // across ingest batches); it is dropped once, after the last query
@@ -246,18 +256,21 @@ object Bench {
       }
     val loadAfter = loadAvg()
     def r4(d: Double) = math.rint(d * 10000) / 10000
-    val results = allRuns.map { case (k, v) => k -> r4(v.min) }
+    val good = allRuns.collect { case (k, (v, false)) if v.nonEmpty => k -> v }
+    val failedNames = allRuns.collect { case (k, (_, true)) => k }
+    val results = good.map { case (k, v) => k -> r4(v.min) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // every individual run time, best-first headline above: lets the
     // judge separate plan regressions (min moved) from host noise
     // (min stable, spread wide)
-    val qr = allRuns.map { case (k, v) =>
+    val qr = good.map { case (k, v) =>
       s"\"" + k + "\":[" + v.map(r4).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val fq = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = r4((if (results.nonEmpty) results.values.sum else 0.0) + prep)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","prep_sec":${r4(prep)},"runs_per_query":$runs,"load_before":$loadBefore,"load_after":$loadAfter,"queries":$qs,"query_runs":$qr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","prep_sec":${r4(prep)},"runs_per_query":$runs,"load_before":$loadBefore,"load_after":$loadAfter,"failed_queries":$fq,"queries":$qs,"query_runs":$qr,"sf":"$sfDir"}"""
     println(line)
     // stdout can interleave with sbt/spark logging; also drop the JSON in a
     // file so the driver can machine-read it reliably

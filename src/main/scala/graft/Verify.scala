@@ -27,6 +27,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // LOUD failure: write an output dir holding only a _FAILED marker
+        // (no parquet part-files). The driver's reader then errors on
+        // this query and records `err` — instead of silently omitting
+        // the row, which is how a 4-operator break slipped through an
+        // entire round's artifacts unnoticed (r8).
+        val failDir = Paths.get(s"$outDir/$name")
+        try {
+          org.apache.commons.io.FileUtils.deleteDirectory(failDir.toFile)
+        } catch { case _: Throwable => () }
+        Files.createDirectories(failDir)
+        Files.writeString(failDir.resolve("_FAILED"),
+          s"$name: ${e.toString}\n")
       }
       // reclaim operator-persisted frames between queries (safe: the
       // query's action has completed)

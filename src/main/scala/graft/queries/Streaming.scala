@@ -11,19 +11,30 @@ import graft.streaming.Events
   */
 object Streaming {
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong=true it arrives as a long we
-    * convert to a microsecond timestamp (test data is µs-precision, so the
-    * nanos->micros integer division is exact).
+  /** events.parquet's `ts` physical encoding has drifted across driver
+    * regenerations, so the adapter normalizes every encoding seen so far
+    * to a session-TZ TIMESTAMP before any `unix_micros`/window math:
+    *   - TIMESTAMP(NANOS) + spark.sql.legacy.parquet.nanosAsLong=true →
+    *     LongType nanos; µs-precision data makes `div 1000` exact
+    *   - TIMESTAMP_MICROS isAdjustedToUTC=false → TimestampNTZType; the
+    *     session timezone is pinned UTC in every entrypoint, so the cast
+    *     relabels the same micros value (numerically exact)
+    *   - TIMESTAMP_MICROS isAdjustedToUTC=true → TimestampType; no-op
+    * Tolerance for both long-nanos and NTZ is pinned in StreamingSpec
+    * ("events adapter" fixtures) so a future re-encode breaks a unit
+    * test, not the correctness gate.
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
-  }
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_agg" -> ((s, dir) => {

@@ -335,4 +335,95 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.map(_._1) == Set(10L, 11L)) // 12 matches nothing
     assert(batch.map(_._2) == Set(1L, 2L))   // 3 is never a dup target
   }
+
+  test("events adapter normalizes every parquet ts encoding the driver " +
+    "has shipped (NTZ micros, nanos-as-long, UTC micros)") {
+    // The r8 driver regenerated events.parquet as TIMESTAMP_MICROS
+    // isAdjustedToUTC=false (Spark: TimestampNTZType) and every
+    // unix_micros path broke AT THE GATE, not in a unit test. This pins
+    // all three encodings through the Streaming.events adapter and the
+    // four operators that broke (sessionize / correlate / correlateOuter
+    // / funnelStream), so the next re-encode fails here first.
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("evts_enc").toString
+    val canon = Seq(
+      (1L, "2024-01-01 10:01:00", 10L, "view", 1.0),
+      (2L, "2024-01-01 10:05:00", 10L, "purchase", 2.0),
+      (3L, "2024-01-01 11:30:00", 10L, "view", 3.0),
+      (4L, "2024-01-01 10:02:00", 20L, "view", 4.0),
+      (5L, "2024-01-01 10:20:00", 20L, "click", 5.0),
+      (6L, "2024-01-01 10:40:00", 20L, "purchase", 6.0))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    // (a) UTC-adjusted micros (TimestampType — adapter must no-op)
+    canon.write.mode("overwrite").parquet(s"$tmp/utc")
+    // (b) local-semantics micros, isAdjustedToUTC=false (the r8 break)
+    canon.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$tmp/ntz")
+    // (c) nanos-as-long: what TIMESTAMP(NANOS) parquet becomes under
+    // spark.sql.legacy.parquet.nanosAsLong=true (the pre-r8 encoding)
+    canon.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      .write.mode("overwrite").parquet(s"$tmp/longns")
+
+    def fingerprint(dir: String): Seq[String] = {
+      val ev = graft.queries.Streaming.normalizeTs(ss.read.parquet(dir))
+      assert(ev.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType, s"$dir: ${ev.schema}")
+      val views = ev.where(col("event_type") === "view")
+      val buys = ev.where(col("event_type") === "purchase")
+      (Events.sessionize(ev, gapMinutes = 30).collect() ++
+        Events.tumblingAgg(ev, "hour").collect() ++
+        Events.correlate(views, buys, "user_id", 30).collect() ++
+        Events.correlateOuter(views, buys, "user_id", 30).collect() ++
+        Events.funnelStream(ev).collect())
+        .map(_.toString).sorted.toSeq
+    }
+
+    val ref = fingerprint(s"$tmp/utc")
+    assert(ref.nonEmpty)
+    assert(fingerprint(s"$tmp/ntz") == ref)
+    assert(fingerprint(s"$tmp/longns") == ref)
+
+    // Streaming variant over the NEW (NTZ) file encoding: a readStream
+    // from the driver-shaped parquet, normalized by the same adapter,
+    // must emit exactly the batch sessionize's CLOSED sessions (the
+    // still-open tail session per user is unemittable by construction).
+    import org.apache.spark.sql.types._
+    val ntzSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("ts", TimestampNTZType)))
+    val stream = graft.queries.Streaming.normalizeTs(
+      ss.readStream.schema(ntzSchema).parquet(s"$tmp/ntz"))
+    val q = Events.sessionizeStream(stream, gapMinutes = 30, "10 minutes")
+      .writeStream.format("memory").queryName("sessions_ntz")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val streamed = ss.table("sessions_ntz").collect()
+      .map(_.toString).sorted.toSeq
+    q.stop()
+    val ntzEvents =
+      graft.queries.Streaming.normalizeTs(ss.read.parquet(s"$tmp/ntz"))
+    val batchAll = Events.sessionize(ntzEvents, gapMinutes = 30)
+    // a session is EMITTED if a later event of the same user opened a new
+    // session (gap-exceed: every non-latest session) OR the event-time
+    // timeout fired (final watermark = max ts - 10 min passed end + gap)
+    val wmMs = ntzEvents.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      ./(1000L) - 10L * 60 * 1000
+    val closed = batchAll
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("session_start").desc)))
+      .where(col("_rk") > 1 ||
+        unix_micros(col("session_end")) / 1000L + 30L * 60 * 1000 < wmMs)
+      .drop("_rk")
+      .select("user_id", "session_start", "session_end", "n_events",
+        "sum_value")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == closed, s"stream=$streamed closed=$closed")
+    assert(streamed.nonEmpty)
+  }
 }
