@@ -25,6 +25,11 @@ import graft.operators.Dedup
   *                         output text becomes word-normalized
   *   [-dedup near]         exact | near | none (d1 / d2+d6+d10 / skip)
   *   [-jaccard 0.8]        near-dup verification threshold
+  *   [-chunk 64,48]        slide size-token windows every stride tokens
+  *                         over each doc (t13); output is per-chunk
+  *   [-pack 1000[,col]]    pack docs into ~budget-token chunks per shard
+  *                         column, default source (t7); adds tokens +
+  *                         chunk_idx. Mutually exclusive with -chunk.
   *   [-format parquet]     parquet | jsonl output
   *   [-single_file 1]      coalesce output to one part
   *   [-threads n] [-master url] [-shuffle_partitions n]
@@ -143,6 +148,41 @@ object Corpus {
         df = df.join(losers, Seq("doc_id"), "left_anti")
         record(s"dedup=near@$thr")
       case other => sys.error(s"unknown -dedup mode: $other")
+    }
+
+    // training-example shaping (the pipeline's LAST stage — after dedup,
+    // so budgets count surviving text only). The two shapers target
+    // opposite doc-length regimes, so exactly one may run:
+    //   -chunk size,stride  slide fixed token windows over OVER-budget
+    //                       docs (t13); rows become per-chunk
+    //   -pack budget[,col]  assign short docs to ~budget-token chunks
+    //                       per shard (t7 prefix-sum greedy); rows keep
+    //                       doc granularity + (tokens, chunk_idx)
+    require(!(opts.contains("chunk") && opts.contains("pack")),
+      "-chunk and -pack are mutually exclusive (chunk splits long docs, " +
+        "pack groups short ones — run two passes to do both)")
+    opts.get("chunk").foreach { spec =>
+      val parts = spec.split(",").map(_.trim)
+      require(parts.length == 2,
+        s"-chunk wants size,stride — got '$spec'")
+      val (sz, stride) = (parts(0).toInt, parts(1).toInt)
+      df = operators.Packing.chunkOverlap(df, "text", sz, stride)
+        .drop("text")
+      record(s"chunk=$sz,$stride")
+    }
+    opts.get("pack").foreach { spec =>
+      val parts = spec.split(",").map(_.trim)
+      val budget = parts(0).toLong
+      val shard = if (parts.length > 1) parts(1) else "source"
+      require(df.columns.contains(shard),
+        s"-pack shard column '$shard' not in input (pass -pack " +
+          s"$budget,<col>); sharding is what keeps packing parallel — " +
+          "a global pack would serialize the corpus into one task")
+      df = operators.Packing.packSequences(
+        df.withColumn("tokens",
+          text.bpeTokenCount(col("text")).cast("long")),
+        shard, "doc_id", "tokens", budget)
+      record(s"pack=$budget/$shard")
     }
 
     opts.get("o").foreach { out =>

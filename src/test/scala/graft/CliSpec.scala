@@ -242,4 +242,44 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == Set(3L, 4L))
   }
+
+  test("Corpus -chunk == the t13 gate query (stage parity)") {
+    val sf = "/root/testdata/sf0.001"
+    val cli = Corpus.run(spark, Map(
+      "i" -> s"$sf/documents.parquet", "dedup" -> "none",
+      "chunk" -> "64,48", "report" -> "0"))
+      .select("doc_id", "chunk_id", "chunk_tokens", "chunk_text")
+    val gate = SparkEntry.queries("t13_chunk_overlap")(spark, sf)
+    assert(rowsOf(cli) == rowsOf(gate))
+    assert(cli.count() > 0)
+  }
+
+  test("Corpus -pack rolled up == the t7 gate query (stage parity)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val cli = Corpus.run(spark, Map(
+      "i" -> s"$sf/documents.parquet", "dedup" -> "none",
+      "pack" -> "1000", "report" -> "0"))
+    // per-doc chunk assignment is the training-ready output; its rollup
+    // must equal the gate's chunkSummary exactly
+    val rolled = operators.Packing.chunkSummary(cli, "source", "doc_id",
+      "tokens")
+    val gate = SparkEntry.queries("t7_seq_pack")(spark, sf)
+    assert(rowsOf(rolled) == rowsOf(gate))
+    // every chunk lands within budget + its last doc's overrun
+    val over = cli.groupBy(col("source"), col("chunk_idx"))
+      .agg(sum(col("tokens")).as("t"), max(col("tokens")).as("m"))
+      .where(col("t") > lit(1000L) + col("m")).count()
+    assert(over == 0L)
+  }
+
+  test("Corpus rejects -chunk combined with -pack") {
+    val sf = "/root/testdata/sf0.001"
+    val e = intercept[IllegalArgumentException] {
+      Corpus.run(spark, Map(
+        "i" -> s"$sf/documents.parquet", "dedup" -> "none",
+        "chunk" -> "64,48", "pack" -> "1000", "report" -> "0"))
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
 }
