@@ -219,4 +219,19 @@ object NativeHashOps {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Inner product over double arrays, left-fold in element order (same
+    * determinism contract as [[cosine]]: the DuckDB list_reduce oracle
+    * replays the identical fold, so the doubles are bit-identical).
+    */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
 }

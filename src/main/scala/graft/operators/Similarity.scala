@@ -40,17 +40,68 @@ object Similarity {
     * unlike a window row_number cut. Ordering: cosine desc, id asc.
     */
   private[operators] def topKPerQuery(scored: DataFrame, k: Int,
-                                      qId: String, cId: String): DataFrame = {
+                                      qId: String, cId: String,
+                                      scoreCol: String = "cosine")
+    : DataFrame = {
     graft.plans.BoundedTopK.register(scored.sparkSession)
     scored
       .groupBy(col(qId))
       .agg(expr(s"${graft.plans.BoundedTopK.name}" +
-        s"(struct(cosine, $cId), $k)").as("_tk"))
+        s"(struct($scoreCol, $cId), $k)").as("_tk"))
       .select(col(qId), posexplode(col("_tk")).as(Seq("_r", "_e")))
       .select(col(qId), col("_e.id").as(cId),
-        col("_e.score").as("cosine"),
+        col("_e.score").as(scoreCol),
         (col("_r") + 1).cast("long").as("rank"))
   }
+
+  /** Exact max-inner-product search (MIPS) top-k: retrieval scoring where
+    * magnitude matters (recommender dot products, un-normalized
+    * embeddings), so cosine's norm division is wrong. Same plan economics
+    * as [[knnCosine]]: broadcast queries, one corpus scan, narrow
+    * (qid, cid, dot) rows into the bounded_top_k partial aggregate. Ties
+    * break on corpus id.
+    *
+    * Scale path beyond brute force: [[mipsAugment]] reduces MIPS to
+    * cosine ANN (order-preserving), after which every bucketed variant
+    * here (LSH / IVF / PQ) applies unchanged.
+    */
+  def knnDot(queries: DataFrame, corpus: DataFrame, k: Int,
+             qId: String = "qid", qVec: String = "qvec",
+             cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col(qId), col(cId),
+        round(call_function("graft_dot", col(qVec).cast("array<double>"),
+          col(cVec).cast("array<double>")), 5)
+          .as("dot"))
+    topKPerQuery(scored, k, qId, cId, scoreCol = "dot")
+  }
+
+  /** Norm augmentation (Neyshabur & Srebro 2015): append
+    * sqrt(maxNorm² − ‖v‖²) to every corpus vector and 0.0 to every query
+    * vector; cosine over the augmented space then ranks EXACTLY like the
+    * inner product over the original space (cos(q', v') =
+    * q·v / (‖q‖·maxNorm), a per-query-constant scaling) — so any cosine
+    * ANN index (LSH / IVF / PQ) answers MIPS with no new index type.
+    * One tiny max-norm aggregate broadcasts; the augmentation itself is
+    * a per-row expression on the scan. SimilaritySpec asserts rank
+    * equality against [[knnDot]].
+    */
+  def mipsAugment(corpus: DataFrame, vecCol: String): DataFrame = {
+    val norm2 = aggregate(col(vecCol).cast("array<double>"), lit(0.0),
+      (acc, x) => acc + x * x)
+    val maxN2 = corpus.agg(max(norm2).as("_maxN2"))
+    corpus.crossJoin(broadcast(maxN2))
+      .withColumn(vecCol,
+        concat(col(vecCol).cast("array<double>"),
+          array(sqrt(greatest(col("_maxN2") - norm2, lit(0.0))))))
+      .drop("_maxN2")
+  }
+
+  /** Query-side counterpart of [[mipsAugment]]: append 0.0. */
+  def mipsAugmentQuery(queries: DataFrame, vecCol: String): DataFrame =
+    queries.withColumn(vecCol,
+      concat(col(vecCol).cast("array<double>"), array(lit(0.0))))
 
   /** IVF (inverted-file) approximate top-k: the corpus is coarsely
     * quantized to its nearest centroid, queries probe their `nprobe`

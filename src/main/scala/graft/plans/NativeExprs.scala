@@ -217,6 +217,31 @@ object NativeExprs {
       copy(newLeft, newRight)
     override def prettyName: String = "graft_cosine"
   }
+
+  /** graft_dot(array<double>, array<double>) -> double, left-fold inner
+    * product matching the DuckDB list_reduce oracle exactly.
+    */
+  case class GraftDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType.catalogString == ArrayType(DoubleType).catalogString && right.dataType.catalogString == ArrayType(DoubleType).catalogString)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<double>), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      NativeHashOps.dot(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.NativeHashOps.dot($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(newLeft, newRight)
+    override def prettyName: String = "graft_dot"
+  }
 }
 
 /** Session registration for the graft_* scalar functions. */
@@ -248,6 +273,8 @@ object GraftFunctions {
       arity2("graft_hamming", GraftHamming.apply)),
     ("graft_cosine", classOf[GraftCosine],
       arity2("graft_cosine", GraftCosine.apply)),
+    ("graft_dot", classOf[GraftDot],
+      arity2("graft_dot", GraftDot.apply)),
     ("graft_translate_dna", classOf[GraftTranslateDna],
       arity2("graft_translate_dna", GraftTranslateDna.apply)),
     ("graft_img_decode", classOf[MediaExprs.GraftImgDecode],

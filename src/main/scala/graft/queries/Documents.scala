@@ -503,6 +503,17 @@ object Documents {
       Similarity.rangeCosine(q, c, threshold = 0.25)
     }),
 
+    "s8_dot_topk" -> ((s, dir) => {
+      // exact max-inner-product top-5: cosine's plan (broadcast queries,
+      // one scan, bounded_top_k partial agg) with the un-normalized
+      // graft_dot score — magnitude-aware retrieval
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.knnDot(q, c, k = 5)
+    }),
+
     "s7b_range_ivf" -> ((s, dir) => {
       // IVF-pruned radius search: same coarse lists as s3 (step-64
       // sample, nprobe 3), threshold tail instead of top-k; the oracle
@@ -1272,6 +1283,19 @@ object Documents {
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cosine DESC, cid) AS rank FROM s)
          |WHERE rank <= 5""".stripMargin,
+
+    "s8_dot_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+        |s AS (SELECT qid, cid,
+        |  round(list_reduce(list_transform(list_zip(qv, cv),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+        |    (a,b) -> a+b), 5) AS dot FROM q, c)
+        |SELECT qid, cid, dot, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dot DESC, cid) AS rank FROM s)
+        |WHERE rank <= 5""".stripMargin,
 
     "s7_range_search" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

@@ -158,6 +158,18 @@ object Streaming {
         events(s, dir).select(col("user_id")), "user_id").toDF()
     }),
 
+    "e14_stream_topk" -> ((s, dir) => {
+      // the STREAMING sharded space-saving summary, batch-equivalently:
+      // capacity far above the per-shard distinct-user count, so no
+      // eviction fires and every entry is exact (ss_err 0) — which is
+      // precisely what the oracle can recompute. Bounded-capacity
+      // eviction (the part SQL cannot express) is covered by
+      // StreamingSpec's guarantee tests.
+      graft.streaming.StreamSketches.spaceSavingStream(
+        events(s, dir).select(col("user_id")), "user_id",
+        capacity = 1 << 20).toDF()
+    }),
+
     "e9_stream_funnel" -> ((s, dir) => {
       // the STREAMING funnel state machine, batch-equivalently (same
       // one-micro-batch argument as e6): per-user final stage rows
@@ -470,6 +482,17 @@ object Streaming {
         |  FROM events, rows_)
         |SELECT row, bucket, count(*) AS cms_count
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "e14_stream_topk" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS value, count(*) AS ss_count
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(list_reduce([strpos('0123456789abcdef',
+        |      substr(md5(value), j, 1)) - 1
+        |    for j in range(1, 8)], (a, b) -> a * 16 + b) % 16 AS INT)
+        |  AS shard,
+        |  value, ss_count, CAST(0 AS BIGINT) AS ss_err
+        |FROM c""".stripMargin,
 
     "q16_heavy_hitters" ->
       """WITH rows_ AS (SELECT unnest(range(0, 4)) AS r),

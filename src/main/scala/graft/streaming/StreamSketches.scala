@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Per-trigger HLL estimate row. */
 case class HllEstimate(group: String, hll_estimate: Double)
@@ -144,4 +144,70 @@ object StreamSketches {
           HistCell(cell._1, cell._2, n)
       }
   }
+
+  /** Streaming top-k candidates via sharded space-saving (Metwally et
+    * al. 2005): each value hashes to one of `shards` summaries, and each
+    * summary keeps at most `capacity` (value, count, err) entries — on
+    * overflow the minimum-count entry is evicted and the newcomer
+    * inherits its count as both start and error bound. Because a value
+    * always lands in the SAME shard, shard summaries partition the key
+    * space (no cross-shard double counting) and their union is a valid
+    * candidate set: any value whose true count exceeds its shard's
+    * total / capacity is guaranteed present, and a present value's true
+    * count lies in [ss_count - ss_err, ss_count].
+    *
+    * The space-saving family completes the streaming sketch set (HLL =
+    * max-merge, CMS/histogram = sum-merge): its state is NOT
+    * order-independent — an eviction depends on arrival order — so
+    * unlike e12/e13 the stream equals batch only when capacity covers
+    * the shard's distinct values (err 0 everywhere, asserted in
+    * StreamingSpec along with the eviction-mode bounds).
+    *
+    * Scale: state is shards x capacity entries forever, the caller's
+    * memory knob; per micro-batch only (shard, value) rows shuffle, and
+    * the per-trigger read-out (merge shard lists, take global top-k by
+    * count) is a batch pass over <= shards*capacity rows. `shards`
+    * also bounds update parallelism — size it like a shuffle partition
+    * count, not at 1.
+    */
+  def spaceSavingStream(events: DataFrame, valueCol: String,
+                        capacity: Int, shards: Int = 16)
+    : Dataset[TopKCand] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    // md5-derived shard (not xxhash64/murmur): the DuckDB oracle replays
+    // the identical assignment, same trick as the CMS buckets
+    val prepped = events.select(
+      pmod(conv(substring(md5(col(valueCol).cast("string")), 1, 7),
+        16, 10).cast("long"), lit(shards)).cast("int").as("shard"),
+      col(valueCol).cast("string").as("v"))
+      .as[(Int, String)]
+    prepped.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[(Int, String)],
+         state: GroupState[Map[String, (Long, Long)]]) =>
+          var m = state.getOption.getOrElse(Map.empty[String, (Long, Long)])
+          rows.foreach { case (_, v) =>
+            m.get(v) match {
+              case Some((c, e)) => m = m.updated(v, (c + 1, e))
+              case None if m.size < capacity => m += v -> (1L, 0L)
+              case None =>
+                // evict the min-count entry (ties: lexicographic value,
+                // so replay within a batch is deterministic)
+                val (evictV, (evictC, _)) = m.minBy { case (k, (c, _)) =>
+                  (c, k)
+                }
+                m = (m - evictV) + (v -> (evictC + 1, evictC))
+            }
+          }
+          state.update(m)
+          m.iterator.map { case (v, (c, e)) => TopKCand(shard, v, c, e) }
+      }
+  }
 }
+
+/** One sharded space-saving candidate: true count of `value` is within
+  * [ss_count - ss_err, ss_count].
+  */
+case class TopKCand(shard: Int, value: String, ss_count: Long, ss_err: Long)

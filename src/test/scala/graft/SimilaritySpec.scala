@@ -141,4 +141,25 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"range recall=${ivf.size.toDouble / exact.size}%.3f " +
       s"(${ivf.size}/${exact.size})")
   }
+
+  test("norm augmentation reduces MIPS to cosine: identical neighbor " +
+    "ranking") {
+    def ranked(df: DataFrame) = df
+      .select(col("qid"), col("cid"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exactDot = ranked(Similarity.knnDot(q, c, k = 5))
+    // cosine top-k over the augmented space must rank EXACTLY like the
+    // inner product over the original space (per-query-constant scaling)
+    val viaCosine = ranked(Similarity.knnCosine(
+      Similarity.mipsAugmentQuery(q, "qvec"),
+      Similarity.mipsAugment(c, "cvec"), k = 5))
+    assert(viaCosine == exactDot)
+    // the augmented corpus carries the extra dimension and every vector
+    // reaches exactly the max norm (what makes the cosine order-preserving)
+    val aug = Similarity.mipsAugment(c, "cvec")
+    val dims = aug.select(size(col("cvec"))).distinct().collect()
+      .map(_.getInt(0))
+    val origDim = c.select(size(col("cvec"))).head.getInt(0)
+    assert(dims.toSeq == Seq(origDim + 1))
+  }
 }

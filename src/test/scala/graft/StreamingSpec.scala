@@ -336,6 +336,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.map(_._2) == Set(1L, 2L))   // 3 is never a dup target
   }
 
+  test("streaming space-saving top-k equals batch counts across " +
+    "micro-batches when capacity covers the key domain") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[Long]
+    val events = mem.toDF().toDF("user_id")
+    val q = graft.streaming.StreamSketches
+      .spaceSavingStream(events, "user_id", capacity = 100, shards = 4)
+      .writeStream.format("memory").queryName("sstopk")
+      .outputMode("update").start()
+    val batch1 = Seq(1L, 1L, 2L, 3L, 1L)
+    val batch2 = Seq(2L, 4L, 1L, 4L, 4L, 4L)
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    // update-mode sink accumulates one row per touched entry per trigger;
+    // counts only grow in exact mode, so latest = max per value
+    val streamed = ss.table("sstopk")
+      .groupBy("value").agg(org.apache.spark.sql.functions.max("ss_count")
+        .as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    val truth = (batch1 ++ batch2).groupBy(identity)
+      .map { case (v, occ) => v.toString -> occ.size.toLong }
+    assert(streamed == truth, s"stream=$streamed truth=$truth")
+    assert(ss.table("sstopk")
+      .where(org.apache.spark.sql.functions.col("ss_err") =!= 0)
+      .count() == 0)
+  }
+
+  test("space-saving eviction keeps the guarantee: bounded entries, " +
+    "heavy values present, counts bracket truth") {
+    val ss = spark
+    import ss.implicits._
+    // one shard, capacity 3, 6 distinct values — eviction must fire
+    // (batch execution drives the same flatMapGroupsWithState path in a
+    // single state pass)
+    val vals = Seq.fill(40)("heavy") ++ Seq.fill(9)("mid") ++
+      Seq("a", "b", "c", "d")
+    val out = graft.streaming.StreamSketches
+      .spaceSavingStream(vals.toDF("user_id"), "user_id",
+        capacity = 3, shards = 1)
+      .collect()
+    val truth = vals.groupBy(identity).map { case (v, o) =>
+      v -> o.size.toLong }
+    assert(out.length <= 3, out.mkString(";"))
+    // space-saving guarantee: any value with true count > N/capacity
+    // survives every eviction
+    assert(out.exists(_.value == "heavy"))
+    assert(out.exists(_.value == "mid"),
+      s"mid count ${truth("mid")} > ${vals.size}/3 must be present")
+    out.foreach { cand =>
+      val t = truth.getOrElse(cand.value, 0L)
+      assert(t <= cand.ss_count,
+        s"${cand.value}: ss_count ${cand.ss_count} must overestimate $t")
+      assert(cand.ss_count - cand.ss_err <= t,
+        s"${cand.value}: lower bound must not exceed truth $t")
+    }
+  }
+
   test("events adapter normalizes every parquet ts encoding the driver " +
     "has shipped (NTZ micros, nanos-as-long, UTC micros)") {
     // The r8 driver regenerated events.parquet as TIMESTAMP_MICROS
