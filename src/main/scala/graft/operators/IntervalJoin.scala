@@ -79,4 +79,53 @@ object IntervalJoin {
         col("_bin") === floor(greatest(col("start"), col("start2")) / binSize))
       .drop("_bin")
   }
+
+  /** Nearest-interval join (`bedtools closest -d` with a bounded search
+    * radius): each point reports its closest interval on the same
+    * partition key within `radius` — distance 0 inside [start, end],
+    * otherwise the gap to the nearer edge; ties resolve to the smallest
+    * `idCol`. Points with no interval inside the radius emit nothing;
+    * the radius is the caller's honesty knob (an UNBOUNDED closest needs
+    * escalating re-scans — a driver loop — and "closest gene within 1 Mb"
+    * is what annotation pipelines actually ask).
+    *
+    * Plan: intervals explode to their covering bins (pointsInIntervals'
+    * binning); points explode to the bins covering [pos-radius,
+    * pos+radius] (fanout 2*radius/binSize + 1). A candidate pair shares
+    * up to that many bins, so it is CLAIMED only by the bin owning the
+    * interval's nearest coordinate to the point (pos clamped into
+    * [start, end]) — exact output with no distinct — and the per-point
+    * winner is ONE partial-aggregated min(struct(distance, id)): no
+    * window, no second shuffle of the candidate set.
+    */
+  def nearestInterval(points: DataFrame, intervals: DataFrame,
+                      idCol: String, partitionKeys: Seq[String],
+                      radius: Long, binSize: Long = 10000L): DataFrame = {
+    require(partitionKeys.nonEmpty,
+      "nearestInterval needs a partition key (e.g. the chromosome)")
+    partitionKeys.foreach { k =>
+      require(points.columns.contains(k) && intervals.columns.contains(k),
+        s"partition key '$k' must exist on both sides")
+    }
+    require(radius > 0 && binSize > 0, "radius and binSize must be > 0")
+    val binnedIntervals = intervals.withColumn("_bin",
+      explode(sequence(floor(col("start") / binSize),
+        floor(col("end") / binSize))))
+    val binnedPoints = points.withColumn("_bin",
+      explode(sequence(floor((col("pos") - radius) / binSize),
+        floor((col("pos") + radius) / binSize))))
+    val keys = "_bin" +: partitionKeys
+    val nearestCoord = least(greatest(col("pos"), col("start")), col("end"))
+    val dist = greatest(col("start") - col("pos"),
+      col("pos") - col("end"), lit(0L)).cast("long")
+    val ptCols = points.columns.map(col)
+    binnedPoints.join(binnedIntervals, keys, "inner")
+      .where(dist <= radius &&
+        col("_bin") === floor(nearestCoord / binSize))
+      .select(ptCols :+ dist.as("_d") :+ col(idCol).as("_iv"): _*)
+      .groupBy(ptCols: _*)
+      .agg(min(struct(col("_d"), col("_iv"))).as("_m"))
+      .select(ptCols :+ col("_m._d").as("distance") :+
+        col("_m._iv").as(idCol): _*)
+  }
 }

@@ -94,4 +94,39 @@ object TableOps {
       lit(".").as("FILTER"),
       lit(".").as("INFO"))
       .orderBy(col("CHROM"), col("POS"))
+
+  /** MERGE-style changelog apply: fold an insert/update/delete change
+    * stream into a snapshot — the missing piece between u3 (compact a
+    * changelog to latest-per-key) and u4 (SCD2 history): u5 produces the
+    * NEW SNAPSHOT. Per key, only the latest change (by `seqCol`, which
+    * must be unique per key — a CDC LSN/offset) applies: 'I'/'U' replace
+    * the row's `valueCols` (insert if absent), 'D' removes it; keys
+    * without a change pass through untouched.
+    *
+    * Plan shape: the changelog compacts via u3's partial-aggregable
+    * max(struct(seq, op, values)) — one row per changed key leaves each
+    * map task — then ONE full-outer key join against the snapshot. No
+    * window, no driver loop; both shuffles key on `key`, so AQE can
+    * plan the join off the compaction's partitioning. At CDC scale the
+    * changed-key side is a fraction of the snapshot and broadcasts.
+    */
+  def applyChangelog(snapshot: DataFrame, changes: DataFrame, key: String,
+                     opCol: String, seqCol: String,
+                     valueCols: Seq[String]): DataFrame = {
+    val latest = changes
+      .groupBy(col(key))
+      .agg(max(struct(col(seqCol) +: col(opCol).as("_op") +:
+        valueCols.map(col): _*)).as("_m"))
+      .select(col(key).as("_ck"), col("_m._op").as("_op"),
+        struct(valueCols.map(c => col(s"_m.$c").as(c)): _*).as("_cv"))
+    snapshot
+      .join(latest, col(key) === col("_ck"), "full_outer")
+      // D drops the key; a D for an absent key is a no-op (_ck non-null,
+      // snapshot key null, filtered the same way)
+      .where(col("_op").isNull || col("_op") =!= "D")
+      .select(coalesce(col(key), col("_ck")).as(key) +:
+        valueCols.map(c =>
+          when(col("_op").isNotNull, col(s"_cv.$c"))
+            .otherwise(col(c)).as(c)): _*)
+  }
 }

@@ -57,6 +57,19 @@ object Genomic {
         .select("chrom", "pos", "id", "alt", "transcript_id", "start", "end")
     }),
 
+    "g5_nearest_join" -> ((s, _) => {
+      // bedtools-closest within a radius: every variant annotated with
+      // its nearest exon (distance 0 inside, else gap to the nearer
+      // edge; ties -> smallest transcript_id) — radius-bounded binned
+      // candidates, bin-ownership claim, one partial-agg arg-min
+      prep(s)
+      val points = s.read.parquet(s"$fx/vcf_norm.parquet")
+        .select("chrom", "pos", "id")
+      val exons = s.read.parquet(s"$fx/exons.parquet")
+      IntervalJoin.nearestInterval(points, exons, "transcript_id",
+        Seq("chrom"), radius = 60, binSize = 20)
+    }),
+
     "g4_overlap_join" -> ((s, _) => {
       // interval x interval overlap: exons vs 30bp capture probes tiled
       // every 25bp across each chromosome's span — binned equi-join with
@@ -211,6 +224,18 @@ object Genomic {
          |FROM read_csv('$raw/annotations.gtf', delim='\t', header=false,
          |  skip=1, names=['c0','c1','c2','c3','c4','c5','c6','c7','c8'],
          |  all_varchar=true)""".stripMargin,
+
+    "g5_nearest_join" ->
+      s"""WITH v AS (SELECT DISTINCT chrom, pos, id FROM ${pq("vcf_norm")}),
+         |c AS (
+         |  SELECT v.chrom, v.pos, v.id, e.transcript_id,
+         |    greatest(e.start - v.pos, v.pos - e."end", 0) AS distance
+         |  FROM v JOIN ${pq("exons")} e ON v.chrom = e.chrom
+         |  WHERE greatest(e.start - v.pos, v.pos - e."end", 0) <= 60)
+         |SELECT chrom, pos, id, distance, transcript_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY chrom, pos, id
+         |    ORDER BY distance, transcript_id) AS rn FROM c)
+         |WHERE rn = 1""".stripMargin,
 
     "g2_interval_join" ->
       s"""SELECT v.chrom, v.pos, v.id, v.alt, e.transcript_id, e.start,

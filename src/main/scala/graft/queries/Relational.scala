@@ -200,6 +200,27 @@ object Relational {
         .withColumn("is_current", col("valid_to").isNull)
     }),
 
+    "u5_cdc_apply" -> ((s, dir) => {
+      // MERGE-style CDC apply: orders read as an I/U/D changelog over
+      // the customer snapshot (op derived from order status, LSN =
+      // o_orderkey) — u3 compacts a changelog, u4 keeps history, u5
+      // produces the new snapshot
+      val snap = t(s, dir, "customer")
+        .select(col("c_custkey").as("cust_id"),
+          col("c_acctbal").as("balance"),
+          col("c_mktsegment").as("segment"))
+      val changes = t(s, dir, "orders")
+        .select(col("o_custkey").as("cust_id"),
+          col("o_orderkey").as("seq"),
+          when(col("o_orderstatus") === "F", "U")
+            .when(col("o_orderstatus") === "O", "I")
+            .otherwise("D").as("op"),
+          col("o_totalprice").as("balance"),
+          concat(lit("seg_"), col("o_orderpriority")).as("segment"))
+      graft.operators.TableOps.applyChangelog(snap, changes, "cust_id",
+        "op", "seq", Seq("balance", "segment"))
+    }),
+
     "q21_full_outer" -> ((s, dir) => {
       // full outer join surface: nations seen from the customer vs
       // supplier side, neither side dropping unmatched keys
@@ -304,6 +325,27 @@ object Relational {
         |  lead(o_orderdate) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
         |FROM orders""".stripMargin,
+
+    "u5_cdc_apply" ->
+      """WITH latest AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey AS cust_id,
+        |      CASE WHEN o_orderstatus = 'F' THEN 'U'
+        |           WHEN o_orderstatus = 'O' THEN 'I' ELSE 'D' END AS op,
+        |      o_totalprice AS balance,
+        |      'seg_' || o_orderpriority AS segment,
+        |      row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1),
+        |s AS (SELECT c_custkey AS cust_id, c_acctbal AS balance,
+        |    c_mktsegment AS segment FROM customer)
+        |SELECT coalesce(s.cust_id, l.cust_id) AS cust_id,
+        |  CASE WHEN l.cust_id IS NOT NULL THEN l.balance
+        |       ELSE s.balance END AS balance,
+        |  CASE WHEN l.cust_id IS NOT NULL THEN l.segment
+        |       ELSE s.segment END AS segment
+        |FROM s FULL OUTER JOIN latest l ON s.cust_id = l.cust_id
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
 
     "q21_full_outer" ->
       """SELECT coalesce(c.nk, s.nk) AS nationkey,

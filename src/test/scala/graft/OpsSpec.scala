@@ -183,6 +183,59 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSet == Set(("a1", "b1"), ("a1", "b2")))
   }
 
+  test("nearest-interval join == brute force within radius, tie to " +
+    "smallest id, multi-bin candidates claimed once") {
+    val s = spark
+    import s.implicits._
+    // intervals spanning several bins (binSize 10) + equidistant tie
+    val ivs = Seq(
+      ("c", "t1", 100L, 135L),  // 4 bins
+      ("c", "t2", 151L, 160L),
+      ("c", "t0", 151L, 160L),  // exact tie with t2 -> t0 wins (id order)
+      ("c", "t3", 500L, 505L),
+      ("d", "t4", 100L, 110L))  // other chromosome must never match
+      .toDF("chrom", "transcript_id", "start", "end")
+    val pts = Seq(
+      ("c", 120L, "inside"),      // inside t1 -> distance 0
+      ("c", 142L, "between"),     // 7 from t1, 9 from t2 -> t1
+      ("c", 143L, "tie"),         // 8 from t1 AND from t2/t0 -> t0
+      ("c", 400L, "far"),         // 240 from t2 > radius, 100 from t3
+      ("c", 9000L, "nothing"),    // nothing within radius -> no row
+      ("d", 111L, "otherchrom"))  // 1 from t4 only
+      .toDF("chrom", "pos", "id")
+    val got = graft.operators.IntervalJoin
+      .nearestInterval(pts, ivs, "transcript_id", Seq("chrom"),
+        radius = 100L, binSize = 10L)
+      .collect()
+      .map(r => (r.getString(2), r.getLong(3), r.getString(4))).toSet
+    assert(got == Set(
+      ("inside", 0L, "t1"), ("between", 7L, "t1"), ("tie", 8L, "t0"),
+      ("far", 100L, "t3"), ("otherchrom", 1L, "t4")), got)
+  }
+
+  test("changelog apply: latest op wins — update, insert, delete, " +
+    "absent-key delete no-op, untouched pass-through") {
+    val s = spark
+    import s.implicits._
+    val snap = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"),
+      (4L, 40.0, "d")).toDF("id", "bal", "seg")
+    val changes = Seq(
+      (1L, 100L, "U", 11.0, "a2"),  // update key 1
+      (1L, 99L, "D", 0.0, "x"),     // superseded by seq 100
+      (2L, 50L, "D", 0.0, "x"),     // delete key 2
+      (5L, 60L, "I", 55.0, "e"),    // insert unseen key 5
+      (6L, 70L, "D", 0.0, "x"))     // delete of absent key: no-op
+      .toDF("id", "seq", "op", "bal", "seg")
+    val got = graft.operators.TableOps
+      .applyChangelog(snap, changes, "id", "op", "seq", Seq("bal", "seg"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, 11.0, "a2"),  // updated to the LATEST change
+      (3L, 30.0, "c"), (4L, 40.0, "d"),  // untouched
+      (5L, 55.0, "e")), got)  // inserted; 2 deleted, 6 never existed
+  }
+
   test("windowed peptide index returns exactly the re-join plan's rows") {
     val s = spark
     import s.implicits._

@@ -225,6 +225,44 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("u5 changelog apply: windowless compaction + one key join, " +
+    "no range sort") {
+    val p = plan("u5_cdc_apply")
+    // same economics as u3 (partial-agg arg-max compaction), then a
+    // single key-equi full outer join — never a window or global sort
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    assert(p.contains("FullOuter") || p.contains("full_outer"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s8 MIPS top-k: broadcast queries, bounded_top_k partial agg, " +
+    "single reduction shuffle") {
+    val p = plan("s8_dot_topk")
+    // the corpus is scanned once and never hash-repartitioned before
+    // scoring; the only hash exchange carries <= k rows per query from
+    // the partial bounded_top_k
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("bounded_top_k"), p)
+    // count in the FINAL plan only (AQE echoes the initial plan below it)
+    val finalPlan = p.split("Initial Plan")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).size <= 1,
+      finalPlan)
+  }
+
+  test("g5 nearest-interval join stays a binned equi-join with a " +
+    "partial-agg arg-min") {
+    val p = plan("g5_nearest_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // winner selection is the partial-aggregable min(struct), no window
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min"), p)
+  }
+
   test("e7 resample: grid and fill never degrade to a cross product") {
     val p = plan("e7_resample")
     assert(!p.contains("CartesianProduct"), p)
