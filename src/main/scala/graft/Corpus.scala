@@ -16,6 +16,8 @@ import graft.operators.Dedup
   *   [-lang en]            keep docs whose n-gram language ID matches (t3)
   *   [-min_quality 0.45]   heuristic quality floor in [0,1] (t2)
   *   [-gopher 1]           Gopher rule filter (t6)
+  *   [-repetition .2,.18]  Gopher repetition caps: top-2-gram /
+  *                         duplicated-3-gram char fractions (t14)
   *   [-pii 1]              redact emails/phones/IPv4 in place (t8)
   *   [-decontaminate p]    drop docs sharing any 8-word gram with the
   *                         benchmark/eval parquet at path p (t5)
@@ -77,6 +79,16 @@ object Corpus {
     if (opts.getOrElse("gopher", "0") == "1") {
       df = df.where(text.gopherMetrics(col("text")).getField("keep"))
       record("gopher")
+    }
+    opts.get("repetition").foreach { spec =>
+      // Gopher's repetition rules (t14): drop docs whose most frequent
+      // 2-gram or duplicated 3-grams cover too many characters
+      val parts = spec.split(",").map(_.trim.toDouble)
+      require(parts.length == 2,
+        s"-repetition wants top2max,dup3max — got '$spec'")
+      df = df.where(text.topNgramCharFrac(col("text"), 2) < parts(0) &&
+        text.dupNgramCharFrac(col("text"), 3) < parts(1))
+      record(s"repetition<$spec")
     }
     if (opts.getOrElse("pii", "0") == "1") {
       df = df.withColumn("text",

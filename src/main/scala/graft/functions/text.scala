@@ -68,6 +68,67 @@ object text {
         alphaFrac > 0.8 && dupLineFrac < 0.3).as("keep"))
   }
 
+  /** Whitespace tokens joined into sorted word n-grams — the shared prep
+    * of [[topNgramCharFrac]]/[[dupNgramCharFrac]]. Docs with fewer than
+    * `n` tokens produce an empty list.
+    */
+  private def ngramsSorted(t: Column, n: Int): Column = {
+    val toks = filter(split(trim(t), "\\s+"), w => length(w) > 0)
+    array_sort(when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** Gopher repetition metric (Rae et al. 2021 A1): fraction of the
+    * document's characters covered by occurrences of its single most
+    * frequent word n-gram (ties -> lexicographically smallest). Computed
+    * as a per-row fold over the SORTED gram list (longest equal-run =
+    * most frequent gram) — pure expression work, NO shuffle, unlike a
+    * gram-explode + groupBy which would ship every gram of a 100 TB
+    * corpus through an exchange to answer a per-document question. The
+    * DuckDB oracle replays the identical sorted fold. Rounds to 5 dp.
+    */
+  def topNgramCharFrac(t: Column, n: Int): Column = {
+    val init = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("bc"), lit("").as("bg"))
+    val folded = aggregate(ngramsSorted(t, n), init, (a, x) => {
+      val newRun = when(x === a.getField("prev"), a.getField("run") + 1)
+        .otherwise(lit(1L))
+      val better = newRun > a.getField("bc")
+      struct(x.as("prev"), newRun.as("run"),
+        when(better, newRun).otherwise(a.getField("bc")).as("bc"),
+        when(better, x).otherwise(a.getField("bg")).as("bg"))
+    })
+    round(folded.getField("bc") * length(folded.getField("bg"))
+      / greatest(length(t), lit(1)).cast("double"), 5)
+  }
+
+  /** Gopher repetition metric (Rae et al. 2021 A1): fraction of the
+    * document's characters covered by word n-grams that occur more than
+    * once — each occurrence of a duplicated gram contributes its length
+    * (overlaps between adjacent grams are NOT discounted, the paper's
+    * own approximation), clamped to 1. Same zero-shuffle sorted-fold
+    * shape as [[topNgramCharFrac]].
+    */
+  def dupNgramCharFrac(t: Column, n: Int): Column = {
+    val init = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("dup"))
+    val folded = aggregate(ngramsSorted(t, n), init, (a, x) => {
+      val newRun = when(x === a.getField("prev"), a.getField("run") + 1)
+        .otherwise(lit(1L))
+      // run reaching 2 retro-charges the first occurrence too
+      val add = when(newRun === 2, length(x).cast("long") * 2)
+        .when(newRun > 2, length(x).cast("long"))
+        .otherwise(lit(0L))
+      struct(x.as("prev"), newRun.as("run"),
+        (a.getField("dup") + add).as("dup"))
+    })
+    round(least(folded.getField("dup")
+      / greatest(length(t), lit(1)).cast("double"), lit(1.0)), 5)
+  }
+
   def alphaCount(t: Column): Column =
     length(regexp_replace(t, "[^A-Za-z]", ""))
 

@@ -110,6 +110,19 @@ object Documents {
         .select(col("doc_id"), col("m.*"))
     }),
 
+    "t14_repetition" -> ((s, dir) => {
+      // Gopher's repetition signals (the half gopherMetrics doesn't
+      // cover): chars in the single most frequent 2-gram, chars in
+      // duplicated 3-grams — per-row sorted folds, zero shuffles;
+      // thresholds adapted to short docs (paper: 0.20 / 0.18)
+      val top2 = text.topNgramCharFrac(col("text"), 2)
+      val dup3 = text.dupNgramCharFrac(col("text"), 3)
+      t(s, dir, "documents")
+        .select(col("doc_id"), top2.as("top2_char_frac"),
+          dup3.as("dup3_char_frac"),
+          (top2 < 0.20 && dup3 < 0.18).as("keep"))
+    }),
+
     "t3_langid" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -599,6 +612,52 @@ object Documents {
         |    'dans','pour','que','pas'))) AS s_fr
         |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
         |      FROM documents)))""".stripMargin,
+
+    // Relational (unnest + GROUP BY) formulation, NOT a list_reduce fold:
+    // DuckDB 1.0.0's vectorized list_reduce leaks struct accumulators
+    // across rows at table scale (verified: per-row folds correct in
+    // isolation, values swapped between docs over the 500-row table), so
+    // the oracle recomputes both metrics from exact gram counts instead.
+    "t14_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      w -> length(w) > 0) AS tk
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2 THEN
+        |      [array_to_string(tk[i : i + 1], ' ')
+        |        for i in range(1, len(tk))] ELSE [] END) AS g
+        |  FROM toks),
+        |c2 AS (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2),
+        |top2 AS (
+        |  SELECT doc_id, n, g FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY n DESC, g) AS rn FROM c2) WHERE rn = 1),
+        |g3 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3 THEN
+        |      [array_to_string(tk[i : i + 2], ' ')
+        |        for i in range(1, len(tk) - 1)] ELSE [] END) AS g
+        |  FROM toks),
+        |c3 AS (SELECT doc_id, g, count(*) AS n FROM g3 GROUP BY 1, 2),
+        |dup3 AS (
+        |  SELECT doc_id, sum(n * length(g)) AS dup FROM c3
+        |  WHERE n >= 2 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  round(coalesce(t.n * length(t.g), 0)
+        |    / CAST(greatest(length(d.text), 1) AS DOUBLE), 5)
+        |    AS top2_char_frac,
+        |  round(least(coalesce(p.dup, 0)
+        |    / CAST(greatest(length(d.text), 1) AS DOUBLE), 1.0), 5)
+        |    AS dup3_char_frac,
+        |  (round(coalesce(t.n * length(t.g), 0)
+        |      / CAST(greatest(length(d.text), 1) AS DOUBLE), 5) < 0.20
+        |   AND round(least(coalesce(p.dup, 0)
+        |      / CAST(greatest(length(d.text), 1) AS DOUBLE), 1.0), 5)
+        |     < 0.18) AS keep
+        |FROM documents d
+        |LEFT JOIN top2 t ON d.doc_id = t.doc_id
+        |LEFT JOIN dup3 p ON d.doc_id = p.doc_id""".stripMargin,
 
     "t6_gopher_rules" ->
       """WITH m AS (

@@ -243,6 +243,20 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(3L, 4L))
   }
 
+  test("Corpus -repetition drops exactly the t14 keep=false docs") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val cli = Corpus.run(spark, Map(
+      "i" -> s"$sf/documents.parquet", "dedup" -> "none",
+      "repetition" -> "0.20,0.18", "report" -> "0"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gate = SparkEntry.queries("t14_repetition")(spark, sf)
+      .where(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(cli == gate)
+    assert(cli.nonEmpty)
+  }
+
   test("Corpus -chunk == the t13 gate query (stage parity)") {
     val sf = "/root/testdata/sf0.001"
     val cli = Corpus.run(spark, Map(

@@ -230,4 +230,41 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == expect, s"seed $seed")
     }
   }
+
+  test("repetition metrics == brute-force gram counting on random docs") {
+    val s = spark
+    import s.implicits._
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "longerword")
+    val docGen = Gen.chooseNum(0, 30)
+      .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    for (seed <- 1L to 40L) {
+      val txt = sample(docGen, seed)
+      val df = Seq((1L, txt)).toDF("doc_id", "text")
+        .select(graft.functions.text.topNgramCharFrac(col("text"), 2)
+          .as("top2"),
+          graft.functions.text.dupNgramCharFrac(col("text"), 3).as("dup3"))
+      val (gotTop, gotDup) =
+        df.collect().map(r => (r.getDouble(0), r.getDouble(1))).head
+      val tk = txt.trim.split("\\s+").filter(_.nonEmpty)
+      def grams(n: Int) = (0 to tk.length - n)
+        .map(i => tk.slice(i, i + n).mkString(" "))
+      def r5(d: Double) = BigDecimal(d)
+        .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val len = math.max(txt.length, 1)
+      val c2 = grams(2).groupBy(identity).view.mapValues(_.size)
+      val expTop =
+        if (c2.isEmpty) 0.0
+        else {
+          val mx = c2.values.max
+          val g = c2.filter(_._2 == mx).keys.min
+          r5(mx.toLong * g.length / len.toDouble)
+        }
+      val c3 = grams(3).groupBy(identity).view.mapValues(_.size)
+      val expDup = r5(math.min(
+        c3.filter(_._2 >= 2).map { case (g, n) => n.toLong * g.length }
+          .sum / len.toDouble, 1.0))
+      assert(gotTop == expTop, s"seed $seed top2 '$txt'")
+      assert(gotDup == expDup, s"seed $seed dup3 '$txt'")
+    }
+  }
 }
