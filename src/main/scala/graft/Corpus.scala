@@ -33,6 +33,8 @@ import graft.operators.Dedup
   *                         column, default source (t7); adds tokens +
   *                         chunk_idx. Mutually exclusive with -chunk.
   *   [-format parquet]     parquet | jsonl output
+  *   [-partition_by cols]  hive-partitioned output directories (comma
+  *                         list, e.g. source or source,lang)
   *   [-single_file 1]      coalesce output to one part
   *   [-threads n] [-master url] [-shuffle_partitions n]
   * }}}
@@ -201,9 +203,18 @@ object Corpus {
       val shaped =
         if (opts.getOrElse("single_file", "0") == "1") df.coalesce(1)
         else df
+      // hive-style layout: one directory per partition value — at scale
+      // this is what makes downstream per-source/per-lang reads prune
+      // to a subtree instead of scanning the corpus
+      val writer = opts.get("partition_by") match {
+        case Some(cols) =>
+          shaped.write.mode("overwrite")
+            .partitionBy(cols.split(",").map(_.trim): _*)
+        case None => shaped.write.mode("overwrite")
+      }
       opts.getOrElse("format", "parquet") match {
-        case "parquet" => shaped.write.mode("overwrite").parquet(out)
-        case "jsonl" => shaped.write.mode("overwrite").json(out)
+        case "parquet" => writer.parquet(out)
+        case "jsonl" => writer.json(out)
         case other => sys.error(s"unknown -format: $other")
       }
     }

@@ -287,6 +287,35 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(over == 0L)
   }
 
+  test("Corpus -partition_by writes hive-layout dirs that read back " +
+    "whole and prune to one subtree") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = s"${sys.props("java.io.tmpdir")}/graft-corpus-part-" +
+      ProcessHandle.current.pid
+    Corpus.run(spark, Map(
+      "i" -> s"$sf/documents.parquet", "dedup" -> "none",
+      "o" -> out, "partition_by" -> "source", "report" -> "0"))
+    val sources = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("source=")).map(_.getName).toSet
+    assert(dirs == sources.map(s => s"source=$s"))
+    // round trip: partition column restored, row count preserved
+    val back = spark.read.parquet(out)
+    assert(back.columns.toSet ==
+      spark.read.parquet(s"$sf/documents.parquet").columns.toSet)
+    assert(back.count() ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    // partition pruning reaches the scan
+    val one = sources.head
+    val plan = back.where(col("source") === one)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter ") ||
+      plan.contains(s"source=$one") || plan.contains("PartitionFilters"),
+      plan)
+  }
+
   test("Corpus rejects -chunk combined with -pack") {
     val sf = "/root/testdata/sf0.001"
     val e = intercept[IllegalArgumentException] {
