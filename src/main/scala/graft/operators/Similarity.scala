@@ -103,6 +103,42 @@ object Similarity {
     queries.withColumn(vecCol,
       concat(col(vecCol).cast("array<double>"), array(lit(0.0))))
 
+  /** Row-wise nearest-centroid assignment — the streaming-ingest form of
+    * the IVF coarse quantizer: the codebook collapses to ONE array row
+    * (collect_list aggregate, never a driver collect) broadcast to every
+    * task, and each vector folds over it in a per-row expression
+    * (array_max over struct(cosine, -centId): highest cosine, ties to
+    * the smallest centroid id — identical resolution to the agg-based
+    * assignment inside [[knnCosineIvfWith]]).
+    *
+    * Zero aggregation state and zero shuffles on the vector side
+    * (PlanSpec-pinned), so the same call works UNCHANGED on a streaming
+    * DataFrame — arriving embeddings pick their IVF list map-side at any
+    * rate, the per-batch cost is |batch|·nlist·dim multiply-adds, and a
+    * codebook refresh is picked up by the next micro-batch the way e4's
+    * stream-static dimension join is. This is how vectors enter a
+    * 100 TB ANN index incrementally: assignment is embarrassingly
+    * parallel; only list compaction (a batch job) ever reshuffles.
+    */
+  def coarseAssignRowwise(vectors: DataFrame, codebook: DataFrame,
+                          vId: String = "cid", vVec: String = "cvec")
+    : DataFrame = {
+    graft.plans.GraftFunctions.register(vectors.sparkSession)
+    val cbArr = codebook.agg(collect_list(struct(
+      col("centId").cast("long").as("centId"),
+      col("centVec").cast("array<double>").as("centVec"))).as("_cb"))
+    val scored = transform(col("_cb"), c => struct(
+      round(call_function("graft_cosine",
+        col(vVec).cast("array<double>"), c.getField("centVec")), 5)
+        .as("cosine"),
+      (-c.getField("centId")).as("_negId")))
+    vectors.crossJoin(broadcast(cbArr))
+      .select(col(vId).as("vec_id"),
+        array_max(scored).as("_best"))
+      .select(col("vec_id"), (-col("_best._negId")).as("list_id"),
+        col("_best.cosine").as("cosine"))
+  }
+
   /** IVF (inverted-file) approximate top-k: the corpus is coarsely
     * quantized to its nearest centroid, queries probe their `nprobe`
     * nearest centroid lists, and only those lists are scanned.

@@ -516,6 +516,17 @@ object Documents {
       Similarity.rangeCosine(q, c, threshold = 0.25)
     }),
 
+    "e15_stream_assign" -> ((s, dir) => {
+      // the STREAMING IVF ingest assignment, batch-equivalently: every
+      // vector picks its coarse list via the row-wise codebook fold —
+      // zero shuffles on the vector side, so the identical call runs on
+      // a readStream (StreamingSpec asserts MemoryStream == batch)
+      val emb = t(s, dir, "embeddings")
+      val c = emb.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec"))
+      Similarity.coarseAssignRowwise(c, Similarity.sampleCodebook(c, 64))
+    }),
+
     "s8_dot_topk" -> ((s, dir) => {
       // exact max-inner-product top-5: cosine's plan (broadcast queries,
       // one scan, bounded_top_k partial agg) with the un-normalized
@@ -1342,6 +1353,18 @@ object Documents {
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cosine DESC, cid) AS rank FROM s)
          |WHERE rank <= 5""".stripMargin,
+
+    "e15_stream_assign" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS centid, embedding AS centv FROM embeddings
+         |  WHERE vec_id % 64 = 0),
+         |a0 AS (
+         |  SELECT ev.vec_id, c.centid, round($cosineSql, 5) AS cosine
+         |  FROM (SELECT vec_id, embedding AS qv FROM embeddings) ev,
+         |       (SELECT centid, centv AS cv FROM cents) c)
+         |SELECT vec_id, centid AS list_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cosine DESC, centid) AS r FROM a0) WHERE r = 1""".stripMargin,
 
     "s8_dot_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

@@ -263,6 +263,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_min"), p)
   }
 
+  test("e15 streaming-ingest assignment never hash-shuffles the vector " +
+    "side") {
+    val p = plan("e15_stream_assign")
+    val finalPlan = p.split("Initial Plan")(0)
+    // the only exchange is the tiny codebook's collapse to one array row
+    // (SinglePartition on <n_centroids> rows) + its broadcast; vectors
+    // are scored and assigned entirely map-side — the property that
+    // makes the same call valid on an unbounded stream
+    assert(!finalPlan.contains("Exchange hashpartitioning"), finalPlan)
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("e7 resample: grid and fill never degrade to a cross product") {
     val p = plan("e7_resample")
     assert(!p.contains("CartesianProduct"), p)

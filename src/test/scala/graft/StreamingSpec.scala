@@ -336,6 +336,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.map(_._2) == Set(1L, 2L))   // 3 is never a dup target
   }
 
+  test("streaming IVF coarse assignment equals batch across micro-batches") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    def v(seed: Int): Seq[Double] =
+      (0 until 8).map(d => math.sin(seed * 31 + d * 7))
+    val codebook = Seq((0L, v(100)), (1L, v(200)), (2L, v(300)))
+      .toDF("centId", "centVec")
+    val vecs = (1 to 12).map(i => (i.toLong, v(i)))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val stream = mem.toDF().toDF("cid", "cvec")
+    val q = graft.operators.Similarity
+      .coarseAssignRowwise(stream, codebook)
+      .writeStream.format("memory").queryName("assign_stream")
+      .outputMode("append").start()
+    mem.addData(vecs.take(5): _*)
+    q.processAllAvailable()
+    mem.addData(vecs.drop(5): _*)
+    q.processAllAvailable()
+    val streamed = ss.table("assign_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    val batch = graft.operators.Similarity
+      .coarseAssignRowwise(vecs.toDF("cid", "cvec"), codebook)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(batch.size == 12 && batch.map(_._2).subsetOf(Set(0L, 1L, 2L)))
+  }
+
   test("streaming space-saving top-k equals batch counts across " +
     "micro-batches when capacity covers the key domain") {
     val ss = spark
