@@ -95,6 +95,39 @@ object TableOps {
       lit(".").as("INFO"))
       .orderBy(col("CHROM"), col("POS"))
 
+  /** ANALYZE-style one-pass column statistics — the CBO inputs (row
+    * count, null count, min/max, NDV) an engine needs before costing
+    * joins. Columns unpivot to narrow (column_name, value) rows
+    * map-side, so ONE pass over the table feeds every column's partial
+    * aggregate; NDV is the portable md5-register HyperLogLog (q15) —
+    * 256 registers per column cross the shuffle, never the values, which
+    * is what makes stats collection affordable on a 100 TB table (exact
+    * distinct would shuffle every value of every column).
+    *
+    * Restricted to numeric columns: min/max are computed as doubles and
+    * the HLL hashes the value's string rendering, which Spark and the
+    * DuckDB oracle agree on for integers and shortest-round-trip
+    * doubles (NOT for timestamps/decimals — cast those upstream).
+    */
+  def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableStats needs at least one column")
+    val exploded = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column_name"),
+        col(c).cast("double").as("_num"),
+        col(c).cast("string").as("_str"))): _*)).as("_e"))
+      .select(col("_e.column_name"), col("_e._num"), col("_e._str"))
+    val base = exploded.groupBy(col("column_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("_num"))).as("null_count"),
+        round(min(col("_num")), 6).as("min_val"),
+        round(max(col("_num")), 6).as("max_val"))
+    val ndv = Sketches.hllDistinct(
+      exploded.where(col("_str").isNotNull),
+      Seq("column_name"), "_str")
+      .withColumnRenamed("hll_estimate", "ndv_est")
+    base.join(ndv, Seq("column_name"), "left")
+  }
+
   /** MERGE-style changelog apply: fold an insert/update/delete change
     * stream into a snapshot — the missing piece between u3 (compact a
     * changelog to latest-per-key) and u4 (SCD2 history): u5 produces the

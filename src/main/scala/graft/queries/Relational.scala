@@ -200,6 +200,33 @@ object Relational {
         .withColumn("is_current", col("valid_to").isNull)
     }),
 
+    "z1_zorder" -> ((s, dir) => {
+      // Z-order layout audit: orders keyed by the Morton interleave of
+      // (custkey, orderkey); per z-bucket envelope stats show BOTH
+      // dimensions range-bounded — the property that makes file-level
+      // min/max stats prune on either predicate after a z-sorted write
+      import graft.functions.zorder
+      val z = zorder.zValue(
+        col("o_custkey").bitwiseAND(lit(65535L)),
+        col("o_orderkey").bitwiseAND(lit(65535L)))
+      t(s, dir, "orders")
+        .select(z.as("z"), col("o_custkey"), col("o_orderkey"))
+        .groupBy(shiftright(col("z"), 26).as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_custkey")).as("min_cust"),
+          max(col("o_custkey")).as("max_cust"),
+          min(col("o_orderkey").bitwiseAND(lit(65535L))).as("min_ord"),
+          max(col("o_orderkey").bitwiseAND(lit(65535L))).as("max_ord"))
+    }),
+
+    "u6_table_stats" -> ((s, dir) => {
+      // ANALYZE in one pass: row/null counts, min/max, portable-HLL NDV
+      // for the CBO-relevant lineitem columns — registers, not values,
+      // cross the shuffle
+      graft.operators.TableOps.tableStats(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"))
+    }),
+
     "u5_cdc_apply" -> ((s, dir) => {
       // MERGE-style CDC apply: orders read as an I/U/D changelog over
       // the customer snapshot (op derived from order status, LSN =
@@ -283,7 +310,60 @@ object Relational {
     })
   )
 
+  /** Per-column stats block for the u6 oracle: base aggregates + the
+    * q15 md5-register HLL estimate, replayed per column.
+    */
+  private def statsSql(c: String): String =
+    s"""SELECT column_name, n_rows, null_count, min_val, max_val,
+       |  round(CASE WHEN raw <= 640.0 AND zeros > 0
+       |    THEN 256.0 * ln(256.0 / zeros::DOUBLE) ELSE raw END, 4)
+       |    AS ndv_est
+       |FROM (
+       |  SELECT '$c' AS column_name, count(*) AS n_rows,
+       |    count(*) - count($c) AS null_count,
+       |    round(min(CAST($c AS DOUBLE)), 6) AS min_val,
+       |    round(max(CAST($c AS DOUBLE)), 6) AS max_val
+       |  FROM lineitem),
+       |(
+       |  SELECT (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+       |      / (sp + (256 - cnt)::DOUBLE) AS raw,
+       |    256 - cnt AS zeros
+       |  FROM (
+       |    SELECT count(*) AS cnt, sum(pow(2.0, -r)) AS sp FROM (
+       |      SELECT idx, max(CASE WHEN rest = 0 THEN 25
+       |          ELSE 25 - length(bin(rest)) END) AS r
+       |      FROM (
+       |        SELECT
+       |          list_reduce([strpos('0123456789abcdef',
+       |              substr(md5(CAST($c AS VARCHAR)), j, 1)) - 1
+       |            for j in range(1, 3)], (a, b) -> a * 16 + b) AS idx,
+       |          list_reduce([strpos('0123456789abcdef',
+       |              substr(md5(CAST($c AS VARCHAR)), j, 1)) - 1
+       |            for j in range(3, 9)], (a, b) -> a * 16 + b) AS rest
+       |        FROM lineitem WHERE $c IS NOT NULL)
+       |      GROUP BY 1)))""".stripMargin
+
+  // the same 16-bit Morton interleave as graft.functions.zorder.zValue,
+  // unrolled to literal shifts for DuckDB
+  private val zorderSql: String = (0 until 16).map { i =>
+    s"(((o_custkey & 65535) >> $i) & 1) * ${1L << (2 * i)} + " +
+      s"(((o_orderkey & 65535) >> $i) & 1) * ${1L << (2 * i + 1)}"
+  }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "z1_zorder" ->
+      s"""WITH z0 AS (
+         |  SELECT ($zorderSql) AS z, o_custkey, o_orderkey FROM orders)
+         |SELECT z >> 26 AS z_bucket, count(*) AS n,
+         |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+         |  min(o_orderkey & 65535) AS min_ord,
+         |  max(o_orderkey & 65535) AS max_ord
+         |FROM z0 GROUP BY 1""".stripMargin,
+
+    "u6_table_stats" ->
+      Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .map(statsSql).mkString("", "\nUNION ALL\n", ""),
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

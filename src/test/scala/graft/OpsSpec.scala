@@ -236,6 +236,57 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (5L, 55.0, "e")), got)  // inserted; 2 deleted, 6 never existed
   }
 
+  test("z-order interleave: known values, and z-sorted runs bound both " +
+    "dimensions") {
+    val s = spark
+    import s.implicits._
+    // hand-computed Morton values: z(a,b) puts a on even bits, b on odd
+    val known = Seq((0L, 0L), (3L, 1L), (1L, 3L), (7L, 7L), (65535L, 0L))
+      .toDF("a", "b")
+      .select(graft.functions.zorder.zValue(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // z(3,1)= a bits {0,1}->{0,2}=5, b bit {0}->{1}=2 => 7
+    // z(1,3)= a {0}->{0}=1, b {0,1}->{1,3}=10 => 11
+    // z(7,7)= 0b111111 = 63; z(65535,0) = even bits set
+    assert(known == Seq(0L, 7L, 11L, 63L,
+      (0 until 16).map(i => 1L << (2 * i)).sum))
+    // locality: on a 64x64 grid, any aligned 256-wide z-range spans at
+    // most a 16x16 tile in each dimension (perfect quadtree alignment)
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y =>
+      (x.toLong, y.toLong))).toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.zorder.zValue(col("x"), col("y"), bits = 6)
+          .as("z"))
+    val spans = grid.groupBy(shiftright(col("z"), 8).as("bucket"))
+      .agg((max(col("x")) - min(col("x"))).as("dx"),
+        (max(col("y")) - min(col("y"))).as("dy"))
+      .agg(max(col("dx")).as("mdx"), max(col("dy")).as("mdy"))
+      .head()
+    assert(spans.getLong(0) <= 15 && spans.getLong(1) <= 15, spans)
+  }
+
+  test("table stats: exact counts/min/max, HLL NDV within bound, nulls " +
+    "counted not hashed") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 400).map(i => (i.toLong, (i % 7).toDouble))
+      .toDF("id", "v")
+      .union(Seq((401L, Double.NaN)).toDF("id", "v")
+        .select(col("id"), lit(null).cast("double").as("v")))
+    val stats = graft.operators.TableOps.tableStats(df, Seq("id", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val (idN, idNull, idMin, idMax, idNdv) = stats("id")
+    assert((idN, idNull, idMin, idMax) == (401L, 0L, 1.0, 401.0))
+    // 256-register HLL on 401 distinct: within ~10%
+    assert(math.abs(idNdv - 401) / 401.0 < 0.15, s"ndv=$idNdv")
+    val (vN, vNull, vMin, vMax, vNdv) = stats("v")
+    assert((vN, vNull, vMin, vMax) == (401L, 1L, 0.0, 6.0))
+    // 7 distinct non-null values; small-range linear counting is exact-ish
+    assert(vNdv >= 6.5 && vNdv <= 7.5, s"ndv=$vNdv")
+  }
+
   test("windowed peptide index returns exactly the re-join plan's rows") {
     val s = spark
     import s.implicits._
