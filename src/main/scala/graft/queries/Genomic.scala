@@ -57,6 +57,14 @@ object Genomic {
         .select("chrom", "pos", "id", "alt", "transcript_id", "start", "end")
     }),
 
+    "b1_bed_read" -> ((s, _) => {
+      // BED region source: track/comment lines dropped map-side, optional
+      // cols null-padded; plus the 1-based inclusive conversion the
+      // interval operators consume (the named off-by-one step)
+      graft.sources.Bed.toIntervals(
+        graft.sources.Bed.read(s, s"${GenomicFixtures.rawDir}/regions.bed"))
+    }),
+
     "g5_nearest_join" -> ((s, _) => {
       // bedtools-closest within a radius: every variant annotated with
       // its nearest exon (distance 0 inside, else gap to the nearer
@@ -224,6 +232,17 @@ object Genomic {
          |FROM read_csv('$raw/annotations.gtf', delim='\t', header=false,
          |  skip=1, names=['c0','c1','c2','c3','c4','c5','c6','c7','c8'],
          |  all_varchar=true)""".stripMargin,
+
+    "b1_bed_read" ->
+      s"""SELECT c0 AS chrom, CAST(c1 AS BIGINT) + 1 AS start,
+         |  greatest(CAST(c2 AS BIGINT), CAST(c1 AS BIGINT) + 1) AS "end",
+         |  c3 AS name, CAST(c4 AS BIGINT) AS score, c5 AS strand
+         |FROM read_csv('$raw/regions.bed', delim='\t', header=false,
+         |  null_padding=true, all_varchar=true,
+         |  names=['c0','c1','c2','c3','c4','c5'])
+         |WHERE NOT starts_with(c0, 'track')
+         |  AND NOT starts_with(c0, 'browser')
+         |  AND NOT starts_with(c0, '#')""".stripMargin,
 
     "g5_nearest_join" ->
       s"""WITH v AS (SELECT DISTINCT chrom, pos, id FROM ${pq("vcf_norm")}),

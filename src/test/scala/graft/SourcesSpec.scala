@@ -104,4 +104,43 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back(0).getAs[String]("sequence") == "MASRL")
     assert(back(0).getAs[String]("tag") == "generic_sp")
   }
+
+  test("BED parses, converts 0-based half-open to 1-based inclusive, " +
+    "and feeds the interval join") {
+    val s2 = spark
+    import s2.implicits._
+    val raw = Seq(
+      "track name=\"t\" description=\"d\"",
+      "# comment",
+      "chr1\t99\t200\tgene_A\t960\t+",
+      "chr1\t500\t500\tins_site",        // zero-length, no score/strand
+      "chr2\t0\t10").toDF("value")       // minimal 3-column row
+    val bed = graft.sources.Bed.parseLines(raw, "value")
+      .orderBy("chrom", "start").collect()
+    assert(bed.length == 3)
+    assert(bed(0).getString(0) == "chr1" && bed(0).getLong(1) == 99 &&
+      bed(0).getLong(2) == 200 && bed(0).getString(3) == "gene_A" &&
+      bed(0).getLong(4) == 960 && bed(0).getString(5) == "+")
+    assert(bed(1).getString(3) == "ins_site" && bed(1).isNullAt(4) &&
+      bed(1).isNullAt(5))
+    assert(bed(2).isNullAt(3))
+    val iv = graft.sources.Bed.toIntervals(
+      graft.sources.Bed.parseLines(raw, "value"))
+      .orderBy("chrom", "start").collect()
+    // [99,200) 0-based -> [100,200] 1-based; zero-length 500 -> [501,501]
+    assert(iv(0).getLong(1) == 100 && iv(0).getLong(2) == 200)
+    assert(iv(1).getLong(1) == 501 && iv(1).getLong(2) == 501)
+    assert(iv(2).getLong(1) == 1 && iv(2).getLong(2) == 10)
+    // integration: 1-based point 100 (first covered base) joins gene_A;
+    // 0-based naive coordinates would have matched pos 99 instead
+    val pts = Seq(("chr1", 99L, "before"), ("chr1", 100L, "first"),
+      ("chr1", 200L, "last"), ("chr1", 201L, "after"))
+      .toDF("chrom", "pos", "pid")
+    val hits = graft.operators.IntervalJoin.pointsInIntervals(
+      pts, graft.sources.Bed.toIntervals(
+        graft.sources.Bed.parseLines(raw, "value")),
+      Seq("chrom"), binSize = 50)
+      .select("pid").collect().map(_.getString(0)).toSet
+    assert(hits == Set("first", "last"))
+  }
 }
