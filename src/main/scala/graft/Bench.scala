@@ -269,8 +269,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val fq = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = r4((if (results.nonEmpty) results.values.sum else 0.0) + prep)
+    // In-band contamination marker (r8's bench artifact was silently
+    // load-contaminated and got read as a regression signal): a busy box
+    // BEFORE the run means the numbers carry background-load noise and
+    // round-over-round comparison should exclude or re-run them.
+    // load_after is excluded from the check — it measures the bench's
+    // own local[32] burst, not contention.
+    val contaminated = loadBefore > 4.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","prep_sec":${r4(prep)},"runs_per_query":$runs,"load_before":$loadBefore,"load_after":$loadAfter,"failed_queries":$fq,"queries":$qs,"query_runs":$qr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","prep_sec":${r4(prep)},"runs_per_query":$runs,"load_before":$loadBefore,"load_after":$loadAfter,"load_contaminated":$contaminated,"failed_queries":$fq,"queries":$qs,"query_runs":$qr,"sf":"$sfDir"}"""
     println(line)
     // stdout can interleave with sbt/spark logging; also drop the JSON in a
     // file so the driver can machine-read it reliably
