@@ -32,6 +32,27 @@ object Bench {
     res
   }
 
+  /** IVF-flat kNN over `n` synthetic 32-dim vectors with a codebook of
+    * ~n/centStep entries (see the sx/sx10 entries for the scaling
+    * contract).
+    */
+  private def annAtScale(spark: SparkSession, n: Long,
+                         centStep: Long): Long = {
+    import org.apache.spark.sql.functions._
+    val dim = 32
+    def v(idc: org.apache.spark.sql.Column, seed: Int) = array(
+      (0 until dim).map(d =>
+        (pmod(hash(idc * 31 + seed, lit(d)), lit(1000))
+          .cast("double") / lit(500.0) - lit(1.0))): _*)
+    val corpus = spark.range(n)
+      .select(col("id").as("cid"), v(col("id"), 7).as("cvec"))
+    val queries = spark.range(16)
+      .select((col("id") * 997).as("qid"),
+        v(col("id") * 997, 7).as("qvec"))
+    graft.operators.Similarity.knnCosineIvf(queries, corpus,
+      k = 10, centStep = centStep, nprobe = 4).count()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -215,26 +236,18 @@ object Bench {
       // docs through the identical detect->cluster path must cost ~10x
       // dx, not 100x (SURVEY §6 records the measured ratio per round)
       "dx10_dedup_scale" -> (() => dedupAtScale(spark, nDocs * 50)),
-      "sx_ann_scale" -> (() => {
-        // ANN at volume: ~nDocs*2 synthetic 32-dim vectors (120k at
-        // sf0.1, ~20x the sf embeddings table) through the IVF-flat
-        // path: codebook sample -> bounded_top_k assignment -> nprobe
-        // list scan. Assignment cost is corpus x nlist x dim and
-        // parallelizes per partition — the same plan that holds at
-        // 100 TB with a broadcast codebook.
-        val dim = 32
-        def v(idc: org.apache.spark.sql.Column, seed: Int) = array(
-          (0 until dim).map(d =>
-            (pmod(hash(idc * 31 + seed, lit(d)), lit(1000))
-              .cast("double") / lit(500.0) - lit(1.0))): _*)
-        val corpus = spark.range(nDocs * 2)
-          .select(col("id").as("cid"), v(col("id"), 7).as("cvec"))
-        val queries = spark.range(16)
-          .select((col("id") * 997).as("qid"),
-            v(col("id") * 997, 7).as("qvec"))
-        graft.operators.Similarity.knnCosineIvf(queries, corpus,
-          k = 10, centStep = 2048, nprobe = 4).count()
-      }),
+      // ANN at volume: synthetic 32-dim vectors through the IVF-flat
+      // path: codebook sample -> bounded_top_k assignment -> nprobe
+      // list scan. Assignment cost is corpus x nlist x dim and
+      // parallelizes per partition — the same plan that holds at
+      // 100 TB with a broadcast codebook. centStep scales with the
+      // corpus so nlist stays ~58 in every entry: sx50 pushes 50x the
+      // vectors (6M at sf0.1, ~11B multiply-adds) through the
+      // IDENTICAL plan — the ANN family's empirical scaling evidence,
+      // mirroring dx/dx10. (A 10x entry measured indistinguishable
+      // from sx: fixed plan/codegen overhead still dominated at 1.2M.)
+      "sx_ann_scale" -> (() => annAtScale(spark, nDocs * 2, 2048)),
+      "sx50_ann_scale" -> (() => annAtScale(spark, nDocs * 100, 102400)),
       "hx_haplo_scale" -> (() => {
         val gts = spark.range(nDocs).select(col("id").as("snum"))
           .crossJoin(spark.range(200).select(col("id").as("vnum")))
