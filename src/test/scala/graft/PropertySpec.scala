@@ -231,6 +231,67 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nearest-interval join == brute force on random intervals") {
+    val s = spark
+    import s.implicits._
+    val ivGen = for {
+      start <- Gen.chooseNum(0L, 500L)
+      len <- Gen.chooseNum(0L, 120L)
+    } yield (start, start + len)
+    for (seed <- 1L to 15L) {
+      val ivs = sample(Gen.listOfN(12, ivGen), seed).zipWithIndex
+        .map { case ((st, en), i) => ("c", s"iv$i", st, en) }
+      val pts = sample(Gen.listOfN(20, Gen.chooseNum(0L, 700L)), seed + 1000)
+        .zipWithIndex.map { case (p, i) => ("c", p, s"p$i") }
+      val radius = 40L
+      val got = graft.operators.IntervalJoin.nearestInterval(
+        pts.toDF("chrom", "pos", "id"),
+        ivs.toDF("chrom", "transcript_id", "start", "end"),
+        "transcript_id", Seq("chrom"), radius, binSize = 32L)
+        .collect()
+        .map(r => (r.getString(2), r.getLong(3), r.getString(4))).toSet
+      val expect = pts.flatMap { case (_, pos, pid) =>
+        val cands = ivs.map { case (_, iv, st, en) =>
+          (math.max(math.max(st - pos, pos - en), 0L), iv)
+        }.filter(_._1 <= radius)
+        if (cands.isEmpty) None
+        else { val m = cands.min; Some((pid, m._1, m._2)) }
+      }.toSet
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
+  test("changelog apply == brute force on random I/U/D streams") {
+    val s = spark
+    import s.implicits._
+    val chGen = for {
+      key <- Gen.chooseNum(1L, 12L)
+      op <- Gen.oneOf("I", "U", "D")
+      v <- Gen.chooseNum(0, 999)
+    } yield (key, op, v.toDouble)
+    for (seed <- 1L to 15L) {
+      val snap = (1L to 8L).map(k => (k, k * 10.0))
+      val changes = sample(Gen.listOfN(25, chGen), seed).zipWithIndex
+        .map { case ((k, op, v), i) => (k, i.toLong, op, v) }
+      val got = graft.operators.TableOps.applyChangelog(
+        snap.toDF("id", "val"),
+        changes.toDF("id", "seq", "op", "val"),
+        "id", "op", "seq", Seq("val"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val latest = changes.groupBy(_._1).map { case (k, cs) =>
+        k -> cs.maxBy(_._2)
+      }
+      val expect = ((1L to 8L) ++ changes.map(_._1)).distinct.flatMap { k =>
+        latest.get(k) match {
+          case Some((_, _, "D", _)) => None
+          case Some((_, _, _, v)) => Some((k, v))
+          case None => snap.find(_._1 == k).map(x => (x._1, x._2))
+        }
+      }.toSet
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
   test("repetition metrics == brute-force gram counting on random docs") {
     val s = spark
     import s.implicits._
