@@ -65,6 +65,20 @@ object Genomic {
         graft.sources.Bed.read(s, s"${GenomicFixtures.rawDir}/regions.bed"))
     }),
 
+    "b2_bed_write" -> ((s, _) => {
+      // writer round trip: parse -> 1-based intervals -> write back as
+      // BED ("." for absent fields) -> re-read -> re-convert. The oracle
+      // recomputes the b1 expectation directly from the raw file, so any
+      // coordinate-conversion asymmetry between writer and reader breaks
+      // the hash.
+      import graft.sources.Bed
+      val out = s"${sys.props("java.io.tmpdir")}/graft-bed-written-" +
+        ProcessHandle.current.pid
+      Bed.writeIntervals(Bed.toIntervals(
+        Bed.read(s, s"${GenomicFixtures.rawDir}/regions.bed")), out)
+      Bed.toIntervals(Bed.read(s, out))
+    }),
+
     "g5_nearest_join" -> ((s, _) => {
       // bedtools-closest within a radius: every variant annotated with
       // its nearest exon (distance 0 inside, else gap to the nearer
@@ -234,6 +248,20 @@ object Genomic {
          |  all_varchar=true)""".stripMargin,
 
     "b1_bed_read" ->
+      s"""SELECT c0 AS chrom, CAST(c1 AS BIGINT) + 1 AS start,
+         |  greatest(CAST(c2 AS BIGINT), CAST(c1 AS BIGINT) + 1) AS "end",
+         |  c3 AS name, CAST(c4 AS BIGINT) AS score, c5 AS strand
+         |FROM read_csv('$raw/regions.bed', delim='\t', header=false,
+         |  null_padding=true, all_varchar=true,
+         |  names=['c0','c1','c2','c3','c4','c5'])
+         |WHERE NOT starts_with(c0, 'track')
+         |  AND NOT starts_with(c0, 'browser')
+         |  AND NOT starts_with(c0, '#')""".stripMargin,
+
+    // identical expectation to b1: the write->read round trip must be
+    // identity on the interval form (the fixture has no zero-length
+    // features, the one documented lossy case)
+    "b2_bed_write" ->
       s"""SELECT c0 AS chrom, CAST(c1 AS BIGINT) + 1 AS start,
          |  greatest(CAST(c2 AS BIGINT), CAST(c1 AS BIGINT) + 1) AS "end",
          |  c3 AS name, CAST(c4 AS BIGINT) AS score, c5 AS strand

@@ -26,8 +26,11 @@ object Bed {
 
   def parseLines(lines: DataFrame, c: String): DataFrame = {
     val f = split(regexp_replace(col(c), "\r$", ""), "\t")
+    // "." is bedtools' missing-field marker — normalized to null so a
+    // write/read round trip is identity on absent fields
     def opt(i: Int) =
-      when(size(f) > i && length(f.getItem(i)) > 0, f.getItem(i))
+      when(size(f) > i && length(f.getItem(i)) > 0 &&
+        f.getItem(i) =!= ".", f.getItem(i))
     lines
       .where(!col(c).startsWith("track") && !col(c).startsWith("browser") &&
         !col(c).startsWith("#") && length(trim(col(c))) > 0)
@@ -39,6 +42,23 @@ object Bed {
         opt(4).cast("long").as("score"),
         opt(5).as("strand"))
   }
+
+  /** Write a 1-based inclusive interval frame back to BED (the inverse
+    * of [[toIntervals]]: bedStart = start-1, bedEnd = end), null optional
+    * fields as "." per bedtools convention. A splittable text write —
+    * one part file per partition, read back whole by [[read]].
+    * Zero-length BED insertion sites do NOT round-trip (toIntervals
+    * widened them to one base — a lossy, documented normalization).
+    */
+  def writeIntervals(intervals: DataFrame, path: String): Unit =
+    intervals.select(concat_ws("\t",
+      col("chrom"),
+      (col("start") - 1).cast("string"),
+      col("end").cast("string"),
+      coalesce(col("name"), lit(".")),
+      coalesce(col("score").cast("string"), lit(".")),
+      coalesce(col("strand"), lit("."))).as("value"))
+      .write.mode("overwrite").text(path)
 
   /** 0-based half-open BED rows → the 1-based inclusive (start, end)
     * the interval operators expect. Zero-length BED features (insertion

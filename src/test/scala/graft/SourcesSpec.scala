@@ -142,5 +142,19 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("chrom"), binSize = 50)
       .select("pid").collect().map(_.getString(0)).toSet
     assert(hits == Set("first", "last"))
+    // writer round trip: null optional fields surface as "." and come
+    // back null; coordinates convert symmetrically
+    val out = s"${sys.props("java.io.tmpdir")}/graft-test-bed-" +
+      ProcessHandle.current.pid
+    val ivIn = graft.sources.Bed.toIntervals(
+      graft.sources.Bed.parseLines(raw, "value"))
+    graft.sources.Bed.writeIntervals(ivIn, out)
+    val rawBack = spark.read.text(out).collect().map(_.getString(0))
+    assert(rawBack.exists(_.endsWith("\t.\t.")), rawBack.mkString(";"))
+    val back = graft.sources.Bed.toIntervals(
+      graft.sources.Bed.read(spark, out))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(back) == rows(ivIn))
   }
 }
