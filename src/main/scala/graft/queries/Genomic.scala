@@ -65,6 +65,19 @@ object Genomic {
         graft.sources.Bed.read(s, s"${GenomicFixtures.rawDir}/regions.bed"))
     }),
 
+    "gf1_gff3_read" -> ((s, _) => {
+      // GFF3 source: directive lines dropped, ID/Parent hierarchy
+      // attributes extracted + percent-DECODED (the grammar difference
+      // vs GTF this reader owns)
+      import graft.sources.Gff3
+      val g = Gff3.read(s, s"${GenomicFixtures.rawDir}/annotations.gff3")
+      g.select(col("seqname"), col("feature"), col("start"), col("end"),
+        col("strand"),
+        Gff3.attr(col("attributes"), "ID").as("id"),
+        Gff3.attr(col("attributes"), "Parent").as("parent"),
+        Gff3.attr(col("attributes"), "Note").as("note"))
+    }),
+
     "b2_bed_write" -> ((s, _) => {
       // writer round trip: parse -> 1-based intervals -> write back as
       // BED ("." for absent fields) -> re-read -> re-convert. The oracle
@@ -257,6 +270,33 @@ object Genomic {
          |WHERE NOT starts_with(c0, 'track')
          |  AND NOT starts_with(c0, 'browser')
          |  AND NOT starts_with(c0, '#')""".stripMargin,
+
+    "gf1_gff3_read" ->
+      s"""WITH x AS (
+         |  SELECT c0 AS seqname, c2 AS feature,
+         |    CAST(c3 AS BIGINT) AS start, CAST(c4 AS BIGINT) AS "end",
+         |    c6 AS strand,
+         |    regexp_extract(c8, '(^|;)ID=([^;]*)', 2) AS id0,
+         |    regexp_extract(c8, '(^|;)Parent=([^;]*)', 2) AS parent0,
+         |    regexp_extract(c8, '(^|;)Note=([^;]*)', 2) AS note0
+         |  FROM read_csv('$raw/annotations.gff3', delim='\t',
+         |    header=false, null_padding=true, all_varchar=true,
+         |    names=['c0','c1','c2','c3','c4','c5','c6','c7','c8'])
+         |  WHERE NOT starts_with(c0, '#'))
+         |SELECT seqname, feature, start, "end", strand,
+         |  CASE WHEN length(id0) > 0 THEN replace(replace(replace(replace(
+         |    replace(replace(replace(id0, '%3B', ';'), '%3D', '='),
+         |    '%26', '&'), '%2C', ','), '%09', chr(9)), '%0A', chr(10)),
+         |    '%25', '%') END AS id,
+         |  CASE WHEN length(parent0) > 0 THEN replace(replace(replace(
+         |    replace(replace(replace(replace(parent0, '%3B', ';'),
+         |    '%3D', '='), '%26', '&'), '%2C', ','), '%09', chr(9)),
+         |    '%0A', chr(10)), '%25', '%') END AS parent,
+         |  CASE WHEN length(note0) > 0 THEN replace(replace(replace(
+         |    replace(replace(replace(replace(note0, '%3B', ';'),
+         |    '%3D', '='), '%26', '&'), '%2C', ','), '%09', chr(9)),
+         |    '%0A', chr(10)), '%25', '%') END AS note
+         |FROM x""".stripMargin,
 
     // identical expectation to b1: the write->read round trip must be
     // identity on the interval form (the fixture has no zero-length

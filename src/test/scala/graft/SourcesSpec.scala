@@ -157,4 +157,29 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.collect().map(_.toString).sorted.toSeq
     assert(rows(back) == rows(ivIn))
   }
+
+  test("GFF3 parses Parent hierarchy and percent-decodes attributes") {
+    import org.apache.spark.sql.functions._
+    val g = graft.sources.Gff3.read(spark, "fixtures/annotations.gff3")
+    // directives dropped, 10 feature rows
+    assert(g.count() == 10)
+    // percent decoding: ; = % restored, %25 decoded last
+    val note = g.where(graft.sources.Gff3.attr(col("attributes"), "ID")
+        === "gene2")
+      .select(graft.sources.Gff3.attr(col("attributes"), "Note"))
+      .head.getString(0)
+    assert(note == "semi;colon and eq= and pct%", note)
+    // absent attribute is null, not empty string
+    assert(g.where(col("feature") === "gene")
+      .select(graft.sources.Gff3.attr(col("attributes"), "Parent"))
+      .collect().forall(_.isNullAt(0)))
+    // hierarchy: exons group under their mRNA Parent, sorted by start
+    val ex = graft.sources.Gff3.exonsByParent(g)
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => (e.getLong(0), e.getLong(1)))).toMap
+    assert(ex.keySet == Set("tx1", "tx2", "tx3"))
+    assert(ex("tx1") == Seq((100L, 200L), (300L, 500L)))
+    assert(ex("tx3") == Seq((1000L, 1500L), (1600L, 2000L)))
+  }
 }
