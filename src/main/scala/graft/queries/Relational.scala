@@ -200,6 +200,23 @@ object Relational {
         .withColumn("is_current", col("valid_to").isNull)
     }),
 
+    "q28_range_frame" -> ((s, dir) => {
+      // time-based RANGE frame (q23's ROWS complement): per-customer
+      // rolling 7-day spend — the frame is VALUE-bounded (epoch days
+      // -6..0), so gap days are skipped and burst days collapse, which
+      // a row-count frame cannot express. One key shuffle; partition-
+      // local sort only.
+      val day = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("epoch_day"))
+        .rangeBetween(-6, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          day.cast("long").as("epoch_day"), col("o_totalprice"))
+        .withColumn("spend_7d", round(sum(col("o_totalprice")).over(w), 2))
+    }),
+
     "z1_zorder" -> ((s, dir) => {
       // Z-order layout audit: orders keyed by the Morton interleave of
       // (custkey, orderkey); per z-bucket envelope stats show BOTH
@@ -351,6 +368,16 @@ object Relational {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q28_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |    AS epoch_day,
+        |  o_totalprice,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS spend_7d
+        |FROM orders""".stripMargin,
+
     "z1_zorder" ->
       s"""WITH z0 AS (
          |  SELECT ($zorderSql) AS z, o_custkey, o_orderkey FROM orders)

@@ -236,6 +236,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (5L, 55.0, "e")), got)  // inserted; 2 deleted, 6 never existed
   }
 
+  test("time-RANGE frame sums by value distance, not row count") {
+    val s = spark
+    import s.implicits._
+    // user 1: days 0,1,10 — day 10's 7-day window must contain ONLY
+    // day 10 (days 0/1 are outside the value range even though they are
+    // the 2 preceding ROWS); a burst of same-day rows all join the frame
+    val df = Seq((1L, 0L, 10.0), (1L, 1L, 20.0), (1L, 10L, 5.0),
+      (2L, 3L, 1.0), (2L, 3L, 2.0), (2L, 8L, 4.0))
+      .toDF("uid", "epoch_day", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("uid")).orderBy(col("epoch_day"))
+      .rangeBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+    val got = df.withColumn("s", sum(col("v")).over(w))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 10.0, 10.0), (1L, 1L, 20.0, 30.0),
+      (1L, 10L, 5.0, 5.0),          // gap > 6 days: window resets
+      (2L, 3L, 1.0, 3.0), (2L, 3L, 2.0, 3.0),  // same-day burst shares
+      (2L, 8L, 4.0, 7.0)), got)     // day 3 still in range at day 8
+  }
+
   test("z-order interleave: known values, and z-sorted runs bound both " +
     "dimensions") {
     val s = spark
