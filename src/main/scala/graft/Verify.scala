@@ -35,7 +35,18 @@ object Verify {
         val failDir = Paths.get(s"$outDir/$name")
         try {
           org.apache.commons.io.FileUtils.deleteDirectory(failDir.toFile)
-        } catch { case _: Throwable => () }
+        } catch { case cleanup: Throwable =>
+          // If the partial parquet write survives, a stale _SUCCESS next
+          // to _FAILED could make the query read as (partial) success —
+          // the r8 silent-omission hole. Remove at least the _SUCCESS
+          // marker; if even that fails, say so loudly rather than
+          // swallow it.
+          System.err.println(
+            s"[verify] $name: cleanup of partial output failed: $cleanup")
+          try Files.deleteIfExists(failDir.resolve("_SUCCESS"))
+          catch { case s: Throwable => System.err.println(
+            s"[verify] $name: could not remove stale _SUCCESS: $s") }
+        }
         Files.createDirectories(failDir)
         Files.writeString(failDir.resolve("_FAILED"),
           s"$name: ${e.toString}\n")

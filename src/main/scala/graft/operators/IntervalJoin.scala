@@ -108,6 +108,22 @@ object IntervalJoin {
         s"partition key '$k' must exist on both sides")
     }
     require(radius > 0 && binSize > 0, "radius and binSize must be > 0")
+    // The join expressions below hard-bind pos to the points side and
+    // start/end to the intervals side; a points frame carrying start/end
+    // (interval-vs-interval callers) would make them ambiguous or bind
+    // to the wrong side silently.
+    require(points.columns.contains("pos"),
+      "nearestInterval: points needs a 'pos' column")
+    Seq("start", "end").foreach { c =>
+      require(intervals.columns.contains(c),
+        s"nearestInterval: intervals needs a '$c' column")
+      require(!points.columns.contains(c),
+        s"nearestInterval: points must not carry '$c' (it would bind " +
+          "ambiguously against the intervals side — rename it, or for " +
+          "interval-vs-interval nearest use the interval midpoint as pos)")
+    }
+    require(!intervals.columns.contains("pos"),
+      "nearestInterval: intervals must not carry 'pos'")
     val binnedIntervals = intervals.withColumn("_bin",
       explode(sequence(floor(col("start") / binSize),
         floor(col("end") / binSize))))

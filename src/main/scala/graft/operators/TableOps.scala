@@ -111,6 +111,16 @@ object TableOps {
     */
   def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "tableStats needs at least one column")
+    // Enforce the documented numeric restriction: a string column would
+    // silently count cast-failures as nulls and return null min/max —
+    // plausible-looking wrong stats. Fail loudly instead.
+    cols.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"tableStats: no column '$c'"))
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"tableStats: column '$c' is ${f.dataType.simpleString}, not " +
+          "numeric — cast timestamps/decimals/strings upstream")
+    }
     val exploded = df.select(explode(array(cols.map(c =>
       struct(lit(c).as("column_name"),
         col(c).cast("double").as("_num"),

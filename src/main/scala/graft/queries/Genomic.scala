@@ -263,7 +263,9 @@ object Genomic {
     "b1_bed_read" ->
       s"""SELECT c0 AS chrom, CAST(c1 AS BIGINT) + 1 AS start,
          |  greatest(CAST(c2 AS BIGINT), CAST(c1 AS BIGINT) + 1) AS "end",
-         |  c3 AS name, CAST(c4 AS BIGINT) AS score, c5 AS strand
+         |  NULLIF(c3, '.') AS name,
+         |  TRY_CAST(NULLIF(c4, '.') AS BIGINT) AS score,
+         |  NULLIF(c5, '.') AS strand
          |FROM read_csv('$raw/regions.bed', delim='\t', header=false,
          |  null_padding=true, all_varchar=true,
          |  names=['c0','c1','c2','c3','c4','c5'])
@@ -304,7 +306,9 @@ object Genomic {
     "b2_bed_write" ->
       s"""SELECT c0 AS chrom, CAST(c1 AS BIGINT) + 1 AS start,
          |  greatest(CAST(c2 AS BIGINT), CAST(c1 AS BIGINT) + 1) AS "end",
-         |  c3 AS name, CAST(c4 AS BIGINT) AS score, c5 AS strand
+         |  NULLIF(c3, '.') AS name,
+         |  TRY_CAST(NULLIF(c4, '.') AS BIGINT) AS score,
+         |  NULLIF(c5, '.') AS strand
          |FROM read_csv('$raw/regions.bed', delim='\t', header=false,
          |  null_padding=true, all_varchar=true,
          |  names=['c0','c1','c2','c3','c4','c5'])
