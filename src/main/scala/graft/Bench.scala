@@ -32,6 +32,54 @@ object Bench {
     res
   }
 
+  /** The flagship pipeline at volume: `nHaplos` synthetic haplotypes over
+    * `nTranscripts` 120nt single-exon transcripts, 1-2 deterministic SNVs
+    * each (REF matches the synthetic cDNA base, ALT rotates it, positions
+    * ascend so the ordered-variant contract holds), through the full
+    * HaploProteins.proteinDatabase plan. px keeps ~480 haplotypes per
+    * transcript; px10 scales BOTH dimensions 10x so per-key fanout is
+    * constant — the cohort-growth shape, not a skew test.
+    */
+  private def proteinAtScale(spark: SparkSession, nHaplos: Long,
+                             nTranscripts: Int): Long = {
+    import org.apache.spark.sql.functions._
+    val bases = array(lit("A"), lit("C"), lit("G"), lit("T"))
+    def baseIdx(seed: org.apache.spark.sql.Column) =
+      (pmod(hash(seed), lit(4)) + 1).cast("int")
+    val cdna = concat(lit("ATG"), concat_ws("",
+      (0 until 117).map(i =>
+        element_at(bases, baseIdx(col("tnum") * 37 + i))): _*))
+    val haplos = spark.range(nHaplos)
+      .select(col("id"), (col("id") % nTranscripts).as("tnum"))
+      .select(
+        concat(lit("TS"), col("tnum")).as("transcript"),
+        lit("1").as("chrom"), lit("protein_coding").as("biotype"),
+        lit("+").as("strand"),
+        array(struct(lit(101L).as("start"), lit(220L).as("end")))
+          .as("exons"),
+        lit(101L).as("start_codon_start"),
+        lit(null).cast("long").as("stop_codon_start"),
+        cdna.as("cdna"),
+        concat(lit("hv"), col("id")).as("signature"),
+        transform(
+          sequence(lit(0), pmod(hash(col("id")), lit(2)).cast("int")),
+          j => {
+            val pos = lit(110L) + j.cast("long") * 50 +
+              pmod(hash(col("id"), j), lit(40))
+            val rIdx = baseIdx(col("tnum") * 37 + (pos - 104))
+            struct(
+              pos.as("pos"),
+              concat(lit("hv"), col("id"), lit("_"), j).as("varId"),
+              element_at(bases, rIdx).as("ref"),
+              element_at(bases, (pmod(rIdx, lit(4)) + 1).cast("int"))
+                .as("alt"),
+              lit(0.01).as("af"))
+          }).as("changes"),
+        lit(1L).as("hap_count"), lit(0.001).as("frequency"),
+        concat(lit("S"), col("id"), lit(":1")).as("samples"))
+    graft.operators.HaploProteins.proteinDatabase(haplos).count()
+  }
+
   /** IVF-flat kNN over `n` synthetic 32-dim vectors with a codebook of
     * ~n/centStep entries (see the sx/sx10 entries for the scaling
     * contract).
@@ -170,47 +218,17 @@ object Bench {
         graft.operators.IntervalJoin.pointsInIntervals(pts, ivs,
           Seq("chrom")).count()
       }),
-      "px_protein_scale" -> (() => {
-        // flagship pipeline at volume: ~nDocs*4 haplotypes over synthetic
-        // 120nt single-exon transcripts, 1-2 deterministic SNVs each
-        // (REF matches the synthetic cDNA base, ALT rotates it, positions
-        // ascend so the ordered-variant contract holds)
-        val bases = array(lit("A"), lit("C"), lit("G"), lit("T"))
-        def baseIdx(seed: org.apache.spark.sql.Column) =
-          (pmod(hash(seed), lit(4)) + 1).cast("int")
-        val cdna = concat(lit("ATG"), concat_ws("",
-          (0 until 117).map(i =>
-            element_at(bases, baseIdx(col("tnum") * 37 + i))): _*))
-        val haplos = spark.range(nDocs * 4)
-          .select(col("id"), (col("id") % 500).as("tnum"))
-          .select(
-            concat(lit("TS"), col("tnum")).as("transcript"),
-            lit("1").as("chrom"), lit("protein_coding").as("biotype"),
-            lit("+").as("strand"),
-            array(struct(lit(101L).as("start"), lit(220L).as("end")))
-              .as("exons"),
-            lit(101L).as("start_codon_start"),
-            lit(null).cast("long").as("stop_codon_start"),
-            cdna.as("cdna"),
-            concat(lit("hv"), col("id")).as("signature"),
-            transform(
-              sequence(lit(0), pmod(hash(col("id")), lit(2)).cast("int")),
-              j => {
-                val pos = lit(110L) + j.cast("long") * 50 +
-                  pmod(hash(col("id"), j), lit(40))
-                val rIdx = baseIdx(col("tnum") * 37 + (pos - 104))
-                struct(
-                  pos.as("pos"),
-                  concat(lit("hv"), col("id"), lit("_"), j).as("varId"),
-                  element_at(bases, rIdx).as("ref"),
-                  element_at(bases, (pmod(rIdx, lit(4)) + 1).cast("int"))
-                    .as("alt"),
-                  lit(0.01).as("af"))
-              }).as("changes"),
-            lit(1L).as("hap_count"), lit(0.001).as("frequency"),
-            concat(lit("S"), col("id"), lit(":1")).as("samples"))
-        graft.operators.HaploProteins.proteinDatabase(haplos).count()
-      }),
+      "px_protein_scale" -> (() =>
+        proteinAtScale(spark, nDocs * 4, 500)),
+      // 10x px: the haplotype->protein pipeline IS what the reference
+      // exists for, and it was the one family without empirical scaling
+      // evidence (dx10 covers dedup, sx50 covers ANN). 10x the haplotypes
+      // through the IDENTICAL proteinDatabase plan, transcripts scaled
+      // 10x too so per-transcript fanout stays constant (~480 haplos per
+      // transcript) — the shape a 1000-executor cluster sees, where the
+      // transcript key count grows with the cohort, not the skew.
+      "px10_protein_scale" -> (() =>
+        proteinAtScale(spark, nDocs * 40, 5000)),
       "pepx_match_scale" -> (() => {
         // peptide k-mer join at volume: ~nDocs*10 deterministic 120-AA
         // proteins (~5.9M k-mer index rows at sf0.1), 2 peptides cut from
