@@ -18,6 +18,12 @@ import graft.operators.Dedup
   *   [-gopher 1]           Gopher rule filter (t6)
   *   [-repetition .2,.18]  Gopher repetition caps: top-2-gram /
   *                         duplicated-3-gram char fractions (t14)
+  *   [-min_classifier_score 0.5]
+  *                         learned quality filter (t15): keep docs whose
+  *                         sigmoid(bias + w·φ(doc)) clears the floor;
+  *                         needs -classifier_weights, a (bucket, weight)
+  *                         parquet from an offline logistic fit
+  *   [-classifier_weights p] [-classifier_dim 65536] [-classifier_bias 0]
   *   [-pii 1]              redact emails/phones/IPv4 in place (t8)
   *   [-decontaminate p]    drop docs sharing any 8-word gram with the
   *                         benchmark/eval parquet at path p (t5)
@@ -91,6 +97,22 @@ object Corpus {
       df = df.where(text.topNgramCharFrac(col("text"), 2) < parts(0) &&
         text.dupNgramCharFrac(col("text"), 3) < parts(1))
       record(s"repetition<$spec")
+    }
+    opts.get("min_classifier_score").map(_.toDouble).foreach { floor =>
+      // learned quality filter (t15): broadcast hashed-feature linear
+      // model, scored as a shuffle-free per-row fold — the score join
+      // below is doc-keyed only because the CLI keeps arbitrary input
+      // columns; the score frame is the same rows, so AQE broadcasts it
+      val wPath = opts.getOrElse("classifier_weights",
+        sys.error("-min_classifier_score needs -classifier_weights " +
+          "<(bucket, weight) parquet>"))
+      val dim = opts.getOrElse("classifier_dim", "65536").toInt
+      val bias = opts.getOrElse("classifier_bias", "0.0").toDouble
+      val scores = operators.Classifier.score(df, "doc_id", "text",
+        spark.read.parquet(wPath), dim, bias)
+        .where(col("clf_score") >= floor).select("doc_id")
+      df = df.join(scores, Seq("doc_id"), "left_semi")
+      record(s"classifier>=$floor")
     }
     if (opts.getOrElse("pii", "0") == "1") {
       df = df.withColumn("text",

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.text
+
+/** Learned quality-classifier scoring — the FineWeb-Edu/DCLM-style corpus
+  * filter stage: score = sigmoid(bias + w · φ(doc)) where φ is the hashing
+  * trick over the document's words (each word hashes into one of `dim`
+  * feature buckets; the feature value is the bucket's term frequency).
+  * Training happens offline (any logistic-regression fit produces the
+  * (bucket, weight) table); this operator is the SERVING side that has to
+  * run over 100 TB — which is why the plan is shuffle-free:
+  *
+  *  - the weights table collapses to a single map row (collect_list →
+  *    map_from_entries, the e15 codebook pattern — no driver collect) and
+  *    rides a broadcast cross join to every scan task;
+  *  - the score is a per-row position-ordered fold over the doc's words
+  *    (Σ w[bucket(word)] / n_words, then the sigmoid) — pure codegen'd
+  *    expression work, zero exchanges, so the filter composes with the
+  *    scan's pushdown instead of costing a pass.
+  *
+  * Portability: bucket(word) = first 7 hex chars of md5(word) mod dim
+  * (28 bits, sign-safe in every engine), and the fold order is word
+  * position, so the DuckDB oracle reproduces the double bit-for-bit.
+  * Missing buckets in the weights table weigh 0. Not in the reference
+  * (rule filters only) — this is the modern learned-filter counterpart
+  * of t6's Gopher rules and t11's unigram LM.
+  */
+object Classifier {
+
+  /** Feature bucket of one word: md5-based 28-bit hash mod `dim`. */
+  def bucket(word: Column, dim: Int): Column =
+    pmod(conv(substring(md5(word), 1, 7), 16, 10).cast("long"), lit(dim))
+
+  /** Score every document: returns `idCol, n_tokens, clf_score` (score
+    * rounded to 4 dp). `weights` is a (bucket: long, weight: double)
+    * table with at most `dim` rows — kilobytes to a few MB even at
+    * dim = 2^20, i.e. always broadcastable.
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            weights: DataFrame, dim: Int,
+            bias: Double = 0.0): DataFrame = {
+    require(dim > 0, "classifier dim must be > 0")
+    require(weights.columns.contains("bucket") &&
+      weights.columns.contains("weight"),
+      "weights needs (bucket, weight) columns")
+    val wMap = weights
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket").cast("long"), col("weight").cast("double"))))
+        .as("_w"))
+    val ws = text.words(col(textCol))
+    val n = size(ws)
+    val raw = aggregate(ws, lit(0.0),
+      (acc, w) => acc + coalesce(element_at(col("_w"), bucket(w, dim)),
+        lit(0.0)))
+    val z = lit(bias) + raw / greatest(n, lit(1))
+    docs.crossJoin(broadcast(wMap))
+      .select(col(idCol), n.cast("long").as("n_tokens"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("clf_score"))
+  }
+}

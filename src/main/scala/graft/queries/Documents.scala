@@ -309,6 +309,19 @@ object Documents {
             / count(lit(1)), 4).as("avg_logp"))
     }),
 
+    "t15_classifier_score" -> ((s, dir) => {
+      // learned quality filter (FineWeb-Edu/DCLM-style): sigmoid of a
+      // broadcast hashed-feature linear model over each doc's words —
+      // the trained-classifier counterpart of t6's rules and t11's LM.
+      // The gate's weight table derives deterministically from the
+      // bucket index (pure integer arithmetic both engines replay);
+      // production loads a trained (bucket, weight) parquet — same plan.
+      val wts = s.range(64).select(col("id").as("bucket"),
+        ((col("id") * 2654435761L) % 1000 / lit(500.0) - 1.0).as("weight"))
+      graft.operators.Classifier.score(spread(t(s, dir, "documents")),
+        "doc_id", "text", wts, dim = 64, bias = 0.1)
+    }),
+
     "t10_normalize" -> ((s, dir) => {
       // cleaning stage: strip control chars, collapse whitespace runs,
       // trim. Deterministic mess (tabs/CR/doubled spaces) is injected on
@@ -867,6 +880,37 @@ object Documents {
         |  round(list_reduce(list(lp ORDER BY pos), (a, b) -> a + b)
         |    / count(*), 4) AS avg_logp
         |FROM lp GROUP BY doc_id""".stripMargin,
+
+    "t15_classifier_score" ->
+      """WITH wt AS (
+        |  SELECT i AS bucket, (i * 2654435761) % 1000 / 500.0 - 1.0
+        |    AS weight
+        |  FROM range(64) t(i)),
+        |ws AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, u.pos AS pos, u.w AS w
+        |  FROM (SELECT doc_id, unnest([{'pos': i, 'w': l[i]}
+        |          for i in range(1, len(l) + 1)]) AS u
+        |        FROM ws)),
+        |b AS (
+        |  SELECT doc_id, pos,
+        |    list_reduce([strpos('0123456789abcdef', substr(md5(w), j, 1))
+        |        - 1
+        |      for j in range(1, 8)], (a, c) -> a * 16 + c) % 64 AS bucket
+        |  FROM e),
+        |jw AS (
+        |  SELECT b.doc_id, b.pos, coalesce(wt.weight, 0.0) AS weight
+        |  FROM b LEFT JOIN wt USING (bucket)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n,
+        |    list_reduce(list(weight ORDER BY pos), (a, x) -> a + x) AS s
+        |  FROM jw GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.n, 0) AS n_tokens,
+        |  round(1.0 / (1.0 + exp(-(0.1 + coalesce(agg.s, 0.0)
+        |    / greatest(coalesce(agg.n, 0), 1)))), 4) AS clf_score
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
 
     "t10_normalize" ->
       """WITH m AS (

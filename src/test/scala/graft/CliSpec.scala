@@ -243,6 +243,33 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(3L, 4L))
   }
 
+  test("Corpus -min_classifier_score drops exactly the t15 below-floor " +
+    "docs") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    // the gate's deterministic weight table, persisted the way production
+    // would hand Corpus an offline-trained model
+    val wPath = s"${sys.props("java.io.tmpdir")}/graft-clf-weights-" +
+      ProcessHandle.current.pid
+    spark.range(64).select(col("id").as("bucket"),
+      ((col("id") * 2654435761L) % 1000 / lit(500.0) - 1.0).as("weight"))
+      .write.mode("overwrite").parquet(wPath)
+    val cli = Corpus.run(spark, Map(
+      "i" -> s"$sf/documents.parquet", "dedup" -> "none",
+      "min_classifier_score" -> "0.5", "classifier_weights" -> wPath,
+      "classifier_dim" -> "64", "classifier_bias" -> "0.1",
+      "report" -> "0"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gate = SparkEntry.queries("t15_classifier_score")(spark, sf)
+      .where(col("clf_score") >= 0.5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(cli == gate)
+    assert(cli.nonEmpty)
+    // the floor actually bites on this corpus (not a pass-through test)
+    val all = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(cli.size < all)
+  }
+
   test("Corpus -repetition drops exactly the t14 keep=false docs") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
