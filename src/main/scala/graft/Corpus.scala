@@ -38,6 +38,10 @@ import graft.operators.Dedup
   *   [-pack 1000[,col]]    pack docs into ~budget-token chunks per shard
   *                         column, default source (t7); adds tokens +
   *                         chunk_idx. Mutually exclusive with -chunk.
+  *   [-vocab p[,maxLen]]   count tokens for -pack/-chunk budgets with the
+  *                         real greedy longest-match tokenizer (t16) over
+  *                         the (token) vocab parquet at p, instead of the
+  *                         bpeTokenCount regex proxy; maxLen defaults 8
   *   [-format parquet]     parquet | jsonl output
   *   [-partition_by cols]  hive-partitioned output directories (comma
   *                         list, e.g. source or source,lang)
@@ -197,6 +201,32 @@ object Corpus {
     require(!(opts.contains("chunk") && opts.contains("pack")),
       "-chunk and -pack are mutually exclusive (chunk splits long docs, " +
         "pack groups short ones — run two passes to do both)")
+    // token counter for the budget stages: the bpe regex proxy by
+    // default, or the real greedy longest-match tokenizer (t16) when a
+    // vocab parquet is supplied. The vocab collapses to one broadcast
+    // map row, so either counter is shuffle-free per-row work.
+    val vocabCounter: Option[(DataFrame, Int)] = opts.get("vocab").map {
+      spec =>
+        val parts = spec.split(",").map(_.trim)
+        val v = spark.read.parquet(parts(0))
+        require(v.columns.contains("token"),
+          s"-vocab parquet at ${parts(0)} needs a token column")
+        val maxLen = if (parts.length > 1) parts(1).toInt else 8
+        val vmapRow = v.agg(map_from_entries(collect_list(
+          struct(col("token"), lit(1)))).as("_vocab_map"))
+        (vmapRow, maxLen)
+    }
+    def withTokenCount(frame: DataFrame, from: String,
+                       as: String): DataFrame = vocabCounter match {
+      case Some((vmapRow, maxLen)) =>
+        frame.crossJoin(broadcast(vmapRow))
+          .withColumn(as,
+            text.vocabTokenCount(col(from), col("_vocab_map"), maxLen)
+              .cast("long"))
+          .drop("_vocab_map")
+      case None =>
+        frame.withColumn(as, text.bpeTokenCount(col(from)).cast("long"))
+    }
     opts.get("chunk").foreach { spec =>
       val parts = spec.split(",").map(_.trim)
       require(parts.length == 2,
@@ -204,6 +234,11 @@ object Corpus {
       val (sz, stride) = (parts(0).toInt, parts(1).toInt)
       df = operators.Packing.chunkOverlap(df, "text", sz, stride)
         .drop("text")
+      // windows stay word-aligned (that is t13's contract); the vocab
+      // counter re-budgets each window so downstream token accounting
+      // uses real-tokenizer counts
+      if (vocabCounter.isDefined)
+        df = withTokenCount(df, "chunk_text", "chunk_vocab_tokens")
       record(s"chunk=$sz,$stride")
     }
     opts.get("pack").foreach { spec =>
@@ -215,8 +250,7 @@ object Corpus {
           s"$budget,<col>); sharding is what keeps packing parallel — " +
           "a global pack would serialize the corpus into one task")
       df = operators.Packing.packSequences(
-        df.withColumn("tokens",
-          text.bpeTokenCount(col("text")).cast("long")),
+        withTokenCount(df, "text", "tokens"),
         shard, "doc_id", "tokens", budget)
       record(s"pack=$budget/$shard")
     }

@@ -239,4 +239,66 @@ object text {
       regexp_count(r1, lit(phoneRe)).as("n_phones"),
       regexp_count(r2, lit(ipv4Re)).as("n_ips"))
   }
+
+  /** A vocabulary as a token→1 lookup map column, for
+    * [[vocabTokenStats]]. Literal form for in-code vocabularies; a
+    * vocabulary table loaded from parquet instead collapses to one
+    * map row via `map_from_entries(collect_list(...))` and rides a
+    * broadcast cross join (the Classifier/e15 pattern) — same column,
+    * same downstream plan.
+    */
+  def vocabMap(vocab: Seq[String]): Column = {
+    require(vocab.nonEmpty && vocab.distinct.size == vocab.size,
+      "vocab must be non-empty and duplicate-free")
+    map(vocab.flatMap(v => Seq(lit(v), lit(1))): _*)
+  }
+
+  /** Real-vocabulary token accounting: greedy longest-match tokenization
+    * (the WordPiece/BPE serving rule) of the lower-cased text against a
+    * vocabulary map, as ONE per-row left-to-right fold — struct of
+    * `vocab_tokens` (tokens emitted) and `fallback_tokens` (positions no
+    * vocab entry covered, emitted as single characters: the coverage
+    * signal). This is what token-budget stages (t7 pack / t13 chunk)
+    * should count with when a real tokenizer vocab is available —
+    * [[bpeTokenCount]] is a regex proxy whose counts drift from any
+    * actual vocab.
+    *
+    * At each position the longest vocab entry (≤ `maxLen` chars)
+    * starting there is consumed; covered positions are skipped by the
+    * fold's `next` cursor. Zero shuffles, zero joins — the map is a
+    * literal or one broadcast row, so the plan is a projection over the
+    * scan at any corpus size. End-of-string probes truncate (a probe of
+    * length n sees the shorter remaining suffix); a truncated probe can
+    * only match a vocab entry that consumes the entire tail, so token
+    * counts are unaffected — the oracle replays the same contract.
+    */
+  def vocabTokenStats(t: Column, vmap: Column, maxLen: Int): Column = {
+    require(maxLen >= 1, "maxLen must be >= 1")
+    val lt = lower(t)
+    val init = struct(lit(1L).as("next"), lit(0L).as("cnt"),
+      lit(0L).as("fb"))
+    val positions = when(length(lt) > 0,
+      sequence(lit(1L), length(lt).cast("long")))
+      .otherwise(array().cast("array<bigint>"))
+    val folded = aggregate(positions, init, (a, i) => {
+      val active = i === a.getField("next")
+      val probes = (maxLen to 1 by -1).map { n =>
+        when(element_at(vmap, lt.substr(i.cast("int"), lit(n)))
+          .isNotNull, lit(n.toLong))
+      }
+      val l = coalesce(probes :+ lit(1L): _*)
+      val matched = coalesce(probes: _*).isNotNull
+      struct(
+        when(active, i + l).otherwise(a.getField("next")).as("next"),
+        when(active, a.getField("cnt") + 1)
+          .otherwise(a.getField("cnt")).as("cnt"),
+        when(active && !matched, a.getField("fb") + 1)
+          .otherwise(a.getField("fb")).as("fb"))
+    })
+    struct(folded.getField("cnt").as("vocab_tokens"),
+      folded.getField("fb").as("fallback_tokens"))
+  }
+
+  def vocabTokenCount(t: Column, vmap: Column, maxLen: Int): Column =
+    vocabTokenStats(t, vmap, maxLen).getField("vocab_tokens")
 }

@@ -33,6 +33,17 @@ object Documents {
   // stopword list literal shared with the SQL oracles
   private val swEn = text.stopwordsEn.map(w => s"'$w'").mkString(", ")
 
+  // t16's gate vocabulary: one Seq drives BOTH the Spark map literal and
+  // the oracle's unnest list, so the two sides cannot drift. GPT-style
+  // space-prefixed word entries + common English subwords + single chars;
+  // anything uncovered falls back to a 1-char token.
+  private val gateVocab = Seq(
+    " the", " and", " of", " to", " in", " is", " it", " for",
+    "the", "and", "tion", "ing", "ed", "er", "es", "re", "in", "on",
+    "at", "en", "an", "or", "st", "te", "ti", "of", "to", "it",
+    "a", "e", "i", "o", "u", "s", "t", "n", "r", "l", " ")
+  private val gateVocabMaxLen = gateVocab.map(_.length).max
+
   // JSONL round-trip fixture: the documents table written as line-format
   // JSON (the lingua franca of LLM training corpora), re-read by BOTH
   // engines. The path is pid-scoped under the system tmpdir so concurrent
@@ -320,6 +331,18 @@ object Documents {
         ((col("id") * 2654435761L) % 1000 / lit(500.0) - 1.0).as("weight"))
       graft.operators.Classifier.score(spread(t(s, dir, "documents")),
         "doc_id", "text", wts, dim = 64, bias = 0.1)
+    }),
+
+    "t16_vocab_tokens" -> ((s, dir) => {
+      // real-vocabulary token accounting: greedy longest-match (the
+      // WordPiece/BPE serving rule) against a broadcastable vocab map,
+      // one per-row fold — what -pack/-chunk budget with when a real
+      // tokenizer vocab exists (bpeTokenCount is a regex proxy)
+      val stats = text.vocabTokenStats(col("text"),
+        text.vocabMap(gateVocab), gateVocabMaxLen)
+      spread(t(s, dir, "documents")).select(col("doc_id"),
+        stats.getField("vocab_tokens").as("vocab_tokens"),
+        stats.getField("fallback_tokens").as("fallback_tokens"))
     }),
 
     "t10_normalize" -> ((s, dir) => {
@@ -911,6 +934,42 @@ object Documents {
         |  round(1.0 / (1.0 + exp(-(0.1 + coalesce(agg.s, 0.0)
         |    / greatest(coalesce(agg.n, 0), 1)))), 4) AS clf_score
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+
+    // the greedy cursor is inherently sequential per doc, so the oracle
+    // replays it as a linear list_reduce over character positions with
+    // the (next, cnt, fb) state PACKED into one BIGINT (21 bits each —
+    // DuckDB 1.0.0's struct-accumulator leak rules out a struct state,
+    // and a recursive CTE re-joins the whole corpus per token: measured
+    // minutes vs seconds). mls[i] = longest vocab match at i (0 = none);
+    // same end-of-string truncation contract as the Spark fold (a
+    // truncated probe only matches by consuming the whole tail, so
+    // counts agree). init state = pack(next=1, cnt=0, fb=0) = 2^42.
+    "t16_vocab_tokens" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lower(text) AS t, length(lower(text)) AS n
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, n,
+         |    [coalesce(list_max(
+         |       [length(v) for v in
+         |          [${gateVocab.map(v => s"'$v'").mkString(", ")}]
+         |        if substr(t, i::INT, length(v)) = v]), 0)
+         |     for i in range(1, n + 1)] AS mls
+         |  FROM d),
+         |f AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(4398046511104, range(1, n + 1)),
+         |      (a, i) -> CASE WHEN i = a // 4398046511104 THEN
+         |          (i + CASE WHEN mls[i::INT] = 0 THEN 1
+         |                    ELSE mls[i::INT] END) * 4398046511104
+         |          + (a % 4398046511104)
+         |          + 2097152
+         |          + CASE WHEN mls[i::INT] = 0 THEN 1 ELSE 0 END
+         |        ELSE a END) AS st
+         |  FROM m)
+         |SELECT doc_id, (st // 2097152) % 2097152 AS vocab_tokens,
+         |  st % 2097152 AS fallback_tokens
+         |FROM f""".stripMargin,
 
     "t10_normalize" ->
       """WITH m AS (

@@ -243,6 +243,36 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(3L, 4L))
   }
 
+  test("Corpus -vocab budgets -pack with the t16 greedy tokenizer, not " +
+    "the bpe proxy") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.text
+    val s = spark
+    import s.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val vocab = Seq(" the", "the", " and", "and", "ing", "ed", "er",
+      "a", "e", "i", "o", "u", "s", "t", "n", " ")
+    val vPath = s"${sys.props("java.io.tmpdir")}/graft-vocab-" +
+      ProcessHandle.current.pid
+    vocab.toDF("token").write.mode("overwrite").parquet(vPath)
+    val cli = Corpus.run(spark, Map(
+      "i" -> s"$sf/documents.parquet", "dedup" -> "none",
+      "pack" -> "1000", "vocab" -> s"$vPath,4", "report" -> "0"))
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        text.vocabTokenCount(col("text"), text.vocabMap(vocab), 4)
+          .as("want"))
+    val diff = cli.join(expected, Seq("doc_id"))
+      .where(col("tokens") =!= col("want")).count()
+    assert(diff == 0)
+    // and it genuinely differs from the bpe proxy on this corpus
+    val proxyDiff = cli.join(
+      spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"),
+        text.bpeTokenCount(col("text")).cast("long").as("proxy")),
+      Seq("doc_id")).where(col("tokens") =!= col("proxy")).count()
+    assert(proxyDiff > 0)
+  }
+
   test("Corpus -min_classifier_score drops exactly the t15 below-floor " +
     "docs") {
     import org.apache.spark.sql.functions._

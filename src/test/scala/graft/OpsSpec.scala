@@ -361,4 +361,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.exists(_._1 == 2L))
     assert(out.filter(_._1 == 3L) == List((3L, 0, 1L, "solo")))
   }
+
+  test("vocabTokenStats: greedy longest-match, fallback, truncation, " +
+    "empty") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val vocab = Seq(" the", "the", "to", "e", " ")
+    val df = Seq(
+      (1L, "to the x"), // to|_the|_|x(fb) = 4 tokens, 1 fallback
+      (2L, "THE"),      // lower-cased -> the = 1 token
+      (3L, "ze"),       // z fallback, e = 2 tokens, 1 fallback
+      (4L, ""),         // empty -> 0/0
+      (5L, "t"))        // tail probe truncates: no match -> 1 fb token
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      graft.functions.text.vocabTokenStats(col("text"),
+        graft.functions.text.vocabMap(vocab), 4).as("s"))
+      .select(col("doc_id"), col("s.vocab_tokens"), col("s.fallback_tokens"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == ((4L, 1L)))
+    assert(got(2L) == ((1L, 0L)))
+    assert(got(3L) == ((2L, 1L)))
+    assert(got(4L) == ((0L, 0L)))
+    assert(got(5L) == ((1L, 1L)))
+  }
 }
