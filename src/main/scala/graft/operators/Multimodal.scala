@@ -97,4 +97,23 @@ object Multimodal {
       .withColumn("peak", col("_a.peak").cast("long"))
       .drop("_a")
   }
+
+  /** Real video-container decode: ISO-BMFF (MP4/MOV) box walk — major
+    * brand from `ftyp`, version-aware timescale/duration from
+    * `moov/mvhd`, track count from the `trak` children, plus the derived
+    * duration_sec. The container walk is the decode-free, fully
+    * verifiable triage layer of a video corpus (codec frames stay opaque
+    * in `mdat`); NULLs for undecodable payloads.
+    */
+  def decodeVideo(df: DataFrame, payload: String = "payload"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("_v", call_function("graft_mp4_meta", col(payload)))
+      .withColumn("major_brand", col("_v.major_brand"))
+      .withColumn("timescale", col("_v.timescale").cast("long"))
+      .withColumn("duration", col("_v.duration").cast("long"))
+      .withColumn("n_tracks", col("_v.n_tracks").cast("long"))
+      .withColumn("duration_sec",
+        round(col("duration") / col("timescale"), 4))
+      .drop("_v")
+  }
 }

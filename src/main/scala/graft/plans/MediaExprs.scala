@@ -291,4 +291,97 @@ object MediaExprs {
       copy(c)
     override def prettyName: String = "graft_wav_meta"
   }
+
+  /** graft_mp4_meta(binary) -> struct<major_brand:string, timescale:int,
+    * duration:long, n_tracks:int>: REAL ISO-BMFF (MP4/MOV) container
+    * parse — the video member of the media triad, the exact mirror of
+    * [[GraftWavMeta]]'s RIFF chunk walk on the big-endian box grammar.
+    * Top-level boxes are walked to find `ftyp` (major brand) and `moov`;
+    * `moov`'s children are walked for `mvhd` (version-aware: v0 carries
+    * u32 timescale/duration at body+12/+16, v1 at +20/+24 with a u64
+    * duration) and the `trak` count. Handles 64-bit largesize (size==1)
+    * and to-end-of-file (size==0) boxes; all offsets advance in Long so
+    * a hostile declared size cannot wrap an index (poison-blob contract:
+    * malformed input -> NULL, never a throw). Codec payloads inside
+    * mdat are opaque — container metadata is the decode-free, oracle-
+    * checkable part, which is exactly what corpus triage needs.
+    */
+  case class GraftMp4Meta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary, got ${child.dataType.catalogString}")
+    override def dataType: DataType = StructType(Seq(
+      StructField("major_brand", StringType),
+      StructField("timescale", IntegerType),
+      StructField("duration", LongType),
+      StructField("n_tracks", IntegerType)))
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(payload: Any): Any = {
+      val b = payload.asInstanceOf[Array[Byte]]
+      val n = b.length.toLong
+      def u8(i: Long): Int = b(i.toInt) & 0xff
+      def u32(i: Long): Long =
+        (u8(i) << 24 | u8(i + 1) << 16 | u8(i + 2) << 8 | u8(i + 3)) & 0xffffffffL
+      def u64(i: Long): Long = (u32(i) << 32) | u32(i + 4)
+      def typ(i: Long): String = new String(b, i.toInt, 4, "US-ASCII")
+      // returns (bodyStart, boxEnd) or null on malformed sizes
+      def span(off: Long): (Long, Long) = {
+        if (off + 8 > n) return null
+        val sz = u32(off)
+        if (sz == 0) (off + 8, n)               // box runs to EOF
+        else if (sz == 1) {                     // 64-bit largesize
+          if (off + 16 > n) null
+          else {
+            val lsz = u64(off + 8)
+            if (lsz < 16 || off + lsz > n) null else (off + 16, off + lsz)
+          }
+        }
+        else if (sz < 8 || off + sz > n) null
+        else (off + 8, off + sz)
+      }
+      var brand: String = null
+      var moovBody = -1L; var moovEnd = -1L
+      var off = 0L
+      while (off + 8 <= n && moovBody < 0) {
+        val s = span(off)
+        if (s == null) return null
+        typ(off + 4) match {
+          case "ftyp" if s._2 - s._1 >= 4 => brand = typ(s._1)
+          case "moov" => moovBody = s._1; moovEnd = s._2
+          case _ => ()
+        }
+        off = s._2
+      }
+      if (brand == null || moovBody < 0) return null
+      var timescale = -1L; var duration = -1L; var tracks = 0
+      var c = moovBody
+      while (c + 8 <= moovEnd) {
+        val s = span(c)
+        if (s == null || s._2 > moovEnd) return null
+        typ(c + 4) match {
+          case "mvhd" =>
+            val body = s._1
+            if (body + 4 > n) return null
+            u8(body) match { // version byte, then 3 flag bytes
+              case 0 if s._2 - body >= 20 =>
+                timescale = u32(body + 12); duration = u32(body + 16)
+              case 1 if s._2 - body >= 32 =>
+                timescale = u32(body + 20); duration = u64(body + 24)
+              case _ => return null
+            }
+          case "trak" => tracks += 1
+          case _ => ()
+        }
+        c = s._2
+      }
+      if (timescale <= 0 || duration < 0) return null
+      InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(brand),
+        timescale.toInt, duration, tracks)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+    override def prettyName: String = "graft_mp4_meta"
+  }
 }

@@ -293,6 +293,11 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         require(children.length == 1, "graft_wav_meta takes 1 argument")
         MediaExprs.GraftWavMeta(children.head)
+      }),
+    ("graft_mp4_meta", classOf[MediaExprs.GraftMp4Meta],
+      { children: Seq[Expression] =>
+        require(children.length == 1, "graft_mp4_meta takes 1 argument")
+        MediaExprs.GraftMp4Meta(children.head)
       })
   )
 

@@ -191,6 +191,18 @@ object Genomic2 {
           "rms", "peak")
     }),
 
+    "m5_video_meta" -> ((s, _) => {
+      prep(s)
+      // REAL MP4/ISO-BMFF container walk (the video mirror of m4's RIFF
+      // walk): ftyp brand, version-aware mvhd timescale/duration, trak
+      // count — all re-derived from the raw bytes by the SQL oracle.
+      // Undecodable rows drop here; NULL-on-poison is in MediaSpec.
+      Multimodal.decodeVideo(s.read.parquet(s"$fx/video.parquet"))
+        .where(col("timescale").isNotNull)
+        .select("media_id", "major_brand", "timescale", "duration",
+          "n_tracks", "duration_sec")
+    }),
+
     "m3_media_features" -> ((s, _) => {
       prep(s)
       // 2x2-grid mean-luminance embedding from REAL pixels; snapshot
@@ -261,7 +273,105 @@ object Genomic2 {
          |WHERE NOT p.conflict
          |GROUP BY p.transcript, p.signature, d.total_copies""".stripMargin
 
+  /** m5's oracle: a REAL ISO-BMFF box walk in SQL over the hex bytes —
+    * every size/type is read from the payload, nothing is assumed about
+    * the layout; only the walk DEPTH is bounded (4 top-level boxes, 6
+    * moov children — covers the canonical fixtures; the Spark
+    * expression's walk is unbounded). Same 1-based byte-list domain as
+    * the m4 WAV oracle, big-endian instead of little.
+    */
+  private val mp4OracleSql: String = {
+    def u32(o: String) =
+      s"(b[$o]*16777216 + b[$o+1]*65536 + b[$o+2]*256 + b[$o+3])"
+    def isTyp(o: String, t: String) =
+      t.zipWithIndex.map { case (c, i) => s"b[($o)+${4 + i}]=${c.toInt}" }
+        .mkString("(", " AND ", ")")
+    // every walk step is its OWN MATERIALIZED CTE: DuckDB 1.0.0 expands
+    // lateral column aliases ~40x per chain level (measured 0.15s at
+    // depth 3 -> 158s at depth 5), so a k1..k6 chain in one SELECT never
+    // finishes; a materialized step makes the previous offset a real
+    // column and the walk linear.
+    val tops = (2 to 4).map { k =>
+      val p = s"o${k - 1}"
+      s"""w$k AS MATERIALIZED (
+         |  SELECT *,
+         |    CASE WHEN $p IS NOT NULL AND ${u32(p)} >= 8
+         |         AND $p + ${u32(p)} + 7 <= n
+         |      THEN $p + ${u32(p)} END AS o$k
+         |  FROM w${k - 1}),""".stripMargin
+    }.mkString("\n")
+    def findCases(t: String) = (1 to 4).map { k =>
+      s"CASE WHEN o$k IS NOT NULL AND ${isTyp(s"o$k", t)} THEN o$k END"
+    }.mkString(",\n      ")
+    val kidSteps = (2 to 6).map { k =>
+      val p = s"k${k - 1}"
+      s"""kid$k AS MATERIALIZED (
+         |  SELECT *,
+         |    CASE WHEN $p IS NOT NULL AND ${u32(p)} >= 8
+         |         AND $p + ${u32(p)} + 7 < mend
+         |      THEN $p + ${u32(p)} END AS k$k
+         |  FROM kid${k - 1}),""".stripMargin
+    }.mkString("\n")
+    val mvhdCases = (1 to 6).map { k =>
+      s"CASE WHEN k$k IS NOT NULL AND ${isTyp(s"k$k", "mvhd")} THEN k$k END"
+    }.mkString(",\n      ")
+    val trakSum = (1 to 6).map { k =>
+      s"CASE WHEN k$k IS NOT NULL AND ${isTyp(s"k$k", "trak")} " +
+        "THEN 1 ELSE 0 END"
+    }.mkString(" +\n      ")
+    s"""WITH d AS (
+       |  SELECT media_id, hex(payload) AS h, octet_length(payload) AS n
+       |  FROM ${pq("video")}),
+       |hb AS MATERIALIZED (
+       |  SELECT media_id, n,
+       |    list_transform(range(0, n), i ->
+       |      (strpos('0123456789ABCDEF', substr(h, 2*i + 1, 1)) - 1)
+       |        * 16 +
+       |      strpos('0123456789ABCDEF', substr(h, 2*i + 2, 1)) - 1) AS b
+       |  FROM d WHERE n >= 8),
+       |w1 AS MATERIALIZED (SELECT media_id, n, b, 1 AS o1 FROM hb),
+       |$tops
+       |found AS MATERIALIZED (
+       |  SELECT media_id, n, b,
+       |    COALESCE(${findCases("moov")}) AS mo,
+       |    COALESCE(${findCases("ftyp")}) AS fo
+       |  FROM w4),
+       |mz AS MATERIALIZED (
+       |  SELECT media_id, n, b, fo, mo,
+       |    CASE WHEN mo + ${u32("mo")} <= n + 1
+       |      THEN mo + ${u32("mo")} END AS mend
+       |  FROM found WHERE mo IS NOT NULL AND fo IS NOT NULL),
+       |kid1 AS MATERIALIZED (
+       |  SELECT *,
+       |    CASE WHEN mend IS NOT NULL AND mo + 15 < mend
+       |      THEN mo + 8 END AS k1
+       |  FROM mz),
+       |$kidSteps
+       |agg AS MATERIALIZED (
+       |  SELECT media_id, b, fo,
+       |    COALESCE($mvhdCases) AS mv,
+       |    ($trakSum) AS n_tracks
+       |  FROM kid6),
+       |vals AS MATERIALIZED (
+       |  SELECT media_id, b, fo, n_tracks,
+       |    CASE b[mv+8] WHEN 0 THEN ${u32("mv+20")}
+       |      WHEN 1 THEN ${u32("mv+28")} END AS ts,
+       |    CASE b[mv+8] WHEN 0 THEN ${u32("mv+24")}
+       |      WHEN 1 THEN ${u32("mv+32")} * 4294967296 + ${u32("mv+36")}
+       |      END AS dur
+       |  FROM agg WHERE mv IS NOT NULL)
+       |SELECT media_id,
+       |  chr(b[fo+8]::INT) || chr(b[fo+9]::INT) || chr(b[fo+10]::INT)
+       |    || chr(b[fo+11]::INT) AS major_brand,
+       |  CAST(ts AS BIGINT) AS timescale,
+       |  CAST(dur AS BIGINT) AS duration,
+       |  CAST(n_tracks AS BIGINT) AS n_tracks,
+       |  round(dur / ts, 4) AS duration_sec
+       |FROM vals WHERE ts IS NOT NULL AND ts > 0""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "m5_video_meta" -> mp4OracleSql,
     "f2_seq_dedup" ->
       s"""WITH ranked AS (
          |  SELECT sequence, accession, $tagRankSql AS rank

@@ -133,4 +133,63 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("poison").isNullAt(
       rows("poison").fieldIndex("sample_rate")))
   }
+
+  test("mp4 box walk: version-aware mvhd, skipped boxes, largesize, " +
+    "NULL on poison") {
+    val s = spark
+    import s.implicits._
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    // 64-bit largesize form of the same box (size field = 1)
+    def boxL(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16 + body.length)
+      bb.putInt(1).put(typ.getBytes("US-ASCII"))
+        .putLong(16L + body.length).put(body)
+      bb.array()
+    }
+    def ftyp(brand: String) = box("ftyp",
+      brand.getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0))
+    def mvhd0(ts: Int, dur: Int) = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0).putInt(ts).putInt(dur)
+      box("mvhd", b.array())
+    }
+    def mvhd1(ts: Int, dur: Long) = {
+      val b = java.nio.ByteBuffer.allocate(112)
+      b.putInt(0x01000000).putLong(0L).putLong(0L).putInt(ts).putLong(dur)
+      box("mvhd", b.array())
+    }
+    val trak = box("trak", box("tkhd", new Array[Byte](84)))
+    val v0 = ftyp("isom") ++ box("free", new Array[Byte](4)) ++
+      box("moov", mvhd0(1000, 7500) ++ trak ++ trak) ++
+      box("mdat", new Array[Byte](16))
+    // v1 mvhd with a >u32 duration, mvhd not the first child, and the
+    // moov box in 64-bit largesize form
+    val bigDur = 5000000000L
+    val v1 = ftyp("mp42") ++
+      boxL("moov", trak ++ mvhd1(90000, bigDur) ++ trak ++ trak)
+    val rows = Multimodal.decodeVideo(Seq(
+      ("v0", v0), ("v1", v1),
+      ("poison", Array.tabulate[Byte](24)(i => (i * 13 + 5).toByte)),
+      // structurally valid boxes but no moov -> NULL
+      ("nomoov", ftyp("isom") ++ box("mdat", new Array[Byte](8))))
+      .toDF("media_id", "payload"))
+      .collect().map(r => r.getAs[String]("media_id") -> r).toMap
+    val a = rows("v0")
+    assert(a.getAs[String]("major_brand") == "isom" &&
+      a.getAs[Long]("timescale") == 1000L &&
+      a.getAs[Long]("duration") == 7500L &&
+      a.getAs[Long]("n_tracks") == 2L &&
+      a.getAs[Double]("duration_sec") == 7.5)
+    val b = rows("v1")
+    assert(b.getAs[String]("major_brand") == "mp42" &&
+      b.getAs[Long]("timescale") == 90000L &&
+      b.getAs[Long]("duration") == bigDur &&
+      b.getAs[Long]("n_tracks") == 3L)
+    assert(rows("poison").isNullAt(rows("poison").fieldIndex("timescale")))
+    assert(rows("nomoov").isNullAt(rows("nomoov").fieldIndex("timescale")))
+  }
 }
