@@ -45,6 +45,10 @@ import graft.operators.Dedup
   *   [-format parquet]     parquet | jsonl output
   *   [-partition_by cols]  hive-partitioned output directories (comma
   *                         list, e.g. source or source,lang)
+  *   [-zorder c1,c2[,n]]   z-ordered layout (z2): write n files (def 8)
+  *                         range-partitioned + sorted on the Morton
+  *                         interleave of two numeric columns, so scans
+  *                         filtering on either column prune files
   *   [-single_file 1]      coalesce output to one part
   *   [-threads n] [-master url] [-shuffle_partitions n]
   * }}}
@@ -256,9 +260,26 @@ object Corpus {
     }
 
     opts.get("o").foreach { out =>
-      val shaped =
-        if (opts.getOrElse("single_file", "0") == "1") df.coalesce(1)
-        else df
+      // -zorder c1,c2[,files]: lay the output on a Morton curve over two
+      // numeric columns (z2) so downstream scans filtering on EITHER
+      // column prune files by parquet min/max stats. Layout options are
+      // one-of: hive dirs, z-curve, or single file.
+      require(Seq(opts.contains("zorder"), opts.contains("partition_by"),
+        opts.getOrElse("single_file", "0") == "1").count(identity) <= 1,
+        "-zorder, -partition_by and -single_file are mutually exclusive " +
+          "layout choices")
+      val shaped = opts.get("zorder") match {
+        case Some(spec) =>
+          val parts = spec.split(",").map(_.trim)
+          require(parts.length == 2 || parts.length == 3,
+            s"-zorder wants c1,c2[,files] — got '$spec'")
+          val files = if (parts.length == 3) parts(2).toInt else 8
+          graft.functions.zorder.zOrdered(df, parts(0), parts(1),
+            numFiles = files)
+        case None =>
+          if (opts.getOrElse("single_file", "0") == "1") df.coalesce(1)
+          else df
+      }
       // hive-style layout: one directory per partition value — at scale
       // this is what makes downstream per-source/per-lang reads prune
       // to a subtree instead of scanning the corpus

@@ -236,6 +236,35 @@ object Relational {
           max(col("o_orderkey").bitwiseAND(lit(65535L))).as("max_ord"))
     }),
 
+    "z2_zorder_write" -> ((s, dir) => {
+      // the WRITER surface over z1's primitive: orders written
+      // z-ordered by (custkey, orderkey) — one range exchange + local
+      // sort — then read back from disk and audited with the same
+      // per-z-bucket envelope rollup (plus a price checksum, so a
+      // writer that dropped/duplicated/corrupted rows breaks the hash).
+      // OpsSpec separately pins the file-level property the layout
+      // exists for: disjoint per-file z-ranges and min/max pruning on
+      // EITHER dimension.
+      import graft.functions.zorder
+      val out = s"${sys.props("java.io.tmpdir")}/graft-zorder-written-" +
+        ProcessHandle.current.pid
+      zorder.writeZOrdered(
+        t(s, dir, "orders")
+          .select("o_custkey", "o_orderkey", "o_totalprice"),
+        out, "o_custkey", "o_orderkey")
+      val z = zorder.zValue(
+        col("o_custkey").bitwiseAND(lit(65535L)),
+        col("o_orderkey").bitwiseAND(lit(65535L)))
+      s.read.parquet(out)
+        .groupBy(shiftright(z, 26).as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_custkey")).as("min_cust"),
+          max(col("o_custkey")).as("max_cust"),
+          min(col("o_orderkey").bitwiseAND(lit(65535L))).as("min_ord"),
+          max(col("o_orderkey").bitwiseAND(lit(65535L))).as("max_ord"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
     "u6_table_stats" -> ((s, dir) => {
       // ANALYZE in one pass: row/null counts, min/max, portable-HLL NDV
       // for the CBO-relevant lineitem columns — registers, not values,
@@ -385,6 +414,20 @@ object Relational {
          |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
          |  min(o_orderkey & 65535) AS min_ord,
          |  max(o_orderkey & 65535) AS max_ord
+         |FROM z0 GROUP BY 1""".stripMargin,
+
+    // z2 re-derives the audit from the SOURCE table: if the z-ordered
+    // writer dropped, duplicated, or corrupted any row on the way to
+    // disk, the counts/envelopes/checksum can't match
+    "z2_zorder_write" ->
+      s"""WITH z0 AS (
+         |  SELECT ($zorderSql) AS z, o_custkey, o_orderkey, o_totalprice
+         |  FROM orders)
+         |SELECT z >> 26 AS z_bucket, count(*) AS n,
+         |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+         |  min(o_orderkey & 65535) AS min_ord,
+         |  max(o_orderkey & 65535) AS max_ord,
+         |  round(sum(o_totalprice), 2) AS sum_price
          |FROM z0 GROUP BY 1""".stripMargin,
 
     "u6_table_stats" ->

@@ -373,6 +373,51 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan)
   }
 
+  test("Corpus -zorder writes a z-laid-out corpus that reads back whole " +
+    "with min/max file pruning on either column") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = s"${sys.props("java.io.tmpdir")}/graft-corpus-zorder-" +
+      ProcessHandle.current.pid
+    Corpus.run(spark, Map(
+      "i" -> s"$sf/documents.parquet", "dedup" -> "none",
+      "o" -> out, "zorder" -> "doc_id,n_chars,6", "report" -> "0"))
+    val src = spark.read.parquet(s"$sf/documents.parquet")
+    val back = spark.read.parquet(out)
+    assert(back.columns.toSet == src.columns.toSet)
+    assert(back.count() == src.count())
+    // the layout property -zorder exists for: per-file envelopes on BOTH
+    // columns are narrow enough that a selective predicate on either one
+    // touches a strict subset of the files (parquet min/max pruning)
+    val env = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("doc_id")).as("lo_id"), max(col("doc_id")).as("hi_id"),
+        min(col("n_chars")).as("lo_nc"), max(col("n_chars")).as("hi_nc"))
+      .collect()
+    assert(env.length == 6, s"expected 6 files, got ${env.length}")
+    val stats = src.agg(min("doc_id"), max("doc_id"),
+      min("n_chars"), max("n_chars")).head()
+    val (idProbe, ncProbe) = (stats.getLong(0), stats.getLong(2))
+    val idHits = env.count(r =>
+      r.getLong(1) <= idProbe && idProbe <= r.getLong(2))
+    val ncHits = env.count(r =>
+      r.getLong(3) <= ncProbe && ncProbe <= r.getLong(4))
+    assert(idHits < env.length, "doc_id envelope pruning ineffective")
+    assert(ncHits < env.length, "n_chars envelope pruning ineffective")
+  }
+
+  test("Corpus rejects -zorder combined with -partition_by") {
+    val sf = "/root/testdata/sf0.001"
+    val e = intercept[IllegalArgumentException] {
+      Corpus.run(spark, Map(
+        "i" -> s"$sf/documents.parquet", "dedup" -> "none",
+        "o" -> s"${sys.props("java.io.tmpdir")}/graft-corpus-never",
+        "zorder" -> "doc_id,n_chars", "partition_by" -> "source",
+        "report" -> "0"))
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("Corpus rejects -chunk combined with -pack") {
     val sf = "/root/testdata/sf0.001"
     val e = intercept[IllegalArgumentException] {

@@ -287,6 +287,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spans.getLong(0) <= 15 && spans.getLong(1) <= 15, spans)
   }
 
+  test("writeZOrdered: files carry disjoint z-ranges and prune on " +
+    "either dimension where a plain sort prunes on one") {
+    val s = spark
+    import s.implicits._
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y =>
+      (x.toLong, y.toLong))).toDF("x", "y")
+    val out = s"${sys.props("java.io.tmpdir")}/graft-zorder-spec-" +
+      ProcessHandle.current.pid
+    graft.functions.zorder.writeZOrdered(grid, out, "x", "y",
+      bits = 6, numFiles = 16)
+    val z = graft.functions.zorder.zValue(col("x"), col("y"), bits = 6)
+    val env = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(z).as("lo_z"), max(z).as("hi_z"),
+        min(col("x")).as("lo_x"), max(col("x")).as("hi_x"),
+        min(col("y")).as("lo_y"), max(col("y")).as("hi_y"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(env.length == 16)
+    assert(env.map(_.getLong(7)).sum == 64L * 64)
+    // range partitioning: per-file z-intervals are pairwise disjoint
+    val sortedByZ = env.sortBy(_.getLong(1))
+    sortedByZ.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) < b.getLong(1),
+        s"overlapping z-ranges: $a vs $b")
+    }
+    // either-dimension pruning: a point predicate on x (or y) alone
+    // touches a strict subset of files by min/max envelope — the gain
+    // over sorting by x, where every file spans all of y and only the
+    // leading column prunes
+    val xHits = env.count(r => r.getLong(3) <= 0 && 0 <= r.getLong(4))
+    val yHits = env.count(r => r.getLong(5) <= 0 && 0 <= r.getLong(6))
+    assert(xHits <= env.length / 2, s"x pruning weak: $xHits/16")
+    assert(yHits <= env.length / 2, s"y pruning weak: $yHits/16")
+  }
+
   test("table stats: exact counts/min/max, HLL NDV within bound, nulls " +
     "counted not hashed") {
     val s = spark
