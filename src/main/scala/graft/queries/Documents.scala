@@ -33,6 +33,14 @@ object Documents {
   // stopword list literal shared with the SQL oracles
   private val swEn = text.stopwordsEn.map(w => s"'$w'").mkString(", ")
 
+  // committed WARC crawl fixture (tools/gen_fixtures.py)
+  private val warcPath =
+    s"${graft.fixtures.GenomicFixtures.rawDir}/crawl.warc"
+  // DuckDB expressions for CRLFCRLF and the WARC record boundary
+  private val crlf2Sql = "(chr(13)||chr(10)||chr(13)||chr(10))"
+  private val warcSepSql =
+    "(chr(13)||chr(10)||chr(13)||chr(10)||'WARC/1.0'||chr(13)||chr(10))"
+
   // t16's gate vocabulary: one Seq drives BOTH the Spark map literal and
   // the oracle's unnest list, so the two sides cannot drift. GPT-style
   // space-prefixed word entries + common English subwords + single chars;
@@ -376,6 +384,35 @@ object Documents {
       s.read.schema("doc_id LONG, lang STRING, text STRING")
         .json(jsonlPath)
         .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
+    }),
+
+    "w1_warc_read" -> ((s, _) => {
+      // Common Crawl ingestion (src_warc): splittable boundary-scan WARC
+      // record reader — header fields + the Content-Length payload trim
+      // are native expressions; the gate fingerprints every payload byte
+      // (md5 + length) including the trailing-junk trim and the
+      // truncated-capture flag
+      graft.sources.Warc.read(s, warcPath)
+        .select(col("warc_type"), col("record_id"), col("warc_date"),
+          col("target_uri"), col("content_type"), col("content_length"),
+          md5(col("payload")).as("payload_fp"),
+          length(col("payload")).as("payload_len"), col("truncated"))
+    }),
+
+    "w2_warc_text" -> ((s, _) => {
+      // WET-style corpus extraction over w1: html responses only, HTTP
+      // headers peeled, script/style dropped, tags stripped, entities
+      // decoded (&amp; last), whitespace collapsed — the crawl-to-
+      // documents stage, all RE2-subset regexp columns
+      import graft.sources.Warc
+      Warc.read(s, warcPath)
+        .where(col("warc_type") === "response" &&
+          regexp_extract(col("payload"),
+            "(?mi)^Content-Type: ?([^\r\n]*)", 1).contains("html"))
+        .select(col("target_uri"),
+          Warc.httpStatus(col("payload")).as("http_status"),
+          Warc.extractText(Warc.httpBody(col("payload"))).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }),
 
     "d9_fuzzy_join" -> ((s, dir) => {
@@ -1103,6 +1140,108 @@ object Documents {
     "j1_jsonl" ->
       s"""SELECT doc_id, lang, md5(text) AS fp
          |FROM read_json_auto('$jsonlPath/*.json')""".stripMargin,
+
+    "w1_warc_read" ->
+      s"""WITH recs AS (
+         |  SELECT regexp_replace(unnest(string_split(content,
+         |      $warcSepSql)), '^WARC/1\\.0' || chr(13) || chr(10), '')
+         |    AS rec
+         |  FROM read_text('$warcPath')),
+         |split AS (
+         |  SELECT rec,
+         |    CASE WHEN strpos(rec, $crlf2Sql) > 0
+         |      THEN substr(rec,
+         |        len(string_split(rec, $crlf2Sql)[1]) + 5)
+         |      ELSE '' END AS body
+         |  FROM recs WHERE len(trim(rec)) > 0),
+         |fields AS (
+         |  SELECT body,
+         |    nullif(regexp_extract(rec,
+         |      '(?m)^WARC-Type: ?([^\\r\\n]*)', 1), '') AS warc_type,
+         |    nullif(regexp_extract(rec,
+         |      '(?m)^WARC-Record-ID: ?([^\\r\\n]*)', 1), '') AS record_id,
+         |    nullif(regexp_extract(rec,
+         |      '(?m)^WARC-Date: ?([^\\r\\n]*)', 1), '') AS warc_date,
+         |    nullif(regexp_extract(rec,
+         |      '(?m)^WARC-Target-URI: ?([^\\r\\n]*)', 1), '')
+         |      AS target_uri,
+         |    nullif(regexp_extract(rec,
+         |      '(?m)^Content-Type: ?([^\\r\\n]*)', 1), '') AS content_type,
+         |    CAST(nullif(regexp_extract(rec,
+         |      '(?m)^Content-Length: ?([^\\r\\n]*)', 1), '') AS BIGINT)
+         |      AS content_length
+         |  FROM split)
+         |SELECT warc_type, record_id, warc_date, target_uri, content_type,
+         |  content_length,
+         |  md5(CASE WHEN content_length IS NOT NULL
+         |      THEN substr(body, 1, content_length) ELSE body END)
+         |    AS payload_fp,
+         |  CAST(len(CASE WHEN content_length IS NOT NULL
+         |      THEN substr(body, 1, content_length) ELSE body END)
+         |    AS BIGINT) AS payload_len,
+         |  (content_length IS NOT NULL AND len(body) < content_length)
+         |    AS truncated
+         |FROM fields""".stripMargin,
+
+    "w2_warc_text" ->
+      s"""WITH recs AS (
+         |  SELECT regexp_replace(unnest(string_split(content,
+         |      $warcSepSql)), '^WARC/1\\.0' || chr(13) || chr(10), '')
+         |    AS rec
+         |  FROM read_text('$warcPath')),
+         |split AS (
+         |  SELECT rec,
+         |    CASE WHEN strpos(rec, $crlf2Sql) > 0
+         |      THEN substr(rec,
+         |        len(string_split(rec, $crlf2Sql)[1]) + 5)
+         |      ELSE '' END AS body
+         |  FROM recs WHERE len(trim(rec)) > 0),
+         |payloads AS (
+         |  SELECT
+         |    nullif(regexp_extract(rec,
+         |      '(?m)^WARC-Target-URI: ?([^\\r\\n]*)', 1), '')
+         |      AS target_uri,
+         |    CASE WHEN CAST(nullif(regexp_extract(rec,
+         |        '(?m)^Content-Length: ?([^\\r\\n]*)', 1), '') AS BIGINT)
+         |        IS NOT NULL
+         |      THEN substr(body, 1, CAST(nullif(regexp_extract(rec,
+         |        '(?m)^Content-Length: ?([^\\r\\n]*)', 1), '') AS BIGINT))
+         |      ELSE body END AS payload
+         |  FROM split
+         |  WHERE len(trim(rec)) > 0
+         |    AND nullif(regexp_extract(rec,
+         |      '(?m)^WARC-Type: ?([^\\r\\n]*)', 1), '') = 'response'),
+         |html AS (
+         |  SELECT target_uri,
+         |    CAST(nullif(regexp_extract(payload,
+         |      '^HTTP/1\\.[01] (\\d{3})', 1), '') AS INT) AS http_status,
+         |    CASE WHEN strpos(payload, $crlf2Sql) > 0
+         |      THEN substr(payload,
+         |        len(string_split(payload, $crlf2Sql)[1]) + 5)
+         |      ELSE '' END AS hbody
+         |  FROM payloads
+         |  WHERE contains(regexp_extract(payload,
+         |    '(?mi)^Content-Type: ?([^\\r\\n]*)', 1), 'html'))
+         |SELECT target_uri, http_status,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(replace(
+         |      regexp_replace(regexp_replace(regexp_replace(hbody,
+         |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |      '<[^>]*>', ' ', 'g'),
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS text,
+         |  CAST(len(trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(replace(
+         |      regexp_replace(regexp_replace(regexp_replace(hbody,
+         |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |      '<[^>]*>', ' ', 'g'),
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+         |    '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars
+         |FROM html""".stripMargin,
 
     "d9_fuzzy_join" ->
       """WITH s AS (

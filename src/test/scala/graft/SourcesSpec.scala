@@ -182,4 +182,62 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex("tx1") == Seq((100L, 200L), (300L, 500L)))
     assert(ex("tx3") == Seq((1000L, 1500L), (1600L, 2000L)))
   }
+
+  test("WARC parses records, trims trailing junk to Content-Length, " +
+    "flags truncated captures, and survives forced multi-split reads") {
+    import graft.sources.Warc
+    val path = s"${graft.fixtures.GenomicFixtures.rawDir}/crawl.warc"
+    val rows = Warc.read(spark, path).collect()
+      .map(r => (r.getString(0), Option(r.getString(3)),
+        r.getLong(5), r.getString(6), r.getBoolean(7))).sortBy(_._2)
+    assert(rows.length == 8)
+    assert(rows.map(_._1).count(_ == "response") == 5)
+    // trailing junk past Content-Length never reaches the payload
+    val junk = rows.find(_._2.contains("http://example.com/junk")).get
+    assert(junk._3 == junk._4.length && !junk._4.contains("IGNORED"))
+    // truncated capture: declared 1000, stored less, flag set
+    val cut = rows.find(_._2.contains("http://example.com/cut")).get
+    assert(cut._3 == 1000L && cut._4.length < 1000 && cut._5)
+    assert(rows.count(_._5) == 1)
+    // splittability: force tiny file splits — the boundary scan must
+    // reassemble the same 8 records from many partial-file tasks
+    val wholePayloadChars = Warc.read(spark, path)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(col("payload"))))
+      .head.getLong(0)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "512")
+    try {
+      val again = Warc.read(spark, path)
+      assert(again.rdd.getNumPartitions > 1,
+        s"split not forced: ${again.rdd.getNumPartitions}")
+      assert(again.count() == 8)
+      assert(again.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(col("payload"))))
+        .head.getLong(0) == wholePayloadChars)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("WARC httpBody/extractText: entity order, script/style removal, " +
+    "no-header payloads") {
+    import graft.sources.Warc
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // &amp;lt; must decode to &lt; (one level), not <
+      ("a", "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        "<p>x &amp;lt; y</p>"),
+      ("b", "HTTP/1.1 200 OK\r\n\r\n<style>p{}</style><script>if(1<2)" +
+        "document.write('<b>hi</b>')</script><i>kept</i>"),
+      ("c", "no header split here"))
+      .toDF("id", "payload")
+      .select(col("id"),
+        Warc.httpStatus(col("payload")).as("st"),
+        Warc.extractText(Warc.httpBody(col("payload"))).as("txt"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), r.getString(2))).toMap
+    assert(cases("a") == (Some(200), "x &lt; y"))
+    assert(cases("b") == (Some(200), "kept"))
+    assert(cases("c") == (None, ""))
+  }
 }

@@ -361,3 +361,100 @@ with open(os.path.join(OUT, "postproc.fasta"), "w") as f:
             "matching_proteins:KERATIN1 reading_frame:- "
             "split_sequences:acc5\n")
     f.write("MKRLL\n")
+
+# ---- WARC crawl fixture (src_warc: Common Crawl-style ingestion) --------
+# ISO 28500 WARC/1.0 records: warcinfo, request, html/plain/404 responses,
+# a record with trailing junk past Content-Length (payload must be
+# TRIMMED), a truncated record (Content-Length overstates the body), and
+# a revisit record. One response body contains "WARC/1.0" mid-line and
+# bare \r\n\r\n sequences to exercise the record splitter.
+
+
+def warc_record(headers, payload, content_length=None):
+    cl = len(payload.encode()) if content_length is None else content_length
+    hdr = "".join(f"{k}: {v}\r\n" for k, v in headers)
+    return (f"WARC/1.0\r\n{hdr}Content-Length: {cl}\r\n\r\n"
+            f"{payload}\r\n\r\n")
+
+
+HTML_BODY = (
+    "<html><head><title>Example Domain</title>\n"
+    "<style>body { margin: 0; }</style>\n"
+    "<script>var x = 1 < 2;</script>\n"
+    "</head>\n<body>\n"
+    "<h1>Example &amp; Friends</h1>\n"
+    "<p>First paragraph with <b>bold</b> text.</p>\n\n"
+    "<p>Second one mentions WARC/1.0 mid-line &lt;here&gt;.</p>\n"
+    "</body></html>\n")
+HTTP_HTML = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n"
+             "Server: demo\r\n\r\n" + HTML_BODY)
+HTTP_PLAIN = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+              "Just plain text.\nSecond line.\n")
+HTTP_404 = ("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n"
+            "<html><body><p>Missing &#39;page&#39;.</p></body></html>")
+HTTP_JUNK = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+             "<html><body><p>Short &quot;quoted&quot; page.</p>"
+             "</body></html>")
+HTTP_TRUNC = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+              "<html><body><p>Cut off mid")
+
+warc_records = [
+    warc_record([("WARC-Type", "warcinfo"),
+                 ("WARC-Record-ID", "<urn:uuid:0001>"),
+                 ("WARC-Date", "2024-05-01T12:00:00Z"),
+                 ("Content-Type", "application/warc-fields")],
+                "software: graft-fixture 1.0\r\n"
+                "format: WARC File Format 1.1\r\n"),
+    warc_record([("WARC-Type", "request"),
+                 ("WARC-Record-ID", "<urn:uuid:0002>"),
+                 ("WARC-Date", "2024-05-01T12:00:01Z"),
+                 ("WARC-Target-URI", "http://example.com/"),
+                 ("WARC-IP-Address", "93.184.216.34"),
+                 ("Content-Type", "application/http; msgtype=request")],
+                "GET / HTTP/1.1\r\nHost: example.com\r\n"
+                "User-Agent: graft\r\n\r\n"),
+    warc_record([("WARC-Type", "response"),
+                 ("WARC-Record-ID", "<urn:uuid:0003>"),
+                 ("WARC-Date", "2024-05-01T12:00:01Z"),
+                 ("WARC-Target-URI", "http://example.com/"),
+                 ("Content-Type", "application/http; msgtype=response")],
+                HTTP_HTML),
+    warc_record([("WARC-Type", "response"),
+                 ("WARC-Record-ID", "<urn:uuid:0004>"),
+                 ("WARC-Date", "2024-05-01T12:00:02Z"),
+                 ("WARC-Target-URI", "http://example.com/robots.txt"),
+                 ("Content-Type", "application/http; msgtype=response")],
+                HTTP_PLAIN),
+    warc_record([("WARC-Type", "response"),
+                 ("WARC-Record-ID", "<urn:uuid:0005>"),
+                 ("WARC-Date", "2024-05-01T12:00:03Z"),
+                 ("WARC-Target-URI", "http://example.com/gone"),
+                 ("Content-Type", "application/http; msgtype=response")],
+                HTTP_404),
+    # trailing junk past Content-Length: reader must trim the payload
+    warc_record([("WARC-Type", "response"),
+                 ("WARC-Record-ID", "<urn:uuid:0006>"),
+                 ("WARC-Date", "2024-05-01T12:00:04Z"),
+                 ("WARC-Target-URI", "http://example.com/junk"),
+                 ("Content-Type", "application/http; msgtype=response")],
+                HTTP_JUNK + "IGNORED-TRAILER",
+                content_length=len(HTTP_JUNK.encode())),
+    # truncated capture: Content-Length overstates what was written
+    warc_record([("WARC-Type", "response"),
+                 ("WARC-Record-ID", "<urn:uuid:0007>"),
+                 ("WARC-Date", "2024-05-01T12:00:05Z"),
+                 ("WARC-Target-URI", "http://example.com/cut"),
+                 ("Content-Type", "application/http; msgtype=response")],
+                HTTP_TRUNC, content_length=1000),
+    warc_record([("WARC-Type", "revisit"),
+                 ("WARC-Record-ID", "<urn:uuid:0008>"),
+                 ("WARC-Date", "2024-05-01T12:00:06Z"),
+                 ("WARC-Target-URI", "http://example.com/"),
+                 ("WARC-Refers-To", "<urn:uuid:0003>"),
+                 ("WARC-Profile",
+                  "http://netpreserve.org/warc/1.0/revisit/identical"
+                  "-payload-digest")],
+                ""),
+]
+with open(os.path.join(OUT, "crawl.warc"), "w", newline="") as f:
+    f.write("".join(warc_records))
