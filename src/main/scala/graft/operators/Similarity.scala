@@ -520,6 +520,37 @@ object Similarity {
     topKPerQuery(scored, k, qId, cId)
   }
 
+  /** Two-stage retrieval (the production serving shape): the cheap
+    * IVF-PQ first stage proposes `kCand` candidates per query from
+    * compressed codes, then the second stage re-scores ONLY those
+    * candidates against the true full-precision vectors and keeps the
+    * final top-k. This is how ADC scoring error is bought back: the
+    * search path still holds `subspaces` codes per corpus vector, and
+    * full vectors are fetched for just |queries|·kCand candidate rows —
+    * as an id-only BROADCAST against the corpus scan, so the gather
+    * needs no corpus shuffle. Final scores are exact cosines, so the
+    * output ranking restricted to the candidate set equals [[knnCosine]]
+    * restricted to it (asserted in SimilaritySpec).
+    */
+  def rerankIvfPq(queries: DataFrame, corpus: DataFrame, k: Int,
+                  kCand: Int, ivfStep: Long, nprobe: Int,
+                  dim: Int, subspaces: Int, pqStep: Long,
+                  qId: String = "qid", qVec: String = "qvec",
+                  cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    val cands = knnCosineIvfPq(queries, corpus, kCand, ivfStep, nprobe,
+      dim, subspaces, pqStep, qId, qVec, cId, cVec)
+      .select(col(qId), col(cId)) // ADC score + rank die here: ids only
+    val scored = corpus
+      .join(broadcast(cands), Seq(cId))
+      .join(broadcast(queries), Seq(qId))
+      .select(col(qId), col(cId),
+        round(call_function("graft_cosine",
+          col(qVec).cast("array<double>"),
+          col(cVec).cast("array<double>")), 5).as("cosine"))
+    topKPerQuery(scored, k, qId, cId)
+  }
+
   /** Approximate top-k: candidates restricted to the query's sign-bit LSH
     * bucket. Bucket on the first `bits` dimensions' signs; recall can be
     * raised by lowering `bits` (bigger buckets) or probing neighbor buckets.

@@ -567,6 +567,18 @@ object Documents {
         dim = 64, subspaces = 4, pqStep = 64)
     }),
 
+    "s9_rerank" -> ((s, dir) => {
+      // two-stage retrieval: s6's IVF-PQ proposes 20 candidates/query
+      // from compressed codes, exact cosine re-scores ONLY those (an
+      // id-only broadcast gather — no corpus shuffle) and keeps top-5
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.rerankIvfPq(q, c, k = 5, kCand = 20, ivfStep = 64,
+        nprobe = 3, dim = 64, subspaces = 4, pqStep = 64)
+    }),
+
     "s3b_ivf_kmeans" -> ((s, dir) => {
       // IVF with a k-means-trained codebook (2 Lloyd rounds from the same
       // step-64 init as s3) — tighter lists at equal nlist/nprobe; the
@@ -1798,6 +1810,83 @@ object Documents {
          |SELECT qid, cid, cosine, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cosine DESC, cid) AS rank FROM s)
+         |WHERE rank <= 5""".stripMargin,
+
+    // s6's CTE chain verbatim, candidate cut at rank<=20, then exact
+    // cosine re-scoring of just those (qid, cid) pairs and the final
+    // top-5 — the rerank contract: approximate propose, exact dispose.
+    "s9_rerank" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS centid, embedding AS centv FROM embeddings
+         |  WHERE vec_id % 64 = 0),
+         |a0 AS (
+         |  SELECT ev.vec_id AS cid, c.centid, round($cosineSql, 5)
+         |    AS cosine
+         |  FROM (SELECT vec_id, embedding AS qv FROM embeddings) ev,
+         |       (SELECT centid, centv AS cv FROM cents) c),
+         |assign AS (
+         |  SELECT cid, centid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cid
+         |      ORDER BY cosine DESC, centid) AS r FROM a0) WHERE r = 1),
+         |p0 AS (
+         |  SELECT qv0.vec_id AS qid, c.centid, round($cosineSql, 5)
+         |    AS cosine
+         |  FROM (SELECT vec_id, embedding AS qv FROM embeddings
+         |        WHERE vec_id < 8) qv0,
+         |       (SELECT centid, centv AS cv FROM cents) c),
+         |probes AS (
+         |  SELECT qid, centid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, centid) AS r FROM p0) WHERE r <= 3),
+         |cvecs AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |subs AS (SELECT unnest(range(0, 4)) AS sub),
+         |cb AS (
+         |  SELECT cid // 64 AS code, sub,
+         |    v[sub*16+1 : sub*16+16] AS scv
+         |  FROM cvecs, subs WHERE cid % 64 = 0),
+         |enc0 AS (
+         |  SELECT cvecs.cid, cb.sub, cb.code,
+         |    round(list_reduce(list_transform(
+         |      list_zip(cvecs.v[cb.sub*16+1 : cb.sub*16+16], cb.scv),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b), 6)
+         |      AS l2
+         |  FROM cvecs, cb),
+         |enc AS (
+         |  SELECT cid, sub, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cid, sub
+         |      ORDER BY l2, code) AS rn FROM enc0)
+         |  WHERE rn = 1),
+         |rec AS (
+         |  SELECT x.cid, flatten(list(x.scv ORDER BY x.sub)) AS cv
+         |  FROM (SELECT e.cid, e.sub, cb.scv FROM enc e
+         |        JOIN cb ON e.sub = cb.sub AND e.code = cb.code) x
+         |  GROUP BY x.cid),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id < 8),
+         |s AS (
+         |  SELECT q.qid, a.cid, round($cosineSql, 5) AS cosine
+         |  FROM probes p
+         |  JOIN assign a USING (centid)
+         |  JOIN rec ON a.cid = rec.cid
+         |  JOIN q ON p.qid = q.qid),
+         |cand AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, cid) AS rank FROM s)
+         |  WHERE rank <= 20),
+         |ex AS (
+         |  SELECT c.qid, c.cid, round($cosineSql, 5) AS cosine
+         |  FROM cand c
+         |  JOIN (SELECT vec_id AS qid2, embedding AS qv FROM embeddings)
+         |    q2 ON c.qid = q2.qid2
+         |  JOIN (SELECT vec_id AS cid2, embedding AS cv FROM embeddings)
+         |    ce ON c.cid = ce.cid2)
+         |SELECT qid, cid, cosine, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, cid) AS rank FROM ex)
          |WHERE rank <= 5""".stripMargin,
 
     // Two Lloyd rounds unrolled (assignment by rounded cosine, per-dim

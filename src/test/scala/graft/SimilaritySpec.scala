@@ -127,6 +127,37 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rBoth >= 0.15)
   }
 
+  test("rerank: exact cosines, candidates-only, and recall never below " +
+    "the un-reranked IVF-PQ at the same budget") {
+    val reranked = Similarity.rerankIvfPq(q, c, k = 5, kCand = 20,
+      ivfStep = 64, nprobe = 3, dim = 64, subspaces = 4, pqStep = 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // output pairs come only from the stage-1 candidate set
+    val cands = Similarity.knnCosineIvfPq(q, c, k = 20, ivfStep = 64,
+      nprobe = 3, dim = 64, subspaces = 4, pqStep = 64)
+      .select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reranked.map(_._1).forall(cands.contains))
+    // stage-2 scores are EXACT: bit-equal to the exact kNN scorer on the
+    // same pairs (rounded-5 contract shared by both paths)
+    val exactScores = Similarity.knnCosine(q, c, k = 500)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    reranked.foreach { case (pair, cos) =>
+      assert(exactScores(pair) == cos, s"$pair: $cos != ${exactScores(pair)}")
+    }
+    // re-scoring candidates with the exact metric can only fix ADC
+    // ordering errors inside the candidate set — recall must not regress
+    // vs taking the IVF-PQ top-5 directly
+    val rPlain = recallAt(5, Similarity.knnCosineIvfPq(q, c, k = 5,
+      ivfStep = 64, nprobe = 3, dim = 64, subspaces = 4, pqStep = 64))
+    val rRerank = recallAt(5, Similarity.rerankIvfPq(q, c, k = 5,
+      kCand = 20, ivfStep = 64, nprobe = 3, dim = 64, subspaces = 4,
+      pqStep = 64))
+    info(f"recall@5 rerank=$rRerank%.3f ivfpq=$rPlain%.3f")
+    assert(rRerank >= rPlain)
+  }
+
   test("IVF range search is recall-only: a subset of exact, identical cosines") {
     def pairs(df: DataFrame) = df
       .select(col("qid").cast("long"), col("cid").cast("long"),
