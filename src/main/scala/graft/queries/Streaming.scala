@@ -170,6 +170,20 @@ object Streaming {
         capacity = 1 << 20).toDF()
     }),
 
+    "e16_stream_upsert" -> ((s, dir) => {
+      // the STREAMING CDC upsert materialization, batch-equivalently
+      // (one micro-batch, same argument as e6): events read as a keyed
+      // changelog — LSN = event_id, 'error' events are deletes — folded
+      // to ONE materialized row per key; out-of-order multi-batch
+      // behavior (late low-seq loses) is StreamingSpec's job
+      graft.streaming.Upsert.upsertStream(
+        events(s, dir).select(col("user_id"), col("event_id"),
+          when(col("event_type") === "error", "D").otherwise("U")
+            .as("op"),
+          col("value")),
+        "user_id", "event_id", "op", "value").toDF()
+    }),
+
     "e9_stream_funnel" -> ((s, dir) => {
       // the STREAMING funnel state machine, batch-equivalently (same
       // one-micro-batch argument as e6): per-user final stage rows
@@ -482,6 +496,14 @@ object Streaming {
         |  FROM events, rows_)
         |SELECT row, bucket, count(*) AS cms_count
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "e16_stream_upsert" ->
+      """SELECT user_id AS key, event_id AS seq,
+        |  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |  "value"
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
 
     "e14_stream_topk" ->
       """WITH c AS (

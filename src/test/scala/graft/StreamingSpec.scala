@@ -261,6 +261,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.values.sum == 4L * (300 + 351)) // every event hits 4 rows
   }
 
+  test("streaming upsert: late low-seq changes lose, deletes tombstone, " +
+    "final state equals the batch compaction of the full changelog") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val changes = mem.toDF().toDF("k", "seq", "op", "v")
+    val q = graft.streaming.Upsert.upsertStream(changes, "k", "seq",
+      "op", "v")
+      .writeStream.format("memory").queryName("ups")
+      .outputMode("update").start()
+    val batch1 = Seq((1L, 5L, "U", 1.0), (2L, 1L, "U", 2.0))
+    // batch 2: key 1 gets a LATE change with a LOWER seq (must lose to
+    // the already-applied seq 5), key 2 is deleted, key 3 is new
+    val batch2 = Seq((1L, 3L, "U", 9.9), (2L, 7L, "D", 0.0),
+      (3L, 2L, "U", 4.2))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    val finalRows = spark.table("ups").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2),
+        r.getDouble(3))))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.last._2) }
+    q.stop()
+    assert(finalRows(1L) == ((5L, "U", 1.0)), finalRows) // late 3 lost
+    assert(finalRows(2L) == ((7L, "D", 0.0)), finalRows) // tombstone
+    assert(finalRows(3L) == ((2L, "U", 4.2)), finalRows)
+    // stream == batch: one pass over the union produces the same rows
+    val batch = graft.streaming.Upsert.upsertStream(
+      (batch1 ++ batch2).toDF("k", "seq", "op", "v"),
+      "k", "seq", "op", "v")
+      .collect().map(o => (o.key, (o.seq, o.op, o.value))).toMap
+    assert(finalRows.toMap == batch)
+  }
+
   test("streaming histogram cells sum across micro-batches to the batch" +
     " counts") {
     val ss = spark
