@@ -116,4 +116,78 @@ object Multimodal {
         round(col("duration") / col("timescale"), 4))
       .drop("_v")
   }
+
+  /** 64-bit difference hash (dHash) from REAL decoded pixels: the image
+    * reduces to a 9x8 mean-luminance grid (graft_img_grid — resolution-
+    * and scale-invariant by construction) and bit r*8+c records whether
+    * cell (r,c) outshines its right neighbor. The standard perceptual
+    * fingerprint for image-corpus dedup: re-encodes, resizes and small
+    * edits move few bits, so near-duplicates sit within a small Hamming
+    * radius. `phash` is null when the payload doesn't decode. All
+    * gradient comparisons are codegen'd column arithmetic over the one
+    * grid array — no second decode, no UDF.
+    */
+  def dHash(df: DataFrame, payload: String = "payload"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val bits = (0 until 64).map { i =>
+      val r = i / 8
+      val c = i % 8
+      // element_at is 1-based; the grid is row-major, 9 cells per row
+      shiftleft((element_at(col("_g"), r * 9 + c + 1) >
+        element_at(col("_g"), r * 9 + c + 2)).cast("long"), i)
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("_g",
+      call_function("graft_img_grid", col(payload), lit(9), lit(8)))
+      .withColumn("phash", when(col("_g").isNotNull, bits))
+      .drop("_g")
+  }
+
+  /** Perceptual near-duplicate pairs over [[dHash]]: the 64-bit hash
+    * splits into `bands` equal key slices; by pigeonhole, two hashes
+    * within Hamming distance < `bands` share at least one identical
+    * slice, so a per-band equi-self-join generates a no-recall-loss
+    * candidate set for maxHamming <= bands - 1 (default 8 bands covers
+    * the customary <=7-bit near-dup radius; wider radii are recall-only,
+    * like every banded detector here). Each surviving pair is CLAIMED by
+    * its first matching band — both hashes ride the candidate row, so
+    * ownership is an inline filter and no dedup shuffle exists. Same
+    * skew cap as d2/d3: bands whose key bucket exceeds `maxBucketSize`
+    * (flat-color boilerplate images) are dropped, recall-only.
+    */
+  def phashPairs(df: DataFrame, idCol: String, maxHamming: Int = 6,
+                 bands: Int = 8, maxBucketSize: Int = 10000,
+                 payload: String = "payload"): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    def bandKey(h: org.apache.spark.sql.Column, b: Int) =
+      shiftright(h, b * width).bitwiseAND(lit(mask))
+    val hashed = dHash(df, payload).where(col("phash").isNotNull)
+      .select(col(idCol).as("id"), col("phash"))
+    val banded = hashed.select(col("id"), col("phash"),
+      posexplode(array((0 until bands).map(b =>
+        bandKey(col("phash"), b)): _*)).as(Seq("band", "key")))
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy(
+      col("band"), col("key"))
+    val bounded = banded
+      .withColumn("_bsz", count(lit(1)).over(wp))
+      .where(col("_bsz") <= maxBucketSize)
+      .select("id", "phash", "band", "key")
+    val l = bounded.select(col("id").as("id_a"), col("phash").as("ha"),
+      col("band"), col("key"))
+    val r = bounded.select(col("id").as("id_b"), col("phash").as("hb"),
+      col("band"), col("key"))
+    val earlierMatches = (0 until bands).map { b2 =>
+      ((lit(b2) < col("band")) &&
+        (bandKey(col("ha"), b2) === bandKey(col("hb"), b2)))
+        .cast("int")
+    }.reduce(_ + _)
+    l.join(r, Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .where(earlierMatches === 0) // first shared band owns the pair
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 }

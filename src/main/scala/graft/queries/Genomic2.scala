@@ -214,6 +214,19 @@ object Genomic2 {
         .select(col("media_id"), col("dim_idx").cast("long").as("dim_idx"),
           round(col("feature"), 6).as("feature"))
         .orderBy("media_id", "dim_idx")
+    }),
+
+    "m6_phash_dedup" -> ((s, _) => {
+      prep(s)
+      // perceptual image dedup from REAL pixels: 64-bit dHash (9x8-grid
+      // gradient signs), band-blocked pair join, first-shared-band
+      // ownership (no dedup shuffle). Snapshot oracle — SQL has no
+      // DEFLATE inflater — with the semantics hand-pinned in MediaSpec:
+      // scale invariance (16x16 vs 32x32 of the same field), small
+      // Hamming radius for a local edit, unrelated images excluded.
+      Multimodal.phashPairs(
+        s.read.parquet(s"$fx/images_phash.parquet"), "media_id")
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -741,6 +754,12 @@ object Genomic2 {
     "m3_media_features" ->
       ("SELECT * FROM read_parquet(" +
         "'/root/repo/fixtures/expected/m3_media_features.parquet')"),
+
+    // m6: same DEFLATE argument as m3 — snapshot oracle; MediaSpec pins
+    // the perceptual-dedup semantics the snapshot must exhibit
+    "m6_phash_dedup" ->
+      ("SELECT * FROM read_parquet(" +
+        "'/root/repo/fixtures/expected/m6_phash_dedup.parquet')"),
 
     "m1_multimodal" ->
       s"""WITH m AS (

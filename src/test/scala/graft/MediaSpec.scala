@@ -192,4 +192,41 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("poison").isNullAt(rows("poison").fieldIndex("timescale")))
     assert(rows("nomoov").isNullAt(rows("nomoov").fieldIndex("timescale")))
   }
+
+  test("perceptual dHash: scale-invariant, small radius for a local " +
+    "edit, unrelated image excluded, poison null, no duplicate pairs") {
+    val s = spark
+    import s.implicits._
+    val imgs = spark.read
+      .parquet(s"${GenomicFixtures.dir}/images_phash.parquet")
+    val hashes = Multimodal.dHash(imgs).select("media_id", "phash")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // the same gradient FIELD at 2x resolution: identical grid means,
+    // identical hash — resolution is hashed away by construction
+    assert(hashes("grad_16x16") == hashes("grad_32x32"))
+    // a 2x4-pixel dark patch inverts a few local gradients: small
+    // positive Hamming distance, inside the pairing radius
+    val d = ham(hashes("grad_16x16"), hashes("grad_tweak_16x16"))
+    assert(d > 0 && d <= 6, s"tweak hamming $d")
+    // the unrelated high-frequency pattern stays outside the radius
+    Seq("grad_16x16", "grad_32x32", "grad_tweak_16x16").foreach { g =>
+      assert(ham(hashes(g), hashes("noise_16x16")) > 6,
+        s"$g too close to noise")
+    }
+    // pair join: exactly the three near pairs, each claimed once
+    // (first-shared-band ownership — no dedup pass to hide doubles in)
+    val pairs = Multimodal.phashPairs(imgs, "media_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(pairs.length == pairs.distinct.length, "duplicate pairs")
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set(
+      ("grad_16x16", "grad_32x32"),
+      ("grad_16x16", "grad_tweak_16x16"),
+      ("grad_32x32", "grad_tweak_16x16")), pairs.toSeq)
+    assert(pairs.forall(p => p._3 >= 0 && p._3 <= 6))
+    // poison blob: null hash, silently out of the pair universe
+    val bad = Seq(("junk", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "payload")
+    assert(Multimodal.dHash(bad).select("phash").head.isNullAt(0))
+  }
 }

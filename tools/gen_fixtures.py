@@ -458,3 +458,53 @@ warc_records = [
 ]
 with open(os.path.join(OUT, "crawl.warc"), "w", newline="") as f:
     f.write("".join(warc_records))
+
+# ---- perceptual-hash PNG fixtures (m6_phash_dedup) ----------------------
+# A gradient image, a lightly-edited copy (near-dup: few dHash bits), the
+# SAME gradient at 2x resolution (dHash is scale-invariant through the 9x8
+# grid), and an unrelated high-frequency pattern. Grayscale 8-bit PNGs
+# written by hand (zlib + struct) so the fixture stays dependency-free.
+import struct
+import zlib
+
+
+def _png_chunk(typ, data):
+    out = struct.pack(">I", len(data)) + typ + data
+    return out + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+
+def write_png_gray(path, rows):
+    h, w = len(rows), len(rows[0])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(r) for r in rows)
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(_png_chunk(b"IHDR", ihdr))
+        f.write(_png_chunk(b"IDAT", zlib.compress(raw)))
+        f.write(_png_chunk(b"IEND", b""))
+
+
+PHASH_DIR = os.path.join(OUT, "png_phash")
+os.makedirs(PHASH_DIR, exist_ok=True)
+
+
+def grad(x, y):
+    return (x * 13 + y * 7) % 256
+
+
+write_png_gray(os.path.join(PHASH_DIR, "grad_16x16.png"),
+               [[grad(x, y) for x in range(16)] for y in range(16)])
+# near-dup: a small dark patch INVERTS a few local gradients (flips a
+# handful of dHash bits — a same-order brightness shift would flip none)
+write_png_gray(os.path.join(PHASH_DIR, "grad_tweak_16x16.png"),
+               [[(0 if 7 <= x <= 8 and y <= 3 else grad(x, y))
+                 for x in range(16)] for y in range(16)])
+# the same gradient FIELD at 2x resolution (sample the same continuous
+# ramp, so the 9x8 grid means land near the originals)
+write_png_gray(os.path.join(PHASH_DIR, "grad_32x32.png"),
+               [[grad(x // 2, y // 2) for x in range(32)]
+                for y in range(32)])
+# unrelated high-frequency pattern
+write_png_gray(os.path.join(PHASH_DIR, "noise_16x16.png"),
+               [[(x * 97 + y * 31) % 251 for x in range(16)]
+                for y in range(16)])
