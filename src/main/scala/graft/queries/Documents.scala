@@ -328,6 +328,41 @@ object Documents {
             / count(lit(1)), 4).as("avg_logp"))
     }),
 
+    "t17_bigram_lm" -> ((s, dir) => {
+      // bigram-LM perplexity score (the KenLM-shaped upgrade of t11's
+      // unigram): mean ln P(w_i | w_{i-1}) under the corpus's own MLE
+      // bigram model — catches word-salad documents whose unigram mix
+      // looks fine but whose transitions are improbable. Bigrams are
+      // built per-row (zip_with over the words array — no self-join);
+      // counts are two groupBys over (w1,w2)/(w1); each doc folds its
+      // logprobs in POSITION order so the double sum stays bit-equal to
+      // the oracle's list fold. Trained-on-itself ⇒ every bigram has
+      // count >= 1, so the MLE model needs no smoothing here.
+      val ws = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), text.words(col("text")).as("l"))
+        .where(size(col("l")) >= 2)
+      val bi = ws.select(col("doc_id"),
+        posexplode(zip_with(
+          slice(col("l"), lit(1), size(col("l")) - 1),
+          slice(col("l"), lit(2), size(col("l")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+          .as(Seq("pos", "bg")))
+        .select(col("doc_id"), col("pos"),
+          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c2 = bi.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .select(col("doc_id"), col("pos"),
+          log(col("c2") / col("c1")).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(aggregate(
+            array_sort(collect_list(struct(col("pos"), col("lp")))),
+            lit(0.0), (acc, e) => acc + e.getField("lp"))
+            / count(lit(1)), 4).as("avg_logp"))
+    }),
+
     "t15_classifier_score" -> ((s, dir) => {
       // learned quality filter (FineWeb-Edu/DCLM-style): sigmoid of a
       // broadcast hashed-feature linear model over each doc's words —
@@ -949,6 +984,26 @@ object Documents {
         |  SELECT doc_id, pos, ln(cnt / total) AS lp
         |  FROM e JOIN freqs USING (w), tot)
         |SELECT doc_id, count(*) AS n_words,
+        |  round(list_reduce(list(lp ORDER BY pos), (a, b) -> a + b)
+        |    / count(*), 4) AS avg_logp
+        |FROM lp GROUP BY doc_id""".stripMargin,
+
+    "t17_bigram_lm" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2
+        |  FROM (SELECT doc_id,
+        |          unnest([{'pos': i, 'w1': l[i], 'w2': l[i + 1]}
+        |            for i in range(1, len(l))]) AS u
+        |        FROM ws WHERE len(l) >= 2)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |lp AS (
+        |  SELECT doc_id, pos, ln(c2.c2 / c1.c1) AS lp
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
         |  round(list_reduce(list(lp ORDER BY pos), (a, b) -> a + b)
         |    / count(*), 4) AS avg_logp
         |FROM lp GROUP BY doc_id""".stripMargin,
