@@ -41,6 +41,53 @@ object Documents {
   private val warcSepSql =
     "(chr(13)||chr(10)||chr(13)||chr(10)||'WARC/1.0'||chr(13)||chr(10))"
 
+  /** t18's oracle: the same `rounds` BPE merge rounds Tokenizer.bpeTrain
+    * runs, unrolled as CTE chains — identical spaced-string
+    * representation, identical double-replace merge application,
+    * identical (count DESC, s1, s2) tie-break.
+    */
+  private def bpeOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH wc AS (
+             |  SELECT w, count(*) AS cnt FROM (
+             |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+             |      AS w
+             |    FROM documents) GROUP BY 1),
+             |state0 AS (
+             |  SELECT w, cnt, ' ' || array_to_string([substr(w, i, 1)
+             |    for i in range(1, len(w) + 1)], ' ') || ' ' AS sym
+             |  FROM wc)""".stripMargin
+    for (r <- 1 to rounds) {
+      val prev = s"state${r - 1}"
+      sb ++= s""",
+                |pairs$r AS (
+                |  SELECT u.s1 AS s1, u.s2 AS s2,
+                |    CAST(sum(cnt) AS BIGINT) AS pair_count
+                |  FROM (SELECT cnt, unnest([{'s1': t[i], 's2': t[i + 1]}
+                |          for i in range(1, len(t))]) AS u
+                |        FROM (SELECT cnt, string_split(trim(sym), ' ')
+                |                AS t
+                |              FROM $prev))
+                |  GROUP BY 1, 2),
+                |best$r AS (
+                |  SELECT s1, s2, pair_count FROM pairs$r
+                |  ORDER BY pair_count DESC, s1, s2 LIMIT 1),
+                |state$r AS (
+                |  SELECT w, cnt, replace(replace(sym,
+                |      ' ' || b.s1 || ' ' || b.s2 || ' ',
+                |      ' ' || b.s1 || b.s2 || ' '),
+                |      ' ' || b.s1 || ' ' || b.s2 || ' ',
+                |      ' ' || b.s1 || b.s2 || ' ') AS sym
+                |  FROM $prev, best$r b)""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++= (1 to rounds).map(r =>
+      s"SELECT CAST($r AS INT) AS rank, s1, s2, s1 || s2 AS merged, " +
+        s"pair_count FROM best$r")
+      .mkString("", "\nUNION ALL\n", "")
+    sb.toString
+  }
+
   // t16's gate vocabulary: one Seq drives BOTH the Spark map literal and
   // the oracle's unnest list, so the two sides cannot drift. GPT-style
   // space-prefixed word entries + common English subwords + single chars;
@@ -361,6 +408,15 @@ object Documents {
             array_sort(collect_list(struct(col("pos"), col("lp")))),
             lit(0.0), (acc, e) => acc + e.getField("lp"))
             / count(lit(1)), 4).as("avg_logp"))
+    }),
+
+    "t18_bpe_train" -> ((s, dir) => {
+      // BPE tokenizer TRAINING (the producer for t16's consumer): 6
+      // merge rounds over the word-TYPE table — each round one pair
+      // aggregation + a 1-row broadcast rewrite; the oracle unrolls the
+      // identical 6 rounds (same spaced-string replace contract)
+      graft.operators.Tokenizer.bpeTrain(
+        t(s, dir, "documents"), "text", merges = 6)
     }),
 
     "t15_classifier_score" -> ((s, dir) => {
@@ -987,6 +1043,8 @@ object Documents {
         |  round(list_reduce(list(lp ORDER BY pos), (a, b) -> a + b)
         |    / count(*), 4) AS avg_logp
         |FROM lp GROUP BY doc_id""".stripMargin,
+
+    "t18_bpe_train" -> bpeOracleSql(6),
 
     "t17_bigram_lm" ->
       """WITH ws AS (

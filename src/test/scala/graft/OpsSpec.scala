@@ -323,6 +323,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(yHits <= env.length / 2, s"y pruning weak: $yHits/16")
   }
 
+  test("BPE training: hand-computed merge sequence, adjacent-pair " +
+    "fixpoint, second-order merges, saturation, vocab round-out") {
+    val s = spark
+    import s.implicits._
+    // words: aa x2 -> " a a ", ab x2 -> " a b ", abab x1, b x1
+    val docs = Seq((1L, "aa ab aa ab"), (2L, "abab b"))
+      .toDF("doc_id", "text")
+    val merges = graft.operators.Tokenizer.bpeTrain(docs, "text", 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1)
+    // r1: (a,b) counts 2 (ab) + 2 (abab positions 1,3) = 4, beats (a,a)=2
+    // r2: abab rewrote to [ab, ab] — the DOUBLE replace: one pass leaves
+    //     " ab a b " — so (a,a)=2 wins over (ab,ab)=1
+    // r3: only (ab,ab)=1 remains -> second-order merge "abab"
+    // r4: saturated — no pairs, no row
+    assert(merges.toSeq == Seq(
+      (1, "a", "b", "ab", 4L),
+      (2, "a", "a", "aa", 2L),
+      (3, "ab", "ab", "abab", 1L)), merges.toSeq)
+    val vocab = graft.operators.Tokenizer.bpeVocab(docs, "text", 3)
+      .collect().map(_.getString(0)).toSet
+    assert(vocab == Set("a", "b", "ab", "aa", "abab"))
+  }
+
   test("table stats: exact counts/min/max, HLL NDV within bound, nulls " +
     "counted not hashed") {
     val s = spark
