@@ -12,6 +12,9 @@ import graft.operators.Dedup
   *
   * {{{
   * runMain graft.Corpus -i /data/documents.parquet -o /out/corpus
+  *   [-i_warc path]        start from a raw WARC crawl instead of -i:
+  *                         html responses -> WET text extraction (w1/w2),
+  *                         doc_id = md5(record_id), source = 'warc'
   *   [-normalize 1]        strip control chars, collapse whitespace (t10)
   *   [-lang en]            keep docs whose n-gram language ID matches (t3)
   *   [-min_quality 0.45]   heuristic quality floor in [0,1] (t2)
@@ -42,6 +45,9 @@ import graft.operators.Dedup
   *                         real greedy longest-match tokenizer (t16) over
   *                         the (token) vocab parquet at p, instead of the
   *                         bpeTokenCount regex proxy; maxLen defaults 8
+  *   [-train_vocab n,p]    learn n BPE merges from the surviving corpus
+  *                         (t18) and write the chars+merges vocab parquet
+  *                         to p — feed it back as -vocab next run
   *   [-format parquet]     parquet | jsonl output
   *   [-partition_by cols]  hive-partitioned output directories (comma
   *                         list, e.g. source or source,lang)
@@ -65,9 +71,30 @@ object Corpus {
   private case class Stage(name: String, df: DataFrame)
 
   def run(spark: SparkSession, opts: Map[String, String]): DataFrame = {
-    val in = opts.getOrElse("i",
-      sys.error("missing -i <documents parquet>"))
-    var df = spark.read.parquet(in)
+    require(!(opts.contains("i") && opts.contains("i_warc")),
+      "-i and -i_warc are mutually exclusive inputs")
+    // -i_warc: start from a raw crawl instead of a documents parquet —
+    // WARC records -> html responses -> WET-style text extraction (w2),
+    // doc_id derived from the WARC record id (md5 -> long, stable across
+    // re-runs), source fixed to 'warc' so -pack's default shard works
+    var df = opts.get("i_warc") match {
+      case Some(warcPath) =>
+        import graft.sources.Warc
+        Warc.read(spark, warcPath)
+          .where(col("warc_type") === "response" &&
+            regexp_extract(col("payload"),
+              "(?mi)^Content-Type: ?([^\r\n]*)", 1).contains("html"))
+          .select(
+            conv(substring(md5(col("record_id")), 1, 15), 16, 10)
+              .cast("long").as("doc_id"),
+            col("target_uri").as("url"),
+            Warc.httpStatus(col("payload")).as("http_status"),
+            Warc.extractText(Warc.httpBody(col("payload"))).as("text"),
+            lit("warc").as("source"))
+      case None =>
+        spark.read.parquet(opts.getOrElse("i",
+          sys.error("missing -i <documents parquet> or -i_warc <crawl>")))
+    }
     require(df.columns.contains("doc_id") && df.columns.contains("text"),
       "input needs doc_id and text columns")
     val stages = scala.collection.mutable.ArrayBuffer[(String, Long)]()
@@ -257,6 +284,17 @@ object Corpus {
         withTokenCount(df, "text", "tokens"),
         shard, "doc_id", "tokens", budget)
       record(s"pack=$budget/$shard")
+    }
+
+    // -train_vocab n,path: learn n BPE merges from the SURVIVING corpus
+    // (post-filter/dedup, so boilerplate doesn't vote) and write the
+    // chars+merges vocabulary parquet for a next run's -vocab / t16
+    opts.get("train_vocab").foreach { spec =>
+      val parts = spec.split(",", 2).map(_.trim)
+      require(parts.length == 2,
+        s"-train_vocab wants merges,outPath — got '$spec'")
+      operators.Tokenizer.bpeVocab(df, "text", parts(0).toInt)
+        .coalesce(1).write.mode("overwrite").parquet(parts(1))
     }
 
     opts.get("o").foreach { out =>

@@ -418,6 +418,50 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("mutually exclusive"))
   }
 
+  test("Corpus -i_warc runs crawl -> corpus end-to-end: html responses " +
+    "become documents with stable ids, ready for every later stage") {
+    import org.apache.spark.sql.functions._
+    val warc = s"${GenomicFixtures.rawDir}/crawl.warc"
+    val cli = Corpus.run(spark, Map(
+      "i_warc" -> warc, "dedup" -> "none", "report" -> "0"))
+    val rows = cli.select("doc_id", "url", "http_status", "text",
+      "source").collect()
+    // exactly the 4 html responses in the fixture (200 x2, 404, cut)
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(0)).distinct.length == 4, "ids collide")
+    assert(rows.forall(_.getString(4) == "warc"))
+    val byUrl = rows.map(r => r.getString(1) ->
+      (r.getInt(2), r.getString(3))).toMap
+    assert(byUrl("http://example.com/")._1 == 200)
+    assert(byUrl("http://example.com/gone") == ((404, "Missing 'page'.")))
+    // ids are a pure function of the record id: re-run == same ids
+    val again = Corpus.run(spark, Map(
+      "i_warc" -> warc, "dedup" -> "none", "report" -> "0"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == rows.map(_.getLong(0)).toSet)
+    // the extracted corpus flows through a downstream stage unchanged:
+    // a quality floor of 0 keeps all docs, proving stage compatibility
+    val piped = Corpus.run(spark, Map(
+      "i_warc" -> warc, "dedup" -> "exact", "report" -> "0"))
+    assert(piped.count() == 4) // all four texts distinct
+  }
+
+  test("Corpus -train_vocab writes the t18 chars+merges vocabulary, " +
+    "identical to calling Tokenizer.bpeVocab directly") {
+    val sf = "/root/testdata/sf0.001"
+    val out = s"${sys.props("java.io.tmpdir")}/graft-corpus-vocab-" +
+      ProcessHandle.current.pid
+    Corpus.run(spark, Map(
+      "i" -> s"$sf/documents.parquet", "dedup" -> "none",
+      "train_vocab" -> s"3,$out", "report" -> "0"))
+    val got = spark.read.parquet(out).collect()
+      .map(_.getString(0)).toSet
+    val want = graft.operators.Tokenizer.bpeVocab(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", 3)
+      .collect().map(_.getString(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("Corpus rejects -chunk combined with -pack") {
     val sf = "/root/testdata/sf0.001"
     val e = intercept[IllegalArgumentException] {
