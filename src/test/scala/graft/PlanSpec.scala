@@ -378,4 +378,51 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lp.collect { case w: LWindow => w }.isEmpty,
       s"streaming ingest plan contains a window pass:\n$lp")
   }
+
+  test("z2 z-ordered write is ONE range exchange + partition-local sort") {
+    import graft.functions.zorder
+    val df = zorder.zOrdered(
+      spark.read.parquet(s"$sf/orders.parquet"), "o_custkey",
+      "o_orderkey", numFiles = 4)
+    val p = df.queryExecution.executedPlan.toString
+    // exactly one exchange, and it is RANGE (balanced z-intervals), not
+    // hash; the sort is partition-local (global=false), so no second
+    // total-ordering exchange sneaks in
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert("Sort \\[".r.findAllIn(p).size == 1, p)
+    assert(p.contains("global=false") || p.contains("], false, 0"), p)
+  }
+
+  test("s9 rerank gathers candidate vectors by BROADCAST — the corpus " +
+    "never shuffles for stage 2") {
+    val p = plan("s9_rerank")
+    val finalPlan = p.split("Initial Plan")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    // stage 1 (IVF-PQ) contributes its one bounded_top_k reduction per
+    // sub-step; stage 2's candidate gather must appear as a broadcast
+    // hash join against the corpus scan, never a corpus repartition
+    assert(finalPlan.contains("BroadcastHashJoin") ||
+      finalPlan.contains("BroadcastExchange"), finalPlan)
+    assert(p.contains("bounded_top_k"), p)
+  }
+
+  test("m6 phash pairs: no dedup pass — ownership is an inline filter, " +
+    "and the only aggregation is the skew-cap window") {
+    graft.fixtures.GenomicFixtures.ensure(spark)
+    val df = graft.operators.Multimodal.phashPairs(
+      spark.read.parquet(s"${graft.fixtures.GenomicFixtures.dir}" +
+        "/images_phash.parquet"), "media_id")
+    df.collect()
+    val lp = df.queryExecution.analyzed
+    // no Distinct/groupBy dedup of pairs anywhere in the logical plan —
+    // first-shared-band ownership makes each pair unique at emission
+    assert(lp.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty, s"pair dedup aggregation found:\n$lp")
+    assert(lp.collect {
+      case d: org.apache.spark.sql.catalyst.plans.logical.Distinct => d
+    }.isEmpty, s"distinct found:\n$lp")
+  }
+
 }
