@@ -57,6 +57,27 @@ object Genomic {
         .select("chrom", "pos", "id", "alt", "transcript_id", "start", "end")
     }),
 
+    "c1_chain_read" -> ((s, _) => {
+      // UCSC chain source: blank-line records, header + block triples as
+      // native columns, the t/q offset walk as a per-chain window cumsum
+      // -> the absolute block table liftOver consumes
+      graft.sources.Chain.read(s, s"${GenomicFixtures.rawDir}/lift.chain")
+    }),
+
+    "g6_liftover" -> ((s, _) => {
+      // liftOver: variants fall into chain blocks through the SAME
+      // binned equi-join as g2, remap is arithmetic, ambiguity resolves
+      // by windowless struct-max on score (chain 3 overlaps chain 1 at a
+      // lower score and must lose); gap/unaligned positions are absent
+      prep(s)
+      graft.operators.LiftOver.liftOver(
+        s.read.parquet(s"$fx/vcf_norm.parquet")
+          .select("chrom", "pos", "id"),
+        graft.sources.Chain.read(s,
+          s"${GenomicFixtures.rawDir}/lift.chain"),
+        binSize = 16)
+    }),
+
     "b1_bed_read" -> ((s, _) => {
       // BED region source: track/comment lines dropped map-side, optional
       // cols null-padded; plus the 1-based inclusive conversion the
@@ -219,7 +240,82 @@ object Genomic {
        |  a -> CASE WHEN a = CAST($i AS VARCHAR) THEN '1'
        |            WHEN a = '.' THEN '.' ELSE '0' END), '|')""".stripMargin
 
+  /** Shared chain-file parse for the c1/g6 oracles: the same blank-line
+    * record split, header/block field extraction, and per-chain window
+    * cumsum Chain.read performs — ending in a `blocks` CTE.
+    */
+  private val chainBlocksSql: String =
+    s"""recs AS (
+       |  SELECT trim(r) AS rec FROM (
+       |    SELECT unnest(string_split(content, chr(10) || chr(10))) AS r
+       |    FROM read_text('$raw/lift.chain'))
+       |  WHERE len(trim(r)) > 0),
+       |ls AS (SELECT string_split(rec, chr(10)) AS l FROM recs),
+       |hb AS (
+       |  SELECT string_split_regex(l[1], '[ \t]+') AS h,
+       |    u.i AS i, u.b AS b
+       |  FROM (SELECT l, unnest([{'i': i, 'b': l[i]}
+       |          for i in range(2, len(l) + 1)]) AS u FROM ls)),
+       |bf0 AS (
+       |  SELECT h[13] AS chain_id, CAST(h[2] AS BIGINT) AS score,
+       |    h[3] AS t_name, CAST(h[4] AS BIGINT) AS t_size,
+       |    CAST(h[6] AS BIGINT) AS tcs,
+       |    h[8] AS q_name, CAST(h[9] AS BIGINT) AS q_size,
+       |    h[10] AS q_strand, CAST(h[11] AS BIGINT) AS qcs,
+       |    i, string_split_regex(trim(b), '[ \t]+') AS bf
+       |  FROM hb WHERE len(trim(b)) > 0),
+       |bf1 AS (
+       |  SELECT *, CAST(bf[1] AS BIGINT) AS bsize,
+       |    CAST(coalesce(bf[2], '0') AS BIGINT) AS dt,
+       |    CAST(coalesce(bf[3], '0') AS BIGINT) AS dq
+       |  FROM bf0),
+       |blocks AS (
+       |  SELECT chain_id, score, t_name, t_size, q_name, q_size,
+       |    q_strand,
+       |    CAST(tcs + coalesce(sum(bsize + dt) OVER (
+       |      PARTITION BY chain_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS bt_start,
+       |    CAST(qcs + coalesce(sum(bsize + dq) OVER (
+       |      PARTITION BY chain_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS qb_start,
+       |    bsize,
+       |    CAST(tcs + coalesce(sum(bsize + dt) OVER (
+       |      PARTITION BY chain_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + bsize AS BIGINT) AS bt_end
+       |  FROM bf1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "c1_chain_read" ->
+      s"""WITH $chainBlocksSql
+         |SELECT chain_id, score, t_name, t_size, q_name, q_size,
+         |  q_strand, bt_start, qb_start, bsize, bt_end
+         |FROM blocks""".stripMargin,
+
+    "g6_liftover" ->
+      s"""WITH $chainBlocksSql,
+         |pts AS (SELECT DISTINCT chrom, CAST(pos AS BIGINT) AS pos, id
+         |        FROM ${pq("vcf_norm")}),
+         |hit AS (
+         |  SELECT p.chrom, p.pos, p.id, b.score,
+         |    b.q_name AS new_chrom,
+         |    (CASE WHEN b.q_strand = '-'
+         |      THEN b.q_size - 1 - (b.qb_start + (p.pos - 1 - b.bt_start))
+         |      ELSE b.qb_start + (p.pos - 1 - b.bt_start) END) + 1
+         |      AS new_pos,
+         |    b.q_strand AS new_strand
+         |  FROM pts p JOIN blocks b
+         |    ON p.chrom = b.t_name
+         |   AND p.pos - 1 >= b.bt_start AND p.pos - 1 < b.bt_end)
+         |SELECT chrom, pos, id, new_chrom, new_pos, new_strand,
+         |  score AS lift_score
+         |FROM (SELECT *, row_number() OVER (PARTITION BY chrom, pos, id
+         |    ORDER BY score DESC, new_chrom DESC, new_pos DESC,
+         |      new_strand DESC) AS rn FROM hit)
+         |WHERE rn = 1""".stripMargin,
+
     "v1_vcf_read" ->
       s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, id, ref, alt, qual,
          |  filter, info,

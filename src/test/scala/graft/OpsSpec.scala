@@ -323,6 +323,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(yHits <= env.length / 2, s"y pruning weak: $yHits/16")
   }
 
+  test("liftOver: hand-computed remaps — gap positions vanish, minus " +
+    "strand reflects, best chain wins by score") {
+    val s = spark
+    import s.implicits._
+    val chains = graft.sources.Chain.read(spark,
+      s"${graft.fixtures.GenomicFixtures.rawDir}/lift.chain")
+    val points = Seq(
+      ("1", 11L, "p1"),      // block 1 start: q0=20 -> new_pos 21
+      ("1", 45L, "gap"),     // chain-1 t-gap [40,50): unmapped
+      ("X", 21L, "xfirst"),  // q0=10, reflect: 100-1-10=89 -> 90
+      ("X", 60L, "xlast"),   // q0=49, reflect -> 51
+      ("2", 5L, "nochain"))  // no chain covers chrom 2
+      .toDF("chrom", "pos", "id")
+    val got = graft.operators.LiftOver.liftOver(points, chains,
+      binSize = 16)
+      .collect()
+      .map(r => r.getString(2) -> (r.getString(3), r.getLong(4),
+        r.getString(5), r.getLong(6))).toMap
+    assert(got == Map(
+      // chain 3 also covers pos 11 (would map to 1_alt:2) but loses on
+      // score 500 < 1000
+      "p1" -> (("1_new", 21L, "+", 1000L)),
+      "xfirst" -> (("X_new", 90L, "-", 800L)),
+      "xlast" -> (("X_new", 51L, "-", 800L))), got)
+  }
+
   test("BPE training: hand-computed merge sequence, adjacent-pair " +
     "fixpoint, second-order merges, saturation, vocab round-out") {
     val s = spark

@@ -218,6 +218,25 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("chain file: block walk accumulates t/q offsets, bare last line, " +
+    "minus-strand header carried through") {
+    val b = graft.sources.Chain
+      .read(spark, s"${graft.fixtures.GenomicFixtures.rawDir}/lift.chain")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(7), r.getLong(8),
+        r.getLong(9), r.getLong(10), r.getString(6)))
+      .sortBy(t => (t._1, t._2))
+    // chain 1: tStart 10 qStart 20; blocks 30/10/15, 20/5/10, 35
+    assert(b.filter(_._1 == "1").toSeq == Seq(
+      ("1", 10L, 20L, 30L, 40L, "+"),
+      ("1", 50L, 65L, 20L, 70L, "+"),
+      ("1", 75L, 95L, 35L, 110L, "+")), b.toSeq)
+    // chain 2: single bare block line, '-' strand preserved
+    assert(b.filter(_._1 == "2").toSeq ==
+      Seq(("2", 20L, 10L, 40L, 60L, "-")))
+    assert(b.length == 5)
+  }
+
   test("WARC httpBody/extractText: entity order, script/style removal, " +
     "no-header payloads") {
     import graft.sources.Warc

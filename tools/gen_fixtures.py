@@ -508,3 +508,23 @@ write_png_gray(os.path.join(PHASH_DIR, "grad_32x32.png"),
 write_png_gray(os.path.join(PHASH_DIR, "noise_16x16.png"),
                [[(x * 97 + y * 31) % 251 for x in range(16)]
                 for y in range(16)])
+
+# ---- UCSC chain file (src_chain / g6_liftover) --------------------------
+# Three chains against the fixture genome (chrom 1 len 180, X len 120):
+#   A: 1 -> 1_new, + strand, 3 blocks with t/q gaps (score 1000)
+#   B: X -> X_new, - strand, single block (score 800)
+#   C: 1 -> 1_alt, + strand, overlaps A's first block at a LOWER
+#      score (500) — exercises best-chain (max score) resolution
+# Block arithmetic: sum(size+dt) == tEnd-tStart, sum(size+dq) == qEnd-qStart.
+with open(os.path.join(OUT, "lift.chain"), "w") as f:
+    f.write("chain 1000 1 180 + 10 110 1_new 200 + 20 130 1\n")
+    f.write("30 10 15\n")
+    f.write("20 5 10\n")
+    f.write("35\n")
+    f.write("\n")
+    f.write("chain 800 X 120 + 20 60 X_new 100 - 10 50 2\n")
+    f.write("40\n")
+    f.write("\n")
+    f.write("chain 500 1 180 + 10 40 1_alt 50 + 0 30 3\n")
+    f.write("30\n")
+    f.write("\n")
