@@ -467,6 +467,49 @@ object Dedup {
       .select("id", "cluster", "cluster_size")
   }
 
+  /** Asymmetric CONTAINMENT near-dup: pairs where one document's gram
+    * set largely sits inside the other's — |grams(A) ∩ grams(B)| /
+    * min(|A|, |B|) ≥ threshold. Jaccard (d2/d4) misses the
+    * quote-inside-article / boilerplate-wrapper case: a 50-gram snippet
+    * embedded verbatim in a 5000-gram page has Jaccard ~0.01 but
+    * containment 1.0 — this is the detector for subset duplication.
+    *
+    * Scale shape: distinct word n-grams stream as (id, gram) rows; grams
+    * whose document frequency exceeds `maxDf` are dropped BEFORE the
+    * pair self-join (the d2/d3 skew cap — a boilerplate gram in a
+    * million docs would explode quadratically; dropping it only
+    * undercounts `shared`, so the filter is recall-only). Intersections
+    * are one (id_a, id_b) groupBy over the gram-keyed self-join; sizes
+    * join back per side. No gram text crosses the pair shuffle — ids
+    * only.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.5,
+                       maxDf: Long = 1000L): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val grams = tracked(df.select(col(idCol).as("id"),
+      explode(array_distinct(call_function("graft_word_shingles",
+        text.words(col(textCol)), lit(n)))).as("g")))
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+    val rare = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
+      .where(col("gdf") <= maxDf).select("g")
+    val pruned = grams.join(rare, Seq("g"))
+    val l = pruned.select(col("g"), col("id").as("id_a"))
+    val r = pruned.select(col("g"), col("id").as("id_b"))
+    l.join(r, Seq("g"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
+        Seq("id_b"))
+      .withColumn("containment", round(
+        col("shared") / least(col("sz_a"), col("sz_b")), 5))
+      .where(col("containment") >= threshold)
+      .select("id_a", "id_b", "shared", "sz_a", "sz_b", "containment")
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` distinct word n-grams with ANY benchmark document — the
     * standard eval-set leak check for training corpora.

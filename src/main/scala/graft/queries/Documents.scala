@@ -477,6 +477,15 @@ object Documents {
         .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
     }),
 
+    "t19_containment" -> ((s, dir) => {
+      // asymmetric containment dedup: the quote-inside-article detector
+      // Jaccard misses — |A∩B| / min(|A|,|B|) over distinct word
+      // 3-grams, df-capped before the pair self-join (recall-only skew
+      // guard), ids-only through the pair shuffle
+      Dedup.containmentPairs(spread(t(s, dir, "documents")), "doc_id",
+        "text", n = 3, threshold = 0.6)
+    }),
+
     "w1_warc_read" -> ((s, _) => {
       // Common Crawl ingestion (src_warc): splittable boundary-scan WARC
       // record reader — header fields + the Content-Length payload trim
@@ -1045,6 +1054,33 @@ object Documents {
         |FROM lp GROUP BY doc_id""".stripMargin,
 
     "t18_bpe_train" -> bpeOracleSql(6),
+
+    "t19_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, list_distinct(
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])
+        |    AS gs
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+')
+        |          AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |gr AS (SELECT id, unnest(gs) AS g FROM d),
+        |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM gr
+        |          GROUP BY 1),
+        |rare AS (SELECT g FROM (
+        |    SELECT g, count(*) AS gdf FROM gr GROUP BY 1)
+        |  WHERE gdf <= 1000),
+        |p AS (SELECT gr.id, gr.g FROM gr JOIN rare USING (g)),
+        |i AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM p a JOIN p b ON a.g = b.g AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  round(shared / least(sa.sz, sb.sz), 5) AS containment
+        |FROM i JOIN sizes sa ON i.id_a = sa.id
+        |       JOIN sizes sb ON i.id_b = sb.id
+        |WHERE round(shared / least(sa.sz, sb.sz), 5) >= 0.6""".stripMargin,
 
     "t17_bigram_lm" ->
       """WITH ws AS (

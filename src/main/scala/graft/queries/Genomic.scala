@@ -78,6 +78,18 @@ object Genomic {
         binSize = 16)
     }),
 
+    "g7_coverage" -> ((s, _) => {
+      // pileup depth (bedtools genomecov): transcripts + exons as one
+      // interval set -> maximal constant-depth segments (depth 2 inside
+      // exons, 1 across introns). Sweep = boundary events + one per-chrom
+      // window; a 100 kb interval is two events, never a base explode.
+      prep(s)
+      graft.operators.Coverage.coverage(
+        s.read.parquet(s"$fx/gtf.parquet")
+          .where(col("feature").isin("transcript", "exon"))
+          .select(col("seqname").as("chrom"), col("start"), col("end")))
+    }),
+
     "b1_bed_read" -> ((s, _) => {
       // BED region source: track/comment lines dropped map-side, optional
       // cols null-padded; plus the 1-based inclusive conversion the
@@ -315,6 +327,26 @@ object Genomic {
          |    ORDER BY score DESC, new_chrom DESC, new_pos DESC,
          |      new_strand DESC) AS rn FROM hit)
          |WHERE rn = 1""".stripMargin,
+
+    "g7_coverage" ->
+      s"""WITH iv AS (
+         |  SELECT seqname AS chrom, CAST(start AS BIGINT) AS s,
+         |    CAST("end" AS BIGINT) AS e
+         |  FROM ${pq("gtf")} WHERE feature IN ('transcript', 'exon')),
+         |ev AS (
+         |  SELECT chrom, s AS pos, 1 AS d FROM iv
+         |  UNION ALL
+         |  SELECT chrom, e + 1 AS pos, -1 AS d FROM iv),
+         |m AS (
+         |  SELECT chrom, pos, sum(d) AS d FROM ev GROUP BY 1, 2),
+         |c AS (
+         |  SELECT chrom, pos,
+         |    CAST(sum(d) OVER (PARTITION BY chrom ORDER BY pos)
+         |      AS BIGINT) AS depth,
+         |    lead(pos) OVER (PARTITION BY chrom ORDER BY pos) AS nxt
+         |  FROM m)
+         |SELECT chrom, pos AS seg_start, nxt - 1 AS seg_end, depth
+         |FROM c WHERE depth > 0 AND nxt IS NOT NULL""".stripMargin,
 
     "v1_vcf_read" ->
       s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, id, ref, alt, qual,

@@ -193,4 +193,38 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       threshold = 0.95, initStep = 10, iters = 2,
       maxClusterSize = 5).count() == 0)
   }
+
+  test("containment finds the quote-inside-article pair Jaccard misses, " +
+    "and the df cap only lowers recall") {
+    val s = spark
+    import s.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val article = ("today our correspondent files a long report about " +
+      "animals in motion " + quote +
+      " which many readers found delightful and shared widely online " +
+      "across several continents during the following weeks")
+    val docs = Seq((1L, quote), (2L, article),
+      (3L, "completely unrelated text about numerical linear algebra " +
+        "routines and cache behavior")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5),
+        r.getLong(2), r.getLong(3))).toList
+    // quote: 9 words -> 7 distinct 3-grams, every one inside the article
+    assert(pairs.map(_._1) == List((1L, 2L)), pairs)
+    assert(pairs.head._2 == 1.0 && pairs.head._3 == 7L &&
+      pairs.head._4 == 7L, pairs)
+    // the same pair's Jaccard is far below any dedup threshold — the
+    // reason the asymmetric measure exists
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
+      threshold = 0.01, wordGrams = true)
+      .where(org.apache.spark.sql.functions.col("id1") === 1)
+      .collect()
+    assert(j.forall(_.getDouble(2) < 0.5), j.toSeq)
+    // df cap: with maxDf = 1 every gram the pair shares is "hot" only if
+    // shared by >1 doc — shared grams have df 2, so the cap drops them
+    // all and the pair disappears (recall-only, never a false positive)
+    assert(Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.1, maxDf = 1).count() == 0)
+  }
 }
