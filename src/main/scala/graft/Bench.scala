@@ -2,6 +2,41 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** Synthetic crawl for wx_warc_scale: `n` WARC html responses with
+    * deterministic ~30-word bodies, written once per JVM (~600 B/record).
+    */
+  private var warcScalePath: String = null
+  private def ensureSyntheticWarc(n: Int): String = synchronized {
+    if (warcScalePath != null) return warcScalePath
+    val p = s"${sys.props("java.io.tmpdir")}/graft-warc-scale-" +
+      s"${ProcessHandle.current.pid}.warc"
+    val sb = new StringBuilder(n * 620)
+    var i = 0
+    while (i < n) {
+      val words = new StringBuilder(260)
+      var j = 0
+      while (j < 30) {
+        if (j > 0) words += ' '
+        words ++= "word"; words.append((i * 31 + j) % 997)
+        j += 1
+      }
+      val body = s"<html><head><title>Doc $i</title></head><body>" +
+        s"<h1>Header $i</h1><p>$words</p>" +
+        "<script>var x = 1;</script></body></html>"
+      val payload =
+        s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
+      sb ++= "WARC/1.0\r\nWARC-Type: response\r\n"
+      sb ++= s"WARC-Record-ID: <urn:uuid:$i>\r\n"
+      sb ++= s"WARC-Target-URI: http://x.test/$i\r\n"
+      sb ++= s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n"
+      i += 1
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      sb.toString)
+    warcScalePath = p
+    p
+  }
+
   /** Dedup at volume: `n` synthetic ~30-word docs (300k at sf0.1 for dx,
     * 3M for dx10), every 10th a near-copy of its predecessor (one word of
     * 30 changed), through the full detect->cluster path the sf documents
@@ -282,6 +317,19 @@ object Bench {
       // from sx: fixed plan/codegen overhead still dominated at 1.2M.)
       "sx_ann_scale" -> (() => annAtScale(spark, nDocs * 2, 2048)),
       "sx50_ann_scale" -> (() => annAtScale(spark, nDocs * 100, 102400)),
+      // WARC ingestion at volume: ~nDocs*2 synthetic html responses
+      // (~60 MB at sf0.1) through the splittable boundary-scan read +
+      // WET text extraction — the crawl-side scale signal the 8-record
+      // gate fixture cannot carry. The file is generated once on the
+      // first run; min-of-3 discards that run's synthesis cost.
+      "wx_warc_scale" -> (() => {
+        val path = ensureSyntheticWarc((nDocs * 2).toInt)
+        val w = graft.sources.Warc.read(spark, path)
+        w.where(col("warc_type") === "response")
+          .select(graft.sources.Warc.extractText(
+            graft.sources.Warc.httpBody(col("payload"))).as("t"))
+          .agg(sum(length(col("t")))).head.getLong(0)
+      }),
       "hx_haplo_scale" -> (() => {
         val gts = spark.range(nDocs).select(col("id").as("snum"))
           .crossJoin(spark.range(200).select(col("id").as("vnum")))
