@@ -477,6 +477,27 @@ object Documents {
         .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
     }),
 
+    "t20_entropy" -> ((s, dir) => {
+      // character-entropy quality score (gibberish / compression-bomb
+      // detector): Shannon entropy over the doc's [a-z] distribution.
+      // ZERO shuffle: letter counts come from 26 codegen'd
+      // length-difference probes (len(s) - len(replace(s, ch))) and the
+      // entropy sum folds in fixed a..z order, so doubles are bit-equal
+      // to the oracle's identical formulation
+      val sNorm = regexp_replace(lower(col("text")), "[^a-z]", "")
+      val n = length(sNorm).cast("double")
+      val terms = ('a' to 'z').map { ch =>
+        val cnt = (length(sNorm) -
+          length(replace(sNorm, lit(ch.toString), lit("")))).cast("double")
+        when(cnt > 0, -(cnt / n) * log(cnt / n)).otherwise(lit(0.0))
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"), length(sNorm).cast("long").as("n_alpha"),
+          when(length(sNorm) > 0,
+            round(terms.reduce(_ + _), 4)).otherwise(lit(0.0))
+            .as("entropy"))
+    }),
+
     "t19_containment" -> ((s, dir) => {
       // asymmetric containment dedup: the quote-inside-article detector
       // Jaccard misses — |A∩B| / min(|A|,|B|) over distinct word
@@ -1054,6 +1075,22 @@ object Documents {
         |FROM lp GROUP BY doc_id""".stripMargin,
 
     "t18_bpe_train" -> bpeOracleSql(6),
+
+    "t20_entropy" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    regexp_replace(lower(text), '[^a-z]', '', 'g') AS t
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_alpha,
+         |  CASE WHEN len(t) > 0 THEN round((${('a' to 'z').map { ch =>
+               s"(CASE WHEN len(t) - len(replace(t, '$ch', '')) > 0 " +
+                 s"THEN -((len(t) - len(replace(t, '$ch', ''))) " +
+                 s"/ CAST(len(t) AS DOUBLE)) * ln((len(t) - " +
+                 s"len(replace(t, '$ch', ''))) / CAST(len(t) AS DOUBLE))" +
+                 " ELSE 0.0 END)"
+             }.mkString(" + ")}), 4)
+         |  ELSE 0.0 END AS entropy
+         |FROM s""".stripMargin,
 
     "t19_containment" ->
       """WITH d AS (

@@ -217,6 +217,19 @@ object Relational {
         .withColumn("spend_7d", round(sum(col("o_totalprice")).over(w), 2))
     }),
 
+    "q29_exact_quantile" -> ((s, dir) => {
+      // EXACT per-group quantiles (q18's histogram sketch is the
+      // approximate path; this is the ground truth it trades against):
+      // sort-based percentile aggregate, one key shuffle, partial-agg
+      // collection map-side. Exact quantiles at 100 TB cost a per-group
+      // sort — that trade, and when to flip to q18, is the point.
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(c_acctbal, 0.5)"), 4).as("p50"),
+          round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90"))
+    }),
+
     "z1_zorder" -> ((s, dir) => {
       // Z-order layout audit: orders keyed by the Morton interleave of
       // (custkey, orderkey); per z-bucket envelope stats show BOTH
@@ -406,6 +419,13 @@ object Relational {
         |    ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS spend_7d
         |FROM orders""".stripMargin,
+
+    // Spark's percentile == linear interpolation == quantile_cont
+    "q29_exact_quantile" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+        |  round(quantile_cont(c_acctbal, 0.9), 4) AS p90
+        |FROM customer GROUP BY 1""".stripMargin,
 
     "z1_zorder" ->
       s"""WITH z0 AS (
