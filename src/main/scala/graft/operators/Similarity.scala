@@ -520,6 +520,43 @@ object Similarity {
     topKPerQuery(scored, k, qId, cId)
   }
 
+  /** Scalar (int8) quantization — the compression family's third member
+    * (PQ s4/s6 compresses to sub-codes, SQ compresses each DIMENSION to
+    * a signed byte): per-vector scale = max|x|/127, code_i =
+    * floor(x_i/scale + 0.5) — 8x smaller search-path vectors at far
+    * lower distortion than PQ (per-dim max error is scale/2, asserted
+    * in SimilaritySpec). Encode/reconstruct are pure codegen'd array
+    * arithmetic; scoring reconstructions is the same exact-ADC contract
+    * as knnCosinePq, so the SQL oracle replays every FP step bit-equal.
+    */
+  private[graft] def sq8Reconstruct(corpus: DataFrame, cId: String,
+                                        cVec: String): DataFrame = {
+    val v = col(cVec).cast("array<double>")
+    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
+    corpus.select(col(cId), scale.as("_sc"),
+      v.as("_v"))
+      .select(col(cId),
+        when(col("_sc") === 0.0, transform(col("_v"), _ => lit(0.0)))
+          .otherwise(transform(col("_v"),
+            x => floor(x / col("_sc") + 0.5) * col("_sc"))).as("rvec"))
+  }
+
+  /** SQ8 approximate top-k: queries score int8-reconstructed corpus
+    * vectors — one broadcast-queries corpus scan + bounded_top_k, the
+    * s1 plan over 8x-smaller search-path data.
+    */
+  def knnCosineSq8(queries: DataFrame, corpus: DataFrame, k: Int,
+                   qId: String = "qid", qVec: String = "qvec",
+                   cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val rec = sq8Reconstruct(corpus, cId, cVec)
+    val scored = rec.crossJoin(broadcast(queries))
+      .select(col(qId), col(cId),
+        round(call_function("graft_cosine",
+          col(qVec).cast("array<double>"), col("rvec")), 5).as("cosine"))
+    topKPerQuery(scored, k, qId, cId)
+  }
+
   /** Two-stage retrieval (the production serving shape): the cheap
     * IVF-PQ first stage proposes `kCand` candidates per query from
     * compressed codes, then the second stage re-scores ONLY those

@@ -688,6 +688,17 @@ object Documents {
         dim = 64, subspaces = 4, pqStep = 64)
     }),
 
+    "s10_sq8_ann" -> ((s, dir) => {
+      // scalar int8 quantization: per-vector max-scale, one byte per
+      // dimension (8x smaller search path, scale/2 max per-dim error),
+      // exact-ADC scoring of reconstructions in s1's broadcast plan
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.knnCosineSq8(q, c, k = 5)
+    }),
+
     "s9_rerank" -> ((s, dir) => {
       // two-stage retrieval: s6's IVF-PQ proposes 20 candidates/query
       // from compressed codes, exact cosine re-scores ONLY those (an
@@ -1993,6 +2004,32 @@ object Documents {
          |  JOIN assign a USING (centid)
          |  JOIN rec ON a.cid = rec.cid
          |  JOIN q ON p.qid = q.qid)
+         |SELECT qid, cid, cosine, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, cid) AS rank FROM s)
+         |WHERE rank <= 5""".stripMargin,
+
+    // SQ8: per-vector max-scale encode/reconstruct in list arithmetic
+    // (identical FP steps to the Spark expressions), s4's scoring tail
+    "s10_sq8_ann" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |sc AS (
+         |  SELECT cid, v,
+         |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+         |  FROM c),
+         |rec AS (
+         |  SELECT cid, CASE WHEN scale = 0
+         |    THEN list_transform(v, x -> 0.0)
+         |    ELSE list_transform(v, x -> floor(x / scale + 0.5) * scale)
+         |    END AS cv
+         |  FROM sc),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id < 8),
+         |s AS (SELECT qid, cid, round($cosineSql, 5) AS cosine
+         |      FROM q, rec)
          |SELECT qid, cid, cosine, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cosine DESC, cid) AS rank FROM s)

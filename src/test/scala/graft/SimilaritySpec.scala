@@ -127,6 +127,31 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rBoth >= 0.15)
   }
 
+  test("SQ8: per-dim error bounded by scale/2, recall far above the " +
+    "coarser PQ codes") {
+    val recon = Similarity.sq8Reconstruct(c, "cid", "cvec")
+      .join(c, Seq("cid"))
+      .select(col("cid"), col("rvec"), col("cvec").cast("array<double>")
+        .as("v"))
+      .collect()
+    recon.foreach { r =>
+      val rv = r.getSeq[Double](1)
+      val v = r.getSeq[Double](2)
+      val scale = v.map(math.abs).max / 127.0
+      v.indices.foreach { i =>
+        assert(math.abs(rv(i) - v(i)) <= scale / 2 + 1e-12,
+          s"cid=${r.getLong(0)} dim=$i err=${math.abs(rv(i) - v(i))} " +
+            s"bound=${scale / 2}")
+      }
+    }
+    val rSq = recallAt(5, Similarity.knnCosineSq8(q, c, k = 5))
+    val rPq = recallAt(5, Similarity.knnCosinePq(q, c, k = 5, dim = 64,
+      subspaces = 4, centStep = 64))
+    info(f"recall@5 sq8=$rSq%.3f pq=$rPq%.3f")
+    // int8 distortion is tiny next to 4x16-dim PQ codes
+    assert(rSq >= 0.9 && rSq > rPq)
+  }
+
   test("rerank: exact cosines, candidates-only, and recall never below " +
     "the un-reranked IVF-PQ at the same budget") {
     val reranked = Similarity.rerankIvfPq(q, c, k = 5, kCand = 20,
