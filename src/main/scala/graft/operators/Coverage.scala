@@ -35,6 +35,10 @@ object Coverage {
         kc :+ (col("end") + 1).as("pos") :+ lit(-1L).as("delta"): _*))
     val merged = events.groupBy(kc :+ col("pos"): _*)
       .agg(sum(col("delta")).as("d"))
+      // a net-zero breakpoint (one interval ends where another starts)
+      // never changes depth — dropping it keeps segments MAXIMAL
+      // (PropertySpec asserts adjacent segments differ in depth)
+      .where(col("d") =!= 0)
     val w = Window.partitionBy(kc: _*).orderBy(col("pos"))
     merged
       .withColumn("depth", sum(col("d")).over(w))

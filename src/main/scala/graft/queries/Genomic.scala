@@ -338,7 +338,8 @@ object Genomic {
          |  UNION ALL
          |  SELECT chrom, e + 1 AS pos, -1 AS d FROM iv),
          |m AS (
-         |  SELECT chrom, pos, sum(d) AS d FROM ev GROUP BY 1, 2),
+         |  SELECT chrom, pos, sum(d) AS d FROM ev GROUP BY 1, 2
+         |  HAVING sum(d) <> 0),
          |c AS (
          |  SELECT chrom, pos,
          |    CAST(sum(d) OVER (PARTITION BY chrom ORDER BY pos)

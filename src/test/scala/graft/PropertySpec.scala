@@ -328,4 +328,88 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(gotDup == expDup, s"seed $seed dup3 '$txt'")
     }
   }
+
+  test("coverage segments == brute-force per-base depth on random " +
+    "intervals") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.listOfN(60, for {
+      chrom <- Gen.oneOf("c1", "c2")
+      start <- Gen.choose(1L, 300L)
+      len <- Gen.choose(0L, 80L)
+    } yield (chrom, start, start + len))
+    for (seed <- 1L to 3L) {
+      val ivs = sample(gen, seed)
+      val got = graft.operators.Coverage
+        .coverage(ivs.toDF("chrom", "start", "end"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      // brute force: per-base depth over the union of bases
+      val perBase: Map[(String, Long), Long] = ivs
+        .flatMap { case (c, a, b) => (a to b).map(p => (c, p)) }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      // every emitted segment must be constant-depth and correct
+      got.foreach { case (c, a, b, d) =>
+        (a to b).foreach { p =>
+          assert(perBase.getOrElse((c, p), 0L) == d,
+            s"seed $seed base ($c,$p): seg depth $d != brute " +
+              s"${perBase.getOrElse((c, p), 0L)}")
+        }
+      }
+      // and the segments must cover every covered base exactly once
+      val segBases = got.flatMap { case (c, a, b, _) =>
+        (a to b).map(p => (c, p))
+      }
+      assert(segBases.length == segBases.distinct.length,
+        s"seed $seed overlapping segments")
+      assert(segBases.toSet == perBase.keySet, s"seed $seed base cover")
+      // maximality: adjacent same-chrom segments never share a depth
+      got.groupBy(_._1).foreach { case (_, segs) =>
+        segs.sortBy(_._2).sliding(2).foreach {
+          case Array(x, y) =>
+            if (x._3 + 1 == y._2)
+              assert(x._4 != y._4, s"seed $seed non-maximal: $x $y")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("containment pairs == brute-force gram-set arithmetic on random " +
+    "docs") {
+    val s = spark
+    import s.implicits._
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val gen = Gen.listOfN(14, Gen.choose(3, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    for (seed <- 1L to 3L) {
+      val texts = sample(gen, seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val thr = 0.5
+      val got = graft.operators.Dedup.containmentPairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, threshold = thr, maxDf = 1000)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+      def grams(t: String): Set[String] = {
+        val w = t.split(" ").toVector
+        (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" "))
+          .toSet
+      }
+      val exp = (for {
+        a <- docs; b <- docs if a._1 < b._1
+        ga = grams(a._2); gb = grams(b._2)
+        shared = (ga & gb).size
+        cont = BigDecimal(shared.toDouble / math.min(ga.size, gb.size))
+          .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if shared > 0 && cont >= thr
+      } yield (a._1, b._1) -> (shared.toLong, ga.size.toLong,
+        gb.size.toLong, cont)).toMap
+      assert(got == exp, s"seed $seed: got ${got.keySet} exp " +
+        s"${exp.keySet}")
+      graft.operators.Dedup.releaseCaches()
+    }
+  }
 }
