@@ -90,6 +90,15 @@ object Genomic {
           .select(col("seqname").as("chrom"), col("start"), col("end")))
     }),
 
+    "sam1_read" -> ((s, _) => {
+      // SAM alignment source: '@' headers dropped map-side, 11 mandatory
+      // fields typed, FLAG bits decoded, CIGAR walked for the reference
+      // span — every mapped read gets the [pos, ref_end] interval the
+      // g2/g4/g5/g7 operators consume directly
+      graft.sources.Sam.read(s,
+        s"${GenomicFixtures.rawDir}/aligned.sam")
+    }),
+
     "b1_bed_read" -> ((s, _) => {
       // BED region source: track/comment lines dropped map-side, optional
       // cols null-padded; plus the 1-based inclusive conversion the
@@ -327,6 +336,43 @@ object Genomic {
          |    ORDER BY score DESC, new_chrom DESC, new_pos DESC,
          |      new_strand DESC) AS rn FROM hit)
          |WHERE rn = 1""".stripMargin,
+
+    "sam1_read" ->
+      s"""WITH lines AS (
+         |  SELECT unnest(string_split(content, chr(10))) AS l
+         |  FROM read_text('$raw/aligned.sam')),
+         |a AS (
+         |  SELECT string_split(l, chr(9)) AS f FROM lines
+         |  WHERE len(trim(l)) > 0 AND NOT starts_with(l, '@')),
+         |p AS (
+         |  SELECT f[1] AS qname, CAST(f[2] AS INT) AS flag,
+         |    nullif(f[3], '*') AS rname,
+         |    nullif(CAST(f[4] AS BIGINT), 0) AS pos,
+         |    CAST(f[5] AS INT) AS mapq, f[6] AS cigar,
+         |    nullif(f[7], '*') AS rnext,
+         |    nullif(CAST(f[8] AS BIGINT), 0) AS pnext,
+         |    CAST(f[9] AS BIGINT) AS tlen, nullif(f[10], '*') AS seq,
+         |    nullif(f[11], '*') AS qual,
+         |    nullif(array_to_string(f[12:], ','), '') AS tags
+         |  FROM a)
+         |SELECT qname, flag, rname, pos, mapq, cigar, rnext, pnext,
+         |  tlen, seq, qual, tags,
+         |  (flag & 1) <> 0 AS is_paired,
+         |  (flag & 2) <> 0 AS is_proper_pair,
+         |  (flag & 4) <> 0 AS is_unmapped,
+         |  (flag & 16) <> 0 AS is_reverse,
+         |  (flag & 64) <> 0 AS is_first,
+         |  (flag & 256) <> 0 AS is_secondary,
+         |  (flag & 1024) <> 0 AS is_dup,
+         |  CASE WHEN pos IS NOT NULL AND cigar <> '*' THEN
+         |    pos + CAST(list_sum(list_transform(
+         |      regexp_extract_all(cigar, '(\\d+)([MIDNSHP=X])', 0),
+         |      tok -> CASE WHEN right(tok, 1) IN
+         |          ('M', 'D', 'N', '=', 'X')
+         |        THEN CAST(regexp_extract(tok, '(\\d+)', 1) AS BIGINT)
+         |        ELSE 0 END)) AS BIGINT) - 1
+         |  END AS ref_end
+         |FROM p""".stripMargin,
 
     "g7_coverage" ->
       s"""WITH iv AS (

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SAM alignment source (the sequencing ecosystem's text interchange
+  * format). Alignment rows are plain tab-separated lines — a splittable
+  * text scan with '@' header lines dropped map-side, exactly the VCF/GTF
+  * pattern. The 11 mandatory fields parse as native split/cast columns;
+  * optional TAG:TYPE:VALUE fields stay as a joined string (the driver
+  * gate cannot sort array columns). FLAG decoding and the CIGAR
+  * reference-span walk are codegen'd bit/regex arithmetic, giving every
+  * read the 1-based inclusive [pos, ref_end] interval the g2/g4/g5/g7
+  * operators consume — reads-over-exons is then just pointsInIntervals.
+  */
+object Sam {
+
+  /** SAM FLAG bits (spec §1.4) exposed as booleans. */
+  def flagField(flag: Column, bit: Int): Column =
+    flag.bitwiseAND(lit(bit)) =!= 0
+
+  /** Reference bases consumed by a CIGAR: sum of M/D/N/=/X run lengths
+    * (I/S/H/P consume the read or nothing, never the reference). Null
+    * for '*' (unmapped).
+    */
+  def cigarRefLen(cigar: Column): Column =
+    when(cigar === "*", lit(null).cast("long"))
+      .otherwise(aggregate(
+        regexp_extract_all(cigar, lit("(\\d+)([MIDNSHP=X])"), lit(0)),
+        lit(0L),
+        (acc, tok) => acc +
+          when(substring(tok, -1, 1).isin("M", "D", "N", "=", "X"),
+            regexp_extract(tok, "(\\d+)", 1).cast("long"))
+            .otherwise(lit(0L))))
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.text(path)
+    val f = split(col("value"), "\t")
+    raw
+      .where(!col("value").startsWith("@") &&
+        length(trim(col("value"))) > 0)
+      .select(
+        element_at(f, 1).as("qname"),
+        element_at(f, 2).cast("int").as("flag"),
+        nullif(element_at(f, 3), lit("*")).as("rname"),
+        nullif(element_at(f, 4).cast("long"), lit(0L)).as("pos"),
+        element_at(f, 5).cast("int").as("mapq"),
+        element_at(f, 6).as("cigar"),
+        nullif(element_at(f, 7), lit("*")).as("rnext"),
+        nullif(element_at(f, 8).cast("long"), lit(0L)).as("pnext"),
+        element_at(f, 9).cast("long").as("tlen"),
+        nullif(element_at(f, 10), lit("*")).as("seq"),
+        nullif(element_at(f, 11), lit("*")).as("qual"),
+        nullif(array_join(slice(f, lit(12),
+          greatest(size(f) - 11, lit(0))), ","), lit("")).as("tags"))
+      .withColumn("is_paired", flagField(col("flag"), 1))
+      .withColumn("is_proper_pair", flagField(col("flag"), 2))
+      .withColumn("is_unmapped", flagField(col("flag"), 4))
+      .withColumn("is_reverse", flagField(col("flag"), 16))
+      .withColumn("is_first", flagField(col("flag"), 64))
+      .withColumn("is_secondary", flagField(col("flag"), 256))
+      .withColumn("is_dup", flagField(col("flag"), 1024))
+      .withColumn("ref_end",
+        when(col("pos").isNotNull,
+          col("pos") + cigarRefLen(col("cigar")) - 1))
+  }
+}

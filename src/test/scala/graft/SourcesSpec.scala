@@ -218,6 +218,47 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("SAM: CIGAR ref spans count M/D/N/=/X only, flags decode, " +
+    "unmapped reads null out") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.sources.Sam
+      .read(spark, s"${graft.fixtures.GenomicFixtures.rawDir}/aligned.sam")
+      .collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 8)
+    def refEnd(q: String): Option[Long] = {
+      val r = rows(q)
+      if (r.isNullAt(r.fieldIndex("ref_end"))) None
+      else Some(r.getLong(r.fieldIndex("ref_end")))
+    }
+    assert(refEnd("r1").contains(40L))   // 11 + 30M - 1
+    assert(refEnd("r2").contains(85L))   // 61 + 10M+5D+10M - 1
+    assert(refEnd("r3").contains(122L))  // 105 + 10M+8M - 1 (S/I ignored)
+    assert(refEnd("r4").contains(175L))  // 141 + 8M+20N+7M - 1
+    assert(refEnd("r8").isEmpty)         // unmapped
+    val r5f = rows("r5")
+    assert(r5f.getBoolean(r5f.fieldIndex("is_paired")) &&
+      r5f.getBoolean(r5f.fieldIndex("is_proper_pair")) &&
+      r5f.getBoolean(r5f.fieldIndex("is_first")))
+    val r6f = rows("r6")
+    assert(r6f.getBoolean(r6f.fieldIndex("is_secondary")) &&
+      r6f.getBoolean(r6f.fieldIndex("is_reverse")) &&
+      r6f.isNullAt(r6f.fieldIndex("seq")))
+    assert(rows("r7").getBoolean(rows("r7").fieldIndex("is_dup")))
+    val r8f = rows("r8")
+    assert(r8f.getBoolean(r8f.fieldIndex("is_unmapped")) &&
+      r8f.isNullAt(r8f.fieldIndex("rname")) &&
+      r8f.isNullAt(r8f.fieldIndex("pos")))
+    // interval-operator integration: mapped reads feed pointsInIntervals
+    // shape directly (1-based inclusive [pos, ref_end])
+    val mapped = graft.sources.Sam
+      .read(spark, s"${graft.fixtures.GenomicFixtures.rawDir}/aligned.sam")
+      .where(col("pos").isNotNull)
+      .select(col("rname").as("chrom"), col("pos").as("start"),
+        col("ref_end").as("end"))
+    assert(graft.operators.Coverage.coverage(mapped).count() > 0)
+  }
+
   test("chain file: block walk accumulates t/q offsets, bare last line, " +
     "minus-strand header carried through") {
     val b = graft.sources.Chain

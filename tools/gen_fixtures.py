@@ -528,3 +528,36 @@ with open(os.path.join(OUT, "lift.chain"), "w") as f:
     f.write("chain 500 1 180 + 10 40 1_alt 50 + 0 30 3\n")
     f.write("30\n")
     f.write("\n")
+
+# ---- SAM alignment fixture (src_sam) ------------------------------------
+# Header + 8 alignment rows against the fixture genome: forward/reverse
+# flags, soft-clips, deletions/insertions/introns in CIGAR (ref span must
+# count M/D/N/=/X only), an unmapped read (*, pos 0), a secondary
+# alignment, a duplicate, and optional TAG:TYPE:VALUE fields.
+sam_rows = [
+    "@HD\tVN:1.6\tSO:coordinate",
+    "@SQ\tSN:1\tLN:180",
+    "@SQ\tSN:X\tLN:120",
+    "@PG\tID:graft\tPN:graft",
+    # 30M: plain forward read, NM tag
+    "r1\t0\t1\t11\t60\t30M\t*\t0\t0\t" + "A" * 30 + "\t" + "I" * 30 +
+    "\tNM:i:0\tMD:Z:30",
+    # reverse strand (16), 10M5D10M: spans 25 ref bases
+    "r2\t16\t1\t61\t50\t10M5D10M\t*\t0\t0\t" + "C" * 20 + "\t" + "I" * 20 +
+    "\tNM:i:5",
+    # soft clips + insertion: 5S10M2I8M3S -> ref span 18
+    "r3\t0\t1\t105\t40\t5S10M2I8M3S\t*\t0\t0\t" + "G" * 28 + "\t" +
+    "I" * 28,
+    # spliced (intron N): 8M20N7M -> ref span 35
+    "r4\t0\t1\t141\t30\t8M20N7M\t*\t0\t0\t" + "T" * 15 + "\t" + "I" * 15,
+    # paired, proper pair, first in pair (1+2+64=67), mate on X
+    "r5\t67\tX\t21\t60\t15M\t=\t71\t65\t" + "A" * 15 + "\t" + "I" * 15,
+    # secondary alignment (256) + reverse (16) = 272
+    "r6\t272\tX\t71\t0\t12M\t*\t0\t0\t*\t*",
+    # PCR duplicate (1024) + paired (1)
+    "r7\t1025\t1\t30\t20\t6M1I6M\t*\t0\t0\t" + "A" * 13 + "\t" + "I" * 13,
+    # unmapped (4): no coordinates, '*' fields
+    "r8\t4\t*\t0\t0\t*\t*\t0\t0\t" + "N" * 10 + "\t" + "#" * 10,
+]
+with open(os.path.join(OUT, "aligned.sam"), "w") as f:
+    f.write("\n".join(sam_rows) + "\n")
