@@ -21,6 +21,10 @@ import graft.operators.Dedup
   *   [-gopher 1]           Gopher rule filter (t6)
   *   [-repetition .2,.18]  Gopher repetition caps: top-2-gram /
   *                         duplicated-3-gram char fractions (t14)
+  *   [-entropy 2.0,4.1]    character-entropy band (t20): drop gibberish
+  *                         below min and noise above optional max
+  *   [-min_bigram_logp -7] corpus-trained bigram-LM floor (t17): drop
+  *                         word-salad docs with improbable transitions
   *   [-min_classifier_score 0.5]
   *                         learned quality filter (t15): keep docs whose
   *                         sigmoid(bias + w·φ(doc)) clears the floor;
@@ -132,6 +136,36 @@ object Corpus {
       df = df.where(text.topNgramCharFrac(col("text"), 2) < parts(0) &&
         text.dupNgramCharFrac(col("text"), 3) < parts(1))
       record(s"repetition<$spec")
+    }
+    opts.get("entropy").foreach { spec =>
+      // character-entropy band (t20): drop gibberish (low H: repeated
+      // chars, padding) and compression-bomb-like noise (H near the
+      // 26-letter maximum). Zero-shuffle column arithmetic.
+      val parts = spec.split(",").map(_.trim.toDouble)
+      require(parts.length == 1 || parts.length == 2,
+        s"-entropy wants min[,max] — got '$spec'")
+      val sNorm = regexp_replace(lower(col("text")), "[^a-z]", "")
+      val n = length(sNorm).cast("double")
+      val h = ('a' to 'z').map { ch =>
+        val cnt = (length(sNorm) -
+          length(replace(sNorm, lit(ch.toString), lit(""))))
+          .cast("double")
+        when(cnt > 0, -(cnt / n) * log(cnt / n)).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      df = df.where(length(sNorm) > 0 && h >= parts(0) &&
+        (if (parts.length == 2) h <= parts(1) else lit(true)))
+      record(s"entropy=$spec")
+    }
+    opts.get("min_bigram_logp").map(_.toDouble).foreach { floor =>
+      // corpus-trained bigram-LM filter (t17): drop docs whose mean
+      // transition log-probability under the surviving corpus's own
+      // model falls below the floor (word salad with a plausible
+      // unigram mix). Docs too short to form a bigram are kept.
+      val scores = operators.LanguageModel.bigramScores(df, "doc_id",
+        "text")
+        .where(col("avg_logp") < floor).select("doc_id")
+      df = df.join(scores, Seq("doc_id"), "left_anti")
+      record(s"bigram_logp>=$floor")
     }
     opts.get("min_classifier_score").map(_.toDouble).foreach { floor =>
       // learned quality filter (t15): broadcast hashed-feature linear

@@ -36,6 +36,13 @@ object LiftOver {
       !points.columns.contains("end"),
       "points must not carry start/end columns (interval-shaped input " +
         "would bind ambiguously in the block join)")
+    val reserved = Seq("score", "q_name", "q_size", "q_strand",
+      "bt_start", "bt_end", "qb_start", "new_chrom", "new_pos",
+      "new_strand", "lift_score")
+    val clash = points.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"points carry chain-block/output column names ${clash.mkString(",")}" +
+        " — rename them before lifting (they would bind ambiguously)")
     // block table in the 1-based inclusive shape pointsInIntervals binds
     val blocks = chains.select(
       col("t_name").as(chromCol),

@@ -379,35 +379,11 @@ object Documents {
       // bigram-LM perplexity score (the KenLM-shaped upgrade of t11's
       // unigram): mean ln P(w_i | w_{i-1}) under the corpus's own MLE
       // bigram model — catches word-salad documents whose unigram mix
-      // looks fine but whose transitions are improbable. Bigrams are
-      // built per-row (zip_with over the words array — no self-join);
-      // counts are two groupBys over (w1,w2)/(w1); each doc folds its
-      // logprobs in POSITION order so the double sum stays bit-equal to
-      // the oracle's list fold. Trained-on-itself ⇒ every bigram has
-      // count >= 1, so the MLE model needs no smoothing here.
-      val ws = spread(t(s, dir, "documents"))
-        .select(col("doc_id"), text.words(col("text")).as("l"))
-        .where(size(col("l")) >= 2)
-      val bi = ws.select(col("doc_id"),
-        posexplode(zip_with(
-          slice(col("l"), lit(1), size(col("l")) - 1),
-          slice(col("l"), lit(2), size(col("l")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2"))))
-          .as(Seq("pos", "bg")))
-        .select(col("doc_id"), col("pos"),
-          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      val c2 = bi.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c2"))
-      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-        .select(col("doc_id"), col("pos"),
-          log(col("c2") / col("c1")).as("lp"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(aggregate(
-            array_sort(collect_list(struct(col("pos"), col("lp")))),
-            lit(0.0), (acc, e) => acc + e.getField("lp"))
-            / count(lit(1)), 4).as("avg_logp"))
+      // looks fine but whose transitions are improbable. Trained on
+      // itself ⇒ every bigram has count >= 1, no smoothing needed.
+      // Shared implementation with the Corpus -min_bigram_logp stage.
+      graft.operators.LanguageModel.bigramScores(
+        spread(t(s, dir, "documents")), "doc_id", "text")
     }),
 
     "t18_bpe_train" -> ((s, dir) => {

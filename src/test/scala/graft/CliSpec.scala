@@ -406,6 +406,48 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ncHits < env.length, "n_chars envelope pruning ineffective")
   }
 
+  test("Corpus -entropy and -min_bigram_logp drop exactly the t20/t17 " +
+    "flagged docs") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // entropy band: same t20 arithmetic, stage == direct filter
+    val gotE = Corpus.run(spark, Map(
+      "i" -> s"$sf/documents.parquet", "dedup" -> "none",
+      "entropy" -> "2.8,2.95", "report" -> "0"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val t20 = graft.queries.Documents.queries("t20_entropy")(spark, sf)
+      .where(col("n_alpha") > 0 && col("entropy") >= 2.8 &&
+        col("entropy") <= 2.95)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the stage filters on the UNROUNDED entropy; tolerate only docs
+    // sitting exactly on the rounded boundary
+    assert((gotE diff t20).isEmpty || (gotE diff t20).forall { id =>
+      val e = graft.queries.Documents.queries("t20_entropy")(spark, sf)
+        .where(col("doc_id") === id).select("entropy")
+        .head.getDouble(0)
+      e == 2.8 || e == 2.95
+    }, s"stage kept ${(gotE diff t20).size} docs t20 rejects")
+    assert(gotE.nonEmpty && gotE.size < docs.count())
+    // bigram floor: stage == scores-based filter (short docs kept);
+    // the floor is data-derived (5th-lowest score) so it always bites
+    val floor = graft.operators.LanguageModel
+      .bigramScores(docs, "doc_id", "text")
+      .orderBy(col("avg_logp")).limit(5)
+      .collect().map(_.getDouble(2)).max + 1e-6
+    val gotB = Corpus.run(spark, Map(
+      "i" -> s"$sf/documents.parquet", "dedup" -> "none",
+      "min_bigram_logp" -> floor.toString, "report" -> "0"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val low = graft.operators.LanguageModel
+      .bigramScores(docs, "doc_id", "text")
+      .where(col("avg_logp") < floor)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotB == (all diff low))
+    assert(low.nonEmpty, "floor chosen so the stage actually drops docs")
+  }
+
   test("Corpus rejects -zorder combined with -partition_by") {
     val sf = "/root/testdata/sf0.001"
     val e = intercept[IllegalArgumentException] {
