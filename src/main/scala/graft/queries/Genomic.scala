@@ -99,6 +99,20 @@ object Genomic {
         s"${GenomicFixtures.rawDir}/aligned.sam")
     }),
 
+    "g8_reads_coverage" -> ((s, _) => {
+      // the samtools-depth composition: SAM reads (primary, mapped,
+      // non-duplicate — the standard filter) -> CIGAR ref spans -> g7's
+      // sweep. Source and operator each have their own gate; this one
+      // pins the end-to-end path a sequencing pipeline actually runs.
+      val reads = graft.sources.Sam
+        .read(s, s"${GenomicFixtures.rawDir}/aligned.sam")
+        .where(col("pos").isNotNull && !col("is_secondary") &&
+          !col("is_dup"))
+        .select(col("rname").as("chrom"), col("pos").as("start"),
+          col("ref_end").as("end"))
+      graft.operators.Coverage.coverage(reads)
+    }),
+
     "b1_bed_read" -> ((s, _) => {
       // BED region source: track/comment lines dropped map-side, optional
       // cols null-padded; plus the 1-based inclusive conversion the
@@ -373,6 +387,43 @@ object Genomic {
          |        ELSE 0 END)) AS BIGINT) - 1
          |  END AS ref_end
          |FROM p""".stripMargin,
+
+    "g8_reads_coverage" ->
+      s"""WITH lines AS (
+         |  SELECT unnest(string_split(content, chr(10))) AS l
+         |  FROM read_text('$raw/aligned.sam')),
+         |a AS (
+         |  SELECT string_split(l, chr(9)) AS f FROM lines
+         |  WHERE len(trim(l)) > 0 AND NOT starts_with(l, '@')),
+         |reads AS (
+         |  SELECT nullif(f[3], '*') AS chrom,
+         |    nullif(CAST(f[4] AS BIGINT), 0) AS s,
+         |    nullif(CAST(f[4] AS BIGINT), 0) + CAST(list_sum(
+         |      list_transform(
+         |        regexp_extract_all(f[6], '(\\d+)([MIDNSHP=X])', 0),
+         |        tok -> CASE WHEN right(tok, 1) IN
+         |            ('M', 'D', 'N', '=', 'X')
+         |          THEN CAST(regexp_extract(tok, '(\\d+)', 1) AS BIGINT)
+         |          ELSE 0 END)) AS BIGINT) - 1 AS e
+         |  FROM a
+         |  WHERE nullif(CAST(f[4] AS BIGINT), 0) IS NOT NULL
+         |    AND (CAST(f[2] AS INT) & 256) = 0
+         |    AND (CAST(f[2] AS INT) & 1024) = 0),
+         |ev AS (
+         |  SELECT chrom, s AS pos, 1 AS d FROM reads
+         |  UNION ALL
+         |  SELECT chrom, e + 1 AS pos, -1 AS d FROM reads),
+         |m AS (
+         |  SELECT chrom, pos, sum(d) AS d FROM ev GROUP BY 1, 2
+         |  HAVING sum(d) <> 0),
+         |c AS (
+         |  SELECT chrom, pos,
+         |    CAST(sum(d) OVER (PARTITION BY chrom ORDER BY pos)
+         |      AS BIGINT) AS depth,
+         |    lead(pos) OVER (PARTITION BY chrom ORDER BY pos) AS nxt
+         |  FROM m)
+         |SELECT chrom, pos AS seg_start, nxt - 1 AS seg_end, depth
+         |FROM c WHERE depth > 0 AND nxt IS NOT NULL""".stripMargin,
 
     "g7_coverage" ->
       s"""WITH iv AS (

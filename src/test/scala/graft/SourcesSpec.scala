@@ -225,7 +225,7 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .read(spark, s"${graft.fixtures.GenomicFixtures.rawDir}/aligned.sam")
       .collect()
       .map(r => r.getString(0) -> r).toMap
-    assert(rows.size == 8)
+    assert(rows.size == 9)
     def refEnd(q: String): Option[Long] = {
       val r = rows(q)
       if (r.isNullAt(r.fieldIndex("ref_end"))) None
@@ -236,6 +236,7 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(refEnd("r3").contains(122L))  // 105 + 10M+8M - 1 (S/I ignored)
     assert(refEnd("r4").contains(175L))  // 141 + 8M+20N+7M - 1
     assert(refEnd("r8").isEmpty)         // unmapped
+    assert(refEnd("r9").contains(44L))   // 25 + 20M - 1 (overlaps r1)
     val r5f = rows("r5")
     assert(r5f.getBoolean(r5f.fieldIndex("is_paired")) &&
       r5f.getBoolean(r5f.fieldIndex("is_proper_pair")) &&

@@ -558,6 +558,8 @@ sam_rows = [
     "r7\t1025\t1\t30\t20\t6M1I6M\t*\t0\t0\t" + "A" * 13 + "\t" + "I" * 13,
     # unmapped (4): no coordinates, '*' fields
     "r8\t4\t*\t0\t0\t*\t*\t0\t0\t" + "N" * 10 + "\t" + "#" * 10,
+    # overlaps r1 ([11,40] vs [25,44]) so read pileup has a depth-2 run
+    "r9\t0\t1\t25\t55\t20M\t*\t0\t0\t" + "A" * 20 + "\t" + "I" * 20,
 ]
 with open(os.path.join(OUT, "aligned.sam"), "w") as f:
     f.write("\n".join(sam_rows) + "\n")
