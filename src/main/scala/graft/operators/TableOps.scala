@@ -153,6 +153,28 @@ object TableOps {
     * plan the join off the compaction's partitioning. At CDC scale the
     * changed-key side is a fraction of the snapshot and broadcasts.
     */
+  /** Small-file compaction (the lakehouse OPTIMIZE maintenance op): a
+    * path whose writers left thousands of tiny parquet files rewrites
+    * into ~`targetBytes` files. The partition-count math uses the real
+    * on-disk byte size, and the rewrite uses `coalesce` — a map-side
+    * partition merge with NO shuffle (compaction must not pay a
+    * redistribution of the whole table; if the input is pathologically
+    * skewed, z2's range-partitioned writer is the reshuffling variant).
+    * Returns the target file count.
+    */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, in: String,
+                   out: String, targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(in)).getLength
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(in).coalesce(n)
+      .write.mode("overwrite").parquet(out)
+    n
+  }
+
   def applyChangelog(snapshot: DataFrame, changes: DataFrame, key: String,
                      opCol: String, seqCol: String,
                      valueCols: Seq[String]): DataFrame = {

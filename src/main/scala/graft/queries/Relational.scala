@@ -217,6 +217,29 @@ object Relational {
         .withColumn("spend_7d", round(sum(col("o_totalprice")).over(w), 2))
     }),
 
+    "u7_compact_files" -> ((s, dir) => {
+      // small-file compaction round trip: documents sharded into 32 tiny
+      // files, compacted by real byte size with a NO-SHUFFLE coalesce,
+      // then audited from the compacted path — if the rewrite dropped,
+      // duplicated or corrupted a row the counts/checksums break.
+      // OpsSpec separately pins the file-count reduction itself.
+      val shards = s"${sys.props("java.io.tmpdir")}/graft-compact-in-" +
+        ProcessHandle.current.pid
+      val out = s"${sys.props("java.io.tmpdir")}/graft-compact-out-" +
+        ProcessHandle.current.pid
+      t(s, dir, "documents").repartition(32)
+        .write.mode("overwrite").parquet(shards)
+      graft.operators.TableOps.compactFiles(s, shards, out,
+        targetBytes = 1L << 20)
+      s.read.parquet(out)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("n_ids"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(length(col("text"))).as("total_chars"),
+          sum(conv(substring(md5(col("text")), 1, 7), 16, 10)
+            .cast("long")).as("text_md5_sum"))
+    }),
+
     "q29_exact_quantile" -> ((s, dir) => {
       // EXACT per-group quantiles (q18's histogram sketch is the
       // approximate path; this is the ground truth it trades against):
@@ -419,6 +442,19 @@ object Relational {
         |    ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS spend_7d
         |FROM orders""".stripMargin,
+
+    // compaction audit recomputed from the SOURCE table: a lossy rewrite
+    // cannot match counts/ids/chars/md5-checksum
+    "u7_compact_files" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(sum(len(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(list_reduce([strpos('0123456789abcdef',
+        |      substr(md5(text), j, 1)) - 1
+        |    for j in range(1, 8)], (a, c) -> a * 16 + c)) AS BIGINT)
+        |    AS text_md5_sum
+        |FROM documents""".stripMargin,
 
     // Spark's percentile == linear interpolation == quantile_cont
     "q29_exact_quantile" ->

@@ -323,6 +323,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(yHits <= env.length / 2, s"y pruning weak: $yHits/16")
   }
 
+  test("compactFiles: file count drops to the byte-derived target, " +
+    "rows survive exactly, no shuffle in the rewrite") {
+    val s = spark
+    import s.implicits._
+    val in = s"${sys.props("java.io.tmpdir")}/graft-compact-spec-in-" +
+      ProcessHandle.current.pid
+    val out = s"${sys.props("java.io.tmpdir")}/graft-compact-spec-out-" +
+      ProcessHandle.current.pid
+    (1L to 4000L).map(i => (i, s"row $i payload ${"x" * 50}"))
+      .toDF("id", "payload").repartition(24)
+      .write.mode("overwrite").parquet(in)
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts(in) == 24)
+    val n = graft.operators.TableOps.compactFiles(spark, in, out,
+      targetBytes = 64L << 10)
+    assert(parts(out) == n && n < 24 && n >= 1, s"n=$n files=${parts(out)}")
+    // content identical
+    val a = spark.read.parquet(in).collect().map(_.toString).sorted
+    val b = spark.read.parquet(out).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // the rewrite plan is scan -> coalesce -> write: no exchange
+    val plan = spark.read.parquet(in).coalesce(n)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("liftOver: hand-computed remaps — gap positions vanish, minus " +
     "strand reflects, best chain wins by score") {
     val s = spark
