@@ -1166,8 +1166,14 @@ object Documents {
     // same end-of-string truncation contract as the Spark fold (a
     // truncated probe only matches by consuming the whole tail, so
     // counts agree). init state = pack(next=1, cnt=0, fb=0) = 2^42.
+    // The greedy fold is a RECURSIVE CTE walk (one row per emitted
+    // token level, all docs advance together), NOT a list_reduce: the
+    // original list_reduce formulation hit the same DuckDB 1.0.0
+    // cross-row accumulator leak t14's oracle documents — correct on a
+    // single row, corrupted one row in 5000 under full-table
+    // vectorized materialization (caught by the sf0.1 sweep in r10).
     "t16_vocab_tokens" ->
-      s"""WITH d AS (
+      s"""WITH RECURSIVE d AS (
          |  SELECT doc_id, lower(text) AS t, length(lower(text)) AS n
          |  FROM documents),
          |m AS (
@@ -1178,20 +1184,22 @@ object Documents {
          |        if substr(t, i::INT, length(v)) = v]), 0)
          |     for i in range(1, n + 1)] AS mls
          |  FROM d),
-         |f AS (
-         |  SELECT doc_id,
-         |    list_reduce(list_prepend(4398046511104, range(1, n + 1)),
-         |      (a, i) -> CASE WHEN i = a // 4398046511104 THEN
-         |          (i + CASE WHEN mls[i::INT] = 0 THEN 1
-         |                    ELSE mls[i::INT] END) * 4398046511104
-         |          + (a % 4398046511104)
-         |          + 2097152
-         |          + CASE WHEN mls[i::INT] = 0 THEN 1 ELSE 0 END
-         |        ELSE a END) AS st
-         |  FROM m)
-         |SELECT doc_id, (st // 2097152) % 2097152 AS vocab_tokens,
-         |  st % 2097152 AS fallback_tokens
-         |FROM f""".stripMargin,
+         |walk AS (
+         |  SELECT doc_id, CAST(1 AS BIGINT) AS pos,
+         |    CAST(0 AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS fb
+         |  FROM m
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |    w.pos + CASE WHEN m.mls[w.pos::INT] = 0 THEN 1
+         |                 ELSE m.mls[w.pos::INT] END,
+         |    w.cnt + 1,
+         |    w.fb + CASE WHEN m.mls[w.pos::INT] = 0 THEN 1 ELSE 0 END
+         |  FROM walk w JOIN m ON w.doc_id = m.doc_id
+         |  WHERE w.pos <= m.n)
+         |SELECT w.doc_id, w.cnt AS vocab_tokens,
+         |  w.fb AS fallback_tokens
+         |FROM walk w JOIN m ON w.doc_id = m.doc_id
+         |WHERE w.pos > m.n""".stripMargin,
 
     "t10_normalize" ->
       """WITH m AS (
