@@ -378,12 +378,36 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
+    // The driver keeps only the LAST ~2000 chars of stdout and sbt appends
+    // its own "[success] Total time ..." line (~80 chars) after ours — so a
+    // full 160-query JSON line (several KB) can never land intact in the
+    // captured tail; that is why every BENCH_r*.json through r10 has
+    // "parsed": null. Print a size-budgeted line instead: headline numbers
+    // plus as many of the SLOWEST queries as fit in ~1500 chars (slowest
+    // first — the entries that carry the perf signal), with the complete
+    // per-query detail in bench.json (committed) and queries_omitted
+    // saying how many were cut.
+    val budget = 1500
+    val head =
+      s"""{"metric":"total","value":$total,"unit":"sec","prep_sec":${r4(
+        prep)},"runs_per_query":$runs,"load_before":$loadBefore,"load_contaminated":$contaminated,"n_queries":${results.size},"failed_queries":$fq,"detail":"bench.json","sf":"$sfDir""""
+    val slowFirst = results.toSeq.sortBy(-_._2)
+    val picked = new StringBuilder
+    var used = head.length + 40 // room for the wrapper keys + close
+    var omitted = 0
+    slowFirst.foreach { case (k, v) =>
+      val ent = (if (picked.nonEmpty) "," else "") + "\"" + k + "\":" + v
+      if (used + ent.length <= budget) { picked ++= ent; used += ent.length }
+      else omitted += 1
+    }
+    val compact =
+      head + s""","queries_omitted":$omitted,"queries":{$picked}}"""
     graft.queries.Documents.releaseCaches()
     // The JSON line must be the LAST stdout line (r8/r9 drove the driver's
     // parser to "parsed": null because checkpoint-unpersist WARNs landed
     // after it): silence logging, finish Spark shutdown, THEN print.
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(line)
+    println(compact)
   }
 }

@@ -1172,11 +1172,17 @@ object Documents {
     // cross-row accumulator leak t14's oracle documents — correct on a
     // single row, corrupted one row in 5000 under full-table
     // vectorized materialization (caught by the sf0.1 sweep in r10).
+    // m MUST be MATERIALIZED: DuckDB otherwise inlines the O(n*vocab)
+    // per-position match-length computation into EVERY recursion step
+    // (one per emitted token, ~550 steps at sf0.01), turning a 2.6s
+    // oracle into an unbounded >20min one — this single query blew the
+    // driver's whole compare budget in r10 and zeroed the round's
+    // CORRECTNESS file.
     "t16_vocab_tokens" ->
       s"""WITH RECURSIVE d AS (
          |  SELECT doc_id, lower(text) AS t, length(lower(text)) AS n
          |  FROM documents),
-         |m AS (
+         |m AS MATERIALIZED (
          |  SELECT doc_id, n,
          |    [coalesce(list_max(
          |       [length(v) for v in
