@@ -301,4 +301,70 @@ object text {
 
   def vocabTokenCount(t: Column, vmap: Column, maxLen: Int): Column =
     vocabTokenStats(t, vmap, maxLen).getField("vocab_tokens")
+
+  /** Query parameters dropped by [[canonicalUrl]]: the cross-site tracking
+    * keys every crawl pipeline strips before URL-level dedup (utm_* plus
+    * the google/facebook click ids) — they vary per referral, not per page.
+    */
+  val trackingParamPattern = "^(utm_[a-z]+|gclid|fbclid|msclkid|ref)="
+
+  /** Canonical URL for crawl dedup (the URL-normalization pass every
+    * CommonCrawl-scale pipeline runs before exact URL dedup): lowercase
+    * scheme and host, drop the fragment, drop scheme-default ports
+    * (http:80 / https:443), drop tracking query params
+    * ([[trackingParamPattern]]), sort the surviving query params
+    * byte-wise, and drop an empty trailing '?'. Path case and encoding
+    * are preserved (paths ARE case-sensitive). Pure native expressions —
+    * codegen'd, replayable in the DuckDB oracle with the same regex/list
+    * steps.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
+    val host = when(
+      (scheme === "http" && hostPort.endsWith(":80")) ||
+        (scheme === "https" && hostPort.endsWith(":443")),
+      regexp_replace(hostPort, ":[0-9]+$", "")).otherwise(hostPort)
+    val path = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)", 1)
+    val query = when(noFrag.contains("?"),
+      regexp_replace(noFrag, "^[^?]*\\?", "")).otherwise(lit(""))
+    val kept = array_join(
+      array_sort(filter(split(query, "&"),
+        p => length(p) > 0 && !p.rlike(trackingParamPattern))), "&")
+    concat(scheme, lit("://"), host,
+      when(path === "", "/").otherwise(path),
+      when(kept === "", "").otherwise(concat(lit("?"), kept)))
+  }
+
+  /** Line-level boilerplate predicate (jusText/trafilatura-style
+    * heuristics, the rule subset expressible as pure column ops): a line
+    * is boilerplate when it is (a) a nav bar — two or more ' | '
+    * separators and at most 8 words, (b) a copyright footer — contains
+    * '©' or 'all rights reserved', or (c) a bare nav link — at most
+    * 3 words, every word starting uppercase, no sentence punctuation.
+    */
+  def isBoilerplateLine(line: Column): Column = {
+    val l = trim(line)
+    val words = size(regexp_extract_all(l, lit("\\S+"), lit(0)))
+    val navBar = (size(split(l, " \\| ")) >= 3) && (words <= 8)
+    val copyright = l.contains("©") ||
+      lower(l).contains("all rights reserved")
+    val navLink = (words <= 3) && (words >= 1) &&
+      l.rlike("^([A-Z]\\S*)( [A-Z]\\S*){0,2}$") && !l.rlike("[.!?]")
+    navBar || copyright || navLink
+  }
+
+  /** Strip boilerplate lines from a page: returns
+    * struct(clean_text, n_removed). One split + one filter per row —
+    * no shuffle, no UDF; the whole pass stays inside whole-stage codegen
+    * on a 100 TB corpus scan.
+    */
+  def stripBoilerplate(page: Column): Column = {
+    val lines = split(page, "\n")
+    val kept = filter(lines, l => !isBoilerplateLine(l))
+    struct(
+      array_join(kept, "\n").as("clean_text"),
+      (size(lines) - size(kept)).cast("long").as("n_removed"))
+  }
 }

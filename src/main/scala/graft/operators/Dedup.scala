@@ -65,6 +65,22 @@ object Dedup {
         array_join(sort_array(collect_list(col(idCol).cast("string"))), ";")
           .as("doc_ids"))
 
+  /** URL-level dedup, the cheapest pass in a crawl pipeline and the one
+    * run FIRST (before any content hashing): canonicalize every URL
+    * (text.canonicalUrl — case, default ports, fragments, tracking
+    * params) and keep one row per canonical URL. Same single-shuffle
+    * groupBy shape as [[exact]] — at 100 TB this is one hash exchange on
+    * the canonical string, with map-side partial aggregation collapsing
+    * the (dominant) unique-URL mass before it ships.
+    */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.groupBy(text.canonicalUrl(col(urlCol)).as("canonical_url"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("canonical_id"),
+        array_join(sort_array(collect_list(col(idCol).cast("string"))), ";")
+          .as("doc_ids"))
+
   /** MinHash + LSH banding near-duplicate candidate pairs, verified with the
     * exact Jaccard over the shingle sets.
     *

@@ -33,6 +33,113 @@ object Documents {
   // stopword list literal shared with the SQL oracles
   private val swEn = text.stopwordsEn.map(w => s"'$w'").mkString(", ")
 
+  /** Deterministic messy URL per doc for t21/d16 (the corpus has no URL
+    * column): scheme/host case, a default :80 port, tracking params,
+    * param order and a fragment all vary with doc_id while the canonical
+    * form collides on (source, doc_id % 100) — so canonicalization is
+    * what creates the d16 duplicate groups. Mirrored in SQL by
+    * `messyUrlSql`.
+    */
+  private def messyUrl: org.apache.spark.sql.Column = concat(
+    when(pmod(col("doc_id"), lit(2)) === 0, "HTTP").otherwise("http"),
+    lit("://"),
+    when(pmod(col("doc_id"), lit(3)) === 0, upper(col("source")))
+      .otherwise(col("source")),
+    lit(".Example.COM"),
+    when(pmod(col("doc_id"), lit(5)) === 0, ":80").otherwise(""),
+    lit("/docs/"), pmod(col("doc_id"), lit(100)),
+    when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(lit("?z=2&a=1&utm_source=u"), col("doc_id")))
+      .otherwise(concat(lit("?utm_campaign=c"), col("doc_id"),
+        lit("&a=1&z=2"))),
+    lit("#sec"), pmod(col("doc_id"), lit(7)))
+
+  // NOTE: these helper SQL strings are interpolated into oracles that are
+  // THEMSELVES stripMargin'd — a continuation line must never START with
+  // '||' or the outer stripMargin eats one pipe and string-concat becomes
+  // bitwise-or. Keep operators at line ends.
+  private def messyUrlSql: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END || '://' ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END) ||
+      |  '.Example.COM' ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+      |  '/docs/' || (doc_id % 100) ||
+      |  (CASE WHEN doc_id % 2 = 0
+      |    THEN '?z=2&a=1&utm_source=u' || doc_id
+      |    ELSE '?utm_campaign=c' || doc_id || '&a=1&z=2' END) ||
+      |  '#sec' || (doc_id % 7))""".stripMargin
+
+  /** DuckDB replica of text.canonicalUrl as staged CTEs over a relation
+    * `m(doc_id, url)` — the same regex/list steps, so the oracle tests
+    * the operator rather than re-deriving the expected constant. Final
+    * stage is `q(doc_id, url, canonical_url)`.
+    */
+  private def canonicalUrlCtes: String =
+    """n AS (SELECT doc_id, url,
+      |    regexp_replace(trim(url), '#.*$', '') AS nf FROM m),
+      |p AS (SELECT doc_id, url,
+      |    lower(regexp_extract(nf,
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(nf,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport,
+      |    regexp_extract(nf,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS pth,
+      |    CASE WHEN contains(nf, '?')
+      |      THEN regexp_replace(nf, '^[^?]*\?', '') ELSE '' END AS qry
+      |  FROM n),
+      |k AS (SELECT doc_id, url, scheme,
+      |    CASE WHEN (scheme = 'http' AND hostport LIKE '%:80')
+      |        OR (scheme = 'https' AND hostport LIKE '%:443')
+      |      THEN regexp_replace(hostport, ':[0-9]+$', '')
+      |      ELSE hostport END AS host,
+      |    CASE WHEN pth = '' THEN '/' ELSE pth END AS pth,
+      |    array_to_string(list_sort(list_filter(str_split(qry, '&'),
+      |      x -> len(x) > 0 AND NOT regexp_matches(x,
+      |        '^(utm_[a-z]+|gclid|fbclid|msclkid|ref)='))), '&') AS kept
+      |  FROM p),
+      |q AS (SELECT doc_id, url,
+      |    scheme || '://' || host || pth ||
+      |      (CASE WHEN kept = '' THEN '' ELSE '?' || kept END)
+      |      AS canonical_url
+      |  FROM k)""".stripMargin
+
+  /** Deterministic page-with-boilerplate per doc for t25: a nav bar, a
+    * doc-dependent nav-link/kept line, the corpus text, a doc-dependent
+    * footer (copyright vs kept sign-off) and a trailing nav link — so
+    * each heuristic (nav bar / nav link / copyright) both fires and
+    * abstains across the corpus. Mirrored in SQL by `boilerplatePageSql`.
+    */
+  private def boilerplatePage: org.apache.spark.sql.Column = concat_ws("\n",
+    lit("Home | About | Contact"),
+    when(pmod(col("doc_id"), lit(3)) === 0, "Read The Full Story")
+      .when(pmod(col("doc_id"), lit(3)) === 1, "About Us")
+      .otherwise("News"),
+    col("text"),
+    when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(lit("© 2026 "), col("source")))
+      .otherwise(lit("thanks for reading.")),
+    lit("Privacy Policy"))
+
+  private def boilerplatePageSql: String =
+    """('Home | About | Contact' || chr(10) ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN 'Read The Full Story'
+      |    WHEN doc_id % 3 = 1 THEN 'About Us' ELSE 'News' END) ||
+      |  chr(10) || text || chr(10) ||
+      |  (CASE WHEN doc_id % 2 = 0 THEN '© 2026 ' || source
+      |    ELSE 'thanks for reading.' END) ||
+      |  chr(10) || 'Privacy Policy')""".stripMargin
+
+  /** DuckDB replica of text.isBoilerplateLine (l is a line expression). */
+  private def boilerLineSql(l: String): String =
+    s"""((len(str_split(trim($l), ' | ')) >= 3
+       |    AND len(regexp_extract_all(trim($l), '\\S+')) <= 8)
+       |  OR contains(trim($l), '©')
+       |  OR contains(lower(trim($l)), 'all rights reserved')
+       |  OR (len(regexp_extract_all(trim($l), '\\S+')) BETWEEN 1 AND 3
+       |    AND regexp_matches(trim($l),
+       |      '^([A-Z]\\S*)( [A-Z]\\S*){0,2}$$')
+       |    AND NOT regexp_matches(trim($l), '[.!?]')))""".stripMargin
+
   // committed WARC crawl fixture (tools/gen_fixtures.py)
   private val warcPath =
     s"${graft.fixtures.GenomicFixtures.rawDir}/crawl.warc"
@@ -433,6 +540,38 @@ object Documents {
         length(messy).cast("long").as("raw_len"),
         length(clean).cast("long").as("clean_len"),
         md5(clean).as("clean_fp"))
+    }),
+
+    "t21_url_normalize" -> ((s, dir) => {
+      // URL canonicalization (the pass before URL-level dedup): scheme/
+      // host case, default ports, fragments, tracking params, query-param
+      // order. The corpus has no URL column, so a deterministic messy URL
+      // is synthesized per doc on BOTH sides (the t10 pattern).
+      t(s, dir, "documents").select(col("doc_id"),
+        messyUrl.as("url"),
+        text.canonicalUrl(messyUrl).as("canonical_url"))
+    }),
+
+    "d16_url_dedup" -> ((s, dir) => {
+      // crawl-side URL dedup: ONE hash groupBy on the canonical URL (the
+      // cheapest dedup pass, run before any content hashing). The messy
+      // URLs collide on (source, doc_id % 100) once canonicalized, so
+      // case/port/utm/fragment/param-order variants collapse together.
+      graft.operators.Dedup.urlDedup(
+        t(s, dir, "documents").select(col("doc_id"), messyUrl.as("url")),
+        "doc_id", "url")
+    }),
+
+    "t25_boilerplate" -> ((s, dir) => {
+      // jusText-lite boilerplate removal: nav bars, bare nav links and
+      // copyright footers stripped line-wise; the page is synthesized
+      // around the corpus text with doc-dependent kept/removed lines so
+      // every heuristic fires both ways
+      val stripped = text.stripBoilerplate(boilerplatePage)
+      t(s, dir, "documents").select(col("doc_id"),
+        size(split(boilerplatePage, "\n")).cast("long").as("n_lines"),
+        stripped.getField("n_removed").as("n_removed"),
+        md5(stripped.getField("clean_text")).as("clean_fp"))
     }),
 
     "d8_cdc_dedup" -> ((s, dir) => {
@@ -1206,6 +1345,36 @@ object Documents {
          |  w.fb AS fallback_tokens
          |FROM walk w JOIN m ON w.doc_id = m.doc_id
          |WHERE w.pos > m.n""".stripMargin,
+
+    "t21_url_normalize" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, $messyUrlSql AS url FROM documents),
+         |$canonicalUrlCtes
+         |SELECT doc_id, url, canonical_url FROM q""".stripMargin,
+
+    "d16_url_dedup" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, $messyUrlSql AS url FROM documents),
+         |$canonicalUrlCtes
+         |SELECT canonical_url, count(*) AS n_docs,
+         |  min(doc_id) AS canonical_id,
+         |  string_agg(CAST(doc_id AS VARCHAR), ';'
+         |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
+         |FROM q GROUP BY 1""".stripMargin,
+
+    "t25_boilerplate" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, $boilerplatePageSql AS page FROM documents),
+         |l AS (
+         |  SELECT doc_id, str_split(page, chr(10)) AS ls FROM m),
+         |f AS (
+         |  SELECT doc_id, len(ls) AS n_lines,
+         |    list_filter(ls, x -> NOT ${boilerLineSql("x")}) AS kept
+         |  FROM l)
+         |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         |  CAST(n_lines - len(kept) AS BIGINT) AS n_removed,
+         |  md5(array_to_string(kept, chr(10))) AS clean_fp
+         |FROM f""".stripMargin,
 
     "t10_normalize" ->
       """WITH m AS (

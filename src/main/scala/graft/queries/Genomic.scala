@@ -113,6 +113,55 @@ object Genomic {
       graft.operators.Coverage.coverage(reads)
     }),
 
+    "g9_flagstat" -> ((s, _) => {
+      // samtools flagstat: the 12 classic counters as (metric, n_reads)
+      // rows from ONE conditional-sum aggregate — each scan task ships 12
+      // longs, never rows
+      graft.sources.Sam.flagstat(graft.sources.Sam.read(s,
+        s"${GenomicFixtures.rawDir}/aligned.sam"))
+    }),
+
+    "g10_vcf_stats" -> ((s, _) => {
+      // bcftools-stats-style per-chrom variant classes + ti/tv over the
+      // normalized rows: one groupBy(chrom) of conditional sums
+      prep(s)
+      graft.operators.VcfStats.variantStats(
+        s.read.parquet(s"$fx/vcf_norm.parquet"))
+    }),
+
+    "g11_mendel" -> ((s, _) => {
+      // plink-mendel trio consistency: child ALT dosage must fall in the
+      // interval parent dosages allow; trios broadcast, genotype matrix
+      // shuffled once per parent join. Autosomal-diploid contract -> X
+      // rows filtered here (the fixture's PAR/sex logic lives in h1/h2).
+      import s.implicits._
+      prep(s)
+      val gts = Vcf.genotypesLong(
+        s.read.parquet(s"$fx/vcf_norm.parquet"),
+        GenomicFixtures.sampleNames(s))
+        .where(col("chrom") =!= "X")
+        .select(col("id").as("varId"), col("chrom"), col("pos"),
+          col("sample"), col("gt"))
+      val trios = Seq(("S3", "S1", "S4"), ("S6", "S5", "S3"))
+        .toDF("child", "mother", "father")
+      graft.operators.VcfStats.mendelViolations(gts, trios)
+    }),
+
+    "v8_vcf_write" -> ((s, _) => {
+      // VCF sink round trip: normalized rows -> body lines (INFO rebuilt
+      // as AF=<allele_af>) -> re-read -> re-normalized projection. The
+      // oracle reads the SAME projection straight from the vcf_norm
+      // parquet, so any rendering/parsing asymmetry breaks the hash.
+      prep(s)
+      val out = s"${sys.props("java.io.tmpdir")}/graft-vcf-written-" +
+        ProcessHandle.current.pid
+      Vcf.writeVariants(s.read.parquet(s"$fx/vcf_norm.parquet"), out)
+      Vcf.read(s, out)
+        .select(col("chrom"), col("pos"), col("id"), col("ref"),
+          col("alt"), col("af").cast("double").as("allele_af"),
+          array_join(col("genotypes"), ",").as("genotypes"))
+    }),
+
     "b1_bed_read" -> ((s, _) => {
       // BED region source: track/comment lines dropped map-side, optional
       // cols null-padded; plus the 1-based inclusive conversion the
@@ -424,6 +473,113 @@ object Genomic {
          |  FROM m)
          |SELECT chrom, pos AS seg_start, nxt - 1 AS seg_end, depth
          |FROM c WHERE depth > 0 AND nxt IS NOT NULL""".stripMargin,
+
+    "g9_flagstat" ->
+      s"""WITH lines AS (
+         |  SELECT unnest(string_split(content, chr(10))) AS l
+         |  FROM read_text('$raw/aligned.sam')),
+         |a AS (
+         |  SELECT string_split(l, chr(9)) AS f FROM lines
+         |  WHERE len(trim(l)) > 0 AND NOT starts_with(l, '@')),
+         |p AS (
+         |  SELECT CAST(f[2] AS INT) AS flag, nullif(f[3], '*') AS rname,
+         |    nullif(f[7], '*') AS rnext
+         |  FROM a),
+         |x AS (
+         |  SELECT count(*) AS c_total,
+         |    sum(CASE WHEN (flag & 256) <> 0 THEN 1 ELSE 0 END)
+         |      AS c_secondary,
+         |    sum(CASE WHEN (flag & 2048) <> 0 THEN 1 ELSE 0 END)
+         |      AS c_supplementary,
+         |    sum(CASE WHEN (flag & 1024) <> 0 THEN 1 ELSE 0 END)
+         |      AS c_duplicates,
+         |    sum(CASE WHEN (flag & 4) = 0 THEN 1 ELSE 0 END) AS c_mapped,
+         |    sum(CASE WHEN (flag & 1) <> 0 THEN 1 ELSE 0 END) AS c_paired,
+         |    sum(CASE WHEN (flag & 1) <> 0 AND (flag & 64) <> 0
+         |      THEN 1 ELSE 0 END) AS c_read1,
+         |    sum(CASE WHEN (flag & 1) <> 0 AND (flag & 128) <> 0
+         |      THEN 1 ELSE 0 END) AS c_read2,
+         |    sum(CASE WHEN (flag & 1) <> 0 AND (flag & 2) <> 0
+         |      AND (flag & 4) = 0 THEN 1 ELSE 0 END) AS c_properly,
+         |    sum(CASE WHEN (flag & 1) <> 0 AND (flag & 4) = 0
+         |      AND (flag & 8) = 0 THEN 1 ELSE 0 END) AS c_matemapped,
+         |    sum(CASE WHEN (flag & 1) <> 0 AND (flag & 4) = 0
+         |      AND (flag & 8) <> 0 THEN 1 ELSE 0 END) AS c_singletons,
+         |    sum(CASE WHEN (flag & 1) <> 0 AND (flag & 4) = 0
+         |      AND (flag & 8) = 0 AND rnext IS NOT NULL AND rnext <> '='
+         |      AND rnext <> rname THEN 1 ELSE 0 END) AS c_diffchrom
+         |  FROM p)
+         |SELECT m.metric, CAST(m.n AS BIGINT) AS n_reads FROM x,
+         |  LATERAL (VALUES
+         |    ('total', c_total), ('secondary', c_secondary),
+         |    ('supplementary', c_supplementary),
+         |    ('duplicates', c_duplicates), ('mapped', c_mapped),
+         |    ('paired', c_paired), ('read1', c_read1),
+         |    ('read2', c_read2), ('properly_paired', c_properly),
+         |    ('with_itself_and_mate_mapped', c_matemapped),
+         |    ('singletons', c_singletons),
+         |    ('mate_diff_chrom', c_diffchrom)) AS m(metric, n)""".stripMargin,
+
+    "g10_vcf_stats" ->
+      s"""WITH c AS (
+         |  SELECT chrom,
+         |    count(*) AS n_variants,
+         |    sum(CASE WHEN length(ref) = 1 AND length(alt) = 1
+         |      THEN 1 ELSE 0 END) AS n_snp,
+         |    sum(CASE WHEN length(alt) > length(ref)
+         |      THEN 1 ELSE 0 END) AS n_ins,
+         |    sum(CASE WHEN length(alt) < length(ref)
+         |      THEN 1 ELSE 0 END) AS n_del,
+         |    sum(CASE WHEN length(alt) = length(ref) AND length(ref) > 1
+         |      THEN 1 ELSE 0 END) AS n_mnp,
+         |    sum(CASE WHEN (ref = 'A' AND alt = 'G')
+         |      OR (ref = 'G' AND alt = 'A') OR (ref = 'C' AND alt = 'T')
+         |      OR (ref = 'T' AND alt = 'C') THEN 1 ELSE 0 END) AS n_ti,
+         |    sum(CASE WHEN length(ref) = 1 AND length(alt) = 1
+         |      AND NOT ((ref = 'A' AND alt = 'G')
+         |        OR (ref = 'G' AND alt = 'A')
+         |        OR (ref = 'C' AND alt = 'T')
+         |        OR (ref = 'T' AND alt = 'C'))
+         |      THEN 1 ELSE 0 END) AS n_tv
+         |  FROM ${pq("vcf_norm")} GROUP BY chrom)
+         |SELECT chrom, CAST(n_variants AS BIGINT) AS n_variants,
+         |  CAST(n_snp AS BIGINT) AS n_snp, CAST(n_ins AS BIGINT) AS n_ins,
+         |  CAST(n_del AS BIGINT) AS n_del, CAST(n_mnp AS BIGINT) AS n_mnp,
+         |  CAST(n_ti AS BIGINT) AS n_ti, CAST(n_tv AS BIGINT) AS n_tv,
+         |  CASE WHEN n_tv > 0
+         |    THEN round(n_ti::DOUBLE / n_tv, 5) END AS ti_tv
+         |FROM c""".stripMargin,
+
+    "g11_mendel" ->
+      s"""WITH g AS (
+         |  SELECT chrom, pos, id,
+         |    unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM ${pq("vcf_norm")} WHERE chrom <> 'X'),
+         |d AS (
+         |  SELECT id AS "varId", chrom, pos, 'S' || si AS sample,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE CAST(len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) AS INT) END AS dd
+         |  FROM g),
+         |d2 AS (SELECT * FROM d WHERE dd IS NOT NULL),
+         |t(child, mother, father) AS (
+         |  VALUES ('S3', 'S1', 'S4'), ('S6', 'S5', 'S3'))
+         |SELECT c."varId", c.chrom, c.pos, t.child,
+         |  c.dd AS child_dose, m.dd AS mother_dose, f.dd AS father_dose,
+         |  (c.dd < ((CASE WHEN m.dd = 2 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN f.dd = 2 THEN 1 ELSE 0 END))
+         |    OR c.dd > ((CASE WHEN m.dd >= 1 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN f.dd >= 1 THEN 1 ELSE 0 END))) AS violation
+         |FROM d2 c JOIN t ON c.sample = t.child
+         |JOIN d2 m ON m."varId" = c."varId" AND m.sample = t.mother
+         |JOIN d2 f ON f."varId" = c."varId" AND f.sample = t.father""".stripMargin,
+
+    "v8_vcf_write" ->
+      s"""SELECT chrom, pos, id, ref, alt, allele_af,
+         |  array_to_string(genotypes, ',') AS genotypes
+         |FROM ${pq("vcf_norm")}""".stripMargin,
 
     "g7_coverage" ->
       s"""WITH iv AS (

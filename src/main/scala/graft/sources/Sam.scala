@@ -33,6 +33,45 @@ object Sam {
             regexp_extract(tok, "(\\d+)", 1).cast("long"))
             .otherwise(lit(0L))))
 
+  /** samtools-flagstat over parsed reads: the 12 classic counters as
+    * (metric, count) rows. ONE full-scan aggregate of conditional sums —
+    * map-side partials collapse each partition to 12 longs, so the
+    * shuffle ships 12 numbers per task regardless of input size — then a
+    * 12-element explode on the single result row. Flag semantics per the
+    * SAM spec §1.4 / samtools flagstat: mapped = !0x4; properly_paired
+    * requires paired AND mapped; singleton = paired, mapped, mate
+    * unmapped (0x8); mate_diff_chrom counts mate-mapped pairs whose RNEXT
+    * names a different reference ('=' means same).
+    */
+  def flagstat(reads: DataFrame): DataFrame = {
+    def b(bit: Int) = flagField(col("flag"), bit)
+    val mapped = !b(4)
+    val paired = b(1)
+    val mateMapped = paired && mapped && !b(8)
+    val metrics: Seq[(String, Column)] = Seq(
+      "total" -> lit(true),
+      "secondary" -> b(256),
+      "supplementary" -> b(2048),
+      "duplicates" -> b(1024),
+      "mapped" -> mapped,
+      "paired" -> paired,
+      "read1" -> (paired && b(64)),
+      "read2" -> (paired && b(128)),
+      "properly_paired" -> (paired && b(2) && mapped),
+      "with_itself_and_mate_mapped" -> mateMapped,
+      "singletons" -> (paired && mapped && b(8)),
+      "mate_diff_chrom" -> (mateMapped && col("rnext").isNotNull &&
+        col("rnext") =!= "=" && col("rnext") =!= col("rname")))
+    val sums = metrics.map { case (n, c) =>
+      sum(when(c, 1L).otherwise(0L)).as(n)
+    }
+    reads.agg(sums.head, sums.tail: _*)
+      .select(explode(array(metrics.map { case (n, _) =>
+        struct(lit(n).as("metric"), col(n).as("n_reads"))
+      }: _*)).as("_e"))
+      .select(col("_e.metric"), col("_e.n_reads"))
+  }
+
   def read(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.text(path)
     val f = split(col("value"), "\t")

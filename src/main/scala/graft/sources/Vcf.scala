@@ -122,6 +122,45 @@ object Vcf {
       col("allele_af") >= minAf)
   }
 
+  /** Header lines for an assembled VCF file: minimal ##fileformat/##INFO/
+    * ##FORMAT declarations plus the #CHROM line carrying `samples` in
+    * column order. Callers building standalone single-file VCFs prepend
+    * these to the body [[writeVariants]] produces.
+    */
+  def headerLines(samples: Seq[String]): Seq[String] = Seq(
+    "##fileformat=VCFv4.2",
+    "##INFO=<ID=AF,Number=A,Type=Float,Description=\"Allele Frequency\">",
+    "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+    (Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+      "FORMAT") ++ samples).mkString("\t"))
+
+  /** VCF sink for normalized variant rows (the [[normalize]] schema:
+    * chrom, pos, id, ref, alt, allele_af, genotypes). INFO is rebuilt as
+    * `AF=<allele_af>` (both Spark and DuckDB render doubles
+    * shortest-round-trip, so the value survives a write->read->cast
+    * cycle bit-exactly); absent qual/filter/AF render as '.', the VCF
+    * missing marker. Body lines only — one shard file per partition,
+    * headerless, the layout a 1000-executor writer actually produces
+    * (headers would repeat mid-directory and break a concatenated read;
+    * [[parseLines]] and every VCF tool's header-skip handle prepending
+    * [[headerLines]] to assembled single files). Pure column rendering
+    * inside whole-stage codegen; caller controls partitioning, exactly
+    * like [[Fasta.write]] / [[Bed.writeIntervals]].
+    */
+  def writeVariants(df: DataFrame, path: String): Unit = {
+    val hasQual = df.columns.contains("qual")
+    val hasFilter = df.columns.contains("filter")
+    val qual = if (hasQual) coalesce(col("qual"), lit(".")) else lit(".")
+    val filt = if (hasFilter) coalesce(col("filter"), lit(".")) else lit(".")
+    val info = when(col("allele_af").isNotNull,
+      concat(lit("AF="), col("allele_af").cast("string"))).otherwise(".")
+    df.select(concat_ws("\t",
+      Seq(col("chrom"), col("pos").cast("string"), col("id"), col("ref"),
+        col("alt"), qual, filt, info, lit("GT"),
+        array_join(col("genotypes"), "\t")): _*).as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
   /** Long genotype matrix: one row per (variant, sample) with the sample
     * name resolved from the #CHROM header — requires `sampleNames`.
     */

@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.VcfStats
+import graft.sources.{Sam, Vcf}
+import graft.functions.text
+
+/** Hand-computed cases for the round-11 QC/crawl operators: flagstat
+  * counter semantics (mate bits, diff-chrom RNEXT '='), variant-class /
+  * ti-tv arithmetic, Mendelian dosage intervals, the VCF writer round
+  * trip, URL canonicalization edge cases and the boilerplate heuristics.
+  */
+class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("qc-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("flagstat counts the 12 samtools counters") {
+    val s = spark
+    import s.implicits._
+    // (flag, rname, rnext): a proper pair on the same chrom ('='), a
+    // mate-on-other-chrom pair, a singleton (mate unmapped, 0x8), an
+    // unmapped read, a secondary+duplicate, an unpaired mapped read
+    val reads = Seq(
+      (1 + 2 + 64, "1", "="),     // paired, proper, read1, mate same
+      (1 + 128, "1", "X"),        // paired, read2, mate on X
+      (1 + 8, "1", null),         // paired, mate unmapped -> singleton
+      (4, null, null),            // unmapped
+      (256 + 1024, "1", null),    // secondary duplicate
+      (0, "1", null)              // unpaired mapped
+    ).toDF("flag", "rname", "rnext")
+    val m = Sam.flagstat(reads).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("total") == 6)
+    assert(m("secondary") == 1)
+    assert(m("supplementary") == 0)
+    assert(m("duplicates") == 1)
+    assert(m("mapped") == 5)
+    assert(m("paired") == 3)
+    assert(m("read1") == 1)
+    assert(m("read2") == 1)
+    assert(m("properly_paired") == 1)
+    // mate-mapped = paired && mapped && !0x8 -> rows 1 and 2
+    assert(m("with_itself_and_mate_mapped") == 2)
+    assert(m("singletons") == 1)
+    // row 2: rnext 'X' != rname '1'; row 1's '=' means same -> excluded
+    assert(m("mate_diff_chrom") == 1)
+  }
+
+  test("variantStats classifies SNV/ins/del/MNP and computes ti/tv") {
+    val s = spark
+    import s.implicits._
+    val v = Seq(
+      ("1", "A", "G"),   // SNV transition
+      ("1", "C", "T"),   // SNV transition
+      ("1", "A", "C"),   // SNV transversion
+      ("1", "A", "AT"),  // insertion
+      ("1", "ACG", "A"), // deletion
+      ("1", "AC", "GT"), // MNP
+      ("2", "G", "C")    // SNV transversion, other chrom
+    ).toDF("chrom", "ref", "alt")
+    val out = VcfStats.variantStats(v).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val c1 = out("1")
+    assert(c1.getLong(1) == 6 && c1.getLong(2) == 3)      // n_variants, n_snp
+    assert(c1.getLong(3) == 1 && c1.getLong(4) == 1)      // n_ins, n_del
+    assert(c1.getLong(5) == 1)                            // n_mnp
+    assert(c1.getLong(6) == 2 && c1.getLong(7) == 1)      // n_ti, n_tv
+    assert(c1.getDouble(8) == 2.0)                        // ti_tv
+    val c2 = out("2")
+    assert(c2.getLong(7) == 1 && c2.isNullAt(8) == false) // tv=1 -> 0.0
+    assert(c2.getDouble(8) == 0.0)
+  }
+
+  test("mendelViolations flags dosages outside the parental interval") {
+    val s = spark
+    import s.implicits._
+    // v1: child 1|1 but dad 0|0 -> child max = (mom>=1)+(dad>=1) = 1 < 2
+    // v2: child 0|0, mom 1|1 -> child min = 1 > 0 -> violation
+    // v3: consistent het child
+    // v4: child genotype missing -> row dropped
+    val gts = Seq(
+      ("v1", "1", 10L, "C", "1|1"), ("v1", "1", 10L, "M", "1|0"),
+      ("v1", "1", 10L, "D", "0|0"),
+      ("v2", "1", 20L, "C", "0|0"), ("v2", "1", 20L, "M", "1|1"),
+      ("v2", "1", 20L, "D", "0|0"),
+      ("v3", "1", 30L, "C", "1|0"), ("v3", "1", 30L, "M", "1|1"),
+      ("v3", "1", 30L, "D", "0|0"),
+      ("v4", "1", 40L, "C", ".|."), ("v4", "1", 40L, "M", "0|0"),
+      ("v4", "1", 40L, "D", "0|0")
+    ).toDF("varId", "chrom", "pos", "sample", "gt")
+    val trios = Seq(("C", "M", "D")).toDF("child", "mother", "father")
+    val out = VcfStats.mendelViolations(gts, trios).collect()
+      .map(r => r.getString(0) -> r.getBoolean(7)).toMap
+    assert(out == Map("v1" -> true, "v2" -> true, "v3" -> false))
+  }
+
+  test("VCF writer round-trips normalized rows through the parser") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("1", 19L, "rs1", "C", "G", Some(0.25), Seq("1|0", "0|1")),
+      ("X", 5L, "rs2", "A", "T", Option.empty[Double],
+        Seq("0|0", "1|1")))
+      .toDF("chrom", "pos", "id", "ref", "alt", "allele_af", "genotypes")
+    val out = s"${sys.props("java.io.tmpdir")}/graft-vcfw-test-" +
+      ProcessHandle.current.pid
+    Vcf.writeVariants(rows, out)
+    val back = Vcf.read(s, out)
+      .select(col("chrom"), col("pos"), col("id"), col("ref"), col("alt"),
+        col("af").cast("double").as("allele_af"),
+        array_join(col("genotypes"), ",").as("g"))
+      .collect().map(r => r.getString(2) -> r).toMap
+    assert(back("rs1").getDouble(5) == 0.25)
+    assert(back("rs1").getString(6) == "1|0,0|1")
+    assert(back("rs2").isNullAt(5))  // INFO '.' -> af null
+    assert(back("rs2").getLong(1) == 5L)
+  }
+
+  test("canonicalUrl: case, ports, fragments, tracking, param order") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // scheme+host lowercased, :80 dropped for http, fragment dropped,
+      // utm stripped, params sorted
+      ("HTTP://Ex.COM:80/A/b?z=1&utm_source=x&a=2#frag",
+        "http://ex.com/A/b?a=2&z=1"),
+      // :443 kept for http (not the scheme default)
+      ("http://ex.com:443/p", "http://ex.com:443/p"),
+      // :443 dropped for https
+      ("https://Ex.com:443/p?gclid=9", "https://ex.com/p"),
+      // empty path -> '/', empty query dropped
+      ("https://ex.com?utm_campaign=c", "https://ex.com/"),
+      // path case preserved
+      ("http://ex.com/CaseSensitive", "http://ex.com/CaseSensitive"))
+      .toDF("url", "expected")
+    val bad = cases
+      .withColumn("got", text.canonicalUrl(col("url")))
+      .where(col("got") =!= col("expected")).collect()
+    assert(bad.isEmpty, bad.mkString(";"))
+  }
+
+  test("boilerplate heuristics fire and abstain line-wise") {
+    val s = spark
+    import s.implicits._
+    val page = Seq(Tuple1(Seq(
+      "Home | About | Contact",      // nav bar -> removed
+      "Read The Full Story",         // 4 words -> kept
+      "About Us",                    // nav link -> removed
+      "some body text with Real content here.", // kept
+      "© 2026 corp",                 // copyright -> removed
+      "all Rights Reserved by us",   // copyright (case-insens) -> removed
+      "thanks for reading.",         // lowercase + '.' -> kept
+      "Privacy Policy"               // nav link -> removed
+    ).mkString("\n"))).toDF("page")
+    val r = page.select(text.stripBoilerplate(col("page")).as("s"))
+      .select(col("s.clean_text"), col("s.n_removed")).head
+    assert(r.getLong(1) == 5)
+    assert(r.getString(0) ==
+      Seq("Read The Full Story",
+        "some body text with Real content here.",
+        "thanks for reading.").mkString("\n"))
+  }
+
+  test("urlDedup collapses canonical-equal variants to one row") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "http://a.com/x?b=1&a=1"),
+      (2L, "HTTP://A.COM:80/x?a=1&b=1&utm_source=s#f"),
+      (3L, "http://a.com/y"))
+      .toDF("doc_id", "url")
+    val out = graft.operators.Dedup.urlDedup(docs, "doc_id", "url")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out("http://a.com/x?a=1&b=1") == ((2L, 1L, "1;2")))
+    assert(out("http://a.com/y") == ((1L, 3L, "3")))
+  }
+}
