@@ -15,6 +15,13 @@ import graft.operators.Dedup
   *   [-i_warc path]        start from a raw WARC crawl instead of -i:
   *                         html responses -> WET text extraction (w1/w2),
   *                         doc_id = md5(record_id), source = 'warc'
+  *   [-dedup_url 1]        FIRST pass on crawls: canonicalize the url
+  *                         column (t21 — case/ports/fragments/tracking/
+  *                         param order) and keep the min-doc_id row per
+  *                         canonical URL (d16); needs a url column
+  *                         (-i_warc provides one)
+  *   [-strip_boilerplate 1] drop nav-bar/nav-link/copyright lines (t25)
+  *                         before any text metric sees them
   *   [-normalize 1]        strip control chars, collapse whitespace (t10)
   *   [-lang en]            keep docs whose n-gram language ID matches (t3)
   *   [-min_quality 0.45]   heuristic quality floor in [0,1] (t2)
@@ -109,6 +116,24 @@ object Corpus {
       }
     record("input")
 
+    if (opts.getOrElse("dedup_url", "0") == "1") {
+      // crawl-side URL dedup (t21+d16): the cheapest pass, so it runs
+      // before any content stage touches text — one hash groupBy on the
+      // canonical URL, min-id row kept
+      require(df.columns.contains("url"),
+        "-dedup_url needs a url column (use -i_warc or provide one)")
+      val keep = Dedup.urlDedup(df, "doc_id", "url")
+        .select(col("canonical_id").as("doc_id"))
+      df = df.join(keep, Seq("doc_id"), "left_semi")
+      record("dedup_url")
+    }
+    if (opts.getOrElse("strip_boilerplate", "0") == "1") {
+      // line-level boilerplate removal (t25) ahead of the quality/lang
+      // metrics — nav bars and footers would otherwise vote in them
+      df = df.withColumn("text",
+        text.stripBoilerplate(col("text")).getField("clean_text"))
+      record("strip_boilerplate")
+    }
     if (opts.getOrElse("normalize", "0") == "1") {
       df = df.withColumn("text", trim(regexp_replace(
         regexp_replace(col("text"), lit("[\\x00-\\x1f]"), lit(" ")),

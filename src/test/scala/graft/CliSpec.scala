@@ -488,6 +488,44 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(piped.count() == 4) // all four texts distinct
   }
 
+  test("Corpus -dedup_url and -strip_boilerplate == the t21/d16/t25 " +
+    "operators (stage parity)") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.text
+    val out = s"${sys.props("java.io.tmpdir")}/graft-corpus-url-" +
+      ProcessHandle.current.pid
+    // docs 1/2 are URL-variants of the same page (case/port/utm/frag);
+    // doc 3 is distinct; every text carries a nav bar + footer
+    Seq(
+      (1L, "http://a.com/x?b=1&a=1",
+        "Home | About | Contact\nreal body one.\n© 2026 corp"),
+      (2L, "HTTP://A.COM:80/x?a=1&b=1&utm_source=s#f",
+        "Home | About | Contact\nreal body two.\n© 2026 corp"),
+      (3L, "http://a.com/y",
+        "Home | About | Contact\nreal body three.\n© 2026 corp"))
+      .toDF("doc_id", "url", "text")
+      .write.mode("overwrite").parquet(out)
+    val got = Corpus.run(spark, Map(
+      "i" -> out, "dedup_url" -> "1", "strip_boilerplate" -> "1",
+      "dedup" -> "none", "report" -> "0"))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // min-id row of the canonical-equal pair survives; boilerplate gone
+    assert(got == Map(1L -> "real body one.", 3L -> "real body three."))
+    // -dedup_url without a url column fails loudly
+    val noUrl = s"${sys.props("java.io.tmpdir")}/graft-corpus-nourl-" +
+      ProcessHandle.current.pid
+    Seq((1L, "t")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(noUrl)
+    val e = intercept[IllegalArgumentException] {
+      Corpus.run(spark, Map("i" -> noUrl, "dedup_url" -> "1",
+        "dedup" -> "none", "report" -> "0"))
+    }
+    assert(e.getMessage.contains("url column"))
+  }
+
   test("Corpus -train_vocab writes the t18 chars+merges vocabulary, " +
     "identical to calling Tokenizer.bpeVocab directly") {
     val sf = "/root/testdata/sf0.001"
