@@ -59,6 +59,14 @@ import graft.operators.Dedup
   *   [-train_vocab n,p]    learn n BPE merges from the surviving corpus
   *                         (t18) and write the chars+merges vocab parquet
   *                         to p — feed it back as -vocab next run
+  *   [-train_merges n,p]   write the ORDERED merge table itself
+  *                         (rank, s1, s2, merged, pair_count) to p —
+  *                         feed it back as -encode_bpe next run
+  *   [-encode_bpe p]       BPE-encode each doc's text with the trained
+  *                         merge parquet at p (t23): adds tokens +
+  *                         n_tokens columns; merges bake into the plan
+  *                         as literals (vocab-sized driver read), so the
+  *                         encode is zero-join zero-shuffle codegen
   *   [-format parquet]     parquet | jsonl output
   *   [-partition_by cols]  hive-partitioned output directories (comma
   *                         list, e.g. source or source,lang)
@@ -280,6 +288,22 @@ object Corpus {
       case other => sys.error(s"unknown -dedup mode: $other")
     }
 
+    opts.get("encode_bpe").foreach { p =>
+      // t23: encode with a trained merge table. The merge list is
+      // vocab-sized (a broadcast-dim-scale driver read) and bakes into
+      // the expression as literals — the per-doc encode then runs as
+      // zero-join zero-shuffle whole-stage codegen.
+      val m = spark.read.parquet(p)
+      require(Seq("rank", "s1", "s2").forall(m.columns.contains),
+        s"-encode_bpe parquet at $p needs (rank, s1, s2) columns " +
+          "(write one with -train_merges)")
+      val merges = m.orderBy("rank").collect()
+        .map(r => (r.getAs[String]("s1"), r.getAs[String]("s2"))).toSeq
+      df = df.withColumn("tokens", text.bpeEncode(col("text"), merges))
+        .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      record(s"encode_bpe=${merges.length}")
+    }
+
     // training-example shaping (the pipeline's LAST stage — after dedup,
     // so budgets count surviving text only). The two shapers target
     // opposite doc-length regimes, so exactly one may run:
@@ -353,6 +377,18 @@ object Corpus {
       require(parts.length == 2,
         s"-train_vocab wants merges,outPath — got '$spec'")
       operators.Tokenizer.bpeVocab(df, "text", parts(0).toInt)
+        .coalesce(1).write.mode("overwrite").parquet(parts(1))
+    }
+
+    // -train_merges n,path: the ordered merge table for -encode_bpe —
+    // train (t18) and encode (t23) share the replace-twice contract, so
+    // a corpus encoded with its own merges reproduces training's word
+    // segmentations exactly
+    opts.get("train_merges").foreach { spec =>
+      val parts = spec.split(",", 2).map(_.trim)
+      require(parts.length == 2,
+        s"-train_merges wants merges,outPath — got '$spec'")
+      operators.Tokenizer.bpeTrain(df, "text", parts(0).toInt)
         .coalesce(1).write.mode("overwrite").parquet(parts(1))
     }
 

@@ -302,6 +302,36 @@ object text {
   def vocabTokenCount(t: Column, vmap: Column, maxLen: Int): Column =
     vocabTokenStats(t, vmap, maxLen).getField("vocab_tokens")
 
+  /** BPE ENCODE with a trained merge list (the consumer of
+    * [[graft.operators.Tokenizer.bpeTrain]]'s output): each word becomes
+    * its character sequence, then every merge applies in rank order under
+    * the exact contract training uses — symbols in a single-space-joined
+    * string with sentinel spaces, `replace(" a b ", " ab ")` applied
+    * TWICE per merge (one pass misses occurrences whose leading space the
+    * preceding replacement consumed; blocked occurrences are never
+    * adjacent, so the second pass reaches the fixpoint). Because encode
+    * and train share the contract verbatim, a corpus encoded with its own
+    * trained merges reproduces training's word segmentations exactly.
+    * Returns the document's token array (per-word segmentations
+    * flattened in word order). Merges are plan-time literals — the merge
+    * table is vocab-sized (hundreds of rows), a broadcast-dim-scale
+    * driver read, and baking it into the expression keeps the whole
+    * encode inside whole-stage codegen with zero joins and zero shuffle.
+    */
+  def bpeEncode(t: Column, merges: Seq[(String, String)]): Column = {
+    val perWord = transform(words(t), w => {
+      val sym0 = concat(lit(" "),
+        array_join(array_remove(split(w, ""), ""), " "), lit(" "))
+      val sym = merges.foldLeft(sym0) { case (s, (a, b)) =>
+        val needle = lit(s" $a $b ")
+        val repl = lit(s" $a$b ")
+        replace(replace(s, needle, repl), needle, repl)
+      }
+      split(trim(sym), " ")
+    })
+    flatten(perWord)
+  }
+
   /** Query parameters dropped by [[canonicalUrl]]: the cross-site tracking
     * keys every crawl pipeline strips before URL-level dedup (utm_* plus
     * the google/facebook click ids) — they vary per referral, not per page.

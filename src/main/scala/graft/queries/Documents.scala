@@ -129,6 +129,26 @@ object Documents {
       |    ELSE 'thanks for reading.' END) ||
       |  chr(10) || 'Privacy Policy')""".stripMargin
 
+  /** Fixed merge list for t23 (rank order): chained merges assemble
+    * "table" bottom-up from characters, plus an independent pair, so the
+    * gate exercises both merge chaining and order dependence.
+    */
+  private val gateMerges: Seq[(String, String)] = Seq(
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("s", "c"), ("sc", "a"))
+
+  /** DuckDB replica of text.bpeEncode's per-word pass over a column
+    * expression: sentinel-spaced chars, then each gateMerges entry as
+    * replace() applied twice (the t18 contract, shared verbatim).
+    */
+  private def bpeEncodeSql(wordExpr: String): String = {
+    val sym0 = s"(' ' || array_to_string(regexp_extract_all($wordExpr," +
+      s" '.'), ' ') || ' ')"
+    gateMerges.foldLeft(sym0) { case (s, (a, b)) =>
+      s"replace(replace($s, ' $a $b ', ' $a$b '), ' $a $b ', ' $a$b ')"
+    }
+  }
+
   /** DuckDB replica of text.isBoilerplateLine (l is a line expression). */
   private def boilerLineSql(l: String): String =
     s"""((len(str_split(trim($l), ' | ')) >= 3
@@ -560,6 +580,17 @@ object Documents {
       graft.operators.Dedup.urlDedup(
         t(s, dir, "documents").select(col("doc_id"), messyUrl.as("url")),
         "doc_id", "url")
+    }),
+
+    "t23_bpe_encode" -> ((s, dir) => {
+      // BPE encode with a fixed merge list (training itself is t18's
+      // gate): chained merges build "table" bottom-up and the per-word
+      // segmentations flatten in word order. Zero shuffle, zero joins —
+      // the merges are plan-time literals.
+      val toks = text.bpeEncode(col("text"), gateMerges)
+      t(s, dir, "documents").select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        md5(array_join(toks, " ")).as("tokens_fp"))
     }),
 
     "t25_boilerplate" -> ((s, dir) => {
@@ -1361,6 +1392,25 @@ object Documents {
          |  string_agg(CAST(doc_id AS VARCHAR), ';'
          |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
          |FROM q GROUP BY 1""".stripMargin,
+
+    "t23_bpe_encode" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS wd,
+         |    unnest(range(1, len(regexp_extract_all(lower(text),
+         |      '[a-z]+')) + 1)) AS wi
+         |  FROM documents),
+         |enc AS (
+         |  SELECT doc_id, wi, trim(${bpeEncodeSql("wd")}) AS sym
+         |  FROM w),
+         |agg AS (
+         |  SELECT doc_id,
+         |    string_agg(sym, ' ' ORDER BY wi) AS stream
+         |  FROM enc GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CAST(len(str_split(stream, ' ')) AS BIGINT) AS n_tokens,
+         |  md5(stream) AS tokens_fp
+         |FROM agg""".stripMargin,
 
     "t25_boilerplate" ->
       s"""WITH m AS (

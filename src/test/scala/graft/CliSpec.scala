@@ -542,6 +542,34 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want && got.nonEmpty)
   }
 
+  test("Corpus -train_merges then -encode_bpe: a corpus encoded with " +
+    "its own merges reproduces training's segmentations") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    val in = s"${sys.props("java.io.tmpdir")}/graft-corpus-bpe-in-" +
+      ProcessHandle.current.pid
+    val mp = s"${sys.props("java.io.tmpdir")}/graft-corpus-bpe-m-" +
+      ProcessHandle.current.pid
+    // 'aa' dominates pair counts -> merge 1 = (a,a); merge 2 then pairs
+    // the merged token with b in "aab"
+    Seq((1L, "aab aab aa"), (2L, "aa aab xy"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    Corpus.run(spark, Map("i" -> in, "dedup" -> "none",
+      "train_merges" -> s"2,$mp", "report" -> "0"))
+    val m = spark.read.parquet(mp).orderBy("rank").collect()
+      .map(r => (r.getAs[String]("s1"), r.getAs[String]("s2")))
+    assert(m.head == (("a", "a")))
+    val got = Corpus.run(spark, Map("i" -> in, "dedup" -> "none",
+      "encode_bpe" -> mp, "report" -> "0"))
+      .select("doc_id", "tokens", "n_tokens").collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getLong(2))))
+      .toMap
+    // merges (a,a) then (aa,b): "aab" -> [aab], "aa" -> [aa]
+    assert(got(1L) == ((Seq("aab", "aab", "aa"), 3L)))
+    assert(got(2L) == ((Seq("aa", "aab", "x", "y"), 4L)))
+  }
+
   test("Corpus rejects -chunk combined with -pack") {
     val sf = "/root/testdata/sf0.001"
     val e = intercept[IllegalArgumentException] {

@@ -176,6 +176,31 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
         "thanks for reading.").mkString("\n"))
   }
 
+  test("bpeEncode applies merges in rank order with the replace-twice " +
+    "fixpoint") {
+    val s = spark
+    import s.implicits._
+    val merges = Seq(("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+      ("a", "b"))
+    val rows = Seq(
+      // chained merges assemble the full word
+      ("table", Seq("table")),
+      // rank order: t+a fires first, so a+b never sees "ab" inside "tab"
+      ("tab", Seq("tab")),
+      // back-to-back occurrences: the second replace pass catches the
+      // occurrence whose leading space pass one consumed
+      ("abab", Seq("ab", "ab")),
+      // untouched word stays characters
+      ("xyz", Seq("x", "y", "z")),
+      // multi-word text flattens in word order
+      ("table xyz", Seq("table", "x", "y", "z")))
+      .toDF("text", "expected")
+    val bad = rows
+      .withColumn("got", text.bpeEncode(col("text"), merges))
+      .where(col("got") =!= col("expected")).collect()
+    assert(bad.isEmpty, bad.mkString(";"))
+  }
+
   test("urlDedup collapses canonical-equal variants to one row") {
     val s = spark
     import s.implicits._
