@@ -315,8 +315,10 @@ object text {
     * Returns the document's token array (per-word segmentations
     * flattened in word order). Merges are plan-time literals — the merge
     * table is vocab-sized (hundreds of rows), a broadcast-dim-scale
-    * driver read, and baking it into the expression keeps the whole
-    * encode inside whole-stage codegen with zero joins and zero shuffle.
+    * driver read, and baking it into the expression keeps the encode a
+    * zero-join zero-shuffle single-pass projection (the per-word lambda
+    * evaluates as a native interpreted expression; the nested replaces
+    * inside it are ordinary scalar functions).
     */
   def bpeEncode(t: Column, merges: Seq[(String, String)]): Column = {
     val perWord = transform(words(t), w => {
@@ -387,8 +389,10 @@ object text {
 
   /** Strip boilerplate lines from a page: returns
     * struct(clean_text, n_removed). One split + one filter per row —
-    * no shuffle, no UDF; the whole pass stays inside whole-stage codegen
-    * on a 100 TB corpus scan.
+    * no shuffle, no UDF, no JVM object churn beyond the line array; the
+    * whole pass is a single projection over the corpus scan (the filter
+    * lambda evaluates as a native interpreted expression, everything
+    * else codegens).
     */
   def stripBoilerplate(page: Column): Column = {
     val lines = split(page, "\n")

@@ -407,6 +407,41 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("bounded_top_k"), p)
   }
 
+  test("g9 flagstat: one partial-aggregated pass — 12 longs cross the " +
+    "exchange, never read rows") {
+    graft.fixtures.GenomicFixtures.ensure(spark)
+    val p = plan("g9_flagstat")
+    // map-side partial aggregation collapses every scan task to one row
+    // of counters before the single-partition exchange
+    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+    // no hash exchange on a data column — the only shuffle is the
+    // 1-row final-aggregate gather
+    assert(!p.contains("hashpartitioning(qname"), p)
+    assert(!p.contains("hashpartitioning(rname"), p)
+  }
+
+  test("g11 mendel: the trio table joins by BROADCAST — the genotype " +
+    "matrix is never on the small side") {
+    graft.fixtures.GenomicFixtures.ensure(spark)
+    val p = plan("g11_mendel")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t21/t25/t23 URL canonicalization, boilerplate strip and BPE " +
+    "encode run with ZERO exchanges — one projection over the scan") {
+    for (name <- Seq("t21_url_normalize", "t25_boilerplate",
+      "t23_bpe_encode")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+      // '*(n)' is executedPlan.toString's whole-stage-codegen marker
+      // (the scan side codegens; the array-lambda subtrees evaluate as
+      // interpreted expressions inside the same single pass)
+      assert(p.contains("*("), s"$name has no codegen stage:\n$p")
+    }
+  }
+
   test("m6 phash pairs: no dedup pass — ownership is an inline filter, " +
     "and the only aggregation is the skew-cap window") {
     graft.fixtures.GenomicFixtures.ensure(spark)

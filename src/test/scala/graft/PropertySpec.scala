@@ -33,6 +33,45 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
   private def sample[A](g: Gen[A], seed: Long): A =
     g.apply(Gen.Parameters.default, Seed(seed)).get
 
+  test("canonicalUrl is idempotent and collapses every messy variant " +
+    "of a canonical URL to it") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.text
+    // generate canonical forms, then messy variants: scheme/host case
+    // flips, a scheme-default port, tracking params spliced at random
+    // positions, a fragment
+    val gen = Gen.listOfN(200, for {
+      scheme <- Gen.oneOf("http", "https")
+      host <- Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+      path <- Gen.oneOf("", "/x", "/A/b", "/p/q/R")
+      params <- Gen.someOf(Seq("a=1", "b=2", "c=x")).map(_.sorted)
+      upHost <- Gen.oneOf(true, false)
+      upScheme <- Gen.oneOf(true, false)
+      port <- Gen.oneOf(true, false)
+      track <- Gen.someOf(Seq("utm_source=s", "gclid=9", "ref=r"))
+      frag <- Gen.oneOf("", "#top")
+    } yield {
+      val q = if (params.isEmpty) "" else "?" + params.mkString("&")
+      val canonical =
+        s"$scheme://$host.com${if (path.isEmpty) "/" else path}$q"
+      val allParams = (params ++ track).reverse // unsorted on purpose
+      val mq = if (allParams.isEmpty) "" else "?" + allParams.mkString("&")
+      val p = if (port) (if (scheme == "http") ":80" else ":443") else ""
+      val messy = (if (upScheme) scheme.toUpperCase else scheme) +
+        "://" + (if (upHost) s"$host.COM" else s"$host.com") + p +
+        path + mq + frag
+      (messy, canonical)
+    })
+    val rows = sample(gen, 47L).toDF("messy", "expected")
+    val out = rows
+      .withColumn("got", text.canonicalUrl(col("messy")))
+      .withColumn("again", text.canonicalUrl(col("got")))
+    val bad = out.where(col("got") =!= col("expected") ||
+      col("again") =!= col("got")).collect()
+    assert(bad.isEmpty, bad.take(5).mkString("\n"))
+  }
+
   test("as-of join == brute-force latest-at-or-before on random data") {
     val s = spark
     import s.implicits._
