@@ -113,6 +113,14 @@ object Genomic {
       graft.operators.Coverage.coverage(reads)
     }),
 
+    "f10_fastq_read" -> ((s, _) => {
+      // FASTQ source: 4-line records with NO sync marker (quality lines
+      // legally start with '@'/'+' — the fixture has both), so records
+      // key on the global line ordinal: zipWithIndex + one record-index
+      // exchange with map-side 4-line collapse
+      graft.sources.Fastq.read(s, s"${GenomicFixtures.rawDir}/reads.fastq")
+    }),
+
     "g9_flagstat" -> ((s, _) => {
       // samtools flagstat: the 12 classic counters as (metric, n_reads)
       // rows from ONE conditional-sum aggregate — each scan task ships 12
@@ -473,6 +481,28 @@ object Genomic {
          |  FROM m)
          |SELECT chrom, pos AS seg_start, nxt - 1 AS seg_end, depth
          |FROM c WHERE depth > 0 AND nxt IS NOT NULL""".stripMargin,
+
+    "f10_fastq_read" ->
+      s"""WITH t AS (
+         |  SELECT string_split(rtrim(content, chr(10)), chr(10)) AS ls
+         |  FROM read_text('$raw/reads.fastq')),
+         |l AS (
+         |  SELECT unnest(ls) AS line, unnest(range(0, len(ls))) AS i
+         |  FROM t),
+         |g AS (
+         |  SELECT i // 4 AS rec,
+         |    max(CASE WHEN i % 4 = 0 THEN line END) AS h,
+         |    max(CASE WHEN i % 4 = 1 THEN line END) AS sequence,
+         |    max(CASE WHEN i % 4 = 2 THEN line END) AS plus,
+         |    max(CASE WHEN i % 4 = 3 THEN line END) AS quality
+         |  FROM l GROUP BY 1)
+         |SELECT rec, regexp_extract(h, '^@(\\S*)', 1) AS read_id,
+         |  nullif(regexp_extract(h, '^@\\S*\\s+(.*)$$', 1), '')
+         |    AS description,
+         |  sequence, quality,
+         |  (starts_with(h, '@') AND starts_with(plus, '+')
+         |    AND length(sequence) = length(quality)) AS well_formed
+         |FROM g""".stripMargin,
 
     "g9_flagstat" ->
       s"""WITH lines AS (

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FASTQ read source (the sequencing ecosystem's raw-reads format):
+  * 4-line records — @header, sequence, '+'[description], quality.
+  *
+  * Unlike every other text format here, FASTQ carries NO per-record sync
+  * marker a boundary scan could anchor on: quality lines legally start
+  * with '@' (Phred+33 Q31) or '+', so splitting on "\n@" (or any
+  * separator) mis-cuts records on perfectly valid data. The only sound
+  * record identity is the LINE NUMBER — record = line/4 — so the reader
+  * pays for it explicitly: `zipWithIndex` assigns global line numbers
+  * (one extra count job over the splittable text scan), then records
+  * assemble through ONE hash exchange on the record ordinal, with the
+  * map-side partial aggregate collapsing each record's 4 lines before
+  * they ship. Both scan and assembly parallelize across executors; the
+  * zero-shuffle upgrade path, if FASTQ ingest ever dominates a profile,
+  * is the classic Hadoop lookahead record reader (read past the split
+  * end to finish the straddling record, skip the leading partial) as a
+  * custom InputFormat.
+  *
+  * Multi-file inputs are fine (each well-formed FASTQ file has a
+  * multiple-of-4 line count, so the global ordinal stays phase-aligned
+  * across file boundaries); `rec` is the record ordinal in scan order.
+  * Malformed records surface as `well_formed = false` rather than
+  * corrupting neighbors — the caller decides whether to drop or fail.
+  */
+object Fastq {
+
+  /** `minPartitions` forces the text scan to split (SourcesSpec uses it
+    * to prove records assemble identically when splits land mid-record).
+    */
+  def read(spark: SparkSession, path: String,
+           minPartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val raw =
+      if (minPartitions > 0) spark.sparkContext.textFile(path, minPartitions)
+      else spark.sparkContext.textFile(path)
+    val lines = raw.zipWithIndex()
+      .map { case (l, i) =>
+        (i / 4, (i % 4).toInt, l.stripSuffix("\r"))
+      }
+      .toDF("rec", "pos", "line")
+    def at(p: Int) = max(when(col("pos") === p, col("line")))
+    lines.groupBy("rec")
+      .agg(at(0).as("h"), at(1).as("sequence"), at(2).as("plus"),
+        at(3).as("quality"))
+      .select(
+        col("rec"),
+        regexp_extract(col("h"), "^@(\\S*)", 1).as("read_id"),
+        nullif(regexp_extract(col("h"), "^@\\S*\\s+(.*)$", 1), lit(""))
+          .as("description"),
+        col("sequence"),
+        col("quality"),
+        (col("h").startsWith("@") && col("plus").startsWith("+") &&
+          length(col("sequence")) === length(col("quality")))
+          .as("well_formed"))
+  }
+}

@@ -131,6 +131,34 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back("rs2").getLong(1) == 5L)
   }
 
+  test("FASTQ reader survives '@'-leading quality lines and forced " +
+    "multi-split reads") {
+    import graft.sources.Fastq
+    val path = s"${graft.fixtures.GenomicFixtures.rawDir}/reads.fastq"
+    val rows = Fastq.read(spark, path).collect()
+      .map(r => r.getString(1) ->
+        ((Option(r.getString(2)), r.getString(3), r.getString(4),
+          r.getBoolean(5)))).toMap
+    assert(rows.size == 4)
+    // r2's quality starts with '@' — the record a "\n@" splitter would
+    // cut in half; the line-ordinal reader keeps it intact
+    assert(rows("r2") ==
+      ((None, "GGGGCCCCAAAATTTT", "@ABCDEFGHIJKLMNO", true)))
+    // r3: '+'-leading quality, description after the id
+    assert(rows("r3") ==
+      ((Some("sample=x"), "ACGTNNACGT", "+IIIIIIII@", true)))
+    assert(rows("r1")._1 == Some("len=30"))
+    // splittability: force many tiny splits — the record-ordinal
+    // assembly must produce the identical 4 records
+    val split = Fastq.read(spark, path, minPartitions = 7).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3),
+        r.getString(4))).sortBy(_._1)
+    val whole = Fastq.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3),
+        r.getString(4))).sortBy(_._1)
+    assert(split.toSeq == whole.toSeq)
+  }
+
   test("canonicalUrl: case, ports, fragments, tracking, param order") {
     val s = spark
     import s.implicits._

@@ -563,3 +563,18 @@ sam_rows = [
 ]
 with open(os.path.join(OUT, "aligned.sam"), "w") as f:
     f.write("\n".join(sam_rows) + "\n")
+
+# FASTQ reads: 4-line records with NO per-record sync marker — quality
+# lines legally start with '@' (Phred+33 Q31) or '+', which is exactly
+# what breaks naive "\n@" record splitting. r2 and r3 exercise those
+# traps; r2's '+' line carries the optional repeated description.
+fastq_rows = [
+    ("r1 len=30", "ACGTACGTACGTACGTACGTACGTACGTAC", "+",
+     "IIIIIIIIIIIIIIIIIIIIIIIIIIIIII"),
+    ("r2", "GGGGCCCCAAAATTTT", "+r2", "@ABCDEFGHIJKLMNO"),
+    ("r3 sample=x", "ACGTNNACGT", "+", "+IIIIIIII@"),
+    ("r4", "A", "+", "!"),
+]
+with open(os.path.join(OUT, "reads.fastq"), "w") as f:
+    for h, s, p, q in fastq_rows:
+        f.write("@%s\n%s\n%s\n%s\n" % (h, s, p, q))
