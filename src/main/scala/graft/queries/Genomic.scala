@@ -170,6 +170,37 @@ object Genomic {
           array_join(col("genotypes"), ",").as("genotypes"))
     }),
 
+    "g12_pileup_bases" -> ((s, _) => {
+      // per-position base composition (samtools mpileup): CIGAR ops
+      // carry running (ref, read) offset pairs from ONE per-row fold,
+      // aligned ops explode to (pos, base), then one groupBy ships 4
+      // counters per position — never base rows
+      val reads = graft.sources.Sam
+        .read(s, s"${GenomicFixtures.rawDir}/aligned.sam")
+        .where(col("pos").isNotNull && !col("is_secondary") &&
+          !col("is_dup"))
+        .select(col("rname").as("chrom"), col("pos"), col("cigar"),
+          col("seq"))
+      graft.operators.Pileup.baseCounts(reads)
+    }),
+
+    "g13_variant_calls" -> ((s, _) => {
+      // naive SNV calling (bcftools-call-lite): pileup x reference base
+      // table, most-supported non-ref base, depth/VAF thresholds; the
+      // fixture's depth-2 run (r1 x r9 over ref mismatches) is what
+      // actually calls
+      prep(s)
+      val reads = graft.sources.Sam
+        .read(s, s"${GenomicFixtures.rawDir}/aligned.sam")
+        .where(col("pos").isNotNull && !col("is_secondary") &&
+          !col("is_dup"))
+        .select(col("rname").as("chrom"), col("pos"), col("cigar"),
+          col("seq"))
+      graft.operators.Pileup.callVariants(reads,
+        s.read.parquet(s"$fx/ref_bases.parquet"),
+        minDepth = 2, minVaf = 0.5)
+    }),
+
     "b1_bed_read" -> ((s, _) => {
       // BED region source: track/comment lines dropped map-side, optional
       // cols null-padded; plus the 1-based inclusive conversion the
@@ -549,6 +580,134 @@ object Genomic {
          |    ('with_itself_and_mate_mapped', c_matemapped),
          |    ('singletons', c_singletons),
          |    ('mate_diff_chrom', c_diffchrom)) AS m(metric, n)""".stripMargin,
+
+    "g12_pileup_bases" ->
+      s"""WITH lines AS (
+         |  SELECT unnest(string_split(content, chr(10))) AS l
+         |  FROM read_text('$raw/aligned.sam')),
+         |a AS (
+         |  SELECT string_split(l, chr(9)) AS f FROM lines
+         |  WHERE len(trim(l)) > 0 AND NOT starts_with(l, '@')),
+         |reads AS (
+         |  SELECT nullif(f[3], '*') AS chrom,
+         |    nullif(CAST(f[4] AS BIGINT), 0) AS rpos,
+         |    f[6] AS cigar, nullif(f[10], '*') AS seq,
+         |    regexp_extract_all(f[6], '(\\d+)([MIDNSHP=X])', 0) AS ops
+         |  FROM a
+         |  WHERE nullif(CAST(f[4] AS BIGINT), 0) IS NOT NULL
+         |    AND (CAST(f[2] AS INT) & 256) = 0
+         |    AND (CAST(f[2] AS INT) & 1024) = 0
+         |    AND f[6] <> '*' AND f[10] <> '*'),
+         |o AS (
+         |  SELECT chrom, rpos, seq, ops,
+         |    unnest(range(1, len(ops) + 1)) AS oi
+         |  FROM reads),
+         |seg AS (
+         |  SELECT chrom, rpos, seq,
+         |    right(ops[oi], 1) AS op,
+         |    CAST(regexp_extract(ops[oi], '(\\d+)', 1) AS BIGINT)
+         |      AS oplen,
+         |    coalesce(list_sum([CASE WHEN right(ops[j], 1)
+         |        IN ('M', 'D', 'N', '=', 'X')
+         |      THEN CAST(regexp_extract(ops[j], '(\\d+)', 1) AS BIGINT)
+         |      ELSE 0 END for j in range(1, oi)]), 0) AS refoff,
+         |    coalesce(list_sum([CASE WHEN right(ops[j], 1)
+         |        IN ('M', 'I', 'S', '=', 'X')
+         |      THEN CAST(regexp_extract(ops[j], '(\\d+)', 1) AS BIGINT)
+         |      ELSE 0 END for j in range(1, oi)]), 0) AS readoff
+         |  FROM o),
+         |b AS (
+         |  SELECT chrom, CAST(rpos + refoff + k AS BIGINT) AS pos,
+         |    upper(substr(seq, CAST(readoff + k + 1 AS INT), 1)) AS base
+         |  FROM (SELECT *, unnest(range(0, oplen)) AS k FROM seg
+         |        WHERE op IN ('M', '=', 'X')))
+         |SELECT chrom, pos,
+         |  CAST(sum(CASE WHEN base = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_a,
+         |  CAST(sum(CASE WHEN base = 'C' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_c,
+         |  CAST(sum(CASE WHEN base = 'G' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_g,
+         |  CAST(sum(CASE WHEN base = 'T' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_t,
+         |  count(*) AS depth
+         |FROM b GROUP BY chrom, pos""".stripMargin,
+
+    "g13_variant_calls" ->
+      s"""WITH lines AS (
+         |  SELECT unnest(string_split(content, chr(10))) AS l
+         |  FROM read_text('$raw/aligned.sam')),
+         |a AS (
+         |  SELECT string_split(l, chr(9)) AS f FROM lines
+         |  WHERE len(trim(l)) > 0 AND NOT starts_with(l, '@')),
+         |reads AS (
+         |  SELECT nullif(f[3], '*') AS chrom,
+         |    nullif(CAST(f[4] AS BIGINT), 0) AS rpos,
+         |    f[6] AS cigar, nullif(f[10], '*') AS seq,
+         |    regexp_extract_all(f[6], '(\\d+)([MIDNSHP=X])', 0) AS ops
+         |  FROM a
+         |  WHERE nullif(CAST(f[4] AS BIGINT), 0) IS NOT NULL
+         |    AND (CAST(f[2] AS INT) & 256) = 0
+         |    AND (CAST(f[2] AS INT) & 1024) = 0
+         |    AND f[6] <> '*' AND f[10] <> '*'),
+         |o AS (
+         |  SELECT chrom, rpos, seq, ops,
+         |    unnest(range(1, len(ops) + 1)) AS oi
+         |  FROM reads),
+         |seg AS (
+         |  SELECT chrom, rpos, seq,
+         |    right(ops[oi], 1) AS op,
+         |    CAST(regexp_extract(ops[oi], '(\\d+)', 1) AS BIGINT)
+         |      AS oplen,
+         |    coalesce(list_sum([CASE WHEN right(ops[j], 1)
+         |        IN ('M', 'D', 'N', '=', 'X')
+         |      THEN CAST(regexp_extract(ops[j], '(\\d+)', 1) AS BIGINT)
+         |      ELSE 0 END for j in range(1, oi)]), 0) AS refoff,
+         |    coalesce(list_sum([CASE WHEN right(ops[j], 1)
+         |        IN ('M', 'I', 'S', '=', 'X')
+         |      THEN CAST(regexp_extract(ops[j], '(\\d+)', 1) AS BIGINT)
+         |      ELSE 0 END for j in range(1, oi)]), 0) AS readoff
+         |  FROM o),
+         |b AS (
+         |  SELECT chrom, CAST(rpos + refoff + k AS BIGINT) AS pos,
+         |    upper(substr(seq, CAST(readoff + k + 1 AS INT), 1)) AS base
+         |  FROM (SELECT *, unnest(range(0, oplen)) AS k FROM seg
+         |        WHERE op IN ('M', '=', 'X'))),
+         |p AS (
+         |  SELECT chrom, pos,
+         |    CAST(sum(CASE WHEN base = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(sum(CASE WHEN base = 'C' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_c,
+         |    CAST(sum(CASE WHEN base = 'G' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_g,
+         |    CAST(sum(CASE WHEN base = 'T' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_t,
+         |    count(*) AS depth
+         |  FROM b GROUP BY chrom, pos),
+         |j AS (
+         |  SELECT p.*, r.ref FROM p
+         |  JOIN ${pq("ref_bases")} r USING (chrom, pos)),
+         |u AS (
+         |  SELECT chrom, pos, ref, depth, unnest([
+         |    struct_pack(cnt := CASE WHEN ref = 'A'
+         |      THEN CAST(-1 AS BIGINT) ELSE n_a END, base := 'A'),
+         |    struct_pack(cnt := CASE WHEN ref = 'C'
+         |      THEN CAST(-1 AS BIGINT) ELSE n_c END, base := 'C'),
+         |    struct_pack(cnt := CASE WHEN ref = 'G'
+         |      THEN CAST(-1 AS BIGINT) ELSE n_g END, base := 'G'),
+         |    struct_pack(cnt := CASE WHEN ref = 'T'
+         |      THEN CAST(-1 AS BIGINT) ELSE n_t END, base := 'T')
+         |  ]) AS cand FROM j),
+         |m AS (
+         |  SELECT chrom, pos, ref, depth, max(cand) AS alt
+         |  FROM u GROUP BY chrom, pos, ref, depth)
+         |SELECT chrom, pos, ref, alt.base AS alt, depth,
+         |  alt.cnt AS alt_count,
+         |  round(alt.cnt::DOUBLE / depth, 5) AS vaf
+         |FROM m
+         |WHERE depth >= 2 AND alt.cnt > 0
+         |  AND alt.cnt::DOUBLE / depth >= 0.5""".stripMargin,
 
     "g10_vcf_stats" ->
       s"""WITH c AS (

@@ -131,6 +131,53 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back("rs2").getLong(1) == 5L)
   }
 
+  test("pileup maps read bases through D/I/S CIGAR ops to the right " +
+    "reference positions") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Pileup
+    val reads = Seq(
+      ("1", 10L, "3M", "ACG"),        // 10:A 11:C 12:G
+      ("1", 11L, "1M1D2M", "CTT"),    // 11:C, D skips 12, 13:T 14:T
+      ("1", 10L, "2M1I1M", "AAGC"),   // 10:A 11:A, I consumes G, 12:C
+      ("1", 20L, "2S2M", "GGTT")      // clips consume read: 20:T 21:T
+    ).toDF("chrom", "pos", "cigar", "seq")
+    val out = Pileup.baseCounts(reads).collect()
+      .map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(out(10L) == ((2L, 0L, 0L, 0L, 2L))) // A,A
+    assert(out(11L) == ((1L, 2L, 0L, 0L, 3L))) // C,C,A
+    assert(out(12L) == ((0L, 1L, 1L, 0L, 2L))) // G (3M), C (after I)
+    assert(out(13L) == ((0L, 0L, 0L, 1L, 1L)))
+    assert(out(20L) == ((0L, 0L, 0L, 1L, 1L))) // soft clip skipped
+    assert(!out.contains(22L))
+  }
+
+  test("variant calls pick the best non-ref base over depth/VAF floors") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Pileup
+    // pos 10: ref A, 2xA -> no alt support, no call
+    // pos 11: ref G, C+C+A -> alt C at vaf 2/3, called
+    // pos 12: ref G, G+C -> alt C vaf 0.5, called at minVaf 0.5
+    // pos 13: depth 1 -> below minDepth
+    val reads = Seq(
+      ("1", 10L, "3M", "ACG"),
+      ("1", 11L, "1M1D2M", "CTT"),
+      ("1", 10L, "2M1I1M", "AAGC"))
+      .toDF("chrom", "pos", "cigar", "seq")
+    val ref = Seq(("1", 10L, "A"), ("1", 11L, "G"), ("1", 12L, "G"),
+      ("1", 13L, "T"), ("1", 14L, "T")).toDF("chrom", "pos", "ref")
+    val out = Pileup.callVariants(reads, ref, minDepth = 2, minVaf = 0.5)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getString(2), r.getString(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    assert(out(11L) == (("G", "C", 3L, 2L, 0.66667)))
+    assert(out(12L) == (("G", "C", 2L, 1L, 0.5)))
+    assert(!out.contains(10L) && !out.contains(13L) && !out.contains(14L))
+  }
+
   test("FASTQ reader survives '@'-leading quality lines and forced " +
     "multi-split reads") {
     import graft.sources.Fastq
