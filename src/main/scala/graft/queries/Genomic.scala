@@ -201,6 +201,28 @@ object Genomic {
         minDepth = 2, minVaf = 0.5)
     }),
 
+    "g14_feature_counts" -> ((s, _) => {
+      // featureCounts (union mode): reads overlapping ANY exon of a
+      // transcript count once — g4's binned overlap join (exact, no
+      // dedup shuffle) then a two-level distinct-read count per
+      // transcript. The whole composition is reads → spans → binned
+      // equi-join → one aggregation.
+      prep(s)
+      val reads = graft.sources.Sam
+        .read(s, s"${GenomicFixtures.rawDir}/aligned.sam")
+        .where(col("pos").isNotNull && !col("is_secondary") &&
+          !col("is_dup"))
+        .select(col("rname").as("chrom"), col("qname"),
+          col("pos").as("start"), col("ref_end").as("end"))
+      val exons = s.read.parquet(s"$fx/exons.parquet")
+        .select(col("chrom"), col("transcript_id"),
+          col("start").as("start2"), col("end").as("end2"))
+      IntervalJoin.overlapJoin(reads, exons, Seq("chrom"), binSize = 20)
+        .groupBy(col("transcript_id"), col("qname")).agg(count(lit(1)))
+        .groupBy(col("transcript_id"))
+        .agg(count(lit(1)).as("n_reads"))
+    }),
+
     "b1_bed_read" -> ((s, _) => {
       // BED region source: track/comment lines dropped map-side, optional
       // cols null-padded; plus the 1-based inclusive conversion the
@@ -708,6 +730,32 @@ object Genomic {
          |FROM m
          |WHERE depth >= 2 AND alt.cnt > 0
          |  AND alt.cnt::DOUBLE / depth >= 0.5""".stripMargin,
+
+    "g14_feature_counts" ->
+      s"""WITH lines AS (
+         |  SELECT unnest(string_split(content, chr(10))) AS l
+         |  FROM read_text('$raw/aligned.sam')),
+         |a AS (
+         |  SELECT string_split(l, chr(9)) AS f FROM lines
+         |  WHERE len(trim(l)) > 0 AND NOT starts_with(l, '@')),
+         |reads AS (
+         |  SELECT f[1] AS qname, nullif(f[3], '*') AS chrom,
+         |    nullif(CAST(f[4] AS BIGINT), 0) AS s,
+         |    nullif(CAST(f[4] AS BIGINT), 0) + CAST(list_sum(
+         |      list_transform(
+         |        regexp_extract_all(f[6], '(\\d+)([MIDNSHP=X])', 0),
+         |        tok -> CASE WHEN right(tok, 1) IN
+         |            ('M', 'D', 'N', '=', 'X')
+         |          THEN CAST(regexp_extract(tok, '(\\d+)', 1) AS BIGINT)
+         |          ELSE 0 END)) AS BIGINT) - 1 AS e
+         |  FROM a
+         |  WHERE nullif(CAST(f[4] AS BIGINT), 0) IS NOT NULL
+         |    AND (CAST(f[2] AS INT) & 256) = 0
+         |    AND (CAST(f[2] AS INT) & 1024) = 0)
+         |SELECT x.transcript_id, count(DISTINCT r.qname) AS n_reads
+         |FROM reads r JOIN ${pq("exons")} x
+         |  ON r.chrom = x.chrom AND r.s <= x."end" AND x.start <= r.e
+         |GROUP BY x.transcript_id""".stripMargin,
 
     "g10_vcf_stats" ->
       s"""WITH c AS (

@@ -36,10 +36,12 @@ object Bed {
         !col(c).startsWith("#") && length(trim(col(c))) > 0)
       .select(
         f.getItem(0).as("chrom"),
-        f.getItem(1).cast("long").as("start"),
-        f.getItem(2).cast("long").as("end"),
+        // digit-guarded: pushed-down inferred predicates must not
+        // ANSI-cast a track/browser/comment row (see sources.Casts)
+        Casts.tryLong(f.getItem(1)).as("start"),
+        Casts.tryLong(f.getItem(2)).as("end"),
         opt(3).as("name"),
-        opt(4).cast("long").as("score"),
+        Casts.tryLong(opt(4)).as("score"),
         opt(5).as("strand"))
   }
 

@@ -37,15 +37,15 @@ object Chain {
           greatest(size(col("lines")) - 1, lit(0))).as("blocks"))
       .select(split(col("_h"), "[ \t]+").as("h"), col("blocks"))
       .select(
-        element_at(col("h"), 13).as("chain_id"),
-        element_at(col("h"), 2).cast("long").as("score"),
-        element_at(col("h"), 3).as("t_name"),
-        element_at(col("h"), 4).cast("long").as("t_size"),
-        element_at(col("h"), 6).cast("long").as("t_chain_start"),
-        element_at(col("h"), 8).as("q_name"),
-        element_at(col("h"), 9).cast("long").as("q_size"),
-        element_at(col("h"), 10).as("q_strand"),
-        element_at(col("h"), 11).cast("long").as("q_chain_start"),
+        try_element_at(col("h"), lit(13)).as("chain_id"),
+        Casts.tryLong(try_element_at(col("h"), lit(2))).as("score"),
+        try_element_at(col("h"), lit(3)).as("t_name"),
+        Casts.tryLong(try_element_at(col("h"), lit(4))).as("t_size"),
+        Casts.tryLong(try_element_at(col("h"), lit(6))).as("t_chain_start"),
+        try_element_at(col("h"), lit(8)).as("q_name"),
+        Casts.tryLong(try_element_at(col("h"), lit(9))).as("q_size"),
+        try_element_at(col("h"), lit(10)).as("q_strand"),
+        Casts.tryLong(try_element_at(col("h"), lit(11))).as("q_chain_start"),
         posexplode(col("blocks")).as(Seq("i", "b")))
       .where(length(trim(col("b"))) > 0)
       .select(col("chain_id"), col("score"), col("t_name"), col("t_size"),
@@ -53,11 +53,11 @@ object Chain {
         col("q_strand"), col("q_chain_start"), col("i"),
         split(trim(col("b")), "[ \t]+").as("bf"))
       .select(col("*"),
-        element_at(col("bf"), 1).cast("long").as("bsize"),
+        Casts.tryLong(try_element_at(col("bf"), lit(1))).as("bsize"),
         // the chain's LAST block line is bare "size" — ANSI-safe lookup
-        coalesce(try_element_at(col("bf"), lit(2)).cast("long"), lit(0L))
+        coalesce(Casts.tryLong(try_element_at(col("bf"), lit(2))), lit(0L))
           .as("dt"),
-        coalesce(try_element_at(col("bf"), lit(3)).cast("long"), lit(0L))
+        coalesce(Casts.tryLong(try_element_at(col("bf"), lit(3))), lit(0L))
           .as("dq"))
     val w = Window.partitionBy(col("chain_id")).orderBy(col("i"))
       .rowsBetween(Window.unboundedPreceding, -1)

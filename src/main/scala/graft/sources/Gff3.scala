@@ -28,8 +28,10 @@ object Gff3 {
         f.getItem(0).as("seqname"),
         f.getItem(1).as("source"),
         f.getItem(2).as("feature"),
-        f.getItem(3).cast("long").as("start"),
-        f.getItem(4).cast("long").as("end"),
+        // digit-guarded: pushed-down inferred predicates must not
+        // ANSI-cast a '#' directive row (see sources.Casts)
+        Casts.tryLong(f.getItem(3)).as("start"),
+        Casts.tryLong(f.getItem(4)).as("end"),
         f.getItem(5).as("score"),
         f.getItem(6).as("strand"),
         f.getItem(7).as("phase"),

@@ -79,17 +79,20 @@ object Sam {
       .where(!col("value").startsWith("@") &&
         length(trim(col("value"))) > 0)
       .select(
-        element_at(f, 1).as("qname"),
-        element_at(f, 2).cast("int").as("flag"),
-        nullif(element_at(f, 3), lit("*")).as("rname"),
-        nullif(element_at(f, 4).cast("long"), lit(0L)).as("pos"),
-        element_at(f, 5).cast("int").as("mapq"),
-        element_at(f, 6).as("cigar"),
-        nullif(element_at(f, 7), lit("*")).as("rnext"),
-        nullif(element_at(f, 8).cast("long"), lit(0L)).as("pnext"),
-        element_at(f, 9).cast("long").as("tlen"),
-        nullif(element_at(f, 10), lit("*")).as("seq"),
-        nullif(element_at(f, 11), lit("*")).as("qual"),
+        try_element_at(f, lit(1)).as("qname"),
+        // digit-guarded casts (Casts.tryInt/tryLong): a downstream
+        // join's inferred predicates can evaluate these BEFORE the '@'
+        // header filter — a strict ANSI cast would throw on '@HD VN:1.6'
+        Casts.tryInt(try_element_at(f, lit(2))).as("flag"),
+        nullif(try_element_at(f, lit(3)), lit("*")).as("rname"),
+        nullif(Casts.tryLong(try_element_at(f, lit(4))), lit(0L)).as("pos"),
+        Casts.tryInt(try_element_at(f, lit(5))).as("mapq"),
+        try_element_at(f, lit(6)).as("cigar"),
+        nullif(try_element_at(f, lit(7)), lit("*")).as("rnext"),
+        nullif(Casts.tryLong(try_element_at(f, lit(8))), lit(0L)).as("pnext"),
+        Casts.tryLong(try_element_at(f, lit(9))).as("tlen"),
+        nullif(try_element_at(f, lit(10)), lit("*")).as("seq"),
+        nullif(try_element_at(f, lit(11)), lit("*")).as("qual"),
         nullif(array_join(slice(f, lit(12),
           greatest(size(f) - 11, lit(0))), ","), lit("")).as("tags"))
       .withColumn("is_paired", flagField(col("flag"), 1))

@@ -59,7 +59,9 @@ object Vcf {
       .where(!col(c).startsWith("#") && length(trim(col(c))) > 0)
       .select(
         f.getItem(0).as("chrom"),
-        f.getItem(1).cast("long").as("pos"),
+        // digit-guarded: a pushed-down inferred predicate must not ANSI-
+        // cast the '#CHROM' header's 'POS' field (see sources.Casts)
+        Casts.tryLong(f.getItem(1)).as("pos"),
         f.getItem(2).as("id"),
         f.getItem(3).as("ref"),
         f.getItem(4).as("alt"),
@@ -110,7 +112,8 @@ object Vcf {
       .select(col("*"),
         posexplode(split(col("alt"), ",")).as(Seq("_ai", "_alt")))
       .withColumn("allele_af",
-        element_at(split(col("af"), ","), col("_ai") + 1).cast("double"))
+        Casts.tryDouble(
+          element_at(split(col("af"), ","), col("_ai") + 1)))
       .withColumn("genotypes",
         transform(col("genotypes"), g =>
           rewriteGt(substring_index(g, ":", 1), col("_ai") + 1)))
