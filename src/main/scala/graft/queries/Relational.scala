@@ -217,6 +217,29 @@ object Relational {
         .withColumn("spend_7d", round(sum(col("o_totalprice")).over(w), 2))
     }),
 
+    "q30_retention" -> ((s, dir) => {
+      // cohort retention (the classic product-analytics matrix): users
+      // grouped by first-activity week, retained counts per week offset,
+      // rate relative to cohort size. TWO aggregations total — first-seen
+      // per user (partial min), then distinct users per (cohort, offset);
+      // the cohort join is user-keyed and AQE-broadcastable (one row per
+      // user << events).
+      val ev = t(s, dir, "events").select(col("user_id"),
+        floor(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")) / 7).cast("long").as("wk"))
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      val sizes = cohorts.groupBy(col("cohort_wk"))
+        .agg(countDistinct(col("user_id")).as("cohort_size"))
+      ev.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk"))
+          .as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("retained"))
+        .join(sizes, Seq("cohort_wk"))
+        .withColumn("retention",
+          round(col("retained").cast("double") / col("cohort_size"), 5))
+    }),
+
     "u7_compact_files" -> ((s, dir) => {
       // small-file compaction round trip: documents sharded into 32 tiny
       // files, compacted by real byte size with a NO-SHUFFLE coalesce,
@@ -433,8 +456,25 @@ object Relational {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q30_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(floor(datediff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) / 7) AS BIGINT) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1),
+        |s AS (SELECT cohort_wk, count(DISTINCT user_id) AS cohort_size
+        |      FROM c GROUP BY 1),
+        |r AS (
+        |  SELECT c.cohort_wk, ev.wk - c.cohort_wk AS week_offset,
+        |    count(DISTINCT ev.user_id) AS retained
+        |  FROM ev JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT r.cohort_wk, r.week_offset, r.retained, s.cohort_size,
+        |  round(r.retained::DOUBLE / s.cohort_size, 5) AS retention
+        |FROM r JOIN s USING (cohort_wk)""".stripMargin,
+
     "q28_range_frame" ->
-      """SELECT o_custkey, o_orderkey,
+"""SELECT o_custkey, o_orderkey,
         |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
         |    AS epoch_day,
         |  o_totalprice,

@@ -72,6 +72,62 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.isEmpty, bad.take(5).mkString("\n"))
   }
 
+  test("pileup base counts == brute-force CIGAR walk on random reads") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Pileup
+    // random reads: 1-6 CIGAR ops drawn from M/I/D/N/S with small
+    // lengths, sequence sized to exactly the read-consuming total
+    val gen = Gen.listOfN(120, for {
+      chrom <- Gen.oneOf("1", "2")
+      pos <- Gen.choose(1L, 60L)
+      ops <- Gen.listOfN(6, for {
+        op <- Gen.oneOf("M", "I", "D", "N", "S")
+        len <- Gen.choose(1, 5)
+      } yield (op, len)).map(_.take(3))
+    } yield {
+      val readLen = ops.collect {
+        case (o, l) if "MIS".contains(o) => l
+      }.sum
+      val seq = Iterator.continually("ACGT").flatten.take(readLen)
+        .mkString
+      val cigar = ops.map { case (o, l) => s"$l$o" }.mkString
+      (chrom, pos, cigar, seq)
+    })
+    val reads = sample(gen, 91L).filter(_._4.nonEmpty)
+    // brute force: walk each CIGAR op by op
+    val expected = scala.collection.mutable.Map
+      .empty[(String, Long), scala.collection.mutable.Map[Char, Long]]
+    for ((chrom, pos, cigar, seq) <- reads) {
+      var refOff = 0L; var readOff = 0
+      "(\\d+)([MIDNS])".r.findAllMatchIn(cigar).foreach { m =>
+        val len = m.group(1).toInt; val op = m.group(2)
+        if (op == "M") {
+          for (k <- 0 until len) {
+            val base = seq(readOff + k)
+            val byBase = expected.getOrElseUpdate((chrom, pos + refOff + k),
+              scala.collection.mutable.Map.empty)
+            byBase(base) = byBase.getOrElse(base, 0L) + 1L
+          }
+        }
+        if (op == "M" || op == "D" || op == "N") refOff += len
+        if (op == "M" || op == "I" || op == "S") readOff += len
+      }
+    }
+    val got = Pileup.baseCounts(
+      reads.toDF("chrom", "pos", "cigar", "seq")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((key, byBase) <- expected) {
+      val w = got(key)
+      assert(w == ((byBase.getOrElse('A', 0L), byBase.getOrElse('C', 0L),
+        byBase.getOrElse('G', 0L), byBase.getOrElse('T', 0L),
+        byBase.values.sum)), s"$key: $w vs $byBase")
+    }
+  }
+
   test("as-of join == brute-force latest-at-or-before on random data") {
     val s = spark
     import s.implicits._
