@@ -223,6 +223,18 @@ object Genomic {
         .agg(count(lit(1)).as("n_reads"))
     }),
 
+    "g15_kmer_spectrum" -> ((s, _) => {
+      // canonical 5-mer counting + multiplicity spectrum (jellyfish)
+      // from the FASTQ reads: explode -> ONE map-side-partial hash agg
+      // -> tiny histogram agg; N-touching k-mers dropped, canonical =
+      // min(kmer, revcomp)
+      val reads = graft.sources.Fastq
+        .read(s, s"${GenomicFixtures.rawDir}/reads.fastq")
+        .where(col("well_formed"))
+      graft.operators.Kmers.spectrum(
+        graft.operators.Kmers.kmerCounts(reads, "sequence", k = 5))
+    }),
+
     "b1_bed_read" -> ((s, _) => {
       // BED region source: track/comment lines dropped map-side, optional
       // cols null-padded; plus the 1-based inclusive conversion the
@@ -756,6 +768,35 @@ object Genomic {
          |FROM reads r JOIN ${pq("exons")} x
          |  ON r.chrom = x.chrom AND r.s <= x."end" AND x.start <= r.e
          |GROUP BY x.transcript_id""".stripMargin,
+
+    "g15_kmer_spectrum" ->
+      s"""WITH t AS (
+         |  SELECT string_split(rtrim(content, chr(10)), chr(10)) AS ls
+         |  FROM read_text('$raw/reads.fastq')),
+         |l AS (
+         |  SELECT unnest(ls) AS line, unnest(range(0, len(ls))) AS i
+         |  FROM t),
+         |g AS (
+         |  SELECT max(CASE WHEN i % 4 = 0 THEN line END) AS h,
+         |    max(CASE WHEN i % 4 = 1 THEN line END) AS sequence,
+         |    max(CASE WHEN i % 4 = 2 THEN line END) AS plus,
+         |    max(CASE WHEN i % 4 = 3 THEN line END) AS quality
+         |  FROM l GROUP BY i // 4),
+         |r AS (
+         |  SELECT upper(sequence) AS s FROM g
+         |  WHERE starts_with(h, '@') AND starts_with(plus, '+')
+         |    AND length(sequence) = length(quality)),
+         |km AS (
+         |  SELECT unnest([substr(s, CAST(i AS INT), 5)
+         |    for i in range(1, len(s) - 3)]) AS k5
+         |  FROM r WHERE len(s) >= 5),
+         |canon AS (
+         |  SELECT least(k5,
+         |    reverse(translate(k5, 'ACGT', 'TGCA'))) AS kmer
+         |  FROM km WHERE regexp_matches(k5, '^[ACGT]+$$')),
+         |c AS (SELECT kmer, count(*) AS cnt FROM canon GROUP BY 1)
+         |SELECT cnt AS multiplicity, count(*) AS n_kmers
+         |FROM c GROUP BY 1""".stripMargin,
 
     "g10_vcf_stats" ->
       s"""WITH c AS (

@@ -49,7 +49,10 @@ object Warc {
         col("rec").substr(length(col("hdr")) + 5, length(col("rec"))))
         .otherwise(lit("")))
       .withColumn("content_length",
-        header(col("rec"), "Content-Length").cast("long"))
+        // digit-guarded (sources.Casts): a malformed Content-Length in a
+        // crawl must yield null, not an ANSI cast failure — and pushed-
+        // down inferred predicates can evaluate this anywhere
+        Casts.tryLong(header(col("rec"), "Content-Length")))
       .select(
         header(col("rec"), "WARC-Type").as("warc_type"),
         header(col("rec"), "WARC-Record-ID").as("record_id"),

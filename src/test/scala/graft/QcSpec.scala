@@ -178,6 +178,27 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains(10L) && !out.contains(13L) && !out.contains(14L))
   }
 
+  test("kmer counting: canonical folding, N-dropping, short-seq guard") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Kmers
+    val reads = Seq("ACGTA", "ACGNA", "AC").toDF("sequence")
+    val counts = Kmers.kmerCounts(reads, "sequence", k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ACGTA -> ACG, CGT (canonical ACG: revcomp(CGT)=ACG), GTA;
+    // ACGNA contributes only ACG (CGN/GNA touch N); "AC" too short
+    assert(counts == Map("ACG" -> 3L, "GTA" -> 1L))
+    val spec = Kmers.spectrum(
+      Kmers.kmerCounts(reads, "sequence", k = 3)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spec == Map(3L -> 1L, 1L -> 1L))
+    // non-canonical keeps strands distinct
+    val raw = Kmers.kmerCounts(reads, "sequence", k = 3,
+      canonical = false).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(raw == Map("ACG" -> 2L, "CGT" -> 1L, "GTA" -> 1L))
+  }
+
   test("FASTQ reader survives '@'-leading quality lines and forced " +
     "multi-split reads") {
     import graft.sources.Fastq
