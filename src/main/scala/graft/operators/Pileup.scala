@@ -67,7 +67,10 @@ object Pileup {
         col("cigar") =!= "*" && col("seq").isNotNull)
       .select(col("chrom"), col("pos"), col("seq"),
         explode(opsWithOffsets(col("cigar"))).as("_op"))
-      .where(col("_op.op").isin("M", "=", "X"))
+      // len > 0: zero-length ops are legal CIGAR ('0M', emitted by some
+      // indel realigners) and sequence(0, len-1) would generate a
+      // DESCENDING [0, -1] for them — two phantom bases at wrong offsets
+      .where(col("_op.op").isin("M", "=", "X") && col("_op.len") > 0)
     val bases = aligned
       .select(col("chrom"),
         (col("pos") + col("_op.refoff")).as("_segStart"),
@@ -97,9 +100,13 @@ object Pileup {
     require(minDepth >= 1 && minVaf > 0 && minVaf <= 1,
       "callVariants: need minDepth >= 1 and 0 < minVaf <= 1")
     val counts = baseCounts(reads)
+    // compare on upper(ref): pileup bases are upper()'d, and a
+    // soft-masked (lowercase) reference base would otherwise miss the
+    // -1 ref-exclusion sentinel and get CALLED as its own variant at
+    // every masked position
     val alt = greatest(
       Seq("A", "C", "G", "T").map(b => struct(
-        when(col("ref") =!= b,
+        when(upper(col("ref")) =!= b,
           col(s"n_${b.toLowerCase}")).otherwise(lit(-1L)).as("cnt"),
         lit(b).as("base"))): _*)
     counts.join(refBases, Seq("chrom", "pos"))

@@ -724,13 +724,13 @@ object Genomic {
          |  JOIN ${pq("ref_bases")} r USING (chrom, pos)),
          |u AS (
          |  SELECT chrom, pos, ref, depth, unnest([
-         |    struct_pack(cnt := CASE WHEN ref = 'A'
+         |    struct_pack(cnt := CASE WHEN upper(ref) = 'A'
          |      THEN CAST(-1 AS BIGINT) ELSE n_a END, base := 'A'),
-         |    struct_pack(cnt := CASE WHEN ref = 'C'
+         |    struct_pack(cnt := CASE WHEN upper(ref) = 'C'
          |      THEN CAST(-1 AS BIGINT) ELSE n_c END, base := 'C'),
-         |    struct_pack(cnt := CASE WHEN ref = 'G'
+         |    struct_pack(cnt := CASE WHEN upper(ref) = 'G'
          |      THEN CAST(-1 AS BIGINT) ELSE n_g END, base := 'G'),
-         |    struct_pack(cnt := CASE WHEN ref = 'T'
+         |    struct_pack(cnt := CASE WHEN upper(ref) = 'T'
          |      THEN CAST(-1 AS BIGINT) ELSE n_t END, base := 'T')
          |  ]) AS cand FROM j),
          |m AS (

@@ -35,11 +35,11 @@ object Bed {
       .where(!col(c).startsWith("track") && !col(c).startsWith("browser") &&
         !col(c).startsWith("#") && length(trim(col(c))) > 0)
       .select(
-        f.getItem(0).as("chrom"),
+        try_element_at(f, lit(1)).as("chrom"),
         // digit-guarded: pushed-down inferred predicates must not
         // ANSI-cast a track/browser/comment row (see sources.Casts)
-        Casts.tryLong(f.getItem(1)).as("start"),
-        Casts.tryLong(f.getItem(2)).as("end"),
+        Casts.tryLong(try_element_at(f, lit(2))).as("start"),
+        Casts.tryLong(try_element_at(f, lit(3))).as("end"),
         opt(3).as("name"),
         Casts.tryLong(opt(4)).as("score"),
         opt(5).as("strand"))

@@ -18,11 +18,17 @@ import org.apache.spark.sql.functions._
   */
 private[sources] object Casts {
 
+  // digit counts are BOUNDED below the target type's max (18 < len
+  // of Long.MaxValue, 9 < len of Int.MaxValue): an unbounded digit run
+  // like a 20-digit Content-Length would pass a bare [0-9]+ guard and
+  // then THROW in the ANSI cast — exactly the failure the guard exists
+  // to prevent. Values that large are garbage in every format parsed
+  // here, so null is the right answer.
   def tryLong(c: Column): Column =
-    when(c.rlike("^-?[0-9]+$"), c.cast("long"))
+    when(c.rlike("^-?[0-9]{1,18}$"), c.cast("long"))
 
   def tryInt(c: Column): Column =
-    when(c.rlike("^-?[0-9]+$"), c.cast("int"))
+    when(c.rlike("^-?[0-9]{1,9}$"), c.cast("int"))
 
   def tryDouble(c: Column): Column =
     when(c.rlike("^-?[0-9]*\\.?[0-9]+([eE][-+]?[0-9]+)?$"),

@@ -54,8 +54,12 @@ object Fastq {
           .as("description"),
         col("sequence"),
         col("quality"),
-        (col("h").startsWith("@") && col("plus").startsWith("+") &&
-          length(col("sequence")) === length(col("quality")))
-          .as("well_formed"))
+        // coalesce(false): a truncated trailing record has null plus/
+        // quality lines, and null && ... yields null — which a
+        // `=== false` malformed-read filter would silently miss
+        coalesce(
+          col("h").startsWith("@") && col("plus").startsWith("+") &&
+            length(col("sequence")) === length(col("quality")),
+          lit(false)).as("well_formed"))
   }
 }

@@ -25,17 +25,17 @@ object Gff3 {
     lines
       .where(!col(c).startsWith("#") && length(trim(col(c))) > 0)
       .select(
-        f.getItem(0).as("seqname"),
-        f.getItem(1).as("source"),
-        f.getItem(2).as("feature"),
+        try_element_at(f, lit(1)).as("seqname"),
+        try_element_at(f, lit(2)).as("source"),
+        try_element_at(f, lit(3)).as("feature"),
         // digit-guarded: pushed-down inferred predicates must not
         // ANSI-cast a '#' directive row (see sources.Casts)
-        Casts.tryLong(f.getItem(3)).as("start"),
-        Casts.tryLong(f.getItem(4)).as("end"),
-        f.getItem(5).as("score"),
-        f.getItem(6).as("strand"),
-        f.getItem(7).as("phase"),
-        f.getItem(8).as("attributes"))
+        Casts.tryLong(try_element_at(f, lit(4))).as("start"),
+        Casts.tryLong(try_element_at(f, lit(5))).as("end"),
+        try_element_at(f, lit(6)).as("score"),
+        try_element_at(f, lit(7)).as("strand"),
+        try_element_at(f, lit(8)).as("phase"),
+        try_element_at(f, lit(9)).as("attributes"))
   }
 
   /** Percent-decode the characters GFF3 requires encoded in attribute

@@ -58,16 +58,16 @@ object Vcf {
     lines
       .where(!col(c).startsWith("#") && length(trim(col(c))) > 0)
       .select(
-        f.getItem(0).as("chrom"),
+        try_element_at(f, lit(1)).as("chrom"),
         // digit-guarded: a pushed-down inferred predicate must not ANSI-
         // cast the '#CHROM' header's 'POS' field (see sources.Casts)
-        Casts.tryLong(f.getItem(1)).as("pos"),
-        f.getItem(2).as("id"),
-        f.getItem(3).as("ref"),
-        f.getItem(4).as("alt"),
-        f.getItem(5).as("qual"),
-        f.getItem(6).as("filter"),
-        f.getItem(7).as("info"),
+        Casts.tryLong(try_element_at(f, lit(2))).as("pos"),
+        try_element_at(f, lit(3)).as("id"),
+        try_element_at(f, lit(4)).as("ref"),
+        try_element_at(f, lit(5)).as("alt"),
+        try_element_at(f, lit(6)).as("qual"),
+        try_element_at(f, lit(7)).as("filter"),
+        try_element_at(f, lit(8)).as("info"),
         slice(f, lit(10), greatest(size(f) - 9, lit(0))).as("genotypes")
       )
       .withColumn("af",
@@ -157,10 +157,14 @@ object Vcf {
     val filt = if (hasFilter) coalesce(col("filter"), lit(".")) else lit(".")
     val info = when(col("allele_af").isNotNull,
       concat(lit("AF="), col("allele_af").cast("string"))).otherwise(".")
+    // EVERY field coalesces to '.': concat_ws silently SKIPS nulls, so an
+    // uncoalesced null id/ref/alt would shift all later columns left and
+    // emit a corrupt (mis-parsing, not missing-marked) line
+    def d(c: org.apache.spark.sql.Column) = coalesce(c, lit("."))
     df.select(concat_ws("\t",
-      Seq(col("chrom"), col("pos").cast("string"), col("id"), col("ref"),
-        col("alt"), qual, filt, info, lit("GT"),
-        array_join(col("genotypes"), "\t")): _*).as("value"))
+      Seq(d(col("chrom")), d(col("pos").cast("string")), d(col("id")),
+        d(col("ref")), d(col("alt")), qual, filt, info, lit("GT"),
+        d(array_join(col("genotypes"), "\t"))): _*).as("value"))
       .write.mode("overwrite").text(path)
   }
 
