@@ -47,4 +47,17 @@ object Coverage {
       .select(kc :+ col("pos").as("seg_start") :+
         (col("_next") - 1).as("seg_end") :+ col("depth"): _*)
   }
+
+  /** bedtools `genomecov -hist`-style depth histogram over [[coverage]]
+    * segments: bases at each depth per key. Segments are already the
+    * run-length-compressed form, so the histogram is one tiny aggregation
+    * of (seg_end - seg_start + 1) weights — no base explode; the
+    * exchange carries one row per (key, distinct depth).
+    */
+  def depthHistogram(segments: DataFrame,
+                     keys: Seq[String] = Seq("chrom")): DataFrame = {
+    val kc = keys.map(col)
+    segments.groupBy(kc :+ col("depth"): _*)
+      .agg(sum(col("seg_end") - col("seg_start") + 1).as("n_bases"))
+  }
 }

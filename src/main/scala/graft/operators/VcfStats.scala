@@ -74,6 +74,109 @@ object VcfStats {
     * caller's to apply upstream (filter or re-code), as in the
     * Haplotypes PAR handling — this operator is autosomal-diploid.
     */
+  /** plink `--hardy`-style Hardy-Weinberg equilibrium test per variant
+    * over diploid biallelic genotypes. `gts` is the long genotype matrix
+    * (one row per (varId, chrom, pos, sample, gt)); missing genotypes are
+    * dropped from the denominator (plink semantics), X/Y hemizygous
+    * recoding is the caller's (filter upstream, as in mendelViolations).
+    *
+    * One groupBy(varId) of conditional sums — map-side partials ship
+    * three longs per variant per task, so a biobank-scale (100k-sample)
+    * matrix reduces before the exchange; all downstream arithmetic
+    * (allele freq, expected het, the 3-class chi-square) is per-row
+    * column math on the tiny aggregated frame. chi2 is null for
+    * monomorphic variants (an expected class count is 0); doubles are
+    * rounded to 5 so an independent engine reproduces the hash.
+    */
+  def hardyWeinberg(gts: DataFrame): DataFrame = {
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val d = col("_d")
+    val counts = gts
+      .select(col("varId"), col("chrom"), col("pos"),
+        dosage(col("gt")).as("_d"))
+      .where(d.isNotNull)
+      .groupBy(col("varId"), col("chrom"), col("pos"))
+      .agg(count(lit(1)).as("n_called"),
+        cnt(d === 0).as("n_hom_ref"),
+        cnt(d === 1).as("n_het"),
+        cnt(d === 2).as("n_hom_alt"))
+    val n = col("n_called").cast("double")
+    val p = (col("n_hom_alt") * 2 + col("n_het")) / (n * 2)
+    val q = lit(1.0) - p
+    def dev(obs: Column, exp: Column) = (obs - exp) * (obs - exp) / exp
+    counts
+      .withColumn("maf", round(least(p, q), 5))
+      .withColumn("obs_het", round(col("n_het") / n, 5))
+      .withColumn("exp_het", round(lit(2.0) * p * q, 5))
+      .withColumn("chi2",
+        when(col("n_hom_alt") * 2 + col("n_het") > 0 &&
+          col("n_hom_ref") * 2 + col("n_het") > 0,
+          round(dev(col("n_hom_ref"), n * q * q) +
+            dev(col("n_het"), n * lit(2.0) * p * q) +
+            dev(col("n_hom_alt"), n * p * p), 5)))
+  }
+
+  /** plink `--homozyg`-style runs of homozygosity: per (sample, chrom),
+    * maximal runs of >= minVariants CONSECUTIVE homozygous calls
+    * (ALT dosage 0 or 2; a het call breaks the run, a missing call is
+    * invisible — dropped before run detection, plink's default).
+    *
+    * Gaps-and-islands on ONE (sample, chrom) exchange: both row_number
+    * windows and the final run aggregation share the partition key, so
+    * the second window and the groupBy reuse the first window's
+    * hash partitioning (sort-only stages — no further shuffles). Samples
+    * x chromosomes parallelizes across executors; no per-sample loop.
+    */
+  def rohSegments(gts: DataFrame, minVariants: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // varId tiebreak: two variants at the same pos (multi-allelic split
+    // rows) would otherwise order arbitrarily and make run membership
+    // nondeterministic across engines/runs
+    val w = Window.partitionBy(col("sample"), col("chrom"))
+      .orderBy(col("pos"), col("varId"))
+    val called = gts
+      .select(col("sample"), col("chrom"), col("pos"), col("varId"),
+        dosage(col("gt")).as("_d"))
+      .where(col("_d").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+    called.where(col("_d") === 0 || col("_d") === 2)
+      .withColumn("_grp", col("_rn") - row_number().over(w))
+      .groupBy(col("sample"), col("chrom"), col("_grp"))
+      .agg(min(col("pos")).as("run_start"), max(col("pos")).as("run_end"),
+        count(lit(1)).as("n_hom"))
+      .where(col("n_hom") >= minVariants)
+      .drop("_grp")
+  }
+
+  /** bcftools gtcheck-style per-sample genotype concordance between two
+    * call sets. Both inputs are long genotype matrices keyed
+    * (varId, sample); missing genotypes are treated as ABSENT calls
+    * (dropped before the join, so they land in the other side's
+    * "_only" counters rather than as discordance). ONE full-outer join
+    * on (varId, sample) — both sides shuffle once on the same key —
+    * then one per-sample aggregation of conditional sums.
+    */
+  def genotypeConcordance(left: DataFrame, right: DataFrame): DataFrame = {
+    def calls(df: DataFrame, side: String) =
+      df.select(col("varId"), col("sample"),
+        dosage(col("gt")).as(s"_d$side"))
+        .where(col(s"_d$side").isNotNull)
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val l = col("_dl")
+    val r = col("_dr")
+    calls(left, "l").join(calls(right, "r"), Seq("varId", "sample"),
+        "full_outer")
+      .groupBy(col("sample"))
+      .agg(cnt(l.isNotNull && r.isNull).as("n_left_only"),
+        cnt(l.isNull && r.isNotNull).as("n_right_only"),
+        cnt(l === r).as("n_concordant"),
+        cnt(l.isNotNull && r.isNotNull && l =!= r).as("n_discordant"))
+      .withColumn("concordance",
+        when(col("n_concordant") + col("n_discordant") > 0,
+          round(col("n_concordant").cast("double") /
+            (col("n_concordant") + col("n_discordant")), 5)))
+  }
+
   def mendelViolations(gts: DataFrame, trios: DataFrame): DataFrame = {
     val d = gts.select(col("varId"), col("chrom"), col("pos"),
       col("sample"), dosage(col("gt")).as("d"))

@@ -21,6 +21,15 @@ object Genomic {
 
   private def prep(s: SparkSession): Unit = GenomicFixtures.ensure(s)
 
+  /** Long diploid genotype matrix for the QC gates (g16/g17/g18):
+    * varId = id:alt keeps multi-allelic split rows distinct variants.
+    */
+  private def gtsWithVarId(s: SparkSession): org.apache.spark.sql.DataFrame =
+    Vcf.genotypesLong(s.read.parquet(s"$fx/vcf_norm.parquet"),
+      GenomicFixtures.sampleNames(s))
+      .select(concat_ws(":", col("id"), col("alt")).as("varId"),
+        col("chrom"), col("pos"), col("sample"), col("gt"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // genotypes stringified: the driver's pandas canonicalization cannot
     // sort array-typed columns (round-2 gate failure), so both sides emit
@@ -233,6 +242,64 @@ object Genomic {
         .where(col("well_formed"))
       graft.operators.Kmers.spectrum(
         graft.operators.Kmers.kmerCounts(reads, "sequence", k = 5))
+    }),
+
+    "g16_hwe" -> ((s, _) => {
+      // plink --hardy: per-variant genotype-class counts, allele
+      // frequency, observed/expected het and the 3-class HWE chi-square
+      // from ONE conditional-sum groupBy (3 longs per variant cross the
+      // exchange). Diploid contract -> X rows filtered; varId is
+      // id:alt so multi-allelic split rows stay distinct variants.
+      prep(s)
+      graft.operators.VcfStats.hardyWeinberg(gtsWithVarId(s)
+        .where(col("chrom") =!= "X"))
+    }),
+
+    "g17_roh" -> ((s, _) => {
+      // plink --homozyg-lite: per (sample, chrom) maximal runs of >= 2
+      // consecutive homozygous calls — gaps-and-islands on ONE
+      // (sample, chrom) exchange (both row_number windows + the run
+      // aggregation reuse its partitioning)
+      prep(s)
+      graft.operators.VcfStats.rohSegments(gtsWithVarId(s)
+        .where(col("chrom") =!= "X"), minVariants = 2)
+    }),
+
+    "g18_concordance" -> ((s, _) => {
+      // bcftools gtcheck-style call-set concordance: the second call set
+      // is a deterministic perturbation of the first (variants at
+      // pos%5==0 dropped -> left_only; genotypes at pos%7==0 forced to
+      // 1|1 -> discordance), so the gate exercises every counter. ONE
+      // full-outer (varId, sample) join + one per-sample aggregation.
+      prep(s)
+      val left = gtsWithVarId(s)
+      val right = left.where(pmod(col("pos"), lit(5)) =!= 0)
+        .withColumn("gt",
+          when(pmod(col("pos"), lit(7)) === 0, lit("1|1"))
+            .otherwise(col("gt")))
+      graft.operators.VcfStats.genotypeConcordance(left, right)
+    }),
+
+    "g19_gc_windows" -> ((s, _) => {
+      // bedtools-nuc-style windowed base composition over the raw genome
+      // sequences: one regexp window cut + length-difference base counts,
+      // zero shuffles (the oracle re-reads the raw TSV)
+      val seqs = s.read.option("sep", "\t")
+        .csv(s"${GenomicFixtures.rawDir}/genome.txt")
+        .toDF("chrom", "sequence")
+      graft.operators.SeqStats.gcWindows(seqs, windowSize = 25)
+    }),
+
+    "g20_depth_hist" -> ((s, _) => {
+      // bedtools genomecov -hist: bases at each coverage depth, computed
+      // from g7's run-length segments — the histogram is a tiny weighted
+      // aggregation, never a base explode
+      prep(s)
+      graft.operators.Coverage.depthHistogram(
+        graft.operators.Coverage.coverage(
+          s.read.parquet(s"$fx/gtf.parquet")
+            .where(col("feature").isin("transcript", "exon"))
+            .select(col("seqname").as("chrom"), col("start"), col("end"))))
     }),
 
     "b1_bed_read" -> ((s, _) => {
@@ -853,6 +920,172 @@ object Genomic {
          |FROM d2 c JOIN t ON c.sample = t.child
          |JOIN d2 m ON m."varId" = c."varId" AND m.sample = t.mother
          |JOIN d2 f ON f."varId" = c."varId" AND f.sample = t.father""".stripMargin,
+
+    "g16_hwe" ->
+      s"""WITH g AS (
+         |  SELECT id || ':' || alt AS vid, chrom, pos,
+         |    unnest(genotypes) AS gt
+         |  FROM ${pq("vcf_norm")} WHERE chrom <> 'X'),
+         |d AS (
+         |  SELECT vid, chrom, pos,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) END AS dd
+         |  FROM g),
+         |c AS (
+         |  SELECT vid, chrom, pos, CAST(count(*) AS BIGINT) AS n_called,
+         |    CAST(sum(CASE WHEN dd = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hom_ref,
+         |    CAST(sum(CASE WHEN dd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_het,
+         |    CAST(sum(CASE WHEN dd = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hom_alt
+         |  FROM d WHERE dd IS NOT NULL GROUP BY 1, 2, 3),
+         |p AS (
+         |  SELECT *, CAST(n_called AS DOUBLE) AS n,
+         |    (n_hom_alt * 2 + n_het) / (CAST(n_called AS DOUBLE) * 2) AS pa
+         |  FROM c)
+         |SELECT vid AS "varId", chrom, pos, n_called, n_hom_ref, n_het,
+         |  n_hom_alt,
+         |  round(least(pa, 1 - pa), 5) AS maf,
+         |  round(n_het / n, 5) AS obs_het,
+         |  round(2.0 * pa * (1 - pa), 5) AS exp_het,
+         |  CASE WHEN n_hom_alt * 2 + n_het > 0
+         |      AND n_hom_ref * 2 + n_het > 0 THEN
+         |    round((n_hom_ref - n * (1 - pa) * (1 - pa))
+         |        * (n_hom_ref - n * (1 - pa) * (1 - pa))
+         |        / (n * (1 - pa) * (1 - pa))
+         |      + (n_het - n * 2.0 * pa * (1 - pa))
+         |        * (n_het - n * 2.0 * pa * (1 - pa))
+         |        / (n * 2.0 * pa * (1 - pa))
+         |      + (n_hom_alt - n * pa * pa)
+         |        * (n_hom_alt - n * pa * pa)
+         |        / (n * pa * pa), 5)
+         |  END AS chi2
+         |FROM p""".stripMargin,
+
+    "g17_roh" ->
+      s"""WITH g AS (
+         |  SELECT id || ':' || alt AS vid, chrom, pos,
+         |    unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM ${pq("vcf_norm")} WHERE chrom <> 'X'),
+         |d AS (
+         |  SELECT vid, chrom, pos, 'S' || si AS sample,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) END AS dd
+         |  FROM g),
+         |r AS (
+         |  SELECT sample, chrom, pos, vid, dd,
+         |    row_number() OVER (PARTITION BY sample, chrom
+         |      ORDER BY pos, vid) AS rn
+         |  FROM d WHERE dd IS NOT NULL),
+         |h AS (
+         |  SELECT *, rn - row_number() OVER (PARTITION BY sample, chrom
+         |      ORDER BY pos, vid) AS grp
+         |  FROM r WHERE dd IN (0, 2))
+         |SELECT sample, chrom, min(pos) AS run_start, max(pos) AS run_end,
+         |  CAST(count(*) AS BIGINT) AS n_hom
+         |FROM h GROUP BY sample, chrom, grp
+         |HAVING count(*) >= 2""".stripMargin,
+
+    "g18_concordance" ->
+      s"""WITH g AS (
+         |  SELECT id || ':' || alt AS vid, chrom, pos,
+         |    unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM ${pq("vcf_norm")}),
+         |d AS (
+         |  SELECT vid, pos, 'S' || si AS sample,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) END AS dd
+         |  FROM g),
+         |l AS (SELECT vid, sample, dd FROM d WHERE dd IS NOT NULL),
+         |r AS (
+         |  SELECT vid, sample,
+         |    CASE WHEN pos % 7 = 0 THEN 2 ELSE dd END AS dd
+         |  FROM d WHERE pos % 5 <> 0
+         |    AND (dd IS NOT NULL OR pos % 7 = 0)),
+         |j AS (
+         |  SELECT coalesce(l.sample, r.sample) AS sample,
+         |    l.dd AS dl, r.dd AS dr
+         |  FROM l FULL OUTER JOIN r
+         |    ON l.vid = r.vid AND l.sample = r.sample),
+         |c AS (
+         |  SELECT sample,
+         |    CAST(sum(CASE WHEN dl IS NOT NULL AND dr IS NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_left_only,
+         |    CAST(sum(CASE WHEN dl IS NULL AND dr IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_right_only,
+         |    CAST(sum(CASE WHEN dl = dr THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_concordant,
+         |    CAST(sum(CASE WHEN dl IS NOT NULL AND dr IS NOT NULL
+         |      AND dl <> dr THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant
+         |  FROM j GROUP BY 1)
+         |SELECT *,
+         |  CASE WHEN n_concordant + n_discordant > 0 THEN
+         |    round(CAST(n_concordant AS DOUBLE)
+         |      / (n_concordant + n_discordant), 5)
+         |  END AS concordance
+         |FROM c""".stripMargin,
+
+    "g19_gc_windows" ->
+      s"""WITH g AS (
+         |  SELECT chrom, upper(sequence) AS seq
+         |  FROM read_csv('$raw/genome.txt', delim='\t', header=false,
+         |    names=['chrom', 'sequence'], all_varchar=true)),
+         |w AS (
+         |  SELECT chrom, gi.i AS i,
+         |    regexp_extract_all(seq, '.{1,25}')[gi.i] AS win
+         |  FROM g, LATERAL (SELECT unnest(generate_series(1,
+         |    len(regexp_extract_all(seq, '.{1,25}')))) AS i) gi),
+         |b AS (
+         |  SELECT chrom, i, win,
+         |    len(win) - len(replace(replace(win, 'A', ''), 'T', ''))
+         |      AS at_n,
+         |    len(win) - len(replace(replace(win, 'G', ''), 'C', ''))
+         |      AS gc_n
+         |  FROM w)
+         |SELECT chrom,
+         |  CAST((i - 1) * 25 + 1 AS BIGINT) AS win_start,
+         |  CAST((i - 1) * 25 + len(win) AS BIGINT) AS win_end,
+         |  CAST(at_n AS BIGINT) AS n_at,
+         |  CAST(gc_n AS BIGINT) AS n_gc,
+         |  CAST(len(win) - len(replace(win, 'N', '')) AS BIGINT) AS n_n,
+         |  CASE WHEN at_n + gc_n > 0
+         |    THEN round(CAST(gc_n AS DOUBLE) / (at_n + gc_n), 5)
+         |  END AS gc_frac
+         |FROM b""".stripMargin,
+
+    "g20_depth_hist" ->
+      s"""WITH iv AS (
+         |  SELECT seqname AS chrom, CAST(start AS BIGINT) AS s,
+         |    CAST("end" AS BIGINT) AS e
+         |  FROM ${pq("gtf")} WHERE feature IN ('transcript', 'exon')),
+         |ev AS (
+         |  SELECT chrom, s AS pos, 1 AS d FROM iv
+         |  UNION ALL
+         |  SELECT chrom, e + 1 AS pos, -1 AS d FROM iv),
+         |m AS (
+         |  SELECT chrom, pos, sum(d) AS d FROM ev GROUP BY 1, 2
+         |  HAVING sum(d) <> 0),
+         |c AS (
+         |  SELECT chrom, pos,
+         |    CAST(sum(d) OVER (PARTITION BY chrom ORDER BY pos)
+         |      AS BIGINT) AS depth,
+         |    lead(pos) OVER (PARTITION BY chrom ORDER BY pos) AS nxt
+         |  FROM m),
+         |seg AS (
+         |  SELECT chrom, pos AS seg_start, nxt - 1 AS seg_end, depth
+         |  FROM c WHERE depth > 0 AND nxt IS NOT NULL)
+         |SELECT chrom, depth,
+         |  CAST(sum(seg_end - seg_start + 1) AS BIGINT) AS n_bases
+         |FROM seg GROUP BY 1, 2""".stripMargin,
 
     "v8_vcf_write" ->
       s"""SELECT chrom, pos, id, ref, alt, allele_af,

@@ -311,4 +311,104 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("http://a.com/x?a=1&b=1") == ((2L, 1L, "1;2")))
     assert(out("http://a.com/y") == ((1L, 3L, "3")))
   }
+
+  test("hardyWeinberg: counts, MAF, chi-square; monomorphic -> null") {
+    val s = spark
+    import s.implicits._
+    // v1: 2 hom-ref, 1 het, 1 hom-alt (n=4, p=3/8); v2 monomorphic ref;
+    // a missing call drops from v1's denominator
+    val gts = Seq(
+      ("v1", "1", 10L, "a", "0|0"), ("v1", "1", 10L, "b", "0|0"),
+      ("v1", "1", 10L, "c", "0|1"), ("v1", "1", 10L, "d", "1|1"),
+      ("v1", "1", 10L, "e", ".|."),
+      ("v2", "1", 20L, "a", "0|0"), ("v2", "1", 20L, "b", "0|0"))
+      .toDF("varId", "chrom", "pos", "sample", "gt")
+    val out = VcfStats.hardyWeinberg(gts).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val v1 = out("v1")
+    assert(v1.getLong(3) == 4 && v1.getLong(4) == 2 &&
+      v1.getLong(5) == 1 && v1.getLong(6) == 1)
+    // p = (2*1+1)/8 = 0.375, maf = 0.375, obs_het = 0.25,
+    // exp_het = 2*0.375*0.625 = 0.46875
+    assert(v1.getDouble(7) == 0.375 && v1.getDouble(8) == 0.25)
+    assert(v1.getDouble(9) == 0.46875)
+    // chi2: exp = (1.5625, 1.875, 0.5625); obs = (2, 1, 1)
+    // = 0.1225 + 0.40833... + 0.34027... = 0.87111
+    assert(math.abs(v1.getDouble(10) - 0.87111) < 1e-9)
+    val v2 = out("v2")
+    assert(v2.getDouble(7) == 0.0 && v2.isNullAt(10),
+      "monomorphic variant must have maf 0 and null chi2")
+  }
+
+  test("rohSegments: het breaks the run, missing calls are invisible") {
+    val s = spark
+    import s.implicits._
+    // sample a, chrom 1: hom(10), hom(20), missing(30), hom(40) -- one
+    // run of 3 (missing is dropped, not a break); het(50) breaks; then
+    // hom(60), hom(70) -- a second run of 2. Chrom 2: single hom -> below
+    // minVariants.
+    val gts = Seq(
+      ("a", "1", 10L, "x1", "0|0"), ("a", "1", 20L, "x2", "1|1"),
+      ("a", "1", 30L, "x3", ".|."), ("a", "1", 40L, "x4", "0|0"),
+      ("a", "1", 50L, "x5", "0|1"),
+      ("a", "1", 60L, "x6", "1|1"), ("a", "1", 70L, "x7", "0|0"),
+      ("a", "2", 10L, "y1", "0|0"))
+      .toDF("sample", "chrom", "pos", "varId", "gt")
+    val runs = VcfStats.rohSegments(gts, minVariants = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(runs == Set(("a", "1", 10L, 40L, 3L), ("a", "1", 60L, 70L, 2L)))
+  }
+
+  test("genotypeConcordance: every counter class lands where it should") {
+    val s = spark
+    import s.implicits._
+    // sample a: v1 concordant (1|0 vs 0|1 -- same dosage), v2 discordant,
+    // v3 left-only (right missing call), v4 right-only (left missing)
+    val left = Seq(
+      ("v1", "a", "1|0"), ("v2", "a", "0|0"), ("v3", "a", "1|1"),
+      ("v4", "a", ".|."))
+      .toDF("varId", "sample", "gt")
+    val right = Seq(
+      ("v1", "a", "0|1"), ("v2", "a", "1|1"), ("v3", "a", "./."),
+      ("v4", "a", "0|1"))
+      .toDF("varId", "sample", "gt")
+    val r = VcfStats.genotypeConcordance(left, right).collect().head
+    assert(r.getLong(1) == 1 && r.getLong(2) == 1 &&
+      r.getLong(3) == 1 && r.getLong(4) == 1)
+    assert(r.getDouble(5) == 0.5)
+  }
+
+  test("gcWindows: short tail window, N exclusion, soft-mask case") {
+    val s = spark
+    import s.implicits._
+    // 10 bases + a 2-base tail at windowSize 10; lowercase gc counts,
+    // N excluded from the denominator
+    val seqs = Seq(("c1", "ATGCatgcNN" + "GC"))
+      .toDF("chrom", "sequence")
+    val out = graft.operators.SeqStats.gcWindows(seqs, windowSize = 10)
+      .orderBy("win_start").collect()
+    assert(out.length == 2)
+    val w1 = out(0)
+    assert(w1.getLong(1) == 1 && w1.getLong(2) == 10)
+    assert(w1.getLong(3) == 4 && w1.getLong(4) == 4 && w1.getLong(5) == 2)
+    assert(w1.getDouble(6) == 0.5)
+    val w2 = out(1)
+    assert(w2.getLong(1) == 11 && w2.getLong(2) == 12)
+    assert(w2.getLong(3) == 0 && w2.getLong(4) == 2)
+    assert(w2.getDouble(6) == 1.0)
+  }
+
+  test("depthHistogram weighs segments by base span") {
+    val s = spark
+    import s.implicits._
+    // [1,10] and [6,15]: depth 1 on 1-5 and 11-15 (10 bases), depth 2
+    // on 6-10 (5 bases)
+    val iv = Seq(("1", 1L, 10L), ("1", 6L, 15L))
+      .toDF("chrom", "start", "end")
+    val hist = graft.operators.Coverage.depthHistogram(
+      graft.operators.Coverage.coverage(iv)).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(hist == Map(1L -> 10L, 2L -> 5L))
+  }
 }
