@@ -479,6 +479,16 @@ object Documents {
         chunkWords = 20)
     }),
 
+    "t22_winnowing" -> ((s, dir) => {
+      // MOSS winnowing fingerprints: per-window minimum gram hash ->
+      // LOCAL overlap detection (any shared run of window+k-1 words
+      // yields a shared fingerprint); selection is a zero-shuffle
+      // per-row fold, the rollup ships (hash, id) pairs only
+      graft.operators.Winnowing.sharedFingerprints(
+        spread(t(s, dir, "documents")), "doc_id", "text",
+        k = 3, window = 4)
+    }),
+
     "t11_unigram_lm" -> ((s, dir) => {
       // perplexity-proxy quality score: mean unigram log-probability
       // under the corpus's own word distribution (low = gibberish /
@@ -1211,6 +1221,28 @@ object Documents {
         |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ';'
         |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
         |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "t22_winnowing" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    [list_reduce([strpos('0123456789abcdef',
+        |        substr(md5(array_to_string(w[i+1:i+3], ' ')), j, 1)) - 1
+        |      for j in range(1, 16)], (a, c) -> a * 16 + c)
+        |     for i in range(0, len(w) - 2)] AS h
+        |  FROM w WHERE len(w) >= 3),
+        |f AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([list_min(h[i+1:least(i+4, len(h))])
+        |      for i in range(0, greatest(len(h) - 3, 1))]))
+        |      AS fingerprint
+        |  FROM h)
+        |SELECT fingerprint, count(DISTINCT doc_id) AS n_docs,
+        |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ';'
+        |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
+        |FROM f GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
 
     "t11_unigram_lm" ->
       """WITH ws AS (

@@ -227,4 +227,49 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
       threshold = 0.1, maxDf = 1).count() == 0)
   }
+
+  test("winnowing: shared runs of window+k-1 words share a fingerprint, " +
+    "selection matches brute force") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Winnowing
+    val k = 3
+    val w = 4
+    // a shared run of w+k-1 = 6 words embedded in different contexts
+    val run = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, "one two three " + run + " four five six"),
+      (2L, "seven eight " + run + " nine ten eleven twelve"),
+      (3L, "unrelated words entirely different here throughout"),
+      (4L, "tiny doc"), // < k words -> no grams -> no fingerprints
+      (5L, "just three words")) // exactly one gram -> its own min
+      .toDF("doc_id", "text")
+    val fps = Winnowing.fingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the winnowing guarantee
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "docs sharing a w+k-1 run must share a fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    assert(!byDoc.contains(4L), "sub-k doc emits nothing")
+    assert(byDoc(5L).size == 1, "single-gram doc emits its own hash")
+
+    // brute-force replay of the selection for doc 1
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val words1 = "[a-z]+".r.findAllIn(
+      "one two three " + run + " four five six").toVector
+    val hashes = words1.sliding(k).map(_.mkString(" "))
+      .map(g => java.lang.Long.parseLong(md5hex(g).take(15), 16)).toVector
+    val expected = hashes.sliding(w).map(_.min).toSet
+    assert(byDoc(1L) == expected, "selection must match brute force")
+
+    // rollup keeps only shared fingerprints with ordered member lists
+    val shared = Winnowing.sharedFingerprints(docs, "doc_id", "text", k, w)
+      .collect()
+    assert(shared.nonEmpty &&
+      shared.forall(r => r.getLong(1) >= 2 &&
+        r.getString(2) == "1;2"))
+  }
 }
