@@ -53,6 +53,41 @@ object Sampling {
     * compare — the SQL oracle replays the identical fold. Stats reduce
     * to ONE broadcast row; the keep rule stays a scan-level predicate.
     */
+  /** Deterministic global training-order shuffle with EXACT global
+    * ranks — the "shuffle the corpus once per epoch" step every trainer
+    * needs, without `orderBy` over the whole corpus collapsing into a
+    * single reducer's sort or rand() breaking under task retries.
+    *
+    * Rank = position in md5(salt || id) order. Distributed exactly:
+    * the first 3 hash hex digits are the row's bucket (4096 buckets; a
+    * hex PREFIX, so bucket-numeric order == hash-lexicographic order),
+    * per-bucket counts (<= 4096 metadata rows) fold into base offsets
+    * with ONE unpartitioned window over that tiny frame, and the global
+    * rank is base offset + within-bucket row_number. The corpus itself
+    * crosses ONE hash exchange on the bucket key and sorts within
+    * buckets only — two-phase ranking, the standard distributed
+    * sort-rank shape. A different salt draws an independent permutation.
+    */
+  def shuffleRank(df: DataFrame, idCol: String,
+                  salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .withColumn("_h", md5(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("_b", conv(substring(col("_h"), 1, 3), 16, 10)
+        .cast("int"))
+    val offsets = keyed.groupBy(col("_b")).agg(count(lit(1)).as("_c"))
+      .withColumn("_off",
+        coalesce(sum(col("_c")).over(Window.orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_c")
+    keyed
+      .join(broadcast(offsets), Seq("_b"))
+      .withColumn("shuffle_rank",
+        col("_off") + row_number().over(Window.partitionBy(col("_b"))
+          .orderBy(col("_h"), col(idCol))) - 1)
+      .drop("_h", "_b", "_off")
+  }
+
   def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
                         temperature: Double, targetFrac: Double,
                         salt: String = ""): DataFrame = {

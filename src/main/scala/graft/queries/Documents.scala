@@ -426,6 +426,14 @@ object Documents {
       Dedup.contamination(docs, bench, "doc_id", "text", n = 8)
     }),
 
+    "t24_shuffle_rank" -> ((s, dir) => {
+      // deterministic epoch shuffle with EXACT global ranks: two-phase
+      // distributed ranking (hash-prefix buckets + tiny offset fold) —
+      // no global sort, no single reducer, retry-stable by construction
+      Sampling.shuffleRank(spread(t(s, dir, "documents"))
+        .select("doc_id", "source"), "doc_id", salt = "sh1")
+    }),
+
     "q13_stratified_sample" -> ((s, dir) => {
       // deterministic data-mixing draw: per-language rates, md5 keep rule
       Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
@@ -1730,6 +1738,13 @@ object Documents {
          |  len(regexp_extract_all(r2, '$ip')) AS n_ips
          |FROM s2""".stripMargin
     },
+
+    "t24_shuffle_rank" ->
+      """SELECT doc_id, source,
+        |  row_number() OVER (
+        |    ORDER BY md5('sh1' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS shuffle_rank
+        |FROM documents""".stripMargin,
 
     "q13_stratified_sample" ->
       """SELECT doc_id, lang, source FROM (

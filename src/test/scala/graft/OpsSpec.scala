@@ -501,4 +501,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L) == ((0L, 0L)))
     assert(got(5L) == ((1L, 1L)))
   }
+
+  test("shuffleRank is an exact permutation matching the md5 order") {
+    val s = spark
+    import s.implicits._
+    val n = 500
+    val df = (0 until n).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+      .repartition(7)
+    val ranked = graft.operators.Sampling.shuffleRank(df, "id", "s1")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // exact permutation of 0..n-1
+    assert(ranked.values.toSet == (0L until n.toLong).toSet)
+    // matches the brute-force single-node md5 sort
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val brute = (0 until n).map(i => i.toLong -> md5hex("s1" + i))
+      .sortBy(_._2).zipWithIndex.map { case ((id, _), r) => id -> r.toLong }
+      .toMap
+    assert(ranked == brute)
+    // a different salt draws a different permutation
+    val other = graft.operators.Sampling.shuffleRank(df, "id", "s2")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(other != ranked)
+  }
 }
