@@ -139,6 +139,17 @@ object Streaming {
         .toDF().withColumnRenamed("group", "event_type")
     }),
 
+    "e17_stream_ewma" -> ((s, dir) => {
+      // the streaming anomaly-monitor smoother, batch-equivalently (one
+      // micro-batch, the e6 argument): per-user EWMA folded in event
+      // order — O(1) state per user; the oracle replays the identical
+      // left fold with list_reduce, bit-equal doubles
+      graft.streaming.Events.ewmaStream(
+        events(s, dir).select("user_id", "ts", "event_id", "value"),
+        alpha = 0.3)
+        .toDF().withColumn("ewma", round(col("ewma"), 6))
+    }),
+
     "e13_stream_hist" -> ((s, dir) => {
       // the STREAMING histogram-quantile sketch, batch-equivalently (one
       // micro-batch, same argument as e6/e12): per-(event_type, bucket)
@@ -426,6 +437,12 @@ object Streaming {
         |FROM est e JOIN (
         |  SELECT event_type, count(DISTINCT user_id) AS n_exact
         |  FROM events GROUP BY 1) x USING (event_type)""".stripMargin,
+
+    "e17_stream_ewma" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(list_reduce(list(value ORDER BY ts, event_id),
+        |    (a, b) -> (1 - 0.3) * a + 0.3 * b), 6) AS ewma
+        |FROM events GROUP BY 1""".stripMargin,
 
     "e6_stream_hll" ->
       """WITH b AS (

