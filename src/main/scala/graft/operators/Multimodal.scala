@@ -98,6 +98,26 @@ object Multimodal {
       .drop("_a")
   }
 
+  /** Frame-level audio features (energy + zero-crossing rate per frame
+    * of `frameSamples` channel-averaged samples) — the speech/silence/
+    * noise triage front end over the same PCM16 walk as [[decodeAudio]].
+    * One row per (media, frame); undecodable payloads emit nothing here
+    * (NULL-on-poison is pinned in MediaSpec). Pure executor-side column
+    * expression: decode parallelism == partition parallelism.
+    */
+  def audioFrames(df: DataFrame, frameSamples: Int = 8,
+                  payload: String = "payload"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col("media_id"),
+      posexplode(call_function("graft_wav_frames", col(payload),
+        lit(frameSamples))).as(Seq("_i", "_f")))
+      .select(col("media_id"),
+        col("_f.frame").cast("long").as("frame"),
+        col("_f.n_samples").cast("long").as("n_samples"),
+        round(col("_f.rms"), 4).as("rms"),
+        round(col("_f.zcr"), 6).as("zcr"))
+  }
+
   /** Real video-container decode: ISO-BMFF (MP4/MOV) box walk — major
     * brand from `ftyp`, version-aware timescale/duration from
     * `moov/mvhd`, track count from the `trak` children, plus the derived

@@ -292,6 +292,101 @@ object MediaExprs {
     override def prettyName: String = "graft_wav_meta"
   }
 
+  /** graft_wav_frames(binary, frameSamples) ->
+    * array<struct<frame:int, n_samples:int, rms:double, zcr:double>>:
+    * frame-level audio features from the same RIFF/PCM16 walk as
+    * [[GraftWavMeta]] — per frame of `frameSamples` channel-averaged
+    * (mono) samples, the RMS energy and the zero-crossing rate (sign
+    * changes / (len-1); 0.0 for a 1-sample tail). The energy/ZCR pair is
+    * the classic speech-vs-silence-vs-noise triage front end, and the
+    * per-frame vector is what an audio near-dup or silence-trim stage
+    * consumes. The channel mean is an exact integer sum divided once, so
+    * an independent engine reproduces every double bit-for-bit from the
+    * raw bytes. NULL on malformed payloads (poison-blob contract).
+    */
+  case class GraftWavFrames(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == BinaryType && right.dataType == IntegerType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, int), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("frame", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("rms", DoubleType),
+      StructField("zcr", DoubleType))))
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(payload: Any, fsAny: Any): Any = {
+      val b = payload.asInstanceOf[Array[Byte]]
+      val frameSamples = fsAny.asInstanceOf[Int]
+      if (frameSamples < 1) return null
+      def u8(i: Int): Int = b(i) & 0xff
+      def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
+      if (b.length < 12 ||
+        !(u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F') ||
+        !(u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E'))
+        return null
+      var pos = 12
+      var ch = -1; var bits = -1; var fmt = -1
+      var dataOff = -1; var dataLen = -1
+      while (pos + 8 <= b.length && (fmt < 0 || dataOff < 0)) {
+        val id = new String(b, pos, 4, "US-ASCII")
+        val sz = u32(pos + 4)
+        if (sz < 0 || sz > Int.MaxValue - 8) return null
+        val body = pos + 8
+        if (id == "fmt " && sz >= 16 && body + 16 <= b.length) {
+          fmt = u16(body); ch = u16(body + 2); bits = u16(body + 14)
+        } else if (id == "data") {
+          dataOff = body
+          dataLen = math.min(sz, (b.length - body).toLong).toInt
+        }
+        val next = body.toLong + sz + (sz & 1L)
+        pos = if (next > b.length.toLong) b.length else next.toInt
+      }
+      if (fmt != 1 || bits != 16 || ch <= 0 || dataOff < 0 || dataLen < 2)
+        return null
+      val nMono = (dataLen / 2) / ch
+      if (nMono < 1) return null
+      val mono = new Array[Double](nMono)
+      var f = 0
+      while (f < nMono) {
+        var s = 0; var c = 0
+        while (c < ch) {
+          s += (u8(dataOff + 2 * (f * ch + c)) |
+            (b(dataOff + 2 * (f * ch + c) + 1).toInt << 8)).toShort.toInt
+          c += 1
+        }
+        mono(f) = s.toDouble / ch
+        f += 1
+      }
+      val nFrames = (nMono + frameSamples - 1) / frameSamples
+      val rows = new Array[Any](nFrames)
+      var i = 0
+      while (i < nFrames) {
+        val from = i * frameSamples
+        val until = math.min(from + frameSamples, nMono)
+        val len = until - from
+        var sumSq = 0.0; var crossings = 0
+        var j = from
+        while (j < until) {
+          sumSq += mono(j) * mono(j)
+          if (j > from && mono(j - 1) * mono(j) < 0) crossings += 1
+          j += 1
+        }
+        rows(i) = InternalRow(i, len, math.sqrt(sumSq / len),
+          if (len > 1) crossings.toDouble / (len - 1) else 0.0)
+        i += 1
+      }
+      new GenericArrayData(rows)
+    }
+    override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
+    override def prettyName: String = "graft_wav_frames"
+  }
+
   /** graft_mp4_meta(binary) -> struct<major_brand:string, timescale:int,
     * duration:long, n_tracks:int>: REAL ISO-BMFF (MP4/MOV) container
     * parse — the video member of the media triad, the exact mirror of

@@ -294,6 +294,8 @@ object GraftFunctions {
         require(children.length == 1, "graft_wav_meta takes 1 argument")
         MediaExprs.GraftWavMeta(children.head)
       }),
+    ("graft_wav_frames", classOf[MediaExprs.GraftWavFrames],
+      arity2("graft_wav_frames", MediaExprs.GraftWavFrames.apply)),
     ("graft_mp4_meta", classOf[MediaExprs.GraftMp4Meta],
       { children: Seq[Expression] =>
         require(children.length == 1, "graft_mp4_meta takes 1 argument")

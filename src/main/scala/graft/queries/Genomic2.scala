@@ -191,6 +191,17 @@ object Genomic2 {
           "rms", "peak")
     }),
 
+    "m7_audio_frames" -> ((s, _) => {
+      prep(s)
+      // frame-level energy + zero-crossing rate over the REAL PCM16
+      // samples (8 channel-averaged samples per frame): like m4, a
+      // FULL-value gate — the oracle re-derives every frame's RMS/ZCR
+      // from the raw bytes in SQL. Poison rows emit nothing here;
+      // NULL-on-poison is asserted in MediaSpec.
+      Multimodal.audioFrames(s.read.parquet(s"$fx/audio.parquet"),
+        frameSamples = 8)
+    }),
+
     "m5_video_meta" -> ((s, _) => {
       prep(s)
       // REAL MP4/ISO-BMFF container walk (the video mirror of m4's RIFF
@@ -747,6 +758,61 @@ object Genomic2 {
          |  CAST(list_max(list_transform(sm, v -> abs(v))) AS BIGINT)
          |    AS peak
          |FROM s WHERE len(sm) > 0""".stripMargin,
+
+    // m7: same byte-walk CTEs as m4 up to the int16 sample list, then
+    // channel-averaged mono (exact int sum / channels), 8-sample frames
+    // via list slicing, per-frame RMS and sign-change ZCR — every double
+    // re-derived from raw bytes
+    "m7_audio_frames" ->
+      s"""WITH d AS (
+         |  SELECT media_id, hex(payload) AS h,
+         |         octet_length(payload) AS n
+         |  FROM ${pq("audio")}),
+         |hb AS (
+         |  SELECT media_id, n,
+         |    list_transform(range(0, n), i ->
+         |      (strpos('0123456789ABCDEF', substr(h, 2*i + 1, 1)) - 1)
+         |        * 16 +
+         |      strpos('0123456789ABCDEF', substr(h, 2*i + 2, 1)) - 1)
+         |      AS b
+         |  FROM d),
+         |meta AS (
+         |  SELECT media_id, n, b,
+         |    (n >= 46 AND b[1]=82 AND b[2]=73 AND b[3]=70 AND b[4]=70
+         |       AND b[9]=87 AND b[10]=65 AND b[11]=86 AND b[12]=69
+         |       AND b[21] + 256*b[22] = 1
+         |       AND b[35] + 256*b[36] = 16) AS ok,
+         |    b[23] + 256*b[24] AS channels,
+         |    b[41] + 256*b[42] + 65536*b[43] + 16777216*b[44] AS dsz
+         |  FROM hb),
+         |s AS (
+         |  SELECT media_id, channels,
+         |    list_transform(range(0, least(dsz, n - 44) // 2), k ->
+         |      CASE WHEN b[45 + 2*k] + 256*b[46 + 2*k] >= 32768
+         |           THEN b[45 + 2*k] + 256*b[46 + 2*k] - 65536
+         |           ELSE b[45 + 2*k] + 256*b[46 + 2*k] END) AS sm
+         |  FROM meta WHERE ok),
+         |mo AS (
+         |  SELECT media_id,
+         |    list_transform(range(0, len(sm) // channels), f ->
+         |      CAST(list_sum(list_transform(range(0, channels),
+         |        c -> sm[f * channels + c + 1])) AS DOUBLE) / channels)
+         |      AS mo
+         |  FROM s WHERE len(sm) // channels >= 1),
+         |fr AS (
+         |  SELECT media_id, fi.i AS frame,
+         |    mo[fi.i * 8 + 1 : least((fi.i + 1) * 8, len(mo))] AS fm
+         |  FROM mo, LATERAL (SELECT unnest(range(0,
+         |    (len(mo) + 7) // 8)) AS i) fi)
+         |SELECT media_id, CAST(frame AS BIGINT) AS frame,
+         |  CAST(len(fm) AS BIGINT) AS n_samples,
+         |  round(sqrt(list_sum(list_transform(fm, m -> m * m))
+         |    / len(fm)), 4) AS rms,
+         |  round(CASE WHEN len(fm) > 1
+         |    THEN CAST(len(list_filter(range(1, len(fm)),
+         |      i -> fm[i] * fm[i + 1] < 0)) AS DOUBLE) / (len(fm) - 1)
+         |    ELSE 0.0 END, 6) AS zcr
+         |FROM fr""".stripMargin,
 
     // m3: pixel-derived features need a DEFLATE inflater, which SQL
     // lacks — snapshot oracle (graft.tools.Snapshot regenerates);

@@ -229,4 +229,41 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("media_id", "payload")
     assert(Multimodal.dHash(bad).select("phash").head.isNullAt(0))
   }
+
+  test("wav frames: hand-computed RMS/ZCR per frame, channel averaging, " +
+    "tail frame, poison -> nothing") {
+    val s = spark
+    import s.implicits._
+    def wav(ch: Int, rate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16)
+        .putShort(1).putShort(ch.toShort).putInt(rate)
+        .putInt(rate * ch * 2).putShort((ch * 2).toShort).putShort(16)
+        .put("data".getBytes).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // mono, 5 samples at frameSamples=4: frame 0 = (100,-100,100,-100)
+    // -> rms 100, zcr 1.0; frame 1 = (50) tail -> rms 50, zcr 0.0
+    val mono = Array[Short](100, -100, 100, -100, 50)
+    // stereo frames average channels: L=(200,-200), R=(0,0) -> mono
+    // (100,-100): rms 100, zcr 1.0
+    val stereo = Array[Short](200, 0, -200, 0)
+    val out = Multimodal.audioFrames(Seq(
+      ("mono", wav(1, 8000, mono)),
+      ("stereo", wav(2, 8000, stereo)),
+      ("poison", Array[Byte](9, 9, 9)))
+      .toDF("media_id", "payload"), frameSamples = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(("mono", 0L)) == ((4L, 100.0, 1.0)))
+    assert(out(("mono", 1L)) == ((1L, 50.0, 0.0)))
+    assert(out(("stereo", 0L)) == ((2L, 100.0, 1.0)))
+    assert(!out.keySet.exists(_._1 == "poison"),
+      "poison blob must contribute no frames")
+  }
 }
