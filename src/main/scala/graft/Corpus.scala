@@ -74,6 +74,12 @@ import graft.operators.Dedup
   *                         range-partitioned + sorted on the Morton
   *                         interleave of two numeric columns, so scans
   *                         filtering on either column prune files
+  *   [-epoch_shuffle s[,n]] deterministic training-order shuffle (t24):
+  *                         rank every doc by md5(salt s || doc_id) with
+  *                         exact global ranks (two-phase, no global
+  *                         sort) and write n files (def 8) range-split
+  *                         on rank — reading files in order IS the
+  *                         epoch order; a new salt redraws it
   *   [-single_file 1]      coalesce output to one part
   *   [-threads n] [-master url] [-shuffle_partitions n]
   * }}}
@@ -398,20 +404,35 @@ object Corpus {
       // column prune files by parquet min/max stats. Layout options are
       // one-of: hive dirs, z-curve, or single file.
       require(Seq(opts.contains("zorder"), opts.contains("partition_by"),
+        opts.contains("epoch_shuffle"),
         opts.getOrElse("single_file", "0") == "1").count(identity) <= 1,
-        "-zorder, -partition_by and -single_file are mutually exclusive " +
-          "layout choices")
-      val shaped = opts.get("zorder") match {
+        "-zorder, -partition_by, -epoch_shuffle and -single_file are " +
+          "mutually exclusive layout choices")
+      val shaped = opts.get("epoch_shuffle") match {
         case Some(spec) =>
+          // t24's exact-rank shuffle + a range split on the rank: file
+          // order == epoch order, deterministic per salt (retry/re-run
+          // stable, unlike rand()); files are near-equal by construction
+          // because ranks are dense 0..n-1
           val parts = spec.split(",").map(_.trim)
-          require(parts.length == 2 || parts.length == 3,
-            s"-zorder wants c1,c2[,files] — got '$spec'")
-          val files = if (parts.length == 3) parts(2).toInt else 8
-          graft.functions.zorder.zOrdered(df, parts(0), parts(1),
-            numFiles = files)
-        case None =>
-          if (opts.getOrElse("single_file", "0") == "1") df.coalesce(1)
-          else df
+          require(parts.length == 1 || parts.length == 2,
+            s"-epoch_shuffle wants salt[,files] — got '$spec'")
+          val files = if (parts.length == 2) parts(1).toInt else 8
+          operators.Sampling.shuffleRank(df, "doc_id", parts(0))
+            .repartitionByRange(files, col("shuffle_rank"))
+            .sortWithinPartitions("shuffle_rank")
+        case None => opts.get("zorder") match {
+          case Some(spec) =>
+            val parts = spec.split(",").map(_.trim)
+            require(parts.length == 2 || parts.length == 3,
+              s"-zorder wants c1,c2[,files] — got '$spec'")
+            val files = if (parts.length == 3) parts(2).toInt else 8
+            graft.functions.zorder.zOrdered(df, parts(0), parts(1),
+              numFiles = files)
+          case None =>
+            if (opts.getOrElse("single_file", "0") == "1") df.coalesce(1)
+            else df
+        }
       }
       // hive-style layout: one directory per partition value — at scale
       // this is what makes downstream per-source/per-lang reads prune

@@ -448,6 +448,39 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(low.nonEmpty, "floor chosen so the stage actually drops docs")
   }
 
+  test("Corpus -epoch_shuffle writes files whose order IS the t24 rank " +
+    "order") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = s"${sys.props("java.io.tmpdir")}/graft-corpus-shuf-" +
+      ProcessHandle.current.pid
+    Corpus.run(spark, Map(
+      "i" -> s"$sf/documents.parquet", "dedup" -> "none",
+      "o" -> out, "epoch_shuffle" -> "ep1,5", "report" -> "0"))
+    val src = spark.read.parquet(s"$sf/documents.parquet")
+    val back = spark.read.parquet(out)
+    assert(back.count() == src.count())
+    // ranks are the exact 0..n-1 permutation from the t24 operator
+    val expected = graft.operators.Sampling
+      .shuffleRank(src, "doc_id", "ep1")
+      .select("doc_id", "shuffle_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = back.select("doc_id", "shuffle_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // file order is epoch order: per-file rank ranges are disjoint and
+    // files are near-equal (ranks are dense, range-split on rank)
+    val env = back.groupBy(input_file_name().as("f"))
+      .agg(min("shuffle_rank").as("lo"), max("shuffle_rank").as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("lo").collect()
+    assert(env.length == 5, s"expected 5 files, got ${env.length}")
+    env.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0).getLong(2) < w(1).getLong(1),
+        "file rank ranges must be disjoint and ordered")
+    }
+  }
+
   test("Corpus rejects -zorder combined with -partition_by") {
     val sf = "/root/testdata/sf0.001"
     val e = intercept[IllegalArgumentException] {
