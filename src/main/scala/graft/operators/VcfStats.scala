@@ -148,6 +148,89 @@ object VcfStats {
       .drop("_grp")
   }
 
+  /** plink `--r2`-style linkage disequilibrium: squared Pearson
+    * correlation of ALT dosages for every variant pair on the same
+    * chromosome within `maxDist` bases (pos2 strictly greater — each
+    * pair reported once; same-pos multi-allelic rows never pair).
+    *
+    * The pair space is bounded the genomic way, not the all-pairs way:
+    * the window predicate becomes g2's binned equi-join keyed
+    * (chrom, sample, bin), so candidates per sample are
+    * O(variants x window density), never variants². Per-pair sums are
+    * EXACT integer partials (map-side combined); the correlation
+    * arithmetic runs on the tiny aggregated frame, with products cast
+    * to double BEFORE squaring so a biobank-scale n cannot overflow a
+    * long. r2 is null when either variant is monomorphic among the
+    * pair's shared called samples; rounded to 5 for the oracle.
+    */
+  def ldPairs(gts: DataFrame, maxDist: Long,
+              binSize: Long = 10000L): DataFrame = {
+    require(maxDist >= 1, "ldPairs: maxDist must be >= 1")
+    val calls = gts.select(col("varId"), col("chrom"), col("pos"),
+      col("sample"), dosage(col("gt")).as("_d"))
+      .where(col("_d").isNotNull)
+    val leftIv = calls.select(col("chrom"), col("sample"),
+      col("varId").as("varId1"), col("pos").as("pos1"),
+      col("_d").as("_d1"),
+      (col("pos") + 1).as("start"), (col("pos") + maxDist).as("end"))
+    val rightPts = calls.select(col("chrom"), col("sample"),
+      col("varId").as("varId2"), col("pos"), col("_d").as("_d2"))
+    val pairs = IntervalJoin.pointsInIntervals(rightPts, leftIv,
+      Seq("chrom", "sample"), binSize)
+    val agg = pairs
+      .groupBy(col("chrom"), col("varId1"), col("pos1"),
+        col("varId2"), col("pos").as("pos2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_d1")).as("_sx"), sum(col("_d2")).as("_sy"),
+        sum(col("_d1") * col("_d1")).as("_sxx"),
+        sum(col("_d2") * col("_d2")).as("_syy"),
+        sum(col("_d1") * col("_d2")).as("_sxy"))
+    val num = (col("n") * col("_sxy") - col("_sx") * col("_sy"))
+      .cast("double")
+    val vx = (col("n") * col("_sxx") - col("_sx") * col("_sx"))
+    val vy = (col("n") * col("_syy") - col("_sy") * col("_sy"))
+    agg.withColumn("r2",
+      when(vx > 0 && vy > 0,
+        round(num * num / (vx.cast("double") * vy.cast("double")), 5)))
+      .select("chrom", "varId1", "pos1", "varId2", "pos2", "n", "r2")
+  }
+
+  /** Hudson-estimator Fst per variant between two sample groups (the
+    * population-differentiation scan): with per-group ALT frequency p_i
+    * over n_i called alleles,
+    * num = (p1-p2)² - p1(1-p1)/(n1-1) - p2(1-p2)/(n2-1),
+    * den = p1(1-p2) + p2(1-p1), fst = num/den (null when either group
+    * has < 2 called alleles or den = 0). `gts` carries a `pop` label
+    * column; rows outside the two groups are ignored. ONE groupBy of
+    * conditional sums — four longs per variant cross the exchange.
+    */
+  def fstHudson(gts: DataFrame, popA: String, popB: String): DataFrame = {
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val d = dosage(col("gt"))
+    val counts = gts
+      .select(col("varId"), col("chrom"), col("pos"), col("pop"),
+        d.as("_d"))
+      .where(col("_d").isNotNull && col("pop").isin(popA, popB))
+      .groupBy(col("varId"), col("chrom"), col("pos"))
+      .agg(
+        sum(when(col("pop") === popA, col("_d")).otherwise(0L))
+          .as("alt_a"),
+        (cnt(col("pop") === popA) * 2).as("n_a"),
+        sum(when(col("pop") === popB, col("_d")).otherwise(0L))
+          .as("alt_b"),
+        (cnt(col("pop") === popB) * 2).as("n_b"))
+    val p1 = col("alt_a").cast("double") / col("n_a")
+    val p2 = col("alt_b").cast("double") / col("n_b")
+    val num = (p1 - p2) * (p1 - p2) -
+      p1 * (lit(1.0) - p1) / (col("n_a") - 1) -
+      p2 * (lit(1.0) - p2) / (col("n_b") - 1)
+    val den = p1 * (lit(1.0) - p2) + p2 * (lit(1.0) - p1)
+    counts
+      .withColumn("fst",
+        when(col("n_a") >= 2 && col("n_b") >= 2 && den =!= 0.0,
+          round(num / den, 5)))
+  }
+
   /** bcftools gtcheck-style per-sample genotype concordance between two
     * call sets. Both inputs are long genotype matrices keyed
     * (varId, sample); missing genotypes are treated as ABSENT calls

@@ -280,6 +280,30 @@ object Genomic {
       graft.operators.VcfStats.genotypeConcordance(left, right)
     }),
 
+    "g21_ld" -> ((s, _) => {
+      // plink --r2: dosage correlation for variant pairs within 40 bp —
+      // the window predicate is g2's binned equi-join keyed
+      // (chrom, sample, bin), pair sums are exact integer partials,
+      // the correlation arithmetic runs on the aggregated frame only
+      prep(s)
+      graft.operators.VcfStats.ldPairs(gtsWithVarId(s)
+        .where(col("chrom") =!= "X"), maxDist = 40, binSize = 16)
+    }),
+
+    "g22_fst" -> ((s, _) => {
+      // Hudson-estimator Fst, EUR vs the rest of the cohort: per-group
+      // allele frequencies from ONE conditional-sum groupBy
+      prep(s)
+      val meta = s.read.parquet(s"$fx/samples_meta.parquet")
+        .select(col("sample"),
+          when(col("superpopulation") === "EUR", "EUR").otherwise("REST")
+            .as("pop"))
+      graft.operators.VcfStats.fstHudson(
+        gtsWithVarId(s).where(col("chrom") =!= "X")
+          .join(broadcast(meta), Seq("sample")),
+        popA = "EUR", popB = "REST")
+    }),
+
     "g19_gc_windows" -> ((s, _) => {
       // bedtools-nuc-style windowed base composition over the raw genome
       // sequences: one regexp window cut + length-difference base counts,
@@ -1033,6 +1057,87 @@ object Genomic {
          |      / (n_concordant + n_discordant), 5)
          |  END AS concordance
          |FROM c""".stripMargin,
+
+    "g21_ld" ->
+      s"""WITH g AS (
+         |  SELECT id || ':' || alt AS vid, chrom, pos,
+         |    unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM ${pq("vcf_norm")} WHERE chrom <> 'X'),
+         |d AS (
+         |  SELECT vid, chrom, pos, 'S' || si AS sample,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) END AS dd
+         |  FROM g),
+         |d2 AS (SELECT * FROM d WHERE dd IS NOT NULL),
+         |p AS (
+         |  SELECT a.chrom, a.vid AS v1, a.pos AS p1, b.vid AS v2,
+         |    b.pos AS p2, a.dd AS x, b.dd AS y
+         |  FROM d2 a JOIN d2 b ON a.chrom = b.chrom
+         |    AND a.sample = b.sample
+         |    AND b.pos > a.pos AND b.pos <= a.pos + 40),
+         |c AS (
+         |  SELECT chrom, v1, p1, v2, p2,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x*x) AS BIGINT) AS sxx,
+         |    CAST(sum(y*y) AS BIGINT) AS syy,
+         |    CAST(sum(x*y) AS BIGINT) AS sxy
+         |  FROM p GROUP BY 1, 2, 3, 4, 5)
+         |SELECT chrom, v1 AS "varId1", p1 AS pos1, v2 AS "varId2",
+         |  p2 AS pos2, n,
+         |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+         |    round(CAST(n*sxy - sx*sy AS DOUBLE)
+         |        * CAST(n*sxy - sx*sy AS DOUBLE)
+         |      / (CAST(n*sxx - sx*sx AS DOUBLE)
+         |        * CAST(n*syy - sy*sy AS DOUBLE)), 5)
+         |  END AS r2
+         |FROM c""".stripMargin,
+
+    "g22_fst" ->
+      s"""WITH g AS (
+         |  SELECT id || ':' || alt AS vid, chrom, pos,
+         |    unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM ${pq("vcf_norm")} WHERE chrom <> 'X'),
+         |d AS (
+         |  SELECT vid, chrom, pos, 'S' || si AS sample,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) END AS dd
+         |  FROM g),
+         |m AS (
+         |  SELECT d.*, CASE WHEN superpopulation = 'EUR' THEN 'EUR'
+         |    ELSE 'REST' END AS pop
+         |  FROM d JOIN ${pq("samples_meta")} s USING (sample)
+         |  WHERE dd IS NOT NULL),
+         |c AS (
+         |  SELECT vid AS "varId", chrom, pos,
+         |    CAST(sum(CASE WHEN pop = 'EUR' THEN dd ELSE 0 END)
+         |      AS BIGINT) AS alt_a,
+         |    CAST(2 * sum(CASE WHEN pop = 'EUR' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN pop = 'REST' THEN dd ELSE 0 END)
+         |      AS BIGINT) AS alt_b,
+         |    CAST(2 * sum(CASE WHEN pop = 'REST' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_b
+         |  FROM m GROUP BY 1, 2, 3),
+         |f AS (
+         |  SELECT *, CAST(alt_a AS DOUBLE) / n_a AS p1,
+         |    CAST(alt_b AS DOUBLE) / n_b AS p2
+         |  FROM c)
+         |SELECT "varId", chrom, pos, alt_a, n_a, alt_b, n_b,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2
+         |      AND p1 * (1.0 - p2) + p2 * (1.0 - p1) <> 0.0 THEN
+         |    round(((p1 - p2) * (p1 - p2)
+         |        - p1 * (1.0 - p1) / (n_a - 1)
+         |        - p2 * (1.0 - p2) / (n_b - 1))
+         |      / (p1 * (1.0 - p2) + p2 * (1.0 - p1)), 5)
+         |  END AS fst
+         |FROM f""".stripMargin,
 
     "g19_gc_windows" ->
       s"""WITH g AS (

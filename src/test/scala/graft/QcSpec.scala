@@ -411,4 +411,58 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(hist == Map(1L -> 10L, 2L -> 5L))
   }
+
+  test("ldPairs: perfect LD r2=1, window bound, monomorphic -> null") {
+    val s = spark
+    import s.implicits._
+    // v1(pos 10) and v2(pos 20): identical dosage vectors -> r2 = 1
+    // v3(pos 25): anti-correlated with v1 -> r2 = 1 as well (sign-free)
+    // v4(pos 200): outside the 50bp window of all others
+    // v5(pos 30): monomorphic -> r2 null in every pair
+    val gts = Seq(
+      ("v1", 10L, Seq(0, 1, 2, 1)), ("v2", 20L, Seq(0, 1, 2, 1)),
+      ("v3", 25L, Seq(2, 1, 0, 1)), ("v4", 200L, Seq(0, 1, 2, 1)),
+      ("v5", 30L, Seq(1, 1, 1, 1)))
+      .flatMap { case (v, pos, ds) =>
+        ds.zipWithIndex.map { case (d, i) =>
+          (v, "1", pos, s"s$i", if (d == 0) "0|0"
+            else if (d == 1) "0|1" else "1|1") } }
+      .toDF("varId", "chrom", "pos", "sample", "gt")
+    val out = graft.operators.VcfStats.ldPairs(gts, maxDist = 50)
+      .collect().map(r => (r.getString(1), r.getString(3)) ->
+        (if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
+    assert(out(("v1", "v2")) == Some(1.0))
+    assert(out(("v1", "v3")) == Some(1.0))
+    assert(out(("v1", "v5")) == None, "monomorphic partner -> null r2")
+    assert(!out.keySet.exists(p => p._1 == "v4" || p._2 == "v4"),
+      "pairs beyond maxDist must not appear")
+    // every reported pair is ordered pos1 < pos2 and reported once
+    assert(out.keySet == Set(("v1","v2"), ("v1","v3"), ("v1","v5"),
+      ("v2","v3"), ("v2","v5"), ("v3","v5")))
+  }
+
+  test("fstHudson: fixed difference -> 1, equal freqs -> ~0 correction") {
+    val s = spark
+    import s.implicits._
+    def rows(v: String, pos: Long, a: Seq[Int], b: Seq[Int]) = {
+      def gt(d: Int) = if (d == 0) "0|0" else if (d == 1) "0|1" else "1|1"
+      a.zipWithIndex.map { case (d, i) =>
+        (v, "1", pos, s"a$i", "A", gt(d)) } ++
+        b.zipWithIndex.map { case (d, i) =>
+          (v, "1", pos, s"b$i", "B", gt(d)) }
+    }
+    // v1: fixed difference (p1=1, p2=0) -> fst 1
+    // v2: identical freqs p=0.5 -> fst = negative correction / 0.5
+    val gts = (rows("v1", 10L, Seq(2, 2), Seq(0, 0)) ++
+      rows("v2", 20L, Seq(1, 1), Seq(1, 1)))
+      .toDF("varId", "chrom", "pos", "sample", "pop", "gt")
+    val out = graft.operators.VcfStats.fstHudson(gts, "A", "B")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(7)) None else Some(r.getDouble(7)))).toMap
+    assert(out("v1") == Some(1.0))
+    // hand: p1=p2=0.5, n=4 alleles each: num = 0 - .25/3 - .25/3 = -1/6
+    // den = .25 + .25 = .5 -> fst = -1/3
+    assert(out("v2") == Some(BigDecimal(-1.0 / 6 / 0.5)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
 }
