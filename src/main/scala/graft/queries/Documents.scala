@@ -700,6 +700,23 @@ object Documents {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }),
 
+    "w3_warc_links" -> ((s, _) => {
+      // web-graph edge extraction over the crawl: every <a href> of the
+      // 2xx html responses, quote styles normalized, fragment-only links
+      // dropped — the (page, outlink) edge list d11's PageRank and d16's
+      // URL dedup consume. The 404 page's link must NOT appear.
+      import graft.sources.Warc
+      Warc.read(s, warcPath)
+        .where(col("warc_type") === "response" &&
+          regexp_extract(col("payload"),
+            "(?mi)^Content-Type: ?([^\r\n]*)", 1).contains("html") &&
+          Warc.httpStatus(col("payload")) === 200)
+        .select(col("target_uri"),
+          posexplode(Warc.extractLinks(Warc.httpBody(col("payload"))))
+            .as(Seq("link_idx", "href")))
+        .withColumn("link_idx", col("link_idx").cast("long"))
+    }),
+
     "d9_fuzzy_join" -> ((s, dir) => {
       // edit-distance near-dup over 12-char derived keys, prefix-blocked
       Dedup.fuzzyJoin(spread(t(s, dir, "documents")), "doc_id", "text",
@@ -1700,6 +1717,57 @@ object Documents {
          |    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
          |    '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars
          |FROM html""".stripMargin,
+
+    "w3_warc_links" ->
+      s"""WITH recs AS (
+         |  SELECT regexp_replace(unnest(string_split(content,
+         |      $warcSepSql)), '^WARC/1\\.0' || chr(13) || chr(10), '')
+         |    AS rec
+         |  FROM read_text('$warcPath')),
+         |split AS (
+         |  SELECT rec,
+         |    CASE WHEN strpos(rec, $crlf2Sql) > 0
+         |      THEN substr(rec,
+         |        len(string_split(rec, $crlf2Sql)[1]) + 5)
+         |      ELSE '' END AS body
+         |  FROM recs WHERE len(trim(rec)) > 0),
+         |payloads AS (
+         |  SELECT
+         |    nullif(regexp_extract(rec,
+         |      '(?m)^WARC-Target-URI: ?([^\\r\\n]*)', 1), '')
+         |      AS target_uri,
+         |    CASE WHEN CAST(nullif(regexp_extract(rec,
+         |        '(?m)^Content-Length: ?([^\\r\\n]*)', 1), '') AS BIGINT)
+         |        IS NOT NULL
+         |      THEN substr(body, 1, CAST(nullif(regexp_extract(rec,
+         |        '(?m)^Content-Length: ?([^\\r\\n]*)', 1), '') AS BIGINT))
+         |      ELSE body END AS payload
+         |  FROM split
+         |  WHERE len(trim(rec)) > 0
+         |    AND nullif(regexp_extract(rec,
+         |      '(?m)^WARC-Type: ?([^\\r\\n]*)', 1), '') = 'response'),
+         |html AS (
+         |  SELECT target_uri,
+         |    CASE WHEN strpos(payload, $crlf2Sql) > 0
+         |      THEN substr(payload,
+         |        len(string_split(payload, $crlf2Sql)[1]) + 5)
+         |      ELSE '' END AS hbody
+         |  FROM payloads
+         |  WHERE contains(regexp_extract(payload,
+         |      '(?mi)^Content-Type: ?([^\\r\\n]*)', 1), 'html')
+         |    AND CAST(nullif(regexp_extract(payload,
+         |      '^HTTP/1\\.[01] (\\d{3})', 1), '') AS INT) = 200),
+         |links AS (
+         |  SELECT target_uri,
+         |    list_filter(list_transform(regexp_extract_all(hbody,
+         |      '(?is)<a\\s[^>]*?href\\s*=\\s*(''[^'']*''|"[^"]*"|[^\\s>]+)',
+         |      1), r -> regexp_replace(r, '^[''"]|[''"]$$', '', 'g')),
+         |      x -> len(x) > 0 AND substr(x, 1, 1) <> '#') AS ls
+         |  FROM html)
+         |SELECT target_uri, CAST(li.i - 1 AS BIGINT) AS link_idx,
+         |  ls[li.i] AS href
+         |FROM links, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i)
+         |  li""".stripMargin,
 
     "d9_fuzzy_join" ->
       """WITH s AS (

@@ -88,6 +88,23 @@ object Warc {
     * whitespace. Pure regexp/replace columns — no UDF, and every regex
     * stays inside the RE2 subset so a SQL oracle can replay it.
     */
+  /** Outlink hrefs from an HTML body — the web-graph edge extractor
+    * (feeds the d11 PageRank / d16 URL-dedup path): every `<a ... href>`
+    * value, quote style normalized (double/single/unquoted), fragment-
+    * only links dropped (same-page anchors are not edges). Stays in the
+    * RE2 subset (non-greedy attribute skip, character classes match
+    * newlines) so the SQL oracle replays it; no HTML parser dependency —
+    * the crawl-scale tradeoff every WET-style extractor makes.
+    */
+  def extractLinks(htmlBody: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(htmlBody,
+          lit("(?is)<a\\s[^>]*?href\\s*=\\s*('[^']*'|\"[^\"]*\"|[^\\s>]+)"),
+          lit(1)),
+        l => regexp_replace(l, "^['\"]|['\"]$", "")),
+      l => length(l) > 0 && !l.startsWith("#"))
+
   def extractText(htmlBody: Column): Column = {
     val noScript = regexp_replace(
       regexp_replace(htmlBody, "(?is)<script[^>]*>.*?</script>", " "),

@@ -301,4 +301,28 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cases("b") == (Some(200), "kept"))
     assert(cases("c") == (None, ""))
   }
+
+  test("WARC extractLinks: quote styles, fragment drop, href-less " +
+    "anchors, attribute-rich tags") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.Warc
+    val html =
+      """<html><body>
+        |<a href="http://a.com/x">dq</a>
+        |<a href='/rel'>sq</a>
+        |<a href=bare>uq</a>
+        |<A CLASS="nav" HREF="https://b.org/y?q=1">caps attrs</A>
+        |<a href="#frag">same-page</a>
+        |<a name='x'>no href</a>
+        |<a href="">empty</a>
+        |</body></html>""".stripMargin
+    val out = Seq(html).toDF("h")
+      .select(org.apache.spark.sql.functions.col("h"),
+        Warc.extractLinks(org.apache.spark.sql.functions.col("h"))
+          .as("links"))
+      .collect().head.getSeq[String](1)
+    assert(out == Seq("http://a.com/x", "/rel", "bare",
+      "https://b.org/y?q=1"))
+  }
 }

@@ -383,6 +383,14 @@ HTML_BODY = (
     "<script>var x = 1 < 2;</script>\n"
     "</head>\n<body>\n"
     "<h1>Example &amp; Friends</h1>\n"
+    # outlink zoo for w3: double/single-quoted, unquoted, uppercase HREF
+    # with extra attributes, fragment-only (excluded), href-less anchor
+    '<p><a href="http://example.com/about">About</a> and\n'
+    "<a href='/relative/path'>a relative link</a> and\n"
+    "<a href=/unquoted>unquoted</a>.</p>\n"
+    '<p><A CLASS="nav" HREF="https://other.example.org/x?b=2&a=1">caps'
+    '</A> <a href="#toc">fragment only</a>\n'
+    "<a name='no-href'>no href here</a></p>\n"
     "<p>First paragraph with <b>bold</b> text.</p>\n\n"
     "<p>Second one mentions WARC/1.0 mid-line &lt;here&gt;.</p>\n"
     "</body></html>\n")
@@ -391,7 +399,9 @@ HTTP_HTML = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n"
 HTTP_PLAIN = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
               "Just plain text.\nSecond line.\n")
 HTTP_404 = ("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n"
-            "<html><body><p>Missing &#39;page&#39;.</p></body></html>")
+            "<html><body><p>Missing &#39;page&#39;."
+            "<a href=\"http://dead.example.com/\">dead link</a>"
+            "</p></body></html>")
 HTTP_JUNK = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
              "<html><body><p>Short &quot;quoted&quot; page.</p>"
              "</body></html>")
