@@ -508,7 +508,8 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byUrl = rows.map(r => r.getString(1) ->
       (r.getInt(2), r.getString(3))).toMap
     assert(byUrl("http://example.com/")._1 == 200)
-    assert(byUrl("http://example.com/gone") == ((404, "Missing 'page'.")))
+    assert(byUrl("http://example.com/gone") ==
+      ((404, "Missing 'page'. dead link")))
     // ids are a pure function of the record id: re-run == same ids
     val again = Corpus.run(spark, Map(
       "i_warc" -> warc, "dedup" -> "none", "report" -> "0"))
