@@ -330,6 +330,29 @@ object Bench {
             graft.sources.Warc.httpBody(col("payload"))).as("t"))
           .agg(sum(length(col("t")))).head.getLong(0)
       }),
+      // LD at volume: ~nDocs/2 variants x 50 samples (1.5M genotype
+      // rows at sf0.1) through the binned windowed pair join — pairs
+      // are bounded by window density (~10 partners/variant), so the
+      // pair-sample stream is ~15M rows into exact-integer partials,
+      // the plan shape a biobank-scale --r2 scan needs
+      "ldx_ld_scale" -> (() => {
+        val gts = spark.range(nDocs / 2).select(
+          concat(lit("chr"), col("id") % 22).as("chrom"),
+          (col("id") / 22 * 150 + pmod(hash(col("id")), lit(50)))
+            .cast("long").as("pos"),
+          concat(lit("v"), col("id")).as("varId"),
+          col("id").as("vnum"))
+          .crossJoin(spark.range(50).select(col("id").as("snum")))
+          .select(col("chrom"), col("pos"), col("varId"),
+            concat(lit("S"), col("snum")).as("sample"),
+            when(pmod(hash(col("vnum"), col("snum")), lit(4)) === 0,
+              "1|1")
+              .when(pmod(hash(col("vnum"), col("snum")), lit(4)) === 1,
+                "0|1")
+              .otherwise("0|0").as("gt"))
+        graft.operators.VcfStats.ldPairs(gts, maxDist = 1500,
+          binSize = 2000).count()
+      }),
       "hx_haplo_scale" -> (() => {
         val gts = spark.range(nDocs).select(col("id").as("snum"))
           .crossJoin(spark.range(200).select(col("id").as("vnum")))

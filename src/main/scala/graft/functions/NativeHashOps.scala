@@ -127,6 +127,63 @@ object NativeHashOps {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprints (operators.Winnowing): hash every word
+    * k-gram to the first 15 md5 hex digits as a 60-bit long, take each
+    * length-`window` window's minimum with an O(n) monotonic deque
+    * (vs the O(n*window) per-window slice fold the Column form pays),
+    * return the DISTINCT selected hashes. Bit-equal to the SQL oracle:
+    * the hash is the same md5-prefix integer, and which values are
+    * minima is arithmetic, not implementation.
+    */
+  def winnowFps(words: ArrayData, k: Int, window: Int): ArrayData = {
+    val m = words.numElements()
+    if (m < k) return new GenericArrayData(Array.empty[Any])
+    val n = m - k + 1
+    val hashes = new Array[Long](n)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < k) {
+        parts(j) = words.getUTF8String(i + j)
+        j += 1
+      }
+      val d = md5(UTF8String.concatWs(SPACE, parts: _*).getBytes)
+      // first 15 hex digits = 7 full bytes + the high nibble of byte 7
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      hashes(i) = (v << 4) | ((d(7) >> 4) & 0xfL)
+      i += 1
+    }
+    val selected = new java.util.LinkedHashSet[Long]()
+    if (n <= window) {
+      var mn = hashes(0)
+      var t = 1
+      while (t < n) { if (hashes(t) < mn) mn = hashes(t); t += 1 }
+      selected.add(mn)
+    } else {
+      // monotonic deque of indices, front = current window minimum
+      val deque = new Array[Int](n)
+      var head = 0
+      var tail = 0 // exclusive
+      var t = 0
+      while (t < n) {
+        while (tail > head && hashes(deque(tail - 1)) >= hashes(t)) tail -= 1
+        deque(tail) = t
+        tail += 1
+        if (deque(head) <= t - window) head += 1
+        if (t >= window - 1) selected.add(hashes(deque(head)))
+        t += 1
+      }
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Distinct (first-occurrence order) character n-grams of an
     * already-normalized string, each md5-hex'd — the fused
     * text.charNgrams + per-gram md5 front-end of ngramJaccard.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -242,9 +242,43 @@ object NativeExprs {
       copy(newLeft, newRight)
     override def prettyName: String = "graft_dot"
   }
+
+  /** graft_winnow_fps(array<string> words, int k, int window) ->
+    * array<bigint>: the fused winnowing front end — word k-grams, 60-bit
+    * md5-prefix hashes, O(n) deque window minima, distinct. One compiled
+    * call per row instead of an interpreted O(n*window) slice fold.
+    */
+  case class GraftWinnowFps(first: Expression, second: Expression,
+                            third: Expression) extends TernaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (first.dataType.catalogString ==
+          ArrayType(StringType).catalogString &&
+        second.dataType.catalogString == IntegerType.catalogString &&
+        third.dataType.catalogString == IntegerType.catalogString)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, int, int), got " +
+          s"(${first.dataType.catalogString}, " +
+          s"${second.dataType.catalogString}, " +
+          s"${third.dataType.catalogString})")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(w: Any, k: Any, win: Any): Any =
+      NativeHashOps.winnowFps(w.asInstanceOf[ArrayData],
+        k.asInstanceOf[Int], win.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (w, k, win) => s"graft.functions.NativeHashOps.winnowFps($w, $k, $win)")
+    override protected def withNewChildrenInternal(
+        f: Expression, sc: Expression, t: Expression): Expression =
+      copy(f, sc, t)
+    override def prettyName: String = "graft_winnow_fps"
+  }
 }
 
 /** Session registration for the graft_* scalar functions. */
+
+
 object GraftFunctions {
   import NativeExprs._
 
@@ -293,6 +327,11 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         require(children.length == 1, "graft_wav_meta takes 1 argument")
         MediaExprs.GraftWavMeta(children.head)
+      }),
+    ("graft_winnow_fps", classOf[GraftWinnowFps],
+      { children: Seq[Expression] =>
+        require(children.length == 3, "graft_winnow_fps takes 3 arguments")
+        GraftWinnowFps(children(0), children(1), children(2))
       }),
     ("graft_wav_frames", classOf[MediaExprs.GraftWavFrames],
       arity2("graft_wav_frames", MediaExprs.GraftWavFrames.apply)),
