@@ -47,6 +47,49 @@ object Winnowing {
       .select(col("id"), explode(col("_fp")).as("fingerprint"))
   }
 
+  /** MOSS pair scoring — the LOCAL-overlap near-dup detector the global
+    * measures miss from the other side: d2/d4 need whole-document
+    * resemblance, t19 needs one side mostly-contained; winnowing pairs
+    * fire on ANY sufficiently long shared run, wherever it sits in
+    * either document. score = shared fingerprints / min(|A|, |B|)
+    * (containment-normalized so a small doc quoted inside a big one
+    * still scores high).
+    *
+    * Plan shape: ONE fingerprint-keyed exchange that the skew-cap
+    * window and BOTH self-join sides reuse (the r7 LSH fusion);
+    * only (fingerprint, id, n_fp) rows shuffle — never text. The cap
+    * keeps a boilerplate fingerprint shared by a million docs from
+    * exploding the pair join (recall-only, deterministic id order so
+    * the oracle replays it exactly).
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, window: Int = 4, minShared: Int = 2,
+                  maxBucketSize: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol).as("id"),
+      call_function("graft_winnow_fps", text.words(col(textCol)),
+        lit(k), lit(window)).as("_fp"))
+      .where(size(col("_fp")) > 0)
+      .select(col("id"), size(col("_fp")).as("n_fp"),
+        explode(col("_fp")).as("fingerprint"))
+    val capped = base.withColumn("_rn", row_number().over(
+      Window.partitionBy(col("fingerprint")).orderBy(col("id"))))
+      .where(col("_rn") <= maxBucketSize).drop("_rn")
+    val l = capped.select(col("fingerprint"), col("id").as("id1"),
+      col("n_fp").as("n_fp1"))
+    val r = capped.select(col("fingerprint"), col("id").as("id2"),
+      col("n_fp").as("n_fp2"))
+    l.join(r, Seq("fingerprint"))
+      .where(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"), col("n_fp1"), col("n_fp2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .withColumn("score",
+        round(col("n_shared").cast("double") /
+          least(col("n_fp1"), col("n_fp2")), 5))
+  }
+
   /** MOSS-style match rollup: fingerprints selected by more than one
     * document, with the ordered member list. One groupBy over (hash, id)
     * pairs — a boilerplate fingerprint shared by a million docs is one

@@ -487,6 +487,16 @@ object Documents {
         chunkWords = 20)
     }),
 
+    "d17_winnow_pairs" -> ((s, dir) => {
+      // MOSS pair scoring: near-dup pairs from shared winnowing
+      // fingerprints (local-overlap detection, containment-normalized);
+      // one fingerprint-keyed exchange reused by the cap window and
+      // both join sides, ids-only pair shuffle
+      graft.operators.Winnowing.winnowPairs(
+        spread(t(s, dir, "documents")), "doc_id", "text",
+        k = 3, window = 4, minShared = 2)
+    }),
+
     "t22_winnowing" -> ((s, dir) => {
       // MOSS winnowing fingerprints: per-window minimum gram hash ->
       // LOCAL overlap detection (any shared run of window+k-1 words
@@ -1246,6 +1256,41 @@ object Documents {
         |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ';'
         |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
         |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "d17_winnow_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    [list_reduce([strpos('0123456789abcdef',
+        |        substr(md5(array_to_string(w[i+1:i+3], ' ')), j, 1)) - 1
+        |      for j in range(1, 16)], (a, c) -> a * 16 + c)
+        |     for i in range(0, len(w) - 2)] AS h
+        |  FROM w WHERE len(w) >= 3),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_min(h[i+1:least(i+4, len(h))])
+        |      for i in range(0, greatest(len(h) - 3, 1))]) AS ls
+        |  FROM h),
+        |e AS (
+        |  SELECT doc_id, len(ls) AS n_fp, unnest(ls) AS fp FROM f),
+        |c AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+        |      AS rn FROM e)
+        |  WHERE rn <= 100),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    a.n_fp AS n_fp1, b.n_fp AS n_fp2,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM c a JOIN c b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id1, id2, CAST(n_fp1 AS BIGINT) AS n_fp1,
+        |  CAST(n_fp2 AS BIGINT) AS n_fp2, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / least(n_fp1, n_fp2), 5)
+        |    AS score
+        |FROM p WHERE n_shared >= 2""".stripMargin,
 
     "t22_winnowing" ->
       """WITH w AS (

@@ -272,4 +272,30 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       shared.forall(r => r.getLong(1) >= 2 &&
         r.getString(2) == "1;2"))
   }
+
+  test("winnowPairs scores a mid-document shared run, cap kills pairs") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Winnowing
+    val run = ("zeta eta theta iota kappa lambda mu nu xi omicron pi rho " +
+      "sigma tau upsilon phi chi psi omega alef")
+    val docs = Seq(
+      (1L, "intro words about one topic " + run + " closing remarks here"),
+      (2L, "completely different opening paragraph text " + run +
+        " and an unrelated ending about other things entirely"),
+      (3L, "nothing in common with either of the previous documents " +
+        "at all in any words whatsoever"))
+      .toDF("doc_id", "text")
+    val pairs = Winnowing.winnowPairs(docs, "doc_id", "text",
+      minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(pairs.contains((1L, 2L)),
+      "docs sharing a 20-word run must pair")
+    assert(pairs((1L, 2L)) > 0.1 && pairs((1L, 2L)) <= 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // cap = 1: every fingerprint bucket keeps one member -> no pairs
+    // (recall-only guard, never a false positive)
+    assert(Winnowing.winnowPairs(docs, "doc_id", "text",
+      minShared = 1, maxBucketSize = 1).count() == 0)
+  }
 }
