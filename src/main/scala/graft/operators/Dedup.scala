@@ -87,6 +87,41 @@ object Dedup {
     * shingle -> minhash (k = bands*rows) -> band buckets -> bucket self-join
     * -> distinct candidate pairs -> Jaccard >= threshold.
     */
+  /** Corpus-level source-overlap matrix: estimated shingle-set Jaccard
+    * between every pair of SOURCES (crawl snapshots, dumps, vendors) —
+    * the triage that answers "which feeds duplicate each other" before
+    * any doc-level dedup runs. MinHash signatures are mergeable
+    * (min of per-doc mins == min over the union of shingle sets), so a
+    * source's signature reduces map-side: the exchange carries
+    * k longs per source per task, never shingles or docs; the pairwise
+    * compare runs on k x sources rows — metadata scale at any corpus
+    * size. Same md5 + 2-universal family as d2, so the estimate is
+    * engine-reproducible bit-for-bit.
+    */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
+                    shingleWords: Int = 2, k: Int = 16): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val sigs = df.select(col(groupCol).as("source"),
+      call_function("graft_word_shingles",
+        text.words(col(textCol)), lit(shingleWords)).as("_sh"))
+      .where(size(col("_sh")) > 0)
+      .select(col("source"),
+        posexplode(call_function("graft_minhash_sig", col("_sh"),
+          lit(k))).as(Seq("i", "h")))
+      .groupBy(col("source"), col("i")).agg(min(col("h")).as("h"))
+    val l = sigs.select(col("i"), col("source").as("source1"),
+      col("h").as("h1"))
+    val r = sigs.select(col("i"), col("source").as("source2"),
+      col("h").as("h2"))
+    l.join(r, Seq("i"))
+      .where(col("source1") < col("source2"))
+      .groupBy(col("source1"), col("source2"))
+      .agg(sum(when(col("h1") === col("h2"), 1L).otherwise(0L))
+        .as("n_match"))
+      .withColumn("est_jaccard",
+        round(col("n_match").cast("double") / k, 5))
+  }
+
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleWords: Int = 3, bands: Int = 8, rows: Int = 2,
                  jaccardThreshold: Double = 0.5,

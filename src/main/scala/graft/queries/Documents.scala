@@ -487,6 +487,15 @@ object Documents {
         chunkWords = 20)
     }),
 
+    "d18_source_overlap" -> ((s, dir) => {
+      // which feeds duplicate each other: estimated shingle Jaccard
+      // between sources from MERGED minhash signatures (min of per-doc
+      // mins == min over the union) — k longs per source cross the
+      // exchange, the pairwise compare is metadata-scale
+      graft.operators.Dedup.sourceOverlap(
+        spread(t(s, dir, "documents")), "source", "text")
+    }),
+
     "d17_winnow_pairs" -> ((s, dir) => {
       // MOSS pair scoring: near-dup pairs from shared winnowing
       // fingerprints (local-overlap detection, containment-normalized);
@@ -1256,6 +1265,40 @@ object Documents {
         |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ';'
         |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
         |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "d18_source_overlap" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+        |      AS shingles
+        |  FROM (SELECT source, regexp_extract_all(lower(text), '[a-z]+')
+        |          AS w FROM documents)
+        |  WHERE len(w) >= 2),
+        |hp AS (
+        |  SELECT source, list_transform(shingles, s -> [
+        |    list_reduce([strpos('0123456789abcdef', md5(s)[j]) - 1
+        |      for j in range(1, 13)], (a, c) -> a*16 + c),
+        |    list_reduce([strpos('0123456789abcdef', md5(s)[j]) - 1
+        |      for j in range(13, 25)], (a, c) -> a*16 + c)]) AS ab
+        |  FROM d),
+        |sd AS (
+        |  SELECT source,
+        |    [list_min(list_transform(ab, p -> p[1] + i * p[2]))
+        |     for i in range(0, 16)] AS sig
+        |  FROM hp),
+        |el AS (
+        |  SELECT source, gi.i AS i, min(sig[gi.i + 1]) AS h
+        |  FROM sd, LATERAL (SELECT unnest(range(0, 16)) AS i) gi
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.source AS source1, b.source AS source2,
+        |    CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_match
+        |  FROM el a JOIN el b ON a.i = b.i AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source1, source2, n_match,
+        |  round(CAST(n_match AS DOUBLE) / 16, 5) AS est_jaccard
+        |FROM p""".stripMargin,
 
     "d17_winnow_pairs" ->
       """WITH w AS (
