@@ -138,6 +138,96 @@ object TableOps {
     base.join(ndv, Seq("column_name"), "left")
   }
 
+  private def statsUnpivot(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "stats need at least one column")
+    cols.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"stats: no column '$c'"))
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"stats: column '$c' is ${f.dataType.simpleString}, not numeric")
+    }
+    df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column_name"),
+        col(c).cast("double").as("_num"),
+        col(c).cast("string").as("_str"))): _*)).as("_e"))
+      .select(col("_e.column_name"), col("_e._num"), col("_e._str"))
+  }
+
+  /** Mergeable ANALYZE state (the incremental-maintenance form of
+    * [[tableStats]]): instead of final numbers, one narrow frame per
+    * batch holding each column's count/min/max row (idx null) plus its
+    * 256 HLL register rows — every component is associative-commutative
+    * (sum / min / max / register max), so
+    * `statsFinalize(mergeStatsStates(state(A), state(B)))` equals
+    * `statsFinalize(statsState(A ∪ B))` EXACTLY for counts and min/max
+    * and register-for-register for NDV. A 100 TB table's stats update
+    * with one pass over the NEW partition and a metadata-scale merge —
+    * never a full rescan (the lakehouse incremental-ANALYZE contract).
+    */
+  def statsState(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val exploded = statsUnpivot(df, cols)
+    val counts = exploded.groupBy(col("column_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("_num"))).as("null_count"),
+        min(col("_num")).as("min_val"),
+        max(col("_num")).as("max_val"))
+      .select(col("column_name"), lit(null).cast("int").as("idx"),
+        lit(null).cast("int").as("r"), col("n_rows"), col("null_count"),
+        col("min_val"), col("max_val"))
+    val h = md5(col("_str"))
+    val rest = conv(substring(h, 3, 6), 16, 10).cast("long")
+    val regs = exploded.where(col("_str").isNotNull)
+      .select(col("column_name"),
+        conv(substring(h, 1, 2), 16, 10).cast("int").as("idx"),
+        when(rest === 0, lit(25))
+          .otherwise(lit(25) - length(bin(rest))).cast("int").as("_rho"))
+      .groupBy(col("column_name"), col("idx"))
+      .agg(max(col("_rho")).as("r"))
+      .select(col("column_name"), col("idx"), col("r"),
+        lit(null).cast("long").as("n_rows"),
+        lit(null).cast("long").as("null_count"),
+        lit(null).cast("double").as("min_val"),
+        lit(null).cast("double").as("max_val"))
+    counts.unionByName(regs)
+  }
+
+  /** Merge two (or, folded, any number of) stats states: union + ONE
+    * re-aggregation with the same associative functions. Register rows
+    * max-merge; count rows sum; min/max fold. Output is again a state.
+    */
+  def mergeStatsStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("column_name"), col("idx"))
+      .agg(max(col("r")).as("r"), sum(col("n_rows")).as("n_rows"),
+        sum(col("null_count")).as("null_count"),
+        min(col("min_val")).as("min_val"),
+        max(col("max_val")).as("max_val"))
+
+  /** Finalize a stats state into [[tableStats]]-shaped output: counts,
+    * rounded min/max, and the HLL NDV estimate read from the merged
+    * registers (q15's bias-corrected formula, linear counting below
+    * 2.5m).
+    */
+  def statsFinalize(state: DataFrame): DataFrame = {
+    val m = 256
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val g = state.groupBy(col("column_name"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("null_count")).as("null_count"),
+        round(min(col("min_val")), 6).as("min_val"),
+        round(max(col("max_val")), 6).as("max_val"),
+        count(col("r")).as("_cnt"),
+        sum(pow(lit(2.0), -col("r"))).as("_sp"))
+    val zeros = lit(m) - col("_cnt")
+    val raw = alpha * lit(m.toDouble * m) /
+      (col("_sp") + zeros.cast("double"))
+    val est = when(raw <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+    g.select(col("column_name"), col("n_rows"), col("null_count"),
+      col("min_val"), col("max_val"),
+      when(col("_cnt") > 0, round(est, 4)).as("ndv_est"))
+  }
+
   /** MERGE-style changelog apply: fold an insert/update/delete change
     * stream into a snapshot — the missing piece between u3 (compact a
     * changelog to latest-per-key) and u4 (SCD2 history): u5 produces the

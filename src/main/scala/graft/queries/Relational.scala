@@ -332,6 +332,22 @@ object Relational {
         Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"))
     }),
 
+    "u8_stats_merge" -> ((s, dir) => {
+      // incremental ANALYZE: stats states over two disjoint halves of
+      // lineitem merged and finalized — the oracle recomputes from the
+      // WHOLE table, so the gate IS the merge==full proof (counts and
+      // min/max exact, HLL registers max-merge register-for-register)
+      import graft.operators.TableOps
+      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_discount")
+      val li = t(s, dir, "lineitem")
+      val a = TableOps.statsState(
+        li.where(pmod(col("l_orderkey"), lit(2)) === 0), cols)
+      val b = TableOps.statsState(
+        li.where(pmod(col("l_orderkey"), lit(2)) =!= 0), cols)
+      TableOps.statsFinalize(TableOps.mergeStatsStates(a, b))
+    }),
+
     "u5_cdc_apply" -> ((s, dir) => {
       // MERGE-style CDC apply: orders read as an I/U/D changelog over
       // the customer snapshot (op derived from order status, LSN =
@@ -527,6 +543,12 @@ object Relational {
          |FROM z0 GROUP BY 1""".stripMargin,
 
     "u6_table_stats" ->
+      Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .map(statsSql).mkString("", "\nUNION ALL\n", ""),
+
+    // u8's oracle is the FULL-table recompute — the merged-halves gate
+    // result must equal it, which is the mergeability proof
+    "u8_stats_merge" ->
       Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
         .map(statsSql).mkString("", "\nUNION ALL\n", ""),
 

@@ -525,4 +525,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(other != ranked)
   }
+
+  test("statsState merge == single full state, nulls counted, NDV from " +
+    "merged registers") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TableOps
+    val full = (1 to 400).map(i =>
+      (i.toLong, if (i % 10 == 0) None else Some(i.toDouble % 37)))
+      .toDF("k", "v")
+    val a = full.where(col("k") <= 150)
+    val b = full.where(col("k") > 150)
+    def fin(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val merged = fin(TableOps.statsFinalize(TableOps.mergeStatsStates(
+      TableOps.statsState(a, Seq("k", "v")),
+      TableOps.statsState(b, Seq("k", "v")))))
+    val whole = fin(TableOps.statsFinalize(
+      TableOps.statsState(full, Seq("k", "v"))))
+    assert(merged == whole, "merge of halves must equal the full state")
+    assert(merged("k")._1 == 400L && merged("k")._2 == 0L)
+    assert(merged("v")._2 == 40L, "null count")
+    assert(merged("k")._3 == 1.0 && merged("k")._4 == 400.0)
+    // 37 distinct v values: linear-counting regime, estimate near truth
+    assert(math.abs(merged("v")._5 - 37.0) / 37.0 < 0.2)
+  }
 }
