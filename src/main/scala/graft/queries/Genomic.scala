@@ -138,6 +138,14 @@ object Genomic {
         s"${GenomicFixtures.rawDir}/aligned.sam"))
     }),
 
+    "g23_read_stats" -> ((s, _) => {
+      // samtools-stats SN summary: primary/mapped counts, base totals,
+      // mean read length / MAPQ / proper-pair insert size from ONE
+      // conditional aggregate — eight numbers per scan task, never reads
+      graft.sources.Sam.readStats(graft.sources.Sam.read(s,
+        s"${GenomicFixtures.rawDir}/aligned.sam"))
+    }),
+
     "g10_vcf_stats" -> ((s, _) => {
       // bcftools-stats-style per-chrom variant classes + ti/tv over the
       // normalized rows: one groupBy(chrom) of conditional sums
@@ -705,6 +713,34 @@ object Genomic {
          |    ('with_itself_and_mate_mapped', c_matemapped),
          |    ('singletons', c_singletons),
          |    ('mate_diff_chrom', c_diffchrom)) AS m(metric, n)""".stripMargin,
+
+    "g23_read_stats" ->
+      s"""WITH lines AS (
+         |  SELECT unnest(string_split(content, chr(10))) AS l
+         |  FROM read_text('$raw/aligned.sam')),
+         |a AS (
+         |  SELECT string_split(l, chr(9)) AS f FROM lines
+         |  WHERE len(trim(l)) > 0 AND NOT starts_with(l, '@')),
+         |p AS (
+         |  SELECT CAST(f[2] AS INT) AS flag,
+         |    CAST(f[4] AS BIGINT) AS pos, CAST(f[5] AS INT) AS mapq,
+         |    CAST(f[9] AS BIGINT) AS tlen, nullif(f[10], '*') AS seq
+         |  FROM a)
+         |SELECT
+         |  CAST(sum(CASE WHEN (flag & 256) = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_primary,
+         |  CAST(sum(CASE WHEN (flag & 256) = 0 AND (flag & 4) = 0
+         |    AND pos <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mapped,
+         |  CAST(sum(CASE WHEN (flag & 256) = 0 AND seq IS NOT NULL
+         |    THEN len(seq) ELSE 0 END) AS BIGINT) AS total_bases,
+         |  round(avg(CASE WHEN (flag & 256) = 0 AND seq IS NOT NULL
+         |    THEN len(seq) END), 2) AS avg_read_len,
+         |  round(avg(CASE WHEN (flag & 256) = 0 AND (flag & 4) = 0
+         |    THEN mapq END), 2) AS avg_mapq,
+         |  round(avg(CASE WHEN (flag & 256) = 0 AND (flag & 2) <> 0
+         |    AND tlen IS NOT NULL AND tlen > 0 THEN tlen END), 2)
+         |    AS avg_insert_size
+         |FROM p""".stripMargin,
 
     "g12_pileup_bases" ->
       s"""WITH lines AS (

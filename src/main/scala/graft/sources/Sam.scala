@@ -72,6 +72,30 @@ object Sam {
       .select(col("_e.metric"), col("_e.n_reads"))
   }
 
+  /** samtools-stats "SN"-section summary over parsed reads: primary-read
+    * counts, base totals, mean read length / MAPQ, and the mean absolute
+    * insert size over proper pairs (leftmost mate only, so each template
+    * counts once — the samtools convention). ONE conditional-sum
+    * aggregate: every scan task ships eight longs/doubles, never reads.
+    */
+  def readStats(reads: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame = {
+    val primary = !col("is_secondary")
+    val seqLen = when(primary && col("seq").isNotNull,
+      length(col("seq")).cast("long"))
+    val insert = when(primary && col("is_proper_pair") &&
+      col("tlen").isNotNull && col("tlen") > 0, col("tlen"))
+    reads.agg(
+      sum(when(primary, 1L).otherwise(0L)).as("n_primary"),
+      sum(when(primary && !col("is_unmapped") && col("pos").isNotNull,
+        1L).otherwise(0L)).as("n_mapped"),
+      sum(coalesce(seqLen, lit(0L))).as("total_bases"),
+      round(avg(seqLen), 2).as("avg_read_len"),
+      round(avg(when(primary && !col("is_unmapped"),
+        col("mapq"))), 2).as("avg_mapq"),
+      round(avg(insert), 2).as("avg_insert_size"))
+  }
+
   def read(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.text(path)
     val f = split(col("value"), "\t")

@@ -465,4 +465,29 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("v2") == Some(BigDecimal(-1.0 / 6 / 0.5)
       .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
+
+  test("readStats: primary filter, base totals, proper-pair insert size") {
+    val s = spark
+    import s.implicits._
+    // primary mapped (len 4, mapq 60), proper-pair leftmost (tlen 100,
+    // len 3, mapq 40), its mate (tlen -100 -> excluded from insert),
+    // secondary (excluded everywhere), unmapped (counts as primary, no
+    // mapq contribution), seq-less primary (no length contribution)
+    val reads = Seq(
+      (0, Some(10L), 60, 0L, Some("ACGT"), false, false, false),
+      (67, Some(20L), 40, 100L, Some("ACG"), true, false, false),
+      (131, Some(120L), 40, -100L, Some("ACG"), true, false, false),
+      (256, Some(30L), 20, 0L, Some("A"), false, true, false),
+      (4, Option.empty[Long], 0, 0L, Some("AC"), false, false, true),
+      (0, Some(40L), 30, 0L, Option.empty[String], false, false, false))
+      .toDF("flag", "pos", "mapq", "tlen", "seq",
+        "is_proper_pair", "is_secondary", "is_unmapped")
+    val r = graft.sources.Sam.readStats(reads).collect().head
+    assert(r.getLong(0) == 5L, "primary")
+    assert(r.getLong(1) == 4L, "mapped")
+    assert(r.getLong(2) == 4 + 3 + 3 + 2, "total bases excl. secondary")
+    assert(r.getDouble(3) == 3.0, "avg len (4+3+3+2)/4")
+    assert(r.getDouble(4) == 42.5, "avg mapq (60+40+40+30)/4")
+    assert(r.getDouble(5) == 100.0, "insert from the leftmost mate only")
+  }
 }
