@@ -92,4 +92,44 @@ object PageRank {
       round(lit(1.0 - damping) / col("_n") +
         lit(damping) * col("_sum"), 8).as("rank"))
   }
+
+  /** Frontier-based BFS over a DIRECTED edge list: shortest hop distance
+    * from `source` to every node reachable within `maxDepth` — the third
+    * iterative-graph pattern next to d6's label propagation and d11's
+    * PageRank (those converge values everywhere; BFS expands a frontier,
+    * so each round's work is proportional to the frontier, not the
+    * graph). Per round: frontier ⋈ edges (one key shuffle), minus
+    * already-visited (anti join), localCheckpoint pins the round and
+    * cuts lineage; the loop ends on an empty frontier or maxDepth. The
+    * round count is the graph's (bounded) depth — the same
+    * driver-side-iteration contract as connected components, with
+    * frontier emptiness (a count on a checkpointed frame) deciding
+    * termination, never vertex data on the driver.
+    */
+  def bfsDepths(edges: DataFrame, source: Long,
+                maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, "bfsDepths: maxDepth must be >= 0")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"))
+    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
+    var frontier = dist
+    var depth = 0L
+    var done = false
+    while (!done && depth < maxDepth) {
+      depth += 1
+      val next = frontier.select(col("node").as("src"))
+        .join(e, Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    dist
+  }
 }

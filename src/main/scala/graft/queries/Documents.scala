@@ -487,6 +487,22 @@ object Documents {
         chunkWords = 20)
     }),
 
+    "d19_graph_bfs" -> ((s, dir) => {
+      // frontier BFS (shortest hops from node 0) over a deterministic
+      // doc graph: binary-tree parent edges + a mod-arithmetic cross
+      // edge per node — each round's key shuffle is frontier-sized,
+      // localCheckpoint pins rounds (the d6/d11 iteration contract)
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val tree = docs.where(col("doc_id") >= 1)
+        .select((col("doc_id") / 2).cast("long").as("src"),
+          col("doc_id").as("dst"))
+      val cross = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 3) % n).as("dst"))
+      graft.operators.PageRank.bfsDepths(tree.unionByName(cross), 0L,
+        maxDepth = 6)
+    }),
+
     "d18_source_overlap" -> ((s, dir) => {
       // which feeds duplicate each other: estimated shingle Jaccard
       // between sources from MERGED minhash signatures (min of per-doc
@@ -1265,6 +1281,22 @@ object Documents {
         |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ';'
         |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
         |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "d19_graph_bfs" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT doc_id // 2 AS src, doc_id AS dst FROM documents
+        |  WHERE doc_id >= 1
+        |  UNION ALL
+        |  SELECT doc_id AS src,
+        |    (doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents),
+        |r AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+        |  UNION
+        |  SELECT e.dst, r.d + 1 FROM r, e
+        |  WHERE e.src = r.node AND r.d < 6)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist
+        |FROM r GROUP BY 1""".stripMargin,
 
     "d18_source_overlap" ->
       """WITH d AS (

@@ -554,4 +554,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 37 distinct v values: linear-counting regime, estimate near truth
     assert(math.abs(merged("v")._5 - 37.0) / 37.0 < 0.2)
   }
+
+  test("bfsDepths: shortest hops, frontier stops at maxDepth, " +
+    "unreachable absent") {
+    val s = spark
+    import s.implicits._
+    // 0->1->2->3 chain, a shortcut 0->2 (so 2 is depth 1, 3 is depth 2),
+    // a cycle edge 3->0 (must not loop), island 9->10 unreachable
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 2L), (3L, 0L),
+      (9L, 10L)).toDF("src", "dst")
+    val out = graft.operators.PageRank.bfsDepths(edges, 0L, maxDepth = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+    // depth bound: with maxDepth 1 only the first frontier lands
+    val bounded = graft.operators.PageRank.bfsDepths(edges, 0L,
+      maxDepth = 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bounded == Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
+  }
 }
