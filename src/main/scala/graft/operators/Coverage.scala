@@ -60,4 +60,37 @@ object Coverage {
     segments.groupBy(kc :+ col("depth"): _*)
       .agg(sum(col("seg_end") - col("seg_start") + 1).as("n_bases"))
   }
+
+  /** bedtools `coverage`-style target breadth: for every target interval
+    * (`start2`/`end2` + `targetIdCols`), how many of its bases at least
+    * one read covers, and the covered fraction. Composition of the two
+    * scalable primitives: g4's binned overlap join finds read x target
+    * hits (bounded candidates, bin-ownership exact), the clipped hits
+    * run [[coverage]]'s event sweep KEYED BY TARGET (union length
+    * without double-counting overlapping reads — parallelism is
+    * per-target, which is exactly the key cardinality that grows with
+    * the data), and targets with no reads come back via one left join
+    * with breadth 0.
+    */
+  def targetBreadth(reads: DataFrame, targets: DataFrame,
+                    partitionKeys: Seq[String] = Seq("chrom"),
+                    targetIdCols: Seq[String] = Seq("transcript_id"),
+                    binSize: Long = 10000L): DataFrame = {
+    val tKeys = partitionKeys ++ targetIdCols ++ Seq("start2", "end2")
+    val clipped = IntervalJoin
+      .overlapJoin(reads, targets, partitionKeys, binSize)
+      .select(tKeys.map(col) :+
+        greatest(col("start"), col("start2")).as("_cs") :+
+        least(col("end"), col("end2")).as("_ce"): _*)
+    val covered = coverage(
+      clipped.select(tKeys.map(col) :+ col("_cs").as("start") :+
+        col("_ce").as("end"): _*), tKeys)
+      .groupBy(tKeys.map(col): _*)
+      .agg(sum(col("seg_end") - col("seg_start") + 1).as("covered_bases"))
+    targets.join(covered, tKeys, "left")
+      .withColumn("covered_bases", coalesce(col("covered_bases"), lit(0L)))
+      .withColumn("breadth",
+        round(col("covered_bases").cast("double") /
+          (col("end2") - col("start2") + 1), 5))
+  }
 }

@@ -240,6 +240,26 @@ object Genomic {
         .agg(count(lit(1)).as("n_reads"))
     }),
 
+    "g24_target_breadth" -> ((s, _) => {
+      // bedtools coverage: per-exon covered bases + breadth fraction —
+      // binned overlap join for the hits, then g7's event sweep KEYED
+      // BY TARGET for union length (overlapping reads never
+      // double-count), exons with no reads at breadth 0 via one left
+      // join
+      prep(s)
+      val reads = graft.sources.Sam
+        .read(s, s"${GenomicFixtures.rawDir}/aligned.sam")
+        .where(col("pos").isNotNull && !col("is_secondary") &&
+          !col("is_dup"))
+        .select(col("rname").as("chrom"), col("pos").as("start"),
+          col("ref_end").as("end"))
+      val exons = s.read.parquet(s"$fx/exons.parquet")
+        .select(col("chrom"), col("transcript_id"),
+          col("start").as("start2"), col("end").as("end2"))
+      graft.operators.Coverage.targetBreadth(reads, exons,
+        Seq("chrom"), Seq("transcript_id"), binSize = 20)
+    }),
+
     "g15_kmer_spectrum" -> ((s, _) => {
       // canonical 5-mer counting + multiplicity spectrum (jellyfish)
       // from the FASTQ reads: explode -> ONE map-side-partial hash agg
@@ -608,6 +628,63 @@ object Genomic {
          |        ELSE 0 END)) AS BIGINT) - 1
          |  END AS ref_end
          |FROM p""".stripMargin,
+
+    "g24_target_breadth" ->
+      s"""WITH lines AS (
+         |  SELECT unnest(string_split(content, chr(10))) AS l
+         |  FROM read_text('$raw/aligned.sam')),
+         |a AS (
+         |  SELECT string_split(l, chr(9)) AS f FROM lines
+         |  WHERE len(trim(l)) > 0 AND NOT starts_with(l, '@')),
+         |reads AS (
+         |  SELECT nullif(f[3], '*') AS chrom,
+         |    nullif(CAST(f[4] AS BIGINT), 0) AS s,
+         |    nullif(CAST(f[4] AS BIGINT), 0) + CAST(list_sum(
+         |      list_transform(
+         |        regexp_extract_all(f[6], '(\\d+)([MIDNSHP=X])', 0),
+         |        tok -> CASE WHEN right(tok, 1) IN
+         |            ('M', 'D', 'N', '=', 'X')
+         |          THEN CAST(regexp_extract(tok, '(\\d+)', 1) AS BIGINT)
+         |          ELSE 0 END)) AS BIGINT) - 1 AS e
+         |  FROM a
+         |  WHERE nullif(CAST(f[4] AS BIGINT), 0) IS NOT NULL
+         |    AND (CAST(f[2] AS INT) & 256) = 0
+         |    AND (CAST(f[2] AS INT) & 1024) = 0),
+         |ex AS (
+         |  SELECT chrom, transcript_id, CAST(start AS BIGINT) AS start2,
+         |    CAST("end" AS BIGINT) AS end2
+         |  FROM ${pq("exons")}),
+         |x AS (
+         |  SELECT e.chrom, e.transcript_id, e.start2, e.end2,
+         |    greatest(r.s, e.start2) AS cs, least(r.e, e.end2) AS ce
+         |  FROM reads r JOIN ex e ON r.chrom = e.chrom
+         |    AND r.s <= e.end2 AND e.start2 <= r.e),
+         |ev AS (
+         |  SELECT chrom, transcript_id, start2, end2, cs AS pos, 1 AS d
+         |  FROM x
+         |  UNION ALL
+         |  SELECT chrom, transcript_id, start2, end2, ce + 1, -1 FROM x),
+         |m AS (
+         |  SELECT chrom, transcript_id, start2, end2, pos, sum(d) AS d
+         |  FROM ev GROUP BY 1, 2, 3, 4, 5 HAVING sum(d) <> 0),
+         |c AS (
+         |  SELECT chrom, transcript_id, start2, end2, pos,
+         |    sum(d) OVER (PARTITION BY chrom, transcript_id, start2,
+         |      end2 ORDER BY pos) AS depth,
+         |    lead(pos) OVER (PARTITION BY chrom, transcript_id, start2,
+         |      end2 ORDER BY pos) AS nxt
+         |  FROM m),
+         |cov AS (
+         |  SELECT chrom, transcript_id, start2, end2,
+         |    sum(nxt - pos) AS covered
+         |  FROM c WHERE depth > 0 AND nxt IS NOT NULL
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT e.chrom, e.transcript_id, e.start2, e.end2,
+         |  CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_bases,
+         |  round(CAST(coalesce(cov.covered, 0) AS DOUBLE)
+         |    / (e.end2 - e.start2 + 1), 5) AS breadth
+         |FROM ex e LEFT JOIN cov
+         |  USING (chrom, transcript_id, start2, end2)""".stripMargin,
 
     "g8_reads_coverage" ->
       s"""WITH lines AS (

@@ -490,4 +490,22 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(4) == 42.5, "avg mapq (60+40+40+30)/4")
     assert(r.getDouble(5) == 100.0, "insert from the leftmost mate only")
   }
+
+  test("targetBreadth: union length never double-counts, clips to the " +
+    "target, empty targets at 0") {
+    val s = spark
+    import s.implicits._
+    // target [10,29] (20 bases): reads [5,14] and [12,21] overlap each
+    // other -> union [10,21] = 12 covered bases (clip at 10);
+    // target [100,109] has no reads
+    val reads = Seq(("1", 5L, 14L), ("1", 12L, 21L))
+      .toDF("chrom", "start", "end")
+    val targets = Seq(("1", "T1", 10L, 29L), ("1", "T2", 100L, 109L))
+      .toDF("chrom", "transcript_id", "start2", "end2")
+    val out = graft.operators.Coverage.targetBreadth(reads, targets)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(4), r.getDouble(5)))).toMap
+    assert(out("T1") == ((12L, 0.6)))
+    assert(out("T2") == ((0L, 0.0)))
+  }
 }
