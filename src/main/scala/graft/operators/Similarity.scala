@@ -599,6 +599,42 @@ object Similarity {
     * buckets). Corpus vectors keep a single bucket, so (query, corpus)
     * candidates stay unique and no dedup shuffle is needed.
     */
+  /** k-NN GRAPH over one vector corpus — every vector's k nearest
+    * OTHERS by cosine (the input SemDeDup-style semantic clustering and
+    * graph-based dedup resolution consume). The all-pairs problem is
+    * bounded the s2 way from both sides: sign-LSH buckets generate
+    * candidates via a SELF-join whose two sides reuse the one
+    * bucket-keyed exchange (the d2 fusion), a deterministic per-bucket
+    * cap bounds pairs at O(buckets * cap²) regardless of corpus size
+    * (recall-only, id-ordered so the oracle replays it), and the final
+    * cut is bounded_top_k — at most k rows per node leave each map
+    * task. Recall is the LSH tradeoff; raise bits for smaller buckets
+    * or cap for more candidates.
+    */
+  def knnGraph(corpus: DataFrame, k: Int, bits: Int,
+               idCol: String = "id", vecCol: String = "vec",
+               maxBucketSize: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val capped = corpus
+      .select(col(idCol).as("_id"), col(vecCol).as("_vec"),
+        vectors.signBucket(col(vecCol), bits).as("_bucket"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_bucket")).orderBy(col("_id"))))
+      .where(col("_rn") <= maxBucketSize).drop("_rn")
+    val l = capped.select(col("_bucket"), col("_id").as("id"),
+      col("_vec").as("_v1"))
+    val r = capped.select(col("_bucket"), col("_id").as("neighbor"),
+      col("_vec").as("_v2"))
+    val scored = l.join(r, Seq("_bucket"))
+      .where(col("id") =!= col("neighbor"))
+      .select(col("id"), col("neighbor"),
+        round(call_function("graft_cosine",
+          col("_v1").cast("array<double>"),
+          col("_v2").cast("array<double>")), 5).as("cosine"))
+    topKPerQuery(scored, k, "id", "neighbor")
+  }
+
   def knnCosineLsh(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int,
                    qId: String = "qid", qVec: String = "qvec",
                    cId: String = "cid", cVec: String = "cvec",

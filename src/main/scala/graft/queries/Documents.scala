@@ -851,6 +851,16 @@ object Documents {
       Similarity.knnCosineLsh(q, c, k = 5, bits = 4)
     }),
 
+    "s11_knn_graph" -> ((s, dir) => {
+      // the k-NN GRAPH (every vector's k nearest others): sign-LSH
+      // bucket SELF-join with one reused exchange + deterministic cap,
+      // bounded_top_k cut — O(buckets * cap²) pairs at any corpus size
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.knnGraph(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 3, bits = 4)
+    }),
+
     "s2b_lsh_multiprobe" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 8)
@@ -2225,6 +2235,25 @@ object Documents {
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cosine DESC, cid) AS rank FROM s)
          |WHERE rank <= 5""".stripMargin,
+
+    "s11_knn_graph" ->
+      s"""WITH c0 AS (SELECT vec_id AS id, embedding AS v,
+         |    array_to_string([CASE WHEN b >= 0 THEN '1' ELSE '0' END
+         |      for b in embedding[1:4]], '') AS bucket
+         |  FROM embeddings),
+         |cap AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY bucket
+         |      ORDER BY id) AS rn FROM c0)
+         |  WHERE rn <= 200),
+         |pairs AS (
+         |  SELECT a.id AS gid, b.id AS neighbor, a.v AS qv, b.v AS cv
+         |  FROM cap a JOIN cap b ON a.bucket = b.bucket AND a.id <> b.id),
+         |sc AS (SELECT gid AS id, neighbor, round($cosineSql, 5) AS cosine
+         |  FROM pairs)
+         |SELECT id, neighbor, cosine, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id
+         |    ORDER BY cosine DESC, neighbor) AS rank FROM sc)
+         |WHERE rank <= 3""".stripMargin,
 
     "s2b_lsh_multiprobe" ->
       s"""WITH q0 AS (SELECT vec_id AS qid, embedding AS qv,

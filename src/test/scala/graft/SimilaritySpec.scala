@@ -218,4 +218,42 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val origDim = c.select(size(col("cvec"))).head.getInt(0)
     assert(dims.toSeq == Seq(origDim + 1))
   }
+
+  test("knnGraph matches brute-force top-k within buckets, never self, " +
+    "at most k neighbors") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "vec")
+    val k = 3
+    val out = graft.operators.Similarity.knnGraph(df, k = k, bits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    val byNode = out.groupBy(_._1)
+    assert(byNode.values.forall(_.length <= k))
+    assert(out.forall(e => e._1 != e._2), "no self edges")
+    // brute force within the same sign bucket (bits=2)
+    def bucket(v: Array[Float]) =
+      v.take(2).map(x => if (x >= 0) '1' else '0').mkString
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) *
+        math.sqrt(bd.map(x => x * x).sum))
+    }
+    vecs.foreach { case (i, v) =>
+      val cands = vecs.filter { case (j, w) =>
+        j != i && bucket(w) == bucket(v) }
+      val expect = cands.map { case (j, w) =>
+        (BigDecimal(cos(v, w)).setScale(5,
+          BigDecimal.RoundingMode.HALF_UP).toDouble, j) }
+        .sortBy { case (c2, j) => (-c2, j) }.take(k)
+        .map { case (c2, j) => (j, c2) }.toList
+      val got = byNode.getOrElse(i, Array.empty)
+        .sortBy(_._4).map(e => (e._2, e._3)).toList
+      assert(got == expect, s"node $i")
+    }
+  }
 }
