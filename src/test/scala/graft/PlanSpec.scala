@@ -460,4 +460,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.isEmpty, s"distinct found:\n$lp")
   }
 
+
+  test("g16 HWE is one partial-aggregated pass — no window, no join") {
+    val p = plan("g16_hwe")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), "HWE must not join")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "map-side partials must feed the exchange")
+  }
+
+  test("t24 shuffle rank: offsets broadcast back, no global sort of " +
+    "the corpus") {
+    val p = plan("t24_shuffle_rank")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      "bucket offsets must reach rows by broadcast:\n" + p)
+    // the corpus-wide window partitions by bucket — a global rank via
+    // one partition would show an empty partition spec / SinglePartition
+    // exchange feeding a Window over all rows
+    assert(!p.contains("Window [" ) ||
+      !p.split("Window").exists(seg =>
+        seg.startsWith(" [") && seg.contains("windowspecdefinition()")),
+      "no unpartitioned corpus window")
+  }
+
+  test("d18 source overlap: signatures partial-aggregate map-side " +
+    "before the exchange") {
+    val p = plan("d18_source_overlap")
+    assert(p.contains("partial_min") || p.contains("partial_sum"),
+      "per-source register mins must map-side combine:\n" + p)
+  }
 }

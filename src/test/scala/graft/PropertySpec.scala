@@ -507,4 +507,99 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.operators.Dedup.releaseCaches()
     }
   }
+
+  test("HWE counts/freqs/chi2 == brute force on random genotype matrices") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val gts = (0 until 30).flatMap { v =>
+      (0 until 25).map { sm =>
+        val gt = rnd.nextInt(5) match {
+          case 0 => "0|0"
+          case 1 => "0|1"
+          case 2 => "1|0"
+          case 3 => "1|1"
+          case _ => ".|."
+        }
+        (s"v$v", "1", (v * 10 + 1).toLong, s"s$sm", gt)
+      }
+    }
+    val out = graft.operators.VcfStats.hardyWeinberg(
+      gts.toDF("varId", "chrom", "pos", "sample", "gt"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    def r5(x: Double) = BigDecimal(x)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    gts.groupBy(_._1).foreach { case (v, rows) =>
+      val ds = rows.flatMap { t =>
+        val a = t._5.split("\\|")
+        if (a.contains(".")) None else Some(a.count(_ == "1"))
+      }
+      val row = out(v)
+      if (ds.isEmpty) assert(!out.contains(v) || row.getLong(3) == 0)
+      else {
+        val n = ds.size.toDouble
+        val (h0, h1, h2) =
+          (ds.count(_ == 0), ds.count(_ == 1), ds.count(_ == 2))
+        assert(row.getLong(3) == ds.size && row.getLong(4) == h0 &&
+          row.getLong(5) == h1 && row.getLong(6) == h2, v)
+        val pA = (2 * h2 + h1) / (2 * n)
+        assert(row.getDouble(7) == r5(math.min(pA, 1 - pA)), v)
+        assert(row.getDouble(8) == r5(h1 / n), v)
+        if (2 * h2 + h1 > 0 && 2 * h0 + h1 > 0) {
+          def dev(o: Int, e: Double) = (o - e) * (o - e) / e
+          val q = 1 - pA
+          val chi = dev(h0, n * q * q) + dev(h1, n * 2 * pA * q) +
+            dev(h2, n * pA * pA)
+          assert(math.abs(row.getDouble(10) - chi) < 1e-4, v)
+        } else assert(row.isNullAt(10), v)
+      }
+    }
+  }
+
+  test("LD r2 == brute-force Pearson^2 on random dosages within the " +
+    "window") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val nVars = 20
+    val nSamples = 12
+    val dosages = (0 until nVars).map { v =>
+      (v, (0 until nSamples).map(_ => rnd.nextInt(3)))
+    }
+    val gts = dosages.flatMap { case (v, ds) =>
+      ds.zipWithIndex.map { case (d, i) =>
+        (s"v%02d".format(v), "1", (v * 7 + 1).toLong, s"s$i",
+          if (d == 0) "0|0" else if (d == 1) "0|1" else "1|1")
+      }
+    }
+    val maxDist = 20L
+    val out = graft.operators.VcfStats.ldPairs(
+      gts.toDF("varId", "chrom", "pos", "sample", "gt"), maxDist)
+      .collect().map(r => (r.getString(1), r.getString(3)) ->
+        (if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
+    def r5(x: Double) = BigDecimal(x)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var checked = 0
+    for (a <- 0 until nVars; b <- 0 until nVars if a < b) {
+      val posA = a * 7 + 1
+      val posB = b * 7 + 1
+      val key = (s"v%02d".format(a), s"v%02d".format(b))
+      if (posB - posA <= maxDist) {
+        val xs = dosages(a)._2.map(_.toDouble)
+        val ys = dosages(b)._2.map(_.toDouble)
+        val n = nSamples.toDouble
+        val (sx, sy) = (xs.sum, ys.sum)
+        val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+        val vx = n * xs.map(x => x * x).sum - sx * sx
+        val vy = n * ys.map(y => y * y).sum - sy * sy
+        if (vx > 0 && vy > 0) {
+          val num = n * sxy - sx * sy
+          val expect = r5(num * num / (vx * vy))
+          assert(math.abs(out(key).get - expect) < 1e-9, key)
+          checked += 1
+        } else assert(out(key).isEmpty, key)
+      } else assert(!out.contains(key), s"$key beyond window")
+    }
+    assert(checked > 10, "the generator must produce real pairs")
+  }
 }
