@@ -401,4 +401,37 @@ object text {
       array_join(kept, "\n").as("clean_text"),
       (size(lines) - size(kept)).cast("long").as("n_removed"))
   }
+
+  /** Unicode-script composition of a document — the routing signal that
+    * runs BEFORE language ID in a multilingual crawl (t3's [a-z] n-gram
+    * heuristic is only meaningful once a doc is known to be
+    * Latin-script): per-script character counts as length-difference
+    * probes (the t20 pattern — one regexp_replace per script class,
+    * pure codegen'd projection, zero shuffle) over the Basic
+    * Multilingual Plane ranges for Latin letters, digits, CJK unified
+    * ideographs + kana, Cyrillic, Arabic and Greek, plus each class's
+    * fraction of non-whitespace characters. Both engines count code
+    * points, so the arithmetic replays exactly.
+    */
+  def scriptCounts(t: Column): Column = {
+    def nOf(pattern: String): Column =
+      (length(t) - length(regexp_replace(t, pattern, ""))).cast("long")
+    val latin = nOf("[A-Za-z]")
+    val digit = nOf("[0-9]")
+    val cjk = nOf("[一-鿿぀-ヿ]")
+    val cyr = nOf("[Ѐ-ӿ]")
+    val arab = nOf("[؀-ۿ]")
+    val greek = nOf("[Ͱ-Ͽ]")
+    val ws = (length(t) -
+      length(regexp_replace(t, "\\s", ""))).cast("long")
+    val denom = length(t).cast("long") - ws
+    def frac(n: Column): Column =
+      when(denom > 0, round(n.cast("double") / denom, 5))
+    struct(
+      length(t).cast("long").as("n_chars"),
+      latin.as("n_latin"), digit.as("n_digit"), cjk.as("n_cjk"),
+      cyr.as("n_cyrillic"), arab.as("n_arabic"), greek.as("n_greek"),
+      frac(latin).as("latin_frac"), frac(cjk).as("cjk_frac"),
+      frac(cyr).as("cyrillic_frac"))
+  }
 }

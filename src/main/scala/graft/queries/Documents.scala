@@ -522,6 +522,24 @@ object Documents {
         k = 3, window = 4, minShared = 2)
     }),
 
+    "t26_script_mix" -> ((s, dir) => {
+      // Unicode-script composition — the routing signal BEFORE language
+      // ID in a multilingual crawl (t3's [a-z] n-grams assume Latin):
+      // the corpus is Latin-only, so deterministic CJK/Cyrillic
+      // suffixes are synthesized per doc_id (the t21 messy-URL
+      // pattern); pure zero-shuffle length-difference probes
+      val mixed = spread(t(s, dir, "documents")).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit(" 机器学习 模型 训练"))
+            .when(pmod(col("doc_id"), lit(3)) === 1,
+              lit(" обучение модели данных"))
+            .otherwise(lit(""))).as("mx"))
+      mixed.select(col("doc_id"),
+        graft.functions.text.scriptCounts(col("mx")).as("_s"))
+        .select(col("doc_id"), col("_s.*"))
+    }),
+
     "t22_winnowing" -> ((s, dir) => {
       // MOSS winnowing fingerprints: per-window minimum gram hash ->
       // LOCAL overlap detection (any shared run of window+k-1 words
@@ -1376,6 +1394,43 @@ object Documents {
         |  round(CAST(n_shared AS DOUBLE) / least(n_fp1, n_fp2), 5)
         |    AS score
         |FROM p WHERE n_shared >= 2""".stripMargin,
+
+    "t26_script_mix" ->
+      """WITH m AS (
+        |  SELECT doc_id, text || CASE
+        |    WHEN doc_id % 3 = 0 THEN ' 机器学习 模型 训练'
+        |    WHEN doc_id % 3 = 1 THEN ' обучение модели данных'
+        |    ELSE '' END AS mx
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, len(mx) AS nc,
+        |    len(mx) - len(regexp_replace(mx, '[A-Za-z]', '', 'g'))
+        |      AS latin,
+        |    len(mx) - len(regexp_replace(mx, '[0-9]', '', 'g')) AS digit,
+        |    len(mx) - len(regexp_replace(mx, '[一-鿿぀-ヿ]', '', 'g'))
+        |      AS cjk,
+        |    len(mx) - len(regexp_replace(mx, '[Ѐ-ӿ]', '', 'g')) AS cyr,
+        |    len(mx) - len(regexp_replace(mx, '[؀-ۿ]', '', 'g')) AS arab,
+        |    len(mx) - len(regexp_replace(mx, '[Ͱ-Ͽ]', '', 'g')) AS greek,
+        |    len(mx) - len(regexp_replace(mx, '\s', '', 'g')) AS nws
+        |  FROM m)
+        |SELECT doc_id, CAST(nc AS BIGINT) AS n_chars,
+        |  CAST(latin AS BIGINT) AS n_latin,
+        |  CAST(digit AS BIGINT) AS n_digit,
+        |  CAST(cjk AS BIGINT) AS n_cjk,
+        |  CAST(cyr AS BIGINT) AS n_cyrillic,
+        |  CAST(arab AS BIGINT) AS n_arabic,
+        |  CAST(greek AS BIGINT) AS n_greek,
+        |  CASE WHEN nc - nws > 0
+        |    THEN round(CAST(latin AS DOUBLE) / (nc - nws), 5)
+        |  END AS latin_frac,
+        |  CASE WHEN nc - nws > 0
+        |    THEN round(CAST(cjk AS DOUBLE) / (nc - nws), 5)
+        |  END AS cjk_frac,
+        |  CASE WHEN nc - nws > 0
+        |    THEN round(CAST(cyr AS DOUBLE) / (nc - nws), 5)
+        |  END AS cyrillic_frac
+        |FROM c""".stripMargin,
 
     "t22_winnowing" ->
       """WITH w AS (

@@ -508,4 +508,20 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("T1") == ((12L, 0.6)))
     assert(out("T2") == ((0L, 0.0)))
   }
+
+  test("scriptCounts: per-script tallies and non-whitespace fractions") {
+    val s = spark
+    import s.implicits._
+    val out = Seq(("ab 12 \u4e2d\u6587 \u0434\u0430"))
+      .toDF("t")
+      .select(text.scriptCounts(col("t")).as("_s")).select(col("_s.*"))
+      .collect().head
+    // "ab 12 中文 да": 11 chars, 3 spaces -> denom 8
+    assert(out.getLong(0) == 11L)
+    assert(out.getLong(1) == 2L && out.getLong(2) == 2L)
+    assert(out.getLong(3) == 2L && out.getLong(4) == 2L)
+    assert(out.getLong(5) == 0L && out.getLong(6) == 0L)
+    assert(out.getDouble(7) == 0.25 && out.getDouble(8) == 0.25 &&
+      out.getDouble(9) == 0.25)
+  }
 }
