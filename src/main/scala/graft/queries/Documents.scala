@@ -522,6 +522,37 @@ object Documents {
         k = 3, window = 4, minShared = 2)
     }),
 
+    "w4_robots" -> ((s, dir) => {
+      // robots.txt exclusion — the politeness stage between link
+      // extraction and fetch scheduling: stanza-grouped Allow/Disallow
+      // parse from the crawl's own robots.txt response, then
+      // longest-prefix-match checks (Allow wins ties, agent-specific
+      // stanzas take per-host precedence, unknown hosts allowed) over
+      // deterministic URLs synthesized per doc_id; the rule table
+      // broadcasts — the URL scan never shuffles
+      import graft.sources.{Robots, Warc}
+      val robots = Warc.read(s, warcPath)
+        .where(col("warc_type") === "response" &&
+          col("target_uri").endsWith("/robots.txt"))
+        .select(col("target_uri").as("uri"),
+          Warc.httpBody(col("payload")).as("body"))
+      val urls = spread(t(s, dir, "documents")).select(
+        concat(lit("http://example.com"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("/private/page"), col("doc_id")))
+            .when(pmod(col("doc_id"), lit(4)) === 1,
+              concat(lit("/private/ok"), col("doc_id")))
+            .when(pmod(col("doc_id"), lit(4)) === 2,
+              concat(lit("/tmp"), col("doc_id")))
+            .otherwise(concat(lit("/public/"), col("doc_id"))))
+          .as("url"))
+        .unionByName(spread(t(s, dir, "documents"))
+          .where(pmod(col("doc_id"), lit(5)) === 0)
+          .select(concat(lit("http://nohost.example.net/p"),
+            col("doc_id")).as("url")))
+      Robots.check(urls, Robots.rules(robots), agent = "*")
+    }),
+
     "t26_script_mix" -> ((s, dir) => {
       // Unicode-script composition — the routing signal BEFORE language
       // ID in a multilingual crawl (t3's [a-z] n-grams assume Latin):
@@ -1394,6 +1425,100 @@ object Documents {
         |  round(CAST(n_shared AS DOUBLE) / least(n_fp1, n_fp2), 5)
         |    AS score
         |FROM p WHERE n_shared >= 2""".stripMargin,
+
+    "w4_robots" ->
+      s"""WITH recs AS (
+         |  SELECT regexp_replace(unnest(string_split(content,
+         |      $warcSepSql)), '^WARC/1\\.0' || chr(13) || chr(10), '')
+         |    AS rec
+         |  FROM read_text('$warcPath')),
+         |split AS (
+         |  SELECT rec,
+         |    CASE WHEN strpos(rec, $crlf2Sql) > 0
+         |      THEN substr(rec,
+         |        len(string_split(rec, $crlf2Sql)[1]) + 5)
+         |      ELSE '' END AS body
+         |  FROM recs WHERE len(trim(rec)) > 0),
+         |payloads AS (
+         |  SELECT
+         |    nullif(regexp_extract(rec,
+         |      '(?m)^WARC-Target-URI: ?([^\\r\\n]*)', 1), '') AS uri,
+         |    CASE WHEN CAST(nullif(regexp_extract(rec,
+         |        '(?m)^Content-Length: ?([^\\r\\n]*)', 1), '') AS BIGINT)
+         |        IS NOT NULL
+         |      THEN substr(body, 1, CAST(nullif(regexp_extract(rec,
+         |        '(?m)^Content-Length: ?([^\\r\\n]*)', 1), '') AS BIGINT))
+         |      ELSE body END AS payload
+         |  FROM split
+         |  WHERE nullif(regexp_extract(rec,
+         |      '(?m)^WARC-Type: ?([^\\r\\n]*)', 1), '') = 'response'
+         |    AND ends_with(nullif(regexp_extract(rec,
+         |      '(?m)^WARC-Target-URI: ?([^\\r\\n]*)', 1), ''),
+         |      '/robots.txt')),
+         |rb AS (
+         |  SELECT uri,
+         |    CASE WHEN strpos(payload, $crlf2Sql) > 0
+         |      THEN substr(payload,
+         |        len(string_split(payload, $crlf2Sql)[1]) + 5)
+         |      ELSE '' END AS body
+         |  FROM payloads),
+         |lines AS (
+         |  SELECT uri, li.i AS i,
+         |    trim(regexp_replace(string_split(body, chr(10))[li.i],
+         |      '#.*$$', '')) AS l
+         |  FROM rb, LATERAL (SELECT unnest(range(1,
+         |    len(string_split(body, chr(10))) + 1)) AS i) li),
+         |nl AS (SELECT * FROM lines WHERE len(l) > 0),
+         |tagged AS (
+         |  SELECT *, lower(l) LIKE 'user-agent:%' AS ua,
+         |    sum(CASE WHEN lower(l) LIKE 'user-agent:%' THEN 1 ELSE 0
+         |      END) OVER (PARTITION BY uri ORDER BY i) AS grp
+         |  FROM nl),
+         |agents AS (
+         |  SELECT uri, grp,
+         |    trim(regexp_extract(l, '(?i)^user-agent:(.*)$$', 1))
+         |      AS agent
+         |  FROM tagged WHERE ua),
+         |r2 AS (
+         |  SELECT regexp_extract(uri, '^[a-z]+://([^/]+)', 1) AS host,
+         |    agent,
+         |    CASE WHEN lower(l) LIKE 'allow:%' THEN 'allow'
+         |      ELSE 'disallow' END AS rule,
+         |    trim(regexp_extract(l, '(?i)^(dis)?allow:(.*)$$', 2))
+         |      AS path
+         |  FROM tagged t JOIN agents USING (uri, grp)
+         |  WHERE NOT t.ua AND (lower(t.l) LIKE 'allow:%'
+         |    OR lower(t.l) LIKE 'disallow:%')
+         |    AND len(trim(regexp_extract(t.l,
+         |      '(?i)^(dis)?allow:(.*)$$', 2))) > 0),
+         |applicable AS (SELECT * FROM r2 WHERE agent = '*'),
+         |u AS (
+         |  SELECT 'http://example.com' || CASE CAST(doc_id % 4 AS INT)
+         |    WHEN 0 THEN '/private/page' || doc_id
+         |    WHEN 1 THEN '/private/ok' || doc_id
+         |    WHEN 2 THEN '/tmp' || doc_id
+         |    ELSE '/public/' || doc_id END AS url
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'http://nohost.example.net/p' || doc_id
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |p AS (
+         |  SELECT url, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS h,
+         |    coalesce(nullif(regexp_extract(url,
+         |      '^[a-z]+://[^/]+(/.*)$$', 1), ''), '/') AS pth
+         |  FROM u),
+         |j AS (
+         |  SELECT p.url, a.rule, a.path
+         |  FROM p LEFT JOIN applicable a
+         |    ON p.h = a.host AND starts_with(p.pth, a.path)),
+         |b AS (
+         |  SELECT url, max(CASE WHEN path IS NOT NULL THEN
+         |    struct_pack(len := len(path), is_allow := rule = 'allow',
+         |      path := path) END) AS best
+         |  FROM j GROUP BY 1)
+         |SELECT url, coalesce(best.is_allow, true) AS allowed,
+         |  best.path AS matched_path
+         |FROM b""".stripMargin,
 
     "t26_script_mix" ->
       """WITH m AS (

@@ -325,4 +325,42 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq("http://a.com/x", "/rel", "bare",
       "https://b.org/y?q=1"))
   }
+
+  test("Robots: stanza grouping, longest-match with Allow tie-win, " +
+    "agent-specific precedence, unknown host allowed") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.Robots
+    val body =
+      """User-agent: *
+        |Disallow: /a/   # trailing comment
+        |Allow: /a/b
+        |
+        |User-agent: evilbot
+        |Disallow: /
+        |Disallow:
+        |""".stripMargin
+    val rules = Robots.rules(
+      Seq(("http://ex.com/robots.txt", body)).toDF("uri", "body"))
+    val r = rules.collect()
+      .map(x => (x.getString(1), x.getString(2), x.getString(3))).toSet
+    assert(r == Set(("*", "disallow", "/a/"), ("*", "allow", "/a/b"),
+      ("evilbot", "disallow", "/")),
+      s"empty-path and comment lines must drop: $r")
+    val urls = Seq("http://ex.com/a/x", "http://ex.com/a/bc",
+      "http://ex.com/c", "http://other.org/a/x").toDF("url")
+    def results(agent: String) =
+      Robots.check(urls, rules, agent).collect()
+        .map(x => x.getString(0) -> x.getBoolean(1)).toMap
+    val star = results("anybot")
+    assert(!star("http://ex.com/a/x"), "prefix disallow")
+    assert(star("http://ex.com/a/bc"),
+      "longer Allow must beat the shorter Disallow")
+    assert(star("http://ex.com/c") && star("http://other.org/a/x"))
+    val evil = results("evilbot")
+    assert(!evil("http://ex.com/a/x") && !evil("http://ex.com/a/bc") &&
+      !evil("http://ex.com/c"),
+      "the specific stanza replaces * for its agent")
+    assert(evil("http://other.org/a/x"), "no rules for the other host")
+  }
 }

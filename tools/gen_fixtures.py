@@ -397,7 +397,18 @@ HTML_BODY = (
 HTTP_HTML = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n"
              "Server: demo\r\n\r\n" + HTML_BODY)
 HTTP_PLAIN = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
-              "Just plain text.\nSecond line.\n")
+              # real robots directives for w4: a wildcard stanza with a
+              # longer Allow overriding a Disallow prefix, a comment, a
+              # blank separator, and an agent-specific stanza that must
+              # take precedence for that agent
+              "User-agent: *\n"
+              "Disallow: /private/\n"
+              "Disallow: /tmp\n"
+              "Allow: /private/ok\n"
+              "# temporary block\n"
+              "\n"
+              "User-agent: evilbot\n"
+              "Disallow: /\n")
 HTTP_404 = ("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n"
             "<html><body><p>Missing &#39;page&#39;."
             "<a href=\"http://dead.example.com/\">dead link</a>"
