@@ -45,7 +45,12 @@ import graft.operators.Dedup
   *   [-cut_spans 1]        REMOVE corpus-duplicated word-8-gram spans,
   *                         keep-first-occurrence (d13 find + d14 cut);
   *                         output text becomes word-normalized
-  *   [-dedup near]         exact | near | none (d1 / d2+d6+d10 / skip)
+  *   [-dedup near]         exact | near | near_winnow | none
+  *                         (d1 / d2+d6+d10 / d17+d6+d10 / skip) —
+  *                         near_winnow clusters on LOCAL overlap
+  *                         (shared winnowing fingerprints, containment
+  *                         score vs -jaccard), catching shared-passage
+  *                         duplicates whole-doc resemblance misses
   *   [-jaccard 0.8]        near-dup verification threshold
   *   [-chunk 64,48]        slide size-token windows every stride tokens
   *                         over each doc (t13); output is per-chunk
@@ -270,10 +275,21 @@ object Corpus {
           .select(col("canonical_id").as("doc_id"))
         df = df.join(keep, Seq("doc_id"), "left_semi")
         record("dedup=exact")
-      case "near" =>
+      case mode @ ("near" | "near_winnow") =>
         val thr = opts.getOrElse("jaccard", "0.8").toDouble
-        val pairs = Dedup.minhashLsh(df, "doc_id", "text",
-          jaccardThreshold = thr)
+        // near = whole-document resemblance (minhash Jaccard);
+        // near_winnow = LOCAL overlap (d17: shared winnowing
+        // fingerprints, containment-normalized) — catches the
+        // quote-inside-article / shared-passage duplicates minhash
+        // misses; same cluster+resolve tail either way
+        val pairs =
+          if (mode == "near")
+            Dedup.minhashLsh(df, "doc_id", "text",
+              jaccardThreshold = thr)
+          else
+            graft.operators.Winnowing.winnowPairs(df, "doc_id", "text")
+              .where(col("score") >= thr)
+              .select(col("id1"), col("id2"))
         val clusters = Dedup.duplicateClusters(pairs)
         // d10's resolution: best quality per cluster, ties -> lowest id.
         // row_number over (q desc, id asc) works for ANY orderable id type
@@ -290,7 +306,7 @@ object Corpus {
           .where(col("_rn") > 1)
           .select(col("id").as("doc_id"))
         df = df.join(losers, Seq("doc_id"), "left_anti")
-        record(s"dedup=near@$thr")
+        record(s"dedup=$mode@$thr")
       case other => sys.error(s"unknown -dedup mode: $other")
     }
 

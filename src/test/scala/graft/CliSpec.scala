@@ -481,6 +481,31 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Corpus -dedup near_winnow == d17 pairs -> d6 clusters -> d10 " +
+    "resolution (stage parity)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = Corpus.run(spark, Map(
+      "i" -> s"$sf/documents.parquet", "dedup" -> "near_winnow",
+      "jaccard" -> "0.5", "report" -> "0"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = graft.operators.Winnowing
+      .winnowPairs(docs, "doc_id", "text")
+      .where(col("score") >= 0.5).select("id1", "id2")
+    val clusters = graft.operators.Dedup.duplicateClusters(pairs)
+    val quality = docs.select(col("doc_id").as("id"),
+      graft.functions.text.qualityScore(col("text")).as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("q").desc, col("id").asc)
+    val losers = clusters.join(quality, Seq("id"))
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") > 1)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val expect = docs.collect().map(_.getAs[Long]("doc_id")).toSet -- losers
+    assert(got == expect)
+    assert(losers.nonEmpty, "the corpus must actually contain near-dups")
+  }
+
   test("Corpus rejects -zorder combined with -partition_by") {
     val sf = "/root/testdata/sf0.001"
     val e = intercept[IllegalArgumentException] {
