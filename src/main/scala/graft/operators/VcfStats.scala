@@ -148,6 +148,22 @@ object VcfStats {
       .drop("_grp")
   }
 
+  /** plink `--missing`-style per-sample call-rate QC: how many genotype
+    * calls each sample is missing — the first thing a cohort pipeline
+    * checks (a low-call-rate sample is a failed assay, not biology).
+    * ONE conditional-sum groupBy(sample); two longs per sample per task.
+    */
+  def sampleMissingness(gts: DataFrame): DataFrame = {
+    val d = dosage(col("gt"))
+    gts.select(col("sample"), d.as("_d"))
+      .groupBy(col("sample"))
+      .agg(count(lit(1)).as("n_sites"),
+        sum(when(col("_d").isNull, 1L).otherwise(0L)).as("n_missing"))
+      .withColumn("call_rate",
+        round((col("n_sites") - col("n_missing")).cast("double") /
+          col("n_sites"), 5))
+  }
+
   /** plink `--r2`-style linkage disequilibrium: squared Pearson
     * correlation of ALT dosages for every variant pair on the same
     * chromosome within `maxDist` bases (pos2 strictly greater — each

@@ -308,6 +308,14 @@ object Genomic {
       graft.operators.VcfStats.genotypeConcordance(left, right)
     }),
 
+    "g25_missingness" -> ((s, _) => {
+      // plink --missing: per-sample call rate (all chroms — a failed
+      // assay is per-sample, not per-chromosome); one conditional-sum
+      // groupBy
+      prep(s)
+      graft.operators.VcfStats.sampleMissingness(gtsWithVarId(s))
+    }),
+
     "g21_ld" -> ((s, _) => {
       // plink --r2: dosage correlation for variant pairs within 40 bp —
       // the window predicate is g2's binned equi-join keyed
@@ -1169,6 +1177,25 @@ object Genomic {
          |    round(CAST(n_concordant AS DOUBLE)
          |      / (n_concordant + n_discordant), 5)
          |  END AS concordance
+         |FROM c""".stripMargin,
+
+    "g25_missingness" ->
+      s"""WITH g AS (
+         |  SELECT unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM ${pq("vcf_norm")}),
+         |d AS (
+         |  SELECT 'S' || si AS sample,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN 1 ELSE 0 END AS miss
+         |  FROM g),
+         |c AS (
+         |  SELECT sample, CAST(count(*) AS BIGINT) AS n_sites,
+         |    CAST(sum(miss) AS BIGINT) AS n_missing
+         |  FROM d GROUP BY 1)
+         |SELECT sample, n_sites, n_missing,
+         |  round(CAST(n_sites - n_missing AS DOUBLE) / n_sites, 5)
+         |    AS call_rate
          |FROM c""".stripMargin,
 
     "g21_ld" ->
