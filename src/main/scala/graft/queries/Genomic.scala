@@ -240,6 +240,36 @@ object Genomic {
         .agg(count(lit(1)).as("n_reads"))
     }),
 
+    "g26_interval_merge" -> ((s, _) => {
+      // bedtools merge: transcripts+exons collapse into maximal union
+      // intervals — one (chrom) exchange, partition-local sorted window,
+      // same-key aggregation (no second shuffle)
+      prep(s)
+      graft.operators.Intervals.merge(
+        s.read.parquet(s"$fx/gtf.parquet")
+          .where(col("feature").isin("transcript", "exon"))
+          .select(col("seqname").as("chrom"), col("start"), col("end")))
+    }),
+
+    "g27_interval_subtract" -> ((s, _) => {
+      // bedtools subtract: the exon parts NO read covers (g24's
+      // complement) — B union-merges first so clipped hits are
+      // disjoint, then a per-A-row sorted gap walk; untouched exons
+      // pass through whole
+      prep(s)
+      val reads = graft.sources.Sam
+        .read(s, s"${GenomicFixtures.rawDir}/aligned.sam")
+        .where(col("pos").isNotNull && !col("is_secondary") &&
+          !col("is_dup"))
+        .select(col("rname").as("chrom"), col("pos").as("start"),
+          col("ref_end").as("end"))
+      val exons = s.read.parquet(s"$fx/exons.parquet")
+        .select(col("chrom"), col("transcript_id"), col("start"),
+          col("end"))
+      graft.operators.Intervals.subtract(exons, reads,
+        Seq("chrom"), Seq("transcript_id"), binSize = 20)
+    }),
+
     "g24_target_breadth" -> ((s, _) => {
       // bedtools coverage: per-exon covered bases + breadth fraction —
       // binned overlap join for the hits, then g7's event sweep KEYED
@@ -636,6 +666,93 @@ object Genomic {
          |        ELSE 0 END)) AS BIGINT) - 1
          |  END AS ref_end
          |FROM p""".stripMargin,
+
+    "g26_interval_merge" ->
+      s"""WITH iv AS (
+         |  SELECT seqname AS chrom, CAST(start AS BIGINT) AS s,
+         |    CAST("end" AS BIGINT) AS e
+         |  FROM ${pq("gtf")} WHERE feature IN ('transcript', 'exon')),
+         |o AS (
+         |  SELECT chrom, s, e,
+         |    max(e) OVER (PARTITION BY chrom ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM iv),
+         |i AS (
+         |  SELECT chrom, s, e,
+         |    sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY chrom ORDER BY s, e
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS island
+         |  FROM o)
+         |SELECT chrom, min(s) AS merged_start, max(e) AS merged_end,
+         |  CAST(count(*) AS BIGINT) AS n_intervals
+         |FROM i GROUP BY chrom, island""".stripMargin,
+
+    "g27_interval_subtract" ->
+      s"""WITH lines AS (
+         |  SELECT unnest(string_split(content, chr(10))) AS l
+         |  FROM read_text('$raw/aligned.sam')),
+         |a AS (
+         |  SELECT string_split(l, chr(9)) AS f FROM lines
+         |  WHERE len(trim(l)) > 0 AND NOT starts_with(l, '@')),
+         |reads AS (
+         |  SELECT nullif(f[3], '*') AS chrom,
+         |    nullif(CAST(f[4] AS BIGINT), 0) AS s,
+         |    nullif(CAST(f[4] AS BIGINT), 0) + CAST(list_sum(
+         |      list_transform(
+         |        regexp_extract_all(f[6], '(\\d+)([MIDNSHP=X])', 0),
+         |        tok -> CASE WHEN right(tok, 1) IN
+         |            ('M', 'D', 'N', '=', 'X')
+         |          THEN CAST(regexp_extract(tok, '(\\d+)', 1) AS BIGINT)
+         |          ELSE 0 END)) AS BIGINT) - 1 AS e
+         |  FROM a
+         |  WHERE nullif(CAST(f[4] AS BIGINT), 0) IS NOT NULL
+         |    AND (CAST(f[2] AS INT) & 256) = 0
+         |    AND (CAST(f[2] AS INT) & 1024) = 0),
+         |ro AS (
+         |  SELECT chrom, s, e,
+         |    max(e) OVER (PARTITION BY chrom ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM reads),
+         |ri AS (
+         |  SELECT chrom, s, e,
+         |    sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY chrom ORDER BY s, e
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS island
+         |  FROM ro),
+         |bm AS (
+         |  SELECT chrom, min(s) AS ms, max(e) AS me
+         |  FROM ri GROUP BY chrom, island),
+         |ex AS (
+         |  SELECT chrom, transcript_id, CAST(start AS BIGINT) AS a_s,
+         |    CAST("end" AS BIGINT) AS a_e
+         |  FROM ${pq("exons")}),
+         |hits AS (
+         |  SELECT e.chrom, e.transcript_id, e.a_s, e.a_e,
+         |    greatest(b.ms, e.a_s) AS cs, least(b.me, e.a_e) AS ce
+         |  FROM ex e JOIN bm b ON e.chrom = b.chrom
+         |    AND e.a_s <= b.me AND b.ms <= e.a_e),
+         |gaps AS (
+         |  SELECT chrom, transcript_id,
+         |    coalesce(lag(ce) OVER (PARTITION BY chrom, transcript_id,
+         |      a_s, a_e ORDER BY cs) + 1, a_s) AS o_s,
+         |    cs - 1 AS o_e
+         |  FROM hits),
+         |tails AS (
+         |  SELECT chrom, transcript_id, max(ce) + 1 AS o_s, a_e AS o_e
+         |  FROM hits GROUP BY chrom, transcript_id, a_s, a_e
+         |  HAVING max(ce) < a_e),
+         |untouched AS (
+         |  SELECT e.chrom, e.transcript_id, e.a_s AS o_s, e.a_e AS o_e
+         |  FROM ex e WHERE NOT EXISTS (
+         |    SELECT 1 FROM hits h WHERE h.chrom = e.chrom
+         |      AND h.transcript_id = e.transcript_id
+         |      AND h.a_s = e.a_s AND h.a_e = e.a_e))
+         |SELECT chrom, transcript_id, o_s AS start, o_e AS "end"
+         |FROM (SELECT * FROM gaps WHERE o_s <= o_e
+         |      UNION ALL SELECT * FROM tails
+         |      UNION ALL SELECT * FROM untouched)""".stripMargin,
 
     "g24_target_breadth" ->
       s"""WITH lines AS (

@@ -602,4 +602,49 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(checked > 10, "the generator must produce real pairs")
   }
+
+  test("interval merge/subtract == brute-force per-base sets on random " +
+    "intervals") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    def mk(n: Int) = (0 until n).map { i =>
+      val st = rnd.nextInt(200).toLong + 1
+      (if (i % 2 == 0) "c1" else "c2", st, st + rnd.nextInt(30).toLong)
+    }
+    val aIv = mk(25).zipWithIndex.map { case ((c, st, e), i) =>
+      (c, s"a$i", st, e) }
+    val bIv = mk(20)
+    val aDf = aIv.toDF("chrom", "id", "start", "end")
+    val bDf = bIv.toDF("chrom", "start", "end")
+
+    // merge: per-chrom union of covered bases must match, and output
+    // intervals must be disjoint and non-adjacent
+    val merged = graft.operators.Intervals.merge(bDf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def bases(iv: Seq[(String, Long, Long)]) =
+      iv.flatMap { case (c, st, e) => (st to e).map(c -> _) }.toSet
+    assert(bases(merged.toSeq.map(t => (t._1, t._2, t._3))) ==
+      bases(bIv))
+    merged.groupBy(_._1).values.foreach { ivs =>
+      val sorted = ivs.sortBy(_._2)
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(w(1)._2 > w(0)._3 + 1, "merged intervals must not touch")
+      }
+    }
+
+    // subtract: surviving bases == A bases minus B bases, per A row
+    val out = graft.operators.Intervals
+      .subtract(aDf, bDf, Seq("chrom"), Seq("id"), binSize = 16)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val bBases = bases(bIv)
+    aIv.foreach { case (c, id, st, e) =>
+      val expect = (st to e).filter(p => !bBases.contains(c -> p)).toSet
+      val got = out.filter(t => t._1 == c && t._2 == id)
+        .flatMap(t => t._3 to t._4).toSet
+      assert(got == expect, s"row $id")
+    }
+  }
 }
