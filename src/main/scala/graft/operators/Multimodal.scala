@@ -118,6 +118,27 @@ object Multimodal {
         round(col("_f.zcr"), 6).as("zcr"))
   }
 
+  /** Fixed-length frame-energy vector per audio payload — the embedding
+    * [[audioFrames]] feeds to the similarity family: the first
+    * `nFrames` frames' RMS values in frame order. Media with fewer
+    * decodable frames (or poison payloads) drop — a short clip cannot
+    * be compared on this fingerprint. Gain-INVARIANT under cosine
+    * (louder copy scales every frame's RMS by the same factor), which
+    * is exactly the dedup property m8 gates on.
+    */
+  def audioVectors(df: DataFrame, frameSamples: Int = 8,
+                   nFrames: Int = 4,
+                   payload: String = "payload"): DataFrame =
+    audioFrames(df, frameSamples, payload)
+      .where(col("frame") < nFrames)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("_n"),
+        transform(array_sort(collect_list(
+          struct(col("frame"), col("rms")))), e => e.getField("rms"))
+          .as("vec"))
+      .where(col("_n") === nFrames)
+      .drop("_n")
+
   /** Real video-container decode: ISO-BMFF (MP4/MOV) box walk — major
     * brand from `ftyp`, version-aware timescale/duration from
     * `moov/mvhd`, track count from the `trak` children, plus the derived

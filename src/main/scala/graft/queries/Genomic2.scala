@@ -202,6 +202,24 @@ object Genomic2 {
         frameSamples = 8)
     }),
 
+    "m8_audio_dedup" -> ((s, _) => {
+      prep(s)
+      // perceptual audio dedup (the audio sibling of m6's image dHash):
+      // frame-energy vectors are gain-invariant under cosine, so the
+      // double-gain copy pairs with the original at cosine 1 while the
+      // unrelated signal stays out; pairs via s7's shuffle-free exact
+      // range search run self-vs-self (at corpus scale, swap in the
+      // s11 capped-LSH candidate path)
+      val vecs = Multimodal.audioVectors(
+        s.read.parquet(s"$fx/audio.parquet"))
+      graft.operators.Similarity.rangeCosine(
+        vecs.select(col("media_id").as("id"), col("vec").as("qvec")),
+        vecs.select(col("media_id").as("neighbor"),
+          col("vec").as("cvec")),
+        threshold = 0.999, qId = "id", cId = "neighbor")
+        .where(col("id") < col("neighbor"))
+    }),
+
     "m5_video_meta" -> ((s, _) => {
       prep(s)
       // REAL MP4/ISO-BMFF container walk (the video mirror of m4's RIFF
@@ -813,6 +831,77 @@ object Genomic2 {
          |      i -> fm[i] * fm[i + 1] < 0)) AS DOUBLE) / (len(fm) - 1)
          |    ELSE 0.0 END, 6) AS zcr
          |FROM fr""".stripMargin,
+
+    // m8: m7's byte-walk chain -> 4-frame RMS vectors -> all same-bucket
+    // pairs (id <) -> cosine floor; rounded rms values shared with m7,
+    // the cosine is the d5-family left-fold formulation
+    "m8_audio_dedup" ->
+      s"""WITH d AS (
+         |  SELECT media_id, hex(payload) AS h,
+         |         octet_length(payload) AS n
+         |  FROM ${pq("audio")}),
+         |hb AS (
+         |  SELECT media_id, n,
+         |    list_transform(range(0, n), i ->
+         |      (strpos('0123456789ABCDEF', substr(h, 2*i + 1, 1)) - 1)
+         |        * 16 +
+         |      strpos('0123456789ABCDEF', substr(h, 2*i + 2, 1)) - 1)
+         |      AS b
+         |  FROM d),
+         |meta AS (
+         |  SELECT media_id, n, b,
+         |    (n >= 46 AND b[1]=82 AND b[2]=73 AND b[3]=70 AND b[4]=70
+         |       AND b[9]=87 AND b[10]=65 AND b[11]=86 AND b[12]=69
+         |       AND b[21] + 256*b[22] = 1
+         |       AND b[35] + 256*b[36] = 16) AS ok,
+         |    b[23] + 256*b[24] AS channels,
+         |    b[41] + 256*b[42] + 65536*b[43] + 16777216*b[44] AS dsz
+         |  FROM hb),
+         |s AS (
+         |  SELECT media_id, channels,
+         |    list_transform(range(0, least(dsz, n - 44) // 2), k ->
+         |      CASE WHEN b[45 + 2*k] + 256*b[46 + 2*k] >= 32768
+         |           THEN b[45 + 2*k] + 256*b[46 + 2*k] - 65536
+         |           ELSE b[45 + 2*k] + 256*b[46 + 2*k] END) AS sm
+         |  FROM meta WHERE ok),
+         |mo AS (
+         |  SELECT media_id,
+         |    list_transform(range(0, len(sm) // channels), f ->
+         |      CAST(list_sum(list_transform(range(0, channels),
+         |        c -> sm[f * channels + c + 1])) AS DOUBLE) / channels)
+         |      AS mo
+         |  FROM s WHERE len(sm) // channels >= 1),
+         |fr AS (
+         |  SELECT media_id, fi.i AS frame,
+         |    mo[fi.i * 8 + 1 : least((fi.i + 1) * 8, len(mo))] AS fm
+         |  FROM mo, LATERAL (SELECT unnest(range(0,
+         |    (len(mo) + 7) // 8)) AS i) fi),
+         |rms AS (
+         |  SELECT media_id, frame,
+         |    round(sqrt(list_sum(list_transform(fm, m -> m * m))
+         |      / len(fm)), 4) AS rms
+         |  FROM fr WHERE frame < 4),
+         |v AS (
+         |  SELECT media_id, list(rms ORDER BY frame) AS vec
+         |  FROM rms GROUP BY 1 HAVING count(*) = 4),
+         |p AS (
+         |  SELECT a.media_id AS id, b.media_id AS neighbor,
+         |    a.vec AS qv, b.vec AS cv
+         |  FROM v a JOIN v b ON a.media_id < b.media_id),
+         |sc AS (
+         |  SELECT id, neighbor,
+         |    round(list_reduce(list_transform(list_zip(qv, cv),
+         |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+         |        (x, y) -> x + y)
+         |      / (sqrt(list_reduce(list_transform(qv,
+         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         |          (x, y) -> x + y))
+         |       * sqrt(list_reduce(list_transform(cv,
+         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         |          (x, y) -> x + y))), 5) AS cosine
+         |  FROM p)
+         |SELECT id, neighbor, cosine FROM sc
+         |WHERE cosine >= 0.999""".stripMargin,
 
     // m3: pixel-derived features need a DEFLATE inflater, which SQL
     // lacks — snapshot oracle (graft.tools.Snapshot regenerates);

@@ -266,4 +266,48 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.keySet.exists(_._1 == "poison"),
       "poison blob must contribute no frames")
   }
+
+  test("audio dedup: gain-scaled copy pairs at cosine 1, unrelated and " +
+    "short/poison payloads stay out") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    def wav(ch: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16)
+        .putShort(1).putShort(ch.toShort).putInt(8000)
+        .putInt(8000 * ch * 2).putShort((ch * 2).toShort).putShort(16)
+        .put("data".getBytes).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val base = Array.tabulate(32)(i => (((i * 733 + 11) % 1601) - 800).toShort)
+    val media = Seq(
+      ("orig", wav(1, base)),
+      ("loud", wav(1, base.map(v => (v * 3).toShort))),
+      // a DIFFERENT energy envelope (loud first half, near-silent
+      // second): two flat-envelope noises would be near-parallel in
+      // frame-energy space — the fingerprint discriminates envelopes,
+      // not waveforms
+      ("other", wav(1, Array.tabulate(32)(i =>
+        (if (i < 16) ((i * 397 + 5) % 1201) - 600
+         else ((i * 397 + 5) % 41) - 20).toShort))),
+      ("short", wav(1, base.take(8))), // 1 frame < nFrames -> dropped
+      ("poison", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "payload")
+    val vecs = Multimodal.audioVectors(media, frameSamples = 8,
+      nFrames = 4)
+    assert(vecs.collect().map(_.getString(0)).toSet ==
+      Set("orig", "loud", "other"))
+    val pairs = graft.operators.Similarity.rangeCosine(
+      vecs.select(col("media_id").as("id"), col("vec").as("qvec")),
+      vecs.select(col("media_id").as("neighbor"), col("vec").as("cvec")),
+      threshold = 0.999, qId = "id", cId = "neighbor")
+      .where(col("id") < col("neighbor")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq(("loud", "orig", 1.0)), pairs.toSeq)
+  }
 }
