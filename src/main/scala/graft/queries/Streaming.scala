@@ -139,6 +139,15 @@ object Streaming {
         .toDF().withColumnRenamed("group", "event_type")
     }),
 
+    "e18_gap_alerts" -> ((s, dir) => {
+      // the dead-sensor monitor's batch form: consecutive-event gaps
+      // over 6h per user (one key shuffle + a µs-exact lead window);
+      // the trailing-silence alert only the streaming timeout can
+      // express is pinned in StreamingSpec
+      graft.streaming.Events.silenceGaps(events(s, dir),
+        gapSeconds = 6 * 3600)
+    }),
+
     "e17_stream_ewma" -> ((s, dir) => {
       // the streaming anomaly-monitor smoother, batch-equivalently (one
       // micro-batch, the e6 argument): per-user EWMA folded in event
@@ -437,6 +446,19 @@ object Streaming {
         |FROM est e JOIN (
         |  SELECT event_type, count(DISTINCT user_id) AS n_exact
         |  FROM events GROUP BY 1) x USING (event_type)""".stripMargin,
+
+    "e18_gap_alerts" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nus
+        |  FROM events)
+        |SELECT user_id, ts AS silent_from,
+        |  make_timestamp(nus) AS resumed_at,
+        |  round(CAST(nus - us AS DOUBLE) / 1e6, 6) AS gap_sec
+        |FROM g
+        |WHERE nus IS NOT NULL
+        |  AND nus - us > CAST(21600 AS BIGINT) * 1000000""".stripMargin,
 
     "e17_stream_ewma" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

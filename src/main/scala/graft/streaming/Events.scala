@@ -232,6 +232,66 @@ object Events {
       }
   }
 
+  /** Batch form of the dead-sensor monitor: per-user gaps between
+    * CONSECUTIVE events longer than `gapSeconds` — one key shuffle, a
+    * lead() window in µs (exact, oracle-reproducible). The trailing
+    * open gap (silence continuing past the last event) has no batch
+    * answer — that is precisely what the streaming form's event-time
+    * timeout adds.
+    */
+  def silenceGaps(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("ts"), col("event_id"),
+      unix_micros(col("ts")).as("_us"))
+      .withColumn("_nextUs", lead(col("_us"), 1).over(w))
+      .where(col("_nextUs").isNotNull &&
+        col("_nextUs") - col("_us") > gapSeconds * 1000000L)
+      .select(col("user_id"), col("ts").as("silent_from"),
+        timestamp_micros(col("_nextUs")).as("resumed_at"),
+        round((col("_nextUs") - col("_us")).cast("double") / 1e6, 6)
+          .as("gap_sec"))
+  }
+
+  /** Streaming dead-sensor alerts: a key that stays silent for
+    * `gapSeconds` of EVENT TIME past its last event fires an alert when
+    * the watermark passes that deadline — the timeout-DRIVEN member of
+    * the streaming family (e2 uses timeouts to close sessions; here the
+    * timeout IS the signal: no new data ever arrives to trigger
+    * emission, which no batch view can express). State is one long per
+    * live key; an alert clears the state, so a forever-dead sensor
+    * alerts once, and any later event re-arms monitoring.
+    */
+  def gapAlertStream(events: DataFrame, gapSeconds: Long,
+                     watermark: String = "10 minutes")
+    : Dataset[GapAlert] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, Timestamp)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator(GapAlert(uid, new Timestamp(last),
+              gapSeconds.toDouble))
+          } else {
+            val latest = rows.map(_._2.getTime).max
+            val last = math.max(state.getOption.getOrElse(Long.MinValue),
+              latest)
+            state.update(last)
+            state.setTimeoutTimestamp(last + gapSeconds * 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming per-key EWMA — the O(1)-state smoother behind rate /
     * spend / latency anomaly monitors: state is ONE (ewma, count) pair
     * per user, folded in (ts, event_id) order with
@@ -275,6 +335,11 @@ object Events {
       }
   }
 }
+
+/** Dead-sensor alert: the key went silent at `silent_from` and stayed
+  * silent for at least `gap_sec` of event time. */
+case class GapAlert(user_id: Long, silent_from: Timestamp,
+                    gap_sec: Double)
 
 /** Streaming EWMA state: the running mean and how many events fed it. */
 case class EwmaAcc(ewma: Double, n: Long)

@@ -585,4 +585,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = spark.table("ewma").collect().filter(_.getLong(0) == 1L)
     assert(rows.length == 3, "one update row per micro-batch")
   }
+
+  test("gap alerts fire on event-time timeout for the silent key only, " +
+    "and a late event re-arms monitoring") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val q = graft.streaming.Events
+      .gapAlertStream(events, gapSeconds = 60, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("gaps")
+      .outputMode("append").start()
+    def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    // both users alive at t0; user 2 keeps sending, user 1 goes silent
+    mem.addData((1L, t(0)), (2L, t(0)))
+    q.processAllAvailable()
+    mem.addData((2L, t(30)), (2L, t(65)))
+    q.processAllAvailable()
+    // watermark passes t(0)+60s once max event time reaches t(65):
+    // user 1's timeout fires; user 2 was re-armed by its later events
+    mem.addData((2L, t(130)))
+    q.processAllAvailable()
+    mem.addData((2L, t(200)))
+    q.processAllAvailable()
+    val alerts = spark.table("gaps").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    q.stop()
+    assert(alerts.count(_._1 == 1L) == 1,
+      s"exactly one alert for the silent user: ${alerts.toSeq}")
+    assert(alerts.filter(_._1 == 1L).head._2 == t(0).getTime)
+    // user 2's last event is within its own 60s deadline at the final
+    // watermark (200-60=140 < ... its last event 200) -> no alert
+    assert(!alerts.exists(a => a._1 == 2L && a._2 < t(65).getTime),
+      s"active user must not alert while active: ${alerts.toSeq}")
+  }
 }
