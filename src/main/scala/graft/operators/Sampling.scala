@@ -53,6 +53,33 @@ object Sampling {
     * compare — the SQL oracle replays the identical fold. Stats reduce
     * to ONE broadcast row; the keep rule stays a scan-level predicate.
     */
+  /** Leakage-free train/test split — eval hygiene's answer to near
+    * duplicates: a test doc with a near-copy in train leaks, so the
+    * split must be assigned per DUPLICATE CLUSTER, never per doc.
+    * Near-dup pairs (exact prefix-filtered n-gram Jaccard, the d4
+    * detector) resolve to connected components; singletons form their
+    * own cluster; every cluster draws its split with the same
+    * deterministic md5 rule as stratifiedSample, so membership is
+    * retry-stable and engine-reproducible. The invariant the spec
+    * asserts: two docs in one cluster NEVER land in different splits.
+    */
+  def leakageFreeSplit(df: DataFrame, idCol: String, textCol: String,
+                       testFrac: Double, salt: String = "",
+                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(testFrac > 0 && testFrac < 1,
+      "leakageFreeSplit: testFrac must be in (0, 1)")
+    val pairs = Dedup.ngramJaccard(df, idCol, textCol, n, threshold,
+      wordGrams = true)
+    val clusters = Dedup.duplicateClusters(pairs)
+      .select(col("id"), col("cluster"))
+    df.select(col(idCol).as("id"))
+      .join(clusters, Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
+      .withColumn("split",
+        when(hashDraw(col("cluster"), salt).cast("double") <
+          testFrac * 4294967296.0, "test").otherwise("train"))
+  }
+
   /** Deterministic global training-order shuffle with EXACT global
     * ranks — the "shuffle the corpus once per epoch" step every trainer
     * needs, without `orderBy` over the whole corpus collapsing into a

@@ -426,6 +426,15 @@ object Documents {
       Dedup.contamination(docs, bench, "doc_id", "text", n = 8)
     }),
 
+    "t28_leakage_split" -> ((s, dir) => {
+      // leakage-free train/test split: near-dup clusters (d4 exact
+      // pairs -> d6 components, singletons own cluster) draw their
+      // split as a UNIT with the q13 md5 rule — a test doc can never
+      // have a near-copy in train
+      Sampling.leakageFreeSplit(spread(t(s, dir, "documents")),
+        "doc_id", "text", testFrac = 0.1, salt = "split1")
+    }),
+
     "t24_shuffle_rank" -> ((s, dir) => {
       // deterministic epoch shuffle with EXACT global ranks: two-phase
       // distributed ranking (hash-prefix buckets + tiny offset fold) —
@@ -2116,6 +2125,39 @@ object Documents {
          |  len(regexp_extract_all(r2, '$ip')) AS n_ips
          |FROM s2""".stripMargin
     },
+
+    "t28_leakage_split" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id AS id, list_distinct(
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |    FROM documents)
+        |  WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT l.id AS id1, r.id AS id2
+        |  FROM d l JOIN d r ON l.id < r.id
+        |  WHERE round(
+        |      len(list_intersect(l.g, r.g))::DOUBLE /
+        |      (len(l.g) + len(r.g) - len(list_intersect(l.g, r.g))), 5)
+        |    >= 0.5),
+        |edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        |cc AS (SELECT node AS id, min(label) AS cluster
+        |       FROM reach GROUP BY node),
+        |asg AS (
+        |  SELECT doc_id AS id, coalesce(cc.cluster, doc_id) AS cluster
+        |  FROM documents LEFT JOIN cc ON cc.id = doc_id)
+        |SELECT id, cluster,
+        |  CASE WHEN list_reduce([strpos('0123456789abcdef',
+        |      substr(md5('split1' || CAST(cluster AS VARCHAR)), j, 1)) - 1
+        |    for j in range(1, 9)], (a, c) -> a * 16 + c)::DOUBLE
+        |    < 0.1 * 4294967296.0 THEN 'test' ELSE 'train' END AS split
+        |FROM asg""".stripMargin,
 
     "t24_shuffle_rank" ->
       """SELECT doc_id, source,
