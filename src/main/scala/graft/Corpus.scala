@@ -79,6 +79,10 @@ import graft.operators.Dedup
   *                         range-partitioned + sorted on the Morton
   *                         interleave of two numeric columns, so scans
   *                         filtering on either column prune files
+  *   [-split f[,salt]]     leakage-free train/test assignment (t28):
+  *                         near-dup clusters draw their split as a
+  *                         UNIT (no test doc has a near-copy in
+  *                         train); adds cluster + split columns
   *   [-epoch_shuffle s[,n]] deterministic training-order shuffle (t24):
   *                         rank every doc by md5(salt s || doc_id) with
   *                         exact global ranks (two-phase, no global
@@ -308,6 +312,21 @@ object Corpus {
         df = df.join(losers, Seq("doc_id"), "left_anti")
         record(s"dedup=$mode@$thr")
       case other => sys.error(s"unknown -dedup mode: $other")
+    }
+
+    // -split frac[,salt]: leakage-free train/test assignment (t28) —
+    // near-dup clusters draw their split as a unit, so no test doc has
+    // a near-copy in train; adds cluster + split columns
+    opts.get("split").foreach { spec =>
+      val parts = spec.split(",").map(_.trim)
+      require(parts.length == 1 || parts.length == 2,
+        s"-split wants testFrac[,salt] — got '$spec'")
+      val salt = if (parts.length == 2) parts(1) else ""
+      val asg = operators.Sampling.leakageFreeSplit(df, "doc_id",
+        "text", parts(0).toDouble, salt)
+        .select(col("id").as("doc_id"), col("cluster"), col("split"))
+      df = df.join(asg, Seq("doc_id"))
+      record(s"split@${parts(0)}")
     }
 
     opts.get("encode_bpe").foreach { p =>

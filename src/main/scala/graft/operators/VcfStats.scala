@@ -164,6 +164,34 @@ object VcfStats {
           col("n_sites"), 5))
   }
 
+  /** plink `--check-sex`-style inference from X-chromosome
+    * heterozygosity: a genetic male is hemizygous on non-PAR X, so his
+    * called diploid-coded genotypes there are (almost) never het; a
+    * female's are het at roughly the population het rate. Per sample:
+    * called/het counts on the provided (already PAR-filtered) X rows,
+    * het rate, inferred sex by `maxMaleHetRate`, and the mismatch flag
+    * against the declared sex. ONE conditional-sum groupBy(sample).
+    */
+  def sexCheck(gtsX: DataFrame, declared: DataFrame,
+               maxMaleHetRate: Double = 0.2): DataFrame = {
+    val d = dosage(col("gt"))
+    gtsX.select(col("sample"), d.as("_d"))
+      .where(col("_d").isNotNull)
+      .groupBy(col("sample"))
+      .agg(count(lit(1)).as("n_called"),
+        sum(when(col("_d") === 1, 1L).otherwise(0L)).as("n_het"))
+      .withColumn("het_rate",
+        round(col("n_het").cast("double") / col("n_called"), 5))
+      .withColumn("inferred_sex",
+        when(col("het_rate") <= maxMaleHetRate, "male")
+          .otherwise("female"))
+      .join(declared.select(col("sample"),
+        col("sex").as("declared_sex")), Seq("sample"), "left")
+      .withColumn("mismatch",
+        col("declared_sex").isNotNull &&
+          col("declared_sex") =!= col("inferred_sex"))
+  }
+
   /** plink `--r2`-style linkage disequilibrium: squared Pearson
     * correlation of ALT dosages for every variant pair on the same
     * chromosome within `maxDist` bases (pos2 strictly greater — each

@@ -338,6 +338,18 @@ object Genomic {
       graft.operators.VcfStats.genotypeConcordance(left, right)
     }),
 
+    "g28_sex_check" -> ((s, _) => {
+      // plink --check-sex: X non-PAR heterozygosity per sample vs the
+      // declared sex (hemizygous males are never het there); the
+      // fixture's deliberately messy X calls make mismatch rows fire
+      prep(s)
+      graft.operators.VcfStats.sexCheck(
+        gtsWithVarId(s).where(col("chrom") === "X" &&
+          col("pos") > GenomicFixtures.par1To &&
+          col("pos") < GenomicFixtures.par2From),
+        s.read.parquet(s"$fx/samples_meta.parquet"))
+    }),
+
     "g25_missingness" -> ((s, _) => {
       // plink --missing: per-sample call rate (all chroms — a failed
       // assay is per-sample, not per-chromosome); one conditional-sum
@@ -1295,6 +1307,38 @@ object Genomic {
          |      / (n_concordant + n_discordant), 5)
          |  END AS concordance
          |FROM c""".stripMargin,
+
+    "g28_sex_check" ->
+      s"""WITH g AS (
+         |  SELECT unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM ${pq("vcf_norm")}
+         |  WHERE chrom = 'X' AND pos > 15 AND pos < 100),
+         |d AS (
+         |  SELECT 'S' || si AS sample,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) END AS dd
+         |  FROM g),
+         |c AS (
+         |  SELECT sample, CAST(count(*) AS BIGINT) AS n_called,
+         |    CAST(sum(CASE WHEN dd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_het
+         |  FROM d WHERE dd IS NOT NULL GROUP BY 1),
+         |r AS (
+         |  SELECT sample, n_called, n_het,
+         |    round(CAST(n_het AS DOUBLE) / n_called, 5) AS het_rate
+         |  FROM c)
+         |SELECT r.sample, n_called, n_het, het_rate,
+         |  CASE WHEN het_rate <= 0.2 THEN 'male' ELSE 'female' END
+         |    AS inferred_sex,
+         |  m.sex AS declared_sex,
+         |  m.sex IS NOT NULL AND m.sex <>
+         |    CASE WHEN het_rate <= 0.2 THEN 'male' ELSE 'female' END
+         |    AS mismatch
+         |FROM r LEFT JOIN ${pq("samples_meta")} m USING (sample)"""
+        .stripMargin,
 
     "g25_missingness" ->
       s"""WITH g AS (

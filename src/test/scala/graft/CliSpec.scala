@@ -506,6 +506,24 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(losers.nonEmpty, "the corpus must actually contain near-dups")
   }
 
+  test("Corpus -split == t28 assignment, clusters never straddle") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = Corpus.run(spark, Map(
+      "i" -> s"$sf/documents.parquet", "dedup" -> "none",
+      "split" -> "0.2,sx", "report" -> "0"))
+      .select("doc_id", "cluster", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expect = graft.operators.Sampling.leakageFreeSplit(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+      testFrac = 0.2, salt = "sx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSet == expect.toSet)
+    got.groupBy(_._2).values.foreach(ms =>
+      assert(ms.map(_._3).toSet.size == 1))
+    assert(got.map(_._3).toSet == Set("train", "test"))
+  }
+
   test("Corpus rejects -zorder combined with -partition_by") {
     val sf = "/root/testdata/sf0.001"
     val e = intercept[IllegalArgumentException] {

@@ -524,4 +524,31 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getDouble(7) == 0.25 && out.getDouble(8) == 0.25 &&
       out.getDouble(9) == 0.25)
   }
+
+  test("sexCheck: hemizygous-coded male passes, het male flags, " +
+    "missing declared sex never flags") {
+    val s = spark
+    import s.implicits._
+    val gts = Seq(
+      // m1: 0 hets of 3 called -> male
+      ("m1", "x1", "0|0"), ("m1", "x2", "1|1"), ("m1", "x3", "0|0"),
+      // f1: 2 hets of 3 -> female
+      ("f1", "x1", "0|1"), ("f1", "x2", "1|0"), ("f1", "x3", "0|0"),
+      // m2 declared male but het-rich -> mismatch
+      ("m2", "x1", "0|1"), ("m2", "x2", "1|0"), ("m2", "x3", "0|1"),
+      // u1: no declared sex
+      ("u1", "x1", "0|1"), ("u1", "x2", ".|."))
+      .map { case (sm, v, gt) => (sm, v, "X", 50L, gt) }
+      .toDF("sample", "varId", "chrom", "pos", "gt")
+    val meta = Seq(("m1", "male"), ("f1", "female"), ("m2", "male"))
+      .toDF("sample", "sex")
+    val out = graft.operators.VcfStats.sexCheck(gts, meta)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(4), r.getBoolean(6)))).toMap
+    assert(out("m1") == (("male", false)))
+    assert(out("f1") == (("female", false)))
+    assert(out("m2") == (("female", true)), "declared male, looks female")
+    assert(out("u1") == (("female", false)),
+      "no declared sex -> never a mismatch")
+  }
 }
