@@ -228,6 +228,43 @@ object TableOps {
       when(col("_cnt") > 0, round(est, 4)).as("ndv_est"))
   }
 
+  /** Snapshot diff — the reconciliation audit behind every migration
+    * sign-off: keyed full-outer join of two table versions, each row
+    * classified added / removed / changed (with the list of columns
+    * that differ, null-safe) — unchanged rows drop so the output is
+    * the delta, not the table. ONE key-shuffled full-outer join; the
+    * per-column compare is codegen'd row-local arithmetic.
+    */
+  def tableDiff(before: DataFrame, after: DataFrame,
+                keyCols: Seq[String],
+                compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty,
+      "tableDiff needs key and compare columns")
+    val b = before.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("_b", lit(1))
+      .select(keyCols.map(col) ++
+        compareCols.map(c => col(c).as(s"_b_$c")) :+ col("_b"): _*)
+    val a = after.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("_a", lit(1))
+      .select(keyCols.map(col) ++
+        compareCols.map(c => col(c).as(s"_a_$c")) :+ col("_a"): _*)
+    val diffs = compareCols.map(c =>
+      when(!(col(s"_b_$c") <=> col(s"_a_$c")), lit(c)))
+    val changedCols = array_join(array_sort(
+      filter(array(diffs: _*), x => x.isNotNull)), ";")
+    b.join(a, keyCols, "full_outer")
+      .withColumn("status",
+        when(col("_b").isNull, "added")
+          .when(col("_a").isNull, "removed")
+          .when(changedCols =!= "", "changed")
+          .otherwise("unchanged"))
+      .where(col("status") =!= "unchanged")
+      .withColumn("changed_cols",
+        when(col("status") === "changed", changedCols))
+      .select(keyCols.map(col) :+ col("status") :+
+        col("changed_cols"): _*)
+  }
+
   /** MERGE-style changelog apply: fold an insert/update/delete change
     * stream into a snapshot — the missing piece between u3 (compact a
     * changelog to latest-per-key) and u4 (SCD2 history): u5 produces the

@@ -332,6 +332,42 @@ object Relational {
         Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"))
     }),
 
+    "u9_table_diff" -> ((s, dir) => {
+      // snapshot reconciliation: the after-version is a deterministic
+      // perturbation of customer (every 7th key dropped, every 5th
+      // balance bumped, a synthetic added block), so all three delta
+      // classes fire; ONE keyed full-outer join, unchanged rows drop
+      val before = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val after = before
+        .where(pmod(col("c_custkey"), lit(7)) =!= 0)
+        .withColumn("c_acctbal",
+          when(pmod(col("c_custkey"), lit(5)) === 0,
+            round(col("c_acctbal") + 10.5, 2)).otherwise(col("c_acctbal")))
+        .unionByName(before.where(pmod(col("c_custkey"), lit(11)) === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            col("c_acctbal"), col("c_mktsegment")))
+      graft.operators.TableOps.tableDiff(before, after,
+        Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
+    }),
+
+    "q31_transitions" -> ((s, dir) => {
+      // event-type transition matrix (the Markov view of user journeys):
+      // lag window per user (one key shuffle) -> (from, to) counts ->
+      // per-from probabilities on the tiny aggregated frame
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .where(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = Window.partitionBy(col("from_type"))
+      pairs.withColumn("p",
+        round(col("n").cast("double") / sum(col("n")).over(totals), 5))
+    }),
+
     "u8_stats_merge" -> ((s, dir) => {
       // incremental ANALYZE: stats states over two disjoint halves of
       // lineitem merged and finalized — the oracle recomputes from the
@@ -541,6 +577,53 @@ object Relational {
          |  max(o_orderkey & 65535) AS max_ord,
          |  round(sum(o_totalprice), 2) AS sum_price
          |FROM z0 GROUP BY 1""".stripMargin,
+
+    "u9_table_diff" ->
+      """WITH b AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        |a AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN round(c_acctbal + 10.5, 2)
+        |      ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM b WHERE c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+        |  FROM b WHERE c_custkey % 11 = 0),
+        |j AS (
+        |  SELECT coalesce(b.c_custkey, a.c_custkey) AS c_custkey,
+        |    b.c_custkey IS NOT NULL AS hb,
+        |    a.c_custkey IS NOT NULL AS ha,
+        |    array_to_string(list_sort([x FOR x IN [
+        |      CASE WHEN b.c_acctbal IS DISTINCT FROM a.c_acctbal
+        |        THEN 'c_acctbal' END,
+        |      CASE WHEN b.c_mktsegment IS DISTINCT FROM a.c_mktsegment
+        |        THEN 'c_mktsegment' END] IF x IS NOT NULL]), ';') AS cc
+        |  FROM b FULL OUTER JOIN a ON b.c_custkey = a.c_custkey),
+        |r AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN NOT hb THEN 'added'
+        |         WHEN NOT ha THEN 'removed'
+        |         WHEN cc <> '' THEN 'changed'
+        |         ELSE 'unchanged' END AS status,
+        |    cc FROM j)
+        |SELECT c_custkey, status,
+        |  CASE WHEN status = 'changed' THEN cc END AS changed_cols
+        |FROM r WHERE status <> 'unchanged'""".stripMargin,
+
+    "q31_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE)
+        |    / sum(n) OVER (PARTITION BY from_type), 5) AS p
+        |FROM c""".stripMargin,
 
     "u6_table_stats" ->
       Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")

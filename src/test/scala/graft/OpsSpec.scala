@@ -614,4 +614,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(leakySalt.nonEmpty,
       "per-doc assignment must split the trio for some salt")
   }
+
+  test("tableDiff classifies added/removed/changed with null-safe " +
+    "column lists, drops unchanged") {
+    val s = spark
+    import s.implicits._
+    val before = Seq(
+      (1L, Some(10.0), "a"), (2L, Some(20.0), "b"),
+      (3L, Option.empty[Double], "c"), (4L, Some(40.0), "d"))
+      .toDF("k", "v", "seg")
+    val after = Seq(
+      (1L, Some(10.0), "a"),          // unchanged -> dropped
+      (2L, Some(21.0), "B"),          // both columns changed
+      (3L, Some(30.0), "c"),          // null -> value is a change
+      (5L, Some(50.0), "e"))          // added; 4 removed
+      .toDF("k", "v", "seg")
+    val out = graft.operators.TableOps.tableDiff(before, after,
+      Seq("k"), Seq("v", "seg")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) null else r.getString(2))))
+      .toMap
+    assert(out == Map(
+      2L -> (("changed", "seg;v")),
+      3L -> (("changed", "v")),
+      4L -> (("removed", null)),
+      5L -> (("added", null))))
+  }
 }
