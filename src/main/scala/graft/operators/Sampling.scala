@@ -53,6 +53,39 @@ object Sampling {
     * compare — the SQL oracle replays the identical fold. Stats reduce
     * to ONE broadcast row; the keep rule stays a scan-level predicate.
     */
+  /** Weight-proportional deterministic sampling — the token-budget draw
+    * (P(keep_i) ∝ weight_i, e.g. document length, so the SAMPLE's token
+    * mass tracks targetFrac of the corpus'): rate_i = min(1,
+    * targetFrac * N * w_i / Z). The determinism trick at scale: the
+    * weight column must be INTEGRAL (a length, a token count, a
+    * pre-scaled score), so Z = Σw is an EXACT long in any aggregation
+    * order — the q26 sorted-fold workaround is only needed for double
+    * weights, and a sorted fold over millions of docs would collect an
+    * unbounded array. Keep rule is the same retry-stable md5 draw as
+    * stratifiedSample; stats reduce to ONE broadcast row.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     targetFrac: Double, salt: String = ""): DataFrame = {
+    require(targetFrac > 0 && targetFrac <= 1,
+      "weightedSample: targetFrac must be in (0, 1]")
+    import org.apache.spark.sql.types._
+    val wTyped = df.schema(weightCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+      .contains(wTyped),
+      s"weightedSample: '$weightCol' is ${wTyped.simpleString} — weights " +
+        "must be integral so the corpus sum is exact in any order " +
+        "(pre-scale doubles to longs upstream)")
+    val stats = df.agg(sum(col(weightCol)).as("_z"),
+      count(lit(1)).as("_n"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("_rate",
+        least(lit(1.0), lit(targetFrac) * col("_n") * col(weightCol) /
+          col("_z")))
+      .where(hashDraw(col(idCol), salt).cast("double") <
+        col("_rate") * 4294967296.0)
+      .drop("_z", "_n", "_rate")
+  }
+
   /** Leakage-free train/test split — eval hygiene's answer to near
     * duplicates: a test doc with a near-copy in train leaks, so the
     * split must be assigned per DUPLICATE CLUSTER, never per doc.

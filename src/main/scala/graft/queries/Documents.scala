@@ -426,6 +426,15 @@ object Documents {
       Dedup.contamination(docs, bench, "doc_id", "text", n = 8)
     }),
 
+    "t31_weighted_sample" -> ((s, dir) => {
+      // length-proportional deterministic draw (the token-budget
+      // sampler): P(keep) ∝ n_chars; the integral weight makes the
+      // corpus sum exact in any aggregation order — no sorted fold
+      Sampling.weightedSample(spread(t(s, dir, "documents")),
+        "doc_id", "n_chars", targetFrac = 0.25, salt = "wsl")
+        .select("doc_id", "n_chars", "source")
+    }),
+
     "t28_leakage_split" -> ((s, dir) => {
       // leakage-free train/test split: near-dup clusters (d4 exact
       // pairs -> d6 components, singletons own cluster) draw their
@@ -2125,6 +2134,18 @@ object Documents {
          |  len(regexp_extract_all(r2, '$ip')) AS n_ips
          |FROM s2""".stripMargin
     },
+
+    "t31_weighted_sample" ->
+      """WITH st AS (
+        |  SELECT CAST(sum(n_chars) AS BIGINT) AS z,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT doc_id, n_chars, source
+        |FROM documents, st
+        |WHERE list_reduce([strpos('0123456789abcdef',
+        |    substr(md5('wsl' || CAST(doc_id AS VARCHAR)), j, 1)) - 1
+        |  for j in range(1, 9)], (a, c) -> a * 16 + c)::DOUBLE
+        |  < least(1.0, 0.25 * n * n_chars / z) * 4294967296.0""".stripMargin,
 
     "t28_leakage_split" ->
       """WITH RECURSIVE d AS (
