@@ -43,6 +43,83 @@ object Intervals {
       .drop("_island")
   }
 
+  /** bedtools complement: the regions of each key's bounded span NOT
+    * covered by any interval (intergenic space). `bounds` is the genome
+    * table — one row per key: keys, bound_start, bound_end (bedtools'
+    * `-g` file). Rides [[merge]]'s single exchange: after merging, the
+    * gap walk is a lag window on the SAME key partitioning (no second
+    * shuffle), and bounds broadcast (a genome table is tiny — one row
+    * per contig — at any corpus scale). Keys present in `bounds` but
+    * absent from `intervals` emit their whole span, like bedtools.
+    * Output: keys, start, end.
+    */
+  def complement(intervals: DataFrame, bounds: DataFrame,
+                 keys: Seq[String] = Seq("chrom")): DataFrame = {
+    val kc = keys.map(col)
+    val m = merge(intervals, keys)
+      .join(broadcast(bounds), keys)
+      // clip to bounds; intervals fully outside the span vanish
+      .withColumn("_s", greatest(col("merged_start"), col("bound_start")))
+      .withColumn("_e", least(col("merged_end"), col("bound_end")))
+      .where(col("_s") <= col("_e"))
+    val w = Window.partitionBy(kc: _*).orderBy(col("_s"))
+    // gap before each merged island: [bound_start | prev_e+1, s-1]
+    val gaps = m
+      .withColumn("_from",
+        coalesce(lag(col("_e"), 1).over(w) + 1, col("bound_start")))
+      .where(col("_from") <= col("_s") - 1)
+      .select(kc :+ col("_from").as("start") :+
+        (col("_s") - 1).as("end"): _*)
+    // gap after the last island: [max_e+1, bound_end]
+    val tails = m
+      .groupBy(kc: _*)
+      .agg(max(col("_e")).as("_m"), first(col("bound_end")).as("_be"))
+      .where(col("_m") < col("_be"))
+      .select(kc :+ (col("_m") + 1).as("start") :+
+        col("_be").as("end"): _*)
+    // keys with no intervals at all: the whole bounded span
+    val empty = bounds.join(
+      intervals.select(kc: _*).distinct(), keys, "left_anti")
+      .select(kc :+ col("bound_start").as("start") :+
+        col("bound_end").as("end"): _*)
+    gaps.unionByName(tails).unionByName(empty)
+  }
+
+  /** bedtools jaccard: similarity of two interval SETS — intersection
+    * basepairs / union basepairs over the merged forms of each side.
+    * Both sides merge first (disjoint islands), so the intersection is
+    * a plain overlap join with clipped-length sums and the union is
+    * len(A) + len(B) − intersection. Scale: two merge exchanges + the
+    * binned overlap join; the result reduces to ONE row (three partial
+    * aggregations, no data movement beyond the join).
+    * Output: intersection_bp, union_bp, jaccard, n_intersections.
+    */
+  def jaccard(a: DataFrame, b: DataFrame,
+              keys: Seq[String] = Seq("chrom"),
+              binSize: Long = 10000L): DataFrame = {
+    def merged(df: DataFrame) = merge(df, keys)
+      .select(keys.map(col) :+ col("merged_start").as("start") :+
+        col("merged_end").as("end"): _*)
+    val (ma, mb) = (merged(a), merged(b))
+    def totalLen(df: DataFrame, alias: String) =
+      df.agg(coalesce(sum(col("end") - col("start") + 1), lit(0L))
+        .as(alias))
+    val inter = IntervalJoin.overlapJoin(ma,
+        mb.withColumnRenamed("start", "start2")
+          .withColumnRenamed("end", "end2"), keys, binSize)
+      .agg(coalesce(sum(least(col("end"), col("end2")) -
+          greatest(col("start"), col("start2")) + 1), lit(0L))
+        .as("intersection_bp"),
+        count(lit(1)).as("n_intersections"))
+    inter.crossJoin(totalLen(ma, "_la")).crossJoin(totalLen(mb, "_lb"))
+      .select(col("intersection_bp"),
+        (col("_la") + col("_lb") - col("intersection_bp")).as("union_bp"),
+        round(col("intersection_bp") /
+          (col("_la") + col("_lb") - col("intersection_bp")), 6)
+          .as("jaccard"),
+        col("n_intersections"))
+  }
+
   /** bedtools subtract: the parts of every A interval NOT covered by
     * any B interval. `aIdCols` identifies A rows (coordinates alone may
     * repeat); B is union-merged first so clipped hits are disjoint and

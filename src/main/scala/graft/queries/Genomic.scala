@@ -270,6 +270,37 @@ object Genomic {
         Seq("chrom"), Seq("transcript_id"), binSize = 20)
     }),
 
+    "g29_complement" -> ((s, _) => {
+      // bedtools complement: the intergenic space — gaps the merged
+      // transcript+exon islands leave inside each contig's bounded span
+      // (bounds = 1 .. max feature end + 500, derived identically by
+      // the oracle). Rides merge's one exchange; bounds broadcast.
+      prep(s)
+      val gtf = s.read.parquet(s"$fx/gtf.parquet")
+      val iv = gtf.where(col("feature").isin("transcript", "exon"))
+        .select(col("seqname").as("chrom"), col("start"), col("end"))
+      val bounds = gtf.groupBy(col("seqname").as("chrom"))
+        .agg(lit(1L).as("bound_start"),
+          (max(col("end")) + 500L).as("bound_end"))
+      graft.operators.Intervals.complement(iv, bounds)
+    }),
+
+    "g30_interval_jaccard" -> ((s, _) => {
+      // bedtools jaccard: read-set vs exon-set similarity in covered
+      // basepairs — both sides union-merge, clipped intersection sums
+      // through the binned overlap join, ONE output row
+      prep(s)
+      val reads = graft.sources.Sam
+        .read(s, s"${GenomicFixtures.rawDir}/aligned.sam")
+        .where(col("pos").isNotNull && !col("is_secondary") &&
+          !col("is_dup"))
+        .select(col("rname").as("chrom"), col("pos").as("start"),
+          col("ref_end").as("end"))
+      val exons = s.read.parquet(s"$fx/exons.parquet")
+        .select(col("chrom"), col("start"), col("end"))
+      graft.operators.Intervals.jaccard(exons, reads, binSize = 20)
+    }),
+
     "g24_target_breadth" -> ((s, _) => {
       // bedtools coverage: per-exon covered bases + breadth fraction —
       // binned overlap join for the hits, then g7's event sweep KEYED
@@ -765,6 +796,118 @@ object Genomic {
          |FROM (SELECT * FROM gaps WHERE o_s <= o_e
          |      UNION ALL SELECT * FROM tails
          |      UNION ALL SELECT * FROM untouched)""".stripMargin,
+
+    "g29_complement" ->
+      s"""WITH iv AS (
+         |  SELECT seqname AS chrom, CAST(start AS BIGINT) AS s,
+         |    CAST("end" AS BIGINT) AS e
+         |  FROM ${pq("gtf")} WHERE feature IN ('transcript', 'exon')),
+         |bounds AS (
+         |  SELECT seqname AS chrom, CAST(1 AS BIGINT) AS bs,
+         |    max(CAST("end" AS BIGINT)) + 500 AS be
+         |  FROM ${pq("gtf")} GROUP BY 1),
+         |o AS (
+         |  SELECT chrom, s, e,
+         |    max(e) OVER (PARTITION BY chrom ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM iv),
+         |m AS (
+         |  SELECT chrom, min(s) AS ms, max(e) AS me
+         |  FROM (
+         |    SELECT chrom, s, e,
+         |      sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY chrom ORDER BY s, e
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        AS island
+         |    FROM o)
+         |  GROUP BY chrom, island),
+         |clip AS (
+         |  SELECT m.chrom, greatest(m.ms, b.bs) AS cs,
+         |    least(m.me, b.be) AS ce, b.bs, b.be
+         |  FROM m JOIN bounds b ON m.chrom = b.chrom
+         |  WHERE greatest(m.ms, b.bs) <= least(m.me, b.be)),
+         |gaps AS (
+         |  SELECT chrom,
+         |    coalesce(lag(ce) OVER (PARTITION BY chrom ORDER BY cs) + 1,
+         |      bs) AS o_s,
+         |    cs - 1 AS o_e
+         |  FROM clip),
+         |tails AS (
+         |  SELECT chrom, max(ce) + 1 AS o_s, be AS o_e
+         |  FROM clip GROUP BY chrom, be HAVING max(ce) < be),
+         |empty AS (
+         |  SELECT b.chrom, b.bs AS o_s, b.be AS o_e
+         |  FROM bounds b WHERE NOT EXISTS (
+         |    SELECT 1 FROM iv v WHERE v.chrom = b.chrom))
+         |SELECT chrom, o_s AS start, o_e AS "end"
+         |FROM (SELECT * FROM gaps WHERE o_s <= o_e
+         |      UNION ALL SELECT * FROM tails
+         |      UNION ALL SELECT * FROM empty)""".stripMargin,
+
+    "g30_interval_jaccard" ->
+      s"""WITH lines AS (
+         |  SELECT unnest(string_split(content, chr(10))) AS l
+         |  FROM read_text('$raw/aligned.sam')),
+         |a AS (
+         |  SELECT string_split(l, chr(9)) AS f FROM lines
+         |  WHERE len(trim(l)) > 0 AND NOT starts_with(l, '@')),
+         |reads AS (
+         |  SELECT nullif(f[3], '*') AS chrom,
+         |    nullif(CAST(f[4] AS BIGINT), 0) AS s,
+         |    nullif(CAST(f[4] AS BIGINT), 0) + CAST(list_sum(
+         |      list_transform(
+         |        regexp_extract_all(f[6], '(\\d+)([MIDNSHP=X])', 0),
+         |        tok -> CASE WHEN right(tok, 1) IN
+         |            ('M', 'D', 'N', '=', 'X')
+         |          THEN CAST(regexp_extract(tok, '(\\d+)', 1) AS BIGINT)
+         |          ELSE 0 END)) AS BIGINT) - 1 AS e
+         |  FROM a
+         |  WHERE nullif(CAST(f[4] AS BIGINT), 0) IS NOT NULL
+         |    AND (CAST(f[2] AS INT) & 256) = 0
+         |    AND (CAST(f[2] AS INT) & 1024) = 0),
+         |ex AS (
+         |  SELECT chrom, CAST(start AS BIGINT) AS s,
+         |    CAST("end" AS BIGINT) AS e
+         |  FROM ${pq("exons")}),
+         |ma AS (
+         |  SELECT chrom, min(s) AS ms, max(e) AS me FROM (
+         |    SELECT chrom, s, e,
+         |      sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY chrom ORDER BY s, e
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        AS island
+         |    FROM (SELECT chrom, s, e,
+         |        max(e) OVER (PARTITION BY chrom ORDER BY s, e
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |      FROM ex))
+         |  GROUP BY chrom, island),
+         |mb AS (
+         |  SELECT chrom, min(s) AS ms, max(e) AS me FROM (
+         |    SELECT chrom, s, e,
+         |      sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY chrom ORDER BY s, e
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        AS island
+         |    FROM (SELECT chrom, s, e,
+         |        max(e) OVER (PARTITION BY chrom ORDER BY s, e
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |      FROM reads))
+         |  GROUP BY chrom, island),
+         |inter AS (
+         |  SELECT CAST(coalesce(sum(least(a.me, b.me) -
+         |      greatest(a.ms, b.ms) + 1), 0) AS BIGINT) AS ibp,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM ma a JOIN mb b ON a.chrom = b.chrom
+         |    AND a.ms <= b.me AND b.ms <= a.me),
+         |la AS (SELECT CAST(coalesce(sum(me - ms + 1), 0) AS BIGINT)
+         |  AS v FROM ma),
+         |lb AS (SELECT CAST(coalesce(sum(me - ms + 1), 0) AS BIGINT)
+         |  AS v FROM mb)
+         |SELECT inter.ibp AS intersection_bp,
+         |  la.v + lb.v - inter.ibp AS union_bp,
+         |  round(inter.ibp / (la.v + lb.v - inter.ibp), 6) AS jaccard,
+         |  inter.n AS n_intersections
+         |FROM inter, la, lb""".stripMargin,
 
     "g24_target_breadth" ->
       s"""WITH lines AS (

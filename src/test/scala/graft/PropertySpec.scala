@@ -646,5 +646,30 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         .flatMap(t => t._3 to t._4).toSet
       assert(got == expect, s"row $id")
     }
+
+    // complement: per-key, complement bases == bounded span minus
+    // covered bases; a key with no intervals emits its whole span
+    val bounds = Seq(("c1", 1L, 260L), ("c2", 1L, 260L),
+      ("c3", 10L, 40L)).toDF("chrom", "bound_start", "bound_end")
+    val comp = graft.operators.Intervals.complement(bDf, bounds)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val compBases = bases(comp.toSeq)
+    val wantComp = Seq("c1", "c2").flatMap(c =>
+      (1L to 260L).map(c -> _)).toSet.diff(bBases) ++
+      (10L to 40L).map("c3" -> _)
+    assert(compBases == wantComp)
+
+    // jaccard: self-similarity is exactly 1 with union == |bases(A)|
+    val self = graft.operators.Intervals
+      .jaccard(bDf, bDf, binSize = 16).collect().head
+    assert(self.getLong(0) == bases(bIv).size.toLong)
+    assert(self.getLong(1) == bases(bIv).size.toLong)
+    assert(self.getDouble(2) == 1.0)
+    // cross: intersection/union match the brute-force base sets
+    val aSet = bases(aIv.map(t => (t._1, t._3, t._4)))
+    val cross = graft.operators.Intervals
+      .jaccard(aDf.drop("id"), bDf, binSize = 16).collect().head
+    assert(cross.getLong(0) == aSet.intersect(bBases).size.toLong)
+    assert(cross.getLong(1) == aSet.union(bBases).size.toLong)
   }
 }
