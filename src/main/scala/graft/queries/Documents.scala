@@ -571,6 +571,23 @@ object Documents {
       Robots.check(urls, Robots.rules(robots), agent = "*")
     }),
 
+    "w5_host_stats" -> ((s, dir) => {
+      // domain-level corpus policy (C4/RefinedWeb block lists are
+      // HOST-granular — a spam domain's pages are individually
+      // plausible, the aggregate gives it away): deterministic URL per
+      // doc (the corpus has no URL column), host extraction via one
+      // codegen'd regexp, per-host partial-aggregated signals, literal
+      // keep policy; the verdict table is broadcast-sized at any scale
+      val docs = spread(t(s, dir, "documents"))
+        .withColumn("url", concat(lit("https://H"),
+          pmod(col("doc_id"), lit(37)), lit(".Example.COM/p/"),
+          col("doc_id")))
+        .withColumn("host", graft.operators.WebStats.hostOf(col("url")))
+      graft.operators.WebStats.hostPolicy(docs, "host", "lang",
+        "n_chars", "source", minDocs = 3L, minMeanChars = 280.0,
+        minLangShare = 0.5)
+    }),
+
     "t26_script_mix" -> ((s, dir) => {
       // Unicode-script composition — the routing signal BEFORE language
       // ID in a multilingual crawl (t3's [a-z] n-grams assume Latin):
@@ -1443,6 +1460,23 @@ object Documents {
         |  round(CAST(n_shared AS DOUBLE) / least(n_fp1, n_fp2), 5)
         |    AS score
         |FROM p WHERE n_shared >= 2""".stripMargin,
+
+    "w5_host_stats" ->
+      """WITH d AS (
+        |  SELECT *, lower(regexp_extract(
+        |      'https://H' || CAST(doc_id % 37 AS VARCHAR) ||
+        |        '.Example.COM/p/' || CAST(doc_id AS VARCHAR),
+        |      '^(?:[a-z][a-z0-9+.-]*://)?([^/:?#]+)', 1)) AS host
+        |  FROM documents)
+        |SELECT host, count(*) AS n_docs,
+        |  round(avg(n_chars), 4) AS mean_chars,
+        |  round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4)
+        |    AS lang_share,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  (count(*) >= 3 AND round(avg(n_chars), 4) >= 280.0
+        |    AND round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END),
+        |      4) >= 0.5) AS keep
+        |FROM d GROUP BY host""".stripMargin,
 
     "w4_robots" ->
       s"""WITH recs AS (

@@ -441,6 +441,20 @@ object Relational {
           (l_returnflag, l_linestatus))""")
     }),
 
+    "q32_cube" -> ((s, dir) => {
+      // CUBE completes the multi-dimensional aggregate trio next to
+      // ROLLUP (q6) and explicit GROUPING SETS (q25): all 2^k margin
+      // combinations in ONE pass — Spark expands the sets map-side and
+      // shares the single hash-aggregate exchange; gid disambiguates
+      // a margin row from a genuinely-null group value
+      t(s, dir, "lineitem")
+        .withColumn("ship_year", year(col("l_shipdate")).cast("long"))
+        .cube(col("l_returnflag"), col("ship_year"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping_id().cast("long").as("gid"))
+    }),
+
     "q20_setops" -> ((s, dir) => {
       // INTERSECT / EXCEPT surface: customers ordering in both 1995 and
       // 1996 (retained) vs only 1995 (churned) — both distinct-set ops
@@ -724,6 +738,14 @@ object Relational {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
         |  (l_returnflag, l_linestatus))""".stripMargin,
+
+    "q32_cube" ->
+      """SELECT l_returnflag, ship_year,
+        |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows,
+        |  CAST(grouping(l_returnflag, ship_year) AS BIGINT) AS gid
+        |FROM (SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT)
+        |    AS ship_year, l_quantity FROM lineitem)
+        |GROUP BY CUBE(l_returnflag, ship_year)""".stripMargin,
 
     "q20_setops" ->
       """WITH y95 AS (
