@@ -158,6 +158,25 @@ object Multimodal {
       .drop("_v")
   }
 
+  /** REAL JPEG frame-header parse (graft_jpeg_meta's FF-marker walk):
+    * dimensions, sample precision, component count and the
+    * baseline-vs-progressive flag — the still-image container triage
+    * mirror of [[decodeVideo]]'s box walk. Entropy-coded scan data
+    * stays opaque; NULLs for undecodable payloads.
+    */
+  def decodeJpeg(df: DataFrame, payload: String = "payload"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("_j", call_function("graft_jpeg_meta", col(payload)))
+      .withColumn("height", col("_j.height").cast("long"))
+      .withColumn("width", col("_j.width").cast("long"))
+      .withColumn("precision", col("_j.precision").cast("long"))
+      .withColumn("n_components", col("_j.n_components").cast("long"))
+      .withColumn("progressive", col("_j.progressive"))
+      .withColumn("mpx",
+        round(col("height") * col("width") / 1e6, 6))
+      .drop("_j")
+  }
+
   /** 64-bit difference hash (dHash) from REAL decoded pixels: the image
     * reduces to a 9x8 mean-luminance grid (graft_img_grid — resolution-
     * and scale-invariant by construction) and bit r*8+c records whether

@@ -479,4 +479,65 @@ object MediaExprs {
       copy(c)
     override def prettyName: String = "graft_mp4_meta"
   }
+
+  /** graft_jpeg_meta(binary) -> struct<height:int, width:int,
+    * precision:int, n_components:int, progressive:boolean>: REAL JPEG
+    * marker-segment walk — the still-image member of the container
+    * triad next to [[GraftWavMeta]] (RIFF) and [[GraftMp4Meta]]
+    * (ISO-BMFF). After SOI, segments are FF <marker> <u16be length
+    * incl. itself>; the walk skips APPn/DQT/DHT/COM until the first
+    * SOFn frame header (any of C0-CF except the non-frame C4/C8/CC)
+    * and reads precision, height, width, component count there;
+    * progressive = SOF2. Entropy-coded scan data after SOS is opaque,
+    * exactly like mdat — the frame header is the decode-free,
+    * oracle-checkable triage layer. Offsets advance in Long so a
+    * hostile declared length cannot wrap an index; any structural
+    * violation (lost FF sync, SOS before SOF, truncated header)
+    * returns NULL, never a throw (poison-blob contract).
+    */
+  case class GraftJpegMeta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary, got ${child.dataType.catalogString}")
+    override def dataType: DataType = StructType(Seq(
+      StructField("height", IntegerType),
+      StructField("width", IntegerType),
+      StructField("precision", IntegerType),
+      StructField("n_components", IntegerType),
+      StructField("progressive", BooleanType)))
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(payload: Any): Any = {
+      val b = payload.asInstanceOf[Array[Byte]]
+      val n = b.length.toLong
+      def u8(i: Long): Int = b(i.toInt) & 0xff
+      def u16(i: Long): Int = (u8(i) << 8) | u8(i + 1)
+      if (n < 4 || u8(0) != 0xff || u8(1) != 0xd8) return null
+      var pos = 2L
+      while (pos + 4 <= n) {
+        if (u8(pos) != 0xff) return null       // lost marker sync
+        val m = u8(pos + 1)
+        if (m == 0xff) pos += 1                 // fill byte padding
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) pos += 2 // standalone
+        else {
+          val len = u16(pos + 2)
+          if (len < 2 || pos + 2 + len > n) return null
+          val isSof = m >= 0xc0 && m <= 0xcf &&
+            m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (len < 8) return null            // truncated frame header
+            return InternalRow(u16(pos + 5), u16(pos + 7), u8(pos + 4),
+              u8(pos + 9), m == 0xc2)
+          }
+          if (m == 0xda) return null            // SOS before any SOF
+          pos += 2 + len
+        }
+      }
+      null
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+    override def prettyName: String = "graft_jpeg_meta"
+  }
 }

@@ -339,6 +339,11 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         require(children.length == 1, "graft_mp4_meta takes 1 argument")
         MediaExprs.GraftMp4Meta(children.head)
+      }),
+    ("graft_jpeg_meta", classOf[MediaExprs.GraftJpegMeta],
+      { children: Seq[Expression] =>
+        require(children.length == 1, "graft_jpeg_meta takes 1 argument")
+        MediaExprs.GraftJpegMeta(children.head)
       })
   )
 

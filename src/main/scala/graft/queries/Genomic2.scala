@@ -232,6 +232,19 @@ object Genomic2 {
           "n_tracks", "duration_sec")
     }),
 
+    "m9_jpeg_meta" -> ((s, _) => {
+      prep(s)
+      // REAL JPEG frame-header walk (FF-marker grammar): dimensions,
+      // precision, component count, baseline-vs-progressive — the
+      // still-image container mirror of m5's box walk; the SQL oracle
+      // re-walks every marker segment from the raw bytes. Undecodable
+      // rows drop here; NULL-on-poison is in MediaSpec.
+      Multimodal.decodeJpeg(s.read.parquet(s"$fx/jpeg.parquet"))
+        .where(col("height").isNotNull)
+        .select("media_id", "height", "width", "precision",
+          "n_components", "progressive", "mpx")
+    }),
+
     "m3_media_features" -> ((s, _) => {
       prep(s)
       // 2x2-grid mean-luminance embedding from REAL pixels; snapshot
@@ -322,6 +335,59 @@ object Genomic2 {
     * expression's walk is unbounded). Same 1-based byte-list domain as
     * the m4 WAV oracle, big-endian instead of little.
     */
+  private val jpegOracleSql: String = {
+    // SOF markers: C0-CF minus the non-frame C4 (DHT), C8 (JPG), CC (DAC)
+    def isSof(o: String) =
+      s"(b[($o)+1] BETWEEN 192 AND 207 AND b[($o)+1] NOT IN (196, 200, 204))"
+    def segLen(o: String) = s"(b[($o)+2]*256 + b[($o)+3])"
+    // marker-walk steps, each its own MATERIALIZED CTE (the DuckDB
+    // lateral-alias blowup documented at mp4OracleSql): advance past a
+    // non-SOF, non-SOS segment to the next FF marker
+    val steps = (2 to 7).map { k =>
+      val p = s"o${k - 1}"
+      s"""w$k AS MATERIALIZED (
+         |  SELECT *,
+         |    CASE WHEN $p IS NOT NULL AND b[$p] = 255
+         |        AND NOT ${isSof(p)} AND b[$p+1] <> 218
+         |        AND ${segLen(p)} >= 2
+         |        AND $p + 2 + ${segLen(p)} + 3 <= n + 1
+         |      THEN $p + 2 + ${segLen(p)} END AS o$k
+         |  FROM w${k - 1}),""".stripMargin
+    }.mkString("\n")
+    val sofCases = (1 to 7).map { k =>
+      s"CASE WHEN o$k IS NOT NULL AND b[o$k] = 255 AND ${isSof(s"o$k")} " +
+        s"THEN o$k END"
+    }.mkString(",\n      ")
+    s"""WITH d AS (
+       |  SELECT media_id, hex(payload) AS h, octet_length(payload) AS n
+       |  FROM ${pq("jpeg")}),
+       |hb AS MATERIALIZED (
+       |  SELECT media_id, n,
+       |    list_transform(range(0, n), i ->
+       |      (strpos('0123456789ABCDEF', substr(h, 2*i + 1, 1)) - 1)
+       |        * 16 +
+       |      strpos('0123456789ABCDEF', substr(h, 2*i + 2, 1)) - 1) AS b
+       |  FROM d WHERE n >= 4),
+       |w1 AS MATERIALIZED (
+       |  SELECT media_id, n, b, 3 AS o1 FROM hb
+       |  WHERE b[1] = 255 AND b[2] = 216),
+       |$steps
+       |found AS MATERIALIZED (
+       |  SELECT media_id, n, b, COALESCE($sofCases) AS so
+       |  FROM w7)
+       |SELECT media_id,
+       |  CAST(b[so+5]*256 + b[so+6] AS BIGINT) AS height,
+       |  CAST(b[so+7]*256 + b[so+8] AS BIGINT) AS width,
+       |  CAST(b[so+4] AS BIGINT) AS precision,
+       |  CAST(b[so+9] AS BIGINT) AS n_components,
+       |  b[so+1] = 194 AS progressive,
+       |  round((b[so+5]*256 + b[so+6]) * (b[so+7]*256 + b[so+8])
+       |    / 1000000.0, 6) AS mpx
+       |FROM found
+       |WHERE so IS NOT NULL AND ${segLen("so")} >= 8
+       |  AND so + 9 <= n""".stripMargin
+  }
+
   private val mp4OracleSql: String = {
     def u32(o: String) =
       s"(b[$o]*16777216 + b[$o+1]*65536 + b[$o+2]*256 + b[$o+3])"
@@ -414,6 +480,7 @@ object Genomic2 {
 
   val oracles: Map[String, String] = Map(
     "m5_video_meta" -> mp4OracleSql,
+    "m9_jpeg_meta" -> jpegOracleSql,
     "f2_seq_dedup" ->
       s"""WITH ranked AS (
          |  SELECT sequence, accession, $tagRankSql AS rank

@@ -193,6 +193,50 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("nomoov").isNullAt(rows("nomoov").fieldIndex("timescale")))
   }
 
+  test("jpeg marker walk: SOF fields, fill bytes, restart markers, " +
+    "NULL on poison/SOS-first/truncation") {
+    val s = spark
+    import s.implicits._
+    def seg(marker: Int, body: Array[Byte]): Array[Byte] = {
+      val len = body.length + 2
+      Array(0xff.toByte, marker.toByte, (len >> 8).toByte, len.toByte) ++
+        body
+    }
+    def sof(marker: Int, h: Int, w: Int, nc: Int): Array[Byte] =
+      seg(marker, Array[Byte](8, (h >> 8).toByte, h.toByte,
+        (w >> 8).toByte, w.toByte, nc.toByte) ++
+        (1 to nc).flatMap(c => Seq(c.toByte, 0x11.toByte, 0.toByte)))
+    val soi = Array(0xff.toByte, 0xd8.toByte)
+    val app0 = seg(0xe0, "JFIF".getBytes("US-ASCII") ++ new Array[Byte](10))
+    val dqt = seg(0xdb, new Array[Byte](65))
+    // fill bytes (extra FFs) and a standalone TEM marker before SOF —
+    // both legal marker-stream padding the walk must step over
+    val baseline = soi ++ app0 ++ Array(0xff.toByte) ++
+      Array(0xff.toByte, 0x01.toByte) ++ dqt ++ sof(0xc0, 1080, 1920, 3)
+    val progressive = soi ++ dqt ++ sof(0xc2, 32, 16, 1)
+    val sosFirst = soi ++ app0 ++ seg(0xda, Array[Byte](1, 1, 0, 0, 63, 0))
+    val truncated = (soi ++ app0 ++ sof(0xc0, 64, 64, 3)).dropRight(9)
+    val rows = Multimodal.decodeJpeg(Seq(
+      ("base", baseline), ("prog", progressive), ("sos1", sosFirst),
+      ("trunc", truncated),
+      ("poison", Array.tabulate[Byte](16)(i => (i * 13 + 5).toByte)))
+      .toDF("media_id", "payload"))
+      .collect().map(r => r.getAs[String]("media_id") -> r).toMap
+    val a = rows("base")
+    assert(a.getAs[Long]("height") == 1080L &&
+      a.getAs[Long]("width") == 1920L &&
+      a.getAs[Long]("precision") == 8L &&
+      a.getAs[Long]("n_components") == 3L &&
+      !a.getAs[Boolean]("progressive") &&
+      a.getAs[Double]("mpx") == 2.0736)
+    val p = rows("prog")
+    assert(p.getAs[Long]("height") == 32L &&
+      p.getAs[Long]("width") == 16L && p.getAs[Boolean]("progressive"))
+    Seq("sos1", "trunc", "poison").foreach { k =>
+      assert(rows(k).isNullAt(rows(k).fieldIndex("height")), k)
+    }
+  }
+
   test("perceptual dHash: scale-invariant, small radius for a local " +
     "edit, unrelated image excluded, poison null, no duplicate pairs") {
     val s = spark
