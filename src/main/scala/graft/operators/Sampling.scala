@@ -86,6 +86,46 @@ object Sampling {
       .drop("_z", "_n", "_rate")
   }
 
+  /** Corpus mixing (the Dolma/Pile recipe stage): re-weight the corpus
+    * toward TARGET source proportions. `weights` are relative target
+    * shares per source (unlisted sources get `defaultWeight`); with
+    * total budget `targetFrac`·N rows, source s keeps
+    * rate_s = min(1, targetFrac · N · (w_s/Σw) / n_s) via the same
+    * retry-stable md5 draw as stratifiedSample. A source too small for
+    * its share caps at rate 1 and the mix lands short — deliberate:
+    * reallocating the shortfall is an iterative solve over the tiny
+    * per-source table, not a corpus-scale concern (run it driver-side
+    * on this function's stats if needed). Weights are INTEGRAL so Σw
+    * and the per-source counts are exact in any aggregation order and
+    * every engine computes the identical rate double (the t31 lesson);
+    * stats reduce to one tiny aggregate + one broadcast row; the keep
+    * rule stays a scan-level predicate.
+    */
+  def mixSample(df: DataFrame, sourceCol: String, idCol: String,
+                weights: Map[String, Long], defaultWeight: Long,
+                targetFrac: Double, salt: String = ""): DataFrame = {
+    require(targetFrac > 0 && targetFrac <= 1,
+      "mixSample: targetFrac must be in (0, 1]")
+    require(defaultWeight >= 0 && weights.values.forall(_ >= 0),
+      "mixSample: weights must be >= 0")
+    val wCol = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (k, v)) => when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_w", wCol)
+    val totals = counts.agg(sum(col("_n")).as("_totn"),
+      sum(col("_w")).as("_sw"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col(sourceCol),
+        least(lit(1.0), lit(targetFrac) * col("_totn") *
+          (col("_w") / col("_sw")) / col("_n")).as("_rate"))
+    df.join(broadcast(rates), sourceCol)
+      .where(hashDraw(col(idCol), salt).cast("double") <
+        col("_rate") * 4294967296.0)
+      .withColumn("mix_rate", round(col("_rate"), 6))
+      .drop("_rate")
+  }
+
   /** Leakage-free train/test split — eval hygiene's answer to near
     * duplicates: a test doc with a near-copy in train leaks, so the
     * split must be assigned per DUPLICATE CLUSTER, never per doc.

@@ -302,6 +302,43 @@ object TableOps {
     n
   }
 
+  /** Order-independent table fingerprint — the cross-cluster equality
+    * primitive: "is the replica identical to the source?" answered
+    * WITHOUT a sort or a row-by-row transfer. Each row serializes to a
+    * portable string (nulls as a sentinel so (null) and ('') differ),
+    * md5-hashes once, and three commutative folds of the digest cross
+    * the shuffle per group: two independent 32-bit XOR folds and one
+    * 32-bit sum, plus the row count. XOR is associative-commutative and
+    * overflow-free at ANY row count; the sum fold breaks the XOR
+    * blind spot (a row duplicated an even number of times XORs away —
+    * the sum and count still move); identical fingerprints on both
+    * clusters ⇒ identical row multisets up to md5 collision odds.
+    * Scale: ONE scan, partial aggregation — bytes on the wire per
+    * group are four longs, never rows. The sum stays exact below 2^31
+    * rows per group; beyond that, add more group columns (the global
+    * form on a 10^12-row table should group, then fold the small
+    * result again). Column caveat: values hash via their STRING cast,
+    * which engines agree on for integers, strings and dates — cast
+    * timestamps/decimals/doubles to a canonical text form upstream.
+    */
+  def tableChecksum(df: DataFrame, groupCols: Seq[String],
+                    cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableChecksum: need at least one column")
+    val row = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("∅"))): _*)
+    def slice32(h: org.apache.spark.sql.Column, start: Int) =
+      conv(substring(h, start, 8), 16, 10).cast("long")
+    val base = df.withColumn("_h", md5(row))
+      .withColumn("_v1", slice32(col("_h"), 1))
+      .withColumn("_v2", slice32(col("_h"), 9))
+    val aggs = Seq(count(lit(1)).as("n_rows"),
+      expr("bit_xor(_v1)").as("xor1"),
+      expr("bit_xor(_v2)").as("xor2"),
+      sum(col("_v1")).as("sum1"))
+    if (groupCols.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+    else base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   def applyChangelog(snapshot: DataFrame, changes: DataFrame, key: String,
                      opCol: String, seqCol: String,
                      valueCols: Seq[String]): DataFrame = {

@@ -435,6 +435,20 @@ object Documents {
         .select("doc_id", "n_chars", "source")
     }),
 
+    "t27_source_mix" -> ((s, dir) => {
+      // corpus mixing to target source shares (the Dolma/Pile recipe
+      // stage): src0 over-weighted past its mass (rate caps at 1 — the
+      // documented shortfall), src1-src4 upweighted 3x, the long tail
+      // at 1x; integral weights keep every engine's rate double
+      // bit-identical
+      Sampling.mixSample(spread(t(s, dir, "documents")),
+        "source", "doc_id",
+        Map("src0" -> 6L, "src1" -> 3L, "src2" -> 3L, "src3" -> 3L,
+          "src4" -> 3L), defaultWeight = 1L,
+        targetFrac = 0.4, salt = "mix")
+        .select("doc_id", "source", "n_chars", "mix_rate")
+    }),
+
     "t28_leakage_split" -> ((s, dir) => {
       // leakage-free train/test split: near-dup clusters (d4 exact
       // pairs -> d6 components, singletons own cluster) draw their
@@ -2168,6 +2182,28 @@ object Documents {
          |  len(regexp_extract_all(r2, '$ip')) AS n_ips
          |FROM s2""".stripMargin
     },
+
+    "t27_source_mix" ->
+      """WITH w AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(CASE source WHEN 'src0' THEN 6 WHEN 'src1' THEN 3
+        |      WHEN 'src2' THEN 3 WHEN 'src3' THEN 3 WHEN 'src4' THEN 3
+        |      ELSE 1 END AS BIGINT) AS wt
+        |  FROM documents GROUP BY source),
+        |tt AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(wt) AS BIGINT) AS sw
+        |  FROM w),
+        |r AS (
+        |  SELECT source,
+        |    least(1.0, 0.4 * nn * (wt / sw) / n) AS rate
+        |  FROM w, tt)
+        |SELECT d.doc_id, d.source, d.n_chars, round(r.rate, 6) AS mix_rate
+        |FROM documents d JOIN r USING (source)
+        |WHERE list_reduce([strpos('0123456789abcdef',
+        |    substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), j, 1)) - 1
+        |  for j in range(1, 9)], (a, c) -> a * 16 + c)::DOUBLE
+        |  < r.rate * 4294967296.0""".stripMargin,
 
     "t31_weighted_sample" ->
       """WITH st AS (

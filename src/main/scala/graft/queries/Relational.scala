@@ -351,6 +351,16 @@ object Relational {
         Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
     }),
 
+    "u10_table_checksum" -> ((s, dir) => {
+      // cross-cluster table equality without a sort: per-group row
+      // count + two 32-bit XOR folds + one 32-bit sum of the row md5 —
+      // commutative partials, four longs per group on the wire
+      graft.operators.TableOps.tableChecksum(t(s, dir, "lineitem"),
+        Seq("l_returnflag"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_linestatus"))
+    }),
+
     "q31_transitions" -> ((s, dir) => {
       // event-type transition matrix (the Markov view of user journeys):
       // lag window per user (one key shuffle) -> (from, to) counts ->
@@ -561,6 +571,28 @@ object Relational {
         |    for j in range(1, 8)], (a, c) -> a * 16 + c)) AS BIGINT)
         |    AS text_md5_sum
         |FROM documents""".stripMargin,
+
+    "u10_table_checksum" ->
+      """WITH h AS (
+        |  SELECT l_returnflag, md5(concat_ws('|',
+        |    coalesce(CAST(l_orderkey AS VARCHAR), '∅'),
+        |    coalesce(CAST(l_partkey AS VARCHAR), '∅'),
+        |    coalesce(CAST(l_suppkey AS VARCHAR), '∅'),
+        |    coalesce(CAST(l_linenumber AS VARCHAR), '∅'),
+        |    coalesce(l_linestatus, '∅'))) AS hh
+        |  FROM lineitem),
+        |v AS (
+        |  SELECT l_returnflag,
+        |    list_reduce([strpos('0123456789abcdef', substr(hh, j, 1)) - 1
+        |      for j in range(1, 9)], (a, c) -> a * 16 + c) AS v1,
+        |    list_reduce([strpos('0123456789abcdef', substr(hh, j, 1)) - 1
+        |      for j in range(9, 17)], (a, c) -> a * 16 + c) AS v2
+        |  FROM h)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(bit_xor(v1) AS BIGINT) AS xor1,
+        |  CAST(bit_xor(v2) AS BIGINT) AS xor2,
+        |  CAST(sum(v1) AS BIGINT) AS sum1
+        |FROM v GROUP BY 1""".stripMargin,
 
     // Spark's percentile == linear interpolation == quantile_cont
     "q29_exact_quantile" ->
