@@ -79,6 +79,12 @@ import graft.operators.Dedup
   *                         range-partitioned + sorted on the Morton
   *                         interleave of two numeric columns, so scans
   *                         filtering on either column prune files
+  *   [-mix f[,salt]]       corpus mixing to target source shares (t27):
+  *                         needs -mix_weights src=w[,src=w...] (integral
+  *                         relative shares; -mix_default for unlisted
+  *                         sources, def 1); keeps rate_s = min(1,
+  *                         f·N·(w_s/Σw)/n_s) of each source with the
+  *                         deterministic md5 draw
   *   [-split f[,salt]]     leakage-free train/test assignment (t28):
   *                         near-dup clusters draw their split as a
   *                         UNIT (no test doc has a near-copy in
@@ -312,6 +318,27 @@ object Corpus {
         df = df.join(losers, Seq("doc_id"), "left_anti")
         record(s"dedup=$mode@$thr")
       case other => sys.error(s"unknown -dedup mode: $other")
+    }
+
+    // -mix frac[,salt] + -mix_weights src=w,... [+ -mix_default n]:
+    // corpus mixing to target source proportions (t27) — integral
+    // weights, deterministic md5 draw; over-weighted small sources cap
+    // at rate 1 (documented shortfall)
+    opts.get("mix").foreach { spec =>
+      val parts = spec.split(",").map(_.trim)
+      require(parts.length == 1 || parts.length == 2,
+        s"-mix wants targetFrac[,salt] — got '$spec'")
+      val salt = if (parts.length == 2) parts(1) else ""
+      val weights = opts.getOrElse("mix_weights", sys.error(
+        "-mix needs -mix_weights src=w[,src=w...]"))
+        .split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+          val Array(k, v) = kv.split("=").map(_.trim)
+          k -> v.toLong
+        }.toMap
+      val dflt = opts.getOrElse("mix_default", "1").toLong
+      df = operators.Sampling.mixSample(df, "source", "doc_id",
+        weights, dflt, parts(0).toDouble, salt).drop("mix_rate")
+      record(s"mix@${parts(0)}")
     }
 
     // -split frac[,salt]: leakage-free train/test assignment (t28) —

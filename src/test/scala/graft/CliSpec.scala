@@ -524,6 +524,31 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._3).toSet == Set("train", "test"))
   }
 
+  test("Corpus -mix == t27 mixSample (stage parity), caps honored") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Corpus.run(spark, Map(
+      "i" -> s"$sf/documents.parquet", "dedup" -> "none",
+      "mix" -> "0.4,mx", "mix_weights" -> "src0=6,src1=3",
+      "report" -> "0"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = graft.operators.Sampling.mixSample(
+      spark.read.parquet(s"$sf/documents.parquet"), "source", "doc_id",
+      Map("src0" -> 6L, "src1" -> 3L), defaultWeight = 1L,
+      targetFrac = 0.4, salt = "mx")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect && got.nonEmpty)
+    // a rate capped at 1 keeps the WHOLE source
+    val full = graft.operators.Sampling.mixSample(
+      spark.read.parquet(s"$sf/documents.parquet"), "source", "doc_id",
+      Map("src0" -> 1000L), defaultWeight = 1L,
+      targetFrac = 0.5, salt = "mx")
+    val src0All = spark.read.parquet(s"$sf/documents.parquet")
+      .where(org.apache.spark.sql.functions.col("source") === "src0")
+      .count()
+    assert(full.where(org.apache.spark.sql.functions.col("source") ===
+      "src0").count() == src0All)
+  }
+
   test("Corpus rejects -zorder combined with -partition_by") {
     val sf = "/root/testdata/sf0.001"
     val e = intercept[IllegalArgumentException] {
