@@ -139,6 +139,23 @@ object Streaming {
         .toDF().withColumnRenamed("group", "event_type")
     }),
 
+    "e19_stream_sample" -> ((s, dir) => {
+      // deterministic stream sampling, batch-equivalently: stateless
+      // md5-draw admission — identical row set on stream, replay, and
+      // retry (StreamingSpec runs the same call on a MemoryStream)
+      graft.streaming.Events.sampleEvents(events(s, dir),
+        rate = 0.25, salt = "es")
+        .select("event_id", "user_id", "event_type", "ts")
+    }),
+
+    "e20_stream_checksum" -> ((s, dir) => {
+      // running replication-verification fingerprint, batch-equivalently:
+      // u10's commutative folds as per-group streaming state (four longs
+      // forever); StreamingSpec proves complete-mode == batch
+      graft.streaming.Events.checksumStream(events(s, dir),
+        Seq("event_type"), Seq("event_id", "user_id", "event_type"))
+    }),
+
     "e18_gap_alerts" -> ((s, dir) => {
       // the dead-sensor monitor's batch form: consecutive-event gaps
       // over 6h per user (one key shuffle + a µs-exact lead window);
@@ -446,6 +463,33 @@ object Streaming {
         |FROM est e JOIN (
         |  SELECT event_type, count(DISTINCT user_id) AS n_exact
         |  FROM events GROUP BY 1) x USING (event_type)""".stripMargin,
+
+    "e19_stream_sample" ->
+      """SELECT event_id, user_id, event_type, ts FROM events
+        |WHERE list_reduce([strpos('0123456789abcdef',
+        |    substr(md5('es' || CAST(event_id AS VARCHAR)), j, 1)) - 1
+        |  for j in range(1, 9)], (a, c) -> a * 16 + c)::DOUBLE
+        |  < 0.25 * 4294967296.0""".stripMargin,
+
+    "e20_stream_checksum" ->
+      """WITH h AS (
+        |  SELECT event_type, md5(concat_ws('|',
+        |    coalesce(CAST(event_id AS VARCHAR), '∅'),
+        |    coalesce(CAST(user_id AS VARCHAR), '∅'),
+        |    coalesce(event_type, '∅'))) AS hh
+        |  FROM events),
+        |v AS (
+        |  SELECT event_type,
+        |    list_reduce([strpos('0123456789abcdef', substr(hh, j, 1)) - 1
+        |      for j in range(1, 9)], (a, c) -> a * 16 + c) AS v1,
+        |    list_reduce([strpos('0123456789abcdef', substr(hh, j, 1)) - 1
+        |      for j in range(9, 17)], (a, c) -> a * 16 + c) AS v2
+        |  FROM h)
+        |SELECT event_type, count(*) AS n_rows,
+        |  CAST(bit_xor(v1) AS BIGINT) AS xor1,
+        |  CAST(bit_xor(v2) AS BIGINT) AS xor2,
+        |  CAST(sum(v1) AS BIGINT) AS sum1
+        |FROM v GROUP BY 1""".stripMargin,
 
     "e18_gap_alerts" ->
       """WITH g AS (

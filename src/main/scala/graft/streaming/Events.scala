@@ -132,6 +132,35 @@ object Events {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Deterministic stream sampling (admission control / sampled
+    * telemetry): the batch samplers' retry-stable md5 draw as a
+    * STATELESS stream predicate — no watermark, no state store, and the
+    * kept row set is identical on the live stream, the batch replay,
+    * and any micro-batch retry (a rand() filter admits a different set
+    * on every retry, breaking exactly-once sinks). The predicate is
+    * pure codegen'd row arithmetic sitting on the source scan.
+    */
+  def sampleEvents(events: DataFrame, rate: Double, salt: String = "",
+                   idCol: String = "event_id"): DataFrame = {
+    require(rate > 0 && rate <= 1, "sampleEvents: rate must be in (0, 1]")
+    events.where(graft.operators.Sampling.hashDraw(col(idCol), salt)
+      .cast("double") < lit(rate) * 4294967296.0)
+  }
+
+  /** Running table fingerprint on a stream (continuous replication
+    * verification — u10's commutative checksum as streaming state):
+    * count + two 32-bit XOR folds + one 32-bit sum of the row md5 per
+    * group. Every fold is associative-commutative, so the streaming
+    * aggregation state IS the partial aggregate — four longs per group
+    * forever, updated incrementally each micro-batch; in complete/update
+    * mode the emitted row always equals the batch checksum of all rows
+    * seen so far (StreamingSpec proves it). Identical call works on a
+    * batch frame — e20's oracle checks that form.
+    */
+  def checksumStream(events: DataFrame, groupCols: Seq[String],
+                     cols: Seq[String]): DataFrame =
+    graft.operators.TableOps.tableChecksum(events, groupCols, cols)
+
   /** Stream-static enrichment: attach dimension attributes to each event
     * by key. The dimension is broadcast, so the stream is never shuffled;
     * in streaming form Spark re-resolves the static side per micro-batch

@@ -95,6 +95,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 2L) // the second event_id=1 is dropped
   }
 
+  test("stateless stream sampling == batch draw, stable across batches") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type")
+    val q = Events.sampleEvents(events, rate = 0.35, salt = "sx")
+      .writeStream.format("memory").queryName("sampled")
+      .outputMode("append").start()
+    val rows = (1L to 40L).map(i => (i, ts((i % 50).toInt), s"t${i % 3}"))
+    mem.addData(rows.take(25): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(25): _*)
+    q.processAllAvailable()
+    val got = spark.table("sampled").select("event_id").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    val batch = Events.sampleEvents(
+      rows.toDF("event_id", "ts", "event_type"), rate = 0.35, salt = "sx")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == batch && got.nonEmpty && got.size < 40)
+  }
+
+  test("streaming checksum state equals the batch fingerprint after " +
+    "every micro-batch") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(Long, Long, String)]
+    val events = mem.toDF().toDF("event_id", "user_id", "event_type")
+    val q = Events.checksumStream(events, Seq("event_type"),
+      Seq("event_id", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("cksum")
+      .outputMode("complete").start()
+    val all = (1L to 30L).map(i => (i, i % 7, s"t${i % 2}"))
+    def snap() = spark.table("cksum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    def batchOf(n: Int) = graft.operators.TableOps.tableChecksum(
+      all.take(n).toDF("event_id", "user_id", "event_type"),
+      Seq("event_type"), Seq("event_id", "user_id", "event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    mem.addData(all.take(12): _*)
+    q.processAllAvailable()
+    assert(snap() == batchOf(12))
+    mem.addData(all.drop(12): _*)
+    q.processAllAvailable()
+    assert(snap() == batchOf(30))
+    q.stop()
+  }
+
   test("stream-static enrichment joins the broadcast dimension per event") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
