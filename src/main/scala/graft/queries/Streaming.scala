@@ -139,6 +139,19 @@ object Streaming {
         .toDF().withColumnRenamed("group", "event_type")
     }),
 
+    "e21_stream_kmeans" -> ((s, dir) => {
+      // streaming k-means TRAINING, batch-equivalently: MacQueen's
+      // sequential update folded in vec_id order (the e17 determinism
+      // contract — every IEEE op replayed by the oracle's recursive
+      // CTE); state = k·d doubles + k longs forever; StreamingSpec
+      // proves two ordered micro-batch slices == this batch fold
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(lit(0L).as("group"), col("vec_id"), col("embedding"))
+      graft.streaming.StreamKmeans.centroidRows(
+        graft.streaming.StreamKmeans.kmeansStream(vecs, k = 4))
+        .drop("group")
+    }),
+
     "e19_stream_sample" -> ((s, dir) => {
       // deterministic stream sampling, batch-equivalently: stateless
       // md5-draw admission — identical row set on stream, replay, and
@@ -463,6 +476,50 @@ object Streaming {
         |FROM est e JOIN (
         |  SELECT event_type, count(DISTINCT user_id) AS n_exact
         |  FROM events GROUP BY 1) x USING (event_type)""".stripMargin,
+
+    "e21_stream_kmeans" ->
+      """WITH RECURSIVE v AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY vec_id) AS rn,
+        |    CAST(embedding AS DOUBLE[]) AS x
+        |  FROM embeddings),
+        |nn AS (SELECT CAST(max(rn) AS BIGINT) AS nmax FROM v),
+        |init AS (
+        |  SELECT CAST(4 AS BIGINT) AS it,
+        |    (SELECT list(x ORDER BY rn) FROM v WHERE rn <= 4) AS cents,
+        |    [CAST(1 AS BIGINT), 1, 1, 1] AS ns),
+        |walk AS (
+        |  SELECT * FROM init
+        |  UNION ALL
+        |  SELECT t.it + 1 AS it,
+        |    list_transform([1, 2, 3, 4], ci ->
+        |      CASE WHEN ci = t.j THEN
+        |        list_transform(range(1, 65), d ->
+        |          t.cents[ci][d] + (t.x[d] - t.cents[ci][d])
+        |            / CAST(t.ns[ci] + 1 AS DOUBLE))
+        |      ELSE t.cents[ci] END) AS cents,
+        |    list_transform([1, 2, 3, 4], ci ->
+        |      t.ns[ci] + CASE WHEN ci = t.j THEN 1 ELSE 0 END) AS ns
+        |  FROM (
+        |    SELECT w.it, w.cents, w.ns, v.x,
+        |      list_position(
+        |        list_transform(w.cents, c ->
+        |          list_reduce(list_transform(range(1, 65), i ->
+        |            (v.x[i] - c[i]) * (v.x[i] - c[i])), (a, b) -> a + b)),
+        |        list_min(list_transform(w.cents, c ->
+        |          list_reduce(list_transform(range(1, 65), i ->
+        |            (v.x[i] - c[i]) * (v.x[i] - c[i])), (a, b) -> a + b))))
+        |        AS j
+        |    FROM walk w JOIN v ON v.rn = w.it + 1) t),
+        |fin AS (
+        |  SELECT cents, ns FROM walk
+        |  WHERE it = (SELECT nmax FROM nn))
+        |SELECT CAST(ci - 1 AS BIGINT) AS centroid_id,
+        |  CAST(d - 1 AS BIGINT) AS dim_idx,
+        |  round(cents[ci][d], 6) AS value,
+        |  CAST(ns[ci] AS BIGINT) AS n_assigned
+        |FROM fin,
+        |  (SELECT unnest(range(1, 5)) AS ci),
+        |  (SELECT unnest(range(1, 65)) AS d)""".stripMargin,
 
     "e19_stream_sample" ->
       """SELECT event_id, user_id, event_type, ts FROM events

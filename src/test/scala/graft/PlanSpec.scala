@@ -175,6 +175,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("*(1) Filter"), p) // codegen'd, directly on the scan
   }
 
+  test("e19 stream sampling is a scan-level predicate — zero shuffles") {
+    val p = plan("e19_stream_sample")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Filter"), p)
+  }
+
+  test("u10 table checksum: ONE hash exchange, folds partial-aggregate " +
+    "map-side") {
+    // AQE toString repeats the plan under "== Initial Plan ==" — count
+    // exchanges in the final section only
+    val p = plan("u10_table_checksum").split("== Initial Plan ==").head
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
+    // partial_count/partial_bit_xor/partial_sum before the exchange —
+    // four longs per group cross the wire, never rows
+    assert(p.contains("partial_bit_xor"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Sort "), p) // order-independence needs no sort
+  }
+
+  test("w5 host policy: one host-keyed exchange, no join in the stats " +
+    "pass") {
+    val p = plan("w5_host_stats")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // countDistinct expands to a two-phase aggregate over the SAME key
+    // prefix — distinct-expand exchanges allowed, corpus-wide sorts not
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("s7 exact range search is shuffle-free — score and filter map-side") {
     val p = plan("s7_range_search")
     // the only exchange is the broadcast of the tiny query side; the

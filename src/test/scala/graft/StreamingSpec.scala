@@ -147,6 +147,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming k-means: ordered micro-batch slices == the batch fold, " +
+    "separated clusters recovered") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    // three tight, well-separated 4-d clusters around distinct corners
+    val centers = Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(10.0, 10.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 10.0, 10.0))
+    val rows = (0L until 60L).map { i =>
+      val c = centers((i % 3).toInt)
+      val jit = 0.01 * ((i * 37 % 11) - 5)
+      (0L, i, c.map(_ + jit))
+    }
+    val mem = MemoryStream[(Long, Long, Seq[Double])]
+    val vecs = mem.toDF().toDF("group", "vec_id", "embedding")
+    val q = graft.streaming.StreamKmeans.kmeansStream(vecs, k = 3)
+      .toDF("group", "state")
+      .writeStream.format("memory").queryName("km")
+      .outputMode("update").start()
+    mem.addData(rows.take(30): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(30): _*)
+    q.processAllAvailable()
+    val got = spark.table("km").orderBy(org.apache.spark.sql.functions
+      .col("group")).collect().last.getStruct(1)
+    q.stop()
+    val batch = graft.streaming.StreamKmeans.kmeansStream(
+      rows.toDF("group", "vec_id", "embedding"), k = 3)
+      .collect().head._2
+    // bit-equal state: stream over ordered slices == one batch fold
+    assert(got.getSeq[Seq[Double]](0) == batch.cents)
+    assert(got.getSeq[Long](1) == batch.ns)
+    // the three centroids sit on the three true centers (within jitter)
+    val recovered = batch.cents.map(c =>
+      centers.indexWhere(t => t.zip(c).map { case (a, b) =>
+        math.abs(a - b) }.max < 0.2))
+    assert(recovered.toSet == Set(0, 1, 2))
+    assert(batch.ns.sum == 60L && batch.ns.forall(_ == 20L))
+  }
+
   test("stream-static enrichment joins the broadcast dimension per event") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
