@@ -351,6 +351,15 @@ object Relational {
         Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
     }),
 
+    "u11_skew_report" -> ((s, dir) => {
+      // the pre-join skew diagnostic: per-key counts reduce map-side,
+      // global stats collapse to ONE broadcast row, heavy keys surface
+      // via the bounded_top_k heap (k rows per partition cross the
+      // final shuffle, never the histogram); suggested_salts feeds q11
+      graft.operators.Skew.skewReport(
+        t(s, dir, "events").select("user_id"), "user_id", topN = 5)
+    }),
+
     "u10_table_checksum" -> ((s, dir) => {
       // cross-cluster table equality without a sort: per-group row
       // count + two 32-bit XOR folds + one 32-bit sum of the row md5 —
@@ -571,6 +580,24 @@ object Relational {
         |    for j in range(1, 8)], (a, c) -> a * 16 + c)) AS BIGINT)
         |    AS text_md5_sum
         |FROM documents""".stripMargin,
+
+    "u11_skew_report" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS nk
+        |  FROM c),
+        |top AS (
+        |  SELECT user_id, n,
+        |    row_number() OVER (ORDER BY n DESC, user_id ASC) AS rank
+        |  FROM c ORDER BY n DESC, user_id ASC LIMIT 5)
+        |SELECT t.user_id, CAST(t.rank AS BIGINT) AS rank, t.n AS n_rows,
+        |  round(t.n / (st.tot / st.nk), 4) AS skew,
+        |  CAST(ceil(t.n / (st.tot / st.nk)) AS BIGINT)
+        |    AS suggested_salts
+        |FROM top t, st""".stripMargin,
 
     "u10_table_checksum" ->
       """WITH h AS (
