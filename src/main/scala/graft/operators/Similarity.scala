@@ -557,6 +557,47 @@ object Similarity {
     topKPerQuery(scored, k, qId, cId)
   }
 
+  /** Binary-quantized two-stage retrieval (1 bit per dimension — the
+    * extreme-compression serving shape): the propose stage scores
+    * sign-bit DISAGREEMENT (Hamming distance over the per-dim sign
+    * pattern — for centered data it tracks angular distance, the
+    * simhash argument) and keeps `kCand` candidates per query through
+    * the bounded_top_k heap on (−hamming desc ≡ hamming asc, id asc);
+    * the dispose stage gathers ONLY those candidates — an id-only
+    * broadcast against the corpus scan, no corpus shuffle — and
+    * re-scores exact cosine for the final top-k (the s9 propose/dispose
+    * economics with a 32-64× cheaper first stage than PQ codes). Sign
+    * patterns travel as dim-char bit strings for oracle portability;
+    * the 64-bit word packing this compresses to in production is the
+    * d3/m6 family's demonstrated trick.
+    */
+  def knnCosineBq(queries: DataFrame, corpus: DataFrame, k: Int,
+                  kCand: Int, qId: String = "qid", qVec: String = "qvec",
+                  cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    def signBits(v: org.apache.spark.sql.Column) =
+      array_join(transform(v.cast("array<double>"),
+        x => when(x > 0, lit("1")).otherwise(lit("0"))), "")
+    val proposals = corpus
+      .select(col(cId), signBits(col(cVec)).as("_cb"))
+      .crossJoin(broadcast(queries
+        .select(col(qId), signBits(col(qVec)).as("_qb"))))
+      .select(col(qId), col(cId),
+        (-graft.functions.hashing.hammingDist(col("_qb"), col("_cb")))
+          .cast("double").as("_nh"))
+    val cands = topKPerQuery(proposals, kCand, qId, cId, "_nh")
+      .select(col(qId), col(cId)) // sign-stage score + rank die here
+    val scored = corpus
+      .join(broadcast(cands), Seq(cId))
+      .join(broadcast(queries), Seq(qId))
+      .select(col(qId), col(cId),
+        round(call_function("graft_cosine",
+          col(qVec).cast("array<double>"),
+          col(cVec).cast("array<double>")), 5).as("cosine"))
+    topKPerQuery(scored, k, qId, cId)
+  }
+
   /** Two-stage retrieval (the production serving shape): the cheap
     * IVF-PQ first stage proposes `kCand` candidates per query from
     * compressed codes, then the second stage re-scores ONLY those

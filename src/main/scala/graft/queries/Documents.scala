@@ -1023,6 +1023,18 @@ object Documents {
       Similarity.knnCosineSq8(q, c, k = 5)
     }),
 
+    "s12_bq_ann" -> ((s, dir) => {
+      // binary quantization (1 bit/dim): sign-Hamming proposes 20
+      // candidates/query through the bounded_top_k heap, exact cosine
+      // disposes via an id-only broadcast gather — s9's economics with
+      // a 32-64x cheaper propose stage than PQ codes
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.knnCosineBq(q, c, k = 5, kCand = 20)
+    }),
+
     "s9_rerank" -> ((s, dir) => {
       // two-stage retrieval: s6's IVF-PQ proposes 20 candidates/query
       // from compressed codes, exact cosine re-scores ONLY those (an
@@ -2816,6 +2828,32 @@ object Documents {
          |      WHERE vec_id < 8),
          |s AS (SELECT qid, cid, round($cosineSql, 5) AS cosine
          |      FROM q, rec)
+         |SELECT qid, cid, cosine, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, cid) AS rank FROM s)
+         |WHERE rank <= 5""".stripMargin,
+
+    "s12_bq_ann" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qd
+         |  FROM embeddings WHERE vec_id < 8),
+         |c AS (
+         |  SELECT vec_id AS cid, embedding AS cv,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cd
+         |  FROM embeddings),
+         |hd AS (
+         |  SELECT qid, cid,
+         |    len(list_filter(range(1, 65),
+         |      i -> (qd[i] > 0) <> (cd[i] > 0))) AS h
+         |  FROM q, c),
+         |cand AS (
+         |  SELECT qid, cid FROM hd
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY h ASC, cid ASC) <= 20),
+         |s AS (
+         |  SELECT qid, cid, round($cosineSql, 5) AS cosine
+         |  FROM cand JOIN q USING (qid) JOIN c USING (cid))
          |SELECT qid, cid, cosine, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cosine DESC, cid) AS rank FROM s)

@@ -130,6 +130,20 @@ object Genomic {
       graft.sources.Fastq.read(s, s"${GenomicFixtures.rawDir}/reads.fastq")
     }),
 
+    "f11_fastq_write" -> ((s, _) => {
+      // FASTQ sink round trip: read -> keep well-formed -> write (one
+      // range exchange, file order = record order) -> re-read. The
+      // oracle recomputes the filtered, re-numbered expectation from
+      // the RAW fixture, so a render/parse asymmetry breaks the hash.
+      val out = s"${sys.props("java.io.tmpdir")}/graft-fastq-written-" +
+        ProcessHandle.current.pid
+      val wf = graft.sources.Fastq
+        .read(s, s"${GenomicFixtures.rawDir}/reads.fastq")
+        .where(col("well_formed"))
+      graft.sources.Fastq.write(wf, out)
+      graft.sources.Fastq.read(s, out)
+    }),
+
     "g9_flagstat" -> ((s, _) => {
       // samtools flagstat: the 12 classic counters as (metric, n_reads)
       // rows from ONE conditional-sum aggregate — each scan task ships 12
@@ -1024,6 +1038,31 @@ object Genomic {
          |  (starts_with(h, '@') AND starts_with(plus, '+')
          |    AND length(sequence) = length(quality)) AS well_formed
          |FROM g""".stripMargin,
+
+    "f11_fastq_write" ->
+      s"""WITH t AS (
+         |  SELECT string_split(rtrim(content, chr(10)), chr(10)) AS ls
+         |  FROM read_text('$raw/reads.fastq')),
+         |l AS (
+         |  SELECT unnest(ls) AS line, unnest(range(0, len(ls))) AS i
+         |  FROM t),
+         |g AS (
+         |  SELECT i // 4 AS rec0,
+         |    max(CASE WHEN i % 4 = 0 THEN line END) AS h,
+         |    max(CASE WHEN i % 4 = 1 THEN line END) AS sequence,
+         |    max(CASE WHEN i % 4 = 2 THEN line END) AS plus,
+         |    max(CASE WHEN i % 4 = 3 THEN line END) AS quality
+         |  FROM l GROUP BY 1),
+         |wf AS (
+         |  SELECT * FROM g
+         |  WHERE starts_with(h, '@') AND starts_with(plus, '+')
+         |    AND length(sequence) = length(quality))
+         |SELECT row_number() OVER (ORDER BY rec0) - 1 AS rec,
+         |  regexp_extract(h, '^@(\\S*)', 1) AS read_id,
+         |  nullif(regexp_extract(h, '^@\\S*\\s+(.*)$$', 1), '')
+         |    AS description,
+         |  sequence, quality, TRUE AS well_formed
+         |FROM wf""".stripMargin,
 
     "g9_flagstat" ->
       s"""WITH lines AS (

@@ -62,4 +62,32 @@ object Fastq {
             length(col("sequence")) === length(col("quality")),
           lit(false)).as("well_formed"))
   }
+
+  /** FASTQ sink: re-render [[read]]'s schema as 4-line records. Record
+    * ORDER is part of the format (paired-end mates align by position
+    * across files), so rows range-partition + sort on `rec` — file
+    * lexical order IS the record order (the t24 ranged-files contract),
+    * one range exchange total. Rows must be well-formed (a null quality
+    * would render the string "null" into the file — the caller filters
+    * on the reader's `well_formed` flag first, and this writer refuses
+    * nulls loudly via an ANSI-safe assert column).
+    */
+  def write(df: DataFrame, path: String, files: Int = 1): Unit = {
+    require(files > 0, "Fastq.write: files must be positive")
+    df.repartitionByRange(files, col("rec"))
+      .sortWithinPartitions("rec")
+      .select(concat(
+        // assert_true returns NULL on success (throws on violation) —
+        // route it through when() so the record prefix stays "@"
+        when(assert_true(col("read_id").isNotNull &&
+          col("sequence").isNotNull && col("quality").isNotNull,
+          lit("Fastq.write: null field — filter on well_formed first"))
+          .isNull, lit("@")).otherwise(lit("@")),
+        col("read_id"),
+        when(col("description").isNotNull,
+          concat(lit(" "), col("description"))).otherwise(lit("")),
+        lit("\n"), col("sequence"), lit("\n+\n"), col("quality"))
+        .as("value"))
+      .write.mode("overwrite").text(path)
+  }
 }

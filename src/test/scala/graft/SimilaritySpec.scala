@@ -183,6 +183,28 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rRerank >= rPlain)
   }
 
+  test("BQ propose/dispose: self-match always survives the sign stage, " +
+    "scores exact, recall measured") {
+    val bq = Similarity.knnCosineBq(q, c, k = 5, kCand = 20)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2),
+        r.getLong(3)))
+    // a query drawn from the corpus has Hamming 0 with itself — it can
+    // never miss the candidate heap, and exact rescoring puts it first
+    q.select("qid").collect().map(_.getLong(0)).foreach { id =>
+      val self = bq.find(t => t._1 == (id, id))
+      assert(self.exists(t => t._3 == 1L && t._2 == 1.0),
+        s"query $id lost its self-match: $self")
+    }
+    // dispose scores are bit-equal to the exact scorer on the same pairs
+    val exactScores = Similarity.knnCosine(q, c, k = 500)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    bq.foreach { case (pair, cos, _) => assert(exactScores(pair) == cos) }
+    val r = recallAt(5, Similarity.knnCosineBq(q, c, k = 5, kCand = 20))
+    info(f"recall@5 bq=$r%.3f")
+    assert(r > 0.2) // 1 bit/dim on near-uniform data — floor, not a claim
+  }
+
   test("IVF range search is recall-only: a subset of exact, identical cosines") {
     def pairs(df: DataFrame) = df
       .select(col("qid").cast("long"), col("cid").cast("long"),
