@@ -63,6 +63,36 @@ object VcfStats {
       .otherwise(size(filter(alleles, _ === "1")))
   }
 
+  /** plink `--genome`-style IBS sharing per sample pair: over variants
+    * where BOTH samples are called, the identity-by-state class counts
+    * (|dA−dB| = 2 → ibs0, 1 → ibs1, 0 → ibs2) and the DST similarity
+    * (ibs2 + 0.5·ibs1)/n — the relatedness/duplicate-sample screen
+    * every cohort QC runs. Plan: ONE variant-keyed self-join (pairs
+    * generated where the variant's rows already sit), then one
+    * pair-keyed groupBy of conditional sums — three longs per pair per
+    * task. S²·V pair rows is THE quadratic popgen cost; plink's own
+    * prescription applies at biobank scale — LD-prune the variant panel
+    * first — and the sample dimension blocks (or routes through d5's
+    * embedding-LSH on genotype sketches) when S² itself is the problem.
+    */
+  def ibsPairs(gts: DataFrame): DataFrame = {
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def side(n: String) = gts
+      .select(col("varId"), col("sample").as(s"sample_$n"),
+        dosage(col("gt")).as(s"_d$n"))
+      .where(col(s"_d$n").isNotNull)
+    side("a").join(side("b"), "varId")
+      .where(col("sample_a") < col("sample_b"))
+      .withColumn("_df", abs(col("_da") - col("_db")))
+      .groupBy("sample_a", "sample_b")
+      .agg(count(lit(1)).as("n_sites"),
+        cnt(col("_df") === 2).as("ibs0"),
+        cnt(col("_df") === 1).as("ibs1"),
+        cnt(col("_df") === 0).as("ibs2"))
+      .withColumn("dst",
+        round((col("ibs2") + lit(0.5) * col("ibs1")) / col("n_sites"), 5))
+  }
+
   /** plink-mendel-style Mendelian-consistency check for trios on diploid
     * biallelic genotypes. `gts` is the long genotype matrix — one row per
     * (varId, chrom, pos, sample, gt); `trios` is (child, mother, father),

@@ -358,6 +358,15 @@ object Genomic {
         .where(col("chrom") =!= "X"))
     }),
 
+    "g31_ibs" -> ((s, _) => {
+      // plink --genome: per-sample-pair IBS class counts + DST — the
+      // relatedness / duplicate-sample screen; one variant-keyed
+      // self-join, one pair-keyed conditional-sum groupBy
+      prep(s)
+      graft.operators.VcfStats.ibsPairs(gtsWithVarId(s)
+        .where(col("chrom") =!= "X"))
+    }),
+
     "g17_roh" -> ((s, _) => {
       // plink --homozyg-lite: per (sample, chrom) maximal runs of >= 2
       // consecutive homozygous calls — gaps-and-islands on ONE
@@ -1521,6 +1530,39 @@ object Genomic {
          |    AS mismatch
          |FROM r LEFT JOIN ${pq("samples_meta")} m USING (sample)"""
         .stripMargin,
+
+    "g31_ibs" ->
+      s"""WITH g AS (
+         |  SELECT id || ':' || alt AS vid,
+         |    unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM ${pq("vcf_norm")} WHERE chrom <> 'X'),
+         |dd AS (
+         |  SELECT vid, 'S' || si AS sample,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) END AS dd
+         |  FROM g),
+         |p AS (
+         |  SELECT a.sample AS sample_a, b.sample AS sample_b,
+         |    abs(a.dd - b.dd) AS df
+         |  FROM dd a JOIN dd b
+         |    ON a.vid = b.vid AND a.sample < b.sample
+         |  WHERE a.dd IS NOT NULL AND b.dd IS NOT NULL),
+         |c AS (
+         |  SELECT sample_a, sample_b,
+         |    CAST(count(*) AS BIGINT) AS n_sites,
+         |    CAST(sum(CASE WHEN df = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ibs0,
+         |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ibs1,
+         |    CAST(sum(CASE WHEN df = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ibs2
+         |  FROM p GROUP BY 1, 2)
+         |SELECT sample_a, sample_b, n_sites, ibs0, ibs1, ibs2,
+         |  round((ibs2 + 0.5 * ibs1) / n_sites, 5) AS dst
+         |FROM c""".stripMargin,
 
     "g25_missingness" ->
       s"""WITH g AS (

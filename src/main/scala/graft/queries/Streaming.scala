@@ -139,6 +139,18 @@ object Streaming {
         .toDF().withColumnRenamed("group", "event_type")
     }),
 
+    "e22_stream_welford" -> ((s, dir) => {
+      // running per-user mean/variance (Welford), batch-equivalently:
+      // the z-score denominator for threshold monitors; e17's contract
+      // — (ts, event_id)-ordered fold, every IEEE op replayed by the
+      // oracle's recursive walk (a native var_samp differs in ulps)
+      graft.streaming.Events.welfordStream(
+        events(s, dir).select("user_id", "ts", "event_id", "value"))
+        .toDF()
+        .withColumn("mean", round(col("mean"), 6))
+        .withColumn("variance", round(col("variance"), 6))
+    }),
+
     "e21_stream_kmeans" -> ((s, dir) => {
       // streaming k-means TRAINING, batch-equivalently: MacQueen's
       // sequential update folded in vec_id order (the e17 determinism
@@ -476,6 +488,36 @@ object Streaming {
         |FROM est e JOIN (
         |  SELECT event_type, count(DISTINCT user_id) AS n_exact
         |  FROM events GROUP BY 1) x USING (event_type)""".stripMargin,
+
+    "e22_stream_welford" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |mx AS (SELECT CAST(max(rn) AS BIGINT) AS m FROM e),
+        |w AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS n,
+        |    CAST(0.0 AS DOUBLE) AS mean,
+        |    CAST(0.0 AS DOUBLE) AS m2, CAST(0 AS BIGINT) AS it
+        |  FROM (SELECT DISTINCT user_id FROM e)
+        |  UNION ALL
+        |  SELECT w.user_id,
+        |    CASE WHEN e.value IS NULL THEN w.n ELSE w.n + 1 END,
+        |    CASE WHEN e.value IS NULL THEN w.mean
+        |      ELSE w.mean + (e.value - w.mean)
+        |        / CAST(w.n + 1 AS DOUBLE) END,
+        |    CASE WHEN e.value IS NULL THEN w.m2
+        |      ELSE w.m2 + (e.value - w.mean) * (e.value -
+        |        (w.mean + (e.value - w.mean)
+        |          / CAST(w.n + 1 AS DOUBLE))) END,
+        |    w.it + 1
+        |  FROM w
+        |  LEFT JOIN e ON e.user_id = w.user_id AND e.rn = w.it + 1
+        |  WHERE w.it < (SELECT m FROM mx))
+        |SELECT user_id, n AS n_events, round(mean, 6) AS mean,
+        |  CASE WHEN n > 1 THEN round(m2 / (n - 1), 6) END AS variance
+        |FROM w WHERE it = (SELECT m FROM mx)""".stripMargin,
 
     "e21_stream_kmeans" ->
       """WITH RECURSIVE v AS MATERIALIZED (

@@ -339,6 +339,41 @@ object Events {
     * oracle-checkable gate form (the e6 argument); the DuckDB oracle
     * replays the identical fold with list_reduce.
     */
+  /** Running mean/variance per key (Welford's algorithm — the numerically
+    * stable online second moment): the anomaly-detection companion of
+    * [[ewmaStream]], giving each key the z-score denominator a threshold
+    * monitor needs. State is three numbers per key forever; the update
+    * is the e17 determinism contract — rows fold in (ts, event_id)
+    * order and every IEEE op (delta/n, delta·delta2) is replayed
+    * exactly by the oracle's recursive-CTE walk, so doubles match
+    * bit-for-bit (an engine-native var_samp would differ in ulps —
+    * that's why the fold is pinned, not the aggregate). Identical call
+    * works on batch (the e22 gate form) and readStream (update mode).
+    */
+  def welfordStream(events: DataFrame): Dataset[WelfordOut] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[WelfordAcc]) =>
+          var acc = state.getOption.getOrElse(WelfordAcc(0L, 0.0, 0.0))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, v) =>
+            val n = acc.n + 1
+            val delta = v - acc.mean
+            val mean = acc.mean + delta / n
+            acc = WelfordAcc(n, mean, acc.m2 + delta * (v - mean))
+          }
+          state.update(acc)
+          WelfordOut(uid, acc.n, acc.mean,
+            if (acc.n > 1) Some(acc.m2 / (acc.n - 1)) else None)
+      }
+  }
+
   def ewmaStream(events: DataFrame, alpha: Double): Dataset[EwmaOut] = {
     val sp = events.sparkSession
     import sp.implicits._
@@ -372,6 +407,13 @@ case class GapAlert(user_id: Long, silent_from: Timestamp,
 
 /** Streaming EWMA state: the running mean and how many events fed it. */
 case class EwmaAcc(ewma: Double, n: Long)
+
+/** Welford state: count, running mean, running sum of squared deviations. */
+case class WelfordAcc(n: Long, mean: Double, m2: Double)
+
+/** Per-trigger Welford row; variance is None below two observations. */
+case class WelfordOut(user_id: Long, n_events: Long, mean: Double,
+                      variance: Option[Double])
 
 /** Per-trigger EWMA row. */
 case class EwmaOut(user_id: Long, n_events: Long, ewma: Double)

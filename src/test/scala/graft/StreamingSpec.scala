@@ -187,6 +187,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.ns.sum == 60L && batch.ns.forall(_ == 20L))
   }
 
+  test("welford state over ordered micro-batch slices == the batch fold, " +
+    "bit-equal; hand-case variance exact") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(Long, Timestamp, Long, Double)]
+    val ev = mem.toDF().toDF("user_id", "ts", "event_id", "value")
+    val q = Events.welfordStream(ev)
+      .toDF("user_id", "n_events", "mean", "variance")
+      .writeStream.format("memory").queryName("welford")
+      .outputMode("update").start()
+    val rows = (1L to 20L).map(i =>
+      (i % 3, ts((i % 50).toInt), i, (i * 7 % 13).toDouble))
+    mem.addData(rows.take(11): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(11): _*)
+    q.processAllAvailable()
+    // update mode re-emits per trigger: keep the last row per user
+    val got = spark.table("welford")
+      .withColumn("_r", org.apache.spark.sql.functions.monotonically_increasing_id())
+      .orderBy(org.apache.spark.sql.functions.col("_r").desc)
+      .dropDuplicates("user_id")
+      .select("user_id", "n_events", "mean", "variance").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    q.stop()
+    val batch = Events.welfordStream(
+      rows.toDF("user_id", "ts", "event_id", "value"))
+      .collect().map(o =>
+        (o.user_id, (o.n_events, o.mean, o.variance.get))).toMap
+    assert(got == batch) // bit-equal doubles, not approx
+    // hand case: values 1,2,3 -> mean 2, sample variance 1
+    val h = Events.welfordStream(Seq(
+      (9L, ts(1), 1L, 1.0), (9L, ts(2), 2L, 2.0), (9L, ts(3), 3L, 3.0))
+      .toDF("user_id", "ts", "event_id", "value")).collect().head
+    assert(h.mean == 2.0 && h.variance.contains(1.0))
+  }
+
   test("stream-static enrichment joins the broadcast dimension per event") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
