@@ -334,6 +334,65 @@ object text {
     flatten(perWord)
   }
 
+  /** Code-vs-prose routing metrics (the StarCoder-style triage BEFORE
+    * language ID — t3's stopword n-grams assume natural language, and a
+    * code file scores as gibberish there): per-row, zero-shuffle
+    * structural signals — code-symbol density ({}[]();=<>), the fraction
+    * of lines that are indented (2+ spaces or a tab), the fraction
+    * ending in ';' or '{', and programming-keyword hits per word. The
+    * verdict is a literal rule over the metrics (tune per corpus); every
+    * count is regexp/array arithmetic an independent engine replays.
+    */
+  def codeMetrics(t: Column): Column = {
+    val n = greatest(length(t), lit(1)).cast("double")
+    val lines = filter(split(t, "\n"), l => length(l) > 0)
+    val nl = greatest(size(lines), lit(1)).cast("double")
+    val symbols = (length(t) -
+      length(regexp_replace(t, "[{}\\[\\]();=<>]", ""))).cast("double")
+    val indented = size(filter(lines,
+      l => l.rlike("^(  |\\t)"))).cast("double")
+    val eol = size(filter(lines,
+      l => l.rlike("[;{]\\s*$"))).cast("double")
+    val kws = Seq("def", "return", "import", "class", "for", "while",
+      "if", "else", "function", "var", "val", "let", "const", "public",
+      "static", "void", "int", "new")
+    val kwHits = size(filter(words(t),
+      w => w.isin(kws.map(x => x: Any): _*))).cast("double")
+    val nw = greatest(size(words(t)), lit(1)).cast("double")
+    struct(
+      round(symbols / n, 6).as("symbol_ratio"),
+      round(indented / nl, 6).as("indent_ratio"),
+      round(eol / nl, 6).as("eol_ratio"),
+      round(kwHits / nw, 6).as("keyword_ratio"),
+      (symbols / n > 0.02 && (indented / nl > 0.2 || eol / nl > 0.2 ||
+        kwHits / nw > 0.05)).as("is_code"))
+  }
+
+  /** Fill-in-the-middle transform (Bavarian et al. — the code-training
+    * data augmentation): the document's words split at two DETERMINISTIC
+    * md5-drawn cut points into prefix/middle/suffix and re-render in PSM
+    * order `<PRE>prefix<SUF>suffix<MID>middle`, so the model learns to
+    * infill. The draw is the q13 retry-stable rule — the same doc gets
+    * the same cuts on any engine, retry, or epoch (vary `salt` per epoch
+    * to redraw); pure per-row expression, zero shuffle. Documents with
+    * under 3 words pass through unchanged (fim = original text).
+    */
+  def fimSplit(t: Column, id: Column, salt: String): Column = {
+    val ws = words(t)
+    val k = size(ws)
+    def draw(tag: String) =
+      graft.operators.Sampling.hashDraw(id, salt + tag)
+    val c1 = (draw("a") % k.cast("long")).cast("int")
+    val c2 = (draw("b") % k.cast("long")).cast("int")
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val join = (a: Column) => array_join(a, " ")
+    when(k < 3, t).otherwise(concat(
+      lit("<PRE>"), join(slice(ws, lit(1), lo)),
+      lit("<SUF>"), join(slice(ws, hi + 1, k - hi)),
+      lit("<MID>"), join(slice(ws, lo + 1, hi - lo))))
+  }
+
   /** Query parameters dropped by [[canonicalUrl]]: the cross-site tracking
     * keys every crawl pipeline strips before URL-level dedup (utm_* plus
     * the google/facebook click ids) — they vary per referral, not per page.

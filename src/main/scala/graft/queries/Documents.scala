@@ -602,6 +602,30 @@ object Documents {
         minLangShare = 0.5)
     }),
 
+    "t29_code_detect" -> ((s, dir) => {
+      // code-vs-prose routing (the StarCoder-style triage BEFORE t3's
+      // language ID, which scores code as gibberish): the corpus is
+      // prose, so every 4th doc gets a deterministic code tail (the
+      // t26 synthesis pattern); zero-shuffle structural metrics
+      val snippet = "\nfunction f(x) {\n  var y = x + 1;\n" +
+        "  return y;\n}\nclass A {\n  static int g() { return 0; }\n}"
+      val mixed = spread(t(s, dir, "documents")).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(col("text"), lit(snippet)))
+          .otherwise(col("text")).as("mx"))
+      mixed.select(col("doc_id"), text.codeMetrics(col("mx")).as("_c"))
+        .select(col("doc_id"), col("_c.*"))
+    }),
+
+    "t30_fim_split" -> ((s, dir) => {
+      // fill-in-the-middle transform (Bavarian et al.): PSM re-render
+      // at two deterministic md5-drawn word cuts — same doc, same cuts
+      // on any engine/retry/epoch (new salt = new draw); pure per-row
+      // expression, zero shuffle
+      spread(t(s, dir, "documents")).select(col("doc_id"),
+        text.fimSplit(col("text"), col("doc_id"), "fim").as("fim_text"))
+    }),
+
     "t26_script_mix" -> ((s, dir) => {
       // Unicode-script composition — the routing signal BEFORE language
       // ID in a multilingual crawl (t3's [a-z] n-grams assume Latin):
@@ -2194,6 +2218,77 @@ object Documents {
          |  len(regexp_extract_all(r2, '$ip')) AS n_ips
          |FROM s2""".stripMargin
     },
+
+    "t29_code_detect" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text
+        |      || chr(10) || 'function f(x) {'
+        |      || chr(10) || '  var y = x + 1;'
+        |      || chr(10) || '  return y;'
+        |      || chr(10) || '}'
+        |      || chr(10) || 'class A {'
+        |      || chr(10) || '  static int g() { return 0; }'
+        |      || chr(10) || '}'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(greatest(len(t), 1) AS DOUBLE) AS n,
+        |    CAST(len(t) - len(regexp_replace(t,
+        |      '[{}\[\]();=<>]', '', 'g')) AS DOUBLE) AS sym,
+        |    list_filter(string_split(t, chr(10)), l -> len(l) > 0) AS ls,
+        |    regexp_extract_all(lower(t), '[a-z]+') AS ws
+        |  FROM m),
+        |g AS (
+        |  SELECT doc_id, n, sym,
+        |    CAST(greatest(len(ls), 1) AS DOUBLE) AS nl,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l,
+        |      '^(  |' || chr(9) || ')'))) AS DOUBLE) AS ind,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l,
+        |      '[;{]\s*$'))) AS DOUBLE) AS eol,
+        |    CAST(len(list_filter(ws, w -> w IN ('def', 'return',
+        |      'import', 'class', 'for', 'while', 'if', 'else',
+        |      'function', 'var', 'val', 'let', 'const', 'public',
+        |      'static', 'void', 'int', 'new'))) AS DOUBLE) AS kw,
+        |    CAST(greatest(len(ws), 1) AS DOUBLE) AS nw
+        |  FROM f)
+        |SELECT doc_id,
+        |  round(sym / n, 6) AS symbol_ratio,
+        |  round(ind / nl, 6) AS indent_ratio,
+        |  round(eol / nl, 6) AS eol_ratio,
+        |  round(kw / nw, 6) AS keyword_ratio,
+        |  (sym / n > 0.02 AND (ind / nl > 0.2 OR eol / nl > 0.2
+        |    OR kw / nw > 0.05)) AS is_code
+        |FROM g""".stripMargin,
+
+    "t30_fim_split" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, text, ws, CAST(len(ws) AS BIGINT) AS k,
+        |    list_reduce([strpos('0123456789abcdef',
+        |        substr(md5('fima' || CAST(doc_id AS VARCHAR)), j, 1)) - 1
+        |      for j in range(1, 9)], (a, c) -> a * 16 + c) AS d1,
+        |    list_reduce([strpos('0123456789abcdef',
+        |        substr(md5('fimb' || CAST(doc_id AS VARCHAR)), j, 1)) - 1
+        |      for j in range(1, 9)], (a, c) -> a * 16 + c) AS d2
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id, text, ws, k,
+        |    least(d1 % k, d2 % k) AS lo,
+        |    greatest(d1 % k, d2 % k) AS hi
+        |  FROM d WHERE k >= 3)
+        |SELECT doc_id,
+        |  '<PRE>' || coalesce(array_to_string(ws[1:lo], ' '), '') ||
+        |  '<SUF>' || coalesce(array_to_string(ws[hi+1:k], ' '), '') ||
+        |  '<MID>' || coalesce(array_to_string(ws[lo+1:hi], ' '), '')
+        |    AS fim_text
+        |FROM c
+        |UNION ALL
+        |SELECT doc_id, text AS fim_text FROM d WHERE k < 3""".stripMargin,
 
     "t27_source_mix" ->
       """WITH w AS (
