@@ -79,6 +79,12 @@ import graft.operators.Dedup
   *                         range-partitioned + sorted on the Morton
   *                         interleave of two numeric columns, so scans
   *                         filtering on either column prune files
+  *   [-drop_code 1|keep_only] route code files out of a prose corpus
+  *                         (or keep only them) via t29's structural
+  *                         metrics — before language ID sees them
+  *   [-fim salt]           fill-in-the-middle transform (t30): re-render
+  *                         each doc <PRE>p<SUF>s<MID>m at deterministic
+  *                         md5 cuts; a per-epoch salt redraws
   *   [-mix f[,salt]]       corpus mixing to target source shares (t27):
   *                         needs -mix_weights src=w[,src=w...] (integral
   *                         relative shares; -mix_default for unlisted
@@ -210,6 +216,17 @@ object Corpus {
         (if (parts.length == 2) h <= parts(1) else lit(true)))
       record(s"entropy=$spec")
     }
+    opts.get("drop_code").foreach { v =>
+      // code-vs-prose routing (t29): route code files out of a prose
+      // corpus (or keep ONLY them with -drop_code keep_only) before
+      // language ID sees them — zero-shuffle structural metrics
+      require(v == "1" || v == "keep_only",
+        s"-drop_code wants 1 | keep_only — got '$v'")
+      val isCode = text.codeMetrics(col("text")).getField("is_code")
+      df = df.where(if (v == "keep_only") isCode else !isCode)
+      record(s"drop_code=$v")
+    }
+
     opts.get("min_bigram_logp").map(_.toDouble).foreach { floor =>
       // corpus-trained bigram-LM filter (t17): drop docs whose mean
       // transition log-probability under the surviving corpus's own
@@ -318,6 +335,16 @@ object Corpus {
         df = df.join(losers, Seq("doc_id"), "left_anti")
         record(s"dedup=$mode@$thr")
       case other => sys.error(s"unknown -dedup mode: $other")
+    }
+
+    opts.get("fim").foreach { salt =>
+      // fill-in-the-middle transform (t30): PSM re-render of each doc's
+      // words at deterministic md5-drawn cuts — runs AFTER the filter
+      // stages (metrics should see natural text); a per-epoch salt
+      // redraws the cuts
+      df = df.withColumn("text",
+        text.fimSplit(col("text"), col("doc_id"), salt))
+      record(s"fim@$salt")
     }
 
     // -mix frac[,salt] + -mix_weights src=w,... [+ -mix_default n]:

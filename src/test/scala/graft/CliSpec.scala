@@ -549,6 +549,47 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       "src0").count() == src0All)
   }
 
+  test("Corpus -drop_code and -fim == the t29/t30 operators (stage " +
+    "parity)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    // seed code docs the way the t29 gate does
+    val snippet = "\nfunction f(x) {\n  var y = x + 1;\n" +
+      "  return y;\n}\nclass A {\n  static int g() { return 0; }\n}"
+    val mixed = base.withColumn("text",
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(col("text"), lit(snippet))).otherwise(col("text")))
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft-clispec-codemix-" +
+      ProcessHandle.current.pid
+    mixed.write.mode("overwrite").parquet(tmp)
+    val kept = Corpus.run(spark, Map(
+      "i" -> tmp, "dedup" -> "none", "drop_code" -> "1",
+      "report" -> "0")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = mixed.where(!graft.functions.text
+      .codeMetrics(col("text")).getField("is_code"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == expect && kept.nonEmpty && kept.size < base.count())
+    // keep_only is the complement
+    val only = Corpus.run(spark, Map(
+      "i" -> tmp, "dedup" -> "none", "drop_code" -> "keep_only",
+      "report" -> "0")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(only == mixed.select("doc_id").collect().map(_.getLong(0))
+      .toSet -- kept)
+    // -fim rewrites text exactly as the t30 operator
+    val fimmed = Corpus.run(spark, Map(
+      "i" -> s"$sf/documents.parquet", "dedup" -> "none",
+      "fim" -> "ep1", "report" -> "0"))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val fimExpect = base.select(col("doc_id"),
+      graft.functions.text.fimSplit(col("text"), col("doc_id"), "ep1")
+        .as("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(fimmed == fimExpect)
+    assert(fimmed.values.count(_.contains("<MID>")) > 0)
+  }
+
   test("Corpus rejects -zorder combined with -partition_by") {
     val sf = "/root/testdata/sf0.001"
     val e = intercept[IllegalArgumentException] {
