@@ -353,6 +353,28 @@ object Bench {
         graft.operators.VcfStats.ldPairs(gts, maxDist = 1500,
           binSize = 2000).count()
       }),
+      // IBS relatedness at volume: ~nDocs/8 variants x 48 samples
+      // (~30k x 48 = 1.4M genotype rows at sf0.1) through the
+      // variant-keyed pair self-join — ~1,128 sample pairs x 30k
+      // variants = ~34M pair rows collapsing into 3-long conditional
+      // partials per pair: the quadratic popgen op's honest cost at a
+      // panel size where S² is still the right call (plink's own
+      // LD-pruned-panel regime)
+      "ibsx_ibs_scale" -> (() => {
+        val gts = spark.range(nDocs / 8).select(col("id").as("vnum"))
+          .crossJoin(spark.range(48).select(col("id").as("snum")))
+          .select(
+            concat(lit("v"), col("vnum")).as("varId"),
+            concat(lit("S"), col("snum")).as("sample"),
+            when(pmod(hash(col("vnum"), col("snum")), lit(5)) === 0,
+              "1|1")
+              .when(pmod(hash(col("vnum"), col("snum")), lit(5)) === 1,
+                "0|1")
+              .when(pmod(hash(col("vnum"), col("snum")), lit(11)) === 2,
+                ".|.")
+              .otherwise("0|0").as("gt"))
+        graft.operators.VcfStats.ibsPairs(gts).count()
+      }),
       "hx_haplo_scale" -> (() => {
         val gts = spark.range(nDocs).select(col("id").as("snum"))
           .crossJoin(spark.range(200).select(col("id").as("vnum")))
