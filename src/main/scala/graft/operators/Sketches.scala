@@ -57,6 +57,63 @@ object Sketches {
       round(est, 4).as("hll_estimate"): _*)
   }
 
+  /** HLL set algebra — the audience-overlap estimator: registers are
+    * MAX-mergeable (the property that makes HLL THE distributed
+    * distinct sketch), so |A∪B| comes from merging the two cohorts'
+    * register sets without touching rows again, and |A∩B| from
+    * inclusion-exclusion |A| + |B| − |A∪B| (clamped at 0 — I-E can go
+    * negative within sketch error). Register sums are EXACT in doubles
+    * (≤256 powers of two spanning 33 bits < the 53-bit mantissa), so
+    * every estimate is aggregation-order-independent — the q15
+    * portability argument extended to set operations. Output is ONE
+    * row: est_a/est_b/est_union/est_intersection/jaccard_est plus the
+    * exact intersection for calibration (the gate wants truth next to
+    * the estimate; production reads only the sketches — 256 bytes per
+    * cohort, mergeable across any partitioning).
+    */
+  def hllSetOps(df: DataFrame, labelCol: String, valueCol: String,
+                a: String, b: String): DataFrame = {
+    val h = md5(col(valueCol).cast("string"))
+    val rest = conv(substring(h, 3, 6), 16, 10).cast("long")
+    val regs = df.where(col(labelCol).isin(a, b)).select(
+      col(labelCol).as("_lbl"),
+      conv(substring(h, 1, 2), 16, 10).cast("int").as("_idx"),
+      when(rest === 0, lit(25))
+        .otherwise(lit(25) - length(bin(rest))).cast("int").as("_rho"))
+      .groupBy(col("_lbl"), col("_idx"))
+      .agg(max(col("_rho")).as("_r"))
+    def estOf(regDf: DataFrame, keyCols: Seq[String]): DataFrame = {
+      val grouped = regDf.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_cnt"),
+          sum(pow(lit(2.0), -col("_r"))).as("_sp"))
+      val zeros = lit(m) - col("_cnt")
+      val raw = alphaExpr * lit(m.toDouble * m) /
+        (col("_sp") + zeros.cast("double"))
+      val e = when(raw <= lit(2.5 * m) && zeros > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+        .otherwise(raw)
+      grouped.select(keyCols.map(col) :+ e.as("_est"): _*)
+    }
+    val ab = estOf(regs, Seq("_lbl")).agg(
+      max(when(col("_lbl") === a, col("_est"))).as("_ea"),
+      max(when(col("_lbl") === b, col("_est"))).as("_eb"))
+    val u = estOf(regs.groupBy(col("_idx")).agg(max(col("_r")).as("_r")),
+      Seq.empty).select(col("_est").as("_eu"))
+    val exact = df.where(col(labelCol).isin(a, b))
+      .groupBy(col(valueCol))
+      .agg(countDistinct(col(labelCol)).as("_nl"))
+      .agg(sum(when(col("_nl") === 2, 1L).otherwise(0L))
+        .as("exact_intersection"))
+    val inter = greatest(lit(0.0), col("_ea") + col("_eb") - col("_eu"))
+    ab.crossJoin(u).crossJoin(exact)
+      .select(round(col("_ea"), 4).as("est_a"),
+        round(col("_eb"), 4).as("est_b"),
+        round(col("_eu"), 4).as("est_union"),
+        round(inter, 4).as("est_intersection"),
+        round(inter / col("_eu"), 4).as("jaccard_est"),
+        col("exact_intersection"))
+  }
+
   /** Count-Min-sketch heavy hitters: estimate per-value frequencies
     * through a d x w counter matrix (md5-hashed, salted per row) and
     * report the top values by the CMS estimate = min over rows of the

@@ -127,6 +127,16 @@ object Streaming {
       exact.join(hll, Seq("event_type"))
     }),
 
+    "q34_hll_setops" -> ((s, dir) => {
+      // distinct-set ALGEBRA on sketches (audience overlap): the two
+      // cohorts' 256-byte register sets max-merge into the union
+      // estimate, inclusion-exclusion gives the intersection — no
+      // second pass over rows; exact intersection sits alongside for
+      // calibration (q15's portability argument extended to set ops)
+      graft.operators.Sketches.hllSetOps(events(s, dir),
+        "event_type", "user_id", "view", "purchase")
+    }),
+
     "e6_stream_hll" -> ((s, dir) => {
       // the STREAMING sketch run batch-equivalently: mapGroupsWithState
       // on a batch frame processes each group's full iterator with empty
@@ -456,6 +466,56 @@ object Streaming {
         |  v.next_view_id, v.next_view_value
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND v.ts >= p.ts""".stripMargin,
+
+    "q34_hll_setops" ->
+      """WITH b AS (
+        |  SELECT event_type AS lbl,
+        |    list_reduce([strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR)), j, 1)) - 1
+        |      for j in range(1, 3)], (a, c) -> a * 16 + c) AS idx,
+        |    list_reduce([strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR)), j, 1)) - 1
+        |      for j in range(3, 9)], (a, c) -> a * 16 + c) AS rest
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |r AS (
+        |  SELECT lbl, idx,
+        |    max(CASE WHEN rest = 0 THEN 25
+        |        ELSE 25 - length(bin(rest)) END) AS r
+        |  FROM b GROUP BY 1, 2),
+        |ef AS (
+        |  SELECT lbl,
+        |    CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+        |        / (sp + (256 - cnt)::DOUBLE) <= 640.0 AND 256 - cnt > 0
+        |      THEN 256.0 * ln(256.0 / (256 - cnt)::DOUBLE)
+        |      ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+        |        / (sp + (256 - cnt)::DOUBLE) END AS est
+        |  FROM (SELECT lbl, count(*) AS cnt, sum(pow(2.0, -r)) AS sp
+        |        FROM r GROUP BY 1)),
+        |ur AS (SELECT idx, max(r) AS r FROM r GROUP BY 1),
+        |eu AS (
+        |  SELECT CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+        |        / (sp + (256 - cnt)::DOUBLE) <= 640.0 AND 256 - cnt > 0
+        |      THEN 256.0 * ln(256.0 / (256 - cnt)::DOUBLE)
+        |      ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+        |        / (sp + (256 - cnt)::DOUBLE) END AS eu
+        |  FROM (SELECT count(*) AS cnt, sum(pow(2.0, -r)) AS sp
+        |        FROM ur)),
+        |x AS (
+        |  SELECT CAST(sum(CASE WHEN nl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS exact_intersection
+        |  FROM (SELECT user_id, count(DISTINCT event_type) AS nl
+        |        FROM events WHERE event_type IN ('view', 'purchase')
+        |        GROUP BY 1)),
+        |ab AS (
+        |  SELECT max(CASE WHEN lbl = 'view' THEN est END) AS ea,
+        |    max(CASE WHEN lbl = 'purchase' THEN est END) AS eb
+        |  FROM ef)
+        |SELECT round(ea, 4) AS est_a, round(eb, 4) AS est_b,
+        |  round(eu, 4) AS est_union,
+        |  round(greatest(0.0, ea + eb - eu), 4) AS est_intersection,
+        |  round(greatest(0.0, ea + eb - eu) / eu, 4) AS jaccard_est,
+        |  exact_intersection
+        |FROM ab, eu, x""".stripMargin,
 
     "q15_hll_distinct" ->
       """WITH b AS (
