@@ -672,4 +672,62 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cross.getLong(0) == aSet.intersect(bBases).size.toLong)
     assert(cross.getLong(1) == aSet.union(bBases).size.toLong)
   }
+
+  test("fimSplit reconstructs: prefix+middle+suffix words == the " +
+    "original word stream; short docs pass through") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0L until 60L).map { i =>
+      val n = rnd.nextInt(12) // includes <3-word pass-through cases
+      (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val out = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        graft.functions.text.fimSplit(col("text"), col("doc_id"), "px")
+          .as("fim"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    out.foreach { case (id, orig, fim) =>
+      val origWords = orig.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      if (origWords.length < 3) assert(fim == orig, s"doc $id")
+      else {
+        assert(fim.startsWith("<PRE>"), s"doc $id")
+        val pre = fim.substring(5, fim.indexOf("<SUF>"))
+        val suf = fim.substring(fim.indexOf("<SUF>") + 5,
+          fim.indexOf("<MID>"))
+        val mid = fim.substring(fim.indexOf("<MID>") + 5)
+        def w(x: String) = x.split(" ").filter(_.nonEmpty).toSeq
+        assert(w(pre) ++ w(mid) ++ w(suf) == origWords.toSeq, s"doc $id")
+      }
+    }
+  }
+
+  test("weighted/mix sampling degenerate to the uniform draw when " +
+    "weights are flat; targetFrac=1 keeps everything") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 300L)
+      .map(i => (i, s"src${i % 5}", 10L + i % 7)).toDF("doc_id", "source",
+        "n_chars")
+    val uni = docs.where(
+      graft.operators.Sampling.hashDraw(col("doc_id"), "u")
+        .cast("double") < 0.3 * 4294967296.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // flat integral weights make rate_i == targetFrac for every row
+    val flatW = docs.withColumn("w", lit(1L))
+    val ws = graft.operators.Sampling.weightedSample(flatW, "doc_id",
+      "w", targetFrac = 0.3, salt = "u")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ws == uni)
+    val mix = graft.operators.Sampling.mixSample(docs, "source",
+      "doc_id", Map.empty, defaultWeight = 1L, targetFrac = 0.3,
+      salt = "u").select("doc_id").collect().map(_.getLong(0)).toSet
+    // flat mix weights over EQUAL-SIZE sources: rate == targetFrac too
+    assert(mix == uni)
+    val all = graft.operators.Sampling.weightedSample(flatW, "doc_id",
+      "w", targetFrac = 1.0, salt = "u").count()
+    assert(all == 300L)
+  }
 }
