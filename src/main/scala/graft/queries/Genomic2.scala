@@ -232,6 +232,16 @@ object Genomic2 {
           "n_tracks", "duration_sec")
     }),
 
+    "m10_srt_read" -> ((s, _) => {
+      // SubRip caption source — the transcript half of a video corpus
+      // (m1/m5 cover the container): blank-line-separated cues keyed on
+      // the global line ordinal (the FASTQ positional-identity
+      // argument), times parsed to milliseconds with digit-guarded
+      // casts; oracle re-parses the raw file
+      graft.sources.Srt.read(s,
+        s"${GenomicFixtures.rawDir}/captions.srt")
+    }),
+
     "m9_jpeg_meta" -> ((s, _) => {
       prep(s)
       // REAL JPEG frame-header walk (FF-marker grammar): dimensions,
@@ -481,6 +491,41 @@ object Genomic2 {
   val oracles: Map[String, String] = Map(
     "m5_video_meta" -> mp4OracleSql,
     "m9_jpeg_meta" -> jpegOracleSql,
+
+    "m10_srt_read" ->
+      s"""WITH t AS (
+         |  SELECT string_split(replace(content, chr(13), ''),
+         |    chr(10) || chr(10)) AS blocks
+         |  FROM read_text('${GenomicFixtures.rawDir}/captions.srt')),
+         |c AS (
+         |  SELECT list_filter(string_split(b, chr(10)),
+         |    l -> len(trim(l)) > 0) AS ls
+         |  FROM (SELECT unnest(blocks) AS b FROM t)
+         |  WHERE len(trim(b)) > 0),
+         |p AS (
+         |  SELECT TRY_CAST(ls[1] AS BIGINT) AS cue, ls,
+         |    regexp_matches(ls[2],
+         |      '^(\\d{2}):(\\d{2}):(\\d{2})[,.](\\d{3}) --> ' ||
+         |      '(\\d{2}):(\\d{2}):(\\d{2})[,.](\\d{3})\\s*$$') AS ok
+         |  FROM c WHERE len(ls) >= 2),
+         |ex AS (
+         |  SELECT cue, ls, ok, [${(1 to 8).map(g =>
+             s"TRY_CAST(regexp_extract(ls[2], '^(\\d{2}):(\\d{2}):" +
+             s"(\\d{2})[,.](\\d{3}) --> (\\d{2}):(\\d{2}):" +
+             s"(\\d{2})[,.](\\d{3})\\s*$$', $g) AS BIGINT)")
+           .mkString(", ")}] AS gs
+         |  FROM p)
+         |SELECT cue,
+         |  CASE WHEN ok THEN gs[1] * 3600000 + gs[2] * 60000
+         |    + gs[3] * 1000 + gs[4] END AS start_ms,
+         |  CASE WHEN ok THEN gs[5] * 3600000 + gs[6] * 60000
+         |    + gs[7] * 1000 + gs[8] END AS end_ms,
+         |  array_to_string(ls[3:len(ls)], chr(10)) AS text,
+         |  CASE WHEN ok THEN (gs[5] * 3600000 + gs[6] * 60000
+         |      + gs[7] * 1000 + gs[8])
+         |    - (gs[1] * 3600000 + gs[2] * 60000 + gs[3] * 1000 + gs[4])
+         |    END AS duration_ms
+         |FROM ex""".stripMargin,
     "f2_seq_dedup" ->
       s"""WITH ranked AS (
          |  SELECT sequence, accession, $tagRankSql AS rank

@@ -363,4 +363,23 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the specific stanza replaces * for its agent")
     assert(evil("http://other.org/a/x"), "no rules for the other host")
   }
+
+  test("SRT: CRLF cues, multi-line text, malformed time -> null, " +
+    "hour-scale millis") {
+    val srt = "1\r\n00:00:01,600 --> 00:00:04,200\r\nline one\r\n" +
+      "line two\r\n\r\n2\r\nnot a time line\r\nbody\r\n\r\n" +
+      "3\r\n01:02:03,004 --> 01:02:10,500\r\ntail\r\n"
+    val f = Files.createTempFile("graft-srt", ".srt")
+    Files.writeString(f, srt)
+    val rows = graft.sources.Srt.read(spark, f.toString)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(1) == 1600L &&
+      rows(1L).getLong(2) == 4200L &&
+      rows(1L).getAs[String]("text") == "line one\nline two" &&
+      rows(1L).getAs[Long]("duration_ms") == 2600L)
+    assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(2))
+    assert(rows(3L).getLong(1) == 3723004L &&
+      rows(3L).getLong(2) == 3730500L)
+    Files.deleteIfExists(f)
+  }
 }
