@@ -557,6 +557,49 @@ object Similarity {
     topKPerQuery(scored, k, qId, cId)
   }
 
+  /** Matryoshka (truncated-prefix) two-stage retrieval: the propose
+    * stage scores cosine over only the FIRST `dPrefix` dimensions —
+    * MRL-trained embeddings concentrate information in the prefix, so
+    * a d/8 slice ranks candidates at d/8 the flops and bandwidth — and
+    * the dispose stage re-scores the survivors exact over all
+    * dimensions (the s9/s12 propose-dispose economics with dimension
+    * truncation as the compression axis; on non-MRL embeddings the
+    * prefix is just a random projection, which is what the measured
+    * recall on the synthetic corpus reflects). Same plan shape as
+    * [[knnCosine]] twice: broadcast queries, one corpus scan per
+    * stage, candidates gathered by an id-only broadcast.
+    */
+  def knnCosineMrl(queries: DataFrame, corpus: DataFrame, k: Int,
+                   kCand: Int, dPrefix: Int, qId: String = "qid",
+                   qVec: String = "qvec", cId: String = "cid",
+                   cVec: String = "cvec"): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    require(dPrefix > 0, "dPrefix must be positive")
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    def prefix(v: org.apache.spark.sql.Column) =
+      slice(v.cast("array<double>"), lit(1), lit(dPrefix))
+    val proposals = corpus
+      .select(col(cId), prefix(col(cVec)).as("_cp"))
+      .crossJoin(broadcast(queries
+        .select(col(qId), prefix(col(qVec)).as("_qp"))))
+      .select(col(qId), col(cId),
+        // rank on the rounded-5 score (the s1 contract): unrounded
+        // engine cosines differ in ulps, which would let the kCand
+        // boundary diverge from the oracle's ranking
+        round(call_function("graft_cosine", col("_qp"), col("_cp")), 5)
+          .as("_ps"))
+    val cands = topKPerQuery(proposals, kCand, qId, cId, "_ps")
+      .select(col(qId), col(cId)) // prefix score + rank die here
+    val scored = corpus
+      .join(broadcast(cands), Seq(cId))
+      .join(broadcast(queries), Seq(qId))
+      .select(col(qId), col(cId),
+        round(call_function("graft_cosine",
+          col(qVec).cast("array<double>"),
+          col(cVec).cast("array<double>")), 5).as("cosine"))
+    topKPerQuery(scored, k, qId, cId)
+  }
+
   /** Binary-quantized two-stage retrieval (1 bit per dimension — the
     * extreme-compression serving shape): the propose stage scores
     * sign-bit DISAGREEMENT (Hamming distance over the per-dim sign

@@ -1047,6 +1047,18 @@ object Documents {
       Similarity.knnCosineSq8(q, c, k = 5)
     }),
 
+    "s13_mrl_ann" -> ((s, dir) => {
+      // Matryoshka truncated-prefix retrieval: cosine over the first 16
+      // of 64 dims proposes 20 candidates/query at a quarter of the
+      // flops/bandwidth, exact full-dim cosine disposes — dimension
+      // truncation as the compression axis of the propose/dispose family
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.knnCosineMrl(q, c, k = 5, kCand = 20, dPrefix = 16)
+    }),
+
     "s12_bq_ann" -> ((s, dir) => {
       // binary quantization (1 bit/dim): sign-Hamming proposes 20
       // candidates/query through the bounded_top_k heap, exact cosine
@@ -2923,6 +2935,31 @@ object Documents {
          |      WHERE vec_id < 8),
          |s AS (SELECT qid, cid, round($cosineSql, 5) AS cosine
          |      FROM q, rec)
+         |SELECT qid, cid, cosine, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, cid) AS rank FROM s)
+         |WHERE rank <= 5""".stripMargin,
+
+    "s13_mrl_ann" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv,
+         |    embedding[1:16] AS qp
+         |  FROM embeddings WHERE vec_id < 8),
+         |c AS (
+         |  SELECT vec_id AS cid, embedding AS cv,
+         |    embedding[1:16] AS cp
+         |  FROM embeddings),
+         |ps AS (
+         |  SELECT qid, cid, round(${cosineSql.replace("qv", "qp")
+             .replace("cv", "cp")}, 5) AS p
+         |  FROM q, c),
+         |cand AS (
+         |  SELECT qid, cid FROM ps
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY p DESC, cid ASC) <= 20),
+         |s AS (
+         |  SELECT qid, cid, round($cosineSql, 5) AS cosine
+         |  FROM cand JOIN q USING (qid) JOIN c USING (cid))
          |SELECT qid, cid, cosine, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cosine DESC, cid) AS rank FROM s)

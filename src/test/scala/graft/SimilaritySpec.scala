@@ -205,6 +205,31 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r > 0.2) // 1 bit/dim on near-uniform data — floor, not a claim
   }
 
+  test("MRL prefix propose/dispose: self-match survives, dispose exact, " +
+    "recall above the prefix-only cut") {
+    val mrl = Similarity.knnCosineMrl(q, c, k = 5, kCand = 20,
+      dPrefix = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2),
+        r.getLong(3)))
+    // a query drawn from the corpus has prefix cosine 1.0 with itself —
+    // never lost to the candidate heap; exact rescoring ranks it first
+    q.select("qid").collect().map(_.getLong(0)).foreach { id =>
+      val self = mrl.find(t => t._1 == (id, id))
+      assert(self.exists(t => t._3 == 1L && t._2 == 1.0), s"query $id")
+    }
+    val exactScores = Similarity.knnCosine(q, c, k = 500)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    mrl.foreach { case (pair, cos, _) => assert(exactScores(pair) == cos) }
+    val r16 = recallAt(5, Similarity.knnCosineMrl(q, c, k = 5,
+      kCand = 20, dPrefix = 16))
+    val r32 = recallAt(5, Similarity.knnCosineMrl(q, c, k = 5,
+      kCand = 20, dPrefix = 32))
+    info(f"recall@5 mrl16=$r16%.3f mrl32=$r32%.3f")
+    // more prefix dims can only widen what the propose stage sees
+    assert(r32 >= r16 && r16 > 0.2)
+  }
+
   test("IVF range search is recall-only: a subset of exact, identical cosines") {
     def pairs(df: DataFrame) = df
       .select(col("qid").cast("long"), col("cid").cast("long"),
