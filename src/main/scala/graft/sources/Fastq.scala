@@ -76,18 +76,20 @@ object Fastq {
     require(files > 0, "Fastq.write: files must be positive")
     df.repartitionByRange(files, col("rec"))
       .sortWithinPartitions("rec")
-      .select(concat(
-        // assert_true returns NULL on success (throws on violation) —
-        // route it through when() so the record prefix stays "@"
-        when(assert_true(col("read_id").isNotNull &&
-          col("sequence").isNotNull && col("quality").isNotNull,
-          lit("Fastq.write: null field — filter on well_formed first"))
-          .isNull, lit("@")).otherwise(lit("@")),
-        col("read_id"),
-        when(col("description").isNotNull,
-          concat(lit(" "), col("description"))).otherwise(lit("")),
-        lit("\n"), col("sequence"), lit("\n+\n"), col("quality"))
-        .as("value"))
+      .select(
+        // the guard must be a genuinely conditional branch: an
+        // equal-branch when(assert_true(...)) gets constant-folded
+        // away by SimplifyConditionals, silently dropping the check
+        when(col("read_id").isNull || col("sequence").isNull ||
+          col("quality").isNull,
+          raise_error(lit(
+            "Fastq.write: null field — filter on well_formed first")))
+          .otherwise(concat(
+            lit("@"), col("read_id"),
+            when(col("description").isNotNull,
+              concat(lit(" "), col("description"))).otherwise(lit("")),
+            lit("\n"), col("sequence"), lit("\n+\n"), col("quality")))
+          .as("value"))
       .write.mode("overwrite").text(path)
   }
 }

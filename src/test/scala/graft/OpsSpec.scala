@@ -640,4 +640,67 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> (("removed", null)),
       5L -> (("added", null))))
   }
+
+  test("table checksum: invariant under repartition/row order, moves on " +
+    "any mutation; global no-group form works") {
+    val s = spark
+    import s.implicits._
+    val base = (1L to 500L).map(i => (i, s"v${i % 37}", i % 11))
+      .toDF("id", "tag", "grp")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TableOps.tableChecksum(df, Seq.empty,
+        Seq("id", "tag", "grp")).collect().head.toSeq
+    // same multiset, different physical layout -> identical fingerprint
+    assert(fp(base) == fp(base.repartition(13).sortWithinPartitions(
+      org.apache.spark.sql.functions.col("tag"))))
+    // one mutated value -> different fingerprint
+    val mutated = base.withColumn("tag",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("id") === 250L,
+        org.apache.spark.sql.functions.lit("POISON"))
+        .otherwise(org.apache.spark.sql.functions.col("tag")))
+    assert(fp(base) != fp(mutated))
+    // a row duplicated an EVEN number of times XORs away — the sum and
+    // count folds are what still move (the documented blind-spot cover)
+    val doubled = base.unionAll(base.where(
+      org.apache.spark.sql.functions.col("id") === 7L))
+      .unionAll(base.where(org.apache.spark.sql.functions.col("id") === 7L))
+    val (b, d) = (fp(base), fp(doubled))
+    assert(b(1) == d(1) && b(2) == d(2), "xor folds cancel as expected")
+    assert(b(0) != d(0) && b(3) != d(3), "count+sum catch it")
+  }
+
+  test("host policy apply keeps exactly the kept hosts' docs") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 120L).map(i =>
+      (i, s"h${i % 4}.ex.com", if (i % 4 == 0) "en" else "de",
+        100L + i % 5, "src")).toDF("doc_id", "host", "lang", "n_chars",
+      "source")
+    val pol = graft.operators.WebStats.hostPolicy(docs, "host", "lang",
+      "n_chars", "source", minDocs = 3, minMeanChars = 50.0,
+      minLangShare = 0.9)
+    val keptHosts = pol.where(org.apache.spark.sql.functions.col("keep"))
+      .collect().map(_.getString(0)).toSet
+    assert(keptHosts == Set("h0.ex.com"), "only the all-en host survives")
+    val kept = graft.operators.WebStats.applyPolicy(docs, pol, "host")
+    assert(kept.select("host").distinct().collect()
+      .map(_.getString(0)).toSet == keptHosts)
+    assert(kept.count() == docs.where(
+      org.apache.spark.sql.functions.col("host").isin(
+        keptHosts.toSeq: _*)).count())
+  }
+
+  test("Fastq.write refuses null fields loudly") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq((0L, "r1", Option.empty[String], "ACGT",
+      null.asInstanceOf[String])).toDF("rec", "read_id", "description",
+      "sequence", "quality")
+    val out = java.nio.file.Files.createTempDirectory("graft-fq").toString
+    val e = intercept[Exception] {
+      graft.sources.Fastq.write(bad, s"$out/x")
+    }
+    assert(e.getMessage != null)
+  }
 }
