@@ -886,6 +886,50 @@ object Dedup {
         (size(col("ws")) - size(col("_kept"))).cast("long").as("cut_words"))
   }
 
+  /** Dolma-style EXACT PARAGRAPH dedup: split each document on blank
+    * lines, remove every paragraph whose exact text already occurred
+    * earlier in the corpus (global (doc, position) order — the first
+    * occurrence survives, matching the reference pipelines' bloom-filter
+    * pass), and reassemble the survivors in document order. This is the
+    * standard middle ground between document dedup (d1/d2 — misses
+    * shared boilerplate inside distinct docs) and substring-span dedup
+    * (d13/d14 — exact passage extents, but n-gram-priced): headers,
+    * footers, nav blocks and license stanzas collapse to one corpus-wide
+    * occurrence at string-equality cost.
+    *
+    * Plan: posexplode paragraphs → ONE md5-keyed aggregation whose
+    * map-side partial is min(struct(doc, idx)) (16-byte hash + 12-byte
+    * winner per distinct paragraph cross the exchange, never the
+    * paragraph text twice) → hash-keyed join back → one doc-keyed
+    * reassembly agg (array_agg of (idx, para) sorted locally). No
+    * window, no countDistinct (winner-equality subsumes the count≥2
+    * test), so at 100 TB every stage is a plain hash exchange that AQE
+    * can re-split; the only wide rows are the docs themselves, which
+    * already flow through every other text operator.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val paras = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n\n")))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"),
+        col("col").as("para"))
+    val winners = paras
+      .groupBy(md5(col("para")).as("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("_first"))
+    paras.join(winners,
+        md5(col("para")) === col("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(struct(col("doc_id"), col("idx")) =!= col("_first"), 1L)
+          .otherwise(0L)).as("n_removed"),
+        concat_ws("\n\n",
+          transform(array_sort(collect_list(
+            when(struct(col("doc_id"), col("idx")) === col("_first"),
+              struct(col("idx"), col("para"))))),
+            p => p.getField("para"))).as("text_dedup"))
+  }
+
   /** Fuzzy (edit-distance) self-join over a derived fixed-length key —
     * the entity-resolution primitive (near-identical titles, names, URLs)
     * that exact and token-set dedup both miss. Candidate pairs are

@@ -43,4 +43,54 @@ object LanguageModel {
           lit(0.0), (acc, e) => acc + e.getField("lp"))
           / count(lit(1)), 4).as("avg_logp"))
   }
+
+  /** CCNet-style per-language perplexity buckets: rank docs within each
+    * language by LM score (best first) and cut into `k` ntile groups —
+    * head/middle/tail for k = 3, the split CCNet trains/filters on.
+    *
+    * ntile over a per-language window would funnel EVERY doc of a
+    * language through one reducer (a language can be most of a 100 TB
+    * corpus), so the rank is computed exactly in two phases instead,
+    * the [[Sampling.shuffleRank]] shape generalized to a value-ordered
+    * key: rows bucket by (lang, floor(score·100)) — a score PREFIX, so
+    * bucket-desc order == score-desc order and same-score ties can
+    * never straddle a bucket; per-bucket counts (metadata-scale: langs
+    * × ~few-thousand distinct rounded bins) fold into base offsets with
+    * one tiny window; global rank = offset + within-bucket row_number.
+    * The corpus crosses ONE hash exchange and sorts within buckets
+    * only. The tile is then pure arithmetic — for 1-based rank r of n:
+    * ntile(k) ≡ floor((r−1)·k/n) + 1 — so the output is bit-equal to
+    * the single-window form the oracle runs.
+    */
+  def perplexityBuckets(scored: DataFrame, idCol: String,
+                        langCol: String, scoreCol: String,
+                        k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = scored
+      .withColumn("_b", floor(col(scoreCol) * 100).cast("long"))
+    val counts = keyed.groupBy(col(langCol), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val wDesc = Window.partitionBy(col(langCol)).orderBy(col("_b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_c")).over(wDesc), lit(0L)))
+      .withColumn("_n",
+        sum(col("_c")).over(Window.partitionBy(col(langCol))))
+      .drop("_c")
+    val labels = Seq("head", "middle", "tail")
+    val tile = (((col("_rank") - 1) * k / col("_n")).cast("long") + 1)
+      .cast("int")
+    keyed
+      .join(broadcast(offsets), Seq(langCol, "_b"))
+      .withColumn("_rank",
+        col("_off") + row_number().over(
+          Window.partitionBy(col(langCol), col("_b"))
+            .orderBy(col(scoreCol).desc, col(idCol))))
+      .withColumn("tile", tile)
+      .withColumn("bucket",
+        if (k == 3)
+          element_at(typedLit(labels), col("tile"))
+        else col("tile").cast("string"))
+      .drop("_b", "_off", "_n", "_rank")
+  }
 }

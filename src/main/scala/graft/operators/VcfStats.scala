@@ -93,6 +93,46 @@ object VcfStats {
         round((col("ibs2") + lit(0.5) * col("ibs1")) / col("n_sites"), 5))
   }
 
+  /** KING-robust kinship per sample pair (Manichaikul et al. 2010, the
+    * between-family estimator plink2 `--make-king` / hail `king()` use):
+    * over variants where BOTH samples are called,
+    *   φ̂ = 1/2 + (2·N_Aa,Aa − 4·N_AA,aa − N_Aa,i − N_Aa,j)
+    *              / (4·min(N_Aa,i, N_Aa,j))
+    * — duplicates/MZ twins ≈ 0.5, parent-child/full-sibs ≈ 0.25,
+    * unrelated ≈ 0. Unlike DST it needs no allele frequencies, so it is
+    * robust to population structure — the reason cohort QC
+    * (`samples.tsv` relatedness screens feeding ProHap's haplotype
+    * counting) prefers it. Plan: the exact [[ibsPairs]] shape — ONE
+    * variant-keyed self-join, one pair-keyed groupBy whose map-side
+    * partials ship five longs per pair; the φ arithmetic runs on the
+    * aggregated frame only. The S²·V caveat and its LD-prune/blocking
+    * prescriptions from [[ibsPairs]] apply unchanged.
+    * φ is null when either sample has zero hets over shared sites (the
+    * estimator is undefined; plink2 emits nan there too).
+    */
+  def kingKinship(gts: DataFrame): DataFrame = {
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def side(n: String) = gts
+      .select(col("varId"), col("sample").as(s"sample_$n"),
+        dosage(col("gt")).as(s"_d$n"))
+      .where(col(s"_d$n").isNotNull)
+    val da = col("_da"); val db = col("_db")
+    val minHet = least(col("n_het_a"), col("n_het_b"))
+    side("a").join(side("b"), "varId")
+      .where(col("sample_a") < col("sample_b"))
+      .groupBy("sample_a", "sample_b")
+      .agg(count(lit(1)).as("n_sites"),
+        cnt(da === 1 && db === 1).as("n_both_het"),
+        cnt((da - db) === 2 || (db - da) === 2).as("n_opp_hom"),
+        cnt(da === 1).as("n_het_a"),
+        cnt(db === 1).as("n_het_b"))
+      .withColumn("kinship",
+        when(minHet > 0, round(
+          (lit(2) * col("n_both_het") - lit(4) * col("n_opp_hom")
+            - col("n_het_a") - col("n_het_b"))
+            / (lit(4) * minHet) + lit(0.5), 5)))
+  }
+
   /** plink-mendel-style Mendelian-consistency check for trios on diploid
     * biallelic genotypes. `gts` is the long genotype matrix — one row per
     * (varId, chrom, pos, sample, gt); `trios` is (child, mother, father),

@@ -412,6 +412,33 @@ object Documents {
         "text", n = 8)
     }),
 
+    "d20_paragraph_dedup" -> ((s, dir) => {
+      // Dolma-style exact paragraph dedup over synthetic paged docs:
+      // every doc gets a shared header (from doc doc_id%7) and footer
+      // (from doc 10+doc_id%3) paragraph around its own text, so the
+      // boilerplate paragraphs collapse to one corpus-wide first
+      // occurrence while body text survives; first-wins order is
+      // (doc_id, paragraph index), mirrored by the oracle's row_number
+      val base = t(s, dir, "documents")
+      val hdr = base.where(col("doc_id") < 7)
+        .select(col("doc_id").as("_hb"),
+          concat(lit("HDR "), concat_ws(" ",
+            slice(split(col("text"), " "), 1, 8))).as("_hpara"))
+      val ftr = base.where(col("doc_id") >= 10 && col("doc_id") < 13)
+        .select(col("doc_id").as("_fb"),
+          concat(lit("FTR "), concat_ws(" ",
+            slice(split(col("text"), " "), 1, 6))).as("_fpara"))
+      val paged = spread(base)
+        .withColumn("_hb", pmod(col("doc_id"), lit(7)))
+        .withColumn("_fb", pmod(col("doc_id"), lit(3)) + 10)
+        .join(broadcast(hdr), Seq("_hb"))
+        .join(broadcast(ftr), Seq("_fb"))
+        .select(col("doc_id"),
+          concat_ws("\n\n", col("_hpara"), col("text"), col("_fpara"))
+            .as("text"))
+      Dedup.paragraphDedup(paged, "doc_id", "text")
+    }),
+
     "t12_dup_ratio" -> ((s, dir) => {
       // corpus-wide duplicated-gram fraction per doc (the filter signal
       // companion of d13's span coordinates)
@@ -686,6 +713,20 @@ object Documents {
       // Shared implementation with the Corpus -min_bigram_logp stage.
       graft.operators.LanguageModel.bigramScores(
         spread(t(s, dir, "documents")), "doc_id", "text")
+    }),
+
+    "t32_ccnet_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail: per-language perplexity terciles over
+      // t17's bigram-LM scores — exact two-phase rank (score-prefix
+      // buckets + broadcast offsets), no per-language total sort; tile
+      // arithmetic ≡ ntile(3), which is what the oracle runs
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.LanguageModel.bigramScores(
+        spread(docs), "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select("doc_id", "lang", "avg_logp")
+      graft.operators.LanguageModel.perplexityBuckets(
+        scored, "doc_id", "lang", "avg_logp")
     }),
 
     "t18_bpe_train" -> ((s, dir) => {
@@ -1438,6 +1479,42 @@ object Documents {
         |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
         |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
 
+    "d20_paragraph_dedup" ->
+      """WITH hdr AS (
+        |  SELECT doc_id AS hb,
+        |    'HDR ' || array_to_string((str_split(text, ' '))[1:8], ' ')
+        |      AS hpara
+        |  FROM documents WHERE doc_id < 7),
+        |ftr AS (
+        |  SELECT doc_id AS fb,
+        |    'FTR ' || array_to_string((str_split(text, ' '))[1:6], ' ')
+        |      AS fpara
+        |  FROM documents WHERE doc_id >= 10 AND doc_id < 13),
+        |paged AS (
+        |  SELECT d.doc_id,
+        |    h.hpara || chr(10) || chr(10) || d.text || chr(10) || chr(10)
+        |      || f.fpara AS text
+        |  FROM documents d
+        |  JOIN hdr h ON h.hb = d.doc_id % 7
+        |  JOIN ftr f ON f.fb = d.doc_id % 3 + 10),
+        |paras AS (
+        |  SELECT doc_id,
+        |    unnest(str_split(text, chr(10) || chr(10))) AS para,
+        |    unnest(range(1, len(str_split(text, chr(10) || chr(10))) + 1))
+        |      AS idx
+        |  FROM paged),
+        |rn AS (
+        |  SELECT doc_id, idx, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, idx)
+        |      AS rn
+        |  FROM paras)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+        |    chr(10) || chr(10) ORDER BY idx), '') AS text_dedup
+        |FROM rn GROUP BY 1""".stripMargin,
+
     "d19_graph_bfs" ->
       """WITH RECURSIVE e AS MATERIALIZED (
         |  SELECT doc_id // 2 AS src, doc_id AS dst FROM documents
@@ -1776,6 +1853,39 @@ object Documents {
         |  round(list_reduce(list(lp ORDER BY pos), (a, b) -> a + b)
         |    / count(*), 4) AS avg_logp
         |FROM lp GROUP BY doc_id""".stripMargin,
+
+    "t32_ccnet_buckets" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2
+        |  FROM (SELECT doc_id,
+        |          unnest([{'pos': i, 'w1': l[i], 'w2': l[i + 1]}
+        |            for i in range(1, len(l))]) AS u
+        |        FROM ws WHERE len(l) >= 2)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |lp AS (
+        |  SELECT doc_id, pos, ln(c2.c2 / c1.c1) AS lp
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(list_reduce(list(lp ORDER BY pos), (a, b) -> a + b)
+        |      / count(*), 4) AS avg_logp
+        |  FROM lp GROUP BY doc_id),
+        |j AS (
+        |  SELECT s.doc_id, d.lang, s.avg_logp
+        |  FROM sc s JOIN documents d USING (doc_id)),
+        |tl AS (
+        |  SELECT doc_id, lang, avg_logp,
+        |    CAST(ntile(3) OVER (PARTITION BY lang
+        |      ORDER BY avg_logp DESC, doc_id) AS INT) AS tile
+        |  FROM j)
+        |SELECT doc_id, lang, avg_logp, tile,
+        |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM tl""".stripMargin,
 
     "t15_classifier_score" ->
       """WITH wt AS (

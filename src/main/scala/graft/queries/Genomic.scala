@@ -367,6 +367,16 @@ object Genomic {
         .where(col("chrom") =!= "X"))
     }),
 
+    "g33_king" -> ((s, _) => {
+      // plink2 --make-king: KING-robust kinship — the allele-frequency-
+      // free relatedness estimator (structure-robust, unlike g31's DST);
+      // identical pair-scan plan: one variant-keyed self-join, one
+      // pair-keyed conditional-sum groupBy (five longs per pair partial)
+      prep(s)
+      graft.operators.VcfStats.kingKinship(gtsWithVarId(s)
+        .where(col("chrom") =!= "X"))
+    }),
+
     "g17_roh" -> ((s, _) => {
       // plink --homozyg-lite: per (sample, chrom) maximal runs of >= 2
       // consecutive homozygous calls — gaps-and-islands on ONE
@@ -1562,6 +1572,45 @@ object Genomic {
          |  FROM p GROUP BY 1, 2)
          |SELECT sample_a, sample_b, n_sites, ibs0, ibs1, ibs2,
          |  round((ibs2 + 0.5 * ibs1) / n_sites, 5) AS dst
+         |FROM c""".stripMargin,
+
+    "g33_king" ->
+      s"""WITH g AS (
+         |  SELECT id || ':' || alt AS vid,
+         |    unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM ${pq("vcf_norm")} WHERE chrom <> 'X'),
+         |dd AS (
+         |  SELECT vid, 'S' || si AS sample,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) END AS dd
+         |  FROM g),
+         |p AS (
+         |  SELECT a.sample AS sample_a, b.sample AS sample_b,
+         |    a.dd AS da, b.dd AS db
+         |  FROM dd a JOIN dd b
+         |    ON a.vid = b.vid AND a.sample < b.sample
+         |  WHERE a.dd IS NOT NULL AND b.dd IS NOT NULL),
+         |c AS (
+         |  SELECT sample_a, sample_b,
+         |    CAST(count(*) AS BIGINT) AS n_sites,
+         |    CAST(sum(CASE WHEN da = 1 AND db = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_both_het,
+         |    CAST(sum(CASE WHEN abs(da - db) = 2 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_opp_hom,
+         |    CAST(sum(CASE WHEN da = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_het_a,
+         |    CAST(sum(CASE WHEN db = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_het_b
+         |  FROM p GROUP BY 1, 2)
+         |SELECT sample_a, sample_b, n_sites, n_both_het, n_opp_hom,
+         |  n_het_a, n_het_b,
+         |  CASE WHEN least(n_het_a, n_het_b) > 0 THEN
+         |    round((2.0 * n_both_het - 4.0 * n_opp_hom - n_het_a
+         |           - n_het_b) / (4.0 * least(n_het_a, n_het_b)) + 0.5, 5)
+         |  END AS kinship
          |FROM c""".stripMargin,
 
     "g25_missingness" ->

@@ -551,4 +551,35 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("u1") == (("female", false)),
       "no declared sex -> never a mismatch")
   }
+
+  test("kingKinship: duplicate samples -> 0.5, opposite homozygotes " +
+    "push negative, zero-het pair -> null") {
+    val s = spark
+    import s.implicits._
+    // a and b identical (3 sites incl. 1 het) -> phi = 0.5 exactly;
+    // a vs c: 1 both-het, 1 opp-hom, hets (2,1) ->
+    //   (2*1 - 4*1 - 2 - 1)/(4*1) + 0.5 = -5/4 + 0.5 = -0.75;
+    // a vs d: d has no hets -> kinship null; missing call at v3 for d
+    // drops that site from (a,d)'s n_sites
+    val gts = Seq(
+      ("v1", "a", "0|1"), ("v1", "b", "0|1"), ("v1", "c", "0|1"),
+      ("v1", "d", "0|0"),
+      ("v2", "a", "0|0"), ("v2", "b", "0|0"), ("v2", "c", "1|1"),
+      ("v2", "d", "0|0"),
+      ("v3", "a", "0|1"), ("v3", "b", "0|1"), ("v3", "c", "0|0"),
+      ("v3", "d", ".|."))
+      .map { case (v, sm, gt) => (v, "1", 10L, sm, gt) }
+      .toDF("varId", "chrom", "pos", "sample", "gt")
+    val out = VcfStats.kingKinship(gts).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("a", "b"))
+    assert(ab.getLong(2) == 3 && ab.getDouble(7) == 0.5)
+    val ac = out(("a", "c"))
+    assert(ac.getLong(3) == 1 && ac.getLong(4) == 1 &&
+      ac.getLong(5) == 2 && ac.getLong(6) == 1)
+    assert(ac.getDouble(7) == -0.75)
+    val ad = out(("a", "d"))
+    assert(ad.getLong(2) == 2 && ad.isNullAt(7),
+      "zero-het side must yield null kinship over the 2 shared sites")
+  }
 }
