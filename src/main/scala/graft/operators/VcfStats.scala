@@ -133,6 +133,110 @@ object VcfStats {
             / (lit(4) * minHet) + lit(0.5), 5)))
   }
 
+  /** plink `--make-grm` / GCTA-style genetic relationship matrix: for
+    * sample pair (a,b), G_ab = (1/V)·Σ_v z_va·z_vb where z is the
+    * variant-standardized ALT dosage (mean-imputed at missing calls, so
+    * z = 0 there — the GCTA convention), p estimated from called
+    * samples, monomorphic variants dropped (sd = 0). The GRM is the
+    * input to genotype PCA (population-structure axes), mixed-model
+    * association and heritability estimation.
+    *
+    * Cross-engine exactness without sorted folds: z is built from
+    * integer dosages by correctly-rounded IEEE ops only (no
+    * reassociation), so both engines hold bit-identical doubles; it is
+    * then SCALED TO AN INTEGER (round(z·10^6) as long), making every
+    * pair partial Σ z6·z6 an exact integer sum — order-independent in
+    * any aggregation plan — with the single double division/round
+    * deferred to the aggregated frame. d11's sorted-fold alternative
+    * exists for when 6 decimals aren't enough; they are here.
+    *
+    * Plan: one groupBy(varId) for the per-variant stats, one varId-keyed
+    * join back (co-partitioned with the pair join's own exchange), then
+    * the [[ibsPairs]] self-join + pair-keyed sum — one long per pair per
+    * task; products are summed as decimal(38,0) so biobank-scale V
+    * cannot overflow. The S²·V caveat and the LD-prune prescription from
+    * [[ibsPairs]] apply; the diagonal is included (a GRM is S×S).
+    */
+  def grmPairs(gts: DataFrame): DataFrame = {
+    val d = dosage(col("gt"))
+    val stats = gts
+      .select(col("varId"), d.as("_d"))
+      .groupBy("varId")
+      .agg(count(col("_d")).as("_n"), sum(col("_d")).as("_sd"))
+      .withColumn("_p", col("_sd") / (lit(2.0) * col("_n")))
+      .where(col("_p") > 0 && col("_p") < 1)
+      .select("varId", "_p")
+    val z = gts
+      .join(stats, Seq("varId"))
+      .withColumn("_z", when(d.isNull, lit(0.0))
+        .otherwise((d - lit(2.0) * col("_p"))
+          / sqrt(lit(2.0) * col("_p") * (lit(1.0) - col("_p")))))
+      .select(col("varId"), col("sample"),
+        round(col("_z") * 1e6).cast("long").as("_z6"))
+    val nVar = stats.count()
+    z.select(col("varId"), col("sample").as("sample_a"),
+        col("_z6").as("_za"))
+      .join(z.select(col("varId"), col("sample").as("sample_b"),
+        col("_z6").as("_zb")), Seq("varId"))
+      .where(col("sample_a") <= col("sample_b"))
+      .groupBy("sample_a", "sample_b")
+      .agg(sum((col("_za") * col("_zb")).cast("decimal(38,0)"))
+        .as("_s"))
+      .select(col("sample_a"), col("sample_b"),
+        round(col("_s").cast("double") / 1e12 / nVar, 5).as("grm"))
+  }
+
+  /** Genotype PCA from [[grmPairs]]' GRM: top-k eigenpairs by power
+    * iteration with deflation. The S×S matrix is metadata-scale by the
+    * operator's own contract (plink/GCTA materialize the GRM too), so
+    * the eigen solve runs on the driver; the data-scale work — V·S
+    * standardized products — stayed distributed in [[grmPairs]].
+    * Deterministic: fixed iteration count, a fixed IRREGULAR start
+    * vector (Knuth-hash per index — a uniform start is exactly
+    * orthogonal to the leading eigenvector of any balanced two-block
+    * GRM, the most common population split, and power iteration never
+    * leaves it), sign fixed so the largest-|loading| entry is positive.
+    * Returns (sample, pc, loading, eigenvalue).
+    */
+  def pcaFromGrm(grm: DataFrame, topK: Int = 2,
+                 iters: Int = 50): DataFrame = {
+    val rows = grm.collect()
+    val samples = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted
+    val idx = samples.zipWithIndex.toMap
+    val s = samples.length
+    val m = Array.ofDim[Double](s, s)
+    rows.foreach { r =>
+      val (a, b, g) = (idx(r.getString(0)), idx(r.getString(1)),
+        r.getDouble(2))
+      m(a)(b) = g; m(b)(a) = g
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Int, Double, Double)]
+    for (k <- 1 to math.min(topK, s)) {
+      var v = Array.tabulate(s)(i =>
+        ((i * 2654435761L) % 1000L).toDouble / 1000.0 + 0.5)
+      val n0 = math.sqrt(v.map(x => x * x).sum)
+      v = v.map(_ / n0)
+      var lambda = 0.0
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(s)(i =>
+          (0 until s).map(j => m(i)(j) * v(j)).sum)
+        val n = math.sqrt(w.map(x => x * x).sum)
+        if (n > 1e-12) { v = w.map(_ / n); lambda = n }
+      }
+      val top = v.indices.maxBy(i => math.abs(v(i)))
+      if (v(top) < 0) v = v.map(x => -x)
+      for (i <- 0 until s)
+        out += ((samples(i), k, v(i), lambda))
+      for (i <- 0 until s; j <- 0 until s)
+        m(i)(j) -= lambda * v(i) * v(j)
+    }
+    val sp = grm.sparkSession
+    import sp.implicits._
+    out.toSeq.toDF("sample", "pc", "loading", "eigenvalue")
+  }
+
   /** plink-mendel-style Mendelian-consistency check for trios on diploid
     * biallelic genotypes. `gts` is the long genotype matrix — one row per
     * (varId, chrom, pos, sample, gt); `trios` is (child, mother, father),

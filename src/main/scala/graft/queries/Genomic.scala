@@ -377,6 +377,16 @@ object Genomic {
         .where(col("chrom") =!= "X"))
     }),
 
+    "g32_grm" -> ((s, _) => {
+      // plink --make-grm / GCTA GRM: variant-standardized dosage Gram
+      // matrix (incl. diagonal) — the genotype-PCA / mixed-model input;
+      // integer-scaled z keeps pair sums order-independent (no sorted
+      // fold), pair scan is g31's plan with one extra varId-keyed join
+      prep(s)
+      graft.operators.VcfStats.grmPairs(gtsWithVarId(s)
+        .where(col("chrom") =!= "X"))
+    }),
+
     "g17_roh" -> ((s, _) => {
       // plink --homozyg-lite: per (sample, chrom) maximal runs of >= 2
       // consecutive homozygous calls — gaps-and-islands on ONE
@@ -1573,6 +1583,37 @@ object Genomic {
          |SELECT sample_a, sample_b, n_sites, ibs0, ibs1, ibs2,
          |  round((ibs2 + 0.5 * ibs1) / n_sites, 5) AS dst
          |FROM c""".stripMargin,
+
+    "g32_grm" ->
+      s"""WITH g AS (
+         |  SELECT id || ':' || alt AS vid,
+         |    unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM ${pq("vcf_norm")} WHERE chrom <> 'X'),
+         |dd AS (
+         |  SELECT vid, 'S' || si AS sample,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) END AS dd
+         |  FROM g),
+         |st AS (
+         |  SELECT vid, sum(dd) / (2.0 * count(dd)) AS p
+         |  FROM dd GROUP BY vid
+         |  HAVING sum(dd) / (2.0 * count(dd)) > 0
+         |     AND sum(dd) / (2.0 * count(dd)) < 1),
+         |z AS (
+         |  SELECT dd.vid, dd.sample,
+         |    CAST(round((CASE WHEN dd.dd IS NULL THEN 0.0
+         |      ELSE (dd.dd - 2.0 * st.p)
+         |           / sqrt(2.0 * st.p * (1.0 - st.p)) END) * 1e6)
+         |      AS BIGINT) AS z6
+         |  FROM dd JOIN st USING (vid))
+         |SELECT a.sample AS sample_a, b.sample AS sample_b,
+         |  round(CAST(sum(a.z6 * b.z6) AS DOUBLE) / 1e12
+         |    / (SELECT count(*) FROM st), 5) AS grm
+         |FROM z a JOIN z b ON a.vid = b.vid AND a.sample <= b.sample
+         |GROUP BY 1, 2""".stripMargin,
 
     "g33_king" ->
       s"""WITH g AS (

@@ -552,6 +552,35 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no declared sex -> never a mismatch")
   }
 
+  test("grmPairs + pcaFromGrm: duplicate pairs equal the diagonal, " +
+    "opposite blocks go negative, PC1 separates the blocks") {
+    val s = spark
+    import s.implicits._
+    // two 2-sample blocks with opposite homozygous genotypes at 4
+    // variants -> p = 0.5 everywhere; within-block grm == diagonal,
+    // cross-block == -diagonal; PC1 loadings split the blocks by sign
+    val gts = (for {
+      v <- Seq("v1", "v2", "v3", "v4")
+      (sm, gt) <- Seq("a" -> "0|0", "b" -> "0|0",
+        "c" -> "1|1", "d" -> "1|1")
+    } yield (v, "1", 10L, sm, gt))
+      .toDF("varId", "chrom", "pos", "sample", "gt")
+    val grm = VcfStats.grmPairs(gts)
+    val g = grm.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(g.size == 10, "4 samples -> 10 upper-triangle pairs")
+    assert(g(("a", "a")) == g(("a", "b")) && g(("c", "d")) == g(("a", "a")),
+      "identical samples must tie the diagonal")
+    assert(g(("a", "c")) == -g(("a", "a")),
+      "opposite homozygotes at p=0.5 mirror the diagonal")
+    assert(g(("a", "a")) > 1.9 && g(("a", "a")) < 2.1)
+    val pcs = VcfStats.pcaFromGrm(grm, topK = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(pcs("a") * pcs("b") > 0 && pcs("c") * pcs("d") > 0,
+      "within-block loadings share sign")
+    assert(pcs("a") * pcs("c") < 0, "PC1 must separate the blocks")
+  }
+
   test("kingKinship: duplicate samples -> 0.5, opposite homozygotes " +
     "push negative, zero-het pair -> null") {
     val s = spark
