@@ -43,6 +43,54 @@ object Intervals {
       .drop("_island")
   }
 
+  /** bedtools multiinter: partition each key's axis into the ATOMIC
+    * segments between consecutive breakpoints of N labeled interval
+    * sets and report, per segment, how many and which sets cover it
+    * (segments no set covers are omitted, like bedtools). The
+    * common-regions query (`n_sets = N`), the unique-to-one-set query
+    * and the combinatorial overlap profile all read straight off the
+    * output.
+    *
+    * Plan: each set union-merges first ([[merge]] keyed (keys, set) —
+    * one exchange), so membership is point-in-disjoint-interval;
+    * breakpoints (starts ∪ ends+1, distinct) walk to segments with one
+    * lead window per key — ENDPOINT-scale, the documented per-chromosome
+    * sweep contract (g7) — and segment↔set membership is the binned
+    * overlap join (a segment never straddles a merged-interval edge, so
+    * overlap == containment), aggregated per segment with a sorted
+    * collect_set. No cross-set product anywhere: work is
+    * O(endpoints · log + segments · avg-coverage).
+    */
+  def multiinter(sets: Seq[(String, DataFrame)],
+                 keys: Seq[String] = Seq("chrom"),
+                 binSize: Long = 10000L): DataFrame = {
+    require(sets.nonEmpty, "multiinter needs at least one interval set")
+    val kc = keys.map(col)
+    val all = sets.map { case (name, df) =>
+      df.select(kc :+ lit(name).as("_set") :+ col("start")
+        :+ col("end"): _*)
+    }.reduce(_ unionByName _)
+    val m = merge(all, keys :+ "_set")
+      .select(kc :+ col("_set") :+ col("merged_start").as("start2")
+        :+ col("merged_end").as("end2"): _*)
+    val bp = m.select(kc :+ col("start2").as("pos"): _*)
+      .unionByName(m.select(kc :+ (col("end2") + 1).as("pos"): _*))
+      .distinct()
+    val w = Window.partitionBy(kc: _*).orderBy(col("pos"))
+    val segs = bp
+      .withColumn("_next", lead(col("pos"), 1).over(w))
+      .where(col("_next").isNotNull)
+      .select(kc :+ col("pos").as("start")
+        :+ (col("_next") - 1).as("end"): _*)
+    IntervalJoin.overlapJoin(segs, m, keys, binSize)
+      .groupBy(kc :+ col("start") :+ col("end"): _*)
+      // per-set merge makes intervals disjoint within a set, so a
+      // segment meets each set at most once: plain count == distinct
+      // count, without the expand a countDistinct would plan
+      .agg(count(lit(1)).as("n_sets"),
+        array_join(array_sort(collect_set(col("_set"))), ";").as("sets"))
+  }
+
   /** bedtools complement: the regions of each key's bounded span NOT
     * covered by any interval (intergenic space). `bounds` is the genome
     * table — one row per key: keys, bound_start, bound_end (bedtools'

@@ -299,6 +299,28 @@ object Genomic {
       graft.operators.Intervals.complement(iv, bounds)
     }),
 
+    "g34_multiinter" -> ((s, _) => {
+      // bedtools multiinter: atomic segments between the breakpoints of
+      // three labeled sets (transcripts / exons / reads) with which sets
+      // cover each — per-set merge (one exchange), endpoint-scale lead
+      // window, binned overlap membership join; no cross-set product
+      prep(s)
+      val gtf = s.read.parquet(s"$fx/gtf.parquet")
+      val tx = gtf.where(col("feature") === "transcript")
+        .select(col("seqname").as("chrom"), col("start"), col("end"))
+      val ex = s.read.parquet(s"$fx/exons.parquet")
+        .select(col("chrom"), col("start"), col("end"))
+      val reads = graft.sources.Sam
+        .read(s, s"${GenomicFixtures.rawDir}/aligned.sam")
+        .where(col("pos").isNotNull && !col("is_secondary") &&
+          !col("is_dup"))
+        .select(col("rname").as("chrom"), col("pos").as("start"),
+          col("ref_end").as("end"))
+      graft.operators.Intervals.multiinter(
+        Seq("tx" -> tx, "exons" -> ex, "reads" -> reads),
+        Seq("chrom"), binSize = 20)
+    }),
+
     "g30_interval_jaccard" -> ((s, _) => {
       // bedtools jaccard: read-set vs exon-set similarity in covered
       // basepairs — both sides union-merge, clipped intersection sums
@@ -839,6 +861,70 @@ object Genomic {
          |FROM (SELECT * FROM gaps WHERE o_s <= o_e
          |      UNION ALL SELECT * FROM tails
          |      UNION ALL SELECT * FROM untouched)""".stripMargin,
+
+    "g34_multiinter" ->
+      s"""WITH lines AS (
+         |  SELECT unnest(string_split(content, chr(10))) AS l
+         |  FROM read_text('$raw/aligned.sam')),
+         |a AS (
+         |  SELECT string_split(l, chr(9)) AS f FROM lines
+         |  WHERE len(trim(l)) > 0 AND NOT starts_with(l, '@')),
+         |reads AS (
+         |  SELECT nullif(f[3], '*') AS chrom,
+         |    nullif(CAST(f[4] AS BIGINT), 0) AS s,
+         |    nullif(CAST(f[4] AS BIGINT), 0) + CAST(list_sum(
+         |      list_transform(
+         |        regexp_extract_all(f[6], '(\\d+)([MIDNSHP=X])', 0),
+         |        tok -> CASE WHEN right(tok, 1) IN
+         |            ('M', 'D', 'N', '=', 'X')
+         |          THEN CAST(regexp_extract(tok, '(\\d+)', 1) AS BIGINT)
+         |          ELSE 0 END)) AS BIGINT) - 1 AS e
+         |  FROM a
+         |  WHERE nullif(CAST(f[4] AS BIGINT), 0) IS NOT NULL
+         |    AND (CAST(f[2] AS INT) & 256) = 0
+         |    AND (CAST(f[2] AS INT) & 1024) = 0),
+         |allsets AS (
+         |  SELECT 'tx' AS st, seqname AS chrom, CAST(start AS BIGINT)
+         |      AS s, CAST("end" AS BIGINT) AS e
+         |  FROM ${pq("gtf")} WHERE feature = 'transcript'
+         |  UNION ALL
+         |  SELECT 'exons', chrom, CAST(start AS BIGINT),
+         |    CAST("end" AS BIGINT)
+         |  FROM ${pq("exons")}
+         |  UNION ALL
+         |  SELECT 'reads', chrom, s, e FROM reads),
+         |o AS (
+         |  SELECT st, chrom, s, e,
+         |    max(e) OVER (PARTITION BY chrom, st ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM allsets),
+         |i AS (
+         |  SELECT st, chrom, s, e,
+         |    sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY chrom, st ORDER BY s, e
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS island
+         |  FROM o),
+         |m AS (
+         |  SELECT st, chrom, min(s) AS ms, max(e) AS me
+         |  FROM i GROUP BY st, chrom, island),
+         |bp AS (
+         |  SELECT DISTINCT chrom, pos FROM (
+         |    SELECT chrom, ms AS pos FROM m
+         |    UNION ALL SELECT chrom, me + 1 FROM m)),
+         |seg AS (
+         |  SELECT chrom, pos AS s,
+         |    lead(pos) OVER (PARTITION BY chrom ORDER BY pos) - 1 AS e
+         |  FROM bp),
+         |hit AS (
+         |  SELECT g.chrom, g.s, g.e, m.st
+         |  FROM seg g JOIN m ON g.chrom = m.chrom
+         |    AND g.s <= m.me AND m.ms <= g.e
+         |  WHERE g.e IS NOT NULL)
+         |SELECT chrom, s AS start, e AS "end",
+         |  CAST(count(*) AS BIGINT) AS n_sets,
+         |  string_agg(st, ';' ORDER BY st) AS sets
+         |FROM hit GROUP BY 1, 2, 3""".stripMargin,
 
     "g29_complement" ->
       s"""WITH iv AS (

@@ -552,6 +552,26 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no declared sex -> never a mismatch")
   }
 
+  test("multiinter: atomic segments, uncovered gaps omitted, " +
+    "within-set overlap pre-merged") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(("1", 1L, 8L), ("1", 6L, 10L)) // overlapping -> [1,10]
+      .toDF("chrom", "start", "end")
+    val b = Seq(("1", 5L, 20L)).toDF("chrom", "start", "end")
+    val c = Seq(("1", 30L, 35L)).toDF("chrom", "start", "end")
+    val out = graft.operators.Intervals.multiinter(
+      Seq("A" -> a, "B" -> b, "C" -> c), Seq("chrom"), binSize = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getString(4)))).toMap
+    assert(out == Map(
+      (1L, 4L) -> ((1L, "A")),
+      (5L, 10L) -> ((2L, "A;B")),
+      (11L, 20L) -> ((1L, "B")),
+      (30L, 35L) -> ((1L, "C"))),
+      s"got $out — the uncovered [21,29] gap must be absent")
+  }
+
   test("grmPairs + pcaFromGrm: duplicate pairs equal the diagonal, " +
     "opposite blocks go negative, PC1 separates the blocks") {
     val s = spark
