@@ -375,6 +375,25 @@ object Bench {
               .otherwise("0|0").as("gt"))
         graft.operators.VcfStats.ibsPairs(gts).count()
       }),
+      // GRM at the same ~34M-pair-row volume as ibsx: the extra cost
+      // over IBS is one variant-keyed stats groupBy + one varId join
+      // before the identical pair scan — integer z6 partials keep the
+      // pair aggregation a single long per pair
+      "grmx_grm_scale" -> (() => {
+        val gts = spark.range(nDocs / 8).select(col("id").as("vnum"))
+          .crossJoin(spark.range(48).select(col("id").as("snum")))
+          .select(
+            concat(lit("v"), col("vnum")).as("varId"),
+            concat(lit("S"), col("snum")).as("sample"),
+            when(pmod(hash(col("vnum"), col("snum")), lit(5)) === 0,
+              "1|1")
+              .when(pmod(hash(col("vnum"), col("snum")), lit(5)) === 1,
+                "0|1")
+              .when(pmod(hash(col("vnum"), col("snum")), lit(11)) === 2,
+                ".|.")
+              .otherwise("0|0").as("gt"))
+        graft.operators.VcfStats.grmPairs(gts).count()
+      }),
       "hx_haplo_scale" -> (() => {
         val gts = spark.range(nDocs).select(col("id").as("snum"))
           .crossJoin(spark.range(200).select(col("id").as("vnum")))
