@@ -52,6 +52,80 @@ object AsOfJoin {
     asof(left, right, key, leftTs, rightTs, payload, rightTieBreak,
       allowExact, forward = true)
 
+  /** Nearest as-of: each left row attaches the right row with the
+    * smallest |rightTs − leftTs| in either direction (`bedtools
+    * closest` in time; pandas `merge_asof(direction='nearest')`).
+    * Equidistant candidates — including exact-ts matches — resolve to
+    * the BACKWARD side, whose (key, ts) duplicates resolve to the max
+    * tie-break as in [[asofBackward]]; forward duplicates to the min.
+    *
+    * Plan: the same union+side-tag frame evaluated under BOTH walk
+    * directions as two window functions over ONE partitioning — Spark
+    * plans a single hash exchange on the key with two in-partition
+    * sorts (asc, desc), so the cost over a one-direction as-of is one
+    * extra sort, not a shuffle. The winner pick is per-row column
+    * arithmetic on the two candidate structs (each carries its matched
+    * ts), nothing re-crosses the wire.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String, payload: Seq[String],
+                  rightTieBreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // the equidistant tie must be decided EXACTLY (an equidistant pair
+    // off by one double ulp would flip the winner vs an integer-interval
+    // engine): timestamps compare in integral microseconds, integral ts
+    // stay integral; only a genuinely fractional numeric ts rides double
+    def num(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case _: org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(c.cast("timestamp"))
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => c.cast("long")
+        case _ => c.cast("double")
+      }
+    val rTagged = right.select(
+      col(key) +: col(rightTs).as("_ts") +: lit(0).as("_side") +:
+        col(rightTieBreak).as("_tie") +:
+        struct(payload.map(col) :+
+          num(col(rightTs), right.schema(rightTs).dataType).as("_rts"):
+          _*).as("_pay") +:
+        leftCols.filterNot(_ == key).map(c => lit(null).as(c)): _*)
+    val lTagged = left.select(
+      col(key) +: col(leftTs).as("_ts") +: lit(1).as("_side") +:
+        lit(null).as("_tie") +:
+        lit(null).cast(rTagged.schema("_pay").dataType).as("_pay") +:
+        leftCols.filterNot(_ == key).map(col): _*)
+    val wB = Window.partitionBy(col(key))
+      .orderBy(col("_ts").asc, col("_side").asc,
+        col("_tie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col(key))
+      .orderBy(col("_ts").desc, col("_side").asc,
+        col("_tie").desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rTagged.unionByName(lTagged)
+      .select(col(key) +: col("_ts") +: col("_side") +:
+        last(col("_pay"), ignoreNulls = true).over(wB).as("_payB") +:
+        last(col("_pay"), ignoreNulls = true).over(wF).as("_payF") +:
+        leftCols.filterNot(_ == key).map(col): _*)
+    val lNum = num(col("_ts"), left.schema(leftTs).dataType)
+    val distB = lNum - col("_payB._rts")
+    val distF = col("_payF._rts") - lNum
+    val nearest = when(col("_payB").isNull, col("_payF"))
+      .when(col("_payF").isNull, col("_payB"))
+      .when(distB <= distF, col("_payB"))
+      .otherwise(col("_payF"))
+    filled.where(col("_side") === 1)
+      .withColumn("_win", nearest)
+      .select(leftCols.map {
+        case c if c == leftTs => col("_ts").as(leftTs)
+        case c => col(c)
+      } ++ payload.map(c => col(s"_win.$c").as(c)): _*)
+  }
+
   private def asof(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String, payload: Seq[String],
                    rightTieBreak: String, allowExact: Boolean,

@@ -117,6 +117,22 @@ object Streaming {
         rightTieBreak = "next_view_id")
     }),
 
+    "q33_asof_nearest" -> ((s, dir) => {
+      // nearest as-of (merge_asof direction='nearest'): each purchase
+      // attaches the closest view in EITHER time direction, equidistant
+      // -> backward; both walk directions evaluate as two windows over
+      // ONE key exchange (one extra sort, no extra shuffle vs q14)
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      graft.operators.AsOfJoin.asofNearest(purchases, views,
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        payload = Seq("view_id", "view_value"), rightTieBreak = "view_id")
+    }),
+
     "q15_hll_distinct" -> ((s, dir) => {
       // portable HyperLogLog distinct users per event type (md5 register
       // math the DuckDB oracle reproduces exactly) next to the exact count
@@ -466,6 +482,42 @@ object Streaming {
         |  v.next_view_id, v.next_view_value
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND v.ts >= p.ts""".stripMargin,
+
+    "q33_asof_nearest" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |v0 AS (
+        |  SELECT user_id, ts, event_id AS view_id, value AS view_value
+        |  FROM events WHERE event_type = 'view'),
+        |vb AS (
+        |  SELECT user_id, ts, view_id, view_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY view_id DESC) AS rn FROM v0)
+        |  WHERE rn = 1),
+        |vf AS (
+        |  SELECT user_id, ts, view_id, view_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY view_id) AS rn FROM v0)
+        |  WHERE rn = 1),
+        |b AS (
+        |  SELECT p.event_id, p.user_id, p.ts, p.value,
+        |    v.ts AS bts, v.view_id AS bid, v.view_value AS bval
+        |  FROM p ASOF LEFT JOIN vb v
+        |    ON p.user_id = v.user_id AND v.ts <= p.ts),
+        |f AS (
+        |  SELECT p.event_id,
+        |    v.ts AS fts, v.view_id AS fid, v.view_value AS fval
+        |  FROM p ASOF LEFT JOIN vf v
+        |    ON p.user_id = v.user_id AND v.ts >= p.ts)
+        |SELECT b.event_id, b.user_id, b.ts, b.value,
+        |  CASE WHEN fts IS NULL THEN bid WHEN bts IS NULL THEN fid
+        |    WHEN (b.ts - bts) <= (fts - b.ts) THEN bid ELSE fid END
+        |    AS view_id,
+        |  CASE WHEN fts IS NULL THEN bval WHEN bts IS NULL THEN fval
+        |    WHEN (b.ts - bts) <= (fts - b.ts) THEN bval ELSE fval END
+        |    AS view_value
+        |FROM b JOIN f USING (event_id)""".stripMargin,
 
     "q34_hll_setops" ->
       """WITH b AS (

@@ -86,6 +86,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(strict(1L) == Some(13L))
   }
 
+  test("nearest as-of: closer side wins, equidistant -> backward, " +
+    "exact match beats both, one-sided rows fall through") {
+    val s = spark
+    import s.implicits._
+    val trades = Seq((1L, "k", 100L), (2L, "k", 140L), (3L, "k", 10L),
+      (4L, "k", 290L), (5L, "x", 50L)).toDF("trade_id", "sym", "t")
+    val quotes = Seq(("k", 90L, 10L), ("k", 150L, 11L), ("k", 150L, 14L),
+      ("k", 300L, 13L)).toDF("sym", "t", "quote_id")
+    val out = AsOfJoin.asofNearest(trades, quotes, "sym", "t", "t",
+      Seq("quote_id"), rightTieBreak = "quote_id")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    // t=100: back 90 (d=10) beats fwd 150 (d=50)
+    assert(out(1L) == Some(10L))
+    // t=140: fwd 150 (d=10) beats back 90 (d=50); forward dup -> MIN id
+    assert(out(2L) == Some(11L))
+    // t=10: nothing behind -> forward side
+    assert(out(3L) == Some(10L))
+    // t=290: equidistant never arises here; fwd 300 (d=10) vs 150
+    assert(out(4L) == Some(13L))
+    // sym x: no quotes at all
+    assert(out(5L) == None)
+    // equidistant: back 100 and fwd 200 both d=50 -> BACKWARD wins
+    val eq = AsOfJoin.asofNearest(
+      Seq((9L, "k", 150L)).toDF("trade_id", "sym", "t"),
+      Seq(("k", 100L, 1L), ("k", 200L, 2L)).toDF("sym", "t", "quote_id"),
+      "sym", "t", "t", Seq("quote_id"), rightTieBreak = "quote_id")
+      .collect()(0)
+    assert(eq.getLong(3) == 1L, "equidistant must resolve backward")
+  }
+
   test("as-of payload fields all come from the SAME right row (nulls)") {
     val s = spark
     import s.implicits._
