@@ -715,6 +715,17 @@ object Documents {
         spread(t(s, dir, "documents")), "doc_id", "text")
     }),
 
+    "t33_backoff_lm" -> ((s, dir) => {
+      // stupid-backoff trigram LM (Brants et al. 2007 — the smoothing
+      // designed for distributed count tables): trained on the even half
+      // of the corpus, scored over ALL docs so held-out trigrams
+      // exercise the α-backoff chain; n_backoff is the OOD signal
+      val docs = t(s, dir, "documents")
+      graft.operators.LanguageModel.stupidBackoffScores(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        spread(docs), "doc_id", "text")
+    }),
+
     "t32_ccnet_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail: per-language perplexity terciles over
       // t17's bigram-LM scores — exact two-phase rank (score-prefix
@@ -1850,6 +1861,57 @@ object Documents {
         |  SELECT doc_id, pos, ln(c2.c2 / c1.c1) AS lp
         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
         |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(list_reduce(list(lp ORDER BY pos), (a, b) -> a + b)
+        |    / count(*), 4) AS avg_logp
+        |FROM lp GROUP BY doc_id""".stripMargin,
+
+    "t33_backoff_lm" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2,
+        |    u.w3 AS w3
+        |  FROM (SELECT doc_id,
+        |          unnest([{'pos': i, 'w1': l[i], 'w2': l[i + 1],
+        |            'w3': l[i + 2]} for i in range(1, len(l) - 1)]) AS u
+        |        FROM ws WHERE len(l) >= 3)),
+        |bg AS (
+        |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+        |  FROM (SELECT doc_id,
+        |          unnest([{'w1': l[i], 'w2': l[i + 1]}
+        |            for i in range(1, len(l))]) AS u
+        |        FROM ws WHERE len(l) >= 2)),
+        |t3 AS (
+        |  SELECT w1, w2, w3, count(*) AS c123 FROM tg
+        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+        |t2 AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM bg
+        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |un AS (
+        |  SELECT w, count(*) AS c1
+        |  FROM (SELECT doc_id, unnest(l) AS w FROM ws)
+        |  WHERE doc_id % 2 = 0 GROUP BY w),
+        |sc AS (SELECT sum(c1) AS n, count(*) AS v FROM un),
+        |lp AS (
+        |  SELECT g.doc_id, g.pos,
+        |    CASE WHEN t3.c123 IS NOT NULL THEN ln(t3.c123 / t2.c12)
+        |      WHEN b23.c23 IS NOT NULL THEN
+        |        ln(CAST(0.4 AS DOUBLE) * b23.c23 / u2.c2)
+        |      ELSE ln(CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+        |        * (coalesce(u3.c3, 0) + 1) / (sc.n + sc.v)) END AS lp,
+        |    t3.c123 IS NULL AS bo
+        |  FROM tg g
+        |  LEFT JOIN t3 USING (w1, w2, w3)
+        |  LEFT JOIN t2 USING (w1, w2)
+        |  LEFT JOIN (SELECT w1 AS w2, w2 AS w3, c12 AS c23 FROM t2) b23
+        |    USING (w2, w3)
+        |  LEFT JOIN (SELECT w AS w2, c1 AS c2 FROM un) u2 USING (w2)
+        |  LEFT JOIN (SELECT w AS w3, c1 AS c3 FROM un) u3 USING (w3)
+        |  CROSS JOIN sc)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  CAST(sum(CASE WHEN bo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_backoff,
         |  round(list_reduce(list(lp ORDER BY pos), (a, b) -> a + b)
         |    / count(*), 4) AS avg_logp
         |FROM lp GROUP BY doc_id""".stripMargin,
