@@ -32,6 +32,16 @@ import graft.operators.Dedup
   *                         below min and noise above optional max
   *   [-min_bigram_logp -7] corpus-trained bigram-LM floor (t17): drop
   *                         word-salad docs with improbable transitions
+  *   [-min_backoff_logp -8] self-trained stupid-backoff TRIGRAM floor
+  *                         (t33): flags templated salad the pair model
+  *                         passes
+  *   [-ccnet_keep head,middle] CCNet per-language perplexity-tercile
+  *                         selector (t32): keep only the listed buckets
+  *                         (head = most fluent third per language)
+  *   [-dedup_paragraph 1]  Dolma-style exact paragraph dedup (d20):
+  *                         remove later occurrences of corpus-duplicated
+  *                         paragraphs, keep the globally-first; rows
+  *                         never drop — texts shrink
   *   [-min_classifier_score 0.5]
   *                         learned quality filter (t15): keep docs whose
   *                         sigmoid(bias + w·φ(doc)) clears the floor;
@@ -238,6 +248,42 @@ object Corpus {
       df = df.join(scores, Seq("doc_id"), "left_anti")
       record(s"bigram_logp>=$floor")
     }
+    opts.get("min_backoff_logp").map(_.toDouble).foreach { floor =>
+      // self-trained stupid-backoff trigram floor (t33): stricter than
+      // the bigram floor — improbable word TRIPLES flag templated salad
+      // the pair model scores as fine. Docs too short for a trigram
+      // are kept, as in -min_bigram_logp.
+      val scores = operators.LanguageModel
+        .stupidBackoffScores(df, df, "doc_id", "text")
+        .where(col("avg_logp") < floor).select("doc_id")
+      df = df.join(scores, Seq("doc_id"), "left_anti")
+      record(s"backoff_logp>=$floor")
+    }
+    opts.get("ccnet_keep").foreach { keep =>
+      // CCNet bucket selector (t32): per-language perplexity terciles
+      // under the surviving corpus's own bigram model; keep only the
+      // listed buckets. Docs too short to score can't be ranked and
+      // drop with the unlisted buckets.
+      val buckets = keep.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      require(buckets.nonEmpty &&
+        buckets.subsetOf(Set("head", "middle", "tail")),
+        s"-ccnet_keep wants a comma list from head,middle,tail — " +
+          s"got '$keep'")
+      val langCol =
+        if (df.columns.contains("lang")) col("lang")
+        else text.langId(col("text"))
+      val scored = operators.LanguageModel
+        .bigramScores(df, "doc_id", "text")
+        .join(df.select(col("doc_id"), langCol.as("lang")),
+          Seq("doc_id"))
+        .select("doc_id", "lang", "avg_logp")
+      val keepIds = operators.LanguageModel
+        .perplexityBuckets(scored, "doc_id", "lang", "avg_logp")
+        .where(col("bucket").isin(buckets.toSeq: _*))
+        .select("doc_id")
+      df = df.join(keepIds, Seq("doc_id"), "left_semi")
+      record(s"ccnet=${buckets.toSeq.sorted.mkString("+")}")
+    }
     opts.get("min_classifier_score").map(_.toDouble).foreach { floor =>
       // learned quality filter (t15): broadcast hashed-feature linear
       // model, scored as a shuffle-free per-row fold — the score join
@@ -282,6 +328,16 @@ object Corpus {
         .where(coalesce(col("dup_ratio"), lit(0.0)) <= r)
         .drop("dup_ratio")
       record(s"dup_ratio<=$r")
+    }
+    if (opts.getOrElse("dedup_paragraph", "0") == "1") {
+      // Dolma-style exact paragraph dedup (d20): later occurrences of a
+      // corpus-duplicated paragraph are removed, the globally-first
+      // survives; rows never drop — texts shrink (possibly to empty)
+      val ded = Dedup.paragraphDedup(df, "doc_id", "text")
+        .select(col("doc_id"), col("text_dedup"))
+      df = df.join(ded, Seq("doc_id"))
+        .withColumn("text", col("text_dedup")).drop("text_dedup")
+      record("dedup_paragraph")
     }
     if (opts.getOrElse("cut_spans", "0") == "1") {
       // substring-level dedup (d14): later occurrences of duplicated

@@ -669,6 +669,59 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("url column"))
   }
 
+  test("Corpus -min_backoff_logp, -ccnet_keep and -dedup_paragraph == " +
+    "the t33/t32/d20 operators (stage parity)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    // backoff floor: data-derived (5th-lowest self-trained score) so the
+    // stage always bites; stage == scores-based anti-join
+    val floor = graft.operators.LanguageModel
+      .stupidBackoffScores(docs, docs, "doc_id", "text")
+      .orderBy(col("avg_logp")).limit(5)
+      .collect().map(_.getDouble(3)).max + 1e-6
+    val gotB = Corpus.run(spark, Map(
+      "i" -> s"$sf/documents.parquet", "dedup" -> "none",
+      "min_backoff_logp" -> floor.toString, "report" -> "0"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val low = graft.operators.LanguageModel
+      .stupidBackoffScores(docs, docs, "doc_id", "text")
+      .where(col("avg_logp") < floor)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(low.nonEmpty && gotB == (all diff low))
+    // ccnet selector: keep head+middle == drop the per-lang tail tercile
+    val gotC = Corpus.run(spark, Map(
+      "i" -> s"$sf/documents.parquet", "dedup" -> "none",
+      "ccnet_keep" -> "head,middle", "report" -> "0"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val scored = graft.operators.LanguageModel
+      .bigramScores(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select("doc_id", "lang", "avg_logp")
+    val wantC = graft.operators.LanguageModel
+      .perplexityBuckets(scored, "doc_id", "lang", "avg_logp")
+      .where(col("bucket") =!= "tail")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotC == wantC && gotC.nonEmpty && gotC.size < all.size)
+    // paragraph dedup: shared header paragraph collapses to its first
+    // corpus occurrence; every row survives
+    val s2 = spark
+    import s2.implicits._
+    val out = s"${sys.props("java.io.tmpdir")}/graft-corpus-para-" +
+      ProcessHandle.current.pid
+    Seq((1L, "BOILER\n\nbody one"), (2L, "BOILER\n\nbody two"),
+      (3L, "body three\n\nBOILER"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(out)
+    val gotP = Corpus.run(spark, Map(
+      "i" -> out, "dedup" -> "none", "dedup_paragraph" -> "1",
+      "report" -> "0"))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotP == Map(1L -> "BOILER\n\nbody one", 2L -> "body two",
+      3L -> "body three"))
+  }
+
   test("Corpus -train_vocab writes the t18 chars+merges vocabulary, " +
     "identical to calling Tokenizer.bpeVocab directly") {
     val sf = "/root/testdata/sf0.001"
