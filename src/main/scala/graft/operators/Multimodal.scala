@@ -177,6 +177,24 @@ object Multimodal {
       .drop("_j")
   }
 
+  /** REAL Exif metadata parse (graft_exif_meta): the marker walk
+    * continued into the APP1 TIFF block — byte order, Orientation,
+    * Make, DateTime. The provenance/dedup-hint layer of an image
+    * corpus (camera strings cluster sources; orientation feeds the
+    * resize path; DateTime buckets crawls) without decoding a pixel.
+    * Null struct for payloads with no valid Exif; null FIELDS for tags
+    * a file omits.
+    */
+  def decodeExif(df: DataFrame, payload: String = "payload"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("_e", call_function("graft_exif_meta", col(payload)))
+      .withColumn("byte_order", col("_e.byte_order"))
+      .withColumn("orientation", col("_e.orientation").cast("long"))
+      .withColumn("make", col("_e.make"))
+      .withColumn("datetime", col("_e.datetime"))
+      .drop("_e")
+  }
+
   /** 64-bit difference hash (dHash) from REAL decoded pixels: the image
     * reduces to a 9x8 mean-luminance grid (graft_img_grid — resolution-
     * and scale-invariant by construction) and bit r*8+c records whether

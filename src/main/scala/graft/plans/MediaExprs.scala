@@ -540,4 +540,103 @@ object MediaExprs {
       copy(c)
     override def prettyName: String = "graft_jpeg_meta"
   }
+
+  /** graft_exif_meta(binary) -> struct<byte_order:string,
+    * orientation:int, make:string, datetime:string>: REAL Exif parse —
+    * the [[GraftJpegMeta]] marker walk continued into the APP1 payload:
+    * an APP1 segment opening with "Exif\0\0" carries a complete TIFF
+    * file (its offsets are relative to ITS OWN header, the format's
+    * defining quirk), so the walk validates the byte-order mark + the
+    * 42 magic, follows the IFD0 offset and scans the 12-byte directory
+    * entries for Orientation (0x0112, SHORT), Make (0x010F, ASCII) and
+    * DateTime (0x0132, ASCII — "YYYY:MM:DD HH:MM:SS"). ASCII values
+    * live inline when count <= 4, else at a TIFF-base-relative offset;
+    * both paths bound-check against the APP1 segment end, so a hostile
+    * count/offset nulls the row instead of reading astray (the
+    * poison-blob contract). Tags the file omits yield null FIELDS; a
+    * missing/invalid Exif block yields a null STRUCT.
+    */
+  case class GraftExifMeta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary, got ${child.dataType.catalogString}")
+    override def dataType: DataType = StructType(Seq(
+      StructField("byte_order", StringType),
+      StructField("orientation", IntegerType),
+      StructField("make", StringType),
+      StructField("datetime", StringType)))
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(payload: Any): Any = {
+      val b = payload.asInstanceOf[Array[Byte]]
+      val n = b.length.toLong
+      def u8(i: Long): Int = b(i.toInt) & 0xff
+      def u16be(i: Long): Int = (u8(i) << 8) | u8(i + 1)
+      if (n < 4 || u8(0) != 0xff || u8(1) != 0xd8) return null
+      var pos = 2L
+      while (pos + 4 <= n) {
+        if (u8(pos) != 0xff) return null
+        val m = u8(pos + 1)
+        if (m == 0xff) pos += 1
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) pos += 2
+        else {
+          val len = u16be(pos + 2)
+          if (len < 2 || pos + 2 + len > n) return null
+          val segEnd = pos + 2 + len // exclusive
+          if (m == 0xe1 && len >= 16 && u8(pos + 4) == 'E' &&
+            u8(pos + 5) == 'x' && u8(pos + 6) == 'i' &&
+            u8(pos + 7) == 'f' && u8(pos + 8) == 0 && u8(pos + 9) == 0)
+            return parseTiff(b, pos + 10, segEnd)
+          if (m == 0xda) return null // scan data: no Exif will follow
+          pos += 2 + len
+        }
+      }
+      null
+    }
+    private def parseTiff(b: Array[Byte], base: Long, end: Long): Any = {
+      def u8(i: Long): Int = b(i.toInt) & 0xff
+      if (base + 8 > end) return null
+      val le = u8(base) == 0x49 && u8(base + 1) == 0x49
+      val be = u8(base) == 0x4d && u8(base + 1) == 0x4d
+      if (!le && !be) return null
+      def u16(i: Long): Int =
+        if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+      def u32(i: Long): Long =
+        if (le) u8(i) | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+          (u8(i + 3).toLong << 24)
+        else (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+          (u8(i + 2).toLong << 8) | u8(i + 3)
+      if (u16(base + 2) != 42) return null
+      val ifd = base + u32(base + 4)
+      if (ifd + 2 > end) return null
+      val nEntries = u16(ifd)
+      var orientation: Any = null
+      var make: Any = null
+      var datetime: Any = null
+      def ascii(e: Long, cnt: Long): Any = {
+        val start = if (cnt <= 4) e + 8 else base + u32(e + 8)
+        if (cnt < 1 || start + cnt > end) return null
+        val bytes = (0L until cnt).map(j => b((start + j).toInt))
+          .takeWhile(_ != 0).toArray
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes)
+      }
+      var k = 0
+      while (k < nEntries) {
+        val e = ifd + 2 + 12L * k
+        if (e + 12 > end) return null
+        val tag = u16(e); val typ = u16(e + 2); val cnt = u32(e + 4)
+        if (tag == 0x0112 && typ == 3 && cnt == 1)
+          orientation = u16(e + 8)
+        else if (tag == 0x010f && typ == 2) make = ascii(e, cnt)
+        else if (tag == 0x0132 && typ == 2) datetime = ascii(e, cnt)
+        k += 1
+      }
+      InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(
+        if (le) "II" else "MM"), orientation, make, datetime)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+    override def prettyName: String = "graft_exif_meta"
+  }
 }

@@ -344,6 +344,11 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         require(children.length == 1, "graft_jpeg_meta takes 1 argument")
         MediaExprs.GraftJpegMeta(children.head)
+      }),
+    ("graft_exif_meta", classOf[MediaExprs.GraftExifMeta],
+      { children: Seq[Expression] =>
+        require(children.length == 1, "graft_exif_meta takes 1 argument")
+        MediaExprs.GraftExifMeta(children.head)
       })
   )
 

@@ -255,6 +255,18 @@ object Genomic2 {
           "n_components", "progressive", "mpx")
     }),
 
+    "m11_exif_meta" -> ((s, _) => {
+      prep(s)
+      // REAL Exif APP1/TIFF parse: byte order, Orientation, Make,
+      // DateTime — provenance triage for an image corpus, no pixel
+      // decode; the SQL oracle re-walks the markers AND the TIFF IFD
+      // from the raw bytes under both byte orders. exif_plain (no
+      // APP1) and exif_trunc (TIFF ends before IFD0) stay as null rows.
+      Multimodal.decodeExif(s.read.parquet(s"$fx/exif.parquet"))
+        .select("media_id", "byte_order", "orientation", "make",
+          "datetime")
+    }),
+
     "m3_media_features" -> ((s, _) => {
       prep(s)
       // 2x2-grid mean-luminance embedding from REAL pixels; snapshot
@@ -398,6 +410,114 @@ object Genomic2 {
        |  AND so + 9 <= n""".stripMargin
   }
 
+  private val exifOracleSql: String = {
+    // endian-conditional reads: `le` is a real column by the time these
+    // fire, so each helper is a single CASE over the byte list
+    def u16e(x: String) =
+      s"(CASE WHEN le THEN b[$x] + 256*b[($x)+1] " +
+        s"ELSE 256*b[$x] + b[($x)+1] END)"
+    def u32e(x: String) =
+      s"(CASE WHEN le THEN b[$x] + 256*b[($x)+1] + 65536*b[($x)+2] " +
+        s"+ 16777216*b[($x)+3] ELSE 16777216*b[$x] + 65536*b[($x)+1] " +
+        s"+ 256*b[($x)+2] + b[($x)+3] END)"
+    def segLen(o: String) = s"(b[($o)+2]*256 + b[($o)+3])"
+    def isExif(o: String) =
+      s"(b[$o] = 255 AND b[($o)+1] = 225 AND ${segLen(o)} >= 16 AND " +
+        s"b[($o)+4] = 69 AND b[($o)+5] = 120 AND b[($o)+6] = 105 AND " +
+        s"b[($o)+7] = 102 AND b[($o)+8] = 0 AND b[($o)+9] = 0)"
+    // marker-walk steps, each its own MATERIALIZED CTE (the DuckDB
+    // lateral-alias blowup documented at mp4OracleSql)
+    val steps = (2 to 3).map { k =>
+      val p = s"o${k - 1}"
+      s"""w$k AS MATERIALIZED (
+         |  SELECT *,
+         |    CASE WHEN $p IS NOT NULL AND b[$p] = 255
+         |        AND b[$p+1] NOT IN (216, 217) AND NOT ${isExif(p)}
+         |        AND ${segLen(p)} >= 2
+         |        AND $p + 2 + ${segLen(p)} + 3 <= n + 1
+         |      THEN $p + 2 + ${segLen(p)} END AS o$k
+         |  FROM w${k - 1}),""".stripMargin
+    }.mkString("\n")
+    val eoCases = (1 to 3).map { k =>
+      s"CASE WHEN o$k IS NOT NULL AND ${isExif(s"o$k")} THEN o$k END"
+    }.mkString(",\n      ")
+    s"""WITH d AS (
+       |  SELECT media_id, hex(payload) AS h, octet_length(payload) AS n
+       |  FROM ${pq("exif")}),
+       |hb AS MATERIALIZED (
+       |  SELECT media_id, n,
+       |    list_transform(range(0, n), i ->
+       |      (strpos('0123456789ABCDEF', substr(h, 2*i + 1, 1)) - 1)
+       |        * 16 +
+       |      strpos('0123456789ABCDEF', substr(h, 2*i + 2, 1)) - 1) AS b
+       |  FROM d WHERE n >= 4),
+       |w1 AS MATERIALIZED (
+       |  SELECT media_id, n, b, 3 AS o1 FROM hb
+       |  WHERE b[1] = 255 AND b[2] = 216),
+       |$steps
+       |f1 AS MATERIALIZED (
+       |  SELECT media_id, n, b, COALESCE($eoCases) AS eo FROM w3),
+       |f2 AS MATERIALIZED (
+       |  SELECT *, eo + 10 AS tb, eo + 2 + ${segLen("eo")} AS ae
+       |  FROM f1),
+       |f3 AS MATERIALIZED (
+       |  SELECT *,
+       |    CASE WHEN tb IS NOT NULL AND tb + 8 <= ae
+       |      AND b[tb] = b[tb+1] AND b[tb] IN (73, 77)
+       |      THEN b[tb] = 73 END AS le
+       |  FROM f2),
+       |f4 AS MATERIALIZED (
+       |  SELECT *,
+       |    CASE WHEN le IS NOT NULL AND ${u16e("tb+2")} = 42
+       |      THEN tb + ${u32e("tb+4")} END AS ifd
+       |  FROM f3),
+       |f5 AS MATERIALIZED (
+       |  SELECT *,
+       |    CASE WHEN ifd IS NOT NULL AND ifd + 2 <= ae
+       |      THEN ${u16e("ifd")} END AS ne
+       |  FROM f4),
+       |f6 AS MATERIALIZED (
+       |  SELECT *,
+       |    CASE WHEN ne IS NOT NULL AND ifd + 2 + 12*ne <= ae THEN
+       |      [{'tag': ${u16e("ifd + 2 + 12*k")},
+       |        'typ': ${u16e("ifd + 2 + 12*k + 2")},
+       |        'cnt': ${u32e("ifd + 2 + 12*k + 4")},
+       |        'e': ifd + 2 + 12*k} for k in range(0, ne)]
+       |    END AS ents
+       |  FROM f5),
+       |f7 AS MATERIALIZED (
+       |  SELECT *,
+       |    list_filter(ents, x -> x.tag = 274 AND x.typ = 3
+       |      AND x.cnt = 1) AS oe,
+       |    list_filter(ents, x -> x.tag = 271 AND x.typ = 2) AS me,
+       |    list_filter(ents, x -> x.tag = 306 AND x.typ = 2) AS de
+       |  FROM f6),
+       |f8 AS MATERIALIZED (
+       |  SELECT *,
+       |    CASE WHEN len(oe) > 0 THEN ${u16e("oe[1].e + 8")} END
+       |      AS orient,
+       |    CASE WHEN len(me) > 0 THEN (CASE WHEN me[1].cnt <= 4
+       |      THEN me[1].e + 8 ELSE tb + ${u32e("me[1].e + 8")} END) END
+       |      AS ms,
+       |    CASE WHEN len(me) > 0 THEN me[1].cnt END AS mc,
+       |    CASE WHEN len(de) > 0 THEN (CASE WHEN de[1].cnt <= 4
+       |      THEN de[1].e + 8 ELSE tb + ${u32e("de[1].e + 8")} END) END
+       |      AS ds,
+       |    CASE WHEN len(de) > 0 THEN de[1].cnt END AS dc
+       |  FROM f7)
+       |SELECT media_id,
+       |  CASE WHEN ents IS NOT NULL THEN
+       |    (CASE WHEN le THEN 'II' ELSE 'MM' END) END AS byte_order,
+       |  CAST(orient AS BIGINT) AS orientation,
+       |  CASE WHEN ms IS NOT NULL AND mc >= 1 AND ms + mc <= ae THEN
+       |    array_to_string(list_transform(range(0, mc - 1),
+       |      j -> chr(CAST(b[ms + j] AS INT))), '') END AS make,
+       |  CASE WHEN ds IS NOT NULL AND dc >= 1 AND ds + dc <= ae THEN
+       |    array_to_string(list_transform(range(0, dc - 1),
+       |      j -> chr(CAST(b[ds + j] AS INT))), '') END AS datetime
+       |FROM f8""".stripMargin
+  }
+
   private val mp4OracleSql: String = {
     def u32(o: String) =
       s"(b[$o]*16777216 + b[$o+1]*65536 + b[$o+2]*256 + b[$o+3])"
@@ -491,6 +611,7 @@ object Genomic2 {
   val oracles: Map[String, String] = Map(
     "m5_video_meta" -> mp4OracleSql,
     "m9_jpeg_meta" -> jpegOracleSql,
+    "m11_exif_meta" -> exifOracleSql,
 
     "m10_srt_read" ->
       s"""WITH t AS (

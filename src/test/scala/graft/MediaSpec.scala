@@ -237,6 +237,71 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("exif walk: both byte orders, inline SHORT, offset ASCII, " +
+    "missing tags null FIELDS, hostile offset/no-exif null STRUCT") {
+    val s = spark
+    import s.implicits._
+    def seg(marker: Int, body: Array[Byte]): Array[Byte] = {
+      val len = body.length + 2
+      Array(0xff.toByte, marker.toByte, (len >> 8).toByte, len.toByte) ++
+        body
+    }
+    def app1(t: Array[Byte]) =
+      seg(0xe1, "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ t)
+    val soi = Array(0xff.toByte, 0xd8.toByte)
+    def u16le(v: Int) = Array((v & 0xff).toByte, (v >> 8).toByte)
+    def u32le(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff,
+      (v >> 24) & 0xff).map(_.toByte)
+    // LE TIFF, single Orientation entry (inline SHORT value)
+    val oriOnly = Array[Byte](0x49, 0x49) ++ u16le(42) ++ u32le(8) ++
+      u16le(1) ++ u16le(0x0112) ++ u16le(3) ++ u32le(1) ++
+      u16le(8) ++ Array[Byte](0, 0) ++ u32le(0)
+    // BE TIFF with Make at an offset PAST the segment end (hostile)
+    def u16be(v: Int) = Array((v >> 8).toByte, (v & 0xff).toByte)
+    def u32be(v: Int) = Array((v >> 24) & 0xff, (v >> 16) & 0xff,
+      (v >> 8) & 0xff, v & 0xff).map(_.toByte)
+    val hostile = Array[Byte](0x4d, 0x4d) ++ u16be(42) ++ u32be(8) ++
+      u16be(1) ++ u16be(0x010f) ++ u16be(2) ++ u32be(9) ++
+      u32be(50000) ++ u32be(0)
+    val rows = Multimodal.decodeExif(Seq(
+      ("ori", soi ++ app1(oriOnly) ++ Array(0xff.toByte, 0xd9.toByte)),
+      ("hostile", soi ++ app1(hostile)),
+      ("noexif", soi ++ Array(0xff.toByte, 0xd9.toByte)),
+      ("poison", Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)))
+      .toDF("media_id", "payload"))
+      .collect().map(r => r.getAs[String]("media_id") -> r).toMap
+    val o = rows("ori")
+    assert(o.getAs[String]("byte_order") == "II" &&
+      o.getAs[Long]("orientation") == 8L &&
+      o.isNullAt(o.fieldIndex("make")), o.toString)
+    val h = rows("hostile")
+    assert(h.getAs[String]("byte_order") == "MM" &&
+      h.isNullAt(h.fieldIndex("make")),
+      "a value offset past the segment must null the FIELD, not read " +
+        "astray")
+    Seq("noexif", "poison").foreach { k =>
+      assert(rows(k).isNullAt(rows(k).fieldIndex("byte_order")), k)
+    }
+    // the committed fixture table end-to-end (what m11 gates on)
+    graft.fixtures.GenomicFixtures.ensure(s)
+    val fx = Multimodal.decodeExif(
+      s.read.parquet(s"${graft.fixtures.GenomicFixtures.dir}/exif.parquet"))
+      .collect().map(r => r.getAs[String]("media_id") -> r).toMap
+    val ii = fx("exif_ii")
+    assert(ii.getAs[String]("byte_order") == "II" &&
+      ii.getAs[Long]("orientation") == 6L &&
+      ii.getAs[String]("make") == "graftCam" &&
+      ii.getAs[String]("datetime") == "2026:08:15 09:30:00")
+    val mm = fx("exif_mm")
+    assert(mm.getAs[String]("byte_order") == "MM" &&
+      mm.getAs[Long]("orientation") == 1L &&
+      mm.getAs[String]("make") == "Acme Optical" &&
+      mm.getAs[String]("datetime") == "2025:12:01 23:59:58")
+    Seq("exif_plain", "exif_trunc").foreach { k =>
+      assert(fx(k).isNullAt(fx(k).fieldIndex("byte_order")), k)
+    }
+  }
+
   test("perceptual dHash: scale-invariant, small radius for a local " +
     "edit, unrelated image excluded, poison null, no duplicate pairs") {
     val s = spark
