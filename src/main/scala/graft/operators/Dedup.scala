@@ -886,6 +886,39 @@ object Dedup {
         (size(col("ws")) - size(col("_kept"))).cast("long").as("cut_words"))
   }
 
+  /** Bloom-filter INCREMENTAL exact dedup — the Dolma-scale admission
+    * check: is this new document's content hash already in the corpus?
+    * The corpus collapses to a bit set of md5 content-hash positions
+    * (<= `bits` rows, BROADCAST — [[BloomJoin]]'s portable md5 bit
+    * math, so an external engine reproduces membership exactly), each
+    * new doc tests its hash against it, and candidates are
+    * exact-verified with one hash-keyed join so the output separates
+    * `bloom_hit` from `is_dup` (the surplus is the false-positive
+    * accounting, q17's contract).
+    *
+    * At 100 TB the verify join is the expensive half and the WHOLE
+    * POINT of bloom admission is skipping it — accept the bounded FP
+    * rate (fill^hashes) and drop new docs on `bloom_hit` alone; the
+    * exact column is the calibration path (sample it to MEASURE the FP
+    * rate), not the hot path. Complements [[minhashLshIncremental]]
+    * (near-dup admission) with the exact-hash tier.
+    */
+  def bloomDedup(newDocs: DataFrame, corpus: DataFrame, idCol: String,
+                 textCol: String, bits: Int = 65536,
+                 hashes: Int = 3): DataFrame = {
+    val corpusHashes = corpus.select(md5(col(textCol)).as("h")).distinct()
+    val bitsDf = BloomJoin.buildBits(corpusHashes, "h", bits, hashes)
+    val probe = newDocs.select(col(idCol), md5(col(textCol)).as("h"))
+    val cand = BloomJoin.candidateKeys(probe.select("h"), "h", bitsDf,
+      bits, hashes).withColumn("_pass", lit(true))
+    probe
+      .join(cand, Seq("h"), "left")
+      .join(corpusHashes.withColumn("_dup", lit(true)), Seq("h"), "left")
+      .select(col(idCol),
+        coalesce(col("_pass"), lit(false)).as("bloom_hit"),
+        coalesce(col("_dup"), lit(false)).as("is_dup"))
+  }
+
   /** Dolma-style EXACT PARAGRAPH dedup: split each document on blank
     * lines, remove every paragraph whose exact text already occurred
     * earlier in the corpus (global (doc, position) order — the first

@@ -412,6 +412,26 @@ object Documents {
         "text", n = 8)
     }),
 
+    "d21_bloom_dedup" -> ((s, dir) => {
+      // bloom-filter incremental exact-dedup admission (the Dolma-scale
+      // mechanism): corpus = ids % 4 != 0; the new batch re-submits
+      // corpus TEXT under ids % 8 == 0 (true dups) and perturbed text
+      // otherwise (only chance bloom FPs) — bloom_hit vs is_dup
+      // separates admission from truth, q17's FP-accounting contract
+      val base = t(s, dir, "documents")
+      val corpus = base.where(pmod(col("doc_id"), lit(4)) =!= 0)
+      val donors = base.where(pmod(col("doc_id"), lit(4)) === 1)
+        .select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("_dtext"))
+      val newDocs = base.where(pmod(col("doc_id"), lit(4)) === 0)
+        .join(donors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(8)) === 0,
+            coalesce(col("_dtext"), col("text")))
+            .otherwise(concat(col("text"), lit(" zzz"))).as("text"))
+      Dedup.bloomDedup(newDocs, corpus, "doc_id", "text")
+    }),
+
     "d20_paragraph_dedup" -> ((s, dir) => {
       // Dolma-style exact paragraph dedup over synthetic paged docs:
       // every doc gets a shared header (from doc doc_id%7) and footer
@@ -1489,6 +1509,43 @@ object Documents {
         |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ';'
         |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
         |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "d21_bloom_dedup" ->
+      """WITH corpus AS (
+        |  SELECT md5(text) AS h FROM documents WHERE doc_id % 4 <> 0
+        |  GROUP BY 1),
+        |donors AS (
+        |  SELECT doc_id - 1 AS doc_id, text AS dtext FROM documents
+        |  WHERE doc_id % 4 = 1),
+        |newdocs AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 8 = 0 THEN coalesce(dn.dtext, d.text)
+        |      ELSE d.text || ' zzz' END AS text
+        |  FROM documents d LEFT JOIN donors dn USING (doc_id)
+        |  WHERE d.doc_id % 4 = 0),
+        |bits AS (
+        |  SELECT DISTINCT unnest([
+        |    list_reduce([strpos('0123456789abcdef',
+        |        substr(md5(CAST(j AS VARCHAR) || ':' || h), p, 1)) - 1
+        |      for p in range(1, 8)], (a, c) -> a * 16 + c) % 65536
+        |    for j in range(0, 3)]) AS bit
+        |  FROM corpus),
+        |probe AS (SELECT doc_id, md5(text) AS h FROM newdocs),
+        |pk AS (
+        |  SELECT h, list_distinct([
+        |    list_reduce([strpos('0123456789abcdef',
+        |        substr(md5(CAST(j AS VARCHAR) || ':' || h), p, 1)) - 1
+        |      for p in range(1, 8)], (a, c) -> a * 16 + c) % 65536
+        |    for j in range(0, 3)]) AS ps
+        |  FROM (SELECT DISTINCT h FROM probe)),
+        |kp AS (SELECT h, len(ps) AS n, unnest(ps) AS bit FROM pk),
+        |cand AS (
+        |  SELECT h FROM kp JOIN bits USING (bit)
+        |  GROUP BY h, n HAVING count(*) = n)
+        |SELECT p.doc_id,
+        |  p.h IN (SELECT h FROM cand) AS bloom_hit,
+        |  p.h IN (SELECT h FROM corpus) AS is_dup
+        |FROM probe p""".stripMargin,
 
     "d20_paragraph_dedup" ->
       """WITH hdr AS (

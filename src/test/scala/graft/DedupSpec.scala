@@ -330,4 +330,22 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the estimate must be high, not boilerplate-low
     assert(m.getDouble(3) >= 0.7, m.toString)
   }
+
+  test("bloomDedup: resubmitted text is a hit+dup, fresh text is " +
+    "neither, bloom_hit always covers is_dup") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "zeta eta theta")).toDF("doc_id", "text")
+    val newDocs = Seq((10L, "delta epsilon"), // exact resubmission
+      (11L, "delta epsilon iota"),            // perturbed
+      (12L, "totally fresh text")).toDF("doc_id", "text")
+    val out = Dedup.bloomDedup(newDocs, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(out(10L) == ((true, true)))
+    assert(!out(11L)._2 && !out(12L)._2)
+    assert(out.values.forall { case (hit, dup) => hit || !dup },
+      "a true dup can never miss the bloom (no false negatives)")
+  }
 }
