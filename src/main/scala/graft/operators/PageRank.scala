@@ -106,6 +106,50 @@ object PageRank {
     * frontier emptiness (a count on a checkpointed frame) deciding
     * termination, never vertex data on the driver.
     */
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection over the duplicate/link graph, the fourth iterative-graph
+    * pattern next to label-converging CC, value-converging PageRank and
+    * frontier-expanding BFS. Every node starts as its own label; each
+    * round every node adopts the MOST FREQUENT label among its
+    * neighbors, ties to the smallest label — the deterministic
+    * synchronous variant (asynchronous/randomized LP is not
+    * replayable), so a fixed `rounds` unroll is exactly reproducible in
+    * SQL. Edges are treated as undirected (symmetrized + distinct so a
+    * duplicated edge cannot double-vote).
+    *
+    * Plan per round: one edge⋈labels hash join (labels are (node,
+    * label) longs — narrow), one (node, label) count aggregation with
+    * map-side partials, and ONE arg-min partial agg
+    * (min(struct(-count, label))) — no window; rounds pin with
+    * localCheckpoint (the d6/d11/d19 iteration contract). Work per
+    * round is O(|E|) shuffled on node keys; labels never fan out.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "labelPropagation: rounds must be >= 1")
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("node").as("dst"),
+          col("label").as("_nl")), Seq("dst"))
+        .groupBy(col("src"), col("_nl"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("_c")).as("nc"), col("_nl").as("l")))
+          .as("_m"))
+        .select(col("src").as("node"), col("_m.l").as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   def bfsDepths(edges: DataFrame, source: Long,
                 maxDepth: Int): DataFrame = {
     require(maxDepth >= 0, "bfsDepths: maxDepth must be >= 0")

@@ -582,6 +582,23 @@ object Documents {
         maxDepth = 6)
     }),
 
+    "d22_label_prop" -> ((s, dir) => {
+      // synchronous label propagation over the d19 deterministic doc
+      // graph (undirected): 4 exactly-replayable rounds of
+      // most-frequent-neighbor-label, ties to smallest — the community
+      // half of the iterative-graph family; one edge join + two
+      // partial aggs per round, no window
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val tree = docs.where(col("doc_id") >= 1)
+        .select((col("doc_id") / 2).cast("long").as("src"),
+          col("doc_id").as("dst"))
+      val cross = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 3) % n).as("dst"))
+      graft.operators.PageRank.labelPropagation(
+        tree.unionByName(cross), rounds = 4)
+    }),
+
     "d18_source_overlap" -> ((s, dir) => {
       // which feeds duplicate each other: estimated shingle Jaccard
       // between sources from MERGED minhash signatures (min of per-doc
@@ -1509,6 +1526,35 @@ object Documents {
         |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ';'
         |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
         |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "d22_label_prop" -> {
+      val rounds = (1 to 4).map { r =>
+        s"""v$r AS MATERIALIZED (
+           |  SELECT e.src AS node, l.label AS nl, count(*) AS c
+           |  FROM sym e JOIN l${r - 1} l ON l.node = e.dst
+           |  GROUP BY 1, 2),
+           |m$r AS (SELECT node, max(c) AS mc FROM v$r GROUP BY node),
+           |l$r AS MATERIALIZED (
+           |  SELECT v.node AS node, min(v.nl) AS label
+           |  FROM v$r v JOIN m$r USING (node)
+           |  WHERE v.c = mc GROUP BY v.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT doc_id // 2 AS src, doc_id AS dst FROM documents
+         |  WHERE doc_id >= 1
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    (doc_id * 7 + 3) % (SELECT count(*) FROM documents)
+         |  FROM documents),
+         |sym AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM e0
+         |    UNION ALL SELECT dst, src FROM e0)
+         |  WHERE src <> dst),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+         |$rounds
+         |SELECT node, label FROM l4""".stripMargin
+    },
 
     "d21_bloom_dedup" ->
       """WITH corpus AS (

@@ -331,6 +331,20 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.getDouble(3) >= 0.7, m.toString)
   }
 
+  test("labelPropagation: a barbell graph settles into its two " +
+    "triangles (hand-walked 4 synchronous rounds)") {
+    val s = spark
+    import s.implicits._
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4; the sync rounds
+    // walked by hand give labels 1/1/1 and 3/3/3 after round 4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (4L, 6L)).toDF("src", "dst")
+    val out = graft.operators.PageRank.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), out.toString)
+  }
+
   test("bloomDedup: resubmitted text is a hit+dup, fresh text is " +
     "neither, bloom_hit always covers is_dup") {
     val s = spark
