@@ -919,6 +919,37 @@ object Dedup {
         coalesce(col("_dup"), lit(false)).as("is_dup"))
   }
 
+  /** Stateless streaming form of [[bloomDedup]]'s admission test — the
+    * hot path its Scaladoc promises: membership = "every hash position
+    * present", re-expressed as `hashes` LEFT joins against the
+    * broadcast bit set (one per hash function) instead of an
+    * explode+count aggregation, so the plan is narrow + broadcast only:
+    * it runs UNCHANGED on `readStream` (no aggregation state, no
+    * watermark, per-row decisions survive micro-batch replay —
+    * StreamingSpec proves stream == batch). `bitsDf` comes from
+    * [[BloomJoin.buildBits]] over the corpus content hashes and is the
+    * ONLY thing that needs refreshing as the corpus grows — the
+    * admission stream never touches the corpus itself.
+    */
+  def bloomAdmit(newDocs: DataFrame, bitsDf: DataFrame, idCol: String,
+                 textCol: String, bits: Int = 65536,
+                 hashes: Int = 3): DataFrame = {
+    def bitOf(j: Int, key: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      pmod(conv(substring(md5(concat(lit(s"$j:"), key.cast("string"))),
+        1, 7), 16, 10).cast("long"), lit(bits))
+    val h = md5(col(textCol))
+    val withBits = newDocs.select(
+      col(idCol) +: (0 until hashes).map(j => bitOf(j, h).as(s"_b$j")): _*)
+    (0 until hashes).foldLeft(withBits) { (df, j) =>
+      df.join(broadcast(bitsDf.select(col("bit").as(s"_b$j"),
+        lit(true).as(s"_hit$j"))), Seq(s"_b$j"), "left")
+    }
+      .select(col(idCol),
+        (0 until hashes).map(j => coalesce(col(s"_hit$j"), lit(false)))
+          .reduce(_ && _).as("bloom_hit"))
+  }
+
   /** Dolma-style EXACT PARAGRAPH dedup: split each document on blank
     * lines, remove every paragraph whose exact text already occurred
     * earlier in the corpus (global (doc, position) order — the first

@@ -355,6 +355,29 @@ object Documents {
       Dedup.minhashLshIncremental(newDocs, old, idx, "doc_id", "text")
     }),
 
+    "e23_stream_admit" -> ((s, dir) => {
+      // the stateless streaming face of d21: bloom ADMISSION only —
+      // membership as three broadcast LEFT joins (one per hash), no
+      // aggregation, no state, so the identical call runs on
+      // readStream (StreamingSpec parity); same synthetic batch as
+      // d21, same bit set; the exact-verify tier stays batch-side
+      val base = t(s, dir, "documents")
+      val corpus = base.where(pmod(col("doc_id"), lit(4)) =!= 0)
+      val donors = base.where(pmod(col("doc_id"), lit(4)) === 1)
+        .select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("_dtext"))
+      val newDocs = base.where(pmod(col("doc_id"), lit(4)) === 0)
+        .join(donors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(8)) === 0,
+            coalesce(col("_dtext"), col("text")))
+            .otherwise(concat(col("text"), lit(" zzz"))).as("text"))
+      val bits = graft.operators.BloomJoin.buildBits(
+        corpus.select(md5(col("text")).as("h")).distinct(), "h",
+        bits = 65536, hashes = 3)
+      Dedup.bloomAdmit(newDocs, bits, "doc_id", "text")
+    }),
+
     "e11_stream_ingest" -> ((s, dir) => {
       // streaming face of d12: arriving docs (every 5th) checked against
       // the static indexed corpus only — stream-vs-stream pairs belong
@@ -1555,6 +1578,40 @@ object Documents {
          |$rounds
          |SELECT node, label FROM l4""".stripMargin
     },
+
+    "e23_stream_admit" ->
+      """WITH corpus AS (
+        |  SELECT md5(text) AS h FROM documents WHERE doc_id % 4 <> 0
+        |  GROUP BY 1),
+        |donors AS (
+        |  SELECT doc_id - 1 AS doc_id, text AS dtext FROM documents
+        |  WHERE doc_id % 4 = 1),
+        |newdocs AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 8 = 0 THEN coalesce(dn.dtext, d.text)
+        |      ELSE d.text || ' zzz' END AS text
+        |  FROM documents d LEFT JOIN donors dn USING (doc_id)
+        |  WHERE d.doc_id % 4 = 0),
+        |bits AS (
+        |  SELECT DISTINCT unnest([
+        |    list_reduce([strpos('0123456789abcdef',
+        |        substr(md5(CAST(j AS VARCHAR) || ':' || h), p, 1)) - 1
+        |      for p in range(1, 8)], (a, c) -> a * 16 + c) % 65536
+        |    for j in range(0, 3)]) AS bit
+        |  FROM corpus),
+        |probe AS (
+        |  SELECT doc_id, [
+        |    list_reduce([strpos('0123456789abcdef',
+        |        substr(md5(CAST(j AS VARCHAR) || ':' || md5(text)), p, 1))
+        |        - 1
+        |      for p in range(1, 8)], (a, c) -> a * 16 + c) % 65536
+        |    for j in range(0, 3)] AS ps
+        |  FROM newdocs)
+        |SELECT doc_id,
+        |  ps[1] IN (SELECT bit FROM bits)
+        |    AND ps[2] IN (SELECT bit FROM bits)
+        |    AND ps[3] IN (SELECT bit FROM bits) AS bloom_hit
+        |FROM probe""".stripMargin,
 
     "d21_bloom_dedup" ->
       """WITH corpus AS (

@@ -750,4 +750,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!alerts.exists(a => a._1 == 2L && a._2 < t(65).getTime),
       s"active user must not alert while active: ${alerts.toSeq}")
   }
+
+  test("streaming bloom admission: stateless append stream == batch, " +
+    "duplicates flagged across micro-batch boundaries") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val corpus = Seq("alpha beta", "gamma delta", "epsilon zeta")
+      .toDF("text")
+    val bits = graft.operators.BloomJoin.buildBits(
+      corpus.select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text")).as("h")).distinct(),
+      "h", bits = 4096, hashes = 3).localCheckpoint()
+    val all = Seq((1L, "alpha beta"), (2L, "fresh one"),
+      (3L, "gamma delta"), (4L, "fresh two"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.Dedup.bloomAdmit(
+      mem.toDF().toDF("doc_id", "text"), bits, "doc_id", "text",
+      bits = 4096)
+      .writeStream.format("memory").queryName("admit")
+      .outputMode("append").start()
+    mem.addData(all.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(all.drop(2): _*)
+    q.processAllAvailable()
+    val got = spark.table("admit").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val batch = graft.operators.Dedup.bloomAdmit(
+      all.toDF("doc_id", "text"), bits, "doc_id", "text", bits = 4096)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == batch, s"stream $got != batch $batch")
+    assert(got(1L) && got(3L), "corpus texts must be admitted as hits")
+    q.stop()
+  }
 }
