@@ -986,6 +986,28 @@ object Documents {
         .withColumn("link_idx", col("link_idx").cast("long"))
     }),
 
+    "w6_link_rank" -> ((s, _) => {
+      // crawl-graph centrality end-to-end: WARC -> 2xx html -> hrefs ->
+      // RESOLVED page-level edges (relative links are most intra-site
+      // edges; unresolved lists undercount them) -> 5 exact-fold
+      // PageRank rounds — the crawl-prioritization signal w4/w5 gate on
+      // politeness/policy, this ranks by link structure
+      import graft.sources.Warc
+      val links = Warc.read(s, warcPath)
+        .where(col("warc_type") === "response" &&
+          regexp_extract(col("payload"),
+            "(?mi)^Content-Type: ?([^\r\n]*)", 1).contains("html") &&
+          Warc.httpStatus(col("payload")) === 200)
+        .select(col("target_uri"),
+          explode(Warc.extractLinks(Warc.httpBody(col("payload"))))
+            .as("href"))
+      val edges = links
+        .select(col("target_uri").as("id1"),
+          Warc.resolveHref(col("target_uri"), col("href")).as("id2"))
+        .where(col("id1") =!= col("id2"))
+      graft.operators.PageRank.ranks(edges, iters = 5, exactFold = true)
+    }),
+
     "d9_fuzzy_join" -> ((s, dir) => {
       // edit-distance near-dup over 12-char derived keys, prefix-blocked
       Dedup.fuzzyJoin(spread(t(s, dir, "documents")), "doc_id", "text",
@@ -2284,6 +2306,95 @@ object Documents {
         |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ';'
         |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
         |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "w6_link_rank" -> {
+      val iterCtes = (1 to 5).map { i =>
+        s"""c$i AS (
+           |  SELECT e.dst AS node, e.src AS src, r.rank / d.deg AS c
+           |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+           |  JOIN deg d ON e.src = d.src),
+           |r$i AS (
+           |  SELECT node, round((1.0 - 0.85) / nn.n
+           |      + 0.85 * list_reduce(list(c ORDER BY src),
+           |          (a, b) -> a + b), 8) AS rank
+           |  FROM c$i, nn GROUP BY node, nn.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH recs AS (
+         |  SELECT regexp_replace(unnest(string_split(content,
+         |      $warcSepSql)), '^WARC/1\\.0' || chr(13) || chr(10), '')
+         |    AS rec
+         |  FROM read_text('$warcPath')),
+         |split AS (
+         |  SELECT rec,
+         |    CASE WHEN strpos(rec, $crlf2Sql) > 0
+         |      THEN substr(rec,
+         |        len(string_split(rec, $crlf2Sql)[1]) + 5)
+         |      ELSE '' END AS body
+         |  FROM recs WHERE len(trim(rec)) > 0),
+         |payloads AS (
+         |  SELECT
+         |    nullif(regexp_extract(rec,
+         |      '(?m)^WARC-Target-URI: ?([^\\r\\n]*)', 1), '')
+         |      AS target_uri,
+         |    CASE WHEN CAST(nullif(regexp_extract(rec,
+         |        '(?m)^Content-Length: ?([^\\r\\n]*)', 1), '') AS BIGINT)
+         |        IS NOT NULL
+         |      THEN substr(body, 1, CAST(nullif(regexp_extract(rec,
+         |        '(?m)^Content-Length: ?([^\\r\\n]*)', 1), '') AS BIGINT))
+         |      ELSE body END AS payload
+         |  FROM split
+         |  WHERE len(trim(rec)) > 0
+         |    AND nullif(regexp_extract(rec,
+         |      '(?m)^WARC-Type: ?([^\\r\\n]*)', 1), '') = 'response'),
+         |html AS (
+         |  SELECT target_uri,
+         |    CASE WHEN strpos(payload, $crlf2Sql) > 0
+         |      THEN substr(payload,
+         |        len(string_split(payload, $crlf2Sql)[1]) + 5)
+         |      ELSE '' END AS hbody
+         |  FROM payloads
+         |  WHERE contains(regexp_extract(payload,
+         |      '(?mi)^Content-Type: ?([^\\r\\n]*)', 1), 'html')
+         |    AND CAST(nullif(regexp_extract(payload,
+         |      '^HTTP/1\\.[01] (\\d{3})', 1), '') AS INT) = 200),
+         |links AS (
+         |  SELECT target_uri,
+         |    list_filter(list_transform(regexp_extract_all(hbody,
+         |      '(?is)<a\\s[^>]*?href\\s*=\\s*(''[^'']*''|"[^"]*"|[^\\s>]+)',
+         |      1), r -> regexp_replace(r, '^[''"]|[''"]$$', '', 'g')),
+         |      x -> len(x) > 0 AND substr(x, 1, 1) <> '#') AS ls
+         |  FROM html),
+         |hr AS (
+         |  SELECT target_uri AS id1,
+         |    regexp_replace(href, '#.*$$', '') AS h,
+         |    regexp_extract(target_uri, '^(https?://[^/?#]+)', 1)
+         |      AS root,
+         |    regexp_extract(target_uri, '^(https?):', 1) AS scheme,
+         |    regexp_replace(CASE WHEN regexp_extract(target_uri,
+         |        '^https?://[^/?#]+([^?#]*)', 1) = '' THEN '/'
+         |      ELSE regexp_extract(target_uri,
+         |        '^https?://[^/?#]+([^?#]*)', 1) END,
+         |      '[^/]*$$', '') AS dir
+         |  FROM (SELECT target_uri, unnest(ls) AS href FROM links)),
+         |res AS (
+         |  SELECT id1,
+         |    CASE WHEN regexp_matches(h, '^[a-zA-Z][a-zA-Z0-9+.-]*:')
+         |        THEN h
+         |      WHEN starts_with(h, '//') THEN scheme || ':' || h
+         |      WHEN starts_with(h, '/') THEN root || h
+         |      ELSE root || dir || h END AS id2
+         |  FROM hr),
+         |pairs AS (SELECT id1, id2 FROM res WHERE id1 <> id2),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION SELECT id2, id1 FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT src AS node, round(1.0 / nn.n, 8) AS rank
+         |       FROM deg, nn),
+         |$iterCtes
+         |SELECT node, rank FROM r5""".stripMargin
+    },
 
     "d11_pagerank" -> {
       // 5 unrolled iterations, each CTE generated from the same template

@@ -376,6 +376,28 @@ object Streaming {
           col("m.value").as("last_value"))
     }),
 
+    "q35_unpivot" -> ((s, dir) => {
+      // the melt half of q19's pivot: the wide per-user count matrix
+      // unpivots back to long (user_id, metric, n_events) rows with
+      // Spark's native unpivot (codegen'd Expand — one pass, no
+      // explode UDF games); zero cells drop so the round trip equals
+      // the direct long-form aggregation the oracle computes
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("click").as("n_click"),
+          col("view").as("n_view"), col("purchase").as("n_purchase"),
+          col("signup").as("n_signup"), col("error").as("n_error"))
+        .unpivot(Array(col("user_id")),
+          Array(col("n_click"), col("n_view"), col("n_purchase"),
+            col("n_signup"), col("n_error")),
+          "metric", "n_events")
+        .where(col("n_events") > 0)
+    }),
+
     "q19_pivot" -> ((s, dir) => {
       // wide-format rollup: event counts pivoted to one column per type.
       // Explicit value list => single-pass pivot, no extra distinct scan
@@ -913,6 +935,11 @@ object Streaming {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    "q35_unpivot" ->
+      """SELECT user_id, 'n_' || event_type AS metric,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q19_pivot" ->
       """SELECT user_id,

@@ -105,6 +105,30 @@ object Warc {
         l => regexp_replace(l, "^['\"]|['\"]$", "")),
       l => length(l) > 0 && !l.startsWith("#"))
 
+  /** Resolve an extracted href against its page's base URI — the step
+    * between [[extractLinks]] and any graph/frontier consumer (relative
+    * links are most links on most sites; an unresolved edge list
+    * under-counts every intra-site edge). RFC 3986's common cases,
+    * CASE-expressible so the SQL oracle replays it: scheme-qualified
+    * hrefs pass through, `//host/...` adopts the base scheme, `/path`
+    * roots at the base authority, anything else joins the base
+    * directory; fragments strip first (same-page anchors are not
+    * edges). Dot-segment normalization (`..`) is deliberately omitted —
+    * crawl canonicalization (t21) owns URL normalization.
+    */
+  def resolveHref(base: Column, href: Column): Column = {
+    val h = regexp_replace(href, "#.*$", "")
+    val root = regexp_extract(base, "^(https?://[^/?#]+)", 1)
+    val scheme = regexp_extract(base, "^(https?):", 1)
+    val path = regexp_extract(base, "^https?://[^/?#]+([^?#]*)", 1)
+    val dir = regexp_replace(
+      when(path === "", lit("/")).otherwise(path), "[^/]*$", "")
+    when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), h)
+      .when(h.startsWith("//"), concat(scheme, lit(":"), h))
+      .when(h.startsWith("/"), concat(root, h))
+      .otherwise(concat(root, dir, h))
+  }
+
   def extractText(htmlBody: Column): Column = {
     val noScript = regexp_replace(
       regexp_replace(htmlBody, "(?is)<script[^>]*>.*?</script>", " "),

@@ -382,4 +382,30 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(3L).getLong(2) == 3730500L)
     Files.deleteIfExists(f)
   }
+
+  test("resolveHref: scheme pass-through, protocol-relative, rooted, " +
+    "directory-relative, fragment strip, pathless base") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      ("http://example.com/a/b.html", "https://x.org/p",
+        "https://x.org/p"),
+      ("http://example.com/a/b.html", "mailto:a@b", "mailto:a@b"),
+      ("https://example.com/a/b.html", "//cdn.org/q",
+        "https://cdn.org/q"),
+      ("http://example.com/a/b.html", "/root.html",
+        "http://example.com/root.html"),
+      ("http://example.com/a/b.html", "rel.html",
+        "http://example.com/a/rel.html"),
+      ("http://example.com/a/b.html", "rel.html#frag",
+        "http://example.com/a/rel.html"),
+      ("http://example.com", "x", "http://example.com/x"))
+    val got = cases.toDF("base", "href", "want")
+      .select(graft.sources.Warc.resolveHref(col("base"), col("href"))
+        .as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"got ${r.getString(0)}, want ${r.getString(1)}"))
+  }
 }
