@@ -519,4 +519,50 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_min") || p.contains("partial_sum"),
       "per-source register mins must map-side combine:\n" + p)
   }
+
+  test("d20 paragraph dedup: no window, winner via partial min(struct)") {
+    val p = plan("d20_paragraph_dedup")
+    assert(!p.contains("Window"),
+      "first-wins must be an aggregation, not a window:\n" + p)
+    assert(p.contains("partial_min"),
+      "winner struct must map-side combine:\n" + p)
+  }
+
+  test("t32 ccnet buckets: offsets broadcast, no per-language corpus " +
+    "window (only the within-bucket sort)") {
+    val p = plan("t32_ccnet_buckets")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin"),
+      "bin offsets must reach rows by broadcast:\n" + p)
+    // every Window must partition by (lang, _b) — a per-lang ntile
+    // would show a windowspecdefinition over lang alone
+    assert(!p.contains("ntile"), "no engine ntile over a language:\n" + p)
+  }
+
+  test("e23 stream admit: broadcast joins only — no hash exchange of " +
+    "the document stream") {
+    val p = plan("e23_stream_admit")
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    // the probe side must reach the bit set via broadcast; the only
+    // permitted non-broadcast exchanges belong to the synthetic-batch
+    // construction (donor join), not the admission chain — admission
+    // itself adds three BroadcastHashJoins
+    assert("BroadcastHashJoin".r.findAllIn(finalPlan).size >= 3,
+      "three per-hash broadcast joins expected:\n" + finalPlan)
+  }
+
+  test("q33 nearest as-of: ONE key exchange feeding two sorted window " +
+    "passes") {
+    val p = plan("q33_asof_nearest")
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    // two Window operators (backward + forward walks)...
+    assert("Window".r.findAllIn(finalPlan).size >= 2, finalPlan)
+    // ...but no more hashpartitioning exchanges than the single
+    // union'd key shuffle (AQE may echo it once per read)
+    val hashEx = "Exchange hashpartitioning\\(user_id"
+      .r.findAllIn(finalPlan).size
+    assert(hashEx <= 1,
+      s"the two walks must share one key exchange, saw $hashEx:\n" +
+        finalPlan)
+  }
 }
