@@ -38,6 +38,12 @@ import graft.operators.Dedup
   *   [-ccnet_keep head,middle] CCNet per-language perplexity-tercile
   *                         selector (t32): keep only the listed buckets
   *                         (head = most fluent third per language)
+  *   [-dedup_against p]    incremental admission against an EXISTING
+  *                         corpus parquet (d21/e23): drop arriving docs
+  *                         whose content hash it holds;
+  *                         -dedup_against_mode bloom (default — FP-
+  *                         bounded broadcast bit set, never joins the
+  *                         corpus) | exact (hash-keyed verify join)
   *   [-dedup_paragraph 1]  Dolma-style exact paragraph dedup (d20):
   *                         remove later occurrences of corpus-duplicated
   *                         paragraphs, keep the globally-first; rows
@@ -328,6 +334,33 @@ object Corpus {
         .where(coalesce(col("dup_ratio"), lit(0.0)) <= r)
         .drop("dup_ratio")
       record(s"dup_ratio<=$r")
+    }
+    opts.get("dedup_against").foreach { corpusPath =>
+      // incremental exact-dedup admission against an EXISTING corpus
+      // (d21/e23): drop arriving docs whose content hash the corpus at
+      // `corpusPath` already holds. mode=bloom (default) admits on the
+      // broadcast bit set alone — the 100 TB hot path, FP-bounded,
+      // never joins the corpus; mode=exact verifies candidates with
+      // one hash-keyed join (zero FPs, corpus-join priced).
+      val mode = opts.getOrElse("dedup_against_mode", "bloom")
+      val corpus = spark.read.parquet(corpusPath)
+      require(corpus.columns.contains("text"),
+        s"-dedup_against parquet at $corpusPath needs a text column")
+      val dropIds = mode match {
+        case "bloom" =>
+          val bitSet = operators.BloomJoin.buildBits(
+            corpus.select(md5(col("text")).as("h")).distinct(), "h",
+            65536, 3)
+          Dedup.bloomAdmit(df, bitSet, "doc_id", "text")
+            .where(col("bloom_hit")).select("doc_id")
+        case "exact" =>
+          Dedup.bloomDedup(df, corpus, "doc_id", "text")
+            .where(col("is_dup")).select("doc_id")
+        case other =>
+          sys.error(s"unknown -dedup_against_mode: $other")
+      }
+      df = df.join(dropIds, Seq("doc_id"), "left_anti")
+      record(s"dedup_against=$mode")
     }
     if (opts.getOrElse("dedup_paragraph", "0") == "1") {
       // Dolma-style exact paragraph dedup (d20): later occurrences of a

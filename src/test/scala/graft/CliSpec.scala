@@ -722,6 +722,29 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       3L -> "body three"))
   }
 
+  test("Corpus -dedup_against drops resubmitted texts (bloom and exact " +
+    "modes), fresh texts survive") {
+    val s2 = spark
+    import s2.implicits._
+    val pid = ProcessHandle.current.pid
+    val corpusOut =
+      s"${sys.props("java.io.tmpdir")}/graft-corpus-against-c-$pid"
+    val newOut =
+      s"${sys.props("java.io.tmpdir")}/graft-corpus-against-n-$pid"
+    Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(corpusOut)
+    Seq((10L, "alpha beta gamma"), (11L, "fresh text one"),
+      (12L, "delta epsilon zeta"), (13L, "fresh text two"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(newOut)
+    for (mode <- Seq("bloom", "exact")) {
+      val got = Corpus.run(spark, Map(
+        "i" -> newOut, "dedup" -> "none", "dedup_against" -> corpusOut,
+        "dedup_against_mode" -> mode, "report" -> "0"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(11L, 13L), s"mode=$mode got $got")
+    }
+  }
+
   test("Corpus -train_vocab writes the t18 chars+merges vocabulary, " +
     "identical to calling Tokenizer.bpeVocab directly") {
     val sf = "/root/testdata/sf0.001"
