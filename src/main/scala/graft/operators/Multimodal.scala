@@ -118,6 +118,32 @@ object Multimodal {
         round(col("_f.zcr"), 6).as("zcr"))
   }
 
+  /** Energy-gated activity segmentation (the classic VAD front end):
+    * frames whose RMS clears `rmsThreshold` merge into maximal
+    * contiguous segments per medium — the cut points a speech pipeline
+    * transcribes/aligns, straight off [[audioFrames]]' real-PCM walk.
+    * One (media) window pass for the gaps-and-islands grouping, one
+    * aggregation on the same key prefix; per-segment outputs are
+    * order-independent (count/min/max/peak — a mean would re-fold
+    * doubles in engine order). Sub-threshold media emit nothing.
+    */
+  def vadSegments(df: DataFrame, rmsThreshold: Double,
+                  frameSamples: Int = 8,
+                  payload: String = "payload"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = audioFrames(df, frameSamples, payload)
+      .where(col("rms") >= rmsThreshold)
+    val w = Window.partitionBy("media_id").orderBy("frame")
+    frames
+      .withColumn("_grp", col("frame") - row_number().over(w))
+      .groupBy(col("media_id"), col("_grp"))
+      .agg(min(col("frame")).as("seg_start"),
+        max(col("frame")).as("seg_end"),
+        count(lit(1)).as("n_frames"),
+        max(col("rms")).as("peak_rms"))
+      .drop("_grp")
+  }
+
   /** Fixed-length frame-energy vector per audio payload — the embedding
     * [[audioFrames]] feeds to the similarity family: the first
     * `nFrames` frames' RMS values in frame order. Media with fewer

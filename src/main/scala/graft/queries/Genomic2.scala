@@ -202,6 +202,16 @@ object Genomic2 {
         frameSamples = 8)
     }),
 
+    "m12_audio_vad" -> ((s, _) => {
+      prep(s)
+      // energy-gated activity segmentation over the real PCM frames:
+      // rms >= 500 frames merge into maximal segments — wav_noise's
+      // loud first half segments apart from its near-silent tail,
+      // wav_stereo stays entirely below the gate
+      Multimodal.vadSegments(s.read.parquet(s"$fx/audio.parquet"),
+        rmsThreshold = 500.0)
+    }),
+
     "m8_audio_dedup" -> ((s, _) => {
       prep(s)
       // perceptual audio dedup (the audio sibling of m6's image dHash):
@@ -1064,6 +1074,64 @@ object Genomic2 {
          |      i -> fm[i] * fm[i + 1] < 0)) AS DOUBLE) / (len(fm) - 1)
          |    ELSE 0.0 END, 6) AS zcr
          |FROM fr""".stripMargin,
+
+    // m12: m7's byte-walk chain -> rms >= 500 gate -> gaps-and-islands
+    "m12_audio_vad" ->
+      s"""WITH d AS (
+         |  SELECT media_id, hex(payload) AS h,
+         |         octet_length(payload) AS n
+         |  FROM ${pq("audio")}),
+         |hb AS (
+         |  SELECT media_id, n,
+         |    list_transform(range(0, n), i ->
+         |      (strpos('0123456789ABCDEF', substr(h, 2*i + 1, 1)) - 1)
+         |        * 16 +
+         |      strpos('0123456789ABCDEF', substr(h, 2*i + 2, 1)) - 1)
+         |      AS b
+         |  FROM d),
+         |meta AS (
+         |  SELECT media_id, n, b,
+         |    (n >= 46 AND b[1]=82 AND b[2]=73 AND b[3]=70 AND b[4]=70
+         |       AND b[9]=87 AND b[10]=65 AND b[11]=86 AND b[12]=69
+         |       AND b[21] + 256*b[22] = 1
+         |       AND b[35] + 256*b[36] = 16) AS ok,
+         |    b[23] + 256*b[24] AS channels,
+         |    b[41] + 256*b[42] + 65536*b[43] + 16777216*b[44] AS dsz
+         |  FROM hb),
+         |s AS (
+         |  SELECT media_id, channels,
+         |    list_transform(range(0, least(dsz, n - 44) // 2), k ->
+         |      CASE WHEN b[45 + 2*k] + 256*b[46 + 2*k] >= 32768
+         |           THEN b[45 + 2*k] + 256*b[46 + 2*k] - 65536
+         |           ELSE b[45 + 2*k] + 256*b[46 + 2*k] END) AS sm
+         |  FROM meta WHERE ok),
+         |mo AS (
+         |  SELECT media_id,
+         |    list_transform(range(0, len(sm) // channels), f ->
+         |      CAST(list_sum(list_transform(range(0, channels),
+         |        c -> sm[f * channels + c + 1])) AS DOUBLE) / channels)
+         |      AS mo
+         |  FROM s WHERE len(sm) // channels >= 1),
+         |fr AS (
+         |  SELECT media_id, fi.i AS frame,
+         |    mo[fi.i * 8 + 1 : least((fi.i + 1) * 8, len(mo))] AS fm
+         |  FROM mo, LATERAL (SELECT unnest(range(0,
+         |    (len(mo) + 7) // 8)) AS i) fi),
+         |fe AS (
+         |  SELECT media_id, frame,
+         |    round(sqrt(list_sum(list_transform(fm, m -> m * m))
+         |      / len(fm)), 4) AS rms
+         |  FROM fr),
+         |sp AS (
+         |  SELECT media_id, frame, rms,
+         |    frame - row_number() OVER (PARTITION BY media_id
+         |      ORDER BY frame) AS grp
+         |  FROM fe WHERE rms >= 500.0)
+         |SELECT media_id, CAST(min(frame) AS BIGINT) AS seg_start,
+         |  CAST(max(frame) AS BIGINT) AS seg_end,
+         |  CAST(count(*) AS BIGINT) AS n_frames,
+         |  max(rms) AS peak_rms
+         |FROM sp GROUP BY media_id, grp""".stripMargin,
 
     // m8: m7's byte-walk chain -> 4-frame RMS vectors -> all same-bucket
     // pairs (id <) -> cosine floor; rounded rms values shared with m7,

@@ -302,6 +302,38 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("vadSegments: loud-quiet-loud splits into two segments, " +
+    "sub-threshold media emit nothing, poison emits nothing") {
+    val s = spark
+    import s.implicits._
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // frames of 8 samples: frames 0-1 loud, 2-3 quiet, 4 loud again
+    val samples = Array.tabulate(40) { i =>
+      val f = i / 8
+      (if (f <= 1 || f == 4) 2000 + (i % 5) else 10).toShort
+    }
+    val media = Seq(
+      ("lql", wav(samples)),
+      ("quiet", wav(Array.fill(16)(5.toShort))),
+      ("poison", Array[Byte](9, 9, 9)))
+      .toDF("media_id", "payload")
+    val segs = Multimodal.vadSegments(media, rmsThreshold = 500.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(segs == Set(("lql", 0L, 1L, 2L), ("lql", 4L, 4L, 1L)),
+      s"got $segs")
+  }
+
   test("perceptual dHash: scale-invariant, small radius for a local " +
     "edit, unrelated image excluded, poison null, no duplicate pairs") {
     val s = spark
