@@ -237,6 +237,108 @@ object VcfStats {
     out.toSeq.toDF("sample", "pc", "loading", "eigenvalue")
   }
 
+  /** vcftools `--window-pi`-style windowed nucleotide diversity: per
+    * site π = c_ref·c_alt / C(c_total, 2) over CALLED alleles (the
+    * allele-count form — integers until the one division), summed per
+    * (chrom, window of `binSize` bp). The genome-scan statistic behind
+    * diversity maps and selective-sweep screens (low-π valleys).
+    *
+    * Plan: ONE conditional-sum groupBy(varId) for the allele counts
+    * (the gen_hwe shape), then one (chrom, window) aggregation. The
+    * per-window double sum folds in (pos, varId) order (the t17
+    * sorted-fold contract) so an independent engine reproduces the
+    * hash; windows hold bounded variant counts, so the fold array is
+    * bounded — at biobank scale the windows themselves are the
+    * parallelism unit.
+    */
+  def windowedPi(gts: DataFrame, binSize: Long = 1000L): DataFrame = {
+    val d = dosage(col("gt"))
+    val perVar = gts
+      .select(col("varId"), col("chrom"), col("pos"), d.as("_d"))
+      .groupBy("varId", "chrom", "pos")
+      .agg(count(col("_d")).as("_n"), sum(col("_d")).as("_ca"))
+      .where(col("_n") > 0)
+      .withColumn("_ct", lit(2L) * col("_n"))
+      .where(col("_ct") > 1)
+      .withColumn("_pi",
+        (col("_ct") - col("_ca")) * col("_ca")
+          / (col("_ct") * (col("_ct") - 1) / lit(2.0)))
+    perVar
+      .withColumn("_w", floor(col("pos") / binSize))
+      .groupBy(col("chrom"), col("_w"))
+      .agg(count(lit(1)).as("n_variants"),
+        round(aggregate(
+          array_sort(collect_list(struct(col("pos"), col("varId"),
+            col("_pi")))),
+          lit(0.0), (acc, e) => acc + e.getField("_pi")), 5).as("pi"))
+      .select(col("chrom"), (col("_w") * binSize).as("win_start"),
+        (col("_w") * binSize + binSize - 1).as("win_end"),
+        col("n_variants"), col("pi"))
+  }
+
+  /** vcftools `--TajimaD`-style windowed Tajima's D: the
+    * sweep/balancing-selection screen comparing two θ estimators —
+    * pairwise diversity π (as in [[windowedPi]]) against Watterson's
+    * S/a₁ — normalized by Tajima 1989's variance constants (a₁ a₂ b₁
+    * b₂ c₁ c₂ e₁ e₂, all closed-form functions of the sequence count
+    * `nSequences`). Negative D = excess rare variants (sweep/expansion),
+    * positive = excess intermediate frequencies (balancing).
+    *
+    * `nSequences` is the cohort's nominal allele count (2×samples) —
+    * vcftools recomputes per-site n under missingness; the constant-n
+    * form is the documented divergence and is exact on complete calls.
+    * The harmonic-sum constants fold ascending in both engines, so the
+    * oracle's doubles are bit-equal; D rounds to 4. Null D where S = 0
+    * (the statistic is undefined on invariant windows — vcftools
+    * prints nan). Same one-groupBy + one-window-aggregation plan as
+    * [[windowedPi]].
+    */
+  def tajimaD(gts: DataFrame, nSequences: Int,
+              binSize: Long = 1000L): DataFrame = {
+    require(nSequences >= 2, "tajimaD needs >= 2 sequences")
+    val n = nSequences
+    val a1 = (1 until n).foldLeft(0.0)((a, i) => a + 1.0 / i)
+    val a2 = (1 until n).foldLeft(0.0)((a, i) => a + 1.0 / (i.toLong * i))
+    val b1 = (n + 1) / (3.0 * (n - 1))
+    val b2 = 2.0 * (n.toLong * n + n + 3) / (9.0 * n * (n - 1))
+    val c1 = b1 - 1.0 / a1
+    val c2 = b2 - (n + 2) / (a1 * n) + a2 / (a1 * a1)
+    val e1 = c1 / a1
+    val e2 = c2 / (a1 * a1 + a2)
+    val d = dosage(col("gt"))
+    val perVar = gts
+      .select(col("varId"), col("chrom"), col("pos"), d.as("_d"))
+      .groupBy("varId", "chrom", "pos")
+      .agg(count(col("_d")).as("_n"), sum(col("_d")).as("_ca"))
+      .where(col("_n") > 0)
+      .withColumn("_ct", lit(2L) * col("_n"))
+      .where(col("_ct") > 1)
+      .withColumn("_pi",
+        (col("_ct") - col("_ca")) * col("_ca")
+          / (col("_ct") * (col("_ct") - 1) / lit(2.0)))
+      .withColumn("_seg",
+        when(col("_ca") > 0 && col("_ca") < col("_ct"), 1L)
+          .otherwise(0L))
+    val win = perVar
+      .withColumn("_w", floor(col("pos") / binSize))
+      .groupBy(col("chrom"), col("_w"))
+      .agg(sum(col("_seg")).as("s_sites"),
+        aggregate(
+          array_sort(collect_list(struct(col("pos"), col("varId"),
+            col("_pi")))),
+          lit(0.0), (acc, e) => acc + e.getField("_pi")).as("_pisum"))
+    val sC = col("s_sites")
+    win
+      .withColumn("tajima_d",
+        when(sC > 0, round(
+          (col("_pisum") - sC / lit(a1))
+            / sqrt(lit(e1) * sC + lit(e2) * sC * (sC - 1)), 4)))
+      .select(col("chrom"), (col("_w") * binSize).as("win_start"),
+        (col("_w") * binSize + binSize - 1).as("win_end"),
+        col("s_sites"), round(col("_pisum"), 5).as("pi"),
+        col("tajima_d"))
+  }
+
   /** plink-mendel-style Mendelian-consistency check for trios on diploid
     * biallelic genotypes. `gts` is the long genotype matrix — one row per
     * (varId, chrom, pos, sample, gt); `trios` is (child, mother, father),

@@ -409,6 +409,27 @@ object Genomic {
         .where(col("chrom") =!= "X"))
     }),
 
+    "g35_window_pi" -> ((s, _) => {
+      // vcftools --window-pi: per-site π from called-allele counts
+      // (integer form), summed per (chrom, 60bp window) with a sorted
+      // fold — the diversity-map / sweep-screen genome scan
+      prep(s)
+      graft.operators.VcfStats.windowedPi(gtsWithVarId(s)
+        .where(col("chrom") =!= "X"), binSize = 60)
+    }),
+
+    "g36_tajima_d" -> ((s, _) => {
+      // vcftools --TajimaD: π vs Watterson S/a1 per 60bp window with
+      // Tajima's variance constants from the cohort's nominal allele
+      // count (2×samples — the documented constant-n divergence);
+      // null D on invariant windows
+      prep(s)
+      graft.operators.VcfStats.tajimaD(gtsWithVarId(s)
+        .where(col("chrom") =!= "X"),
+        nSequences = 2 * GenomicFixtures.sampleNames(s).length,
+        binSize = 60)
+    }),
+
     "g17_roh" -> ((s, _) => {
       // plink --homozyg-lite: per (sample, chrom) maximal runs of >= 2
       // consecutive homozygous calls — gaps-and-islands on ONE
@@ -1700,6 +1721,92 @@ object Genomic {
          |    / (SELECT count(*) FROM st), 5) AS grm
          |FROM z a JOIN z b ON a.vid = b.vid AND a.sample <= b.sample
          |GROUP BY 1, 2""".stripMargin,
+
+    "g35_window_pi" ->
+      s"""WITH g AS (
+         |  SELECT id || ':' || alt AS vid, chrom, pos,
+         |    unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM ${pq("vcf_norm")} WHERE chrom <> 'X'),
+         |dd AS (
+         |  SELECT vid, chrom, pos,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) END AS dd
+         |  FROM g),
+         |pv AS (
+         |  SELECT vid, chrom, pos, count(dd) AS n, sum(dd) AS ca
+         |  FROM dd GROUP BY 1, 2, 3),
+         |pp AS (
+         |  SELECT chrom, pos, vid,
+         |    (2*n - ca) * ca / (2*n * (2*n - 1) / 2.0) AS pi
+         |  FROM pv WHERE n > 0 AND 2*n > 1)
+         |SELECT chrom, (pos // 60) * 60 AS win_start,
+         |  (pos // 60) * 60 + 59 AS win_end,
+         |  CAST(count(*) AS BIGINT) AS n_variants,
+         |  round(list_reduce(list(pi ORDER BY pos, vid),
+         |    (a, b) -> a + b), 5) AS pi
+         |FROM pp GROUP BY chrom, pos // 60""".stripMargin,
+
+    "g36_tajima_d" ->
+      s"""WITH g AS (
+         |  SELECT id || ':' || alt AS vid, chrom, pos,
+         |    unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM ${pq("vcf_norm")} WHERE chrom <> 'X'),
+         |cn AS (
+         |  SELECT 2 * max(len(genotypes)) AS n FROM ${pq("vcf_norm")}),
+         |ks AS (
+         |  SELECT n,
+         |    list_reduce(list_transform(range(1, n),
+         |      i -> CAST(1.0 AS DOUBLE) / i), (a, b) -> a + b) AS a1,
+         |    list_reduce(list_transform(range(1, n),
+         |      i -> CAST(1.0 AS DOUBLE) / (i * i)), (a, b) -> a + b)
+         |      AS a2
+         |  FROM cn),
+         |kb AS (
+         |  SELECT n, a1, a2,
+         |    (n + 1) / (CAST(3.0 AS DOUBLE) * (n - 1)) AS b1,
+         |    CAST(2.0 AS DOUBLE) * (n * n + n + 3)
+         |      / (CAST(9.0 AS DOUBLE) * n * (n - 1)) AS b2
+         |  FROM ks),
+         |kc AS (
+         |  SELECT n, a1, a2,
+         |    b1 - CAST(1.0 AS DOUBLE) / a1 AS c1,
+         |    b2 - (n + 2) / (a1 * n) + a2 / (a1 * a1) AS c2
+         |  FROM kb),
+         |ke AS (
+         |  SELECT c1 / a1 AS e1, c2 / (a1 * a1 + a2) AS e2, a1
+         |  FROM kc),
+         |dd AS (
+         |  SELECT vid, chrom, pos,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) END AS dd
+         |  FROM g),
+         |pv AS (
+         |  SELECT vid, chrom, pos, count(dd) AS n, sum(dd) AS ca
+         |  FROM dd GROUP BY 1, 2, 3),
+         |pp AS (
+         |  SELECT chrom, pos, vid,
+         |    (2*n - ca) * ca / (2*n * (2*n - 1) / 2.0) AS pi,
+         |    CASE WHEN ca > 0 AND ca < 2*n THEN 1 ELSE 0 END AS seg
+         |  FROM pv WHERE n > 0 AND 2*n > 1),
+         |wagg AS (
+         |  SELECT chrom, pos // 60 AS w,
+         |    CAST(sum(seg) AS BIGINT) AS s_sites,
+         |    list_reduce(list(pi ORDER BY pos, vid),
+         |      (a, b) -> a + b) AS pisum
+         |  FROM pp GROUP BY 1, 2)
+         |SELECT chrom, w * 60 AS win_start, w * 60 + 59 AS win_end,
+         |  s_sites, round(pisum, 5) AS pi,
+         |  CASE WHEN s_sites > 0 THEN
+         |    round((pisum - s_sites / a1)
+         |      / sqrt(e1 * s_sites + e2 * s_sites * (s_sites - 1)), 4)
+         |  END AS tajima_d
+         |FROM wagg, ke""".stripMargin,
 
     "g33_king" ->
       s"""WITH g AS (

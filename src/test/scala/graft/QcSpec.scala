@@ -601,6 +601,40 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pcs("a") * pcs("c") < 0, "PC1 must separate the blocks")
   }
 
+  test("windowedPi + tajimaD: per-site allele-count form, window " +
+    "binning, rare-excess D < 0 < intermediate-excess D, invariant " +
+    "window -> null") {
+    val s = spark
+    import s.implicits._
+    def gts(rows: Seq[(String, Long, Seq[String])]) = rows.flatMap {
+      case (v, pos, calls) => calls.zipWithIndex.map { case (gt, i) =>
+        (v, "1", pos, s"s$i", gt)
+      }
+    }.toDF("varId", "chrom", "pos", "sample", "gt")
+    // window 0: 4 rare singletons (ca=1/8 each); window 1: 4 balanced
+    // (ca=4/8); window 2: monomorphic only
+    val rare = Seq.tabulate(4)(k => (s"r$k", 10L + k,
+      Seq("0|1", "0|0", "0|0", "0|0")))
+    val bal = Seq.tabulate(4)(k => (s"b$k", 100L + k,
+      Seq("0|1", "1|0", "0|1", "1|0")))
+    val mono = Seq(("m0", 200L, Seq("0|0", "0|0", "0|0", "0|0")))
+    val df = gts(rare ++ bal ++ mono)
+    val pi = VcfStats.windowedPi(df, binSize = 50).collect()
+      .map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    // per rare site: 7*1 / C(8,2)=28 -> 0.25; window sum 1.0
+    assert(pi(0L) == 1.0, pi.toString)
+    // per balanced site: 4*4/28 -> 0.571428..; sum 2.28571
+    assert(math.abs(pi(100L) - 2.28571) < 1e-9, pi.toString)
+    assert(pi(200L) == 0.0, "monomorphic window has pi 0")
+    val d = VcfStats.tajimaD(df, nSequences = 8, binSize = 50).collect()
+      .map(r => r.getLong(1) -> Option(r.get(5))).toMap
+    assert(d(0L).exists(_.asInstanceOf[Double] < 0),
+      s"rare excess must push D negative: $d")
+    assert(d(100L).exists(_.asInstanceOf[Double] > 0),
+      s"intermediate excess must push D positive: $d")
+    assert(d(200L).isEmpty, "invariant window has undefined D")
+  }
+
   test("kingKinship: duplicate samples -> 0.5, opposite homozygotes " +
     "push negative, zero-het pair -> null") {
     val s = spark
