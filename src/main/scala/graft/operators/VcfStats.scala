@@ -237,6 +237,56 @@ object VcfStats {
     out.toSeq.toDF("sample", "pc", "loading", "eigenvalue")
   }
 
+  /** plink `--indep-pairwise`-style greedy LD pruning — THE
+    * prescription [[ibsPairs]]/[[grmPairs]]/[[kingKinship]] cite for
+    * biobank-scale pair scans: thin the variant panel so no two kept
+    * variants within `maxDist` correlate above `r2Threshold`. Greedy
+    * keep-earliest contract (deterministic): walking each chromosome in
+    * (pos, varId) order, a variant is PRUNED iff it has r² ≥ threshold
+    * against an earlier variant that itself survived — so chains
+    * A~B, B~C (A≁C) keep A and C, drop B, exactly plink's sequential
+    * scan shape (plink's lower-MAF tie-drop and window stepping are the
+    * documented divergences).
+    *
+    * Plan: the [[ldPairs]] windowed pair join supplies the high-LD
+    * pairs; the sequential recursion then runs as ONE per-chromosome
+    * array fold (aggregate + exists over the collected (pos, varId)
+    * list) — chromosomes are the parallelism unit, mirroring plink's
+    * own per-chrom scan; at biobank variant counts, chunk the fold by
+    * plink-style windows upstream. Output: every variant with its
+    * `kept` verdict.
+    */
+  def ldPrune(gts: DataFrame, maxDist: Long, r2Threshold: Double,
+              binSize: Long = 10000L): DataFrame = {
+    val vars = gts.select(col("chrom"), col("pos"), col("varId"))
+      .distinct()
+    val vt = vars.schema("varId").dataType.sql
+    val hi = ldPairs(gts, maxDist, binSize)
+      .where(col("r2").isNotNull && col("r2") >= r2Threshold)
+      .groupBy("chrom")
+      .agg(collect_list(struct(col("varId1").as("a"),
+        col("varId2").as("b"))).as("_prs"))
+    val keptArr = vars
+      .groupBy("chrom")
+      .agg(array_sort(collect_list(struct(col("pos"), col("varId"))))
+        .as("_vs"))
+      .join(hi, Seq("chrom"), "left")
+      .withColumn("_prs",
+        coalesce(col("_prs"), array().cast(s"array<struct<a:$vt,b:$vt>>")))
+      .select(col("chrom"),
+        aggregate(col("_vs"), array().cast(s"array<$vt>"),
+          (acc, v) => when(
+            exists(col("_prs"), p =>
+              p.getField("b") === v.getField("varId") &&
+                array_contains(acc, p.getField("a"))), acc)
+            .otherwise(concat(acc, array(v.getField("varId")))))
+          .as("_kept"))
+    vars.join(keptArr, Seq("chrom"), "left")
+      .select(col("chrom"), col("pos"), col("varId"),
+        coalesce(array_contains(col("_kept"), col("varId")), lit(false))
+          .as("kept"))
+  }
+
   /** vcftools `--window-pi`-style windowed nucleotide diversity: per
     * site π = c_ref·c_alt / C(c_total, 2) over CALLED alleles (the
     * allele-count form — integers until the one division), summed per

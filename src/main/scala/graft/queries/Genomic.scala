@@ -430,6 +430,17 @@ object Genomic {
         binSize = 60)
     }),
 
+    "g37_ld_prune" -> ((s, _) => {
+      // plink --indep-pairwise: greedy keep-earliest LD pruning at
+      // r2 >= 0.8 within 40bp — the panel-thinning prescription the
+      // pair-scan operators (g31/g32/g33) cite; per-chrom array fold,
+      // oracle replays the identical walk as a recursive CTE
+      prep(s)
+      graft.operators.VcfStats.ldPrune(gtsWithVarId(s)
+        .where(col("chrom") =!= "X"), maxDist = 40,
+        r2Threshold = 0.8, binSize = 16)
+    }),
+
     "g17_roh" -> ((s, _) => {
       // plink --homozyg-lite: per (sample, chrom) maximal runs of >= 2
       // consecutive homozygous calls — gaps-and-islands on ONE
@@ -1865,6 +1876,71 @@ object Genomic {
          |  round(CAST(n_sites - n_missing AS DOUBLE) / n_sites, 5)
          |    AS call_rate
          |FROM c""".stripMargin,
+
+    "g37_ld_prune" ->
+      s"""WITH RECURSIVE g AS (
+         |  SELECT id || ':' || alt AS vid, chrom, pos,
+         |    unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM ${pq("vcf_norm")} WHERE chrom <> 'X'),
+         |d AS (
+         |  SELECT vid, chrom, pos, 'S' || si AS sample,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) END AS dd
+         |  FROM g),
+         |d2 AS (SELECT * FROM d WHERE dd IS NOT NULL),
+         |p AS (
+         |  SELECT a.chrom, a.vid AS v1, b.vid AS v2,
+         |    a.dd AS x, b.dd AS y
+         |  FROM d2 a JOIN d2 b ON a.chrom = b.chrom
+         |    AND a.sample = b.sample
+         |    AND b.pos > a.pos AND b.pos <= a.pos + 40),
+         |c AS (
+         |  SELECT chrom, v1, v2,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x*x) AS BIGINT) AS sxx,
+         |    CAST(sum(y*y) AS BIGINT) AS syy,
+         |    CAST(sum(x*y) AS BIGINT) AS sxy
+         |  FROM p GROUP BY 1, 2, 3),
+         |hi AS (
+         |  SELECT chrom, v1, v2 FROM c
+         |  WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+         |    AND round(CAST(n*sxy - sx*sy AS DOUBLE)
+         |        * CAST(n*sxy - sx*sy AS DOUBLE)
+         |      / (CAST(n*sxx - sx*sx AS DOUBLE)
+         |        * CAST(n*syy - sy*sy AS DOUBLE)), 5) >= 0.8),
+         |uv AS (SELECT DISTINCT chrom, pos, vid FROM d),
+         |vs AS MATERIALIZED (
+         |  SELECT chrom,
+         |    list(struct_pack(pos := pos, vid := vid)
+         |      ORDER BY pos, vid) AS vs
+         |  FROM uv GROUP BY chrom),
+         |hp AS MATERIALIZED (
+         |  SELECT chrom, list(struct_pack(a := v1, b := v2)) AS prs
+         |  FROM hi GROUP BY chrom),
+         |st AS (
+         |  SELECT chrom, 0 AS i, CAST([] AS VARCHAR[]) AS kept FROM vs
+         |  UNION ALL
+         |  SELECT s.chrom, s.i + 1,
+         |    CASE WHEN len(list_filter(
+         |        coalesce(h.prs,
+         |          CAST([] AS STRUCT(a VARCHAR, b VARCHAR)[])),
+         |        pr -> pr.b = v.vs[s.i + 1].vid
+         |          AND list_contains(s.kept, pr.a))) > 0
+         |      THEN s.kept
+         |      ELSE list_append(s.kept, v.vs[s.i + 1].vid) END
+         |  FROM st s JOIN vs v USING (chrom)
+         |  LEFT JOIN hp h USING (chrom)
+         |  WHERE s.i < len(v.vs)),
+         |fin AS (
+         |  SELECT s.chrom, s.kept FROM st s JOIN vs v USING (chrom)
+         |  WHERE s.i = len(v.vs))
+         |SELECT u.chrom, u.pos, u.vid AS "varId",
+         |  list_contains(f.kept, u.vid) AS kept
+         |FROM uv u JOIN fin f USING (chrom)""".stripMargin,
 
     "g21_ld" ->
       s"""WITH g AS (

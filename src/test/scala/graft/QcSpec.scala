@@ -635,6 +635,32 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d(200L).isEmpty, "invariant window has undefined D")
   }
 
+  test("ldPrune: greedy keep-earliest — the A~B, B~C, A!~C chain keeps " +
+    "A AND C (naive drop-later-of-pair would kill C too)") {
+    val s = spark
+    import s.implicits._
+    // 40 samples; hom-alt index sets chosen so r2(A,B)=r2(B,C)=0.81
+    // and r2(A,C)=0.64 (one vs two 20-sample-block swaps)
+    val aT = (0 until 20).toSet
+    val bT = aT - 19 + 20
+    val cT = aT - 19 - 18 + 20 + 21
+    val rows = for {
+      (v, pos, twos) <- Seq(("A", 10L, aT), ("B", 20L, bT),
+        ("C", 30L, cT))
+      i <- 0 until 40
+    } yield (v, "1", pos, f"s$i%02d", if (twos(i)) "1|1" else "0|0")
+    val df = rows.toDF("varId", "chrom", "pos", "sample", "gt")
+    val r2 = VcfStats.ldPairs(df, maxDist = 40, binSize = 16)
+      .collect().map(r => (r.getString(1), r.getString(3)) ->
+        r.getDouble(6)).toMap
+    assert(r2(("A", "B")) == 0.81 && r2(("B", "C")) == 0.81 &&
+      r2(("A", "C")) == 0.64, r2.toString)
+    val kept = VcfStats.ldPrune(df, maxDist = 40, r2Threshold = 0.7,
+      binSize = 16).collect()
+      .map(r => r.getString(2) -> r.getBoolean(3)).toMap
+    assert(kept == Map("A" -> true, "B" -> false, "C" -> true), kept)
+  }
+
   test("kingKinship: duplicate samples -> 0.5, opposite homozygotes " +
     "push negative, zero-het pair -> null") {
     val s = spark
