@@ -474,6 +474,34 @@ object VcfStats {
       .drop("_grp")
   }
 
+  /** F_ROH genomic inbreeding coefficient per sample: the fraction of
+    * the surveyed span covered by runs of homozygosity — the
+    * consanguinity/bottleneck statistic ROH screens exist to feed
+    * (plink --homozyg's summary column). Rides [[rohSegments]]
+    * unchanged; the surveyed span derives from the data itself
+    * (Σ per-chrom max(pos)−min(pos)+1 — the array's footprint, the
+    * honest denominator when no assembly FAI is supplied) and reduces
+    * to ONE broadcast row; samples with no qualifying run report 0.
+    */
+  def frohCoefficients(gts: DataFrame,
+                       minVariants: Int = 3): DataFrame = {
+    val segs = rohSegments(gts, minVariants)
+      .withColumn("_len", col("run_end") - col("run_start") + 1)
+      .groupBy("sample")
+      .agg(count(lit(1)).as("n_segments"), sum(col("_len")).as("roh_bp"))
+    val span = gts.groupBy("chrom")
+      .agg((max(col("pos")) - min(col("pos")) + 1).as("_l"))
+      .agg(sum(col("_l")).as("_span"))
+    gts.select("sample").distinct()
+      .join(segs, Seq("sample"), "left")
+      .crossJoin(broadcast(span))
+      .select(col("sample"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("roh_bp"), lit(0L)).as("roh_bp"),
+        round(coalesce(col("roh_bp"), lit(0L)) / col("_span"), 5)
+          .as("froh"))
+  }
+
   /** plink `--missing`-style per-sample call-rate QC: how many genotype
     * calls each sample is missing — the first thing a cohort pipeline
     * checks (a low-call-rate sample is a failed assay, not biology).

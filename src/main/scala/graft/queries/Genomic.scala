@@ -441,6 +441,15 @@ object Genomic {
         r2Threshold = 0.8, binSize = 16)
     }),
 
+    "g38_froh" -> ((s, _) => {
+      // plink --homozyg summary: F_ROH per sample — ROH bp over the
+      // surveyed span (data-derived denominator, one broadcast row);
+      // no-run samples report 0
+      prep(s)
+      graft.operators.VcfStats.frohCoefficients(gtsWithVarId(s)
+        .where(col("chrom") =!= "X"), minVariants = 2)
+    }),
+
     "g17_roh" -> ((s, _) => {
       // plink --homozyg-lite: per (sample, chrom) maximal runs of >= 2
       // consecutive homozygous calls — gaps-and-islands on ONE
@@ -1567,6 +1576,46 @@ object Genomic {
          |        / (n * pa * pa), 5)
          |  END AS chi2
          |FROM p""".stripMargin,
+
+    "g38_froh" ->
+      s"""WITH g AS (
+         |  SELECT id || ':' || alt AS vid, chrom, pos,
+         |    unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM ${pq("vcf_norm")} WHERE chrom <> 'X'),
+         |d AS (
+         |  SELECT vid, chrom, pos, 'S' || si AS sample,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) END AS dd
+         |  FROM g),
+         |r AS (
+         |  SELECT sample, chrom, pos, vid, dd,
+         |    row_number() OVER (PARTITION BY sample, chrom
+         |      ORDER BY pos, vid) AS rn
+         |  FROM d WHERE dd IS NOT NULL),
+         |h AS (
+         |  SELECT *, rn - row_number() OVER (PARTITION BY sample, chrom
+         |      ORDER BY pos, vid) AS grp
+         |  FROM r WHERE dd IN (0, 2)),
+         |runs AS (
+         |  SELECT sample, min(pos) AS rs, max(pos) AS re
+         |  FROM h GROUP BY sample, chrom, grp
+         |  HAVING count(*) >= 2),
+         |per AS (
+         |  SELECT sample, CAST(count(*) AS BIGINT) AS n_segments,
+         |    CAST(sum(re - rs + 1) AS BIGINT) AS roh_bp
+         |  FROM runs GROUP BY sample),
+         |sp AS (
+         |  SELECT sum(l) AS span FROM (
+         |    SELECT max(pos) - min(pos) + 1 AS l FROM d GROUP BY chrom)),
+         |smp AS (SELECT DISTINCT sample FROM d)
+         |SELECT smp.sample,
+         |  coalesce(per.n_segments, 0) AS n_segments,
+         |  coalesce(per.roh_bp, 0) AS roh_bp,
+         |  round(coalesce(per.roh_bp, 0) / sp.span, 5) AS froh
+         |FROM smp LEFT JOIN per USING (sample), sp""".stripMargin,
 
     "g17_roh" ->
       s"""WITH g AS (
