@@ -719,6 +719,72 @@ object Similarity {
     topKPerQuery(scored, k, "id", "neighbor")
   }
 
+  /** MMR-diversified top-k (Carbonell & Goldstein 1998) — the
+    * DIVERSIFICATION stage after propose/rerank (s9 maximizes pure
+    * relevance; near-duplicate corpora then return k copies of one
+    * answer): greedily select k of a `poolSize` candidate pool, each
+    * round maximizing λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s),
+    * ties to the smallest id. Sequential by definition — but over a
+    * BOUNDED pool, so the recursion runs as one per-query array fold
+    * (aggregate over k rounds, exists/transform inside) on rows the
+    * propose stage already shrank: no driver loop, no extra shuffle
+    * beyond the candidate gather, query-level parallelism at any query
+    * count. Every double (rel, pairwise sim, the λ blend) is computed
+    * with the graft_cosine/rounded-fold contract so the oracle replays
+    * the identical greedy walk.
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                poolSize: Int = 10, lambda: Double = 0.7,
+                qId: String = "qid", qVec: String = "qvec",
+                cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val lam = lit(lambda)
+    val cands = knnCosine(queries, corpus, poolSize, qId, qVec, cId, cVec)
+      .select(col(qId), col(cId), col("cosine").as("rel"))
+      .join(corpus.select(col(cId),
+        col(cVec).cast("array<double>").as("_cv")), Seq(cId))
+    val packed = cands.groupBy(col(qId))
+      .agg(array_sort(collect_list(struct(col(cId).as("cid"),
+        col("rel"), col("_cv").as("cv")))).as("_rest"))
+    val sel0 = array().cast("array<struct<cid:bigint,mmr:double,rnk:int>>")
+    val selv0 = array().cast("array<array<double>>")
+    def chooseStep(acc: org.apache.spark.sql.Column,
+                   i: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = {
+      val scored = transform(acc.getField("rest"), c => struct(
+        (lam * c.getField("rel") - (lit(1.0) - lam) *
+          when(size(acc.getField("selv")) === 0, lit(0.0))
+            .otherwise(aggregate(acc.getField("selv"), lit(-1.0),
+              (m, sv) => greatest(m, round(call_function("graft_cosine",
+                c.getField("cv"), sv), 5))))).as("m"),
+        c.getField("cid").as("cid")))
+      val mBest = aggregate(scored, lit(Double.NegativeInfinity),
+        (a, x) => greatest(a, x.getField("m")))
+      val cidBest = aggregate(
+        filter(scored, x => x.getField("m") === mBest),
+        lit(Long.MaxValue), (a, x) => least(a, x.getField("cid")))
+      val chosen = element_at(
+        filter(acc.getField("rest"), c => c.getField("cid") === cidBest),
+        1)
+      when(size(acc.getField("rest")) === 0, acc).otherwise(struct(
+        concat(acc.getField("sel"), array(struct(
+          cidBest.as("cid"), mBest.as("mmr"), i.cast("int").as("rnk"))))
+          .as("sel"),
+        concat(acc.getField("selv"), array(chosen.getField("cv")))
+          .as("selv"),
+        filter(acc.getField("rest"),
+          c => c.getField("cid") =!= cidBest).as("rest")))
+    }
+    packed
+      .select(col(qId), aggregate(
+        sequence(lit(1), lit(k)),
+        struct(sel0.as("sel"), selv0.as("selv"), col("_rest").as("rest")),
+        chooseStep).as("_acc"))
+      .select(col(qId), explode(col("_acc.sel")).as("_s"))
+      .select(col(qId), col("_s.cid").as(cId), col("_s.rnk").as("rank"),
+        round(col("_s.mmr"), 5).as("mmr"))
+  }
+
   def knnCosineLsh(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int,
                    qId: String = "qid", qVec: String = "qvec",
                    cId: String = "cid", cVec: String = "cvec",

@@ -1099,6 +1099,19 @@ object Documents {
       Similarity.knnCosine(q, c, k = 5)
     }),
 
+    "s14_mmr" -> ((s, dir) => {
+      // MMR diversification over s1's candidate pool: greedy
+      // λ·rel − (1−λ)·max-sim-to-selected, k=5 of a 10-pool, ties to
+      // min id — per-query array fold, no driver loop; the oracle
+      // replays the identical walk as a recursive CTE
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = emb.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec"))
+      Similarity.mmrRerank(q, c, k = 5, poolSize = 10)
+    }),
+
     "s2_lsh_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 8)
@@ -3094,6 +3107,64 @@ object Documents {
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cosine DESC, cid) AS rank FROM s)
          |WHERE rank <= 5""".stripMargin,
+
+    "s14_mmr" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+         |s AS (SELECT qid, cid, round($cosineSql, 5) AS rel, cv
+         |  FROM q, c),
+         |top AS (
+         |  SELECT qid, cid, rel, cv FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, cid) AS rr FROM s)
+         |  WHERE rr <= 10),
+         |carr AS (
+         |  SELECT qid, list(struct_pack(cid := cid, rel := rel,
+         |      cv := list_transform(cv, x -> CAST(x AS DOUBLE)))
+         |    ORDER BY cid) AS rest
+         |  FROM top GROUP BY qid),
+         |st AS (
+         |  SELECT qid, 0 AS i,
+         |    CAST([] AS STRUCT(cid BIGINT, mmr DOUBLE, rnk INT)[])
+         |      AS sel,
+         |    CAST([] AS DOUBLE[][]) AS selv, rest
+         |  FROM carr
+         |  UNION ALL
+         |  SELECT qid, i + 1,
+         |    list_append(sel, {'cid': cidb, 'mmr': mb,
+         |      'rnk': CAST(i + 1 AS INT)}),
+         |    list_append(selv, list_filter(rest,
+         |      z -> z.cid = cidb)[1].cv),
+         |    list_filter(rest, z -> z.cid <> cidb)
+         |  FROM (
+         |    SELECT *, list_reduce(list_transform(
+         |        list_filter(scored, x -> x.m = mb), x -> x.cid),
+         |        (a, b) -> least(a, b)) AS cidb
+         |    FROM (
+         |      SELECT *, list_reduce(list_transform(scored, x -> x.m),
+         |          (a, b) -> greatest(a, b)) AS mb
+         |      FROM (
+         |        SELECT qid, i, sel, selv, rest,
+         |          list_transform(rest, cc -> struct_pack(
+         |            m := CAST(0.7 AS DOUBLE) * cc.rel
+         |              - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+         |              * (CASE WHEN len(selv) = 0 THEN CAST(0.0 AS DOUBLE)
+         |                 ELSE list_reduce(list_transform(selv, sv ->
+         |                   round(list_reduce(list_transform(
+         |                       list_zip(cc.cv, sv), p -> p[1] * p[2]),
+         |                       (a, b) -> a + b)
+         |                     / (sqrt(list_reduce(list_transform(cc.cv,
+         |                         x -> x * x), (a, b) -> a + b))
+         |                      * sqrt(list_reduce(list_transform(sv,
+         |                          x -> x * x), (a, b) -> a + b))), 5)),
+         |                   (a, b) -> greatest(a, b)) END),
+         |            cid := cc.cid)) AS scored
+         |        FROM st WHERE i < 5 AND len(rest) > 0) t1) t2) t3)
+         |SELECT qid, u.cid AS cid, u.rnk AS "rank",
+         |  round(u.mmr, 5) AS mmr
+         |FROM (SELECT qid, unnest(sel) AS u FROM st WHERE i = 5)""".stripMargin,
 
     "s2_lsh_ann" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv,

@@ -303,4 +303,24 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == expect, s"node $i")
     }
   }
+
+  test("mmrRerank diversifies: duplicate top hits defer to a distinct " +
+    "candidate, ties resolve to min id (hand-walked rounds)") {
+    val s = spark
+    import s.implicits._
+    val q = Seq((100L, Seq(1f, 0f, 0f, 0f))).toDF("qid", "qvec")
+    // c1..c3 identical to the query direction (rel 1, mutual sim 1);
+    // c4 orthogonal (rel 0, sim 0). λ=0.4: round1 → c1 (tie min id),
+    // round2 → c4 (0 beats the dups' 0.4−0.6 = −0.2), round3 → c2
+    val c = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(1f, 0f, 0f, 0f)), (4L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("cid", "cvec")
+    val out = Similarity.mmrRerank(q, c, k = 3, poolSize = 4,
+      lambda = 0.4).collect()
+      .map(r => r.getInt(2) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+    assert(out(1) == ((1L, 0.4)) && out(2) == ((4L, 0.0)) &&
+      out(3) == ((2L, -0.2)), out.toString)
+  }
 }
