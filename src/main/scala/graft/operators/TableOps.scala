@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table-level utilities.
@@ -337,6 +337,68 @@ object TableOps {
       sum(col("_v1")).as("sum1"))
     if (groupCols.isEmpty) base.agg(aggs.head, aggs.tail: _*)
     else base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Deequ-style declarative data-quality checks — the constraint
+    * report a warehouse pipeline gates a publish on. Four constraint
+    * classes, each ONE partial-aggregated pass (or one key join for
+    * the FK class), all emitting the same (check, column, metric,
+    * threshold, passed) row shape so the verdict is a tiny frame:
+    *
+    *  - `unique`: the column tuple is a primary key
+    *    (count == countDistinct via one two-level agg — no expand);
+    *  - `not_null`: per-column null fraction <= threshold;
+    *  - `in_range`: numeric column within [lo, hi];
+    *  - `fk`: every child key exists in the parent (LEFT ANTI count —
+    *    the parent side aggregates to distinct keys first, so the
+    *    join ships keys, not rows).
+    *
+    * Metrics are exact counts/fractions (round 6), not samples — at
+    * 100 TB each class is a scan with map-side partials, which is what
+    * a publish gate costs anyway.
+    */
+  def qualityChecks(df: DataFrame,
+                    unique: Seq[Seq[String]] = Nil,
+                    notNull: Seq[(String, Double)] = Nil,
+                    inRange: Seq[(String, Double, Double)] = Nil,
+                    fk: Seq[(String, DataFrame, String)] = Nil)
+    : DataFrame = {
+    // fully lazy: every check is a one-row aggregate frame and the
+    // report is their union — no driver-side action inside the operator
+    def row(check: String, column: String, metric: Column,
+            threshold: Double, passed: Column): DataFrame => DataFrame =
+      base => base.select(lit(check).as("check"),
+        lit(column).as("column"), metric.as("metric"),
+        lit(threshold).as("threshold"), passed.as("passed"))
+    val uniq = unique.map { cols =>
+      val dups = df.groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as("_c")).where(col("_c") > 1)
+        .agg(coalesce(sum(col("_c")), lit(0L)).as("_m"))
+      row("unique", cols.mkString(","), col("_m").cast("double"), 0.0,
+        col("_m") === 0L)(dups)
+    }
+    val nn = notNull.map { case (c, maxFrac) =>
+      val agg = df.agg(
+        round(sum(when(col(c).isNull, 1L).otherwise(0L))
+          / count(lit(1)), 6).as("_m"))
+      row("not_null", c, col("_m"), maxFrac,
+        col("_m") <= maxFrac)(agg)
+    }
+    val rng = inRange.map { case (c, lo, hi) =>
+      val agg = df.agg(sum(when(col(c) < lo || col(c) > hi, 1L)
+        .otherwise(0L)).as("_m"))
+      row("in_range", c, col("_m").cast("double"), 0.0,
+        col("_m") === 0L)(agg)
+    }
+    val fks = fk.map { case (childKey, parent, parentKey) =>
+      val orphans = df.select(col(childKey))
+        .join(parent.select(col(parentKey).as(childKey)).distinct(),
+          Seq(childKey), "left_anti")
+        .agg(count(lit(1)).as("_m"))
+      row("fk", childKey, col("_m").cast("double"), 0.0,
+        col("_m") === 0L)(orphans)
+    }
+    (uniq ++ nn ++ rng ++ fks).reduce(_ unionByName _)
   }
 
   def applyChangelog(snapshot: DataFrame, changes: DataFrame, key: String,

@@ -332,6 +332,18 @@ object Relational {
         Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"))
     }),
 
+    "u12_quality_checks" -> ((s, dir) => {
+      // Deequ-style publish gate: PK uniqueness, null fraction, value
+      // range (deliberately tight so `passed` = false fires) and FK
+      // coverage — four one-row lazy aggregate frames unioned into the
+      // verdict report; no driver action inside the operator
+      graft.operators.TableOps.qualityChecks(t(s, dir, "lineitem"),
+        unique = Seq(Seq("l_orderkey", "l_linenumber")),
+        notNull = Seq(("l_returnflag", 0.01)),
+        inRange = Seq(("l_quantity", 1.0, 30.0)),
+        fk = Seq(("l_orderkey", t(s, dir, "orders"), "o_orderkey")))
+    }),
+
     "u9_table_diff" -> ((s, dir) => {
       // snapshot reconciliation: the after-version is a deterministic
       // perturbation of customer (every 7th key dropped, every 5th
@@ -698,8 +710,37 @@ object Relational {
         |    / sum(n) OVER (PARTITION BY from_type), 5) AS p
         |FROM c""".stripMargin,
 
+    "u12_quality_checks" ->
+      """SELECT 'unique' AS "check",
+        |  'l_orderkey,l_linenumber' AS "column",
+        |  CAST(m AS DOUBLE) AS metric, CAST(0.0 AS DOUBLE) AS threshold,
+        |  m = 0 AS passed
+        |FROM (SELECT coalesce(sum(c), 0) AS m FROM (
+        |  SELECT count(*) AS c FROM lineitem
+        |  GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+        |UNION ALL
+        |SELECT 'not_null', 'l_returnflag',
+        |  round(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+        |    / count(*), 6),
+        |  CAST(0.01 AS DOUBLE),
+        |  round(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+        |    / count(*), 6) <= CAST(0.01 AS DOUBLE)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'in_range', 'l_quantity', CAST(m AS DOUBLE),
+        |  CAST(0.0 AS DOUBLE), m = 0
+        |FROM (SELECT sum(CASE WHEN l_quantity < CAST(1.0 AS DOUBLE)
+        |    OR l_quantity > CAST(30.0 AS DOUBLE) THEN 1 ELSE 0 END)
+        |  AS m FROM lineitem)
+        |UNION ALL
+        |SELECT 'fk', 'l_orderkey', CAST(m AS DOUBLE),
+        |  CAST(0.0 AS DOUBLE), m = 0
+        |FROM (SELECT count(*) AS m FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_orderkey = l.l_orderkey))""".stripMargin,
+
     "u6_table_stats" ->
-      Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
         .map(statsSql).mkString("", "\nUNION ALL\n", ""),
 
     // u8's oracle is the FULL-table recompute — the merged-halves gate

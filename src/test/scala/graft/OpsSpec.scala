@@ -117,6 +117,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eq.getLong(3) == 1L, "equidistant must resolve backward")
   }
 
+  test("qualityChecks: exact metrics and verdicts for all four " +
+    "constraint classes") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some("x"), 5.0), (1L, Some("x"), 15.0),
+      (2L, Option.empty[String], 5.0), (3L, Some("y"), 5.0))
+      .toDF("k", "sub", "v")
+    val parent = Seq(Tuple1(1L), Tuple1(2L)).toDF("pk")
+    val out = graft.operators.TableOps.qualityChecks(df,
+      unique = Seq(Seq("k", "sub")),
+      notNull = Seq(("sub", 0.5)),
+      inRange = Seq(("v", 0.0, 10.0)),
+      fk = Seq(("k", parent, "pk")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getBoolean(4)))).toMap
+    assert(out("unique") == ((2.0, false)), out.toString)
+    assert(out("not_null") == ((0.25, true)))
+    assert(out("in_range") == ((1.0, false)))
+    assert(out("fk") == ((1.0, false)))
+  }
+
   test("as-of payload fields all come from the SAME right row (nulls)") {
     val s = spark
     import s.implicits._
