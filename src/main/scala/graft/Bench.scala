@@ -394,6 +394,20 @@ object Bench {
               .otherwise("0|0").as("gt"))
         graft.operators.VcfStats.grmPairs(gts).count()
       }),
+      // label propagation at volume: nDocs*100 nodes (500k at sf0.1)
+      // under tree+cross edges, 4 synchronous rounds — each round one
+      // O(|E|) edge join + two partial aggs, the d22 plan at graph scale
+      "lpx_labelprop_scale" -> (() => {
+        val n = nDocs * 100
+        val nodes = spark.range(n)
+        val tree = nodes.where(col("id") >= 1)
+          .select((col("id") / 2).cast("long").as("src"),
+            col("id").as("dst"))
+        val cross = nodes.select(col("id").as("src"),
+          ((col("id") * 7 + 3) % n).as("dst"))
+        graft.operators.PageRank.labelPropagation(
+          tree.unionByName(cross), rounds = 4).count()
+      }),
       "hx_haplo_scale" -> (() => {
         val gts = spark.range(nDocs).select(col("id").as("snum"))
           .crossJoin(spark.range(200).select(col("id").as("vnum")))

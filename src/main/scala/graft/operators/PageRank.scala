@@ -135,7 +135,13 @@ object PageRank {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // checkpoint cadence: LP has no per-round termination check (fixed
+    // rounds, one downstream action), so materializing every round
+    // buys nothing — every 2nd round keeps the un-executed plan
+    // shallow (PageRank's cadence argument) at half the label-table
+    // writes; the LAST round always checkpoints so the returned frame
+    // reads one flat table
+    for (i <- 1 to rounds) {
       labels = sym
         .join(labels.select(col("node").as("dst"),
           col("label").as("_nl")), Seq("dst"))
@@ -145,7 +151,7 @@ object PageRank {
         .agg(min(struct((-col("_c")).as("nc"), col("_nl").as("l")))
           .as("_m"))
         .select(col("src").as("node"), col("_m.l").as("label"))
-        .localCheckpoint()
+      if (i % 2 == 0 || i == rounds) labels = labels.localCheckpoint()
     }
     labels
   }
