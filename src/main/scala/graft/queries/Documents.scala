@@ -290,6 +290,23 @@ object Documents {
         text.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
     }),
 
+    "t34_fertility" -> ((s, dir) => {
+      // tokenizer fertility by language (tokens per word — the standard
+      // tokenizer-eval metric; high fertility = the vocab fragments
+      // that language's words, inflating its effective cost per token
+      // budget): per-language INTEGER sums so the ratio is exact in
+      // any aggregation order — no per-doc double averaging
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(text.wsTokenCount(col("text")).cast("long"))
+            .as("sum_words"),
+          sum(text.bpeTokenCount(col("text")).cast("long"))
+            .as("sum_tokens"))
+        .withColumn("fertility",
+          round(col("sum_tokens") / col("sum_words"), 5))
+    }),
+
     "t2_quality" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1316,6 +1333,17 @@ object Documents {
       .stripMargin
 
   private val oracles0: Map[String, String] = Map(
+    "t34_fertility" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |    AS sum_words,
+        |  CAST(sum(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS sum_tokens,
+        |  round(sum(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]')))
+        |    / sum(len(regexp_extract_all(text, '\S+'))), 5) AS fertility
+        |FROM documents GROUP BY lang""".stripMargin,
+
     "t1_token_count" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
