@@ -682,4 +682,81 @@ object VcfStats {
               when(col("father_dose") >= 1, 1).otherwise(0)))
           .as("violation"))
   }
+
+  /** Site frequency spectrum (vcftools `--freq` / dadi-style SFS): the
+    * per-variant minor-allele count histogram population genetics reads
+    * demography and selection off. Per variant: ALT allele count over
+    * CALLED genotypes (missing calls shrink that variant's allele number
+    * rather than biasing its frequency), folded to the minor allele.
+    * Variants are binned by (allele_number, minor_allele_count) — with
+    * missing data the allele number varies per site, and folding 3/8
+    * into the same bin as 3/10 would compare incomparable frequencies.
+    * Plan: one variant-keyed groupBy of conditional sums (two longs per
+    * variant per map task — the [[hardyWeinberg]] exchange), then a tiny
+    * second aggregation over one row per variant. At biobank scale the
+    * spectrum frame is ≤ 2·samples rows — metadata-sized output from a
+    * single pass however many variants the cohort holds.
+    */
+  def siteFrequencySpectrum(gts: DataFrame): DataFrame = {
+    val d = gts.select(col("varId"), dosage(col("gt")).as("d"))
+      .where(col("d").isNotNull)
+    d.groupBy(col("varId"))
+      .agg(count(lit(1)).as("_nc"), sum(col("d")).as("_ac"))
+      .select((col("_nc") * 2).as("an"),
+        least(col("_ac"), col("_nc") * 2 - col("_ac")).as("mac"))
+      .groupBy(col("an"), col("mac"))
+      .agg(count(lit(1)).as("n_variants"))
+  }
+
+  /** Transmission disequilibrium test (plink `--tdt`): per variant, ALT
+    * vs REF transmissions from HETEROZYGOUS parents to their children —
+    * the family-based association test that is immune to population
+    * stratification (each het parent is its own internal control).
+    * Transmission counts are fully determined by trio dosages when the
+    * trio is Mendel-consistent: hom parents' transmissions are forced,
+    * so ALT-from-het = child_dose − (#hom-ALT parents), and a both-het
+    * child-het trio contributes one ALT and one REF. Mendel-violating
+    * trios (see [[mendelViolations]]) and trios with any missing call
+    * are excluded per variant, plink's behavior. χ² = (b−c)²/(b+c) with
+    * 1 df, null when no informative (het-parent) transmissions exist.
+    * Plan: [[mendelViolations]]'s exact join shape — trio table
+    * broadcast, genotype matrix shuffled once per parent join — then ONE
+    * variant-keyed groupBy of conditional sums (three longs per variant
+    * per map task); the χ² arithmetic runs on the aggregated frame.
+    * Autosomal-diploid contract: filter X upstream (as g11 does).
+    */
+  def tdt(gts: DataFrame, trios: DataFrame): DataFrame = {
+    val d = gts.select(col("varId"), col("chrom"), col("pos"),
+      col("sample"), dosage(col("gt")).as("d"))
+      .where(col("d").isNotNull)
+    val childG = d.join(broadcast(trios), col("sample") === col("child"))
+      .select(col("varId"), col("chrom"), col("pos"), col("child"),
+        col("mother"), col("father"), col("d").as("dc"))
+    val momG = d.select(col("varId"), col("sample").as("mother"),
+      col("d").as("dm"))
+    val dadG = d.select(col("varId"), col("sample").as("father"),
+      col("d").as("df"))
+    val joined = childG
+      .join(momG, Seq("varId", "mother"))
+      .join(dadG, Seq("varId", "father"))
+    val homAlt = when(col("dm") === 2, 1).otherwise(0) +
+      when(col("df") === 2, 1).otherwise(0)
+    val nHet = when(col("dm") === 1, 1).otherwise(0) +
+      when(col("df") === 1, 1).otherwise(0)
+    val altFromHet = col("dc") - homAlt
+    val consistent = altFromHet >= 0 && altFromHet <= nHet
+    val b = col("t_alt"); val c = col("t_ref")
+    joined
+      .where(consistent)
+      .select(col("varId"), col("chrom"), col("pos"),
+        nHet.as("_nh"), altFromHet.as("_b"))
+      .groupBy(col("varId"), col("chrom"), col("pos"))
+      .agg(sum(when(col("_nh") > 0, 1L).otherwise(0L))
+          .as("n_informative_trios"),
+        sum(col("_b").cast("long")).as("t_alt"),
+        sum((col("_nh") - col("_b")).cast("long")).as("t_ref"))
+      .withColumn("chi2",
+        when(b + c > 0,
+          round((b - c).cast("double") * (b - c) / (b + c), 5)))
+  }
 }

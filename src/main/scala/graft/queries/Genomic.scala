@@ -399,6 +399,30 @@ object Genomic {
         .where(col("chrom") =!= "X"))
     }),
 
+    "g39_sfs" -> ((s, _) => {
+      // site frequency spectrum (vcftools --freq / dadi): per-variant
+      // folded minor-allele counts binned by (allele_number, mac) —
+      // one conditional-sum groupBy per variant + a tiny second agg;
+      // the spectrum is metadata-sized at any cohort scale
+      prep(s)
+      graft.operators.VcfStats.siteFrequencySpectrum(gtsWithVarId(s)
+        .where(col("chrom") =!= "X"))
+    }),
+
+    "g40_tdt" -> ((s, _) => {
+      // plink --tdt: ALT vs REF transmissions from het parents —
+      // family-based association immune to stratification; transmission
+      // counts are fully determined by Mendel-consistent trio dosages
+      // (hom parents forced, both-het child-het gives one each);
+      // g11's broadcast-trio join shape + ONE variant-keyed groupBy
+      import s.implicits._
+      prep(s)
+      val trios = Seq(("S3", "S1", "S4"), ("S6", "S5", "S3"))
+        .toDF("child", "mother", "father")
+      graft.operators.VcfStats.tdt(gtsWithVarId(s)
+        .where(col("chrom") =!= "X"), trios)
+    }),
+
     "g32_grm" -> ((s, _) => {
       // plink --make-grm / GCTA GRM: variant-standardized dosage Gram
       // matrix (incl. diagonal) — the genotype-PCA / mixed-model input;
@@ -1867,6 +1891,70 @@ object Genomic {
          |      / sqrt(e1 * s_sites + e2 * s_sites * (s_sites - 1)), 4)
          |  END AS tajima_d
          |FROM wagg, ke""".stripMargin,
+
+    "g39_sfs" ->
+      s"""WITH g AS (
+         |  SELECT id || ':' || alt AS vid, unnest(genotypes) AS gt
+         |  FROM ${pq("vcf_norm")} WHERE chrom <> 'X'),
+         |d AS (
+         |  SELECT vid,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) END AS dd
+         |  FROM g),
+         |c AS (
+         |  SELECT vid, CAST(count(*) AS BIGINT) AS nc,
+         |    CAST(sum(dd) AS BIGINT) AS ac
+         |  FROM d WHERE dd IS NOT NULL GROUP BY 1)
+         |SELECT nc * 2 AS an, least(ac, nc * 2 - ac) AS mac,
+         |  CAST(count(*) AS BIGINT) AS n_variants
+         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "g40_tdt" ->
+      s"""WITH g AS (
+         |  SELECT id || ':' || alt AS vid, chrom, pos,
+         |    unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM ${pq("vcf_norm")} WHERE chrom <> 'X'),
+         |d AS (
+         |  SELECT vid, chrom, pos, 'S' || si AS sample,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) END AS dd
+         |  FROM g),
+         |trios AS (
+         |  SELECT 'S3' AS child, 'S1' AS mother, 'S4' AS father
+         |  UNION ALL SELECT 'S6', 'S5', 'S3'),
+         |j AS (
+         |  SELECT c.vid, c.chrom, c.pos, c.dd AS dc, m.dd AS dm,
+         |    f.dd AS df
+         |  FROM d c JOIN trios t ON c.sample = t.child
+         |    JOIN d m ON m.vid = c.vid AND m.sample = t.mother
+         |    JOIN d f ON f.vid = c.vid AND f.sample = t.father
+         |  WHERE c.dd IS NOT NULL AND m.dd IS NOT NULL
+         |    AND f.dd IS NOT NULL),
+         |x AS (
+         |  SELECT vid, chrom, pos,
+         |    (CASE WHEN dm = 1 THEN 1 ELSE 0 END
+         |      + CASE WHEN df = 1 THEN 1 ELSE 0 END) AS nh,
+         |    dc - (CASE WHEN dm = 2 THEN 1 ELSE 0 END
+         |      + CASE WHEN df = 2 THEN 1 ELSE 0 END) AS b
+         |  FROM j),
+         |agg AS (
+         |  SELECT vid, chrom, pos,
+         |    CAST(sum(CASE WHEN nh > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_informative_trios,
+         |    CAST(sum(b) AS BIGINT) AS t_alt,
+         |    CAST(sum(nh - b) AS BIGINT) AS t_ref
+         |  FROM x WHERE b >= 0 AND b <= nh GROUP BY 1, 2, 3)
+         |SELECT vid AS "varId", chrom, pos, n_informative_trios, t_alt,
+         |  t_ref,
+         |  CASE WHEN t_alt + t_ref > 0 THEN
+         |    round(CAST(t_alt - t_ref AS DOUBLE) * (t_alt - t_ref)
+         |      / (t_alt + t_ref), 5) END AS chi2
+         |FROM agg""".stripMargin,
 
     "g33_king" ->
       s"""WITH g AS (

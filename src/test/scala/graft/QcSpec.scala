@@ -109,6 +109,53 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map("v1" -> true, "v2" -> true, "v3" -> false))
   }
 
+  test("siteFrequencySpectrum folds to the minor allele and bins by " +
+    "allele number") {
+    val s = spark
+    import s.implicits._
+    // v1: ac=3 of an=6 -> mac 3; v2: ac=5 of 6 -> folds to 1;
+    // v3: one missing call -> an=4, ac=1 -> mac 1
+    val gts = Seq(
+      ("v1", "0|0"), ("v1", "0|1"), ("v1", "1|1"),
+      ("v2", "1|1"), ("v2", "1|1"), ("v2", "1|0"),
+      ("v3", "0|0"), ("v3", ".|."), ("v3", "0|1")
+    ).toDF("varId", "gt")
+    val out = VcfStats.siteFrequencySpectrum(gts).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((6L, 3L) -> 1L, (6L, 1L) -> 1L, (4L, 1L) -> 1L))
+  }
+
+  test("tdt counts het-parent transmissions; Mendel violations and " +
+    "uninformative trios handled") {
+    val s = spark
+    import s.implicits._
+    // v1: het mom, hom-ref dad, het child -> mom transmitted ALT (1/0)
+    // v2: both het, het child -> one ALT one REF (1/1)
+    // v3: both het, hom-ref child -> two REF (0/2)
+    // v4: hom-alt mom, hom-ref dad -> forced, zero informative, chi2 null
+    // v5: child 1|1 from 0|0 x 0|0 -> Mendel violation, variant absent
+    // v6: missing child call -> dropped, variant absent
+    val gts = Seq(
+      ("v1", "C", "1|0"), ("v1", "M", "0|1"), ("v1", "D", "0|0"),
+      ("v2", "C", "1|0"), ("v2", "M", "1|0"), ("v2", "D", "0|1"),
+      ("v3", "C", "0|0"), ("v3", "M", "1|0"), ("v3", "D", "0|1"),
+      ("v4", "C", "1|0"), ("v4", "M", "1|1"), ("v4", "D", "0|0"),
+      ("v5", "C", "1|1"), ("v5", "M", "0|0"), ("v5", "D", "0|0"),
+      ("v6", "C", ".|."), ("v6", "M", "1|0"), ("v6", "D", "0|0")
+    ).map { case (v, smp, gt) => (v, "1", 10L, smp, gt) }
+      .toDF("varId", "chrom", "pos", "sample", "gt")
+    val trios = Seq(("C", "M", "D")).toDF("child", "mother", "father")
+    val out = VcfStats.tdt(gts, trios).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    assert(out.keySet == Set("v1", "v2", "v3", "v4"))
+    assert(out("v1") == ((1L, 1L, 0L, Some(1.0))))
+    assert(out("v2") == ((1L, 1L, 1L, Some(0.0))))
+    assert(out("v3") == ((1L, 0L, 2L, Some(2.0))))
+    assert(out("v4") == ((0L, 0L, 0L, None)))
+  }
+
   test("VCF writer round-trips normalized rows through the parser") {
     val s = spark
     import s.implicits._
