@@ -54,6 +54,10 @@ import graft.operators.Dedup
   *                         needs -classifier_weights, a (bucket, weight)
   *                         parquet from an offline logistic fit
   *   [-classifier_weights p] [-classifier_dim 65536] [-classifier_bias 0]
+  *   [-min_dsir_logw 0]    DSIR importance filter (t35): keep docs whose
+  *                         hashed-n-gram importance log-weight vs the
+  *                         -dsir_target sample clears the floor
+  *   [-dsir_target p] [-dsir_dim 65536]
   *   [-pii 1]              redact emails/phones/IPv4 in place (t8)
   *   [-decontaminate p]    drop docs sharing any 8-word gram with the
   *                         benchmark/eval parquet at path p (t5)
@@ -305,6 +309,25 @@ object Corpus {
         .where(col("clf_score") >= floor).select("doc_id")
       df = df.join(scores, Seq("doc_id"), "left_semi")
       record(s"classifier>=$floor")
+    }
+    opts.get("min_dsir_logw").map(_.toDouble).foreach { floor =>
+      // DSIR importance filter (t35): hashed unigram+bigram models fit
+      // on the target sample vs the surviving corpus; keep docs whose
+      // importance log-weight clears the floor (0 = "more target-like
+      // than pool-like"). The log-ratio table broadcasts; scoring is a
+      // per-row fold, so the corpus scan never shuffles for the score.
+      val tPath = opts.getOrElse("dsir_target",
+        sys.error("-min_dsir_logw needs -dsir_target <parquet with a " +
+          "text column>"))
+      val dim = opts.getOrElse("dsir_dim", "65536").toInt
+      val target = spark.read.parquet(tPath)
+      require(target.columns.contains("text"),
+        s"-dsir_target $tPath has no text column")
+      val scores = operators.Dsir.importanceScores(target, df,
+        "doc_id", "text", dim)
+        .where(col("dsir_logw") >= floor).select("doc_id")
+      df = df.join(scores, Seq("doc_id"), "left_semi")
+      record(s"dsir>=$floor")
     }
     if (opts.getOrElse("pii", "0") == "1") {
       df = df.withColumn("text",

@@ -839,6 +839,18 @@ object Documents {
         "doc_id", "text", wts, dim = 64, bias = 0.1)
     }),
 
+    "t35_dsir" -> ((s, dir) => {
+      // DSIR importance resampling (Xie et al. 2023): hashed
+      // unigram+bigram models fit on the target slice (lang='en') vs
+      // the raw pool; per-doc importance log-weight folded in feature
+      // position order over the broadcast log-ratio map — the
+      // distribution-matching counterpart of t15's learned classifier
+      val docs = t(s, dir, "documents")
+      graft.operators.Dsir.importanceScores(
+        docs.where(col("lang") === "en"), spread(docs),
+        "doc_id", "text", dim = 64)
+    }),
+
     "t16_vocab_tokens" -> ((s, dir) => {
       // real-vocabulary token accounting: greedy longest-match (the
       // WordPiece/BPE serving rule) against a broadcastable vocab map,
@@ -2171,6 +2183,53 @@ object Documents {
         |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
         |    ELSE 'tail' END AS bucket
         |FROM tl""".stripMargin,
+
+    "t35_dsir" ->
+      """WITH ws AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS l
+        |  FROM documents),
+        |fs AS (
+        |  SELECT doc_id, lang, list_concat(l,
+        |    CASE WHEN len(l) >= 2
+        |      THEN [l[i] || ' ' || l[i + 1] for i in range(1, len(l))]
+        |      ELSE [] END) AS f
+        |  FROM ws),
+        |e AS (
+        |  SELECT doc_id, lang, u.pos AS pos, u.w AS w
+        |  FROM (SELECT doc_id, lang, unnest([{'pos': i, 'w': f[i]}
+        |          for i in range(1, len(f) + 1)]) AS u
+        |        FROM fs)),
+        |b AS (
+        |  SELECT doc_id, lang, pos,
+        |    list_reduce([strpos('0123456789abcdef', substr(md5(w), j, 1))
+        |        - 1
+        |      for j in range(1, 8)], (a, c) -> a * 16 + c) % 64 AS bucket
+        |  FROM e),
+        |tc AS (SELECT bucket, count(*) AS ct FROM b WHERE lang = 'en'
+        |       GROUP BY 1),
+        |rc AS (SELECT bucket, count(*) AS cr FROM b GROUP BY 1),
+        |nt AS (SELECT count(*) AS n FROM b WHERE lang = 'en'),
+        |nr AS (SELECT count(*) AS n FROM b),
+        |lrs AS (
+        |  SELECT r.i AS bucket,
+        |    ln((coalesce(tc.ct, 0) + 1) / CAST(nt.n + 64 AS DOUBLE))
+        |      - ln((coalesce(rc.cr, 0) + 1) / CAST(nr.n + 64 AS DOUBLE))
+        |      AS lr
+        |  FROM range(64) r(i)
+        |    LEFT JOIN tc ON tc.bucket = r.i
+        |    LEFT JOIN rc ON rc.bucket = r.i, nt, nr),
+        |jw AS (
+        |  SELECT b.doc_id, b.pos, lrs.lr FROM b JOIN lrs USING (bucket)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n,
+        |    round(list_reduce(list(lr ORDER BY pos), (a, x) -> a + x), 4)
+        |      AS s
+        |  FROM jw GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_feats,
+        |  coalesce(agg.s, 0.0) AS dsir_logw,
+        |  coalesce(agg.s, 0.0) > 0 AS keep
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
 
     "t15_classifier_score" ->
       """WITH wt AS (

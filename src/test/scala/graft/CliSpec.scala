@@ -300,6 +300,31 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cli.size < all)
   }
 
+  test("Corpus -min_dsir_logw keeps exactly the t35 at-or-above-floor " +
+    "docs") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    // the gate's target slice, persisted the way production would hand
+    // Corpus a curated target sample
+    val tPath = s"${sys.props("java.io.tmpdir")}/graft-dsir-target-" +
+      ProcessHandle.current.pid
+    spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("lang") === "en")
+      .write.mode("overwrite").parquet(tPath)
+    val cli = Corpus.run(spark, Map(
+      "i" -> s"$sf/documents.parquet", "dedup" -> "none",
+      "min_dsir_logw" -> "0", "dsir_target" -> tPath,
+      "dsir_dim" -> "64", "report" -> "0"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gate = SparkEntry.queries("t35_dsir")(spark, sf)
+      .where(col("dsir_logw") >= 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(cli == gate)
+    assert(cli.nonEmpty)
+    val all = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(cli.size < all)
+  }
+
   test("Corpus -repetition drops exactly the t14 keep=false docs") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

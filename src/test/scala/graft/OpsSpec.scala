@@ -27,6 +27,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("dsir: target-like docs outscore out-of-distribution ones; " +
+    "feature stream is unigrams + bigrams") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "aa bb aa cc"),   // the target doc
+      (2L, "aa bb aa cc"),   // identical to target -> max weight
+      (3L, "aa bb zz yy"),   // half-overlapping
+      (4L, "zz yy xx ww")    // disjoint -> min weight
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dsir.importanceScores(
+      docs.where(col("doc_id") <= 2), docs, "doc_id", "text", dim = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // 4 words -> 4 unigrams + 3 bigrams = 7 features
+    assert(out.values.forall(_._1 == 7L))
+    val w = out.view.mapValues(_._2).toMap
+    assert(w(2) == w(1))                 // identical text, same score
+    assert(w(2) > w(3) && w(3) > w(4))   // monotone in target overlap
+    assert(out(2)._3 && !out(4)._3)      // keep = logw > 0
+    assert(out.values.forall(v => v._3 == (v._2 > 0)))
+  }
+
   test("as-of join picks latest at-or-before, null when none") {
     val s = spark
     import s.implicits._
