@@ -221,6 +221,25 @@ object Multimodal {
       .drop("_e")
   }
 
+  /** REAL ID3v2 tag parse (graft_id3_meta): version, tag size, frame
+    * count and the TIT2/TPE1/TALB text frames — the provenance layer of
+    * an MP3 crawl (title/artist cluster sources and feed dedup hints)
+    * without touching the MPEG bitstream after the tag. Null struct for
+    * payloads with no valid tag or a hostile frame length; null FIELDS
+    * for frames a tag omits.
+    */
+  def decodeId3(df: DataFrame, payload: String = "payload"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("_t", call_function("graft_id3_meta", col(payload)))
+      .withColumn("version", col("_t.version").cast("long"))
+      .withColumn("tag_size", col("_t.tag_size").cast("long"))
+      .withColumn("n_frames", col("_t.n_frames").cast("long"))
+      .withColumn("title", col("_t.title"))
+      .withColumn("artist", col("_t.artist"))
+      .withColumn("album", col("_t.album"))
+      .drop("_t")
+  }
+
   /** 64-bit difference hash (dHash) from REAL decoded pixels: the image
     * reduces to a 9x8 mean-luminance grid (graft_img_grid — resolution-
     * and scale-invariant by construction) and bit r*8+c records whether

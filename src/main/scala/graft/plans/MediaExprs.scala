@@ -639,4 +639,96 @@ object MediaExprs {
       copy(c)
     override def prettyName: String = "graft_exif_meta"
   }
+
+  /** graft_id3_meta(binary) -> struct<version:int, tag_size:int,
+    * n_frames:int, title:string, artist:string, album:string>: REAL
+    * ID3v2 tag walk — the audio-container provenance layer next to
+    * [[GraftWavMeta]]'s RIFF walk (MP3 is the other half of any audio
+    * crawl; its tag is where title/artist/album live and the MPEG
+    * bitstream after it stays opaque, like mdat and entropy scan data).
+    * Header: "ID3" <major> <rev> <flags> <4-byte SYNCSAFE size> (7 bits
+    * per byte — the format's defining quirk, so a tag size can never
+    * alias an MPEG sync byte). Frames: 4-char id, 4-byte size (plain
+    * u32be in v2.3, syncsafe in v2.4), 2 flag bytes, body; text frames
+    * open with an encoding byte (0 latin1 / 3 utf8 decoded; 1/2 UTF-16
+    * leave the field null but the frame still counts). The walk stops
+    * cleanly at zero padding or the declared tag end; a frame whose
+    * header or declared body crosses the tag end is HOSTILE and nulls
+    * the whole struct (offsets advance in Long so a hostile length
+    * cannot wrap an index). Unsupported majors (< 3 or > 4) null too —
+    * v2.2's 3-byte frame grammar is a different format.
+    */
+  case class GraftId3Meta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary, got ${child.dataType.catalogString}")
+    override def dataType: DataType = StructType(Seq(
+      StructField("version", IntegerType),
+      StructField("tag_size", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("title", StringType),
+      StructField("artist", StringType),
+      StructField("album", StringType)))
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(payload: Any): Any = {
+      val b = payload.asInstanceOf[Array[Byte]]
+      val n = b.length.toLong
+      def u8(i: Long): Int = b(i.toInt) & 0xff
+      if (n < 10 || u8(0) != 'I' || u8(1) != 'D' || u8(2) != '3')
+        return null
+      val major = u8(3)
+      if (major < 3 || major > 4) return null
+      // syncsafe: all four size bytes must have the high bit clear
+      if ((u8(6) | u8(7) | u8(8) | u8(9)) >= 0x80) return null
+      val tagSize = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+      val tagEnd = 10L + tagSize            // exclusive
+      if (tagEnd > n) return null           // truncated tag
+      def isIdChar(c: Int) =
+        (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+      var off = 10L
+      var frames = 0
+      var title: AnyRef = null; var artist: AnyRef = null
+      var album: AnyRef = null
+      while (off < tagEnd && u8(off) != 0) {  // 0 = padding, clean stop
+        if (off + 10 > tagEnd) return null    // header crosses tag end
+        if (!isIdChar(u8(off)) || !isIdChar(u8(off + 1)) ||
+          !isIdChar(u8(off + 2)) || !isIdChar(u8(off + 3))) return null
+        val fSize: Long =
+          if (major == 4) {
+            if ((u8(off + 4) | u8(off + 5) | u8(off + 6) |
+              u8(off + 7)) >= 0x80) return null
+            (u8(off + 4).toLong << 21) | (u8(off + 5) << 14) |
+              (u8(off + 6) << 7) | u8(off + 7)
+          } else
+            (u8(off + 4).toLong << 24) | (u8(off + 5) << 16) |
+              (u8(off + 6) << 8) | u8(off + 7)
+        if (off + 10 + fSize > tagEnd) return null  // hostile length
+        frames += 1
+        val id = new String(b.slice(off.toInt, off.toInt + 4), "US-ASCII")
+        if (id.startsWith("T") && fSize >= 1) {
+          val enc = u8(off + 10)
+          val txt: AnyRef =
+            if (enc == 0 || enc == 3) {
+              var end = off + 10 + fSize
+              while (end > off + 11 && u8(end - 1) == 0) end -= 1
+              org.apache.spark.unsafe.types.UTF8String.fromBytes(
+                b.slice(off.toInt + 11, end.toInt))
+            } else null                       // UTF-16: frame counts only
+          id match {
+            case "TIT2" => title = txt
+            case "TPE1" => artist = txt
+            case "TALB" => album = txt
+            case _ => ()
+          }
+        }
+        off += 10 + fSize
+      }
+      InternalRow(major, tagSize, frames, title, artist, album)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+    override def prettyName: String = "graft_id3_meta"
+  }
 }

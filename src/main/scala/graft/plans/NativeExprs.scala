@@ -349,6 +349,11 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         require(children.length == 1, "graft_exif_meta takes 1 argument")
         MediaExprs.GraftExifMeta(children.head)
+      }),
+    ("graft_id3_meta", classOf[MediaExprs.GraftId3Meta],
+      { children: Seq[Expression] =>
+        require(children.length == 1, "graft_id3_meta takes 1 argument")
+        MediaExprs.GraftId3Meta(children.head)
       })
   )
 

@@ -277,6 +277,20 @@ object Genomic2 {
           "datetime")
     }),
 
+    "m13_id3_meta" -> ((s, _) => {
+      prep(s)
+      // REAL ID3v2 tag walk: version, syncsafe tag size, frame count,
+      // TIT2/TPE1/TALB text frames — the MP3 provenance layer next to
+      // m4's RIFF walk; the SQL oracle re-walks header + every frame
+      // from the raw bytes under both size grammars (v2.3 u32be,
+      // v2.4 syncsafe). Tag-less and hostile-length rows drop here;
+      // NULL-on-poison is in MediaSpec.
+      Multimodal.decodeId3(s.read.parquet(s"$fx/mp3.parquet"))
+        .where(col("version").isNotNull)
+        .select("media_id", "version", "tag_size", "n_frames",
+          "title", "artist", "album")
+    }),
+
     "m3_media_features" -> ((s, _) => {
       prep(s)
       // 2x2-grid mean-luminance embedding from REAL pixels; snapshot
@@ -528,6 +542,96 @@ object Genomic2 {
        |FROM f8""".stripMargin
   }
 
+  /** m13's oracle: the ID3v2 header + frame walk in SQL over the byte
+    * list — three MATERIALIZED CTEs per frame step (size, validity/next
+    * offset, text extraction; the DuckDB lateral-alias blowup documented
+    * at mp4OracleSql rules out same-SELECT aliases), six steps covering
+    * the fixtures with the walk-termination check asserting no seventh
+    * frame exists. Positions are 1-based; the tag body is [11, tend].
+    */
+  private val id3OracleSql: String = {
+    def steps = (1 to 6).map { k =>
+      val o = s"o$k"
+      val live = s"($o IS NOT NULL AND $o <= tend AND b[$o] <> 0)"
+      val idok = (0 to 3).map(j =>
+        s"((b[$o+$j] BETWEEN 65 AND 90) OR (b[$o+$j] BETWEEN 48 AND 57))")
+        .mkString("\n       |      AND ")
+      val fits = s"(fsz$k IS NOT NULL AND $o + 9 + fsz$k <= tend)"
+      def tcol(name: String, idBytes: Seq[Int]) = {
+        val m = idBytes.zipWithIndex.map { case (v, j) =>
+          s"b[$o+$j] = $v"
+        }.mkString(" AND ")
+        s"""CASE WHEN live$k AND $fits AND $m AND fsz$k >= 1
+           |      AND b[$o+10] IN (0, 3)
+           |      THEN array_to_string(list_transform(
+           |        range($o + 11, $o + 11 + fsz$k - 1),
+           |        i -> chr(CAST(b[i] AS INT))), '') END AS $name$k"""
+          .stripMargin
+      }
+      s"""sa$k AS MATERIALIZED (
+         |  SELECT *,
+         |    CASE WHEN $live AND $idok
+         |      AND $o + 9 <= tend THEN
+         |      CASE WHEN ver = 4 THEN
+         |        CASE WHEN b[$o+4] < 128 AND b[$o+5] < 128
+         |            AND b[$o+6] < 128 AND b[$o+7] < 128
+         |          THEN b[$o+4]*2097152 + b[$o+5]*16384
+         |            + b[$o+6]*128 + b[$o+7] END
+         |      ELSE b[$o+4]*16777216 + b[$o+5]*65536
+         |        + b[$o+6]*256 + b[$o+7] END
+         |    END AS fsz$k,
+         |    $live AS live$k
+         |  FROM ${if (k == 1) "w1" else s"sc${k - 1}"}),
+         |sb$k AS MATERIALIZED (
+         |  SELECT *,
+         |    (live$k AND $fits) AS ok$k,
+         |    (live$k AND NOT coalesce($fits, FALSE)) AS bad$k,
+         |    CASE WHEN live$k AND $fits THEN $o + 10 + fsz$k END
+         |      AS o${k + 1}
+         |  FROM sa$k),
+         |sc$k AS MATERIALIZED (
+         |  SELECT *,
+         |    ${tcol("tit", Seq(84, 73, 84, 50))},
+         |    ${tcol("art", Seq(84, 80, 69, 49))},
+         |    ${tcol("alb", Seq(84, 65, 76, 66))}
+         |  FROM sb$k),""".stripMargin
+    }.mkString("\n")
+    def coal(n: String) = (1 to 6).map(k => s"$n$k").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT media_id, hex(payload) AS h, octet_length(payload) AS n
+       |  FROM ${pq("mp3")}),
+       |hb AS MATERIALIZED (
+       |  SELECT media_id, n,
+       |    list_transform(range(0, n), i ->
+       |      (strpos('0123456789ABCDEF', substr(h, 2*i + 1, 1)) - 1)
+       |        * 16 +
+       |      strpos('0123456789ABCDEF', substr(h, 2*i + 2, 1)) - 1) AS b
+       |  FROM d WHERE n >= 10),
+       |w1 AS MATERIALIZED (
+       |  SELECT media_id, n, b, b[4] AS ver,
+       |    b[7]*2097152 + b[8]*16384 + b[9]*128 + b[10] AS tsz,
+       |    10 + b[7]*2097152 + b[8]*16384 + b[9]*128 + b[10] AS tend,
+       |    11 AS o1
+       |  FROM hb
+       |  WHERE b[1] = 73 AND b[2] = 68 AND b[3] = 51
+       |    AND b[4] BETWEEN 3 AND 4
+       |    AND b[7] < 128 AND b[8] < 128 AND b[9] < 128 AND b[10] < 128
+       |    AND 10 + b[7]*2097152 + b[8]*16384 + b[9]*128 + b[10] <= n),
+       |$steps
+       |fin AS (SELECT * FROM sc6)
+       |SELECT media_id, CAST(ver AS BIGINT) AS version,
+       |  CAST(tsz AS BIGINT) AS tag_size,
+       |  CAST(${(1 to 6).map(k => s"(CASE WHEN ok$k THEN 1 ELSE 0 END)")
+            .mkString("\n       |    + ")} AS BIGINT) AS n_frames,
+       |  COALESCE(${coal("tit")}) AS title,
+       |  COALESCE(${coal("art")}) AS artist,
+       |  COALESCE(${coal("alb")}) AS album
+       |FROM fin
+       |WHERE NOT (${(1 to 6).map(k => s"bad$k").mkString(" OR ")})
+       |  AND NOT (o7 IS NOT NULL AND o7 <= tend AND b[o7] <> 0)"""
+      .stripMargin
+  }
+
   private val mp4OracleSql: String = {
     def u32(o: String) =
       s"(b[$o]*16777216 + b[$o+1]*65536 + b[$o+2]*256 + b[$o+3])"
@@ -622,6 +726,7 @@ object Genomic2 {
     "m5_video_meta" -> mp4OracleSql,
     "m9_jpeg_meta" -> jpegOracleSql,
     "m11_exif_meta" -> exifOracleSql,
+    "m13_id3_meta" -> id3OracleSql,
 
     "m10_srt_read" ->
       s"""WITH t AS (

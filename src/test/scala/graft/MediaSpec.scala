@@ -237,6 +237,63 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("id3 walk: v3/v4 size grammars, trailing-NUL strip, UTF-16 " +
+    "counts but nulls the field, hostile/truncated/no-tag null STRUCT") {
+    val s = spark
+    import s.implicits._
+    def ss(v: Int) = Array(((v >> 21) & 0x7f).toByte,
+      ((v >> 14) & 0x7f).toByte, ((v >> 7) & 0x7f).toByte,
+      (v & 0x7f).toByte)
+    def u32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def frame(id: String, body: Array[Byte], v4: Boolean) =
+      id.getBytes("US-ASCII") ++
+        (if (v4) ss(body.length) else u32(body.length)) ++
+        Array[Byte](0, 0) ++ body
+    def tag(major: Int, frames: Array[Byte], padding: Int) =
+      "ID3".getBytes("US-ASCII") ++
+        Array(major.toByte, 0.toByte, 0.toByte) ++
+        ss(frames.length + padding) ++ frames ++
+        Array.fill[Byte](padding)(0)
+    // v3: latin1 TIT2 with a trailing NUL (must strip), UTF-16 TPE1
+    // (enc 1: frame counts, field stays null), binary PRIV
+    val v3 = tag(3,
+      frame("TIT2", 0.toByte +: ("Abc".getBytes("US-ASCII") :+ 0.toByte),
+        v4 = false) ++
+        frame("TPE1", 1.toByte +: Array[Byte](-1, -2, 0x41, 0),
+          v4 = false) ++
+        frame("PRIV", Array[Byte](7, 7), v4 = false), padding = 4)
+    // v4: syncsafe frame size that would differ under u32 reading
+    // (size 130 = 0x82 -> syncsafe bytes 0x01 0x02)
+    val text130 = Array.fill[Byte](129)('x'.toByte)
+    val v4t = tag(4, frame("TALB", 3.toByte +: text130, v4 = true), 0)
+    // truncated: header promises more tag than the payload holds
+    val trunc = "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0) ++
+      ss(100) ++ Array.fill[Byte](20)(0)
+    // hostile: first frame's size reaches past the tag end
+    val hostile = tag(3, frame("TIT2",
+      0.toByte +: "hi".getBytes("US-ASCII"), v4 = false), 0)
+      .updated(17, 0x70.toByte) // blow up the frame-size byte
+    val rows = Multimodal.decodeId3(Seq(
+      ("v3", v3), ("v4", v4t), ("trunc", trunc), ("hostile", hostile),
+      ("notag", Array[Byte](-1, -5, 1, 2, 3, 4)))
+      .toDF("media_id", "payload"))
+      .collect().map(r => r.getAs[String]("media_id") -> r).toMap
+    val a = rows("v3")
+    assert(a.getAs[Long]("version") == 3L)
+    assert(a.getAs[Long]("n_frames") == 3L)
+    assert(a.getAs[String]("title") == "Abc")       // NUL stripped
+    assert(a.isNullAt(a.fieldIndex("artist")))      // UTF-16 -> null
+    assert(a.isNullAt(a.fieldIndex("album")))
+    val b = rows("v4")
+    assert(b.getAs[Long]("version") == 4L &&
+      b.getAs[Long]("n_frames") == 1L &&
+      b.getAs[String]("album") == "x" * 129)
+    Seq("trunc", "hostile", "notag").foreach { k =>
+      assert(rows(k).isNullAt(rows(k).fieldIndex("version")), k)
+    }
+  }
+
   test("exif walk: both byte orders, inline SHORT, offset ASCII, " +
     "missing tags null FIELDS, hostile offset/no-exif null STRUCT") {
     val s = spark
