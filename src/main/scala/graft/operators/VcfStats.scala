@@ -683,6 +683,58 @@ object VcfStats {
           .as("violation"))
   }
 
+  /** Rare-variant burden per (transcript, sample) — the collapsing test
+    * prep (SKAT/CMC burden): for each gene region, each carrier's total
+    * ALT dosage over the qualifying (exonic, AF-capped — the caller
+    * filters) variants. Inputs: `exonVariants` (varId, transcript_id)
+    * from the g2 binned interval join, `gts` long genotypes. Output has
+    * CARRIERS only (burden ≥ 1): at biobank scale the zero rows are
+    * samples × transcripts and carry no information — the association
+    * test reconstructs zeros from the cohort list. Plan: dosage filter
+    * map-side, one varId-keyed join (the variant side is exome-scale,
+    * broadcastable after the AF cap), ONE (transcript, sample) groupBy
+    * of integer partials.
+    */
+  def burdenScores(exonVariants: DataFrame, gts: DataFrame): DataFrame = {
+    val d = gts.select(col("varId"), col("sample"),
+      dosage(col("gt")).as("_d"))
+      .where(col("_d") > 0)
+    exonVariants.join(d, "varId")
+      .groupBy(col("transcript_id"), col("sample"))
+      .agg(count(lit(1)).as("n_rare_vars"), sum(col("_d")).as("burden"))
+  }
+
+  /** plink2 `--king-cutoff`-style relatedness pruning: drop samples so
+    * no remaining pair's [[kingKinship]] φ̂ reaches `cutoff` (cohort QC
+    * demands near-independent samples for association/PCA; 0.0884 is
+    * plink2's 3rd-degree default). Deterministic keep-earliest greedy —
+    * the g37 LD-prune contract applied to the sample graph: pairs walk
+    * in (sample_a, sample_b) order and a pair with both members still
+    * standing drops its LATER member. The above-cutoff pair list is
+    * metadata-scale (it is the output a cohort acts on — a cohort where
+    * it isn't fits no downstream test either), so it collapses to one
+    * sorted array row and the walk is ONE sequential fold — no driver
+    * loop, no per-round shuffle; the S²·V pair-scan cost itself is
+    * [[ibsPairs]]'s documented story. Output: every sample with its
+    * pruned flag.
+    */
+  def kingPrune(gts: DataFrame, cutoff: Double): DataFrame = {
+    val pairs = kingKinship(gts)
+      .where(col("kinship").isNotNull && col("kinship") >= cutoff)
+      .agg(sort_array(collect_list(
+        struct(col("sample_a"), col("sample_b")))).as("_ps"))
+    val dropped = aggregate(col("_ps"),
+      array().cast("array<string>"),
+      (acc, p) => when(
+        array_contains(acc, p.getField("sample_a")) ||
+          array_contains(acc, p.getField("sample_b")), acc)
+        .otherwise(concat(acc, array(p.getField("sample_b")))))
+    gts.select(col("sample")).distinct()
+      .crossJoin(broadcast(pairs.select(dropped.as("_d"))))
+      .select(col("sample"),
+        array_contains(col("_d"), col("sample")).as("pruned"))
+  }
+
   /** Site frequency spectrum (vcftools `--freq` / dadi-style SFS): the
     * per-variant minor-allele count histogram population genetics reads
     * demography and selection off. Per variant: ALT allele count over

@@ -399,6 +399,36 @@ object Genomic {
         .where(col("chrom") =!= "X"))
     }),
 
+    "g41_gene_burden" -> ((s, _) => {
+      // rare-variant burden per (transcript, sample) — the SKAT/CMC
+      // collapsing-test prep: AF-capped exonic variants via g2's binned
+      // equi-join, per-carrier dosage sums in ONE (transcript, sample)
+      // groupBy; carriers only (zeros are samples x transcripts and
+      // reconstruct from the cohort list)
+      prep(s)
+      val rare = s.read.parquet(s"$fx/vcf_norm.parquet")
+        .where(col("chrom") =!= "X" && col("allele_af") <= 0.15)
+      val hits = IntervalJoin.pointsInIntervals(
+        rare.select(col("chrom"), col("pos"), col("id"), col("alt")),
+        s.read.parquet(s"$fx/exons.parquet"), Seq("chrom"), binSize = 20)
+        .select(concat_ws(":", col("id"), col("alt")).as("varId"),
+          col("transcript_id"))
+      val gts = Vcf.genotypesLong(rare, GenomicFixtures.sampleNames(s))
+        .select(concat_ws(":", col("id"), col("alt")).as("varId"),
+          col("sample"), col("gt"))
+      graft.operators.VcfStats.burdenScores(hits, gts)
+    }),
+
+    "g42_king_prune" -> ((s, _) => {
+      // plink2 --king-cutoff: greedy keep-earliest relatedness pruning
+      // over the KING kinship pairs — the sample-graph sibling of g37's
+      // LD panel thinning; the above-cutoff pair list collapses to one
+      // sorted array row and the walk is one sequential fold
+      prep(s)
+      graft.operators.VcfStats.kingPrune(gtsWithVarId(s)
+        .where(col("chrom") =!= "X"), cutoff = 0.1)
+    }),
+
     "g39_sfs" -> ((s, _) => {
       // site frequency spectrum (vcftools --freq / dadi): per-variant
       // folded minor-allele counts binned by (allele_number, mac) —
@@ -1891,6 +1921,90 @@ object Genomic {
          |      / sqrt(e1 * s_sites + e2 * s_sites * (s_sites - 1)), 4)
          |  END AS tajima_d
          |FROM wagg, ke""".stripMargin,
+
+    "g41_gene_burden" ->
+      s"""WITH rare AS (
+         |  SELECT * FROM ${pq("vcf_norm")}
+         |  WHERE chrom <> 'X' AND allele_af <= 0.15),
+         |hits AS (
+         |  SELECT v.id || ':' || v.alt AS vid, e.transcript_id
+         |  FROM rare v JOIN ${pq("exons")} e
+         |    ON v.chrom = e.chrom AND v.pos >= e.start
+         |    AND v.pos <= e."end"),
+         |g AS (
+         |  SELECT id || ':' || alt AS vid, unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM rare),
+         |d AS (
+         |  SELECT vid, 'S' || si AS sample,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) END AS dd
+         |  FROM g)
+         |SELECT h.transcript_id, d.sample,
+         |  CAST(count(*) AS BIGINT) AS n_rare_vars,
+         |  CAST(sum(dd) AS BIGINT) AS burden
+         |FROM hits h JOIN d ON h.vid = d.vid
+         |WHERE dd > 0
+         |GROUP BY 1, 2""".stripMargin,
+
+    "g42_king_prune" ->
+      s"""WITH RECURSIVE g AS (
+         |  SELECT id || ':' || alt AS vid,
+         |    unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM ${pq("vcf_norm")} WHERE chrom <> 'X'),
+         |dd AS (
+         |  SELECT vid, 'S' || si AS sample,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) END AS dd
+         |  FROM g),
+         |p AS (
+         |  SELECT a.sample AS sample_a, b.sample AS sample_b,
+         |    a.dd AS da, b.dd AS db
+         |  FROM dd a JOIN dd b
+         |    ON a.vid = b.vid AND a.sample < b.sample
+         |  WHERE a.dd IS NOT NULL AND b.dd IS NOT NULL),
+         |c AS (
+         |  SELECT sample_a, sample_b,
+         |    CAST(sum(CASE WHEN da = 1 AND db = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS bh,
+         |    CAST(sum(CASE WHEN abs(da - db) = 2 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS oh,
+         |    CAST(sum(CASE WHEN da = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ha,
+         |    CAST(sum(CASE WHEN db = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS hb
+         |  FROM p GROUP BY 1, 2),
+         |ab AS (
+         |  SELECT sample_a, sample_b,
+         |    row_number() OVER (ORDER BY sample_a, sample_b) AS i
+         |  FROM c
+         |  WHERE least(ha, hb) > 0
+         |    AND round((2.0 * bh - 4.0 * oh - ha - hb)
+         |      / (4.0 * least(ha, hb)) + 0.5, 5) >= 0.1),
+         |nn AS (SELECT count(*) AS cnt FROM ab),
+         |walk AS (
+         |  SELECT 0 AS i, ';' AS dropped
+         |  UNION ALL
+         |  SELECT w.i + 1,
+         |    CASE WHEN contains(w.dropped, ';' || q.sample_a || ';')
+         |        OR contains(w.dropped, ';' || q.sample_b || ';')
+         |      THEN w.dropped
+         |      ELSE w.dropped || q.sample_b || ';' END
+         |  FROM walk w JOIN ab q ON q.i = w.i + 1),
+         |fin AS (
+         |  SELECT dropped FROM walk, nn WHERE walk.i = nn.cnt),
+         |samples AS (
+         |  SELECT DISTINCT 'S' || si AS sample
+         |  FROM (SELECT unnest(range(1, len(genotypes) + 1)) AS si
+         |        FROM ${pq("vcf_norm")} WHERE chrom <> 'X'))
+         |SELECT s.sample,
+         |  contains(f.dropped, ';' || s.sample || ';') AS pruned
+         |FROM samples s, fin f""".stripMargin,
 
     "g39_sfs" ->
       s"""WITH g AS (

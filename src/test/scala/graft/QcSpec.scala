@@ -708,6 +708,51 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Map("A" -> true, "B" -> false, "C" -> true), kept)
   }
 
+  test("burdenScores: carrier dosage sums per transcript, missing " +
+    "calls and non-exonic variants invisible") {
+    val s = spark
+    import s.implicits._
+    val hits = Seq(("v1", "T1"), ("v2", "T1"), ("v3", "T2"))
+      .toDF("varId", "transcript_id")
+    // v4 is NOT in hits (intronic / AF-capped upstream) and must not
+    // contribute; Sa's missing call at v3 drops (T2, Sa) entirely
+    val gts = Seq(
+      ("v1", "Sa", "1|0"), ("v1", "Sb", "0|0"),
+      ("v2", "Sa", "1|1"), ("v2", "Sb", "0|1"),
+      ("v3", "Sa", ".|."), ("v3", "Sb", "1|0"),
+      ("v4", "Sa", "1|1"), ("v4", "Sb", "1|1"))
+      .toDF("varId", "sample", "gt")
+    val out = VcfStats.burdenScores(hits, gts).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      ("T1", "Sa") -> ((2L, 3L)),
+      ("T1", "Sb") -> ((1L, 1L)),
+      ("T2", "Sb") -> ((1L, 1L))))
+  }
+
+  test("kingPrune: keep-earliest greedy drops later members, skips " +
+    "pairs already covered") {
+    val s = spark
+    import s.implicits._
+    // a/b/c identical (all three pairs phi = 0.5), d strongly negative
+    // vs each: walk (a,b) drops b, (a,c) drops c, (b,c) skips (both
+    // gone) -> only a of the triplet survives, d untouched
+    val gts = Seq(
+      ("v1", "a", "0|1"), ("v1", "b", "0|1"), ("v1", "c", "0|1"),
+      ("v1", "d", "0|0"),
+      ("v2", "a", "0|0"), ("v2", "b", "0|0"), ("v2", "c", "0|0"),
+      ("v2", "d", "1|1"),
+      ("v3", "a", "1|1"), ("v3", "b", "1|1"), ("v3", "c", "1|1"),
+      ("v3", "d", "0|1"))
+      .map { case (v, sm, gt) => (v, "1", 10L, sm, gt) }
+      .toDF("varId", "chrom", "pos", "sample", "gt")
+    val out = VcfStats.kingPrune(gts, cutoff = 0.25).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out == Map("a" -> false, "b" -> true, "c" -> true,
+      "d" -> false))
+  }
+
   test("kingKinship: duplicate samples -> 0.5, opposite homozygotes " +
     "push negative, zero-het pair -> null") {
     val s = spark
