@@ -408,6 +408,31 @@ object Bench {
         graft.operators.PageRank.labelPropagation(
           tree.unionByName(cross), rounds = 4).count()
       }),
+      // k-mer counting at volume (the jellyfish benchmark — THE
+      // shuffle-heavy distributed-genomics op): ~nDocs*4 synthetic
+      // 100nt reads (20M bases / ~16M 21-mers at sf0.1) through the
+      // canonical explode -> map-side-combined hash agg -> spectrum.
+      // Reads are generated at ~2x coverage of a 10Mb synthetic genome
+      // (read start = hash % (genomeLen/100) aligned) so k-mers repeat
+      // and the partial aggregation has real work. The generator is
+      // checkpointed: projection collapse would otherwise inline the
+      // 100-term concat into every k-mer row (80x recompute per read).
+      "kx_kmer_scale" -> (() => {
+        val bases = array(lit("A"), lit("C"), lit("G"), lit("T"))
+        val nReads = nDocs * 4
+        val genomePos = pmod(hash(col("id")), lit(nReads / 2)) * 100
+        val reads = spark.range(nReads).select(
+          concat_ws("", (0 until 100).map(i =>
+            element_at(bases,
+              (pmod(hash(genomePos + i), lit(4)) + 1).cast("int"))): _*)
+            .as("sequence"))
+          .localCheckpoint()
+        val n = graft.operators.Kmers.spectrum(
+          graft.operators.Kmers.kmerCounts(reads, "sequence", k = 21))
+          .count()
+        reads.unpersist(blocking = false)
+        n
+      }),
       "hx_haplo_scale" -> (() => {
         val gts = spark.range(nDocs).select(col("id").as("snum"))
           .crossJoin(spark.range(200).select(col("id").as("vnum")))

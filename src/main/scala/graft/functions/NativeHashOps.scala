@@ -42,6 +42,27 @@ object NativeHashOps {
     UTF8String.fromBytes(out)
   }
 
+  /** Hashing-trick feature buckets (the t15/t35 contract): for every
+    * element, the integer value of the first 7 hex chars of its md5
+    * (28 bits — b0..b2 plus b3's high nibble) mod `dim`, i.e. exactly
+    * `conv(substring(md5(f), 1, 7), 16, 10) % dim` fused into one
+    * compiled call per row — one md5 per feature, no hex-string or
+    * base-conversion allocations.
+    */
+  def md5Buckets(arr: ArrayData, dim: Int): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val b = md5(arr.getUTF8String(i).getBytes)
+      val v = ((b(0) & 0xffL) << 20) | ((b(1) & 0xffL) << 12) |
+        ((b(2) & 0xffL) << 4) | ((b(3) & 0xffL) >>> 4)
+      out(i) = v % dim
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** SimHash bit string: per token one md5; bit j of the digest (MSB-first)
     * votes for output bit j; output '1' when ones*2 > n_tokens. Identical
     * to hashing.simhash's hex-nibble formulation (bit j = bit (7-j%8) of

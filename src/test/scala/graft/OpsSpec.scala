@@ -50,6 +50,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.forall(v => v._3 == (v._2 > 0)))
   }
 
+  test("renderChatTurns: hand-computed spans, assistant unmasked, " +
+    "fingerprint matches the rendered string") {
+    val s = spark
+    import s.implicits._
+    val turns = Seq(
+      ("c1", 0L, "system", "hi"),
+      ("c1", 1L, "user", "yo"),
+      ("c1", 2L, "assistant", "ok!")
+    ).toDF("conv_id", "turn_idx", "role", "content")
+    val out = graft.operators.Packing.renderChatTurns(
+      turns, "conv_id", "turn_idx", "role", "content")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(4), r.getLong(5), r.getBoolean(6),
+          r.getString(7)))).toMap
+    val full = "<|system|>hi<|end|><|user|>yo<|end|>" +
+      "<|assistant|>ok!<|end|>"
+    // 1-based spans: substring(full, start, len) must equal the content
+    assert(out(0L)._1 == 11L && out(0L)._2 == 12L && out(0L)._3)
+    assert(full.substring(10, 12) == "hi")
+    assert(out(1L)._1 == 28L && out(1L)._2 == 29L && out(1L)._3)
+    assert(full.substring(27, 29) == "yo")
+    assert(out(2L)._1 == 50L && out(2L)._2 == 52L && !out(2L)._3)
+    assert(full.substring(49, 52) == "ok!")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(full.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(0L)._4 == fp)
+  }
+
   test("as-of join picks latest at-or-before, null when none") {
     val s = spark
     import s.implicits._
