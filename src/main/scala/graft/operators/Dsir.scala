@@ -56,12 +56,18 @@ object Dsir {
     * kept. `dim` is the hashed-feature space (the paper uses 10^4; any
     * value whose (bucket, log-ratio) table broadcasts is fine).
     */
-  def importanceScores(target: DataFrame, raw: DataFrame, idCol: String,
-                       textCol: String, dim: Int): DataFrame = {
+  /** The smoothed per-bucket log-ratio table (bucket, _lr), `dim` rows:
+    * ln((ct+1)/(Nt+dim)) − ln((cr+1)/(Nr+dim)) from the target and raw
+    * feature-bucket counts. This is the TRAINED ARTIFACT of DSIR — fit
+    * once (or refreshed as the pool grows), persisted, and broadcast to
+    * every scorer; [[importanceScores]] fits and scores in one call,
+    * [[scoreAgainst]] scores arrivals (batch or STREAM) against it.
+    */
+  def ratioTable(target: DataFrame, raw: DataFrame, textCol: String,
+                 dim: Int): DataFrame = {
     require(dim > 0, "dsir dim must be > 0")
     graft.plans.GraftFunctions.register(raw.sparkSession)
-    def buckets(c: org.apache.spark.sql.Column) =
-      call_function("graft_md5_buckets", c, lit(dim))
+    def buckets(c: Column) = call_function("graft_md5_buckets", c, lit(dim))
     def bucketCounts(df: DataFrame, cnt: String) = df
       .select(explode(buckets(features(col(textCol)))).as("bucket"))
       .groupBy(col("bucket"))
@@ -74,8 +80,7 @@ object Dsir {
     val cr = bucketCounts(raw, "_cr").localCheckpoint()
     val totals = ct.agg(sum(col("_ct")).as("_nt"))
       .crossJoin(cr.agg(sum(col("_cr")).as("_nr")))
-    val spark = raw.sparkSession
-    val lrs = spark.range(dim).select(col("id").as("bucket"))
+    raw.sparkSession.range(dim).select(col("id").as("bucket"))
       .join(ct, Seq("bucket"), "left")
       .join(cr, Seq("bucket"), "left")
       .crossJoin(broadcast(totals))
@@ -84,6 +89,41 @@ object Dsir {
           (col("_nt") + lit(dim)).cast("double")) -
           log((coalesce(col("_cr"), lit(0L)) + 1) /
             (col("_nr") + lit(dim)).cast("double"))).as("_lr"))
+  }
+
+  /** Stateless scoring against a pre-fit [[ratioTable]]: the ratio rows
+    * collapse to one broadcast map row (no driver collect) and the
+    * log-weight is a per-row fold over the fused bucket kernel's output
+    * — ZERO aggregation state, broadcast-only plan, so the identical
+    * call runs unchanged on a readStream (e24: admission scoring of an
+    * arriving crawl; refresh the persisted ratio table as the pool
+    * grows — the stream never re-fits). The fold adds the same
+    * log-ratio doubles in the same feature order as
+    * [[importanceScores]]'s ordered aggregation, so the two scorers are
+    * bit-equal.
+    */
+  def scoreAgainst(docs: DataFrame, ratios: DataFrame, idCol: String,
+                   textCol: String, dim: Int): DataFrame = {
+    require(dim > 0, "dsir dim must be > 0")
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val lrMap = ratios.agg(map_from_entries(collect_list(
+      struct(col("bucket"), col("_lr")))).as("_m"))
+    val bks = call_function("graft_md5_buckets",
+      features(col(textCol)), lit(dim))
+    val logw = round(aggregate(bks, lit(0.0),
+      (acc, b) => acc + element_at(col("_m"), b)), 4)
+    docs.crossJoin(broadcast(lrMap))
+      .select(col(idCol), size(bks).cast("long").as("n_feats"),
+        logw.as("dsir_logw"), (logw > 0).as("keep"))
+  }
+
+  def importanceScores(target: DataFrame, raw: DataFrame, idCol: String,
+                       textCol: String, dim: Int): DataFrame = {
+    require(dim > 0, "dsir dim must be > 0")
+    graft.plans.GraftFunctions.register(raw.sparkSession)
+    def buckets(c: org.apache.spark.sql.Column) =
+      call_function("graft_md5_buckets", c, lit(dim))
+    val lrs = ratioTable(target, raw, textCol, dim)
     val feats = raw
       .select(col(idCol),
         posexplode(buckets(features(col(textCol))))

@@ -149,6 +149,48 @@ object Documents {
     }
   }
 
+  /** Shared CTE prefix of the two DSIR oracles (t35 fit+score,
+    * e24 stream scoring): feature streams (unigrams + space-joined
+    * bigrams), md5-prefix buckets, target/raw counts and the smoothed
+    * log-ratio table over dim=64 — one string drives both so the model
+    * the stream scores against cannot drift from the fit oracle's.
+    */
+  private val dsirLrsCtes =
+    """ws AS (
+      |  SELECT doc_id, lang,
+      |    regexp_extract_all(lower(text), '[a-z]+') AS l
+      |  FROM documents),
+      |fs AS (
+      |  SELECT doc_id, lang, list_concat(l,
+      |    CASE WHEN len(l) >= 2
+      |      THEN [l[i] || ' ' || l[i + 1] for i in range(1, len(l))]
+      |      ELSE [] END) AS f
+      |  FROM ws),
+      |e AS (
+      |  SELECT doc_id, lang, u.pos AS pos, u.w AS w
+      |  FROM (SELECT doc_id, lang, unnest([{'pos': i, 'w': f[i]}
+      |          for i in range(1, len(f) + 1)]) AS u
+      |        FROM fs)),
+      |b AS (
+      |  SELECT doc_id, lang, pos,
+      |    list_reduce([strpos('0123456789abcdef', substr(md5(w), j, 1))
+      |        - 1
+      |      for j in range(1, 8)], (a, c) -> a * 16 + c) % 64 AS bucket
+      |  FROM e),
+      |tc AS (SELECT bucket, count(*) AS ct FROM b WHERE lang = 'en'
+      |       GROUP BY 1),
+      |rc AS (SELECT bucket, count(*) AS cr FROM b GROUP BY 1),
+      |nt AS (SELECT count(*) AS n FROM b WHERE lang = 'en'),
+      |nr AS (SELECT count(*) AS n FROM b),
+      |lrs AS (
+      |  SELECT r.i AS bucket,
+      |    ln((coalesce(tc.ct, 0) + 1) / CAST(nt.n + 64 AS DOUBLE))
+      |      - ln((coalesce(rc.cr, 0) + 1) / CAST(nr.n + 64 AS DOUBLE))
+      |      AS lr
+      |  FROM range(64) r(i)
+      |    LEFT JOIN tc ON tc.bucket = r.i
+      |    LEFT JOIN rc ON rc.bucket = r.i, nt, nr)""".stripMargin
+
   /** DuckDB replica of text.isBoilerplateLine (l is a line expression). */
   private def boilerLineSql(l: String): String =
     s"""((len(str_split(trim($l), ' | ')) >= 3
@@ -866,6 +908,24 @@ object Documents {
         substring(col("text"), 1, 80).as("content"))
       graft.operators.Packing.renderChatTurns(turns, "conv_id",
         "turn_idx", "role", "content")
+    }),
+
+    "e24_stream_dsir" -> ((s, dir) => {
+      // stateless STREAMING DSIR admission scoring: arrivals score
+      // against the PRE-FIT broadcast log-ratio map as a per-row fold
+      // over the fused bucket kernel — zero aggregation state, so the
+      // identical call runs on a readStream (StreamingSpec parity);
+      // the persisted ratio table is the only artifact refreshed as
+      // the pool grows — the stream never re-fits
+      val docs = spread(t(s, dir, "documents"))
+      val ratios = graft.operators.Dsir.ratioTable(
+        docs.where(col("lang") === "en"), docs, "text", dim = 64)
+      val arrivals = docs.select(
+        (col("doc_id") + 100000).as("event_id"),
+        concat(substring(col("text"), 1, 200),
+          lit(" fresh crawl arrival")).as("text"))
+      graft.operators.Dsir.scoreAgainst(arrivals, ratios,
+        "event_id", "text", dim = 64)
     }),
 
     "t16_vocab_tokens" -> ((s, dir) => {
@@ -2228,40 +2288,7 @@ object Documents {
         |FROM sp JOIN txt USING (conv_id)""".stripMargin,
 
     "t35_dsir" ->
-      """WITH ws AS (
-        |  SELECT doc_id, lang,
-        |    regexp_extract_all(lower(text), '[a-z]+') AS l
-        |  FROM documents),
-        |fs AS (
-        |  SELECT doc_id, lang, list_concat(l,
-        |    CASE WHEN len(l) >= 2
-        |      THEN [l[i] || ' ' || l[i + 1] for i in range(1, len(l))]
-        |      ELSE [] END) AS f
-        |  FROM ws),
-        |e AS (
-        |  SELECT doc_id, lang, u.pos AS pos, u.w AS w
-        |  FROM (SELECT doc_id, lang, unnest([{'pos': i, 'w': f[i]}
-        |          for i in range(1, len(f) + 1)]) AS u
-        |        FROM fs)),
-        |b AS (
-        |  SELECT doc_id, lang, pos,
-        |    list_reduce([strpos('0123456789abcdef', substr(md5(w), j, 1))
-        |        - 1
-        |      for j in range(1, 8)], (a, c) -> a * 16 + c) % 64 AS bucket
-        |  FROM e),
-        |tc AS (SELECT bucket, count(*) AS ct FROM b WHERE lang = 'en'
-        |       GROUP BY 1),
-        |rc AS (SELECT bucket, count(*) AS cr FROM b GROUP BY 1),
-        |nt AS (SELECT count(*) AS n FROM b WHERE lang = 'en'),
-        |nr AS (SELECT count(*) AS n FROM b),
-        |lrs AS (
-        |  SELECT r.i AS bucket,
-        |    ln((coalesce(tc.ct, 0) + 1) / CAST(nt.n + 64 AS DOUBLE))
-        |      - ln((coalesce(rc.cr, 0) + 1) / CAST(nr.n + 64 AS DOUBLE))
-        |      AS lr
-        |  FROM range(64) r(i)
-        |    LEFT JOIN tc ON tc.bucket = r.i
-        |    LEFT JOIN rc ON rc.bucket = r.i, nt, nr),
+      (s"""WITH $dsirLrsCtes,
         |jw AS (
         |  SELECT b.doc_id, b.pos, lrs.lr FROM b JOIN lrs USING (bucket)),
         |agg AS (
@@ -2272,7 +2299,49 @@ object Documents {
         |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_feats,
         |  coalesce(agg.s, 0.0) AS dsir_logw,
         |  coalesce(agg.s, 0.0) > 0 AS keep
-        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""")
+        .stripMargin,
+
+    "e24_stream_dsir" ->
+      (s"""WITH $dsirLrsCtes,
+        |arr AS (
+        |  SELECT doc_id + 100000 AS event_id,
+        |    substr(text, 1, 200) || ' fresh crawl arrival' AS text
+        |  FROM documents),
+        |aws AS (
+        |  SELECT event_id,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS l
+        |  FROM arr),
+        |afs AS (
+        |  SELECT event_id, list_concat(l,
+        |    CASE WHEN len(l) >= 2
+        |      THEN [l[i] || ' ' || l[i + 1] for i in range(1, len(l))]
+        |      ELSE [] END) AS f
+        |  FROM aws),
+        |ae AS (
+        |  SELECT event_id, u.pos AS pos, u.w AS w
+        |  FROM (SELECT event_id, unnest([{'pos': i, 'w': f[i]}
+        |          for i in range(1, len(f) + 1)]) AS u
+        |        FROM afs)),
+        |abk AS (
+        |  SELECT event_id, pos,
+        |    list_reduce([strpos('0123456789abcdef', substr(md5(w), j, 1))
+        |        - 1
+        |      for j in range(1, 8)], (a, c) -> a * 16 + c) % 64 AS bucket
+        |  FROM ae),
+        |jw AS (
+        |  SELECT abk.event_id, abk.pos, lrs.lr
+        |  FROM abk JOIN lrs USING (bucket)),
+        |agg AS (
+        |  SELECT event_id, count(*) AS n,
+        |    round(list_reduce(list(lr ORDER BY pos), (a, x) -> a + x), 4)
+        |      AS s
+        |  FROM jw GROUP BY event_id)
+        |SELECT a.event_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_feats,
+        |  coalesce(agg.s, 0.0) AS dsir_logw,
+        |  coalesce(agg.s, 0.0) > 0 AS keep
+        |FROM arr a LEFT JOIN agg ON a.event_id = agg.event_id""")
+        .stripMargin,
 
     "t15_classifier_score" ->
       """WITH wt AS (

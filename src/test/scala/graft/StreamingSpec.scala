@@ -783,4 +783,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L) && got(3L), "corpus texts must be admitted as hits")
     q.stop()
   }
+
+  test("streaming DSIR admission scoring: stateless append stream == " +
+    "batch bit-for-bit across micro-batch boundaries") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    // fit the ratio table on a tiny pool where 'en-ish' docs are the
+    // target; arrivals then score against the PERSISTED artifact only
+    // 2 target docs vs 6 junk docs: junk words are raw-frequent (their
+    // log-ratios go strongly negative) while target words stay rare in
+    // the pool, so a target-like arrival lands positive
+    val pool = (Seq((1L, "the quick brown fox", "en"),
+      (2L, "the lazy brown dog", "en")) ++
+      (3L to 8L).map(i => (i, "zzz qqq xxx www", "xx")))
+      .toDF("doc_id", "text", "lang")
+    val ratios = graft.operators.Dsir.ratioTable(
+      pool.where(org.apache.spark.sql.functions.col("lang") === "en"),
+      pool, "text", dim = 64).localCheckpoint()
+    val all = Seq((10L, "the quick dog"), (11L, "qqq zzz www"),
+      (12L, "brown fox runs"), (13L, ""))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.Dsir.scoreAgainst(
+      mem.toDF().toDF("event_id", "text"), ratios, "event_id", "text",
+      dim = 64)
+      .writeStream.format("memory").queryName("dsir_admit")
+      .outputMode("append").start()
+    mem.addData(all.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(all.drop(2): _*)
+    q.processAllAvailable()
+    val got = spark.table("dsir_admit").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val batch = graft.operators.Dsir.scoreAgainst(
+      all.toDF("event_id", "text"), ratios, "event_id", "text", dim = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got == batch, s"stream $got != batch $batch")
+    assert(got(10L)._3 && !got(11L)._3,
+      "target-like arrival admitted, OOD arrival not")
+    assert(got(13L) == ((0L, 0.0, false)), "empty doc scores 0, not kept")
+    q.stop()
+  }
 }
