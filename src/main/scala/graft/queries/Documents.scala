@@ -664,6 +664,24 @@ object Documents {
         maxDepth = 6)
     }),
 
+    "d23_triangles" -> ((s, dir) => {
+      // exact triangle count + clustering coefficient over a
+      // deterministic triangle-rich doc graph (double ring guarantees
+      // n triangles, the cross edges add irregular degree): degree-
+      // ordered orientation bounds wedge volume at O(E^1.5) — hubs
+      // receive orientation and emit no wedges
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val ring1 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") + 1) % n).as("dst"))
+      val ring2 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") + 2) % n).as("dst"))
+      val cross = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 3) % n).as("dst"))
+      graft.operators.PageRank.triangleCount(
+        ring1.unionByName(ring2).unionByName(cross))
+    }),
+
     "d22_label_prop" -> ((s, dir) => {
       // synchronous label propagation over the d19 deterministic doc
       // graph (undirected): 4 exactly-replayable rounds of
@@ -1701,6 +1719,48 @@ object Documents {
         |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ';'
         |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
         |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "d23_triangles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % n AS dst
+        |  FROM documents, nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % n FROM documents, nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 7 + 3) % n FROM documents, nn),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |deg AS (
+        |  SELECT node, count(*) AS d
+        |  FROM (SELECT a AS node FROM und
+        |        UNION ALL SELECT b FROM und)
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS u,
+        |    CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS v,
+        |    CASE WHEN (da.d, a) < (db.d, b) THEN db.d ELSE da.d END
+        |      AS dv
+        |  FROM und
+        |    JOIN deg da ON da.node = und.a
+        |    JOIN deg db ON db.node = und.b),
+        |w AS (
+        |  SELECT x.v AS wu, y.v AS wv
+        |  FROM o x JOIN o y ON x.u = y.u
+        |    AND (x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v))),
+        |tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM w JOIN o ON o.u = w.wu AND o.v = w.wv),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wtot
+        |  FROM deg),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+        |SELECT tot.n_nodes, ne.n_edges, tri.n_triangles,
+        |  CASE WHEN wtot > 0
+        |    THEN round(3.0 * n_triangles / wtot, 5) END AS clustering
+        |FROM tot, ne, tri""".stripMargin,
 
     "d22_label_prop" -> {
       val rounds = (1 to 4).map { r =>

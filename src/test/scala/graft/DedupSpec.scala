@@ -345,6 +345,22 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> 3L, 5L -> 3L, 6L -> 3L), out.toString)
   }
 
+  test("triangleCount: K4 plus pendant = 4 triangles, clustering 0.8; " +
+    "duplicates/reversals/self-loops canonicalize away") {
+    val s = spark
+    import s.implicits._
+    // K4 on {1,2,3,4} (4 triangles) + pendant 4-5; noise: a reversed
+    // duplicate, an exact duplicate and a self-loop must not change
+    // anything. Degrees 3,3,3,4,1 -> wedges 3+3+3+6+0 = 15,
+    // clustering = 3*4/15 = 0.8
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L),
+      (2L, 1L), (3L, 2L), (5L, 5L)).toDF("src", "dst")
+    val r = graft.operators.PageRank.triangleCount(edges).collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 7L &&
+      r.getLong(2) == 4L && r.getDouble(3) == 0.8, r.toString)
+  }
+
   test("bloomDedup: resubmitted text is a hit+dup, fresh text is " +
     "neither, bloom_hit always covers is_dup") {
     val s = spark
