@@ -408,6 +408,22 @@ object Bench {
         graft.operators.PageRank.labelPropagation(
           tree.unionByName(cross), rounds = 4).count()
       }),
+      // triangle counting at volume: nDocs*60 nodes (300k at sf0.1)
+      // under double-ring + cross edges (~900k undirected edges, ~300k
+      // guaranteed triangles + whatever the cross edges close) through
+      // the degree-ordered orientation — the hub-safe wedge plan at
+      // graph scale
+      "trix_triangle_scale" -> (() => {
+        val n = nDocs * 60
+        val nodes = spark.range(n)
+        val es = nodes.select(col("id").as("src"),
+          ((col("id") + 1) % n).as("dst"))
+          .unionByName(nodes.select(col("id").as("src"),
+            ((col("id") + 2) % n).as("dst")))
+          .unionByName(nodes.select(col("id").as("src"),
+            ((col("id") * 7 + 3) % n).as("dst")))
+        graft.operators.PageRank.triangleCount(es).count()
+      }),
       // k-mer counting at volume (the jellyfish benchmark — THE
       // shuffle-heavy distributed-genomics op): ~nDocs*4 synthetic
       // 100nt reads (20M bases / ~16M 21-mers at sf0.1) through the

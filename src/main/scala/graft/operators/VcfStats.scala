@@ -704,6 +704,41 @@ object VcfStats {
       .agg(count(lit(1)).as("n_rare_vars"), sum(col("_d")).as("burden"))
   }
 
+  /** Phase-aware compound-heterozygote detection per (transcript,
+    * sample) — the clinical recessive screen phased genotypes exist
+    * for: a gene is compound-het when one variant's ALT sits on copy 1
+    * and a DIFFERENT variant's ALT on copy 2 (in trans — both gene
+    * copies damaged), which unphased data can only guess at. A het
+    * variant contributes to exactly one side, so the flag is simply
+    * "both sides non-empty"; hom-ALT variants hit both copies via ONE
+    * allele pair and are a different (homozygous) mechanism, so they
+    * count toward neither side (the standard comp-het definition).
+    * Inputs/plan exactly [[burdenScores]]: (varId, transcript_id) exon
+    * hits from the binned interval join, long PHASED genotypes, one
+    * varId join + ONE (transcript, sample) groupBy of conditional
+    * sums. Carriers only (≥ 1 phased het in the gene); missing and
+    * unphased ('/') calls are excluded — phase is the point.
+    */
+  def compoundHet(exonVariants: DataFrame, gts: DataFrame): DataFrame = {
+    val al = split(col("gt"), "\\|")
+    // try_element_at: Catalyst can evaluate the projection before the
+    // size guard filters unphased rows (the sources.Casts ANSI lesson),
+    // so a strict element_at(·, 2) would throw on "a/b" calls
+    val a1 = try_element_at(al, lit(1))
+    val a2 = try_element_at(al, lit(2))
+    val d = gts.select(col("varId"), col("sample"),
+      (a1 === "1" && a2.isNotNull && a2 =!= "1").as("_c1"),
+      (a2 === "1" && a1.isNotNull && a1 =!= "1").as("_c2"))
+      .where(size(al) === 2 && !array_contains(al, ".") &&
+        (col("_c1") || col("_c2")))
+    exonVariants.join(d, "varId")
+      .groupBy(col("transcript_id"), col("sample"))
+      .agg(sum(when(col("_c1"), 1L).otherwise(0L)).as("n_hap1_vars"),
+        sum(when(col("_c2"), 1L).otherwise(0L)).as("n_hap2_vars"))
+      .withColumn("compound_het",
+        col("n_hap1_vars") >= 1 && col("n_hap2_vars") >= 1)
+  }
+
   /** plink2 `--king-cutoff`-style relatedness pruning: drop samples so
     * no remaining pair's [[kingKinship]] φ̂ reaches `cutoff` (cohort QC
     * demands near-independent samples for association/PCA; 0.0884 is

@@ -419,6 +419,25 @@ object Genomic {
       graft.operators.VcfStats.burdenScores(hits, gts)
     }),
 
+    "g43_compound_het" -> ((s, _) => {
+      // phase-aware compound-het screen: one ALT on copy 1 and a
+      // DIFFERENT variant's ALT on copy 2 of the same transcript (in
+      // trans — both gene copies damaged), which only PHASED genotypes
+      // decide; g41's join shape, hom-ALT counts toward neither side
+      prep(s)
+      val vn = s.read.parquet(s"$fx/vcf_norm.parquet")
+        .where(col("chrom") =!= "X")
+      val hits = IntervalJoin.pointsInIntervals(
+        vn.select(col("chrom"), col("pos"), col("id"), col("alt")),
+        s.read.parquet(s"$fx/exons.parquet"), Seq("chrom"), binSize = 20)
+        .select(concat_ws(":", col("id"), col("alt")).as("varId"),
+          col("transcript_id"))
+      val gts = Vcf.genotypesLong(vn, GenomicFixtures.sampleNames(s))
+        .select(concat_ws(":", col("id"), col("alt")).as("varId"),
+          col("sample"), col("gt"))
+      graft.operators.VcfStats.compoundHet(hits, gts)
+    }),
+
     "g42_king_prune" -> ((s, _) => {
       // plink2 --king-cutoff: greedy keep-earliest relatedness pruning
       // over the KING kinship pairs — the sample-graph sibling of g37's
@@ -1947,6 +1966,36 @@ object Genomic {
          |  CAST(sum(dd) AS BIGINT) AS burden
          |FROM hits h JOIN d ON h.vid = d.vid
          |WHERE dd > 0
+         |GROUP BY 1, 2""".stripMargin,
+
+    "g43_compound_het" ->
+      s"""WITH vn AS (
+         |  SELECT * FROM ${pq("vcf_norm")} WHERE chrom <> 'X'),
+         |hits AS (
+         |  SELECT v.id || ':' || v.alt AS vid, e.transcript_id
+         |  FROM vn v JOIN ${pq("exons")} e
+         |    ON v.chrom = e.chrom AND v.pos >= e.start
+         |    AND v.pos <= e."end"),
+         |g AS (
+         |  SELECT id || ':' || alt AS vid, unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM vn),
+         |d AS (
+         |  SELECT vid, 'S' || si AS sample,
+         |    (a[1] = '1' AND a[2] <> '1') AS c1,
+         |    (a[2] = '1' AND a[1] <> '1') AS c2
+         |  FROM (SELECT vid, si, str_split(gt, '|') AS a FROM g)
+         |  WHERE len(a) = 2 AND NOT list_contains(a, '.')),
+         |f AS (SELECT * FROM d WHERE c1 OR c2)
+         |SELECT h.transcript_id, f.sample,
+         |  CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hap1_vars,
+         |  CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hap2_vars,
+         |  sum(CASE WHEN c1 THEN 1 ELSE 0 END) >= 1
+         |    AND sum(CASE WHEN c2 THEN 1 ELSE 0 END) >= 1
+         |    AS compound_het
+         |FROM hits h JOIN f ON h.vid = f.vid
          |GROUP BY 1, 2""".stripMargin,
 
     "g42_king_prune" ->

@@ -382,6 +382,23 @@ object Relational {
           "l_linestatus"))
     }),
 
+    "q36_mode" -> ((s, dir) => {
+      // deterministic per-group MODE (most frequent value, ties to the
+      // smallest — engine-native mode() leaves ties unspecified, which
+      // a cross-engine gate cannot tolerate): two-level aggregation,
+      // value counts then ONE windowless arg-min partial agg
+      // (min(struct(-count, value)) — the u3/d22 shape, no window sort)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(struct((-col("_c")).as("nc"),
+          col("l_quantity").as("q"))).as("_m"))
+        .select(col("l_returnflag"),
+          col("_m.q").cast("double").as("mode_quantity"),
+          (-col("_m.nc")).cast("long").as("mode_count"))
+    }),
+
     "q31_transitions" -> ((s, dir) => {
       // event-type transition matrix (the Markov view of user journeys):
       // lag window per user (one key shuffle) -> (from, to) counts ->
@@ -695,6 +712,18 @@ object Relational {
         |SELECT c_custkey, status,
         |  CASE WHEN status = 'changed' THEN cc END AS changed_cols
         |FROM r WHERE status <> 'unchanged'""".stripMargin,
+
+    "q36_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l_returnflag,
+        |    min(struct_pack(nc := -c, q := l_quantity)) AS m
+        |  FROM c GROUP BY 1)
+        |SELECT l_returnflag, CAST(m.q AS DOUBLE) AS mode_quantity,
+        |  CAST(-m.nc AS BIGINT) AS mode_count
+        |FROM m""".stripMargin,
 
     "q31_transitions" ->
       """WITH p AS (

@@ -551,6 +551,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "three per-hash broadcast joins expected:\n" + finalPlan)
   }
 
+  test("e24 stream dsir: scoring is broadcast-only — no hash exchange " +
+    "or aggregation of the arrival stream") {
+    val p = plan("e24_stream_dsir")
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    // everything after the ratio-table fit must reach arrivals via
+    // broadcast: the scoring chain is BroadcastNestedLoopJoin (1-row
+    // map) + projection — the arrival rows themselves must never be
+    // hash-exchanged (the readStream-compatibility argument). The
+    // documents scan feeds both the fit and the arrivals, so the only
+    // permitted doc_id/event exchanges belong to the fit's bucket
+    // aggregations, never keyed by event_id.
+    assert(!finalPlan.contains("hashpartitioning(event_id"),
+      "arrival stream must not be hash-exchanged:\n" + finalPlan)
+    assert(finalPlan.contains("BroadcastNestedLoopJoin") ||
+      finalPlan.contains("BroadcastExchange"), finalPlan)
+  }
+
+  test("d23 triangles: no window anywhere; wedge and closing joins " +
+    "reuse the checkpointed oriented edges") {
+    val p = plan("d23_triangles")
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("Window"),
+      "triangle counting must not sort-window:\n" + finalPlan)
+  }
+
   test("q33 nearest as-of: ONE key exchange feeding two sorted window " +
     "passes") {
     val p = plan("q33_asof_nearest")

@@ -730,4 +730,33 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       "w", targetFrac = 1.0, salt = "u").count()
     assert(all == 300L)
   }
+
+  test("triangleCount == brute-force combinations on random graphs") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+    val seeds = Seq(11L, 23L, 47L)
+    seeds.foreach { sd =>
+      val edges = gen(Gen.Parameters.default, Seed(sd)).get
+      val und = edges.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      val adj = und.toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val brute = nodes.combinations(3).count { case Seq(x, y, z) =>
+        adj((x, y)) && adj((x, z)) && adj((y, z)) }
+      val wedges = nodes.map { n =>
+        val d = und.count(e => e._1 == n || e._2 == n).toLong
+        d * (d - 1) / 2 }.sum
+      val r = graft.operators.PageRank.triangleCount(
+        edges.toDF("src", "dst")).collect().head
+      assert(r.getLong(2) == brute.toLong, s"seed $sd: $r vs $brute")
+      assert(r.getLong(0) == nodes.size.toLong &&
+        r.getLong(1) == und.size.toLong, s"seed $sd: $r")
+      if (wedges > 0)
+        assert(r.getDouble(3) ==
+          math.rint(3.0 * brute / wedges * 100000) / 100000,
+          s"seed $sd clustering")
+    }
+  }
 }

@@ -731,6 +731,28 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("T2", "Sb") -> ((1L, 1L))))
   }
 
+  test("compoundHet: in-trans hets flag, cis pairs don't, hom-ALT and " +
+    "unphased calls count toward neither side") {
+    val s = spark
+    import s.implicits._
+    val hits = Seq(("v1", "T1"), ("v2", "T1"), ("v3", "T1"),
+      ("v4", "T2")).toDF("varId", "transcript_id")
+    val gts = Seq(
+      ("v1", "Sa", "1|0"), ("v2", "Sa", "0|1"), // trans -> comp-het
+      ("v1", "Sb", "1|0"), ("v2", "Sb", "1|0"), // cis -> not
+      ("v3", "Sc", "1|1"),                      // hom -> neither side
+      ("v1", "Sd", "1/0"),                      // unphased -> excluded
+      ("v4", "Se", "0|1")                       // single het -> not
+    ).toDF("varId", "sample", "gt")
+    val out = graft.operators.VcfStats.compoundHet(hits, gts).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out == Map(
+      ("T1", "Sa") -> ((1L, 1L, true)),
+      ("T1", "Sb") -> ((2L, 0L, false)),
+      ("T2", "Se") -> ((0L, 1L, false))))
+  }
+
   test("kingPrune: keep-earliest greedy drops later members, skips " +
     "pairs already covered") {
     val s = spark
