@@ -1132,6 +1132,41 @@ object Documents {
       graft.operators.PageRank.ranks(edges, iters = 5, exactFold = true)
     }),
 
+    "w7_crawl_frontier" -> ((s, _) => {
+      // crawl-frontier assembly — the composition AFTER extraction (w3),
+      // resolution (w6) and politeness (w4): resolved outlinks of the
+      // fetched 2xx html pages aggregate to candidate URLs with
+      // referrer counts, everything already fetched anti-joins away,
+      // robots.txt gates the rest — the actionable fetch list a
+      // scheduler consumes. The rule table broadcasts; candidates
+      // shuffle once for the referrer count.
+      import graft.sources.{Robots, Warc}
+      val pages = Warc.read(s, warcPath)
+        .where(col("warc_type") === "response")
+      val links = pages
+        .where(regexp_extract(col("payload"),
+          "(?mi)^Content-Type: ?([^\r\n]*)", 1).contains("html") &&
+          Warc.httpStatus(col("payload")) === 200)
+        .select(col("target_uri"),
+          explode(Warc.extractLinks(Warc.httpBody(col("payload"))))
+            .as("href"))
+        .select(col("target_uri").as("from_uri"),
+          Warc.resolveHref(col("target_uri"), col("href")).as("url"))
+        .where(col("url") =!= col("from_uri"))
+      val cands = links.groupBy(col("url"))
+        .agg(count(lit(1)).as("n_referrers"))
+      val visited = pages.select(col("target_uri").as("url")).distinct()
+      val fresh = cands.join(visited, Seq("url"), "left_anti")
+      val robots = pages
+        .where(col("target_uri").endsWith("/robots.txt"))
+        .select(col("target_uri").as("uri"),
+          Warc.httpBody(col("payload")).as("body"))
+      Robots.check(fresh, Robots.rules(robots), agent = "*")
+        .where(col("allowed"))
+        .join(fresh, Seq("url"))
+        .select("url", "n_referrers")
+    }),
+
     "d9_fuzzy_join" -> ((s, dir) => {
       // edit-distance near-dup over 12-char derived keys, prefix-blocked
       Dedup.fuzzyJoin(spread(t(s, dir, "documents")), "doc_id", "text",
@@ -2578,6 +2613,135 @@ object Documents {
         |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ';'
         |    ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
         |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "w7_crawl_frontier" ->
+      s"""WITH recs AS (
+         |  SELECT regexp_replace(unnest(string_split(content,
+         |      $warcSepSql)), '^WARC/1\\.0' || chr(13) || chr(10), '')
+         |    AS rec
+         |  FROM read_text('$warcPath')),
+         |split AS (
+         |  SELECT rec,
+         |    CASE WHEN strpos(rec, $crlf2Sql) > 0
+         |      THEN substr(rec,
+         |        len(string_split(rec, $crlf2Sql)[1]) + 5)
+         |      ELSE '' END AS body
+         |  FROM recs WHERE len(trim(rec)) > 0),
+         |payloads AS (
+         |  SELECT
+         |    nullif(regexp_extract(rec,
+         |      '(?m)^WARC-Target-URI: ?([^\\r\\n]*)', 1), '')
+         |      AS target_uri,
+         |    CASE WHEN CAST(nullif(regexp_extract(rec,
+         |        '(?m)^Content-Length: ?([^\\r\\n]*)', 1), '') AS BIGINT)
+         |        IS NOT NULL
+         |      THEN substr(body, 1, CAST(nullif(regexp_extract(rec,
+         |        '(?m)^Content-Length: ?([^\\r\\n]*)', 1), '') AS BIGINT))
+         |      ELSE body END AS payload
+         |  FROM split
+         |  WHERE nullif(regexp_extract(rec,
+         |      '(?m)^WARC-Type: ?([^\\r\\n]*)', 1), '') = 'response'),
+         |html AS (
+         |  SELECT target_uri,
+         |    CASE WHEN strpos(payload, $crlf2Sql) > 0
+         |      THEN substr(payload,
+         |        len(string_split(payload, $crlf2Sql)[1]) + 5)
+         |      ELSE '' END AS hbody
+         |  FROM payloads
+         |  WHERE contains(regexp_extract(payload,
+         |      '(?mi)^Content-Type: ?([^\\r\\n]*)', 1), 'html')
+         |    AND CAST(nullif(regexp_extract(payload,
+         |      '^HTTP/1\\.[01] (\\d{3})', 1), '') AS INT) = 200),
+         |links AS (
+         |  SELECT target_uri,
+         |    list_filter(list_transform(regexp_extract_all(hbody,
+         |      '(?is)<a\\s[^>]*?href\\s*=\\s*(''[^'']*''|"[^"]*"|[^\\s>]+)',
+         |      1), r -> regexp_replace(r, '^[''"]|[''"]$$', '', 'g')),
+         |      x -> len(x) > 0 AND substr(x, 1, 1) <> '#') AS ls
+         |  FROM html),
+         |hr AS (
+         |  SELECT target_uri AS id1,
+         |    regexp_replace(href, '#.*$$', '') AS h,
+         |    regexp_extract(target_uri, '^(https?://[^/?#]+)', 1)
+         |      AS root,
+         |    regexp_extract(target_uri, '^(https?):', 1) AS scheme,
+         |    regexp_replace(CASE WHEN regexp_extract(target_uri,
+         |        '^https?://[^/?#]+([^?#]*)', 1) = '' THEN '/'
+         |      ELSE regexp_extract(target_uri,
+         |        '^https?://[^/?#]+([^?#]*)', 1) END,
+         |      '[^/]*$$', '') AS dir
+         |  FROM (SELECT target_uri, unnest(ls) AS href FROM links)),
+         |res AS (
+         |  SELECT id1,
+         |    CASE WHEN regexp_matches(h, '^[a-zA-Z][a-zA-Z0-9+.-]*:')
+         |        THEN h
+         |      WHEN starts_with(h, '//') THEN scheme || ':' || h
+         |      WHEN starts_with(h, '/') THEN root || h
+         |      ELSE root || dir || h END AS id2
+         |  FROM hr),
+         |pairs AS (SELECT id1, id2 FROM res WHERE id1 <> id2),
+         |cands AS (
+         |  SELECT id2 AS url, CAST(count(*) AS BIGINT) AS n_referrers
+         |  FROM pairs GROUP BY 1),
+         |visited AS (SELECT DISTINCT target_uri AS url FROM payloads),
+         |fresh AS (
+         |  SELECT c.* FROM cands c LEFT JOIN visited v ON c.url = v.url
+         |  WHERE v.url IS NULL),
+         |rb AS (
+         |  SELECT target_uri AS uri,
+         |    CASE WHEN strpos(payload, $crlf2Sql) > 0
+         |      THEN substr(payload,
+         |        len(string_split(payload, $crlf2Sql)[1]) + 5)
+         |      ELSE '' END AS body
+         |  FROM payloads WHERE ends_with(target_uri, '/robots.txt')),
+         |rlines AS (
+         |  SELECT uri, li.i AS i,
+         |    trim(regexp_replace(string_split(body, chr(10))[li.i],
+         |      '#.*$$', '')) AS l
+         |  FROM rb, LATERAL (SELECT unnest(range(1,
+         |    len(string_split(body, chr(10))) + 1)) AS i) li),
+         |nl AS (SELECT * FROM rlines WHERE len(l) > 0),
+         |tagged AS (
+         |  SELECT *, lower(l) LIKE 'user-agent:%' AS ua,
+         |    sum(CASE WHEN lower(l) LIKE 'user-agent:%' THEN 1 ELSE 0
+         |      END) OVER (PARTITION BY uri ORDER BY i) AS grp
+         |  FROM nl),
+         |agents AS (
+         |  SELECT uri, grp,
+         |    trim(regexp_extract(l, '(?i)^user-agent:(.*)$$', 1))
+         |      AS agent
+         |  FROM tagged WHERE ua),
+         |r2 AS (
+         |  SELECT regexp_extract(uri, '^[a-z]+://([^/]+)', 1) AS host,
+         |    agent,
+         |    CASE WHEN lower(l) LIKE 'allow:%' THEN 'allow'
+         |      ELSE 'disallow' END AS rule,
+         |    trim(regexp_extract(l, '(?i)^(dis)?allow:(.*)$$', 2))
+         |      AS path
+         |  FROM tagged t JOIN agents USING (uri, grp)
+         |  WHERE NOT t.ua AND (lower(t.l) LIKE 'allow:%'
+         |    OR lower(t.l) LIKE 'disallow:%')
+         |    AND len(trim(regexp_extract(t.l,
+         |      '(?i)^(dis)?allow:(.*)$$', 2))) > 0),
+         |applicable AS (SELECT * FROM r2 WHERE agent = '*'),
+         |pp AS (
+         |  SELECT url, n_referrers,
+         |    regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS h,
+         |    coalesce(nullif(regexp_extract(url,
+         |      '^[a-z]+://[^/]+(/.*)$$', 1), ''), '/') AS pth
+         |  FROM fresh),
+         |jj AS (
+         |  SELECT pp.url, pp.n_referrers, a.rule, a.path
+         |  FROM pp LEFT JOIN applicable a
+         |    ON pp.h = a.host AND starts_with(pp.pth, a.path)),
+         |bb AS (
+         |  SELECT url, any_value(n_referrers) AS n_referrers,
+         |    max(CASE WHEN path IS NOT NULL THEN
+         |      struct_pack(len := len(path), is_allow := rule = 'allow',
+         |        path := path) END) AS best
+         |  FROM jj GROUP BY 1)
+         |SELECT url, n_referrers FROM bb
+         |WHERE coalesce(best.is_allow, true)""".stripMargin,
 
     "w6_link_rank" -> {
       val iterCtes = (1 to 5).map { i =>

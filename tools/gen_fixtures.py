@@ -390,6 +390,11 @@ HTML_BODY = (
     "<a href=/unquoted>unquoted</a>.</p>\n"
     '<p><A CLASS="nav" HREF="https://other.example.org/x?b=2&a=1">caps'
     '</A> <a href="#toc">fragment only</a>\n'
+    # frontier-politeness zoo for w7: a link into a robots-Disallowed
+    # prefix (must be dropped from the frontier) and one the longer
+    # Allow: /private/ok override re-admits
+    '<a href="/private/secret">blocked by robots</a>\n'
+    '<a href="/private/okpage">allow-override</a>\n'
     "<a name='no-href'>no href here</a></p>\n"
     "<p>First paragraph with <b>bold</b> text.</p>\n\n"
     "<p>Second one mentions WARC/1.0 mid-line &lt;here&gt;.</p>\n"
