@@ -30,6 +30,9 @@ import graft.operators.Dedup
   *                         duplicated-3-gram char fractions (t14)
   *   [-entropy 2.0,4.1]    character-entropy band (t20): drop gibberish
   *                         below min and noise above optional max
+  *   [-compress_band .1,.9] DEFLATE compression-ratio band (t38): drop
+  *                         boilerplate below min, noise above optional
+  *                         max — the signal n-gram stats can't fake
   *   [-min_bigram_logp -7] corpus-trained bigram-LM floor (t17): drop
   *                         word-salad docs with improbable transitions
   *   [-min_backoff_logp -8] self-trained stupid-backoff TRIGRAM floor
@@ -235,6 +238,21 @@ object Corpus {
       df = df.where(length(sNorm) > 0 && h >= parts(0) &&
         (if (parts.length == 2) h <= parts(1) else lit(true)))
       record(s"entropy=$spec")
+    }
+    opts.get("compress_band").foreach { spec =>
+      // DEFLATE compression-ratio band (t38): drop boilerplate/templated
+      // docs below min (they compress to almost nothing) and optional
+      // noise above max; real java.util.zip codec work per row,
+      // executor-side, zero shuffles
+      val parts = spec.split(",").map(_.trim.toDouble)
+      require(parts.length == 1 || parts.length == 2,
+        s"-compress_band wants min[,max] — got '$spec'")
+      graft.plans.GraftFunctions.register(spark)
+      val ratio = call_function("graft_deflate_len", col("text"))
+        .cast("double") / greatest(length(col("text")), lit(1))
+      df = df.where(length(col("text")) > 0 && ratio >= parts(0) &&
+        (if (parts.length == 2) ratio <= parts(1) else lit(true)))
+      record(s"compress_band=$spec")
     }
     opts.get("drop_code").foreach { v =>
       // code-vs-prose routing (t29): route code files out of a prose

@@ -640,6 +640,46 @@ object MediaExprs {
     override def prettyName: String = "graft_exif_meta"
   }
 
+  /** graft_deflate_len(string|binary) -> int: DEFLATE(level 6)
+    * compressed byte length — the classic compression-ratio corpus
+    * quality signal (boilerplate and templated spam compress far
+    * below prose; random noise doesn't compress at all), impossible to
+    * fake with n-gram statistics alone. Real java.util.zip codec work
+    * per row ⇒ CodegenFallback per this file's contract; executor-side,
+    * partition-parallel. The length is deterministic for a fixed input
+    * on a fixed JDK zlib (the snapshot-oracle caveat m3/m6 already
+    * carry for DEFLATE).
+    */
+  case class GraftDeflateLen(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType || child.dataType == StringType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string or binary, got " +
+          child.dataType.catalogString)
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(v: Any): Any = {
+      val bytes = v match {
+        case b: Array[Byte] => b
+        case s: org.apache.spark.unsafe.types.UTF8String => s.getBytes
+      }
+      val d = new java.util.zip.Deflater(6)
+      try {
+        d.setInput(bytes)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0
+        while (!d.finished()) total += d.deflate(buf)
+        total
+      } finally d.end()
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+    override def prettyName: String = "graft_deflate_len"
+  }
+
   /** graft_id3_meta(binary) -> struct<version:int, tag_size:int,
     * n_frames:int, title:string, artist:string, album:string>: REAL
     * ID3v2 tag walk — the audio-container provenance layer next to

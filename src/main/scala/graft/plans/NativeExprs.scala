@@ -383,6 +383,12 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         require(children.length == 1, "graft_id3_meta takes 1 argument")
         MediaExprs.GraftId3Meta(children.head)
+      }),
+    ("graft_deflate_len", classOf[MediaExprs.GraftDeflateLen],
+      { children: Seq[Expression] =>
+        require(children.length == 1,
+          "graft_deflate_len takes 1 argument")
+        MediaExprs.GraftDeflateLen(children.head)
       })
   )
 

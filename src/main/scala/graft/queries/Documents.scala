@@ -946,6 +946,36 @@ object Documents {
         "event_id", "text", dim = 64)
     }),
 
+    "t38_compress_ratio" -> ((s, _) => {
+      // DEFLATE compression-ratio quality signal — the corpus filter
+      // n-gram statistics can't fake (boilerplate compresses to almost
+      // nothing, random noise not at all): real java.util.zip codec
+      // work per row, executor-side. Deterministic 3-class synthetic
+      // corpus (dir-independent) because the oracle is a committed
+      // snapshot — the m3/m6 "SQL has no DEFLATE" argument; class
+      // ordering, bounds and determinism are pinned in MediaSpec.
+      graft.plans.GraftFunctions.register(s)
+      val repetitive = concat_ws(" ",
+        (0 until 40).map(_ => lit("lorem ipsum dolor sit amet")): _*)
+      val prose = concat_ws(" ", (0 until 30).flatMap(i => Seq(
+        lit("doc"), (col("id") * 31 + i).cast("string"),
+        lit("holds mixed payload words like"),
+        md5((col("id") * 97 + i).cast("string")).substr(1, 6))): _*)
+      val noise = concat_ws("", (0 until 24).map(i =>
+        md5((col("id") * 131 + i).cast("string"))): _*)
+      s.range(42).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(3)) === 0, repetitive)
+          .when(pmod(col("id"), lit(3)) === 1, prose)
+          .otherwise(noise).as("text"))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("raw_len"),
+          call_function("graft_deflate_len", col("text")).cast("long")
+            .as("deflate_len"))
+        .withColumn("ratio",
+          round(col("deflate_len").cast("double") / col("raw_len"), 4))
+        .withColumn("keep", col("ratio") >= 0.1)
+    }),
+
     "t16_vocab_tokens" -> ((s, dir) => {
       // real-vocabulary token accounting: greedy longest-match (the
       // WordPiece/BPE serving rule) against a broadcastable vocab map,
@@ -2381,6 +2411,13 @@ object Documents {
         |  CAST(cs + len(content) - 1 AS BIGINT) AS content_end,
         |  role <> 'assistant' AS masked, txt.text_fp
         |FROM sp JOIN txt USING (conv_id)""".stripMargin,
+
+    // t38: DEFLATE lengths need a deflater, which SQL lacks — snapshot
+    // oracle (graft.tools.Snapshot regenerates); MediaSpec pins the
+    // class ordering and determinism the snapshot must exhibit
+    "t38_compress_ratio" ->
+      ("SELECT * FROM read_parquet(" +
+        "'/root/repo/fixtures/expected/t38_compress_ratio.parquet')"),
 
     "t35_dsir" ->
       (s"""WITH $dsirLrsCtes,

@@ -19,7 +19,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Snapshot {
   val names = Seq("h4_protein_db", "h5_protein_dedup", "pv1_provar",
-    "f9_cdna_write", "m3_media_features", "m6_phash_dedup")
+    "f9_cdna_write", "m3_media_features", "m6_phash_dedup",
+    "t38_compress_ratio")
 
   def main(args: Array[String]): Unit = {
     val outDir = if (args.nonEmpty) args(0) else "/tmp/graft_snapshot"

@@ -325,6 +325,32 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cli.size < all)
   }
 
+  test("Corpus -compress_band drops appended boilerplate docs, keeps " +
+    "the prose corpus") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    // append synthetic boilerplate docs that crush under DEFLATE; the
+    // band floor must drop exactly those
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val boiler = spark.range(5).select(
+      (col("id") + 900000).as("doc_id"),
+      concat_ws(" ", (0 until 60).map(_ => lit("nav home about")): _*)
+        .as("text"),
+      lit("en").as("lang"), lit("synthb").as("source"),
+      lit(0L).as("n_chars"))
+    val inPath = s"${sys.props("java.io.tmpdir")}/graft-cb-in-" +
+      ProcessHandle.current.pid
+    docs.unionByName(boiler).write.mode("overwrite").parquet(inPath)
+    val cli = Corpus.run(spark, Map(
+      "i" -> inPath, "dedup" -> "none",
+      "compress_band" -> "0.1", "report" -> "0"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!cli.exists(_ >= 900000L), "boilerplate docs must drop")
+    val all = docs.count()
+    assert(cli.size == all,
+      s"every real prose doc survives: ${cli.size} vs $all")
+  }
+
   test("Corpus -repetition drops exactly the t14 keep=false docs") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

@@ -237,6 +237,48 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("deflate_len: repetitive < prose < hex-noise ratios, " +
+    "deterministic across evaluations, and the gate classes separate " +
+    "at the keep threshold") {
+    val s = spark
+    import s.implicits._
+    graft.plans.GraftFunctions.register(s)
+    import org.apache.spark.sql.functions._
+    val rep = "lorem ipsum dolor sit amet " * 40
+    val prose = "the quick brown fox jumps over one lazy dog while " +
+      "seventeen other animals watch from a distance and comment " +
+      "on its form with varying degrees of enthusiasm " * 6
+    val noise = (0 until 24).map(i => java.security.MessageDigest
+      .getInstance("MD5").digest(s"n$i".getBytes)
+      .map("%02x".format(_)).mkString).mkString
+    val out = Seq(("rep", rep), ("prose", prose), ("noise", noise))
+      .toDF("k", "t")
+      .select(col("k"), length(col("t")).as("n"),
+        call_function("graft_deflate_len", col("t")).as("d"))
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(2).toDouble / r.getInt(1))).toMap
+    assert(out("rep") < 0.1, s"repetitive must crush: ${out("rep")}")
+    assert(out("rep") < out("prose") && out("prose") < out("noise"),
+      out.toString)
+    assert(out("noise") > 0.4, s"hex noise barely compresses: " +
+      out("noise"))
+    // determinism: two independent evaluations agree byte-for-byte
+    val twice = Seq(prose, prose).toDF("t")
+      .select(call_function("graft_deflate_len", col("t")).as("d"))
+      .collect().map(_.getInt(0)).distinct
+    assert(twice.length == 1)
+    // the gate's three synthetic classes separate at the 0.1 keep
+    // threshold (measured ratios ~0.04 / ~0.20 / ~0.56): only the
+    // repetitive class drops
+    val gate = graft.SparkEntry.queries("t38_compress_ratio")(s, "")
+      .collect()
+    assert(gate.length == 42)
+    val byClass = gate.groupBy(r => r.getLong(0) % 3)
+      .view.mapValues(_.map(_.getBoolean(4)).toSet).toMap
+    assert(byClass(0L) == Set(false) && byClass(1L) == Set(true) &&
+      byClass(2L) == Set(true), byClass.toString)
+  }
+
   test("id3 walk: v3/v4 size grammars, trailing-NUL strip, UTF-16 " +
     "counts but nulls the field, hostile/truncated/no-tag null STRUCT") {
     val s = spark
