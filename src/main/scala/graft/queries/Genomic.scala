@@ -745,6 +745,38 @@ object Genomic {
         .select(col("caseId"),
           dna.consequence(col("ref"), col("alt"), col("aaRef"),
             col("aaAlt")).as("consequence"))
+    }),
+
+    "g44_worst_conseq" -> ((s, _) => {
+      // VEP-style severity rollup: per gene the WORST consequence over
+      // its variants, severity an explicit literal rank (frameshift >
+      // stop_gained > stop_lost > inframe_indel > SAV > synonymous —
+      // the ensembl ordering restricted to v7's classes); winner via
+      // ONE windowless min(struct(rank, consequence)) partial agg, the
+      // u3/q36 arg-min shape — genes synthesized per caseId (the
+      // fixture is per-variant), ties break on the consequence string
+      prep(s)
+      val sev = map(
+        lit("frameshift"), lit(0), lit("stop_gained"), lit(1),
+        lit("stop_lost"), lit(2), lit("inframe_indel"), lit(3),
+        lit("SAV"), lit(4), lit("synonymous"), lit(5))
+      s.read.parquet(s"$fx/conseq_cases.parquet")
+        .select(
+          concat(lit("G"), pmod(
+            substring(col("caseId"), 2, 10).cast("int"), lit(3)))
+            .as("gene"),
+          dna.consequence(col("ref"), col("alt"), col("aaRef"),
+            col("aaAlt")).as("consequence"))
+        .select(col("gene"),
+          element_at(sev, col("consequence")).as("_r"),
+          col("consequence"))
+        .groupBy(col("gene"))
+        .agg(count(lit(1)).as("n_variants"),
+          min(struct(col("_r").as("r"), col("consequence").as("c")))
+            .as("_m"))
+        .select(col("gene"), col("n_variants"),
+          col("_m.c").as("worst_consequence"),
+          col("_m.r").cast("long").as("severity_rank"))
     })
   )
 
@@ -2666,6 +2698,34 @@ object Genomic {
          |       WHEN abs(length(ref) - length(alt)) % 3 != 0
          |         THEN 'frameshift'
          |       ELSE 'inframe_indel' END AS consequence
-         |FROM ${pq("conseq_cases")}""".stripMargin
+         |FROM ${pq("conseq_cases")}""".stripMargin,
+
+    "g44_worst_conseq" ->
+      s"""WITH c AS (
+         |  SELECT 'G' || (CAST(substr(caseId, 2) AS INT) % 3) AS gene,
+         |    CASE WHEN aaRef = aaAlt THEN 'synonymous'
+         |         WHEN contains(aaRef, '*') AND NOT contains(aaAlt, '*')
+         |           THEN 'stop_lost'
+         |         WHEN NOT contains(aaRef, '*')
+         |             AND contains(aaAlt, '*') THEN 'stop_gained'
+         |         WHEN length(ref) = length(alt) THEN 'SAV'
+         |         WHEN abs(length(ref) - length(alt)) % 3 != 0
+         |           THEN 'frameshift'
+         |         ELSE 'inframe_indel' END AS consequence
+         |  FROM ${pq("conseq_cases")}),
+         |r AS (
+         |  SELECT gene,
+         |    CASE consequence WHEN 'frameshift' THEN 0
+         |      WHEN 'stop_gained' THEN 1 WHEN 'stop_lost' THEN 2
+         |      WHEN 'inframe_indel' THEN 3 WHEN 'SAV' THEN 4
+         |      ELSE 5 END AS rk, consequence
+         |  FROM c),
+         |m AS (
+         |  SELECT gene, CAST(count(*) AS BIGINT) AS n_variants,
+         |    min(struct_pack(r := rk, c := consequence)) AS m
+         |  FROM r GROUP BY 1)
+         |SELECT gene, n_variants, m.c AS worst_consequence,
+         |  CAST(m.r AS BIGINT) AS severity_rank
+         |FROM m""".stripMargin
   )
 }
