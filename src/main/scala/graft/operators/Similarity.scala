@@ -15,6 +15,36 @@ import graft.functions.vectors
   */
 object Similarity {
 
+  /** Feature-hashing document embeddings — the model-free text→vector
+    * bridge into this family: each document's words hash into `dim`
+    * buckets (the fused graft_md5_buckets kernel, the t15/t35
+    * contract), term frequencies L2-normalize, and the result is a
+    * sparse LONG-FORM embedding (doc, bucket, tf, value) any consumer
+    * here densifies or joins on — the classic cheap baseline when no
+    * trained encoder exists (and the deterministic stand-in for one).
+    * Exactness: tf and the squared norm are INTEGERS, so value =
+    * round(tf/√Σtf², 5) is a single correctly-rounded double op —
+    * engine-exact without sorted folds. Plan: one (doc, bucket) count
+    * aggregation + one doc-keyed norm aggregation joined back — two
+    * narrow exchanges, no text crosses either.
+    */
+  def hashedEmbedding(docs: DataFrame, idCol: String, textCol: String,
+                      dim: Int): DataFrame = {
+    require(dim > 0, "hashedEmbedding dim must be > 0")
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val tf = docs
+      .select(col(idCol), explode(call_function("graft_md5_buckets",
+        graft.functions.text.words(col(textCol)), lit(dim)))
+        .as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy(col(idCol))
+      .agg(sum(col("tf") * col("tf")).as("_n2"))
+    tf.join(norms, idCol)
+      .select(col(idCol), col("bucket"), col("tf"),
+        round(col("tf") / sqrt(col("_n2")), 5).as("value"))
+  }
+
   /** Exact top-k nearest neighbors by cosine. Queries should be small
     * (broadcast); corpus is scanned once. Ties break on corpus id.
     */

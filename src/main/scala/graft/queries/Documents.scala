@@ -946,6 +946,15 @@ object Documents {
         "event_id", "text", dim = 64)
     }),
 
+    "t39_hash_embed" -> ((s, dir) => {
+      // feature-hashing doc embeddings (the model-free text->vector
+      // bridge): md5-bucketed term frequencies, L2-normalized with an
+      // INTEGER squared norm so the one rounded division is
+      // engine-exact; long-form output, two narrow exchanges
+      graft.operators.Similarity.hashedEmbedding(
+        spread(t(s, dir, "documents")), "doc_id", "text", dim = 64)
+    }),
+
     "t38_compress_ratio" -> ((s, _) => {
       // DEFLATE compression-ratio quality signal — the corpus filter
       // n-gram statistics can't fake (boilerplate compresses to almost
@@ -2411,6 +2420,27 @@ object Documents {
         |  CAST(cs + len(content) - 1 AS BIGINT) AS content_end,
         |  role <> 'assistant' AS masked, txt.text_fp
         |FROM sp JOIN txt USING (conv_id)""".stripMargin,
+
+    "t39_hash_embed" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(l) AS w FROM ws),
+        |b AS (
+        |  SELECT doc_id,
+        |    list_reduce([strpos('0123456789abcdef', substr(md5(w), j, 1))
+        |        - 1
+        |      for j in range(1, 8)], (a, c) -> a * 16 + c) % 64 AS bucket
+        |  FROM e),
+        |tf AS (
+        |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+        |  FROM b GROUP BY 1, 2),
+        |nrm AS (
+        |  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+        |  FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, tf.bucket, tf.tf,
+        |  round(tf / sqrt(n2), 5) AS value
+        |FROM tf JOIN nrm USING (doc_id)""".stripMargin,
 
     // t38: DEFLATE lengths need a deflater, which SQL lacks — snapshot
     // oracle (graft.tools.Snapshot regenerates); MediaSpec pins the

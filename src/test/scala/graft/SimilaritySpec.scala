@@ -323,4 +323,28 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1) == ((1L, 0.4)) && out(2) == ((4L, 0.0)) &&
       out(3) == ((2L, -0.2)), out.toString)
   }
+
+  test("hashedEmbedding: unit L2 norm per doc, tf sums to word count, " +
+    "identical texts embed identically") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aa bb aa cc bb aa"), (2L, "aa bb aa cc bb aa"),
+      (3L, "zz")).toDF("doc_id", "text")
+    val rows = graft.operators.Similarity.hashedEmbedding(
+      docs, "doc_id", "text", dim = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val byDoc = rows.groupBy(_._1)
+    // tf sums == word counts; rounded values square-sum to ~1
+    assert(byDoc(1L).map(_._3).sum == 6L && byDoc(3L).map(_._3).sum == 1L)
+    byDoc.values.foreach { rs =>
+      val n2 = rs.map(r => r._4 * r._4).sum
+      assert(math.abs(n2 - 1.0) < 1e-3, s"unit norm: $n2")
+    }
+    // duplicate text -> identical (bucket, tf, value) sets
+    assert(byDoc(1L).map(r => (r._2, r._3, r._4)).toSet ==
+      byDoc(2L).map(r => (r._2, r._3, r._4)).toSet)
+    // the dominant word carries the largest component
+    assert(byDoc(1L).maxBy(_._4)._3 == 3L)
+  }
 }
