@@ -408,6 +408,26 @@ object Bench {
         graft.operators.PageRank.labelPropagation(
           tree.unionByName(cross), rounds = 4).count()
       }),
+      // feature-hashing embeddings at volume: nDocs*50 synthetic
+      // ~30-word docs (250k at sf0.1, ~7.5M words) through the fused
+      // bucket kernel + the two narrow tf/norm exchanges — the
+      // text->vector bridge's linear-scaling signal (the generator is
+      // checkpointed so the timed plan reads materialized rows)
+      "embx_embed_scale" -> (() => {
+        val vocab = (0 until 512).map(i => "" + ('a' + i % 26).toChar +
+          ('a' + (i / 26) % 26).toChar + ('a' + (i / 676) % 26).toChar)
+        val vlit = array(vocab.map(lit): _*)
+        val docs = spark.range(nDocs * 50)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", (0 until 30).map(i =>
+              element_at(vlit, (pmod(hash(col("id") * 31 + i),
+                lit(512)) + 1).cast("int"))): _*).as("text"))
+          .localCheckpoint()
+        val n = graft.operators.Similarity.hashedEmbedding(
+          docs, "doc_id", "text", dim = 4096).count()
+        docs.unpersist(blocking = false)
+        n
+      }),
       // triangle counting at volume: nDocs*60 nodes (300k at sf0.1)
       // under double-ring + cross edges (~900k undirected edges, ~300k
       // guaranteed triangles + whatever the cross edges close) through

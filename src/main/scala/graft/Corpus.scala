@@ -87,6 +87,9 @@ import graft.operators.Dedup
   *   [-train_vocab n,p]    learn n BPE merges from the surviving corpus
   *                         (t18) and write the chars+merges vocab parquet
   *                         to p — feed it back as -vocab next run
+  *   [-embed_out 64,p]     write the surviving corpus's feature-hashing
+  *                         embeddings (t39) as a sparse long-form
+  *                         sidecar parquet at p
   *   [-train_merges n,p]   write the ORDERED merge table itself
   *                         (rank, s1, s2, merged, pair_count) to p —
   *                         feed it back as -encode_bpe next run
@@ -597,6 +600,19 @@ object Corpus {
     // -train_vocab n,path: learn n BPE merges from the SURVIVING corpus
     // (post-filter/dedup, so boilerplate doesn't vote) and write the
     // chars+merges vocabulary parquet for a next run's -vocab / t16
+    // -embed_out dim,path: write the surviving corpus's feature-hashing
+    // embeddings (t39) as a sparse long-form sidecar table — the
+    // model-free representation the similarity family consumes when no
+    // trained encoder exists
+    opts.get("embed_out").foreach { spec =>
+      val parts = spec.split(",", 2).map(_.trim)
+      require(parts.length == 2,
+        s"-embed_out wants dim,outPath — got '$spec'")
+      operators.Similarity.hashedEmbedding(df, "doc_id", "text",
+        parts(0).toInt)
+        .write.mode("overwrite").parquet(parts(1))
+    }
+
     opts.get("train_vocab").foreach { spec =>
       val parts = spec.split(",", 2).map(_.trim)
       require(parts.length == 2,

@@ -351,6 +351,25 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"every real prose doc survives: ${cli.size} vs $all")
   }
 
+  test("Corpus -embed_out writes exactly the t39 embedding table for " +
+    "the surviving corpus") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val ePath = s"${sys.props("java.io.tmpdir")}/graft-embed-out-" +
+      ProcessHandle.current.pid
+    Corpus.run(spark, Map(
+      "i" -> s"$sf/documents.parquet", "dedup" -> "none",
+      "embed_out" -> s"64,$ePath", "report" -> "0")).count()
+    val cli = spark.read.parquet(ePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val gate = SparkEntry.queries("t39_hash_embed")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(cli == gate)
+    assert(cli.nonEmpty)
+  }
+
   test("Corpus -repetition drops exactly the t14 keep=false docs") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
