@@ -946,6 +946,24 @@ object Documents {
         "event_id", "text", dim = 64)
     }),
 
+    "t40_token_budget" -> ((s, dir) => {
+      // the first query of every pretraining run: token mass by
+      // (source, lang) with corpus shares — per-row token counts
+      // reduce map-side to integer partials, shares computed on the
+      // metadata-scale aggregated frame against ONE broadcast total
+      val d = spread(t(s, dir, "documents")).select(col("source"),
+        col("lang"),
+        text.bpeTokenCount(col("text")).cast("long").as("tok"))
+      val agg = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+      val tot = agg.agg(sum(col("tokens")).as("_t"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_docs"),
+          col("tokens"),
+          round(col("tokens") / col("_t").cast("double"), 6)
+            .as("token_share"))
+    }),
+
     "t39_hash_embed" -> ((s, dir) => {
       // feature-hashing doc embeddings (the model-free text->vector
       // bridge): md5-bucketed term frequencies, L2-normalized with an
@@ -2420,6 +2438,21 @@ object Documents {
         |  CAST(cs + len(content) - 1 AS BIGINT) AS content_end,
         |  role <> 'assistant' AS masked, txt.text_fp
         |FROM sp JOIN txt USING (conv_id)""".stripMargin,
+
+    "t40_token_budget" ->
+      """WITH d AS (
+        |  SELECT source, lang,
+        |    len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(tok) AS BIGINT) AS tokens
+        |  FROM d GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t FROM agg)
+        |SELECT source, lang, n_docs, tokens,
+        |  round(tokens / CAST(t AS DOUBLE), 6) AS token_share
+        |FROM agg, tot""".stripMargin,
 
     "t39_hash_embed" ->
       """WITH ws AS (
