@@ -110,8 +110,12 @@ object Dsir {
       struct(col("bucket"), col("_lr")))).as("_m"))
     val bks = call_function("graft_md5_buckets",
       features(col(textCol)), lit(dim))
+    // + 0.0 normalizes IEEE −0.0 to +0.0: the engines' ln sums differ
+    // by ulps (absorbed by round-4), but a tiny-negative sum rounds to
+    // −0.0 in one engine and +0.0 in the other — same value, different
+    // hash text (found by the sf0.1 replay; two docs there straddle 0)
     val logw = round(aggregate(bks, lit(0.0),
-      (acc, b) => acc + element_at(col("_m"), b)), 4)
+      (acc, b) => acc + element_at(col("_m"), b)), 4) + lit(0.0)
     docs.crossJoin(broadcast(lrMap))
       .select(col(idCol), size(bks).cast("long").as("n_feats"),
         logw.as("dsir_logw"), (logw > 0).as("keep"))
@@ -131,9 +135,11 @@ object Dsir {
     val scored = feats.join(broadcast(lrs), "bucket")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("_n"),
-        round(aggregate(
+        // + 0.0: −0.0 → +0.0 (the scoreAgainst zero-sign note)
+        (round(aggregate(
           array_sort(collect_list(struct(col("_pos"), col("_lr")))),
-          lit(0.0), (acc, e) => acc + e.getField("_lr")), 4).as("_s"))
+          lit(0.0), (acc, e) => acc + e.getField("_lr")), 4) + lit(0.0))
+          .as("_s"))
     raw.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("_n"), lit(0L)).as("n_feats"),

@@ -2489,7 +2489,7 @@ object Documents {
         |agg AS (
         |  SELECT doc_id, count(*) AS n,
         |    round(list_reduce(list(lr ORDER BY pos), (a, x) -> a + x), 4)
-        |      AS s
+        |      + 0.0 AS s
         |  FROM jw GROUP BY doc_id)
         |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_feats,
         |  coalesce(agg.s, 0.0) AS dsir_logw,
@@ -2530,7 +2530,7 @@ object Documents {
         |agg AS (
         |  SELECT event_id, count(*) AS n,
         |    round(list_reduce(list(lr ORDER BY pos), (a, x) -> a + x), 4)
-        |      AS s
+        |      + 0.0 AS s
         |  FROM jw GROUP BY event_id)
         |SELECT a.event_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_feats,
         |  coalesce(agg.s, 0.0) AS dsir_logw,
