@@ -770,6 +770,34 @@ object VcfStats {
         array_contains(col("_d"), col("sample")).as("pruned"))
   }
 
+  /** Per-sample singleton counts (bcftools stats PSC nSingletons): how
+    * many variants each sample carries ALONE (allele count 1 across the
+    * called cohort) — the per-sample rare-variant-load QC that flags
+    * contaminated or population-outlier samples (excess singletons) and
+    * duplicates (deficit). Plan: ONE variant-keyed conditional-sum
+    * groupBy for allele counts, a varId join back to the dosage rows
+    * (the singleton side is rare — AQE broadcasts it), one sample
+    * groupBy; sample-complete output via a left join on the distinct
+    * sample list (zero-singleton samples report 0).
+    */
+  def sampleSingletons(gts: DataFrame): DataFrame = {
+    val d = gts.select(col("varId"), col("sample"),
+      dosage(col("gt")).as("_d"))
+      .where(col("_d").isNotNull)
+    val singles = d.groupBy(col("varId"))
+      .agg(sum(col("_d")).as("_ac"))
+      .where(col("_ac") === 1)
+      .select(col("varId"))
+    val counts = d.where(col("_d") === 1)
+      .join(singles, "varId")
+      .groupBy(col("sample"))
+      .agg(count(lit(1)).as("_n"))
+    gts.select(col("sample")).distinct()
+      .join(counts, Seq("sample"), "left")
+      .select(col("sample"),
+        coalesce(col("_n"), lit(0L)).as("n_singletons"))
+  }
+
   /** Site frequency spectrum (vcftools `--freq` / dadi-style SFS): the
     * per-variant minor-allele count histogram population genetics reads
     * demography and selection off. Per variant: ALT allele count over

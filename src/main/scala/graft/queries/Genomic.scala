@@ -448,6 +448,16 @@ object Genomic {
         .where(col("chrom") =!= "X"), cutoff = 0.1)
     }),
 
+    "g45_singletons" -> ((s, _) => {
+      // bcftools PSC nSingletons: per-sample count of variants carried
+      // ALONE (cohort allele count 1) — excess flags contamination /
+      // population outliers, deficit flags duplicates; one variant
+      // groupBy + a broadcastable singleton join + one sample groupBy
+      prep(s)
+      graft.operators.VcfStats.sampleSingletons(gtsWithVarId(s)
+        .where(col("chrom") =!= "X"))
+    }),
+
     "g39_sfs" -> ((s, _) => {
       // site frequency spectrum (vcftools --freq / dadi): per-variant
       // folded minor-allele counts binned by (allele_number, mac) —
@@ -2086,6 +2096,28 @@ object Genomic {
          |SELECT s.sample,
          |  contains(f.dropped, ';' || s.sample || ';') AS pruned
          |FROM samples s, fin f""".stripMargin,
+
+    "g45_singletons" ->
+      s"""WITH g AS (
+         |  SELECT id || ':' || alt AS vid, unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM ${pq("vcf_norm")} WHERE chrom <> 'X'),
+         |d AS (
+         |  SELECT vid, 'S' || si AS sample,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) END AS dd
+         |  FROM g),
+         |ac AS (
+         |  SELECT vid FROM d WHERE dd IS NOT NULL
+         |  GROUP BY 1 HAVING sum(dd) = 1),
+         |cnt AS (
+         |  SELECT sample, CAST(count(*) AS BIGINT) AS n
+         |  FROM d JOIN ac USING (vid) WHERE dd = 1 GROUP BY 1),
+         |samples AS (SELECT DISTINCT sample FROM d)
+         |SELECT s.sample, coalesce(cnt.n, 0) AS n_singletons
+         |FROM samples s LEFT JOIN cnt USING (sample)""".stripMargin,
 
     "g39_sfs" ->
       s"""WITH g AS (

@@ -109,6 +109,21 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map("v1" -> true, "v2" -> true, "v3" -> false))
   }
 
+  test("sampleSingletons: ac=1 carriers counted, hom-alt is not a " +
+    "singleton, zero-singleton samples report 0") {
+    val s = spark
+    import s.implicits._
+    val gts = Seq(
+      ("v1", "Sa", "0|1"), ("v1", "Sb", "0|0"), ("v1", "Sc", "0|0"),
+      ("v2", "Sa", "0|1"), ("v2", "Sb", "1|0"), ("v2", "Sc", "0|0"),
+      ("v3", "Sa", "1|1"), ("v3", "Sb", "0|0"), ("v3", "Sc", "0|0"),
+      ("v4", "Sa", "0|0"), ("v4", "Sb", "0|1"), ("v4", "Sc", ".|.")
+    ).toDF("varId", "sample", "gt")
+    val out = graft.operators.VcfStats.sampleSingletons(gts).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("Sa" -> 1L, "Sb" -> 1L, "Sc" -> 0L))
+  }
+
   test("siteFrequencySpectrum folds to the minor allele and bins by " +
     "allele number") {
     val s = spark
