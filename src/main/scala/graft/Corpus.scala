@@ -251,8 +251,11 @@ object Corpus {
       require(parts.length == 1 || parts.length == 2,
         s"-compress_band wants min[,max] — got '$spec'")
       graft.plans.GraftFunctions.register(spark)
+      // bytes over BYTES: deflate_len counts UTF-8 octets, so the
+      // denominator must too — length() counts chars and undercounts
+      // multi-byte text ~2-3x, inflating the ratio past 1.0
       val ratio = call_function("graft_deflate_len", col("text"))
-        .cast("double") / greatest(length(col("text")), lit(1))
+        .cast("double") / greatest(octet_length(col("text")), lit(1))
       df = df.where(length(col("text")) > 0 && ratio >= parts(0) &&
         (if (parts.length == 2) ratio <= parts(1) else lit(true)))
       record(s"compress_band=$spec")

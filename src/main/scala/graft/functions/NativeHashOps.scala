@@ -50,14 +50,21 @@ object NativeHashOps {
     * base-conversion allocations.
     */
   def md5Buckets(arr: ArrayData, dim: Int): ArrayData = {
+    // the function is in the session catalog for arbitrary SQL use, so
+    // guard here (shared by interpreted and codegen paths): a hostile
+    // dim must fail typed, a null element must stay null, not NPE
+    if (dim <= 0) throw new IllegalArgumentException(
+      s"graft_md5_buckets: dim must be > 0, got $dim")
     val n = arr.numElements()
-    val out = new Array[Long](n)
+    val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      val b = md5(arr.getUTF8String(i).getBytes)
-      val v = ((b(0) & 0xffL) << 20) | ((b(1) & 0xffL) << 12) |
-        ((b(2) & 0xffL) << 4) | ((b(3) & 0xffL) >>> 4)
-      out(i) = v % dim
+      if (!arr.isNullAt(i)) {
+        val b = md5(arr.getUTF8String(i).getBytes)
+        val v = ((b(0) & 0xffL) << 20) | ((b(1) & 0xffL) << 12) |
+          ((b(2) & 0xffL) << 4) | ((b(3) & 0xffL) >>> 4)
+        out(i) = v % dim
+      }
       i += 1
     }
     new GenericArrayData(out)

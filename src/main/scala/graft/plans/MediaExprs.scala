@@ -688,9 +688,14 @@ object MediaExprs {
     * bitstream after it stays opaque, like mdat and entropy scan data).
     * Header: "ID3" <major> <rev> <flags> <4-byte SYNCSAFE size> (7 bits
     * per byte — the format's defining quirk, so a tag size can never
-    * alias an MPEG sync byte). Frames: 4-char id, 4-byte size (plain
+    * alias an MPEG sync byte). Header flags with unsynchronisation
+    * (0x80) or an extended header (0x40) null the struct — both shift
+    * the frame grammar, so parsing anyway would read garbage silently.
+    * Frames: 4-char id, 4-byte size (plain
     * u32be in v2.3, syncsafe in v2.4), 2 flag bytes, body; text frames
-    * open with an encoding byte (0 latin1 / 3 utf8 decoded; 1/2 UTF-16
+    * open with an encoding byte (0 latin1, decoded via ISO-8859-1 so
+    * bytes >= 0x80 map to their Unicode code points / 3 utf8 taken
+    * verbatim; 1/2 UTF-16
     * leave the field null but the frame still counts). The walk stops
     * cleanly at zero padding or the declared tag end; a frame whose
     * header or declared body crosses the tag end is HOSTILE and nulls
@@ -720,6 +725,9 @@ object MediaExprs {
         return null
       val major = u8(3)
       if (major < 3 || major > 4) return null
+      // unsync / extended header re-shape the frame grammar: null, the
+      // same contract as unsupported majors (never parse shifted data)
+      if ((u8(5) & 0xC0) != 0) return null
       // syncsafe: all four size bytes must have the high bit clear
       if ((u8(6) | u8(7) | u8(8) | u8(9)) >= 0x80) return null
       val tagSize = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
@@ -753,8 +761,13 @@ object MediaExprs {
             if (enc == 0 || enc == 3) {
               var end = off + 10 + fSize
               while (end > off + 11 && u8(end - 1) == 0) end -= 1
-              org.apache.spark.unsafe.types.UTF8String.fromBytes(
-                b.slice(off.toInt + 11, end.toInt))
+              val body = b.slice(off.toInt + 11, end.toInt)
+              if (enc == 0)                    // latin1 → code points
+                org.apache.spark.unsafe.types.UTF8String.fromString(
+                  new String(body,
+                    java.nio.charset.StandardCharsets.ISO_8859_1))
+              else                             // utf8 verbatim
+                org.apache.spark.unsafe.types.UTF8String.fromBytes(body)
             } else null                       // UTF-16: frame counts only
           id match {
             case "TIT2" => title = txt

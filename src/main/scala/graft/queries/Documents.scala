@@ -995,7 +995,10 @@ object Documents {
           .when(pmod(col("id"), lit(3)) === 1, prose)
           .otherwise(noise).as("text"))
         .select(col("doc_id"),
-          length(col("text")).cast("long").as("raw_len"),
+          // octet_length, not length: the ratio is bytes over BYTES
+          // (identical on this ASCII corpus, so the committed snapshot
+          // stands — the distinction matters for the Corpus CLI band)
+          octet_length(col("text")).cast("long").as("raw_len"),
           call_function("graft_deflate_len", col("text")).cast("long")
             .as("deflate_len"))
         .withColumn("ratio",

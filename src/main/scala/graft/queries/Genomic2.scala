@@ -561,11 +561,20 @@ object Genomic2 {
         val m = idBytes.zipWithIndex.map { case (v, j) =>
           s"b[$o+$j] = $v"
         }.mkString(" AND ")
+        // trailing-NUL strip: last non-zero byte position in the text
+        // body [o+11, o+10+fsz] — NULL (→ empty text) when all zeros
+        val te = s"""coalesce(list_max(list_filter(
+           |        range($o + 11, $o + 11 + fsz$k - 1),
+           |        i -> b[i] <> 0)), $o + 10)""".stripMargin
         s"""CASE WHEN live$k AND $fits AND $m AND fsz$k >= 1
            |      AND b[$o+10] IN (0, 3)
-           |      THEN array_to_string(list_transform(
-           |        range($o + 11, $o + 11 + fsz$k - 1),
-           |        i -> chr(CAST(b[i] AS INT))), '') END AS $name$k"""
+           |      THEN CASE WHEN b[$o+10] = 0
+           |        THEN array_to_string(list_transform(
+           |          range($o + 11, $te + 1),
+           |          i -> chr(CAST(b[i] AS INT))), '')
+           |        ELSE decode(unhex(substr(h, 2 * ($o + 11) - 1,
+           |          2 * ($te - ($o + 11) + 1))))
+           |      END END AS $name$k"""
           .stripMargin
       }
       s"""sa$k AS MATERIALIZED (
@@ -601,20 +610,21 @@ object Genomic2 {
        |  SELECT media_id, hex(payload) AS h, octet_length(payload) AS n
        |  FROM ${pq("mp3")}),
        |hb AS MATERIALIZED (
-       |  SELECT media_id, n,
+       |  SELECT media_id, n, h,
        |    list_transform(range(0, n), i ->
        |      (strpos('0123456789ABCDEF', substr(h, 2*i + 1, 1)) - 1)
        |        * 16 +
        |      strpos('0123456789ABCDEF', substr(h, 2*i + 2, 1)) - 1) AS b
        |  FROM d WHERE n >= 10),
        |w1 AS MATERIALIZED (
-       |  SELECT media_id, n, b, b[4] AS ver,
+       |  SELECT media_id, n, h, b, b[4] AS ver,
        |    b[7]*2097152 + b[8]*16384 + b[9]*128 + b[10] AS tsz,
        |    10 + b[7]*2097152 + b[8]*16384 + b[9]*128 + b[10] AS tend,
        |    11 AS o1
        |  FROM hb
        |  WHERE b[1] = 73 AND b[2] = 68 AND b[3] = 51
        |    AND b[4] BETWEEN 3 AND 4
+       |    AND (b[6] & 192) = 0
        |    AND b[7] < 128 AND b[8] < 128 AND b[9] < 128 AND b[10] < 128
        |    AND 10 + b[7]*2097152 + b[8]*16384 + b[9]*128 + b[10] <= n),
        |$steps

@@ -50,6 +50,22 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(native.getSeq[String](3) == Seq("a b", "b c"))
       assert(native.getSeq[String](4).length == 2) // 'abc','bcd' hashed
 
+      // catalog-exposed hashing: a null element stays null (never NPE —
+      // the function is reachable from arbitrary SQL), non-null elements
+      // still bucket; dim <= 0 fails typed, not ArithmeticException
+      val nb = spark.sql(
+        "SELECT graft_md5_buckets(array('a', NULL, 'b'), 64) AS v")
+        .collect()(0).getSeq[Any](0)
+      assert(nb.length == 3 && nb(1) == null &&
+        nb(0).isInstanceOf[Long] && nb(2).isInstanceOf[Long])
+      val dimErr = intercept[Exception] {
+        spark.sql("SELECT graft_md5_buckets(array('a'), 0)").collect()
+      }
+      assert(dimErr.toString.contains("dim must be > 0") ||
+        dimErr.getCause != null &&
+          dimErr.getCause.toString.contains("dim must be > 0"),
+        dimErr.toString)
+
       // RangeJoinRule injected: the natural range join compiles to the
       // binned equi-join (bins span 10000 by default, so the two sides
       // only meet where containment is possible) with no nested-loop join

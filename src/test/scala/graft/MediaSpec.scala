@@ -298,12 +298,16 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
         ss(frames.length + padding) ++ frames ++
         Array.fill[Byte](padding)(0)
     // v3: latin1 TIT2 with a trailing NUL (must strip), UTF-16 TPE1
-    // (enc 1: frame counts, field stays null), binary PRIV
+    // (enc 1: frame counts, field stays null), latin1 TALB with a
+    // byte >= 0x80 (ö = 0xF6: ISO-8859-1 decode, not UTF-8
+    // passthrough), binary PRIV
     val v3 = tag(3,
       frame("TIT2", 0.toByte +: ("Abc".getBytes("US-ASCII") :+ 0.toByte),
         v4 = false) ++
         frame("TPE1", 1.toByte +: Array[Byte](-1, -2, 0x41, 0),
           v4 = false) ++
+        frame("TALB",
+          0.toByte +: "Motör".getBytes("ISO-8859-1"), v4 = false) ++
         frame("PRIV", Array[Byte](7, 7), v4 = false), padding = 4)
     // v4: syncsafe frame size that would differ under u32 reading
     // (size 130 = 0x82 -> syncsafe bytes 0x01 0x02)
@@ -316,22 +320,28 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hostile = tag(3, frame("TIT2",
       0.toByte +: "hi".getBytes("US-ASCII"), v4 = false), 0)
       .updated(17, 0x70.toByte) // blow up the frame-size byte
+    // header flags: unsync (0x80) / ext header (0x40) shift the frame
+    // grammar — the struct must null, never parse shifted data
+    val flagged = tag(3, frame("TIT2",
+      0.toByte +: "hi".getBytes("US-ASCII"), v4 = false), 0)
+      .updated(5, 0x40.toByte)
     val rows = Multimodal.decodeId3(Seq(
       ("v3", v3), ("v4", v4t), ("trunc", trunc), ("hostile", hostile),
+      ("flagged", flagged),
       ("notag", Array[Byte](-1, -5, 1, 2, 3, 4)))
       .toDF("media_id", "payload"))
       .collect().map(r => r.getAs[String]("media_id") -> r).toMap
     val a = rows("v3")
     assert(a.getAs[Long]("version") == 3L)
-    assert(a.getAs[Long]("n_frames") == 3L)
+    assert(a.getAs[Long]("n_frames") == 4L)
     assert(a.getAs[String]("title") == "Abc")       // NUL stripped
     assert(a.isNullAt(a.fieldIndex("artist")))      // UTF-16 -> null
-    assert(a.isNullAt(a.fieldIndex("album")))
+    assert(a.getAs[String]("album") == "Motör")     // latin1 decoded
     val b = rows("v4")
     assert(b.getAs[Long]("version") == 4L &&
       b.getAs[Long]("n_frames") == 1L &&
       b.getAs[String]("album") == "x" * 129)
-    Seq("trunc", "hostile", "notag").foreach { k =>
+    Seq("trunc", "hostile", "flagged", "notag").foreach { k =>
       assert(rows(k).isNullAt(rows(k).fieldIndex("version")), k)
     }
   }
