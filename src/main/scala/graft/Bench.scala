@@ -173,14 +173,50 @@ object Bench {
     // responds to plan changes — and ALL run times are recorded per query
     // (query_runs) so a reader can separate plan changes from host noise.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    // Returns (per-run seconds, anyRunFailed). A failed run records NO
-    // number — time-to-exception is not a measurement, and r8's four
-    // analysis-failing queries "benching" at 0.06s proved how a fake
-    // speedup reads as a real one. Failed queries are excluded from
-    // "queries"/total and listed under "failed_queries" instead.
-    def timed(body: () => Unit): (Seq[Double], Boolean) = {
+    // Per-run host-contamination sampling (r11: the driver's closing
+    // bench inflated s11_knn_graph x19 while load_contaminated read
+    // false — load was only sampled at suite start/end, so a mid-run
+    // spike was invisible). /proc/loadavg can't help DURING a run: our
+    // own local[32] burst dominates it. What can: busy jiffies from
+    // /proc/stat (all processes) minus this JVM's own cpu time = CPU
+    // burned by OTHER processes during the run's exact window, in
+    // cores. A run is "hot" when that exceeds SPARK_GRAFT_BENCH_
+    // HOT_CORES (default 1.0 — a full external core sustained).
+    def procStatBusySec(): Double =
+      try {
+        val f = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0)
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        // busy = everything except idle (idx 3) and iowait (idx 4)
+        f.zipWithIndex.collect {
+          case (v, i) if i != 3 && i != 4 => v
+        }.sum / 100.0 // USER_HZ
+      } catch { case _: Throwable => -1.0 }
+    def selfCpuSec(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        .getProcessCpuTime / 1e9
+      catch { case _: Throwable => -1.0 }
+    val hotExtCores = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_HOT_CORES", "1.0").toDouble
+    // external cores burned over an idle probe window (self ~0): the
+    // quiet-box check before a re-adjudication run
+    def externalCoresIdle(windowMs: Int): Double = {
+      val b0 = procStatBusySec(); val c0 = selfCpuSec()
+      if (b0 < 0 || c0 < 0) return -1.0
+      Thread.sleep(windowMs)
+      ((procStatBusySec() - b0) - (selfCpuSec() - c0)) /
+        (windowMs / 1000.0)
+    }
+    // Returns (per-run (seconds, externalCores), anyRunFailed). A failed
+    // run records NO number — time-to-exception is not a measurement,
+    // and r8's four analysis-failing queries "benching" at 0.06s proved
+    // how a fake speedup reads as a real one. Failed queries are
+    // excluded from "queries"/total and listed under "failed_queries".
+    def timed(body: () => Unit): (Seq[(Double, Double)], Boolean) = {
       var failed = false
       val times = (1 to runs).flatMap { _ =>
+        val b0 = procStatBusySec(); val c0 = selfCpuSec()
         val t0 = System.nanoTime()
         val ok =
           try { body(); true }
@@ -190,9 +226,14 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        val ext =
+          if (b0 < 0 || c0 < 0) -1.0
+          else math.max(0.0,
+            ((procStatBusySec() - b0) - (selfCpuSec() - c0)) /
+              math.max(dt, 1e-9))
         graft.operators.Dedup.releaseCaches() // untimed storage reclaim
         graft.queries.GenomicPipeline.releaseCaches()
-        if (ok) Some(dt) else None
+        if (ok) Some((dt, ext)) else None
       }
       (times, failed)
     }
@@ -225,10 +266,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     def wanted(name: String) = only.forall(_.contains(name))
-    val runs0 = SparkEntry.queries.filter(kv => wanted(kv._1))
-      .map { case (name, fn) =>
-        name -> timed(() => { fn(spark, sfDir).count(); () })
-      }
+    val gateBodies: Seq[(String, () => Unit)] =
+      SparkEntry.queries.filter(kv => wanted(kv._1)).toSeq
+        .map { case (name, fn) =>
+          name -> (() => { fn(spark, sfDir).count(); () })
+        }
+    val runs0 = gateBodies.map { case (name, body) =>
+      name -> timed(body)
+    }
     // Synthetic-scale genomic benchmarks: the gate fixtures are
     // intentionally tiny (hand-computed oracles), so the genomic
     // operators' gate timings carry no scale signal. These generate
@@ -482,36 +527,90 @@ object Bench {
               .when(pmod(hash(col("snum"), col("vnum")), lit(13)) === 1,
                 "0|1")
               .otherwise("0|0").as("gt"))
-        graft.operators.Haplotypes.haplotypes(gts).count()
+          // materialized like pepx/embx: un-checkpointed, the entry
+          // timed the crossJoin synthesizer's codegen along with the
+          // haplotype plan and swung 0.93-2.45s across rounds on a
+          // byte-identical plan (r11 verdict item 5)
+          .localCheckpoint()
+        val n = graft.operators.Haplotypes.haplotypes(gts).count()
+        gts.unpersist(blocking = false)
+        n
       }))
-    val allRuns = runs0 ++ synth.filter(kv => wanted(kv._1))
-      .map { case (name, fn) =>
-        name -> timed(() => { fn(); () })
+    val synthBodies: Seq[(String, () => Unit)] =
+      synth.filter(kv => wanted(kv._1)).toSeq
+        .map { case (name, fn) => name -> (() => { fn(); () }) }
+    val firstPass = runs0 ++ synthBodies.map { case (name, body) =>
+      name -> timed(body)
+    }
+    // Re-adjudication pass (r11 verdict item 1): a query with NO clean
+    // run — every timed window saw > hotExtCores of external CPU — gets
+    // re-measured after the sweep, once an idle probe shows the box has
+    // quieted. This is what the judge did by hand for r11 (ten suspects
+    // re-run on a quiet box, every one returned to committed levels);
+    // doing it in-band means the closing artifact either carries clean
+    // mins or flags the specific queries it could not clean.
+    def isClean(run: (Double, Double)) = run._2 < 0 || run._2 <= hotExtCores
+    val bodyMap = (gateBodies ++ synthBodies).toMap
+    val rerunWaits = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_RERUN_WAITS", "3").toInt
+    val byName = scala.collection.mutable.LinkedHashMap(firstPass: _*)
+    val needRerun = byName.collect {
+      case (k, (v, false)) if v.nonEmpty && !v.exists(isClean) => k
+    }.toSeq
+    needRerun.foreach { q =>
+      var waits = 0
+      while (externalCoresIdle(3000) > hotExtCores && waits < rerunWaits) {
+        System.err.println(s"[bench] $q hot in all runs; box still busy," +
+          s" sleeping 30s (${waits + 1}/$rerunWaits)")
+        Thread.sleep(30000)
+        waits += 1
       }
+      System.err.println(s"[bench] re-adjudicating $q")
+      val (extra, f2) = timed(bodyMap(q))
+      val (prev, pf) = byName(q)
+      byName(q) = (prev ++ extra, pf || f2)
+    }
+    val allRuns = byName.toSeq
     val loadAfter = loadAvg()
     def r4(d: Double) = math.rint(d * 10000) / 10000
     val good = allRuns.collect { case (k, (v, false)) if v.nonEmpty => k -> v }
     val failedNames = allRuns.collect { case (k, (_, true)) => k }
-    val results = good.map { case (k, v) => k -> r4(v.min) }
+    // headline min per query prefers CLEAN runs; a query whose best
+    // number still comes from a hot window lands in hot_queries so a
+    // reader knows that min is an upper bound, not a measurement
+    val results = good.map { case (k, v) =>
+      val clean = v.filter(isClean)
+      k -> r4((if (clean.nonEmpty) clean else v).map(_._1).min)
+    }
+    val hotQueries = good.collect {
+      case (k, v) if !v.exists(isClean) => k
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // every individual run time, best-first headline above: lets the
     // judge separate plan regressions (min moved) from host noise
     // (min stable, spread wide)
     val qr = good.map { case (k, v) =>
-      s"\"" + k + "\":[" + v.map(r4).mkString(",") + "]"
+      s"\"" + k + "\":[" + v.map(e => r4(e._1)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // external cores seen during each run's window, aligned with
+    // query_runs: the per-query load column the r11 verdict asked for
+    val qext = good.map { case (k, v) =>
+      s"\"" + k + "\":[" + v.map(e => r4(e._2)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val fq = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = r4((if (results.nonEmpty) results.values.sum else 0.0) + prep)
+    val hq = hotQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = r4(results.map(_._2).sum + prep)
     // In-band contamination marker (r8's bench artifact was silently
-    // load-contaminated and got read as a regression signal): a busy box
-    // BEFORE the run means the numbers carry background-load noise and
-    // round-over-round comparison should exclude or re-run them.
+    // load-contaminated and got read as a regression signal): busy box
+    // BEFORE the run, or any query whose every timed window was hot
+    // even after re-adjudication — either way round-over-round
+    // comparison should exclude or re-run the flagged entries.
     // load_after is excluded from the check — it measures the bench's
     // own local[32] burst, not contention.
-    val contaminated = loadBefore > 4.0
+    val contaminated = loadBefore > 4.0 || hotQueries.nonEmpty
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","prep_sec":${r4(prep)},"runs_per_query":$runs,"load_before":$loadBefore,"load_after":$loadAfter,"load_contaminated":$contaminated,"failed_queries":$fq,"queries":$qs,"query_runs":$qr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","prep_sec":${r4(prep)},"runs_per_query":$runs,"load_before":$loadBefore,"load_after":$loadAfter,"load_contaminated":$contaminated,"hot_queries":$hq,"failed_queries":$fq,"queries":$qs,"query_runs":$qr,"query_ext_cores":$qext,"sf":"$sfDir"}"""
     // stdout can interleave with sbt/spark logging; also drop the JSON in a
     // file so the driver can machine-read it reliably
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
@@ -529,7 +628,7 @@ object Bench {
     val budget = 1500
     val head =
       s"""{"metric":"total","value":$total,"unit":"sec","prep_sec":${r4(
-        prep)},"runs_per_query":$runs,"load_before":$loadBefore,"load_contaminated":$contaminated,"n_queries":${results.size},"failed_queries":$fq,"detail":"bench.json","sf":"$sfDir""""
+        prep)},"runs_per_query":$runs,"load_before":$loadBefore,"load_contaminated":$contaminated,"hot_queries":$hq,"n_queries":${results.size},"failed_queries":$fq,"detail":"bench.json","sf":"$sfDir""""
     val slowFirst = results.toSeq.sortBy(-_._2)
     val picked = new StringBuilder
     var used = head.length + 40 // room for the wrapper keys + close
