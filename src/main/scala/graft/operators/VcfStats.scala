@@ -237,6 +237,134 @@ object VcfStats {
     out.toSeq.toDF("sample", "pc", "loading", "eigenvalue")
   }
 
+  /** Distributed genotype PCA from [[grmPairs]]' GRM: top-k eigenpairs
+    * by power iteration with deflation, run ENTIRELY as DataFrame ops —
+    * no driver-side matrix (that's [[pcaFromGrm]], kept for the
+    * metadata-scale case and as the parity check). Per round: one
+    * edge-list join (GRM row x vector) + one per-row partial-aggregated
+    * sum, the d11 iterative-matmul contract — the same shape at 6
+    * samples and at a 500k-sample biobank GRM, where the S^2/2 edge list
+    * is the data-scale frame and the vector (S rows) broadcasts.
+    *
+    * Determinism contract (every sum order-independent, every scalar op
+    * IEEE-replayable by the SQL oracle's recursive walk):
+    *   - GRM entries quantized to 1e-5 longs (they ARE 5-dp rounded),
+    *     the iterate to 1e-9 longs, the eigenvalue to 1e-5;
+    *   - matmul row sums and norm sums are exact decimal(38,0) folds of
+    *     long products — partition order cannot change a ulp;
+    *   - the only doubles are one sqrt + one divide per row per round,
+    *     in a pinned op order the oracle replays verbatim;
+    *   - nearest-integer is floor(x + 0.5) on BOTH engines (Spark
+    *     round() is BigDecimal HALF_UP, DuckDB's is half-away — they
+    *     disagree on negative .5 ties; floor(x+0.5) cannot).
+    * Exactness bound: |wraw| <= 1e14·lambda_max and sum(wq^2) <=
+    * S·(1e14·lambda_max)^2 must fit decimal(38,0) -> valid to S ~ 1e4
+    * with lambda_max ~ 1e3; beyond that drop the vector scale to 1e6.
+    *
+    * Start vector, iteration count, deflation (G - λvv^T applied as
+    * Mv - λ·v1·(v1^T v), never materializing the dense update) and the
+    * largest-|loading|-positive sign fix all mirror [[pcaFromGrm]];
+    * QcSpec pins the two within 1e-3 at fixture scale.
+    *
+    * Each round localCheckpoints the S-row vector — bounded lineage,
+    * linear (not exponential) recompute; topK·iters tiny jobs total.
+    */
+  def grmPcaDistributed(grm: DataFrame, topK: Int = 2,
+                        iters: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val half = grm.select(col("sample_a"), col("sample_b"),
+      floor(col("grm") * 1e5 + lit(0.5)).cast("long").as("g5"))
+    val edges = half
+      .select(col("sample_a").as("i"), col("sample_b").as("j"), col("g5"))
+      .unionByName(half.where(col("sample_a") =!= col("sample_b"))
+        .select(col("sample_b").as("i"), col("sample_a").as("j"),
+          col("g5")))
+      .localCheckpoint()
+    // rank assignment: one window over S rows — metadata-scale by the
+    // GRM's own contract (the S x S matrix itself is the big frame)
+    val ranks = edges.select(col("i").as("sample")).distinct()
+      .withColumn("rank",
+        row_number().over(Window.orderBy("sample")) - lit(1))
+      .localCheckpoint()
+    val raw0 = ranks.select(col("sample"), col("rank"),
+      (pmod(col("rank").cast("long") * lit(2654435761L), lit(1000L))
+        + lit(500L)).as("raw3"))
+    val n0 = raw0
+      .agg(sum((col("raw3") * col("raw3")).cast(dec)).as("sq0"))
+      .select(sqrt(col("sq0").cast("double")).as("nrm"))
+    val v0 = raw0.crossJoin(broadcast(n0))
+      .select(col("sample"), col("rank"),
+        floor(col("raw3").cast("double") / col("nrm") * 1e9 + lit(0.5))
+          .cast("long").as("v9"))
+      .localCheckpoint()
+
+    // priors: (sample, rank, pv9) vector + 1-row lam5, per found PC
+    var priors = List.empty[(DataFrame, DataFrame)]
+    var outs = List.empty[DataFrame]
+    for (k <- 1 to topK) {
+      var v = v0
+      var lastLam: DataFrame = null
+      for (_ <- 1 to iters) {
+        val w0 = edges
+          .join(v.select(col("sample").as("j"), col("v9")), Seq("j"))
+          .groupBy(col("i").as("sample"))
+          .agg(sum((col("g5") * col("v9")).cast(dec)).as("wraw"))
+        var wd = w0.withColumn("wd", col("wraw").cast("double"))
+        for ((pv, plam) <- priors) {
+          val dotp = pv
+            .join(v.select(col("sample"), col("v9")), Seq("sample"))
+            .agg(sum((col("pv9") * col("v9")).cast(dec)).as("dotp"))
+          wd = wd.join(pv.select(col("sample"), col("pv9")), Seq("sample"))
+            .crossJoin(broadcast(dotp)).crossJoin(broadcast(plam))
+            // corr_raw = (lam5/1e5)·(pv9/1e9)·(dot/1e18) × 1e14 raw
+            // scale = lam5·pv9·dot / 1e18
+            .withColumn("wd", col("wd") -
+              (col("lam5").cast("double") * col("pv9").cast("double")) *
+                (col("dotp").cast("double") / lit(1e18)))
+            .drop("pv9", "dotp", "lam5")
+        }
+        val wq = wd.select(col("sample"),
+          floor(col("wd") + lit(0.5)).cast("long").as("wq"))
+        val nrm = wq.agg(
+          sqrt(sum(col("wq").cast("decimal(19,0)") *
+            col("wq").cast("decimal(19,0)")).cast("double")).as("nrm"))
+        v = wq.crossJoin(broadcast(nrm))
+          .select(col("sample"),
+            floor(col("wq").cast("double") / col("nrm") * 1e9 + lit(0.5))
+              .cast("long").as("v9"),
+            col("nrm"))
+          .join(ranks, Seq("sample"))
+          .localCheckpoint()
+        lastLam = v.agg(max(col("nrm")).as("n"))
+          .select(floor(col("n") / 1e9 + lit(0.5)).cast("long").as("lam5"))
+      }
+      // sign fix: first max-|v9| in rank order decides; flip is
+      // deflation-invariant (λvv^T is even in v)
+      val sgnRow = v.orderBy(abs(col("v9")).desc, col("rank").asc)
+        .limit(1)
+        .select(when(col("v9") < 0, lit(-1L)).otherwise(lit(1L)).as("sgn"))
+      val fixed = v.crossJoin(broadcast(sgnRow))
+        .select(col("sample"), col("rank"),
+          (col("v9") * col("sgn")).as("pv9"))
+        .localCheckpoint()
+      priors = priors :+ ((fixed, lastLam))
+      // +1e-10 pre-round: pv9 is a 1e-9-grid long, so a 6-dp tie is
+      // exactly …500e-9 — Spark HALF_UPs the shortest decimal repr
+      // while DuckDB rounds the binary double (the qualityScore
+      // hazard); the nudge shifts ties off the boundary identically.
+      // +0.0 post-round: a negative tie nudged toward zero can round
+      // to -0.0 on one engine and 0.0 on the other (the verify-skill
+      // signed-zero gotcha).
+      outs = outs :+ fixed.crossJoin(broadcast(lastLam))
+        .select(col("sample"), lit(k).as("pc"),
+          (round(col("pv9").cast("double") / 1e9 + lit(1e-10), 6) +
+            lit(0.0)).as("loading"),
+          round(col("lam5").cast("double") / 1e5, 6).as("eigenvalue"))
+    }
+    outs.reduce(_.unionByName(_))
+  }
+
   /** plink `--indep-pairwise`-style greedy LD pruning — THE
     * prescription [[ibsPairs]]/[[grmPairs]]/[[kingKinship]] cite for
     * biobank-scale pair scans: thin the variant panel so no two kept

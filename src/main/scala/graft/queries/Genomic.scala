@@ -492,6 +492,18 @@ object Genomic {
         .where(col("chrom") =!= "X"))
     }),
 
+    "g46_grm_pca" -> ((s, _) => {
+      // GCTA --pca / plink --pca from the g32 GRM: top-2 eigenpairs by
+      // power iteration run as iterative DataFrame matmul over the GRM
+      // edge list (vector broadcast, exact-integer row sums — the d11
+      // contract), deflation as Mv - λ·v1·(v1ᵀv); every scalar op is
+      // IEEE-replayed by the oracle's recursive walk
+      prep(s)
+      graft.operators.VcfStats.grmPcaDistributed(
+        graft.operators.VcfStats.grmPairs(gtsWithVarId(s)
+          .where(col("chrom") =!= "X")), topK = 2, iters = 20)
+    }),
+
     "g35_window_pi" -> ((s, _) => {
       // vcftools --window-pi: per-site π from called-allele counts
       // (integer form), summed per (chrom, 60bp window) with a sorted
@@ -1896,6 +1908,134 @@ object Genomic {
          |    / (SELECT count(*) FROM st), 5) AS grm
          |FROM z a JOIN z b ON a.vid = b.vid AND a.sample <= b.sample
          |GROUP BY 1, 2""".stripMargin,
+
+    // g46: the g32 GRM chain, then the power-iteration walk replayed as
+    // a recursive CTE over the quantized-long state vector — exact
+    // HUGEINT matmul/norm sums, the identical pinned double ops (one
+    // sqrt + one divide per row per round), floor(x+0.5) nearest. The
+    // single-correction deflation form is IEEE-identical to the Spark
+    // side's sequential subtraction only for topK <= 2 (one prior).
+    "g46_grm_pca" ->
+      s"""WITH RECURSIVE g AS (
+         |  SELECT id || ':' || alt AS vid,
+         |    unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM ${pq("vcf_norm")} WHERE chrom <> 'X'),
+         |dd AS (
+         |  SELECT vid, 'S' || si AS sample,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) END AS dd
+         |  FROM g),
+         |st AS (
+         |  SELECT vid, sum(dd) / (2.0 * count(dd)) AS p
+         |  FROM dd GROUP BY vid
+         |  HAVING sum(dd) / (2.0 * count(dd)) > 0
+         |     AND sum(dd) / (2.0 * count(dd)) < 1),
+         |z AS (
+         |  SELECT dd.vid, dd.sample,
+         |    CAST(round((CASE WHEN dd.dd IS NULL THEN 0.0
+         |      ELSE (dd.dd - 2.0 * st.p)
+         |           / sqrt(2.0 * st.p * (1.0 - st.p)) END) * 1e6)
+         |      AS BIGINT) AS z6
+         |  FROM dd JOIN st USING (vid)),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.sample AS sa, b.sample AS sb,
+         |    CAST(floor(round(CAST(sum(a.z6 * b.z6) AS DOUBLE) / 1e12
+         |      / (SELECT count(*) FROM st), 5) * 1e5 + 0.5) AS BIGINT)
+         |      AS g5
+         |  FROM z a JOIN z b ON a.vid = b.vid AND a.sample <= b.sample
+         |  GROUP BY 1, 2),
+         |sym AS (
+         |  SELECT sa, sb, g5 FROM pairs
+         |  UNION ALL
+         |  SELECT sb, sa, g5 FROM pairs WHERE sa <> sb),
+         |rk AS MATERIALIZED (
+         |  SELECT sample, row_number() OVER (ORDER BY sample) - 1 AS rank
+         |  FROM (SELECT DISTINCT sa AS sample FROM sym)),
+         |mm AS MATERIALIZED (
+         |  SELECT list(r ORDER BY i) AS m, count(*) AS s FROM (
+         |    SELECT ri.rank AS i, list(sy.g5 ORDER BY rj.rank) AS r
+         |    FROM sym sy JOIN rk ri ON sy.sa = ri.sample
+         |                JOIN rk rj ON sy.sb = rj.sample
+         |    GROUP BY ri.rank)),
+         |r0 AS (
+         |  SELECT sample, rank,
+         |    (rank * 2654435761) % 1000 + 500 AS raw3
+         |  FROM rk),
+         |v0c AS MATERIALIZED (
+         |  SELECT list(CAST(floor(CAST(raw3 AS DOUBLE)
+         |      / sqrt((SELECT CAST(sum(r2.raw3 * r2.raw3) AS DOUBLE)
+         |              FROM r0 r2))
+         |      * 1e9 + 0.5) AS BIGINT) ORDER BY rank) AS v0,
+         |    list(sample ORDER BY rank) AS names
+         |  FROM r0),
+         |walk AS (
+         |  SELECT 1 AS k, 0 AS it,
+         |    (SELECT v0 FROM v0c) AS v,
+         |    CAST(0 AS BIGINT) AS lastlam,
+         |    CAST([] AS BIGINT[]) AS lams,
+         |    CAST([] AS BIGINT[][]) AS prevs
+         |  UNION ALL
+         |  SELECT
+         |    CASE WHEN t.it >= 20 THEN t.k + 1 ELSE t.k END AS k,
+         |    CASE WHEN t.it >= 20 THEN 0 ELSE t.it + 1 END AS it,
+         |    CASE WHEN t.it >= 20 THEN (SELECT v0 FROM v0c)
+         |      ELSE list_transform(t.wq, x ->
+         |        CAST(floor(CAST(x AS DOUBLE) / t.nrm * 1e9 + 0.5)
+         |          AS BIGINT)) END AS v,
+         |    CASE WHEN t.it >= 20 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(floor(t.nrm / 1e9 + 0.5) AS BIGINT)
+         |      END AS lastlam,
+         |    CASE WHEN t.it >= 20 THEN list_append(t.lams, t.lastlam)
+         |      ELSE t.lams END AS lams,
+         |    CASE WHEN t.it >= 20 THEN list_append(t.prevs, t.fv)
+         |      ELSE t.prevs END AS prevs
+         |  FROM (
+         |    SELECT u.*,
+         |      CASE WHEN u.it < 20 THEN
+         |        sqrt(CAST(list_reduce(list_transform(u.wq, x ->
+         |          CAST(x AS HUGEINT) * x), (a, b) -> a + b) AS DOUBLE))
+         |      END AS nrm,
+         |      CASE WHEN u.it >= 20 THEN
+         |        CASE WHEN u.v[list_position(
+         |            list_transform(u.v, x -> abs(x)),
+         |            list_max(list_transform(u.v, x -> abs(x))))] < 0
+         |          THEN list_transform(u.v, x -> -x) ELSE u.v END
+         |      END AS fv
+         |    FROM (
+         |      SELECT w.k, w.it, w.v, w.lastlam, w.lams, w.prevs, mm.s,
+         |        CASE WHEN w.it < 20 THEN
+         |          list_transform(range(1, mm.s + 1), i ->
+         |            CAST(floor(
+         |              CAST(list_reduce(list_transform(range(1, mm.s + 1),
+         |                j -> CAST(mm.m[i][j] AS HUGEINT) * w.v[j]),
+         |                (a, b) -> a + b) AS DOUBLE)
+         |              - list_reduce(list_append(
+         |                  list_transform(range(1, len(w.prevs) + 1), p ->
+         |                    (CAST(w.lams[p] AS DOUBLE)
+         |                      * CAST(w.prevs[p][i] AS DOUBLE))
+         |                    * (CAST(list_reduce(
+         |                        list_transform(range(1, mm.s + 1), j2 ->
+         |                          CAST(w.prevs[p][j2] AS HUGEINT)
+         |                            * w.v[j2]),
+         |                        (a, b) -> a + b) AS DOUBLE) / 1e18)),
+         |                  0.0), (a, b) -> a + b)
+         |              + 0.5) AS BIGINT))
+         |        END AS wq
+         |      FROM walk w, mm
+         |      WHERE w.k <= 2) u) t),
+         |fin AS (SELECT lams, prevs FROM walk WHERE k = 3)
+         |SELECT n.names[CAST(ii.i AS INT)] AS sample,
+         |  CAST(pp.pcn AS INTEGER) AS pc,
+         |  round(CAST(f.prevs[pp.pcn][ii.i] AS DOUBLE) / 1e9
+         |    + 1e-10, 6) + 0.0 AS loading,
+         |  round(CAST(f.lams[pp.pcn] AS DOUBLE) / 1e5, 6) AS eigenvalue
+         |FROM fin f, v0c n,
+         |  (SELECT unnest(range(1, 3)) AS pcn) pp,
+         |  (SELECT unnest(range(1,
+         |    (SELECT s + 1 FROM mm))) AS i) ii""".stripMargin,
 
     "g35_window_pi" ->
       s"""WITH g AS (

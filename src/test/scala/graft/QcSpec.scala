@@ -663,6 +663,53 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pcs("a") * pcs("c") < 0, "PC1 must separate the blocks")
   }
 
+  test("grmPcaDistributed replays pcaFromGrm at equal iteration count: " +
+    "loadings and eigenvalues within 1e-3 (quantization only)") {
+    val s = spark
+    import s.implicits._
+    // 8 samples: v%3==0 splits blocks {0-3}/{4-7} (PC1), v%3==1 splits
+    // {0,1,4,5}/{2,3,6,7} (PC2), v%3==2 hash noise breaks degeneracy
+    val gts = (for {
+      v <- 0 until 24
+      i <- 0 until 8
+    } yield {
+      val gt = v % 3 match {
+        case 0 => if (i < 4) "0|0" else "1|1"
+        case 1 => if (i % 4 < 2) "0|0" else "1|1"
+        case _ =>
+          val h = (i * 2654435761L + v * 40503L) % 5
+          if (h < 1) "1|1" else if (h < 3) "0|1" else "0|0"
+      }
+      (s"v$v", "1", 10L + v, f"s$i", gt)
+    }).toDF("varId", "chrom", "pos", "sample", "gt")
+    val grm = VcfStats.grmPairs(gts).localCheckpoint()
+    val mem = VcfStats.pcaFromGrm(grm, topK = 2, iters = 50).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    val dist = VcfStats.grmPcaDistributed(grm, topK = 2, iters = 50)
+      .collect()
+    assert(dist.length == 16, "8 samples x 2 PCs")
+    dist.foreach { r =>
+      val (sm, pc) = (r.getString(0), r.getInt(1))
+      val (ld, ev) = mem((sm, pc))
+      assert(math.abs(r.getDouble(2) - ld) < 1e-3,
+        s"loading($sm, pc$pc): ${r.getDouble(2)} vs in-memory $ld")
+      assert(math.abs(r.getDouble(3) - ev) < 1e-3,
+        s"eigenvalue(pc$pc): ${r.getDouble(3)} vs in-memory $ev")
+    }
+    // numpy.linalg.eigh ground truth for this GRM: lambda1 = 6.2541,
+    // PC1 signs follow the i%4<2 sub-block split (+,+,-,-,+,+,-,-)
+    val pc1 = dist.filter(_.getInt(1) == 1)
+      .map(r => r.getString(0) -> r).toMap
+    assert(math.abs(pc1("s0").getDouble(3) - 6.2541) < 1e-2,
+      s"lambda1 ${pc1("s0").getDouble(3)} vs eigh 6.2541")
+    (0 until 8).foreach { i =>
+      val want = if (i % 4 < 2) 1.0 else -1.0
+      assert(math.signum(pc1(s"s$i").getDouble(2)) == want,
+        s"PC1 sign at s$i")
+    }
+  }
+
   test("windowedPi + tajimaD: per-site allele-count form, window " +
     "binning, rare-excess D < 0 < intermediate-excess D, invariant " +
     "window -> null") {
