@@ -33,6 +33,13 @@ object Documents {
   // stopword list literal shared with the SQL oracles
   private val swEn = text.stopwordsEn.map(w => s"'$w'").mkString(", ")
 
+  // t41 language-ID seed texts as a SQL VALUES list: the ONLY thing the
+  // oracle shares with the Spark side — it derives its own profiles from
+  // these literals relationally (seeds are punctuation/apostrophe-free,
+  // so no escaping)
+  private val langSeedValues = text.langSeeds
+    .map { case (l, s) => s"('$l', '$s')" }.mkString(",\n         ")
+
   /** Deterministic messy URL per doc for t21/d16 (the corpus has no URL
     * column): scheme/host case, a default :80 port, tracking params,
     * param order and a fragment all vary with doc_id while the canonical
@@ -379,6 +386,26 @@ object Documents {
       t(s, dir, "documents").select(
         col("doc_id"),
         text.langId(col("text")).as("lang_pred"))
+    }),
+
+    "t41_langid_ngram" -> ((s, dir) => {
+      // Profile-based n-gram language ID (Cavnar–Trenkle profiles,
+      // inverted-rank scoring) over padded-word char 2/3-grams — the
+      // real-profile upgrade over t3's stopword hits (short docs,
+      // boundary grams, 7 languages, non-Latin -> und). Zero
+      // joins/exchanges: profiles ride as literal maps. STAGED
+      // projections on purpose — each stage's attribute is referenced
+      // many times by the next (and from HOF lambda bodies, which
+      // re-evaluate closed-over non-attributes PER ELEMENT), so the
+      // gram list is extracted once per row, not once per language.
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"), text.langGrams(col("text")).as("gs"))
+        .select(col("doc_id") +: text.langNgramScores(col("gs"))
+          .map { case (l, d) => d.as(s"s_$l") }: _*)
+        .select(col("doc_id"),
+          text.langNgramPick(
+            text.langSeeds.map(_._1).map(l => l -> col(s"s_$l")))
+            .as("lang_pred"))
     }),
 
     "t4_fingerprint" -> ((s, dir) => {
@@ -1589,6 +1616,65 @@ object Documents {
         |    'dans','pour','que','pas'))) AS s_fr
         |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
         |      FROM documents)))""".stripMargin,
+
+    // t41: re-derives the per-language profiles from the shared seed
+    // literals relationally (gram unnest + GROUP BY + rank window), then
+    // scores docs by the same inverted-rank sum via a JOIN against the
+    // profiles — gram/tie-break/und rules mirror langNgramScores' spec
+    // exactly; all-integer, so no FP divergence is possible. Unmatched
+    // (doc, lang) pairs score 0 < any matched score, so the inner join
+    // plus the final LEFT JOIN (-> und when NOTHING matched) is the
+    // complete argmax.
+    "t41_langid_ngram" ->
+      s"""WITH seeds(lang, seed) AS (VALUES $langSeedValues),
+         |sw AS (
+         |  SELECT lang, unnest(str_split(trim(regexp_replace(lower(seed),
+         |    '[^\\p{L}]+', ' ', 'g')), ' ')) AS w
+         |  FROM seeds),
+         |sp AS (SELECT lang, ' ' || w || ' ' AS p FROM sw WHERE w <> ''),
+         |sg AS (
+         |  SELECT lang, substring(p, CAST(i AS INT), 2) AS g
+         |  FROM (SELECT lang, p, unnest(range(1, length(p))) AS i FROM sp)
+         |  UNION ALL
+         |  SELECT lang, substring(p, CAST(i AS INT), 3) AS g
+         |  FROM (SELECT lang, p,
+         |        unnest(range(1, length(p) - 1)) AS i FROM sp)),
+         |prof AS MATERIALIZED (
+         |  SELECT lang, g, row_number() OVER (PARTITION BY lang
+         |    ORDER BY c DESC, g ASC) AS r
+         |  FROM (SELECT lang, g, count(*) AS c FROM sg GROUP BY 1, 2)
+         |  QUALIFY r <= 400),
+         |dn AS (
+         |  SELECT doc_id, trim(regexp_replace(lower(text),
+         |    '[^\\p{L}]+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |dp AS (
+         |  SELECT doc_id, ' ' || w || ' ' AS p
+         |  FROM (SELECT doc_id, unnest(str_split(norm, ' ')) AS w
+         |        FROM dn WHERE norm <> '')
+         |  WHERE w <> ''),
+         |dg AS (
+         |  SELECT doc_id, substring(p, CAST(i AS INT), 2) AS g
+         |  FROM (SELECT doc_id, p,
+         |        unnest(range(1, length(p))) AS i FROM dp)
+         |  UNION ALL
+         |  SELECT doc_id, substring(p, CAST(i AS INT), 3) AS g
+         |  FROM (SELECT doc_id, p,
+         |        unnest(range(1, length(p) - 1)) AS i FROM dp)),
+         |sc AS (
+         |  SELECT d.doc_id, p.lang,
+         |    sum(CAST(401 - p.r AS BIGINT)) AS sc
+         |  FROM dg d JOIN prof p ON p.g = d.g
+         |  GROUP BY 1, 2),
+         |win AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY sc DESC, lang ASC) AS rn
+         |  FROM sc)
+         |SELECT d.doc_id, coalesce(w.lang, 'und') AS lang_pred
+         |FROM documents d
+         |LEFT JOIN (SELECT doc_id, lang FROM win WHERE rn = 1) w
+         |  ON d.doc_id = w.doc_id""".stripMargin,
 
     // Relational (unnest + GROUP BY) formulation, NOT a list_reduce fold:
     // DuckDB 1.0.0's vectorized list_reduce leaks struct accumulators

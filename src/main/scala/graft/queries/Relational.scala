@@ -22,7 +22,13 @@ object Relational {
     * tables. Idempotent per (JVM, sf dir).
     */
   def ensureBucketed(s: SparkSession, dir: String): Unit = synchronized {
-    if (bucketedFor == dir) return
+    // memo key must include THIS session's catalog, not just the JVM:
+    // the table registration lives in the session catalog, so a second
+    // SparkSession in the same JVM (suite B after suite A) would see the
+    // memo hit but resolve s.table(...) against a catalog that never
+    // heard of the tables
+    if (bucketedFor == dir && s.catalog.tableExists("graft_li_bucketed")
+      && s.catalog.tableExists("graft_o_bucketed")) return
     val base = "/root/repo/target/bucketed"
     def write(df: DataFrame, key: String, table: String): Unit = {
       s.sql(s"DROP TABLE IF EXISTS $table")

@@ -795,6 +795,97 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         keptHosts.toSeq: _*)).count())
   }
 
+  test("langIdNgram beats the t3 stopword heuristic on a labeled " +
+    "fixture; non-Latin scripts and gibberish route to und") {
+    val s = spark
+    import s.implicits._
+    // hand-written sentences (NOT from the UDHR seed texts), 7 per
+    // language including two short ones, plus 4 und cases
+    val fixture: Seq[(String, String)] = Seq(
+      "en" -> "She walked slowly through the quiet garden while the children played outside",
+      "en" -> "Where did you put the keys this morning",
+      "en" -> "The weather has been terrible all week",
+      "en" -> "I would like a cup of coffee please",
+      "en" -> "He reads the newspaper every morning before work",
+      "en" -> "Thank you very much",
+      "en" -> "The train leaves at seven",
+      "de" -> "Sie ging langsam durch den stillen Garten während die Kinder draußen spielten",
+      "de" -> "Wo hast du die Schlüssel heute Morgen hingelegt",
+      "de" -> "Das Wetter war die ganze Woche schrecklich",
+      "de" -> "Ich hätte gerne eine Tasse Kaffee bitte",
+      "de" -> "Er liest jeden Morgen die Zeitung vor der Arbeit",
+      "de" -> "Vielen herzlichen Dank",
+      "de" -> "Der Zug fährt um sieben",
+      "es" -> "Ella caminaba despacio por el jardín tranquilo mientras los niños jugaban afuera",
+      "es" -> "Dónde pusiste las llaves esta mañana",
+      "es" -> "El tiempo ha sido terrible toda la semana",
+      "es" -> "Quisiera una taza de café por favor",
+      "es" -> "Él lee el periódico cada mañana antes del trabajo",
+      "es" -> "Muchas gracias por todo",
+      "es" -> "El tren sale a las siete",
+      "fr" -> "Elle marchait lentement dans le jardin calme pendant que les enfants jouaient dehors",
+      "fr" -> "Où as tu mis les clés ce matin",
+      "fr" -> "Le temps a été terrible toute la semaine",
+      "fr" -> "Je voudrais une tasse de café s il vous plaît",
+      "fr" -> "Il lit le journal chaque matin avant le travail",
+      "fr" -> "Merci beaucoup pour tout",
+      "fr" -> "Le train part à sept heures",
+      "it" -> "Lei camminava lentamente nel giardino tranquillo mentre i bambini giocavano fuori",
+      "it" -> "Dove hai messo le chiavi questa mattina",
+      "it" -> "Il tempo è stato terribile tutta la settimana",
+      "it" -> "Vorrei una tazza di caffè per favore",
+      "it" -> "Lui legge il giornale ogni mattina prima del lavoro",
+      "it" -> "Grazie mille di tutto",
+      "it" -> "Il treno parte alle sette",
+      "nl" -> "Zij liep langzaam door de stille tuin terwijl de kinderen buiten speelden",
+      "nl" -> "Waar heb je de sleutels vanochtend gelegd",
+      "nl" -> "Het weer was de hele week verschrikkelijk",
+      "nl" -> "Ik wil graag een kopje koffie alstublieft",
+      "nl" -> "Hij leest elke ochtend de krant voor het werk",
+      "nl" -> "Dank je wel voor alles",
+      "nl" -> "De trein vertrekt om zeven uur",
+      "pt" -> "Ela caminhava devagar pelo jardim tranquilo enquanto as crianças brincavam lá fora",
+      "pt" -> "Onde você colocou as chaves esta manhã",
+      "pt" -> "O tempo tem estado terrível a semana toda",
+      "pt" -> "Eu gostaria de uma xícara de café por favor",
+      "pt" -> "Ele lê o jornal todas as manhãs antes do trabalho",
+      "pt" -> "Muito obrigado por tudo",
+      "pt" -> "O trem sai às sete",
+      "und" -> "Все люди рождаются свободными и равными в своем достоинстве",
+      "und" -> "天下无难事只怕有心人",
+      "und" -> "1234 5678 9012 3456",
+      "und" -> "!!! ??? ... ###")
+    val df = fixture.zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("id", "label", "text")
+    val pred = df
+      .select(col("id"), col("label"),
+        text.langGrams(col("text")).as("gs"))
+      .select(col("id") +: col("label") +:
+        text.langNgramScores(col("gs"))
+          .map { case (l, d) => d.as(s"s_$l") }: _*)
+      .select(col("id"), col("label"),
+        text.langNgramPick(
+          text.langSeeds.map(_._1).map(l => l -> col(s"s_$l")))
+          .as("ngram_pred"))
+      .join(df.select(col("id"),
+        text.langId(col("text")).as("stop_pred")), Seq("id"))
+      .collect()
+    val n = pred.length
+    val accNgram = pred.count(r => r.getString(2) == r.getString(1)).toDouble / n
+    val accStop = pred.count(r => r.getString(3) == r.getString(1)).toDouble / n
+    info(f"labeled fixture n=$n: langIdNgram acc=$accNgram%.3f, " +
+      f"t3 stopword acc=$accStop%.3f")
+    pred.filter(r => r.getString(2) != r.getString(1)).foreach(r =>
+      info(s"ngram miss: label=${r.getString(1)} pred=${r.getString(2)}"))
+    // every und case must route to und (no coin-flip on unseen scripts)
+    pred.filter(_.getString(1) == "und").foreach(r =>
+      assert(r.getString(2) == "und", s"und case predicted ${r.getString(2)}"))
+    assert(accNgram > accStop,
+      f"ngram $accNgram%.3f must beat stopword $accStop%.3f")
+    assert(accNgram >= 0.90, f"ngram accuracy $accNgram%.3f below 0.90")
+  }
+
   test("Fastq.write refuses null fields loudly") {
     val s = spark
     import s.implicits._
