@@ -43,6 +43,35 @@ object Intervals {
       .drop("_island")
   }
 
+  /** bedtools cluster: assign every input interval its overlap-cluster
+    * label without collapsing rows — the grouping step consumers join
+    * on (peak families, CNV region grouping) where [[merge]] would lose
+    * the members. Same island walk and same ONE-exchange contract as
+    * [[merge]]; `maxGap` as there. Divergence from bedtools: cluster
+    * ids are stable per-key labels `key:island` rather than global
+    * input-order ordinals — a global counter is a single-partition
+    * sequence at scale, and the label carries the same grouping
+    * information. Duplicate intervals keep one row each, same label
+    * (the island cumsum is tie-order-proof: equal (start, end) rows can
+    * never straddle an island boundary).
+    */
+  def cluster(intervals: DataFrame, keys: Seq[String] = Seq("chrom"),
+              maxGap: Long = 0L): DataFrame = {
+    require(maxGap >= 0, "cluster: maxGap must be >= 0")
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("start"), col("end"))
+    val prevMax = max(col("end"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val newIsland = when(prevMax.isNull ||
+      col("start") > prevMax + 1 + maxGap, 1L).otherwise(0L)
+    intervals
+      .withColumn("_island", sum(newIsland)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cluster_id",
+        concat_ws(":", kc :+ col("_island"): _*))
+      .drop("_island")
+  }
+
   /** bedtools multiinter: partition each key's axis into the ATOMIC
     * segments between consecutive breakpoints of N labeled interval
     * sets and report, per segment, how many and which sets cover it

@@ -151,7 +151,8 @@ object Similarity {
     * parallel; only list compaction (a batch job) ever reshuffles.
     */
   def coarseAssignRowwise(vectors: DataFrame, codebook: DataFrame,
-                          vId: String = "cid", vVec: String = "cvec")
+                          vId: String = "cid", vVec: String = "cvec",
+                          keep: Seq[String] = Nil)
     : DataFrame = {
     graft.plans.GraftFunctions.register(vectors.sparkSession)
     val cbArr = codebook.agg(collect_list(struct(
@@ -163,10 +164,11 @@ object Similarity {
         .as("cosine"),
       (-c.getField("centId")).as("_negId")))
     vectors.crossJoin(broadcast(cbArr))
-      .select(col(vId).as("vec_id"),
-        array_max(scored).as("_best"))
-      .select(col("vec_id"), (-col("_best._negId")).as("list_id"),
-        col("_best.cosine").as("cosine"))
+      .select(col(vId).as("vec_id") +: keep.map(col) :+
+        array_max(scored).as("_best"): _*)
+      .select(col("vec_id") +: keep.map(col) :+
+        (-col("_best._negId")).as("list_id") :+
+        col("_best.cosine").as("cosine"): _*)
   }
 
   /** IVF (inverted-file) approximate top-k: the corpus is coarsely
@@ -725,6 +727,51 @@ object Similarity {
     * task. Recall is the LSH tradeoff; raise bits for smaller buckets
     * or cap for more candidates.
     */
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate removal over
+    * an embedding corpus — cluster first, then compare cosines ONLY
+    * within clusters, which is what makes the all-pairs problem
+    * tractable: the quadratic term is per-cluster, and the cluster
+    * count scales with the corpus (centStep fixes the vectors-per-
+    * centroid ratio). Clustering is the training-free
+    * [[sampleCodebook]] + [[coarseAssignRowwise]] composition (ZERO
+    * shuffles on the corpus side — swap in [[kmeansCodebook]] for
+    * trained clusters without touching the plan); within a cluster,
+    * a vector is a duplicate when ANY lower-id cluster-mate sits within
+    * the ε-ball (rounded-5 cosine ≥ tau — the portability contract),
+    * so the keeper of every duplicate chain is its smallest id (the
+    * paper keeps a random member; lowest-id is the deterministic
+    * choice). Per-cluster caps are deliberately ABSENT: unlike the
+    * recall-only [[knnGraph]], dropping members would silently KEEP
+    * true duplicates — skewed clusters are the trained-codebook /
+    * larger-nlist tuning knob instead.
+    *
+    * Plan: assignment map-side; the pair join's two sides reuse ONE
+    * cluster-keyed exchange; verdicts (distinct dup ids) join back
+    * id-keyed. Output: (vec_id, cluster_id, dup).
+    */
+  def semDedup(corpus: DataFrame, centStep: Long, tau: Double,
+               cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val assigned = coarseAssignRowwise(corpus,
+      sampleCodebook(corpus, centStep, cId, cVec), cId, cVec,
+      keep = Seq(cVec))
+      .select(col("vec_id"), col(cVec).cast("array<double>").as("_v"),
+        col("list_id"))
+    val l = assigned.select(col("list_id"), col("vec_id").as("id_a"),
+      col("_v").as("_va"))
+    val r = assigned.select(col("list_id"), col("vec_id").as("id_b"),
+      col("_v").as("_vb"))
+    val dupIds = l.join(r, Seq("list_id"))
+      .where(col("id_a") < col("id_b") &&
+        round(call_function("graft_cosine", col("_va"), col("_vb")), 5)
+          >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("list_id").as("cluster_id"))
+      .join(dupIds.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(col("dup"), lit(false)).as("dup"))
+  }
+
   def knnGraph(corpus: DataFrame, k: Int, bits: Int,
                idCol: String = "id", vecCol: String = "vec",
                maxBucketSize: Int = 200): DataFrame = {

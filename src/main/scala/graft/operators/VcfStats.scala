@@ -63,6 +63,60 @@ object VcfStats {
       .otherwise(size(filter(alleles, _ === "1")))
   }
 
+  /** plink `--het`-style per-sample heterozygosity / inbreeding: observed
+    * homozygous count O, expected homozygous count E under HWE with
+    * Nei's small-sample correction (per variant,
+    * 1 − 2p(1−p)·an/(an−1), p from the cohort's called alleles), and
+    * the method-of-moments inbreeding coefficient
+    * F = (O − E)/(N − E) — excess homozygosity flags inbreeding or
+    * contamination-free DNA, deficit flags sample contamination.
+    * Monomorphic sites contribute identically to O, E and N (term = 1),
+    * so including them is exact, not a bias.
+    *
+    * Determinism contract: the per-variant E term is quantized to a
+    * 1e-9 long — its doubles (one divide for p, the pinned product
+    * chain, one divide for the correction) are IEEE-identical on both
+    * engines because every op is correctly rounded and the op ORDER is
+    * pinned — and per-sample sums are exact integer folds. The only
+    * post-aggregation doubles are two divides and the final ratio, with
+    * the +1e-9-before-round(5) tie nudge (and +0.0 signed-zero fix)
+    * both engines share. F is null when N·1e9 == ΣE9 exactly (the
+    * single-variant degenerate plink reports nan).
+    *
+    * Plan: one variant-keyed conditional-sum groupBy (ac/an partials),
+    * the per-call frame re-joins it ON THE SAME KEY (exchange reuse),
+    * then ONE sample-keyed groupBy of integer partials.
+    */
+  def hetStats(gts: DataFrame): DataFrame = {
+    val rows = gts
+      .select(col("varId"), col("sample"), dosage(col("gt")).as("_d"))
+      .where(col("_d").isNotNull)
+    val vstats = rows.groupBy("varId")
+      .agg(sum(col("_d")).cast("long").as("ac"),
+        (count(lit(1)) * 2).as("an"))
+    val p = col("ac").cast("double") / col("an").cast("double")
+    val corr = col("an").cast("double") /
+      (col("an").cast("double") - lit(1.0))
+    val e9 = vstats.select(col("varId"),
+      floor((lit(1.0) - lit(2.0) * p * (lit(1.0) - p) * corr) * 1e9 +
+        lit(0.5)).cast("long").as("e9"))
+    val perSample = rows.join(e9, Seq("varId"))
+      .groupBy("sample")
+      .agg(count(lit(1)).as("n_nm"),
+        sum(when(col("_d") =!= 1, 1L).otherwise(0L)).as("o_hom"),
+        sum(col("e9")).cast("long").as("e9s"))
+    perSample.select(
+      col("sample"), col("o_hom"),
+      round(col("e9s") / lit(1e9) + lit(1e-9), 5).as("e_hom"),
+      col("n_nm"),
+      when(col("n_nm") * lit(1000000000L) === col("e9s"),
+        lit(null).cast("double"))
+        .otherwise(round(
+          (col("o_hom") - col("e9s") / lit(1e9)) /
+            (col("n_nm") - col("e9s") / lit(1e9)) + lit(1e-9), 5) +
+          lit(0.0)).as("f"))
+  }
+
   /** plink `--genome`-style IBS sharing per sample pair: over variants
     * where BOTH samples are called, the identity-by-state class counts
     * (|dA−dB| = 2 → ibs0, 1 → ibs1, 0 → ibs2) and the DST similarity

@@ -1498,6 +1498,18 @@ object Documents {
       Similarity.rangeCosine(q, c, threshold = 0.25)
     }),
 
+    "d24_semdedup" -> ((s, dir) => {
+      // SemDeDup: embedding-space near-dup removal — coarse-cluster
+      // (zero-shuffle rowwise assignment), cosine compare ONLY within
+      // clusters (one reused cluster exchange), lowest id of each
+      // ε-ball chain survives. tau sits at the synthetic corpus' 99.9th
+      // cosine percentile so both verdicts fire in the gate.
+      val emb = t(s, dir, "embeddings")
+      val c = emb.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec"))
+      Similarity.semDedup(c, centStep = 64, tau = 0.35)
+    }),
+
     "e15_stream_assign" -> ((s, dir) => {
       // the STREAMING IVF ingest assignment, batch-equivalently: every
       // vector picks its coarse list via the row-wise codebook fold —
@@ -3900,6 +3912,35 @@ object Documents {
          |  JOIN (SELECT vec_id AS cid2, embedding AS cv FROM embeddings) ce
          |    ON a.cid = ce.cid2)
          |SELECT qid, cid, cosine FROM s WHERE cosine >= 0.25""".stripMargin,
+
+    // d24: s3's coarse-assignment CTE, then within-cluster pairs only —
+    // a vector is dup when any lower-id cluster-mate's rounded cosine
+    // clears tau
+    "d24_semdedup" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS centid, embedding AS centv FROM embeddings
+         |  WHERE vec_id % 64 = 0),
+         |a0 AS (
+         |  SELECT ev.vec_id AS vid, c.centid, round($cosineSql, 5)
+         |    AS cosine
+         |  FROM (SELECT vec_id, embedding AS qv FROM embeddings) ev,
+         |       (SELECT centid, centv AS cv FROM cents) c),
+         |assign AS (
+         |  SELECT vid, centid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vid
+         |      ORDER BY cosine DESC, centid) AS r FROM a0) WHERE r = 1),
+         |m AS (
+         |  SELECT a.vid, a.centid, e.embedding
+         |  FROM assign a JOIN embeddings e ON a.vid = e.vec_id),
+         |dups AS (
+         |  SELECT DISTINCT b.vid AS vid
+         |  FROM (SELECT vid, centid, embedding AS qv FROM m) a
+         |  JOIN (SELECT vid, centid, embedding AS cv FROM m) b
+         |    USING (centid)
+         |  WHERE a.vid < b.vid AND round($cosineSql, 5) >= 0.35)
+         |SELECT m.vid AS vec_id, m.centid AS cluster_id,
+         |  d.vid IS NOT NULL AS dup
+         |FROM m LEFT JOIN dups d ON m.vid = d.vid""".stripMargin,
 
     "s3_ivf_ann" ->
       s"""WITH cents AS (

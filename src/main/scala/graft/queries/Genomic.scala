@@ -160,6 +160,16 @@ object Genomic {
         s"${GenomicFixtures.rawDir}/aligned.sam"))
     }),
 
+    "sam2_markdup" -> ((s, _) => {
+      // samtools markdup: unclipped-5' template signatures (soft-clip
+      // arithmetic, both ends for pairs), best-quality template kept,
+      // secondaries inherit their primary's verdict via the qname join;
+      // template collapse + signature window + verdict join — three
+      // key-partitioned exchanges, nothing read-scale broadcast
+      graft.operators.MarkDup.markDuplicates(
+        graft.sources.Sam.read(s, s"$raw/dupreads.sam"))
+    }),
+
     "g10_vcf_stats" -> ((s, _) => {
       // bcftools-stats-style per-chrom variant classes + ti/tv over the
       // normalized rows: one groupBy(chrom) of conditional sums
@@ -260,6 +270,18 @@ object Genomic {
       // same-key aggregation (no second shuffle)
       prep(s)
       graft.operators.Intervals.merge(
+        s.read.parquet(s"$fx/gtf.parquet")
+          .where(col("feature").isin("transcript", "exon"))
+          .select(col("seqname").as("chrom"), col("start"), col("end")))
+    }),
+
+    "g48_interval_cluster" -> ((s, _) => {
+      // bedtools cluster: every interval keeps its row and gains its
+      // overlap-cluster label (stable chrom:island, not a global
+      // ordinal) — g26's island walk without the collapse; one (chrom)
+      // exchange
+      prep(s)
+      graft.operators.Intervals.cluster(
         s.read.parquet(s"$fx/gtf.parquet")
           .where(col("feature").isin("transcript", "exon"))
           .select(col("seqname").as("chrom"), col("start"), col("end")))
@@ -377,6 +399,16 @@ object Genomic {
       // id:alt so multi-allelic split rows stay distinct variants.
       prep(s)
       graft.operators.VcfStats.hardyWeinberg(gtsWithVarId(s)
+        .where(col("chrom") =!= "X"))
+    }),
+
+    "g47_het" -> ((s, _) => {
+      // plink --het: per-sample observed vs HWE-expected homozygosity
+      // (Nei-corrected) and the method-of-moments inbreeding F; one
+      // variant-keyed agg + same-key join + one sample-keyed agg, the
+      // E term quantized to 1e-9 longs so sums are partition-order-proof
+      prep(s)
+      graft.operators.VcfStats.hetStats(gtsWithVarId(s)
         .where(col("chrom") =!= "X"))
     }),
 
@@ -943,6 +975,70 @@ object Genomic {
          |  END AS ref_end
          |FROM p""".stripMargin,
 
+    // sam2: the same SAM parse against dupreads.sam, then the markdup
+    // walk replayed relationally — unclipped-5' keys from clip-run
+    // regexes, qname template collapse, signature window, verdict join.
+    // All-integer (clip sums, Phred sums), so no FP divergence.
+    "sam2_markdup" ->
+      s"""WITH lines AS (
+         |  SELECT unnest(string_split(content, chr(10))) AS l
+         |  FROM read_text('$raw/dupreads.sam')),
+         |a AS (
+         |  SELECT string_split(l, chr(9)) AS f FROM lines
+         |  WHERE len(trim(l)) > 0 AND NOT starts_with(l, '@')),
+         |p AS (
+         |  SELECT f[1] AS qname, CAST(f[2] AS INT) AS flag,
+         |    nullif(f[3], '*') AS rname,
+         |    nullif(CAST(f[4] AS BIGINT), 0) AS pos,
+         |    f[6] AS cigar, nullif(f[11], '*') AS qual
+         |  FROM a),
+         |pe AS (
+         |  SELECT p.*,
+         |    CASE WHEN pos IS NOT NULL AND cigar <> '*' THEN
+         |      pos + CAST(list_sum(list_transform(
+         |        regexp_extract_all(cigar, '(\\d+)([MIDNSHP=X])', 0),
+         |        tok -> CASE WHEN right(tok, 1) IN
+         |            ('M', 'D', 'N', '=', 'X')
+         |          THEN CAST(regexp_extract(tok, '(\\d+)', 1) AS BIGINT)
+         |          ELSE 0 END)) AS BIGINT) - 1
+         |    END AS ref_end
+         |  FROM p),
+         |el AS (
+         |  SELECT qname,
+         |    concat_ws(':', rname,
+         |      CASE WHEN (flag & 16) <> 0
+         |        THEN ref_end + coalesce(CAST(list_sum(list_transform(
+         |          regexp_extract_all(regexp_extract(cigar,
+         |            '((?:\\d+[SH])+)$$', 1), '\\d+', 0),
+         |          x -> CAST(x AS BIGINT))) AS BIGINT), 0)
+         |        ELSE pos - coalesce(CAST(list_sum(list_transform(
+         |          regexp_extract_all(regexp_extract(cigar,
+         |            '^((?:\\d+[SH])+)', 1), '\\d+', 0),
+         |          x -> CAST(x AS BIGINT))) AS BIGINT), 0) END,
+         |      CASE WHEN (flag & 16) <> 0 THEN '-' ELSE '+' END)
+         |      AS end_sig,
+         |    CASE WHEN qual IS NULL THEN 0
+         |      ELSE CAST(list_sum(list_transform(
+         |        range(1, length(qual) + 1),
+         |        i -> ascii(substring(qual, CAST(i AS INT), 1)) - 33))
+         |        AS BIGINT) END AS qs
+         |  FROM pe
+         |  WHERE pos IS NOT NULL AND (flag & 4) = 0 AND (flag & 256) = 0
+         |    AND (flag & 2048) = 0),
+         |t AS (
+         |  SELECT qname,
+         |    array_to_string(list_sort(list(end_sig)), '|') AS sig,
+         |    CAST(sum(qs) AS BIGINT) AS score
+         |  FROM el GROUP BY qname),
+         |v AS (
+         |  SELECT qname,
+         |    row_number() OVER (PARTITION BY sig
+         |      ORDER BY score DESC, qname ASC) > 1 AS dup
+         |  FROM t)
+         |SELECT pe.qname, pe.flag, pe.rname, pe.pos,
+         |  coalesce(v.dup, false) AS dup
+         |FROM pe LEFT JOIN v USING (qname)""".stripMargin,
+
     "g26_interval_merge" ->
       s"""WITH iv AS (
          |  SELECT seqname AS chrom, CAST(start AS BIGINT) AS s,
@@ -963,6 +1059,29 @@ object Genomic {
          |SELECT chrom, min(s) AS merged_start, max(e) AS merged_end,
          |  CAST(count(*) AS BIGINT) AS n_intervals
          |FROM i GROUP BY chrom, island""".stripMargin,
+
+    // g48: g26's island walk, emitted per input row with the
+    // chrom:island label instead of collapsed
+    "g48_interval_cluster" ->
+      s"""WITH iv AS (
+         |  SELECT seqname AS chrom, CAST(start AS BIGINT) AS start,
+         |    CAST("end" AS BIGINT) AS "end"
+         |  FROM ${pq("gtf")} WHERE feature IN ('transcript', 'exon')),
+         |o AS (
+         |  SELECT chrom, start, "end",
+         |    max("end") OVER (PARTITION BY chrom ORDER BY start, "end"
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM iv),
+         |i AS (
+         |  SELECT chrom, start, "end",
+         |    sum(CASE WHEN pm IS NULL OR start > pm + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY chrom ORDER BY start, "end"
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS island
+         |  FROM o)
+         |SELECT chrom, start, "end",
+         |  chrom || ':' || island AS cluster_id
+         |FROM i""".stripMargin,
 
     "g27_interval_subtract" ->
       s"""WITH lines AS (
@@ -1659,6 +1778,52 @@ object Genomic {
          |FROM d2 c JOIN t ON c.sample = t.child
          |JOIN d2 m ON m."varId" = c."varId" AND m.sample = t.mother
          |JOIN d2 f ON f."varId" = c."varId" AND f.sample = t.father""".stripMargin,
+
+    // g47: the dd dosage chain, Nei-corrected per-variant E terms
+    // quantized to 1e-9 longs (the pinned-order double contract), exact
+    // integer per-sample sums, then the two final divides + nudged
+    // round the Spark side replays verbatim.
+    "g47_het" ->
+      s"""WITH g AS (
+         |  SELECT id || ':' || alt AS vid,
+         |    unnest(genotypes) AS gt,
+         |    unnest(range(1, len(genotypes) + 1)) AS si
+         |  FROM ${pq("vcf_norm")} WHERE chrom <> 'X'),
+         |dd AS (
+         |  SELECT vid, 'S' || si AS sample,
+         |    CASE WHEN list_contains(str_split_regex(gt, '\\||/'), '.')
+         |      THEN NULL
+         |      ELSE len(list_filter(str_split_regex(gt, '\\||/'),
+         |        a -> a = '1')) END AS dd
+         |  FROM g),
+         |vs AS (
+         |  SELECT vid, CAST(sum(dd) AS BIGINT) AS ac,
+         |    CAST(2 * count(dd) AS BIGINT) AS an
+         |  FROM dd WHERE dd IS NOT NULL GROUP BY vid),
+         |e AS (
+         |  SELECT vid, CAST(floor((1.0
+         |      - 2.0 * (CAST(ac AS DOUBLE) / CAST(an AS DOUBLE))
+         |      * (1.0 - CAST(ac AS DOUBLE) / CAST(an AS DOUBLE))
+         |      * (CAST(an AS DOUBLE) / (CAST(an AS DOUBLE) - 1.0)))
+         |      * 1e9 + 0.5) AS BIGINT) AS e9
+         |  FROM vs),
+         |ps AS (
+         |  SELECT d.sample,
+         |    CAST(count(*) AS BIGINT) AS n_nm,
+         |    CAST(sum(CASE WHEN d.dd <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS o_hom,
+         |    CAST(sum(e.e9) AS BIGINT) AS e9s
+         |  FROM dd d JOIN e USING (vid)
+         |  WHERE d.dd IS NOT NULL
+         |  GROUP BY 1)
+         |SELECT sample, o_hom,
+         |  round(e9s / 1e9 + 1e-9, 5) AS e_hom,
+         |  n_nm,
+         |  CASE WHEN n_nm * 1000000000 = e9s THEN NULL
+         |    ELSE round((o_hom - e9s / 1e9) / (n_nm - e9s / 1e9)
+         |      + 1e-9, 5) + 0.0
+         |  END AS f
+         |FROM ps""".stripMargin,
 
     "g16_hwe" ->
       s"""WITH g AS (

@@ -634,6 +634,22 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
 
+    // cluster: labels must be exactly the merge partition — per
+    // cluster_id, (min start, max end, member count) reproduces merge's
+    // rows, and every input row keeps exactly one labeled output row
+    val mergedFull = graft.operators.Intervals.merge(bDf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val clustered = graft.operators.Intervals.cluster(bDf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(clustered.length == bIv.length)
+    val byCluster = clustered.groupBy(_._4).values.map { ivs =>
+      (ivs.head._1, ivs.map(_._2).min, ivs.map(_._3).max,
+        ivs.length.toLong)
+    }.toSet
+    assert(byCluster == mergedFull)
+
     // subtract: surviving bases == A bases minus B bases, per A row
     val out = graft.operators.Intervals
       .subtract(aDf, bDf, Seq("chrom"), Seq("id"), binSize = 16)

@@ -374,6 +374,39 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("http://a.com/y") == ((1L, 3L, "3")))
   }
 
+  test("hetStats: Nei-corrected expected hom, F pins — all-hom sample " +
+    "F=1, het-excess F<0, missing call shrinks N") {
+    val s = spark
+    import s.implicits._
+    // v1: s1 0|0, s2 0|1, s3 1|1, s4 0|0 -> ac 3, an 8
+    // v2: s1 0|1, s2 0|1, s3 missing, s4 1|1 -> ac 4, an 6
+    val gts = Seq(
+      ("v1", "s1", "0|0"), ("v1", "s2", "0|1"),
+      ("v1", "s3", "1|1"), ("v1", "s4", "0|0"),
+      ("v2", "s1", "0|1"), ("v2", "s2", "0|1"),
+      ("v2", "s3", ".|."), ("v2", "s4", "1|1"))
+      .toDF("varId", "sample", "gt")
+    val out = VcfStats.hetStats(gts).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 4)
+    // hand terms: v1 e = 1 - 2*(3/8)*(5/8)*(8/7) = 0.464285714 (9dp),
+    //             v2 e = 1 - 2*(2/3)*(1/3)*(6/5) = 0.466666667
+    val e1 = 0.464285714; val e2 = 0.466666667
+    def f(o: Long, n: Long, e: Double) = (o - e) / (n - e)
+    val s1 = out("s1") // v1 hom, v2 het: O=1 N=2
+    assert(s1.getLong(1) == 1 && s1.getLong(3) == 2)
+    assert(math.abs(s1.getDouble(2) - (e1 + e2)) < 1e-5)
+    assert(math.abs(s1.getDouble(4) - f(1, 2, e1 + e2)) < 1e-5)
+    // s2 all-het: F strongly negative
+    assert(out("s2").getLong(1) == 0 &&
+      out("s2").getDouble(4) < -0.8)
+    // s3: only v1 called (missing v2 call invisible), all hom -> F = 1
+    assert(out("s3").getLong(3) == 1 &&
+      out("s3").getDouble(4) == 1.0)
+    // s4 all-hom across both variants -> F = 1
+    assert(out("s4").getLong(1) == 2 && out("s4").getDouble(4) == 1.0)
+  }
+
   test("hardyWeinberg: counts, MAF, chi-square; monomorphic -> null") {
     val s = spark
     import s.implicits._

@@ -304,6 +304,29 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("semDedup: near-identical cluster-mates mark the higher id, " +
+    "chains keep only the lowest, far mates and singletons survive") {
+    val s = spark
+    import s.implicits._
+    // centStep=3 -> centroids ids 0 (x-axis) and 3 (y-axis)
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),      // centroid/cluster A anchor -> keep
+      (1L, Seq(0.999f, 0.04f)),   // ~id0 (cos .9992) -> dup
+      (2L, Seq(0.7f, 0.714f)),    // cluster B, cos vs id3 = .714 -> keep
+      (3L, Seq(0.0f, 1.0f)),      // centroid/cluster B anchor -> keep
+      (4L, Seq(0.04f, 0.999f)),   // ~id3 -> dup
+      (5L, Seq(0.05f, 0.9995f))   // ~id3 AND ~id4: chain -> dup
+    ).toDF("cid", "cvec")
+    val out = Similarity.semDedup(vecs, centStep = 3, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out.size == 6)
+    assert(out(0L) == ((0L, false)) && out(1L) == ((0L, true)))
+    assert(out(3L) == ((3L, false)) && out(4L) == ((3L, true)) &&
+      out(5L) == ((3L, true)))
+    assert(out(2L)._1 == 3L && !out(2L)._2, "far cluster-mate survives")
+  }
+
   test("mmrRerank diversifies: duplicate top hits defer to a distinct " +
     "candidate, ties resolve to min id (hand-walked rounds)") {
     val s = spark

@@ -260,6 +260,34 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.operators.Coverage.coverage(mapped).count() > 0)
   }
 
+  test("markDuplicates: unclipped-5' keys (soft clips, reverse ends), " +
+    "pair signatures, quality winner, secondary inherits, unmapped " +
+    "unmarked") {
+    val out = graft.operators.MarkDup.markDuplicates(
+      graft.sources.Sam.read(spark,
+        s"${graft.fixtures.GenomicFixtures.rawDir}/dupreads.sam"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        r.getBoolean(r.fieldIndex("dup"))).toMap
+    assert(out.size == 15)
+    // forward group at unclipped 25: s1 (qual 800) kept; s2 (400) and
+    // the soft-clip-shifted s3 (pos 27, 2S18M -> 25; 640) duplicates
+    assert(!out(("s1", 0)) && out(("s2", 0)) && out(("s3", 0)))
+    // s2's secondary alignment inherits the duplicate verdict
+    assert(out(("s2", 256)))
+    // reverse group keyed on unclipped END 59: s4 kept; s5 (leading
+    // clip is read-3' on reverse: end unmoved) and s6 (trailing clip
+    // extends 57 -> 59) duplicates
+    assert(!out(("s4", 16)) && out(("s5", 16)) && out(("s6", 16)))
+    // pair group: p2 duplicates p1 on BOTH ends (both mates marked);
+    // p3 shares only the forward end -> distinct signature, kept
+    assert(!out(("p1", 99)) && !out(("p1", 147)))
+    assert(out(("p2", 99)) && out(("p2", 147)))
+    assert(!out(("p3", 99)) && !out(("p3", 147)))
+    // unique single and unmapped read pass through unmarked
+    assert(!out(("u1", 0)) && !out(("um1", 4)))
+  }
+
   test("chain file: block walk accumulates t/q offsets, bare last line, " +
     "minus-strand header carried through") {
     val b = graft.sources.Chain

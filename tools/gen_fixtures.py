@@ -604,3 +604,53 @@ fastq_rows = [
 with open(os.path.join(OUT, "reads.fastq"), "w") as f:
     for h, s, p, q in fastq_rows:
         f.write("@%s\n%s\n%s\n%s\n" % (h, s, p, q))
+
+# ---- markdup SAM fixture (sam2_markdup) ---------------------------------
+# Duplicate-marking needs reads that SHARE unclipped-5' signatures:
+# soft-clip-shifted forward starts, reverse-strand reads whose duplicate
+# key is the unclipped END, and full pairs whose BOTH ends must match.
+# Quality sums decide the kept read; qname breaks ties.
+dup_rows = [
+    "@HD\tVN:1.6\tSO:coordinate",
+    "@SQ\tSN:1\tLN:180",
+    "@SQ\tSN:X\tLN:120",
+    # -- forward single-end group A: unclipped 5' = 25 on chrom 1 --------
+    # s1: plain 20M at 25, qual I (phred 40) x20 = 800 -> kept
+    "s1\t0\t1\t25\t60\t20M\t*\t0\t0\t" + "A" * 20 + "\t" + "I" * 20,
+    # s2: same span, qual 5 (phred 20) x20 = 400 -> duplicate
+    "s2\t0\t1\t25\t60\t20M\t*\t0\t0\t" + "A" * 20 + "\t" + "5" * 20,
+    # s3: 2S18M at 27 -> unclipped 5' = 27 - 2 = 25, qual A (32) x20 =
+    # 640 -> duplicate (the soft-clip case naive pos-grouping misses)
+    "s3\t0\t1\t27\t60\t2S18M\t*\t0\t0\t" + "A" * 20 + "\t" + "A" * 20,
+    # -- reverse single-end group B: unclipped END = 59 on chrom 1 -------
+    # s4: 10M at 50 reverse -> end 59, qual I x10 = 400 -> kept
+    "s4\t16\t1\t50\t60\t10M\t*\t0\t0\t" + "C" * 10 + "\t" + "I" * 10,
+    # s5: 2S8M at 52 reverse -> end 52+8-1 = 59 (leading clip is
+    # read-3' on reverse strand: does NOT move the key), 200 -> dup
+    "s5\t16\t1\t52\t60\t2S8M\t*\t0\t0\t" + "C" * 10 + "\t" + "5" * 10,
+    # s6: 6M2S at 52 reverse -> end 57 + trailing clip 2 = 59, 256 -> dup
+    "s6\t16\t1\t52\t60\t6M2S\t*\t0\t0\t" + "C" * 8 + "\t" + "A" * 8,
+    # -- pair group C: both-end signature (1:100:+, 1:139:-) -------------
+    # p1: qual I on both mates (sum 1600) -> kept
+    "p1\t99\t1\t100\t60\t10M\t=\t130\t40\t" + "G" * 10 + "\t" + "I" * 10,
+    "p1\t147\t1\t130\t60\t10M\t=\t100\t-40\t" + "G" * 10 + "\t" + "I" * 10,
+    # p2: same two 5' keys, qual 5 (sum 800) -> both mates duplicates
+    "p2\t99\t1\t100\t60\t10M\t=\t130\t40\t" + "G" * 10 + "\t" + "5" * 10,
+    "p2\t147\t1\t130\t60\t10M\t=\t100\t-40\t" + "G" * 10 + "\t" + "5" * 10,
+    # p3: same forward key but mate at 140 -> different pair signature,
+    # NOT a duplicate of p1/p2 despite sharing one end
+    "p3\t99\t1\t100\t60\t10M\t=\t140\t50\t" + "G" * 10 + "\t" + "I" * 10,
+    "p3\t147\t1\t140\t60\t10M\t=\t100\t-50\t" + "G" * 10 + "\t" + "I" * 10,
+    # -- controls --------------------------------------------------------
+    # u1: unique position, group of one -> kept
+    "u1\t0\tX\t5\t60\t5M\t*\t0\t0\t" + "T" * 5 + "\t" + "I" * 5,
+    # um1: unmapped -> ineligible, reported unmarked
+    "um1\t4\t*\t0\t0\t*\t*\t0\t0\t" + "N" * 6 + "\t" + "#" * 6,
+    # sec1: secondary of s2's template -> inherits s2's duplicate verdict
+    "sec1\t256\tX\t90\t0\t5M\t*\t0\t0\t*\t*",
+]
+# sec1 shares qname with s2 via the qname field below: rename line
+dup_rows = [r if not r.startswith("sec1") else
+            "s2\t256\tX\t90\t0\t5M\t*\t0\t0\t*\t*" for r in dup_rows]
+with open(os.path.join(OUT, "dupreads.sam"), "w") as f:
+    f.write("\n".join(dup_rows) + "\n")
