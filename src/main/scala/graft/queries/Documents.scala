@@ -1498,6 +1498,16 @@ object Documents {
       Similarity.rangeCosine(q, c, threshold = 0.25)
     }),
 
+    "w8_sitemap" -> ((s, dir) => {
+      // sitemaps.org source: the crawl-frontier seed feed next to w4's
+      // robots politeness — <url> block explode + per-field regex, loc
+      // entity-decoded, optional fields null; one row per file scales
+      // per sitemap (spec caps a file at 50 MB)
+      graft.sources.Sitemap.read(s,
+        s"${graft.fixtures.GenomicFixtures.rawDir}/sitemap.xml")
+        .drop("sitemap_uri")
+    }),
+
     "d24_semdedup" -> ((s, dir) => {
       // SemDeDup: embedding-space near-dup removal — coarse-cluster
       // (zero-shuffle rowwise assignment), cosine compare ONLY within
@@ -3119,6 +3129,38 @@ object Documents {
     "j1_jsonl" ->
       s"""SELECT doc_id, lang, md5(text) AS fp
          |FROM read_json_auto('$jsonlPath/*.json')""".stripMargin,
+
+    // w8: the same block/field regexes over the raw XML — parallel
+    // unnest keeps block order for url_idx
+    "w8_sitemap" ->
+      s"""WITH f AS (
+         |  SELECT regexp_extract_all(content, '(?s)<url>(.*?)</url>', 1)
+         |    AS l
+         |  FROM read_text('${graft.fixtures.GenomicFixtures.rawDir}/sitemap.xml')),
+         |b AS (
+         |  SELECT unnest(l) AS b,
+         |    unnest(range(1, len(l) + 1)) AS i
+         |  FROM f),
+         |x AS (
+         |  SELECT i - 1 AS url_idx,
+         |    trim(nullif(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1),
+         |      '')) AS loc0,
+         |    nullif(regexp_extract(b, '(?s)<lastmod>(.*?)</lastmod>', 1),
+         |      '') AS lastmod0,
+         |    nullif(regexp_extract(b,
+         |      '(?s)<changefreq>(.*?)</changefreq>', 1), '')
+         |      AS changefreq,
+         |    nullif(regexp_extract(b, '(?s)<priority>(.*?)</priority>', 1),
+         |      '') AS priority0
+         |  FROM b)
+         |SELECT CAST(url_idx AS BIGINT) AS url_idx,
+         |  replace(replace(replace(replace(replace(loc0,
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |    '&apos;', chr(39)), '&amp;', '&') AS loc,
+         |  CAST(lastmod0 AS DATE) AS lastmod,
+         |  changefreq,
+         |  TRY_CAST(priority0 AS DOUBLE) AS priority
+         |FROM x WHERE loc0 IS NOT NULL""".stripMargin,
 
     "w1_warc_read" ->
       s"""WITH recs AS (

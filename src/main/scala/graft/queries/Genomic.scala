@@ -275,6 +275,28 @@ object Genomic {
           .select(col("seqname").as("chrom"), col("start"), col("end")))
     }),
 
+    "g49_annotate" -> ((s, _) => {
+      // bcftools annotate -a regions.bed: variants gain the names of
+      // every overlapping BED region, comma-joined sorted (bcftools'
+      // multi-hit join), null when none; the BED's chr-prefixed naming
+      // normalizes to the VCF's bare contigs (THE classic annotation
+      // mismatch). Binned containment join + variant-keyed sorted
+      // collect + left join keeps unannotated variants.
+      prep(s)
+      val variants = s.read.parquet(s"$fx/vcf_norm.parquet")
+        .select(col("chrom"), col("pos"), col("id"), col("alt"))
+      val regions = graft.sources.Bed.toIntervals(
+        graft.sources.Bed.read(s, s"${GenomicFixtures.rawDir}/regions.bed"))
+        .select(regexp_replace(col("chrom"), "^chr", "").as("chrom"),
+          col("start"), col("end"), col("name"))
+      val hits = IntervalJoin
+        .pointsInIntervals(variants, regions, Seq("chrom"), binSize = 20)
+        .groupBy(col("chrom"), col("pos"), col("id"), col("alt"))
+        .agg(array_join(array_sort(collect_list(col("name"))), ",")
+          .as("annots"))
+      variants.join(hits, Seq("chrom", "pos", "id", "alt"), "left")
+    }),
+
     "g48_interval_cluster" -> ((s, _) => {
       // bedtools cluster: every interval keeps its row and gains its
       // overlap-cluster label (stable chrom:island, not a global
@@ -1059,6 +1081,31 @@ object Genomic {
          |SELECT chrom, min(s) AS merged_start, max(e) AS merged_end,
          |  CAST(count(*) AS BIGINT) AS n_intervals
          |FROM i GROUP BY chrom, island""".stripMargin,
+
+    // g49: the b1 BED parse with chr-prefix normalization, a BETWEEN
+    // containment join, sorted comma-joined names, LEFT JOIN keeps
+    // unannotated variants
+    "g49_annotate" ->
+      s"""WITH bed AS (
+         |  SELECT regexp_replace(c0, '^chr', '') AS chrom,
+         |    CAST(c1 AS BIGINT) + 1 AS s,
+         |    greatest(CAST(c2 AS BIGINT), CAST(c1 AS BIGINT) + 1) AS e,
+         |    NULLIF(c3, '.') AS name
+         |  FROM read_csv('$raw/regions.bed', delim='\t', header=false,
+         |    null_padding=true, all_varchar=true,
+         |    names=['c0','c1','c2','c3','c4','c5'])
+         |  WHERE NOT starts_with(c0, 'track')
+         |    AND NOT starts_with(c0, 'browser')
+         |    AND NOT starts_with(c0, '#')),
+         |v AS (SELECT chrom, pos, id, alt FROM ${pq("vcf_norm")}),
+         |h AS (
+         |  SELECT v.chrom, v.pos, v.id, v.alt,
+         |    array_to_string(list_sort(list(b.name)), ',') AS annots
+         |  FROM v JOIN bed b
+         |    ON v.chrom = b.chrom AND v.pos BETWEEN b.s AND b.e
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT v.chrom, v.pos, v.id, v.alt, h.annots
+         |FROM v LEFT JOIN h USING (chrom, pos, id, alt)""".stripMargin,
 
     // g48: g26's island walk, emitted per input row with the
     // chrom:island label instead of collapsed

@@ -33,4 +33,9 @@ private[sources] object Casts {
   def tryDouble(c: Column): Column =
     when(c.rlike("^-?[0-9]*\\.?[0-9]+([eE][-+]?[0-9]+)?$"),
       c.cast("double"))
+
+  // ISO date only (the sitemaps/feeds subset) — anything else nulls
+  // instead of throwing in the ANSI cast
+  def tryDate(c: Column): Column =
+    when(c.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), c.cast("date"))
 }

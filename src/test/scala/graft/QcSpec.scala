@@ -374,6 +374,21 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("http://a.com/y") == ((1L, 3L, "3")))
   }
 
+  test("g49 annotate: multi-hit names comma-join sorted, chr prefix " +
+    "normalized, unannotated variants survive with null") {
+    val rows = graft.queries.Genomic
+      .queries("g49_annotate")(spark, "unused")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(4))))
+    // rs11 at 1:150 sits in promoter_A [101,200] AND tss_G [121,160] —
+    // names sorted; the BED said chr1, the VCF says 1
+    assert(rows.filter(t => t._1 == "1" && t._2 == 150L)
+      .map(_._3).toSeq == Seq(Some("promoter_A,tss_G")))
+    // everything else in the fixture is outside every region (incl.
+    // both rs5 multi-allelic split rows at 1:31)
+    assert(rows.length == 13 && rows.count(_._3.isEmpty) == 12)
+  }
+
   test("hetStats: Nei-corrected expected hom, F pins — all-hom sample " +
     "F=1, het-excess F<0, missing call shrinks N") {
     val s = spark

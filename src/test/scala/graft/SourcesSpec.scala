@@ -288,6 +288,30 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out(("u1", 0)) && !out(("um1", 4)))
   }
 
+  test("Sitemap.parse: block order, loc trim + entity decode, optional " +
+    "fields null, malformed priority/lastmod null not throw") {
+    val s = spark
+    import s.implicits._
+    val body = """<urlset>
+      |<url><loc> http://a/?x=1&amp;y=&lt;2&gt; </loc>
+      |<lastmod>2024-02-29</lastmod><priority>0.5</priority></url>
+      |<url><loc>http://b/</loc><lastmod>yesterday</lastmod>
+      |<priority>high</priority></url>
+      |<url><changefreq>daily</changefreq></url>
+      |</urlset>""".stripMargin
+    val out = graft.sources.Sitemap
+      .parse(Seq(("sm", body)).toDF("uri", "body"))
+      .collect()
+    // the loc-less block drops; order preserved
+    assert(out.length == 2)
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L))
+    assert(out(0).getString(2) == "http://a/?x=1&y=<2>")
+    assert(out(0).getDate(3).toString == "2024-02-29" &&
+      out(0).getDouble(5) == 0.5)
+    // malformed lastmod/priority null instead of ANSI-throwing
+    assert(out(1).isNullAt(3) && out(1).isNullAt(5))
+  }
+
   test("chain file: block walk accumulates t/q offsets, bare last line, " +
     "minus-strand header carried through") {
     val b = graft.sources.Chain

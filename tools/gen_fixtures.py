@@ -654,3 +654,30 @@ dup_rows = [r if not r.startswith("sec1") else
             "s2\t256\tX\t90\t0\t5M\t*\t0\t0\t*\t*" for r in dup_rows]
 with open(os.path.join(OUT, "dupreads.sam"), "w") as f:
     f.write("\n".join(dup_rows) + "\n")
+
+# ---- sitemap fixture (src_sitemap) --------------------------------------
+# One urlset sitemap with the fields a crawler schedules on: loc
+# (entity-encoded ampersand, surrounding whitespace), optional lastmod /
+# changefreq / priority in every combination, a multi-line <url> block
+# and a single-line one.
+sitemap = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>http://example.com/</loc>
+    <lastmod>2024-01-05</lastmod>
+    <changefreq>daily</changefreq>
+    <priority>1.0</priority>
+  </url>
+  <url>
+    <loc> http://example.com/docs/a?x=1&amp;y=2 </loc>
+    <lastmod>2023-11-30</lastmod>
+    <priority>0.8</priority>
+  </url>
+  <url><loc>http://example.com/docs/b</loc><changefreq>weekly</changefreq></url>
+  <url>
+    <loc>http://example.com/archive</loc>
+  </url>
+</urlset>
+"""
+with open(os.path.join(OUT, "sitemap.xml"), "w") as f:
+    f.write(sitemap)
