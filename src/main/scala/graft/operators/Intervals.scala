@@ -72,6 +72,35 @@ object Intervals {
       .drop("_island")
   }
 
+  /** bedtools slop: widen every interval by `left`/`right` bases,
+    * clipped to the chromosome bounds — the flanking-context step
+    * before motif scans or g2-family joins. `genome` is the (chrom,
+    * length) dictionary (bedtools' -g file); the join is broadcast
+    * (a reference dictionary is KBs at any corpus scale), the interval
+    * scan never shuffles. Lower bound always clips to 1; the upper
+    * bound clips only when the chromosome's length is known —
+    * bedtools hard-errors on a chrom missing from -g, but a 100 TB
+    * multi-source interval set routinely carries contigs the
+    * dictionary lacks, so passing them through un-clipped (documented)
+    * beats failing the scan. An interval lying entirely beyond a known
+    * chromosome end collapses to the [len, len] boundary stub —
+    * bedtools' zero-length clamp expressed in 1-based inclusive terms.
+    */
+  def slop(intervals: DataFrame, genome: DataFrame,
+           left: Long, right: Long): DataFrame = {
+    require(left >= 0 && right >= 0, "slop: pads must be >= 0")
+    intervals
+      .join(broadcast(genome.select(col("chrom"),
+        col("length").as("_glen"))), Seq("chrom"), "left")
+      .withColumn("start", when(col("_glen").isNotNull,
+        least(greatest(col("start") - left, lit(1L)), col("_glen")))
+        .otherwise(greatest(col("start") - left, lit(1L))))
+      .withColumn("end", when(col("_glen").isNotNull,
+        least(col("end") + right, col("_glen")))
+        .otherwise(col("end") + right))
+      .drop("_glen")
+  }
+
   /** bedtools multiinter: partition each key's axis into the ATOMIC
     * segments between consecutive breakpoints of N labeled interval
     * sets and report, per segment, how many and which sets cover it

@@ -275,6 +275,30 @@ object Genomic {
           .select(col("seqname").as("chrom"), col("start"), col("end")))
     }),
 
+    "g51_idxstats" -> ((s, _) => {
+      // samtools idxstats: per-@SQ-reference record counts + the '*'
+      // placeless-unmapped row; header left join reports zeros for
+      // readless references, counts partial-aggregate map-side
+      graft.sources.Sam.idxstats(s, s"$raw/aligned.sam")
+    }),
+
+    "g52_slop" -> ((s, _) => {
+      // bedtools slop -b 30: widen BED intervals clipped to the genome
+      // dictionary (broadcast); chr2 is absent from the dictionary and
+      // passes through un-clipped, chrX's far interval collapses to the
+      // boundary stub — both documented divergence classes fire
+      val genome = s.read.option("sep", "\t")
+        .csv(s"${GenomicFixtures.rawDir}/genome.txt")
+        .toDF("chrom", "sequence")
+        .select(col("chrom"), length(col("sequence")).cast("long")
+          .as("length"))
+      val iv = graft.sources.Bed.toIntervals(
+        graft.sources.Bed.read(s, s"${GenomicFixtures.rawDir}/regions.bed"))
+        .select(regexp_replace(col("chrom"), "^chr", "").as("chrom"),
+          col("start"), col("end"), col("name"))
+      graft.operators.Intervals.slop(iv, genome, left = 30, right = 30)
+    }),
+
     "g49_annotate" -> ((s, _) => {
       // bcftools annotate -a regions.bed: variants gain the names of
       // every overlapping BED region, comma-joined sorted (bcftools'
@@ -1081,6 +1105,63 @@ object Genomic {
          |SELECT chrom, min(s) AS merged_start, max(e) AS merged_end,
          |  CAST(count(*) AS BIGINT) AS n_intervals
          |FROM i GROUP BY chrom, island""".stripMargin,
+
+    // g51: @SQ header parse + record counts from the same raw text,
+    // '*' union row, left-join zero fill
+    "g51_idxstats" ->
+      s"""WITH lines AS (
+         |  SELECT unnest(string_split(content, chr(10))) AS l
+         |  FROM read_text('$raw/aligned.sam')),
+         |refs AS (
+         |  SELECT regexp_extract(l, 'SN:([^\t]+)', 1) AS rname,
+         |    CAST(regexp_extract(l, 'LN:([0-9]+)', 1) AS BIGINT)
+         |      AS length
+         |  FROM lines WHERE starts_with(l, '@SQ')
+         |  UNION ALL SELECT '*', 0),
+         |a AS (
+         |  SELECT string_split(l, chr(9)) AS f FROM lines
+         |  WHERE len(trim(l)) > 0 AND NOT starts_with(l, '@')),
+         |c AS (
+         |  SELECT coalesce(nullif(f[3], '*'), '*') AS rname,
+         |    CAST(sum(CASE WHEN (CAST(f[2] AS INT) & 4) = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+         |    CAST(sum(CASE WHEN (CAST(f[2] AS INT) & 4) <> 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS nu
+         |  FROM a GROUP BY 1)
+         |SELECT r.rname, r.length,
+         |  coalesce(c.nm, 0) AS n_mapped,
+         |  coalesce(c.nu, 0) AS n_unmapped
+         |FROM refs r LEFT JOIN c USING (rname)""".stripMargin,
+
+    // g52: the b1 BED parse chr-stripped, genome lengths from the raw
+    // TSV, clamp arithmetic per the slop contract (unknown chrom
+    // un-clipped, beyond-end collapses to the boundary stub)
+    "g52_slop" ->
+      s"""WITH genome AS (
+         |  SELECT c0 AS chrom, CAST(length(c1) AS BIGINT) AS glen
+         |  FROM read_csv('${GenomicFixtures.rawDir}/genome.txt',
+         |    delim='\t', header=false, all_varchar=true,
+         |    names=['c0','c1'])),
+         |bed AS (
+         |  SELECT regexp_replace(c0, '^chr', '') AS chrom,
+         |    CAST(c1 AS BIGINT) + 1 AS s,
+         |    greatest(CAST(c2 AS BIGINT), CAST(c1 AS BIGINT) + 1) AS e,
+         |    NULLIF(c3, '.') AS name
+         |  FROM read_csv('$raw/regions.bed', delim='\t', header=false,
+         |    null_padding=true, all_varchar=true,
+         |    names=['c0','c1','c2','c3','c4','c5'])
+         |  WHERE NOT starts_with(c0, 'track')
+         |    AND NOT starts_with(c0, 'browser')
+         |    AND NOT starts_with(c0, '#'))
+         |SELECT b.chrom,
+         |  CASE WHEN g.glen IS NOT NULL
+         |    THEN least(greatest(b.s - 30, 1), g.glen)
+         |    ELSE greatest(b.s - 30, 1) END AS start,
+         |  CASE WHEN g.glen IS NOT NULL
+         |    THEN least(b.e + 30, g.glen)
+         |    ELSE b.e + 30 END AS "end",
+         |  b.name
+         |FROM bed b LEFT JOIN genome g ON b.chrom = g.chrom""".stripMargin,
 
     // g49: the b1 BED parse with chr-prefix normalization, a BETWEEN
     // containment join, sorted comma-joined names, LEFT JOIN keeps

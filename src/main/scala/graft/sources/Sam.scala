@@ -96,6 +96,39 @@ object Sam {
       round(avg(insert), 2).as("avg_insert_size"))
   }
 
+  /** `@SQ` reference-dictionary rows from the SAM header (the lines
+    * [[read]] drops): (rname, length).
+    */
+  def sqHeaders(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .where(col("value").startsWith("@SQ"))
+      .select(
+        regexp_extract(col("value"), "\\tSN:([^\\t]+)", 1).as("rname"),
+        regexp_extract(col("value"), "\\tLN:([0-9]+)", 1)
+          .cast("long").as("length"))
+
+  /** samtools idxstats: per reference-dictionary entry, the record
+    * counts (rname, length, n_mapped, n_unmapped) plus the `*` row for
+    * placeless unmapped reads. Counts follow samtools: every RECORD
+    * counts (secondary/supplementary/duplicate included), `n_unmapped`
+    * per reference covers mate-placed unmapped reads (0x4 set but RNAME
+    * bound). References with no reads report zeros via the header left
+    * join — one record-scale groupBy whose partials are two longs per
+    * rname per task, plus the broadcast-sized header join.
+    */
+  def idxstats(spark: SparkSession, path: String): DataFrame = {
+    val refs = sqHeaders(spark, path).unionByName(
+      spark.range(1).select(lit("*").as("rname"), lit(0L).as("length")))
+    val counts = read(spark, path)
+      .groupBy(coalesce(col("rname"), lit("*")).as("rname"))
+      .agg(sum(when(!col("is_unmapped"), 1L).otherwise(0L)).as("nm"),
+        sum(when(col("is_unmapped"), 1L).otherwise(0L)).as("nu"))
+    refs.join(counts, Seq("rname"), "left")
+      .select(col("rname"), col("length"),
+        coalesce(col("nm"), lit(0L)).as("n_mapped"),
+        coalesce(col("nu"), lit(0L)).as("n_unmapped"))
+  }
+
   def read(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.text(path)
     val f = split(col("value"), "\t")

@@ -389,6 +389,21 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == 13 && rows.count(_._3.isEmpty) == 12)
   }
 
+  test("slop: symmetric pad clips to genome bounds, unknown chrom " +
+    "passes un-clipped, beyond-end interval collapses to boundary stub") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(("1", 101L, 200L, "a"), ("1", 381L, 420L, "b"),
+      ("2", 1L, 1000L, "c")).toDF("chrom", "start", "end", "name")
+    val genome = Seq(("1", 180L)).toDF("chrom", "length")
+    val out = graft.operators.Intervals.slop(iv, genome, 30, 30)
+      .collect().map(r => r.getString(3) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("a") == ((71L, 180L)))   // end clipped to len 180
+    assert(out("b") == ((180L, 180L)))  // fully beyond -> boundary stub
+    assert(out("c") == ((1L, 1030L)))   // chrom 2 unknown -> un-clipped
+  }
+
   test("hetStats: Nei-corrected expected hom, F pins — all-hom sample " +
     "F=1, het-excess F<0, missing call shrinks N") {
     val s = spark

@@ -288,6 +288,29 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out(("u1", 0)) && !out(("um1", 4)))
   }
 
+  test("idxstats: per-@SQ counts incl. zero-read refs, mate-placed " +
+    "unmapped counted per reference, '*' row for placeless") {
+    val sam = Seq(
+      "@SQ\tSN:c1\tLN:100",
+      "@SQ\tSN:c2\tLN:50",          // no reads -> zeros
+      "r1\t0\tc1\t10\t60\t5M\t*\t0\t0\tAAAAA\tIIIII",
+      "r2\t256\tc1\t10\t0\t5M\t*\t0\t0\t*\t*",   // secondary COUNTS
+      // mate-placed unmapped: flag 4 but RNAME bound to c1
+      "r3\t4\tc1\t10\t0\t*\t*\t0\t0\tAAAA\tIIII",
+      "r4\t4\t*\t0\t0\t*\t*\t0\t0\tAAAA\tIIII")   // placeless
+      .mkString("\n")
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx")
+    val p = dir.resolve("t.sam")
+    java.nio.file.Files.writeString(p, sam + "\n")
+    val out = graft.sources.Sam.idxstats(spark, p.toString).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      "c1" -> ((100L, 2L, 1L)),
+      "c2" -> ((50L, 0L, 0L)),
+      "*" -> ((0L, 0L, 1L))))
+  }
+
   test("Sitemap.parse: block order, loc trim + entity decode, optional " +
     "fields null, malformed priority/lastmod null not throw") {
     val s = spark
