@@ -275,6 +275,25 @@ object Genomic {
           .select(col("seqname").as("chrom"), col("start"), col("end")))
     }),
 
+    "g53_vcf_merge" -> ((s, _) => {
+      // bcftools merge: the fixture cohort split into per-center halves
+      // (S1-3 / S4-6) with DIFFERENT site subsets (pos%3 / pos%5 drops),
+      // then horizontally re-merged — union of sites, genotypes
+      // concatenated, each side's missing sites padded ./. at its own
+      // width; one full-outer variant-key join
+      prep(s)
+      val v = s.read.parquet(s"$fx/vcf_norm.parquet")
+        .select(col("chrom"), col("pos"), col("id"), col("ref"),
+          col("alt"), col("genotypes"))
+      val a = v.where(pmod(col("pos"), lit(3)) =!= 0)
+        .withColumn("genotypes", slice(col("genotypes"), 1, 3))
+      val b = v.where(pmod(col("pos"), lit(5)) =!= 0)
+        .withColumn("genotypes",
+          slice(col("genotypes"), lit(4), size(col("genotypes")) - 3))
+      Vcf.mergeCohorts(a, b)
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
+    }),
+
     "g51_idxstats" -> ((s, _) => {
       // samtools idxstats: per-@SQ-reference record counts + the '*'
       // placeless-unmapped row; header left join reports zeros for
@@ -1105,6 +1124,28 @@ object Genomic {
          |SELECT chrom, min(s) AS merged_start, max(e) AS merged_end,
          |  CAST(count(*) AS BIGINT) AS n_intervals
          |FROM i GROUP BY chrom, island""".stripMargin,
+
+    // g53: the same split (slices of the genotype list), FULL JOIN
+    // USING coalesces the variant key, missing sides fill ./. at their
+    // cohort's width
+    "g53_vcf_merge" ->
+      s"""WITH v AS (
+         |  SELECT chrom, pos, id, ref, alt, genotypes
+         |  FROM ${pq("vcf_norm")}),
+         |a AS (
+         |  SELECT chrom, pos, id, ref, alt, genotypes[1:3] AS g
+         |  FROM v WHERE pos % 3 <> 0),
+         |b AS (
+         |  SELECT chrom, pos, id, ref, alt, genotypes[4:] AS g
+         |  FROM v WHERE pos % 5 <> 0)
+         |SELECT chrom, pos, id, ref, alt,
+         |  array_to_string(list_concat(
+         |    coalesce(a.g, list_transform(
+         |      range(1, (SELECT max(len(g)) FROM a) + 1), x -> './.')),
+         |    coalesce(b.g, list_transform(
+         |      range(1, (SELECT max(len(g)) FROM b) + 1), x -> './.'))),
+         |    ',') AS genotypes
+         |FROM a FULL JOIN b USING (chrom, pos, id, ref, alt)""".stripMargin,
 
     // g51: @SQ header parse + record counts from the same raw text,
     // '*' union row, left-join zero fill

@@ -130,6 +130,38 @@ object Vcf {
     * column order. Callers building standalone single-file VCFs prepend
     * these to the body [[writeVariants]] produces.
     */
+  /** bcftools-merge-style horizontal cohort merge: the union of both
+    * cohorts' sites with genotype columns CONCATENATED (cohort A's
+    * samples first), sites absent from one cohort padded with that
+    * cohort's width of missing "./."  calls — how per-center VCFs
+    * become one cohort. Rows key on (chrom, pos, id, ref, alt), so
+    * split multi-allelic rows merge per allele (both inputs are
+    * expected post-[[normalize]]). Each cohort's sample width is read
+    * from its own rows (one 1-row max aggregate, broadcast — bcftools
+    * reads it from the header); the merge itself is ONE full-outer
+    * sort-merge join on the variant key, the honest shape for a
+    * biobank-scale site union.
+    */
+  def mergeCohorts(a: DataFrame, b: DataFrame): DataFrame = {
+    def width(df: DataFrame, name: String) =
+      df.agg(max(size(col("genotypes"))).as(name))
+    def pad(n: Column) =
+      transform(sequence(lit(1), n), _ => lit("./."))
+    val joined = a
+      .select(col("chrom"), col("pos"), col("id"), col("ref"),
+        col("alt"), col("genotypes").as("_ga"))
+      .join(b.select(col("chrom"), col("pos"), col("id"), col("ref"),
+        col("alt"), col("genotypes").as("_gb")),
+        Seq("chrom", "pos", "id", "ref", "alt"), "full_outer")
+    joined
+      .crossJoin(broadcast(width(a, "_wa")))
+      .crossJoin(broadcast(width(b, "_wb")))
+      .select(col("chrom"), col("pos"), col("id"), col("ref"),
+        col("alt"),
+        concat(coalesce(col("_ga"), pad(col("_wa"))),
+          coalesce(col("_gb"), pad(col("_wb")))).as("genotypes"))
+  }
+
   def headerLines(samples: Seq[String]): Seq[String] = Seq(
     "##fileformat=VCFv4.2",
     "##INFO=<ID=AF,Number=A,Type=Float,Description=\"Allele Frequency\">",

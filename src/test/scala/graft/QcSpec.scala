@@ -389,6 +389,33 @@ class QcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == 13 && rows.count(_._3.isEmpty) == 12)
   }
 
+  test("mergeCohorts: site union, A-first concat, per-side ./. padding " +
+    "at each cohort's own width, multi-allelic rows merge per allele") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(
+      ("1", 10L, "v1", "A", "T", Seq("0|1", "0|0")),
+      ("1", 20L, "v2", "C", "G", Seq("1|1", "0|1")),
+      ("1", 20L, "v2", "C", "T", Seq("0|0", "0|1")))
+      .toDF("chrom", "pos", "id", "ref", "alt", "genotypes")
+    val b = Seq(
+      ("1", 10L, "v1", "A", "T", Seq("1|0", "0|0", "0|1")),
+      ("1", 20L, "v2", "C", "G", Seq("0|0", "0|0", "1|0")),
+      ("1", 30L, "v3", "G", "A", Seq("0|1", "0|0", "0|0")))
+      .toDF("chrom", "pos", "id", "ref", "alt", "genotypes")
+    val out = graft.sources.Vcf.mergeCohorts(a, b).collect()
+      .map(r => (r.getString(2), r.getString(4)) ->
+        r.getSeq[String](5).mkString(",")).toMap
+    assert(out.size == 4)
+    assert(out(("v1", "T")) == "0|1,0|0,1|0,0|0,0|1")
+    // shared site, same allele: plain concat
+    assert(out(("v2", "G")) == "1|1,0|1,0|0,0|0,1|0")
+    // the C>T allele exists only in cohort A -> B-width padding
+    assert(out(("v2", "T")) == "0|0,0|1,./.,./.,./.")
+    // v3 exists only in cohort B -> A-width padding first
+    assert(out(("v3", "A")) == "./.,./.,0|1,0|0,0|0")
+  }
+
   test("slop: symmetric pad clips to genome bounds, unknown chrom " +
     "passes un-clipped, beyond-end interval collapses to boundary stub") {
     val s = spark
