@@ -327,6 +327,21 @@ object VcfStats {
                         iters: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
+    // Stats-rebasing checkpoint for the ITERATED vector frames:
+    // localCheckpoint PRESERVES the origin plan's size estimate, so
+    // each round's join-size products compound into a size estimate
+    // whose DIGIT COUNT grows exponentially with the iteration — by
+    // round ~40 Catalyst's SizeInBytesOnlyStatsPlanVisitor was doing
+    // million-digit BigInteger products for minutes (found via a
+    // thread dump). Round-tripping the materialized rows through the
+    // RDD resets stats to the default; every join that should
+    // broadcast carries an explicit broadcast() hint, so planning
+    // never needs those stats. S rows per round — the re-encode is
+    // noise.
+    def rebase(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint()
+      c.sparkSession.createDataFrame(c.rdd, c.schema)
+    }
     val half = grm.select(col("sample_a"), col("sample_b"),
       floor(col("grm") * 1e5 + lit(0.5)).cast("long").as("g5"))
     val edges = half
@@ -351,45 +366,60 @@ object VcfStats {
       .select(col("sample"), col("rank"),
         floor(col("raw3").cast("double") / col("nrm") * 1e9 + lit(0.5))
           .cast("long").as("v9"))
-      .localCheckpoint()
+    val v0c = rebase(v0)
 
-    // priors: (sample, rank, pv9) vector + 1-row lam5, per found PC
-    var priors = List.empty[(DataFrame, DataFrame)]
+    // priors: one (sample, rank, pv9, lam5) frame per found PC — the
+    // eigenvalue rides as a column so deflation needs NO per-round
+    // broadcast of a 1-row lam frame
+    var priors = List.empty[DataFrame]
     var outs = List.empty[DataFrame]
     for (k <- 1 to topK) {
-      var v = v0
+      var v = v0c
       var lastLam: DataFrame = null
-      for (_ <- 1 to iters) {
+      for (it <- 1 to iters) {
         val w0 = edges
-          .join(v.select(col("sample").as("j"), col("v9")), Seq("j"))
+          .join(broadcast(v.select(col("sample").as("j"), col("v9"))),
+            Seq("j"))
           .groupBy(col("i").as("sample"))
           .agg(sum((col("g5") * col("v9")).cast(dec)).as("wraw"))
+        // scalars (deflation dot product, vector norm) fold as
+        // SINGLE-PARTITION windows over the S-row vector frame — the
+        // vector is metadata-scale by the GRM contract, and a window
+        // scalar costs zero extra JOBS where a broadcast 1-row agg
+        // costs one per round (with the stats rebase: bench 9.3 ->
+        // 7.9 s, parity spec 95 -> 36 s; the remaining wall is the 40
+        // sequential round barriers power iteration inherently has).
+        // Window sums are the same order-independent decimal folds.
+        val all = Window.partitionBy()
         var wd = w0.withColumn("wd", col("wraw").cast("double"))
-        for ((pv, plam) <- priors) {
-          val dotp = pv
-            .join(v.select(col("sample"), col("v9")), Seq("sample"))
-            .agg(sum((col("pv9") * col("v9")).cast(dec)).as("dotp"))
-          wd = wd.join(pv.select(col("sample"), col("pv9")), Seq("sample"))
-            .crossJoin(broadcast(dotp)).crossJoin(broadcast(plam))
+        for (pv <- priors) {
+          wd = wd
+            .join(broadcast(
+              pv.select(col("sample"), col("pv9"), col("lam5"))),
+              Seq("sample"))
+            .join(broadcast(v.select(col("sample"), col("v9"))),
+              Seq("sample"))
+            .withColumn("dotp",
+              sum((col("pv9") * col("v9")).cast(dec)).over(all))
             // corr_raw = (lam5/1e5)·(pv9/1e9)·(dot/1e18) × 1e14 raw
             // scale = lam5·pv9·dot / 1e18
             .withColumn("wd", col("wd") -
               (col("lam5").cast("double") * col("pv9").cast("double")) *
                 (col("dotp").cast("double") / lit(1e18)))
-            .drop("pv9", "dotp", "lam5")
+            .drop("pv9", "v9", "dotp", "lam5")
         }
         val wq = wd.select(col("sample"),
           floor(col("wd") + lit(0.5)).cast("long").as("wq"))
-        val nrm = wq.agg(
-          sqrt(sum(col("wq").cast("decimal(19,0)") *
-            col("wq").cast("decimal(19,0)")).cast("double")).as("nrm"))
-        v = wq.crossJoin(broadcast(nrm))
+        v = wq
+          .withColumn("nrm",
+            sqrt(sum(col("wq").cast("decimal(19,0)") *
+              col("wq").cast("decimal(19,0)")).over(all).cast("double")))
           .select(col("sample"),
             floor(col("wq").cast("double") / col("nrm") * 1e9 + lit(0.5))
               .cast("long").as("v9"),
             col("nrm"))
-          .join(ranks, Seq("sample"))
-          .localCheckpoint()
+          .join(broadcast(ranks), Seq("sample"))
+        v = rebase(v)
         lastLam = v.agg(max(col("nrm")).as("n"))
           .select(floor(col("n") / 1e9 + lit(0.5)).cast("long").as("lam5"))
       }
@@ -399,10 +429,11 @@ object VcfStats {
         .limit(1)
         .select(when(col("v9") < 0, lit(-1L)).otherwise(lit(1L)).as("sgn"))
       val fixed = v.crossJoin(broadcast(sgnRow))
+        .crossJoin(broadcast(lastLam))
         .select(col("sample"), col("rank"),
-          (col("v9") * col("sgn")).as("pv9"))
-        .localCheckpoint()
-      priors = priors :+ ((fixed, lastLam))
+          (col("v9") * col("sgn")).as("pv9"), col("lam5"))
+      val fixedC = rebase(fixed)
+      priors = priors :+ fixedC
       // +1e-10 pre-round: pv9 is a 1e-9-grid long, so a 6-dp tie is
       // exactly …500e-9 — Spark HALF_UPs the shortest decimal repr
       // while DuckDB rounds the binary double (the qualityScore
@@ -410,7 +441,7 @@ object VcfStats {
       // +0.0 post-round: a negative tie nudged toward zero can round
       // to -0.0 on one engine and 0.0 on the other (the verify-skill
       // signed-zero gotcha).
-      outs = outs :+ fixed.crossJoin(broadcast(lastLam))
+      outs = outs :+ fixedC
         .select(col("sample"), lit(k).as("pc"),
           (round(col("pv9").cast("double") / 1e9 + lit(1e-10), 6) +
             lit(0.0)).as("loading"),
