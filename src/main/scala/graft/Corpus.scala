@@ -23,7 +23,11 @@ import graft.operators.Dedup
   *   [-strip_boilerplate 1] drop nav-bar/nav-link/copyright lines (t25)
   *                         before any text metric sees them
   *   [-normalize 1]        strip control chars, collapse whitespace (t10)
-  *   [-lang en]            keep docs whose n-gram language ID matches (t3)
+  *   [-lang en]            keep docs whose language ID matches — the
+  *                         profile n-gram scorer (t41; measured 0.943
+  *                         on the labeled fixture) by default;
+  *                         -lang_scorer stopword selects the legacy
+  *                         stopword-hit scorer (t3; measured 0.547)
   *   [-min_quality 0.45]   heuristic quality floor in [0,1] (t2)
   *   [-gopher 1]           Gopher rule filter (t6)
   *   [-repetition .2,.18]  Gopher repetition caps: top-2-gram /
@@ -142,6 +146,24 @@ object Corpus {
 
   private case class Stage(name: String, df: DataFrame)
 
+  /** Adds a `_lang_pred` column with the t41 profile n-gram language ID,
+    * preserving every input column. STAGED selects on purpose (same
+    * shape as the t41 gate query): the gram list must be a bound
+    * attribute before the 7 score folds reference it — HOF lambdas
+    * re-evaluate closed-over non-attribute expressions once per array
+    * element, and an inline formulation duplicates the gram subtree
+    * into every score column.
+    */
+  private def withLangPred(d: DataFrame): DataFrame = {
+    val keep = d.columns.toSeq
+    val langs = text.langSeeds.map(_._1)
+    d.select(keep.map(col) :+ text.langGrams(col("text")).as("_gs"): _*)
+      .select(keep.map(col) ++ text.langNgramScores(col("_gs"))
+        .map { case (l, c) => c.as(s"_s_$l") }: _*)
+      .select(keep.map(col) :+ text.langNgramPick(
+        langs.map(l => l -> col(s"_s_$l"))).as("_lang_pred"): _*)
+  }
+
   def run(spark: SparkSession, opts: Map[String, String]): DataFrame = {
     require(!(opts.contains("i") && opts.contains("i_warc")),
       "-i and -i_warc are mutually exclusive inputs")
@@ -202,7 +224,17 @@ object Corpus {
       record("normalize")
     }
     opts.get("lang").foreach { want =>
-      df = df.where(text.langId(col("text")) === want)
+      // default scorer is t41's profile n-gram ID (0.943 measured vs
+      // the stopword scorer's 0.547 on the labeled fixture);
+      // -lang_scorer stopword keeps the legacy t3 behavior
+      df =
+        if (opts.getOrElse("lang_scorer", "ngram") == "stopword")
+          df.where(text.langId(col("text")) === want)
+        else {
+          val cols = df.columns.toSeq
+          withLangPred(df).where(col("_lang_pred") === want)
+            .select(cols.map(col): _*)
+        }
       record(s"lang=$want")
     }
     opts.get("min_quality").map(_.toDouble).foreach { q =>
@@ -303,13 +335,18 @@ object Corpus {
         buckets.subsetOf(Set("head", "middle", "tail")),
         s"-ccnet_keep wants a comma list from head,middle,tail — " +
           s"got '$keep'")
-      val langCol =
-        if (df.columns.contains("lang")) col("lang")
-        else text.langId(col("text"))
+      // tercile grouping keys on language: use an explicit lang column
+      // when present, else the t41 profile scorer (same upgrade as
+      // -lang; -lang_scorer stopword applies here too)
+      val docLang =
+        if (df.columns.contains("lang")) df.select(col("doc_id"), col("lang"))
+        else if (opts.getOrElse("lang_scorer", "ngram") == "stopword")
+          df.select(col("doc_id"), text.langId(col("text")).as("lang"))
+        else withLangPred(df)
+          .select(col("doc_id"), col("_lang_pred").as("lang"))
       val scored = operators.LanguageModel
         .bigramScores(df, "doc_id", "text")
-        .join(df.select(col("doc_id"), langCol.as("lang")),
-          Seq("doc_id"))
+        .join(docLang, Seq("doc_id"))
         .select("doc_id", "lang", "avg_logp")
       val keepIds = operators.LanguageModel
         .perplexityBuckets(scored, "doc_id", "lang", "avg_logp")

@@ -129,9 +129,20 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       "i" -> in, "lang" -> "en", "min_quality" -> "0.4",
       "gopher" -> "1", "dedup" -> "near", "jaccard" -> "0.8",
       "report" -> "0"))
-    // same stages composed directly from the operators the gates check
-    val docs = spark.read.parquet(in)
-      .where(text.langId(col("text")) === "en")
+    // same stages composed directly from the operators the gates check;
+    // -lang defaults to the t41 profile scorer, so compose its staged
+    // grams->scores->pick shape here too
+    val raw = spark.read.parquet(in)
+    val langPred = raw
+      .select(col("doc_id"), text.langGrams(col("text")).as("gs"))
+      .select(col("doc_id") +: text.langNgramScores(col("gs"))
+        .map { case (l, d) => d.as(s"s_$l") }: _*)
+      .select(col("doc_id"), text.langNgramPick(
+        text.langSeeds.map(_._1).map(l => l -> col(s"s_$l")))
+        .as("lang_pred"))
+    val docs = raw
+      .join(langPred.where(col("lang_pred") === "en").select("doc_id"),
+        Seq("doc_id"), "left_semi")
       .where(text.qualityScore(col("text")) >= 0.4)
       .where(text.gopherMetrics(col("text")).getField("keep"))
     val clusters = operators.Dedup.duplicateClusters(
@@ -149,6 +160,28 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rowsOf(cli) == rowsOf(expected))
     assert(cli.count() > 0)
     operators.Dedup.releaseCaches()
+  }
+
+  test("Corpus -lang stage == the t41 gate query's predictions; " +
+    "-lang_scorer stopword == t3's") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.text
+    val dir = "/root/testdata/sf0.001"
+    val in = s"$dir/documents.parquet"
+    // default scorer parity vs the t41 gate query itself
+    val gateEn = queries.Documents.queries("t41_langid_ngram")(spark, dir)
+      .where(col("lang_pred") === "en").select("doc_id")
+    val cliEn = Corpus.run(spark, Map("i" -> in, "lang" -> "en",
+      "dedup" -> "none", "report" -> "0")).select("doc_id")
+    assert(rowsOf(cliEn) == rowsOf(gateEn))
+    assert(cliEn.count() > 0)
+    // the legacy scorer stays reachable and matches t3
+    val t3En = spark.read.parquet(in)
+      .where(text.langId(col("text")) === "en").select("doc_id")
+    val cliStop = Corpus.run(spark, Map("i" -> in, "lang" -> "en",
+      "lang_scorer" -> "stopword", "dedup" -> "none", "report" -> "0"))
+      .select("doc_id")
+    assert(rowsOf(cliStop) == rowsOf(t3En))
   }
 
   test("Corpus exact dedup keeps one doc per identical text") {
