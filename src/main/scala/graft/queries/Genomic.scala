@@ -108,6 +108,15 @@ object Genomic {
         s"${GenomicFixtures.rawDir}/aligned.sam")
     }),
 
+    "bam1_read" -> ((s, _) => {
+      // BGZF/BAM binary source: the SAM fixture re-encoded by the repo's
+      // own BAM writer, decoded back through the streaming BGZF member
+      // chain + little-endian record walk; field parity with sam1 is the
+      // gate (the oracle parses the TEXT file independently). Flag/CIGAR
+      // decoration is Sam.decorate — byte decode is the only new code.
+      graft.sources.Bam.read(s, GenomicFixtures.bamPath(s))
+    }),
+
     "g8_reads_coverage" -> ((s, _) => {
       // the samtools-depth composition: SAM reads (primary, mapped,
       // non-duplicate — the standard filter) -> CIGAR ref spans -> g7's
@@ -974,6 +983,49 @@ object Genomic {
        |      + bsize AS BIGINT) AS bt_end
        |  FROM bf1)""".stripMargin
 
+  /** DuckDB's independent parse of the aligned.sam TEXT fixture — the
+    * oracle for BOTH sam1_read (which reads that file) and bam1_read
+    * (which reads GenomicFixtures.bamPath's binary re-encoding of the
+    * same reads): field-for-field parity is exactly the BAM source's
+    * contract.
+    */
+  private val sam1Sql: String =
+    s"""WITH lines AS (
+       |  SELECT unnest(string_split(content, chr(10))) AS l
+       |  FROM read_text('$raw/aligned.sam')),
+       |a AS (
+       |  SELECT string_split(l, chr(9)) AS f FROM lines
+       |  WHERE len(trim(l)) > 0 AND NOT starts_with(l, '@')),
+       |p AS (
+       |  SELECT f[1] AS qname, CAST(f[2] AS INT) AS flag,
+       |    nullif(f[3], '*') AS rname,
+       |    nullif(CAST(f[4] AS BIGINT), 0) AS pos,
+       |    CAST(f[5] AS INT) AS mapq, f[6] AS cigar,
+       |    nullif(f[7], '*') AS rnext,
+       |    nullif(CAST(f[8] AS BIGINT), 0) AS pnext,
+       |    CAST(f[9] AS BIGINT) AS tlen, nullif(f[10], '*') AS seq,
+       |    nullif(f[11], '*') AS qual,
+       |    nullif(array_to_string(f[12:], ','), '') AS tags
+       |  FROM a)
+       |SELECT qname, flag, rname, pos, mapq, cigar, rnext, pnext,
+       |  tlen, seq, qual, tags,
+       |  (flag & 1) <> 0 AS is_paired,
+       |  (flag & 2) <> 0 AS is_proper_pair,
+       |  (flag & 4) <> 0 AS is_unmapped,
+       |  (flag & 16) <> 0 AS is_reverse,
+       |  (flag & 64) <> 0 AS is_first,
+       |  (flag & 256) <> 0 AS is_secondary,
+       |  (flag & 1024) <> 0 AS is_dup,
+       |  CASE WHEN pos IS NOT NULL AND cigar <> '*' THEN
+       |    pos + CAST(list_sum(list_transform(
+       |      regexp_extract_all(cigar, '(\\d+)([MIDNSHP=X])', 0),
+       |      tok -> CASE WHEN right(tok, 1) IN
+       |          ('M', 'D', 'N', '=', 'X')
+       |        THEN CAST(regexp_extract(tok, '(\\d+)', 1) AS BIGINT)
+       |        ELSE 0 END)) AS BIGINT) - 1
+       |  END AS ref_end
+       |FROM p""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "c1_chain_read" ->
       s"""WITH $chainBlocksSql
@@ -1003,42 +1055,14 @@ object Genomic {
          |      new_strand DESC) AS rn FROM hit)
          |WHERE rn = 1""".stripMargin,
 
-    "sam1_read" ->
-      s"""WITH lines AS (
-         |  SELECT unnest(string_split(content, chr(10))) AS l
-         |  FROM read_text('$raw/aligned.sam')),
-         |a AS (
-         |  SELECT string_split(l, chr(9)) AS f FROM lines
-         |  WHERE len(trim(l)) > 0 AND NOT starts_with(l, '@')),
-         |p AS (
-         |  SELECT f[1] AS qname, CAST(f[2] AS INT) AS flag,
-         |    nullif(f[3], '*') AS rname,
-         |    nullif(CAST(f[4] AS BIGINT), 0) AS pos,
-         |    CAST(f[5] AS INT) AS mapq, f[6] AS cigar,
-         |    nullif(f[7], '*') AS rnext,
-         |    nullif(CAST(f[8] AS BIGINT), 0) AS pnext,
-         |    CAST(f[9] AS BIGINT) AS tlen, nullif(f[10], '*') AS seq,
-         |    nullif(f[11], '*') AS qual,
-         |    nullif(array_to_string(f[12:], ','), '') AS tags
-         |  FROM a)
-         |SELECT qname, flag, rname, pos, mapq, cigar, rnext, pnext,
-         |  tlen, seq, qual, tags,
-         |  (flag & 1) <> 0 AS is_paired,
-         |  (flag & 2) <> 0 AS is_proper_pair,
-         |  (flag & 4) <> 0 AS is_unmapped,
-         |  (flag & 16) <> 0 AS is_reverse,
-         |  (flag & 64) <> 0 AS is_first,
-         |  (flag & 256) <> 0 AS is_secondary,
-         |  (flag & 1024) <> 0 AS is_dup,
-         |  CASE WHEN pos IS NOT NULL AND cigar <> '*' THEN
-         |    pos + CAST(list_sum(list_transform(
-         |      regexp_extract_all(cigar, '(\\d+)([MIDNSHP=X])', 0),
-         |      tok -> CASE WHEN right(tok, 1) IN
-         |          ('M', 'D', 'N', '=', 'X')
-         |        THEN CAST(regexp_extract(tok, '(\\d+)', 1) AS BIGINT)
-         |        ELSE 0 END)) AS BIGINT) - 1
-         |  END AS ref_end
-         |FROM p""".stripMargin,
+    "sam1_read" -> sam1Sql,
+
+    // bam1: the IDENTICAL independent parse of the TEXT fixture — the
+    // BAM gate reads the binary re-encoding (GenomicFixtures.bamPath),
+    // so the oracle pins byte-level BGZF/BAM decode fidelity against
+    // DuckDB's parse of the same reads from SAM text. A writer/reader
+    // bug pair cannot cancel: only the reader's output meets this SQL.
+    "bam1_read" -> sam1Sql,
 
     // sam2: the same SAM parse against dupreads.sam, then the markdup
     // walk replayed relationally — unclipped-5' keys from clip-run

@@ -152,15 +152,23 @@ object Sam {
         nullif(try_element_at(f, lit(11)), lit("*")).as("qual"),
         nullif(array_join(slice(f, lit(12),
           greatest(size(f) - 11, lit(0))), ","), lit("")).as("tags"))
-      .withColumn("is_paired", flagField(col("flag"), 1))
-      .withColumn("is_proper_pair", flagField(col("flag"), 2))
-      .withColumn("is_unmapped", flagField(col("flag"), 4))
-      .withColumn("is_reverse", flagField(col("flag"), 16))
-      .withColumn("is_first", flagField(col("flag"), 64))
-      .withColumn("is_secondary", flagField(col("flag"), 256))
-      .withColumn("is_dup", flagField(col("flag"), 1024))
-      .withColumn("ref_end",
-        when(col("pos").isNotNull,
-          col("pos") + cigarRefLen(col("cigar")) - 1))
+      .transform(decorate)
   }
+
+  /** FLAG booleans + the CIGAR reference span over the 12 mandatory
+    * parsed columns — shared by the SAM text and [[Bam]] binary sources
+    * so both emit the identical row shape (and every downstream
+    * operator works on either unchanged).
+    */
+  private[graft] def decorate(df: DataFrame): DataFrame = df
+    .withColumn("is_paired", flagField(col("flag"), 1))
+    .withColumn("is_proper_pair", flagField(col("flag"), 2))
+    .withColumn("is_unmapped", flagField(col("flag"), 4))
+    .withColumn("is_reverse", flagField(col("flag"), 16))
+    .withColumn("is_first", flagField(col("flag"), 64))
+    .withColumn("is_secondary", flagField(col("flag"), 256))
+    .withColumn("is_dup", flagField(col("flag"), 1024))
+    .withColumn("ref_end",
+      when(col("pos").isNotNull,
+        col("pos") + cigarRefLen(col("cigar")) - 1))
 }

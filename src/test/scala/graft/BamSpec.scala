@@ -1,0 +1,159 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.sources.{Bam, Sam}
+
+/** Byte-level BGZF/BAM reader+writer pins (SAM spec §4): container
+  * grammar the gate's row-level oracle can't see — member caps, the
+  * fixed EOF marker, records spanning member boundaries, nibble seq
+  * packing, absent-qual 0xFF runs, every aux-tag wire type.
+  */
+class BamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val tmp = Files.createTempDirectory("graft-bam").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .appName("bam-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val samPath =
+    s"${graft.fixtures.GenomicFixtures.rawDir}/aligned.sam"
+
+  private def refs: Seq[(String, Long)] =
+    Sam.sqHeaders(spark, samPath).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  private def rowKey(r: org.apache.spark.sql.Row): Seq[Any] =
+    r.toSeq
+
+  test("round-trip: Sam.read -> Bam.write -> Bam.read is row-identical " +
+    "including flags, null conventions, ref_end and tags") {
+    val p = s"$tmp/rt.bam"
+    val src = Sam.read(spark, samPath)
+    Bam.write(src, refs, p)
+    val a = src.collect().map(rowKey).sortBy(_.toString)
+    val b = Bam.read(spark, p).collect().map(rowKey).sortBy(_.toString)
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("records legally span BGZF member boundaries: a 64-byte member " +
+    "cap still decodes every record") {
+    val p = s"$tmp/tiny.bam"
+    val src = Sam.read(spark, samPath)
+    Bam.write(src, refs, p, blockSize = 64)
+    assert(Bam.read(spark, p).count() == src.count())
+  }
+
+  test("BGZF container grammar: BC extra subfield with correct BSIZE " +
+    "per member, <=64KiB members, spec EOF marker at tail") {
+    val p = s"$tmp/g.bam"
+    Bam.write(Sam.read(spark, samPath), refs, p)
+    val bytes = Files.readAllBytes(Paths.get(p))
+    // tail = the fixed 28-byte empty member
+    assert(bytes.takeRight(28).sameElements(Bam.BgzfEof))
+    // walk members by BSIZE; every header carries the BC subfield
+    var off = 0
+    var members = 0
+    while (off < bytes.length) {
+      assert((bytes(off) & 0xff) == 0x1f && (bytes(off + 1) & 0xff) == 0x8b)
+      assert(bytes(off + 3) == 0x04, "FEXTRA flag set")
+      assert(bytes(off + 12) == 0x42 && bytes(off + 13) == 0x43,
+        "BC subfield id")
+      val bsize = ((bytes(off + 16) & 0xff) |
+        ((bytes(off + 17) & 0xff) << 8)) + 1
+      assert(bsize <= 0x10000)
+      off += bsize
+      members += 1
+    }
+    assert(off == bytes.length && members >= 2) // >=1 data + EOF
+  }
+
+  test("JDK GZIPInputStream chains the members our writer emits " +
+    "(multi-member inflate fidelity, CRC verified)") {
+    val payload = Array.tabulate[Byte](100000)(i => (i % 251).toByte)
+    val out = new ByteArrayOutputStream()
+    var off = 0
+    while (off < payload.length) {
+      val n = math.min(0xff00, payload.length - off)
+      Bam.writeBgzfMember(out, payload, off, n)
+      off += n
+    }
+    out.write(Bam.BgzfEof)
+    val in = new GZIPInputStream(
+      new ByteArrayInputStream(out.toByteArray), 65536)
+    val got = in.readAllBytes()
+    assert(got.sameElements(payload))
+  }
+
+  test("decode conventions on a hand-built stream: refID -1 -> null " +
+    "rname/pos, next_refID == refID -> '=', odd-length seq nibbles, " +
+    "all-0xFF qual -> null, every int tag width prints as 'i'") {
+    val sam = Seq(
+      "@SQ\tSN:cA\tLN:1000",
+      "@SQ\tSN:cB\tLN:500",
+      // odd 5-base seq (nibble padding), mate on same ref -> '='
+      "q1\t99\tcA\t7\t42\t3M2S\t=\t30\t28\tACGTN\tIIJKL\t" +
+        "NM:i:1,ZZ:Z:he,llo,XF:f:1.5,XB:B:s,-3,7,XA:A:x",
+      // unmapped, placeless, no qual ('*' -> all-0xFF on the wire)
+      "q2\t4\t*\t0\t0\t*\t*\t0\t0\tACG\t*",
+      // mate on the OTHER reference -> name, not '='
+      "q3\t97\tcA\t11\t9\t4M\tcB\t99\t0\tGGGG\tFFFF")
+      .mkString("", "\n", "\n")
+    val sp = s"$tmp/conv.sam"
+    Files.writeString(Paths.get(sp), sam)
+    val p = s"$tmp/conv.bam"
+    val src = Sam.read(spark, sp)
+    Bam.write(src, Seq(("cA", 1000L), ("cB", 500L)), p)
+    val rows = Bam.read(spark, p).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val q1 = rows("q1")
+    assert(q1.getString(q1.fieldIndex("rnext")) == "=")
+    assert(q1.getString(q1.fieldIndex("seq")) == "ACGTN")
+    assert(q1.getString(q1.fieldIndex("qual")) == "IIJKL")
+    assert(q1.getString(q1.fieldIndex("tags")) ==
+      "NM:i:1,ZZ:Z:he,llo,XF:f:1.5,XB:B:s,-3,7,XA:A:x")
+    assert(q1.getLong(q1.fieldIndex("ref_end")) == 9L) // 7 + 3M - 1
+    val q2 = rows("q2")
+    assert(q2.isNullAt(q2.fieldIndex("rname")) &&
+      q2.isNullAt(q2.fieldIndex("pos")) &&
+      q2.isNullAt(q2.fieldIndex("qual")) &&
+      q2.getString(q2.fieldIndex("seq")) == "ACG")
+    val q3 = rows("q3")
+    assert(q3.getString(q3.fieldIndex("rnext")) == "cB")
+    // parity with the text parse of the same reads
+    val a = src.collect().map(_.toSeq).sortBy(_.toString)
+    val b = rows.values.toArray.map(_.toSeq).sortBy(_.toString)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("splitTags: commas inside Z values and B arrays re-join to the " +
+    "entry they belong to") {
+    assert(Bam.splitTags("NM:i:1,ZZ:Z:he,llo,XB:B:s,-3,7") ==
+      Seq("NM:i:1", "ZZ:Z:he,llo", "XB:B:s,-3,7"))
+    assert(Bam.splitTags("XA:A:x") == Seq("XA:A:x"))
+  }
+
+  test("reg2bin matches the SAM spec examples") {
+    assert(Bam.reg2bin(0, 1) == 4681)           // smallest 16kb bin
+    assert(Bam.reg2bin(0, 1 << 14) == 4681)
+    assert(Bam.reg2bin(1 << 14, (1 << 14) + 1) == 4682)
+    assert(Bam.reg2bin(0, 1 << 29) == 0)        // whole-axis
+  }
+}
