@@ -53,7 +53,11 @@ object Intervals {
     * sequence at scale, and the label carries the same grouping
     * information. Duplicate intervals keep one row each, same label
     * (the island cumsum is tie-order-proof: equal (start, end) rows can
-    * never straddle an island boundary).
+    * never straddle an island boundary). The label is INJECTIVE in the
+    * key tuple: '\' then ':' are escaped inside each key value before
+    * the ':' join (island is numeric, never escaped), so multi-column
+    * keys or ':'-bearing values (e.g. `HLA-A:01`) can't collide into
+    * one cluster_id.
     */
   def cluster(intervals: DataFrame, keys: Seq[String] = Seq("chrom"),
               maxGap: Long = 0L): DataFrame = {
@@ -68,7 +72,10 @@ object Intervals {
       .withColumn("_island", sum(newIsland)
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("cluster_id",
-        concat_ws(":", kc :+ col("_island"): _*))
+        concat_ws(":", kc.map(c =>
+          regexp_replace(regexp_replace(c.cast("string"),
+            lit("\\\\"), lit("\\\\\\\\")), lit(":"), lit("\\\\:")))
+          :+ col("_island"): _*))
       .drop("_island")
   }
 

@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   * qname join — are marked. Unmapped/ineligible reads pass through
   * unmarked. Incoming 0x400 flags are IGNORED (markdup recomputes).
   *
+  * Further documented divergences from samtools markdup (intentional):
+  * single-end and paired templates form SEPARATE signature groups, so a
+  * single-end read sharing an unclipped 5' with one end of a pair is
+  * never marked (samtools prefers the pair and marks the single); and
+  * the quality score sums ALL base qualities, not Picard's >= Q15
+  * subset — consumers diffing against samtools/Picard output should
+  * expect exactly these deltas.
+  *
   * Scale shape: one qname-keyed groupBy collapses reads to template rows
   * (map-side partials; a template is 1–2 reads), the signature window
   * runs on the TEMPLATE frame, verdicts join back by qname. At a

@@ -3157,7 +3157,9 @@ object Documents {
          |  replace(replace(replace(replace(replace(loc0,
          |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
          |    '&apos;', chr(39)), '&amp;', '&') AS loc,
-         |  CAST(lastmod0 AS DATE) AS lastmod,
+         |  CASE WHEN regexp_matches(lastmod0,
+         |      '^[0-9]{4}-[0-9]{2}-[0-9]{2}$$')
+         |    THEN TRY_CAST(lastmod0 AS DATE) END AS lastmod,
          |  changefreq,
          |  TRY_CAST(priority0 AS DOUBLE) AS priority
          |FROM x WHERE loc0 IS NOT NULL""".stripMargin,

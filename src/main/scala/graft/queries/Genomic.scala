@@ -21,6 +21,18 @@ object Genomic {
 
   private def prep(s: SparkSession): Unit = GenomicFixtures.ensure(s)
 
+  /** g46 power-iteration bounds — interpolated into BOTH the gate query
+    * and its recursive-CTE oracle so the two sides cannot silently
+    * desynchronize. The oracle's single-correction deflation form is
+    * IEEE-identical to the Spark side's sequential prior subtraction
+    * ONLY for topK <= 2 (one prior vector), hence the guard.
+    */
+  private val G46TopK = 2
+  private val G46Iters = 20
+  require(G46TopK <= 2,
+    "g46 oracle's single-correction deflation is only valid for topK <= 2;" +
+      " generalize the CTE before raising it")
+
   /** Long diploid genotype matrix for the QC gates (g16/g17/g18):
     * varId = id:alt keeps multi-allelic split rows distinct variants.
     */
@@ -607,7 +619,7 @@ object Genomic {
       prep(s)
       graft.operators.VcfStats.grmPcaDistributed(
         graft.operators.VcfStats.grmPairs(gtsWithVarId(s)
-          .where(col("chrom") =!= "X")), topK = 2, iters = 20)
+          .where(col("chrom") =!= "X")), topK = G46TopK, iters = G46Iters)
     }),
 
     "g35_window_pi" -> ((s, _) => {
@@ -2337,26 +2349,26 @@ object Genomic {
          |    CAST([] AS BIGINT[][]) AS prevs
          |  UNION ALL
          |  SELECT
-         |    CASE WHEN t.it >= 20 THEN t.k + 1 ELSE t.k END AS k,
-         |    CASE WHEN t.it >= 20 THEN 0 ELSE t.it + 1 END AS it,
-         |    CASE WHEN t.it >= 20 THEN (SELECT v0 FROM v0c)
+         |    CASE WHEN t.it >= $G46Iters THEN t.k + 1 ELSE t.k END AS k,
+         |    CASE WHEN t.it >= $G46Iters THEN 0 ELSE t.it + 1 END AS it,
+         |    CASE WHEN t.it >= $G46Iters THEN (SELECT v0 FROM v0c)
          |      ELSE list_transform(t.wq, x ->
          |        CAST(floor(CAST(x AS DOUBLE) / t.nrm * 1e9 + 0.5)
          |          AS BIGINT)) END AS v,
-         |    CASE WHEN t.it >= 20 THEN CAST(0 AS BIGINT)
+         |    CASE WHEN t.it >= $G46Iters THEN CAST(0 AS BIGINT)
          |      ELSE CAST(floor(t.nrm / 1e9 + 0.5) AS BIGINT)
          |      END AS lastlam,
-         |    CASE WHEN t.it >= 20 THEN list_append(t.lams, t.lastlam)
+         |    CASE WHEN t.it >= $G46Iters THEN list_append(t.lams, t.lastlam)
          |      ELSE t.lams END AS lams,
-         |    CASE WHEN t.it >= 20 THEN list_append(t.prevs, t.fv)
+         |    CASE WHEN t.it >= $G46Iters THEN list_append(t.prevs, t.fv)
          |      ELSE t.prevs END AS prevs
          |  FROM (
          |    SELECT u.*,
-         |      CASE WHEN u.it < 20 THEN
+         |      CASE WHEN u.it < $G46Iters THEN
          |        sqrt(CAST(list_reduce(list_transform(u.wq, x ->
          |          CAST(x AS HUGEINT) * x), (a, b) -> a + b) AS DOUBLE))
          |      END AS nrm,
-         |      CASE WHEN u.it >= 20 THEN
+         |      CASE WHEN u.it >= $G46Iters THEN
          |        CASE WHEN u.v[list_position(
          |            list_transform(u.v, x -> abs(x)),
          |            list_max(list_transform(u.v, x -> abs(x))))] < 0
@@ -2364,7 +2376,7 @@ object Genomic {
          |      END AS fv
          |    FROM (
          |      SELECT w.k, w.it, w.v, w.lastlam, w.lams, w.prevs, mm.s,
-         |        CASE WHEN w.it < 20 THEN
+         |        CASE WHEN w.it < $G46Iters THEN
          |          list_transform(range(1, mm.s + 1), i ->
          |            CAST(floor(
          |              CAST(list_reduce(list_transform(range(1, mm.s + 1),
@@ -2383,15 +2395,15 @@ object Genomic {
          |              + 0.5) AS BIGINT))
          |        END AS wq
          |      FROM walk w, mm
-         |      WHERE w.k <= 2) u) t),
-         |fin AS (SELECT lams, prevs FROM walk WHERE k = 3)
+         |      WHERE w.k <= $G46TopK) u) t),
+         |fin AS (SELECT lams, prevs FROM walk WHERE k = ${G46TopK + 1})
          |SELECT n.names[CAST(ii.i AS INT)] AS sample,
          |  CAST(pp.pcn AS INTEGER) AS pc,
          |  round(CAST(f.prevs[pp.pcn][ii.i] AS DOUBLE) / 1e9
          |    + 1e-10, 6) + 0.0 AS loading,
          |  round(CAST(f.lams[pp.pcn] AS DOUBLE) / 1e5, 6) AS eigenvalue
          |FROM fin f, v0c n,
-         |  (SELECT unnest(range(1, 3)) AS pcn) pp,
+         |  (SELECT unnest(range(1, ${G46TopK + 1})) AS pcn) pp,
          |  (SELECT unnest(range(1,
          |    (SELECT s + 1 FROM mm))) AS i) ii""".stripMargin,
 

@@ -23,8 +23,8 @@ object Sitemap {
             bodyCol: String = "body"): DataFrame = {
     val blocks = sitemaps
       .select(col(uriCol).as("sitemap_uri"),
-        posexplode(expr(
-          s"regexp_extract_all($bodyCol, '(?s)<url>(.*?)</url>', 1)"))
+        posexplode(regexp_extract_all(col(bodyCol),
+          lit("(?s)<url>(.*?)</url>"), lit(1)))
           .as(Seq("url_idx", "_b")))
     def field(tag: String) =
       nullif(regexp_extract(col("_b"), s"(?s)<$tag>(.*?)</$tag>", 1), lit(""))

@@ -689,6 +689,28 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cross.getLong(1) == aSet.union(bBases).size.toLong)
   }
 
+  test("Intervals.cluster labels are injective in the key tuple: " +
+    "':'-bearing values and multi-column keys cannot collide") {
+    val s = spark
+    import s.implicits._
+    // the classic ambiguity: (a, b:3) vs (a:b, 3) — same naive join
+    val df = Seq(
+      ("a", "b:3", 10L, 20L),
+      ("a:b", "3", 10L, 20L),
+      // a '\'-bearing value that would alias the escape itself
+      ("a\\", ":b:3", 10L, 20L))
+      .toDF("k1", "k2", "start", "end")
+    val ids = graft.operators.Intervals
+      .cluster(df, keys = Seq("k1", "k2")).collect()
+      .map(_.getString(4)).toSet
+    assert(ids.size == 3, s"cluster_id collided: $ids")
+    // single ':'-free key keeps the plain key:island shape
+    val plain = graft.operators.Intervals
+      .cluster(Seq(("c1", 5L, 9L)).toDF("chrom", "start", "end"))
+      .collect().head.getString(3)
+    assert(plain == "c1:1")
+  }
+
   test("fimSplit reconstructs: prefix+middle+suffix words == the " +
     "original word stream; short docs pass through") {
     val s = spark
