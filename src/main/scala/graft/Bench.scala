@@ -37,6 +37,27 @@ object Bench {
     p
   }
 
+  /** The same synthetic crawl as ONE gzip member (.warc.gz) — the
+    * documented worst case for compressed crawls: Hadoop's codec makes
+    * the file non-splittable, so the whole read is one task. Quantifies
+    * SURVEY §6's caveat; real fleets shard one gz per crawl segment, so
+    * per-FILE parallelism is the scale path and this entry's wall is the
+    * per-file unit cost.
+    */
+  private var warcGzPath: String = null
+  private def ensureSyntheticWarcGz(n: Int): String = synchronized {
+    if (warcGzPath != null) return warcGzPath
+    val plain = ensureSyntheticWarc(n)
+    val p = plain + ".gz"
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(p), 1 << 20))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(plain), out)
+    out.close()
+    warcGzPath = p
+    p
+  }
+
   /** Dedup at volume: `n` synthetic ~30-word docs (300k at sf0.1 for dx,
     * 3M for dx10), every 10th a near-copy of its predecessor (one word of
     * 30 changed), through the full detect->cluster path the sf documents
@@ -388,6 +409,19 @@ object Bench {
       // first run; min-of-3 discards that run's synthesis cost.
       "wx_warc_scale" -> (() => {
         val path = ensureSyntheticWarc((nDocs * 2).toInt)
+        val w = graft.sources.Warc.read(spark, path)
+        w.where(col("warc_type") === "response")
+          .select(graft.sources.Warc.extractText(
+            graft.sources.Warc.httpBody(col("payload"))).as("t"))
+          .agg(sum(length(col("t")))).head.getLong(0)
+      }),
+      // The identical crawl as ONE .warc.gz member: Hadoop-codec
+      // decompress, non-splittable -> one task. The wxgz/wx ratio is
+      // the measured cost of SURVEY §6's compressed-crawl caveat (real
+      // crawls shard one gz per segment, so this is the per-FILE unit
+      // cost, not the fleet wall).
+      "wxgz_warc_gz_scale" -> (() => {
+        val path = ensureSyntheticWarcGz((nDocs * 2).toInt)
         val w = graft.sources.Warc.read(spark, path)
         w.where(col("warc_type") === "response")
           .select(graft.sources.Warc.extractText(
