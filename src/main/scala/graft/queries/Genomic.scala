@@ -52,6 +52,16 @@ object Genomic {
         .withColumn("genotypes", array_join(col("genotypes"), ","))
     }),
 
+    "v9_vcf_gz" -> ((s, _) => {
+      // bgzipped VCF through the UNCHANGED text path: .gz extension ->
+      // Hadoop gzip codec -> member chain across the forced 512-byte
+      // BGZF members. Parity with v1's oracle proves no silent
+      // first-member truncation.
+      prep(s)
+      Vcf.read(s, GenomicFixtures.vcfGzPath)
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
+    }),
+
     "v2_vcf_norm" -> ((s, _) => {
       prep(s)
       Vcf.normalize(Vcf.read(s, GenomicFixtures.vcfPath), minAf = 0.05)
@@ -1037,6 +1047,22 @@ object Genomic {
        |        ELSE 0 END)) AS BIGINT) - 1
        |  END AS ref_end
        |FROM p""".stripMargin
+
+  /** DuckDB's independent parse of the sample.vcf TEXT fixture — the
+    * oracle for BOTH v1_vcf_read (which reads that file) and v9_vcf_gz
+    * (which reads its BGZF multi-member gzip re-encoding through the
+    * same Vcf.read): field parity pins the Hadoop-codec member chain.
+    */
+  private val v1Sql: String =
+    s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, id, ref, alt, qual,
+       |  filter, info,
+       |  array_to_string([${sampleCols.mkString(", ")}], ',') AS genotypes,
+       |  coalesce(
+       |    nullif(regexp_extract(info, '(?:^|;)AF=([^;]+)', 1), ''),
+       |    nullif(regexp_extract(info, '(?:^|;)MAF=([^;]+)', 1), ''))
+       |    AS af
+       |FROM read_csv('$raw/sample.vcf', delim='\t', header=false,
+       |  skip=4, names=$vcfCols, all_varchar=true)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "c1_chain_read" ->
@@ -2976,16 +3002,16 @@ object Genomic {
          |SELECT chrom, pos AS seg_start, nxt - 1 AS seg_end, depth
          |FROM c WHERE depth > 0 AND nxt IS NOT NULL""".stripMargin,
 
-    "v1_vcf_read" ->
-      s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, id, ref, alt, qual,
-         |  filter, info,
-         |  array_to_string([${sampleCols.mkString(", ")}], ',') AS genotypes,
-         |  coalesce(
-         |    nullif(regexp_extract(info, '(?:^|;)AF=([^;]+)', 1), ''),
-         |    nullif(regexp_extract(info, '(?:^|;)MAF=([^;]+)', 1), ''))
-         |    AS af
-         |FROM read_csv('$raw/sample.vcf', delim='\t', header=false,
-         |  skip=4, names=$vcfCols, all_varchar=true)""".stripMargin,
+    "v1_vcf_read" -> v1Sql,
+
+    // v9: the IDENTICAL independent parse of the TEXT fixture — the
+    // gate reads GenomicFixtures.vcfGzPath's BGZF re-encoding (hundreds
+    // of concatenated gzip members at a forced 512-byte cap) through
+    // the UNCHANGED Vcf.read -> spark.read.text path, pinning that
+    // Hadoop's codec chains bgzip members (real .vcf.gz files are BGZF,
+    // not single-member gzip — a first-member-only inflater would
+    // silently truncate them).
+    "v9_vcf_gz" -> v1Sql,
 
     "v2_vcf_norm" ->
       s"""WITH e AS (

@@ -3,7 +3,7 @@ package graft.sources
 import java.io.{ByteArrayOutputStream, DataInputStream, EOFException,
   InputStream}
 import java.nio.{ByteBuffer, ByteOrder}
-import java.util.zip.{CRC32, Deflater, GZIPInputStream}
+import java.util.zip.GZIPInputStream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -240,53 +240,23 @@ object Bam {
         Option(r.getString(11)), refIdx))
     }
     // BGZF-wrap the stream in <= blockSize uncompressed chunks + EOF
-    val all = body.toByteArray
-    var off = 0
-    while (off < all.length) {
-      val n = math.min(blockSize, all.length - off)
-      writeBgzfMember(out, all, off, n)
-      off += n
-    }
-    out.write(BgzfEof)
+    out.write(Bgzf.compress(body.toByteArray, blockSize))
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       out.toByteArray)
   }
 
   /** The spec's fixed 28-byte empty-member EOF marker (SAM spec §4.1.2).
     */
-  private[graft] val BgzfEof: Array[Byte] = Array(
-    0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff, 0x06,
-    0x00, 0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00, 0x00, 0x00,
-    0x00, 0x00, 0x00, 0x00, 0x00, 0x00).map(_.toByte)
+  private[graft] def BgzfEof: Array[Byte] = Bgzf.Eof
+
+  private[graft] def writeBgzfMember(out: ByteArrayOutputStream,
+                                     data: Array[Byte], off: Int,
+                                     len: Int): Unit =
+    Bgzf.writeMember(out, data, off, len)
 
   private def writeLe32(o: ByteArrayOutputStream, v: Int): Unit = {
     o.write(v & 0xff); o.write((v >> 8) & 0xff)
     o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
-  }
-
-  private[graft] def writeBgzfMember(out: ByteArrayOutputStream,
-                                     data: Array[Byte], off: Int,
-                                     len: Int): Unit = {
-    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
-    deflater.setInput(data, off, len)
-    deflater.finish()
-    val cbuf = new Array[Byte](len + 64)
-    var clen = 0
-    while (!deflater.finished())
-      clen += deflater.deflate(cbuf, clen, cbuf.length - clen)
-    deflater.end()
-    val crc = new CRC32()
-    crc.update(data, off, len)
-    val bsize = clen + 26 // header(18) + deflate + crc(4) + isize(4)
-    require(bsize <= 0x10000, s"BGZF member overflow: $bsize")
-    out.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 0x08, 0x04,
-      0, 0, 0, 0, 0, 0xff.toByte, // MTIME, XFL, OS=unknown
-      0x06, 0x00, // XLEN = 6
-      0x42, 0x43, 0x02, 0x00)) // BC subfield, SLEN=2
-    out.write((bsize - 1) & 0xff); out.write(((bsize - 1) >> 8) & 0xff)
-    out.write(cbuf, 0, clen)
-    writeLe32(out, crc.getValue.toInt)
-    writeLe32(out, len)
   }
 
   /** SAM-spec reg2bin over a 0-based half-open interval. */

@@ -143,6 +143,20 @@ class BamSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
+  test("Hadoop's gzip codec chains hundreds of BGZF members through " +
+    "spark.read.text (real .vcf.gz files are BGZF; a first-member-only " +
+    "inflater would silently truncate)") {
+    val one = Files.readAllBytes(
+      Paths.get(s"${graft.fixtures.GenomicFixtures.rawDir}/sample.vcf"))
+    val raw = Array.fill(300)(one).flatten
+    val p = s"$tmp/many.vcf.gz"
+    // 512-byte cap -> ~hundreds of members for this payload
+    Files.write(Paths.get(p), graft.sources.Bgzf.compress(raw, 512))
+    val plain = spark.read.text(
+      s"${graft.fixtures.GenomicFixtures.rawDir}/sample.vcf").count()
+    assert(spark.read.text(p).count() == plain * 300)
+  }
+
   test("splitTags: commas inside Z values and B arrays re-join to the " +
     "entry they belong to") {
     assert(Bam.splitTags("NM:i:1,ZZ:Z:he,llo,XB:B:s,-3,7") ==
