@@ -62,6 +62,17 @@ object Genomic {
         .withColumn("genotypes", array_join(col("genotypes"), ","))
     }),
 
+    "bcf1_read" -> ((s, _) => {
+      // BCF2.2 binary source: the VCF fixture re-encoded by the repo's
+      // own BCF writer, decoded back through the BGZF chain + typed-
+      // value walk. The oracle parses the TEXT fixture independently
+      // with AF re-rendered through float32 shortest-round-trip (the
+      // one text difference binary typing forces: "0.10" -> 0.1).
+      prep(s)
+      graft.sources.Bcf.read(s, GenomicFixtures.bcfPath(s))
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
+    }),
+
     "v2_vcf_norm" -> ((s, _) => {
       prep(s)
       Vcf.normalize(Vcf.read(s, GenomicFixtures.vcfPath), minAf = 0.05)
@@ -3012,6 +3023,26 @@ object Genomic {
     // not single-member gzip — a first-member-only inflater would
     // silently truncate them).
     "v9_vcf_gz" -> v1Sql,
+
+    // bcf1: the same independent TEXT parse, with the ONE difference
+    // binary typing forces: AF is a typed float32 vector in BCF, so the
+    // rendered INFO/af normalize through float shortest-round-trip
+    // ("0.10" -> '0.1') — DuckDB's float->varchar and Java's
+    // Float.toString agree on that rule (BcfSpec pins it per value).
+    "bcf1_read" ->
+      s"""WITH t AS ($v1Sql)
+         |SELECT chrom, pos, id, ref, alt, qual, filter,
+         |  CASE WHEN af IS NULL THEN info
+         |    ELSE 'AF=' || array_to_string(list_transform(
+         |      string_split(af, ','),
+         |      x -> CAST(TRY_CAST(x AS FLOAT) AS VARCHAR)), ',')
+         |    END AS info,
+         |  genotypes,
+         |  CASE WHEN af IS NULL THEN af
+         |    ELSE array_to_string(list_transform(string_split(af, ','),
+         |      x -> CAST(TRY_CAST(x AS FLOAT) AS VARCHAR)), ',')
+         |    END AS af
+         |FROM t""".stripMargin,
 
     "v2_vcf_norm" ->
       s"""WITH e AS (

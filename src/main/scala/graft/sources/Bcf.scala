@@ -1,0 +1,459 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, DataInputStream, InputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One BCF record rendered back to the exact [[Vcf.read]] row shape —
+  * same names, same types, same sentinel conventions — so every
+  * operator downstream of the VCF text parse (normalize, genotypesLong,
+  * the whole QC family) consumes BCF rows unchanged.
+  */
+private[graft] case class BcfRec(
+  chrom: String, pos: Long, id: String, ref: String, alt: String,
+  qual: String, filter: String, info: String, genotypes: Seq[String])
+
+/** BCF2.2 binary VCF source + sink (the VCF spec §6; bcftools' native
+  * format — what cohort variant data is actually stored and exchanged
+  * as at scale; the reference ecosystem's text tools only speak VCF
+  * text, so this row is an extension like src_bam). No external libs.
+  *
+  * Layout handled natively:
+  *  - container: BGZF (see [[Bgzf]]/[[Bam]]) — the JDK's multi-member
+  *    GZIPInputStream chains the members on read;
+  *  - "BCF\2\2", uint32 header length, VCF-text header whose ##contig /
+  *    ##FILTER/##INFO/##FORMAT lines ARE the binary dictionaries
+  *    (implicit IDX = order of first appearance; "PASS" always 0);
+  *  - records: uint32 l_shared/l_indiv, then the shared block (CHROM
+  *    contig idx, 0-based POS, rlen, float QUAL with the 0x7F800001
+  *    missing sentinel, n_allele<<16|n_info, n_fmt<<24|n_sample, typed
+  *    ID string, n_allele typed allele strings, typed FILTER index
+  *    vector, n_info typed key/value pairs) and the per-sample block
+  *    (n_fmt × typed key + fixed-width per-sample typed vectors);
+  *  - typed descriptors: low nibble type (0 MISSING/flag, 1/2/3 int8/
+  *    16/32, 5 float, 7 char), high nibble inline length, 15 = length
+  *    in a following typed int; int missing 0x80/0x8000/0x80000000 and
+  *    vector-end 0x81/0x8001/0x80000001; float missing 0x7F800001,
+  *    vector-end 0x7F800002; GT ints are (allele+1)<<1 | phase with 0
+  *    as the missing allele.
+  *
+  * Text-parity conventions (so rows compare equal to [[Vcf.read]] on
+  * the same variants): QUAL/ID render '.' when missing; FILTER indices
+  * join with ';'; INFO re-renders as `KEY=v1,v2;FLAG;...` in stored
+  * order with integers as decimal and floats as shortest-round-trip
+  * (`Float.toString` — the same rule DuckDB's float→varchar uses, so
+  * the oracle can replay the render); per-sample columns re-join their
+  * FORMAT values with ':' (GT decoded to `a|b`/`a/b`, '.' for missing,
+  * vector-end trimming for mixed ploidy).
+  *
+  * Scale model: identical to [[Bam]] — one task per file via
+  * `binaryFiles` + a constant-memory streaming iterator; cohort fleets
+  * shard BCF per chromosome/sample-batch, so per-file parallelism is
+  * the first-order path and in-file splitting would need the same
+  * virtual-offset index BAM does (evidence-gated, not built).
+  */
+object Bcf {
+
+  private val FloatMissing = 0x7f800001
+  private val FloatEnd = 0x7f800002
+
+  // -------------------------------------------------------------- read
+  def read(spark: SparkSession, path: String,
+           afFields: Seq[String] = Vcf.defaultAfFields): DataFrame = {
+    import spark.implicits._
+    val recs = spark.sparkContext.binaryFiles(path)
+      .flatMap { case (_, pds) => records(pds.open()) }
+    recs.toDS().toDF()
+      .withColumn("af",
+        coalesce(afFields.map(k => Vcf.infoField(col("info"), k)): _*))
+  }
+
+  /** Streaming record iterator over one BCF file's bytes. Package-
+    * visible for byte-level spec tests.
+    */
+  private[graft] def records(raw: InputStream): Iterator[BcfRec] = {
+    val in = new DataInputStream(new GZIPInputStream(raw, 65536))
+    def bytes(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n); in.readFully(b); b
+    }
+    def le(n: Int): ByteBuffer =
+      ByteBuffer.wrap(bytes(n)).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = bytes(5)
+    require(magic(0) == 'B' && magic(1) == 'C' && magic(2) == 'F' &&
+      magic(3) == 2, "not a BCF2 stream (bad magic)")
+    val lText = le(4).getInt
+    val headerText = new String(bytes(lText), "US-ASCII")
+    val (contigs, strings) = parseHeaderDicts(headerText)
+    new Iterator[BcfRec] {
+      private var nextRec: BcfRec = _
+      private var done = false
+      advance()
+      private def advance(): Unit = {
+        val b0 = in.read()
+        if (b0 < 0) { nextRec = null; done = true; in.close(); return }
+        val rest = bytes(7)
+        val lShared = (b0 & 0xff) | ((rest(0) & 0xff) << 8) |
+          ((rest(1) & 0xff) << 16) | ((rest(2) & 0xff) << 24)
+        val lIndiv = (rest(3) & 0xff) | ((rest(4) & 0xff) << 8) |
+          ((rest(5) & 0xff) << 16) | ((rest(6) & 0xff) << 24)
+        nextRec = decodeRecord(le(lShared), le(lIndiv), contigs, strings)
+      }
+      override def hasNext: Boolean = !done
+      override def next(): BcfRec = {
+        val r = nextRec; advance(); r
+      }
+    }
+  }
+
+  /** The implicit-IDX dictionaries from the embedded VCF-text header:
+    * contig names in ##contig order; the shared string dict is "PASS"
+    * then every new ##FILTER/##INFO/##FORMAT ID in appearance order.
+    */
+  private[graft] def parseHeaderDicts(
+      text: String): (Array[String], Array[String]) = {
+    val contigs = scala.collection.mutable.ArrayBuffer[String]()
+    val strings = scala.collection.mutable.ArrayBuffer[String]("PASS")
+    val id = "ID=([^,>]+)".r
+    text.split("\n").foreach { line =>
+      if (line.startsWith("##contig=")) {
+        id.findFirstMatchIn(line).foreach(m => contigs += m.group(1))
+      } else if (line.startsWith("##FILTER=") ||
+        line.startsWith("##INFO=") || line.startsWith("##FORMAT=")) {
+        id.findFirstMatchIn(line).foreach { m =>
+          if (!strings.contains(m.group(1))) strings += m.group(1)
+        }
+      }
+    }
+    (contigs.toArray, strings.toArray)
+  }
+
+  // ---- typed-value primitives
+  /** Returns (type, length), consuming the descriptor (and overflow
+    * length) from `b`.
+    */
+  private def typeDesc(b: ByteBuffer): (Int, Int) = {
+    val d = b.get & 0xff
+    val t = d & 0xf
+    val l = d >>> 4
+    if (l < 15) (t, l) else (t, typedInt(b).toInt)
+  }
+
+  /** One typed scalar int (its own descriptor + value). */
+  private def typedInt(b: ByteBuffer): Long = {
+    val (t, l) = typeDesc(b)
+    require(l == 1, s"typed int with length $l")
+    intVal(b, t)
+  }
+
+  private def intVal(b: ByteBuffer, t: Int): Long = t match {
+    case 1 => b.get.toLong
+    case 2 => b.getShort.toLong
+    case 3 => b.getInt.toLong
+    case o => sys.error(s"not an int type: $o")
+  }
+
+  private def intMissing(t: Int, v: Long): Boolean = t match {
+    case 1 => v == -128L
+    case 2 => v == -32768L
+    case 3 => v == Int.MinValue.toLong
+  }
+
+  private def intEnd(t: Int, v: Long): Boolean = t match {
+    case 1 => v == -127L
+    case 2 => v == -32767L
+    case 3 => v == (Int.MinValue + 1).toLong
+  }
+
+  /** Render one typed value (already past its descriptor) as VCF text. */
+  private def renderValue(b: ByteBuffer, t: Int, l: Int): String = t match {
+    case 0 => "" // MISSING type: flag INFO, no value
+    case 1 | 2 | 3 =>
+      (0 until l).map(_ => intVal(b, t)).filterNot(intEnd(t, _))
+        .map(v => if (intMissing(t, v)) "." else v.toString)
+        .mkString(",")
+    case 5 =>
+      (0 until l).map(_ => b.getInt).filterNot(_ == FloatEnd)
+        .map(bits => if (bits == FloatMissing) "."
+        else java.lang.Float.intBitsToFloat(bits).toString)
+        .mkString(",")
+    case 7 =>
+      val c = new Array[Byte](l); b.get(c)
+      new String(c, "US-ASCII")
+    case o => sys.error(s"unsupported BCF type $o")
+  }
+
+  private def decodeRecord(sh: ByteBuffer, ind: ByteBuffer,
+                           contigs: Array[String],
+                           strings: Array[String]): BcfRec = {
+    val chromIdx = sh.getInt
+    val pos0 = sh.getInt
+    sh.getInt // rlen (recomputable)
+    val qualBits = sh.getInt
+    val qual =
+      if (qualBits == FloatMissing) "."
+      else java.lang.Float.intBitsToFloat(qualBits).toString
+    val nAlleleInfo = sh.getInt
+    val nAllele = nAlleleInfo >>> 16
+    val nInfo = nAlleleInfo & 0xffff
+    val nFmtSample = sh.getInt
+    val nFmt = nFmtSample >>> 24
+    val nSample = nFmtSample & 0xffffff
+    def typedString(): String = {
+      val (t, l) = typeDesc(sh)
+      require(t == 7 || l == 0, s"expected string, got type $t")
+      renderValue(sh, 7, l)
+    }
+    val id = typedString() match { case "" => "."; case s => s }
+    val alleles = (0 until nAllele).map(_ => typedString())
+    val ref = alleles.headOption.getOrElse(".")
+    val alt = if (alleles.size > 1) alleles.tail.mkString(",") else "."
+    val filter = {
+      val (t, l) = typeDesc(sh)
+      if (l == 0) "."
+      else (0 until l).map(_ => strings(intVal(sh, t).toInt))
+        .mkString(";")
+    }
+    val info = (0 until nInfo).map { _ =>
+      val key = strings(typedInt(sh).toInt)
+      val (t, l) = typeDesc(sh)
+      val v = renderValue(sh, t, l)
+      if (t == 0 || (t == 7 && l == 0)) key else s"$key=$v"
+    }.mkString(";") match { case "" => "."; case s => s }
+    // per-sample block: each FORMAT field is a fixed-width typed vector
+    val fields: Seq[(String, Array[String])] = (0 until nFmt).map { _ =>
+      val key = strings(typedInt(ind).toInt)
+      val (t, perSample) = typeDesc(ind)
+      val vals = Array.tabulate(nSample) { _ =>
+        if (key == "GT") renderGt(ind, t, perSample)
+        else renderValue(ind, t, perSample)
+      }
+      key -> vals
+    }
+    val genotypes = Seq.tabulate(nSample)(i =>
+      fields.map(_._2(i)).mkString(":"))
+    BcfRec(
+      contigs(chromIdx), pos0 + 1L, id, ref, alt, qual, filter, info,
+      genotypes)
+  }
+
+  /** Decode one sample's GT vector: ints (allele+1)<<1|phase, 0 = '.',
+    * end-of-vector trims (mixed ploidy); the separator before allele
+    * i>=2 is '|' when its phase bit is set, '/' otherwise.
+    */
+  private def renderGt(b: ByteBuffer, t: Int, perSample: Int): String = {
+    val js = (0 until perSample).map(_ => intVal(b, t))
+      .filterNot(intEnd(t, _))
+    val sb = new StringBuilder
+    js.zipWithIndex.foreach { case (j, i) =>
+      if (i > 0) sb += (if ((j & 1L) != 0) '|' else '/')
+      val allele = (j >>> 1) - 1
+      sb ++= (if (allele < 0) "." else allele.toString)
+    }
+    sb.toString
+  }
+
+  // ------------------------------------------------------------- write
+  /** Serialize parsed variants (the [[Vcf.read]] column shape) to one
+    * BCF2.2 file — the fixture/test-scale single-file writer (the
+    * [[Bam.write]] contract: record order = input order, sharded
+    * per-partition files are the scale path). Coverage matches the
+    * parsed model: GT-only FORMAT, INFO re-encoded from the text
+    * string with per-key types from `infoTypes` (Float/Integer/
+    * String/Flag; unlisted keys encode as String).
+    */
+  def write(variants: DataFrame, contigs: Seq[(String, Long)],
+            sampleNames: Seq[String], path: String,
+            infoTypes: Map[String, String] = Map("AF" -> "Float"),
+            blockSize: Int = 0xff00): Unit = {
+    val rows = variants
+      .selectExpr("chrom", "pos", "id", "ref", "alt", "qual", "filter",
+        "info", "genotypes")
+      .collect()
+    // dictionaries: PASS first, then FILTER values and INFO keys in
+    // row-appearance order, then GT
+    val strings = scala.collection.mutable.LinkedHashSet[String]("PASS")
+    val infoKeys = scala.collection.mutable.LinkedHashSet[String]()
+    rows.foreach { r =>
+      Option(r.getString(6)).filter(f => f != "." && f.nonEmpty)
+        .foreach(_.split(";").foreach(strings += _))
+      Option(r.getString(7)).filter(i => i != "." && i.nonEmpty)
+        .foreach(_.split(";").foreach { kv =>
+          val k = kv.split("=")(0)
+          strings += k; infoKeys += k
+        })
+    }
+    strings += "GT"
+    val stringIdx = strings.zipWithIndex.toMap
+    val contigIdx = contigs.map(_._1).zipWithIndex.toMap
+    val headerText = {
+      val sb = new StringBuilder("##fileformat=VCFv4.2\n")
+      strings.foreach {
+        case "PASS" =>
+          sb ++= "##FILTER=<ID=PASS,Description=\"All filters passed\">\n"
+        case "GT" =>
+          sb ++= "##FORMAT=<ID=GT,Number=1,Type=String," +
+            "Description=\"Genotype\">\n"
+        case k if infoKeys.contains(k) =>
+          val t = infoTypes.getOrElse(k, "String")
+          val num = if (t == "Flag") "0" else "."
+          sb ++= s"##INFO=<ID=$k,Number=$num,Type=$t,Description=\"$k\">\n"
+        case f =>
+          sb ++= s"##FILTER=<ID=$f,Description=\"$f\">\n"
+      }
+      contigs.foreach { case (n, l) =>
+        sb ++= s"##contig=<ID=$n,length=$l>\n"
+      }
+      sb ++= "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+      sb ++= sampleNames.mkString("\t")
+      sb += '\n'
+      sb.toString
+    }
+    val body = new ByteArrayOutputStream()
+    body.write(Array[Byte]('B', 'C', 'F', 2, 2))
+    val hb = headerText.getBytes("US-ASCII")
+    writeLe32(body, hb.length)
+    body.write(hb)
+    rows.foreach { r =>
+      val shared = new ByteArrayOutputStream()
+      val indiv = new ByteArrayOutputStream()
+      val chrom = r.getString(0)
+      val pos = r.getLong(1)
+      val id = Option(r.getString(2)).filter(_ != ".").getOrElse("")
+      val ref = r.getString(3)
+      val alts = Option(r.getString(4)).filter(_ != ".")
+        .map(_.split(",").toSeq).getOrElse(Seq.empty)
+      val qual = Option(r.getString(5)).filter(_ != ".")
+      val filters = Option(r.getString(6)).filter(f =>
+        f != "." && f.nonEmpty).map(_.split(";").toSeq).getOrElse(Seq.empty)
+      val infos: Seq[(String, String)] =
+        Option(r.getString(7)).filter(i => i != "." && i.nonEmpty)
+          .map(_.split(";").toSeq.map { kv =>
+            kv.split("=", 2) match {
+              case Array(k) => (k, null)
+              case Array(k, v) => (k, v)
+            }
+          }).getOrElse(Seq.empty)
+      val gts = r.getSeq[String](8)
+      val alleles = ref +: alts
+      writeLe32(shared, contigIdx(chrom))
+      writeLe32(shared, (pos - 1).toInt)
+      writeLe32(shared, ref.length) // rlen
+      writeLe32(shared,
+        qual.map(q => java.lang.Float.floatToIntBits(q.toFloat))
+          .getOrElse(FloatMissing))
+      writeLe32(shared, (alleles.size << 16) | infos.size)
+      writeLe32(shared, (1 << 24) | gts.size) // n_fmt=1 (GT)
+      writeTypedString(shared, id)
+      alleles.foreach(writeTypedString(shared, _))
+      writeTypedInts(shared, filters.map(stringIdx(_).toLong))
+      infos.foreach { case (k, v) =>
+        writeTypedInts(shared, Seq(stringIdx(k).toLong))
+        if (v == null) shared.write(0x00) // Flag: MISSING type, len 0
+        else infoTypes.getOrElse(k, "String") match {
+          case "Float" =>
+            val fs = v.split(",")
+            writeDesc(shared, 5, fs.length)
+            fs.foreach(f => writeLe32(shared,
+              if (f == ".") FloatMissing
+              else java.lang.Float.floatToIntBits(f.toFloat)))
+          case "Integer" =>
+            writeTypedInts(shared,
+              v.split(",").toSeq.map(s =>
+                if (s == ".") Long.MinValue else s.toLong))
+          case _ =>
+            writeTypedString(shared, v)
+        }
+      }
+      // indiv: GT vectors, fixed width = max ploidy this record
+      writeTypedInts(indiv, Seq(stringIdx("GT").toLong))
+      val split = gts.map(g => splitGt(g))
+      val width = math.max(1, if (split.isEmpty) 1 else split.map(_.size).max)
+      writeDesc(indiv, 1, width)
+      split.foreach { js =>
+        js.foreach { j =>
+          require(j <= 127, s"allele index too large for int8 GT: $j")
+          indiv.write(j & 0xff)
+        }
+        (js.size until width).foreach(_ => indiv.write(0x81)) // vector end
+      }
+      val sb = shared.toByteArray
+      val ib = indiv.toByteArray
+      writeLe32(body, sb.length)
+      writeLe32(body, ib.length)
+      body.write(sb)
+      body.write(ib)
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      Bgzf.compress(body.toByteArray, blockSize))
+  }
+
+  /** One GT string -> BCF ints ((allele+1)<<1 | phase-of-separator). */
+  private[graft] def splitGt(gt: String): Seq[Int] = {
+    if (gt == null || gt.isEmpty) return Seq(0)
+    val toks = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+    var cur = new StringBuilder
+    var phased = false // first allele's phase bit: htslib writes 0
+    gt.foreach {
+      case '|' => toks += ((cur.toString, phased)); cur = new StringBuilder
+        phased = true
+      case '/' => toks += ((cur.toString, phased)); cur = new StringBuilder
+        phased = false
+      case c => cur += c
+    }
+    toks += ((cur.toString, phased))
+    toks.toSeq.zipWithIndex.map { case ((a, p), i) =>
+      val allele = if (a == "." || a.isEmpty) -1 else a.toInt
+      ((allele + 1) << 1) | (if (i > 0 && p) 1 else 0)
+    }
+  }
+
+  private def writeLe32(o: ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
+  }
+
+  /** Descriptor byte(s): (len<<4)|type with the 15-overflow rule. */
+  private def writeDesc(o: ByteArrayOutputStream, t: Int, l: Int): Unit =
+    if (l < 15) o.write((l << 4) | t)
+    else {
+      o.write(0xf0 | t)
+      writeTypedInts(o, Seq(l.toLong))
+    }
+
+  private def writeTypedString(o: ByteArrayOutputStream, s: String): Unit = {
+    val b = s.getBytes("US-ASCII")
+    writeDesc(o, 7, b.length)
+    o.write(b)
+  }
+
+  /** A typed int vector at the smallest width fitting every value
+    * (missing encoded per-width; Long.MinValue marks missing in).
+    */
+  private def writeTypedInts(o: ByteArrayOutputStream,
+                             vs: Seq[Long]): Unit = {
+    val present = vs.filterNot(_ == Long.MinValue)
+    val t =
+      if (present.forall(v => v >= -120 && v <= 127)) 1
+      else if (present.forall(v => v >= -32760 && v <= 32767)) 2
+      else 3
+    writeDesc(o, t, vs.length)
+    vs.foreach { v =>
+      val x = t match {
+        case 1 => if (v == Long.MinValue) -128L else v
+        case 2 => if (v == Long.MinValue) -32768L else v
+        case 3 => if (v == Long.MinValue) Int.MinValue.toLong else v
+      }
+      t match {
+        case 1 => o.write((x & 0xff).toInt)
+        case 2 => o.write((x & 0xff).toInt); o.write(((x >> 8) & 0xff).toInt)
+        case 3 =>
+          o.write((x & 0xff).toInt); o.write(((x >> 8) & 0xff).toInt)
+          o.write(((x >> 16) & 0xff).toInt)
+          o.write(((x >> 24) & 0xff).toInt)
+      }
+    }
+  }
+}

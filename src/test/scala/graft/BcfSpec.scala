@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.sources.{Bcf, Vcf}
+
+/** Byte-level BCF2.2 reader+writer pins (VCF spec §6): typed-descriptor
+  * grammar, GT phase/missing/ploidy encoding, INFO type coverage,
+  * dictionary order, and the float32 render rule the gate oracle
+  * relies on.
+  */
+class BcfSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val tmp = Files.createTempDirectory("graft-bcf").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .appName("bcf-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def writeVcf(name: String, lines: Seq[String]): String = {
+    val p = Paths.get(tmp, name)
+    Files.writeString(p, lines.mkString("", "\n", "\n"))
+    p.toString
+  }
+
+  private val header = Seq(
+    "##fileformat=VCFv4.2",
+    "##INFO=<ID=AF,Number=A,Type=Float,Description=\"AF\">",
+    "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"GT\">",
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2")
+
+  test("fixture round-trip: Vcf.read -> Bcf.write -> Bcf.read matches " +
+    "the text parse row-for-row after AF float normalization") {
+    val src = s"${graft.fixtures.GenomicFixtures.rawDir}/sample.vcf"
+    val parsed = Vcf.read(spark, src)
+    val contigs = parsed.groupBy("chrom")
+      .agg(org.apache.spark.sql.functions.max("pos").as("m"))
+      .orderBy("chrom").collect()
+      .map(r => (r.getString(0), r.getLong(1) + 10L)).toSeq
+    val p = s"$tmp/rt.bcf"
+    Bcf.write(parsed, contigs, Vcf.sampleNames(spark, src), p)
+    def key(r: org.apache.spark.sql.Row, normAf: Boolean) = {
+      val af = Option(r.getString(r.fieldIndex("af")))
+      val afN = af.map(_.split(",").map(x =>
+        if (normAf) x.toFloat.toString else x).mkString(","))
+      (r.getString(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5), r.getString(6),
+        afN.map("AF=" + _).getOrElse(r.getString(7)),
+        r.getSeq[String](8).mkString(","), afN)
+    }
+    val a = parsed.collect().map(key(_, normAf = true)).sortBy(_.toString)
+    val b = Bcf.read(spark, p).collect()
+      .map(key(_, normAf = false)).sortBy(_.toString)
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("float32 shortest-round-trip render parity: Java Float.toString " +
+    "matches DuckDB float->varchar on the fixture's AF shapes") {
+    // the rule the bcf1 oracle's TRY_CAST(x AS FLOAT)::VARCHAR replays
+    val pins = Seq(
+      "0.25" -> "0.25", "0.50" -> "0.5", "0.10" -> "0.1",
+      "0.05" -> "0.05", "0.15" -> "0.15", "0.01" -> "0.01")
+    pins.foreach { case (in, want) =>
+      assert(in.toFloat.toString == want, s"Float.toString($in)")
+    }
+  }
+
+  test("GT encoding: phased/unphased separators, missing alleles, " +
+    "haploid vector-end padding, multi-allelic indices") {
+    val p = s"$tmp/gt.bcf"
+    val v = writeVcf("gt.vcf", header ++ Seq(
+      "1\t10\trs1\tA\tG,T\t.\tPASS\tAF=0.5,0.1\tGT\t2|1\t0/2",
+      "1\t20\trs2\tC\tG\t.\tPASS\tAF=0.2\tGT\t.|.\t./1",
+      "1\t30\trs3\tC\tG\t.\tPASS\tAF=0.2\tGT\t1\t0|1"))
+    Bcf.write(Vcf.read(spark, v), Seq(("1", 100L)), Seq("S1", "S2"), p)
+    val rows = Bcf.read(spark, p).collect()
+      .map(r => r.getString(2) -> r.getSeq[String](8)).toMap
+    assert(rows("rs1") == Seq("2|1", "0/2"))
+    assert(rows("rs2") == Seq(".|.", "./1"))
+    assert(rows("rs3") == Seq("1", "0|1")) // mixed ploidy: end-padded
+  }
+
+  test("splitGt wire values: (allele+1)<<1 | separator phase") {
+    assert(Bcf.splitGt("0|1") == Seq(2, 5))
+    assert(Bcf.splitGt("1/0") == Seq(4, 2))
+    assert(Bcf.splitGt(".|.") == Seq(0, 1))
+    assert(Bcf.splitGt("1") == Seq(4))
+    assert(Bcf.splitGt("2|1") == Seq(6, 5))
+  }
+
+  test("INFO type coverage: Integer vectors with missing, Flag, String, " +
+    "multi-allelic Float with missing; FILTER multi-entry and '.'") {
+    val hdr = Seq(
+      "##fileformat=VCFv4.2",
+      "##INFO=<ID=AF,Number=A,Type=Float,Description=\"x\">",
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"x\">",
+      "##INFO=<ID=AC,Number=A,Type=Integer,Description=\"x\">",
+      "##INFO=<ID=DB,Number=0,Type=Flag,Description=\"x\">",
+      "##INFO=<ID=CSQ,Number=.,Type=String,Description=\"x\">",
+      "##FILTER=<ID=q10,Description=\"x\">",
+      "##FILTER=<ID=s50,Description=\"x\">",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"x\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1")
+    val v = writeVcf("info.vcf", hdr ++ Seq(
+      "1\t10\trs1\tA\tG\t.\tq10;s50\tAF=0.5;DP=99999;DB;CSQ=a|b,c\tGT\t0|1",
+      "1\t20\t.\tC\tG\t.\t.\tAC=3,.;DP=70000\tGT\t1|1",
+      "1\t30\trs3\tC\tG\t.\tPASS\t.\tGT\t0|0"))
+    val p = s"$tmp/info.bcf"
+    Bcf.write(Vcf.read(spark, v), Seq(("1", 100L)), Seq("S1"), p,
+      infoTypes = Map("AF" -> "Float", "DP" -> "Integer",
+        "AC" -> "Integer", "DB" -> "Flag", "CSQ" -> "String"))
+    val rows = Bcf.read(spark, p).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    val r10 = rows(10L)
+    assert(r10.getString(r10.fieldIndex("filter")) == "q10;s50")
+    assert(r10.getString(r10.fieldIndex("info")) ==
+      "AF=0.5;DP=99999;DB;CSQ=a|b,c") // int32-width DP, Flag, String
+    val r20 = rows(20L)
+    assert(r20.getString(r20.fieldIndex("id")) == ".")
+    assert(r20.getString(r20.fieldIndex("filter")) == ".")
+    assert(r20.getString(r20.fieldIndex("info")) == "AC=3,.;DP=70000")
+    val r30 = rows(30L)
+    assert(r30.getString(r30.fieldIndex("info")) == ".")
+  }
+
+  test("typed-descriptor overflow: >14 ALT alleles force the 15-length " +
+    "escape on the allele count and a wide GT index") {
+    val alts = (1 to 16).map(i => "A" + ("C" * i)).mkString(",")
+    val v = writeVcf("wide.vcf", header ++ Seq(
+      s"1\t10\trs1\tA\t$alts\t.\tPASS\tAF=${(1 to 16)
+        .map(_ => "0.01").mkString(",")}\tGT\t16|0\t0|0"))
+    val p = s"$tmp/wide.bcf"
+    Bcf.write(Vcf.read(spark, v), Seq(("1", 100L)), Seq("S1", "S2"), p)
+    val r = Bcf.read(spark, p).collect().head
+    assert(r.getString(4).split(",").length == 16)
+    assert(r.getSeq[String](8) == Seq("16|0", "0|0"))
+    // 16 AF values round-trip through the float vector
+    assert(r.getString(r.fieldIndex("af")).split(",").length == 16)
+  }
+
+  test("BGZF container: BCF payload spans forced 64-byte members and " +
+    "still decodes (records legally cross member boundaries)") {
+    val src = s"${graft.fixtures.GenomicFixtures.rawDir}/sample.vcf"
+    val parsed = Vcf.read(spark, src)
+    val p = s"$tmp/tiny.bcf"
+    Bcf.write(parsed,
+      Seq(("1", 1000L), ("2", 1000L), ("X", 1000L)),
+      Vcf.sampleNames(spark, src), p, blockSize = 64)
+    assert(Bcf.read(spark, p).count() == parsed.count())
+  }
+
+  test("header dictionaries: PASS is always index 0, ids dedupe in " +
+    "appearance order, contigs separate") {
+    val (contigs, strings) = Bcf.parseHeaderDicts(Seq(
+      "##fileformat=VCFv4.2",
+      "##FILTER=<ID=q10,Description=\"x\">",
+      "##INFO=<ID=AF,Number=A,Type=Float,Description=\"x\">",
+      "##INFO=<ID=q10,Number=1,Type=Integer,Description=\"dup id\">",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"x\">",
+      "##contig=<ID=chr1,length=100>",
+      "##contig=<ID=chr2,length=50>").mkString("\n"))
+    assert(strings.toSeq == Seq("PASS", "q10", "AF", "GT"))
+    assert(contigs.toSeq == Seq("chr1", "chr2"))
+  }
+}
