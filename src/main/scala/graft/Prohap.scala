@@ -234,11 +234,11 @@ object Prohap {
     val vcfPath = opts("i")
     val minAf = opts.getOrElse("af", "0").toDouble
     val norm = Vcf.normalize(
-      Vcf.read(spark, vcfPath, ProHapCli.afFields(opts)), minAf)
+      Vcf.readAuto(spark, vcfPath, ProHapCli.afFields(opts)), minAf)
     val gtf = Gtf.read(spark, opts("db"))
     val meta = samplesMeta(spark, opts("s"))
     val transcripts = transcriptIntervals(spark, gtf, opts)
-    val gts = genotypesByTranscript(norm, Vcf.sampleNames(spark, vcfPath),
+    val gts = genotypesByTranscript(norm, Vcf.sampleNamesAuto(spark, vcfPath),
       meta, transcripts,
       opts.getOrElse("x_par1_to", "2781479").toLong,
       opts.getOrElse("x_par2_from", "155701383").toLong,
@@ -302,7 +302,7 @@ object Provar {
   def run(spark: SparkSession, opts: Map[String, String]): DataFrame = {
     val minAf = opts.getOrElse("af", "0").toDouble
     val norm = Vcf.normalize(
-      Vcf.read(spark, opts("i"), ProHapCli.afFields(opts)), minAf)
+      Vcf.readAuto(spark, opts("i"), ProHapCli.afFields(opts)), minAf)
     val gtf = Gtf.read(spark, opts("db"))
     val transcripts = transcriptIntervals(spark, gtf, opts)
     // one row per allele line: multi-allelic rows share a VCF id, so the

@@ -71,6 +71,41 @@ object Bcf {
         coalesce(afFields.map(k => Vcf.infoField(col("info"), k)): _*))
   }
 
+  /** Sample names from the `#CHROM` line of the embedded header text —
+    * the [[Vcf.sampleNames]] contract for binary input. One tiny
+    * driver-side header read (records are never touched); a glob/dir
+    * path resolves to its first matching file, since every shard of one
+    * cohort carries the same sample columns.
+    */
+  def sampleNames(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file = fs.globStatus(p) match {
+      case null | Array() => p
+      case hits =>
+        val first = hits.sortBy(_.getPath.toString).head
+        if (first.isDirectory)
+          fs.listStatus(first.getPath).filter(_.isFile)
+            .sortBy(_.getPath.toString).head.getPath
+        else first.getPath
+    }
+    val in = new DataInputStream(
+      new GZIPInputStream(fs.open(file), 65536))
+    try {
+      val magic = new Array[Byte](5); in.readFully(magic)
+      require(magic(0) == 'B' && magic(1) == 'C' && magic(2) == 'F' &&
+        magic(3) == 2, "not a BCF2 stream (bad magic)")
+      val l = new Array[Byte](4); in.readFully(l)
+      val lText = (l(0) & 0xff) | ((l(1) & 0xff) << 8) |
+        ((l(2) & 0xff) << 16) | ((l(3) & 0xff) << 24)
+      val t = new Array[Byte](lText); in.readFully(t)
+      new String(t, "US-ASCII").split("\n")
+        .find(_.startsWith("#CHROM"))
+        .map(_.stripSuffix("\r").split("\t").drop(9).toSeq)
+        .getOrElse(Seq.empty)
+    } finally in.close()
+  }
+
   /** Streaming record iterator over one BCF file's bytes. Package-
     * visible for byte-level spec tests.
     */

@@ -31,6 +31,23 @@ object Vcf {
            afFields: Seq[String] = defaultAfFields): DataFrame =
     parseLines(spark.read.text(path), "value", afFields)
 
+  /** Format-dispatching read: `.bcf` → the [[Bcf]] binary decoder,
+    * anything else (incl. `.vcf.gz` — the text scan inflates through
+    * Hadoop's codec) → the text parse. Both emit the identical row
+    * shape, so callers (the CLIs) take either transparently.
+    */
+  def readAuto(spark: SparkSession, path: String,
+               afFields: Seq[String] = defaultAfFields): DataFrame =
+    if (path.endsWith(".bcf")) Bcf.read(spark, path, afFields)
+    else read(spark, path, afFields)
+
+  /** [[sampleNames]] across formats: BCF carries the `#CHROM` line in
+    * its embedded header text.
+    */
+  def sampleNamesAuto(spark: SparkSession, path: String): Seq[String] =
+    if (path.endsWith(".bcf")) Bcf.sampleNames(spark, path)
+    else sampleNames(spark, path)
+
   /** Sample names from the `#CHROM` header line (fields 10+), in column
     * order. VCF genotype columns are anonymous positions until tied to
     * these names. One tiny driver-side read of the header line only.

@@ -163,6 +163,18 @@ class BcfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bcf.read(spark, p).count() == parsed.count())
   }
 
+  test("sampleNames reads the embedded #CHROM line driver-side, " +
+    "direct path and glob both resolve") {
+    val src = s"${graft.fixtures.GenomicFixtures.rawDir}/sample.vcf"
+    val parsed = Vcf.read(spark, src)
+    val names = Vcf.sampleNames(spark, src)
+    val p = s"$tmp/names.bcf"
+    Bcf.write(parsed, Seq(("1", 1000L), ("2", 1000L), ("X", 1000L)),
+      names, p)
+    assert(Bcf.sampleNames(spark, p) == names)
+    assert(Bcf.sampleNames(spark, s"$tmp/names.bc*") == names)
+  }
+
   test("header dictionaries: PASS is always index 0, ids dedupe in " +
     "appearance order, contigs separate") {
     val (contigs, strings) = Bcf.parseHeaderDicts(Seq(

@@ -53,6 +53,23 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     GenomicPipeline.releaseCaches()
   }
 
+  test("Prohap.run with -i sample.bcf (binary input) == the text-VCF " +
+    "run, end to end through the whole pipeline") {
+    val text = Prohap.run(spark, fixtureOpts)
+    val bcf = Prohap.run(spark,
+      fixtureOpts + ("i" -> GenomicFixtures.bcfPath(spark)))
+    assert(rowsOf(bcf) == rowsOf(text))
+    GenomicPipeline.releaseCaches()
+  }
+
+  test("Provar.run with -i sample.bcf == the text-VCF run") {
+    val text = Provar.run(spark, fixtureOpts)
+    val bcf = Provar.run(spark,
+      fixtureOpts + ("i" -> GenomicFixtures.bcfPath(spark)))
+    assert(rowsOf(bcf) == rowsOf(text))
+    GenomicPipeline.releaseCaches()
+  }
+
   test("Prohap.run honors min_hap_count and min_hap_freq") {
     val all = Prohap.run(spark, fixtureOpts).collect()
     val counted = Prohap.run(spark,
