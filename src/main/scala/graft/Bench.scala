@@ -58,6 +58,83 @@ object Bench {
     p
   }
 
+  /** Synthetic aligned reads re-encoded as ONE BAM by the repo's own
+    * writer (~n reads, 100 bp each) — times the streaming BGZF+record
+    * decode path at volume (the per-record JVM iterator is the scale
+    * question for binary sources; the gate fixture is 8 reads). Written
+    * once per JVM; min-of-N discards the synthesis run.
+    */
+  private var bamScalePath: String = null
+  private def ensureSyntheticBam(spark: SparkSession, n: Long): String =
+    synchronized {
+      if (bamScalePath != null) return bamScalePath
+      import org.apache.spark.sql.functions._
+      val p = s"${sys.props("java.io.tmpdir")}/graft-bam-scale-" +
+        s"${ProcessHandle.current.pid}.bam"
+      val acgt = Seq("A", "C", "G", "T")
+      val seqExpr = concat_ws("", (0 until 100).map(i =>
+        element_at(array(acgt.map(lit): _*),
+          (pmod(col("id") * 31 + lit(i), lit(4)) + 1).cast("int"))): _*)
+      val reads = spark.range(n).select(
+        concat(lit("r"), col("id")).as("qname"),
+        when(pmod(col("id"), lit(10)) === 0, 4)
+          .otherwise(when(pmod(col("id"), lit(2)) === 0, 99).otherwise(147))
+          .cast("int").as("flag"),
+        when(pmod(col("id"), lit(10)) === 0, lit(null))
+          .otherwise(concat(lit("chr"), pmod(col("id"), lit(22)) + 1))
+          .as("rname"),
+        when(pmod(col("id"), lit(10)) === 0, lit(null))
+          .otherwise(pmod(hash(col("id")), lit(200000000)).cast("long") + 1)
+          .as("pos"),
+        lit(60).as("mapq"),
+        when(pmod(col("id"), lit(10)) === 0, "*")
+          .when(pmod(col("id"), lit(3)) === 0, "10S80M10S")
+          .otherwise("100M").as("cigar"),
+        lit(null).cast("string").as("rnext"),
+        lit(null).cast("long").as("pnext"),
+        lit(0L).as("tlen"),
+        seqExpr.as("seq"),
+        lit("I" * 100).as("qual"),
+        concat(lit("NM:i:"), pmod(col("id"), lit(5))).as("tags"))
+      val refs = (1 to 22).map(i => (s"chr$i", 250000000L))
+      graft.sources.Bam.write(reads, refs, p)
+      bamScalePath = p
+      p
+    }
+
+  /** Synthetic cohort re-encoded as ONE BCF (~n variants × 20 samples)
+    * — times the typed-value + GT wire decode at volume. Same
+    * once-per-JVM/prep contract as the BAM entry.
+    */
+  private var bcfScalePath: String = null
+  private def ensureSyntheticBcf(spark: SparkSession, n: Long): String =
+    synchronized {
+      if (bcfScalePath != null) return bcfScalePath
+      import org.apache.spark.sql.functions._
+      val p = s"${sys.props("java.io.tmpdir")}/graft-bcf-scale-" +
+        s"${ProcessHandle.current.pid}.bcf"
+      val nSamples = 20
+      val gtExpr = array((0 until nSamples).map(sIdx =>
+        concat(pmod(col("id") * 7 + lit(sIdx), lit(2)), lit("|"),
+          pmod(col("id") * 13 + lit(sIdx), lit(2)))): _*)
+      val variants = spark.range(n).select(
+        concat(lit("c"), pmod(col("id"), lit(22)) + 1).as("chrom"),
+        (pmod(hash(col("id")), lit(200000000)).cast("long") + 1).as("pos"),
+        concat(lit("v"), col("id")).as("id"),
+        lit("A").as("ref"),
+        element_at(array(lit("C"), lit("G"), lit("T")),
+          (pmod(col("id"), lit(3)) + 1).cast("int")).as("alt"),
+        lit(".").as("qual"),
+        lit("PASS").as("filter"),
+        concat(lit("AF=0."), pmod(col("id"), lit(89)) + 10).as("info"),
+        gtExpr.as("genotypes"))
+      val contigs = (1 to 22).map(i => (s"c$i", 250000000L))
+      graft.sources.Bcf.write(variants, contigs,
+        (1 to nSamples).map("S" + _), p)
+      bcfScalePath = p
+      p
+    }
+
   /** Dedup at volume: `n` synthetic ~30-word docs (300k at sf0.1 for dx,
     * 3M for dx10), every 10th a near-copy of its predecessor (one word of
     * 30 changed), through the full detect->cluster path the sf documents
@@ -420,6 +497,23 @@ object Bench {
       // the measured cost of SURVEY §6's compressed-crawl caveat (real
       // crawls shard one gz per segment, so this is the per-FILE unit
       // cost, not the fleet wall).
+      // Binary containers at volume: one file = one task (the fleet
+      // layout is one BAM/sample, one BCF/chrom-shard) - these time the
+      // PER-FILE unit cost of the streaming decode iterators, i.e. the
+      // number a 1000-executor fan-out multiplies.
+      "bamx_bam_scale" -> (() => {
+        val path = ensureSyntheticBam(spark, nDocs * 60)
+        graft.sources.Bam.read(spark, path)
+          .where(!col("is_unmapped"))
+          .agg(count(lit(1)), sum(col("ref_end") - col("pos") + 1))
+          .head.getLong(0)
+      }),
+      "bcfx_bcf_scale" -> (() => {
+        val path = ensureSyntheticBcf(spark, nDocs * 20)
+        graft.sources.Bcf.read(spark, path)
+          .agg(count(lit(1)), sum(size(col("genotypes"))))
+          .head.getLong(0)
+      }),
       "wxgz_warc_gz_scale" -> (() => {
         val path = ensureSyntheticWarcGz((nDocs * 2).toInt)
         val w = graft.sources.Warc.read(spark, path)

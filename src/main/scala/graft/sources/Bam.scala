@@ -123,25 +123,50 @@ object Bam {
     val tlen = b.getInt
     val nameBytes = new Array[Byte](lReadName); b.get(nameBytes)
     val qname = new String(nameBytes, 0, lReadName - 1, "US-ASCII")
+    // tight while-loops: this is the per-record hot path a multi-GB
+    // file's single task spends its wall in
     val cigar =
       if (nCigar == 0) "*"
-      else (0 until nCigar).map { _ =>
-        val op = b.getInt
-        s"${op >>> 4}${CigarOps.charAt(op & 0xf)}"
-      }.mkString
+      else {
+        val sb = new java.lang.StringBuilder(nCigar * 4)
+        var i = 0
+        while (i < nCigar) {
+          val op = b.getInt
+          sb.append(op >>> 4).append(CigarOps.charAt(op & 0xf))
+          i += 1
+        }
+        sb.toString
+      }
     val seqBytes = new Array[Byte]((lSeq + 1) / 2); b.get(seqBytes)
     val seq =
       if (lSeq == 0) None
-      else Some(new String(Array.tabulate(lSeq) { i =>
-        val nib =
-          if (i % 2 == 0) (seqBytes(i / 2) >> 4) & 0xf
-          else seqBytes(i / 2) & 0xf
-        SeqCode.charAt(nib)
-      }))
+      else {
+        val cs = new Array[Char](lSeq)
+        var i = 0
+        while (i < lSeq) {
+          val byte = seqBytes(i >> 1)
+          cs(i) = SeqCode.charAt(
+            if ((i & 1) == 0) (byte >> 4) & 0xf else byte & 0xf)
+          i += 1
+        }
+        Some(new String(cs))
+      }
     val qualBytes = new Array[Byte](lSeq); b.get(qualBytes)
-    val qual =
-      if (lSeq == 0 || qualBytes.forall(_ == -1)) None
-      else Some(new String(qualBytes.map(q => (q + 33).toChar)))
+    val qual = {
+      var allMissing = lSeq > 0
+      var i = 0
+      while (allMissing && i < lSeq) {
+        if (qualBytes(i) != -1) allMissing = false
+        i += 1
+      }
+      if (lSeq == 0 || allMissing) None
+      else {
+        val cs = new Array[Char](lSeq)
+        var j = 0
+        while (j < lSeq) { cs(j) = (qualBytes(j) + 33).toChar; j += 1 }
+        Some(new String(cs))
+      }
+    }
     val tags = scala.collection.mutable.ArrayBuffer[String]()
     while (b.hasRemaining) tags += decodeTag(b)
     BamRec(
