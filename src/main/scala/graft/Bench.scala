@@ -135,6 +135,42 @@ object Bench {
       p
     }
 
+  /** One BIG synthetic bgzipped VCF (~n variants × 20 samples as BGZF
+    * text) — the single-huge-file layout cohort VCFs ship in. Two bench
+    * entries read it: the Hadoop-codec path (non-splittable, one task)
+    * and the byte-range splittable [[graft.sources.Bgzf.readLines]]
+    * path; their ratio is the measured value of in-file splitting.
+    */
+  private var vcfGzScalePath: String = null
+  private def ensureSyntheticVcfGz(n: Int): String = synchronized {
+    if (vcfGzScalePath != null) return vcfGzScalePath
+    val p = s"${sys.props("java.io.tmpdir")}/graft-vcfgz-scale-" +
+      s"${ProcessHandle.current.pid}.vcf.gz"
+    val sb = new StringBuilder(n * 120)
+    sb ++= "##fileformat=VCFv4.2\n"
+    sb ++= "##INFO=<ID=AF,Number=A,Type=Float,Description=\"AF\">\n"
+    sb ++= "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"GT\">\n"
+    sb ++= "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+    sb ++= (1 to 20).map("S" + _).mkString("\t")
+    sb += '\n'
+    var i = 0
+    while (i < n) {
+      sb ++= s"c${i % 22 + 1}\t${i * 37 % 200000000 + 1}\tv$i\tA\t" +
+        s"${"CGT".charAt(i % 3)}\t.\tPASS\tAF=0.${i % 89 + 10}\tGT"
+      var sIdx = 0
+      while (sIdx < 20) {
+        sb ++= (if ((i * 7 + sIdx) % 2 == 0) "\t0|1" else "\t1|1")
+        sIdx += 1
+      }
+      sb += '\n'
+      i += 1
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      graft.sources.Bgzf.compress(sb.toString.getBytes("US-ASCII")))
+    vcfGzScalePath = p
+    p
+  }
+
   /** Dedup at volume: `n` synthetic ~30-word docs (300k at sf0.1 for dx,
     * 3M for dx10), every 10th a near-copy of its predecessor (one word of
     * 30 changed), through the full detect->cluster path the sf documents
@@ -513,6 +549,20 @@ object Bench {
         graft.sources.Bcf.read(spark, path)
           .agg(count(lit(1)), sum(size(col("genotypes"))))
           .head.getLong(0)
+      }),
+      // One HUGE bgzipped VCF two ways: the non-splittable Hadoop-codec
+      // path (one task regardless of size) vs the byte-range splittable
+      // BGZF reader. The ratio is the measured value of in-file
+      // splitting for the single-file cohort layout.
+      "vgzx_vcfgz_codec_scale" -> (() => {
+        val path = ensureSyntheticVcfGz((nDocs * 60).toInt)
+        graft.sources.Vcf.read(spark, path)
+          .agg(count(lit(1)), sum(col("pos"))).head.getLong(0)
+      }),
+      "vgzx_vcfgz_split_scale" -> (() => {
+        val path = ensureSyntheticVcfGz((nDocs * 60).toInt)
+        graft.sources.Vcf.readBgzf(spark, path, splitSize = 1L << 20)
+          .agg(count(lit(1)), sum(col("pos"))).head.getLong(0)
       }),
       "wxgz_warc_gz_scale" -> (() => {
         val path = ensureSyntheticWarcGz((nDocs * 2).toInt)

@@ -62,6 +62,17 @@ object Genomic {
         .withColumn("genotypes", array_join(col("genotypes"), ","))
     }),
 
+    "v10_vcf_bgzf" -> ((s, _) => {
+      // the SAME bgzf fixture as v9, through the byte-range SPLITTABLE
+      // reader instead of the one-task Hadoop codec: a 1 KiB splitSize
+      // forces many ranges over the 512-byte members, so every
+      // boundary rule (member scan, skip-first, newline-at-boundary,
+      // tail completion) executes inside the gate itself.
+      prep(s)
+      Vcf.readBgzf(s, GenomicFixtures.vcfGzPath, splitSize = 1024L)
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
+    }),
+
     "bcf1_read" -> ((s, _) => {
       // BCF2.2 binary source: the VCF fixture re-encoded by the repo's
       // own BCF writer, decoded back through the BGZF chain + typed-
@@ -3023,6 +3034,11 @@ object Genomic {
     // not single-member gzip — a first-member-only inflater would
     // silently truncate them).
     "v9_vcf_gz" -> v1Sql,
+
+    // v10: identical contract to v9 — the splittable reader must
+    // produce byte-identical rows to the text parse, from many forced
+    // byte-range splits.
+    "v10_vcf_bgzf" -> v1Sql,
 
     // bcf1: the same independent TEXT parse, with the ONE difference
     // binary typing forces: AF is a typed float32 vector in BCF, so the

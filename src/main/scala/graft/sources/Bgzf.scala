@@ -1,19 +1,27 @@
 package graft.sources
 
-import java.io.ByteArrayOutputStream
-import java.util.zip.{CRC32, Deflater}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{CRC32, Deflater, GZIPInputStream}
 
-/** BGZF block-gzip writer (SAM spec §4.1) — the container htslib wraps
-  * BAM/BCF/bgzipped-VCF/tabix data in: concatenated RFC-1952 gzip
-  * members, each carrying the BC extra subfield (BSIZE = member length
-  * − 1) and capped at 64 KiB, terminated by a fixed 28-byte empty
-  * member. Because every member is a complete gzip stream, BGZF files
-  * read through ANY spec-complete multi-member gzip inflater — the
-  * JDK's GZIPInputStream ([[Bam.records]]) and Hadoop's gzip codec
-  * (so `spark.read.text("x.vcf.gz")` just works; BamSpec pins a
-  * 943-member file chaining correctly through both).
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** BGZF block-gzip reader + writer (SAM spec §4.1) — the container
+  * htslib wraps BAM/BCF/bgzipped-VCF/tabix data in: concatenated
+  * RFC-1952 gzip members, each carrying the BC extra subfield (BSIZE =
+  * member length − 1) and capped at 64 KiB, terminated by a fixed
+  * 28-byte empty member. Because every member is a complete gzip
+  * stream, BGZF files read through ANY spec-complete multi-member gzip
+  * inflater — the JDK's GZIPInputStream ([[Bam.records]]) and Hadoop's
+  * gzip codec (so `spark.read.text("x.vcf.gz")` just works; BamSpec
+  * pins a 943-member file chaining correctly through both).
+  *
+  * [[readLines]] goes further: BGZF was DESIGNED for random access, so
+  * unlike plain gzip a single huge `.vcf.gz` need not read on one task
+  * — byte-range splits each scan forward to a verified member
+  * signature and inflate only their own members (the Hadoop-BAM /
+  * spark-bam splitting idea, rebuilt Spark-first for text payloads).
   */
-private[graft] object Bgzf {
+object Bgzf {
 
   /** The spec's fixed 28-byte empty-member EOF marker (§4.1.2). */
   val Eof: Array[Byte] = Array(
@@ -49,6 +57,249 @@ private[graft] object Bgzf {
     out.write(cbuf, 0, clen)
     writeLe32(out, crc.getValue.toInt)
     writeLe32(out, len)
+  }
+
+  // ------------------------------------------------- splittable read
+  // A BGZF member header is 18 fixed-layout bytes; positions 0-3 and
+  // 10-15 are constant for the BC-subfield form every writer emits:
+  // 1f 8b 08 04 <mtime:4> <xfl> <os> 06 00 42 43 02 00 <bsize-1:2>.
+  private def sigAt(b: Array[Byte], i: Int): Boolean =
+    i + 18 <= b.length &&
+      b(i) == 0x1f.toByte && b(i + 1) == 0x8b.toByte &&
+      b(i + 2) == 0x08 && b(i + 3) == 0x04 &&
+      b(i + 10) == 0x06 && b(i + 11) == 0x00 &&
+      b(i + 12) == 0x42 && b(i + 13) == 0x43 &&
+      b(i + 14) == 0x02 && b(i + 15) == 0x00
+
+  private def bsizeAt(b: Array[Byte], i: Int): Int =
+    ((b(i + 16) & 0xff) | ((b(i + 17) & 0xff) << 8)) + 1
+
+  /** One task's byte range of one file. */
+  private case class Range(path: String, start: Long, end: Long,
+                           len: Long)
+
+  /** Inflate one whole member (header+deflate+trailer bytes). */
+  private def inflateMember(m: Array[Byte]): Array[Byte] =
+    new GZIPInputStream(new ByteArrayInputStream(m)).readAllBytes()
+
+  /** Line-splittable read of BGZF text files: one task per `splitSize`
+    * byte range per file (vs Hadoop's one-task-per-gzip-file), each
+    * scanning forward to a signature-verified member start and
+    * inflating only members that START inside the range. Standard text
+    * split semantics on the inflated stream: every range but a file's
+    * first skips through its first newline and the last owned line
+    * completes by reading into the next range's members; the
+    * owned-bytes-end-exactly-at-'\n' boundary (where naive skipping
+    * loses a line) is resolved LOCALLY by back-scanning the member
+    * chain preceding the range's first member and checking whether its
+    * final inflated byte is the newline. Member-start detection double-
+    * verifies each signature by chaining BSIZE to the next header, so
+    * a payload byte-pattern collision cannot mis-anchor a split.
+    *
+    * Returns one `value` column of lines — `spark.read.text` shape, so
+    * [[Vcf.parseLines]] (or any text consumer) runs unchanged.
+    * BGZF only: plain single-member gzip fails the header check loudly
+    * rather than mis-splitting.
+    */
+  def readLines(spark: SparkSession, path: String,
+                splitSize: Long = 32L << 20): DataFrame = {
+    val sc = spark.sparkContext
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(sc.hadoopConfiguration)
+    val files = (fs.globStatus(p) match {
+      case null | Array() => Array(fs.getFileStatus(p))
+      case hits => hits
+    }).flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      else Array(st)
+    }
+    val ranges = files.flatMap { st =>
+      val len = st.getLen
+      val n = math.max(1L, (len + splitSize - 1) / splitSize)
+      (0L until n).map(i => Range(st.getPath.toString, i * splitSize,
+        math.min((i + 1) * splitSize, len), len))
+    }.toSeq
+    val hconf = new org.apache.spark.SerializableWritable(
+      new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration))
+    val lines = sc.parallelize(ranges, math.max(1, ranges.size))
+      .flatMap { r =>
+        val rp = new org.apache.hadoop.fs.Path(r.path)
+        val in = rp.getFileSystem(hconf.value).open(rp)
+        rangeLines(in, r)
+      }
+    spark.createDataFrame(lines.map(org.apache.spark.sql.Row(_)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+  }
+
+  /** pread `n` bytes at `off` (clipped to EOF). */
+  private def preadAt(in: org.apache.hadoop.fs.FSDataInputStream,
+                      off: Long, n: Int, len: Long): Array[Byte] = {
+    val m = math.min(n.toLong, len - off).toInt
+    if (m <= 0) return Array.emptyByteArray
+    val b = new Array[Byte](m)
+    in.readFully(off, b, 0, m)
+    b
+  }
+
+  /** First verified member start in [from, to), or -1. A member must
+    * start within 64 KiB + header of any offset (members are capped),
+    * so one bounded window suffices.
+    */
+  private def scanMember(in: org.apache.hadoop.fs.FSDataInputStream,
+                         from: Long, to: Long, len: Long): Long = {
+    val win = preadAt(in, from, (0x10000 + 2 * 18).min((to - from + 18)
+      .min(Int.MaxValue.toLong).toInt.max(18)), len)
+    var i = 0
+    while (i + 18 <= win.length && from + i < to) {
+      if (sigAt(win, i) && verified(in, win, from, i, len)) return from + i
+      i += 1
+    }
+    -1L
+  }
+
+  /** A candidate is real when BSIZE chains to another signature (or to
+    * EOF) — 10 fixed bytes + a verified link make payload collisions
+    * practically impossible to mis-anchor on.
+    */
+  private def verified(in: org.apache.hadoop.fs.FSDataInputStream,
+                       win: Array[Byte], winOff: Long, i: Int,
+                       len: Long): Boolean = {
+    val next = winOff + i + bsizeAt(win, i)
+    if (next == len) return true
+    if (next > len) return false
+    val ni = (next - winOff).toInt
+    if (ni >= 0 && ni + 18 <= win.length) sigAt(win, ni)
+    else sigAt(preadAt(in, next, 18, len), 0)
+  }
+
+  /** Does the inflated byte immediately PRECEDING member `first` end
+    * with '\n'? Back-scans a bounded window for the member chain that
+    * links exactly to `first` and inflates it; empty chains (e.g. a
+    * stray empty member) extend the window backward a few times before
+    * conservatively answering false.
+    */
+  private def prevEndsWithNewline(
+      in: org.apache.hadoop.fs.FSDataInputStream, first: Long,
+      len: Long): Boolean = {
+    var lo = math.max(0L, first - (0x10000 + 64))
+    var attempts = 0
+    while (attempts < 8) {
+      val win = preadAt(in, lo, (first - lo).toInt, len)
+      // earliest verified candidate whose forward chain hits `first`
+      var i = 0
+      var anchor = -1L
+      while (anchor < 0 && i + 18 <= win.length) {
+        if (sigAt(win, i)) {
+          // walk the chain forward within the window
+          var off = i.toLong
+          var ok = true
+          while (ok && lo + off < first) {
+            val oi = off.toInt
+            if (oi + 18 <= win.length && sigAt(win, oi))
+              off += bsizeAt(win, oi)
+            else ok = false
+          }
+          if (ok && lo + off == first) anchor = i.toLong
+        }
+        i += 1
+      }
+      if (anchor >= 0) {
+        // inflate the chain, take the final byte
+        var off = anchor
+        var last: Byte = 0
+        var any = false
+        while (lo + off < first) {
+          val oi = off.toInt
+          val bs = bsizeAt(win, oi)
+          val body = inflateMember(
+            java.util.Arrays.copyOfRange(win, oi, oi + bs))
+          if (body.nonEmpty) { last = body(body.length - 1); any = true }
+          off += bs
+        }
+        if (any) return last == '\n'
+        // all-empty chain: look further back
+      }
+      if (lo == 0) return false
+      lo = math.max(0L, lo - 0x10000)
+      attempts += 1
+    }
+    false
+  }
+
+  /** The lines of one byte range, per the ownership rules above. */
+  private def rangeLines(in: org.apache.hadoop.fs.FSDataInputStream,
+                         r: Range): Iterator[String] = {
+    val first =
+      if (r.start == 0L) 0L else scanMember(in, r.start, r.end, r.len)
+    if (first < 0) { in.close(); return Iterator.empty }
+    val skipFirst =
+      r.start > 0 && !prevEndsWithNewline(in, first, r.len)
+    new Iterator[String] {
+      private var memberOff = first
+      private var buf: Array[Byte] = Array.emptyByteArray
+      private var bufMemberStart = first
+      private var pos = 0
+      private var nextLine: String = _
+      private var done = false
+      private var skipped = !skipFirst
+
+      /** Advance to the next unread byte; false at EOF. Tracks which
+        * member the byte came from (ownership).
+        */
+      private def ensureByte(): Boolean = {
+        while (pos >= buf.length) {
+          if (memberOff >= r.len) return false
+          val hdr = preadAt(in, memberOff, 18, r.len)
+          require(sigAt(hdr, 0),
+            s"not a BGZF member at offset $memberOff of ${r.path}")
+          val bs = bsizeAt(hdr, 0)
+          val member = preadAt(in, memberOff, bs, r.len)
+          buf = inflateMember(member)
+          bufMemberStart = memberOff
+          memberOff += bs
+          pos = 0
+        }
+        true
+      }
+
+      /** Read one '\n'-terminated line from the cursor (crossing
+        * members freely), or null at EOF with nothing read.
+        */
+      private def readLine(): String = {
+        if (!ensureByte()) return null
+        val sb = new java.lang.StringBuilder(80)
+        var terminated = false
+        while (!terminated && ensureByte()) {
+          val c = buf(pos); pos += 1
+          if (c == '\n') terminated = true
+          else sb.append(c.toChar)
+        }
+        // strip the \r of a \r\n terminator only — mid-line \r is data
+        if (sb.length > 0 && sb.charAt(sb.length - 1) == '\r')
+          sb.setLength(sb.length - 1)
+        sb.toString
+      }
+
+      private def advance(): Unit = {
+        if (!skipped) { readLine(); skipped = true }
+        // a line is owned iff its FIRST byte inflates from a member
+        // that starts inside this range
+        if (!ensureByte() || bufMemberStart >= r.end) {
+          nextLine = null; done = true; in.close()
+        } else {
+          nextLine = readLine()
+          if (nextLine == null) { done = true; in.close() }
+        }
+      }
+
+      advance()
+      override def hasNext: Boolean = !done
+      override def next(): String = {
+        val l = nextLine; advance(); l
+      }
+    }
   }
 
   /** BGZF-compress `raw` in ≤ `blockSize` uncompressed chunks + EOF. */

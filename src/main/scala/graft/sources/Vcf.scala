@@ -31,6 +31,18 @@ object Vcf {
            afFields: Seq[String] = defaultAfFields): DataFrame =
     parseLines(spark.read.text(path), "value", afFields)
 
+  /** Read a bgzipped VCF through [[Bgzf.readLines]] — byte-range
+    * SPLITTABLE, unlike the Hadoop-codec path that gives a `.vcf.gz`
+    * file one task no matter its size. The codec path stays the
+    * default ([[readAuto]]): sharded fleets parallelize per file
+    * anyway; this is the scale path for the single-huge-file layout
+    * cohort VCFs commonly ship in (one 100 GB+ `.vcf.gz`).
+    */
+  def readBgzf(spark: SparkSession, path: String,
+               afFields: Seq[String] = defaultAfFields,
+               splitSize: Long = 32L << 20): DataFrame =
+    parseLines(Bgzf.readLines(spark, path, splitSize), "value", afFields)
+
   /** Format-dispatching read: `.bcf` → the [[Bcf]] binary decoder,
     * anything else (incl. `.vcf.gz` — the text scan inflates through
     * Hadoop's codec) → the text parse. Both emit the identical row
