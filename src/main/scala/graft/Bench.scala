@@ -58,6 +58,21 @@ object Bench {
     p
   }
 
+  /** The same synthetic crawl in the Common Crawl layout — one plain
+    * gzip member per record — for the splittable member-scan reader.
+    */
+  private var warcRecGzPath: String = null
+  private def ensureSyntheticWarcRecGz(n: Int): String = synchronized {
+    if (warcRecGzPath != null) return warcRecGzPath
+    val plain = ensureSyntheticWarc(n)
+    val p = plain + ".rec.gz"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      graft.sources.Warc.gzipPerRecord(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(plain))))
+    warcRecGzPath = p
+    p
+  }
+
   /** Synthetic aligned reads re-encoded as ONE BAM by the repo's own
     * writer (~n reads, 100 bp each) — times the streaming BGZF+record
     * decode path at volume (the per-record JVM iterator is the scale
@@ -563,6 +578,19 @@ object Bench {
         val path = ensureSyntheticVcfGz((nDocs * 60).toInt)
         graft.sources.Vcf.readBgzf(spark, path, splitSize = 1L << 20)
           .agg(count(lit(1)), sum(col("pos"))).head.getLong(0)
+      }),
+      // The identical crawl in the Common Crawl per-record-member
+      // layout through the splittable member scan (4 MiB ranges):
+      // completes the trio - plain splittable text (wx), single-member
+      // codec (wxgz, one task), per-record gz splittable (wxr).
+      "wxr_warc_recgz_scale" -> (() => {
+        val path = ensureSyntheticWarcRecGz((nDocs * 2).toInt)
+        val w = graft.sources.Warc.readGz(spark, path,
+          splitSize = 4L << 20)
+        w.where(col("warc_type") === "response")
+          .select(graft.sources.Warc.extractText(
+            graft.sources.Warc.httpBody(col("payload"))).as("t"))
+          .agg(sum(length(col("t")))).head.getLong(0)
       }),
       "wxgz_warc_gz_scale" -> (() => {
         val path = ensureSyntheticWarcGz((nDocs * 2).toInt)

@@ -1151,6 +1151,21 @@ object Documents {
         "text", n = 3, threshold = 0.6)
     }),
 
+    "w9_warc_gz" -> ((s, _) => {
+      // the Common Crawl .warc.gz layout (one plain gzip member per
+      // record) through the byte-range splittable member scan: a
+      // 256-byte splitSize forces an anchor scan + inflate-validation
+      // per range over the fixture's ~600 B members, so every boundary
+      // rule executes in-gate. Oracle: the independent TEXT parse —
+      // identical contract to w1.
+      graft.sources.Warc.readGz(s,
+        graft.fixtures.GenomicFixtures.warcGzPath, splitSize = 256L)
+        .select(col("warc_type"), col("record_id"), col("warc_date"),
+          col("target_uri"), col("content_type"), col("content_length"),
+          md5(col("payload")).as("payload_fp"),
+          length(col("payload")).as("payload_len"), col("truncated"))
+    }),
+
     "w1_warc_read" -> ((s, _) => {
       // Common Crawl ingestion (src_warc): splittable boundary-scan WARC
       // record reader — header fields + the Content-Length payload trim
@@ -1582,6 +1597,54 @@ object Documents {
       |   * sqrt(list_reduce(list_transform(cv,
       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)))"""
       .stripMargin
+
+  /** DuckDB's independent parse of the crawl.warc TEXT fixture —
+    * the oracle for BOTH w1_warc_read (which reads that file) and
+    * w9_warc_gz (which reads its per-record-gzip re-encoding through
+    * the splittable member scan): field+payload-fingerprint parity is
+    * exactly the gz reader's contract.
+    */
+  private val w1Sql: String =
+    s"""WITH recs AS (
+       |  SELECT regexp_replace(unnest(string_split(content,
+       |      $warcSepSql)), '^WARC/1\\.0' || chr(13) || chr(10), '')
+       |    AS rec
+       |  FROM read_text('$warcPath')),
+       |split AS (
+       |  SELECT rec,
+       |    CASE WHEN strpos(rec, $crlf2Sql) > 0
+       |      THEN substr(rec,
+       |        len(string_split(rec, $crlf2Sql)[1]) + 5)
+       |      ELSE '' END AS body
+       |  FROM recs WHERE len(trim(rec)) > 0),
+       |fields AS (
+       |  SELECT body,
+       |    nullif(regexp_extract(rec,
+       |      '(?m)^WARC-Type: ?([^\\r\\n]*)', 1), '') AS warc_type,
+       |    nullif(regexp_extract(rec,
+       |      '(?m)^WARC-Record-ID: ?([^\\r\\n]*)', 1), '') AS record_id,
+       |    nullif(regexp_extract(rec,
+       |      '(?m)^WARC-Date: ?([^\\r\\n]*)', 1), '') AS warc_date,
+       |    nullif(regexp_extract(rec,
+       |      '(?m)^WARC-Target-URI: ?([^\\r\\n]*)', 1), '')
+       |      AS target_uri,
+       |    nullif(regexp_extract(rec,
+       |      '(?m)^Content-Type: ?([^\\r\\n]*)', 1), '') AS content_type,
+       |    CAST(nullif(regexp_extract(rec,
+       |      '(?m)^Content-Length: ?([^\\r\\n]*)', 1), '') AS BIGINT)
+       |      AS content_length
+       |  FROM split)
+       |SELECT warc_type, record_id, warc_date, target_uri, content_type,
+       |  content_length,
+       |  md5(CASE WHEN content_length IS NOT NULL
+       |      THEN substr(body, 1, content_length) ELSE body END)
+       |    AS payload_fp,
+       |  CAST(len(CASE WHEN content_length IS NOT NULL
+       |      THEN substr(body, 1, content_length) ELSE body END)
+       |    AS BIGINT) AS payload_len,
+       |  (content_length IS NOT NULL AND len(body) < content_length)
+       |    AS truncated
+       |FROM fields""".stripMargin
 
   private val oracles0: Map[String, String] = Map(
     "t34_fertility" ->
@@ -3164,47 +3227,9 @@ object Documents {
          |  TRY_CAST(priority0 AS DOUBLE) AS priority
          |FROM x WHERE loc0 IS NOT NULL""".stripMargin,
 
-    "w1_warc_read" ->
-      s"""WITH recs AS (
-         |  SELECT regexp_replace(unnest(string_split(content,
-         |      $warcSepSql)), '^WARC/1\\.0' || chr(13) || chr(10), '')
-         |    AS rec
-         |  FROM read_text('$warcPath')),
-         |split AS (
-         |  SELECT rec,
-         |    CASE WHEN strpos(rec, $crlf2Sql) > 0
-         |      THEN substr(rec,
-         |        len(string_split(rec, $crlf2Sql)[1]) + 5)
-         |      ELSE '' END AS body
-         |  FROM recs WHERE len(trim(rec)) > 0),
-         |fields AS (
-         |  SELECT body,
-         |    nullif(regexp_extract(rec,
-         |      '(?m)^WARC-Type: ?([^\\r\\n]*)', 1), '') AS warc_type,
-         |    nullif(regexp_extract(rec,
-         |      '(?m)^WARC-Record-ID: ?([^\\r\\n]*)', 1), '') AS record_id,
-         |    nullif(regexp_extract(rec,
-         |      '(?m)^WARC-Date: ?([^\\r\\n]*)', 1), '') AS warc_date,
-         |    nullif(regexp_extract(rec,
-         |      '(?m)^WARC-Target-URI: ?([^\\r\\n]*)', 1), '')
-         |      AS target_uri,
-         |    nullif(regexp_extract(rec,
-         |      '(?m)^Content-Type: ?([^\\r\\n]*)', 1), '') AS content_type,
-         |    CAST(nullif(regexp_extract(rec,
-         |      '(?m)^Content-Length: ?([^\\r\\n]*)', 1), '') AS BIGINT)
-         |      AS content_length
-         |  FROM split)
-         |SELECT warc_type, record_id, warc_date, target_uri, content_type,
-         |  content_length,
-         |  md5(CASE WHEN content_length IS NOT NULL
-         |      THEN substr(body, 1, content_length) ELSE body END)
-         |    AS payload_fp,
-         |  CAST(len(CASE WHEN content_length IS NOT NULL
-         |      THEN substr(body, 1, content_length) ELSE body END)
-         |    AS BIGINT) AS payload_len,
-         |  (content_length IS NOT NULL AND len(body) < content_length)
-         |    AS truncated
-         |FROM fields""".stripMargin,
+    "w1_warc_read" -> w1Sql,
+
+    "w9_warc_gz" -> w1Sql,
 
     "w2_warc_text" ->
       s"""WITH recs AS (
