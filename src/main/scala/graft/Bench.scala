@@ -559,6 +559,16 @@ object Bench {
           .agg(count(lit(1)), sum(col("ref_end") - col("pos") + 1))
           .head.getLong(0)
       }),
+      // The same BAM through the byte-range splittable reader (no .bai
+      // index): 1 MiB ranges -> ~5 tasks vs bamx's one. The ratio is
+      // the single-huge-BAM parallelism win.
+      "bamxs_bam_split_scale" -> (() => {
+        val path = ensureSyntheticBam(spark, nDocs * 60)
+        graft.sources.Bam.readSplit(spark, path, splitSize = 1L << 20)
+          .where(!col("is_unmapped"))
+          .agg(count(lit(1)), sum(col("ref_end") - col("pos") + 1))
+          .head.getLong(0)
+      }),
       "bcfx_bcf_scale" -> (() => {
         val path = ensureSyntheticBcf(spark, nDocs * 20)
         graft.sources.Bcf.read(spark, path)

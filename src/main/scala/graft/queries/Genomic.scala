@@ -161,6 +161,17 @@ object Genomic {
       graft.sources.Bam.read(s, GenomicFixtures.bamPath(s))
     }),
 
+    "bam2_split" -> ((s, _) => {
+      // the SAME fixture BAM through the byte-range splittable reader:
+      // a 256-byte splitSize over the writer's default members forces
+      // the member anchor + record-chain alignment scan to run per
+      // range inside the gate; oracle = the identical independent TEXT
+      // parse, so heuristic mis-alignment of even one record fails the
+      // hash.
+      graft.sources.Bam.readSplit(s, GenomicFixtures.bamPath(s),
+        splitSize = 256L)
+    }),
+
     "g8_reads_coverage" -> ((s, _) => {
       // the samtools-depth composition: SAM reads (primary, mapped,
       // non-duplicate — the standard filter) -> CIGAR ref spans -> g7's
@@ -1123,6 +1134,10 @@ object Genomic {
     // DuckDB's parse of the same reads from SAM text. A writer/reader
     // bug pair cannot cancel: only the reader's output meets this SQL.
     "bam1_read" -> sam1Sql,
+
+    // bam2: identical contract — the splittable read must reproduce the
+    // text parse exactly from many forced byte ranges.
+    "bam2_split" -> sam1Sql,
 
     // sam2: the same SAM parse against dupreads.sam, then the markdup
     // walk replayed relationally — unclipped-5' keys from clip-run

@@ -67,6 +67,253 @@ object Bam {
     Sam.decorate(recs.toDS().toDF())
   }
 
+  // ---------------------------------------------------- splittable read
+  /** Byte-range splittable BAM read — one huge BAM parallelizes across
+    * tasks WITHOUT a .bai/splitting index. Two-layer alignment (the
+    * spark-bam / Hadoop-BAM idea, rebuilt on this repo's BGZF
+    * machinery):
+    *
+    *  1. container: anchor each range at its first signature-verified
+    *     BGZF member start (18 fixed-layout bytes, BSIZE-chained —
+    *     [[Bgzf]]);
+    *  2. records: BAM records carry no sync marker and legally span
+    *     members, so the range scans its inflated stream byte-by-byte
+    *     for a PLAUSIBLE record start — block_size bounds, refID/
+    *     next_refID within the reference dictionary, positions sane,
+    *     read-name length/printability/NUL placement, fixed-section
+    *     arithmetic fitting block_size — and requires a CHAIN of 3
+    *     further plausible records before accepting. Each check is
+    *     ~30 bits of constraint, so a payload byte pattern surviving a
+    *     4-record chain is ~2^-100 per offset — practically impossible
+    *     to mis-anchor; the per-file [[read]] stays available where
+    *     even that is unacceptable.
+    *
+    * Ownership: a record belongs to the range in whose byte span its
+    * first byte's MEMBER starts; the last owned record completes by
+    * inflating into the next range's members, and the next range's
+    * scan lands on the following record start. The reference
+    * dictionary is re-read from the file head by every task (one or
+    * two members — negligible against a multi-GB scan).
+    */
+  def readSplit(spark: SparkSession, path: String,
+                splitSize: Long = 32L << 20): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(sc.hadoopConfiguration)
+    val files = (fs.globStatus(p) match {
+      case null | Array() => Array(fs.getFileStatus(p))
+      case hits => hits
+    }).flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      else Array(st)
+    }
+    case class R(path: String, start: Long, end: Long, len: Long)
+    val ranges = files.flatMap { st =>
+      val len = st.getLen
+      val n = math.max(1L, (len + splitSize - 1) / splitSize)
+      (0L until n).map(i => R(st.getPath.toString, i * splitSize,
+        math.min((i + 1) * splitSize, len), len))
+    }.toSeq
+    val hconf = new org.apache.spark.SerializableWritable(
+      new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration))
+    val recs = sc.parallelize(ranges, math.max(1, ranges.size))
+      .flatMap { r =>
+        val rp = new org.apache.hadoop.fs.Path(r.path)
+        val in = rp.getFileSystem(hconf.value).open(rp)
+        splitRangeRecords(in, r.start, r.end, r.len)
+      }
+    Sam.decorate(recs.toDS().toDF())
+  }
+
+  /** Decoded records of one byte range (see [[readSplit]]). */
+  private def splitRangeRecords(
+      in: org.apache.hadoop.fs.FSDataInputStream, start: Long,
+      end: Long, len: Long): Iterator[BamRec] = {
+    // every task decodes the reference dictionary from the file head
+    val head = new Cursor(in, len, 0L)
+    require(head.ensure(12), "empty BAM")
+    require(head.byte(0) == 'B' && head.byte(1) == 'A' &&
+      head.byte(2) == 'M' && head.byte(3) == 1, "not a BAM stream")
+    val lText = head.le32(4)
+    head.drop(8 + lText)
+    require(head.ensure(4), "truncated BAM header")
+    val nRef = head.le32(0)
+    head.drop(4)
+    val refs = Array.tabulate(nRef) { _ =>
+      head.ensure(4)
+      val lName = head.le32(0)
+      head.ensure(8 + lName)
+      val name = new String(
+        Array.tabulate(lName - 1)(i => head.byte(4 + i)), "US-ASCII")
+      head.drop(8 + lName) // l_name + name + l_ref
+      name
+    }
+    if (start == 0L) {
+      // range 0: records begin exactly after the dictionary — exact,
+      // no scanning
+      return recordIterator(head, end, refs)
+    }
+    val first = Bgzf.firstMemberIn(in, start, end, len)
+    if (first < 0) { in.close(); return Iterator.empty }
+    val cur = new Cursor(in, len, first)
+    // scan the inflated stream for a validated record start while the
+    // candidate byte's member is still owned by this range
+    var aligned = false
+    while (!aligned && cur.ensure(36) && cur.headMember < end) {
+      if (plausibleChain(cur, refs.length, 4)) aligned = true
+      else cur.drop(1)
+    }
+    if (!aligned || cur.headMember >= end) {
+      in.close(); return Iterator.empty
+    }
+    recordIterator(cur, end, refs)
+  }
+
+  /** Records from the cursor while their first byte's member starts
+    * before `end` (the last owned record reads past `end` freely).
+    */
+  private def recordIterator(cur: Cursor, end: Long,
+                             refs: Array[String]): Iterator[BamRec] =
+    new Iterator[BamRec] {
+      private var nextRec: BamRec = _
+      private var done = false
+      advance()
+      private def advance(): Unit = {
+        if (!cur.ensure(4) || cur.headMember >= end) {
+          nextRec = null; done = true; cur.close(); return
+        }
+        val blockSize = cur.le32(0)
+        require(cur.ensure(4 + blockSize), "truncated BAM record")
+        val b = ByteBuffer.wrap(cur.read(4 + blockSize), 4, blockSize)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        nextRec = decodeRecord(b.slice().order(ByteOrder.LITTLE_ENDIAN),
+          refs)
+      }
+      override def hasNext: Boolean = !done
+      override def next(): BamRec = { val r = nextRec; advance(); r }
+    }
+
+  /** `depth` chained plausible records at the cursor head (peek only).
+    */
+  private def plausibleChain(cur: Cursor, nRef: Int, depth: Int): Boolean = {
+    var off = 0
+    var k = 0
+    while (k < depth) {
+      if (!cur.ensure(off + 36)) return k > 0 // clean EOF ends a chain
+      val bs = cur.le32(off)
+      if (bs < 33 || bs > (1 << 22)) return false
+      val refId = cur.le32(off + 4)
+      if (refId < -1 || refId >= nRef) return false
+      val pos = cur.le32(off + 8)
+      if (pos < -1 || pos > (1 << 29)) return false
+      val lrn = cur.byte(off + 12) & 0xff
+      if (lrn < 2 || lrn > 127) return false
+      val nCigar = (cur.byte(off + 16) & 0xff) |
+        ((cur.byte(off + 17) & 0xff) << 8)
+      val lSeq = cur.le32(off + 20)
+      if (lSeq < 0 || lSeq > (1 << 20)) return false
+      val nextRef = cur.le32(off + 24)
+      if (nextRef < -1 || nextRef >= nRef) return false
+      val nextPos = cur.le32(off + 28)
+      if (nextPos < -1 || nextPos > (1 << 29)) return false
+      val fixed = 32L + lrn + 4L * nCigar + (lSeq + 1) / 2 + lSeq
+      if (fixed > bs) return false
+      // read name: printable, NUL exactly at its declared end
+      if (!cur.ensure(off + 36 + lrn)) return k > 0
+      var i = 0
+      while (i < lrn - 1) {
+        val c = cur.byte(off + 36 + i) & 0xff
+        if (c < 0x21 || c > 0x7e) return false
+        i += 1
+      }
+      if (cur.byte(off + 36 + lrn - 1) != 0) return false
+      off += 4 + bs
+      k += 1
+    }
+    true
+  }
+
+  /** A forward cursor over the inflated stream from one anchored
+    * member: bounded lookahead (`ensure`/`byte`/`le32` peek), `drop`/
+    * `read` consume, `headMember` = the compressed start offset of the
+    * member the head byte inflated from (record ownership). Consumed
+    * bytes compact away, so memory is bounded by the lookahead (a few
+    * records), not the range.
+    */
+  private class Cursor(in: org.apache.hadoop.fs.FSDataInputStream,
+                       fileLen: Long, firstMember: Long) {
+    private var buf = new Array[Byte](0)
+    private var bufLen = 0
+    private var headPos = 0
+    // (offsetInBuf, memberStart) marks for appended chunks
+    private var marks = List.empty[(Int, Long)]
+    private var nextMemberOff = firstMember
+
+    def headMember: Long =
+      marks.takeWhile(_._1 <= headPos).lastOption.map(_._2)
+        .getOrElse(firstMember)
+
+    def ensure(n: Int): Boolean = {
+      while (bufLen - headPos < n) {
+        if (nextMemberOff >= fileLen) return false
+        val hdr = new Array[Byte](18)
+        val h = math.min(18L, fileLen - nextMemberOff).toInt
+        in.readFully(nextMemberOff, hdr, 0, h)
+        require(h == 18 && hdr(0) == 0x1f.toByte &&
+          hdr(1) == 0x8b.toByte && hdr(12) == 0x42 && hdr(13) == 0x43,
+          s"not a BGZF member at offset $nextMemberOff")
+        val bs = ((hdr(16) & 0xff) | ((hdr(17) & 0xff) << 8)) + 1
+        val member = new Array[Byte](bs)
+        in.readFully(nextMemberOff, member, 0, bs)
+        val inflated = new GZIPInputStream(
+          new java.io.ByteArrayInputStream(member)).readAllBytes()
+        if (headPos > 0 && headPos == bufLen) {
+          // cheap compaction point: everything consumed
+          buf = new Array[Byte](0); bufLen = 0; headPos = 0
+          marks = Nil
+        } else if (headPos > (1 << 20)) {
+          // sliding compaction: keep the unconsumed tail
+          val keep = java.util.Arrays.copyOfRange(buf, headPos, bufLen)
+          val headM = headMember
+          buf = keep; bufLen = keep.length
+          marks = (0, headM) ::
+            marks.filter(_._1 > headPos).map(m => (m._1 - headPos, m._2))
+          headPos = 0
+        }
+        if (bufLen + inflated.length > buf.length) {
+          val grown = new Array[Byte](
+            math.max(buf.length * 2, bufLen + inflated.length))
+          System.arraycopy(buf, 0, grown, 0, bufLen)
+          buf = grown
+        }
+        if (inflated.nonEmpty) {
+          marks = marks :+ ((bufLen, nextMemberOff))
+          System.arraycopy(inflated, 0, buf, bufLen, inflated.length)
+          bufLen += inflated.length
+        }
+        nextMemberOff += bs
+      }
+      true
+    }
+
+    def byte(k: Int): Byte = buf(headPos + k)
+    def le32(k: Int): Int =
+      (byte(k) & 0xff) | ((byte(k + 1) & 0xff) << 8) |
+        ((byte(k + 2) & 0xff) << 16) | ((byte(k + 3) & 0xff) << 24)
+    def drop(n: Int): Unit = {
+      require(ensure(n), "truncated BAM stream")
+      headPos += n
+    }
+    def read(n: Int): Array[Byte] = {
+      require(ensure(n), "truncated BAM stream")
+      val out = java.util.Arrays.copyOfRange(buf, headPos, headPos + n)
+      headPos += n
+      out
+    }
+    def close(): Unit = in.close()
+  }
+
   /** Streaming record iterator over one BAM file's bytes. Package-
     * visible for byte-level spec tests.
     */

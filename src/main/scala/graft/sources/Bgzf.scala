@@ -143,6 +143,11 @@ object Bgzf {
     b
   }
 
+  /** [[scanMember]] for sibling container readers ([[Bam.readSplit]]). */
+  private[sources] def firstMemberIn(
+      in: org.apache.hadoop.fs.FSDataInputStream, from: Long, to: Long,
+      len: Long): Long = scanMember(in, from, to, len)
+
   /** First verified member start in [from, to), or -1. A member must
     * start within 64 KiB + header of any offset (members are capped),
     * so one bounded window suffices.

@@ -157,6 +157,47 @@ class BamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.text(p).count() == plain * 300)
   }
 
+  test("readSplit == read across split sizes on a BAM whose records " +
+    "span members heavily (64-byte member cap)") {
+    val p = s"$tmp/split.bam"
+    val src = Sam.read(spark, samPath)
+    Bam.write(src, refs, p, blockSize = 64)
+    val want = src.collect().map(rowKey).sortBy(_.toString).toSeq
+    Seq(100L, 333L, 1000L, 1L << 20).foreach { s =>
+      val got = Bam.readSplit(spark, p, splitSize = s)
+        .collect().map(rowKey).sortBy(_.toString).toSeq
+      assert(got == want, s"splitSize=$s: ${got.length} rows")
+    }
+  }
+
+  test("readSplit at scale: 2000 synthetic reads, default members, " +
+    "byte-range splits cutting mid-member and mid-record") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val reads = spark.range(2000).select(
+      concat(lit("q"), col("id")).as("qname"),
+      lit(0).as("flag"),
+      lit("cA").as("rname"),
+      (col("id") % 5000 + 1).as("pos"),
+      lit(60).as("mapq"),
+      concat(lit((3 until 40).map(_ => "").mkString), lit("40M"))
+        .as("cigar"),
+      lit(null).cast("string").as("rnext"),
+      lit(null).cast("long").as("pnext"), lit(0L).as("tlen"),
+      lit("ACGT" * 10).as("seq"), lit("I" * 40).as("qual"),
+      concat(lit("NM:i:"), col("id") % 7).as("tags"))
+    val p = s"$tmp/scale.bam"
+    Bam.write(reads, Seq(("cA", 100000L)), p)
+    val n = reads.count()
+    Seq(777L, 4096L, 1L << 14).foreach { sz =>
+      val got = Bam.readSplit(spark, p, splitSize = sz)
+      assert(got.count() == n, s"splitSize=$sz")
+      assert(got.agg(sum(col("pos"))).head.getLong(0) ==
+        reads.agg(sum(col("pos"))).head.getLong(0), s"splitSize=$sz sum")
+    }
+  }
+
   test("splitTags: commas inside Z values and B arrays re-join to the " +
     "entry they belong to") {
     assert(Bam.splitTags("NM:i:1,ZZ:Z:he,llo,XB:B:s,-3,7") ==
