@@ -593,6 +593,12 @@ object Bench {
       // layout through the splittable member scan (4 MiB ranges):
       // completes the trio - plain splittable text (wx), single-member
       // codec (wxgz, one task), per-record gz splittable (wxr).
+      "bcfxs_bcf_split_scale" -> (() => {
+        val path = ensureSyntheticBcf(spark, nDocs * 20)
+        graft.sources.Bcf.readSplit(spark, path, splitSize = 256L << 10)
+          .agg(count(lit(1)), sum(size(col("genotypes"))))
+          .head.getLong(0)
+      }),
       "wxr_warc_recgz_scale" -> (() => {
         val path = ensureSyntheticWarcRecGz((nDocs * 2).toInt)
         val w = graft.sources.Warc.readGz(spark, path,

@@ -84,6 +84,17 @@ object Genomic {
         .withColumn("genotypes", array_join(col("genotypes"), ","))
     }),
 
+    "bcf2_split" -> ((s, _) => {
+      // the fixture BCF through the byte-range splittable reader: a
+      // 256-byte splitSize forces member anchor + record-chain
+      // alignment per range in-gate; one mis-aligned record fails the
+      // hash against the independent float-normalized TEXT parse.
+      prep(s)
+      graft.sources.Bcf.readSplit(s, GenomicFixtures.bcfPath(s),
+        splitSize = 256L)
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
+    }),
+
     "v2_vcf_norm" -> ((s, _) => {
       prep(s)
       Vcf.normalize(Vcf.read(s, GenomicFixtures.vcfPath), minAf = 0.05)
@@ -1096,6 +1107,26 @@ object Genomic {
        |    AS af
        |FROM read_csv('$raw/sample.vcf', delim='\t', header=false,
        |  skip=4, names=$vcfCols, all_varchar=true)""".stripMargin
+
+  /** bcf1/bcf2 shared oracle: the independent TEXT parse with AF
+    * normalized through float32 shortest-round-trip ("0.10" -> '0.1';
+    * DuckDB's float->varchar and Java's Float.toString agree on the
+    * rule, BcfSpec pins it per value).
+    */
+  private lazy val bcf1Sql: String =
+    s"""WITH t AS ($v1Sql)
+       |SELECT chrom, pos, id, ref, alt, qual, filter,
+       |  CASE WHEN af IS NULL THEN info
+       |    ELSE 'AF=' || array_to_string(list_transform(
+       |      string_split(af, ','),
+       |      x -> CAST(TRY_CAST(x AS FLOAT) AS VARCHAR)), ',')
+       |    END AS info,
+       |  genotypes,
+       |  CASE WHEN af IS NULL THEN af
+       |    ELSE array_to_string(list_transform(string_split(af, ','),
+       |      x -> CAST(TRY_CAST(x AS FLOAT) AS VARCHAR)), ',')
+       |    END AS af
+       |FROM t""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "c1_chain_read" ->
@@ -3060,20 +3091,11 @@ object Genomic {
     // rendered INFO/af normalize through float shortest-round-trip
     // ("0.10" -> '0.1') — DuckDB's float->varchar and Java's
     // Float.toString agree on that rule (BcfSpec pins it per value).
-    "bcf1_read" ->
-      s"""WITH t AS ($v1Sql)
-         |SELECT chrom, pos, id, ref, alt, qual, filter,
-         |  CASE WHEN af IS NULL THEN info
-         |    ELSE 'AF=' || array_to_string(list_transform(
-         |      string_split(af, ','),
-         |      x -> CAST(TRY_CAST(x AS FLOAT) AS VARCHAR)), ',')
-         |    END AS info,
-         |  genotypes,
-         |  CASE WHEN af IS NULL THEN af
-         |    ELSE array_to_string(list_transform(string_split(af, ','),
-         |      x -> CAST(TRY_CAST(x AS FLOAT) AS VARCHAR)), ',')
-         |    END AS af
-         |FROM t""".stripMargin,
+    "bcf1_read" -> bcf1Sql,
+
+    // bcf2: identical contract - the splittable read must reproduce the
+    // normalized text parse exactly from many forced byte ranges.
+    "bcf2_split" -> bcf1Sql,
 
     "v2_vcf_norm" ->
       s"""WITH e AS (

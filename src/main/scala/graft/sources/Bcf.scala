@@ -71,6 +71,136 @@ object Bcf {
         coalesce(afFields.map(k => Vcf.infoField(col("info"), k)): _*))
   }
 
+  // ---------------------------------------------------- splittable read
+  /** Byte-range splittable BCF read — the [[Bam.readSplit]] two-layer
+    * alignment applied to BCF2 records: ranges anchor at a signature-
+    * verified BGZF member start, then scan the inflated stream for a
+    * plausible record start. BCF validation is even stronger than
+    * BAM's: besides l_shared/l_indiv bounds, contig-index and position
+    * sanity and allele/INFO/FORMAT count bounds, the record's 24-bit
+    * n_sample must EQUAL the header's sample count exactly — with a
+    * 4-record chain a payload collision surviving is ~2^-120 per
+    * offset. Ownership/tail rules identical to BAM's; every task
+    * re-reads the header members (metadata-scale).
+    */
+  def readSplit(spark: SparkSession, path: String,
+                splitSize: Long = 32L << 20,
+                afFields: Seq[String] = Vcf.defaultAfFields): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(sc.hadoopConfiguration)
+    val files = (fs.globStatus(p) match {
+      case null | Array() => Array(fs.getFileStatus(p))
+      case hits => hits
+    }).flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      else Array(st)
+    }
+    case class R(path: String, start: Long, end: Long, len: Long)
+    val ranges = files.flatMap { st =>
+      val len = st.getLen
+      val n = math.max(1L, (len + splitSize - 1) / splitSize)
+      (0L until n).map(i => R(st.getPath.toString, i * splitSize,
+        math.min((i + 1) * splitSize, len), len))
+    }.toSeq
+    val hconf = new org.apache.spark.SerializableWritable(
+      new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration))
+    val recs = sc.parallelize(ranges, math.max(1, ranges.size))
+      .flatMap { r =>
+        val rp = new org.apache.hadoop.fs.Path(r.path)
+        val in = rp.getFileSystem(hconf.value).open(rp)
+        splitRangeRecords(in, r.start, r.end, r.len)
+      }
+    recs.toDS().toDF()
+      .withColumn("af",
+        coalesce(afFields.map(k => Vcf.infoField(col("info"), k)): _*))
+  }
+
+  private def splitRangeRecords(
+      in: org.apache.hadoop.fs.FSDataInputStream, start: Long,
+      end: Long, len: Long): Iterator[BcfRec] = {
+    val head = new Bgzf.MemberCursor(in, len, 0L)
+    require(head.ensure(9), "empty BCF")
+    require(head.byte(0) == 'B' && head.byte(1) == 'C' &&
+      head.byte(2) == 'F' && head.byte(3) == 2, "not a BCF2 stream")
+    val lText = head.le32(5)
+    require(head.ensure(9 + lText), "truncated BCF header")
+    val headerText = new String(
+      Array.tabulate(lText)(i => head.byte(9 + i)), "US-ASCII")
+    head.drop(9 + lText)
+    val (contigs, strings) = parseHeaderDicts(headerText)
+    val nSamples = headerText.split("\n").find(_.startsWith("#CHROM"))
+      .map(l => math.max(0, l.stripSuffix("\r").split("\t").length - 9))
+      .getOrElse(0)
+    if (start == 0L)
+      return recordIterator(head, end, contigs, strings)
+    val first = Bgzf.firstMemberIn(in, start, end, len)
+    if (first < 0) { in.close(); return Iterator.empty }
+    val cur = new Bgzf.MemberCursor(in, len, first)
+    var aligned = false
+    while (!aligned && cur.ensure(32) && cur.headMember < end) {
+      if (plausibleChain(cur, contigs.length, nSamples, 4)) aligned = true
+      else cur.drop(1)
+    }
+    if (!aligned || cur.headMember >= end) {
+      in.close(); return Iterator.empty
+    }
+    recordIterator(cur, end, contigs, strings)
+  }
+
+  private def recordIterator(cur: Bgzf.MemberCursor, end: Long,
+                             contigs: Array[String],
+                             strings: Array[String]): Iterator[BcfRec] =
+    new Iterator[BcfRec] {
+      private var nextRec: BcfRec = _
+      private var done = false
+      advance()
+      private def advance(): Unit = {
+        if (!cur.ensure(8) || cur.headMember >= end) {
+          nextRec = null; done = true; cur.close(); return
+        }
+        val lShared = cur.le32(0)
+        val lIndiv = cur.le32(4)
+        cur.drop(8)
+        val sh = ByteBuffer.wrap(cur.read(lShared))
+          .order(ByteOrder.LITTLE_ENDIAN)
+        val ind = ByteBuffer.wrap(cur.read(lIndiv))
+          .order(ByteOrder.LITTLE_ENDIAN)
+        nextRec = decodeRecord(sh, ind, contigs, strings)
+      }
+      override def hasNext: Boolean = !done
+      override def next(): BcfRec = { val r = nextRec; advance(); r }
+    }
+
+  /** `depth` chained plausible BCF record starts at the cursor head. */
+  private def plausibleChain(cur: Bgzf.MemberCursor, nContig: Int,
+                             nSamples: Int, depth: Int): Boolean = {
+    var off = 0
+    var k = 0
+    while (k < depth) {
+      if (!cur.ensure(off + 32)) return k > 0
+      val lShared = cur.le32(off)
+      if (lShared < 24 || lShared > (1 << 24)) return false
+      val lIndiv = cur.le32(off + 4)
+      if (lIndiv < 0 || lIndiv > (1 << 26)) return false
+      val chrom = cur.le32(off + 8)
+      if (chrom < 0 || chrom >= nContig) return false
+      val pos = cur.le32(off + 12)
+      if (pos < -1 || pos > (1 << 29)) return false
+      val rlen = cur.le32(off + 16)
+      if (rlen < 0 || rlen > (1 << 29)) return false
+      val nAlleleInfo = cur.le32(off + 24)
+      val nAllele = nAlleleInfo >>> 16
+      if (nAllele < 1) return false
+      val nFmtSample = cur.le32(off + 28)
+      if ((nFmtSample & 0xffffff) != nSamples) return false
+      off += 8 + lShared + lIndiv
+      k += 1
+    }
+    true
+  }
+
   /** Sample names from the `#CHROM` line of the embedded header text —
     * the [[Vcf.sampleNames]] contract for binary input. One tiny
     * driver-side header read (records are never touched); a glob/dir

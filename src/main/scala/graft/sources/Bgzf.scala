@@ -319,4 +319,84 @@ object Bgzf {
     out.write(Eof)
     out.toByteArray
   }
+  /** A forward cursor over the inflated stream from one anchored
+    * member: bounded lookahead (`ensure`/`byte`/`le32` peek), `drop`/
+    * `read` consume, `headMember` = the compressed start offset of the
+    * member the head byte inflated from (record ownership). Consumed
+    * bytes compact away, so memory is bounded by the lookahead (a few
+    * records), not the range.
+    */
+  private[sources] class MemberCursor(in: org.apache.hadoop.fs.FSDataInputStream,
+                       fileLen: Long, firstMember: Long) {
+    private var buf = new Array[Byte](0)
+    private var bufLen = 0
+    private var headPos = 0
+    // (offsetInBuf, memberStart) marks for appended chunks
+    private var marks = List.empty[(Int, Long)]
+    private var nextMemberOff = firstMember
+
+    def headMember: Long =
+      marks.takeWhile(_._1 <= headPos).lastOption.map(_._2)
+        .getOrElse(firstMember)
+
+    def ensure(n: Int): Boolean = {
+      while (bufLen - headPos < n) {
+        if (nextMemberOff >= fileLen) return false
+        val hdr = new Array[Byte](18)
+        val h = math.min(18L, fileLen - nextMemberOff).toInt
+        in.readFully(nextMemberOff, hdr, 0, h)
+        require(h == 18 && hdr(0) == 0x1f.toByte &&
+          hdr(1) == 0x8b.toByte && hdr(12) == 0x42 && hdr(13) == 0x43,
+          s"not a BGZF member at offset $nextMemberOff")
+        val bs = ((hdr(16) & 0xff) | ((hdr(17) & 0xff) << 8)) + 1
+        val member = new Array[Byte](bs)
+        in.readFully(nextMemberOff, member, 0, bs)
+        val inflated = new GZIPInputStream(
+          new java.io.ByteArrayInputStream(member)).readAllBytes()
+        if (headPos > 0 && headPos == bufLen) {
+          // cheap compaction point: everything consumed
+          buf = new Array[Byte](0); bufLen = 0; headPos = 0
+          marks = Nil
+        } else if (headPos > (1 << 20)) {
+          // sliding compaction: keep the unconsumed tail
+          val keep = java.util.Arrays.copyOfRange(buf, headPos, bufLen)
+          val headM = headMember
+          buf = keep; bufLen = keep.length
+          marks = (0, headM) ::
+            marks.filter(_._1 > headPos).map(m => (m._1 - headPos, m._2))
+          headPos = 0
+        }
+        if (bufLen + inflated.length > buf.length) {
+          val grown = new Array[Byte](
+            math.max(buf.length * 2, bufLen + inflated.length))
+          System.arraycopy(buf, 0, grown, 0, bufLen)
+          buf = grown
+        }
+        if (inflated.nonEmpty) {
+          marks = marks :+ ((bufLen, nextMemberOff))
+          System.arraycopy(inflated, 0, buf, bufLen, inflated.length)
+          bufLen += inflated.length
+        }
+        nextMemberOff += bs
+      }
+      true
+    }
+
+    def byte(k: Int): Byte = buf(headPos + k)
+    def le32(k: Int): Int =
+      (byte(k) & 0xff) | ((byte(k + 1) & 0xff) << 8) |
+        ((byte(k + 2) & 0xff) << 16) | ((byte(k + 3) & 0xff) << 24)
+    def drop(n: Int): Unit = {
+      require(ensure(n), "truncated BAM stream")
+      headPos += n
+    }
+    def read(n: Int): Array[Byte] = {
+      require(ensure(n), "truncated BAM stream")
+      val out = java.util.Arrays.copyOfRange(buf, headPos, headPos + n)
+      headPos += n
+      out
+    }
+    def close(): Unit = in.close()
+  }
+
 }

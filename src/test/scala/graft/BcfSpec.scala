@@ -163,6 +163,44 @@ class BcfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bcf.read(spark, p).count() == parsed.count())
   }
 
+  test("readSplit == read across split sizes on a BCF whose records " +
+    "span members (64-byte member cap)") {
+    val src = s"${graft.fixtures.GenomicFixtures.rawDir}/sample.vcf"
+    val parsed = Vcf.read(spark, src)
+    val p = s"$tmp/split.bcf"
+    Bcf.write(parsed, Seq(("1", 1000L), ("2", 1000L), ("X", 1000L)),
+      Vcf.sampleNames(spark, src), p, blockSize = 64)
+    val want = Bcf.read(spark, p).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    Seq(100L, 333L, 1000L, 1L << 20).foreach { s =>
+      val got = Bcf.readSplit(spark, p, splitSize = s).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      assert(got == want, s"splitSize=$s: ${got.length} rows")
+    }
+  }
+
+  test("readSplit at scale: 2000 synthetic variants x 3 samples, " +
+    "splits cutting mid-member and mid-record") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val variants = spark.range(2000).select(
+      lit("c1").as("chrom"), (col("id") * 3 + 1).as("pos"),
+      concat(lit("v"), col("id")).as("id"), lit("A").as("ref"),
+      lit("G").as("alt"), lit(".").as("qual"), lit("PASS").as("filter"),
+      concat(lit("AF=0."), pmod(col("id"), lit(89)) + 10).as("info"),
+      array(lit("0|1"), lit("1|1"), lit("0|0")).as("genotypes"))
+    val p = s"$tmp/scale.bcf"
+    Bcf.write(variants, Seq(("c1", 100000L)),
+      Seq("S1", "S2", "S3"), p)
+    Seq(777L, 4096L, 1L << 14).foreach { sz =>
+      val got = Bcf.readSplit(spark, p, splitSize = sz)
+      assert(got.count() == 2000, s"splitSize=$sz")
+      assert(got.agg(sum(col("pos"))).head.getLong(0) ==
+        variants.agg(sum(col("pos"))).head.getLong(0), s"splitSize=$sz")
+    }
+  }
+
   test("sampleNames reads the embedded #CHROM line driver-side, " +
     "direct path and glob both resolve") {
     val src = s"${graft.fixtures.GenomicFixtures.rawDir}/sample.vcf"
