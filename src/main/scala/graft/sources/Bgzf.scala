@@ -143,6 +143,28 @@ object Bgzf {
     b
   }
 
+  /** True when `path` resolves to a single file that starts with a
+    * BGZF member signature AND exceeds `minBytes` — the driver-side
+    * peek [[Vcf.readAuto]] uses to pick the splittable path. Globs/
+    * directories answer false (a sharded layout already parallelizes
+    * per file).
+    */
+  private[sources] def isBgzfOver(spark: SparkSession, path: String,
+                                  minBytes: Long): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      if (!st.isFile || st.getLen <= minBytes) return false
+      val in = fs.open(p)
+      try {
+        val hdr = new Array[Byte](18)
+        in.readFully(0L, hdr, 0, 18)
+        sigAt(hdr, 0)
+      } finally in.close()
+    } catch { case _: Throwable => false }
+
   /** [[scanMember]] for sibling container readers ([[Bam.readSplit]]). */
   private[sources] def firstMemberIn(
       in: org.apache.hadoop.fs.FSDataInputStream, from: Long, to: Long,

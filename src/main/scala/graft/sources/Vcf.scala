@@ -43,14 +43,22 @@ object Vcf {
                splitSize: Long = 32L << 20): DataFrame =
     parseLines(Bgzf.readLines(spark, path, splitSize), "value", afFields)
 
-  /** Format-dispatching read: `.bcf` → the [[Bcf]] binary decoder,
-    * anything else (incl. `.vcf.gz` — the text scan inflates through
-    * Hadoop's codec) → the text parse. Both emit the identical row
-    * shape, so callers (the CLIs) take either transparently.
+  /** Format-dispatching read: `.bcf` → the [[Bcf]] binary decoder; a
+    * `.vcf.gz`/`.vcf.bgz` that is BGZF (18-byte signature peek) AND
+    * larger than `bgzfSplitThreshold` → the byte-range splittable
+    * [[readBgzf]] (a single huge cohort VCF must not read on one
+    * task); anything else → the text parse (Hadoop's codec inflates
+    * small/plain gzip fine, and sharded fleets parallelize per file).
+    * Every branch emits the identical row shape, so callers (the CLIs)
+    * take any of them transparently.
     */
   def readAuto(spark: SparkSession, path: String,
-               afFields: Seq[String] = defaultAfFields): DataFrame =
+               afFields: Seq[String] = defaultAfFields,
+               bgzfSplitThreshold: Long = 128L << 20): DataFrame =
     if (path.endsWith(".bcf")) Bcf.read(spark, path, afFields)
+    else if ((path.endsWith(".vcf.gz") || path.endsWith(".vcf.bgz")) &&
+      Bgzf.isBgzfOver(spark, path, bgzfSplitThreshold))
+      readBgzf(spark, path, afFields)
     else read(spark, path, afFields)
 
   /** [[sampleNames]] across formats: BCF carries the `#CHROM` line in

@@ -120,6 +120,33 @@ class BgzfSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Vcf.readAuto picks the splittable path for a large BGZF " +
+    ".vcf.gz (threshold-gated signature peek), the codec path below " +
+    "threshold and for plain gzip") {
+    val src = s"${graft.fixtures.GenomicFixtures.rawDir}/sample.vcf"
+    val text = Files.readString(Paths.get(src))
+    val p = s"$tmp/auto.vcf.gz"
+    Files.write(Paths.get(p),
+      Bgzf.compress(text.getBytes("US-ASCII"), 100))
+    val want = Vcf.read(spark, src).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    def rowsVia(threshold: Long) =
+      Vcf.readAuto(spark, p, bgzfSplitThreshold = threshold).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    // above threshold: splittable; below: codec — identical rows both
+    assert(rowsVia(0L) == want)
+    assert(rowsVia(1L << 30) == want)
+    // plain single-member gzip never routes to the splittable path
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(text.getBytes("US-ASCII")); gz.close()
+    val pp = s"$tmp/plainauto.vcf.gz"
+    Files.write(Paths.get(pp), bos.toByteArray)
+    val got = Vcf.readAuto(spark, pp, bgzfSplitThreshold = 0L).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(got == want)
+  }
+
   test("plain single-member gzip fails loudly instead of mis-splitting") {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)
