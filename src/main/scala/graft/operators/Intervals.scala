@@ -57,7 +57,10 @@ object Intervals {
     * key tuple: '\' then ':' are escaped inside each key value before
     * the ':' join (island is numeric, never escaped), so multi-column
     * keys or ':'-bearing values (e.g. `HLA-A:01`) can't collide into
-    * one cluster_id.
+    * one cluster_id. A null key renders as the sentinel `\0`
+    * (backslash-zero) AFTER escaping, which no real value can produce
+    * (every real backslash doubles) — without it `concat_ws` silently
+    * drops nulls and (null,"a")/("a",null) would collide.
     */
   def cluster(intervals: DataFrame, keys: Seq[String] = Seq("chrom"),
               maxGap: Long = 0L): DataFrame = {
@@ -73,8 +76,9 @@ object Intervals {
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("cluster_id",
         concat_ws(":", kc.map(c =>
-          regexp_replace(regexp_replace(c.cast("string"),
-            lit("\\\\"), lit("\\\\\\\\")), lit(":"), lit("\\\\:")))
+          coalesce(regexp_replace(regexp_replace(c.cast("string"),
+            lit("\\\\"), lit("\\\\\\\\")), lit(":"), lit("\\\\:")),
+            lit("\\0")))
           :+ col("_island"): _*))
       .drop("_island")
   }

@@ -121,6 +121,7 @@ object Bam {
       .flatMap { r =>
         val rp = new org.apache.hadoop.fs.Path(r.path)
         val in = rp.getFileSystem(hconf.value).open(rp)
+        Bgzf.closeOnTaskEnd(in)
         splitRangeRecords(in, r.start, r.end, r.len)
       }
     Sam.decorate(recs.toDS().toDF())
@@ -195,6 +196,13 @@ object Bam {
     }
 
   /** `depth` chained plausible records at the cursor head (peek only).
+    * Bounds sit at the spec's maxima, not at "typical" values — a bound
+    * tighter than the spec rejects legal records (ONT ultralong reads,
+    * qnames to 254 chars, positions to 2^31-1) and a rejected TRUE
+    * anchor silently drops the whole range; the plausibility bits come
+    * from the dictionary-bounded refIDs, the printable-NUL-terminated
+    * name, the fixed-section arithmetic and the 4-record chain, not
+    * from narrow magnitude caps.
     */
   private def plausibleChain(cur: Bgzf.MemberCursor, nRef: Int, depth: Int): Boolean = {
     var off = 0
@@ -202,22 +210,23 @@ object Bam {
     while (k < depth) {
       if (!cur.ensure(off + 36)) return k > 0 // clean EOF ends a chain
       val bs = cur.le32(off)
-      if (bs < 33 || bs > (1 << 22)) return false
+      if (bs < 33 || bs > (1 << 30)) return false // 1 GiB: alloc ceiling
       val refId = cur.le32(off + 4)
       if (refId < -1 || refId >= nRef) return false
       val pos = cur.le32(off + 8)
-      if (pos < -1 || pos > (1 << 29)) return false
+      if (pos < -1) return false // any int32 position is spec-legal
       val lrn = cur.byte(off + 12) & 0xff
-      if (lrn < 2 || lrn > 127) return false
+      if (lrn < 2) return false // uint8: up to 255 (254-char qname) legal
       val nCigar = (cur.byte(off + 16) & 0xff) |
         ((cur.byte(off + 17) & 0xff) << 8)
       val lSeq = cur.le32(off + 20)
-      if (lSeq < 0 || lSeq > (1 << 20)) return false
+      if (lSeq < 0) return false // fixed-section fit below bounds it vs bs
       val nextRef = cur.le32(off + 24)
       if (nextRef < -1 || nextRef >= nRef) return false
       val nextPos = cur.le32(off + 28)
-      if (nextPos < -1 || nextPos > (1 << 29)) return false
-      val fixed = 32L + lrn + 4L * nCigar + (lSeq + 1) / 2 + lSeq
+      if (nextPos < -1) return false
+      val fixed = 32L + lrn + 4L * nCigar + (lSeq.toLong + 1) / 2 +
+        lSeq.toLong
       if (fixed > bs) return false
       // read name: printable, NUL exactly at its declared end
       if (!cur.ensure(off + 36 + lrn)) return k > 0
@@ -228,6 +237,7 @@ object Bam {
         i += 1
       }
       if (cur.byte(off + 36 + lrn - 1) != 0) return false
+      if (off + 4L + bs > Int.MaxValue - 64) return false // lookahead cap
       off += 4 + bs
       k += 1
     }

@@ -110,6 +110,7 @@ object Bcf {
       .flatMap { r =>
         val rp = new org.apache.hadoop.fs.Path(r.path)
         val in = rp.getFileSystem(hconf.value).open(rp)
+        Bgzf.closeOnTaskEnd(in)
         splitRangeRecords(in, r.start, r.end, r.len)
       }
     recs.toDS().toDF()
@@ -173,7 +174,13 @@ object Bcf {
       override def next(): BcfRec = { val r = nextRec; advance(); r }
     }
 
-  /** `depth` chained plausible BCF record starts at the cursor head. */
+  /** `depth` chained plausible BCF record starts at the cursor head.
+    * Bounds sit at spec maxima (the [[Bam.readSplit]] rationale):
+    * positions/rlen are legal to 2^31-1 and block sizes to uint32, so
+    * magnitude caps tighter than the spec would silently drop a range
+    * whose true anchor they reject; the plausibility bits come from the
+    * dictionary-bounded contig index and the exact n_sample equality.
+    */
   private def plausibleChain(cur: Bgzf.MemberCursor, nContig: Int,
                              nSamples: Int, depth: Int): Boolean = {
     var off = 0
@@ -181,21 +188,23 @@ object Bcf {
     while (k < depth) {
       if (!cur.ensure(off + 32)) return k > 0
       val lShared = cur.le32(off)
-      if (lShared < 24 || lShared > (1 << 24)) return false
+      if (lShared < 24 || lShared > (1 << 30)) return false // alloc ceiling
       val lIndiv = cur.le32(off + 4)
-      if (lIndiv < 0 || lIndiv > (1 << 26)) return false
+      if (lIndiv < 0 || lIndiv > (1 << 30)) return false
       val chrom = cur.le32(off + 8)
       if (chrom < 0 || chrom >= nContig) return false
       val pos = cur.le32(off + 12)
-      if (pos < -1 || pos > (1 << 29)) return false
+      if (pos < -1) return false // any int32 position is spec-legal
       val rlen = cur.le32(off + 16)
-      if (rlen < 0 || rlen > (1 << 29)) return false
+      if (rlen < 0) return false
       val nAlleleInfo = cur.le32(off + 24)
       val nAllele = nAlleleInfo >>> 16
       if (nAllele < 1) return false
       val nFmtSample = cur.le32(off + 28)
       if ((nFmtSample & 0xffffff) != nSamples) return false
-      off += 8 + lShared + lIndiv
+      val step = 8L + lShared + lIndiv
+      if (off + step > Int.MaxValue - 64) return false // chain lookahead cap
+      off += step.toInt
       k += 1
     }
     true

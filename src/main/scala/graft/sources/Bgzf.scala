@@ -125,6 +125,7 @@ object Bgzf {
       .flatMap { r =>
         val rp = new org.apache.hadoop.fs.Path(r.path)
         val in = rp.getFileSystem(hconf.value).open(rp)
+        closeOnTaskEnd(in)
         rangeLines(in, r)
       }
     spark.createDataFrame(lines.map(org.apache.spark.sql.Row(_)),
@@ -132,6 +133,18 @@ object Bgzf {
         org.apache.spark.sql.types.StructField("value",
           org.apache.spark.sql.types.StringType, nullable = false))))
   }
+
+  /** Close `in` at task completion regardless of whether the per-range
+    * iterator was fully consumed — `df.limit`/`take` or a mid-decode
+    * failure abandons the iterator and would otherwise leak one open
+    * handle per task. The iterator-exhaust close stays (frees the
+    * handle early on the common full-scan path); the second close is a
+    * harmless no-op.
+    */
+  private[sources] def closeOnTaskEnd(
+      in: org.apache.hadoop.fs.FSDataInputStream): Unit =
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
 
   /** pread `n` bytes at `off` (clipped to EOF). */
   private def preadAt(in: org.apache.hadoop.fs.FSDataInputStream,
@@ -292,21 +305,29 @@ object Bgzf {
       }
 
       /** Read one '\n'-terminated line from the cursor (crossing
-        * members freely), or null at EOF with nothing read.
+        * members freely), or null at EOF with nothing read. Bytes
+        * accumulate raw and decode as UTF-8 in one shot — per-byte
+        * `toChar` would sign-extend multibyte content (legal in VCF
+        * headers/sample names) into garbage chars, diverging from
+        * `spark.read.text`'s decode of the same file.
         */
       private def readLine(): String = {
         if (!ensureByte()) return null
-        val sb = new java.lang.StringBuilder(80)
+        var bytes = new Array[Byte](80)
+        var n = 0
         var terminated = false
         while (!terminated && ensureByte()) {
           val c = buf(pos); pos += 1
           if (c == '\n') terminated = true
-          else sb.append(c.toChar)
+          else {
+            if (n == bytes.length)
+              bytes = java.util.Arrays.copyOf(bytes, n * 2)
+            bytes(n) = c; n += 1
+          }
         }
         // strip the \r of a \r\n terminator only — mid-line \r is data
-        if (sb.length > 0 && sb.charAt(sb.length - 1) == '\r')
-          sb.setLength(sb.length - 1)
-        sb.toString
+        if (n > 0 && bytes(n - 1) == '\r') n -= 1
+        new String(bytes, 0, n, java.nio.charset.StandardCharsets.UTF_8)
       }
 
       private def advance(): Unit = {

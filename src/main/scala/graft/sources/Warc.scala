@@ -149,6 +149,7 @@ object Warc {
       .flatMap { r =>
         val rp = new org.apache.hadoop.fs.Path(r.path)
         val in = rp.getFileSystem(hconf.value).open(rp)
+        Bgzf.closeOnTaskEnd(in)
         gzRangeMembers(in, r.start, r.end, r.len)
       }
     spark.createDataFrame(
@@ -200,24 +201,38 @@ object Warc {
   }
 
   /** Parse a gzip member header at `off`: returns the deflate-data
-    * offset, or -1 when the bytes are not a plausible header.
+    * offset, or -1 when the bytes are not a plausible header. The probe
+    * window starts at 1 KiB and GROWS when the header runs past it (a
+    * long FNAME/FEXTRA is legal RFC-1952; capping would silently skip
+    * the member during anchor scans and crash a mid-chain inflate) —
+    * only an actual file end inside the header answers -1.
     */
   private def gzHeaderEnd(win: GzWindow, off: Long, len: Long): Long = {
-    val hdr = win.bytes(off, 1024)
-    if (hdr.length < 10 || hdr(0) != 0x1f.toByte ||
-      hdr(1) != 0x8b.toByte || hdr(2) != 0x08 ||
-      (hdr(3) & 0xe0) != 0) return -1L
-    val flg = hdr(3)
-    var h = 10
-    def over = h >= hdr.length // header longer than the probe window
-    if ((flg & 4) != 0) { // FEXTRA
-      if (h + 2 > hdr.length) return -1L
-      h += 2 + ((hdr(h) & 0xff) | ((hdr(h + 1) & 0xff) << 8))
+    var cap = 1024
+    while (true) {
+      val hdr = win.bytes(off, cap)
+      if (hdr.length < 10 || hdr(0) != 0x1f.toByte ||
+        hdr(1) != 0x8b.toByte || hdr(2) != 0x08 ||
+        (hdr(3) & 0xe0) != 0) return -1L
+      val flg = hdr(3)
+      var h = 10
+      var truncated = false // header extends past this probe window
+      if ((flg & 4) != 0) { // FEXTRA
+        if (h + 2 > hdr.length) truncated = true
+        else h += 2 + ((hdr(h) & 0xff) | ((hdr(h + 1) & 0xff) << 8))
+      }
+      def skipZ(): Unit = { // NUL-terminated FNAME / FCOMMENT
+        while (!truncated && h < hdr.length && hdr(h) != 0) h += 1
+        if (h >= hdr.length) truncated = true else h += 1
+      }
+      if ((flg & 8) != 0) skipZ()
+      if ((flg & 16) != 0) skipZ()
+      if ((flg & 2) != 0) h += 2 // FHCRC
+      if (!truncated && h <= hdr.length) return off + h
+      if (hdr.length < cap) return -1L // file ended inside the header
+      cap *= 4
     }
-    if ((flg & 8) != 0) { while (!over && hdr(h) != 0) h += 1; h += 1 }
-    if ((flg & 16) != 0) { while (!over && hdr(h) != 0) h += 1; h += 1 }
-    if ((flg & 2) != 0) h += 2
-    if (h > hdr.length) -1L else off + h
+    -1L // unreachable
   }
 
   /** Inflate the member at `off`; returns (text, nextMemberOffset). */

@@ -198,6 +198,34 @@ class BamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("readSplit accepts spec-maxima records the old plausibility " +
+    "bounds rejected: 200-char qnames, positions past 2^29 — a bound " +
+    "tighter than the spec silently empties the range") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val reads = spark.range(800).select(
+      // qname 200+ chars: l_read_name > 127 (legal to 255)
+      concat(lit("q" * 200), col("id")).as("qname"),
+      lit(0).as("flag"), lit("cBig").as("rname"),
+      // positions straddling the old 2^29 cap (legal to 2^31-1)
+      (col("id") * 1000 + (1L << 29) - 400000L).as("pos"),
+      lit(60).as("mapq"), lit("40M").as("cigar"),
+      lit(null).cast("string").as("rnext"),
+      lit(null).cast("long").as("pnext"), lit(0L).as("tlen"),
+      lit("ACGT" * 10).as("seq"), lit("I" * 40).as("qual"),
+      lit(null).cast("string").as("tags"))
+    val p = s"$tmp/maxima.bam"
+    Bam.write(reads, Seq(("cBig", (1L << 31) - 1)), p, blockSize = 256)
+    val want = reads.collect().map(rowKey).sortBy(_.toString).toSeq
+    Seq(512L, 4096L, 1L << 20).foreach { sz =>
+      val got = Bam.readSplit(spark, p, splitSize = sz)
+        .select(reads.columns.map(col): _*)
+        .collect().map(rowKey).sortBy(_.toString).toSeq
+      assert(got == want, s"splitSize=$sz: ${got.length} rows")
+    }
+  }
+
   test("splitTags: commas inside Z values and B arrays re-join to the " +
     "entry they belong to") {
     assert(Bam.splitTags("NM:i:1,ZZ:Z:he,llo,XB:B:s,-3,7") ==

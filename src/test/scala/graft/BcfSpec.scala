@@ -201,6 +201,29 @@ class BcfSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("readSplit accepts spec-maxima records the old plausibility " +
+    "bounds rejected: positions past 2^29 (legal to 2^31-1)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val variants = spark.range(600).select(
+      lit("cBig").as("chrom"),
+      (col("id") * 1000 + (1L << 29) - 300000L).as("pos"),
+      concat(lit("v"), col("id")).as("id"), lit("A").as("ref"),
+      lit("G").as("alt"), lit(".").as("qual"), lit("PASS").as("filter"),
+      lit("AF=0.5").as("info"),
+      array(lit("0|1"), lit("1|1")).as("genotypes"))
+    val p = s"$tmp/maxima.bcf"
+    Bcf.write(variants, Seq(("cBig", (1L << 31) - 1)),
+      Seq("S1", "S2"), p, blockSize = 256)
+    Seq(512L, 4096L, 1L << 20).foreach { sz =>
+      val got = Bcf.readSplit(spark, p, splitSize = sz)
+      assert(got.count() == 600, s"splitSize=$sz")
+      assert(got.agg(sum(col("pos"))).head.getLong(0) ==
+        variants.agg(sum(col("pos"))).head.getLong(0), s"splitSize=$sz")
+    }
+  }
+
   test("sampleNames reads the embedded #CHROM line driver-side, " +
     "direct path and glob both resolve") {
     val src = s"${graft.fixtures.GenomicFixtures.rawDir}/sample.vcf"

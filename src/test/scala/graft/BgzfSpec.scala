@@ -101,6 +101,23 @@ class BgzfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sorted == Seq("a", "b\rc", "last").sorted)
   }
 
+  test("UTF-8 multibyte content decodes identically to spark.read.text " +
+    "(per-byte toChar would sign-extend bytes >= 0x80 into garbage)") {
+    val lines = Seq("##meta=ä-umlaut", "naïve\tsample-日本語", "héllo—dash",
+      "plain ascii")
+    val text = lines.mkString("", "\n", "\n")
+    val p = s"$tmp/utf8.gz"
+    Files.write(Paths.get(p),
+      Bgzf.compress(text.getBytes("UTF-8"), 16))
+    // across splits, and against Hadoop's own gzip-codec text decode
+    for (splitSize <- Seq(8L, 64L, 1L << 20)) {
+      val got = linesOf(Bgzf.readLines(spark, p, splitSize = splitSize))
+      assert(got.sorted == lines.sorted, s"splitSize=$splitSize")
+    }
+    val viaText = spark.read.text(p).collect().map(_.getString(0)).toSeq
+    assert(viaText.sorted == lines.sorted, "oracle decode differs")
+  }
+
   test("no trailing newline: the final partial line still surfaces") {
     val p = write("tail.gz", "one\ntwo\nthree-no-nl", 6)
     val got = linesOf(Bgzf.readLines(spark, p, splitSize = 10L))

@@ -698,12 +698,19 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("a", "b:3", 10L, 20L),
       ("a:b", "3", 10L, 20L),
       // a '\'-bearing value that would alias the escape itself
-      ("a\\", ":b:3", 10L, 20L))
+      ("a\\", ":b:3", 10L, 20L),
+      // null keys: concat_ws silently DROPS nulls, so without the \0
+      // sentinel (null,"a") and ("a",null) collide; and a literal
+      // "\0" value must stay distinct from the sentinel (it escapes
+      // to \\0)
+      (null.asInstanceOf[String], "a", 10L, 20L),
+      ("a", null.asInstanceOf[String], 10L, 20L),
+      ("\\0", "a", 10L, 20L))
       .toDF("k1", "k2", "start", "end")
     val ids = graft.operators.Intervals
       .cluster(df, keys = Seq("k1", "k2")).collect()
       .map(_.getString(4)).toSet
-    assert(ids.size == 3, s"cluster_id collided: $ids")
+    assert(ids.size == 6, s"cluster_id collided: $ids")
     // single ':'-free key keeps the plain key:island shape
     val plain = graft.operators.Intervals
       .cluster(Seq(("c1", 5L, 9L)).toDF("chrom", "start", "end"))

@@ -81,6 +81,48 @@ class WarcGzSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 0)
   }
 
+  test("a member whose FNAME pushes the gzip header past 1 KiB still " +
+    "anchors and inflates: the header probe window grows instead of " +
+    "silently skipping the member") {
+    def gzWithFname(payload: Array[Byte], fname: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0x1f, 0x8b.toByte, 0x08, 0x08, // FLG=FNAME
+        0, 0, 0, 0, 0, 0xff.toByte))
+      out.write(fname.getBytes("US-ASCII")); out.write(0)
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(payload); d.finish()
+      val buf = new Array[Byte](payload.length + 64)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+      d.end()
+      out.write(buf, 0, n)
+      val crc = new java.util.zip.CRC32(); crc.update(payload)
+      val le = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      le.putInt(crc.getValue.toInt); le.putInt(payload.length)
+      out.write(le.array())
+      out.toByteArray
+    }
+    val text = Files.readString(Paths.get(crawlPath))
+    // two members split at a record boundary, EACH with a 3 KiB FNAME:
+    // the first exercises the range-0 inflate, the second the mid-file
+    // anchor scan (both crashed/skipped under a capped 1 KiB probe)
+    val cut = text.indexOf("WARC/1.0", 1)
+    assert(cut > 0, "fixture must hold >= 2 records")
+    val longName = "n" * 3000
+    val bytes = gzWithFname(text.substring(0, cut).getBytes("UTF-8"),
+      longName) ++ gzWithFname(text.substring(cut).getBytes("UTF-8"),
+      longName)
+    val p = s"$tmp/fname.warc.gz"
+    Files.write(Paths.get(p), bytes)
+    val want = rows(Warc.read(spark, crawlPath))
+    Seq(256L, 1L << 30).foreach { s =>
+      assert(rows(Warc.readGz(spark, p, splitSize = s)) == want,
+        s"splitSize=$s")
+    }
+  }
+
   test("a single member holding MANY records re-splits on the record " +
     "boundary (spec-legal non-CC layout)") {
     val text = Files.readString(Paths.get(crawlPath))
