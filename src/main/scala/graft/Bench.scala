@@ -79,76 +79,114 @@ object Bench {
     * question for binary sources; the gate fixture is 8 reads). Written
     * once per JVM; min-of-N discards the synthesis run.
     */
+  private val bamRefs = (1 to 22).map(i => (s"chr$i", 250000000L))
+
+  /** The bamx read-generator, factored out so the sharded-sink entries
+    * push the SAME row distribution the decode entries measure.
+    */
+  private def syntheticReads(spark: SparkSession,
+      n: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val acgt = Seq("A", "C", "G", "T")
+    val seqExpr = concat_ws("", (0 until 100).map(i =>
+      element_at(array(acgt.map(lit): _*),
+        (pmod(col("id") * 31 + lit(i), lit(4)) + 1).cast("int"))): _*)
+    spark.range(n).select(
+      concat(lit("r"), col("id")).as("qname"),
+      when(pmod(col("id"), lit(10)) === 0, 4)
+        .otherwise(when(pmod(col("id"), lit(2)) === 0, 99).otherwise(147))
+        .cast("int").as("flag"),
+      when(pmod(col("id"), lit(10)) === 0, lit(null))
+        .otherwise(concat(lit("chr"), pmod(col("id"), lit(22)) + 1))
+        .as("rname"),
+      when(pmod(col("id"), lit(10)) === 0, lit(null))
+        .otherwise(pmod(hash(col("id")), lit(200000000)).cast("long") + 1)
+        .as("pos"),
+      lit(60).as("mapq"),
+      when(pmod(col("id"), lit(10)) === 0, "*")
+        .when(pmod(col("id"), lit(3)) === 0, "10S80M10S")
+        .otherwise("100M").as("cigar"),
+      lit(null).cast("string").as("rnext"),
+      lit(null).cast("long").as("pnext"),
+      lit(0L).as("tlen"),
+      seqExpr.as("seq"),
+      lit("I" * 100).as("qual"),
+      concat(lit("NM:i:"), pmod(col("id"), lit(5))).as("tags"))
+  }
+
   private var bamScalePath: String = null
   private def ensureSyntheticBam(spark: SparkSession, n: Long): String =
     synchronized {
       if (bamScalePath != null) return bamScalePath
-      import org.apache.spark.sql.functions._
       val p = s"${sys.props("java.io.tmpdir")}/graft-bam-scale-" +
         s"${ProcessHandle.current.pid}.bam"
-      val acgt = Seq("A", "C", "G", "T")
-      val seqExpr = concat_ws("", (0 until 100).map(i =>
-        element_at(array(acgt.map(lit): _*),
-          (pmod(col("id") * 31 + lit(i), lit(4)) + 1).cast("int"))): _*)
-      val reads = spark.range(n).select(
-        concat(lit("r"), col("id")).as("qname"),
-        when(pmod(col("id"), lit(10)) === 0, 4)
-          .otherwise(when(pmod(col("id"), lit(2)) === 0, 99).otherwise(147))
-          .cast("int").as("flag"),
-        when(pmod(col("id"), lit(10)) === 0, lit(null))
-          .otherwise(concat(lit("chr"), pmod(col("id"), lit(22)) + 1))
-          .as("rname"),
-        when(pmod(col("id"), lit(10)) === 0, lit(null))
-          .otherwise(pmod(hash(col("id")), lit(200000000)).cast("long") + 1)
-          .as("pos"),
-        lit(60).as("mapq"),
-        when(pmod(col("id"), lit(10)) === 0, "*")
-          .when(pmod(col("id"), lit(3)) === 0, "10S80M10S")
-          .otherwise("100M").as("cigar"),
-        lit(null).cast("string").as("rnext"),
-        lit(null).cast("long").as("pnext"),
-        lit(0L).as("tlen"),
-        seqExpr.as("seq"),
-        lit("I" * 100).as("qual"),
-        concat(lit("NM:i:"), pmod(col("id"), lit(5))).as("tags"))
-      val refs = (1 to 22).map(i => (s"chr$i", 250000000L))
-      graft.sources.Bam.write(reads, refs, p)
+      graft.sources.Bam.write(syntheticReads(spark, n), bamRefs, p)
       bamScalePath = p
       p
     }
+
+  /** Materialized write-side input (8 partitions) so the bamw entries
+    * time the ENCODE+DEFLATE+write, not the column synthesizer.
+    */
+  private var bamWriteFrame: org.apache.spark.sql.DataFrame = null
+  private def ensureBamWriteFrame(spark: SparkSession,
+      n: Long): org.apache.spark.sql.DataFrame = synchronized {
+    if (bamWriteFrame == null)
+      bamWriteFrame = syntheticReads(spark, n)
+        .repartition(8).localCheckpoint()
+    bamWriteFrame
+  }
 
   /** Synthetic cohort re-encoded as ONE BCF (~n variants × 20 samples)
     * — times the typed-value + GT wire decode at volume. Same
     * once-per-JVM/prep contract as the BAM entry.
     */
+  private val bcfContigs = (1 to 22).map(i => (s"c$i", 250000000L))
+  private val bcfSamples = (1 to 20).map("S" + _)
+
+  /** The bcfx variant-generator, factored out like [[syntheticReads]]. */
+  private def syntheticVariants(spark: SparkSession,
+      n: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gtExpr = array(bcfSamples.indices.map(sIdx =>
+      concat(pmod(col("id") * 7 + lit(sIdx), lit(2)), lit("|"),
+        pmod(col("id") * 13 + lit(sIdx), lit(2)))): _*)
+    spark.range(n).select(
+      concat(lit("c"), pmod(col("id"), lit(22)) + 1).as("chrom"),
+      (pmod(hash(col("id")), lit(200000000)).cast("long") + 1).as("pos"),
+      concat(lit("v"), col("id")).as("id"),
+      lit("A").as("ref"),
+      element_at(array(lit("C"), lit("G"), lit("T")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")).as("alt"),
+      lit(".").as("qual"),
+      lit("PASS").as("filter"),
+      concat(lit("AF=0."), pmod(col("id"), lit(89)) + 10).as("info"),
+      gtExpr.as("genotypes"))
+  }
+
   private var bcfScalePath: String = null
   private def ensureSyntheticBcf(spark: SparkSession, n: Long): String =
     synchronized {
       if (bcfScalePath != null) return bcfScalePath
-      import org.apache.spark.sql.functions._
       val p = s"${sys.props("java.io.tmpdir")}/graft-bcf-scale-" +
         s"${ProcessHandle.current.pid}.bcf"
-      val nSamples = 20
-      val gtExpr = array((0 until nSamples).map(sIdx =>
-        concat(pmod(col("id") * 7 + lit(sIdx), lit(2)), lit("|"),
-          pmod(col("id") * 13 + lit(sIdx), lit(2)))): _*)
-      val variants = spark.range(n).select(
-        concat(lit("c"), pmod(col("id"), lit(22)) + 1).as("chrom"),
-        (pmod(hash(col("id")), lit(200000000)).cast("long") + 1).as("pos"),
-        concat(lit("v"), col("id")).as("id"),
-        lit("A").as("ref"),
-        element_at(array(lit("C"), lit("G"), lit("T")),
-          (pmod(col("id"), lit(3)) + 1).cast("int")).as("alt"),
-        lit(".").as("qual"),
-        lit("PASS").as("filter"),
-        concat(lit("AF=0."), pmod(col("id"), lit(89)) + 10).as("info"),
-        gtExpr.as("genotypes"))
-      val contigs = (1 to 22).map(i => (s"c$i", 250000000L))
-      graft.sources.Bcf.write(variants, contigs,
-        (1 to nSamples).map("S" + _), p)
+      graft.sources.Bcf.write(syntheticVariants(spark, n), bcfContigs,
+        bcfSamples, p)
       bcfScalePath = p
       p
     }
+
+  /** Materialized write-side input for the bcfw entries ([[
+    * ensureBamWriteFrame]]'s contract).
+    */
+  private var bcfWriteFrame: org.apache.spark.sql.DataFrame = null
+  private def ensureBcfWriteFrame(spark: SparkSession,
+      n: Long): org.apache.spark.sql.DataFrame = synchronized {
+    if (bcfWriteFrame == null)
+      bcfWriteFrame = syntheticVariants(spark, n)
+        .repartition(8).localCheckpoint()
+    bcfWriteFrame
+  }
 
   /** One BIG synthetic bgzipped VCF (~n variants × 20 samples as BGZF
     * text) — the single-huge-file layout cohort VCFs ship in. Two bench
@@ -598,6 +636,47 @@ object Bench {
         graft.sources.Bcf.readSplit(spark, path, splitSize = 256L << 10)
           .agg(count(lit(1)), sum(size(col("genotypes"))))
           .head.getLong(0)
+      }),
+      // Sharded binary SINKS at volume: the same synthetic rows the
+      // bamx/bcfx decode entries read, written executor-side as 8
+      // independent shards vs coalesced through the identical writer
+      // as 1 — the pair's ratio is the sink-side parallelism win, and
+      // the entries prove the write path never collects to the driver
+      // (per-task memory is one BGZF block). Input is pre-materialized
+      // (localCheckpoint) so the wall is encode+deflate+write.
+      "bamw_bam_write_scale" -> (() => {
+        val reads = ensureBamWriteFrame(spark, nDocs * 60)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-bamw-" +
+          s"${ProcessHandle.current.pid}"
+        graft.sources.Bam.writeSharded(reads, bamRefs, dir)
+        new java.io.File(dir).listFiles()
+          .count(_.getName.endsWith(".bam")).toLong
+      }),
+      "bamw1_bam_write_one_scale" -> (() => {
+        val reads = ensureBamWriteFrame(spark, nDocs * 60)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-bamw1-" +
+          s"${ProcessHandle.current.pid}"
+        graft.sources.Bam.writeSharded(reads.coalesce(1), bamRefs, dir)
+        new java.io.File(dir).listFiles()
+          .count(_.getName.endsWith(".bam")).toLong
+      }),
+      "bcfw_bcf_write_scale" -> (() => {
+        val variants = ensureBcfWriteFrame(spark, nDocs * 20)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-bcfw-" +
+          s"${ProcessHandle.current.pid}"
+        graft.sources.Bcf.writeSharded(variants, bcfContigs, bcfSamples,
+          dir)
+        new java.io.File(dir).listFiles()
+          .count(_.getName.endsWith(".bcf")).toLong
+      }),
+      "bcfw1_bcf_write_one_scale" -> (() => {
+        val variants = ensureBcfWriteFrame(spark, nDocs * 20)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-bcfw1-" +
+          s"${ProcessHandle.current.pid}"
+        graft.sources.Bcf.writeSharded(variants.coalesce(1), bcfContigs,
+          bcfSamples, dir)
+        new java.io.File(dir).listFiles()
+          .count(_.getName.endsWith(".bcf")).toLong
       }),
       "wxr_warc_recgz_scale" -> (() => {
         val path = ensureSyntheticWarcRecGz((nDocs * 2).toInt)

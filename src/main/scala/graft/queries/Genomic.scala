@@ -95,6 +95,25 @@ object Genomic {
         .withColumn("genotypes", array_join(col("genotypes"), ","))
     }),
 
+    "bcf3_write_sharded" -> ((s, _) => {
+      // the scale-path BCF sink: VCF text -> 3-partition executor-side
+      // sharded write (shared distributed-pass dictionary, one valid
+      // BCF per partition, no driver collect) -> splittable read-back
+      // of the directory, against the independent float-normalized
+      // TEXT parse.
+      prep(s)
+      val parsed = Vcf.read(s, GenomicFixtures.vcfPath)
+      val contigs = parsed.groupBy("chrom")
+        .agg(max("pos").as("mx")).orderBy("chrom").collect()
+        .map(r => (r.getString(0), r.getLong(1) + 1000L)).toSeq
+      val out = s"${sys.props("java.io.tmpdir")}/graft-bcf-sharded-" +
+        ProcessHandle.current.pid
+      graft.sources.Bcf.writeSharded(parsed.repartition(3), contigs,
+        Vcf.sampleNames(s, GenomicFixtures.vcfPath), out)
+      graft.sources.Bcf.readSplit(s, out, splitSize = 256L)
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
+    }),
+
     "v2_vcf_norm" -> ((s, _) => {
       prep(s)
       Vcf.normalize(Vcf.read(s, GenomicFixtures.vcfPath), minAf = 0.05)
@@ -181,6 +200,23 @@ object Genomic {
       // hash.
       graft.sources.Bam.readSplit(s, GenomicFixtures.bamPath(s),
         splitSize = 256L)
+    }),
+
+    "bam3_write_sharded" -> ((s, _) => {
+      // the scale-path BAM sink: SAM text -> 3-partition executor-side
+      // sharded write (one valid BAM per partition, O(blockSize) task
+      // memory, no driver collect) -> splittable read-back of the
+      // directory. The oracle is the independent TEXT parse, so any
+      // encode/shard/read asymmetry anywhere in the round trip breaks
+      // the hash.
+      val sam = s"${GenomicFixtures.rawDir}/aligned.sam"
+      val out = s"${sys.props("java.io.tmpdir")}/graft-bam-sharded-" +
+        ProcessHandle.current.pid
+      graft.sources.Bam.writeSharded(
+        graft.sources.Sam.read(s, sam).repartition(3),
+        graft.sources.Sam.sqHeaders(s, sam).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq, out)
+      graft.sources.Bam.readSplit(s, out, splitSize = 256L)
     }),
 
     "g8_reads_coverage" -> ((s, _) => {
@@ -1169,6 +1205,10 @@ object Genomic {
     // bam2: identical contract — the splittable read must reproduce the
     // text parse exactly from many forced byte ranges.
     "bam2_split" -> sam1Sql,
+
+    // bam3: the sharded executor-side sink round trip must also land
+    // exactly on the independent text parse.
+    "bam3_write_sharded" -> sam1Sql,
 
     // sam2: the same SAM parse against dupreads.sam, then the markdup
     // walk replayed relationally — unclipped-5' keys from clip-run
@@ -3096,6 +3136,11 @@ object Genomic {
     // bcf2: identical contract - the splittable read must reproduce the
     // normalized text parse exactly from many forced byte ranges.
     "bcf2_split" -> bcf1Sql,
+
+    // bcf3: the sharded sink round trip (shared sorted dictionary)
+    // must land on the same normalized text parse — dictionary order
+    // is header-internal and must never leak into rendered rows.
+    "bcf3_write_sharded" -> bcf1Sql,
 
     "v2_vcf_norm" ->
       s"""WITH e AS (

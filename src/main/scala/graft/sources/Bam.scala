@@ -37,15 +37,13 @@ private[graft] case class BamRec(
   *    ("=ACMGRSVTWYHKDBN"), raw Phred quals (0xFF = absent), typed aux
   *    tags (A c C s S i I f Z H B).
   *
-  * Scale model: one task per FILE ([[SparkSession.sparkContext
-  * .binaryFiles]] + a constant-memory streaming record iterator — the
-  * whole file is never materialized). Real fleets arrive as one BAM per
-  * sample (thousands of files), so per-file parallelism is the
-  * first-order scale path, same argument as the documented .warc.gz
-  * caveat (SURVEY §6). In-file splitting requires record-aligned
-  * virtual offsets (a .bai/splitting index) because records span BGZF
-  * member boundaries — evidence-gated follow-up, not speculatively
-  * built.
+  * Scale model, read side: one task per FILE ([[read]]: `binaryFiles`
+  * + a constant-memory streaming record iterator; real fleets arrive
+  * as one BAM per sample) OR byte-range in-file splits with no index
+  * ([[readSplit]], for the single-huge-file layout). Write side:
+  * [[writeSharded]] — one valid BAM per partition, executor-side,
+  * O(blockSize) task memory; [[write]] is the fixture-scale
+  * single-file variant (driver collect, documented).
   *
   * Decode fidelity conventions (SAM spec §4.2, matching `samtools
   * view` output so rows compare equal to [[Sam.read]] on the same
@@ -394,26 +392,12 @@ object Bam {
   }
 
   // ------------------------------------------------------------- write
-  /** Serialize parsed reads (the [[Sam.read]] column shape; extra
-    * columns ignored) to one BAM file at `path` — the fixture/test-scale
-    * single-file writer (record order = input order, so feed it
-    * coordinate-sorted rows for a spec-conformant file). The sharded
-    * scale path is one file per partition/sample — the layout fleets
-    * already use — not a coordinated single-file write.
-    *
-    * `blockSize` caps UNCOMPRESSED bytes per BGZF member (default
-    * 0xff00, bgzf's own cap); records larger than the cap get a member
-    * to themselves (records may legally span members).
-    */
-  def write(reads: DataFrame, refs: Seq[(String, Long)], path: String,
-            blockSize: Int = 0xff00): Unit = {
-    val refIdx = refs.map(_._1).zipWithIndex.toMap
-    val rows = reads
-      .selectExpr("qname", "flag", "rname", "pos", "mapq", "cigar",
-        "rnext", "pnext", "tlen", "seq", "qual", "tags")
-      .collect()
-    val out = new ByteArrayOutputStream()
-    // header block: magic + SAM text + reference dictionary
+  /** The 12 write-side columns, in [[rowRecord]]'s positional order. */
+  private val WriteCols = Seq("qname", "flag", "rname", "pos", "mapq",
+    "cigar", "rnext", "pnext", "tlen", "seq", "qual", "tags")
+
+  /** Header block: magic + SAM text + reference dictionary. */
+  private def headerBytes(refs: Seq[(String, Long)]): Array[Byte] = {
     val text = ("@HD\tVN:1.6\tSO:coordinate\n" +
       refs.map { case (n, l) => s"@SQ\tSN:$n\tLN:$l\n" }.mkString)
       .getBytes("US-ASCII")
@@ -428,24 +412,79 @@ object Bam {
       hdr.write(nb); hdr.write(0)
       writeLe32(hdr, l.toInt)
     }
+    hdr.toByteArray
+  }
+
+  /** One [[WriteCols]]-shaped row -> its length-prefixed BAM record. */
+  private def rowRecord(r: org.apache.spark.sql.Row,
+                        refIdx: Map[String, Int]): Array[Byte] =
+    encodeRecord(
+      r.getString(0), r.getInt(1),
+      Option(r.getString(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      r.getInt(4), r.getString(5),
+      Option(r.getString(6)),
+      if (r.isNullAt(7)) None else Some(r.getLong(7)),
+      r.getLong(8),
+      Option(r.getString(9)), Option(r.getString(10)),
+      Option(r.getString(11)), refIdx)
+
+  /** Serialize parsed reads (the [[Sam.read]] column shape; extra
+    * columns ignored) to one BAM file at `path` — the fixture/test-scale
+    * single-file writer (record order = input order, so feed it
+    * coordinate-sorted rows for a spec-conformant file; rows collect to
+    * the driver, so use [[writeSharded]] beyond fixture scale).
+    *
+    * `blockSize` caps UNCOMPRESSED bytes per BGZF member (default
+    * 0xff00, bgzf's own cap); records larger than the cap get a member
+    * to themselves (records may legally span members).
+    */
+  def write(reads: DataFrame, refs: Seq[(String, Long)], path: String,
+            blockSize: Int = 0xff00): Unit = {
+    val refIdx = refs.map(_._1).zipWithIndex.toMap
+    val rows = reads.selectExpr(WriteCols: _*).collect()
     val body = new ByteArrayOutputStream()
-    body.write(hdr.toByteArray)
-    rows.foreach { r =>
-      body.write(encodeRecord(
-        r.getString(0), r.getInt(1),
-        Option(r.getString(2)),
-        if (r.isNullAt(3)) None else Some(r.getLong(3)),
-        r.getInt(4), r.getString(5),
-        Option(r.getString(6)),
-        if (r.isNullAt(7)) None else Some(r.getLong(7)),
-        r.getLong(8),
-        Option(r.getString(9)), Option(r.getString(10)),
-        Option(r.getString(11)), refIdx))
-    }
+    body.write(headerBytes(refs))
+    rows.foreach(r => body.write(rowRecord(r, refIdx)))
     // BGZF-wrap the stream in <= blockSize uncompressed chunks + EOF
-    out.write(Bgzf.compress(body.toByteArray, blockSize))
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      out.toByteArray)
+      Bgzf.compress(body.toByteArray, blockSize))
+  }
+
+  /** The scale-path BAM sink: one complete, independently valid BAM
+    * file per input partition, written BY the executors — nothing ever
+    * collects to the driver, and per-task memory is O(blockSize)
+    * ([[Bgzf.BlockWriter]] streams each record straight into deflated
+    * members). The caller controls shard count/content via the frame's
+    * partitioning (repartition by sample, sortWithinPartitions by
+    * coordinate, ...) — the [[Vcf.writeVariants]] contract applied to
+    * the binary container. Every shard carries the same header and its
+    * own EOF member, so the directory reads back through [[read]] /
+    * [[readSplit]] unchanged, and shards also concatenate into one
+    * legal BGZF stream. Task retries overwrite their own shard
+    * (idempotent). Empty partitions still write a header+EOF shard
+    * (valid empty BAM) so the layout is deterministic.
+    */
+  def writeSharded(reads: DataFrame, refs: Seq[(String, Long)],
+                   dir: String, blockSize: Int = 0xff00): Unit = {
+    val refIdx = refs.map(_._1).zipWithIndex.toMap
+    val hdr = headerBytes(refs)
+    val sc = reads.sparkSession.sparkContext
+    val hconf = new org.apache.spark.SerializableWritable(
+      new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration))
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(sc.hadoopConfiguration).mkdirs(dirPath)
+    reads.selectExpr(WriteCols: _*).rdd.foreachPartition { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val p = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.bam")
+      val out = p.getFileSystem(hconf.value).create(p, true)
+      try {
+        val bw = new Bgzf.BlockWriter(out, blockSize)
+        bw.write(hdr)
+        it.foreach(r => bw.write(rowRecord(r, refIdx)))
+        bw.finish()
+      } finally out.close()
+    }
   }
 
   /** The spec's fixed 28-byte empty-member EOF marker (SAM spec §4.1.2).

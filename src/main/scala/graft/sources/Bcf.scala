@@ -49,11 +49,11 @@ private[graft] case class BcfRec(
   * FORMAT values with ':' (GT decoded to `a|b`/`a/b`, '.' for missing,
   * vector-end trimming for mixed ploidy).
   *
-  * Scale model: identical to [[Bam]] — one task per file via
-  * `binaryFiles` + a constant-memory streaming iterator; cohort fleets
-  * shard BCF per chromosome/sample-batch, so per-file parallelism is
-  * the first-order path and in-file splitting would need the same
-  * virtual-offset index BAM does (evidence-gated, not built).
+  * Scale model: identical to [[Bam]] — per-file tasks ([[read]]) or
+  * index-free byte-range in-file splits ([[readSplit]]) on the read
+  * side; executor-side per-partition shards ([[writeSharded]], shared
+  * distributed-pass dictionary) or the fixture-scale single file
+  * ([[write]]) on the write side.
   */
 object Bcf {
 
@@ -430,22 +430,139 @@ object Bcf {
   }
 
   // ------------------------------------------------------------- write
+  /** The 9 write-side columns, in [[rowRecord]]'s positional order. */
+  private val WriteCols = Seq("chrom", "pos", "id", "ref", "alt", "qual",
+    "filter", "info", "genotypes")
+
+  /** Header block: magic + uint32 length + VCF text whose ##FILTER/
+    * ##INFO/##FORMAT/##contig lines ARE the binary dictionaries in
+    * `strings`/`contigs` order.
+    */
+  private def headerBytes(strings: Iterable[String],
+                          infoKeys: String => Boolean,
+                          contigs: Seq[(String, Long)],
+                          sampleNames: Seq[String],
+                          infoTypes: Map[String, String]): Array[Byte] = {
+    val sb = new StringBuilder("##fileformat=VCFv4.2\n")
+    strings.foreach {
+      case "PASS" =>
+        sb ++= "##FILTER=<ID=PASS,Description=\"All filters passed\">\n"
+      case "GT" =>
+        sb ++= "##FORMAT=<ID=GT,Number=1,Type=String," +
+          "Description=\"Genotype\">\n"
+      case k if infoKeys(k) =>
+        val t = infoTypes.getOrElse(k, "String")
+        val num = if (t == "Flag") "0" else "."
+        sb ++= s"##INFO=<ID=$k,Number=$num,Type=$t,Description=\"$k\">\n"
+      case f =>
+        sb ++= s"##FILTER=<ID=$f,Description=\"$f\">\n"
+    }
+    contigs.foreach { case (n, l) =>
+      sb ++= s"##contig=<ID=$n,length=$l>\n"
+    }
+    sb ++= "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+    sb ++= sampleNames.mkString("\t")
+    sb += '\n'
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte]('B', 'C', 'F', 2, 2))
+    val hb = sb.toString.getBytes("US-ASCII")
+    writeLe32(out, hb.length)
+    out.write(hb)
+    out.toByteArray
+  }
+
+  /** One [[WriteCols]]-shaped row -> its l_shared/l_indiv-prefixed BCF
+    * record under the given dictionaries.
+    */
+  private def rowRecord(r: org.apache.spark.sql.Row,
+                        contigIdx: Map[String, Int],
+                        stringIdx: Map[String, Int],
+                        infoTypes: Map[String, String]): Array[Byte] = {
+    val shared = new ByteArrayOutputStream()
+    val indiv = new ByteArrayOutputStream()
+    val chrom = r.getString(0)
+    val pos = r.getLong(1)
+    val id = Option(r.getString(2)).filter(_ != ".").getOrElse("")
+    val ref = r.getString(3)
+    val alts = Option(r.getString(4)).filter(_ != ".")
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
+    val qual = Option(r.getString(5)).filter(_ != ".")
+    val filters = Option(r.getString(6)).filter(f =>
+      f != "." && f.nonEmpty).map(_.split(";").toSeq).getOrElse(Seq.empty)
+    val infos: Seq[(String, String)] =
+      Option(r.getString(7)).filter(i => i != "." && i.nonEmpty)
+        .map(_.split(";").toSeq.map { kv =>
+          kv.split("=", 2) match {
+            case Array(k) => (k, null)
+            case Array(k, v) => (k, v)
+          }
+        }).getOrElse(Seq.empty)
+    val gts = r.getSeq[String](8)
+    val alleles = ref +: alts
+    writeLe32(shared, contigIdx(chrom))
+    writeLe32(shared, (pos - 1).toInt)
+    writeLe32(shared, ref.length) // rlen
+    writeLe32(shared,
+      qual.map(q => java.lang.Float.floatToIntBits(q.toFloat))
+        .getOrElse(FloatMissing))
+    writeLe32(shared, (alleles.size << 16) | infos.size)
+    writeLe32(shared, (1 << 24) | gts.size) // n_fmt=1 (GT)
+    writeTypedString(shared, id)
+    alleles.foreach(writeTypedString(shared, _))
+    writeTypedInts(shared, filters.map(stringIdx(_).toLong))
+    infos.foreach { case (k, v) =>
+      writeTypedInts(shared, Seq(stringIdx(k).toLong))
+      if (v == null) shared.write(0x00) // Flag: MISSING type, len 0
+      else infoTypes.getOrElse(k, "String") match {
+        case "Float" =>
+          val fs = v.split(",")
+          writeDesc(shared, 5, fs.length)
+          fs.foreach(f => writeLe32(shared,
+            if (f == ".") FloatMissing
+            else java.lang.Float.floatToIntBits(f.toFloat)))
+        case "Integer" =>
+          writeTypedInts(shared,
+            v.split(",").toSeq.map(s =>
+              if (s == ".") Long.MinValue else s.toLong))
+        case _ =>
+          writeTypedString(shared, v)
+      }
+    }
+    // indiv: GT vectors, fixed width = max ploidy this record
+    writeTypedInts(indiv, Seq(stringIdx("GT").toLong))
+    val split = gts.map(g => splitGt(g))
+    val width = math.max(1, if (split.isEmpty) 1 else split.map(_.size).max)
+    writeDesc(indiv, 1, width)
+    split.foreach { js =>
+      js.foreach { j =>
+        require(j <= 127, s"allele index too large for int8 GT: $j")
+        indiv.write(j & 0xff)
+      }
+      (js.size until width).foreach(_ => indiv.write(0x81)) // vector end
+    }
+    val sb = shared.toByteArray
+    val ib = indiv.toByteArray
+    val rec = new ByteArrayOutputStream(sb.length + ib.length + 8)
+    writeLe32(rec, sb.length)
+    writeLe32(rec, ib.length)
+    rec.write(sb)
+    rec.write(ib)
+    rec.toByteArray
+  }
+
   /** Serialize parsed variants (the [[Vcf.read]] column shape) to one
     * BCF2.2 file — the fixture/test-scale single-file writer (the
-    * [[Bam.write]] contract: record order = input order, sharded
-    * per-partition files are the scale path). Coverage matches the
-    * parsed model: GT-only FORMAT, INFO re-encoded from the text
-    * string with per-key types from `infoTypes` (Float/Integer/
-    * String/Flag; unlisted keys encode as String).
+    * [[Bam.write]] contract: record order = input order; rows collect
+    * to the driver, so use [[writeSharded]] beyond fixture scale).
+    * Coverage matches the parsed model: GT-only FORMAT, INFO re-encoded
+    * from the text string with per-key types from `infoTypes` (Float/
+    * Integer/String/Flag; unlisted keys encode as String).
     */
   def write(variants: DataFrame, contigs: Seq[(String, Long)],
             sampleNames: Seq[String], path: String,
             infoTypes: Map[String, String] = Map("AF" -> "Float"),
             blockSize: Int = 0xff00): Unit = {
-    val rows = variants
-      .selectExpr("chrom", "pos", "id", "ref", "alt", "qual", "filter",
-        "info", "genotypes")
-      .collect()
+    val rows = variants.selectExpr(WriteCols: _*).collect()
     // dictionaries: PASS first, then FILTER values and INFO keys in
     // row-appearance order, then GT
     val strings = scala.collection.mutable.LinkedHashSet[String]("PASS")
@@ -462,106 +579,63 @@ object Bcf {
     strings += "GT"
     val stringIdx = strings.zipWithIndex.toMap
     val contigIdx = contigs.map(_._1).zipWithIndex.toMap
-    val headerText = {
-      val sb = new StringBuilder("##fileformat=VCFv4.2\n")
-      strings.foreach {
-        case "PASS" =>
-          sb ++= "##FILTER=<ID=PASS,Description=\"All filters passed\">\n"
-        case "GT" =>
-          sb ++= "##FORMAT=<ID=GT,Number=1,Type=String," +
-            "Description=\"Genotype\">\n"
-        case k if infoKeys.contains(k) =>
-          val t = infoTypes.getOrElse(k, "String")
-          val num = if (t == "Flag") "0" else "."
-          sb ++= s"##INFO=<ID=$k,Number=$num,Type=$t,Description=\"$k\">\n"
-        case f =>
-          sb ++= s"##FILTER=<ID=$f,Description=\"$f\">\n"
-      }
-      contigs.foreach { case (n, l) =>
-        sb ++= s"##contig=<ID=$n,length=$l>\n"
-      }
-      sb ++= "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
-      sb ++= sampleNames.mkString("\t")
-      sb += '\n'
-      sb.toString
-    }
     val body = new ByteArrayOutputStream()
-    body.write(Array[Byte]('B', 'C', 'F', 2, 2))
-    val hb = headerText.getBytes("US-ASCII")
-    writeLe32(body, hb.length)
-    body.write(hb)
-    rows.foreach { r =>
-      val shared = new ByteArrayOutputStream()
-      val indiv = new ByteArrayOutputStream()
-      val chrom = r.getString(0)
-      val pos = r.getLong(1)
-      val id = Option(r.getString(2)).filter(_ != ".").getOrElse("")
-      val ref = r.getString(3)
-      val alts = Option(r.getString(4)).filter(_ != ".")
-        .map(_.split(",").toSeq).getOrElse(Seq.empty)
-      val qual = Option(r.getString(5)).filter(_ != ".")
-      val filters = Option(r.getString(6)).filter(f =>
-        f != "." && f.nonEmpty).map(_.split(";").toSeq).getOrElse(Seq.empty)
-      val infos: Seq[(String, String)] =
-        Option(r.getString(7)).filter(i => i != "." && i.nonEmpty)
-          .map(_.split(";").toSeq.map { kv =>
-            kv.split("=", 2) match {
-              case Array(k) => (k, null)
-              case Array(k, v) => (k, v)
-            }
-          }).getOrElse(Seq.empty)
-      val gts = r.getSeq[String](8)
-      val alleles = ref +: alts
-      writeLe32(shared, contigIdx(chrom))
-      writeLe32(shared, (pos - 1).toInt)
-      writeLe32(shared, ref.length) // rlen
-      writeLe32(shared,
-        qual.map(q => java.lang.Float.floatToIntBits(q.toFloat))
-          .getOrElse(FloatMissing))
-      writeLe32(shared, (alleles.size << 16) | infos.size)
-      writeLe32(shared, (1 << 24) | gts.size) // n_fmt=1 (GT)
-      writeTypedString(shared, id)
-      alleles.foreach(writeTypedString(shared, _))
-      writeTypedInts(shared, filters.map(stringIdx(_).toLong))
-      infos.foreach { case (k, v) =>
-        writeTypedInts(shared, Seq(stringIdx(k).toLong))
-        if (v == null) shared.write(0x00) // Flag: MISSING type, len 0
-        else infoTypes.getOrElse(k, "String") match {
-          case "Float" =>
-            val fs = v.split(",")
-            writeDesc(shared, 5, fs.length)
-            fs.foreach(f => writeLe32(shared,
-              if (f == ".") FloatMissing
-              else java.lang.Float.floatToIntBits(f.toFloat)))
-          case "Integer" =>
-            writeTypedInts(shared,
-              v.split(",").toSeq.map(s =>
-                if (s == ".") Long.MinValue else s.toLong))
-          case _ =>
-            writeTypedString(shared, v)
-        }
-      }
-      // indiv: GT vectors, fixed width = max ploidy this record
-      writeTypedInts(indiv, Seq(stringIdx("GT").toLong))
-      val split = gts.map(g => splitGt(g))
-      val width = math.max(1, if (split.isEmpty) 1 else split.map(_.size).max)
-      writeDesc(indiv, 1, width)
-      split.foreach { js =>
-        js.foreach { j =>
-          require(j <= 127, s"allele index too large for int8 GT: $j")
-          indiv.write(j & 0xff)
-        }
-        (js.size until width).foreach(_ => indiv.write(0x81)) // vector end
-      }
-      val sb = shared.toByteArray
-      val ib = indiv.toByteArray
-      writeLe32(body, sb.length)
-      writeLe32(body, ib.length)
-      body.write(sb)
-      body.write(ib)
-    }
+    body.write(headerBytes(strings, infoKeys.contains, contigs,
+      sampleNames, infoTypes))
+    rows.foreach(r =>
+      body.write(rowRecord(r, contigIdx, stringIdx, infoTypes)))
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       Bgzf.compress(body.toByteArray, blockSize))
+  }
+
+  /** The scale-path BCF sink: one complete, independently valid BCF2.2
+    * file per input partition, written BY the executors with
+    * O(blockSize) task memory ([[Bam.writeSharded]]'s contract — the
+    * caller shapes shards via the frame's partitioning). The string
+    * dictionary must be header-consistent across shards, so it comes
+    * from ONE distributed distinct pass over the FILTER/INFO columns
+    * (dictionary-scale result collected: dozens of strings, like the
+    * VCF header line read) — every shard then shares an identical
+    * header, which also keeps the directory `bcftools concat`-shaped.
+    * Dictionary order is sorted (not appearance order): appearance
+    * order is partition-dependent, and the header is self-describing
+    * either way.
+    */
+  def writeSharded(variants: DataFrame, contigs: Seq[(String, Long)],
+                   sampleNames: Seq[String], dir: String,
+                   infoTypes: Map[String, String] = Map("AF" -> "Float"),
+                   blockSize: Int = 0xff00): Unit = {
+    val src = variants.selectExpr(WriteCols: _*)
+    val tok = (c: String) => explode(split(col(c), ";")).as("t")
+    val dict = (frame: DataFrame) => frame
+      .where(col("t").isNotNull && col("t") =!= "." && col("t") =!= "")
+      .distinct().orderBy("t").collect().map(_.getString(0)).toSeq
+    val filterVals = dict(src.select(tok("filter")))
+    val infoKeys = dict(src.select(tok("info"))
+      .select(split(col("t"), "=").getItem(0).as("t")))
+    val strings = (Seq("PASS") ++ filterVals ++ infoKeys ++ Seq("GT"))
+      .distinct
+    val stringIdx = strings.zipWithIndex.toMap
+    val contigIdx = contigs.map(_._1).zipWithIndex.toMap
+    val hdr = headerBytes(strings, infoKeys.toSet.contains, contigs,
+      sampleNames, infoTypes)
+    val sc = variants.sparkSession.sparkContext
+    val hconf = new org.apache.spark.SerializableWritable(
+      new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration))
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(sc.hadoopConfiguration).mkdirs(dirPath)
+    src.rdd.foreachPartition { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val p = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.bcf")
+      val out = p.getFileSystem(hconf.value).create(p, true)
+      try {
+        val bw = new Bgzf.BlockWriter(out, blockSize)
+        bw.write(hdr)
+        it.foreach(r =>
+          bw.write(rowRecord(r, contigIdx, stringIdx, infoTypes)))
+        bw.finish()
+      } finally out.close()
+    }
   }
 
   /** One GT string -> BCF ints ((allele+1)<<1 | phase-of-separator). */

@@ -362,6 +362,43 @@ object Bgzf {
     out.write(Eof)
     out.toByteArray
   }
+
+  /** Streaming BGZF encoder over any OutputStream: buffers at most one
+    * uncompressed block (≤ `blockSize` bytes), deflating full members
+    * straight through — the executor-side building block the sharded
+    * BAM/BCF sinks write each partition's file with, so a shard of any
+    * size costs O(blockSize) memory, never O(shard). `finish()` flushes
+    * the tail block and the EOF member; the caller owns/closes `out`.
+    */
+  final class BlockWriter(out: java.io.OutputStream,
+                          blockSize: Int = 0xff00) {
+    require(blockSize > 0 && blockSize <= 0xff00,
+      s"BGZF blockSize must be in (0, 0xff00]: $blockSize")
+    private val buf = new Array[Byte](blockSize)
+    private var n = 0
+
+    def write(bytes: Array[Byte]): Unit = write(bytes, 0, bytes.length)
+
+    def write(bytes: Array[Byte], off: Int, len: Int): Unit = {
+      var o = off
+      var rem = len
+      while (rem > 0) {
+        val take = math.min(rem, blockSize - n)
+        System.arraycopy(bytes, o, buf, n, take)
+        n += take; o += take; rem -= take
+        if (n == blockSize) flushBlock()
+      }
+    }
+
+    private def flushBlock(): Unit = if (n > 0) {
+      val m = new ByteArrayOutputStream(n / 2 + 64)
+      writeMember(m, buf, 0, n)
+      m.writeTo(out)
+      n = 0
+    }
+
+    def finish(): Unit = { flushBlock(); out.write(Eof) }
+  }
   /** A forward cursor over the inflated stream from one anchored
     * member: bounded lookahead (`ensure`/`byte`/`le32` peek), `drop`/
     * `read` consume, `headMember` = the compressed start offset of the

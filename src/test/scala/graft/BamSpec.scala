@@ -198,6 +198,35 @@ class BamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("writeSharded: one valid BAM per partition, written executor-" +
+    "side; the directory reads back row-identical through read AND " +
+    "readSplit, and each shard opens independently") {
+    val src = Sam.read(spark, samPath).repartition(5)
+    val dir = s"$tmp/sharded-bam"
+    Bam.writeSharded(src, refs, dir)
+    val shards = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted // Hadoop .crc sidecars
+    assert(shards.length == 5, shards.mkString(","))
+    assert(shards.forall(_.matches("part-\\d{5}\\.bam")))
+    val want = src.collect().map(rowKey).sortBy(_.toString).toSeq
+    val viaRead = Bam.read(spark, dir)
+      .collect().map(rowKey).sortBy(_.toString).toSeq
+    assert(viaRead == want, s"read: ${viaRead.length} vs ${want.length}")
+    val viaSplit = Bam.readSplit(spark, dir, splitSize = 512L)
+      .collect().map(rowKey).sortBy(_.toString).toSeq
+    assert(viaSplit == want, "readSplit")
+    // each shard is a complete BAM on its own (header + records + EOF)
+    val perShard = shards.map(sh =>
+      Bam.read(spark, s"$dir/$sh").collect().map(rowKey).toSeq)
+    assert(perShard.flatten.sortBy(_.toString).toSeq == want)
+    // empty partitions still write a valid header+EOF shard
+    val emptyDir = s"$tmp/sharded-empty"
+    Bam.writeSharded(src.limit(1).repartition(3), refs, emptyDir)
+    assert(new java.io.File(emptyDir).listFiles()
+      .map(_.getName).count(!_.startsWith(".")) == 3)
+    assert(Bam.read(spark, emptyDir).count() == 1)
+  }
+
   test("readSplit accepts spec-maxima records the old plausibility " +
     "bounds rejected: 200-char qnames, positions past 2^29 — a bound " +
     "tighter than the spec silently empties the range") {

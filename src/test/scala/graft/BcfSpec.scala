@@ -201,6 +201,64 @@ class BcfSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("writeSharded: one valid BCF per partition with a SHARED " +
+    "distributed-pass dictionary; the directory reads back row-" +
+    "identical through read AND readSplit; empty shards are valid") {
+    val src = s"${graft.fixtures.GenomicFixtures.rawDir}/sample.vcf"
+    val parsed = Vcf.read(spark, src)
+    val contigs = parsed.groupBy("chrom")
+      .agg(org.apache.spark.sql.functions.max("pos").as("m"))
+      .orderBy("chrom").collect()
+      .map(r => (r.getString(0), r.getLong(1) + 10L)).toSeq
+    val dir = s"$tmp/sharded-bcf"
+    Bcf.writeSharded(parsed.repartition(4), contigs,
+      Vcf.sampleNames(spark, src), dir)
+    val shards = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted // Hadoop .crc sidecars
+    assert(shards.length == 4, shards.mkString(","))
+    assert(shards.forall(_.matches("part-\\d{5}\\.bcf")))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5), r.getString(6), r.getString(7),
+        r.getSeq[String](8).mkString(","))
+    // reference rows: the single-file writer round-trip (same float
+    // re-render), so shard parity isolates the SHARDING not the codec
+    val one = s"$tmp/sharded-ref.bcf"
+    Bcf.write(parsed, contigs, Vcf.sampleNames(spark, src), one)
+    val want = Bcf.read(spark, one).collect().map(key).sortBy(_.toString)
+      .toSeq
+    val viaRead = Bcf.read(spark, dir).collect().map(key)
+      .sortBy(_.toString).toSeq
+    assert(viaRead == want, s"read: ${viaRead.length} vs ${want.length}")
+    val viaSplit = Bcf.readSplit(spark, dir, splitSize = 512L)
+      .collect().map(key).sortBy(_.toString).toSeq
+    assert(viaSplit == want, "readSplit")
+    // all shards carry the identical header (shared dictionary), and
+    // sampleNames resolves on the directory
+    val heads = shards.map { sh =>
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.FileInputStream(s"$dir/$sh"), 65536)
+      val b = new Array[Byte](9); var got = 0
+      while (got < 9) got += in.read(b, got, 9 - got)
+      val lText = (b(5) & 0xff) | ((b(6) & 0xff) << 8) |
+        ((b(7) & 0xff) << 16) | ((b(8) & 0xff) << 24)
+      val t = new Array[Byte](lText); var g2 = 0
+      while (g2 < lText) g2 += in.read(t, g2, lText - g2)
+      in.close()
+      new String(t, "US-ASCII")
+    }
+    assert(heads.distinct.length == 1, "shard headers differ")
+    assert(Bcf.sampleNames(spark, dir) ==
+      Vcf.sampleNames(spark, src))
+    // empty partitions still write a valid header+EOF shard
+    val emptyDir = s"$tmp/sharded-bcf-empty"
+    Bcf.writeSharded(parsed.limit(1).repartition(3), contigs,
+      Vcf.sampleNames(spark, src), emptyDir)
+    assert(new java.io.File(emptyDir).listFiles()
+      .map(_.getName).count(!_.startsWith(".")) == 3)
+    assert(Bcf.read(spark, emptyDir).count() == 1)
+  }
+
   test("readSplit accepts spec-maxima records the old plausibility " +
     "bounds rejected: positions past 2^29 (legal to 2^31-1)") {
     val s = spark
