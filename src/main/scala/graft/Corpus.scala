@@ -262,14 +262,13 @@ object Corpus {
       val parts = spec.split(",").map(_.trim.toDouble)
       require(parts.length == 1 || parts.length == 2,
         s"-entropy wants min[,max] — got '$spec'")
+      graft.plans.GraftFunctions.register(spark)
+      // one native counting pass per row (bit-identical to the 26
+      // length-difference probes the band used to inline — that fused
+      // form grew the whole-stage method past janino's 64 KB cap and
+      // the stage silently ran interpreted)
       val sNorm = regexp_replace(lower(col("text")), "[^a-z]", "")
-      val n = length(sNorm).cast("double")
-      val h = ('a' to 'z').map { ch =>
-        val cnt = (length(sNorm) -
-          length(replace(sNorm, lit(ch.toString), lit(""))))
-          .cast("double")
-        when(cnt > 0, -(cnt / n) * log(cnt / n)).otherwise(lit(0.0))
-      }.reduce(_ + _)
+      val h = call_function("graft_letter_entropy", sNorm)
       df = df.where(length(sNorm) > 0 && h >= parts(0) &&
         (if (parts.length == 2) h <= parts(1) else lit(true)))
       record(s"entropy=$spec")

@@ -319,4 +319,42 @@ object NativeHashOps {
     }
     acc
   }
+
+  /** Shannon entropy over the [a-z] distribution of an ALREADY-NORMALIZED
+    * string (caller strips everything outside a-z first, so bytes ==
+    * chars). One O(len) counting pass replaces the 26 codegen'd
+    * length-difference probes (len(s) - len(replace(s, ch))) the t20 /
+    * Corpus -entropy band used to inline — that fused projection grew past
+    * janino's 64 KB method cap and fell back to interpreted execution.
+    *
+    * Bit-equality contract with the previous formulation (and with the
+    * DuckDB oracle's replay of it): counts are the same integers, the fold
+    * runs in fixed a..z order, each term is (-p) * log(p) with p = cnt/n,
+    * and the log is StrictMath.log — exactly what Spark's `log` codegen
+    * calls — so the summed double is bit-identical.
+    */
+  def letterEntropy(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return 0.0
+    val counts = new Array[Int](26)
+    var i = 0
+    while (i < n) {
+      val b = bytes(i) - 'a'
+      if (b >= 0 && b < 26) counts(b) += 1
+      i += 1
+    }
+    val nd = n.toDouble
+    var h = 0.0
+    var c = 0
+    while (c < 26) {
+      val cnt = counts(c)
+      if (cnt > 0) {
+        val p = cnt.toDouble / nd
+        h += -p * StrictMath.log(p)
+      }
+      c += 1
+    }
+    h
+  }
 }

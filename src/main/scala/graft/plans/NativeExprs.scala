@@ -169,6 +169,35 @@ object NativeExprs {
     override def prettyName: String = "graft_md5_array"
   }
 
+  /** graft_letter_entropy(string normalized) -> double: Shannon entropy
+    * over the [a-z] distribution of an already-normalized (a-z-only)
+    * string. One counting pass per row instead of 26 fused
+    * length-difference probes — the inlined form grew a whole-stage
+    * method past janino's 64 KB cap (t20 / Corpus -entropy band) and
+    * fell back to interpreted execution. Bit-identical arithmetic:
+    * a..z-ordered fold of (-p)*StrictMath.log(p), see
+    * [[graft.functions.NativeHashOps.letterEntropy]].
+    */
+  case class GraftLetterEntropy(child: Expression)
+    extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType.catalogString == StringType.catalogString)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got " + child.dataType.catalogString)
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(s: Any): Any =
+      NativeHashOps.letterEntropy(
+        s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        s => s"graft.functions.NativeHashOps.letterEntropy($s)")
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(newChild)
+    override def prettyName: String = "graft_letter_entropy"
+  }
+
   /** graft_hamming(string, string) -> int. */
   case class GraftHamming(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -334,6 +363,12 @@ object GraftFunctions {
       }),
     ("graft_hamming", classOf[GraftHamming],
       arity2("graft_hamming", GraftHamming.apply)),
+    ("graft_letter_entropy", classOf[GraftLetterEntropy],
+      { children: Seq[Expression] =>
+        require(children.length == 1,
+          "graft_letter_entropy takes 1 argument")
+        GraftLetterEntropy(children.head)
+      }),
     ("graft_cosine", classOf[GraftCosine],
       arity2("graft_cosine", GraftCosine.apply)),
     ("graft_dot", classOf[GraftDot],

@@ -1104,11 +1104,22 @@ object Documents {
     }),
 
     "d8_cdc_dedup" -> ((s, dir) => {
-      // content-defined chunk boundaries (word-hash anchored, ~16-word
+      // content-defined chunk boundaries (word-hash anchored, ~8-word
       // chunks): shared passages re-align across insertions, unlike d7's
-      // fixed frames
-      Dedup.cdcChunkDedup(spread(t(s, dir, "documents")), "doc_id", "text",
-        boundaryMod = 16)
+      // fixed frames. The input seeds the property positively: every
+      // 50th doc also appears with a 3-word preamble inserted — CDC must
+      // re-align everything after the first boundary into shared chunks
+      // (a fixed framer would share nothing), so the gate asserts real
+      // rows instead of 0 == 0. boundaryMod=8 because the synthetic
+      // corpus has a 31-word vocabulary and none of those words hashes
+      // to a %16 boundary (the original %16 setting made every doc one
+      // chunk and the gate vacuous for three rounds)
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val shifted = base.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("zq inserted preamble "), col("text")).as("text"))
+      Dedup.cdcChunkDedup(spread(base.unionAll(shifted)), "doc_id", "text",
+        boundaryMod = 8)
     }),
 
     "j1_jsonl" -> ((s, dir) => {
@@ -1124,22 +1135,19 @@ object Documents {
     "t20_entropy" -> ((s, dir) => {
       // character-entropy quality score (gibberish / compression-bomb
       // detector): Shannon entropy over the doc's [a-z] distribution.
-      // ZERO shuffle: letter counts come from 26 codegen'd
-      // length-difference probes (len(s) - len(replace(s, ch))) and the
-      // entropy sum folds in fixed a..z order, so doubles are bit-equal
-      // to the oracle's identical formulation
+      // ZERO shuffle, one native codegen'd counting pass per row
+      // (graft_letter_entropy) — bit-equal to the oracle's 26-probe
+      // formulation because the counts are the same integers and the
+      // fold runs in the same a..z order with StrictMath.log (the 26
+      // inlined length-difference probes this replaces grew the fused
+      // whole-stage method past janino's 64 KB cap)
+      graft.plans.GraftFunctions.register(s)
       val sNorm = regexp_replace(lower(col("text")), "[^a-z]", "")
-      val n = length(sNorm).cast("double")
-      val terms = ('a' to 'z').map { ch =>
-        val cnt = (length(sNorm) -
-          length(replace(sNorm, lit(ch.toString), lit("")))).cast("double")
-        when(cnt > 0, -(cnt / n) * log(cnt / n)).otherwise(lit(0.0))
-      }
       t(s, dir, "documents")
         .select(col("doc_id"), length(sNorm).cast("long").as("n_alpha"),
           when(length(sNorm) > 0,
-            round(terms.reduce(_ + _), 4)).otherwise(lit(0.0))
-            .as("entropy"))
+            round(call_function("graft_letter_entropy", sNorm), 4))
+            .otherwise(lit(0.0)).as("entropy"))
     }),
 
     "t19_containment" -> ((s, dir) => {
@@ -2858,9 +2866,14 @@ object Documents {
         |FROM c""".stripMargin,
 
     "d8_cdc_dedup" ->
-      """WITH w AS (
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'zq inserted preamble ' || text
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |w AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
-        |  FROM documents),
+        |  FROM base),
         |e0 AS (
         |  SELECT doc_id, unnest([{'pos': i, 'w': ws[i]}
         |    for i in range(1, len(ws) + 1)]) AS u
@@ -2869,7 +2882,7 @@ object Documents {
         |  SELECT doc_id, u.pos AS pos, u.w AS w,
         |    CASE WHEN list_reduce([strpos('0123456789abcdef',
         |        substr(md5(u.w), j, 1)) - 1
-        |      for j in range(1, 8)], (a, c) -> a * 16 + c) % 16 = 0
+        |      for j in range(1, 8)], (a, c) -> a * 16 + c) % 8 = 0
         |      THEN 1 ELSE 0 END AS flag
         |  FROM e0),
         |c AS (

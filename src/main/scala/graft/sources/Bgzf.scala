@@ -350,6 +350,127 @@ object Bgzf {
     }
   }
 
+  // ---------------------------------------------------- region pushdown
+  /** Driver-side result of [[regionWindow]]: the byte window that is
+    * guaranteed to own every line whose key falls in the requested
+    * range, plus how many members the binary search actually inflated
+    * (the number a spec pins ≪ total members).
+    */
+  private[graft] case class RegionWindow(fromByte: Long, toByte: Long,
+                                         probes: Int)
+
+  /** Binary-search a KEY-SORTED BGZF text file for the byte window
+    * containing all data lines with key in [fromKey, toKey] — the
+    * tabix access pattern without a .tbi: O(log fileLen) driver-side
+    * probes, each anchoring one member ([[scanMember]]) and inflating
+    * just enough of its chain to read the first line it OWNS (the
+    * ownership rule of [[rangeLines]], so boundary lines are never
+    * skipped past). `keyOf` maps a line to its sort key, or None for
+    * non-data lines (headers) — which therefore must only appear at the
+    * file head, and data lines must be sorted by the key (exactly the
+    * sortedness tabix requires; an unsorted file yields garbage there
+    * too).
+    *
+    * Window contracts (both proven by the fk-monotonicity of sorted
+    * files): every line with key >= fromKey starts in a member at or
+    * after `fromByte`; every line with key <= toKey starts in a member
+    * strictly before `toByte`. Lines outside [fromKey, toKey] can
+    * still fall inside the window (up to one member chain + the search
+    * slack) — callers re-filter after parsing.
+    */
+  private[graft] def regionWindow(spark: SparkSession, path: String,
+                                  keyOf: String => Option[Long],
+                                  fromKey: Long,
+                                  toKey: Long): RegionWindow = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    require(st.isFile, s"region read wants a single file: $path")
+    val len = st.getLen
+
+    // key of the first data line OWNED by the member at `m` (first byte
+    // inflates from it), reading forward across members as needed;
+    // MaxValue when no data line starts at or after `m`.
+    def firstOwnedKey(m: Long): Long = {
+      val in = fs.open(p)
+      try {
+        val it = rangeLines(in, Range(path, m, len, len))
+        var k = Long.MaxValue
+        var found = false
+        while (!found && it.hasNext) keyOf(it.next()) match {
+          case Some(x) => k = x; found = true
+          case None =>
+        }
+        k
+      } finally {
+        try in.close() catch { case _: java.io.IOException => }
+      }
+    }
+
+    // invariants: lo is 0 or a verified member start whose first owned
+    // key < target; every member starting at or after hi has first
+    // owned key >= target. Each step either halves [lo, hi) or moves
+    // the probed member bound (members are <= 64 KiB, so the window
+    // shrinks geometrically until the 128 KiB floor).
+    def search(target: Long): (Long, Long, Int) = {
+      var lo = 0L
+      var hi = len
+      var probes = 0
+      while (hi - lo > 0x20000L) {
+        val mid = lo + (hi - lo) / 2
+        val in = fs.open(p)
+        val m = try scanMember(in, mid, len, len)
+        finally { try in.close() catch { case _: java.io.IOException => } }
+        if (m < 0 || m >= hi) hi = mid
+        else {
+          probes += 1
+          if (firstOwnedKey(m) < target) lo = m else hi = m
+        }
+      }
+      (lo, hi, probes)
+    }
+
+    val (fromByte, _, p1) = search(fromKey)
+    val (_, toByte, p2) = search(toKey + 1)
+    RegionWindow(fromByte, math.max(toByte, fromByte), p1 + p2)
+  }
+
+  /** [[readLines]] restricted to the [[regionWindow]] byte window for
+    * key range [fromKey, toKey]: only members inside the window (plus
+    * the O(log n) probe members) are ever inflated, so a
+    * chr17:41.1M-41.3M slice of a 100 GB cohort `.vcf.gz` costs the
+    * slice, not the file. The window still yields a bounded overhang of
+    * out-of-range lines — callers re-filter on the parsed columns.
+    */
+  def readLinesRegion(spark: SparkSession, path: String,
+                      keyOf: String => Option[Long],
+                      fromKey: Long, toKey: Long,
+                      splitSize: Long = 32L << 20): DataFrame = {
+    val w = regionWindow(spark, path, keyOf, fromKey, toKey)
+    val sc = spark.sparkContext
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(sc.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen
+    val span = w.toByte - w.fromByte
+    val n = math.max(1L, (span + splitSize - 1) / splitSize)
+    val ranges = (0L until n).map(i => Range(path,
+      w.fromByte + i * splitSize,
+      math.min(w.fromByte + (i + 1) * splitSize, w.toByte), len))
+    val hconf = new org.apache.spark.SerializableWritable(
+      new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration))
+    val lines = sc.parallelize(ranges, math.max(1, ranges.size))
+      .flatMap { r =>
+        val rp = new org.apache.hadoop.fs.Path(r.path)
+        val in = rp.getFileSystem(hconf.value).open(rp)
+        closeOnTaskEnd(in)
+        rangeLines(in, r)
+      }
+    spark.createDataFrame(lines.map(org.apache.spark.sql.Row(_)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+  }
+
   /** BGZF-compress `raw` in ≤ `blockSize` uncompressed chunks + EOF. */
   def compress(raw: Array[Byte], blockSize: Int = 0xff00): Array[Byte] = {
     val out = new ByteArrayOutputStream(raw.length / 2 + 64)
