@@ -224,6 +224,48 @@ object Bench {
     p
   }
 
+  /** Coordinate-SORTED synthetic cohort `.vcf.gz` with `##contig`
+    * header lines — the tabix sortedness contract the region bench
+    * entries exercise: `n` records in 22 contiguous chrom blocks,
+    * ascending pos within each.
+    */
+  private var sortedVcfGzPath: String = null
+  private def ensureSortedVcfGz(n: Int): String = synchronized {
+    if (sortedVcfGzPath != null) return sortedVcfGzPath
+    val p = s"${sys.props("java.io.tmpdir")}/graft-vcfgz-sorted-" +
+      s"${ProcessHandle.current.pid}.vcf.gz"
+    val perChrom = math.max(1, n / 22)
+    val sb = new StringBuilder(n * 120)
+    sb ++= "##fileformat=VCFv4.2\n"
+    var c = 1
+    while (c <= 22) { sb ++= s"##contig=<ID=c$c>\n"; c += 1 }
+    sb ++= "##INFO=<ID=AF,Number=A,Type=Float,Description=\"AF\">\n"
+    sb ++= "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"GT\">\n"
+    sb ++= "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+    sb ++= (1 to 20).map("S" + _).mkString("\t")
+    sb += '\n'
+    c = 1
+    while (c <= 22) {
+      var i = 0
+      while (i < perChrom) {
+        sb ++= s"c$c\t${i * 40 + 10}\tv${c}_$i\tA\t" +
+          s"${"CGT".charAt(i % 3)}\t.\tPASS\tAF=0.${i % 89 + 10}\tGT"
+        var sIdx = 0
+        while (sIdx < 20) {
+          sb ++= (if ((i * 7 + sIdx) % 2 == 0) "\t0|1" else "\t1|1")
+          sIdx += 1
+        }
+        sb += '\n'
+        i += 1
+      }
+      c += 1
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      graft.sources.Bgzf.compress(sb.toString.getBytes("US-ASCII")))
+    sortedVcfGzPath = p
+    p
+  }
+
   /** Dedup at volume: `n` synthetic ~30-word docs (300k at sf0.1 for dx,
     * 3M for dx10), every 10th a near-copy of its predecessor (one word of
     * 30 changed), through the full detect->cluster path the sf documents
@@ -625,6 +667,27 @@ object Bench {
       "vgzx_vcfgz_split_scale" -> (() => {
         val path = ensureSyntheticVcfGz((nDocs * 60).toInt)
         graft.sources.Vcf.readBgzf(spark, path, splitSize = 1L << 20)
+          .agg(count(lit(1)), sum(col("pos"))).head.getLong(0)
+      }),
+      // Region pushdown vs full scan on the SAME sorted cohort file:
+      // vrgx binary-searches the member chain and inflates only the
+      // ~1-chrom-slice window (the chr17:41.1M-41.3M access pattern,
+      // no .tbi); its pair vrgx1 answers the identical query by
+      // scanning every member. The ratio is the pruning win — and it
+      // GROWS with file size (vrgx is O(slice + log n), vrgx1 is
+      // O(file)).
+      "vrgx_region_read_scale" -> (() => {
+        val path = ensureSortedVcfGz((nDocs * 60).toInt)
+        val hi = (nDocs * 60 / 22).toInt * 40 / 4 // first ~quarter of c11
+        graft.sources.Vcf.readRegion(spark, path, "c11", 10L, hi,
+          splitSize = 1L << 20)
+          .agg(count(lit(1)), sum(col("pos"))).head.getLong(0)
+      }),
+      "vrgx1_region_fullscan_scale" -> (() => {
+        val path = ensureSortedVcfGz((nDocs * 60).toInt)
+        val hi = (nDocs * 60 / 22).toInt * 40 / 4
+        graft.sources.Vcf.readBgzf(spark, path, splitSize = 1L << 20)
+          .where(col("chrom") === "c11" && col("pos").between(10L, hi))
           .agg(count(lit(1)), sum(col("pos"))).head.getLong(0)
       }),
       // The identical crawl in the Common Crawl per-record-member

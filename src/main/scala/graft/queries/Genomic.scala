@@ -114,6 +114,18 @@ object Genomic {
         .withColumn("genotypes", array_join(col("genotypes"), ","))
     }),
 
+    "g50_region_read" -> ((s, _) => {
+      // index-free region pushdown: chrom 1, pos 20-50 out of the
+      // coordinate-sorted 64-byte-member BGZF re-encoding — the
+      // driver-side member binary search prunes non-matching members,
+      // then only the matched byte window inflates. The oracle filters
+      // DuckDB's independent TEXT parse, so a wrong window (a lost
+      // boundary record, an off-by-one member) fails the hash.
+      prep(s)
+      Vcf.readRegion(s, GenomicFixtures.regionVcfGzPath, "1", 20L, 50L)
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
+    }),
+
     "v2_vcf_norm" -> ((s, _) => {
       prep(s)
       Vcf.normalize(Vcf.read(s, GenomicFixtures.vcfPath), minAf = 0.05)
@@ -3120,6 +3132,14 @@ object Genomic {
     // not single-member gzip — a first-member-only inflater would
     // silently truncate them).
     "v9_vcf_gz" -> v1Sql,
+
+    // the independent TEXT parse filtered to the region — file order
+    // never reaches the compare, so the fixture's sort can't mask a
+    // wrong byte window
+    "g50_region_read" ->
+      s"""WITH t AS ($v1Sql)
+         |SELECT * FROM t
+         |WHERE chrom = '1' AND pos BETWEEN 20 AND 50""".stripMargin,
 
     // v10: identical contract to v9 — the splittable reader must
     // produce byte-identical rows to the text parse, from many forced

@@ -61,6 +61,90 @@ object Vcf {
       readBgzf(spark, path, afFields)
     else read(spark, path, afFields)
 
+  /** Region read of a coordinate-sorted bgzipped VCF — the
+    * `chr17:41100000-41300000` access pattern WITHOUT a .tbi index and
+    * without scanning the file: a driver-side O(log members) binary
+    * search over the BGZF member chain ([[Bgzf.regionWindow]]) prunes
+    * every member whose span misses the region, then only the matching
+    * byte window reads (splittably) and re-filters on the parsed
+    * columns. Returns the [[read]] row shape restricted to
+    * chrom:start-end (pos inclusive on both ends).
+    *
+    * Contract (same as tabix): records sorted by (contig, pos) with the
+    * contig order given by the header's `##contig` lines. Files without
+    * `##contig` lines — or a region chrom the header doesn't declare —
+    * can't be ranked, so they fall back to the full splittable scan +
+    * filter: always correct, just not pruned. The reference pipeline
+    * hand-builds this access pattern as per-chromosome input VCFs
+    * (/root/reference/Snakefile); this subsumes it for any region.
+    */
+  def readRegion(spark: SparkSession, path: String, chrom: String,
+                 start: Long, end: Long,
+                 afFields: Seq[String] = defaultAfFields,
+                 splitSize: Long = 32L << 20): DataFrame = {
+    val inRegion = col("chrom") === chrom &&
+      col("pos").between(start, end)
+    val ranks = contigRanks(spark, path)
+    ranks.get(chrom) match {
+      case None =>
+        readAuto(spark, path, afFields, bgzfSplitThreshold = 0L)
+          .where(inRegion)
+      case Some(r) =>
+        def key(rank: Int, pos: Long) = (rank.toLong << 32) | pos
+        val keyOf: String => Option[Long] = { line =>
+          if (line.isEmpty || line.charAt(0) == '#') None
+          else {
+            val t1 = line.indexOf('\t')
+            if (t1 < 0) None
+            else {
+              val t2 = line.indexOf('\t', t1 + 1)
+              val c = line.substring(0, t1)
+              val p = line.substring(t1 + 1,
+                if (t2 < 0) line.length else t2)
+              for {
+                rk <- ranks.get(c)
+                pv <- p.toLongOption
+              } yield key(rk, pv)
+            }
+          }
+        }
+        parseLines(Bgzf.readLinesRegion(spark, path, keyOf,
+          key(r, start), key(r, end), splitSize), "value", afFields)
+          .where(inRegion)
+    }
+  }
+
+  /** Contig order from the header's `##contig=<ID=...>` lines — the
+    * sort rank [[readRegion]] binary-searches against. One tiny
+    * driver-side streaming read of the compressed header members only
+    * (the reader stops at the first non-header line, so a 100 GB file
+    * costs a few KB).
+    */
+  private[sources] def contigRanks(spark: SparkSession,
+                                   path: String): Map[String, Int] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new java.util.zip.GZIPInputStream(in),
+        java.nio.charset.StandardCharsets.UTF_8))
+      val id = "##contig=<ID=([^,>]+)".r
+      val contigs = scala.collection.mutable.LinkedHashSet.empty[String]
+      var line = br.readLine()
+      var headerLines = 0
+      while (line != null && line.startsWith("#") &&
+        headerLines < 1000000) {
+        id.findFirstMatchIn(line).foreach(m => contigs += m.group(1))
+        headerLines += 1
+        line = br.readLine()
+      }
+      contigs.toSeq.zipWithIndex.toMap
+    } finally {
+      try in.close() catch { case _: java.io.IOException => }
+    }
+  }
+
   /** [[sampleNames]] across formats: BCF carries the `#CHROM` line in
     * its embedded header text.
     */

@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.sources.{Bgzf, Vcf}
+
+/** Pins for the index-free BGZF region pushdown (Vcf.readRegion /
+  * Bgzf.regionWindow): on a synthetic multi-chromosome sorted VCF the
+  * binary search must (a) return exactly the full-scan-filter rows for
+  * every region shape — interior, member-boundary-straddling, empty,
+  * whole-chromosome, first/last record — and (b) inflate O(log n)
+  * probe members, NOT the file: the property that turns a 100 GB
+  * cohort VCF slice from a full scan into a few dozen member reads.
+  * Files the contract can't rank (no ##contig header, undeclared
+  * chrom) must fall back to the full splittable scan, still correct.
+  */
+class RegionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val tmp = Files.createTempDirectory("graft-region").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("region-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  // deterministic sorted multi-chrom VCF: `perChrom` records on each of
+  // chr1/chr2/chrX, pos = 10*i + 10, alternating genotypes
+  private def vcfText(perChrom: Int, contigHeaders: Boolean): String = {
+    val chroms = Seq("chr1", "chr2", "chrX")
+    val hdr = Seq("##fileformat=VCFv4.2") ++
+      (if (contigHeaders) chroms.map(c => s"##contig=<ID=$c>")
+       else Seq.empty) ++
+      Seq("##INFO=<ID=AF,Number=A,Type=Float,Description=\"af\">",
+        (Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
+          "INFO", "FORMAT", "S1", "S2")).mkString("\t"))
+    val body = for {
+      c <- chroms
+      i <- 0 until perChrom
+    } yield Seq(c, (10 * i + 10).toString, s"rs${c}_$i", "A", "G", "99",
+      "PASS", s"AF=0.${(i % 9) + 1}", "GT",
+      if (i % 2 == 0) "0|1" else "1|1", "0|0").mkString("\t")
+    (hdr ++ body).mkString("", "\n", "\n")
+  }
+
+  private def writeGz(name: String, text: String, blockSize: Int): String = {
+    val p = s"$tmp/$name"
+    Files.write(Paths.get(p),
+      Bgzf.compress(text.getBytes("US-ASCII"), blockSize))
+    p
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select(concat_ws(":", col("chrom"), col("pos"), col("id")))
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  test("region read == full scan + filter for every region shape") {
+    val p = writeGz("multi.vcf.gz", vcfText(500, contigHeaders = true),
+      blockSize = 512)
+    val full = Vcf.readBgzf(spark, p, splitSize = 4096L)
+    def expect(chrom: String, a: Long, b: Long): Seq[String] =
+      rows(full.where(col("chrom") === chrom && col("pos").between(a, b)))
+    val cases = Seq(
+      ("chr2", 1010L, 1990L),  // interior slice
+      ("chr1", 10L, 10L),      // exactly the first record of the file
+      ("chrX", 5000L, 5000L),  // exactly the last record of the file
+      ("chr2", 10L, 5000L),    // a whole chromosome
+      ("chr1", 5001L, 9999L),  // past the chrom's last record: empty
+      ("chr2", 1015L, 1015L),  // between records: empty
+      ("chrX", 1L, 9L))        // before the chrom's first record: empty
+    for ((c, a, b) <- cases) {
+      val got = rows(Vcf.readRegion(spark, p, c, a, b, splitSize = 4096L))
+      assert(got == expect(c, a, b), s"region $c:$a-$b")
+    }
+    assert(rows(Vcf.readRegion(spark, p, "chr2", 10L, 5000L)).size == 500)
+  }
+
+  test("the binary search probes O(log members), not the file") {
+    // big enough that the search's 128 KiB termination floor (2x the
+    // 64 KiB member-size bound — below it, bisection can't be proven to
+    // make progress) is small against the file
+    val text = vcfText(30000, contigHeaders = true)
+    val p = writeGz("big.vcf.gz", text, blockSize = 256)
+    val fileLen = Files.size(Paths.get(p))
+    // count total members by walking BSIZE headers
+    val bytes = Files.readAllBytes(Paths.get(p))
+    var off = 0L
+    var members = 0
+    while (off < bytes.length) {
+      val bs = ((bytes(off.toInt + 16) & 0xff) |
+        ((bytes(off.toInt + 17) & 0xff) << 8)) + 1
+      members += 1
+      off += bs
+    }
+    assert(members > 300, s"fixture too small: $members members")
+    val ranks = Map("chr1" -> 0, "chr2" -> 1, "chrX" -> 2)
+    val keyOf: String => Option[Long] = { l =>
+      if (l.isEmpty || l.charAt(0) == '#') None
+      else {
+        val f = l.split("\t")
+        ranks.get(f(0)).map(r => (r.toLong << 32) | f(1).toLong)
+      }
+    }
+    val w = Bgzf.regionWindow(spark, p, keyOf,
+      (1L << 32) | 1010L, (1L << 32) | 1990L)
+    val log2 = 64 - java.lang.Long.numberOfLeadingZeros(fileLen)
+    assert(w.probes <= 2 * log2 + 8,
+      s"probes ${w.probes} vs log2(bytes) $log2")
+    assert(w.probes < members / 4,
+      s"probes ${w.probes} vs $members members")
+    // the window spans ~the region's share of the file, not the file
+    assert(w.toByte - w.fromByte < fileLen / 4,
+      s"window ${w.toByte - w.fromByte} of $fileLen bytes")
+    assert(w.fromByte > 0 && w.toByte < fileLen)
+  }
+
+  test("no ##contig header -> full-scan fallback, still correct") {
+    val p = writeGz("nocontig.vcf.gz",
+      vcfText(200, contigHeaders = false), blockSize = 512)
+    val full = Vcf.readBgzf(spark, p, splitSize = 4096L)
+    val got = rows(Vcf.readRegion(spark, p, "chr2", 500L, 900L))
+    assert(got == rows(full.where(col("chrom") === "chr2" &&
+      col("pos").between(500, 900))))
+    assert(got.nonEmpty)
+  }
+
+  test("region chrom the header doesn't declare -> fallback, empty " +
+    "when absent from data too") {
+    val p = writeGz("declared.vcf.gz",
+      vcfText(50, contigHeaders = true), blockSize = 512)
+    assert(Vcf.readRegion(spark, p, "chr7", 1L, 100L).count() == 0L)
+  }
+
+  test("fixture-shape region read (the g50 gate path) returns the " +
+    "filtered rows") {
+    graft.fixtures.GenomicFixtures.ensure(spark)
+    val gz = graft.fixtures.GenomicFixtures.regionVcfGzPath
+    val got = Vcf.readRegion(spark, gz, "1", 20L, 50L)
+      .select("chrom", "pos").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq(("1", 20L), ("1", 23L), ("1", 24L), ("1", 31L),
+      ("1", 39L), ("1", 50L)))
+  }
+}
