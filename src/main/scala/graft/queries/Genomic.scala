@@ -126,6 +126,27 @@ object Genomic {
         .withColumn("genotypes", array_join(col("genotypes"), ","))
     }),
 
+    "g50b_region_bcf" -> ((s, _) => {
+      // the same index-free region pushdown on the BINARY container:
+      // probes align records via the readSplit plausible-chain
+      // machinery and rank on the record's native contig index. Oracle
+      // = the float-normalized independent TEXT parse, filtered.
+      prep(s)
+      graft.sources.Bcf.readRegion(s, GenomicFixtures.regionBcfPath(s),
+        "1", 20L, 50L)
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
+    }),
+
+    "g50c_region_bam" -> ((s, _) => {
+      // samtools-view region semantics on BAM without a .bai: reads
+      // OVERLAPPING 1:25-70 (including the 1:11/30M read that starts
+      // before the region and spans into it) out of the coordinate-
+      // sorted 64-byte-member re-encoding. Oracle = the independent
+      // TEXT parse with the identical overlap predicate.
+      graft.sources.Bam.readRegion(s,
+        GenomicFixtures.regionBamPath(s), "1", 25L, 70L)
+    }),
+
     "v2_vcf_norm" -> ((s, _) => {
       prep(s)
       Vcf.normalize(Vcf.read(s, GenomicFixtures.vcfPath), minAf = 0.05)
@@ -3140,6 +3161,17 @@ object Genomic {
       s"""WITH t AS ($v1Sql)
          |SELECT * FROM t
          |WHERE chrom = '1' AND pos BETWEEN 20 AND 50""".stripMargin,
+
+    "g50b_region_bcf" ->
+      s"""WITH t AS ($bcf1Sql)
+         |SELECT * FROM t
+         |WHERE chrom = '1' AND pos BETWEEN 20 AND 50""".stripMargin,
+
+    "g50c_region_bam" ->
+      s"""WITH t AS ($sam1Sql)
+         |SELECT * FROM t
+         |WHERE rname = '1' AND pos <= 70
+         |  AND coalesce(ref_end, pos) >= 25""".stripMargin,
 
     // v10: identical contract to v9 — the splittable reader must
     // produce byte-identical rows to the text parse, from many forced

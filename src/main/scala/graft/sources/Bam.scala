@@ -6,6 +6,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 import java.util.zip.GZIPInputStream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col}
 
 /** One BAM alignment record's mandatory fields, decoded to the exact
   * shape [[Sam.read]] parses from SAM text — same names, same types,
@@ -126,10 +127,12 @@ object Bam {
   }
 
   /** Decoded records of one byte range (see [[readSplit]]). */
-  private def splitRangeRecords(
-      in: org.apache.hadoop.fs.FSDataInputStream, start: Long,
-      end: Long, len: Long): Iterator[BamRec] = {
-    // every task decodes the reference dictionary from the file head
+  /** Consume the `BAM\1` magic + text header + reference dictionary
+    * from a cursor at file offset 0; returns the cursor positioned at
+    * the first record plus the reference names in dictionary order.
+    */
+  private def headerCursor(in: org.apache.hadoop.fs.FSDataInputStream,
+                           len: Long): (Bgzf.MemberCursor, Array[String]) = {
     val head = new Bgzf.MemberCursor(in, len, 0L)
     require(head.ensure(12), "empty BAM")
     require(head.byte(0) == 'B' && head.byte(1) == 'A' &&
@@ -148,6 +151,91 @@ object Bam {
       head.drop(8 + lName) // l_name + name + l_ref
       name
     }
+    (head, refs)
+  }
+
+  /** Region read of a coordinate-sorted BAM — `samtools view
+    * file.bam chr:start-end` semantics (reads OVERLAPPING the region)
+    * without a .bai and without scanning the file: [[Bgzf.searchWindow]]
+    * bisects the member chain with probes that align the first record
+    * OWNED by a member via the [[readSplit]] plausible-chain machinery
+    * and read its (refID, pos) prologue — the dictionary index is the
+    * sort rank natively. Overlap (not containment) means a read can
+    * START before the region and span into it, so the lower search
+    * target backs off by `maxSpan` reference bases: reads whose
+    * reference span exceeds it (default 1 Mb — beyond any short-read
+    * and most long-read spans) may be missed, the same coarseness class
+    * as the .bai linear index's 16 kb bins. Unmapped reads (refID -1)
+    * sort after all mapped reads (samtools sort) and rank as +inf here,
+    * so a region query never returns them. A chrom absent from the
+    * dictionary cannot appear in any record → empty frame, no scan.
+    * Sortedness contract = samtools sort (dictionary rank, then pos).
+    */
+  def readRegion(spark: SparkSession, path: String, chrom: String,
+                 start: Long, end: Long, maxSpan: Long = 1L << 20,
+                 splitSize: Long = 32L << 20): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(sc.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    require(st.isFile, s"region read wants a single file: $path")
+    val len = st.getLen
+    val in0 = fs.open(p)
+    val refs =
+      try headerCursor(in0, len)._2
+      finally { try in0.close() catch { case _: java.io.IOException => } }
+    val rank = refs.indexOf(chrom)
+    if (rank < 0)
+      return Sam.decorate(spark.emptyDataset[BamRec].toDF())
+    def key(r: Long, pos1: Long) =
+      ((r & 0xffffffffL) << 32) | (pos1 & 0xffffffffL)
+    def probe(m: Long): Long = {
+      val pin = fs.open(p)
+      try {
+        val cur = new Bgzf.MemberCursor(pin, len, m)
+        var aligned = false
+        while (!aligned && cur.ensure(36)) {
+          if (plausibleChain(cur, refs.length, 4)) aligned = true
+          else cur.drop(1)
+        }
+        if (!aligned || !cur.ensure(12)) Long.MaxValue
+        else key(cur.le32(4).toLong, cur.le32(8).toLong + 1L)
+      } finally {
+        try pin.close() catch { case _: java.io.IOException => }
+      }
+    }
+    val w = Bgzf.searchWindow(len, mid => {
+      val in = fs.open(p)
+      try Bgzf.firstMemberIn(in, mid, len, len)
+      finally { try in.close() catch { case _: java.io.IOException => } }
+    }, probe, key(rank.toLong, math.max(1L, start - maxSpan)),
+      key(rank.toLong, end))
+    case class R(path: String, start: Long, end: Long, len: Long)
+    val span = w.toByte - w.fromByte
+    val n = math.max(1L, (span + splitSize - 1) / splitSize)
+    val ranges = (0L until n).map(i => R(path,
+      w.fromByte + i * splitSize,
+      math.min(w.fromByte + (i + 1) * splitSize, w.toByte), len))
+    val hconf = new org.apache.spark.SerializableWritable(
+      new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration))
+    val recs = sc.parallelize(ranges, math.max(1, ranges.size))
+      .flatMap { r =>
+        val rp = new org.apache.hadoop.fs.Path(r.path)
+        val in = rp.getFileSystem(hconf.value).open(rp)
+        Bgzf.closeOnTaskEnd(in)
+        splitRangeRecords(in, r.start, r.end, r.len)
+      }
+    Sam.decorate(recs.toDS().toDF())
+      .where(col("rname") === chrom && col("pos") <= end &&
+        coalesce(col("ref_end"), col("pos")) >= start)
+  }
+
+  private def splitRangeRecords(
+      in: org.apache.hadoop.fs.FSDataInputStream, start: Long,
+      end: Long, len: Long): Iterator[BamRec] = {
+    // every task decodes the reference dictionary from the file head
+    val (head, refs) = headerCursor(in, len)
     if (start == 0L) {
       // range 0: records begin exactly after the dictionary — exact,
       // no scanning

@@ -118,9 +118,13 @@ object Bcf {
         coalesce(afFields.map(k => Vcf.infoField(col("info"), k)): _*))
   }
 
-  private def splitRangeRecords(
-      in: org.apache.hadoop.fs.FSDataInputStream, start: Long,
-      end: Long, len: Long): Iterator[BcfRec] = {
+  /** Consume the `BCF\2` magic + embedded header text from a cursor at
+    * file offset 0; returns the cursor positioned at the first record
+    * plus (contigs, strings, nSamples).
+    */
+  private def headerCursor(in: org.apache.hadoop.fs.FSDataInputStream,
+                           len: Long)
+    : (Bgzf.MemberCursor, Array[String], Array[String], Int) = {
     val head = new Bgzf.MemberCursor(in, len, 0L)
     require(head.ensure(9), "empty BCF")
     require(head.byte(0) == 'B' && head.byte(1) == 'C' &&
@@ -134,6 +138,13 @@ object Bcf {
     val nSamples = headerText.split("\n").find(_.startsWith("#CHROM"))
       .map(l => math.max(0, l.stripSuffix("\r").split("\t").length - 9))
       .getOrElse(0)
+    (head, contigs, strings, nSamples)
+  }
+
+  private def splitRangeRecords(
+      in: org.apache.hadoop.fs.FSDataInputStream, start: Long,
+      end: Long, len: Long): Iterator[BcfRec] = {
+    val (head, contigs, strings, nSamples) = headerCursor(in, len)
     if (start == 0L)
       return recordIterator(head, end, contigs, strings)
     val first = Bgzf.firstMemberIn(in, start, end, len)
@@ -208,6 +219,82 @@ object Bcf {
       k += 1
     }
     true
+  }
+
+  /** Region read of a coordinate-sorted BCF — [[Vcf.readRegion]]'s
+    * contract on the binary container: a driver-side binary search over
+    * the BGZF member chain ([[Bgzf.searchWindow]]) whose probes align
+    * the first record OWNED by a member via the [[readSplit]]
+    * plausible-chain machinery and read its (contig-index, pos) —
+    * records carry the dictionary index natively, so the sort rank
+    * needs no header convention. Only the matched byte window decodes;
+    * a chrom the header's contig dictionary doesn't declare CANNOT
+    * appear in any record (records reference contigs by index), so it
+    * short-circuits to an empty frame rather than scanning. Sortedness
+    * contract = bcftools sort order (contig dictionary rank, then pos).
+    */
+  def readRegion(spark: SparkSession, path: String, chrom: String,
+                 start: Long, end: Long,
+                 afFields: Seq[String] = Vcf.defaultAfFields,
+                 splitSize: Long = 32L << 20): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(sc.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    require(st.isFile, s"region read wants a single file: $path")
+    val len = st.getLen
+    val in0 = fs.open(p)
+    val (_, contigs, _, nSamples) =
+      try headerCursor(in0, len)
+      finally { try in0.close() catch { case _: java.io.IOException => } }
+    val rank = contigs.indexOf(chrom)
+    if (rank < 0)
+      return spark.emptyDataset[BcfRec].toDF()
+        .withColumn("af", lit(null).cast("string"))
+    // first owned record key at member `m`: byte-scan alignment from
+    // the member's first byte (the readSplit ownership rule), then the
+    // record prologue's (chrom-index, 1-based pos)
+    def probe(m: Long): Long = {
+      val pin = fs.open(p)
+      try {
+        val cur = new Bgzf.MemberCursor(pin, len, m)
+        var aligned = false
+        while (!aligned && cur.ensure(32)) {
+          if (plausibleChain(cur, contigs.length, nSamples, 4))
+            aligned = true
+          else cur.drop(1)
+        }
+        if (!aligned || !cur.ensure(16)) Long.MaxValue
+        else (cur.le32(8).toLong << 32) | (cur.le32(12).toLong + 1L)
+      } finally {
+        try pin.close() catch { case _: java.io.IOException => }
+      }
+    }
+    val w = Bgzf.searchWindow(len, mid => {
+      val in = fs.open(p)
+      try Bgzf.firstMemberIn(in, mid, len, len)
+      finally { try in.close() catch { case _: java.io.IOException => } }
+    }, probe, (rank.toLong << 32) | start, (rank.toLong << 32) | end)
+    case class R(path: String, start: Long, end: Long, len: Long)
+    val span = w.toByte - w.fromByte
+    val n = math.max(1L, (span + splitSize - 1) / splitSize)
+    val ranges = (0L until n).map(i => R(path,
+      w.fromByte + i * splitSize,
+      math.min(w.fromByte + (i + 1) * splitSize, w.toByte), len))
+    val hconf = new org.apache.spark.SerializableWritable(
+      new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration))
+    val recs = sc.parallelize(ranges, math.max(1, ranges.size))
+      .flatMap { r =>
+        val rp = new org.apache.hadoop.fs.Path(r.path)
+        val in = rp.getFileSystem(hconf.value).open(rp)
+        Bgzf.closeOnTaskEnd(in)
+        splitRangeRecords(in, r.start, r.end, r.len)
+      }
+    recs.toDS().toDF()
+      .withColumn("af",
+        coalesce(afFields.map(k => Vcf.infoField(col("info"), k)): _*))
+      .where(col("chrom") === chrom && col("pos").between(start, end))
   }
 
   /** Sample names from the `#CHROM` line of the embedded header text —

@@ -407,20 +407,38 @@ object Bgzf {
       }
     }
 
-    // invariants: lo is 0 or a verified member start whose first owned
-    // key < target; every member starting at or after hi has first
-    // owned key >= target. Each step either halves [lo, hi) or moves
-    // the probed member bound (members are <= 64 KiB, so the window
-    // shrinks geometrically until the 128 KiB floor).
+    searchWindow(len, mid => {
+      val in = fs.open(p)
+      try scanMember(in, mid, len, len)
+      finally { try in.close() catch { case _: java.io.IOException => } }
+    }, firstOwnedKey, fromKey, toKey)
+  }
+
+  /** The [[regionWindow]] bisection, generic over the record grammar:
+    * `nextMember(mid)` = first verified member start at or after `mid`
+    * (or -1), `firstOwnedKey(m)` = sort key of the first record OWNED
+    * by member `m` (MaxValue past the last record). [[Bcf.readRegion]]
+    * and [[Bam.readRegion]] plug their record-alignment probes in here;
+    * the text path plugs a line probe.
+    *
+    * Invariants: lo is 0 or a verified member start whose first owned
+    * key < target; every member starting at or after hi has first
+    * owned key >= target. Each step either halves [lo, hi) or moves
+    * the probed member bound (members are <= 64 KiB, so the window
+    * shrinks geometrically until the 128 KiB floor — 2x the member
+    * bound, below which a bisection step can't be proven to progress).
+    */
+  private[graft] def searchWindow(len: Long, nextMember: Long => Long,
+                                  firstOwnedKey: Long => Long,
+                                  fromKey: Long,
+                                  toKey: Long): RegionWindow = {
     def search(target: Long): (Long, Long, Int) = {
       var lo = 0L
       var hi = len
       var probes = 0
       while (hi - lo > 0x20000L) {
         val mid = lo + (hi - lo) / 2
-        val in = fs.open(p)
-        val m = try scanMember(in, mid, len, len)
-        finally { try in.close() catch { case _: java.io.IOException => } }
+        val m = nextMember(mid)
         if (m < 0 || m >= hi) hi = mid
         else {
           probes += 1
@@ -429,7 +447,6 @@ object Bgzf {
       }
       (lo, hi, probes)
     }
-
     val (fromByte, _, p1) = search(fromKey)
     val (_, toByte, p2) = search(toKey + 1)
     RegionWindow(fromByte, math.max(toByte, fromByte), p1 + p2)

@@ -143,6 +143,49 @@ class RegionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Vcf.readRegion(spark, p, "chr7", 1L, 100L).count() == 0L)
   }
 
+  test("BCF region read == full splittable read + filter, and an " +
+    "undeclared chrom short-circuits to empty") {
+    graft.fixtures.GenomicFixtures.ensure(spark)
+    val bcf = graft.fixtures.GenomicFixtures.regionBcfPath(spark)
+    val full = graft.sources.Bcf.readSplit(spark, bcf, splitSize = 256L)
+    for ((c, a, b) <- Seq(("1", 20L, 50L), ("1", 12L, 12L),
+      ("X", 30L, 110L), ("1", 151L, 999L), ("X", 1L, 29L))) {
+      val got = rows(graft.sources.Bcf.readRegion(spark, bcf, c, a, b))
+      assert(got == rows(full.where(col("chrom") === c &&
+        col("pos").between(a, b))), s"bcf region $c:$a-$b")
+    }
+    // "7" is not in the contig dictionary: no record can reference it
+    val empty = graft.sources.Bcf.readRegion(spark, bcf, "7", 1L, 100L)
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq ==
+      full.columns.toSeq, "empty frame keeps the read schema")
+  }
+
+  test("BAM region read == overlap filter (samtools view semantics), " +
+    "spanning reads included, unmapped reads never returned") {
+    graft.fixtures.GenomicFixtures.ensure(spark)
+    val bam = graft.fixtures.GenomicFixtures.regionBamPath(spark)
+    val full = graft.sources.Bam.readSplit(spark, bam, splitSize = 256L)
+    def expectOverlap(c: String, a: Long, b: Long) =
+      full.where(col("rname") === c && col("pos") <= b &&
+        coalesce(col("ref_end"), col("pos")) >= a)
+        .select("qname", "pos").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    for ((c, a, b) <- Seq(("1", 25L, 70L), ("1", 1L, 10L),
+      ("X", 75L, 90L), ("1", 200L, 400L))) {
+      val got = graft.sources.Bam.readRegion(spark, bam, c, a, b)
+        .select("qname", "pos").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      assert(got == expectOverlap(c, a, b), s"bam region $c:$a-$b")
+    }
+    // the 1:11 30M read starts before 25 and spans into [25, 70]
+    assert(graft.sources.Bam.readRegion(spark, bam, "1", 25L, 70L)
+      .where(col("pos") === 11L).count() == 1L)
+    // undeclared chrom: dictionary-closed, empty without a scan
+    assert(graft.sources.Bam.readRegion(spark, bam, "chrNope", 1L, 9L)
+      .count() == 0L)
+  }
+
   test("fixture-shape region read (the g50 gate path) returns the " +
     "filtered rows") {
     graft.fixtures.GenomicFixtures.ensure(spark)
