@@ -125,6 +125,41 @@ object Bench {
       p
     }
 
+  /** The x10 decade of [[ensureSyntheticBam]]: ONE ~3M-read BAM,
+    * written executor-side through the sharded sink on a single
+    * partition (no driver collect at this size; encode cost lands in
+    * the first run only — the bench takes the min of 3). bamx10 reads
+    * it through the byte-range splittable path, pinning in-file split
+    * decode throughput one decade above bamxs.
+    */
+  private var bam10Path: String = null
+  private def ensureSyntheticBam10(spark: SparkSession,
+                                   n: Long): String = synchronized {
+    if (bam10Path != null) return bam10Path
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-bam10-" +
+      s"${ProcessHandle.current.pid}"
+    graft.sources.Bam.writeSharded(
+      syntheticReads(spark, n).coalesce(1), bamRefs, dir)
+    bam10Path = s"$dir/part-00000.bam"
+    bam10Path
+  }
+
+  /** [[ensureSyntheticBam10]] for BCF: ONE ~1M-variant x 20-sample
+    * file via the single-partition sharded sink.
+    */
+  private var bcf10Path: String = null
+  private def ensureSyntheticBcf10(spark: SparkSession,
+                                   n: Long): String = synchronized {
+    if (bcf10Path != null) return bcf10Path
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-bcf10-" +
+      s"${ProcessHandle.current.pid}"
+    graft.sources.Bcf.writeSharded(
+      syntheticVariants(spark, n).coalesce(1), bcfContigs, bcfSamples,
+      dir)
+    bcf10Path = s"$dir/part-00000.bcf"
+    bcf10Path
+  }
+
   /** Materialized write-side input (8 partitions) so the bamw entries
     * time the ENCODE+DEFLATE+write, not the column synthesizer.
     */
@@ -647,6 +682,24 @@ object Bench {
         graft.sources.Bam.readSplit(spark, path, splitSize = 1L << 20)
           .where(!col("is_unmapped"))
           .agg(count(lit(1)), sum(col("ref_end") - col("pos") + 1))
+          .head.getLong(0)
+      }),
+      // x10 decade of the split decode: ONE ~3M-read BAM (x10 bamxs)
+      // through 8 MiB byte-range splits — pins in-file decode
+      // throughput at the next scale (the VERDICT r13 item 6 decade;
+      // file generation is executor-side via the sharded sink and
+      // lands in run 1 only, the min comes from the warm runs)
+      "bamx10_bam_decade_scale" -> (() => {
+        val path = ensureSyntheticBam10(spark, nDocs * 600)
+        graft.sources.Bam.readSplit(spark, path, splitSize = 8L << 20)
+          .where(!col("is_unmapped"))
+          .agg(count(lit(1)), sum(col("ref_end") - col("pos") + 1))
+          .head.getLong(0)
+      }),
+      "bcfx10_bcf_decade_scale" -> (() => {
+        val path = ensureSyntheticBcf10(spark, nDocs * 200)
+        graft.sources.Bcf.readSplit(spark, path, splitSize = 8L << 20)
+          .agg(count(lit(1)), sum(size(col("genotypes"))))
           .head.getLong(0)
       }),
       "bcfx_bcf_scale" -> (() => {
