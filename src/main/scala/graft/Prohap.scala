@@ -40,6 +40,38 @@ private[graft] object ProHapCli {
     opts.get("af_field").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(Vcf.defaultAfFields)
 
+  /** `-region chr[:start-end]` (samtools/tabix syntax, commas in
+    * numbers allowed): route the `-i` input through the index-free
+    * region pushdown — the reference shards per chromosome by hand
+    * (Snakefile's per-chrom VCFs); this is that access pattern for ANY
+    * region on a sorted `.vcf.gz`/`.bcf`, falling back to scan+filter
+    * where the input can't be bisected (plain text, unranked chroms).
+    */
+  def parseRegion(spec: String): (String, Long, Long) =
+    spec.split(":", 2) match {
+      case Array(c) => (c, 1L, Int.MaxValue.toLong)
+      case Array(c, span) =>
+        val bounds = span.replace(",", "").split("-", 2)
+        require(bounds.length == 2 && bounds.forall(_.nonEmpty),
+          s"-region wants chr or chr:start-end — got '$spec'")
+        (c, bounds(0).toLong, bounds(1).toLong)
+    }
+
+  /** The `-i` VCF/BCF input, region-pruned when `-region` is given. */
+  def readVcfInput(spark: SparkSession,
+                   opts: Map[String, String]): DataFrame = {
+    val path = opts("i")
+    opts.get("region") match {
+      case Some(spec) =>
+        val (c, a, b) = parseRegion(spec)
+        if (path.endsWith(".bcf"))
+          graft.sources.Bcf.readRegion(spark, path, c, a, b,
+            afFields(opts))
+        else Vcf.readRegion(spark, path, c, a, b, afFields(opts))
+      case None => Vcf.readAuto(spark, path, afFields(opts))
+    }
+  }
+
   def session(opts: Map[String, String], app: String): SparkSession = {
     // -threads n (prohap.py:63-64) sizes the default local master and
     // shuffle partitioning; -master overrides for cluster submission
@@ -234,7 +266,7 @@ object Prohap {
     val vcfPath = opts("i")
     val minAf = opts.getOrElse("af", "0").toDouble
     val norm = Vcf.normalize(
-      Vcf.readAuto(spark, vcfPath, ProHapCli.afFields(opts)), minAf)
+      ProHapCli.readVcfInput(spark, opts), minAf)
     val gtf = Gtf.read(spark, opts("db"))
     val meta = samplesMeta(spark, opts("s"))
     val transcripts = transcriptIntervals(spark, gtf, opts)
@@ -302,7 +334,7 @@ object Provar {
   def run(spark: SparkSession, opts: Map[String, String]): DataFrame = {
     val minAf = opts.getOrElse("af", "0").toDouble
     val norm = Vcf.normalize(
-      Vcf.readAuto(spark, opts("i"), ProHapCli.afFields(opts)), minAf)
+      ProHapCli.readVcfInput(spark, opts), minAf)
     val gtf = Gtf.read(spark, opts("db"))
     val transcripts = transcriptIntervals(spark, gtf, opts)
     // one row per allele line: multi-allelic rows share a VCF id, so the

@@ -84,6 +84,11 @@ object Vcf {
                  splitSize: Long = 32L << 20): DataFrame = {
     val inRegion = col("chrom") === chrom &&
       col("pos").between(start, end)
+    // plain .vcf / non-BGZF gzip / globs: no member chain to bisect —
+    // full (splittable where possible) scan + filter, always correct
+    if (!Bgzf.isBgzfOver(spark, path, 0L))
+      return readAuto(spark, path, afFields, bgzfSplitThreshold = 0L)
+        .where(inRegion)
     val ranks = contigRanks(spark, path)
     ranks.get(chrom) match {
       case None =>

@@ -70,6 +70,29 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     GenomicPipeline.releaseCaches()
   }
 
+  test("-region on a sorted .vcf.gz/.bcf routes through the index-free " +
+    "pushdown and == the -chr per-chromosome run (the reference's " +
+    "Snakefile sharding, as one flag)") {
+    GenomicFixtures.ensure(spark)
+    // -chr 1 on the plain text fixture = the hand-sharded reference
+    // access pattern; -region 1:1-200 on the sorted BGZF/BCF
+    // re-encodings must reproduce it exactly (chrom 1's records all
+    // sit in [1, 200])
+    val byChr = Prohap.run(spark, fixtureOpts + ("chr" -> "1"))
+    val byRegionGz = Prohap.run(spark, fixtureOpts +
+      ("i" -> GenomicFixtures.regionVcfGzPath, "region" -> "1:1-200"))
+    assert(rowsOf(byRegionGz) == rowsOf(byChr))
+    val byRegionBcf = Provar.run(spark, fixtureOpts +
+      ("i" -> GenomicFixtures.regionBcfPath(spark), "region" -> "1:1-200"))
+    assert(rowsOf(byRegionBcf) ==
+      rowsOf(Provar.run(spark, fixtureOpts + ("chr" -> "1"))))
+    // bare-chrom and comma'd-number forms parse
+    assert(ProHapCli.parseRegion("X") == ("X", 1L, Int.MaxValue.toLong))
+    assert(ProHapCli.parseRegion("17:41,100,000-41,300,000") ==
+      ("17", 41100000L, 41300000L))
+    GenomicPipeline.releaseCaches()
+  }
+
   test("Prohap.run honors min_hap_count and min_hap_freq") {
     val all = Prohap.run(spark, fixtureOpts).collect()
     val counted = Prohap.run(spark,
