@@ -47,15 +47,18 @@ private[graft] object ProHapCli {
     * region on a sorted `.vcf.gz`/`.bcf`, falling back to scan+filter
     * where the input can't be bisected (plain text, unranked chroms).
     */
-  def parseRegion(spec: String): (String, Long, Long) =
-    spec.split(":", 2) match {
-      case Array(c) => (c, 1L, Int.MaxValue.toLong)
-      case Array(c, span) =>
-        val bounds = span.replace(",", "").split("-", 2)
-        require(bounds.length == 2 && bounds.forall(_.nonEmpty),
-          s"-region wants chr or chr:start-end — got '$spec'")
-        (c, bounds(0).toLong, bounds(1).toLong)
-    }
+  private val RegionSpan =
+    """^(.+):([\d,]+)-([\d,]+)$""".r
+
+  def parseRegion(spec: String): (String, Long, Long) = spec match {
+    // split at the LAST colon, and only when what follows is a numeric
+    // span: GRCh38 ALT contig names legally contain colons
+    // (HLA-A*01:01:01:01), and samtools resolves those against the
+    // header — a colon'd name with no span is a bare-chrom region
+    case RegionSpan(c, a, b) =>
+      (c, a.replace(",", "").toLong, b.replace(",", "").toLong)
+    case c => (c, 1L, Int.MaxValue.toLong)
+  }
 
   /** The `-i` VCF/BCF input, region-pruned when `-region` is given. */
   def readVcfInput(spark: SparkSession,

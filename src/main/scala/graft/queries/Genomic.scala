@@ -115,25 +115,30 @@ object Genomic {
     }),
 
     "g50_region_read" -> ((s, _) => {
-      // index-free region pushdown: chrom 1, pos 20-50 out of the
+      // index-free region pushdown: chrom 1, region 45-55 out of the
       // coordinate-sorted 64-byte-member BGZF re-encoding — the
       // driver-side member binary search prunes non-matching members,
-      // then only the matched byte window inflates. The oracle filters
-      // DuckDB's independent TEXT parse, so a wrong window (a lost
-      // boundary record, an off-by-one member) fails the hash.
+      // then only the matched byte window inflates. bcftools `-r`
+      // OVERLAP semantics: the 24-bp-REF record at pos 39 spans into
+      // the region and MUST be returned (containment would lose it),
+      // so the gate discriminates overlap from a pos-BETWEEN filter.
+      // The oracle filters DuckDB's independent TEXT parse with the
+      // identical predicate.
       prep(s)
-      Vcf.readRegion(s, GenomicFixtures.regionVcfGzPath, "1", 20L, 50L)
+      Vcf.readRegion(s, GenomicFixtures.regionVcfGzPath, "1", 45L, 55L)
         .withColumn("genotypes", array_join(col("genotypes"), ","))
     }),
 
     "g50b_region_bcf" -> ((s, _) => {
       // the same index-free region pushdown on the BINARY container:
       // probes align records via the readSplit plausible-chain
-      // machinery and rank on the record's native contig index. Oracle
-      // = the float-normalized independent TEXT parse, filtered.
+      // machinery and rank on the record's native contig index; same
+      // overlap region as g50 (the spanning pos-39 record must
+      // survive). Oracle = the float-normalized independent TEXT
+      // parse, filtered identically.
       prep(s)
       graft.sources.Bcf.readRegion(s, GenomicFixtures.regionBcfPath(s),
-        "1", 20L, 50L)
+        "1", 45L, 55L)
         .withColumn("genotypes", array_join(col("genotypes"), ","))
     }),
 
@@ -3160,12 +3165,14 @@ object Genomic {
     "g50_region_read" ->
       s"""WITH t AS ($v1Sql)
          |SELECT * FROM t
-         |WHERE chrom = '1' AND pos BETWEEN 20 AND 50""".stripMargin,
+         |WHERE chrom = '1' AND pos <= 55
+         |  AND pos + length(ref) - 1 >= 45""".stripMargin,
 
     "g50b_region_bcf" ->
       s"""WITH t AS ($bcf1Sql)
          |SELECT * FROM t
-         |WHERE chrom = '1' AND pos BETWEEN 20 AND 50""".stripMargin,
+         |WHERE chrom = '1' AND pos <= 55
+         |  AND pos + length(ref) - 1 >= 45""".stripMargin,
 
     "g50c_region_bam" ->
       s"""WITH t AS ($sam1Sql)

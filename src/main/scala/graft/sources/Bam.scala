@@ -126,7 +126,6 @@ object Bam {
     Sam.decorate(recs.toDS().toDF())
   }
 
-  /** Decoded records of one byte range (see [[readSplit]]). */
   /** Consume the `BAM\1` magic + text header + reference dictionary
     * from a cursor at file offset 0; returns the cursor positioned at
     * the first record plus the reference names in dictionary order.
@@ -175,9 +174,8 @@ object Bam {
                  start: Long, end: Long, maxSpan: Long = 1L << 20,
                  splitSize: Long = 32L << 20): DataFrame = {
     import spark.implicits._
-    val sc = spark.sparkContext
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(sc.hadoopConfiguration)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
     require(st.isFile, s"region read wants a single file: $path")
     val len = st.getLen
@@ -188,44 +186,44 @@ object Bam {
     val rank = refs.indexOf(chrom)
     if (rank < 0)
       return Sam.decorate(spark.emptyDataset[BamRec].toDF())
-    def key(r: Long, pos1: Long) =
-      ((r & 0xffffffffL) << 32) | (pos1 & 0xffffffffL)
-    def probe(m: Long): Long = {
-      val pin = fs.open(p)
-      try {
-        val cur = new Bgzf.MemberCursor(pin, len, m)
+    // positions are int32: clamp so a caller's "to end of chrom"
+    // end = Long.MaxValue can't bleed into the rank bits or wrap the
+    // upper search target
+    val maxPos = Int.MaxValue.toLong
+    val lo = math.max(1L, math.min(start - maxSpan, maxPos))
+    val hi = math.max(0L, math.min(end, maxPos))
+    def key(r: Long, pos1: Long) = (r << 32) | (pos1 & 0xffffffffL)
+    // one shared positioned-read handle for the whole driver-side
+    // search; neither lambda closes it
+    val sin = fs.open(p)
+    val w = try {
+      def probe(m: Long): Long = {
+        val cur = new Bgzf.MemberCursor(sin, len, m)
         var aligned = false
         while (!aligned && cur.ensure(36)) {
           if (plausibleChain(cur, refs.length, 4)) aligned = true
           else cur.drop(1)
         }
         if (!aligned || !cur.ensure(12)) Long.MaxValue
-        else key(cur.le32(4).toLong, cur.le32(8).toLong + 1L)
-      } finally {
-        try pin.close() catch { case _: java.io.IOException => }
+        else {
+          val refId = cur.le32(4)
+          // unmapped (refID -1) sorts after every mapped read
+          // (samtools sort); rank it +inf — the raw bit-packing would
+          // produce a NEGATIVE key and corrupt the bisection on any
+          // sorted BAM whose unmapped tail the search probes
+          if (refId < 0) Long.MaxValue
+          else key(refId.toLong,
+            math.max(0L, math.min(cur.le32(8).toLong + 1L, maxPos)))
+        }
       }
+      Bgzf.searchWindow(len,
+        mid => Bgzf.firstMemberIn(sin, mid, len, len), probe,
+        key(rank.toLong, lo), key(rank.toLong, hi))
+    } finally {
+      try sin.close() catch { case _: java.io.IOException => }
     }
-    val w = Bgzf.searchWindow(len, mid => {
-      val in = fs.open(p)
-      try Bgzf.firstMemberIn(in, mid, len, len)
-      finally { try in.close() catch { case _: java.io.IOException => } }
-    }, probe, key(rank.toLong, math.max(1L, start - maxSpan)),
-      key(rank.toLong, end))
-    case class R(path: String, start: Long, end: Long, len: Long)
-    val span = w.toByte - w.fromByte
-    val n = math.max(1L, (span + splitSize - 1) / splitSize)
-    val ranges = (0L until n).map(i => R(path,
-      w.fromByte + i * splitSize,
-      math.min(w.fromByte + (i + 1) * splitSize, w.toByte), len))
-    val hconf = new org.apache.spark.SerializableWritable(
-      new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration))
-    val recs = sc.parallelize(ranges, math.max(1, ranges.size))
-      .flatMap { r =>
-        val rp = new org.apache.hadoop.fs.Path(r.path)
-        val in = rp.getFileSystem(hconf.value).open(rp)
-        Bgzf.closeOnTaskEnd(in)
-        splitRangeRecords(in, r.start, r.end, r.len)
-      }
+    val recs = Bgzf.scanWindow(spark, path, w.fromByte, w.toByte,
+      splitSize)((in, s, e, l) => splitRangeRecords(in, s, e, l))
     Sam.decorate(recs.toDS().toDF())
       .where(col("rname") === chrom && col("pos") <= end &&
         coalesce(col("ref_end"), col("pos")) >= start)

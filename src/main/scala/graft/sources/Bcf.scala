@@ -236,11 +236,11 @@ object Bcf {
   def readRegion(spark: SparkSession, path: String, chrom: String,
                  start: Long, end: Long,
                  afFields: Seq[String] = Vcf.defaultAfFields,
-                 splitSize: Long = 32L << 20): DataFrame = {
+                 splitSize: Long = 32L << 20,
+                 maxSpan: Long = 10000L): DataFrame = {
     import spark.implicits._
-    val sc = spark.sparkContext
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(sc.hadoopConfiguration)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
     require(st.isFile, s"region read wants a single file: $path")
     val len = st.getLen
@@ -252,13 +252,22 @@ object Bcf {
     if (rank < 0)
       return spark.emptyDataset[BcfRec].toDF()
         .withColumn("af", lit(null).cast("string"))
-    // first owned record key at member `m`: byte-scan alignment from
-    // the member's first byte (the readSplit ownership rule), then the
-    // record prologue's (chrom-index, 1-based pos)
-    def probe(m: Long): Long = {
-      val pin = fs.open(p)
-      try {
-        val cur = new Bgzf.MemberCursor(pin, len, m)
+    // bcftools `-r` OVERLAP semantics + int32 clamping, exactly as in
+    // [[Vcf.readRegion]] (rlen approximated by length(ref))
+    val inRegion = col("chrom") === chrom && col("pos") <= end &&
+      col("pos") + length(col("ref")) - 1 >= start
+    val maxPos = Int.MaxValue.toLong
+    val lo = math.max(1L, math.min(start - maxSpan, maxPos))
+    val hi = math.max(0L, math.min(end, maxPos))
+    // one shared positioned-read handle for the whole driver-side
+    // search; neither lambda closes it
+    val sin = fs.open(p)
+    val w = try {
+      // first owned record key at member `m`: byte-scan alignment from
+      // the member's first byte (the readSplit ownership rule), then
+      // the record prologue's (chrom-index, 1-based pos)
+      def probe(m: Long): Long = {
+        val cur = new Bgzf.MemberCursor(sin, len, m)
         var aligned = false
         while (!aligned && cur.ensure(32)) {
           if (plausibleChain(cur, contigs.length, nSamples, 4))
@@ -266,35 +275,21 @@ object Bcf {
           else cur.drop(1)
         }
         if (!aligned || !cur.ensure(16)) Long.MaxValue
-        else (cur.le32(8).toLong << 32) | (cur.le32(12).toLong + 1L)
-      } finally {
-        try pin.close() catch { case _: java.io.IOException => }
+        else (cur.le32(8).toLong << 32) |
+          math.max(0L, math.min(cur.le32(12).toLong + 1L, maxPos))
       }
+      Bgzf.searchWindow(len,
+        mid => Bgzf.firstMemberIn(sin, mid, len, len), probe,
+        (rank.toLong << 32) | lo, (rank.toLong << 32) | hi)
+    } finally {
+      try sin.close() catch { case _: java.io.IOException => }
     }
-    val w = Bgzf.searchWindow(len, mid => {
-      val in = fs.open(p)
-      try Bgzf.firstMemberIn(in, mid, len, len)
-      finally { try in.close() catch { case _: java.io.IOException => } }
-    }, probe, (rank.toLong << 32) | start, (rank.toLong << 32) | end)
-    case class R(path: String, start: Long, end: Long, len: Long)
-    val span = w.toByte - w.fromByte
-    val n = math.max(1L, (span + splitSize - 1) / splitSize)
-    val ranges = (0L until n).map(i => R(path,
-      w.fromByte + i * splitSize,
-      math.min(w.fromByte + (i + 1) * splitSize, w.toByte), len))
-    val hconf = new org.apache.spark.SerializableWritable(
-      new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration))
-    val recs = sc.parallelize(ranges, math.max(1, ranges.size))
-      .flatMap { r =>
-        val rp = new org.apache.hadoop.fs.Path(r.path)
-        val in = rp.getFileSystem(hconf.value).open(rp)
-        Bgzf.closeOnTaskEnd(in)
-        splitRangeRecords(in, r.start, r.end, r.len)
-      }
+    val recs = Bgzf.scanWindow(spark, path, w.fromByte, w.toByte,
+      splitSize)((in, s, e, l) => splitRangeRecords(in, s, e, l))
     recs.toDS().toDF()
       .withColumn("af",
         coalesce(afFields.map(k => Vcf.infoField(col("info"), k)): _*))
-      .where(col("chrom") === chrom && col("pos").between(start, end))
+      .where(inRegion)
   }
 
   /** Sample names from the `#CHROM` line of the embedded header text —

@@ -390,7 +390,9 @@ object Bgzf {
 
     // key of the first data line OWNED by the member at `m` (first byte
     // inflates from it), reading forward across members as needed;
-    // MaxValue when no data line starts at or after `m`.
+    // MaxValue when no data line starts at or after `m`. Opens its own
+    // handle per probe: rangeLines closes its stream at iterator EOF,
+    // which a shared handle would not survive.
     def firstOwnedKey(m: Long): Long = {
       val in = fs.open(p)
       try {
@@ -407,11 +409,42 @@ object Bgzf {
       }
     }
 
-    searchWindow(len, mid => {
-      val in = fs.open(p)
-      try scanMember(in, mid, len, len)
-      finally { try in.close() catch { case _: java.io.IOException => } }
-    }, firstOwnedKey, fromKey, toKey)
+    // one shared positioned-read handle for every anchor scan of both
+    // searches (probes above manage their own)
+    val in = fs.open(p)
+    try searchWindow(len, mid => scanMember(in, mid, len, len),
+      firstOwnedKey, fromKey, toKey)
+    finally { try in.close() catch { case _: java.io.IOException => } }
+  }
+
+  /** Tile the byte window [fromByte, toByte) of `path` into `splitSize`
+    * ranges and run `f(in, start, end, fileLen)` per range on the
+    * executors, the stream closed at task completion regardless of
+    * consumption — the shared emission scaffold of [[readLinesRegion]]
+    * and the Bam/Bcf region reads.
+    */
+  private[graft] def scanWindow[T](spark: SparkSession, path: String,
+      fromByte: Long, toByte: Long, splitSize: Long)(
+      f: (org.apache.hadoop.fs.FSDataInputStream, Long, Long, Long) =>
+        Iterator[T])(implicit ct: scala.reflect.ClassTag[T])
+    : org.apache.spark.rdd.RDD[T] = {
+    val sc = spark.sparkContext
+    val p = new org.apache.hadoop.fs.Path(path)
+    val len = p.getFileSystem(sc.hadoopConfiguration)
+      .getFileStatus(p).getLen
+    val span = toByte - fromByte
+    val n = math.max(1L, (span + splitSize - 1) / splitSize)
+    val ranges = (0L until n).map(i => Range(path,
+      fromByte + i * splitSize,
+      math.min(fromByte + (i + 1) * splitSize, toByte), len))
+    val hconf = new org.apache.spark.SerializableWritable(
+      new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration))
+    sc.parallelize(ranges, math.max(1, ranges.size)).flatMap { r =>
+      val rp = new org.apache.hadoop.fs.Path(r.path)
+      val in = rp.getFileSystem(hconf.value).open(rp)
+      closeOnTaskEnd(in)
+      f(in, r.start, r.end, r.len)
+    }
   }
 
   /** The [[regionWindow]] bisection, generic over the record grammar:
@@ -464,24 +497,8 @@ object Bgzf {
                       fromKey: Long, toKey: Long,
                       splitSize: Long = 32L << 20): DataFrame = {
     val w = regionWindow(spark, path, keyOf, fromKey, toKey)
-    val sc = spark.sparkContext
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(sc.hadoopConfiguration)
-    val len = fs.getFileStatus(p).getLen
-    val span = w.toByte - w.fromByte
-    val n = math.max(1L, (span + splitSize - 1) / splitSize)
-    val ranges = (0L until n).map(i => Range(path,
-      w.fromByte + i * splitSize,
-      math.min(w.fromByte + (i + 1) * splitSize, w.toByte), len))
-    val hconf = new org.apache.spark.SerializableWritable(
-      new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration))
-    val lines = sc.parallelize(ranges, math.max(1, ranges.size))
-      .flatMap { r =>
-        val rp = new org.apache.hadoop.fs.Path(r.path)
-        val in = rp.getFileSystem(hconf.value).open(rp)
-        closeOnTaskEnd(in)
-        rangeLines(in, r)
-      }
+    val lines = scanWindow(spark, path, w.fromByte, w.toByte, splitSize)(
+      (in, s, e, l) => rangeLines(in, Range(path, s, e, l)))
     spark.createDataFrame(lines.map(org.apache.spark.sql.Row(_)),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("value",

@@ -81,20 +81,34 @@ object Vcf {
   def readRegion(spark: SparkSession, path: String, chrom: String,
                  start: Long, end: Long,
                  afFields: Seq[String] = defaultAfFields,
-                 splitSize: Long = 32L << 20): DataFrame = {
-    val inRegion = col("chrom") === chrom &&
-      col("pos").between(start, end)
-    // plain .vcf / non-BGZF gzip / globs: no member chain to bisect —
-    // full (splittable where possible) scan + filter, always correct
-    if (!Bgzf.isBgzfOver(spark, path, 0L))
-      return readAuto(spark, path, afFields, bgzfSplitThreshold = 0L)
+                 splitSize: Long = 32L << 20,
+                 maxSpan: Long = 10000L): DataFrame = {
+    // bcftools `-r` OVERLAP semantics: a record whose REF allele spans
+    // into the region belongs to it (rlen approximated as length(ref);
+    // symbolic ALTs whose true END lives in INFO rank by their REF
+    // base only — documented divergence). The lower search target
+    // backs off by maxSpan so records starting up to maxSpan before
+    // the region are still inside the window; REF alleles longer than
+    // maxSpan may be missed (the .bai-linear-index coarseness class).
+    val inRegion = col("chrom") === chrom && col("pos") <= end &&
+      col("pos") + length(col("ref")) - 1 >= start
+    def fullScan() =
+      readAuto(spark, path, afFields, bgzfSplitThreshold = 0L)
         .where(inRegion)
+    // plain .vcf / non-BGZF gzip / globs have no member chain to
+    // bisect, and an unranked chrom can't be ordered against the data:
+    // full (splittable where possible) scan + filter, always correct
+    if (!Bgzf.isBgzfOver(spark, path, 0L)) return fullScan()
     val ranks = contigRanks(spark, path)
     ranks.get(chrom) match {
-      case None =>
-        readAuto(spark, path, afFields, bgzfSplitThreshold = 0L)
-          .where(inRegion)
+      case None => fullScan()
       case Some(r) =>
+        // positions are int32 in every container: clamp so the packed
+        // key's rank bits can't be bled into (a caller's "to end of
+        // chrom" end = Long.MaxValue must not wrap toKey + 1)
+        val maxPos = Int.MaxValue.toLong
+        val lo = math.max(1L, math.min(start - maxSpan, maxPos))
+        val hi = math.max(0L, math.min(end, maxPos))
         def key(rank: Int, pos: Long) = (rank.toLong << 32) | pos
         val keyOf: String => Option[Long] = { line =>
           if (line.isEmpty || line.charAt(0) == '#') None
@@ -109,12 +123,12 @@ object Vcf {
               for {
                 rk <- ranks.get(c)
                 pv <- p.toLongOption
-              } yield key(rk, pv)
+              } yield key(rk, math.max(0L, math.min(pv, maxPos)))
             }
           }
         }
         parseLines(Bgzf.readLinesRegion(spark, path, keyOf,
-          key(r, start), key(r, end), splitSize), "value", afFields)
+          key(r, lo), key(r, hi), splitSize), "value", afFields)
           .where(inRegion)
     }
   }

@@ -86,10 +86,16 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("i" -> GenomicFixtures.regionBcfPath(spark), "region" -> "1:1-200"))
     assert(rowsOf(byRegionBcf) ==
       rowsOf(Provar.run(spark, fixtureOpts + ("chr" -> "1"))))
-    // bare-chrom and comma'd-number forms parse
+    // bare-chrom and comma'd-number forms parse; GRCh38 ALT contig
+    // names legally contain colons — split at the LAST colon and only
+    // when a numeric span follows
     assert(ProHapCli.parseRegion("X") == ("X", 1L, Int.MaxValue.toLong))
     assert(ProHapCli.parseRegion("17:41,100,000-41,300,000") ==
       ("17", 41100000L, 41300000L))
+    assert(ProHapCli.parseRegion("HLA-A*01:01:01:01N") ==
+      ("HLA-A*01:01:01:01N", 1L, Int.MaxValue.toLong))
+    assert(ProHapCli.parseRegion("HLA-A*01:01:01:01N:100-200") ==
+      ("HLA-A*01:01:01:01N", 100L, 200L))
     GenomicPipeline.releaseCaches()
   }
 

@@ -70,8 +70,12 @@ class RegionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = writeGz("multi.vcf.gz", vcfText(500, contigHeaders = true),
       blockSize = 512)
     val full = Vcf.readBgzf(spark, p, splitSize = 4096L)
+    // bcftools -r overlap semantics (all REFs here are 1 bp, so this
+    // equals containment — the multi-bp spanning case is pinned by the
+    // fixture-shape test below and the g50/g50b gates)
     def expect(chrom: String, a: Long, b: Long): Seq[String] =
-      rows(full.where(col("chrom") === chrom && col("pos").between(a, b)))
+      rows(full.where(col("chrom") === chrom && col("pos") <= b &&
+        col("pos") + length(col("ref")) - 1 >= a))
     val cases = Seq(
       ("chr2", 1010L, 1990L),  // interior slice
       ("chr1", 10L, 10L),      // exactly the first record of the file
@@ -148,12 +152,19 @@ class RegionSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.fixtures.GenomicFixtures.ensure(spark)
     val bcf = graft.fixtures.GenomicFixtures.regionBcfPath(spark)
     val full = graft.sources.Bcf.readSplit(spark, bcf, splitSize = 256L)
-    for ((c, a, b) <- Seq(("1", 20L, 50L), ("1", 12L, 12L),
-      ("X", 30L, 110L), ("1", 151L, 999L), ("X", 1L, 29L))) {
+    // overlap semantics: ("1", 45, 55) must include the 24-bp-REF
+    // record at pos 39 that a pos-BETWEEN filter would lose
+    for ((c, a, b) <- Seq(("1", 20L, 50L), ("1", 45L, 55L),
+      ("1", 12L, 12L), ("X", 30L, 110L), ("1", 151L, 999L),
+      ("X", 1L, 29L))) {
       val got = rows(graft.sources.Bcf.readRegion(spark, bcf, c, a, b))
       assert(got == rows(full.where(col("chrom") === c &&
-        col("pos").between(a, b))), s"bcf region $c:$a-$b")
+        col("pos") <= b &&
+        col("pos") + length(col("ref")) - 1 >= a)),
+        s"bcf region $c:$a-$b")
     }
+    assert(rows(graft.sources.Bcf.readRegion(spark, bcf, "1", 45L, 55L))
+      .exists(_.startsWith("1:39:")), "spanning REF included")
     // "7" is not in the contig dictionary: no record can reference it
     val empty = graft.sources.Bcf.readRegion(spark, bcf, "7", 1L, 100L)
     assert(empty.count() == 0L)
@@ -186,14 +197,63 @@ class RegionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 0L)
   }
 
+  test("bisection probes landing in a sorted BAM's large unmapped tail " +
+    "rank +inf (regression: the raw bit-packed refID -1 key is " +
+    "NEGATIVE and corrupted the search window)") {
+    // 9000 mapped (c1/c2) + 18000 unmapped reads: the unmapped tail
+    // covers the file's upper byte half, so both searches' first
+    // probes land in it — with the bug, those probes returned a
+    // negative key (< every mapped target), dragged lo into the tail,
+    // and the region query silently emptied
+    val refs = Seq(("c1", 300000000L), ("c2", 300000000L))
+    val seqExpr = expr(
+      "repeat(translate(md5(qname), '0123456789abcdef'," +
+        " 'ACGTACGTACGTACGT'), 4)")
+    val df = spark.range(27000).select(
+      concat(lit("r"), col("id")).as("qname"),
+      when(col("id") >= 9000, 4).otherwise(0).cast("int").as("flag"),
+      when(col("id") >= 9000, lit(null)).otherwise(
+        when(col("id") < 4500, "c1").otherwise("c2")).as("rname"),
+      when(col("id") >= 9000, lit(null).cast("long")).otherwise(
+        (pmod(col("id"), lit(4500)) * 100 + 1).cast("long")).as("pos"),
+      lit(60).as("mapq"),
+      when(col("id") >= 9000, "*").otherwise("128M").as("cigar"),
+      lit(null).cast("string").as("rnext"),
+      lit(null).cast("long").as("pnext"), lit(0L).as("tlen"),
+      seqExpr.as("seq"), lit("I" * 128).as("qual"),
+      lit(null).cast("string").as("tags"))
+      .withColumn("seq", col("seq").cast("string"))
+      .orderBy(col("rname").asc_nulls_last, col("pos").asc_nulls_last)
+    val p = s"$tmp/unmapped-tail.bam"
+    graft.sources.Bam.write(df, refs, p)
+    assert(Files.size(Paths.get(p)) > 0x40000,
+      s"file must exceed the 128 KiB search floor twice over " +
+        s"(got ${Files.size(Paths.get(p))}) or bisection never runs")
+    val full = graft.sources.Bam.readSplit(spark, p, splitSize = 65536L)
+    for ((c, a, b) <- Seq(("c1", 50000L, 60000L),
+      ("c2", 100000L, 150000L), ("c2", 1L, 200L))) {
+      val want = full.where(col("rname") === c && col("pos") <= b &&
+        coalesce(col("ref_end"), col("pos")) >= a).count()
+      val got = graft.sources.Bam.readRegion(spark, p, c, a, b).count()
+      assert(want > 0, s"vacuous case $c:$a-$b")
+      assert(got == want, s"bam region $c:$a-$b: $got vs $want")
+    }
+  }
+
   test("fixture-shape region read (the g50 gate path) returns the " +
     "filtered rows") {
     graft.fixtures.GenomicFixtures.ensure(spark)
     val gz = graft.fixtures.GenomicFixtures.regionVcfGzPath
-    val got = Vcf.readRegion(spark, gz, "1", 20L, 50L)
+    val got = Vcf.readRegion(spark, gz, "1", 45L, 55L)
       .select("chrom", "pos").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
-    assert(got == Seq(("1", 20L), ("1", 23L), ("1", 24L), ("1", 31L),
-      ("1", 39L), ("1", 50L)))
+    // overlap: pos 39's 24-bp REF spans 39-62 ⊇ [45, 55]; pos 50 is
+    // contained; nothing else on chrom 1 touches the region
+    assert(got == Seq(("1", 39L), ("1", 50L)))
+    // "to end of chromosome" with a Long.MaxValue bound must not wrap
+    // the packed search key (int32 clamp): chrom 1 has exactly one
+    // record at pos >= 100 (pos 150)
+    assert(Vcf.readRegion(spark, gz, "1", 100L, Long.MaxValue)
+      .count() == 1L)
   }
 }
