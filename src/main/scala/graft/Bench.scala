@@ -759,7 +759,11 @@ object Bench {
       // as 1 — the pair's ratio is the sink-side parallelism win, and
       // the entries prove the write path never collects to the driver
       // (per-task memory is one BGZF block). Input is pre-materialized
-      // (localCheckpoint) so the wall is encode+deflate+write.
+      // (localCheckpoint) so the BAM walls are encode+deflate+write;
+      // the BCF walls additionally include writeSharded's two
+      // dictionary passes over the (persisted) input — a fixed cost
+      // both bcfw and bcfw1 pay, so the PAIR ratio under-reads the
+      // pure sink parallelism relative to the bamw pair.
       "bamw_bam_write_scale" -> (() => {
         val reads = ensureBamWriteFrame(spark, nDocs * 60)
         val dir = s"${sys.props("java.io.tmpdir")}/graft-bamw-" +

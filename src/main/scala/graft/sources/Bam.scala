@@ -547,30 +547,17 @@ object Bam {
     * the binary container. Every shard carries the same header and its
     * own EOF member, so the directory reads back through [[read]] /
     * [[readSplit]] unchanged, and shards also concatenate into one
-    * legal BGZF stream. Task retries overwrite their own shard
-    * (idempotent). Empty partitions still write a header+EOF shard
+    * legal BGZF stream. Shards commit by atomic rename from
+    * attempt-scoped temps ([[Bgzf.writeShards]]), so task retries AND
+    * concurrent attempts (speculation, zombies after a stage retry)
+    * are safe. Empty partitions still write a header+EOF shard
     * (valid empty BAM) so the layout is deterministic.
     */
   def writeSharded(reads: DataFrame, refs: Seq[(String, Long)],
                    dir: String, blockSize: Int = 0xff00): Unit = {
     val refIdx = refs.map(_._1).zipWithIndex.toMap
-    val hdr = headerBytes(refs)
-    val sc = reads.sparkSession.sparkContext
-    val hconf = new org.apache.spark.SerializableWritable(
-      new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration))
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    dirPath.getFileSystem(sc.hadoopConfiguration).mkdirs(dirPath)
-    reads.selectExpr(WriteCols: _*).rdd.foreachPartition { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val p = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.bam")
-      val out = p.getFileSystem(hconf.value).create(p, true)
-      try {
-        val bw = new Bgzf.BlockWriter(out, blockSize)
-        bw.write(hdr)
-        it.foreach(r => bw.write(rowRecord(r, refIdx)))
-        bw.finish()
-      } finally out.close()
-    }
+    Bgzf.writeShards(reads.selectExpr(WriteCols: _*).rdd, dir, ".bam",
+      headerBytes(refs), blockSize)(r => rowRecord(r, refIdx))
   }
 
   /** The spec's fixed 28-byte empty-member EOF marker (SAM spec §4.1.2).

@@ -569,16 +569,23 @@ object Bcf {
     val alts = Option(r.getString(4)).filter(_ != ".")
       .map(_.split(",").toSeq).getOrElse(Seq.empty)
     val qual = Option(r.getString(5)).filter(_ != ".")
+    // interior ''/'.' tokens (a malformed "q10;." or "q10;;q20" cell)
+    // are DROPPED, not encoded: the embedded header's ##FILTER/##INFO
+    // lines cannot declare an empty or '.' ID, so the reader's
+    // dictionary could never resolve such an index — encoding one
+    // produced out-of-dictionary indices that crashed the decode
     val filters = Option(r.getString(6)).filter(f =>
-      f != "." && f.nonEmpty).map(_.split(";").toSeq).getOrElse(Seq.empty)
+      f != "." && f.nonEmpty).map(_.split(";").toSeq
+        .filter(t => t != "." && t.nonEmpty)).getOrElse(Seq.empty)
     val infos: Seq[(String, String)] =
       Option(r.getString(7)).filter(i => i != "." && i.nonEmpty)
-        .map(_.split(";").toSeq.map { kv =>
-          kv.split("=", 2) match {
-            case Array(k) => (k, null)
-            case Array(k, v) => (k, v)
-          }
-        }).getOrElse(Seq.empty)
+        .map(_.split(";").toSeq
+          .filter(t => t != "." && t.nonEmpty).map { kv =>
+            kv.split("=", 2) match {
+              case Array(k) => (k, null)
+              case Array(k, v) => (k, v)
+            }
+          }).getOrElse(Seq.empty)
     val gts = r.getSeq[String](8)
     val alleles = ref +: alts
     writeLe32(shared, contigIdx(chrom))
@@ -649,14 +656,20 @@ object Bcf {
     // row-appearance order, then GT
     val strings = scala.collection.mutable.LinkedHashSet[String]("PASS")
     val infoKeys = scala.collection.mutable.LinkedHashSet[String]()
+    // same interior-token filter as rowRecord: a ''/'.' dictionary
+    // entry has no renderable ##FILTER/##INFO header line, so the
+    // reader's header-derived dictionary would misalign with the
+    // writer's indices for every entry after it
     rows.foreach { r =>
       Option(r.getString(6)).filter(f => f != "." && f.nonEmpty)
-        .foreach(_.split(";").foreach(strings += _))
+        .foreach(_.split(";").filter(t => t != "." && t.nonEmpty)
+          .foreach(strings += _))
       Option(r.getString(7)).filter(i => i != "." && i.nonEmpty)
-        .foreach(_.split(";").foreach { kv =>
-          val k = kv.split("=")(0)
-          strings += k; infoKeys += k
-        })
+        .foreach(_.split(";").filter(t => t != "." && t.nonEmpty)
+          .foreach { kv =>
+            val k = kv.split("=")(0)
+            strings += k; infoKeys += k
+          })
     }
     strings += "GT"
     val stringIdx = strings.zipWithIndex.toMap
@@ -687,37 +700,37 @@ object Bcf {
                    sampleNames: Seq[String], dir: String,
                    infoTypes: Map[String, String] = Map("AF" -> "Float"),
                    blockSize: Int = 0xff00): Unit = {
-    val src = variants.selectExpr(WriteCols: _*)
-    val tok = (c: String) => explode(split(col(c), ";")).as("t")
-    val dict = (frame: DataFrame) => frame
-      .where(col("t").isNotNull && col("t") =!= "." && col("t") =!= "")
-      .distinct().orderBy("t").collect().map(_.getString(0)).toSeq
-    val filterVals = dict(src.select(tok("filter")))
-    val infoKeys = dict(src.select(tok("info"))
-      .select(split(col("t"), "=").getItem(0).as("t")))
-    val strings = (Seq("PASS") ++ filterVals ++ infoKeys ++ Seq("GT"))
-      .distinct
-    val stringIdx = strings.zipWithIndex.toMap
-    val contigIdx = contigs.map(_._1).zipWithIndex.toMap
-    val hdr = headerBytes(strings, infoKeys.toSet.contains, contigs,
-      sampleNames, infoTypes)
-    val sc = variants.sparkSession.sparkContext
-    val hconf = new org.apache.spark.SerializableWritable(
-      new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration))
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    dirPath.getFileSystem(sc.hadoopConfiguration).mkdirs(dirPath)
-    src.rdd.foreachPartition { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val p = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.bcf")
-      val out = p.getFileSystem(hconf.value).create(p, true)
-      try {
-        val bw = new Bgzf.BlockWriter(out, blockSize)
-        bw.write(hdr)
-        it.foreach(r =>
-          bw.write(rowRecord(r, contigIdx, stringIdx, infoTypes)))
-        bw.finish()
-      } finally out.close()
-    }
+    // persisted: the frame is read three times (two dictionary passes
+    // + the write job) — without it an expensive upstream recomputes
+    // 3x, and a NONDETERMINISTIC input could surface a FILTER/INFO
+    // token in the write pass that the dictionary pass never saw
+    // (stringIdx would throw on an executor)
+    val src = variants.selectExpr(WriteCols: _*).persist()
+    try {
+      // token semantics MUST mirror rowRecord's (and write()'s): the
+      // whole cell is dropped when null/"."/"", and interior ""/"."
+      // tokens inside a kept cell are dropped too (no renderable
+      // header line can declare them, so they can't be dictionary
+      // entries — rowRecord skips encoding them for the same reason)
+      val cells = (c: String) => src.select(col(c).as("cell"))
+        .where(col("cell").isNotNull && col("cell") =!= "." &&
+          col("cell") =!= "")
+        .select(explode(split(col("cell"), ";")).as("t"))
+        .where(col("t") =!= "." && col("t") =!= "")
+      val dict = (frame: DataFrame) => frame
+        .distinct().orderBy("t").collect().map(_.getString(0)).toSeq
+      val filterVals = dict(cells("filter"))
+      val infoKeys = dict(cells("info")
+        .select(split(col("t"), "=").getItem(0).as("t")))
+      val strings = (Seq("PASS") ++ filterVals ++ infoKeys ++ Seq("GT"))
+        .distinct
+      val stringIdx = strings.zipWithIndex.toMap
+      val contigIdx = contigs.map(_._1).zipWithIndex.toMap
+      val hdr = headerBytes(strings, infoKeys.toSet.contains, contigs,
+        sampleNames, infoTypes)
+      Bgzf.writeShards(src.rdd, dir, ".bcf", hdr, blockSize)(
+        r => rowRecord(r, contigIdx, stringIdx, infoTypes))
+    } finally src.unpersist()
   }
 
   /** One GT string -> BCF ints ((allele+1)<<1 | phase-of-separator). */

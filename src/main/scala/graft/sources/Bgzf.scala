@@ -505,6 +505,57 @@ object Bgzf {
           org.apache.spark.sql.types.StringType, nullable = false))))
   }
 
+  /** Executor-side sharded-sink scaffold shared by [[Bam.writeSharded]]
+    * and [[Bcf.writeSharded]]: one complete file per input partition
+    * under `dir`, each streamed through a [[BlockWriter]] after the
+    * shared `hdr` bytes (O(blockSize) task memory). Output COMMIT is by
+    * atomic rename from an attempt-scoped temp under `_temporary/`:
+    * concurrent attempts of one partition (speculative duplicates,
+    * zombie tasks surviving a stage retry) can never interleave bytes
+    * in a final shard — exactly one attempt wins the rename, losers
+    * discard their temp; a bare `fs.create(final, overwrite)` would
+    * let two writers corrupt the shard silently. `_temporary` is a
+    * subdirectory, so directory readers (which list FILES) never see
+    * half-written temps; it is removed after the job completes.
+    */
+  private[graft] def writeShards(
+      rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+      dir: String, ext: String, hdr: Array[Byte], blockSize: Int)(
+      rowBytes: org.apache.spark.sql.Row => Array[Byte]): Unit = {
+    val sc = rows.sparkContext
+    val hconf = new org.apache.spark.SerializableWritable(
+      new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration))
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val dfs = dirPath.getFileSystem(sc.hadoopConfiguration)
+    dfs.mkdirs(new org.apache.hadoop.fs.Path(dirPath, "_temporary"))
+    rows.foreachPartition { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(hconf.value)
+      val fin = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d$ext")
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        f"_temporary/part-$pid%05d$ext.attempt-${tc.taskAttemptId()}")
+      val out = fs.create(tmp, true)
+      try {
+        val bw = new BlockWriter(out, blockSize)
+        bw.write(hdr)
+        it.foreach(r => bw.write(rowBytes(r)))
+        bw.finish()
+      } finally out.close()
+      // commit: exactly one attempt renames into place; a loser (the
+      // shard already exists — its content is identical by the
+      // write-path's determinism) discards its temp
+      if (fs.exists(fin)) fs.delete(tmp, false)
+      else if (!fs.rename(tmp, fin)) {
+        val won = fs.exists(fin)
+        fs.delete(tmp, false)
+        require(won, s"shard commit failed: $fin")
+      }
+    }
+    dfs.delete(new org.apache.hadoop.fs.Path(dirPath, "_temporary"), true)
+  }
+
   /** BGZF-compress `raw` in ≤ `blockSize` uncompressed chunks + EOF. */
   def compress(raw: Array[Byte], blockSize: Int = 0xff00): Array[Byte] = {
     val out = new ByteArrayOutputStream(raw.length / 2 + 64)

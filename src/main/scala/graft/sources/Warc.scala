@@ -230,6 +230,12 @@ object Warc {
       if ((flg & 2) != 0) h += 2 // FHCRC
       if (!truncated && h <= hdr.length) return off + h
       if (hdr.length < cap) return -1L // file ended inside the header
+      // 1 MiB ceiling: far beyond any real FNAME/FEXTRA, and crawled
+      // payload bytes are remote-controlled — an unbounded probe lets
+      // a crafted magic + long NUL-free run force ever-larger window
+      // copies per candidate offset (and cap *= 4 would eventually
+      // overflow Int)
+      if (cap >= (1 << 20)) return -1L
       cap *= 4
     }
     -1L // unreachable

@@ -259,6 +259,39 @@ class BcfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bcf.read(spark, emptyDir).count() == 1)
   }
 
+  test("malformed interior ''/'.' FILTER tokens are dropped " +
+    "consistently by BOTH writers and their dictionaries (regression: " +
+    "encoding them produced out-of-dictionary indices — no header " +
+    "line can declare an empty/'.' ID, so the reader's dictionary " +
+    "misaligned and the decode crashed)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.lit
+    val variants = Seq(
+      ("c1", 10L, "v0", "A", "G", ".", "q10;.", "AF=0.5",
+        Seq("0|1", "1|1")),
+      ("c1", 20L, "v1", "A", "T", ".", "q10;;q20", "AF=0.25",
+        Seq("0|0", "0|1")),
+      ("c1", 30L, "v2", "A", "C", ".", ".", "AF=0.75",
+        Seq("1|1", "0|0")))
+      .toDF("chrom", "pos", "id", "ref", "alt", "qual", "filter",
+        "info", "genotypes")
+    val contigs = Seq(("c1", 1000L))
+    val dir = s"$tmp/sharded-bcf-interior-tokens"
+    // the bug: this round trip crashed decoding out-of-dict indices
+    Bcf.writeSharded(variants.repartition(2), contigs,
+      Seq("S1", "S2"), dir)
+    val back = Bcf.read(spark, dir).orderBy("pos").collect()
+    assert(back.length == 3)
+    // both writers agree on the CLEANED round-tripped FILTER cells
+    val one = s"$tmp/sharded-bcf-interior-ref.bcf"
+    Bcf.write(variants, contigs, Seq("S1", "S2"), one)
+    val ref = Bcf.read(spark, one).orderBy("pos").collect()
+    assert(back.map(_.getString(6)).toSeq ==
+      ref.map(_.getString(6)).toSeq)
+    assert(back.map(_.getString(6)).toSeq == Seq("q10", "q10;q20", "."))
+  }
+
   test("readSplit accepts spec-maxima records the old plausibility " +
     "bounds rejected: positions past 2^29 (legal to 2^31-1)") {
     val s = spark
