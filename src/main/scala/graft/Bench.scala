@@ -230,31 +230,51 @@ object Bench {
     * path; their ratio is the measured value of in-file splitting.
     */
   private var vcfGzScalePath: String = null
+
+  /** Stream synthetic VCF text straight into a BGZF file through a
+    * [[graft.sources.Bgzf.BlockWriter]]: O(blockSize) driver memory at
+    * any record count. The replaced single-StringBuilder build sized
+    * its capacity with Int math (`n * 120` goes negative at the sf1
+    * replay's n≈18M) and would exceed the 2 GiB array limit anyway.
+    */
+  private def writeVcfGzStreaming(p: String)(
+      emit: (String => Unit) => Unit): Unit = {
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(p), 1 << 20)
+    try {
+      val bw = new graft.sources.Bgzf.BlockWriter(out)
+      emit(s => bw.write(
+        s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+      bw.finish()
+    } finally out.close()
+  }
+
   private def ensureSyntheticVcfGz(n: Int): String = synchronized {
     if (vcfGzScalePath != null) return vcfGzScalePath
     val p = s"${sys.props("java.io.tmpdir")}/graft-vcfgz-scale-" +
       s"${ProcessHandle.current.pid}.vcf.gz"
-    val sb = new StringBuilder(n * 120)
-    sb ++= "##fileformat=VCFv4.2\n"
-    sb ++= "##INFO=<ID=AF,Number=A,Type=Float,Description=\"AF\">\n"
-    sb ++= "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"GT\">\n"
-    sb ++= "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
-    sb ++= (1 to 20).map("S" + _).mkString("\t")
-    sb += '\n'
-    var i = 0
-    while (i < n) {
-      sb ++= s"c${i % 22 + 1}\t${i * 37 % 200000000 + 1}\tv$i\tA\t" +
-        s"${"CGT".charAt(i % 3)}\t.\tPASS\tAF=0.${i % 89 + 10}\tGT"
-      var sIdx = 0
-      while (sIdx < 20) {
-        sb ++= (if ((i * 7 + sIdx) % 2 == 0) "\t0|1" else "\t1|1")
-        sIdx += 1
+    writeVcfGzStreaming(p) { w =>
+      w("##fileformat=VCFv4.2\n")
+      w("##INFO=<ID=AF,Number=A,Type=Float,Description=\"AF\">\n")
+      w("##FORMAT=<ID=GT,Number=1,Type=String,Description=\"GT\">\n")
+      w("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" +
+        (1 to 20).map("S" + _).mkString("\t") + "\n")
+      val sb = new StringBuilder(256)
+      var i = 0
+      while (i < n) {
+        sb.setLength(0)
+        sb ++= s"c${i % 22 + 1}\t${i * 37 % 200000000 + 1}\tv$i\tA\t" +
+          s"${"CGT".charAt(i % 3)}\t.\tPASS\tAF=0.${i % 89 + 10}\tGT"
+        var sIdx = 0
+        while (sIdx < 20) {
+          sb ++= (if ((i * 7 + sIdx) % 2 == 0) "\t0|1" else "\t1|1")
+          sIdx += 1
+        }
+        sb += '\n'
+        w(sb.toString)
+        i += 1
       }
-      sb += '\n'
-      i += 1
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get(p),
-      graft.sources.Bgzf.compress(sb.toString.getBytes("US-ASCII")))
     vcfGzScalePath = p
     p
   }
@@ -270,33 +290,34 @@ object Bench {
     val p = s"${sys.props("java.io.tmpdir")}/graft-vcfgz-sorted-" +
       s"${ProcessHandle.current.pid}.vcf.gz"
     val perChrom = math.max(1, n / 22)
-    val sb = new StringBuilder(n * 120)
-    sb ++= "##fileformat=VCFv4.2\n"
-    var c = 1
-    while (c <= 22) { sb ++= s"##contig=<ID=c$c>\n"; c += 1 }
-    sb ++= "##INFO=<ID=AF,Number=A,Type=Float,Description=\"AF\">\n"
-    sb ++= "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"GT\">\n"
-    sb ++= "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
-    sb ++= (1 to 20).map("S" + _).mkString("\t")
-    sb += '\n'
-    c = 1
-    while (c <= 22) {
-      var i = 0
-      while (i < perChrom) {
-        sb ++= s"c$c\t${i * 40 + 10}\tv${c}_$i\tA\t" +
-          s"${"CGT".charAt(i % 3)}\t.\tPASS\tAF=0.${i % 89 + 10}\tGT"
-        var sIdx = 0
-        while (sIdx < 20) {
-          sb ++= (if ((i * 7 + sIdx) % 2 == 0) "\t0|1" else "\t1|1")
-          sIdx += 1
+    writeVcfGzStreaming(p) { w =>
+      w("##fileformat=VCFv4.2\n")
+      var c = 1
+      while (c <= 22) { w(s"##contig=<ID=c$c>\n"); c += 1 }
+      w("##INFO=<ID=AF,Number=A,Type=Float,Description=\"AF\">\n")
+      w("##FORMAT=<ID=GT,Number=1,Type=String,Description=\"GT\">\n")
+      w("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" +
+        (1 to 20).map("S" + _).mkString("\t") + "\n")
+      val sb = new StringBuilder(256)
+      c = 1
+      while (c <= 22) {
+        var i = 0
+        while (i < perChrom) {
+          sb.setLength(0)
+          sb ++= s"c$c\t${i * 40 + 10}\tv${c}_$i\tA\t" +
+            s"${"CGT".charAt(i % 3)}\t.\tPASS\tAF=0.${i % 89 + 10}\tGT"
+          var sIdx = 0
+          while (sIdx < 20) {
+            sb ++= (if ((i * 7 + sIdx) % 2 == 0) "\t0|1" else "\t1|1")
+            sIdx += 1
+          }
+          sb += '\n'
+          w(sb.toString)
+          i += 1
         }
-        sb += '\n'
-        i += 1
+        c += 1
       }
-      c += 1
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get(p),
-      graft.sources.Bgzf.compress(sb.toString.getBytes("US-ASCII")))
     sortedVcfGzPath = p
     p
   }

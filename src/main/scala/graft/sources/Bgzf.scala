@@ -517,6 +517,13 @@ object Bgzf {
     * let two writers corrupt the shard silently. `_temporary` is a
     * subdirectory, so directory readers (which list FILES) never see
     * half-written temps; it is removed after the job completes.
+    *
+    * Re-runs OVERWRITE: any `part-*ext` shard already in `dir` is a
+    * leftover of a PREVIOUS job and is deleted driver-side before the
+    * write starts, so the executor-side exists-check below only ever
+    * sees a sibling attempt of THIS job (whose content is identical by
+    * the write path's determinism) — keeping the rename-race protection
+    * without letting stale shards from an earlier run win.
     */
   private[graft] def writeShards(
       rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
@@ -527,6 +534,12 @@ object Bgzf {
       new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration))
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val dfs = dirPath.getFileSystem(sc.hadoopConfiguration)
+    if (dfs.exists(dirPath))
+      dfs.listStatus(dirPath).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && n.startsWith("part-") && n.endsWith(ext))
+          dfs.delete(st.getPath, false)
+      }
     dfs.mkdirs(new org.apache.hadoop.fs.Path(dirPath, "_temporary"))
     rows.foreachPartition { it =>
       val tc = org.apache.spark.TaskContext.get()

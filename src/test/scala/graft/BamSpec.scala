@@ -227,6 +227,24 @@ class BamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bam.read(spark, emptyDir).count() == 1)
   }
 
+  test("writeSharded into an existing directory OVERWRITES: prior-job " +
+    "shards (different content AND higher partition ids) are deleted, " +
+    "not silently kept by the commit's exists-check") {
+    val src = Sam.read(spark, samPath)
+    val dir = s"$tmp/sharded-rerun"
+    Bam.writeSharded(src.repartition(5), refs, dir)
+    assert(Bam.read(spark, dir).count() == src.count())
+    // re-run with FEWER rows and FEWER shards: both the changed bytes
+    // of part-00000/1 and the stale part-00002..4 must go
+    val subset = src.limit(2)
+    Bam.writeSharded(subset.repartition(2), refs, dir)
+    val shards = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(shards.toSeq == Seq("part-00000.bam", "part-00001.bam"),
+      shards.mkString(","))
+    assert(Bam.read(spark, dir).count() == 2)
+  }
+
   test("readSplit accepts spec-maxima records the old plausibility " +
     "bounds rejected: 200-char qnames, positions past 2^29 — a bound " +
     "tighter than the spec silently empties the range") {
