@@ -42,6 +42,18 @@ object Genomic {
       .select(concat_ws(":", col("id"), col("alt")).as("varId"),
         col("chrom"), col("pos"), col("sample"), col("gt"))
 
+  /** The g58 target panel: 12 regions over the sorted region fixture —
+    * (1,22-25)/(1,23-31) overlap so their byte windows must merge,
+    * (1,45-55) needs the 24-bp spanning REF, (1,500-600) and (X,1-5)
+    * are empty. Interpolated into BOTH the gate call and its oracle SQL
+    * so the two sides cannot desynchronize.
+    */
+  private[graft] val regionPanel: Seq[(String, Long, Long)] = Seq(
+    ("1", 10L, 14L), ("1", 19L, 20L), ("1", 22L, 25L), ("1", 23L, 31L),
+    ("1", 45L, 55L), ("1", 60L, 70L), ("1", 140L, 160L),
+    ("1", 500L, 600L), ("X", 25L, 35L), ("X", 70L, 80L),
+    ("X", 105L, 120L), ("X", 1L, 5L))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // genotypes stringified: the driver's pandas canonicalization cannot
     // sort array-typed columns (round-2 gate failure), so both sides emit
@@ -150,6 +162,52 @@ object Genomic {
       // TEXT parse with the identical overlap predicate.
       graft.sources.Bam.readRegion(s,
         GenomicFixtures.regionBamPath(s), "1", 25L, 70L)
+    }),
+
+    "g57_region_dir_vcf" -> ((s, _) => {
+      // the g50 region read against a per-chromosome sharded DIRECTORY
+      // (the layout cohort VCFs actually ship in — the reference
+      // Snakefile's per-chrom inputs): each self-describing sorted
+      // shard bisects independently, the no-hit chrX shard prunes to
+      // (at most) a floor-sized window, and the union must equal the
+      // same independent TEXT-parse oracle as g50.
+      prep(s)
+      Vcf.readRegion(s, GenomicFixtures.regionVcfShardedDir,
+        "1", 45L, 55L)
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
+    }),
+
+    "g57b_region_dir_bcf" -> ((s, _) => {
+      // region read of the repo's OWN writeSharded BCF layout: 3
+      // executor-written shards, each internally sorted (range
+      // partitioning), bisected per shard and unioned — the
+      // composition a real fleet hits first. Oracle = the independent
+      // float-normalized TEXT parse with the identical predicate.
+      prep(s)
+      graft.sources.Bcf.readRegion(s,
+        GenomicFixtures.regionBcfShardedDir(s), "1", 45L, 55L)
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
+    }),
+
+    "g57c_region_dir_bam" -> ((s, _) => {
+      // samtools-view overlap semantics over the repo's own 3-shard
+      // writeSharded BAM directory, each shard internally samtools-
+      // sorted (unmapped last). Oracle = the independent TEXT parse
+      // with the identical overlap predicate.
+      graft.sources.Bam.readRegion(s,
+        GenomicFixtures.regionBamShardedDir(s), "1", 25L, 70L)
+    }),
+
+    "g58_region_panel" -> ((s, _) => {
+      // multi-region (target-panel) read: 12 regions in one call —
+      // adjacent/overlapping windows that must merge ((1,22-25) and
+      // (1,23-31)), the 24-bp-REF spanning record, whole-chrom-distant
+      // slices, chrX regions and two empty regions — against the
+      // independent TEXT parse under the OR of the same 12 overlap
+      // predicates.
+      prep(s)
+      Vcf.readRegions(s, GenomicFixtures.regionVcfGzPath, regionPanel)
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
     }),
 
     "v2_vcf_norm" -> ((s, _) => {
@@ -3179,6 +3237,36 @@ object Genomic {
          |SELECT * FROM t
          |WHERE rname = '1' AND pos <= 70
          |  AND coalesce(ref_end, pos) >= 25""".stripMargin,
+
+    // g57*: the same independent TEXT-parse oracles as g50/g50b/g50c —
+    // the gates read per-chrom shards / the repo's own writeSharded
+    // directories instead of one file, and must land on identical rows
+    "g57_region_dir_vcf" ->
+      s"""WITH t AS ($v1Sql)
+         |SELECT * FROM t
+         |WHERE chrom = '1' AND pos <= 55
+         |  AND pos + length(ref) - 1 >= 45""".stripMargin,
+
+    "g57b_region_dir_bcf" ->
+      s"""WITH t AS ($bcf1Sql)
+         |SELECT * FROM t
+         |WHERE chrom = '1' AND pos <= 55
+         |  AND pos + length(ref) - 1 >= 45""".stripMargin,
+
+    "g57c_region_dir_bam" ->
+      s"""WITH t AS ($sam1Sql)
+         |SELECT * FROM t
+         |WHERE rname = '1' AND pos <= 70
+         |  AND coalesce(ref_end, pos) >= 25""".stripMargin,
+
+    // the OR of the 12 panel predicates, generated from the SAME
+    // regionPanel value the gate passes to readRegions
+    "g58_region_panel" ->
+      s"""WITH t AS ($v1Sql)
+         |SELECT * FROM t
+         |WHERE ${regionPanel.map { case (c, a, b) =>
+               s"(chrom = '$c' AND pos <= $b AND pos + length(ref) - 1 >= $a)"
+             }.mkString("\n   OR ")}""".stripMargin,
 
     // v10: identical contract to v9 — the splittable reader must
     // produce byte-identical rows to the text parse, from many forced

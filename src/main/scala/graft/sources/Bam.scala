@@ -172,61 +172,118 @@ object Bam {
     */
   def readRegion(spark: SparkSession, path: String, chrom: String,
                  start: Long, end: Long, maxSpan: Long = 1L << 20,
-                 splitSize: Long = 32L << 20): DataFrame = {
+                 splitSize: Long = 32L << 20): DataFrame =
+    readRegions(spark, path, Seq((chrom, start, end)), maxSpan,
+      splitSize)
+
+  /** Multi-region (target-panel) BAM read over single files,
+    * directories and globs — the [[Vcf.readRegions]] contract under
+    * `samtools view` overlap semantics, including the repo's own
+    * [[writeSharded]] layout: every shard is self-describing (full
+    * header + dictionary) and independently sorted, so each bisects on
+    * its own and the merged byte windows read in one distributed scan.
+    * A chrom absent from a file's dictionary cannot appear in its
+    * records — that (file, region) pair is skipped exactly, no scan.
+    * Sortedness contract per shard = samtools sort (dictionary rank,
+    * then pos, unmapped last — unmapped probes rank +inf so a region
+    * query never returns them).
+    */
+  def readRegions(spark: SparkSession, path: String,
+                  regions: Seq[(String, Long, Long)],
+                  maxSpan: Long = 1L << 20,
+                  splitSize: Long = 32L << 20): DataFrame = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    require(st.isFile, s"region read wants a single file: $path")
-    val len = st.getLen
-    val in0 = fs.open(p)
-    val refs =
-      try headerCursor(in0, len)._2
-      finally { try in0.close() catch { case _: java.io.IOException => } }
-    val rank = refs.indexOf(chrom)
-    if (rank < 0)
+    require(regions.nonEmpty, "readRegions wants at least one region")
+    val plan = regionPlan(spark, path, regions, maxSpan)
+    if (!plan.windows.exists(w => w.toByte > w.fromByte))
       return Sam.decorate(spark.emptyDataset[BamRec].toDF())
+    val inAny = regions.map { case (chrom, start, end) =>
+      col("rname") === chrom && col("pos") <= end &&
+        coalesce(col("ref_end"), col("pos")) >= start
+    }.reduce(_ || _)
+    val recs = Bgzf.scanWindows(spark, plan.windows, splitSize)(
+      (in, r) => splitRangeRecords(in, r.start, r.end, r.len))
+    Sam.decorate(recs.toDS().toDF()).where(inAny)
+  }
+
+  /** [[readRegions]] with the panel carried as an interval FRAME (the
+    * [[Bed.toIntervals]] shape) — the [[Vcf.readPanel]] contract under
+    * samtools overlap semantics.
+    */
+  def readPanel(spark: SparkSession, path: String, panel: DataFrame,
+                maxSpan: Long = 1L << 20, splitSize: Long = 32L << 20,
+                maxRegions: Int = 100000): DataFrame =
+    readRegions(spark, path, Vcf.collectPanel(panel, maxRegions),
+      maxSpan, splitSize)
+
+  /** Driver-side byte plan of [[readRegions]]: per (file, region)
+    * bisected windows, merged per file. Package-visible for the probe-
+    * count/window-size spec pins.
+    */
+  private[graft] def regionPlan(spark: SparkSession, path: String,
+                                regions: Seq[(String, Long, Long)],
+                                maxSpan: Long): Vcf.RegionPlan = {
     // positions are int32: clamp so a caller's "to end of chrom"
     // end = Long.MaxValue can't bleed into the rank bits or wrap the
     // upper search target
     val maxPos = Int.MaxValue.toLong
-    val lo = math.max(1L, math.min(start - maxSpan, maxPos))
-    val hi = math.max(0L, math.min(end, maxPos))
     def key(r: Long, pos1: Long) = (r << 32) | (pos1 & 0xffffffffL)
-    // one shared positioned-read handle for the whole driver-side
-    // search; neither lambda closes it
-    val sin = fs.open(p)
-    val w = try {
-      def probe(m: Long): Long = {
-        val cur = new Bgzf.MemberCursor(sin, len, m)
-        var aligned = false
-        while (!aligned && cur.ensure(36)) {
-          if (plausibleChain(cur, refs.length, 4)) aligned = true
-          else cur.drop(1)
-        }
-        if (!aligned || !cur.ensure(12)) Long.MaxValue
-        else {
-          val refId = cur.le32(4)
-          // unmapped (refID -1) sorts after every mapped read
-          // (samtools sort); rank it +inf — the raw bit-packing would
-          // produce a NEGATIVE key and corrupt the bisection on any
-          // sorted BAM whose unmapped tail the search probes
-          if (refId < 0) Long.MaxValue
-          else key(refId.toLong,
-            math.max(0L, math.min(cur.le32(8).toLong + 1L, maxPos)))
+    val windows = Seq.newBuilder[Bgzf.FileWindow]
+    var probes = 0
+    Bgzf.resolveFiles(spark, path).foreach { case (fp, len) =>
+      val p = new org.apache.hadoop.fs.Path(fp)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in0 = fs.open(p)
+      val refs =
+        try headerCursor(in0, len)._2
+        finally { try in0.close() catch { case _: java.io.IOException => } }
+      // regions whose chrom THIS file's dictionary ranks; the rest are
+      // dictionary-closed empty for this file
+      val ranked = regions.flatMap { case (chrom, start, end) =>
+        val r = refs.indexOf(chrom)
+        if (r < 0) None else Some((r, start, end))
+      }
+      if (ranked.nonEmpty) {
+        // one shared positioned-read handle for every search of this
+        // file; neither lambda closes it
+        val sin = fs.open(p)
+        try {
+          def probe(m: Long): Long = {
+            val cur = new Bgzf.MemberCursor(sin, len, m)
+            var aligned = false
+            while (!aligned && cur.ensure(36)) {
+              if (plausibleChain(cur, refs.length, 4)) aligned = true
+              else cur.drop(1)
+            }
+            if (!aligned || !cur.ensure(12)) Long.MaxValue
+            else {
+              val refId = cur.le32(4)
+              // unmapped (refID -1) sorts after every mapped read
+              // (samtools sort); rank it +inf — the raw bit-packing
+              // would produce a NEGATIVE key and corrupt the bisection
+              // on any sorted BAM whose unmapped tail the search probes
+              if (refId < 0) Long.MaxValue
+              else key(refId.toLong,
+                math.max(0L, math.min(cur.le32(8).toLong + 1L, maxPos)))
+            }
+          }
+          ranked.foreach { case (rank, start, end) =>
+            val lo = math.max(1L, math.min(start - maxSpan, maxPos))
+            val hi = math.max(0L, math.min(end, maxPos))
+            val w = Bgzf.searchWindow(len,
+              mid => Bgzf.firstMemberIn(sin, mid, len, len), probe,
+              key(rank.toLong, lo), key(rank.toLong, hi))
+            probes += w.probes
+            windows += Bgzf.FileWindow(fp, len, w.fromByte, w.toByte,
+              w.probes)
+          }
+        } finally {
+          try sin.close() catch { case _: java.io.IOException => }
         }
       }
-      Bgzf.searchWindow(len,
-        mid => Bgzf.firstMemberIn(sin, mid, len, len), probe,
-        key(rank.toLong, lo), key(rank.toLong, hi))
-    } finally {
-      try sin.close() catch { case _: java.io.IOException => }
     }
-    val recs = Bgzf.scanWindow(spark, path, w.fromByte, w.toByte,
-      splitSize)((in, s, e, l) => splitRangeRecords(in, s, e, l))
-    Sam.decorate(recs.toDS().toDF())
-      .where(col("rname") === chrom && col("pos") <= end &&
-        coalesce(col("ref_end"), col("pos")) >= start)
+    Vcf.RegionPlan(Bgzf.mergeWindows(windows.result()), Seq.empty,
+      probes)
   }
 
   private def splitRangeRecords(

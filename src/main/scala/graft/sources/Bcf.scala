@@ -237,59 +237,120 @@ object Bcf {
                  start: Long, end: Long,
                  afFields: Seq[String] = Vcf.defaultAfFields,
                  splitSize: Long = 32L << 20,
-                 maxSpan: Long = 10000L): DataFrame = {
+                 maxSpan: Long = 10000L): DataFrame =
+    readRegions(spark, path, Seq((chrom, start, end)), afFields,
+      splitSize, maxSpan)
+
+  /** Multi-region (target-panel) BCF read over single files,
+    * directories and globs — the [[Vcf.readRegions]] contract on the
+    * binary container, including the repo's own [[writeSharded]]
+    * layout: every shard is self-describing (full header) and
+    * independently sorted, so each bisects on its own and the merged
+    * byte windows read in one distributed scan. A chrom absent from a
+    * file's contig dictionary CANNOT appear in that file's records
+    * (records reference contigs by index), so that (file, region) pair
+    * is skipped exactly — never scanned; there is no full-scan fallback
+    * class here because the dictionary is closed. Sortedness contract
+    * per shard = bcftools sort order (contig dictionary rank, then
+    * pos); re-filtering on the parsed columns under bcftools `-r`
+    * OVERLAP semantics (rlen ~ length(ref), `maxSpan` back-off) makes
+    * the window overhang invisible.
+    */
+  def readRegions(spark: SparkSession, path: String,
+                  regions: Seq[(String, Long, Long)],
+                  afFields: Seq[String] = Vcf.defaultAfFields,
+                  splitSize: Long = 32L << 20,
+                  maxSpan: Long = 10000L): DataFrame = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    require(st.isFile, s"region read wants a single file: $path")
-    val len = st.getLen
-    val in0 = fs.open(p)
-    val (_, contigs, _, nSamples) =
-      try headerCursor(in0, len)
-      finally { try in0.close() catch { case _: java.io.IOException => } }
-    val rank = contigs.indexOf(chrom)
-    if (rank < 0)
+    require(regions.nonEmpty, "readRegions wants at least one region")
+    val plan = regionPlan(spark, path, regions, maxSpan)
+    if (!plan.windows.exists(w => w.toByte > w.fromByte))
       return spark.emptyDataset[BcfRec].toDF()
         .withColumn("af", lit(null).cast("string"))
-    // bcftools `-r` OVERLAP semantics + int32 clamping, exactly as in
-    // [[Vcf.readRegion]] (rlen approximated by length(ref))
-    val inRegion = col("chrom") === chrom && col("pos") <= end &&
-      col("pos") + length(col("ref")) - 1 >= start
-    val maxPos = Int.MaxValue.toLong
-    val lo = math.max(1L, math.min(start - maxSpan, maxPos))
-    val hi = math.max(0L, math.min(end, maxPos))
-    // one shared positioned-read handle for the whole driver-side
-    // search; neither lambda closes it
-    val sin = fs.open(p)
-    val w = try {
-      // first owned record key at member `m`: byte-scan alignment from
-      // the member's first byte (the readSplit ownership rule), then
-      // the record prologue's (chrom-index, 1-based pos)
-      def probe(m: Long): Long = {
-        val cur = new Bgzf.MemberCursor(sin, len, m)
-        var aligned = false
-        while (!aligned && cur.ensure(32)) {
-          if (plausibleChain(cur, contigs.length, nSamples, 4))
-            aligned = true
-          else cur.drop(1)
-        }
-        if (!aligned || !cur.ensure(16)) Long.MaxValue
-        else (cur.le32(8).toLong << 32) |
-          math.max(0L, math.min(cur.le32(12).toLong + 1L, maxPos))
-      }
-      Bgzf.searchWindow(len,
-        mid => Bgzf.firstMemberIn(sin, mid, len, len), probe,
-        (rank.toLong << 32) | lo, (rank.toLong << 32) | hi)
-    } finally {
-      try sin.close() catch { case _: java.io.IOException => }
-    }
-    val recs = Bgzf.scanWindow(spark, path, w.fromByte, w.toByte,
-      splitSize)((in, s, e, l) => splitRangeRecords(in, s, e, l))
+    val inAny = regions.map { case (chrom, start, end) =>
+      col("chrom") === chrom && col("pos") <= end &&
+        col("pos") + length(col("ref")) - 1 >= start
+    }.reduce(_ || _)
+    val recs = Bgzf.scanWindows(spark, plan.windows, splitSize)(
+      (in, r) => splitRangeRecords(in, r.start, r.end, r.len))
     recs.toDS().toDF()
       .withColumn("af",
         coalesce(afFields.map(k => Vcf.infoField(col("info"), k)): _*))
-      .where(inRegion)
+      .where(inAny)
+  }
+
+  /** [[readRegions]] with the panel carried as an interval FRAME (the
+    * [[Bed.toIntervals]] shape) — the [[Vcf.readPanel]] contract on the
+    * binary container.
+    */
+  def readPanel(spark: SparkSession, path: String, panel: DataFrame,
+                afFields: Seq[String] = Vcf.defaultAfFields,
+                splitSize: Long = 32L << 20, maxSpan: Long = 10000L,
+                maxRegions: Int = 100000): DataFrame =
+    readRegions(spark, path, Vcf.collectPanel(panel, maxRegions),
+      afFields, splitSize, maxSpan)
+
+  /** Driver-side byte plan of [[readRegions]]: per (file, region)
+    * bisected windows, merged per file. Package-visible for the probe-
+    * count/window-size spec pins.
+    */
+  private[graft] def regionPlan(spark: SparkSession, path: String,
+                                regions: Seq[(String, Long, Long)],
+                                maxSpan: Long): Vcf.RegionPlan = {
+    val maxPos = Int.MaxValue.toLong
+    val windows = Seq.newBuilder[Bgzf.FileWindow]
+    var probes = 0
+    Bgzf.resolveFiles(spark, path).foreach { case (fp, len) =>
+      val p = new org.apache.hadoop.fs.Path(fp)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in0 = fs.open(p)
+      val (_, contigs, _, nSamples) =
+        try headerCursor(in0, len)
+        finally { try in0.close() catch { case _: java.io.IOException => } }
+      // regions whose chrom THIS file's dictionary ranks; the rest are
+      // dictionary-closed empty for this file
+      val ranked = regions.flatMap { case (chrom, start, end) =>
+        val r = contigs.indexOf(chrom)
+        if (r < 0) None else Some((r, start, end))
+      }
+      if (ranked.nonEmpty) {
+        // one shared positioned-read handle for every search of this
+        // file; neither lambda closes it
+        val sin = fs.open(p)
+        try {
+          // first owned record key at member `m`: byte-scan alignment
+          // from the member's first byte (the readSplit ownership
+          // rule), then the record prologue's (chrom-index, 1-based
+          // pos)
+          def probe(m: Long): Long = {
+            val cur = new Bgzf.MemberCursor(sin, len, m)
+            var aligned = false
+            while (!aligned && cur.ensure(32)) {
+              if (plausibleChain(cur, contigs.length, nSamples, 4))
+                aligned = true
+              else cur.drop(1)
+            }
+            if (!aligned || !cur.ensure(16)) Long.MaxValue
+            else (cur.le32(8).toLong << 32) |
+              math.max(0L, math.min(cur.le32(12).toLong + 1L, maxPos))
+          }
+          ranked.foreach { case (rank, start, end) =>
+            val lo = math.max(1L, math.min(start - maxSpan, maxPos))
+            val hi = math.max(0L, math.min(end, maxPos))
+            val w = Bgzf.searchWindow(len,
+              mid => Bgzf.firstMemberIn(sin, mid, len, len), probe,
+              (rank.toLong << 32) | lo, (rank.toLong << 32) | hi)
+            probes += w.probes
+            windows += Bgzf.FileWindow(fp, len, w.fromByte, w.toByte,
+              w.probes)
+          }
+        } finally {
+          try sin.close() catch { case _: java.io.IOException => }
+        }
+      }
+    }
+    Vcf.RegionPlan(Bgzf.mergeWindows(windows.result()), Seq.empty,
+      probes)
   }
 
   /** Sample names from the `#CHROM` line of the embedded header text —

@@ -75,8 +75,13 @@ object Bgzf {
     ((b(i + 16) & 0xff) | ((b(i + 17) & 0xff) << 8)) + 1
 
   /** One task's byte range of one file. */
-  private case class Range(path: String, start: Long, end: Long,
-                           len: Long)
+  private[sources] case class Range(path: String, start: Long, end: Long,
+                                    len: Long)
+
+  /** [[rangeLines]] for sibling sources ([[Vcf.readRegions]]). */
+  private[sources] def rangeLinesOf(
+      in: org.apache.hadoop.fs.FSDataInputStream,
+      r: Range): Iterator[String] = rangeLines(in, r)
 
   /** Inflate one whole member (header+deflate+trailer bytes). */
   private def inflateMember(m: Array[Byte]): Array[Byte] =
@@ -104,34 +109,39 @@ object Bgzf {
   def readLines(spark: SparkSession, path: String,
                 splitSize: Long = 32L << 20): DataFrame = {
     val sc = spark.sparkContext
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(sc.hadoopConfiguration)
-    val files = (fs.globStatus(p) match {
-      case null | Array() => Array(fs.getFileStatus(p))
-      case hits => hits
-    }).flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
-      else Array(st)
-    }
-    val ranges = files.flatMap { st =>
-      val len = st.getLen
+    val ranges = resolveFiles(spark, path).flatMap { case (fp, len) =>
       val n = math.max(1L, (len + splitSize - 1) / splitSize)
-      (0L until n).map(i => Range(st.getPath.toString, i * splitSize,
+      (0L until n).map(i => Range(fp, i * splitSize,
         math.min((i + 1) * splitSize, len), len))
-    }.toSeq
+    }
     val hconf = new org.apache.spark.SerializableWritable(
       new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration))
-    val lines = sc.parallelize(ranges, math.max(1, ranges.size))
+    linesDf(spark, sc.parallelize(ranges, math.max(1, ranges.size))
       .flatMap { r =>
         val rp = new org.apache.hadoop.fs.Path(r.path)
         val in = rp.getFileSystem(hconf.value).open(rp)
         closeOnTaskEnd(in)
         rangeLines(in, r)
-      }
-    spark.createDataFrame(lines.map(org.apache.spark.sql.Row(_)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.StringType, nullable = false))))
+      })
+  }
+
+  /** Expand a path/glob/directory into its member FILES (one level —
+    * the [[readLines]]/[[Bcf.readSplit]]/[[Bam.readSplit]] rule) as
+    * (path, length) pairs, sorted by path for deterministic planning.
+    * A single-file path resolves to itself; a missing path throws.
+    */
+  private[sources] def resolveFiles(spark: SparkSession,
+                                    path: String): Seq[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs.globStatus(p) match {
+      case null | Array() => Array(fs.getFileStatus(p))
+      case hits => hits
+    }).flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      else Array(st)
+    }.map(st => (st.getPath.toString, st.getLen))
+      .sortBy(_._1).toSeq
   }
 
   /** Close `in` at task completion regardless of whether the per-range
@@ -417,33 +427,62 @@ object Bgzf {
     finally { try in.close() catch { case _: java.io.IOException => } }
   }
 
-  /** Tile the byte window [fromByte, toByte) of `path` into `splitSize`
-    * ranges and run `f(in, start, end, fileLen)` per range on the
-    * executors, the stream closed at task completion regardless of
-    * consumption — the shared emission scaffold of [[readLinesRegion]]
-    * and the Bam/Bcf region reads.
+  /** One file's pruned byte window — the planning unit of the multi-
+    * file/multi-region reads: `[fromByte, toByte)` of `path`, plus how
+    * many members the binary search(es) inflated to find it (the
+    * O(log n) the specs pin). Shards of a sorted sharded layout each
+    * get their own windows; [[mergeWindows]] coalesces overlaps.
     */
-  private[graft] def scanWindow[T](spark: SparkSession, path: String,
-      fromByte: Long, toByte: Long, splitSize: Long)(
-      f: (org.apache.hadoop.fs.FSDataInputStream, Long, Long, Long) =>
+  private[graft] case class FileWindow(path: String, fileLen: Long,
+                                       fromByte: Long, toByte: Long,
+                                       probes: Int)
+
+  /** Coalesce overlapping/adjacent windows per file so every byte reads
+    * at most once — a multi-region panel whose regions' windows touch
+    * (or whose searches bottom out on the same 128 KiB floor) scans one
+    * merged window, not N copies. Probe counts sum through merges, so
+    * the plan's total stays honest for the O(regions · log n) asserts.
+    */
+  private[graft] def mergeWindows(ws: Seq[FileWindow]): Seq[FileWindow] =
+    ws.groupBy(_.path).toSeq.sortBy(_._1).flatMap { case (_, group) =>
+      group.sortBy(w => (w.fromByte, w.toByte))
+        .foldLeft(List.empty[FileWindow]) { (acc, w) =>
+          acc match {
+            case cur :: rest if w.fromByte <= cur.toByte =>
+              cur.copy(toByte = math.max(cur.toByte, w.toByte),
+                probes = cur.probes + w.probes) :: rest
+            case _ => w :: acc
+          }
+        }.reverse
+    }
+
+  /** Tile each window's `[fromByte, toByte)` of its file into
+    * `splitSize` ranges and run `f(in, start, end, fileLen)` per range
+    * on the executors, the stream closed at task completion regardless
+    * of consumption — the shared emission scaffold of
+    * [[readLinesRegion]] and the Bam/Bcf region reads. Zero-span
+    * windows are skipped.
+    */
+  private[graft] def scanWindows[T](spark: SparkSession,
+      windows: Seq[FileWindow], splitSize: Long)(
+      f: (org.apache.hadoop.fs.FSDataInputStream, Range) =>
         Iterator[T])(implicit ct: scala.reflect.ClassTag[T])
     : org.apache.spark.rdd.RDD[T] = {
     val sc = spark.sparkContext
-    val p = new org.apache.hadoop.fs.Path(path)
-    val len = p.getFileSystem(sc.hadoopConfiguration)
-      .getFileStatus(p).getLen
-    val span = toByte - fromByte
-    val n = math.max(1L, (span + splitSize - 1) / splitSize)
-    val ranges = (0L until n).map(i => Range(path,
-      fromByte + i * splitSize,
-      math.min(fromByte + (i + 1) * splitSize, toByte), len))
+    val ranges = windows.filter(w => w.toByte > w.fromByte).flatMap { w =>
+      val span = w.toByte - w.fromByte
+      val n = math.max(1L, (span + splitSize - 1) / splitSize)
+      (0L until n).map(i => Range(w.path,
+        w.fromByte + i * splitSize,
+        math.min(w.fromByte + (i + 1) * splitSize, w.toByte), w.fileLen))
+    }
     val hconf = new org.apache.spark.SerializableWritable(
       new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration))
     sc.parallelize(ranges, math.max(1, ranges.size)).flatMap { r =>
       val rp = new org.apache.hadoop.fs.Path(r.path)
       val in = rp.getFileSystem(hconf.value).open(rp)
       closeOnTaskEnd(in)
-      f(in, r.start, r.end, r.len)
+      f(in, r)
     }
   }
 
@@ -496,14 +535,24 @@ object Bgzf {
                       keyOf: String => Option[Long],
                       fromKey: Long, toKey: Long,
                       splitSize: Long = 32L << 20): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val len = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getLen
     val w = regionWindow(spark, path, keyOf, fromKey, toKey)
-    val lines = scanWindow(spark, path, w.fromByte, w.toByte, splitSize)(
-      (in, s, e, l) => rangeLines(in, Range(path, s, e, l)))
+    linesDf(spark, scanWindows(spark,
+      Seq(FileWindow(path, len, w.fromByte, w.toByte, w.probes)),
+      splitSize)((in, r) => rangeLines(in, r)))
+  }
+
+  /** Wrap an RDD of raw lines in the `spark.read.text` single-`value`
+    * shape every text parser here consumes.
+    */
+  private[sources] def linesDf(spark: SparkSession,
+      lines: org.apache.spark.rdd.RDD[String]): DataFrame =
     spark.createDataFrame(lines.map(org.apache.spark.sql.Row(_)),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("value",
           org.apache.spark.sql.types.StringType, nullable = false))))
-  }
 
   /** Executor-side sharded-sink scaffold shared by [[Bam.writeSharded]]
     * and [[Bcf.writeSharded]]: one complete file per input partition

@@ -82,34 +82,122 @@ object Vcf {
                  start: Long, end: Long,
                  afFields: Seq[String] = defaultAfFields,
                  splitSize: Long = 32L << 20,
-                 maxSpan: Long = 10000L): DataFrame = {
-    // bcftools `-r` OVERLAP semantics: a record whose REF allele spans
-    // into the region belongs to it (rlen approximated as length(ref);
-    // symbolic ALTs whose true END lives in INFO rank by their REF
-    // base only — documented divergence). The lower search target
-    // backs off by maxSpan so records starting up to maxSpan before
-    // the region are still inside the window; REF alleles longer than
-    // maxSpan may be missed (the .bai-linear-index coarseness class).
-    val inRegion = col("chrom") === chrom && col("pos") <= end &&
-      col("pos") + length(col("ref")) - 1 >= start
-    def fullScan() =
-      readAuto(spark, path, afFields, bgzfSplitThreshold = 0L)
-        .where(inRegion)
-    // plain .vcf / non-BGZF gzip / globs have no member chain to
-    // bisect, and an unranked chrom can't be ordered against the data:
-    // full (splittable where possible) scan + filter, always correct
-    if (!Bgzf.isBgzfOver(spark, path, 0L)) return fullScan()
-    val ranks = contigRanks(spark, path)
-    ranks.get(chrom) match {
-      case None => fullScan()
-      case Some(r) =>
-        // positions are int32 in every container: clamp so the packed
-        // key's rank bits can't be bled into (a caller's "to end of
-        // chrom" end = Long.MaxValue must not wrap toKey + 1)
-        val maxPos = Int.MaxValue.toLong
-        val lo = math.max(1L, math.min(start - maxSpan, maxPos))
-        val hi = math.max(0L, math.min(end, maxPos))
-        def key(rank: Int, pos: Long) = (rank.toLong << 32) | pos
+                 maxSpan: Long = 10000L): DataFrame =
+    readRegions(spark, path, Seq((chrom, start, end)), afFields,
+      splitSize, maxSpan)
+
+  /** Multi-region (target-panel) read: [[readRegion]] generalized to a
+    * region LIST and to sharded layouts — directories, globs, and the
+    * per-chromosome shard fleets cohort VCFs actually ship as (the
+    * reference pipeline's Snakefile hand-feeds exactly that layout).
+    * Every file bisects independently per region (shards are
+    * self-describing and independently sorted — the tabix-per-shard
+    * model), overlapping/adjacent byte windows merge so no byte reads
+    * twice ([[Bgzf.mergeWindows]]), and one distributed scan reads all
+    * merged windows. Files the bisection contract can't rank (plain
+    * text, non-BGZF gzip, headers without `##contig` lines, or a
+    * queried chrom the header doesn't declare) fall back to a full
+    * (splittable where the container allows) scan of THAT file only —
+    * always correct, just not pruned. Rows are re-filtered on the
+    * parsed columns under bcftools `-r` OVERLAP semantics: a record
+    * whose REF allele spans into any region belongs to it (rlen
+    * approximated as length(ref); symbolic ALTs whose true END lives in
+    * INFO rank by their REF base only — documented divergence). The
+    * lower search target backs off by `maxSpan`, so REF alleles longer
+    * than it may be missed (the .bai-linear-index coarseness class).
+    *
+    * Driver cost: O(files · regions · log fileLen) sequential probe
+    * reads — a 100-region panel over a 1000-shard fleet is ~1M tiny
+    * positioned reads at worst; callers with panels that dense should
+    * pre-prune the shard list by naming convention. Executor cost: the
+    * merged windows only.
+    */
+  def readRegions(spark: SparkSession, path: String,
+                  regions: Seq[(String, Long, Long)],
+                  afFields: Seq[String] = defaultAfFields,
+                  splitSize: Long = 32L << 20,
+                  maxSpan: Long = 10000L): DataFrame = {
+    require(regions.nonEmpty, "readRegions wants at least one region")
+    if (path.endsWith(".bcf"))
+      return Bcf.readRegions(spark, path, regions, afFields, splitSize,
+        maxSpan)
+    val inAny = regions.map { case (chrom, start, end) =>
+      col("chrom") === chrom && col("pos") <= end &&
+        col("pos") + length(col("ref")) - 1 >= start
+    }.reduce(_ || _)
+    val plan = regionPlan(spark, path, regions, maxSpan)
+    val windowLines =
+      if (plan.windows.exists(w => w.toByte > w.fromByte))
+        Some(Bgzf.linesDf(spark, Bgzf.scanWindows(spark, plan.windows,
+          splitSize)((in, r) => Bgzf.rangeLinesOf(in, r))))
+      else None
+    val fullLines = plan.fullScan.map { fp =>
+      if (Bgzf.isBgzfOver(spark, fp, 0L))
+        Bgzf.readLines(spark, fp, splitSize)
+      else spark.read.text(fp)
+    }
+    val lines = (windowLines.toSeq ++ fullLines)
+      .reduceOption(_.unionAll(_))
+      .getOrElse(Bgzf.linesDf(spark,
+        spark.sparkContext.emptyRDD[String]))
+    parseLines(lines, "value", afFields).where(inAny)
+  }
+
+  /** [[readRegions]] with the panel carried as an interval FRAME — the
+    * [[Bed.toIntervals]] shape (chrom, start, end — 1-based inclusive),
+    * so a BED target panel drives the read directly:
+    * `Vcf.readPanel(s, cohort, Bed.toIntervals(Bed.read(s, panelBed)))`.
+    * The panel is a PLAN input (each region steers a driver-side
+    * bisection), so it collects to the driver; `maxRegions` guards
+    * against a mistakenly-huge frame — past that size a panel stops
+    * being a panel and callers should full-scan + interval-join
+    * instead.
+    */
+  def readPanel(spark: SparkSession, path: String, panel: DataFrame,
+                afFields: Seq[String] = defaultAfFields,
+                splitSize: Long = 32L << 20, maxSpan: Long = 10000L,
+                maxRegions: Int = 100000): DataFrame =
+    readRegions(spark, path, collectPanel(panel, maxRegions), afFields,
+      splitSize, maxSpan)
+
+  /** Collect an interval frame (chrom, start, end) into the region list
+    * the readRegions planners take, capped loudly.
+    */
+  private[sources] def collectPanel(panel: DataFrame,
+      maxRegions: Int): Seq[(String, Long, Long)] = {
+    val rows = panel.select(col("chrom").cast("string"),
+      col("start").cast("long"), col("end").cast("long"))
+      .limit(maxRegions + 1).collect()
+    require(rows.length <= maxRegions,
+      s"panel exceeds $maxRegions regions — full-scan + interval-join " +
+        "instead of a per-region bisection plan")
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  /** Driver-side byte plan of [[readRegions]]: per (file, region)
+    * bisected windows (merged per file) plus the files that must full-
+    * scan. Package-visible so the specs can pin probe counts and merged
+    * window sizes without running the scan.
+    */
+  private[graft] case class RegionPlan(windows: Seq[Bgzf.FileWindow],
+                                       fullScan: Seq[String], probes: Int)
+
+  private[graft] def regionPlan(spark: SparkSession, path: String,
+                                regions: Seq[(String, Long, Long)],
+                                maxSpan: Long): RegionPlan = {
+    val maxPos = Int.MaxValue.toLong
+    def key(rank: Int, pos: Long) = (rank.toLong << 32) | pos
+    val windows = Seq.newBuilder[Bgzf.FileWindow]
+    val fullScan = Seq.newBuilder[String]
+    var probes = 0
+    Bgzf.resolveFiles(spark, path).foreach { case (fp, len) =>
+      // plain .vcf / non-BGZF gzip have no member chain to bisect, and
+      // an unranked chrom can't be ordered against the data
+      val ranks =
+        if (Bgzf.isBgzfOver(spark, fp, 0L)) contigRanks(spark, fp)
+        else Map.empty[String, Int]
+      if (regions.exists(r => !ranks.contains(r._1))) fullScan += fp
+      else {
         val keyOf: String => Option[Long] = { line =>
           if (line.isEmpty || line.charAt(0) == '#') None
           else {
@@ -127,10 +215,22 @@ object Vcf {
             }
           }
         }
-        parseLines(Bgzf.readLinesRegion(spark, path, keyOf,
-          key(r, lo), key(r, hi), splitSize), "value", afFields)
-          .where(inRegion)
+        regions.foreach { case (chrom, start, end) =>
+          // positions are int32 in every container: clamp so the packed
+          // key's rank bits can't be bled into (a caller's "to end of
+          // chrom" end = Long.MaxValue must not wrap toKey + 1)
+          val lo = math.max(1L, math.min(start - maxSpan, maxPos))
+          val hi = math.max(0L, math.min(end, maxPos))
+          val w = Bgzf.regionWindow(spark, fp, keyOf,
+            key(ranks(chrom), lo), key(ranks(chrom), hi))
+          probes += w.probes
+          windows += Bgzf.FileWindow(fp, len, w.fromByte, w.toByte,
+            w.probes)
+        }
+      }
     }
+    RegionPlan(Bgzf.mergeWindows(windows.result()), fullScan.result(),
+      probes)
   }
 
   /** Contig order from the header's `##contig=<ID=...>` lines — the

@@ -240,6 +240,181 @@ class RegionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // per-chromosome sharded layout of vcfText: one sorted self-
+  // describing .vcf.gz per chrom (header declares ALL contigs), the
+  // layout cohort fleets actually ship
+  private def writeShardedVcf(name: String, perChrom: Int,
+                              blockSize: Int): String = {
+    val d = s"$tmp/$name"
+    Files.createDirectories(Paths.get(d))
+    val all = vcfText(perChrom, contigHeaders = true).split("\n")
+    val (hdr, data) = all.partition(_.startsWith("#"))
+    Seq("chr1", "chr2", "chrX").zipWithIndex.foreach { case (c, i) =>
+      val text = (hdr ++ data.filter(_.startsWith(c + "\t")))
+        .mkString("", "\n", "\n")
+      Files.write(Paths.get(f"$d/part-$i%05d.vcf.gz"),
+        Bgzf.compress(text.getBytes("US-ASCII"), blockSize))
+    }
+    d
+  }
+
+  test("sharded-directory region read == full scan + filter (glob and " +
+    "dir), including shards with no hits; per-shard bisection PRUNES " +
+    "the no-hit shards instead of full-scanning them") {
+    val d = writeShardedVcf("sharded-big", 30000, blockSize = 256)
+    val full = Vcf.readBgzf(spark, d, splitSize = 1L << 20)
+    def expect(c: String, a: Long, b: Long): Seq[String] =
+      rows(full.where(col("chrom") === c && col("pos") <= b &&
+        col("pos") + length(col("ref")) - 1 >= a))
+    for ((c, a, b) <- Seq(("chr2", 1010L, 1990L), ("chr1", 10L, 10L),
+      ("chrX", 5000L, 300000L), ("chr2", 999999L, 9999999L))) {
+      val viaDir = rows(Vcf.readRegion(spark, d, c, a, b))
+      assert(viaDir == expect(c, a, b), s"dir region $c:$a-$b")
+      val viaGlob = rows(Vcf.readRegion(spark, s"$d/part-*.vcf.gz",
+        c, a, b))
+      assert(viaGlob == expect(c, a, b), s"glob region $c:$a-$b")
+    }
+    // pruning: all three shards bisect (none lands in fullScan), and
+    // the no-hit shards' windows collapse to at most the 128 KiB
+    // search floor + a member, so the plan reads ≪ the directory
+    val plan = Vcf.regionPlan(spark, d,
+      Seq(("chr2", 1010L, 1990L)), maxSpan = 10000L)
+    assert(plan.fullScan.isEmpty, plan.fullScan.mkString(","))
+    assert(plan.windows.map(_.path).distinct.size == 3)
+    val totalBytes = plan.windows.map(_.fileLen).sum
+    val windowBytes = plan.windows.map(w => w.toByte - w.fromByte).sum
+    assert(windowBytes < totalBytes / 4,
+      s"window $windowBytes of $totalBytes bytes")
+    plan.windows.filterNot(_.path.contains("part-00001")).foreach { w =>
+      assert(w.toByte - w.fromByte <= 0x20000L + 0x10000L,
+        s"no-hit shard window too wide: $w")
+    }
+  }
+
+  test("a directory mixing bisectable shards with a PLAIN-text shard " +
+    "full-scans only the unrankable file and stays correct") {
+    val d = s"$tmp/sharded-mixed"
+    Files.createDirectories(Paths.get(d))
+    val all = vcfText(200, contigHeaders = true).split("\n")
+    val (hdr, data) = all.partition(_.startsWith("#"))
+    Files.write(Paths.get(s"$d/part-00000.vcf.gz"),
+      Bgzf.compress((hdr ++ data.filter(_.startsWith("chr1\t")))
+        .mkString("", "\n", "\n").getBytes("US-ASCII"), 512))
+    // plain text shard (headerless body, the Vcf.writeVariants layout)
+    Files.write(Paths.get(s"$d/part-00001.vcf"),
+      data.filter(_.startsWith("chr2\t")).mkString("", "\n", "\n")
+        .getBytes("US-ASCII"))
+    val plan = Vcf.regionPlan(spark, d, Seq(("chr2", 500L, 900L)),
+      maxSpan = 10000L)
+    assert(plan.fullScan.size == 1 &&
+      plan.fullScan.head.endsWith("part-00001.vcf"))
+    val got = rows(Vcf.readRegion(spark, d, "chr2", 500L, 900L))
+    assert(got.nonEmpty)
+    assert(got == rows(Vcf.readRegion(spark, d, "chr2", 500L, 900L)
+      .where(col("chrom") === "chr2")), "only chr2 rows")
+    val wantN = (500 to 900).count(p => (p - 10) % 10 == 0)
+    assert(got.size == wantN, s"${got.size} vs $wantN")
+  }
+
+  test("multi-region panel: one call == full scan + OR filter, " +
+    "overlapping windows merge, total probes stay O(regions · log n)") {
+    val p = writeGz("panel-big.vcf.gz", vcfText(30000,
+      contigHeaders = true), blockSize = 256)
+    val fileLen = Files.size(Paths.get(p))
+    val regions = Seq(
+      ("chr1", 1010L, 1200L), ("chr1", 1150L, 1400L), // overlap → merge
+      ("chr2", 50000L, 52000L), ("chr2", 52010L, 54000L),
+      ("chr2", 100000L, 101000L), ("chrX", 10L, 500L),
+      ("chrX", 200000L, 210000L), ("chr1", 999999999L, 1999999999L),
+      ("chr2", 1L, 9L), ("chr1", 250000L, 251000L),
+      ("chrX", 290000L, 299999L), ("chr2", 200000L, 201000L))
+    val full = Vcf.readBgzf(spark, p, splitSize = 1L << 20)
+    val want = rows(full.where(regions.map { case (c, a, b) =>
+      col("chrom") === c && col("pos") <= b &&
+        col("pos") + length(col("ref")) - 1 >= a
+    }.reduce(_ || _)))
+    val got = rows(Vcf.readRegions(spark, p, regions))
+    assert(got == want, s"panel: ${got.size} vs ${want.size}")
+    assert(got.nonEmpty)
+    val plan = Vcf.regionPlan(spark, p, regions, maxSpan = 10000L)
+    assert(plan.windows.size < regions.size,
+      s"${plan.windows.size} windows for ${regions.size} regions " +
+        "(overlaps must merge)")
+    val log2 = 64 - java.lang.Long.numberOfLeadingZeros(fileLen)
+    assert(plan.probes <= regions.size * (2 * log2 + 8),
+      s"probes ${plan.probes} vs ${regions.size} regions · log $log2")
+    val windowBytes = plan.windows.map(w => w.toByte - w.fromByte).sum
+    assert(windowBytes < fileLen / 2,
+      s"window $windowBytes of $fileLen bytes")
+  }
+
+  test("readPanel: a BED-shaped interval frame drives the same " +
+    "multi-region read") {
+    val s = spark
+    import s.implicits._
+    val p = writeGz("panel-frame.vcf.gz", vcfText(500,
+      contigHeaders = true), blockSize = 512)
+    val panel = Seq(("chr1", 1010L, 1990L), ("chrX", 10L, 200L))
+      .toDF("chrom", "start", "end")
+    val full = Vcf.readBgzf(spark, p, splitSize = 4096L)
+    val want = rows(full.where(
+      (col("chrom") === "chr1" && col("pos").between(1010, 1990)) ||
+        (col("chrom") === "chrX" && col("pos").between(10, 200))))
+    assert(rows(Vcf.readPanel(spark, p, panel)) == want)
+    assert(want.nonEmpty)
+    // the cap is loud
+    intercept[IllegalArgumentException] {
+      Vcf.readPanel(spark, p, panel, maxRegions = 1)
+    }
+  }
+
+  test("BCF region read over the repo's own writeSharded directory == " +
+    "full splittable read + filter, incl. a no-hit shard and a " +
+    "multi-region panel") {
+    graft.fixtures.GenomicFixtures.ensure(spark)
+    val d = graft.fixtures.GenomicFixtures.regionBcfShardedDir(spark)
+    val full = graft.sources.Bcf.readSplit(spark, d, splitSize = 256L)
+    def expect(c: String, a: Long, b: Long) =
+      rows(full.where(col("chrom") === c && col("pos") <= b &&
+        col("pos") + length(col("ref")) - 1 >= a))
+    for ((c, a, b) <- Seq(("1", 45L, 55L), ("1", 12L, 12L),
+      ("X", 30L, 110L), ("1", 151L, 999L))) {
+      assert(rows(graft.sources.Bcf.readRegion(spark, d, c, a, b)) ==
+        expect(c, a, b), s"sharded bcf region $c:$a-$b")
+    }
+    // panel across shards, one overlapping pair + one empty region
+    val regions = Seq(("1", 10L, 25L), ("1", 20L, 40L), ("X", 70L, 80L),
+      ("7", 1L, 9L))
+    val want = rows(full.where(regions.map { case (c, a, b) =>
+      col("chrom") === c && col("pos") <= b &&
+        col("pos") + length(col("ref")) - 1 >= a
+    }.reduce(_ || _)))
+    assert(rows(graft.sources.Bcf.readRegions(spark, d, regions)) ==
+      want)
+    assert(want.nonEmpty)
+  }
+
+  test("BAM region read over the repo's own writeSharded directory == " +
+    "overlap filter, spanning reads included") {
+    graft.fixtures.GenomicFixtures.ensure(spark)
+    val d = graft.fixtures.GenomicFixtures.regionBamShardedDir(spark)
+    val full = graft.sources.Bam.readSplit(spark, d, splitSize = 256L)
+    def expect(c: String, a: Long, b: Long) =
+      full.where(col("rname") === c && col("pos") <= b &&
+        coalesce(col("ref_end"), col("pos")) >= a)
+        .select("qname", "pos").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    for ((c, a, b) <- Seq(("1", 25L, 70L), ("1", 1L, 10L),
+      ("X", 75L, 90L))) {
+      val got = graft.sources.Bam.readRegion(spark, d, c, a, b)
+        .select("qname", "pos").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      assert(got == expect(c, a, b), s"sharded bam region $c:$a-$b")
+    }
+    assert(graft.sources.Bam.readRegion(spark, d, "1", 25L, 70L)
+      .where(col("pos") === 11L).count() == 1L, "spanning read")
+  }
+
   test("fixture-shape region read (the g50 gate path) returns the " +
     "filtered rows") {
     graft.fixtures.GenomicFixtures.ensure(spark)
