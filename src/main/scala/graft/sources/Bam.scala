@@ -95,25 +95,26 @@ object Bam {
     * two members — negligible against a multi-GB scan).
     */
   def readSplit(spark: SparkSession, path: String,
-                splitSize: Long = 32L << 20): DataFrame = {
+                splitSize: Long = 32L << 20): DataFrame =
+    readSplitGuarded(spark, path, splitSize)._1
+
+  /** [[readSplit]] plus its alignment accumulator ([[Bgzf.AlignGuard]]):
+    * after the read's first action the accumulator holds the number of
+    * ranges that anchored members but aligned no owned record —
+    * nonzero on a corrupt payload (or records larger than splitSize).
+    */
+  private[graft] def readSplitGuarded(spark: SparkSession, path: String,
+      splitSize: Long = 32L << 20)
+    : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     import spark.implicits._
     val sc = spark.sparkContext
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(sc.hadoopConfiguration)
-    val files = (fs.globStatus(p) match {
-      case null | Array() => Array(fs.getFileStatus(p))
-      case hits => hits
-    }).flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
-      else Array(st)
-    }
+    val guard = Bgzf.alignGuard(spark, "graft.bam.unaligned.ranges")
     case class R(path: String, start: Long, end: Long, len: Long)
-    val ranges = files.flatMap { st =>
-      val len = st.getLen
+    val ranges = Bgzf.resolveFiles(spark, path).flatMap { case (fp, len) =>
       val n = math.max(1L, (len + splitSize - 1) / splitSize)
-      (0L until n).map(i => R(st.getPath.toString, i * splitSize,
+      (0L until n).map(i => R(fp, i * splitSize,
         math.min((i + 1) * splitSize, len), len))
-    }.toSeq
+    }
     val hconf = new org.apache.spark.SerializableWritable(
       new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration))
     val recs = sc.parallelize(ranges, math.max(1, ranges.size))
@@ -121,9 +122,9 @@ object Bam {
         val rp = new org.apache.hadoop.fs.Path(r.path)
         val in = rp.getFileSystem(hconf.value).open(rp)
         Bgzf.closeOnTaskEnd(in)
-        splitRangeRecords(in, r.start, r.end, r.len)
+        splitRangeRecords(in, r.path, r.start, r.end, r.len, guard)
       }
-    Sam.decorate(recs.toDS().toDF())
+    (Sam.decorate(recs.toDS().toDF()), guard.acc)
   }
 
   /** Consume the `BAM\1` magic + text header + reference dictionary
@@ -201,8 +202,10 @@ object Bam {
       col("rname") === chrom && col("pos") <= end &&
         coalesce(col("ref_end"), col("pos")) >= start
     }.reduce(_ || _)
+    val guard = Bgzf.alignGuard(spark, "graft.bam.unaligned.ranges")
     val recs = Bgzf.scanWindows(spark, plan.windows, splitSize)(
-      (in, r) => splitRangeRecords(in, r.start, r.end, r.len))
+      (in, r) => splitRangeRecords(in, r.path, r.start, r.end, r.len,
+        guard))
     Sam.decorate(recs.toDS().toDF()).where(inAny)
   }
 
@@ -287,8 +290,9 @@ object Bam {
   }
 
   private def splitRangeRecords(
-      in: org.apache.hadoop.fs.FSDataInputStream, start: Long,
-      end: Long, len: Long): Iterator[BamRec] = {
+      in: org.apache.hadoop.fs.FSDataInputStream, path: String,
+      start: Long, end: Long, len: Long,
+      guard: Bgzf.AlignGuard): Iterator[BamRec] = {
     // every task decodes the reference dictionary from the file head
     val (head, refs) = headerCursor(in, len)
     if (start == 0L) {
@@ -307,6 +311,9 @@ object Bam {
       else cur.drop(1)
     }
     if (!aligned || cur.headMember >= end) {
+      // owned members aligned no record: silent per-range loss on a
+      // corrupt payload — count it (throw under strictAlign)
+      guard.unaligned(path, start, end)
       in.close(); return Iterator.empty
     }
     recordIterator(cur, end, refs)

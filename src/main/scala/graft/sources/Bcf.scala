@@ -85,25 +85,27 @@ object Bcf {
     */
   def readSplit(spark: SparkSession, path: String,
                 splitSize: Long = 32L << 20,
-                afFields: Seq[String] = Vcf.defaultAfFields): DataFrame = {
+                afFields: Seq[String] = Vcf.defaultAfFields): DataFrame =
+    readSplitGuarded(spark, path, splitSize, afFields)._1
+
+  /** [[readSplit]] plus its alignment accumulator ([[Bgzf.AlignGuard]]):
+    * after the read's first action the accumulator holds the number of
+    * ranges that anchored members but aligned no owned record —
+    * nonzero on a corrupt payload (or records larger than splitSize).
+    */
+  private[graft] def readSplitGuarded(spark: SparkSession, path: String,
+      splitSize: Long = 32L << 20,
+      afFields: Seq[String] = Vcf.defaultAfFields)
+    : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     import spark.implicits._
     val sc = spark.sparkContext
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(sc.hadoopConfiguration)
-    val files = (fs.globStatus(p) match {
-      case null | Array() => Array(fs.getFileStatus(p))
-      case hits => hits
-    }).flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
-      else Array(st)
-    }
+    val guard = Bgzf.alignGuard(spark, "graft.bcf.unaligned.ranges")
     case class R(path: String, start: Long, end: Long, len: Long)
-    val ranges = files.flatMap { st =>
-      val len = st.getLen
+    val ranges = Bgzf.resolveFiles(spark, path).flatMap { case (fp, len) =>
       val n = math.max(1L, (len + splitSize - 1) / splitSize)
-      (0L until n).map(i => R(st.getPath.toString, i * splitSize,
+      (0L until n).map(i => R(fp, i * splitSize,
         math.min((i + 1) * splitSize, len), len))
-    }.toSeq
+    }
     val hconf = new org.apache.spark.SerializableWritable(
       new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration))
     val recs = sc.parallelize(ranges, math.max(1, ranges.size))
@@ -111,11 +113,12 @@ object Bcf {
         val rp = new org.apache.hadoop.fs.Path(r.path)
         val in = rp.getFileSystem(hconf.value).open(rp)
         Bgzf.closeOnTaskEnd(in)
-        splitRangeRecords(in, r.start, r.end, r.len)
+        splitRangeRecords(in, r.path, r.start, r.end, r.len, guard)
       }
-    recs.toDS().toDF()
+    (recs.toDS().toDF()
       .withColumn("af",
-        coalesce(afFields.map(k => Vcf.infoField(col("info"), k)): _*))
+        coalesce(afFields.map(k => Vcf.infoField(col("info"), k)): _*)),
+      guard.acc)
   }
 
   /** Consume the `BCF\2` magic + embedded header text from a cursor at
@@ -142,8 +145,9 @@ object Bcf {
   }
 
   private def splitRangeRecords(
-      in: org.apache.hadoop.fs.FSDataInputStream, start: Long,
-      end: Long, len: Long): Iterator[BcfRec] = {
+      in: org.apache.hadoop.fs.FSDataInputStream, path: String,
+      start: Long, end: Long, len: Long,
+      guard: Bgzf.AlignGuard): Iterator[BcfRec] = {
     val (head, contigs, strings, nSamples) = headerCursor(in, len)
     if (start == 0L)
       return recordIterator(head, end, contigs, strings)
@@ -156,6 +160,9 @@ object Bcf {
       else cur.drop(1)
     }
     if (!aligned || cur.headMember >= end) {
+      // owned members aligned no record: silent per-range loss on a
+      // corrupt payload — count it (throw under strictAlign)
+      guard.unaligned(path, start, end)
       in.close(); return Iterator.empty
     }
     recordIterator(cur, end, contigs, strings)
@@ -271,8 +278,10 @@ object Bcf {
       col("chrom") === chrom && col("pos") <= end &&
         col("pos") + length(col("ref")) - 1 >= start
     }.reduce(_ || _)
+    val guard = Bgzf.alignGuard(spark, "graft.bcf.unaligned.ranges")
     val recs = Bgzf.scanWindows(spark, plan.windows, splitSize)(
-      (in, r) => splitRangeRecords(in, r.start, r.end, r.len))
+      (in, r) => splitRangeRecords(in, r.path, r.start, r.end, r.len,
+        guard))
     recs.toDS().toDF()
       .withColumn("af",
         coalesce(afFields.map(k => Vcf.infoField(col("info"), k)): _*))

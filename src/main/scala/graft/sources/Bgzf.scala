@@ -188,6 +188,35 @@ object Bgzf {
       } finally in.close()
     } catch { case _: Throwable => false }
 
+  /** Alignment honesty channel for the splittable binary readers: a
+    * byte range that anchors a verified BGZF member chain but aligns NO
+    * owned record emits nothing — legal when the range's members hold
+    * only the interior of a record that started earlier (common at
+    * test-sized splits, vanishing at the 32 MiB default), but on a
+    * corrupt payload it is silent per-range data loss. Every such range
+    * counts into a named accumulator (visible in the Spark UI / fetched
+    * by [[Bam.readSplitGuarded]]-style internals after the first
+    * action); with `spark.graft.strictAlign=true` the task THROWS
+    * instead — opt-in, because legal spanning records trigger it when
+    * records approach splitSize.
+    */
+  private[sources] case class AlignGuard(
+      acc: org.apache.spark.util.LongAccumulator,
+      strict: Boolean) extends Serializable {
+    def unaligned(path: String, start: Long, end: Long): Unit = {
+      if (acc != null) acc.add(1)
+      if (strict) throw new IllegalStateException(
+        s"no record chain aligned in the owned members of $path " +
+          s"[$start,$end) — corrupt input, or records larger than " +
+          "splitSize (spark.graft.strictAlign=true)")
+    }
+  }
+
+  private[sources] def alignGuard(spark: SparkSession,
+                                  name: String): AlignGuard =
+    AlignGuard(spark.sparkContext.longAccumulator(name),
+      spark.conf.get("spark.graft.strictAlign", "false").toBoolean)
+
   /** [[scanMember]] for sibling container readers ([[Bam.readSplit]]). */
   private[sources] def firstMemberIn(
       in: org.apache.hadoop.fs.FSDataInputStream, from: Long, to: Long,

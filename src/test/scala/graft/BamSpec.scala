@@ -245,6 +245,48 @@ class BamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bam.read(spark, dir).count() == 2)
   }
 
+  test("corrupt mid-file members are LOUD: the unaligned-range " +
+    "accumulator counts the lossy ranges, and strictAlign throws " +
+    "instead of silently dropping them") {
+    import graft.sources.Bgzf
+    val clean = s"$tmp/clean-for-corrupt.bam"
+    Bam.write(Sam.read(spark, samPath), refs, clean, blockSize = 64)
+    val bytes = Files.readAllBytes(Paths.get(clean))
+    // valid BAM minus its EOF marker, then ~8 KiB of GARBAGE payload in
+    // perfectly valid BGZF members (the container verifies; the record
+    // grammar inside cannot), then the EOF member. splitSize = the
+    // valid prefix, so the garbage occupies ranges of its own — the
+    // shape where the OLD reader lost it silently (a range mixing the
+    // last valid records with garbage crashes the record decode loudly
+    // already; whole-range garbage was the quiet class).
+    val garbage = Array.tabulate[Byte](8192)(i => ((i * 131) ^ (i >> 3))
+      .toByte)
+    val validLen = (bytes.length - Bgzf.Eof.length).toLong
+    val corrupt = s"$tmp/corrupt.bam"
+    Files.write(Paths.get(corrupt),
+      bytes.dropRight(Bgzf.Eof.length) ++
+        Bgzf.compress(garbage, blockSize = 64))
+    val cleanRows = Bam.read(spark, clean).count()
+    val (df, acc) = Bam.readSplitGuarded(spark, corrupt,
+      splitSize = validLen)
+    // the valid prefix still reads; the garbage ranges emit nothing
+    assert(df.count() == cleanRows)
+    assert(acc.value > 0,
+      "garbage ranges must surface in the accumulator")
+    // strict mode: the same read THROWS instead
+    spark.conf.set("spark.graft.strictAlign", "true")
+    try {
+      val ex = intercept[org.apache.spark.SparkException] {
+        Bam.readSplit(spark, corrupt, splitSize = validLen).count()
+      }
+      assert(ex.getMessage.contains("no record chain aligned") ||
+        Option(ex.getCause).exists(
+          _.getMessage.contains("no record chain aligned")))
+      // a clean file never trips strict mode at a records-sized split
+      assert(Bam.readSplit(spark, clean).count() == cleanRows)
+    } finally spark.conf.set("spark.graft.strictAlign", "false")
+  }
+
   test("readSplit accepts spec-maxima records the old plausibility " +
     "bounds rejected: 200-char qnames, positions past 2^29 — a bound " +
     "tighter than the spec silently empties the range") {

@@ -315,6 +315,44 @@ class BcfSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("corrupt mid-file members are LOUD: the unaligned-range " +
+    "accumulator counts the lossy ranges, and strictAlign throws") {
+    import graft.sources.Bgzf
+    val src = s"${graft.fixtures.GenomicFixtures.rawDir}/sample.vcf"
+    val parsed = Vcf.read(spark, src)
+    val contigs = parsed.groupBy("chrom")
+      .agg(org.apache.spark.sql.functions.max("pos").as("m"))
+      .orderBy("chrom").collect()
+      .map(r => (r.getString(0), r.getLong(1) + 10L)).toSeq
+    val clean = s"$tmp/clean-for-corrupt.bcf"
+    Bcf.write(parsed, contigs, Vcf.sampleNames(spark, src), clean,
+      blockSize = 64)
+    val bytes = Files.readAllBytes(Paths.get(clean))
+    val garbage = Array.tabulate[Byte](8192)(i => ((i * 193) ^ (i >> 2))
+      .toByte)
+    val validLen = (bytes.length - Bgzf.Eof.length).toLong
+    val corrupt = s"$tmp/corrupt.bcf"
+    Files.write(Paths.get(corrupt),
+      bytes.dropRight(Bgzf.Eof.length) ++
+        Bgzf.compress(garbage, blockSize = 64))
+    val cleanRows = Bcf.read(spark, clean).count()
+    val (df, acc) = Bcf.readSplitGuarded(spark, corrupt,
+      splitSize = validLen)
+    assert(df.count() == cleanRows)
+    assert(acc.value > 0,
+      "garbage ranges must surface in the accumulator")
+    spark.conf.set("spark.graft.strictAlign", "true")
+    try {
+      val ex = intercept[org.apache.spark.SparkException] {
+        Bcf.readSplit(spark, corrupt, splitSize = validLen).count()
+      }
+      assert(ex.getMessage.contains("no record chain aligned") ||
+        Option(ex.getCause).exists(
+          _.getMessage.contains("no record chain aligned")))
+      assert(Bcf.readSplit(spark, clean).count() == cleanRows)
+    } finally spark.conf.set("spark.graft.strictAlign", "false")
+  }
+
   test("sampleNames reads the embedded #CHROM line driver-side, " +
     "direct path and glob both resolve") {
     val src = s"${graft.fixtures.GenomicFixtures.rawDir}/sample.vcf"
