@@ -198,6 +198,22 @@ object Genomic {
         GenomicFixtures.regionBamShardedDir(s), "1", 25L, 70L)
     }),
 
+    "g59_filter_route" -> ((s, _) => {
+      // AUTOMATIC region pruning for SQL users: readAuto (forced onto
+      // its splittable-BGZF DSv2 branch) + a plain WHERE — no
+      // readRegion call anywhere — must route the chrom/pos conjuncts
+      // through SupportsPushDownFilters into the bisected byte window
+      // and still return exactly the filter's rows (every filter
+      // re-applies above the scan, so the window overhang is
+      // invisible). Oracle = the TEXT parse under the identical
+      // containment predicate; VcfV2Spec pins the pruned byte counts.
+      prep(s)
+      Vcf.readAuto(s, GenomicFixtures.regionVcfGzPath,
+        bgzfSplitThreshold = 0L)
+        .where(col("chrom") === "1" && col("pos").between(20L, 60L))
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
+    }),
+
     "g58_region_panel" -> ((s, _) => {
       // multi-region (target-panel) read: 12 regions in one call —
       // adjacent/overlapping windows that must merge ((1,22-25) and
@@ -3258,6 +3274,13 @@ object Genomic {
          |SELECT * FROM t
          |WHERE rname = '1' AND pos <= 70
          |  AND coalesce(ref_end, pos) >= 25""".stripMargin,
+
+    // the plain-SQL containment filter (not overlap: the gate IS a
+    // WHERE clause) on the independent TEXT parse
+    "g59_filter_route" ->
+      s"""WITH t AS ($v1Sql)
+         |SELECT * FROM t
+         |WHERE chrom = '1' AND pos BETWEEN 20 AND 60""".stripMargin,
 
     // the OR of the 12 panel predicates, generated from the SAME
     // regionPanel value the gate passes to readRegions

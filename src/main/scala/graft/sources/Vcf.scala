@@ -45,12 +45,13 @@ object Vcf {
 
   /** Format-dispatching read: `.bcf` → the [[Bcf]] binary decoder; a
     * `.vcf.gz`/`.vcf.bgz` that is BGZF (18-byte signature peek) AND
-    * larger than `bgzfSplitThreshold` → the byte-range splittable
-    * [[readBgzf]] (a single huge cohort VCF must not read on one
-    * task); anything else → the text parse (Hadoop's codec inflates
-    * small/plain gzip fine, and sharded fleets parallelize per file).
-    * Every branch emits the identical row shape, so callers (the CLIs)
-    * take any of them transparently.
+    * larger than `bgzfSplitThreshold` → the byte-range splittable DSv2
+    * relation [[readTable]] (a single huge cohort VCF must not read on
+    * one task — and SQL-shaped chrom/pos filters on it now prune to
+    * the bisected byte window automatically); anything else → the text
+    * parse (Hadoop's codec inflates small/plain gzip fine, and sharded
+    * fleets parallelize per file). Every branch emits the identical
+    * row shape, so callers (the CLIs) take any of them transparently.
     */
   def readAuto(spark: SparkSession, path: String,
                afFields: Seq[String] = defaultAfFields,
@@ -58,8 +59,23 @@ object Vcf {
     if (path.endsWith(".bcf")) Bcf.read(spark, path, afFields)
     else if ((path.endsWith(".vcf.gz") || path.endsWith(".vcf.bgz")) &&
       Bgzf.isBgzfOver(spark, path, bgzfSplitThreshold))
-      readBgzf(spark, path, afFields)
+      readTable(spark, path, afFields)
     else read(spark, path, afFields)
+
+  /** The DSv2 relation over sorted BGZF VCF ([[VcfBgzfSource]]): same
+    * rows as [[readBgzf]], plus automatic region pruning — a
+    * `WHERE chrom = '17' AND pos BETWEEN a AND b` on this frame routes
+    * through `SupportsPushDownFilters` into the same per-file bisected
+    * byte windows [[readRegion]] plans, with every filter re-applied
+    * above the scan so pruning can only skip bytes, never change rows.
+    */
+  def readTable(spark: SparkSession, path: String,
+                afFields: Seq[String] = defaultAfFields,
+                splitSize: Long = 32L << 20): DataFrame =
+    spark.read.format(classOf[VcfBgzfSource].getName)
+      .option("afFields", afFields.mkString(","))
+      .option("splitSize", splitSize.toString)
+      .load(path)
 
   /** Region read of a coordinate-sorted bgzipped VCF — the
     * `chr17:41100000-41300000` access pattern WITHOUT a .tbi index and

@@ -1,0 +1,319 @@
+package graft.sources
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 relation over sorted BGZF VCF — the piece that makes
+  * region pruning AUTOMATIC for SQL users: `readRegion` prunes only
+  * when callers know to ask for it, but the plan you want at 100× is
+  * the one `Vcf.readAuto(path).where("chrom='17' AND pos BETWEEN a
+  * AND b")` produces on its own. This source implements
+  * `SupportsPushDownFilters`: Catalyst hands the scan the conjunctive
+  * top-level filters, the builder extracts a `chrom` equality (or IN)
+  * plus `pos` bounds, and `planInputPartitions` turns them into the
+  * SAME per-file bisected byte windows `readRegion` uses
+  * ([[Vcf.regionPlan]] — sharded directories/globs bisect per shard,
+  * unrankable files full-scan, merged windows tile into ranges). Every
+  * filter is also RETAINED for Spark to re-apply above the scan
+  * (`pushFilters` returns its input), so the window's bounded overhang
+  * of out-of-range rows is invisible and pruning can never change
+  * results — only skip bytes. `SupportsPushDownRequiredColumns` prunes
+  * the per-line parse (a `select(chrom, pos)` never splits genotype
+  * columns or allocates the array).
+  *
+  * Row parity: the partition reader re-implements [[Vcf.parseLines]]'s
+  * column semantics record-for-record (raw-line header/blank filter
+  * with Spark's space-only `trim`, trailing-`\r` strip before an
+  * unlimited split, digit-guarded 18-digit pos cast, `slice(f, 10, …)`
+  * genotypes, first-matching `afFields` INFO extraction with the same
+  * unanchored regex) — VcfV2Spec pins read-vs-read row identity and
+  * the g59 gate pins it against the independent DuckDB text parse.
+  *
+  * Usage: `spark.read.format("graft.sources.VcfBgzfSource")
+  * .load(path)` — [[Vcf.readAuto]] routes its splittable-BGZF branch
+  * here, so SQL-shaped access gets pruning with no API change. BGZF
+  * files only (plain text already flows through `spark.read.text`,
+  * where there is no member chain to prune).
+  */
+class VcfBgzfSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    VcfBgzfSource.schema
+
+  override def getTable(schema: StructType,
+                        partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new VcfBgzfTable(properties.get("path"),
+      Option(properties.get("affields")).map(_.split(",").toSeq)
+        .getOrElse(Vcf.defaultAfFields),
+      Option(properties.get("splitsize")).map(_.toLong)
+        .getOrElse(32L << 20))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+private[sources] object VcfBgzfSource {
+  /** The [[Vcf.parseLines]] row shape, fixed order. */
+  val schema: StructType = StructType(Seq(
+    StructField("chrom", StringType),
+    StructField("pos", LongType),
+    StructField("id", StringType),
+    StructField("ref", StringType),
+    StructField("alt", StringType),
+    StructField("qual", StringType),
+    StructField("filter", StringType),
+    StructField("info", StringType),
+    StructField("genotypes", ArrayType(StringType, containsNull = true),
+      nullable = false),
+    StructField("af", StringType)))
+
+  /** [[Casts.tryLong]]'s digit guard, record-side. */
+  private val LongGuard = Pattern.compile("^-?[0-9]{1,18}$")
+
+  private[sources] def tryLong(s: String): java.lang.Long =
+    if (s != null && LongGuard.matcher(s).matches())
+      java.lang.Long.valueOf(s)
+    else null
+
+  /** [[Vcf.infoField]] record-side: first unanchored `(?:^|;)key=` hit,
+    * empty → null (the group can't be empty, kept for exact parity).
+    */
+  private[sources] def afOf(info: String,
+                            patterns: Seq[Pattern]): String = {
+    if (info == null) return null
+    patterns.foreach { p =>
+      val m = p.matcher(info)
+      if (m.find()) {
+        val g = m.group(1)
+        if (g != null && g.nonEmpty) return g
+      }
+    }
+    null
+  }
+
+  private[sources] def afPatterns(afFields: Seq[String]): Seq[Pattern] =
+    afFields.map(k => Pattern.compile("(?:^|;)" + k + "=([^;]+)"))
+
+  /** parseLines' raw-line drop: '#' rows and blank rows — Spark's
+    * `trim` strips ASCII spaces only, so a tabs-only line is KEPT
+    * (parses to empty fields) exactly as the column pipeline keeps it.
+    */
+  private[sources] def isData(line: String): Boolean =
+    line.nonEmpty && line.charAt(0) != '#' && line.exists(_ != ' ')
+}
+
+private[sources] class VcfBgzfTable(path: String, afFields: Seq[String],
+                                    splitSize: Long)
+  extends Table with SupportsRead {
+  require(path != null, "graft.sources.VcfBgzfSource needs a path")
+
+  override def name(): String = s"graft_vcf_bgzf($path)"
+  override def schema(): StructType = VcfBgzfSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new VcfBgzfScanBuilder(path, afFields, splitSize)
+}
+
+private[sources] class VcfBgzfScanBuilder(path: String,
+                                          afFields: Seq[String],
+                                          splitSize: Long)
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = VcfBgzfSource.schema
+  private var pushed: Array[Filter] = Array.empty
+  private var chroms: Option[Seq[String]] = None
+  private var posLo: Long = 1L
+  private var posHi: Long = Int.MaxValue.toLong
+
+  /** Extract the prunable conjuncts — a single chrom equality/IN plus
+    * pos bounds. EVERYTHING is returned as residual (Spark re-applies
+    * all filters above the scan), so extraction can only skip bytes,
+    * never rows: the window contract guarantees every line matching
+    * the extracted conjuncts lies inside the planned windows.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val used = Array.newBuilder[Filter]
+    filters.foreach {
+      case f @ EqualTo("chrom", c: String) if chroms.isEmpty =>
+        chroms = Some(Seq(c)); used += f
+      case f @ In("chrom", vs) if chroms.isEmpty &&
+        vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        chroms = Some(vs.map(_.asInstanceOf[String]).toSeq); used += f
+      case f @ EqualTo("pos", v: Long) =>
+        posLo = math.max(posLo, v); posHi = math.min(posHi, v); used += f
+      case f @ GreaterThanOrEqual("pos", v: Long) =>
+        posLo = math.max(posLo, v); used += f
+      case f @ GreaterThan("pos", v: Long) =>
+        posLo = math.max(posLo, v + 1); used += f
+      case f @ LessThanOrEqual("pos", v: Long) =>
+        posHi = math.min(posHi, v); used += f
+      case f @ LessThan("pos", v: Long) =>
+        posHi = math.min(posHi, v - 1); used += f
+      case _ =>
+    }
+    pushed = used.result()
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new VcfBgzfScan(path, afFields, splitSize, required, pushed,
+      chroms, posLo, posHi)
+}
+
+/** One byte range of one file — the DSv2 partition (package-visible so
+  * the specs can pin scanned-byte totals off the physical plan).
+  */
+private[graft] case class VcfBgzfPartition(path: String, start: Long,
+                                           end: Long, len: Long)
+  extends InputPartition
+
+private[sources] class VcfBgzfScan(path: String, afFields: Seq[String],
+    splitSize: Long, required: StructType, pushed: Array[Filter],
+    chroms: Option[Seq[String]], posLo: Long, posHi: Long)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val filt =
+      if (pushed.isEmpty) "full scan"
+      else s"PushedFilters: [${pushed.mkString(", ")}], window " +
+        s"chrom=${chroms.map(_.mkString("|")).getOrElse("*")} " +
+        s"pos=[$posLo,$posHi]"
+    s"graft_vcf_bgzf $path ($filt)"
+  }
+
+  /** Driver-side byte plan: with a usable chrom conjunct, the exact
+    * [[Vcf.regionPlan]] bisection (maxSpan 0 — the predicate is on pos
+    * itself, so no REF-span back-off is needed to keep every MATCHING
+    * row inside the window); otherwise, or for files the plan can't
+    * rank, full-file tiling. Non-BGZF bytes are a loud error — this
+    * source exists for the member-chain layout.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    if (posLo > posHi)
+      return Array.empty // contradictory bounds: statically empty
+    val (windows, fullFiles) = chroms match {
+      case Some(cs) =>
+        val plan = Vcf.regionPlan(spark, path,
+          cs.map(c => (c, posLo, posHi)), maxSpan = 0L)
+        (plan.windows, plan.fullScan)
+      case None =>
+        (Seq.empty[Bgzf.FileWindow],
+          Bgzf.resolveFiles(spark, path).map(_._1))
+    }
+    fullFiles.foreach { fp =>
+      require(Bgzf.isBgzfOver(spark, fp, 0L),
+        s"graft.sources.VcfBgzfSource wants BGZF files; $fp is not " +
+          "(read plain text through Vcf.read)")
+    }
+    val fullWindows = fullFiles.map { fp =>
+      val len = Bgzf.resolveFiles(spark, fp).head._2
+      Bgzf.FileWindow(fp, len, 0L, len, 0)
+    }
+    (windows ++ fullWindows).filter(w => w.toByte > w.fromByte)
+      .flatMap { w =>
+        val span = w.toByte - w.fromByte
+        val n = math.max(1L, (span + splitSize - 1) / splitSize)
+        (0L until n).map(i => VcfBgzfPartition(w.path,
+          w.fromByte + i * splitSize,
+          math.min(w.fromByte + (i + 1) * splitSize, w.toByte),
+          w.fileLen))
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val hconf = new org.apache.spark.SerializableWritable(
+      new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration))
+    new VcfBgzfReaderFactory(hconf, required.fieldNames, afFields)
+  }
+}
+
+private[sources] class VcfBgzfReaderFactory(
+    hconf: org.apache.spark.SerializableWritable[
+      org.apache.hadoop.conf.Configuration],
+    fieldNames: Array[String], afFields: Seq[String])
+  extends PartitionReaderFactory {
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[VcfBgzfPartition]
+    val hp = new org.apache.hadoop.fs.Path(p.path)
+    val in = hp.getFileSystem(hconf.value).open(hp)
+    val lines = Bgzf.rangeLinesOf(in,
+      Bgzf.Range(p.path, p.start, p.end, p.len))
+      .filter(VcfBgzfSource.isData)
+    val patterns = VcfBgzfSource.afPatterns(afFields)
+    // one extractor per REQUIRED column — a pruned scan never splits
+    // genotype columns it will not emit
+    val extractors: Array[Array[String] => Any] = fieldNames.map {
+      case "chrom" => (f: Array[String]) =>
+        if (f.length > 0) UTF8String.fromString(f(0)) else null
+      case "pos" => (f: Array[String]) =>
+        if (f.length > 1) VcfBgzfSource.tryLong(f(1)) else null
+      case "id" => (f: Array[String]) =>
+        if (f.length > 2) UTF8String.fromString(f(2)) else null
+      case "ref" => (f: Array[String]) =>
+        if (f.length > 3) UTF8String.fromString(f(3)) else null
+      case "alt" => (f: Array[String]) =>
+        if (f.length > 4) UTF8String.fromString(f(4)) else null
+      case "qual" => (f: Array[String]) =>
+        if (f.length > 5) UTF8String.fromString(f(5)) else null
+      case "filter" => (f: Array[String]) =>
+        if (f.length > 6) UTF8String.fromString(f(6)) else null
+      case "info" => (f: Array[String]) =>
+        if (f.length > 7) UTF8String.fromString(f(7)) else null
+      case "genotypes" => (f: Array[String]) =>
+        new GenericArrayData(
+          f.drop(9).map(UTF8String.fromString(_): Any))
+      case "af" => (f: Array[String]) =>
+        if (f.length > 7)
+          UTF8String.fromString(VcfBgzfSource.afOf(f(7), patterns))
+        else null
+      case other =>
+        throw new IllegalArgumentException(s"unknown column $other")
+    }
+
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (!lines.hasNext) return false
+        val line = lines.next()
+        val stripped =
+          if (line.nonEmpty && line.charAt(line.length - 1) == '\r')
+            line.substring(0, line.length - 1)
+          else line
+        val f = stripped.split("\t", -1)
+        row = InternalRow.fromSeq(
+          extractors.map(_(f)).toIndexedSeq)
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit =
+        try in.close() catch { case _: java.io.IOException => }
+    }
+  }
+}
