@@ -322,6 +322,62 @@ object Bench {
     p
   }
 
+  /** The vpnx 20-region target panel over [[ensureSortedVcfGz]]'s
+    * layout: two ADJACENT regions per chromosome on c3..c12 — their
+    * byte windows touch, so mergeWindows must fold each pair into one.
+    */
+  private def panelRegions(n: Int): Seq[(String, Long, Long)] = {
+    val span = math.max(1L, n.toLong / 22) * 40L
+    (0 until 10).flatMap { j =>
+      val base = 10L + span / 4
+      Seq((s"c${j + 3}", base, base + span / 20),
+        (s"c${j + 3}", base + span / 20, base + span / 10))
+    }
+  }
+
+  /** [[ensureSortedVcfGz]]'s records as a 22-shard per-chromosome
+    * DIRECTORY, each shard a self-describing sorted `.vcf.gz` (full
+    * header, one chrom's records) — the cohort fleet layout the vrdx
+    * entries region-read.
+    */
+  private var sortedVcfGzShardedDir: String = null
+  private def ensureSortedVcfGzSharded(n: Int): String = synchronized {
+    if (sortedVcfGzShardedDir != null) return sortedVcfGzShardedDir
+    val d = s"${sys.props("java.io.tmpdir")}/graft-vcfgz-shards-" +
+      ProcessHandle.current.pid
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    val perChrom = math.max(1, n / 22)
+    var c = 1
+    while (c <= 22) {
+      writeVcfGzStreaming(f"$d/part-${c - 1}%05d.vcf.gz") { w =>
+        w("##fileformat=VCFv4.2\n")
+        (1 to 22).foreach(k => w(s"##contig=<ID=c$k>\n"))
+        w("##INFO=<ID=AF,Number=A,Type=Float,Description=\"AF\">\n")
+        w("##FORMAT=<ID=GT,Number=1,Type=String,Description=\"GT\">\n")
+        w("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" +
+          (1 to 20).map("S" + _).mkString("\t") + "\n")
+        val sb = new StringBuilder(256)
+        var i = 0
+        while (i < perChrom) {
+          sb.setLength(0)
+          sb ++= s"c$c\t${i * 40 + 10}\tv${c}_$i\tA\t" +
+            s"${"CGT".charAt(i % 3)}\t.\tPASS\tAF=0.${i % 89 + 10}\tGT"
+          var sIdx = 0
+          while (sIdx < 20) {
+            sb ++= (if ((i * 7 + sIdx) % 2 == 0) "\t0|1" else "\t1|1")
+            sIdx += 1
+          }
+          sb += '\n'
+          w(sb.toString)
+          i += 1
+        }
+      }
+      c += 1
+    }
+    sortedVcfGzShardedDir = d
+    d
+  }
+
   /** Dedup at volume: `n` synthetic ~30-word docs (300k at sf0.1 for dx,
     * 3M for dx10), every 10th a near-copy of its predecessor (one word of
     * 30 changed), through the full detect->cluster path the sf documents
@@ -761,6 +817,56 @@ object Bench {
         val path = ensureSortedVcfGz((nDocs * 60).toInt)
         val hi = (nDocs * 60 / 22).toInt * 40 / 4
         graft.sources.Vcf.readBgzf(spark, path, splitSize = 1L << 20)
+          .where(col("chrom") === "c11" && col("pos").between(10L, hi))
+          .agg(count(lit(1)), sum(col("pos"))).head.getLong(0)
+      }),
+      // The SAME query as vrgx/vrgx1 written as plain SQL against the
+      // DSv2 relation — no readRegion call anywhere: the scan must
+      // route the WHERE's chrom/pos conjuncts into the bisected window
+      // by itself. Walls near vrgx (≪ vrgx1) = automatic pruning works.
+      "vfrx_filter_route_scale" -> (() => {
+        val path = ensureSortedVcfGz((nDocs * 60).toInt)
+        val hi = (nDocs * 60 / 22).toInt * 40 / 4
+        graft.sources.Vcf.readTable(spark, path, splitSize = 1L << 20)
+          .where(col("chrom") === "c11" && col("pos").between(10L, hi))
+          .agg(count(lit(1)), sum(col("pos"))).head.getLong(0)
+      }),
+      // 20-region target panel in ONE readRegions call (two ADJACENT
+      // regions per chromosome on 10 chroms, so merged windows halve
+      // the window count) vs the identical OR-filter full scan. The
+      // pair ratio is the panel pruning win at O(regions · log n)
+      // driver probes.
+      "vpnx_region_panel_scale" -> (() => {
+        val path = ensureSortedVcfGz((nDocs * 60).toInt)
+        graft.sources.Vcf.readRegions(spark, path,
+          panelRegions((nDocs * 60).toInt), splitSize = 1L << 20)
+          .agg(count(lit(1)), sum(col("pos"))).head.getLong(0)
+      }),
+      "vpnx1_panel_fullscan_scale" -> (() => {
+        val path = ensureSortedVcfGz((nDocs * 60).toInt)
+        val pred = panelRegions((nDocs * 60).toInt).map {
+          case (c, a, b) =>
+            col("chrom") === c && col("pos").between(a, b)
+        }.reduce(_ || _)
+        graft.sources.Vcf.readBgzf(spark, path, splitSize = 1L << 20)
+          .where(pred)
+          .agg(count(lit(1)), sum(col("pos"))).head.getLong(0)
+      }),
+      // Region read over a 22-shard per-chromosome DIRECTORY (the
+      // layout cohorts ship in): 21 no-hit shards prune to search
+      // floors, the hit shard prunes to the slice — vs the full
+      // directory scan answering the same query.
+      "vrdx_region_dir_scale" -> (() => {
+        val dir = ensureSortedVcfGzSharded((nDocs * 60).toInt)
+        val hi = (nDocs * 60 / 22).toInt * 40 / 4
+        graft.sources.Vcf.readRegion(spark, dir, "c11", 10L, hi,
+          splitSize = 1L << 20)
+          .agg(count(lit(1)), sum(col("pos"))).head.getLong(0)
+      }),
+      "vrdx1_region_dir_fullscan_scale" -> (() => {
+        val dir = ensureSortedVcfGzSharded((nDocs * 60).toInt)
+        val hi = (nDocs * 60 / 22).toInt * 40 / 4
+        graft.sources.Vcf.readBgzf(spark, dir, splitSize = 1L << 20)
           .where(col("chrom") === "c11" && col("pos").between(10L, hi))
           .agg(count(lit(1)), sum(col("pos"))).head.getLong(0)
       }),

@@ -60,18 +60,29 @@ private[graft] object ProHapCli {
     case c => (c, 1L, Int.MaxValue.toLong)
   }
 
-  /** The `-i` VCF/BCF input, region-pruned when `-region` is given. */
+  /** The `-i` VCF/BCF input — single files, directories, globs and
+    * per-chromosome shard fleets alike. Region-pruned when `-region
+    * chr[:a-b]` (one region) or `-regions panel.bed` (a BED target
+    * panel, bcftools' `-R`: one bisection per (shard, region), merged
+    * windows read once) is given.
+    */
   def readVcfInput(spark: SparkSession,
                    opts: Map[String, String]): DataFrame = {
     val path = opts("i")
-    opts.get("region") match {
-      case Some(spec) =>
+    (opts.get("region"), opts.get("regions")) match {
+      case (Some(spec), _) =>
         val (c, a, b) = parseRegion(spec)
         if (path.endsWith(".bcf"))
           graft.sources.Bcf.readRegion(spark, path, c, a, b,
             afFields(opts))
         else Vcf.readRegion(spark, path, c, a, b, afFields(opts))
-      case None => Vcf.readAuto(spark, path, afFields(opts))
+      case (None, Some(bed)) =>
+        val panel = graft.sources.Bed.toIntervals(
+          graft.sources.Bed.read(spark, bed))
+        if (path.endsWith(".bcf"))
+          graft.sources.Bcf.readPanel(spark, path, panel, afFields(opts))
+        else Vcf.readPanel(spark, path, panel, afFields(opts))
+      case _ => Vcf.readAuto(spark, path, afFields(opts))
     }
   }
 

@@ -214,6 +214,26 @@ object Genomic {
         .withColumn("genotypes", array_join(col("genotypes"), ","))
     }),
 
+    "g59b_filter_route_bcf" -> ((s, _) => {
+      // automatic filter routing on the BINARY container: readAuto's
+      // .bcf branch (the DSv2 BcfBgzfSource) + a plain WHERE must
+      // route the chrom/pos conjuncts into the record-alignment
+      // bisection and match the float-normalized TEXT parse.
+      prep(s)
+      Vcf.readAuto(s, GenomicFixtures.regionBcfPath(s))
+        .where(col("chrom") === "1" && col("pos").between(20L, 60L))
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
+    }),
+
+    "g59c_filter_route_bam" -> ((s, _) => {
+      // and on BAM: the rname/pos WHERE pushes THROUGH the
+      // Sam.decorate projection into the DSv2 scan (BamBgzfSource).
+      // Oracle = the TEXT parse under the identical containment
+      // predicate.
+      graft.sources.Bam.readTable(s, GenomicFixtures.regionBamPath(s))
+        .where(col("rname") === "1" && col("pos").between(20L, 60L))
+    }),
+
     "g58_region_panel" -> ((s, _) => {
       // multi-region (target-panel) read: 12 regions in one call —
       // adjacent/overlapping windows that must merge ((1,22-25) and
@@ -3281,6 +3301,16 @@ object Genomic {
       s"""WITH t AS ($v1Sql)
          |SELECT * FROM t
          |WHERE chrom = '1' AND pos BETWEEN 20 AND 60""".stripMargin,
+
+    "g59b_filter_route_bcf" ->
+      s"""WITH t AS ($bcf1Sql)
+         |SELECT * FROM t
+         |WHERE chrom = '1' AND pos BETWEEN 20 AND 60""".stripMargin,
+
+    "g59c_filter_route_bam" ->
+      s"""WITH t AS ($sam1Sql)
+         |SELECT * FROM t
+         |WHERE rname = '1' AND pos BETWEEN 20 AND 60""".stripMargin,
 
     // the OR of the 12 panel predicates, generated from the SAME
     // regionPanel value the gate passes to readRegions

