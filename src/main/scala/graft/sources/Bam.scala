@@ -293,7 +293,7 @@ object Bam {
             memberMemo.getOrElseUpdate(mid,
               Bgzf.firstMemberIn(sin, mid, len, len))
           ranked.foreach { case (rank, start, end) =>
-            val lo = math.max(1L, math.min(start - maxSpan, maxPos))
+            val lo = math.max(0L, math.min(start - maxSpan, maxPos))
             val hi = math.max(0L, math.min(end, maxPos))
             val w = Bgzf.searchWindow(len, nextMember, probe,
               key(rank.toLong, lo), key(rank.toLong, hi))

@@ -43,7 +43,7 @@ private[sources] object BgzfPush {
   def extract(filters: Array[Filter], chromCol: String,
               posCol: String): Extracted = {
     var chroms: Option[Seq[String]] = None
-    var lo = 1L
+    var lo = 0L
     var hi = Int.MaxValue.toLong
     val used = Array.newBuilder[Filter]
     filters.foreach {
@@ -67,8 +67,22 @@ private[sources] object BgzfPush {
     Extracted(chroms, lo, hi, used.result())
   }
 
-  /** Tile planned windows (or whole files when no conjunct is usable)
-    * into byte-range partitions — the shared planInputPartitions body.
+  /** Tile planned windows into byte-range partitions. */
+  def tile(windows: Seq[Bgzf.FileWindow],
+           splitSize: Long): Array[InputPartition] =
+    windows.filter(w => w.toByte > w.fromByte).flatMap { w =>
+      val span = w.toByte - w.fromByte
+      val n = math.max(1L, (span + splitSize - 1) / splitSize)
+      (0L until n).map(i => BgzfScanPartition(w.path,
+        w.fromByte + i * splitSize,
+        math.min(w.fromByte + (i + 1) * splitSize, w.toByte),
+        w.fileLen))
+    }.toArray
+
+  /** Windows (or whole files when no conjunct is usable) tiled into
+    * partitions — the shared planInputPartitions body of the binary
+    * relations (the VCF relation adds a full-scan-fallback class on
+    * top of this in [[VcfBgzfScan]]).
     */
   def plan(spark: SparkSession, path: String, splitSize: Long,
            e: Extracted,
@@ -81,14 +95,7 @@ private[sources] object BgzfPush {
         Bgzf.FileWindow(fp, len, 0L, len, 0)
       }
     }
-    windows.filter(w => w.toByte > w.fromByte).flatMap { w =>
-      val span = w.toByte - w.fromByte
-      val n = math.max(1L, (span + splitSize - 1) / splitSize)
-      (0L until n).map(i => BgzfScanPartition(w.path,
-        w.fromByte + i * splitSize,
-        math.min(w.fromByte + (i + 1) * splitSize, w.toByte),
-        w.fileLen))
-    }.toArray
+    tile(windows, splitSize)
   }
 
   def describe(name: String, path: String, e: Extracted): String =
@@ -112,12 +119,16 @@ class BcfBgzfSource extends TableProvider {
     VcfBgzfSource.schema
   override def getTable(schema: StructType,
                         partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new BcfBgzfTable(properties.get("path"),
-      Option(properties.get("affields")).map(_.split(",").toSeq)
+                        properties: java.util.Map[String, String]): Table = {
+    // original-case map (asCaseSensitiveMap) — re-wrap, see
+    // [[VcfBgzfSource.getTable]]
+    val opts = new CaseInsensitiveStringMap(properties)
+    new BcfBgzfTable(opts.get("path"),
+      Option(opts.get("affields")).map(_.split(",").toSeq)
         .getOrElse(Vcf.defaultAfFields),
-      Option(properties.get("splitsize")).map(_.toLong)
+      Option(opts.get("splitsize")).map(_.toLong)
         .getOrElse(32L << 20))
+  }
   override def supportsExternalMetadata(): Boolean = true
 }
 
@@ -134,7 +145,7 @@ private[sources] class BcfBgzfTable(path: String, afFields: Seq[String],
     new ScanBuilder with SupportsPushDownFilters
       with SupportsPushDownRequiredColumns {
       private var required: StructType = VcfBgzfSource.schema
-      private var e = BgzfPush.Extracted(None, 1L, Int.MaxValue.toLong,
+      private var e = BgzfPush.Extracted(None, 0L, Int.MaxValue.toLong,
         Array.empty)
       override def pushFilters(fs: Array[Filter]): Array[Filter] = {
         e = BgzfPush.extract(fs, "chrom", "pos"); fs
@@ -221,10 +232,14 @@ class BamBgzfSource extends TableProvider {
     BamBgzfSource.schema
   override def getTable(schema: StructType,
                         partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new BamBgzfTable(properties.get("path"),
-      Option(properties.get("splitsize")).map(_.toLong)
+                        properties: java.util.Map[String, String]): Table = {
+    // original-case map (asCaseSensitiveMap) — re-wrap, see
+    // [[VcfBgzfSource.getTable]]
+    val opts = new CaseInsensitiveStringMap(properties)
+    new BamBgzfTable(opts.get("path"),
+      Option(opts.get("splitsize")).map(_.toLong)
         .getOrElse(32L << 20))
+  }
   override def supportsExternalMetadata(): Boolean = true
 }
 
@@ -259,7 +274,7 @@ private[sources] class BamBgzfTable(path: String, splitSize: Long)
     new ScanBuilder with SupportsPushDownFilters
       with SupportsPushDownRequiredColumns {
       private var required: StructType = BamBgzfSource.schema
-      private var e = BgzfPush.Extracted(None, 1L, Int.MaxValue.toLong,
+      private var e = BgzfPush.Extracted(None, 0L, Int.MaxValue.toLong,
         Array.empty)
       override def pushFilters(fs: Array[Filter]): Array[Filter] = {
         e = BgzfPush.extract(fs, "rname", "pos"); fs

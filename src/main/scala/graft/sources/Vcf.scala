@@ -147,10 +147,9 @@ object Vcf {
         Some(Bgzf.linesDf(spark, Bgzf.scanWindows(spark, plan.windows,
           splitSize)((in, r) => Bgzf.rangeLinesOf(in, r))))
       else None
-    val fullLines = plan.fullScan.map { fp =>
-      if (Bgzf.isBgzfOver(spark, fp, 0L))
-        Bgzf.readLines(spark, fp, splitSize)
-      else spark.read.text(fp)
+    val fullLines = plan.fullScan.map { f =>
+      if (f.isBgzf) Bgzf.readLines(spark, f.path, splitSize)
+      else spark.read.text(f.path)
     }
     val lines = (windowLines.toSeq ++ fullLines)
       .reduceOption(_.unionAll(_))
@@ -190,13 +189,21 @@ object Vcf {
     rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
   }
 
+  /** A file [[regionPlan]] could not bisect — read whole: its length
+    * (so consumers never re-stat it) and whether it is BGZF (so they
+    * never re-peek; picks the splittable reader vs plain text).
+    */
+  private[graft] case class FullScanFile(path: String, len: Long,
+                                         isBgzf: Boolean)
+
   /** Driver-side byte plan of [[readRegions]]: per (file, region)
     * bisected windows (merged per file) plus the files that must full-
     * scan. Package-visible so the specs can pin probe counts and merged
     * window sizes without running the scan.
     */
   private[graft] case class RegionPlan(windows: Seq[Bgzf.FileWindow],
-                                       fullScan: Seq[String], probes: Int)
+                                       fullScan: Seq[FullScanFile],
+                                       probes: Int)
 
   private[graft] def regionPlan(spark: SparkSession, path: String,
                                 regions: Seq[(String, Long, Long)],
@@ -204,15 +211,17 @@ object Vcf {
     val maxPos = Int.MaxValue.toLong
     def key(rank: Int, pos: Long) = (rank.toLong << 32) | pos
     val windows = Seq.newBuilder[Bgzf.FileWindow]
-    val fullScan = Seq.newBuilder[String]
+    val fullScan = Seq.newBuilder[FullScanFile]
     var probes = 0
     Bgzf.resolveFiles(spark, path).foreach { case (fp, len) =>
       // plain .vcf / non-BGZF gzip have no member chain to bisect, and
       // an unranked chrom can't be ordered against the data
+      val isBgzf = Bgzf.isBgzfOver(spark, fp, 0L)
       val ranks =
-        if (Bgzf.isBgzfOver(spark, fp, 0L)) contigRanks(spark, fp)
+        if (isBgzf) contigRanks(spark, fp)
         else Map.empty[String, Int]
-      if (regions.exists(r => !ranks.contains(r._1))) fullScan += fp
+      if (regions.exists(r => !ranks.contains(r._1)))
+        fullScan += FullScanFile(fp, len, isBgzf)
       else {
         val keyOf: String => Option[Long] = { line =>
           if (line.isEmpty || line.charAt(0) == '#') None
@@ -237,7 +246,7 @@ object Vcf {
         // batched regionWindows call per file: every search shares one
         // handle and a per-member probe memo.
         val keyRanges = regions.map { case (chrom, start, end) =>
-          val lo = math.max(1L, math.min(start - maxSpan, maxPos))
+          val lo = math.max(0L, math.min(start - maxSpan, maxPos))
           val hi = math.max(0L, math.min(end, maxPos))
           (key(ranks(chrom), lo), key(ranks(chrom), hi))
         }

@@ -52,12 +52,17 @@ class VcfBgzfSource extends TableProvider {
 
   override def getTable(schema: StructType,
                         partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new VcfBgzfTable(properties.get("path"),
-      Option(properties.get("affields")).map(_.split(",").toSeq)
+                        properties: java.util.Map[String, String]): Table = {
+    // Spark hands getTable the ORIGINAL-case option map
+    // (asCaseSensitiveMap) — re-wrap so `.option("afFields", …)` /
+    // `.option("splitSize", …)` resolve regardless of caller casing
+    val opts = new CaseInsensitiveStringMap(properties)
+    new VcfBgzfTable(opts.get("path"),
+      Option(opts.get("affields")).map(_.split(",").toSeq)
         .getOrElse(Vcf.defaultAfFields),
-      Option(properties.get("splitsize")).map(_.toLong)
+      Option(opts.get("splitsize")).map(_.toLong)
         .getOrElse(32L << 20))
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -134,7 +139,7 @@ private[sources] class VcfBgzfScanBuilder(path: String,
   with SupportsPushDownRequiredColumns {
 
   private var required: StructType = VcfBgzfSource.schema
-  private var e = BgzfPush.Extracted(None, 1L, Int.MaxValue.toLong,
+  private var e = BgzfPush.Extracted(None, 0L, Int.MaxValue.toLong,
     Array.empty)
 
   /** Extract the prunable conjuncts — a single chrom equality/IN plus
@@ -174,14 +179,9 @@ private[sources] class VcfBgzfScan(path: String, afFields: Seq[String],
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def description(): String = {
-    val filt =
-      if (pushed.isEmpty) "full scan"
-      else s"PushedFilters: [${pushed.mkString(", ")}], window " +
-        s"chrom=${chroms.map(_.mkString("|")).getOrElse("*")} " +
-        s"pos=[$posLo,$posHi]"
-    s"graft_vcf_bgzf $path ($filt)"
-  }
+  override def description(): String =
+    BgzfPush.describe("graft_vcf_bgzf", path,
+      BgzfPush.Extracted(chroms, posLo, posHi, pushed))
 
   /** Driver-side byte plan: with a usable chrom conjunct, the exact
     * [[Vcf.regionPlan]] bisection (maxSpan 0 — the predicate is on pos
@@ -194,41 +194,39 @@ private[sources] class VcfBgzfScan(path: String, afFields: Seq[String],
     val spark = SparkSession.active
     if (posLo > posHi)
       return Array.empty // contradictory bounds: statically empty
-    val (windows, fullFiles) = chroms match {
+    val windows = chroms match {
       case Some(cs) =>
         val plan = Vcf.regionPlan(spark, path,
           cs.map(c => (c, posLo, posHi)), maxSpan = 0L)
-        (plan.windows, plan.fullScan)
+        plan.fullScan.foreach { f =>
+          require(f.isBgzf,
+            s"graft.sources.VcfBgzfSource wants BGZF files; ${f.path} " +
+              "is not (read plain text through Vcf.read)")
+        }
+        plan.windows ++ plan.fullScan.map(f =>
+          Bgzf.FileWindow(f.path, f.len, 0L, f.len, 0))
       case None =>
-        (Seq.empty[Bgzf.FileWindow],
-          Bgzf.resolveFiles(spark, path).map(_._1))
+        val files = Bgzf.resolveFiles(spark, path)
+        // one 18-byte signature peek, first file only — a non-BGZF
+        // file elsewhere in the directory fails loudly per range at
+        // read time ("not a BGZF member"), without an N-open planning
+        // pass here
+        files.headOption.foreach { case (fp, _) =>
+          require(Bgzf.isBgzfOver(spark, fp, 0L),
+            s"graft.sources.VcfBgzfSource wants BGZF files; $fp is " +
+              "not (read plain text through Vcf.read)")
+        }
+        files.map { case (fp, len) =>
+          Bgzf.FileWindow(fp, len, 0L, len, 0)
+        }
     }
-    fullFiles.foreach { fp =>
-      require(Bgzf.isBgzfOver(spark, fp, 0L),
-        s"graft.sources.VcfBgzfSource wants BGZF files; $fp is not " +
-          "(read plain text through Vcf.read)")
-    }
-    val fullWindows = fullFiles.map { fp =>
-      val len = Bgzf.resolveFiles(spark, fp).head._2
-      Bgzf.FileWindow(fp, len, 0L, len, 0)
-    }
-    (windows ++ fullWindows).filter(w => w.toByte > w.fromByte)
-      .flatMap { w =>
-        val span = w.toByte - w.fromByte
-        val n = math.max(1L, (span + splitSize - 1) / splitSize)
-        (0L until n).map(i => BgzfScanPartition(w.path,
-          w.fromByte + i * splitSize,
-          math.min(w.fromByte + (i + 1) * splitSize, w.toByte),
-          w.fileLen))
-      }.toArray
+    BgzfPush.tile(windows, splitSize)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
-    val hconf = new org.apache.spark.SerializableWritable(
-      new org.apache.hadoop.conf.Configuration(
-        spark.sparkContext.hadoopConfiguration))
-    new VcfBgzfReaderFactory(hconf, required.fieldNames, afFields)
+    new VcfBgzfReaderFactory(BgzfPush.hadoopConf(spark),
+      required.fieldNames, afFields)
   }
 }
 

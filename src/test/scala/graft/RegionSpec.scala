@@ -307,7 +307,8 @@ class RegionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = Vcf.regionPlan(spark, d, Seq(("chr2", 500L, 900L)),
       maxSpan = 10000L)
     assert(plan.fullScan.size == 1 &&
-      plan.fullScan.head.endsWith("part-00001.vcf"))
+      plan.fullScan.head.path.endsWith("part-00001.vcf"))
+    assert(!plan.fullScan.head.isBgzf)
     val got = rows(Vcf.readRegion(spark, d, "chr2", 500L, 900L))
     assert(got.nonEmpty)
     assert(got == rows(Vcf.readRegion(spark, d, "chr2", 500L, 900L)

@@ -146,6 +146,52 @@ class VcfV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(table.where(col("chrom") === "chr9").count() == 0L)
   }
 
+  test("reader options reach the table (regression: Spark hands " +
+    "getTable the ORIGINAL-case option map, so camelCase keys read " +
+    "via lowercase lookups silently defaulted afFields and splitSize)") {
+    val text = Seq(
+      "##fileformat=VCFv4.2",
+      "##contig=<ID=c1>",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+      "c1\t10\trs1\tA\tG\t.\tPASS\tMYAF=0.7;AF=0.1\tGT\t0|1").
+      mkString("\n") + "\n"
+    val gz = writeGz("opts.vcf.gz", text, blockSize = 64)
+    // custom afFields must WIN over the default AF key
+    val af = Vcf.readTable(spark, gz, afFields = Seq("MYAF"))
+      .select("af").collect().map(_.getString(0)).toSeq
+    assert(af == Seq("0.7"), af)
+    // splitSize must steer partition granularity
+    val big = writeGz("opts-big.vcf.gz", vcfText(30000), blockSize = 256)
+    val (_, fine) = scannedBytes(
+      Vcf.readTable(spark, big, splitSize = 64L << 10))
+    val (_, coarse) = scannedBytes(Vcf.readTable(spark, big))
+    assert(fine > coarse,
+      s"64 KiB splits must out-partition the 32 MiB default: " +
+        s"$fine vs $coarse")
+  }
+
+  test("POS=0 records (VCF-legal telomere) survive the pruned scan " +
+    "and the readRegion window (regression: the search floor was 1)") {
+    val chroms = Seq("chr1", "chr2")
+    val hdr = Seq("##fileformat=VCFv4.2") ++
+      chroms.map(c => s"##contig=<ID=$c>") ++
+      Seq("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1")
+    val body = for {
+      c <- chroms
+      i <- 0 until 30000
+    } yield s"$c\t${10 * i}\trs${c}_$i\tA\tG\t.\tPASS\t.\tGT\t0|1"
+    val p = writeGz("pos0.vcf.gz",
+      (hdr ++ body).mkString("", "\n", "\n"), blockSize = 256)
+    val table = Vcf.readTable(spark, p, splitSize = 1L << 20)
+    // chr2's FIRST record sits at POS=0: both the exact-equality and
+    // the low-bounded filter must keep it despite the pruned window
+    assert(table.where(col("chrom") === "chr2" && col("pos") === 0)
+      .count() == 1L)
+    assert(table.where(col("chrom") === "chr2" && col("pos") <= 95)
+      .count() == 10L)
+    assert(Vcf.readRegion(spark, p, "chr2", 0L, 95L).count() == 10L)
+  }
+
   test("sharded directory: per-shard windows; column pruning keeps " +
     "values; count() (empty schema) matches") {
     val d = s"$tmp/sharded"
