@@ -244,9 +244,13 @@ object Bam {
     // upper search target
     val maxPos = Int.MaxValue.toLong
     def key(r: Long, pos1: Long) = (r << 32) | (pos1 & 0xffffffffL)
-    val windows = Seq.newBuilder[Bgzf.FileWindow]
-    var probes = 0
-    Bgzf.resolveFiles(spark, path).foreach { case (fp, len) =>
+    val files = Bgzf.resolveFiles(spark, path)
+    // per-file planning (header decode + bisections) is independent —
+    // fan out across shards with bounded driver threads, recombined in
+    // file order for a deterministic plan
+    val perFile = Bgzf.parMap(files, math.min(8, files.size)) {
+      case (fp, len) =>
+      val windows = Seq.newBuilder[Bgzf.FileWindow]
       val p = new org.apache.hadoop.fs.Path(fp)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val in0 = fs.open(p)
@@ -297,7 +301,6 @@ object Bam {
             val hi = math.max(0L, math.min(end, maxPos))
             val w = Bgzf.searchWindow(len, nextMember, probe,
               key(rank.toLong, lo), key(rank.toLong, hi))
-            probes += w.probes
             windows += Bgzf.FileWindow(fp, len, w.fromByte, w.toByte,
               w.probes)
           }
@@ -305,9 +308,11 @@ object Bam {
           try sin.close() catch { case _: java.io.IOException => }
         }
       }
+      windows.result()
     }
-    Vcf.RegionPlan(Bgzf.mergeWindows(windows.result()), Seq.empty,
-      probes)
+    val windows = perFile.flatten
+    Vcf.RegionPlan(Bgzf.mergeWindows(windows), Seq.empty,
+      windows.map(_.probes).sum)
   }
 
   private[sources] def splitRangeRecords(

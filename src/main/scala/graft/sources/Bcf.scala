@@ -322,9 +322,13 @@ object Bcf {
                                 regions: Seq[(String, Long, Long)],
                                 maxSpan: Long): Vcf.RegionPlan = {
     val maxPos = Int.MaxValue.toLong
-    val windows = Seq.newBuilder[Bgzf.FileWindow]
-    var probes = 0
-    Bgzf.resolveFiles(spark, path).foreach { case (fp, len) =>
+    val files = Bgzf.resolveFiles(spark, path)
+    // per-file planning (header decode + bisections) is independent —
+    // fan out across shards with bounded driver threads, recombined in
+    // file order for a deterministic plan
+    val perFile = Bgzf.parMap(files, math.min(8, files.size)) {
+      case (fp, len) =>
+      val windows = Seq.newBuilder[Bgzf.FileWindow]
       val p = new org.apache.hadoop.fs.Path(fp)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val in0 = fs.open(p)
@@ -371,7 +375,6 @@ object Bcf {
             val hi = math.max(0L, math.min(end, maxPos))
             val w = Bgzf.searchWindow(len, nextMember, probe,
               (rank.toLong << 32) | lo, (rank.toLong << 32) | hi)
-            probes += w.probes
             windows += Bgzf.FileWindow(fp, len, w.fromByte, w.toByte,
               w.probes)
           }
@@ -379,9 +382,11 @@ object Bcf {
           try sin.close() catch { case _: java.io.IOException => }
         }
       }
+      windows.result()
     }
-    Vcf.RegionPlan(Bgzf.mergeWindows(windows.result()), Seq.empty,
-      probes)
+    val windows = perFile.flatten
+    Vcf.RegionPlan(Bgzf.mergeWindows(windows), Seq.empty,
+      windows.map(_.probes).sum)
   }
 
   /** Sample names from the `#CHROM` line of the embedded header text —

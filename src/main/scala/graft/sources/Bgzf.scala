@@ -434,51 +434,96 @@ object Bgzf {
                                   toKey: Long): RegionWindow =
     regionWindows(spark, path, keyOf, Seq((fromKey, toKey))).head
 
+  /** Driver-side fixed-pool map for PLANNING fan-out (per-file
+    * bisections across a shard fleet, per-region searches across a
+    * panel): bounded threads, original order preserved, first failure
+    * rethrown unwrapped. Sequential when it can't help.
+    */
+  private[sources] def parMap[A, B](items: Seq[A], parallelism: Int)(
+      f: A => B): Seq[B] =
+    if (items.size <= 1 || parallelism <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, items.size))
+      try {
+        val futures = items.map { a =>
+          pool.submit(new java.util.concurrent.Callable[B] {
+            override def call(): B = f(a)
+          })
+        }
+        try futures.map(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      } finally pool.shutdown()
+    }
+
   /** [[regionWindow]] for a LIST of key ranges over one file — the
-    * multi-region planner's driver-side hot path: ONE positioned-read
-    * handle serves every probe of every search (a close-suppressing
-    * view survives rangeLines' iterator-EOF close), and both probe
-    * kinds MEMOIZE per member offset — a panel's searches all start at
-    * the same midpoint members, so the cache turns 2·regions·log n
-    * probes into the distinct-member count (measured ~2× on a
-    * 20-region panel, far more on clustered panels; on object stores
-    * the saved per-probe open() dominates).
+    * multi-region planner's driver-side hot path, three levers:
+    * per-member MEMOIZATION of both probe kinds (a panel's searches
+    * all start at the same midpoint members, so the cache turns
+    * 2·regions·log n probes into the distinct-member count), shared
+    * handles (a close-suppressing view survives rangeLines'
+    * iterator-EOF close; on object stores the saved per-probe open()
+    * dominates), and BOUNDED PARALLELISM across the searches
+    * (`parallelism` driver threads, each with its own positioned-read
+    * handle — searches are independent once the memos are concurrent).
+    * Callers already fanning out per FILE pass parallelism=1.
     */
   private[graft] def regionWindows(spark: SparkSession, path: String,
                                    keyOf: String => Option[Long],
-                                   keyRanges: Seq[(Long, Long)])
+                                   keyRanges: Seq[(Long, Long)],
+                                   parallelism: Int = 8)
     : Seq[RegionWindow] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
     require(st.isFile, s"region read wants a single file: $path")
     val len = st.getLen
-    val in = fs.open(p)
+    val handles =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.hadoop.fs.FSDataInputStream]()
+    val local =
+      new ThreadLocal[org.apache.hadoop.fs.FSDataInputStream] {
+        override def initialValue()
+          : org.apache.hadoop.fs.FSDataInputStream = {
+          val h = fs.open(p)
+          handles.add(h)
+          h
+        }
+      }
     try {
-      val view = noCloseView(in)
-      val keyMemo = scala.collection.mutable.HashMap.empty[Long, Long]
+      val keyMemo =
+        new java.util.concurrent.ConcurrentHashMap[
+          java.lang.Long, java.lang.Long]()
       // key of the first data line OWNED by the member at `m` (first
       // byte inflates from it), reading forward across members as
       // needed; MaxValue when no data line starts at or after `m`
       def firstOwnedKey(m: Long): Long =
-        keyMemo.getOrElseUpdate(m, {
-          val it = rangeLines(view, Range(path, m, len, len))
+        keyMemo.computeIfAbsent(Long.box(m), _ => {
+          val it = rangeLines(noCloseView(local.get()),
+            Range(path, m, len, len))
           var k = Long.MaxValue
           var found = false
           while (!found && it.hasNext) keyOf(it.next()) match {
             case Some(x) => k = x; found = true
             case None =>
           }
-          k
+          Long.box(k)
         })
-      val memberMemo = scala.collection.mutable.HashMap.empty[Long, Long]
+      val memberMemo =
+        new java.util.concurrent.ConcurrentHashMap[
+          java.lang.Long, java.lang.Long]()
       def nextMember(mid: Long): Long =
-        memberMemo.getOrElseUpdate(mid, scanMember(in, mid, len, len))
-      keyRanges.map { case (fromKey, toKey) =>
+        memberMemo.computeIfAbsent(Long.box(mid),
+          _ => Long.box(scanMember(local.get(), mid, len, len)))
+      parMap(keyRanges, parallelism) { case (fromKey, toKey) =>
         searchWindow(len, nextMember, firstOwnedKey, fromKey, toKey)
       }
     } finally {
-      try in.close() catch { case _: java.io.IOException => }
+      handles.forEach(h =>
+        try h.close() catch { case _: java.io.IOException => })
     }
   }
 

@@ -210,10 +210,15 @@ object Vcf {
                                 maxSpan: Long): RegionPlan = {
     val maxPos = Int.MaxValue.toLong
     def key(rank: Int, pos: Long) = (rank.toLong << 32) | pos
-    val windows = Seq.newBuilder[Bgzf.FileWindow]
-    val fullScan = Seq.newBuilder[FullScanFile]
-    var probes = 0
-    Bgzf.resolveFiles(spark, path).foreach { case (fp, len) =>
+    val files = Bgzf.resolveFiles(spark, path)
+    // planning parallelism budget: fan out across FILES for shard
+    // fleets, across REGIONS (inside regionWindows) for panels over a
+    // single file — never both, so driver threads stay bounded
+    val filePar = math.min(8, files.size)
+    val regionPar = if (files.size > 1) 1 else 8
+    // per-file planning is independent; results recombine in file
+    // order so the plan stays deterministic
+    val perFile = Bgzf.parMap(files, filePar) { case (fp, len) =>
       // plain .vcf / non-BGZF gzip have no member chain to bisect, and
       // an unranked chrom can't be ordered against the data
       val isBgzf = Bgzf.isBgzfOver(spark, fp, 0L)
@@ -221,7 +226,8 @@ object Vcf {
         if (isBgzf) contigRanks(spark, fp)
         else Map.empty[String, Int]
       if (regions.exists(r => !ranks.contains(r._1)))
-        fullScan += FullScanFile(fp, len, isBgzf)
+        (Seq.empty[Bgzf.FileWindow],
+          Some(FullScanFile(fp, len, isBgzf)))
       else {
         val keyOf: String => Option[Long] = { line =>
           if (line.isEmpty || line.charAt(0) == '#') None
@@ -243,22 +249,22 @@ object Vcf {
         // positions are int32 in every container: clamp so the packed
         // key's rank bits can't be bled into (a caller's "to end of
         // chrom" end = Long.MaxValue must not wrap toKey + 1). One
-        // batched regionWindows call per file: every search shares one
-        // handle and a per-member probe memo.
+        // batched regionWindows call per file: every search shares the
+        // per-member probe memo.
         val keyRanges = regions.map { case (chrom, start, end) =>
           val lo = math.max(0L, math.min(start - maxSpan, maxPos))
           val hi = math.max(0L, math.min(end, maxPos))
           (key(ranks(chrom), lo), key(ranks(chrom), hi))
         }
-        Bgzf.regionWindows(spark, fp, keyOf, keyRanges).foreach { w =>
-          probes += w.probes
-          windows += Bgzf.FileWindow(fp, len, w.fromByte, w.toByte,
-            w.probes)
-        }
+        val ws = Bgzf.regionWindows(spark, fp, keyOf, keyRanges,
+          regionPar).map(w =>
+          Bgzf.FileWindow(fp, len, w.fromByte, w.toByte, w.probes))
+        (ws, None)
       }
     }
-    RegionPlan(Bgzf.mergeWindows(windows.result()), fullScan.result(),
-      probes)
+    val windows = perFile.flatMap(_._1)
+    RegionPlan(Bgzf.mergeWindows(windows), perFile.flatMap(_._2),
+      windows.map(_.probes).sum)
   }
 
   /** Contig order from the header's `##contig=<ID=...>` lines — the
