@@ -239,80 +239,95 @@ object Bam {
   private[graft] def regionPlan(spark: SparkSession, path: String,
                                 regions: Seq[(String, Long, Long)],
                                 maxSpan: Long): Vcf.RegionPlan = {
-    // positions are int32: clamp so a caller's "to end of chrom"
-    // end = Long.MaxValue can't bleed into the rank bits or wrap the
-    // upper search target
-    val maxPos = Int.MaxValue.toLong
-    def key(r: Long, pos1: Long) = (r << 32) | (pos1 & 0xffffffffL)
     val files = Bgzf.resolveFiles(spark, path)
     // per-file planning (header decode + bisections) is independent —
-    // fan out across shards with bounded driver threads, recombined in
+    // Bgzf.planFiles fans out across bounded driver threads, or as a
+    // small Spark job past the distribute threshold, recombined in
     // file order for a deterministic plan
-    val perFile = Bgzf.parMap(files, math.min(8, files.size)) {
-      case (fp, len) =>
-      val windows = Seq.newBuilder[Bgzf.FileWindow]
-      val p = new org.apache.hadoop.fs.Path(fp)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in0 = fs.open(p)
-      val refs =
-        try headerCursor(in0, len)._2
-        finally { try in0.close() catch { case _: java.io.IOException => } }
-      // regions whose chrom THIS file's dictionary ranks; the rest are
-      // dictionary-closed empty for this file
-      val ranked = regions.flatMap { case (chrom, start, end) =>
-        val r = refs.indexOf(chrom)
-        if (r < 0) None else Some((r, start, end))
-      }
-      if (ranked.nonEmpty) {
-        // one shared positioned-read handle for every search of this
-        // file; neither lambda closes it
-        val sin = fs.open(p)
-        try {
-          // memoized per member — a panel's searches all start at the
-          // same midpoint members
-          val probeMemo =
-            scala.collection.mutable.HashMap.empty[Long, Long]
-          def probe(m: Long): Long = probeMemo.getOrElseUpdate(m, {
-            val cur = new Bgzf.MemberCursor(sin, len, m)
-            var aligned = false
-            while (!aligned && cur.ensure(36)) {
-              if (plausibleChain(cur, refs.length, 4)) aligned = true
-              else cur.drop(1)
-            }
-            if (!aligned || !cur.ensure(12)) Long.MaxValue
-            else {
-              val refId = cur.le32(4)
-              // unmapped (refID -1) sorts after every mapped read
-              // (samtools sort); rank it +inf — the raw bit-packing
-              // would produce a NEGATIVE key and corrupt the bisection
-              // on any sorted BAM whose unmapped tail the search probes
-              if (refId < 0) Long.MaxValue
-              else key(refId.toLong,
-                math.max(0L, math.min(cur.le32(8).toLong + 1L, maxPos)))
-            }
-          })
-          val memberMemo =
-            scala.collection.mutable.HashMap.empty[Long, Long]
-          def nextMember(mid: Long): Long =
-            memberMemo.getOrElseUpdate(mid,
-              Bgzf.firstMemberIn(sin, mid, len, len))
-          ranked.foreach { case (rank, start, end) =>
-            val lo = math.max(0L, math.min(start - maxSpan, maxPos))
-            val hi = math.max(0L, math.min(end, maxPos))
-            val w = Bgzf.searchWindow(len, nextMember, probe,
-              key(rank.toLong, lo), key(rank.toLong, hi))
-            windows += Bgzf.FileWindow(fp, len, w.fromByte, w.toByte,
-              w.probes)
-          }
-        } finally {
-          try sin.close() catch { case _: java.io.IOException => }
-        }
-      }
-      windows.result()
+    val perFile = Bgzf.planFiles(spark, files, regions.size) {
+      (conf, fp, len, _) => planFile(conf, fp, len, regions, maxSpan)
     }
     val windows = perFile.flatten
     Vcf.RegionPlan(Bgzf.mergeWindows(windows), Seq.empty,
       windows.map(_.probes).sum)
+  }
+
+  /** One file's share of [[regionPlan]] — Configuration-based so
+    * [[Bgzf.planFiles]] can run it on executors for dense panel×fleet
+    * plans.
+    */
+  private[sources] def planFile(
+      conf: org.apache.hadoop.conf.Configuration, fp: String, len: Long,
+      regions: Seq[(String, Long, Long)], maxSpan: Long)
+    : Seq[Bgzf.FileWindow] = {
+    // positions are int32: clamp so a caller's "to end of chrom"
+    // end = Long.MaxValue can't bleed into the rank bits or wrap the
+    // upper search target
+    val maxPos = Int.MaxValue.toLong
+    def key(r: Long, pos1: Long): Long = (r << 32) | (pos1 & 0xffffffffL)
+    val windows = Seq.newBuilder[Bgzf.FileWindow]
+    val p = new org.apache.hadoop.fs.Path(fp)
+    val fs = p.getFileSystem(conf)
+    val in0 = fs.open(p)
+    val refs =
+      try headerCursor(in0, len)._2
+      finally { try in0.close() catch { case _: java.io.IOException => } }
+    // regions whose chrom THIS file's dictionary ranks; the rest are
+    // dictionary-closed empty for this file
+    val ranked = regions.flatMap { case (chrom, start, end) =>
+      val r = refs.indexOf(chrom)
+      if (r < 0) None else Some((r, start, end))
+    }
+    if (ranked.nonEmpty) {
+      // one shared positioned-read handle for every search of this
+      // file; neither lambda closes it
+      val sin = fs.open(p)
+      try {
+        // memoized per member — a panel's searches all start at the
+        // same midpoint members
+        val probeMemo =
+          scala.collection.mutable.HashMap.empty[Long, Long]
+        def probe(m: Long): Long = probeMemo.getOrElseUpdate(m, {
+          val cur = new Bgzf.MemberCursor(sin, len, m)
+          var aligned = false
+          while (!aligned && cur.ensure(36)) {
+            if (plausibleChain(cur, refs.length, 4)) aligned = true
+            else cur.drop(1)
+          }
+          if (!aligned || !cur.ensure(12)) Long.MaxValue
+          else {
+            val refId = cur.le32(4)
+            // unmapped (refID -1) sorts after every mapped read
+            // (samtools sort); rank it +inf — the raw bit-packing
+            // would produce a NEGATIVE key and corrupt the bisection
+            // on any sorted BAM whose unmapped tail the search probes
+            if (refId < 0) Long.MaxValue
+            else key(refId.toLong,
+              math.max(0L, math.min(cur.le32(8).toLong + 1L, maxPos)))
+          }
+        })
+        val memberMemo =
+          scala.collection.mutable.HashMap.empty[Long, Long]
+        def nextMember(mid: Long): Long =
+          memberMemo.getOrElseUpdate(mid,
+            Bgzf.firstMemberIn(sin, mid, len, len))
+        ranked.foreach { case (rank, start, end) =>
+          // saturate into [0, maxPos] before the back-off so a
+          // degenerate Long bound clamps instead of wrapping
+          val s0 = math.min(math.max(start, 0L), maxPos)
+          val span = math.max(0L, maxSpan)
+          val lo = if (span >= s0) 0L else s0 - span
+          val hi = math.max(0L, math.min(end, maxPos))
+          val w = Bgzf.searchWindow(len, nextMember, probe,
+            key(rank.toLong, lo), key(rank.toLong, hi))
+          windows += Bgzf.FileWindow(fp, len, w.fromByte, w.toByte,
+            w.probes)
+        }
+      } finally {
+        try sin.close() catch { case _: java.io.IOException => }
+      }
+    }
+    windows.result()
   }
 
   private[sources] def splitRangeRecords(

@@ -174,10 +174,14 @@ object Bgzf {
     */
   private[sources] def isBgzfOver(spark: SparkSession, path: String,
                                   minBytes: Long): Boolean =
+    isBgzfOver(spark.sparkContext.hadoopConfiguration, path, minBytes)
+
+  private[sources] def isBgzfOver(
+      conf: org.apache.hadoop.conf.Configuration, path: String,
+      minBytes: Long): Boolean =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
+      val fs = p.getFileSystem(conf)
       val st = fs.getFileStatus(p)
       if (!st.isFile || st.getLen <= minBytes) return false
       val in = fs.open(p)
@@ -187,6 +191,109 @@ object Bgzf {
         sigAt(hdr, 0)
       } finally in.close()
     } catch { case _: Throwable => false }
+
+  // ------------------------------------------------- content sniffing
+  /** Content-derived format class of a file/layout — what
+    * [[Vcf.readAuto]]-style dispatch routes on instead of the path
+    * SUFFIX (a bare directory of BCF shards has no extension at all;
+    * suffix dispatch silently text-parsed its binary bytes to a
+    * near-empty frame).
+    */
+  private[graft] sealed trait Format extends Serializable
+  private[graft] object Format {
+    /** BGZF whose first member inflates to `BCF\2…`. */
+    case object Bcf extends Format
+    /** BGZF whose first member inflates to `BAM\1`. */
+    case object Bam extends Format
+    /** BGZF with a non-magic (text) payload. */
+    case object BgzfText extends Format
+    /** RFC-1952 gzip without the BGZF BC subfield. */
+    case object Gzip extends Format
+    /** Anything else — plain bytes/text. */
+    case object Plain extends Format
+
+    def textish(f: Format): Boolean =
+      f == BgzfText || f == Gzip || f == Plain
+  }
+
+  /** [[sniff]] result: the layout's format plus its resolved member
+    * files, so dispatchers can route on file count/size without a
+    * second listing.
+    */
+  private[graft] case class Sniffed(format: Format,
+                                    files: Seq[(String, Long)])
+
+  /** Classify `path` (file, directory or glob) by CONTENT: every
+    * resolved file's leading bytes are read — a BGZF signature
+    * additionally inflates the FIRST member (≤64 KiB) for the
+    * `BCF\2`/`BAM\1` payload magic. Genuinely mixed layouts (binary
+    * shards next to text shards, BCF next to BAM) are a LOUD error —
+    * no dispatch is right for both and the wrong half would parse to
+    * silent garbage; a text-compatible mix (BGZF text next to plain
+    * gzip next to raw) resolves to the codec text class, which every
+    * whole-file text reader handles per file.
+    *
+    * Driver cost: one bounded positioned read per file (8 threads) —
+    * the same O(files) planning pass [[Vcf.regionPlan]] already makes;
+    * `checkAll = false` probes only the first file (enough for header
+    * metadata like sample names, where shards share the header).
+    * An empty directory answers Plain with no files.
+    */
+  private[graft] def sniff(spark: SparkSession, path: String,
+                           checkAll: Boolean = true): Sniffed = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = resolveFiles(spark, path)
+    if (files.isEmpty) return Sniffed(Format.Plain, files)
+    val toCheck = if (checkAll) files else files.take(1)
+    val classes = parMap(toCheck, math.min(8, toCheck.size)) {
+      case (fp, len) => (fp, sniffFile(conf, fp, len))
+    }
+    val head = classes.head
+    val fmt =
+      if (classes.forall(_._2 == head._2)) head._2
+      else if (classes.forall(c => Format.textish(c._2))) Format.Gzip
+      else {
+        val other = classes.find(_._2 != head._2).get
+        throw new IllegalArgumentException(
+          s"mixed formats under $path: ${head._1} sniffs as " +
+            s"${head._2} but ${other._1} sniffs as ${other._2} — a " +
+            "directory must hold one container family; split it or " +
+            "read the files through their explicit sources")
+      }
+    Sniffed(fmt, files)
+  }
+
+  /** One file's [[Format]] from its leading bytes. Unreadable/corrupt
+    * leading bytes class as Plain — the downstream reader then fails
+    * loudly on the full parse instead of here.
+    */
+  private def sniffFile(conf: org.apache.hadoop.conf.Configuration,
+                        fp: String, len: Long): Format = {
+    val p = new org.apache.hadoop.fs.Path(fp)
+    val in = p.getFileSystem(conf).open(p)
+    try {
+      val hdr = preadAt(in, 0L, 18, len)
+      if (hdr.length >= 18 && sigAt(hdr, 0)) {
+        val bs = bsizeAt(hdr, 0)
+        val payload =
+          try inflateMember(preadAt(in, 0L, bs, len))
+          catch { case _: java.io.IOException => Array.emptyByteArray }
+        if (payload.length >= 4 && payload(0) == 'B' &&
+          payload(1) == 'C' && payload(2) == 'F' && payload(3) == 2)
+          Format.Bcf
+        else if (payload.length >= 4 && payload(0) == 'B' &&
+          payload(1) == 'A' && payload(2) == 'M' && payload(3) == 1)
+          Format.Bam
+        else Format.BgzfText
+      } else if (hdr.length >= 2 && hdr(0) == 0x1f.toByte &&
+        hdr(1) == 0x8b.toByte) Format.Gzip
+      else Format.Plain
+    } catch {
+      case _: java.io.IOException => Format.Plain
+    } finally {
+      try in.close() catch { case _: java.io.IOException => }
+    }
+  }
 
   /** Alignment honesty channel for the splittable binary readers: a
     * byte range that anchors a verified BGZF member chain but aligns NO
@@ -454,10 +561,56 @@ object Bgzf {
         try futures.map(_.get())
         catch {
           case e: java.util.concurrent.ExecutionException =>
+            // cancel the siblings and DRAIN the pool before rethrowing:
+            // the caller's finally may close handles sibling searches
+            // still hold, turning one real failure into spurious
+            // secondary IOExceptions in pool threads
+            futures.foreach(_.cancel(true))
+            pool.shutdownNow()
+            pool.awaitTermination(60,
+              java.util.concurrent.TimeUnit.SECONDS)
             throw e.getCause
         }
       } finally pool.shutdown()
     }
+
+  /** Per-file region-planning fan-out shared by the three container
+    * planners: below `spark.graft.planDistributeThreshold` (default
+    * 4096 file×region probe-searches) the per-file bisections run on
+    * bounded DRIVER threads exactly as before; past it — a dense panel
+    * over a large shard fleet, where driver-side planning is the
+    * documented 100× ceiling (~1M positioned reads for 100 regions ×
+    * 1000 shards through 8 threads) — they run as ONE small Spark job,
+    * each task planning its own file with the identical
+    * Configuration-based code. `collect()` preserves file order, so
+    * the distributed plan is byte-identical to the driver plan
+    * (RegionSpec pins the parity). `f` gets (conf, path, len,
+    * regionParallelism) — regionParallelism is 1 off-driver (tasks ARE
+    * the parallelism) and when fanning out across files.
+    */
+  private[sources] def planFiles[T](spark: SparkSession,
+      files: Seq[(String, Long)], nRegions: Int)(
+      f: (org.apache.hadoop.conf.Configuration, String, Long, Int) => T)(
+      implicit ct: scala.reflect.ClassTag[T]): Seq[T] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val threshold = spark.conf
+      .get("spark.graft.planDistributeThreshold", "4096").toLong
+    if (files.size > 1 && files.size.toLong * math.max(1, nRegions) >
+      threshold) {
+      val hconf = new org.apache.spark.SerializableWritable(
+        new org.apache.hadoop.conf.Configuration(conf))
+      spark.sparkContext
+        .parallelize(files, math.min(files.size, 64))
+        .map { case (fp, len) => f(hconf.value, fp, len, 1) }
+        .collect().toSeq
+    } else {
+      val filePar = math.min(8, files.size)
+      val regionPar = if (files.size > 1) 1 else 8
+      parMap(files, filePar) { case (fp, len) =>
+        f(conf, fp, len, regionPar)
+      }
+    }
+  }
 
   /** [[regionWindow]] for a LIST of key ranges over one file — the
     * multi-region planner's driver-side hot path, three levers:
@@ -475,9 +628,22 @@ object Bgzf {
                                    keyOf: String => Option[Long],
                                    keyRanges: Seq[(Long, Long)],
                                    parallelism: Int = 8)
+    : Seq[RegionWindow] =
+    regionWindows(spark.sparkContext.hadoopConfiguration, path, keyOf,
+      keyRanges, parallelism)
+
+  /** Configuration-based variant: the per-file planning bodies run on
+    * EXECUTORS when [[planFiles]] distributes a large fleet×panel plan,
+    * where there is no SparkSession — everything below here touches
+    * only the Hadoop FS API.
+    */
+  private[graft] def regionWindows(
+      conf: org.apache.hadoop.conf.Configuration, path: String,
+      keyOf: String => Option[Long], keyRanges: Seq[(Long, Long)],
+      parallelism: Int)
     : Seq[RegionWindow] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
     require(st.isFile, s"region read wants a single file: $path")
     val len = st.getLen

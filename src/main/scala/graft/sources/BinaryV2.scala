@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -34,37 +34,112 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[sources] object BgzfPush {
 
-  case class Extracted(chroms: Option[Seq[String]], lo: Long, hi: Long,
+  /** One prunable disjunct over (chrom, pos): an optional chrom set
+    * plus inclusive pos bounds. `chroms = None` means "any chrom" —
+    * unusable for windowing (the bisection key needs a contig rank).
+    */
+  private[sources] case class Conj(chroms: Option[Set[String]],
+                                   lo: Long, hi: Long) {
+    def staticallyEmpty: Boolean = lo > hi || chroms.exists(_.isEmpty)
+  }
+  private[sources] val All: Conj = Conj(None, Long.MinValue, Long.MaxValue)
+
+  /** Extraction result. `regions = None`: the filters can't prune (no
+    * usable chrom conjunct, or a disjunct without one) — full scan.
+    * `Some(Nil)`: the recognized conjuncts are statically contradictory
+    * — zero partitions (safe: a narrower true predicate can only be
+    * emptier). `Some(rs)`: the (chrom, lo, hi) region list the
+    * bisection planner takes. `used` lists the filters that contributed
+    * a recognized conjunct — informational only, since EVERY filter is
+    * always retained as residual and re-applied above the scan.
+    */
+  case class Extracted(regions: Option[Seq[(String, Long, Long)]],
                        used: Array[Filter])
 
-  /** Extract the prunable conjuncts over (`chromCol`, `posCol`) —
-    * shared by all three container ScanBuilders.
+  val Unextracted: Extracted = Extracted(None, Array.empty)
+
+  /** Extract the prunable predicates over (`chromCol`, `posCol`) —
+    * shared by all three container ScanBuilders. Handles both the
+    * conjunct shape (`chrom='17' AND pos BETWEEN a AND b`) and the
+    * panel shape a BED target list compiles to in SQL
+    * (`(chrom='1' AND pos BETWEEN …) OR (chrom='2' AND …)`): the whole
+    * filter conjunction is expanded to a BOUNDED DNF (≤64 disjuncts —
+    * past that, top-level conjuncts only), each disjunct folds its
+    * recognized leaves into a [[Conj]] (unrecognized leaves are ignored
+    * — they only narrow rows, so the window stays a superset), and a
+    * disjunct with no chrom constraint makes the whole extraction
+    * unusable (its matching rows could be anywhere).
+    *
+    * Bound arithmetic SATURATES: pos is LongType (the text parse admits
+    * 18 digits), so `pos > Long.MaxValue`-class predicates clamp
+    * instead of wrapping, and a pushed lower bound above the int32
+    * window cap falls through to the planner's own clamp (which keys
+    * every over-cap position at the cap) rather than reading as
+    * statically empty — the r15 int32 `hi` init silently dropped
+    * `pos > 2^31-1` rows by planning zero partitions.
     */
   def extract(filters: Array[Filter], chromCol: String,
               posCol: String): Extracted = {
-    var chroms: Option[Seq[String]] = None
-    var lo = 0L
-    var hi = Int.MaxValue.toLong
-    val used = Array.newBuilder[Filter]
-    filters.foreach {
-      case f @ EqualTo(`chromCol`, c: String) if chroms.isEmpty =>
-        chroms = Some(Seq(c)); used += f
-      case f @ In(`chromCol`, vs) if chroms.isEmpty &&
-        vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
-        chroms = Some(vs.map(_.asInstanceOf[String]).toSeq); used += f
-      case f @ EqualTo(`posCol`, v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v); used += f
-      case f @ GreaterThanOrEqual(`posCol`, v: Long) =>
-        lo = math.max(lo, v); used += f
-      case f @ GreaterThan(`posCol`, v: Long) =>
-        lo = math.max(lo, v + 1); used += f
-      case f @ LessThanOrEqual(`posCol`, v: Long) =>
-        hi = math.min(hi, v); used += f
-      case f @ LessThan(`posCol`, v: Long) =>
-        hi = math.min(hi, v - 1); used += f
-      case _ =>
+    def satInc(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+    def satDec(v: Long): Long = if (v == Long.MinValue) v else v - 1
+    def fold(c: Conj, f: Filter): Option[Conj] = f match {
+      case EqualTo(`chromCol`, s: String) =>
+        Some(c.copy(chroms = Some(c.chroms.fold(Set(s))(_ & Set(s)))))
+      case In(`chromCol`, vs) if vs != null && vs.nonEmpty &&
+        vs.forall(_.isInstanceOf[String]) =>
+        val set = vs.map(_.asInstanceOf[String]).toSet
+        Some(c.copy(chroms = Some(c.chroms.fold(set)(_ & set))))
+      case EqualTo(`posCol`, v: Long) =>
+        Some(c.copy(lo = math.max(c.lo, v), hi = math.min(c.hi, v)))
+      case GreaterThanOrEqual(`posCol`, v: Long) =>
+        Some(c.copy(lo = math.max(c.lo, v)))
+      case GreaterThan(`posCol`, v: Long) =>
+        Some(c.copy(lo = math.max(c.lo, satInc(v))))
+      case LessThanOrEqual(`posCol`, v: Long) =>
+        Some(c.copy(hi = math.min(c.hi, v)))
+      case LessThan(`posCol`, v: Long) =>
+        Some(c.copy(hi = math.min(c.hi, satDec(v))))
+      case _ => None
     }
-    Extracted(chroms, lo, hi, used.result())
+    val maxDisjuncts = 64
+    def dnf(f: Filter): Option[Seq[Seq[Filter]]] = f match {
+      case And(l, r) =>
+        for { a <- dnf(l); b <- dnf(r)
+              if a.size.toLong * b.size <= maxDisjuncts }
+          yield for { x <- a; y <- b } yield x ++ y
+      case Or(l, r) =>
+        for { a <- dnf(l); b <- dnf(r)
+              if a.size + b.size <= maxDisjuncts } yield a ++ b
+      case leaf => Some(Seq(Seq(leaf)))
+    }
+    def hasRecognized(f: Filter): Boolean = f match {
+      case And(l, r) => hasRecognized(l) || hasRecognized(r)
+      case Or(l, r) => hasRecognized(l) || hasRecognized(r)
+      case leaf => fold(All, leaf).isDefined
+    }
+    val disjuncts: Seq[Conj] =
+      filters.foldLeft(Option(Seq(Seq.empty[Filter]))) { (acc, f) =>
+        for { a <- acc; d <- dnf(f)
+              if a.size.toLong * d.size <= maxDisjuncts }
+          yield for { x <- a; y <- d } yield x ++ y
+      } match {
+        case Some(leafConjs) => leafConjs.map(leaves =>
+          leaves.foldLeft(All)((c, lf) => fold(c, lf).getOrElse(c)))
+        case None =>
+          // DNF bound exceeded: top-level conjuncts only (an Or-shaped
+          // filter is unrecognized here and simply doesn't narrow)
+          Seq(filters.foldLeft(All)((c, f) => fold(c, f).getOrElse(c)))
+      }
+    val live = disjuncts.filterNot(_.staticallyEmpty)
+    val regions: Option[Seq[(String, Long, Long)]] =
+      if (live.isEmpty) Some(Nil) // every disjunct contradictory
+      else if (live.forall(_.chroms.isDefined))
+        Some(live.flatMap(c =>
+          c.chroms.get.toSeq.sorted.map(ch => (ch, c.lo, c.hi))))
+      else None
+    Extracted(regions,
+      if (regions.isDefined) filters.filter(hasRecognized)
+      else Array.empty)
   }
 
   /** Tile planned windows into byte-range partitions. */
@@ -79,18 +154,26 @@ private[sources] object BgzfPush {
         w.fileLen))
     }.toArray
 
-  /** Windows (or whole files when no conjunct is usable) tiled into
+  /** Windows (or whole files when no disjunct is usable) tiled into
     * partitions — the shared planInputPartitions body of the binary
-    * relations (the VCF relation adds a full-scan-fallback class on
-    * top of this in [[VcfBgzfScan]]).
+    * relations (the VCF relation adds its BGZF-only require on the
+    * full-scan-fallback class in [[VcfBgzfScan]]). A planner that
+    * emits fullScan files (the Bcf/Bam planners never do — their
+    * contig dictionaries are closed) gets them tiled WHOLE-FILE here,
+    * so no future caller can silently lose their rows through this
+    * shared helper.
     */
   def plan(spark: SparkSession, path: String, splitSize: Long,
            e: Extracted,
            regionPlan: Seq[(String, Long, Long)] => Vcf.RegionPlan)
     : Array[InputPartition] = {
-    if (e.lo > e.hi) return Array.empty // contradictory: statically empty
-    val windows = e.chroms match {
-      case Some(cs) => regionPlan(cs.map(c => (c, e.lo, e.hi))).windows
+    val windows = e.regions match {
+      case Some(rs) if rs.isEmpty =>
+        Seq.empty // statically contradictory filters
+      case Some(rs) =>
+        val p = regionPlan(rs)
+        p.windows ++ p.fullScan.map(f =>
+          Bgzf.FileWindow(f.path, f.len, 0L, f.len, 0))
       case None => Bgzf.resolveFiles(spark, path).map { case (fp, len) =>
         Bgzf.FileWindow(fp, len, 0L, len, 0)
       }
@@ -101,8 +184,34 @@ private[sources] object BgzfPush {
   def describe(name: String, path: String, e: Extracted): String =
     if (e.used.isEmpty) s"$name $path (full scan)"
     else s"$name $path (PushedFilters: [${e.used.mkString(", ")}], " +
-      s"window chrom=${e.chroms.map(_.mkString("|")).getOrElse("*")} " +
-      s"pos=[${e.lo},${e.hi}])"
+      s"regions=${e.regions.map(_.map { case (c, l, h) =>
+        s"$c:[$l,$h]" }.mkString("|")).getOrElse("*")})"
+
+  /** Deflate-ratio guess for [[stats]]: BGZF text/record payloads
+    * inflate ~3-6× — report high so a borderline broadcast decision
+    * errs toward shuffle.
+    */
+  private val InflationFactor = 4L
+
+  /** `SupportsReportStatistics` body shared by the three scans: planned
+    * (compressed) window bytes × [[InflationFactor]] — so Catalyst can
+    * see that a pruned region slice of a 100 GB cohort is
+    * broadcast-small, where the DSv2 default (spark.sql.
+    * defaultSizeInBytes = Long.Max) would sort-merge every join against
+    * it. The unpruned relation honestly reports its full file bytes.
+    */
+  def stats(parts: Array[InputPartition]): Statistics = {
+    val bytes = parts.collect {
+      case p: BgzfScanPartition => p.end - p.start
+    }.sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(
+          math.max(1L, bytes * InflationFactor))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   def hadoopConf(spark: SparkSession)
     : org.apache.spark.SerializableWritable[
@@ -129,7 +238,9 @@ class BcfBgzfSource extends TableProvider {
       Option(opts.get("splitsize")).map(_.toLong)
         .getOrElse(32L << 20))
   }
-  override def supportsExternalMetadata(): Boolean = true
+  // supportsExternalMetadata stays false (the default): the row shape
+  // is fixed by the container, so a user-supplied schema is a clear
+  // AnalysisException, not a silent override
 }
 
 private[sources] class BcfBgzfTable(path: String, afFields: Seq[String],
@@ -145,8 +256,7 @@ private[sources] class BcfBgzfTable(path: String, afFields: Seq[String],
     new ScanBuilder with SupportsPushDownFilters
       with SupportsPushDownRequiredColumns {
       private var required: StructType = VcfBgzfSource.schema
-      private var e = BgzfPush.Extracted(None, 0L, Int.MaxValue.toLong,
-        Array.empty)
+      private var e = BgzfPush.Unextracted
       override def pushFilters(fs: Array[Filter]): Array[Filter] = {
         e = BgzfPush.extract(fs, "chrom", "pos"); fs
       }
@@ -159,17 +269,23 @@ private[sources] class BcfBgzfTable(path: String, afFields: Seq[String],
 
 private[sources] class BcfBgzfScan(path: String, afFields: Seq[String],
     splitSize: Long, required: StructType, e: BgzfPush.Extracted)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     BgzfPush.describe("graft_bcf", path, e)
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  // one shared byte plan: estimateStatistics (optimizer-time) and
+  // planInputPartitions (physical planning) see the same windows
+  private lazy val parts: Array[InputPartition] = {
     val spark = SparkSession.active
     BgzfPush.plan(spark, path, splitSize, e,
       rs => Bcf.regionPlan(spark, path, rs, maxSpan = 0L))
   }
+
+  override def planInputPartitions(): Array[InputPartition] = parts
+
+  override def estimateStatistics(): Statistics = BgzfPush.stats(parts)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
@@ -191,8 +307,14 @@ private[sources] class BcfBgzfReaderFactory(
     val p = partition.asInstanceOf[BgzfScanPartition]
     val hp = new org.apache.hadoop.fs.Path(p.path)
     val in = hp.getFileSystem(hconf.value).open(hp)
+    // construction is eager (header cursor + alignment): close the
+    // handle before rethrowing, or every failed task attempt leaks one
     val recs =
-      Bcf.splitRangeRecords(in, p.path, p.start, p.end, p.len, guard)
+      try Bcf.splitRangeRecords(in, p.path, p.start, p.end, p.len, guard)
+      catch { case t: Throwable =>
+        try in.close() catch { case _: java.io.IOException => }
+        throw t
+      }
     val patterns = VcfBgzfSource.afPatterns(afFields)
     val extractors: Array[BcfRec => Any] = fieldNames.map {
       case "chrom" => (r: BcfRec) => UTF8String.fromString(r.chrom)
@@ -240,7 +362,8 @@ class BamBgzfSource extends TableProvider {
       Option(opts.get("splitsize")).map(_.toLong)
         .getOrElse(32L << 20))
   }
-  override def supportsExternalMetadata(): Boolean = true
+  // supportsExternalMetadata stays false (the default) — see the BCF
+  // twin above
 }
 
 private[sources] object BamBgzfSource {
@@ -274,8 +397,7 @@ private[sources] class BamBgzfTable(path: String, splitSize: Long)
     new ScanBuilder with SupportsPushDownFilters
       with SupportsPushDownRequiredColumns {
       private var required: StructType = BamBgzfSource.schema
-      private var e = BgzfPush.Extracted(None, 0L, Int.MaxValue.toLong,
-        Array.empty)
+      private var e = BgzfPush.Unextracted
       override def pushFilters(fs: Array[Filter]): Array[Filter] = {
         e = BgzfPush.extract(fs, "rname", "pos"); fs
       }
@@ -288,17 +410,21 @@ private[sources] class BamBgzfTable(path: String, splitSize: Long)
 
 private[sources] class BamBgzfScan(path: String, splitSize: Long,
     required: StructType, e: BgzfPush.Extracted)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     BgzfPush.describe("graft_bam", path, e)
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val parts: Array[InputPartition] = {
     val spark = SparkSession.active
     BgzfPush.plan(spark, path, splitSize, e,
       rs => Bam.regionPlan(spark, path, rs, maxSpan = 0L))
   }
+
+  override def planInputPartitions(): Array[InputPartition] = parts
+
+  override def estimateStatistics(): Statistics = BgzfPush.stats(parts)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
@@ -319,8 +445,13 @@ private[sources] class BamBgzfReaderFactory(
     val p = partition.asInstanceOf[BgzfScanPartition]
     val hp = new org.apache.hadoop.fs.Path(p.path)
     val in = hp.getFileSystem(hconf.value).open(hp)
+    // close before rethrowing a construction failure — see the BCF twin
     val recs =
-      Bam.splitRangeRecords(in, p.path, p.start, p.end, p.len, guard)
+      try Bam.splitRangeRecords(in, p.path, p.start, p.end, p.len, guard)
+      catch { case t: Throwable =>
+        try in.close() catch { case _: java.io.IOException => }
+        throw t
+      }
     def s(v: String): AnyRef = UTF8String.fromString(v)
     def os(v: Option[String]): AnyRef = v.map(s).orNull
     def ol(v: Option[Long]): AnyRef = v.map(Long.box).orNull

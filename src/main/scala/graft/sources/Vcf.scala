@@ -43,24 +43,38 @@ object Vcf {
                splitSize: Long = 32L << 20): DataFrame =
     parseLines(Bgzf.readLines(spark, path, splitSize), "value", afFields)
 
-  /** Format-dispatching read: `.bcf` → the [[Bcf]] binary decoder; a
-    * `.vcf.gz`/`.vcf.bgz` that is BGZF (18-byte signature peek) AND
-    * larger than `bgzfSplitThreshold` → the byte-range splittable DSv2
-    * relation [[readTable]] (a single huge cohort VCF must not read on
-    * one task — and SQL-shaped chrom/pos filters on it now prune to
-    * the bisected byte window automatically); anything else → the text
-    * parse (Hadoop's codec inflates small/plain gzip fine, and sharded
-    * fleets parallelize per file). Every branch emits the identical
-    * row shape, so callers (the CLIs) take any of them transparently.
+  /** Format-dispatching read, routed on CONTENT ([[Bgzf.sniff]] — the
+    * path suffix lies: a bare directory of BCF shards, e.g. the repo's
+    * own `Bcf.writeSharded` output, has no extension, and suffix
+    * dispatch silently text-parsed its binary bytes to a near-empty
+    * frame). BCF magic → the DSv2 [[Bcf.readTable]] relation (single
+    * files, directories and globs alike); BGZF text that is a sharded
+    * layout OR a single file over `bgzfSplitThreshold` → the
+    * byte-range splittable DSv2 relation [[readTable]] (a single huge
+    * cohort VCF must not read on one task, and SQL-shaped chrom/pos
+    * filters prune to the bisected byte windows automatically — per
+    * shard in a directory); BAM magic → a loud error (alignment rows
+    * are not VCF-shaped); anything else → the text parse (Hadoop's
+    * codec inflates small/plain gzip fine). Every VCF branch emits the
+    * identical row shape, so callers (the CLIs) take any of them
+    * transparently. Genuinely mixed directories error loudly in the
+    * sniff.
     */
   def readAuto(spark: SparkSession, path: String,
                afFields: Seq[String] = defaultAfFields,
-               bgzfSplitThreshold: Long = 128L << 20): DataFrame =
-    if (path.endsWith(".bcf")) Bcf.readTable(spark, path, afFields)
-    else if ((path.endsWith(".vcf.gz") || path.endsWith(".vcf.bgz")) &&
-      Bgzf.isBgzfOver(spark, path, bgzfSplitThreshold))
-      readTable(spark, path, afFields)
-    else read(spark, path, afFields)
+               bgzfSplitThreshold: Long = 128L << 20): DataFrame = {
+    val sn = Bgzf.sniff(spark, path)
+    sn.format match {
+      case Bgzf.Format.Bcf => Bcf.readTable(spark, path, afFields)
+      case Bgzf.Format.Bam => throw new IllegalArgumentException(
+        s"$path sniffs as BAM — alignment rows are not VCF-shaped; " +
+          "read it through Bam.readTable")
+      case Bgzf.Format.BgzfText
+        if sn.files.size > 1 || sn.files.head._2 > bgzfSplitThreshold =>
+        readTable(spark, path, afFields)
+      case _ => read(spark, path, afFields)
+    }
+  }
 
   /** The DSv2 relation over sorted BGZF VCF ([[VcfBgzfSource]]): same
     * rows as [[readBgzf]], plus automatic region pruning — a
@@ -134,9 +148,17 @@ object Vcf {
                   splitSize: Long = 32L << 20,
                   maxSpan: Long = 10000L): DataFrame = {
     require(regions.nonEmpty, "readRegions wants at least one region")
-    if (path.endsWith(".bcf"))
-      return Bcf.readRegions(spark, path, regions, afFields, splitSize,
-        maxSpan)
+    // content dispatch, not suffix (see readAuto): a directory of BCF
+    // shards must bisect through the binary planner
+    Bgzf.sniff(spark, path).format match {
+      case Bgzf.Format.Bcf =>
+        return Bcf.readRegions(spark, path, regions, afFields,
+          splitSize, maxSpan)
+      case Bgzf.Format.Bam => throw new IllegalArgumentException(
+        s"$path sniffs as BAM — alignment rows are not VCF-shaped; " +
+          "read it through Bam.readRegion")
+      case _ =>
+    }
     val inAny = regions.map { case (chrom, start, end) =>
       col("chrom") === chrom && col("pos") <= end &&
         col("pos") + length(col("ref")) - 1 >= start
@@ -208,63 +230,77 @@ object Vcf {
   private[graft] def regionPlan(spark: SparkSession, path: String,
                                 regions: Seq[(String, Long, Long)],
                                 maxSpan: Long): RegionPlan = {
-    val maxPos = Int.MaxValue.toLong
-    def key(rank: Int, pos: Long) = (rank.toLong << 32) | pos
     val files = Bgzf.resolveFiles(spark, path)
-    // planning parallelism budget: fan out across FILES for shard
-    // fleets, across REGIONS (inside regionWindows) for panels over a
-    // single file — never both, so driver threads stay bounded
-    val filePar = math.min(8, files.size)
-    val regionPar = if (files.size > 1) 1 else 8
     // per-file planning is independent; results recombine in file
-    // order so the plan stays deterministic
-    val perFile = Bgzf.parMap(files, filePar) { case (fp, len) =>
-      // plain .vcf / non-BGZF gzip have no member chain to bisect, and
-      // an unranked chrom can't be ordered against the data
-      val isBgzf = Bgzf.isBgzfOver(spark, fp, 0L)
-      val ranks =
-        if (isBgzf) contigRanks(spark, fp)
-        else Map.empty[String, Int]
-      if (regions.exists(r => !ranks.contains(r._1)))
-        (Seq.empty[Bgzf.FileWindow],
-          Some(FullScanFile(fp, len, isBgzf)))
-      else {
-        val keyOf: String => Option[Long] = { line =>
-          if (line.isEmpty || line.charAt(0) == '#') None
-          else {
-            val t1 = line.indexOf('\t')
-            if (t1 < 0) None
-            else {
-              val t2 = line.indexOf('\t', t1 + 1)
-              val c = line.substring(0, t1)
-              val p = line.substring(t1 + 1,
-                if (t2 < 0) line.length else t2)
-              for {
-                rk <- ranks.get(c)
-                pv <- p.toLongOption
-              } yield key(rk, math.max(0L, math.min(pv, maxPos)))
-            }
-          }
-        }
-        // positions are int32 in every container: clamp so the packed
-        // key's rank bits can't be bled into (a caller's "to end of
-        // chrom" end = Long.MaxValue must not wrap toKey + 1). One
-        // batched regionWindows call per file: every search shares the
-        // per-member probe memo.
-        val keyRanges = regions.map { case (chrom, start, end) =>
-          val lo = math.max(0L, math.min(start - maxSpan, maxPos))
-          val hi = math.max(0L, math.min(end, maxPos))
-          (key(ranks(chrom), lo), key(ranks(chrom), hi))
-        }
-        val ws = Bgzf.regionWindows(spark, fp, keyOf, keyRanges,
-          regionPar).map(w =>
-          Bgzf.FileWindow(fp, len, w.fromByte, w.toByte, w.probes))
-        (ws, None)
-      }
+    // order so the plan stays deterministic. Bgzf.planFiles fans out
+    // across driver threads (files OR regions, never both) and — past
+    // the distribute threshold — as a small Spark job of per-shard
+    // planning tasks.
+    val perFile = Bgzf.planFiles(spark, files, regions.size) {
+      (conf, fp, len, regionPar) =>
+        planFile(conf, fp, len, regions, maxSpan, regionPar)
     }
     val windows = perFile.flatMap(_._1)
     RegionPlan(Bgzf.mergeWindows(windows), perFile.flatMap(_._2),
       windows.map(_.probes).sum)
+  }
+
+  /** One file's share of [[regionPlan]] — Configuration-based so
+    * [[Bgzf.planFiles]] can run it on executors for dense
+    * panel×fleet plans.
+    */
+  private[sources] def planFile(
+      conf: org.apache.hadoop.conf.Configuration, fp: String, len: Long,
+      regions: Seq[(String, Long, Long)], maxSpan: Long, regionPar: Int)
+    : (Seq[Bgzf.FileWindow], Option[FullScanFile]) = {
+    val maxPos = Int.MaxValue.toLong
+    def key(rank: Int, pos: Long) = (rank.toLong << 32) | pos
+    // plain .vcf / non-BGZF gzip have no member chain to bisect, and
+    // an unranked chrom can't be ordered against the data
+    val isBgzf = Bgzf.isBgzfOver(conf, fp, 0L)
+    val ranks =
+      if (isBgzf) contigRanks(conf, fp)
+      else Map.empty[String, Int]
+    if (regions.exists(r => !ranks.contains(r._1)))
+      (Seq.empty[Bgzf.FileWindow],
+        Some(FullScanFile(fp, len, isBgzf)))
+    else {
+      val keyOf: String => Option[Long] = { line =>
+        if (line.isEmpty || line.charAt(0) == '#') None
+        else {
+          val t1 = line.indexOf('\t')
+          if (t1 < 0) None
+          else {
+            val t2 = line.indexOf('\t', t1 + 1)
+            val c = line.substring(0, t1)
+            val p = line.substring(t1 + 1,
+              if (t2 < 0) line.length else t2)
+            for {
+              rk <- ranks.get(c)
+              pv <- p.toLongOption
+            } yield key(rk, math.max(0L, math.min(pv, maxPos)))
+          }
+        }
+      }
+      // positions are int32 in every container: SATURATE into [0,
+      // maxPos] before the maxSpan back-off so a degenerate Long bound
+      // (end = Long.MaxValue "to end of chrom", a pushed
+      // pos > 2^31-class filter) clamps instead of wrapping — the
+      // packed key's rank bits must never be bled into. One batched
+      // regionWindows call per file: every search shares the
+      // per-member probe memo.
+      val keyRanges = regions.map { case (chrom, start, end) =>
+        val s0 = math.min(math.max(start, 0L), maxPos)
+        val span = math.max(0L, maxSpan)
+        val lo = if (span >= s0) 0L else s0 - span
+        val hi = math.max(0L, math.min(end, maxPos))
+        (key(ranks(chrom), lo), key(ranks(chrom), hi))
+      }
+      val ws = Bgzf.regionWindows(conf, fp, keyOf, keyRanges,
+        regionPar).map(w =>
+        Bgzf.FileWindow(fp, len, w.fromByte, w.toByte, w.probes))
+      (ws, None)
+    }
   }
 
   /** Contig order from the header's `##contig=<ID=...>` lines — the
@@ -274,9 +310,14 @@ object Vcf {
     * costs a few KB).
     */
   private[sources] def contigRanks(spark: SparkSession,
-                                   path: String): Map[String, Int] = {
+                                   path: String): Map[String, Int] =
+    contigRanks(spark.sparkContext.hadoopConfiguration, path)
+
+  private[sources] def contigRanks(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String): Map[String, Int] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     try {
       val br = new java.io.BufferedReader(new java.io.InputStreamReader(
@@ -299,11 +340,16 @@ object Vcf {
   }
 
   /** [[sampleNames]] across formats: BCF carries the `#CHROM` line in
-    * its embedded header text.
+    * its embedded header text. Content dispatch, first file only —
+    * shards of one cohort share the header.
     */
   def sampleNamesAuto(spark: SparkSession, path: String): Seq[String] =
-    if (path.endsWith(".bcf")) Bcf.sampleNames(spark, path)
-    else sampleNames(spark, path)
+    Bgzf.sniff(spark, path, checkAll = false).format match {
+      case Bgzf.Format.Bcf => Bcf.sampleNames(spark, path)
+      case Bgzf.Format.Bam => throw new IllegalArgumentException(
+        s"$path sniffs as BAM — it carries no #CHROM sample columns")
+      case _ => sampleNames(spark, path)
+    }
 
   /** Sample names from the `#CHROM` header line (fields 10+), in column
     * order. VCF genotype columns are anonymous positions until tied to

@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -64,7 +64,9 @@ class VcfBgzfSource extends TableProvider {
         .getOrElse(32L << 20))
   }
 
-  override def supportsExternalMetadata(): Boolean = true
+  // supportsExternalMetadata stays false (the default): the row shape
+  // is fixed by the container, so a user-supplied schema is a clear
+  // AnalysisException, not a silent override
 }
 
 private[sources] object VcfBgzfSource {
@@ -139,15 +141,15 @@ private[sources] class VcfBgzfScanBuilder(path: String,
   with SupportsPushDownRequiredColumns {
 
   private var required: StructType = VcfBgzfSource.schema
-  private var e = BgzfPush.Extracted(None, 0L, Int.MaxValue.toLong,
-    Array.empty)
+  private var e = BgzfPush.Unextracted
 
-  /** Extract the prunable conjuncts — a single chrom equality/IN plus
-    * pos bounds ([[BgzfPush.extract]], shared with the BCF/BAM
-    * relations). EVERYTHING is returned as residual (Spark re-applies
-    * all filters above the scan), so extraction can only skip bytes,
-    * never rows: the window contract guarantees every line matching
-    * the extracted conjuncts lies inside the planned windows.
+  /** Extract the prunable predicates — chrom equality/IN plus pos
+    * bounds, in conjunct OR bounded-DNF panel shape ([[BgzfPush
+    * .extract]], shared with the BCF/BAM relations). EVERYTHING is
+    * returned as residual (Spark re-applies all filters above the
+    * scan), so extraction can only skip bytes, never rows: the window
+    * contract guarantees every line matching the extracted predicates
+    * lies inside the planned windows.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     e = BgzfPush.extract(filters, "chrom", "pos")
@@ -160,8 +162,7 @@ private[sources] class VcfBgzfScanBuilder(path: String,
     required = requiredSchema
 
   override def build(): Scan =
-    new VcfBgzfScan(path, afFields, splitSize, required, e.used,
-      e.chroms, e.lo, e.hi)
+    new VcfBgzfScan(path, afFields, splitSize, required, e)
 }
 
 /** One byte range of one file — the DSv2 partition (package-visible so
@@ -172,32 +173,30 @@ private[graft] case class BgzfScanPartition(path: String, start: Long,
   extends InputPartition
 
 private[sources] class VcfBgzfScan(path: String, afFields: Seq[String],
-    splitSize: Long, required: StructType, pushed: Array[Filter],
-    chroms: Option[Seq[String]], posLo: Long, posHi: Long)
-  extends Scan with Batch {
+    splitSize: Long, required: StructType, e: BgzfPush.Extracted)
+  extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def description(): String =
-    BgzfPush.describe("graft_vcf_bgzf", path,
-      BgzfPush.Extracted(chroms, posLo, posHi, pushed))
+    BgzfPush.describe("graft_vcf_bgzf", path, e)
 
-  /** Driver-side byte plan: with a usable chrom conjunct, the exact
+  /** Driver-side byte plan: with usable chrom disjuncts, the exact
     * [[Vcf.regionPlan]] bisection (maxSpan 0 — the predicate is on pos
     * itself, so no REF-span back-off is needed to keep every MATCHING
     * row inside the window); otherwise, or for files the plan can't
     * rank, full-file tiling. Non-BGZF bytes are a loud error — this
-    * source exists for the member-chain layout.
+    * source exists for the member-chain layout. One shared lazy plan:
+    * estimateStatistics and planInputPartitions see the same windows.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val parts: Array[InputPartition] = {
     val spark = SparkSession.active
-    if (posLo > posHi)
-      return Array.empty // contradictory bounds: statically empty
-    val windows = chroms match {
-      case Some(cs) =>
-        val plan = Vcf.regionPlan(spark, path,
-          cs.map(c => (c, posLo, posHi)), maxSpan = 0L)
+    val windows = e.regions match {
+      case Some(rs) if rs.isEmpty =>
+        Seq.empty // statically contradictory filters
+      case Some(rs) =>
+        val plan = Vcf.regionPlan(spark, path, rs, maxSpan = 0L)
         plan.fullScan.foreach { f =>
           require(f.isBgzf,
             s"graft.sources.VcfBgzfSource wants BGZF files; ${f.path} " +
@@ -223,6 +222,10 @@ private[sources] class VcfBgzfScan(path: String, afFields: Seq[String],
     BgzfPush.tile(windows, splitSize)
   }
 
+  override def planInputPartitions(): Array[InputPartition] = parts
+
+  override def estimateStatistics(): Statistics = BgzfPush.stats(parts)
+
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
     new VcfBgzfReaderFactory(BgzfPush.hadoopConf(spark),
@@ -241,9 +244,16 @@ private[sources] class VcfBgzfReaderFactory(
     val p = partition.asInstanceOf[BgzfScanPartition]
     val hp = new org.apache.hadoop.fs.Path(p.path)
     val in = hp.getFileSystem(hconf.value).open(hp)
-    val lines = Bgzf.rangeLinesOf(in,
-      Bgzf.Range(p.path, p.start, p.end, p.len))
-      .filter(VcfBgzfSource.isData)
+    // construction is eager (member scan + boundary probe): close the
+    // handle before rethrowing, or every failed task attempt leaks one
+    val lines =
+      try Bgzf.rangeLinesOf(in,
+        Bgzf.Range(p.path, p.start, p.end, p.len))
+        .filter(VcfBgzfSource.isData)
+      catch { case t: Throwable =>
+        try in.close() catch { case _: java.io.IOException => }
+        throw t
+      }
     val patterns = VcfBgzfSource.afPatterns(afFields)
     // one extractor per REQUIRED column — a pruned scan never splits
     // genotype columns it will not emit
