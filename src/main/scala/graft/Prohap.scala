@@ -69,19 +69,17 @@ private[graft] object ProHapCli {
   def readVcfInput(spark: SparkSession,
                    opts: Map[String, String]): DataFrame = {
     val path = opts("i")
+    // every entry point dispatches on sniffed CONTENT inside the Vcf
+    // layer (Bgzf.sniff), so `-i` takes text VCF, bgzipped VCF, BCF,
+    // and bare shard DIRECTORIES of any of them transparently
     (opts.get("region"), opts.get("regions")) match {
       case (Some(spec), _) =>
         val (c, a, b) = parseRegion(spec)
-        if (path.endsWith(".bcf"))
-          graft.sources.Bcf.readRegion(spark, path, c, a, b,
-            afFields(opts))
-        else Vcf.readRegion(spark, path, c, a, b, afFields(opts))
+        Vcf.readRegion(spark, path, c, a, b, afFields(opts))
       case (None, Some(bed)) =>
         val panel = graft.sources.Bed.toIntervals(
           graft.sources.Bed.read(spark, bed))
-        if (path.endsWith(".bcf"))
-          graft.sources.Bcf.readPanel(spark, path, panel, afFields(opts))
-        else Vcf.readPanel(spark, path, panel, afFields(opts))
+        Vcf.readPanel(spark, path, panel, afFields(opts))
       case _ => Vcf.readAuto(spark, path, afFields(opts))
     }
   }

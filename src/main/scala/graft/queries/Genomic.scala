@@ -246,6 +246,54 @@ object Genomic {
         .withColumn("genotypes", array_join(col("genotypes"), ","))
     }),
 
+    "g60_sql_panel" -> ((s, _) => {
+      // the g58 panel expressed as PLAIN SQL — an OR of per-region
+      // (chrom, pos) containment conjuncts on the DSv2 relation, no
+      // readRegions call anywhere: BgzfPush.extract's bounded DNF must
+      // route all 12 disjuncts into merged multi-region byte windows
+      // (VcfV2Spec pins the pruned bytes), with every filter re-applied
+      // above the scan. Oracle = the independent TEXT parse under the
+      // identical OR predicate, interpolated from the SAME regionPanel.
+      prep(s)
+      val panelPred = regionPanel.map { case (c, a, b) =>
+        col("chrom") === c && col("pos").between(a, b)
+      }.reduce(_ || _)
+      Vcf.readTable(s, GenomicFixtures.regionVcfGzPath)
+        .where(panelPred)
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
+    }),
+
+    "g61_auto_sniff" -> ((s, _) => {
+      // content-sniffing dispatch: readAuto handed a bare DIRECTORY of
+      // BCF shards (the repo's own writeSharded output — no extension
+      // anywhere) must sniff the BGZF first-member magic and route to
+      // the binary relation. The r15 suffix dispatch text-parsed these
+      // bytes into a silently near-empty frame. Oracle = the full
+      // float-normalized TEXT parse (the same rows bcf1 pins).
+      prep(s)
+      Vcf.readAuto(s, GenomicFixtures.regionBcfShardedDir(s))
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
+    }),
+
+    "g62_dist_plan" -> ((s, _) => {
+      // distributed region planning: with the threshold forced to 1,
+      // the per-shard bisections of the g57 directory read run as a
+      // small Spark job instead of driver threads — and must produce
+      // identical windows, hence identical rows (RegionSpec pins plan
+      // equality; this pins end-to-end parity against the g57 oracle).
+      prep(s)
+      val k = "spark.graft.planDistributeThreshold"
+      val old = s.conf.getOption(k)
+      s.conf.set(k, "1")
+      try Vcf.readRegion(s, GenomicFixtures.regionVcfShardedDir,
+        "1", 45L, 55L)
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
+      finally old match {
+        case Some(v) => s.conf.set(k, v)
+        case None => s.conf.unset(k)
+      }
+    }),
+
     "v2_vcf_norm" -> ((s, _) => {
       prep(s)
       Vcf.normalize(Vcf.read(s, GenomicFixtures.vcfPath), minAf = 0.05)
@@ -3320,6 +3368,27 @@ object Genomic {
          |WHERE ${regionPanel.map { case (c, a, b) =>
                s"(chrom = '$c' AND pos <= $b AND pos + length(ref) - 1 >= $a)"
              }.mkString("\n   OR ")}""".stripMargin,
+
+    // the same panel as plain-SQL containment ORs (the gate IS a WHERE
+    // clause on the DSv2 relation), from the SAME regionPanel value
+    "g60_sql_panel" ->
+      s"""WITH t AS ($v1Sql)
+         |SELECT * FROM t
+         |WHERE ${regionPanel.map { case (c, a, b) =>
+               s"(chrom = '$c' AND pos BETWEEN $a AND $b)"
+             }.mkString("\n   OR ")}""".stripMargin,
+
+    // readAuto(<writeSharded BCF dir>) reads the WHOLE fixture parse —
+    // the same float-normalized independent TEXT parse bcf1 pins
+    "g61_auto_sniff" -> bcf1Sql,
+
+    // distributed planning must not change a single row vs the g57
+    // driver-side plan of the same directory read
+    "g62_dist_plan" ->
+      s"""WITH t AS ($v1Sql)
+         |SELECT * FROM t
+         |WHERE chrom = '1' AND pos <= 55
+         |  AND pos + length(ref) - 1 >= 45""".stripMargin,
 
     // v10: identical contract to v9 — the splittable reader must
     // produce byte-identical rows to the text parse, from many forced

@@ -136,4 +136,50 @@ class BinaryV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaAuto.where(col("af").isNotNull).count() ==
       viaRead.where(col("af").isNotNull).count())
   }
+
+  test("content sniffing: readAuto routes a bare BCF shard DIRECTORY " +
+    "(writeSharded output, no extension anywhere) to the binary " +
+    "relation — the suffix dispatch text-parsed it silently " +
+    "near-empty; extensionless single BCF files and sampleNamesAuto " +
+    "route too; BAM input and mixed directories are loud errors") {
+    graft.fixtures.GenomicFixtures.ensure(spark)
+    val fx = graft.fixtures.GenomicFixtures
+    val dir = fx.regionBcfShardedDir(spark)
+    val viaAuto = Vcf.readAuto(spark, dir)
+    assert(rows(viaAuto) == rows(Bcf.readTable(spark, dir)))
+    assert(viaAuto.count() > 0)
+    // extensionless single BCF file: suffix dispatch is impossible
+    val noext = s"$tmp/cohort-noext"
+    Files.copy(Paths.get(fx.bcfPath(spark)), Paths.get(noext))
+    assert(rows(Vcf.readAuto(spark, noext)) ==
+      rows(Bcf.read(spark, fx.bcfPath(spark))))
+    assert(Vcf.sampleNamesAuto(spark, noext) ==
+      Bcf.sampleNames(spark, fx.bcfPath(spark)))
+    // BAM bytes are not VCF-shaped: loud, with a pointer
+    val bamErr = intercept[IllegalArgumentException] {
+      Vcf.readAuto(spark, fx.regionBamPath(spark))
+    }
+    assert(bamErr.getMessage.contains("BAM"))
+    // a directory mixing binary shards with text shards: loud
+    val mixed = s"$tmp/mixed-dir"
+    Files.createDirectories(Paths.get(mixed))
+    Files.copy(Paths.get(fx.bcfPath(spark)), Paths.get(s"$mixed/a"))
+    Files.write(Paths.get(s"$mixed/b"),
+      "c1\t10\tx\tA\tG\t.\t.\t.\tGT\t0|1\n".getBytes("US-ASCII"))
+    val mixErr = intercept[IllegalArgumentException] {
+      Vcf.readAuto(spark, mixed)
+    }
+    assert(mixErr.getMessage.contains("mixed formats"),
+      mixErr.getMessage)
+  }
+
+  test("content sniffing: a DIRECTORY of BGZF text shards routes " +
+    "readAuto to the pruning DSv2 relation with identical rows") {
+    graft.fixtures.GenomicFixtures.ensure(spark)
+    val d = graft.fixtures.GenomicFixtures.regionVcfShardedDir
+    val viaAuto = Vcf.readAuto(spark, d)
+    assert(rows(viaAuto) == rows(Vcf.read(spark, d)))
+    // routed to the DSv2 relation: the plan carries BgzfScanPartitions
+    assert(scannedBytes(viaAuto) > 0L)
+  }
 }

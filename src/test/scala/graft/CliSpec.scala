@@ -62,6 +62,16 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     GenomicPipeline.releaseCaches()
   }
 
+  test("Prohap.run with -i <bare BCF shard DIRECTORY> (the repo's own " +
+    "writeSharded layout, no extension) == the text-VCF run — content " +
+    "sniffing, not suffix, routes the input") {
+    val text = Prohap.run(spark, fixtureOpts)
+    val dir = Prohap.run(spark,
+      fixtureOpts + ("i" -> GenomicFixtures.regionBcfShardedDir(spark)))
+    assert(rowsOf(dir) == rowsOf(text))
+    GenomicPipeline.releaseCaches()
+  }
+
   test("Provar.run with -i sample.bcf == the text-VCF run") {
     val text = Provar.run(spark, fixtureOpts)
     val bcf = Provar.run(spark,

@@ -258,6 +258,45 @@ class RegionSpec extends AnyFunSuite with BeforeAndAfterAll {
     d
   }
 
+  test("distributed region planning (past " +
+    "spark.graft.planDistributeThreshold) produces the identical plan " +
+    "and rows as driver-side planning over a many-shard fleet") {
+    // 24 shards × 3 regions = 72 file×region searches
+    val d = s"$tmp/many-shards"
+    Files.createDirectories(Paths.get(d))
+    val all = vcfText(4000, contigHeaders = true).split("\n")
+    val (hdr, data) = all.partition(_.startsWith("#"))
+    var idx = 0
+    Seq("chr1", "chr2", "chrX").foreach { c =>
+      data.filter(_.startsWith(c + "\t")).grouped(500).foreach { chunk =>
+        Files.write(Paths.get(f"$d/part-$idx%05d.vcf.gz"),
+          Bgzf.compress((hdr ++ chunk).mkString("", "\n", "\n")
+            .getBytes("US-ASCII"), 256))
+        idx += 1
+      }
+    }
+    assert(idx == 24)
+    val regions = Seq(("chr2", 1010L, 1990L), ("chr1", 10L, 500L),
+      ("chrX", 30000L, 31000L))
+    val driverPlan = Vcf.regionPlan(spark, d, regions, maxSpan = 10000L)
+    val k = "spark.graft.planDistributeThreshold"
+    spark.conf.set(k, "1")
+    try {
+      val distPlan = Vcf.regionPlan(spark, d, regions, maxSpan = 10000L)
+      assert(distPlan.windows == driverPlan.windows)
+      assert(distPlan.fullScan == driverPlan.fullScan)
+      assert(distPlan.probes == driverPlan.probes)
+      // end-to-end rows under the forced-distributed path
+      val got = rows(Vcf.readRegions(spark, d, regions))
+      val want = rows(Vcf.readBgzf(spark, d, splitSize = 1L << 20)
+        .where(regions.map { case (c, a, b) =>
+          col("chrom") === c && col("pos") <= b &&
+            col("pos") + length(col("ref")) - 1 >= a
+        }.reduce(_ || _)))
+      assert(got == want && got.nonEmpty)
+    } finally spark.conf.unset(k)
+  }
+
   test("sharded-directory region read == full scan + filter (glob and " +
     "dir), including shards with no hits; per-shard bisection PRUNES " +
     "the no-hit shards instead of full-scanning them") {

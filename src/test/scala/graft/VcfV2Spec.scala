@@ -192,6 +192,104 @@ class VcfV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Vcf.readRegion(spark, p, "chr2", 0L, 95L).count() == 10L)
   }
 
+  test("degenerate pos bounds saturate instead of planning zero " +
+    "partitions (regression: hi initialized to Int.MaxValue turned " +
+    "pos > 2^31-1 into a statically-empty scan, silently dropping " +
+    "over-cap rows the residual filter never saw)") {
+    val text = Seq(
+      "##fileformat=VCFv4.2",
+      "##contig=<ID=c1>",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+      "c1\t10\trs1\tA\tG\t.\tPASS\t.\tGT\t0|1",
+      "c1\t4000000000\trs_overcap\tA\tG\t.\tPASS\t.\tGT\t1|1")
+      .mkString("\n") + "\n"
+    val gz = writeGz("overcap.vcf.gz", text, blockSize = 64)
+    val table = Vcf.readTable(spark, gz)
+    // a pushed lower bound above int32: the over-cap row MUST survive
+    assert(table.where(col("chrom") === "c1" &&
+      col("pos") > 2147483647L).count() == 1L)
+    assert(table.where(col("chrom") === "c1" &&
+      col("pos") >= 3000000000L).count() == 1L)
+    // Long extremes must not wrap (GreaterThan +1 / LessThan -1)
+    assert(table.where(col("pos") > Long.MaxValue).count() == 0L)
+    assert(table.where(col("pos") < Long.MinValue).count() == 0L)
+    assert(table.where(col("chrom") === "c1" &&
+      col("pos") < 100L).count() == 1L)
+    // genuinely contradictory bounds stay statically empty: zero
+    // partitions, zero rows
+    val contradiction = table.where(col("chrom") === "c1" &&
+      col("pos") === 10L && col("pos") === 20L)
+    assert(contradiction.count() == 0L)
+    assert(scannedBytes(contradiction)._2 == 0)
+  }
+
+  test("OR-shaped (panel) SQL prunes to merged multi-region windows: " +
+    "rows == unpruned filter, scanned bytes < file/2 for a 12-region " +
+    "panel") {
+    val p = writeGz("panel.vcf.gz", vcfText(30000), blockSize = 256)
+    val fileLen = Files.size(Paths.get(p))
+    val table = Vcf.readTable(spark, p, splitSize = 1L << 20)
+    val panel = Seq(
+      ("chr1", 100L, 300L), ("chr1", 310L, 400L), ("chr1", 5000L, 5100L),
+      ("chr1", 90000L, 90200L), ("chr2", 10L, 200L),
+      ("chr2", 44000L, 44400L), ("chr2", 150000L, 150100L),
+      ("chrX", 700L, 900L), ("chrX", 901L, 1000L),
+      ("chrX", 250000L, 250300L), ("chr2", 250L, 260L),
+      ("chrX", 299000L, 299990L))
+    val pred = panel.map { case (c, a, b) =>
+      col("chrom") === c && col("pos").between(a, b)
+    }.reduce(_ || _)
+    val pruned = table.where(pred)
+    val want = Vcf.readBgzf(spark, p, splitSize = 1L << 20).where(pred)
+      .select("chrom", "pos", "id").collect()
+      .map(_.toString).toSeq.sorted
+    val got = pruned.select("chrom", "pos", "id").collect()
+      .map(_.toString).toSeq.sorted
+    assert(got == want && want.nonEmpty, s"rows=${want.size}")
+    val (bytes, _) = scannedBytes(pruned)
+    assert(bytes > 0 && bytes < fileLen / 2,
+      s"scanned $bytes of $fileLen")
+    // a panel with one chrom-less disjunct can't prune — and must not
+    // change rows either
+    val leaky = pred || col("pos") === 123456789L
+    assert(scannedBytes(table.where(leaky))._1 == fileLen)
+    // mixing a panel OR with an outer conjunct intersects per disjunct
+    val mixed = table.where(pred && col("pos") <= 5100L)
+    assert(mixed.count() == Vcf.readBgzf(spark, p, splitSize = 1L << 20)
+      .where(pred && col("pos") <= 5100L).count())
+    assert(scannedBytes(mixed)._1 <= bytes)
+  }
+
+  test("estimateStatistics: a pruned scan reports its window bytes, " +
+    "so Catalyst broadcasts the region slice where the full scan " +
+    "sort-merges") {
+    val p = writeGz("stats.vcf.gz", vcfText(30000), blockSize = 256)
+    val fileLen = Files.size(Paths.get(p))
+    val table = Vcf.readTable(spark, p, splitSize = 1L << 20)
+    val pred = col("chrom") === "chr2" && col("pos").between(1010, 1990)
+    // the probe side must itself be over-threshold, or IT broadcasts
+    // in both plans and the pin proves nothing
+    val other = spark.range(0, 4000000)
+      .selectExpr("id * 10 as pos", "'x' as tag")
+    // threshold between (pruned window × 4) and (full file × 4): the
+    // pruned side must broadcast, the full side must not
+    val threshold = fileLen * 4 / 2
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      threshold.toString)
+    try {
+      val prunedPlan = other.join(table.where(pred), Seq("pos"))
+        .queryExecution.executedPlan.toString
+      assert(prunedPlan.contains("BroadcastHashJoin"),
+        s"pruned scan must broadcast:\n$prunedPlan")
+      val fullPlan = other.join(table, Seq("pos"))
+        .queryExecution.executedPlan.toString
+      assert(!fullPlan.contains("BroadcastHashJoin") &&
+        fullPlan.contains("SortMergeJoin"),
+        s"full scan must sort-merge:\n$fullPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("sharded directory: per-shard windows; column pruning keeps " +
     "values; count() (empty schema) matches") {
     val d = s"$tmp/sharded"
