@@ -378,6 +378,70 @@ object Bench {
     d
   }
 
+  /** [[ensureSortedVcfGz]]'s records as a 128-shard DIRECTORY (22
+    * chroms × up to 6 contiguous pos slices each, every shard a
+    * self-describing sorted `.vcf.gz`) — the wide-fleet layout the
+    * vdpx distributed-planning entries read.
+    */
+  private var manyShardVcfGzDir: String = null
+  private def ensureManyShardVcfGz(n: Int): String = synchronized {
+    if (manyShardVcfGzDir != null) return manyShardVcfGzDir
+    val d = s"${sys.props("java.io.tmpdir")}/graft-vcfgz-fleet-" +
+      ProcessHandle.current.pid
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    val perChrom = math.max(6, n / 22)
+    val perSlice = (perChrom + 5) / 6
+    var shard = 0
+    var c = 1
+    while (c <= 22) {
+      var s0 = 0
+      while (s0 < perChrom) {
+        val s1 = math.min(perChrom, s0 + perSlice)
+        writeVcfGzStreaming(f"$d/part-$shard%05d.vcf.gz") { w =>
+          w("##fileformat=VCFv4.2\n")
+          (1 to 22).foreach(k => w(s"##contig=<ID=c$k>\n"))
+          w("##INFO=<ID=AF,Number=A,Type=Float,Description=\"AF\">\n")
+          w("##FORMAT=<ID=GT,Number=1,Type=String,Description=\"GT\">\n")
+          w("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" +
+            (1 to 20).map("S" + _).mkString("\t") + "\n")
+          val sb = new StringBuilder(256)
+          var i = s0
+          while (i < s1) {
+            sb.setLength(0)
+            sb ++= s"c$c\t${i * 40 + 10}\tv${c}_$i\tA\t" +
+              s"${"CGT".charAt(i % 3)}\t.\tPASS\tAF=0.${i % 89 + 10}\tGT"
+            var sIdx = 0
+            while (sIdx < 20) {
+              sb ++= (if ((i * 7 + sIdx) % 2 == 0) "\t0|1" else "\t1|1")
+              sIdx += 1
+            }
+            sb += '\n'
+            w(sb.toString)
+            i += 1
+          }
+        }
+        shard += 1
+        s0 = s1
+      }
+      c += 1
+    }
+    manyShardVcfGzDir = d
+    d
+  }
+
+  /** The vdpx 40-region panel: two regions per chromosome on c2..c21 —
+    * 40 × 128 shards = 5120 file×region searches, past the 4096
+    * distribute threshold.
+    */
+  private def widePanel(n: Int): Seq[(String, Long, Long)] = {
+    val span = math.max(1L, n.toLong / 22) * 40L
+    (0 until 20).flatMap { j =>
+      val base = 10L + span / 3
+      Seq((s"c${j + 2}", base, base + span / 40),
+        (s"c${j + 2}", base + span / 2, base + span / 2 + span / 40))
+    }
+  }
+
   /** Dedup at volume: `n` synthetic ~30-word docs (300k at sf0.1 for dx,
     * 3M for dx10), every 10th a near-copy of its predecessor (one word of
     * 30 changed), through the full detect->cluster path the sf documents
@@ -869,6 +933,43 @@ object Bench {
         graft.sources.Vcf.readBgzf(spark, dir, splitSize = 1L << 20)
           .where(col("chrom") === "c11" && col("pos").between(10L, hi))
           .agg(count(lit(1)), sum(col("pos"))).head.getLong(0)
+      }),
+      // The vpnx 20-region panel as PLAIN SQL — an OR of per-region
+      // containment conjuncts on the DSv2 relation, no readRegions
+      // call anywhere: the bounded-DNF extraction must route all
+      // disjuncts into the same merged byte windows. Walls near vpnx
+      // (≪ vpnx1's OR full scan) = panel-shaped SQL prunes by itself.
+      "vsqx_sql_panel_scale" -> (() => {
+        val path = ensureSortedVcfGz((nDocs * 60).toInt)
+        val pred = panelRegions((nDocs * 60).toInt).map {
+          case (c, a, b) =>
+            col("chrom") === c && col("pos").between(a, b)
+        }.reduce(_ || _)
+        graft.sources.Vcf.readTable(spark, path, splitSize = 1L << 20)
+          .where(pred)
+          .agg(count(lit(1)), sum(col("pos"))).head.getLong(0)
+      }),
+      // Distributed region planning at fleet scale: a 40-region panel
+      // over a 128-shard directory is 5120 file×region searches — past
+      // the 4096 default threshold, so the per-shard bisections run as
+      // ONE small Spark job instead of 8 driver threads. The twin
+      // vdpx1 forces driver-side planning on the identical query; the
+      // pair shows the planning wall staying flat (and the driver
+      // freed) as fleets widen.
+      "vdpx_dist_plan_scale" -> (() => {
+        val dir = ensureManyShardVcfGz((nDocs * 60).toInt)
+        graft.sources.Vcf.readRegions(spark, dir,
+          widePanel((nDocs * 60).toInt), splitSize = 1L << 20)
+          .agg(count(lit(1)), sum(col("pos"))).head.getLong(0)
+      }),
+      "vdpx1_dist_plan_driver_scale" -> (() => {
+        val dir = ensureManyShardVcfGz((nDocs * 60).toInt)
+        val k = "spark.graft.planDistributeThreshold"
+        spark.conf.set(k, Long.MaxValue.toString)
+        try graft.sources.Vcf.readRegions(spark, dir,
+          widePanel((nDocs * 60).toInt), splitSize = 1L << 20)
+          .agg(count(lit(1)), sum(col("pos"))).head.getLong(0)
+        finally spark.conf.unset(k)
       }),
       // The identical crawl in the Common Crawl per-record-member
       // layout through the splittable member scan (4 MiB ranges):

@@ -128,7 +128,12 @@ object Vcf {
     * text, non-BGZF gzip, headers without `##contig` lines, or a
     * queried chrom the header doesn't declare) fall back to a full
     * (splittable where the container allows) scan of THAT file only —
-    * always correct, just not pruned. Rows are re-filtered on the
+    * always correct, just not pruned. The fallback is all-or-nothing
+    * PER FILE: one undeclared region chrom (a `chrM` panel row against
+    * an `MT` header — the classic alias hazard) forfeits ALL pruning
+    * for that file, because windows plus a full scan of the same file
+    * would double-count its rows. Normalize panel contig names to the
+    * header's convention before calling. Rows are re-filtered on the
     * parsed columns under bcftools `-r` OVERLAP semantics: a record
     * whose REF allele spans into any region belongs to it (rlen
     * approximated as length(ref); symbolic ALTs whose true END lives in
