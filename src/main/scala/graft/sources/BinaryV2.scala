@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
+import org.apache.spark.sql.sources.{And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -85,12 +85,24 @@ private[sources] object BgzfPush {
     def fold(c: Conj, f: Filter): Option[Conj] = f match {
       case EqualTo(`chromCol`, s: String) =>
         Some(c.copy(chroms = Some(c.chroms.fold(Set(s))(_ & Set(s)))))
+      case EqualNullSafe(`chromCol`, s: String) =>
+        Some(c.copy(chroms = Some(c.chroms.fold(Set(s))(_ & Set(s)))))
       case In(`chromCol`, vs) if vs != null && vs.nonEmpty &&
         vs.forall(_.isInstanceOf[String]) =>
         val set = vs.map(_.asInstanceOf[String]).toSet
         Some(c.copy(chroms = Some(c.chroms.fold(set)(_ & set))))
       case EqualTo(`posCol`, v: Long) =>
         Some(c.copy(lo = math.max(c.lo, v), hi = math.min(c.hi, v)))
+      case EqualNullSafe(`posCol`, v: Long) =>
+        Some(c.copy(lo = math.max(c.lo, v), hi = math.min(c.hi, v)))
+      case In(`posCol`, vs) if vs != null && vs.nonEmpty &&
+        vs.forall(_.isInstanceOf[Long]) =>
+        // conjunct-fold view of a position list: its [min, max] hull
+        // (the dnf path below expands small lists to one disjunct per
+        // value instead — one tiny window per looked-up position)
+        val ls = vs.map(_.asInstanceOf[Long])
+        Some(c.copy(lo = math.max(c.lo, ls.min),
+          hi = math.min(c.hi, ls.max)))
       case GreaterThanOrEqual(`posCol`, v: Long) =>
         Some(c.copy(lo = math.max(c.lo, v)))
       case GreaterThan(`posCol`, v: Long) =>
@@ -110,6 +122,13 @@ private[sources] object BgzfPush {
       case Or(l, r) =>
         for { a <- dnf(l); b <- dnf(r)
               if a.size + b.size <= maxDisjuncts } yield a ++ b
+      case In(`posCol`, vs) if vs != null && vs.nonEmpty &&
+        vs.length <= maxDisjuncts &&
+        vs.forall(_.isInstanceOf[Long]) =>
+        // a position LIST (the "annotate these N hits" lookup) expands
+        // exactly to one disjunct per value — one bisected window per
+        // position instead of the [min, max] hull spanning the chrom
+        Some(vs.toSeq.map(v => Seq(EqualTo(posCol, v): Filter)))
       case leaf => Some(Seq(Seq(leaf)))
     }
     def hasRecognized(f: Filter): Boolean = f match {

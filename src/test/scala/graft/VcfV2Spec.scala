@@ -260,6 +260,32 @@ class VcfV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scannedBytes(mixed)._1 <= bytes)
   }
 
+  test("pos IN (…) — the annotate-these-N-hits lookup — expands to one " +
+    "window per position, not the [min,max] hull spanning the chrom") {
+    val p = writeGz("posin.vcf.gz", vcfText(30000), blockSize = 256)
+    val fileLen = Files.size(Paths.get(p))
+    val table = Vcf.readTable(spark, p, splitSize = 1L << 20)
+    // three positions far apart on chr2: a hull window would span most
+    // of the chromosome (~a third of the file); per-value windows stay
+    // near the 128 KiB search floor each
+    val hits = Seq(1010L, 150010L, 299010L)
+    val pred = col("chrom") === "chr2" && col("pos").isin(hits: _*)
+    val got = table.where(pred).select("chrom", "pos", "id").collect()
+      .map(_.toString).toSeq.sorted
+    val want = Vcf.readBgzf(spark, p, splitSize = 1L << 20).where(pred)
+      .select("chrom", "pos", "id").collect()
+      .map(_.toString).toSeq.sorted
+    assert(got == want && got.size == 3, s"got=$got")
+    val (bytes, _) = scannedBytes(table.where(pred))
+    // the chr2 hull is ~fileLen/3; per-value windows must beat half it
+    assert(bytes > 0 && bytes < fileLen / 6,
+      s"scanned $bytes of $fileLen")
+    // an over-long list degrades to the hull, still correct
+    val many = (0 until 100).map(i => 1010L + 10 * i)
+    assert(table.where(col("chrom") === "chr2" &&
+      col("pos").isin(many: _*)).count() == 100L)
+  }
+
   test("estimateStatistics: a pruned scan reports its window bytes, " +
     "so Catalyst broadcasts the region slice where the full scan " +
     "sort-merges") {
