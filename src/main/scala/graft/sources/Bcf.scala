@@ -418,7 +418,9 @@ object Bcf {
       case hits =>
         val first = hits.sortBy(_.getPath.toString).head
         if (first.isDirectory)
-          fs.listStatus(first.getPath).filter(_.isFile)
+          fs.listStatus(first.getPath)
+            .filter(s => s.isFile &&
+              !Bgzf.isHiddenName(s.getPath.getName))
             .sortBy(_.getPath.toString).head.getPath
         else first.getPath
     }

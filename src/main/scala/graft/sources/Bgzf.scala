@@ -129,7 +129,15 @@ object Bgzf {
     * the [[readLines]]/[[Bcf.readSplit]]/[[Bam.readSplit]] rule) as
     * (path, length) pairs, sorted by path for deterministic planning.
     * A single-file path resolves to itself; a missing path throws.
+    * Directory LISTINGS skip hidden files (`_`/`.` prefixes — the
+    * Hadoop convention Spark's own FileIndex applies): a `_SUCCESS`
+    * marker or checksum sibling inside a shard directory must not
+    * sniff/decode as data — an explicitly named file is never
+    * filtered.
     */
+  private[sources] def isHiddenName(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
+
   private[sources] def resolveFiles(spark: SparkSession,
                                     path: String): Seq[(String, Long)] = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -138,7 +146,9 @@ object Bgzf {
       case null | Array() => Array(fs.getFileStatus(p))
       case hits => hits
     }).flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).filter(s =>
+          s.isFile && !isHiddenName(s.getPath.getName))
       else Array(st)
     }.map(st => (st.getPath.toString, st.getLen))
       .sortBy(_._1).toSeq

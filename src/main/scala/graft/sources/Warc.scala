@@ -133,7 +133,9 @@ object Warc {
       case null | Array() => Array(fs.getFileStatus(p))
       case hits => hits
     }).flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).filter(s =>
+          s.isFile && !Bgzf.isHiddenName(s.getPath.getName))
       else Array(st)
     }
     case class R(path: String, start: Long, end: Long, len: Long)

@@ -148,6 +148,15 @@ class BinaryV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     val viaAuto = Vcf.readAuto(spark, dir)
     assert(rows(viaAuto) == rows(Bcf.readTable(spark, dir)))
     assert(viaAuto.count() > 0)
+    // hidden files (the _SUCCESS marker any Spark-written directory
+    // carries, checksum siblings) are skipped by directory listings —
+    // they must neither sniff as a mixed format nor decode as data
+    val withMarker = s"$tmp/bcf-dir-with-success"
+    Files.createDirectories(Paths.get(withMarker))
+    Files.list(Paths.get(dir)).forEach(p =>
+      Files.copy(p, Paths.get(withMarker, p.getFileName.toString)))
+    Files.write(Paths.get(s"$withMarker/_SUCCESS"), Array.empty[Byte])
+    assert(rows(Vcf.readAuto(spark, withMarker)) == rows(viaAuto))
     // extensionless single BCF file: suffix dispatch is impossible
     val noext = s"$tmp/cohort-noext"
     Files.copy(Paths.get(fx.bcfPath(spark)), Paths.get(noext))
