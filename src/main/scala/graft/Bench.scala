@@ -965,11 +965,17 @@ object Bench {
       "vdpx1_dist_plan_driver_scale" -> (() => {
         val dir = ensureManyShardVcfGz((nDocs * 60).toInt)
         val k = "spark.graft.planDistributeThreshold"
+        // save/restore (not unset) so a pre-existing setting survives —
+        // mirrors the g62 gate's handling of the same conf
+        val old = spark.conf.getOption(k)
         spark.conf.set(k, Long.MaxValue.toString)
         try graft.sources.Vcf.readRegions(spark, dir,
           widePanel((nDocs * 60).toInt), splitSize = 1L << 20)
           .agg(count(lit(1)), sum(col("pos"))).head.getLong(0)
-        finally spark.conf.unset(k)
+        finally old match {
+          case Some(v) => spark.conf.set(k, v)
+          case None => spark.conf.unset(k)
+        }
       }),
       // The identical crawl in the Common Crawl per-record-member
       // layout through the splittable member scan (4 MiB ranges):

@@ -385,17 +385,24 @@ object Bcf {
         def nextMember(mid: Long): Long =
           memberMemo.getOrElseUpdate(mid,
             Bgzf.firstMemberIn(sin, mid, len, len))
-        ranked.foreach { case (rank, start, end) =>
+        // sortedness verified, not assumed — see Vcf.planFile
+        val checked = Bgzf.monotonicProbe(fp, probe)
+        try ranked.foreach { case (rank, start, end) =>
           // saturate into [0, maxPos] before the back-off so a
           // degenerate Long bound clamps instead of wrapping
           val s0 = math.min(math.max(start, 0L), maxPos)
           val span = math.max(0L, maxSpan)
           val lo = if (span >= s0) 0L else s0 - span
           val hi = math.max(0L, math.min(end, maxPos))
-          val w = Bgzf.searchWindow(len, nextMember, probe,
+          val w = Bgzf.searchWindow(len, nextMember, checked,
             (rank.toLong << 32) | lo, (rank.toLong << 32) | hi)
           windows += Bgzf.FileWindow(fp, len, w.fromByte, w.toByte,
             w.probes)
+        } catch {
+          // probe-key inversion: fall back to the whole file (replaces
+          // any partial windows — they'd double-count its rows)
+          case _: Bgzf.UnsortedFile =>
+            return Seq(Bgzf.FileWindow(fp, len, 0L, len, 0))
         }
       } finally {
         try sin.close() catch { case _: java.io.IOException => }

@@ -243,18 +243,36 @@ object Bgzf {
     * gzip next to raw) resolves to the codec text class, which every
     * whole-file text reader handles per file.
     *
-    * Driver cost: one bounded positioned read per file (8 threads) —
-    * the same O(files) planning pass [[Vcf.regionPlan]] already makes;
+    * Driver cost: BOUNDED — up to [[SniffSampleCap]] positioned reads
+    * (8 threads): small layouts check every file, wide fleets check a
+    * deterministic evenly-spaced sample (always including the first
+    * and last file in path order), so a 10k-shard directory does not
+    * reintroduce the driver-side O(files) open ceiling the distributed
+    * planner exists to remove. Mixed-format detection past the cap is
+    * therefore sampled — an unsampled odd file still fails loudly per
+    * range at read time ("not a BGZF member"), just later.
     * `checkAll = false` probes only the first file (enough for header
     * metadata like sample names, where shards share the header).
     * An empty directory answers Plain with no files.
     */
+  private[sources] val SniffSampleCap = 64
+
   private[graft] def sniff(spark: SparkSession, path: String,
                            checkAll: Boolean = true): Sniffed = {
     val conf = spark.sparkContext.hadoopConfiguration
     val files = resolveFiles(spark, path)
     if (files.isEmpty) return Sniffed(Format.Plain, files)
-    val toCheck = if (checkAll) files else files.take(1)
+    val toCheck =
+      if (!checkAll) files.take(1)
+      else if (files.size <= SniffSampleCap) files
+      else {
+        // evenly spaced deterministic sample, endpoints pinned
+        val n = files.size
+        (0 until SniffSampleCap)
+          .map(i => files(((i.toLong * (n - 1)) /
+            (SniffSampleCap - 1)).toInt))
+          .distinct
+      }
     val classes = parMap(toCheck, math.min(8, toCheck.size)) {
       case (fp, len) => (fp, sniffFile(conf, fp, len))
     }
@@ -571,13 +589,17 @@ object Bgzf {
         try futures.map(_.get())
         catch {
           case e: java.util.concurrent.ExecutionException =>
-            // cancel the siblings and DRAIN the pool before rethrowing:
-            // the caller's finally may close handles sibling searches
-            // still hold, turning one real failure into spurious
-            // secondary IOExceptions in pool threads
+            // cancel the siblings and BRIEFLY drain the pool before
+            // rethrowing: the caller's finally may close handles sibling
+            // searches still hold, turning one real failure into spurious
+            // secondary IOExceptions in pool threads. A few seconds is
+            // enough for cancelled siblings to release handles — a probe
+            // stuck in an uninterruptible FS read must not delay
+            // surfacing the REAL failure by a minute (the caller's
+            // finally tolerates late closes)
             futures.foreach(_.cancel(true))
             pool.shutdownNow()
-            pool.awaitTermination(60,
+            pool.awaitTermination(5,
               java.util.concurrent.TimeUnit.SECONDS)
             throw e.getCause
         }
@@ -694,8 +716,13 @@ object Bgzf {
       def nextMember(mid: Long): Long =
         memberMemo.computeIfAbsent(Long.box(mid),
           _ => Long.box(scanMember(local.get(), mid, len, len)))
+      // sortedness is VERIFIED, not assumed: any probe-key inversion
+      // throws UnsortedFile, which the per-file planners catch as a
+      // full-scan fallback — an unsorted shard must degrade to the
+      // always-correct unpruned read, never silently drop rows
+      val checkedKey = monotonicProbe(path, firstOwnedKey)
       parMap(keyRanges, parallelism) { case (fromKey, toKey) =>
-        searchWindow(len, nextMember, firstOwnedKey, fromKey, toKey)
+        searchWindow(len, nextMember, checkedKey, fromKey, toKey)
       }
     } finally {
       handles.forEach(h =>
@@ -730,6 +757,50 @@ object Bgzf {
     override def readFully(position: Long,
                            buffer: Array[Byte]): Unit =
       in.readFully(position, buffer)
+  }
+
+  /** Thrown when bisection probes observe OUT-OF-ORDER keys: the file
+    * violates the sorted contract the window bisection (and tabix)
+    * assumes, so its windows cannot be trusted — planners catch this
+    * and fall back to a full scan of THAT file (always correct, just
+    * unpruned). Detection is probe-based: it fires exactly when the
+    * searches that would have mis-bisected actually observe disorder,
+    * at zero extra I/O. A file whose probed members happen to be
+    * mutually ordered can still pass — but files below the 128 KiB
+    * search floor are never probed at all (whole-file window, trivially
+    * correct), and real unsorted data disorders the probe sequence
+    * almost immediately at bisection's exponentially-spread offsets.
+    */
+  private[graft] final class UnsortedFile(val path: String,
+      m1: Long, k1: Long, m2: Long, k2: Long)
+    extends RuntimeException(
+      s"$path is not coordinate-sorted: member at byte $m1 keys $k1 " +
+        s"but member at byte $m2 keys $k2 — region bisection needs " +
+        "tabix sort order; falling back to a full scan")
+
+  /** Wrap a first-owned-key probe with a monotonicity check across ALL
+    * probes of one file (thread-safe — panel searches fan out): on a
+    * sorted file the probe function is non-decreasing in member offset,
+    * so any inversion proves the sort contract broken and throws
+    * [[UnsortedFile]]. MaxValue probes (no data at/after the member)
+    * participate — data appearing AFTER an end-of-data probe is just as
+    * much an inversion.
+    */
+  private[graft] def monotonicProbe(path: String,
+      f: Long => Long): Long => Long = {
+    val seen = new java.util.concurrent.ConcurrentSkipListMap[
+      java.lang.Long, java.lang.Long]()
+    (m: Long) => {
+      val k = f(m)
+      seen.put(Long.box(m), Long.box(k))
+      val lo = seen.floorEntry(Long.box(m - 1))
+      if (lo != null && lo.getValue > k)
+        throw new UnsortedFile(path, lo.getKey, lo.getValue, m, k)
+      val hi = seen.ceilingEntry(Long.box(m + 1))
+      if (hi != null && hi.getValue < k)
+        throw new UnsortedFile(path, m, k, hi.getKey, hi.getValue)
+      k
+    }
   }
 
   /** One file's pruned byte window — the planning unit of the multi-

@@ -206,27 +206,34 @@ private[sources] object BgzfPush {
       s"regions=${e.regions.map(_.map { case (c, l, h) =>
         s"$c:[$l,$h]" }.mkString("|")).getOrElse("*")})"
 
-  /** Deflate-ratio guess for [[stats]]: BGZF text/record payloads
-    * inflate ~3-6× — report high so a borderline broadcast decision
-    * errs toward shuffle.
+  /** Deflate-ratio guess for [[stats]], configurable via
+    * `spark.graft.statsInflation`: BGZF text payloads inflate ~3-6×,
+    * but genotype-dense cohort VCF/BCF commonly bgzips 10×+ — an
+    * understated sizeInBytes can flip a sort-merge join into
+    * broadcasting an over-threshold frame, so raise the conf for
+    * genotype-dense layouts (or lower it for sparse site-only data).
     */
-  private val InflationFactor = 4L
+  private val DefaultInflation = 6L
+
+  private[sources] def inflationFactor(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.statsInflation",
+      DefaultInflation.toString).toLong
 
   /** `SupportsReportStatistics` body shared by the three scans: planned
-    * (compressed) window bytes × [[InflationFactor]] — so Catalyst can
-    * see that a pruned region slice of a 100 GB cohort is
-    * broadcast-small, where the DSv2 default (spark.sql.
-    * defaultSizeInBytes = Long.Max) would sort-merge every join against
-    * it. The unpruned relation honestly reports its full file bytes.
+    * (compressed) bytes × the inflation factor — PRUNED and full-scan
+    * cases alike (both report compressed window bytes; the full scan's
+    * windows simply tile whole files) — so Catalyst can see that a
+    * pruned region slice of a 100 GB cohort is broadcast-small, where
+    * the DSv2 default (spark.sql.defaultSizeInBytes = Long.Max) would
+    * sort-merge every join against it.
     */
-  def stats(parts: Array[InputPartition]): Statistics = {
+  def stats(parts: Array[InputPartition], factor: Long): Statistics = {
     val bytes = parts.collect {
       case p: BgzfScanPartition => p.end - p.start
     }.sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(
-          math.max(1L, bytes * InflationFactor))
+        java.util.OptionalLong.of(math.max(1L, bytes * factor))
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.empty()
     }
@@ -304,7 +311,8 @@ private[sources] class BcfBgzfScan(path: String, afFields: Seq[String],
 
   override def planInputPartitions(): Array[InputPartition] = parts
 
-  override def estimateStatistics(): Statistics = BgzfPush.stats(parts)
+  override def estimateStatistics(): Statistics =
+    BgzfPush.stats(parts, BgzfPush.inflationFactor(SparkSession.active))
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
@@ -443,7 +451,8 @@ private[sources] class BamBgzfScan(path: String, splitSize: Long,
 
   override def planInputPartitions(): Array[InputPartition] = parts
 
-  override def estimateStatistics(): Statistics = BgzfPush.stats(parts)
+  override def estimateStatistics(): Statistics =
+    BgzfPush.stats(parts, BgzfPush.inflationFactor(SparkSession.active))
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active

@@ -59,6 +59,14 @@ object Vcf {
     * identical row shape, so callers (the CLIs) take any of them
     * transparently. Genuinely mixed directories error loudly in the
     * sniff.
+    *
+    * Sortedness: the DSv2 branch's filter pushdown bisects assuming
+    * coordinate-sorted shards (the tabix contract), but it does not
+    * TRUST the assumption — every bisection verifies probe-key
+    * monotonicity ([[Bgzf.monotonicProbe]]) and an unsorted shard
+    * falls back to the always-correct full scan of that file, so
+    * routing unsorted sharded directories here degrades pruning, never
+    * rows.
     */
   def readAuto(spark: SparkSession, path: String,
                afFields: Seq[String] = defaultAfFields,
@@ -154,8 +162,11 @@ object Vcf {
                   maxSpan: Long = 10000L): DataFrame = {
     require(regions.nonEmpty, "readRegions wants at least one region")
     // content dispatch, not suffix (see readAuto): a directory of BCF
-    // shards must bisect through the binary planner
-    Bgzf.sniff(spark, path).format match {
+    // shards must bisect through the binary planner. The sniff's
+    // resolved file list is REUSED by the planner below — no second
+    // listing.
+    val sn = Bgzf.sniff(spark, path)
+    sn.format match {
       case Bgzf.Format.Bcf =>
         return Bcf.readRegions(spark, path, regions, afFields,
           splitSize, maxSpan)
@@ -168,7 +179,8 @@ object Vcf {
       col("chrom") === chrom && col("pos") <= end &&
         col("pos") + length(col("ref")) - 1 >= start
     }.reduce(_ || _)
-    val plan = regionPlan(spark, path, regions, maxSpan)
+    val plan = regionPlan(spark, path, regions, maxSpan,
+      filesHint = sn.files)
     val windowLines =
       if (plan.windows.exists(w => w.toByte > w.fromByte))
         Some(Bgzf.linesDf(spark, Bgzf.scanWindows(spark, plan.windows,
@@ -234,8 +246,14 @@ object Vcf {
 
   private[graft] def regionPlan(spark: SparkSession, path: String,
                                 regions: Seq[(String, Long, Long)],
-                                maxSpan: Long): RegionPlan = {
-    val files = Bgzf.resolveFiles(spark, path)
+                                maxSpan: Long,
+                                filesHint: Seq[(String, Long)] = null)
+    : RegionPlan = {
+    // filesHint: callers that already resolved the layout (readRegions'
+    // sniff) pass their list so the planner never re-lists
+    val files =
+      if (filesHint != null) filesHint
+      else Bgzf.resolveFiles(spark, path)
     // per-file planning is independent; results recombine in file
     // order so the plan stays deterministic. Bgzf.planFiles fans out
     // across driver threads (files OR regions, never both) and — past
@@ -301,10 +319,20 @@ object Vcf {
         val hi = math.max(0L, math.min(end, maxPos))
         (key(ranks(chrom), lo), key(ranks(chrom), hi))
       }
-      val ws = Bgzf.regionWindows(conf, fp, keyOf, keyRanges,
-        regionPar).map(w =>
-        Bgzf.FileWindow(fp, len, w.fromByte, w.toByte, w.probes))
-      (ws, None)
+      try {
+        val ws = Bgzf.regionWindows(conf, fp, keyOf, keyRanges,
+          regionPar).map(w =>
+          Bgzf.FileWindow(fp, len, w.fromByte, w.toByte, w.probes))
+        (ws, None)
+      } catch {
+        // probe-key inversion: the file breaks the sorted contract, so
+        // its bisected windows can't be trusted — full scan of THIS
+        // file only (correct, just unpruned), all-or-nothing like the
+        // unrankable-chrom class above
+        case _: Bgzf.UnsortedFile =>
+          (Seq.empty[Bgzf.FileWindow],
+            Some(FullScanFile(fp, len, isBgzf = true)))
+      }
     }
   }
 

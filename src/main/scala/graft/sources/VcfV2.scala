@@ -224,7 +224,8 @@ private[sources] class VcfBgzfScan(path: String, afFields: Seq[String],
 
   override def planInputPartitions(): Array[InputPartition] = parts
 
-  override def estimateStatistics(): Statistics = BgzfPush.stats(parts)
+  override def estimateStatistics(): Statistics =
+    BgzfPush.stats(parts, BgzfPush.inflationFactor(SparkSession.active))
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active

@@ -297,9 +297,11 @@ class VcfV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     // in both plans and the pin proves nothing
     val other = spark.range(0, 4000000)
       .selectExpr("id * 10 as pos", "'x' as tag")
-    // threshold between (pruned window × 4) and (full file × 4): the
-    // pruned side must broadcast, the full side must not
-    val threshold = fileLen * 4 / 2
+    // threshold between (pruned window × f) and (full file × f): the
+    // pruned side must broadcast, the full side must not — f is the
+    // configurable stats inflation (spark.graft.statsInflation)
+    val f = spark.conf.get("spark.graft.statsInflation", "6").toLong
+    val threshold = fileLen * f / 2
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
       threshold.toString)
@@ -345,6 +347,71 @@ class VcfV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     // pruned projection returns the same column values
     assert(table.select("chrom").where(col("chrom") === "chr1")
       .count() == 8000L)
+  }
+
+  test("unsorted file: probe-key monotonicity guard trips, planner " +
+    "falls back to a full scan, rows stay exactly correct") {
+    // big enough to bisect (>128 KiB search floor), pos DESCENDING
+    // within each chrom — any two probed keys of one chrom invert, so
+    // the guard must fire deterministically
+    val all = vcfText(10000).split("\n")
+    val (hdr, data) = all.partition(_.startsWith("#"))
+    val byChrom = data.groupBy(_.split("\t")(0))
+    val unsorted = (hdr ++ Seq("chr1", "chr2", "chrX")
+      .flatMap(c => byChrom(c).reverse)).mkString("", "\n", "\n")
+    val p = writeGz("unsorted.vcf.gz", unsorted, blockSize = 256)
+    assert(Files.size(Paths.get(p)) > (128L << 10),
+      "fixture must exceed the search floor or nothing probes")
+    // the plan degrades to the full-scan class — no trusted windows
+    val plan = Vcf.regionPlan(spark, p,
+      Seq(("chr2", 1010L, 1990L)), maxSpan = 0L)
+    assert(plan.windows.isEmpty && plan.fullScan.size == 1 &&
+      plan.fullScan.head.path.endsWith("unsorted.vcf.gz") &&
+      plan.fullScan.head.isBgzf, s"plan=$plan")
+    // readRegion still returns exactly the overlap rows
+    val got = Vcf.readRegion(spark, p, "chr2", 1010L, 1990L)
+      .select("chrom", "pos", "id").collect()
+      .map(_.toString).toSeq.sorted
+    val want = Vcf.readBgzf(spark, p)
+      .where(col("chrom") === "chr2" && col("pos") <= 1990L &&
+        col("pos") + length(col("ref")) - 1 >= 1010L)
+      .select("chrom", "pos", "id").collect()
+      .map(_.toString).toSeq.sorted
+    assert(got == want && got.size == 99, s"got ${got.size}")
+    // and the DSv2 SQL route (readTable + WHERE) tiles the whole file
+    // instead of trusting windows — identical rows
+    val table = Vcf.readTable(spark, p, splitSize = 1L << 20)
+      .where(col("chrom") === "chr2" && col("pos").between(1010, 1990))
+    assert(table.select("chrom", "pos", "id").collect()
+      .map(_.toString).toSeq.sorted ==
+      want.filter(_.contains("chr2")).filterNot(w =>
+        w.split(",")(1).toLong < 1010), s"dsv2 route diverged")
+    val (bytes, _) = scannedBytes(table)
+    assert(bytes == Files.size(Paths.get(p)),
+      s"unsorted file must full-scan, scanned $bytes")
+  }
+
+  test("monotonicProbe: inversions throw in both probe orders, " +
+    "ordered probes pass through") {
+    val keys = Map(0L -> 10L, 100L -> 20L, 200L -> 5L)
+    // ascending access: 0 then 100 ok; 200 inverts against 100
+    val g1 = Bgzf.monotonicProbe("t", keys)
+    assert(g1(0L) == 10L && g1(100L) == 20L)
+    intercept[Exception] { g1(200L) }
+    // descending access: 200 then 100 — the floor check fires
+    val g2 = Bgzf.monotonicProbe("t", keys)
+    assert(g2(200L) == 5L)
+    intercept[Exception] { g2(100L) }
+    // MaxValue (end-of-data) followed by data later in the file is an
+    // inversion too
+    val g3 = Bgzf.monotonicProbe("t",
+      Map(0L -> Long.MaxValue, 50L -> 7L))
+    assert(g3(0L) == Long.MaxValue)
+    intercept[Exception] { g3(50L) }
+    // a sorted sequence never throws, any access order
+    val g4 = Bgzf.monotonicProbe("t",
+      Map(0L -> 1L, 10L -> 2L, 20L -> 3L))
+    assert(g4(20L) == 3L && g4(0L) == 1L && g4(10L) == 2L)
   }
 }
 
