@@ -502,6 +502,31 @@ object Genomic {
           array_join(col("genotypes"), ",").as("genotypes"))
     }),
 
+    "v11_vcf_write_sharded" -> ((s, _) => {
+      // the sorted sharded BGZF .vcf.gz sink ROUND-TRIPPED through the
+      // region machinery: normalized rows -> 3 range-partitioned
+      // executor-written shards (full header incl. ##contig lines,
+      // internally sorted, 64-byte members) -> readRegion on the bare
+      // DIRECTORY bisects each shard and must land on the oracle's
+      // overlap filter of the vcf_norm parquet. This closes the
+      // graft->graft VCF loop BAM/BCF already have (g57b/g57c):
+      // the engine's own VCF output is now region-prunable input.
+      // RegionSpec pins the pruned window bytes; this pins the rows.
+      prep(s)
+      val norm = s.read.parquet(s"$fx/vcf_norm.parquet")
+      val contigs = norm.select("chrom").distinct().orderBy("chrom")
+        .collect().map(_.getString(0)).toSeq
+      val out = s"${sys.props("java.io.tmpdir")}/graft-vcf-sharded-" +
+        ProcessHandle.current.pid
+      Vcf.writeSharded(
+        norm.repartitionByRange(3, col("chrom"), col("pos")),
+        contigs, GenomicFixtures.sampleNames(s), out, blockSize = 64)
+      Vcf.readRegion(s, out, "1", 45L, 55L)
+        .select(col("chrom"), col("pos"), col("id"), col("ref"),
+          col("alt"), col("af").cast("double").as("allele_af"),
+          array_join(col("genotypes"), ",").as("genotypes"))
+    }),
+
     "g12_pileup_bases" -> ((s, _) => {
       // per-position base composition (samtools mpileup): CIGAR ops
       // carry running (ref, read) offset pairs from ONE per-row fold,
@@ -3268,6 +3293,16 @@ object Genomic {
       s"""SELECT chrom, pos, id, ref, alt, allele_af,
          |  array_to_string(genotypes, ',') AS genotypes
          |FROM ${pq("vcf_norm")}""".stripMargin,
+
+    // the sharded BGZF sink round trip restricted to the g50 region:
+    // the overlap filter applies to the SOURCE rows (vcf_norm), so a
+    // wrong byte window or a lost/duplicated shard row breaks the hash
+    "v11_vcf_write_sharded" ->
+      s"""SELECT chrom, pos, id, ref, alt, allele_af,
+         |  array_to_string(genotypes, ',') AS genotypes
+         |FROM ${pq("vcf_norm")}
+         |WHERE chrom = '1' AND pos <= 55
+         |  AND pos + length(ref) - 1 >= 45""".stripMargin,
 
     "g7_coverage" ->
       s"""WITH iv AS (

@@ -515,12 +515,21 @@ object Vcf {
           coalesce(col("_gb"), pad(col("_wb")))).as("genotypes"))
   }
 
-  def headerLines(samples: Seq[String]): Seq[String] = Seq(
-    "##fileformat=VCFv4.2",
-    "##INFO=<ID=AF,Number=A,Type=Float,Description=\"Allele Frequency\">",
-    "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
-    (Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
-      "FORMAT") ++ samples).mkString("\t"))
+  def headerLines(samples: Seq[String]): Seq[String] =
+    headerLines(samples, Seq.empty)
+
+  /** [[headerLines]] carrying `##contig` declarations in SORT-RANK
+    * order — the ranking [[readRegion]]'s bisection (and tabix) reads
+    * back, so a [[writeSharded]] layout is region-readable.
+    */
+  def headerLines(samples: Seq[String],
+                  contigs: Seq[String]): Seq[String] =
+    Seq("##fileformat=VCFv4.2") ++
+      contigs.map(c => s"##contig=<ID=$c>") ++ Seq(
+      "##INFO=<ID=AF,Number=A,Type=Float,Description=\"Allele Frequency\">",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+      (Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+        "FORMAT") ++ samples).mkString("\t"))
 
   /** VCF sink for normalized variant rows (the [[normalize]] schema:
     * chrom, pos, id, ref, alt, allele_af, genotypes). INFO is rebuilt as
@@ -535,7 +544,15 @@ object Vcf {
     * inside whole-stage codegen; caller controls partitioning, exactly
     * like [[Fasta.write]] / [[Bed.writeIntervals]].
     */
-  def writeVariants(df: DataFrame, path: String): Unit = {
+  def writeVariants(df: DataFrame, path: String): Unit =
+    bodyLines(df).write.mode("overwrite").text(path)
+
+  /** The body-line rendering shared by [[writeVariants]] (plain-text
+    * shards) and [[writeSharded]] (sorted BGZF shards): one `value`
+    * column of tab-joined VCF lines, pure column expressions inside
+    * whole-stage codegen.
+    */
+  private[sources] def bodyLines(df: DataFrame): DataFrame = {
     val hasQual = df.columns.contains("qual")
     val hasFilter = df.columns.contains("filter")
     val qual = if (hasQual) coalesce(col("qual"), lit(".")) else lit(".")
@@ -550,7 +567,52 @@ object Vcf {
       Seq(d(col("chrom")), d(col("pos").cast("string")), d(col("id")),
         d(col("ref")), d(col("alt")), qual, filt, info, lit("GT"),
         d(array_join(col("genotypes"), "\t"))): _*).as("value"))
-      .write.mode("overwrite").text(path)
+  }
+
+  /** Sorted sharded BGZF `.vcf.gz` sink — the layout [[readRegions]]
+    * region-prunes, closing the engine's own round trip: BAM/BCF
+    * already re-read their `writeSharded` output through the bisection
+    * (g57b/g57c), but [[writeVariants]] emits headerless PLAIN-TEXT
+    * shards — the exact full-scan-fallback class, so a graft→graft VCF
+    * pipeline lost all pruning on its second stage.
+    *
+    * One complete bgzipped VCF per input partition under `dir`
+    * (executor-side, [[Bgzf.writeShards]]'s atomic-rename commit, O(one
+    * BGZF block) task memory), each carrying the FULL header —
+    * `##contig` lines in `contigs` order plus the `#CHROM` sample line
+    * — and internally SORTED by (contig rank, pos): the writer applies
+    * `sortWithinPartitions` itself, so every shard satisfies the tabix
+    * sortedness contract [[Bgzf.regionWindow]] bisects against no
+    * matter how the caller partitioned. Callers choose the shard COUNT
+    * and row placement (`repartitionByRange(n, col("chrom"),
+    * col("pos"))` gives range-disjoint shards — the best layout for
+    * pruning — but any partitioning round-trips). Chroms missing from
+    * `contigs` sort LAST and carry no `##contig` line: region reads
+    * against them fall back to a per-file full scan (correct, just
+    * unpruned) — pass the complete contig list.
+    *
+    * Input: the [[normalize]] row shape ([[writeVariants]]'s contract).
+    * Reference anchor: the Snakefile's per-chromosome `.vcf.gz` inputs
+    * (/root/reference/Snakefile:139-150) — this makes graft output
+    * graft-input-shaped.
+    */
+  def writeSharded(variants: DataFrame, contigs: Seq[String],
+                   samples: Seq[String], dir: String,
+                   blockSize: Int = 0xff00): Unit = {
+    val rank = array_position(
+      array(contigs.map(lit): _*), col("chrom"))
+    val sorted = variants
+      .withColumn("_rank",
+        when(rank > 0, rank).otherwise(lit(Long.MaxValue)))
+      .sortWithinPartitions(col("_rank"), col("pos"))
+    val hdr = headerLines(samples, contigs)
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Bgzf.writeShards(bodyLines(sorted).rdd, dir, ".vcf.gz", hdr,
+      blockSize) { r =>
+      (r.getString(0) + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
   }
 
   /** Long genotype matrix: one row per (variant, sample) with the sample

@@ -455,6 +455,61 @@ class RegionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where(col("pos") === 11L).count() == 1L, "spanning read")
   }
 
+  test("VCF region read over the repo's own writeSharded directory: " +
+    "rows == full scan + filter, and the bisected windows prune to " +
+    "< dir/4 — the engine's own .vcf.gz output round-trips through " +
+    "region pushdown like BAM/BCF already do") {
+    val n = 40000
+    val contigs = Seq("chr1", "chr2", "chrX")
+    val df = spark.range(0, 3L * n).selectExpr(
+      s"element_at(array('chr1','chr2','chrX'), " +
+        s"cast(id / $n as int) + 1) as chrom",
+      s"id % $n * 10 + 10 as pos",
+      "concat('rs', id) as id",
+      "'A' as ref", "'G' as alt",
+      "cast(0.25 as double) as allele_af",
+      "array('0|1','1|1') as genotypes")
+    val d = s"$tmp/vcf-sharded-big"
+    Vcf.writeSharded(
+      df.repartitionByRange(3, col("chrom"), col("pos")),
+      contigs, Seq("S1", "S2"), d, blockSize = 256)
+    val shardBytes = Files.list(Paths.get(d)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filterNot(_.getFileName.toString.startsWith(".")) // FS crc twins
+      .map(Files.size)
+    assert(shardBytes.length == 3, s"3 complete shards: $shardBytes")
+    val total = shardBytes.sum
+    // row parity: region read over the bare directory == the full
+    // splittable scan + overlap filter (all REFs 1 bp)
+    val full = Vcf.readBgzf(spark, d, splitSize = 1L << 20)
+    def expect(c: String, a: Long, b: Long) =
+      rows(full.where(col("chrom") === c && col("pos") <= b &&
+        col("pos") + length(col("ref")) - 1 >= a))
+    for ((c, a, b) <- Seq(("chr2", 1010L, 1990L), ("chr1", 10L, 10L),
+      ("chrX", 399000L, 500000L), ("chr2", 999999L, 9999999L))) {
+      assert(rows(Vcf.readRegion(spark, d, c, a, b)) == expect(c, a, b),
+        s"written-shard region $c:$a-$b")
+    }
+    // pruning pin: the no-hit shards bottom out at the search floor and
+    // the hit shard reads its slice — far under a full directory scan
+    val plan = Vcf.regionPlan(spark, d,
+      Seq(("chr2", 1010L, 1990L)), maxSpan = 10000L)
+    assert(plan.fullScan.isEmpty,
+      s"every written shard must be bisectable: ${plan.fullScan}")
+    val windowBytes = plan.windows.map(w => w.toByte - w.fromByte).sum
+    assert(windowBytes < total / 4,
+      s"windows $windowBytes of $total must prune < dir/4")
+    // arbitrary (non-range) partitioning still round-trips: the writer
+    // sorts within partitions itself, so every shard is bisectable
+    val d2 = s"$tmp/vcf-sharded-rr"
+    Vcf.writeSharded(df.repartition(3), contigs, Seq("S1", "S2"), d2,
+      blockSize = 256)
+    assert(rows(Vcf.readRegion(spark, d2, "chr2", 1010L, 1990L)) ==
+      expect("chr2", 1010L, 1990L), "round-robin shards")
+    // header round-trip: sample names and contig ranks survive
+    assert(Vcf.sampleNamesAuto(spark, d) == Seq("S1", "S2"))
+  }
+
   test("fixture-shape region read (the g50 gate path) returns the " +
     "filtered rows") {
     graft.fixtures.GenomicFixtures.ensure(spark)
