@@ -215,11 +215,14 @@ object Bam {
       col("rname") === chrom && col("pos") <= end &&
         coalesce(col("ref_end"), col("pos")) >= start
     }.reduce(_ || _)
-    val guard = Bgzf.alignGuard(spark, "graft.bam.unaligned.ranges")
-    val recs = Bgzf.scanWindows(spark, plan.windows, splitSize)(
-      (in, r) => splitRangeRecords(in, r.path, r.start, r.end, r.len,
-        guard))
-    Sam.decorate(recs.toDS().toDF()).where(inAny)
+    // the merged windows read through the DSv2 relation with the plan
+    // attached, so column pruning pushes through the decorate
+    // projection into the record decode — see Vcf.readRegions
+    Sam.decorate(spark.read.format(classOf[BamBgzfSource].getName)
+      .option("splitSize", splitSize.toString)
+      .option("windowPlan", BgzfPush.registerWindows(plan.windows))
+      .load(path))
+      .where(inAny)
   }
 
   /** [[readRegions]] with the panel carried as an interval FRAME (the

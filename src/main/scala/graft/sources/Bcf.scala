@@ -293,13 +293,15 @@ object Bcf {
       col("chrom") === chrom && col("pos") <= end &&
         col("pos") + length(col("ref")) - 1 >= start
     }.reduce(_ || _)
-    val guard = Bgzf.alignGuard(spark, "graft.bcf.unaligned.ranges")
-    val recs = Bgzf.scanWindows(spark, plan.windows, splitSize)(
-      (in, r) => splitRangeRecords(in, r.path, r.start, r.end, r.len,
-        guard))
-    recs.toDS().toDF()
-      .withColumn("af",
-        coalesce(afFields.map(k => Vcf.infoField(col("info"), k)): _*))
+    // the merged windows read through the DSv2 relation with the plan
+    // attached, so column pruning reaches the record decode (a panel
+    // read aggregating pos never renders genotype strings) — see
+    // Vcf.readRegions
+    spark.read.format(classOf[BcfBgzfSource].getName)
+      .option("afFields", afFields.mkString(","))
+      .option("splitSize", splitSize.toString)
+      .option("windowPlan", BgzfPush.registerWindows(plan.windows))
+      .load(path)
       .where(inAny)
   }
 

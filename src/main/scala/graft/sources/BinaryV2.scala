@@ -161,6 +161,48 @@ private[sources] object BgzfPush {
       else Array.empty)
   }
 
+  /** Driver-side registry carrying a PRE-PLANNED window list into a
+    * DSv2 scan — the piece that lets `readRegion`/`readRegions`/
+    * `readPanel` route through the relations (and so through
+    * `SupportsPushDownRequiredColumns`: a panel read that only
+    * aggregates `pos` must not split 20 genotype columns per line —
+    * the r16 bench's 20× vsqx-vs-vpnx gap). The region APIs already
+    * run the bisection themselves (any region count, maxSpan overlap
+    * back-off, mixed-layout fallback — none of which the pushed-filter
+    * DNF route can express), so they register the finished plan here
+    * and hand the scan only the key via the `windowPlan` option:
+    * windows are metadata-scale but can number files×regions, too big
+    * for an option string, and `planInputPartitions` runs on the
+    * driver anyway. Access-ordered LRU bounded at 1024 live plans — a
+    * plan is re-touched on every re-plan of its DataFrame, so eviction
+    * hits abandoned frames first; touching an EVICTED plan (>1024
+    * region frames later) is a loud error, never a silent full scan.
+    */
+  private val MaxWindowPlans = 1024
+  private val windowPlans = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[Bgzf.FileWindow]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[Bgzf.FileWindow]]): Boolean =
+        size > MaxWindowPlans
+    })
+
+  def registerWindows(windows: Seq[Bgzf.FileWindow]): String = {
+    val id = java.util.UUID.randomUUID().toString
+    windowPlans.put(id, windows)
+    id
+  }
+
+  def windowPlan(id: String): Seq[Bgzf.FileWindow] = {
+    val ws = windowPlans.get(id)
+    require(ws != null,
+      s"window plan $id is gone — region-read plans are driver-session" +
+        s"-scoped (LRU, $MaxWindowPlans live); re-run the readRegion/" +
+        "readRegions/readPanel call instead of reusing its DataFrame " +
+        "across sessions")
+    ws
+  }
+
   /** Tile planned windows into byte-range partitions. */
   def tile(windows: Seq[Bgzf.FileWindow],
            splitSize: Long): Array[InputPartition] =
@@ -200,11 +242,21 @@ private[sources] object BgzfPush {
     tile(windows, splitSize)
   }
 
-  def describe(name: String, path: String, e: Extracted): String =
-    if (e.used.isEmpty) s"$name $path (full scan)"
-    else s"$name $path (PushedFilters: [${e.used.mkString(", ")}], " +
-      s"regions=${e.regions.map(_.map { case (c, l, h) =>
-        s"$c:[$l,$h]" }.mkString("|")).getOrElse("*")})"
+  def describe(name: String, path: String, e: Extracted,
+               windowPlanId: Option[String] = None): String =
+    windowPlanId match {
+      case Some(id) =>
+        s"$name $path (pre-planned windows: " +
+          s"${windowPlans.get(id) match {
+            case null => "expired"
+            case ws => s"${ws.count(w => w.toByte > w.fromByte)}"
+          }})"
+      case None if e.used.isEmpty => s"$name $path (full scan)"
+      case None =>
+        s"$name $path (PushedFilters: [${e.used.mkString(", ")}], " +
+          s"regions=${e.regions.map(_.map { case (c, l, h) =>
+            s"$c:[$l,$h]" }.mkString("|")).getOrElse("*")})"
+    }
 
   /** Deflate-ratio guess for [[stats]], configurable via
     * `spark.graft.statsInflation`: BGZF text payloads inflate ~3-6×,
@@ -262,7 +314,8 @@ class BcfBgzfSource extends TableProvider {
       Option(opts.get("affields")).map(_.split(",").toSeq)
         .getOrElse(Vcf.defaultAfFields),
       Option(opts.get("splitsize")).map(_.toLong)
-        .getOrElse(32L << 20))
+        .getOrElse(32L << 20),
+      Option(opts.get("windowplan")))
   }
   // supportsExternalMetadata stays false (the default): the row shape
   // is fixed by the container, so a user-supplied schema is a clear
@@ -270,7 +323,8 @@ class BcfBgzfSource extends TableProvider {
 }
 
 private[sources] class BcfBgzfTable(path: String, afFields: Seq[String],
-                                    splitSize: Long)
+                                    splitSize: Long,
+                                    windowPlanId: Option[String] = None)
   extends Table with SupportsRead {
   require(path != null, "graft.sources.BcfBgzfSource needs a path")
   override def name(): String = s"graft_bcf($path)"
@@ -289,24 +343,29 @@ private[sources] class BcfBgzfTable(path: String, afFields: Seq[String],
       override def pushedFilters(): Array[Filter] = e.used
       override def pruneColumns(s: StructType): Unit = required = s
       override def build(): Scan =
-        new BcfBgzfScan(path, afFields, splitSize, required, e)
+        new BcfBgzfScan(path, afFields, splitSize, required, e,
+          windowPlanId)
     }
 }
 
 private[sources] class BcfBgzfScan(path: String, afFields: Seq[String],
-    splitSize: Long, required: StructType, e: BgzfPush.Extracted)
+    splitSize: Long, required: StructType, e: BgzfPush.Extracted,
+    windowPlanId: Option[String] = None)
   extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    BgzfPush.describe("graft_bcf", path, e)
+    BgzfPush.describe("graft_bcf", path, e, windowPlanId)
 
   // one shared byte plan: estimateStatistics (optimizer-time) and
-  // planInputPartitions (physical planning) see the same windows
-  private lazy val parts: Array[InputPartition] = {
-    val spark = SparkSession.active
-    BgzfPush.plan(spark, path, splitSize, e,
-      rs => Bcf.regionPlan(spark, path, rs, maxSpan = 0L))
+  // planInputPartitions (physical planning) see the same windows; a
+  // registered windowPlan (the region-API route) tiles verbatim
+  private lazy val parts: Array[InputPartition] = windowPlanId match {
+    case Some(id) => BgzfPush.tile(BgzfPush.windowPlan(id), splitSize)
+    case None =>
+      val spark = SparkSession.active
+      BgzfPush.plan(spark, path, splitSize, e,
+        rs => Bcf.regionPlan(spark, path, rs, maxSpan = 0L))
   }
 
   override def planInputPartitions(): Array[InputPartition] = parts
@@ -387,7 +446,8 @@ class BamBgzfSource extends TableProvider {
     val opts = new CaseInsensitiveStringMap(properties)
     new BamBgzfTable(opts.get("path"),
       Option(opts.get("splitsize")).map(_.toLong)
-        .getOrElse(32L << 20))
+        .getOrElse(32L << 20),
+      Option(opts.get("windowplan")))
   }
   // supportsExternalMetadata stays false (the default) — see the BCF
   // twin above
@@ -412,7 +472,8 @@ private[sources] object BamBgzfSource {
     StructField("tags", StringType)))
 }
 
-private[sources] class BamBgzfTable(path: String, splitSize: Long)
+private[sources] class BamBgzfTable(path: String, splitSize: Long,
+                                    windowPlanId: Option[String] = None)
   extends Table with SupportsRead {
   require(path != null, "graft.sources.BamBgzfSource needs a path")
   override def name(): String = s"graft_bam($path)"
@@ -431,22 +492,25 @@ private[sources] class BamBgzfTable(path: String, splitSize: Long)
       override def pushedFilters(): Array[Filter] = e.used
       override def pruneColumns(s: StructType): Unit = required = s
       override def build(): Scan =
-        new BamBgzfScan(path, splitSize, required, e)
+        new BamBgzfScan(path, splitSize, required, e, windowPlanId)
     }
 }
 
 private[sources] class BamBgzfScan(path: String, splitSize: Long,
-    required: StructType, e: BgzfPush.Extracted)
+    required: StructType, e: BgzfPush.Extracted,
+    windowPlanId: Option[String] = None)
   extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    BgzfPush.describe("graft_bam", path, e)
+    BgzfPush.describe("graft_bam", path, e, windowPlanId)
 
-  private lazy val parts: Array[InputPartition] = {
-    val spark = SparkSession.active
-    BgzfPush.plan(spark, path, splitSize, e,
-      rs => Bam.regionPlan(spark, path, rs, maxSpan = 0L))
+  private lazy val parts: Array[InputPartition] = windowPlanId match {
+    case Some(id) => BgzfPush.tile(BgzfPush.windowPlan(id), splitSize)
+    case None =>
+      val spark = SparkSession.active
+      BgzfPush.plan(spark, path, splitSize, e,
+        rs => Bam.regionPlan(spark, path, rs, maxSpan = 0L))
   }
 
   override def planInputPartitions(): Array[InputPartition] = parts

@@ -181,20 +181,32 @@ object Vcf {
     }.reduce(_ || _)
     val plan = regionPlan(spark, path, regions, maxSpan,
       filesHint = sn.files)
-    val windowLines =
-      if (plan.windows.exists(w => w.toByte > w.fromByte))
-        Some(Bgzf.linesDf(spark, Bgzf.scanWindows(spark, plan.windows,
-          splitSize)((in, r) => Bgzf.rangeLinesOf(in, r))))
+    // the bisected windows — and any BGZF full-scan-fallback files,
+    // tiled whole — read through the DSv2 relation with the finished
+    // plan attached (BgzfPush.registerWindows), so Catalyst's COLUMN
+    // PRUNING reaches the per-line parse: a panel read that only
+    // aggregates pos must not split 20 genotype columns per line (the
+    // r16 bench's 20× vsqx-vs-vpnx gap was exactly this). Only
+    // non-BGZF fallback files (plain text / plain gzip in a mixed
+    // directory) still parse through the column pipeline.
+    val bgzfWindows = plan.windows.filter(w => w.toByte > w.fromByte) ++
+      plan.fullScan.filter(_.isBgzf).map(f =>
+        Bgzf.FileWindow(f.path, f.len, 0L, f.len, 0))
+    val windowFrame =
+      if (bgzfWindows.nonEmpty)
+        Some(spark.read.format(classOf[VcfBgzfSource].getName)
+          .option("afFields", afFields.mkString(","))
+          .option("splitSize", splitSize.toString)
+          .option("windowPlan", BgzfPush.registerWindows(bgzfWindows))
+          .load(path))
       else None
-    val fullLines = plan.fullScan.map { f =>
-      if (f.isBgzf) Bgzf.readLines(spark, f.path, splitSize)
-      else spark.read.text(f.path)
-    }
-    val lines = (windowLines.toSeq ++ fullLines)
+    val textFrames = plan.fullScan.filterNot(_.isBgzf).map(f =>
+      parseLines(spark.read.text(f.path), "value", afFields))
+    (windowFrame.toSeq ++ textFrames)
       .reduceOption(_.unionAll(_))
-      .getOrElse(Bgzf.linesDf(spark,
-        spark.sparkContext.emptyRDD[String]))
-    parseLines(lines, "value", afFields).where(inAny)
+      .getOrElse(parseLines(Bgzf.linesDf(spark,
+        spark.sparkContext.emptyRDD[String]), "value", afFields))
+      .where(inAny)
   }
 
   /** [[readRegions]] with the panel carried as an interval FRAME — the

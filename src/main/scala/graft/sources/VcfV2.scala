@@ -61,7 +61,8 @@ class VcfBgzfSource extends TableProvider {
       Option(opts.get("affields")).map(_.split(",").toSeq)
         .getOrElse(Vcf.defaultAfFields),
       Option(opts.get("splitsize")).map(_.toLong)
-        .getOrElse(32L << 20))
+        .getOrElse(32L << 20),
+      Option(opts.get("windowplan")))
   }
 
   // supportsExternalMetadata stays false (the default): the row shape
@@ -120,7 +121,8 @@ private[sources] object VcfBgzfSource {
 }
 
 private[sources] class VcfBgzfTable(path: String, afFields: Seq[String],
-                                    splitSize: Long)
+                                    splitSize: Long,
+                                    windowPlanId: Option[String] = None)
   extends Table with SupportsRead {
   require(path != null, "graft.sources.VcfBgzfSource needs a path")
 
@@ -131,12 +133,13 @@ private[sources] class VcfBgzfTable(path: String, afFields: Seq[String],
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new VcfBgzfScanBuilder(path, afFields, splitSize)
+    new VcfBgzfScanBuilder(path, afFields, splitSize, windowPlanId)
 }
 
 private[sources] class VcfBgzfScanBuilder(path: String,
                                           afFields: Seq[String],
-                                          splitSize: Long)
+                                          splitSize: Long,
+                                          windowPlanId: Option[String])
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
@@ -162,7 +165,7 @@ private[sources] class VcfBgzfScanBuilder(path: String,
     required = requiredSchema
 
   override def build(): Scan =
-    new VcfBgzfScan(path, afFields, splitSize, required, e)
+    new VcfBgzfScan(path, afFields, splitSize, required, e, windowPlanId)
 }
 
 /** One byte range of one file — the DSv2 partition (package-visible so
@@ -173,24 +176,34 @@ private[graft] case class BgzfScanPartition(path: String, start: Long,
   extends InputPartition
 
 private[sources] class VcfBgzfScan(path: String, afFields: Seq[String],
-    splitSize: Long, required: StructType, e: BgzfPush.Extracted)
+    splitSize: Long, required: StructType, e: BgzfPush.Extracted,
+    windowPlanId: Option[String] = None)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def description(): String =
-    BgzfPush.describe("graft_vcf_bgzf", path, e)
+    BgzfPush.describe("graft_vcf_bgzf", path, e, windowPlanId)
 
-  /** Driver-side byte plan: with usable chrom disjuncts, the exact
-    * [[Vcf.regionPlan]] bisection (maxSpan 0 — the predicate is on pos
-    * itself, so no REF-span back-off is needed to keep every MATCHING
-    * row inside the window); otherwise, or for files the plan can't
-    * rank, full-file tiling. Non-BGZF bytes are a loud error — this
-    * source exists for the member-chain layout. One shared lazy plan:
-    * estimateStatistics and planInputPartitions see the same windows.
+  /** Driver-side byte plan: a registered `windowPlan` (the region-API
+    * route — [[Vcf.readRegions]] already bisected, with its overlap
+    * maxSpan) tiles verbatim; else with usable chrom disjuncts, the
+    * exact [[Vcf.regionPlan]] bisection (maxSpan 0 — the predicate is
+    * on pos itself, so no REF-span back-off is needed to keep every
+    * MATCHING row inside the window); otherwise, or for files the plan
+    * can't rank, full-file tiling. Non-BGZF bytes are a loud error —
+    * this source exists for the member-chain layout. One shared lazy
+    * plan: estimateStatistics and planInputPartitions see the same
+    * windows.
     */
-  private lazy val parts: Array[InputPartition] = {
+  private lazy val parts: Array[InputPartition] = windowPlanId match {
+    case Some(id) =>
+      BgzfPush.tile(BgzfPush.windowPlan(id), splitSize)
+    case None => planParts
+  }
+
+  private def planParts: Array[InputPartition] = {
     val spark = SparkSession.active
     val windows = e.regions match {
       case Some(rs) if rs.isEmpty =>

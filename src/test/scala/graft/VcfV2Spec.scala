@@ -391,6 +391,56 @@ class VcfV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"unsorted file must full-scan, scanned $bytes")
   }
 
+  test("readRegion routes through the DSv2 relation: a narrow agg " +
+    "prunes the per-line parse to filter+agg columns (ReadSchema) AND " +
+    "the scan carries the pre-planned bisected windows — the r16 " +
+    "vsqx-vs-vpnx 20× gap closed at the API path") {
+    val p = writeGz("route.vcf.gz", vcfText(30000), blockSize = 256)
+    val fileLen = Files.size(Paths.get(p))
+    val rr = Vcf.readRegion(spark, p, "chr2", 1010L, 1990L,
+      splitSize = 1L << 20)
+    val agg = rr.agg(count(lit(1)).as("n"), sum(col("pos")).as("s"))
+    // the agg introduces an exchange, so AQE wraps the plan — collect
+    // scans through the adaptive wrapper's current physical plan
+    def scanSchemas(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+      val top = df.queryExecution.executedPlan
+      val plans = top +: top.collect {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+      }
+      plans.flatMap(_.collect {
+        case b: BatchScanExec => b.scan.readSchema().fieldNames.toSeq
+      })
+    }
+    val schemas = scanSchemas(agg)
+    assert(schemas.nonEmpty,
+      "readRegion must plan a BatchScanExec (the DSv2 route)")
+    // the overlap re-filter needs chrom/pos/ref; the agg adds nothing
+    // — genotypes/info/af must NOT materialize
+    assert(schemas.head.toSet == Set("chrom", "pos", "ref"),
+      s"narrow agg must prune the parse: $schemas")
+    val (bytes, _) = scannedBytes(rr.select(col("pos")))
+    assert(bytes > 0 && bytes < fileLen / 4,
+      s"pre-planned windows must prune: scanned $bytes of $fileLen")
+    // row parity: the routed frame == the splittable parse under the
+    // identical overlap predicate, full width
+    def key(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(concat_ws("§", VcfBgzfSourceColumns.all: _*))
+        .collect().map(_.getString(0)).toSeq.sorted
+    val want = key(Vcf.readBgzf(spark, p, splitSize = 1L << 20)
+      .where(col("chrom") === "chr2" && col("pos") <= 1990L &&
+        col("pos") + length(col("ref")) - 1 >= 1010L))
+    assert(key(rr) == want, "routed readRegion rows diverged")
+    // the multi-region panel path shares the route: one scan, merged
+    // windows, same pruning
+    val panel = Vcf.readRegions(spark, p,
+      Seq(("chr1", 10L, 400L), ("chr2", 1010L, 1990L)),
+      splitSize = 1L << 20)
+    val pSchemas = scanSchemas(panel.agg(sum(col("pos")).as("s")))
+    assert(pSchemas.nonEmpty && pSchemas.head.toSet ==
+      Set("chrom", "pos", "ref"), s"panel parse must prune: $pSchemas")
+  }
+
   test("monotonicProbe: inversions throw in both probe orders, " +
     "ordered probes pass through") {
     val keys = Map(0L -> 10L, 100L -> 20L, 200L -> 5L)
