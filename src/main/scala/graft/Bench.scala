@@ -335,6 +335,30 @@ object Bench {
     }
   }
 
+  /** Stored (parquet-backed) chrom panel whose `tag = 'keep'` filter
+    * leaves one chromosome — the build side of the vjpx runtime-join-
+    * pruning pair. Stored because Spark's dynamic-pruning rule wants a
+    * selective FILTER over a real relation on the build side (an
+    * in-memory literal panel constant-folds to a LocalRelation, which
+    * the rule treats as non-selective).
+    */
+  private var joinPanelPath: String = null
+  private def ensureJoinPanel(
+      spark: org.apache.spark.sql.SparkSession)
+    : org.apache.spark.sql.DataFrame = synchronized {
+    if (joinPanelPath == null) {
+      val p = s"${sys.props("java.io.tmpdir")}/graft-join-panel-" +
+        s"${ProcessHandle.current.pid}.parquet"
+      spark.createDataFrame(
+        Seq(("c11", "keep"), ("c4", "drop"), ("c17", "drop")))
+        .toDF("chrom", "tag").write.mode("overwrite").parquet(p)
+      joinPanelPath = p
+    }
+    spark.read.parquet(joinPanelPath)
+      .where(org.apache.spark.sql.functions.col("tag") === "keep")
+      .select("chrom")
+  }
+
   /** [[ensureSortedVcfGz]]'s records as a 22-shard per-chromosome
     * DIRECTORY, each shard a self-describing sorted `.vcf.gz` (full
     * header, one chrom's records) — the cohort fleet layout the vrdx
@@ -948,6 +972,36 @@ object Bench {
         graft.sources.Vcf.readTable(spark, path, splitSize = 1L << 20)
           .where(pred)
           .agg(count(lit(1)), sum(col("pos"))).head.getLong(0)
+      }),
+      // Runtime JOIN pruning (SupportsRuntimeV2Filtering): the DSv2
+      // relation joined against a broadcast STORED panel whose filter
+      // keeps one chromosome — Spark's dynamic-pruning rule hands the
+      // scan the build side's chrom key set at execution time and the
+      // scan re-plans to that chromosome's bisected windows. The twin
+      // runs the IDENTICAL join with dynamic pruning disabled (same
+      // relation, same column pruning), so the pair ratio isolates
+      // the join-shaped byte-pruning win — the panel-join-vs-cohort
+      // query the r16 verdict named as the most common interactive
+      // shape after region reads.
+      "vjpx_join_prune_scale" -> (() => {
+        val path = ensureSortedVcfGz((nDocs * 60).toInt)
+        graft.sources.Vcf.readTable(spark, path, splitSize = 1L << 20)
+          .join(broadcast(ensureJoinPanel(spark)), Seq("chrom"))
+          .agg(count(lit(1)), sum(col("pos"))).head.getLong(0)
+      }),
+      "vjpx1_join_noprune_scale" -> (() => {
+        val path = ensureSortedVcfGz((nDocs * 60).toInt)
+        val k = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+        val old = spark.conf.getOption(k)
+        spark.conf.set(k, "false")
+        try graft.sources.Vcf.readTable(spark, path,
+          splitSize = 1L << 20)
+          .join(broadcast(ensureJoinPanel(spark)), Seq("chrom"))
+          .agg(count(lit(1)), sum(col("pos"))).head.getLong(0)
+        finally old match {
+          case Some(v) => spark.conf.set(k, v)
+          case None => spark.conf.unset(k)
+        }
       }),
       // Distributed region planning at fleet scale: a 40-region panel
       // over a 128-shard directory is 5120 file×region searches — past

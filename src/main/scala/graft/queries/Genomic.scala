@@ -294,6 +294,30 @@ object Genomic {
       }
     }),
 
+    "g63_join_prune" -> ((s, _) => {
+      // runtime JOIN pruning (SupportsRuntimeV2Filtering): the DSv2
+      // relation broadcast-joined against a STORED filtered panel on
+      // chrom — Spark's dynamic-pruning rule hands the scan the build
+      // side's distinct key set at execution time and the scan
+      // re-plans to that chromosome's bisected windows, the join-
+      // shaped twin of WHERE chrom IN (…). The panel is parquet-backed
+      // because the rule wants a selective filter over a real relation
+      // (a literal panel constant-folds to a non-selective
+      // LocalRelation). VcfV2Spec pins the injected runtime filter +
+      // pruned bytes; this pins end-to-end row parity vs the
+      // independent TEXT-parse oracle's chrom filter.
+      prep(s)
+      val pp = s"${sys.props("java.io.tmpdir")}/graft-g63-panel-" +
+        s"${ProcessHandle.current.pid}.parquet"
+      s.createDataFrame(Seq(("1", "keep"), ("X", "drop")))
+        .toDF("chrom", "tag").write.mode("overwrite").parquet(pp)
+      val panel = s.read.parquet(pp).where(col("tag") === "keep")
+        .select("chrom")
+      Vcf.readTable(s, GenomicFixtures.regionVcfGzPath)
+        .join(broadcast(panel), Seq("chrom"))
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
+    }),
+
     "v2_vcf_norm" -> ((s, _) => {
       prep(s)
       Vcf.normalize(Vcf.read(s, GenomicFixtures.vcfPath), minAf = 0.05)
@@ -3424,6 +3448,12 @@ object Genomic {
          |SELECT * FROM t
          |WHERE chrom = '1' AND pos <= 55
          |  AND pos + length(ref) - 1 >= 45""".stripMargin,
+
+    // the broadcast panel join keeps exactly the panel's chromosome:
+    // runtime pruning may only skip bytes, never change the join's rows
+    "g63_join_prune" ->
+      s"""WITH t AS ($v1Sql)
+         |SELECT * FROM t WHERE chrom = '1'""".stripMargin,
 
     // v10: identical contract to v9 — the splittable reader must
     // produce byte-identical rows to the text parse, from many forced

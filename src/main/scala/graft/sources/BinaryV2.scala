@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.sources.{And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -203,6 +204,57 @@ private[sources] object BgzfPush {
     ws
   }
 
+  /** Extract the chrom value set from RUNTIME filter predicates (the
+    * `SupportsRuntimeV2Filtering.filter` input): a broadcast join
+    * `containerRelation ⋈ small panel ON chrom` hands the scan the
+    * build side's DISTINCT key set as an IN predicate
+    * (`DataSourceV2Strategy.translateRuntimeFilterV2` emits
+    * `Predicate("IN", FieldReference(col) +: LiteralValues)`), so the
+    * scan can re-plan to just those chromosomes' byte windows — the
+    * join-shaped twin of a literal `WHERE chrom IN (…)`. Unrecognized
+    * predicate shapes are IGNORED (no restriction — runtime filters
+    * only ever narrow, so ignoring one is just a full scan, never a
+    * wrong row). Null values never equality-join, so they drop from
+    * the set. Multiple predicates on the column intersect.
+    */
+  def runtimeChromSet(predicates: Array[Predicate],
+                      chromCol: String): Option[Set[String]] = {
+    var out: Option[Set[String]] = None
+    predicates.foreach { p =>
+      val ch = p.children()
+      if (p.name() == "IN" && ch.nonEmpty) {
+        val colOk = ch(0) match {
+          case r: NamedReference => r.fieldNames.toSeq == Seq(chromCol)
+          case _ => false
+        }
+        if (colOk && ch.tail.forall(_.isInstanceOf[Literal[_]])) {
+          val vs = ch.tail.collect {
+            case l: Literal[_] if l.value != null => l.value.toString
+          }.toSet
+          out = Some(out.fold(vs)(_ & vs))
+        }
+      }
+    }
+    out
+  }
+
+  /** Fold a runtime chrom set into the pushed-filter extraction: with
+    * literal regions, keep only the disjuncts whose chrom survives;
+    * with none, the set alone becomes whole-chromosome regions (pos
+    * unbounded — the planner's int32 clamp bounds the key). The
+    * result re-plans to the runtime keys' windows only.
+    */
+  def applyRuntime(e: Extracted,
+                   chroms: Option[Set[String]]): Extracted =
+    chroms match {
+      case None => e
+      case Some(set) => e.regions match {
+        case Some(rs) => e.copy(regions = Some(rs.filter(r => set(r._1))))
+        case None => e.copy(regions =
+          Some(set.toSeq.sorted.map(c => (c, 0L, Long.MaxValue))))
+      }
+    }
+
   /** Tile planned windows into byte-range partitions. */
   def tile(windows: Seq[Bgzf.FileWindow],
            splitSize: Long): Array[InputPartition] =
@@ -351,21 +403,46 @@ private[sources] class BcfBgzfTable(path: String, afFields: Seq[String],
 private[sources] class BcfBgzfScan(path: String, afFields: Seq[String],
     splitSize: Long, required: StructType, e: BgzfPush.Extracted,
     windowPlanId: Option[String] = None)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     BgzfPush.describe("graft_bcf", path, e, windowPlanId)
 
+  // runtime join pruning: a broadcast join against a small panel on
+  // chrom hands the build side's key set here, and the scan re-plans
+  // to those chromosomes' windows (the windowPlan route already
+  // bisected — its windows are opaque bytes, so it opts out)
+  override def filterAttributes(): Array[NamedReference] =
+    if (windowPlanId.isDefined) Array.empty
+    else Array(Expressions.column("chrom"))
+  override def filter(predicates: Array[Predicate]): Unit =
+    BgzfPush.runtimeChromSet(predicates, "chrom")
+      .foreach(s => runtimeChroms = Some(s))
+
+  @volatile private var runtimeChroms: Option[Set[String]] = None
+  private var cachedChroms: Option[Set[String]] = None
+  private var cachedParts: Array[InputPartition] = null
+
   // one shared byte plan: estimateStatistics (optimizer-time) and
-  // planInputPartitions (physical planning) see the same windows; a
+  // planInputPartitions (physical planning) see the same windows — the
+  // cache re-keys when a runtime filter lands between the two; a
   // registered windowPlan (the region-API route) tiles verbatim
-  private lazy val parts: Array[InputPartition] = windowPlanId match {
-    case Some(id) => BgzfPush.tile(BgzfPush.windowPlan(id), splitSize)
-    case None =>
-      val spark = SparkSession.active
-      BgzfPush.plan(spark, path, splitSize, e,
-        rs => Bcf.regionPlan(spark, path, rs, maxSpan = 0L))
+  private def parts: Array[InputPartition] = synchronized {
+    if (cachedParts == null || cachedChroms != runtimeChroms) {
+      cachedChroms = runtimeChroms
+      cachedParts = windowPlanId match {
+        case Some(id) =>
+          BgzfPush.tile(BgzfPush.windowPlan(id), splitSize)
+        case None =>
+          val spark = SparkSession.active
+          BgzfPush.plan(spark, path, splitSize,
+            BgzfPush.applyRuntime(e, runtimeChroms),
+            rs => Bcf.regionPlan(spark, path, rs, maxSpan = 0L))
+      }
+    }
+    cachedParts
   }
 
   override def planInputPartitions(): Array[InputPartition] = parts
@@ -499,18 +576,39 @@ private[sources] class BamBgzfTable(path: String, splitSize: Long,
 private[sources] class BamBgzfScan(path: String, splitSize: Long,
     required: StructType, e: BgzfPush.Extracted,
     windowPlanId: Option[String] = None)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     BgzfPush.describe("graft_bam", path, e, windowPlanId)
 
-  private lazy val parts: Array[InputPartition] = windowPlanId match {
-    case Some(id) => BgzfPush.tile(BgzfPush.windowPlan(id), splitSize)
-    case None =>
-      val spark = SparkSession.active
-      BgzfPush.plan(spark, path, splitSize, e,
-        rs => Bam.regionPlan(spark, path, rs, maxSpan = 0L))
+  // runtime join pruning on the reference-name key — see the BCF twin
+  override def filterAttributes(): Array[NamedReference] =
+    if (windowPlanId.isDefined) Array.empty
+    else Array(Expressions.column("rname"))
+  override def filter(predicates: Array[Predicate]): Unit =
+    BgzfPush.runtimeChromSet(predicates, "rname")
+      .foreach(s => runtimeChroms = Some(s))
+
+  @volatile private var runtimeChroms: Option[Set[String]] = None
+  private var cachedChroms: Option[Set[String]] = None
+  private var cachedParts: Array[InputPartition] = null
+
+  private def parts: Array[InputPartition] = synchronized {
+    if (cachedParts == null || cachedChroms != runtimeChroms) {
+      cachedChroms = runtimeChroms
+      cachedParts = windowPlanId match {
+        case Some(id) =>
+          BgzfPush.tile(BgzfPush.windowPlan(id), splitSize)
+        case None =>
+          val spark = SparkSession.active
+          BgzfPush.plan(spark, path, splitSize,
+            BgzfPush.applyRuntime(e, runtimeChroms),
+            rs => Bam.regionPlan(spark, path, rs, maxSpan = 0L))
+      }
+    }
+    cachedParts
   }
 
   override def planInputPartitions(): Array[InputPartition] = parts

@@ -6,8 +6,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -178,13 +179,31 @@ private[graft] case class BgzfScanPartition(path: String, start: Long,
 private[sources] class VcfBgzfScan(path: String, afFields: Seq[String],
     splitSize: Long, required: StructType, e: BgzfPush.Extracted,
     windowPlanId: Option[String] = None)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def description(): String =
     BgzfPush.describe("graft_vcf_bgzf", path, e, windowPlanId)
+
+  /** Runtime join pruning ([[BgzfPush.runtimeChromSet]]): a broadcast
+    * join `readTable ⋈ small panel ON chrom` re-plans the scan to the
+    * build side's chromosomes — the join-shaped twin of a literal
+    * `WHERE chrom IN (…)`. The windowPlan route opts out (its windows
+    * are already bisected, opaque bytes).
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    if (windowPlanId.isDefined) Array.empty
+    else Array(Expressions.column("chrom"))
+  override def filter(predicates: Array[Predicate]): Unit =
+    BgzfPush.runtimeChromSet(predicates, "chrom")
+      .foreach(s => runtimeChroms = Some(s))
+
+  @volatile private var runtimeChroms: Option[Set[String]] = None
+  private var cachedChroms: Option[Set[String]] = None
+  private var cachedParts: Array[InputPartition] = null
 
   /** Driver-side byte plan: a registered `windowPlan` (the region-API
     * route — [[Vcf.readRegions]] already bisected, with its overlap
@@ -197,13 +216,20 @@ private[sources] class VcfBgzfScan(path: String, afFields: Seq[String],
     * plan: estimateStatistics and planInputPartitions see the same
     * windows.
     */
-  private lazy val parts: Array[InputPartition] = windowPlanId match {
-    case Some(id) =>
-      BgzfPush.tile(BgzfPush.windowPlan(id), splitSize)
-    case None => planParts
+  private def parts: Array[InputPartition] = synchronized {
+    if (cachedParts == null || cachedChroms != runtimeChroms) {
+      cachedChroms = runtimeChroms
+      cachedParts = windowPlanId match {
+        case Some(id) =>
+          BgzfPush.tile(BgzfPush.windowPlan(id), splitSize)
+        case None =>
+          planParts(BgzfPush.applyRuntime(e, runtimeChroms))
+      }
+    }
+    cachedParts
   }
 
-  private def planParts: Array[InputPartition] = {
+  private def planParts(e: BgzfPush.Extracted): Array[InputPartition] = {
     val spark = SparkSession.active
     val windows = e.regions match {
       case Some(rs) if rs.isEmpty =>

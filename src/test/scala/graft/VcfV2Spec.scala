@@ -441,6 +441,64 @@ class VcfV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       Set("chrom", "pos", "ref"), s"panel parse must prune: $pSchemas")
   }
 
+  test("runtime join pruning (SupportsRuntimeV2Filtering): a broadcast " +
+    "join against a small filtered panel on chrom re-plans the scan to " +
+    "the panel's chromosome windows — bytes < file/2, rows == the " +
+    "splittable-parse join") {
+    val p = writeGz("rtjoin.vcf.gz", vcfText(30000), blockSize = 256)
+    val fileLen = Files.size(Paths.get(p))
+    val table = Vcf.readTable(spark, p, splitSize = 1L << 20)
+    // the selective build side: a FILTER on a STORED panel is what
+    // makes Spark's dynamic-pruning rule inject the runtime subquery
+    // (an in-memory literal panel constant-folds to a LocalRelation,
+    // which the rule treats as non-selective)
+    // panel chroms must be header-declared: an undeclared chrom in the
+    // runtime set makes that file fall back to the (documented)
+    // whole-file full scan, same as the literal WHERE chrom IN route
+    spark.createDataFrame(
+      Seq(("chr2", "keep"), ("chr1", "drop"), ("chrX", "drop")))
+      .toDF("chrom", "tag").write.mode("overwrite")
+      .parquet(s"$tmp/rt-panel.parquet")
+    val panel = spark.read.parquet(s"$tmp/rt-panel.parquet")
+      .where(col("tag") === "keep").select("chrom")
+    val joined = table.join(broadcast(panel), Seq("chrom"))
+      .select(col("chrom"), col("pos"), col("id"))
+    val got = joined.collect().map(_.mkString("§")).sorted.toSeq
+    val want = Vcf.readBgzf(spark, p, splitSize = 1L << 20)
+      .join(broadcast(panel), Seq("chrom"))
+      .select(col("chrom"), col("pos"), col("id"))
+      .collect().map(_.mkString("§")).sorted.toSeq
+    assert(got == want, "runtime-pruned join rows diverged")
+    assert(got.size == 30000, s"all chr2 rows: ${got.size}")
+    // post-execution: the scan's EXECUTED partitions (runtime-filtered)
+    // must cover only chr2's span — chr1/chrX bytes pruned
+    // AQE wraps executed stages in QueryStageExec LEAVES — descend
+    // into both the adaptive wrapper and the materialized stages
+    def allScans(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[BatchScanExec] = {
+      val subs = plan.collect {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+        case q: org.apache.spark.sql.execution.adaptive
+          .QueryStageExec => q.plan
+      }
+      plan.collect { case b: BatchScanExec => b } ++
+        subs.flatMap(allScans)
+    }
+    val scans = allScans(joined.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no BatchScanExec in the executed join plan")
+    assert(scans.exists(_.runtimeFilters.nonEmpty),
+      "Spark must inject the runtime filter into the scan")
+    val bytes: Long = scans.flatMap(_.inputRDD.partitions.toSeq.flatMap {
+      case d: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceRDDPartition => d.inputPartitions.collect {
+          case w: BgzfScanPartition => w.end - w.start }
+      case _ => Seq.empty[Long]
+    }).sum
+    assert(bytes > 0 && bytes < fileLen / 2,
+      s"runtime filter must prune the scan: $bytes of $fileLen")
+  }
+
   test("monotonicProbe: inversions throw in both probe orders, " +
     "ordered probes pass through") {
     val keys = Map(0L -> 10L, 100L -> 20L, 200L -> 5L)
