@@ -577,6 +577,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-entry stage/shuffle accounting (r16 verdict item 6): the
+    // 1.1-1.5x barrier-band oscillation on PINNED plans has been
+    // hand-adjudicated three rounds running — recording each run's
+    // completed-stage count and shuffle-write bytes makes "same plan,
+    // noisy box" a mechanical check (bytes moved = plan changed; bytes
+    // flat + wall moved = host noise). Counters accumulate on the
+    // async listener bus; timed() drains the bus before snapshotting
+    // so one run's stages never smear into the next.
+    val stageCount = new java.util.concurrent.atomic.AtomicLong()
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = {
+          stageCount.incrementAndGet()
+          val m = sc.stageInfo.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
     // Untimed prep: fixture-table materialization and the shared protein-DB
     // build are one-time test scaffolding, not operator cost — without this
     // they land on whichever genomic query happens to run first and swamp
@@ -652,15 +673,18 @@ object Bench {
       ((procStatBusySec() - b0) - (selfCpuSec() - c0)) /
         (windowMs / 1000.0)
     }
-    // Returns (per-run (seconds, externalCores, iowaitCores),
-    // anyRunFailed). A failed run records NO number — time-to-exception
-    // is not a measurement, and r8's four analysis-failing queries
-    // "benching" at 0.06s proved how a fake speedup reads as a real one.
-    // Failed queries are excluded from "queries"/total and listed under
-    // "failed_queries".
-    def timed(body: () => Unit): (Seq[(Double, Double, Double)], Boolean) = {
+    // Returns (per-run (seconds, externalCores, iowaitCores, stages,
+    // shuffleWriteBytes), anyRunFailed). A failed run records NO number
+    // — time-to-exception is not a measurement, and r8's four
+    // analysis-failing queries "benching" at 0.06s proved how a fake
+    // speedup reads as a real one. Failed queries are excluded from
+    // "queries"/total and listed under "failed_queries".
+    def timed(body: () => Unit)
+      : (Seq[(Double, Double, Double, Long, Long)], Boolean) = {
       var failed = false
       val times = (1 to runs).flatMap { _ =>
+        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+        val s0 = stageCount.get(); val sh0 = shuffleBytes.get()
         val (b0, w0) = procStat(); val c0 = selfCpuSec()
         val t0 = System.nanoTime()
         val ok =
@@ -672,6 +696,9 @@ object Bench {
           }
         val dt = (System.nanoTime() - t0) / 1e9
         val (b1, w1) = procStat()
+        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+        val stg = stageCount.get() - s0
+        val shf = shuffleBytes.get() - sh0
         val ext =
           if (b0 < 0 || c0 < 0) -1.0
           else math.max(0.0,
@@ -681,7 +708,7 @@ object Bench {
           else math.max(0.0, (w1 - w0) / math.max(dt, 1e-9))
         graft.operators.Dedup.releaseCaches() // untimed storage reclaim
         graft.queries.GenomicPipeline.releaseCaches()
-        if (ok) Some((dt, ext, iow)) else None
+        if (ok) Some((dt, ext, iow, stg, shf)) else None
       }
       (times, failed)
     }
@@ -1277,7 +1304,7 @@ object Bench {
     // re-run on a quiet box, every one returned to committed levels);
     // doing it in-band means the closing artifact either carries clean
     // mins or flags the specific queries it could not clean.
-    def isClean(run: (Double, Double, Double)) =
+    def isClean(run: (Double, Double, Double, Long, Long)) =
       (run._2 < 0 || run._2 <= hotExtCores) &&
         (run._3 < 0 || run._3 <= hotIowaitCores)
     val bodyMap = (gateBodies ++ synthBodies).toMap
@@ -1308,7 +1335,7 @@ object Bench {
     // gets the same wait-for-idle + re-measure treatment; one whose min
     // STAYS inflated lands in suspect_queries (and hot_queries, so
     // load_contaminated flips) — in-band, whatever the mechanism.
-    def minOf(v: Seq[(Double, Double, Double)]): Double = {
+    def minOf(v: Seq[(Double, Double, Double, Long, Long)]): Double = {
       val clean = v.filter(isClean)
       (if (clean.nonEmpty) clean else v).map(_._1).min
     }
@@ -1386,6 +1413,16 @@ object Bench {
     val qiow = good.map { case (k, v) =>
       s"\"" + k + "\":[" + v.map(e => r4(e._3)).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // completed-stage count and shuffle-write bytes per run, aligned
+    // with query_runs: the mechanical "same plan?" signal (r16 verdict
+    // item 6) — bytes/stages moved round-over-round = plan changed;
+    // flat counters + a moved wall = host noise, exclude don't chase
+    val qstg = good.map { case (k, v) =>
+      s"\"" + k + "\":[" + v.map(_._4).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val qshf = good.map { case (k, v) =>
+      s"\"" + k + "\":[" + v.map(_._5).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val fq = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val hq = hotQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sq = suspectQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -1399,7 +1436,7 @@ object Bench {
     // own local[32] burst, not contention.
     val contaminated = loadBefore > 4.0 || hotQueries.nonEmpty
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","prep_sec":${r4(prep)},"runs_per_query":$runs,"load_before":$loadBefore,"load_after":$loadAfter,"load_contaminated":$contaminated,"hot_queries":$hq,"suspect_queries":$sq,"failed_queries":$fq,"queries":$qs,"query_runs":$qr,"query_ext_cores":$qext,"query_iowait":$qiow,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","prep_sec":${r4(prep)},"runs_per_query":$runs,"load_before":$loadBefore,"load_after":$loadAfter,"load_contaminated":$contaminated,"hot_queries":$hq,"suspect_queries":$sq,"failed_queries":$fq,"queries":$qs,"query_runs":$qr,"query_ext_cores":$qext,"query_iowait":$qiow,"query_stages":$qstg,"query_shuffle_bytes":$qshf,"sf":"$sfDir"}"""
     // stdout can interleave with sbt/spark logging; also drop the JSON in a
     // file so the driver can machine-read it reliably
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
