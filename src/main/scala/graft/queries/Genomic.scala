@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.fixtures.GenomicFixtures
 import graft.functions.dna
 import graft.operators.{CoordMap, IntervalJoin}
-import graft.sources.{Fasta, Gtf, Vcf}
+import graft.sources.{Fasta, Gtf, Tabix, Vcf}
 
 /** Genomic source/function queries over the deterministic fixtures
   * (fixtures/ raw text; target/fixtures parsed parquet — see
@@ -292,6 +292,32 @@ object Genomic {
         case Some(v) => s.conf.set(k, v)
         case None => s.conf.unset(k)
       }
+    }),
+
+    "g64_tabix_read" -> ((s, _) => {
+      // tabix sidecar consumption: the g50 region read served by a
+      // `.tbi` index instead of the bisection — Tabix.indexVcfGz (the
+      // repo's own `tabix -p vcf`, spec-built) indexes a COPY of the
+      // fixture (indexing the shared fixture would silently flip every
+      // bisection gate onto the index path), and the require proves
+      // the plan came from the index (zero probe reads), not a silent
+      // fallback. Rows must still match the independent TEXT-parse
+      // overlap oracle — the index changes bytes read, never rows.
+      prep(s)
+      val src = GenomicFixtures.regionVcfGzPath
+      val d = s"${sys.props("java.io.tmpdir")}/graft-g64-" +
+        ProcessHandle.current.pid
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      val dst = java.nio.file.Paths.get(s"$d/region.vcf.gz")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src), dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Tabix.indexVcfGz(s.sparkContext.hadoopConfiguration, dst.toString)
+      val plan = Vcf.regionPlan(s, dst.toString, Seq(("1", 45L, 55L)),
+        maxSpan = 10000L)
+      require(plan.probes == 0 && plan.fullScan.isEmpty,
+        s"the index must serve the plan probe-free: $plan")
+      Vcf.readRegion(s, dst.toString, "1", 45L, 55L)
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
     }),
 
     "g63_join_prune" -> ((s, _) => {
@@ -3454,6 +3480,14 @@ object Genomic {
     "g63_join_prune" ->
       s"""WITH t AS ($v1Sql)
          |SELECT * FROM t WHERE chrom = '1'""".stripMargin,
+
+    // the index-served region read answers the exact g50/g62 oracle:
+    // an index changes bytes read, never rows
+    "g64_tabix_read" ->
+      s"""WITH t AS ($v1Sql)
+         |SELECT * FROM t
+         |WHERE chrom = '1' AND pos <= 55
+         |  AND pos + length(ref) - 1 >= 45""".stripMargin,
 
     // v10: identical contract to v9 — the splittable reader must
     // produce byte-identical rows to the text parse, from many forced

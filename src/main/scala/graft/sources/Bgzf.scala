@@ -148,11 +148,24 @@ object Bgzf {
     }).flatMap { st =>
       if (st.isDirectory)
         fs.listStatus(st.getPath).filter(s =>
-          s.isFile && !isHiddenName(s.getPath.getName))
+          s.isFile && !isHiddenName(s.getPath.getName) &&
+            !isIndexSidecar(s.getPath.getName))
       else Array(st)
     }.map(st => (st.getPath.toString, st.getLen))
       .sortBy(_._1).toSeq
   }
+
+  /** Known index-sidecar extensions a genomics directory carries NEXT
+    * TO its data shards (`x.vcf.gz.tbi`, `x.bam.bai`, …): metadata,
+    * never data — listing one as a shard would parse its bytes as
+    * records (a `.tbi` IS BGZF, so it even sniffs as data). Skipped in
+    * DIRECTORY listings only, same rule as [[isHiddenName]]: an
+    * explicitly named file is never filtered.
+    */
+  private[sources] def isIndexSidecar(name: String): Boolean =
+    name.endsWith(".tbi") || name.endsWith(".csi") ||
+      name.endsWith(".bai") || name.endsWith(".crai") ||
+      name.endsWith(".fai") || name.endsWith(".gzi")
 
   /** Close `in` at task completion regardless of whether the per-range
     * iterator was fully consumed — `df.limit`/`take` or a mid-decode

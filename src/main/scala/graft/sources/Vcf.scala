@@ -271,9 +271,11 @@ object Vcf {
     // across driver threads (files OR regions, never both) and — past
     // the distribute threshold — as a small Spark job of per-shard
     // planning tasks.
+    val useIndex =
+      spark.conf.get("spark.graft.useIndex", "true").toBoolean
     val perFile = Bgzf.planFiles(spark, files, regions.size) {
       (conf, fp, len, regionPar) =>
-        planFile(conf, fp, len, regions, maxSpan, regionPar)
+        planFile(conf, fp, len, regions, maxSpan, regionPar, useIndex)
     }
     val windows = perFile.flatMap(_._1)
     RegionPlan(Bgzf.mergeWindows(windows), perFile.flatMap(_._2),
@@ -286,13 +288,26 @@ object Vcf {
     */
   private[sources] def planFile(
       conf: org.apache.hadoop.conf.Configuration, fp: String, len: Long,
-      regions: Seq[(String, Long, Long)], maxSpan: Long, regionPar: Int)
+      regions: Seq[(String, Long, Long)], maxSpan: Long, regionPar: Int,
+      useIndex: Boolean = true)
     : (Seq[Bgzf.FileWindow], Option[FullScanFile]) = {
     val maxPos = Int.MaxValue.toLong
     def key(rank: Int, pos: Long) = (rank.toLong << 32) | pos
     // plain .vcf / non-BGZF gzip have no member chain to bisect, and
     // an unranked chrom can't be ordered against the data
     val isBgzf = Bgzf.isBgzfOver(conf, fp, 0L)
+    // a usable sidecar `.tbi` replaces the bisection outright: zero
+    // probe reads, spans exact past the maxSpan back-off, and a chrom
+    // absent from the index's name table prunes to nothing (indexed
+    // files have no unrankable-chrom fallback class). Stale or
+    // unreadable sidecars already fell back inside Tabix.sidecar.
+    if (useIndex && isBgzf) {
+      Tabix.sidecar(conf, fp) match {
+        case Some(idx) =>
+          return (Tabix.queryWindows(idx, fp, len, regions), None)
+        case None =>
+      }
+    }
     val ranks =
       if (isBgzf) contigRanks(conf, fp)
       else Map.empty[String, Int]

@@ -510,6 +510,87 @@ class RegionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Vcf.sampleNamesAuto(spark, d) == Seq("S1", "S2"))
   }
 
+  test("tabix sidecar consumption: an indexed .vcf.gz plans with ZERO " +
+    "probes, rows == the overlap oracle on every region shape, a REF " +
+    "spanning past maxSpan is found EXACTLY (the bisection's " +
+    "documented miss class), an absent chrom prunes to nothing, " +
+    "sidecars never list as data shards, and a stale index falls " +
+    "back to the bisection") {
+    val d = s"$tmp/tabix-dir"
+    Files.createDirectories(Paths.get(d))
+    val p = s"$d/t.vcf.gz"
+    // sorted two-chrom VCF with ONE long-REF record (chr1:55, 450 kb
+    // REF — spans ~100 of the 512-byte members, so the indexer's
+    // cross-member line carry executes too; span end 450054 covers
+    // the 400000 query point, 400 kb past the bisection's back-off)
+    val hdr = Seq("##fileformat=VCFv4.2",
+      "##contig=<ID=chr1>", "##contig=<ID=chr2>",
+      "##INFO=<ID=AF,Number=A,Type=Float,Description=\"af\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1")
+    val longRef = "A" * 450000
+    val body =
+      (0 until 5) .map(i => s"chr1\t${10 * i + 10}\trsA$i\tA\tG\t.\tPASS\tAF=0.5\tGT\t0|1") ++
+      Seq(s"chr1\t55\trsSPAN\t$longRef\tG\t.\tPASS\tAF=0.5\tGT\t0|1") ++
+      (6 until 50000).map(i => s"chr1\t${10 * i + 10}\trsA$i\tA\tG\t.\tPASS\tAF=0.5\tGT\t0|1") ++
+      (0 until 2000).map(i => s"chr2\t${10 * i + 10}\trsB$i\tA\tG\t.\tPASS\tAF=0.5\tGT\t0|1")
+    Files.write(Paths.get(p), Bgzf.compress(
+      (hdr ++ body).mkString("", "\n", "\n").getBytes("US-ASCII"),
+      blockSize = 512))
+    val fileLen = Files.size(Paths.get(p))
+    val full = Vcf.readBgzf(spark, p, splitSize = 4096L)
+    def expect(chrom: String, a: Long, b: Long): Seq[String] =
+      rows(full.where(col("chrom") === chrom && col("pos") <= b &&
+        col("pos") + length(col("ref")) - 1 >= a))
+    // BEFORE indexing: the long span is missed (its pos is 30 kb
+    // before the query's maxSpan back-off) — the documented class
+    val before = rows(Vcf.readRegion(spark, p, "chr1", 400000L, 400010L))
+    assert(!before.exists(_.contains("rsSPAN")),
+      "precondition: the probe path misses the >maxSpan REF span")
+    graft.sources.Tabix.indexVcfGz(
+      spark.sparkContext.hadoopConfiguration, p)
+    // indexed planning: zero probes, pruned windows
+    val plan = Vcf.regionPlan(spark, p,
+      Seq(("chr1", 400000L, 400010L)), maxSpan = 10000L)
+    assert(plan.probes == 0, s"index path must not probe: ${plan.probes}")
+    assert(plan.fullScan.isEmpty)
+    val wb = plan.windows.map(w => w.toByte - w.fromByte).sum
+    assert(wb > 0 && wb < fileLen / 4, s"windows $wb of $fileLen")
+    // the spanning record is now found EXACTLY, and every shape
+    // matches the overlap oracle
+    val after = rows(Vcf.readRegion(spark, p, "chr1", 400000L, 400010L))
+    assert(after.exists(_.contains("rsSPAN")), "index finds the span")
+    assert(after == expect("chr1", 400000L, 400010L))
+    for ((c, a, b) <- Seq(("chr1", 10L, 10L), ("chr1", 55L, 55L),
+      ("chr2", 1010L, 1990L), ("chr2", 999999L, 9999999L),
+      ("chr1", 1L, 999999999L))) {
+      assert(rows(Vcf.readRegion(spark, p, c, a, b)) == expect(c, a, b),
+        s"indexed region $c:$a-$b")
+    }
+    // a chrom absent from the index's name table prunes to nothing
+    assert(rows(Vcf.readRegion(spark, p, "chr9", 1L, 100L)).isEmpty)
+    // the sidecar must never list as a data shard: directory reads
+    // (region and full) see only the data file
+    assert(rows(Vcf.readRegion(spark, d, "chr2", 1010L, 1990L)) ==
+      expect("chr2", 1010L, 1990L), "directory region read with sidecar")
+    assert(Vcf.readBgzf(spark, d, splitSize = 4096L).count() ==
+      full.count(), "directory full read with sidecar")
+    // spark.graft.useIndex=false forces the probe path
+    spark.conf.set("spark.graft.useIndex", "false")
+    try assert(Vcf.regionPlan(spark, p, Seq(("chr2", 1010L, 1990L)),
+      maxSpan = 10000L).probes > 0, "useIndex=false must bisect")
+    finally spark.conf.unset("spark.graft.useIndex")
+    // a STALE index (data newer than sidecar) is ignored — the
+    // bisected fallback probes again and stays correct
+    Files.setLastModifiedTime(Paths.get(p),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 60000))
+    val stale = Vcf.regionPlan(spark, p,
+      Seq(("chr2", 1010L, 1990L)), maxSpan = 10000L)
+    assert(stale.probes > 0, "stale sidecar must fall back")
+    assert(rows(Vcf.readRegion(spark, p, "chr2", 1010L, 1990L)) ==
+      expect("chr2", 1010L, 1990L), "stale-fallback rows")
+  }
+
   test("fixture-shape region read (the g50 gate path) returns the " +
     "filtered rows") {
     graft.fixtures.GenomicFixtures.ensure(spark)
