@@ -320,6 +320,52 @@ object Genomic {
         .withColumn("genotypes", array_join(col("genotypes"), ","))
     }),
 
+    "g65_csi_read" -> ((s, _) => {
+      // the g50b BCF region read served by a `.csi` index built by
+      // the repo's own Bcf.writeIndex (the bcftools-index operation)
+      // instead of the record-alignment bisection; the require proves
+      // probe-free planning, the oracle proves identical rows —
+      // including the spanning pos-39 REF, which the index finds by
+      // its (pos, pos+rlen) bin rather than the maxSpan back-off.
+      prep(s)
+      val src = GenomicFixtures.regionBcfPath(s)
+      val d = s"${sys.props("java.io.tmpdir")}/graft-g65-" +
+        ProcessHandle.current.pid
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      val dst = java.nio.file.Paths.get(s"$d/region.bcf")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src), dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.sources.Bcf.writeIndex(
+        s.sparkContext.hadoopConfiguration, dst.toString)
+      val plan = graft.sources.Bcf.regionPlan(s, dst.toString,
+        Seq(("1", 45L, 55L)), maxSpan = 10000L)
+      require(plan.probes == 0,
+        s"the CSI must serve the plan probe-free: $plan")
+      graft.sources.Bcf.readRegion(s, dst.toString, "1", 45L, 55L)
+        .withColumn("genotypes", array_join(col("genotypes"), ","))
+    }),
+
+    "g66_bai_read" -> ((s, _) => {
+      // the g50c BAM region read served by a `.bai` built by the
+      // repo's own Bam.writeIndex (the samtools-index operation):
+      // probe-free plan, identical samtools-overlap rows — the
+      // spanning 1:11/30M read is found by its CIGAR-span bin.
+      val src = GenomicFixtures.regionBamPath(s)
+      val d = s"${sys.props("java.io.tmpdir")}/graft-g66-" +
+        ProcessHandle.current.pid
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      val dst = java.nio.file.Paths.get(s"$d/region.bam")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src), dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.sources.Bam.writeIndex(
+        s.sparkContext.hadoopConfiguration, dst.toString)
+      val plan = graft.sources.Bam.regionPlan(s, dst.toString,
+        Seq(("1", 25L, 70L)), maxSpan = 1L << 20)
+      require(plan.probes == 0,
+        s"the BAI must serve the plan probe-free: $plan")
+      graft.sources.Bam.readRegion(s, dst.toString, "1", 25L, 70L)
+    }),
+
     "g63_join_prune" -> ((s, _) => {
       // runtime JOIN pruning (SupportsRuntimeV2Filtering): the DSv2
       // relation broadcast-joined against a STORED filtered panel on
@@ -3481,13 +3527,25 @@ object Genomic {
       s"""WITH t AS ($v1Sql)
          |SELECT * FROM t WHERE chrom = '1'""".stripMargin,
 
-    // the index-served region read answers the exact g50/g62 oracle:
-    // an index changes bytes read, never rows
+    // the index-served region reads answer the exact g50-family
+    // oracles: an index changes bytes read, never rows
     "g64_tabix_read" ->
       s"""WITH t AS ($v1Sql)
          |SELECT * FROM t
          |WHERE chrom = '1' AND pos <= 55
          |  AND pos + length(ref) - 1 >= 45""".stripMargin,
+
+    "g65_csi_read" ->
+      s"""WITH t AS ($bcf1Sql)
+         |SELECT * FROM t
+         |WHERE chrom = '1' AND pos <= 55
+         |  AND pos + length(ref) - 1 >= 45""".stripMargin,
+
+    "g66_bai_read" ->
+      s"""WITH t AS ($sam1Sql)
+         |SELECT * FROM t
+         |WHERE rname = '1' AND pos <= 70
+         |  AND coalesce(ref_end, pos) >= 25""".stripMargin,
 
     // v10: identical contract to v9 — the splittable reader must
     // produce byte-identical rows to the text parse, from many forced

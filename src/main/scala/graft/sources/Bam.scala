@@ -243,16 +243,70 @@ object Bam {
                                 regions: Seq[(String, Long, Long)],
                                 maxSpan: Long): Vcf.RegionPlan = {
     val files = Bgzf.resolveFiles(spark, path)
+    val useIndex =
+      spark.conf.get("spark.graft.useIndex", "true").toBoolean
     // per-file planning (header decode + bisections) is independent —
     // Bgzf.planFiles fans out across bounded driver threads, or as a
     // small Spark job past the distribute threshold, recombined in
     // file order for a deterministic plan
     val perFile = Bgzf.planFiles(spark, files, regions.size) {
-      (conf, fp, len, _) => planFile(conf, fp, len, regions, maxSpan)
+      (conf, fp, len, _) =>
+        planFile(conf, fp, len, regions, maxSpan, useIndex)
     }
     val windows = perFile.flatten
     Vcf.RegionPlan(Bgzf.mergeWindows(windows), Seq.empty,
       windows.map(_.probes).sum)
+  }
+
+  /** Build `path.bai` (SAM spec §5.2) in one streaming pass over the
+    * record wire — the `samtools index` operation for the repo's own
+    * [[writeSharded]] output (or any sorted BAM it receives). Each
+    * record bins by its full reference span (pos + CIGAR reference
+    * length), so index-served region reads find alignments longer
+    * than the bisection's maxSpan back-off exactly. Unmapped records
+    * (refID −1 or no position) count into `n_no_coor` and never bin —
+    * a region read never returns them, the samtools contract
+    * [[readRegion]] already implements. Unsorted input throws.
+    */
+  def writeIndex(conf: org.apache.hadoop.conf.Configuration,
+                 path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      val (cur, refs) = headerCursor(in, len)
+      val b = new Tabix.Builder(path)
+      while (cur.ensure(4)) {
+        val begV = cur.headVOffset
+        val blockSize = cur.le32(0)
+        require(cur.ensure(4 + blockSize),
+          s"truncated BAM record in $path")
+        val refId = cur.le32(4)
+        val pos = cur.le32(8)
+        val lrn = cur.byte(12) & 0xff
+        val nCigar = cur.le16(16)
+        val flag = cur.le16(18)
+        // reference-consuming CIGAR ops: M/D/N/=/X (0,2,3,7,8)
+        var refLen = 0L
+        val cigOff = 4 + 32 + lrn
+        var k = 0
+        while (k < nCigar) {
+          val v = cur.le32(cigOff + 4 * k)
+          val op = v & 0xf
+          if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+            refLen += (v >>> 4).toLong
+          k += 1
+        }
+        cur.drop(4 + blockSize)
+        val endV = cur.headVOffset
+        if (refId >= 0 && pos >= 0)
+          b.record(refId, pos.toLong, pos + math.max(1L, refLen),
+            begV, endV, isMapped = (flag & 4) == 0)
+        else b.noCoor()
+      }
+      Tabix.writeSidecar(conf, path + ".bai", b.baiBytes(refs.length))
+    } finally { try in.close() catch { case _: java.io.IOException => } }
   }
 
   /** One file's share of [[regionPlan]] — Configuration-based so
@@ -261,7 +315,8 @@ object Bam {
     */
   private[sources] def planFile(
       conf: org.apache.hadoop.conf.Configuration, fp: String, len: Long,
-      regions: Seq[(String, Long, Long)], maxSpan: Long)
+      regions: Seq[(String, Long, Long)], maxSpan: Long,
+      useIndex: Boolean = true)
     : Seq[Bgzf.FileWindow] = {
     // positions are int32: clamp so a caller's "to end of chrom"
     // end = Long.MaxValue can't bleed into the rank bits or wrap the
@@ -275,6 +330,24 @@ object Bam {
     val refs =
       try headerCursor(in0, len)._2
       finally { try in0.close() catch { case _: java.io.IOException => } }
+    // a usable sidecar index (`x.bam.bai`, samtools' `x.bai` twin, or
+    // a `.csi`) replaces the bisection: zero probes, exact spans past
+    // the maxSpan back-off, ref ids resolved through THIS file's own
+    // dictionary — see Vcf.planFile
+    if (useIndex) {
+      val bare =
+        if (fp.endsWith(".bam")) Some(fp.dropRight(4) + ".bai") else None
+      Tabix.sidecar(conf, fp,
+        Seq((fp + ".bai", Tabix.readBai _)) ++
+          bare.map(b => (b, Tabix.readBai _)) ++
+          Seq((fp + ".csi", Tabix.readCsi _))) match {
+        case Some(idx) =>
+          return Tabix.queryWindows(idx, fp, len, regions, { c =>
+            val r = refs.indexOf(c); if (r < 0) None else Some(r)
+          })
+        case None =>
+      }
+    }
     // regions whose chrom THIS file's dictionary ranks; the rest are
     // dictionary-closed empty for this file
     val ranked = regions.flatMap { case (chrom, start, end) =>

@@ -324,16 +324,54 @@ object Bcf {
                                 regions: Seq[(String, Long, Long)],
                                 maxSpan: Long): Vcf.RegionPlan = {
     val files = Bgzf.resolveFiles(spark, path)
+    val useIndex =
+      spark.conf.get("spark.graft.useIndex", "true").toBoolean
     // per-file planning (header decode + bisections) is independent —
     // Bgzf.planFiles fans out across bounded driver threads, or as a
     // small Spark job past the distribute threshold, recombined in
     // file order for a deterministic plan
     val perFile = Bgzf.planFiles(spark, files, regions.size) {
-      (conf, fp, len, _) => planFile(conf, fp, len, regions, maxSpan)
+      (conf, fp, len, _) =>
+        planFile(conf, fp, len, regions, maxSpan, useIndex)
     }
     val windows = perFile.flatten
     Vcf.RegionPlan(Bgzf.mergeWindows(windows), Seq.empty,
       windows.map(_.probes).sum)
+  }
+
+  /** Build `path.csi` (the CSI spec, min_shift 14 / depth 5 — what
+    * `bcftools index` writes for BCF) in one streaming pass over the
+    * record wire: each record bins by its full (pos, pos + rlen)
+    * span, so index-served region reads find long-REF records past
+    * the bisection's maxSpan back-off exactly. Unsorted input throws.
+    */
+  def writeIndex(conf: org.apache.hadoop.conf.Configuration,
+                 path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      val (cur, contigs, _, _) = headerCursor(in, len)
+      val b = new Tabix.Builder(path)
+      while (cur.ensure(8)) {
+        val begV = cur.headVOffset
+        val lShared = cur.le32(0)
+        val lIndiv = cur.le32(4)
+        require(lShared >= 24 && cur.ensure(8 + lShared + lIndiv),
+          s"truncated BCF record in $path")
+        val rid = cur.le32(8)
+        val pos = cur.le32(12) // 0-based
+        val rlen = cur.le32(16)
+        cur.drop(8 + lShared + lIndiv)
+        val endV = cur.headVOffset
+        require(rid >= 0 && rid < contigs.length,
+          s"$path: record references contig $rid outside the dictionary")
+        b.record(rid, pos.toLong,
+          pos + math.max(1L, rlen.toLong), begV, endV)
+      }
+      Tabix.writeSidecar(conf, path + ".csi", b.csiBytes(contigs.length))
+    } finally { try in.close() catch { case _: java.io.IOException => } }
   }
 
   /** One file's share of [[regionPlan]] — Configuration-based so
@@ -342,7 +380,8 @@ object Bcf {
     */
   private[sources] def planFile(
       conf: org.apache.hadoop.conf.Configuration, fp: String, len: Long,
-      regions: Seq[(String, Long, Long)], maxSpan: Long)
+      regions: Seq[(String, Long, Long)], maxSpan: Long,
+      useIndex: Boolean = true)
     : Seq[Bgzf.FileWindow] = {
     val maxPos = Int.MaxValue.toLong
     val windows = Seq.newBuilder[Bgzf.FileWindow]
@@ -352,6 +391,19 @@ object Bcf {
     val (_, contigs, _, nSamples) =
       try headerCursor(in0, len)
       finally { try in0.close() catch { case _: java.io.IOException => } }
+    // a usable `.csi` sidecar replaces the bisection: zero probes,
+    // exact spans past the maxSpan back-off, ref ids resolved through
+    // THIS file's contig dictionary — see Vcf.planFile
+    if (useIndex) {
+      Tabix.sidecar(conf, fp,
+        Seq((fp + ".csi", Tabix.readCsi _))) match {
+        case Some(idx) =>
+          return Tabix.queryWindows(idx, fp, len, regions, { c =>
+            val r = contigs.indexOf(c); if (r < 0) None else Some(r)
+          })
+        case None =>
+      }
+    }
     // regions whose chrom THIS file's dictionary ranks; the rest are
     // dictionary-closed empty for this file
     val ranked = regions.flatMap { case (chrom, start, end) =>

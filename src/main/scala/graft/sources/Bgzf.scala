@@ -1076,6 +1076,21 @@ object Bgzf {
       marks.takeWhile(_._1 <= headPos).lastOption.map(_._2)
         .getOrElse(firstMember)
 
+    /** The head byte's VIRTUAL offset (memberStart << 16 | offset
+      * within that member's inflated block) — what the index builders
+      * record per record. A head sitting exactly on a member boundary
+      * attributes to the NEW member (uoffset 0), matching htslib's
+      * post-read file-position convention.
+      */
+    def headVOffset: Long = {
+      val (mo, ms) = marks.takeWhile(_._1 <= headPos).lastOption
+        .getOrElse((0, firstMember))
+      (ms << 16) | ((headPos - mo) & 0xffffL)
+    }
+
+    def le16(k: Int): Int =
+      (byte(k) & 0xff) | ((byte(k + 1) & 0xff) << 8)
+
     def ensure(n: Int): Boolean = {
       while (bufLen - headPos < n) {
         if (nextMemberOff >= fileLen) return false

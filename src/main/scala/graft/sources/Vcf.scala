@@ -302,9 +302,10 @@ object Vcf {
     // files have no unrankable-chrom fallback class). Stale or
     // unreadable sidecars already fell back inside Tabix.sidecar.
     if (useIndex && isBgzf) {
-      Tabix.sidecar(conf, fp) match {
+      Tabix.vcfSidecar(conf, fp) match {
         case Some(idx) =>
-          return (Tabix.queryWindows(idx, fp, len, regions), None)
+          return (Tabix.queryWindows(idx, fp, len, regions,
+            idx.nameToId.get), None)
         case None =>
       }
     }

@@ -591,6 +591,74 @@ class RegionSpec extends AnyFunSuite with BeforeAndAfterAll {
       expect("chr2", 1010L, 1990L), "stale-fallback rows")
   }
 
+  test("BAI and CSI sidecar consumption: the repo's own writeIndex " +
+    "output serves BAM/BCF region plans probe-free, rows == the " +
+    "overlap oracle, dictionary-closed chroms still prune to empty") {
+    graft.fixtures.GenomicFixtures.ensure(spark)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // --- BCF + .csi
+    val bcfSrc = graft.fixtures.GenomicFixtures.regionBcfPath(spark)
+    val bcfDir = s"$tmp/csi-dir"
+    Files.createDirectories(Paths.get(bcfDir))
+    val bcf = s"$bcfDir/r.bcf"
+    Files.copy(Paths.get(bcfSrc), Paths.get(bcf),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.sources.Bcf.writeIndex(conf, bcf)
+    val bcfFull = graft.sources.Bcf.readSplit(spark, bcf,
+      splitSize = 256L)
+    def bcfExpect(c: String, a: Long, b: Long) =
+      rows(bcfFull.where(col("chrom") === c && col("pos") <= b &&
+        col("pos") + length(col("ref")) - 1 >= a))
+    val bcfPlan = graft.sources.Bcf.regionPlan(spark, bcf,
+      Seq(("1", 45L, 55L)), maxSpan = 10000L)
+    assert(bcfPlan.probes == 0, s"CSI must not probe: ${bcfPlan.probes}")
+    for ((c, a, b) <- Seq(("1", 20L, 50L), ("1", 45L, 55L),
+      ("X", 30L, 110L), ("1", 151L, 999L))) {
+      assert(rows(graft.sources.Bcf.readRegion(spark, bcf, c, a, b)) ==
+        bcfExpect(c, a, b), s"csi region $c:$a-$b")
+    }
+    // the pos-39 spanning REF must survive the index path too
+    assert(rows(graft.sources.Bcf.readRegion(spark, bcf, "1", 45L, 55L))
+      .exists(_.startsWith("1:39:")), "spanning REF via CSI")
+    assert(graft.sources.Bcf.readRegion(spark, bcf, "7", 1L, 100L)
+      .count() == 0L, "dictionary-closed chrom via CSI")
+    // --- BAM + .bai
+    val bamSrc = graft.fixtures.GenomicFixtures.regionBamPath(spark)
+    val bamDir = s"$tmp/bai-dir"
+    Files.createDirectories(Paths.get(bamDir))
+    val bam = s"$bamDir/r.bam"
+    Files.copy(Paths.get(bamSrc), Paths.get(bam),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.sources.Bam.writeIndex(conf, bam)
+    val bamFull = graft.sources.Sam.decorate(
+      graft.sources.Bam.readSplit(spark, bam, splitSize = 256L))
+    def bamRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(concat_ws(":", col("rname"), col("pos"), col("qname")))
+        .collect().map(_.getString(0)).toSeq.sorted
+    def bamExpect(c: String, a: Long, b: Long) =
+      bamRows(bamFull.where(col("rname") === c && col("pos") <= b &&
+        coalesce(col("ref_end"), col("pos")) >= a))
+    val bamPlan = graft.sources.Bam.regionPlan(spark, bam,
+      Seq(("1", 10L, 20L)), maxSpan = 1L << 20)
+    assert(bamPlan.probes == 0, s"BAI must not probe: ${bamPlan.probes}")
+    for ((c, a, b) <- Seq(("1", 10L, 20L), ("1", 11L, 11L),
+      ("X", 1L, 999L), ("1", 5000L, 9999L))) {
+      assert(bamRows(graft.sources.Bam.readRegion(spark, bam, c, a, b))
+        == bamExpect(c, a, b), s"bai region $c:$a-$b")
+    }
+    // samtools' bare `x.bai` naming resolves too
+    val bam2 = s"$bamDir/r2.bam"
+    Files.copy(Paths.get(bamSrc), Paths.get(bam2),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.sources.Bam.writeIndex(conf, bam2)
+    Files.move(Paths.get(bam2 + ".bai"),
+      Paths.get(s"$bamDir/r2.bai"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(graft.sources.Bam.regionPlan(spark, bam2,
+      Seq(("1", 10L, 20L)), maxSpan = 1L << 20).probes == 0,
+      "bare .bai twin naming")
+  }
+
   test("fixture-shape region read (the g50 gate path) returns the " +
     "filtered rows") {
     graft.fixtures.GenomicFixtures.ensure(spark)
