@@ -626,7 +626,8 @@ object Vcf {
     */
   def writeSharded(variants: DataFrame, contigs: Seq[String],
                    samples: Seq[String], dir: String,
-                   blockSize: Int = 0xff00): Unit = {
+                   blockSize: Int = 0xff00,
+                   index: Boolean = false): Unit = {
     val rank = array_position(
       array(contigs.map(lit): _*), col("chrom"))
     val sorted = variants
@@ -641,6 +642,10 @@ object Vcf {
       (r.getString(0) + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     }
+    // `index = true` finishes the tabix layout: one `.tbi` per shard
+    // (distributed, one task each), so the directory is directly
+    // servable by the index path here AND by external tabix readers
+    if (index) Tabix.indexAll(variants.sparkSession, dir)
   }
 
   /** Long genotype matrix: one row per (variant, sample) with the sample

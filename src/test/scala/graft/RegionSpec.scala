@@ -508,6 +508,23 @@ class RegionSpec extends AnyFunSuite with BeforeAndAfterAll {
       expect("chr2", 1010L, 1990L), "round-robin shards")
     // header round-trip: sample names and contig ranks survive
     assert(Vcf.sampleNamesAuto(spark, d) == Seq("S1", "S2"))
+    // index = true finishes the tabix layout: one .tbi per shard,
+    // the directory region read plans probe-free through them
+    val d3 = s"$tmp/vcf-sharded-idx"
+    Vcf.writeSharded(
+      df.repartitionByRange(3, col("chrom"), col("pos")),
+      contigs, Seq("S1", "S2"), d3, blockSize = 256, index = true)
+    val shards = Files.list(Paths.get(d3)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+    assert(shards.count(_.endsWith(".vcf.gz")) == 3 &&
+      shards.count(_.endsWith(".tbi")) == 3,
+      s"3 shards + 3 sidecars: ${shards.toSeq.sorted}")
+    val ip = Vcf.regionPlan(spark, d3,
+      Seq(("chr2", 1010L, 1990L)), maxSpan = 10000L)
+    assert(ip.probes == 0 && ip.fullScan.isEmpty,
+      s"indexed shards must plan probe-free: $ip")
+    assert(rows(Vcf.readRegion(spark, d3, "chr2", 1010L, 1990L)) ==
+      expect("chr2", 1010L, 1990L), "indexed-shard region rows")
   }
 
   test("tabix sidecar consumption: an indexed .vcf.gz plans with ZERO " +
