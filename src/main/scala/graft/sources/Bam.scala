@@ -742,10 +742,16 @@ object Bam {
     * (valid empty BAM) so the layout is deterministic.
     */
   def writeSharded(reads: DataFrame, refs: Seq[(String, Long)],
-                   dir: String, blockSize: Int = 0xff00): Unit = {
+                   dir: String, blockSize: Int = 0xff00,
+                   index: Boolean = false): Unit = {
     val refIdx = refs.map(_._1).zipWithIndex.toMap
     Bgzf.writeShards(reads.selectExpr(WriteCols: _*).rdd, dir, ".bam",
       headerBytes(refs), blockSize)(r => rowRecord(r, refIdx))
+    // index = true writes one .bai per shard (distributed); requires
+    // each shard coordinate-sorted (the writeIndex sortedness guard
+    // throws loudly otherwise) — sortWithinPartitions by (rname rank,
+    // pos) before calling, the same contract region read-back needs
+    if (index) Tabix.forEachFile(reads.sparkSession, dir)(writeIndex)
   }
 
   /** The spec's fixed 28-byte empty-member EOF marker (SAM spec §4.1.2).

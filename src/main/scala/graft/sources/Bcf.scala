@@ -874,7 +874,8 @@ object Bcf {
   def writeSharded(variants: DataFrame, contigs: Seq[(String, Long)],
                    sampleNames: Seq[String], dir: String,
                    infoTypes: Map[String, String] = Map("AF" -> "Float"),
-                   blockSize: Int = 0xff00): Unit = {
+                   blockSize: Int = 0xff00,
+                   index: Boolean = false): Unit = {
     // persisted: the frame is read three times (two dictionary passes
     // + the write job) — without it an expensive upstream recomputes
     // 3x, and a NONDETERMINISTIC input could surface a FILTER/INFO
@@ -906,6 +907,10 @@ object Bcf {
       Bgzf.writeShards(src.rdd, dir, ".bcf", hdr, blockSize)(
         r => rowRecord(r, contigIdx, stringIdx, infoTypes))
     } finally src.unpersist()
+    // index = true writes one .csi per shard (distributed); requires
+    // each shard coordinate-sorted (the writeIndex guard throws
+    // loudly otherwise) — the same contract region read-back needs
+    if (index) Tabix.forEachFile(variants.sparkSession, dir)(writeIndex)
   }
 
   /** One GT string -> BCF ints ((allele+1)<<1 | phase-of-separator). */

@@ -587,17 +587,28 @@ object Tabix {
     * 1000-shard fleet indexes in one pass. Single files index inline.
     */
   def indexAll(spark: org.apache.spark.sql.SparkSession,
-               path: String): Unit = {
+               path: String): Unit =
+    forEachFile(spark, path)(indexVcfGz)
+
+  /** Run `indexer` over every resolved file of `path` — inline for a
+    * single file, one Spark task per shard otherwise. The shared
+    * scaffold of [[indexAll]] and the `index = true` finishers on the
+    * three sharded sinks.
+    */
+  private[sources] def forEachFile(
+      spark: org.apache.spark.sql.SparkSession, path: String)(
+      indexer: (org.apache.hadoop.conf.Configuration, String) => Unit)
+    : Unit = {
     val files = Bgzf.resolveFiles(spark, path).map(_._1)
     if (files.size <= 1)
       files.foreach(f =>
-        indexVcfGz(spark.sparkContext.hadoopConfiguration, f))
+        indexer(spark.sparkContext.hadoopConfiguration, f))
     else {
       val hconf = new org.apache.spark.SerializableWritable(
         new org.apache.hadoop.conf.Configuration(
           spark.sparkContext.hadoopConfiguration))
       spark.sparkContext.parallelize(files, files.size)
-        .foreach(f => indexVcfGz(hconf.value, f))
+        .foreach(f => indexer(hconf.value, f))
     }
   }
 }

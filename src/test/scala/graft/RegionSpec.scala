@@ -674,6 +674,55 @@ class RegionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.sources.Bam.regionPlan(spark, bam2,
       Seq(("1", 10L, 20L)), maxSpan = 1L << 20).probes == 0,
       "bare .bai twin naming")
+    // --- writeSharded(index = true): sharded sinks finish the
+    // indexed layout for the binary containers too
+    import graft.sources.{Bam, Bcf, Sam, Vcf}
+    val sam = "/root/repo/fixtures/aligned.sam"
+    val bamSh = s"$tmp/bam-sharded-idx"
+    Bam.writeSharded(
+      Sam.read(spark, sam)
+        .repartitionByRange(3, col("rname").asc_nulls_last,
+          col("pos").asc_nulls_last)
+        .sortWithinPartitions(col("rname").asc_nulls_last,
+          col("pos").asc_nulls_last),
+      Sam.sqHeaders(spark, sam).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq,
+      bamSh, blockSize = 64, index = true)
+    val bamNames = Files.list(Paths.get(bamSh)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+    assert(bamNames.count(_.endsWith(".bam")) == 3 &&
+      bamNames.count(_.endsWith(".bai")) == 3,
+      s"3 BAM shards + 3 .bai: ${bamNames.toSeq.sorted}")
+    val bamShPlan = graft.sources.Bam.regionPlan(spark, bamSh,
+      Seq(("1", 25L, 70L)), maxSpan = 1L << 20)
+    assert(bamShPlan.probes == 0, s"sharded .bai plan: $bamShPlan")
+    assert(bamRows(Bam.readRegion(spark, bamSh, "1", 25L, 70L)) ==
+      bamRows(Bam.readRegion(spark,
+        graft.fixtures.GenomicFixtures.regionBamShardedDir(spark),
+        "1", 25L, 70L)), "sharded indexed BAM rows")
+    val vcfFx = graft.fixtures.GenomicFixtures.vcfPath
+    val parsed = Vcf.read(spark, vcfFx)
+    val bcontigs = parsed.groupBy("chrom")
+      .agg(max("pos").as("mx")).orderBy("chrom").collect()
+      .map(r => (r.getString(0), r.getLong(1) + 1000L)).toSeq
+    val bcfSh = s"$tmp/bcf-sharded-idx"
+    Bcf.writeSharded(
+      parsed.repartitionByRange(3, col("chrom"), col("pos"))
+        .sortWithinPartitions("chrom", "pos"),
+      bcontigs, Vcf.sampleNames(spark, vcfFx), bcfSh,
+      blockSize = 64, index = true)
+    val bcfNames = Files.list(Paths.get(bcfSh)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+    assert(bcfNames.count(_.endsWith(".bcf")) == 3 &&
+      bcfNames.count(_.endsWith(".csi")) == 3,
+      s"3 BCF shards + 3 .csi: ${bcfNames.toSeq.sorted}")
+    val bcfShPlan = graft.sources.Bcf.regionPlan(spark, bcfSh,
+      Seq(("1", 45L, 55L)), maxSpan = 10000L)
+    assert(bcfShPlan.probes == 0, s"sharded .csi plan: $bcfShPlan")
+    assert(rows(Bcf.readRegion(spark, bcfSh, "1", 45L, 55L)) ==
+      rows(Bcf.readRegion(spark,
+        graft.fixtures.GenomicFixtures.regionBcfShardedDir(spark),
+        "1", 45L, 55L)), "sharded indexed BCF rows")
   }
 
   test("fixture-shape region read (the g50 gate path) returns the " +
