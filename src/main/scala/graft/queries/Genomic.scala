@@ -366,6 +366,25 @@ object Genomic {
       graft.sources.Bam.readRegion(s, dst.toString, "1", 25L, 70L)
     }),
 
+    "g67_idxstats_bai" -> ((s, _) => {
+      // samtools idxstats served from the .bai pseudo-bins alone:
+      // per-ref (length, n_mapped, n_unmapped) + the '*' n_no_coor
+      // row, header + index metadata only — ZERO data bytes scanned,
+      // where g51's route reads the whole file. Counts must equal the
+      // scan-route oracle exactly (same record set; sorting and
+      // binary re-encoding change nothing).
+      val src = GenomicFixtures.regionBamPath(s)
+      val d = s"${sys.props("java.io.tmpdir")}/graft-g67-" +
+        ProcessHandle.current.pid
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      val dst = java.nio.file.Paths.get(s"$d/region.bam")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src), dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.sources.Bam.writeIndex(
+        s.sparkContext.hadoopConfiguration, dst.toString)
+      graft.sources.Bam.idxstatsIndexed(s, dst.toString)
+    }),
+
     "g63_join_prune" -> ((s, _) => {
       // runtime JOIN pruning (SupportsRuntimeV2Filtering): the DSv2
       // relation broadcast-joined against a STORED filtered panel on
@@ -3540,6 +3559,33 @@ object Genomic {
          |SELECT * FROM t
          |WHERE chrom = '1' AND pos <= 55
          |  AND pos + length(ref) - 1 >= 45""".stripMargin,
+
+    // idxstats from the .bai pseudo-bins must equal the scan-route
+    // counts (g51's oracle verbatim — same record set, zero data read)
+    "g67_idxstats_bai" ->
+      s"""WITH lines AS (
+         |  SELECT unnest(string_split(content, chr(10))) AS l
+         |  FROM read_text('$raw/aligned.sam')),
+         |refs AS (
+         |  SELECT regexp_extract(l, 'SN:([^\t]+)', 1) AS rname,
+         |    CAST(regexp_extract(l, 'LN:([0-9]+)', 1) AS BIGINT)
+         |      AS length
+         |  FROM lines WHERE starts_with(l, '@SQ')
+         |  UNION ALL SELECT '*', 0),
+         |a AS (
+         |  SELECT string_split(l, chr(9)) AS f FROM lines
+         |  WHERE len(trim(l)) > 0 AND NOT starts_with(l, '@')),
+         |c AS (
+         |  SELECT coalesce(nullif(f[3], '*'), '*') AS rname,
+         |    CAST(sum(CASE WHEN (CAST(f[2] AS INT) & 4) = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+         |    CAST(sum(CASE WHEN (CAST(f[2] AS INT) & 4) <> 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS nu
+         |  FROM a GROUP BY 1)
+         |SELECT r.rname, r.length,
+         |  coalesce(c.nm, 0) AS n_mapped,
+         |  coalesce(c.nu, 0) AS n_unmapped
+         |FROM refs r LEFT JOIN c USING (rname)""".stripMargin,
 
     "g66_bai_read" ->
       s"""WITH t AS ($sam1Sql)

@@ -146,6 +146,17 @@ object Bam {
     */
   private def headerCursor(in: org.apache.hadoop.fs.FSDataInputStream,
                            len: Long): (Bgzf.MemberCursor, Array[String]) = {
+    val (head, dict) = headerDict(in, len)
+    (head, dict.map(_._1))
+  }
+
+  /** [[headerCursor]] keeping each reference's declared length too
+    * (the `@SQ LN:` twin the binary dictionary carries natively) —
+    * what [[idxstatsIndexed]] reports per row.
+    */
+  private def headerDict(in: org.apache.hadoop.fs.FSDataInputStream,
+                         len: Long)
+    : (Bgzf.MemberCursor, Array[(String, Long)]) = {
     val head = new Bgzf.MemberCursor(in, len, 0L)
     require(head.ensure(12), "empty BAM")
     require(head.byte(0) == 'B' && head.byte(1) == 'A' &&
@@ -161,10 +172,47 @@ object Bam {
       head.ensure(8 + lName)
       val name = new String(
         Array.tabulate(lName - 1)(i => head.byte(4 + i)), "US-ASCII")
+      val lRef = head.le32(4 + lName).toLong
       head.drop(8 + lName) // l_name + name + l_ref
-      name
+      (name, lRef)
     }
     (head, refs)
+  }
+
+  /** `samtools idxstats` served entirely from the `.bai` pseudo-bins:
+    * per-reference (rname, length, n_mapped, n_unmapped) plus the '*'
+    * placeless-unmapped row from the trailing n_no_coor — header +
+    * index metadata only, ZERO data bytes scanned, where the scan
+    * route ([[Sam.idxstats]]) reads the whole file. Requires a usable
+    * sidecar (same staleness rules as region planning); throws when
+    * none exists — a silent fallback to the full scan would defeat
+    * the caller's reason for asking for the index path.
+    */
+  def idxstatsIndexed(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val dict =
+      try headerDict(in, fs.getFileStatus(p).getLen)._2
+      finally { try in.close() catch { case _: java.io.IOException => } }
+    val bare =
+      if (path.endsWith(".bam")) Some(path.dropRight(4) + ".bai")
+      else None
+    val idx = Tabix.sidecar(conf, path,
+      Seq((path + ".bai", Tabix.readBai _)) ++
+        bare.map(b => (b, Tabix.readBai _)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path has no usable .bai sidecar — write one with " +
+          "Bam.writeIndex, or use Sam.idxstats for the scan route"))
+    val rows = dict.zipWithIndex.map { case ((name, lRef), rid) =>
+      val (nm, nu) =
+        if (rid < idx.refs.size) idx.refs(rid).stats.getOrElse((0L, 0L))
+        else (0L, 0L)
+      (name, lRef, nm, nu)
+    }.toSeq :+ (("*", 0L, 0L, idx.noCoor))
+    spark.createDataFrame(rows)
+      .toDF("rname", "length", "n_mapped", "n_unmapped")
   }
 
   /** Region read of a coordinate-sorted BAM — `samtools view

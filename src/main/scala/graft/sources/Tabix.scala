@@ -50,18 +50,23 @@ object Tabix {
   private[sources] case class BinEntry(loff: Long, chunks: Seq[Chunk])
 
   /** One reference sequence's share: bins + the TBI/BAI linear index
-    * (empty for CSI — its floor lives per bin).
+    * (empty for CSI — its floor lives per bin) + the pseudo-bin's
+    * (n_mapped, n_unmapped) stats when the index carries them (the
+    * `samtools idxstats` numbers — zero data bytes to answer).
     */
   private[sources] case class RefIndex(bins: Map[Int, BinEntry],
-                                       linear: Array[Long])
+                                       linear: Array[Long],
+                                       stats: Option[(Long, Long)] = None)
 
   /** A parsed index. `names` is empty for `.bai` and name-less `.csi`
     * — record-carried ref ids resolve through the DATA file's own
-    * dictionary instead.
+    * dictionary instead. `noCoor` = the BAI trailing placeless-
+    * unmapped count (0 when absent).
     */
   private[sources] case class Index(names: Seq[String],
                                     refs: IndexedSeq[RefIndex],
-                                    minShift: Int, depth: Int) {
+                                    minShift: Int, depth: Int,
+                                    noCoor: Long = 0L) {
     lazy val nameToId: Map[String, Int] = names.zipWithIndex.toMap
   }
 
@@ -137,17 +142,22 @@ object Tabix {
                        depth: Int): IndexedSeq[RefIndex] =
     (0 until nRef).map { _ =>
       val nBin = b.getInt
+      var stats: Option[(Long, Long)] = None
       val bins = (0 until nBin).map { _ =>
         val bin = b.getInt
         val loff = if (csi) b.getLong else 0L
         val nChunk = b.getInt
-        bin -> BinEntry(loff,
-          (0 until nChunk).map(_ => Chunk(b.getLong, b.getLong)))
+        val chunks = (0 until nChunk).map(_ => Chunk(b.getLong, b.getLong))
+        // the stats pseudo-bin: chunk 1 = voffset span, chunk 2 =
+        // (n_mapped, n_unmapped)
+        if (bin >= binLimit(depth) && chunks.size == 2)
+          stats = Some((chunks(1).beg, chunks(1).end))
+        bin -> BinEntry(loff, chunks)
       }.filter(_._1 < binLimit(depth)).toMap
       val linear =
         if (csi) Array.empty[Long]
         else Array.fill(b.getInt)(b.getLong)
-      RefIndex(bins, linear)
+      RefIndex(bins, linear, stats)
     }
 
   /** Parse a `.tbi` sidecar (BGZF-wrapped, little-endian). */
@@ -216,7 +226,9 @@ object Tabix {
     require(magic(0) == 'B' && magic(1) == 'A' && magic(2) == 'I' && magic(3) == 1,
       s"$idxPath: not a BAM index")
     val nRef = b.getInt
-    Index(Seq.empty, readRefs(b, nRef, csi = false, depth = 5), 14, 5)
+    val refs = readRefs(b, nRef, csi = false, depth = 5)
+    val noCoor = if (b.remaining() >= 8) b.getLong else 0L
+    Index(Seq.empty, refs, 14, 5, noCoor)
   }
 
   // ------------------------------------------------------ querying
