@@ -161,6 +161,14 @@ object Dedup {
       .select("id1", "id2").distinct()
 
     // Re-attach the shingle sets only for the surviving candidate pairs.
+    // (Examined this round and deliberately left in the r16 shape: the
+    // verify joins already BROADCAST the small pairs side — the corpus
+    // never shuffles here — so candidate-pruning docs first (semi-join
+    // or collected-id broadcast) only ADDED work: measured 3× shuffle
+    // bytes for the lazy-semi-join form — relation de-duplication makes
+    // the candidate subtree miss cache substitution and re-execute the
+    // pair lineage per verify side — and ~+70% wall for the collected
+    // LocalRelation form at the dx bench scale.)
     pairs
       .join(docs.select(col("id").as("id1"), col("shingles").as("sh1")),
         Seq("id1"))
@@ -460,11 +468,20 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, id1Col: String = "id1",
                         id2Col: String = "id2",
                         maxIters: Int = 20): DataFrame = {
+    // fwd is materialized BEFORE the symmetrizing union: both union
+    // branches reference it, and relation de-duplication stops exchange
+    // reuse between them, so an un-materialized fwd re-executes the
+    // caller's whole pair-generation pipeline twice (for the d2-shaped
+    // LSH input that was 2× the window + self-join + verify joins —
+    // half the dx bench entry's shuffle bytes). One narrow (src, dst)
+    // table, freed as soon as `edges` exists.
     val fwd = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
+      .localCheckpoint()
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
+    Checkpoints.free(fwd)
     // seed label = min(self, neighbors): the node list needs a groupBy
     // shuffle anyway (was a distinct over the same rows), so round 1 of
     // min-label propagation comes free and the loop below starts from

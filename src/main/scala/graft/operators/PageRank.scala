@@ -142,15 +142,18 @@ object PageRank {
     // writes; the LAST round always checkpoints so the returned frame
     // reads one flat table
     for (i <- 1 to rounds) {
+      // mode(_, deterministic = true) = most frequent neighbor label,
+      // ties to the SMALLEST — exactly the min(struct(-count, label))
+      // fold this replaces, in ONE src-keyed shuffle per round instead
+      // of two ((src,label) count + src arg-min): the per-group
+      // label→count map merges map-side, and a node's map is bounded
+      // by its distinct neighbor labels.
       labels = sym
         .join(labels.select(col("node").as("dst"),
           col("label").as("_nl")), Seq("dst"))
-        .groupBy(col("src"), col("_nl"))
-        .agg(count(lit(1)).as("_c"))
         .groupBy(col("src"))
-        .agg(min(struct((-col("_c")).as("nc"), col("_nl").as("l")))
-          .as("_m"))
-        .select(col("src").as("node"), col("_m.l").as("label"))
+        .agg(mode(col("_nl"), true).as("label"))
+        .withColumnRenamed("src", "node")
       if (i % 2 == 0 || i == rounds) labels = labels.localCheckpoint()
     }
     labels

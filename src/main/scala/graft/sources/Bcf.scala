@@ -598,21 +598,47 @@ object Bcf {
     case 3 => v == (Int.MinValue + 1).toLong
   }
 
-  /** Render one typed value (already past its descriptor) as VCF text. */
+  /** Render one typed value (already past its descriptor) as VCF text.
+    * While-loop + single builder form: this runs per FORMAT field per
+    * sample per record — a 1M-variant × 20-sample file calls it ~20M
+    * times, and the previous Range.map/filterNot/mkString chain's
+    * intermediate collections were the decode path's dominant
+    * allocation cost. Output strings are byte-identical.
+    */
   private def renderValue(b: ByteBuffer, t: Int, l: Int): String = t match {
     case 0 => "" // MISSING type: flag INFO, no value
     case 1 | 2 | 3 =>
-      (0 until l).map(_ => intVal(b, t)).filterNot(intEnd(t, _))
-        .map(v => if (intMissing(t, v)) "." else v.toString)
-        .mkString(",")
+      val sb = new java.lang.StringBuilder(l * 3)
+      var i = 0
+      var first = true
+      while (i < l) {
+        val v = intVal(b, t)
+        if (!intEnd(t, v)) {
+          if (!first) sb.append(',')
+          if (intMissing(t, v)) sb.append('.') else sb.append(v)
+          first = false
+        }
+        i += 1
+      }
+      sb.toString
     case 5 =>
-      (0 until l).map(_ => b.getInt).filterNot(_ == FloatEnd)
-        .map(bits => if (bits == FloatMissing) "."
-        else java.lang.Float.intBitsToFloat(bits).toString)
-        .mkString(",")
+      val sb = new java.lang.StringBuilder(l * 8)
+      var i = 0
+      var first = true
+      while (i < l) {
+        val bits = b.getInt
+        if (bits != FloatEnd) {
+          if (!first) sb.append(',')
+          if (bits == FloatMissing) sb.append('.')
+          else sb.append(java.lang.Float.intBitsToFloat(bits).toString)
+          first = false
+        }
+        i += 1
+      }
+      sb.toString
     case 7 =>
       val c = new Array[Byte](l); b.get(c)
-      new String(c, "US-ASCII")
+      new String(c, java.nio.charset.StandardCharsets.US_ASCII)
     case o => sys.error(s"unsupported BCF type $o")
   }
 
@@ -653,21 +679,45 @@ object Bcf {
       val v = renderValue(sh, t, l)
       if (t == 0 || (t == 7 && l == 0)) key else s"$key=$v"
     }.mkString(";") match { case "" => "."; case s => s }
-    // per-sample block: each FORMAT field is a fixed-width typed vector
-    val fields: Seq[(String, Array[String])] = (0 until nFmt).map { _ =>
+    // per-sample block: each FORMAT field is a fixed-width typed vector.
+    // Flat arrays + while loops (no Seq.tabulate/map per record): the
+    // per-sample genotype strings assemble through one builder each.
+    val fieldVals = new Array[Array[String]](nFmt)
+    var fi = 0
+    while (fi < nFmt) {
       val key = strings(typedInt(ind).toInt)
       val (t, perSample) = typeDesc(ind)
-      val vals = Array.tabulate(nSample) { _ =>
-        if (key == "GT") renderGt(ind, t, perSample)
-        else renderValue(ind, t, perSample)
+      val isGt = key == "GT"
+      val vals = new Array[String](nSample)
+      var si = 0
+      while (si < nSample) {
+        vals(si) =
+          if (isGt) renderGt(ind, t, perSample)
+          else renderValue(ind, t, perSample)
+        si += 1
       }
-      key -> vals
+      fieldVals(fi) = vals
+      fi += 1
     }
-    val genotypes = Seq.tabulate(nSample)(i =>
-      fields.map(_._2(i)).mkString(":"))
+    val genotypes = new Array[String](nSample)
+    var si = 0
+    while (si < nSample) {
+      if (nFmt == 1) genotypes(si) = fieldVals(0)(si)
+      else {
+        val sb = new java.lang.StringBuilder(nFmt * 4)
+        var k = 0
+        while (k < nFmt) {
+          if (k > 0) sb.append(':')
+          sb.append(fieldVals(k)(si))
+          k += 1
+        }
+        genotypes(si) = sb.toString
+      }
+      si += 1
+    }
     BcfRec(
       contigs(chromIdx), pos0 + 1L, id, ref, alt, qual, filter, info,
-      genotypes)
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(genotypes))
   }
 
   /** Decode one sample's GT vector: ints (allele+1)<<1|phase, 0 = '.',
@@ -675,13 +725,18 @@ object Bcf {
     * i>=2 is '|' when its phase bit is set, '/' otherwise.
     */
   private def renderGt(b: ByteBuffer, t: Int, perSample: Int): String = {
-    val js = (0 until perSample).map(_ => intVal(b, t))
-      .filterNot(intEnd(t, _))
-    val sb = new StringBuilder
-    js.zipWithIndex.foreach { case (j, i) =>
-      if (i > 0) sb += (if ((j & 1L) != 0) '|' else '/')
-      val allele = (j >>> 1) - 1
-      sb ++= (if (allele < 0) "." else allele.toString)
+    val sb = new java.lang.StringBuilder(perSample * 2)
+    var i = 0
+    var out = 0
+    while (i < perSample) {
+      val j = intVal(b, t)
+      if (!intEnd(t, j)) {
+        if (out > 0) sb.append(if ((j & 1L) != 0) '|' else '/')
+        val allele = (j >>> 1) - 1
+        if (allele < 0) sb.append('.') else sb.append(allele)
+        out += 1
+      }
+      i += 1
     }
     sb.toString
   }

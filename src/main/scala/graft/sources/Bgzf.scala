@@ -34,17 +34,34 @@ object Bgzf {
     o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
   }
 
+  /** Per-thread reusable codec state: `Deflater`/`Inflater` wrap a
+    * native zlib stream whose init/end costs dominate a 64 KiB
+    * member's (de)compression setup when allocated per member — a
+    * multi-GB file is ~100k members. One instance per (pooled,
+    * long-lived) task thread, `reset()` between members; the bounded
+    * native footprint (a few KiB per thread) is released with the
+    * thread. Compression level and output bytes are UNCHANGED.
+    */
+  private val deflaters = new ThreadLocal[Deflater] {
+    override def initialValue(): Deflater =
+      new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+  }
+  private val inflaters = new ThreadLocal[java.util.zip.Inflater] {
+    override def initialValue(): java.util.zip.Inflater =
+      new java.util.zip.Inflater(true)
+  }
+
   /** Deflate `data[off, off+len)` as one BGZF member onto `out`. */
   def writeMember(out: ByteArrayOutputStream, data: Array[Byte],
                   off: Int, len: Int): Unit = {
-    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+    val deflater = deflaters.get()
+    deflater.reset()
     deflater.setInput(data, off, len)
     deflater.finish()
     val cbuf = new Array[Byte](len + 64)
     var clen = 0
     while (!deflater.finished())
       clen += deflater.deflate(cbuf, clen, cbuf.length - clen)
-    deflater.end()
     val crc = new CRC32()
     crc.update(data, off, len)
     val bsize = clen + 26 // header(18) + deflate + crc(4) + isize(4)
@@ -83,9 +100,51 @@ object Bgzf {
       in: org.apache.hadoop.fs.FSDataInputStream,
       r: Range): Iterator[String] = rangeLines(in, r)
 
-  /** Inflate one whole member (header+deflate+trailer bytes). */
-  private def inflateMember(m: Array[Byte]): Array[Byte] =
-    new GZIPInputStream(new ByteArrayInputStream(m)).readAllBytes()
+  /** Inflate one whole member (header+deflate+trailer bytes).
+    *
+    * Every caller hands a signature-verified BC-subfield member
+    * (fixed 18-byte header, 8-byte CRC32+ISIZE trailer), so the
+    * inflated size is KNOWN before inflating: one exact-size output
+    * allocation and a reused per-thread raw `Inflater`, instead of a
+    * fresh `GZIPInputStream` per member (native stream init + header
+    * re-parse + readAllBytes' growth copies — the dominant per-member
+    * overhead on multi-thousand-member scans). The trailer CRC is
+    * still verified, matching what GZIPInputStream checked. Anything
+    * out of contract falls back to the codec path.
+    */
+  private def inflateMember(m: Array[Byte]): Array[Byte] = {
+    val bs = m.length
+    val isize =
+      if (bs >= 26) (m(bs - 4) & 0xff) | ((m(bs - 3) & 0xff) << 8) |
+        ((m(bs - 2) & 0xff) << 16) | ((m(bs - 1) & 0xff) << 24)
+      else -1
+    if (isize == 0) return Array.emptyByteArray
+    if (isize < 0 || isize > (1 << 16) || !sigAt(m, 0))
+      return new GZIPInputStream(new ByteArrayInputStream(m))
+        .readAllBytes()
+    val out = new Array[Byte](isize)
+    val inf = inflaters.get()
+    inf.reset()
+    inf.setInput(m, 18, bs - 26)
+    var n = 0
+    while (n < isize && !inf.finished()) {
+      val k = inf.inflate(out, n, isize - n)
+      if (k == 0 && (inf.needsInput() || inf.needsDictionary()))
+        throw new java.io.EOFException(
+          s"truncated BGZF member (inflated $n of $isize)")
+      n += k
+    }
+    if (n != isize)
+      throw new java.util.zip.ZipException(
+        s"BGZF ISIZE mismatch: trailer says $isize, stream holds >$n")
+    val crc = new CRC32()
+    crc.update(out, 0, n)
+    val want = (m(bs - 8) & 0xffL) | ((m(bs - 7) & 0xffL) << 8) |
+      ((m(bs - 6) & 0xffL) << 16) | ((m(bs - 5) & 0xffL) << 24)
+    if (crc.getValue != want)
+      throw new java.util.zip.ZipException("BGZF member CRC mismatch")
+    out
+  }
 
   /** Line-splittable read of BGZF text files: one task per `splitSize`
     * byte range per file (vs Hadoop's one-task-per-gzip-file), each
@@ -511,8 +570,25 @@ object Bgzf {
         */
       private def readLine(): String = {
         if (!ensureByte()) return null
-        var bytes = new Array[Byte](80)
-        var n = 0
+        // fast path: the whole line sits in the current member's
+        // buffer — scan for '\n' and decode the slice in one shot (the
+        // per-byte copy loop below only pays for the rare line that
+        // crosses a member boundary)
+        var i = pos
+        while (i < buf.length && buf(i) != '\n') i += 1
+        if (i < buf.length) {
+          var end = i
+          // strip the \r of a \r\n terminator only — mid-line \r is data
+          if (end > pos && buf(end - 1) == '\r') end -= 1
+          val s = new String(buf, pos, end - pos,
+            java.nio.charset.StandardCharsets.UTF_8)
+          pos = i + 1
+          return s
+        }
+        var bytes = new Array[Byte](math.max(80, (buf.length - pos) * 2))
+        var n = buf.length - pos
+        System.arraycopy(buf, pos, bytes, 0, n)
+        pos = buf.length
         var terminated = false
         while (!terminated && ensureByte()) {
           val c = buf(pos); pos += 1
@@ -523,7 +599,6 @@ object Bgzf {
             bytes(n) = c; n += 1
           }
         }
-        // strip the \r of a \r\n terminator only — mid-line \r is data
         if (n > 0 && bytes(n - 1) == '\r') n -= 1
         new String(bytes, 0, n, java.nio.charset.StandardCharsets.UTF_8)
       }
@@ -1103,8 +1178,7 @@ object Bgzf {
         val bs = ((hdr(16) & 0xff) | ((hdr(17) & 0xff) << 8)) + 1
         val member = new Array[Byte](bs)
         in.readFully(nextMemberOff, member, 0, bs)
-        val inflated = new GZIPInputStream(
-          new java.io.ByteArrayInputStream(member)).readAllBytes()
+        val inflated = inflateMember(member)
         if (headPos > 0 && headPos == bufLen) {
           // cheap compaction point: everything consumed
           buf = new Array[Byte](0); bufLen = 0; headPos = 0

@@ -295,6 +295,27 @@ private[sources] class VcfBgzfReaderFactory(
         throw t
       }
     val patterns = VcfBgzfSource.afPatterns(afFields)
+    // Bound the tab-split by the LAST field the pruned schema touches:
+    // a (chrom, pos) panel scan over a 20-sample cohort must not
+    // materialize 29 field strings per line — split with limit k+2
+    // yields fields 0..k intact plus one un-split remainder. Only a
+    // schema that asks for `genotypes` (fields 10+) needs the full
+    // split.
+    val maxField: Int =
+      if (fieldNames.contains("genotypes")) Int.MaxValue
+      else fieldNames.map {
+        case "chrom" => 0
+        case "pos" => 1
+        case "id" => 2
+        case "ref" => 3
+        case "alt" => 4
+        case "qual" => 5
+        case "filter" => 6
+        case "info" | "af" => 7
+        case other =>
+          throw new IllegalArgumentException(s"unknown column $other")
+      }.foldLeft(0)(math.max)
+    val splitLimit = if (maxField == Int.MaxValue) -1 else maxField + 2
     // one extractor per REQUIRED column — a pruned scan never splits
     // genotype columns it will not emit
     val extractors: Array[Array[String] => Any] = fieldNames.map {
@@ -334,7 +355,7 @@ private[sources] class VcfBgzfReaderFactory(
           if (line.nonEmpty && line.charAt(line.length - 1) == '\r')
             line.substring(0, line.length - 1)
           else line
-        val f = stripped.split("\t", -1)
+        val f = stripped.split("\t", splitLimit)
         row = InternalRow.fromSeq(
           extractors.map(_(f)).toIndexedSeq)
         true
