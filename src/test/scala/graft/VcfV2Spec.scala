@@ -94,6 +94,39 @@ class VcfV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.size == 6) // 5 data lines + the tabs-only line
   }
 
+  test("pruned-schema reads (bounded tab-split) match the full read's " +
+    "projection for every column subset, including short lines") {
+    // short lines, af-from-info at the split boundary, genotypes absent
+    val text = Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2",
+      "c1\t10\trs1\tA\tG\t99\tPASS\tAF=0.5\tGT\t0|1\t1|1",
+      "c1\t20\trs2\tA\tG,T", // short: no QUAL..genotypes
+      "c1\t30\trs3\tA\tG\t.\t.\tMAF=0.25;AF=0.75\tGT\t1|1\t0|0",
+      "c1\t40\trs4\tA\tG\t.\t.\t\tGT\t\t").mkString("\n") + "\n"
+    val plain = s"$tmp/prune.vcf"
+    Files.write(Paths.get(plain), text.getBytes("UTF-8"))
+    val gz = writeGz("prune.vcf.gz", text, blockSize = 64)
+    val full = Vcf.read(spark, plain)
+    val table = Vcf.readTable(spark, gz)
+    // every contiguous-prefix and sparse subset exercises a different
+    // split limit in the partition reader (genotypes forces unlimited)
+    val subsets = Seq(
+      Seq("chrom"), Seq("pos"), Seq("chrom", "pos"), Seq("af"),
+      Seq("pos", "info"), Seq("chrom", "qual", "af"),
+      Seq("chrom", "pos", "genotypes"),
+      Seq("chrom", "pos", "id", "ref", "alt", "qual", "filter",
+        "info", "genotypes", "af"))
+    subsets.foreach { cols =>
+      def dump(df: org.apache.spark.sql.DataFrame) =
+        df.select(cols.map(c =>
+          if (c == "genotypes") concat_ws("|", col(c)).as(c)
+          else col(c)): _*)
+          .collect().map(_.toString).toSeq.sorted
+      assert(dump(table) == dump(full), s"subset $cols diverged")
+    }
+  }
+
   test("chrom+pos filters prune the scan to a bisected window, rows " +
     "identical to the unpruned filter, and == readRegion under the " +
     "same predicate") {
