@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print a machine-read JSON line as their last
+// stdout line. sbt's default outputStrategy for forked runs is
+// LoggedOutput, which prefixes every line with "[info] " — that prefix
+// is why the driver's bench parser saw no parseable JSON line in the
+// stdout tail (BENCH_r*.json "parsed": null through r17). StdoutOutput
+// passes the forked JVM's stdout through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

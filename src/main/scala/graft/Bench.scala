@@ -921,6 +921,18 @@ object Bench {
           .agg(count(lit(1)), sum(size(col("genotypes"))))
           .head.getLong(0)
       }),
+      // r18: the SAME decade-scale BCF through the DSv2 relation with a
+      // genotype-free projection — the pruned schema now skips the
+      // per-sample block decode outright (guide §6), which is the scan
+      // shape every sites-level query (chrom/pos/info panels) sees.
+      // Paired with bcfx10 (full decode, identical bytes), the ratio IS
+      // the measured value of the pruning.
+      "bcfpx_bcf_pruned_scale" -> (() => {
+        val path = ensureSyntheticBcf10(spark, nDocs * 200)
+        graft.sources.Bcf.readTable(spark, path, splitSize = 8L << 20)
+          .agg(count(lit(1)), sum(col("pos")))
+          .head.getLong(0)
+      }),
       // One HUGE bgzipped VCF two ways: the non-splittable Hadoop-codec
       // path (one task regardless of size) vs the byte-range splittable
       // BGZF reader. The ratio is the measured value of in-file
@@ -1486,7 +1498,11 @@ object Bench {
     // first — the entries that carry the perf signal), with the complete
     // per-query detail in bench.json (committed) and queries_omitted
     // saying how many were cut.
-    val budget = 1500
+    // r18: with run/outputStrategy := StdoutOutput (build.sbt) the line
+    // reaches the driver verbatim (no "[info] " prefix); the budget
+    // leaves headroom for sbt's "[success]" trailer inside the ~2000-char
+    // stdout tail the driver keeps.
+    val budget = 1100
     val head =
       s"""{"metric":"total","value":$total,"unit":"sec","prep_sec":${r4(
         prep)},"runs_per_query":$runs,"load_before":$loadBefore,"load_contaminated":$contaminated,"hot_queries":$hq,"suspect_queries":$sq,"n_queries":${results.size},"failed_queries":$fq,"detail":"bench.json","sf":"$sfDir""""

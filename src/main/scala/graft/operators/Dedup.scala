@@ -476,40 +476,70 @@ object Dedup {
     // half the dx bench entry's shuffle bytes). One narrow (src, dst)
     // table, freed as soon as `edges` exists.
     val fwd = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
-      .localCheckpoint()
+      .transform(Checkpoints.pin)
+    // Pre-partition the loop-invariant edge table ONCE (guide §2.4) and
+    // pin it with persist() rather than a checkpoint: a checkpoint comes
+    // back as `Scan ExistingRDD` with UnknownPartitioning (measured on
+    // 4.1.2 — the AQE final plan's partitioning is not propagated
+    // through LogicalRDD), so the loop would re-shuffle the edge table
+    // every round; a cached plan KEEPS its outputPartitioning (AQE is
+    // disabled inside cached plans by default). The key is regime-chosen
+    // (spark.graft.cc.partition, mirroring labelPropagation/PageRank):
+    //  - "group" (src, the default): the label table is node-cardinality
+    //    — whenever it broadcasts (every local/bench run, any cluster
+    //    whose node table fits), the round's joins are explicit
+    //    broadcasts that preserve the edge partitioning, so both the
+    //    neighbor-min aggregation (keyed src) and the seed run
+    //    exchange-free: ZERO per-round exchanges.
+    //  - "join" (dst): for clusters whose label table exceeds broadcast —
+    //    the per-round sort-merge join then reads the edge side
+    //    exchange-free and only the (map-side partially min'd,
+    //    node-cardinality) aggregation output shuffles.
+    // fwd stays checkpointed — and alive until the loop ends, so an
+    // evicted edges block can still recompute — to keep the one-time
+    // materialization from executing the caller's pair-generation
+    // pipeline once per union branch.
+    val ccKey = pairs.sparkSession.conf
+      .getOption("spark.graft.cc.partition").getOrElse("group")
+    val bcastLabels = ccKey != "join"
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
-    Checkpoints.free(fwd)
+      .repartition(if (bcastLabels) col("src") else col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // seed label = min(self, neighbors): the node list needs a groupBy
-    // shuffle anyway (was a distinct over the same rows), so round 1 of
+    // pass anyway (was a distinct over the same rows), so round 1 of
     // min-label propagation comes free and the loop below starts from
     // distance-1 labels — one fewer join+checkpoint round per run
     var labels = edges.groupBy(col("src").as("node"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
-      .localCheckpoint()
+      .transform(Checkpoints.pin)
     // the checkpoint ROOT of the current labels (labels itself may be a
     // projection over it) — what Checkpoints.free releases per round
     var labelsCk = labels
     var changed = 1L
     var iter = 0
-    val labelType = labels.schema("label").dataType
     while (changed > 0 && iter < maxIters) {
-      // one shuffle join (edge endpoints pick up labels) + one groupBy;
-      // the node's own label rides the union as `own` so the round's
-      // change count needs no second labels join — max(own) is the old
-      // label (each node contributes exactly one non-null own row)
-      val next = edges
-        .join(labels.withColumnRenamed("node", "dst")
-          .withColumnRenamed("label", "nLabel"), Seq("dst"))
-        .select(col("src").as("node"), col("nLabel").as("cand"),
-          lit(null).cast(labelType).as("own"))
-        .unionByName(labels.select(col("node"),
-          col("label").as("cand"), col("label").as("own")))
-        .groupBy("node")
-        .agg(min(col("cand")).as("label"), max(col("own")).as("_old"))
-        .localCheckpoint()
+      // per round: neighbor-min via the edges join (min(own ∪ neighbors)
+      // = least(own, min(neighbors)) — identical to the previous
+      // union+groupBy form, but join-shaped so the pre-established edge
+      // partitioning survives into the aggregation), then one narrow
+      // labels join attaches the old label for the change count. The
+      // label tables broadcast explicitly in the "group" regime: a
+      // lazily-planned round otherwise statically plans sort-merge joins
+      // whose edge-side exchange AQE only undoes after it was written.
+      val nl = labels.select(col("node").as("dst"),
+        col("label").as("_nl"))
+      val nm = edges
+        .join(if (bcastLabels) broadcast(nl) else nl, Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("_nl")).as("_nmin"))
+      val next = nm
+        .join(if (bcastLabels) broadcast(labels) else labels, Seq("node"))
+        .select(col("node"),
+          least(col("label"), col("_nmin")).as("label"),
+          col("label").as("_old"))
+        .transform(Checkpoints.pin)
       changed = next.where(col("label") < col("_old")).count()
       // the previous round's checkpoint is dead once `next` is
       // materialized — free its RDD blocks (Dataset.unpersist cannot:
@@ -526,7 +556,8 @@ object Dedup {
       s"duplicateClusters did not converge in $maxIters rounds " +
         "(component diameter exceeds maxIters); raise maxIters")
     // the result below reads only the final labels checkpoint
-    Checkpoints.free(edges)
+    edges.unpersist(blocking = false)
+    Checkpoints.free(fwd)
     // cluster sizes as a window over the final labels — one shuffle
     // instead of a count groupBy plus a re-join
     labels.select(col("node").as("id"), col("label").as("cluster"))

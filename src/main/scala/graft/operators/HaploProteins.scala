@@ -175,6 +175,17 @@ object HaploProteins {
                       requireNonSyn: Boolean = true,
                       keepCdna: Boolean = false): DataFrame = {
     graft.plans.GraftFunctions.register(haplo0.sparkSession)
+    // The sequential per-variant / per-haplotype folds run as compiled
+    // kernels ([[graft.functions.NativeProteinOps]]) by default: the
+    // higher-order-function forms they transcribe evaluate interpreted —
+    // per element Spark walks a large `when`-chain tree and rebinds
+    // lambda variables, which made the protein family the largest
+    // remaining CPU sink at r17 (guide §4.2/§4.5). The legacy expression
+    // path stays selectable (and parity-pinned by
+    // HaploProteinsKernelSpec) via spark.graft.protein.kernels=false.
+    val useKernels = haplo0.sparkSession.conf
+      .getOption("spark.graft.protein.kernels").forall(_.toBoolean)
+    import graft.plans.ProteinExprs
     // optional per-haplotype population rollup strings ("POP:0.00123;..."),
     // carried through and merged on the vcf-id merge like
     // process_haplotypes.add_population_freqs
@@ -231,8 +242,12 @@ object HaploProteins {
     val altN = when(col("v").getField("alt") === "-", "")
       .otherwise(col("v").getField("alt"))
     val mapped = exploded
-      .withColumn("_ra", rnaAllele(col("exons"), col("v").getField("pos"),
-        refN, altN))
+      .withColumn("_ra",
+        if (useKernels)
+          ProteinExprs.rnaAllele(col("exons"), col("v").getField("pos"),
+            refN, altN)
+        else rnaAllele(col("exons"), col("v").getField("pos"),
+          refN, altN))
       .withColumn("ref", when(col("_rev"),
         dna.revComp(col("_ra").getField("ref")))
         .otherwise(col("_ra").getField("ref")))
@@ -280,7 +295,11 @@ object HaploProteins {
         carry.map(c => first(col(c)).as(c)): _*)
 
     // ---- 5) start-codon shift/loss fold (check_start_change) -----------
-    val startState = aggregate(
+    val startState = if (useKernels)
+      ProteinExprs.startState(col("vars"), col("_startLoc0"),
+        col("_rf0"), col("_pstart0"), col("_hasStart"),
+        forceRf, skipStartLoss)
+    else aggregate(
       col("vars"),
       struct(col("_startLoc0").as("sl"), col("_rf0").as("rf"),
         col("_pstart0").as("ps"), lit(false).as("lost"),
@@ -332,7 +351,9 @@ object HaploProteins {
         when(col("_startLost"), lit(0L)).otherwise(col("_pstart0")))
 
     // ---- 6) apply variants to the cDNA (sequential concat fold) --------
-    val applied = aggregate(
+    val applied = if (useKernels)
+      ProteinExprs.applyVars(col("vars"), col("cdna"))
+    else aggregate(
       col("vars"),
       struct(col("cdna").as("s"), lit(0L).as("off"), lit(true).as("ok")),
       (acc, v) => {
@@ -371,11 +392,20 @@ object HaploProteins {
       .select(Seq(col("*")) ++
         varFields.map(f => col("_v").getField(f).as(f)): _*)
       .drop("_v", "vars")
-      .withColumn("_refA", affected(col("cdna"), col("rna"), col("refLen"),
-        col("_rfRef").cast("long"), col("_pstartRef")))
-      .withColumn("_altA", affected(col("_mutated"),
-        col("rna") + col("offBefore"), col("altLen"),
-        col("_rf").cast("long"), col("_pstart")))
+      .withColumn("_refA",
+        if (useKernels)
+          ProteinExprs.affected(col("cdna"), col("rna"), col("refLen"),
+            col("_rfRef").cast("long"), col("_pstartRef"))
+        else affected(col("cdna"), col("rna"), col("refLen"),
+          col("_rfRef").cast("long"), col("_pstartRef")))
+      .withColumn("_altA",
+        if (useKernels)
+          ProteinExprs.affected(col("_mutated"),
+            col("rna") + col("offBefore"), col("altLen"),
+            col("_rf").cast("long"), col("_pstart"))
+        else affected(col("_mutated"),
+          col("rna") + col("offBefore"), col("altLen"),
+          col("_rf").cast("long"), col("_pstart")))
       // frameshift chaining state: the reference ORs
       // "frameshifts[ch_idx] and loc_ref >= 0" over EVERY frame inside
       // the per-frame loop (process_haplotypes.py:353), so a frameshift
@@ -414,16 +444,30 @@ object HaploProteins {
     val cdnaCh = concat(col("rna").cast("string"), lit(":"), col("ref"),
       lit(">"), col("alt"))
 
-    val conseqDone = conseqRows
-      .withColumn("_pf", perFrame)
+    // kernel path: one compiled call yields the '|'-joined consequence /
+    // change strings and the all-frames synonymous flag (the zip_with +
+    // two transforms + forall it replaces each re-walked the interpreted
+    // lambda per frame)
+    val conseqCols = conseqRows
+      .withColumn("_pf", if (useKernels)
+        ProteinExprs.conseq(col("_refA"), col("_altA"), dnaType,
+          col("isFs"), col("_hasFsBefore"))
+      else perFrame)
+    val conseqDone = (if (useKernels)
+      conseqCols
+        .withColumn("conseq", col("_pf").getField("conseq"))
+        .withColumn("protCh", col("_pf").getField("protch"))
+        .withColumn("cdnaCh", cdnaCh)
+        // a variant counts as synonymous only when EVERY frame is
+        // synonymous ("if not all(is_synonymous)" in the reference)
+        .withColumn("synonymous", col("_pf").getField("syn"))
+    else conseqCols
       .withColumn("conseq", array_join(transform(col("_pf"),
         p => p.getField("conseq")), "|"))
       .withColumn("protCh", array_join(transform(col("_pf"),
         p => p.getField("pch")), "|"))
       .withColumn("cdnaCh", cdnaCh)
-      // a variant counts as synonymous only when EVERY frame is synonymous
-      // ("if not all(is_synonymous)" in the reference)
-      .withColumn("synonymous", forall(col("_pf"), p => p.getField("syn")))
+      .withColumn("synonymous", forall(col("_pf"), p => p.getField("syn"))))
       // UTR filter coordinates: only consulted when _rf > -1, where the
       // frame arrays have exactly one entry
       .withColumn("keepLoc",

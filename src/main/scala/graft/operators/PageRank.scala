@@ -35,14 +35,23 @@ object PageRank {
     // recomputed
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val fwd = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
+    // NOTE (r18, attempted and reverted): pre-partitioning the edge
+    // table by a regime-chosen key (the labelPropagation/CC treatment
+    // below) MEASURED SLOWER here — PageRank's sum contributions
+    // partial-aggregate map-side, so the per-iteration exchanges are
+    // already node-cardinality-tiny (2.6 MB total at d11), and both the
+    // explicit per-iteration broadcasts (+10 builds) and the
+    // co-partitioned sort-merge variant (+10 stages) cost more fixed
+    // per-job latency than the bytes they saved. Guide §1.1 discipline:
+    // the checkpointed r17 shape stays.
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .transform(Checkpoints.pin)
     // materialized once: every iteration's action would otherwise replay
     // the degree aggregation (and its shuffle) against the edge table
     val degrees = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .transform(Checkpoints.pin)
     val n = degrees.select(count(lit(1)).as("_n"))
     var ranks = degrees.crossJoin(broadcast(n))
       .select(col("src").as("node"), col("_n"),
@@ -56,7 +65,7 @@ object PageRank {
     for (i <- 1 to iters) {
       ranks = iterate(edges, degrees, ranks, damping, exactFold)
       if (i % 4 == 0 || i == iters) {
-        ranks = ranks.localCheckpoint()
+        ranks = Checkpoints.pin(ranks)
         prevCk.foreach(Checkpoints.free)
         prevCk = Some(ranks)
       }
@@ -126,15 +135,35 @@ object PageRank {
     */
   def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
     require(rounds >= 1, "labelPropagation: rounds must be >= 1")
+    // Pre-partition the loop-invariant edge table ONCE (guide §2.4) and
+    // pin it with persist(), not a checkpoint — a checkpoint comes back
+    // as UnknownPartitioning (measured on 4.1.2), a cached plan keeps
+    // its outputPartitioning. The key is regime-chosen
+    // (spark.graft.labelprop.partition):
+    //  - "group" (src, the default): right whenever the per-round label
+    //    table broadcasts (AQE picks BHJ for a node-cardinality table
+    //    under the broadcast threshold — every local/bench run, and any
+    //    cluster whose node table fits). The broadcast join preserves
+    //    sym's partitioning, so the mode() aggregation — whose per-group
+    //    count-map partials DON'T compress map-side, making its exchange
+    //    the round's dominant shuffle (~60 MB/round at lpx scale) —
+    //    runs exchange-free: ZERO per-round exchanges.
+    //  - "join" (dst): for clusters whose label table exceeds broadcast —
+    //    there the per-round join is a sort-merge on dst, and
+    //    pre-partitioning by dst removes the edge re-shuffle instead
+    //    (1 exchange/round, the minimum when labels must move).
+    val lpKey = edges.sparkSession.conf
+      .getOption("spark.graft.labelprop.partition").getOrElse("group")
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"),
         col("src").as("dst")))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .repartition(if (lpKey == "join") col("dst") else col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .transform(Checkpoints.pin)
     // checkpoint cadence: LP has no per-round termination check (fixed
     // rounds, one downstream action), so materializing every round
     // buys nothing — every 2nd round keeps the un-executed plan
@@ -148,14 +177,23 @@ object PageRank {
       // of two ((src,label) count + src arg-min): the per-group
       // label→count map merges map-side, and a node's map is bounded
       // by its distinct neighbor labels.
+      // In the "group" regime the label table is broadcastable by
+      // definition — but only an EXPLICIT hint makes the STATIC plan a
+      // broadcast join: left to AQE, the initial plan is a sort-merge
+      // whose sym-side shuffle is already written by the time AQE
+      // converts it (measured: the ~60 MB/round exchange this exists to
+      // remove survived runtime-only conversion).
+      val nl = labels.select(col("node").as("dst"),
+        col("label").as("_nl"))
       labels = sym
-        .join(labels.select(col("node").as("dst"),
-          col("label").as("_nl")), Seq("dst"))
+        .join(if (lpKey == "join") nl else broadcast(nl), Seq("dst"))
         .groupBy(col("src"))
         .agg(mode(col("_nl"), true).as("label"))
         .withColumnRenamed("src", "node")
-      if (i % 2 == 0 || i == rounds) labels = labels.localCheckpoint()
+      if (i % 2 == 0 || i == rounds) labels = Checkpoints.pin(labels)
     }
+    // the returned frame reads only the final labels pin
+    sym.unpersist(blocking = false)
     labels
   }
 
@@ -199,11 +237,22 @@ object PageRank {
       .localCheckpoint()
     val xLower = (col("x.dv") < col("y.dv")) ||
       (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))
+    // NOTE (r18, attempted and reverted): a Bloom prefilter over the
+    // oriented edge keys (guide §3.2 — drop non-closing wedges before
+    // the closing join's exchange) MEASURED 0.91x here: the bench graph
+    // closes most of its wedges, so the filter dropped little while its
+    // build added a count + bloom job per call. On sparse real graphs
+    // (wedges >> triangles) the same prefilter is the standard win —
+    // re-add behind measurement if such a corpus ever ships.
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.u") === col("y.u") && xLower)
       .select(col("x.v").as("wu"), col("y.v").as("wv"))
+    // shuffled-hash on the oriented build side: the wedge side is the
+    // big one (O(E^1.5) worst case) — hashing the O(E) side skips the
+    // sort-merge sort of both (guide §3.1)
     val tri = wedges
-      .join(oriented.select(col("u").as("wu"), col("v").as("wv")),
+      .join(oriented.select(col("u").as("wu"), col("v").as("wv"))
+        .hint("shuffle_hash"),
         Seq("wu", "wv"))
       .agg(count(lit(1)).as("n_triangles"))
     val stats = deg.agg(count(lit(1)).as("n_nodes"),
@@ -222,7 +271,7 @@ object PageRank {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src"), col("dst"))
-    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
+    var dist = Seq((source, 0L)).toDF("node", "dist").transform(Checkpoints.pin)
     var frontier = dist
     var depth = 0L
     var done = false
@@ -233,10 +282,10 @@ object PageRank {
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("dist", lit(depth))
-        .localCheckpoint()
+        .transform(Checkpoints.pin)
       if (next.isEmpty) done = true
       else {
-        dist = dist.unionByName(next).localCheckpoint()
+        dist = Checkpoints.pin(dist.unionByName(next))
         frontier = next
       }
     }

@@ -159,13 +159,23 @@ object Bcf {
     (head, contigs, strings, nSamples)
   }
 
+  /** @param needGenotypes false = the caller's pruned schema excludes
+    *   `genotypes`: the per-sample block is SKIPPED outright (bytes
+    *   dropped from the cursor, no typed-vector decode, no per-sample
+    *   string assembly — the dominant per-record cost on cohort BCFs)
+    *   and the record carries an empty genotype seq the caller never
+    *   reads. The DSv2 scan route ([[BcfBgzfReaderFactory]]) is the
+    *   only caller that passes false; the full-row readers keep the
+    *   default.
+    */
   private[sources] def splitRangeRecords(
       in: org.apache.hadoop.fs.FSDataInputStream, path: String,
       start: Long, end: Long, len: Long,
-      guard: Bgzf.AlignGuard): Iterator[BcfRec] = {
+      guard: Bgzf.AlignGuard,
+      needGenotypes: Boolean = true): Iterator[BcfRec] = {
     val (head, contigs, strings, nSamples) = headerCursor(in, len)
     if (start == 0L)
-      return recordIterator(head, end, contigs, strings)
+      return recordIterator(head, end, contigs, strings, needGenotypes)
     val first = Bgzf.firstMemberIn(in, start, end, len)
     if (first < 0) { in.close(); return Iterator.empty }
     val cur = new Bgzf.MemberCursor(in, len, first)
@@ -180,12 +190,14 @@ object Bcf {
       guard.unaligned(path, start, end)
       in.close(); return Iterator.empty
     }
-    recordIterator(cur, end, contigs, strings)
+    recordIterator(cur, end, contigs, strings, needGenotypes)
   }
 
   private def recordIterator(cur: Bgzf.MemberCursor, end: Long,
                              contigs: Array[String],
-                             strings: Array[String]): Iterator[BcfRec] =
+                             strings: Array[String],
+                             needGenotypes: Boolean = true)
+    : Iterator[BcfRec] =
     new Iterator[BcfRec] {
       private var nextRec: BcfRec = _
       private var done = false
@@ -199,8 +211,11 @@ object Bcf {
         cur.drop(8)
         val sh = ByteBuffer.wrap(cur.read(lShared))
           .order(ByteOrder.LITTLE_ENDIAN)
-        val ind = ByteBuffer.wrap(cur.read(lIndiv))
-          .order(ByteOrder.LITTLE_ENDIAN)
+        val ind =
+          if (needGenotypes)
+            ByteBuffer.wrap(cur.read(lIndiv))
+              .order(ByteOrder.LITTLE_ENDIAN)
+          else { cur.drop(lIndiv); null }
         nextRec = decodeRecord(sh, ind, contigs, strings)
       }
       override def hasNext: Boolean = !done
@@ -679,6 +694,11 @@ object Bcf {
       val v = renderValue(sh, t, l)
       if (t == 0 || (t == 7 && l == 0)) key else s"$key=$v"
     }.mkString(";") match { case "" => "."; case s => s }
+    // pruned scan (ind == null): the per-sample block bytes were never
+    // materialized — emit the row without genotype decode
+    if (ind == null)
+      return BcfRec(contigs(chromIdx), pos0 + 1L, id, ref, alt, qual,
+        filter, info, Seq.empty)
     // per-sample block: each FORMAT field is a fixed-width typed vector.
     // Flat arrays + while loops (no Seq.tabulate/map per record): the
     // per-sample genotype strings assemble through one builder each.

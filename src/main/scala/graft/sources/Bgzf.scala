@@ -118,8 +118,12 @@ object Bgzf {
       if (bs >= 26) (m(bs - 4) & 0xff) | ((m(bs - 3) & 0xff) << 8) |
         ((m(bs - 2) & 0xff) << 16) | ((m(bs - 1) & 0xff) << 24)
       else -1
-    if (isize == 0) return Array.emptyByteArray
-    if (isize < 0 || isize > (1 << 16) || !sigAt(m, 0))
+    // isize == 0 routes through the codec fallback rather than a bare
+    // empty return: a corrupt member whose last 4 bytes happen to be
+    // zero still gets its deflate payload inflated and its CRC/ISIZE
+    // trailer checked (GZIPInputStream throws on the mismatch). Empty
+    // members are ~one EOF marker per file, so the codec cost is nil.
+    if (isize <= 0 || isize > (1 << 16) || !sigAt(m, 0))
       return new GZIPInputStream(new ByteArrayInputStream(m))
         .readAllBytes()
     val out = new Array[Byte](isize)

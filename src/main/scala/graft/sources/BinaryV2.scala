@@ -471,9 +471,14 @@ private[sources] class BcfBgzfReaderFactory(
     val hp = new org.apache.hadoop.fs.Path(p.path)
     val in = hp.getFileSystem(hconf.value).open(hp)
     // construction is eager (header cursor + alignment): close the
-    // handle before rethrowing, or every failed task attempt leaks one
+    // handle before rethrowing, or every failed task attempt leaks one.
+    // A pruned schema without `genotypes` skips the per-sample block
+    // decode entirely (guide §6 — the binary analog of the VCF
+    // split-limit): the block's bytes are dropped from the member
+    // cursor undecoded.
     val recs =
-      try Bcf.splitRangeRecords(in, p.path, p.start, p.end, p.len, guard)
+      try Bcf.splitRangeRecords(in, p.path, p.start, p.end, p.len, guard,
+        needGenotypes = fieldNames.contains("genotypes"))
       catch { case t: Throwable =>
         try in.close() catch { case _: java.io.IOException => }
         throw t

@@ -119,6 +119,20 @@ private[sources] object VcfBgzfSource {
     */
   private[sources] def isData(line: String): Boolean =
     line.nonEmpty && line.charAt(0) != '#' && line.exists(_ != ' ')
+
+  /** One shared column -> source-tab-field table: BOTH the split bound
+    * (maxField) and the per-column extractors derive from it, so the
+    * two can never drift (r17 advice — they were previously two
+    * hand-maintained copies of the same indices). `genotypes` (fields
+    * 10+) is the only column outside the table; it forces a full split.
+    */
+  private[sources] val FieldOf: Map[String, Int] = Map(
+    "chrom" -> 0, "pos" -> 1, "id" -> 2, "ref" -> 3, "alt" -> 4,
+    "qual" -> 5, "filter" -> 6, "info" -> 7, "af" -> 7)
+
+  private[sources] def fieldIndex(name: String): Int =
+    FieldOf.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown column $name"))
 }
 
 private[sources] class VcfBgzfTable(path: String, afFields: Seq[String],
@@ -303,47 +317,29 @@ private[sources] class VcfBgzfReaderFactory(
     // split.
     val maxField: Int =
       if (fieldNames.contains("genotypes")) Int.MaxValue
-      else fieldNames.map {
-        case "chrom" => 0
-        case "pos" => 1
-        case "id" => 2
-        case "ref" => 3
-        case "alt" => 4
-        case "qual" => 5
-        case "filter" => 6
-        case "info" | "af" => 7
-        case other =>
-          throw new IllegalArgumentException(s"unknown column $other")
-      }.foldLeft(0)(math.max)
+      else fieldNames.map(VcfBgzfSource.fieldIndex).foldLeft(0)(math.max)
     val splitLimit = if (maxField == Int.MaxValue) -1 else maxField + 2
-    // one extractor per REQUIRED column — a pruned scan never splits
-    // genotype columns it will not emit
+    // one extractor per REQUIRED column, each bound to the SAME shared
+    // field table the split bound came from — a pruned scan never
+    // splits genotype columns it will not emit
     val extractors: Array[Array[String] => Any] = fieldNames.map {
-      case "chrom" => (f: Array[String]) =>
-        if (f.length > 0) UTF8String.fromString(f(0)) else null
-      case "pos" => (f: Array[String]) =>
-        if (f.length > 1) VcfBgzfSource.tryLong(f(1)) else null
-      case "id" => (f: Array[String]) =>
-        if (f.length > 2) UTF8String.fromString(f(2)) else null
-      case "ref" => (f: Array[String]) =>
-        if (f.length > 3) UTF8String.fromString(f(3)) else null
-      case "alt" => (f: Array[String]) =>
-        if (f.length > 4) UTF8String.fromString(f(4)) else null
-      case "qual" => (f: Array[String]) =>
-        if (f.length > 5) UTF8String.fromString(f(5)) else null
-      case "filter" => (f: Array[String]) =>
-        if (f.length > 6) UTF8String.fromString(f(6)) else null
-      case "info" => (f: Array[String]) =>
-        if (f.length > 7) UTF8String.fromString(f(7)) else null
+      case "pos" =>
+        val i = VcfBgzfSource.fieldIndex("pos")
+        (f: Array[String]) =>
+          if (f.length > i) VcfBgzfSource.tryLong(f(i)) else null
       case "genotypes" => (f: Array[String]) =>
         new GenericArrayData(
           f.drop(9).map(UTF8String.fromString(_): Any))
-      case "af" => (f: Array[String]) =>
-        if (f.length > 7)
-          UTF8String.fromString(VcfBgzfSource.afOf(f(7), patterns))
-        else null
-      case other =>
-        throw new IllegalArgumentException(s"unknown column $other")
+      case "af" =>
+        val i = VcfBgzfSource.fieldIndex("af")
+        (f: Array[String]) =>
+          if (f.length > i)
+            UTF8String.fromString(VcfBgzfSource.afOf(f(i), patterns))
+          else null
+      case name =>
+        val i = VcfBgzfSource.fieldIndex(name)
+        (f: Array[String]) =>
+          if (f.length > i) UTF8String.fromString(f(i)) else null
     }
 
     new PartitionReader[InternalRow] {

@@ -84,6 +84,46 @@ class BinaryV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scannedBytes(table.where(col("chrom") === "c9")) == 0L)
   }
 
+  test("BCF pruned schema (no genotypes) skips the per-sample decode " +
+    "with rows identical to the full read's projection") {
+    val s = spark
+    import s.implicits._
+    val n = 3000
+    val variants = spark.range(n).select(
+      concat(lit("c"), (col("id") * 2 / n).cast("long") + 1).as("chrom"),
+      (pmod(col("id"), lit(n / 2)) * 7 + 3).as("pos"),
+      concat(lit("p"), col("id")).as("id"),
+      lit("AC").as("ref"), lit("A,ACT").as("alt"),
+      lit("31.5").as("qual"), lit("PASS").as("filter"),
+      concat(lit("AF=0."), pmod(col("id"), lit(97)) + 10,
+        lit(";DP="), pmod(col("id"), lit(60)) + 1).as("info"),
+      array(lit("0|1"), lit("1/1"), lit("./.")).as("genotypes"))
+      .orderBy("chrom", "pos")
+    val contigs = (1 to 2).map(i => (s"c$i", (n / 2) * 7L + 100L))
+    val p = s"$tmp/pruned.bcf"
+    Bcf.write(variants, contigs, Seq("S1", "S2", "S3"), p,
+      blockSize = 512)
+    val table = Bcf.readTable(spark, p, splitSize = 64L << 10)
+    val full = Bcf.readSplit(spark, p, splitSize = 64L << 10)
+    // every genotype-free projection shape the query family uses: the
+    // pruned scan must emit rows identical to projecting the full read
+    for (cols <- Seq(
+      Seq("chrom", "pos"),
+      Seq("chrom", "pos", "id", "ref", "alt"),
+      Seq("chrom", "pos", "info", "af"),
+      Seq("chrom", "pos", "id", "ref", "alt", "qual", "filter", "info",
+        "af"))) {
+      assert(rows(table.select(cols.map(col): _*)) ==
+        rows(full.select(cols.map(col): _*)), s"cols=$cols")
+    }
+    // asking for genotypes still decodes the per-sample block
+    assert(rows(table) == rows(full))
+    // pruning composes with a pushed region filter
+    val pred = col("chrom") === "c2" && col("pos").between(100, 900)
+    assert(rows(table.where(pred).select("chrom", "pos", "info")) ==
+      rows(full.where(pred).select("chrom", "pos", "info")))
+  }
+
   test("BAM readTable == readSplit (decorated columns included); " +
     "rname/pos filters push THROUGH Sam.decorate into the scan") {
     val s = spark
